@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated parquet testdata (TESTDATA.md).
+  * Every `SparkEntry.queries` entry receives a scale-factor directory and
+  * resolves tables through here, so the scan path (column pruning +
+  * predicate pushdown into the parquet reader) is uniform.
+  *
+  * At cluster scale these would be catalog tables (partitioned by date,
+  * bucketed by join key); the API shape — name → DataFrame — is the same.
+  */
+object Tables {
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // The events table carries TIMESTAMP(NANOS) parquet, which Spark's
+    // vectorized reader rejects; read nanos as long and convert at the
+    // ingest edge (integer division — a double round-trip would lose
+    // precision above 2^53 ns).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  def events(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+  def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")
+  def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
+  def supplier(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "supplier")
+  def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
+  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** Register all tables as temp views for the spark.sql surface
+    * (reference's create_temporary_view, /root/reference/old/flink.py:39). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    Seq("events", "lineitem", "orders", "customer", "part", "supplier",
+      "nation", "region", "documents", "embeddings")
+      .foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}

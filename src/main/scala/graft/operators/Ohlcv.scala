@@ -1,0 +1,182 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Batch OHLCV candlestick aggregation — the heart of the reference
+  * (SURVEY.md §2.5; semantics from /root/reference/old/flink.py:42-67 and
+  * /root/reference/7_ohlc.py:64-78): per key and tumbling event-time
+  * window, open = first price by event time, close = last, high = max,
+  * low = min, volume = Σqty.
+  *
+  * Spark-first design: one `groupBy(window(ts, w), keys)` with
+  * `min_by`/`max_by` aggregates. This is a single hash-partition shuffle
+  * on (window, keys) with map-side partial aggregation — at 100 TB the
+  * partial agg collapses each (key, window) to one row per map task
+  * before the exchange, so shuffle volume is bounded by key-cardinality ×
+  * windows, not by input rows. No buffering of window contents (the
+  * reference's ProcessAllWindowFunction collected whole windows in memory,
+  * /root/reference/3_ohlc.py:13-25 — that shape does not survive scale).
+  *
+  * Arrival-order open/close (the reference's elements[0]/elements[-1],
+  * /root/reference/3_ohlc.py:19-20) is replaced by deterministic
+  * event-time order with an explicit unique tiebreak column — batch Spark
+  * has no row order, and neither does a replayed Kafka log (SURVEY.md
+  * §7.4).
+  */
+object Ohlcv {
+
+  /** Generic tumbling-window OHLCV over arbitrary columns.
+    *
+    * @param ts       event-time timestamp column
+    * @param price    price column
+    * @param qty      quantity column (summed into volume)
+    * @param keys     grouping keys (reference: product, instrument_id)
+    * @param width    window width, e.g. "1 minute", "5 minutes"
+    * @param tiebreak unique-per-row column ordering events with equal ts
+    */
+  def bars(
+      trades: DataFrame,
+      ts: Column,
+      price: Column,
+      qty: Column,
+      keys: Seq[(String, Column)],
+      width: String,
+      tiebreak: Column): DataFrame = {
+    val ord = struct(ts.as("ts"), tiebreak.as("tb"))
+    trades
+      .groupBy((window(ts, width).as("w") +: keys.map { case (n, c) => c.as(n) }): _*)
+      .agg(
+        min_by(price, ord).as("open"),
+        max(price).as("high"),
+        min(price).as("low"),
+        max_by(price, ord).as("close"),
+        sum(qty).as("volume"))
+      .select((Seq(col("w.start").as("window_start"), col("w.end").as("window_end")) ++
+        keys.map { case (n, _) => col(n) } ++
+        Seq(col("open"), col("high"), col("low"), col("close"), col("volume"))): _*)
+  }
+
+  /** Roll fine bars up into coarser bars without revisiting the raw
+    * events — the dual-resolution invariant of
+    * /root/reference/old/flink.py:42-67 (1-min and 5-min bars from one
+    * stream). open/close of the coarse bar are the open of the earliest /
+    * close of the latest fine bar; volume adds. At scale this is the
+    * cheap path to multi-resolution candles: the rollup input is already
+    * key×window sized, so the second shuffle is tiny. */
+  def rollup(bars: DataFrame, keys: Seq[String], width: String): DataFrame = {
+    val ord = col("window_start")
+    bars
+      .groupBy((window(col("window_start"), width).as("w") +: keys.map(col)): _*)
+      .agg(
+        min_by(col("open"), ord).as("open"),
+        max(col("high")).as("high"),
+        min(col("low")).as("low"),
+        max_by(col("close"), ord).as("close"),
+        sum(col("volume")).as("volume"))
+      .select((Seq(col("w.start").as("window_start"), col("w.end").as("window_end")) ++
+        keys.map(col) ++
+        Seq(col("open"), col("high"), col("low"), col("close"), col("volume"))): _*)
+  }
+
+  // ---------------------------------------------------------------------
+  // Concrete queries over the driver's `events` table (FIXTURES.md §5
+  // mapping: ts→timestamp, event_type→product, value→price, unit qty;
+  // event_id is the deterministic tiebreak).
+
+  private def eventBars(spark: SparkSession, dir: String, width: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    bars(ev, col("ts"), col("value"), lit(1L), Seq("event_type" -> col("event_type")),
+      width, col("event_id"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
+  /** 1-minute bars keyed by event_type — the flagship slice
+    * (reference main line, /root/reference/5_ohlc.py:72). */
+  def bars1m(spark: SparkSession, dir: String): DataFrame = eventBars(spark, dir, "1 minute")
+
+  /** 5-minute bars (the reference's second resolution,
+    * /root/reference/old/flink.py:56-67). */
+  def bars5m(spark: SparkSession, dir: String): DataFrame = eventBars(spark, dir, "5 minutes")
+
+  /** 1-hour bars keyed by (event_type, user_id) — the reference's
+    * (product, instrument_id) dual key (/root/reference/old/flink.py:52). */
+  def bars1hByUser(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    bars(ev, col("ts"), col("value"), lit(1L),
+      Seq("event_type" -> col("event_type"), "user_id" -> col("user_id")),
+      "1 hour", col("event_id"))
+      .orderBy(col("window_start"), col("event_type"), col("user_id"))
+  }
+
+  /** 5-minute bars computed by rolling up 1-minute bars — bar-of-bars
+    * consistency (/root/reference/old/flink.py:42-67 dual resolution). */
+  def bars5mFrom1m(spark: SparkSession, dir: String): DataFrame = {
+    val oneMin = eventBars(spark, dir, "1 minute")
+    rollup(oneMin, Seq("event_type"), "5 minutes")
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
+  /** Formatted string bars — the reference's JSON/strftime output edge
+    * (/root/reference/3_ohlc.py:69-77): epoch → "yyyy-MM-dd HH:mm:ss". */
+  def barsFormatted(spark: SparkSession, dir: String): DataFrame =
+    bars1m(spark, dir)
+      .select(
+        date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("time"),
+        col("event_type"), col("open"), col("high"), col("low"), col("close"),
+        col("volume"))
+      .orderBy(col("time"), col("event_type"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ohlcv_1m" -> ((s, d) => bars1m(s, d)),
+    "ohlcv_5m" -> ((s, d) => bars5m(s, d)),
+    "ohlcv_1h_by_user" -> ((s, d) => bars1hByUser(s, d)),
+    "ohlcv_5m_rollup" -> ((s, d) => bars5mFrom1m(s, d)),
+    "ohlcv_formatted" -> ((s, d) => barsFormatted(s, d)))
+
+  /** DuckDB oracle equivalents. date_trunc-based buckets equal Spark's
+    * grid-aligned tumbling windows for minute/hour widths; the 5-minute
+    * grid uses epoch arithmetic. (ts, event_type) pairs are unique in the
+    * testdata, so arg_min/arg_max on ts alone is deterministic. */
+  val oracle: Map[String, String] = Map(
+    "ohlcv_1m" ->
+      """SELECT date_trunc('minute', ts) AS window_start,
+        |       date_trunc('minute', ts) + INTERVAL 1 MINUTE AS window_end,
+        |       event_type,
+        |       arg_min(value, ts) AS open, max(value) AS high,
+        |       min(value) AS low, arg_max(value, ts) AS close,
+        |       count(*)::BIGINT AS volume
+        |FROM events GROUP BY 1, 2, 3 ORDER BY 1, 3""".stripMargin,
+    "ohlcv_5m" ->
+      """SELECT to_timestamp((epoch_us(ts) // 300000000) * 300) AS window_start,
+        |       to_timestamp((epoch_us(ts) // 300000000) * 300 + 300) AS window_end,
+        |       event_type,
+        |       arg_min(value, ts) AS open, max(value) AS high,
+        |       min(value) AS low, arg_max(value, ts) AS close,
+        |       count(*)::BIGINT AS volume
+        |FROM events GROUP BY 1, 2, 3 ORDER BY 1, 3""".stripMargin,
+    "ohlcv_1h_by_user" ->
+      """SELECT date_trunc('hour', ts) AS window_start,
+        |       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+        |       event_type, user_id,
+        |       arg_min(value, ts) AS open, max(value) AS high,
+        |       min(value) AS low, arg_max(value, ts) AS close,
+        |       count(*)::BIGINT AS volume
+        |FROM events GROUP BY 1, 2, 3, 4 ORDER BY 1, 3, 4""".stripMargin,
+    "ohlcv_5m_rollup" ->
+      """SELECT to_timestamp((epoch_us(ts) // 300000000) * 300) AS window_start,
+        |       to_timestamp((epoch_us(ts) // 300000000) * 300 + 300) AS window_end,
+        |       event_type,
+        |       arg_min(value, ts) AS open, max(value) AS high,
+        |       min(value) AS low, arg_max(value, ts) AS close,
+        |       count(*)::BIGINT AS volume
+        |FROM events GROUP BY 1, 2, 3 ORDER BY 1, 3""".stripMargin,
+    "ohlcv_formatted" ->
+      """SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS time,
+        |       event_type,
+        |       arg_min(value, ts) AS open, max(value) AS high,
+        |       min(value) AS low, arg_max(value, ts) AS close,
+        |       count(*)::BIGINT AS volume
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+}

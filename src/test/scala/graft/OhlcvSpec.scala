@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Ohlcv
+import graft.model.Trade
+
+class OhlcvSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tradeBars(trades: Seq[Trade], width: String = "1 minute") = {
+    val df = trades.toDF()
+      .withColumn("ts", timestamp_millis(col("timestamp")))
+    Ohlcv.bars(df, col("ts"), col("price"), col("qty"),
+      Seq("product" -> col("product")), width, col("instrument_id"))
+  }
+
+  test("single-trade window: open=high=low=close, volume=qty") {
+    val bars = tradeBars(Seq(Trade(60_000L, "i1", "P1", 42.0, 7))).collect()
+    assert(bars.length == 1)
+    val b = bars.head
+    assert(b.getAs[Double]("open") == 42.0)
+    assert(b.getAs[Double]("high") == 42.0)
+    assert(b.getAs[Double]("low") == 42.0)
+    assert(b.getAs[Double]("close") == 42.0)
+    assert(b.getAs[Long]("volume") == 7L)
+  }
+
+  test("open/close by event time, high/low/volume aggregate") {
+    val bars = tradeBars(Seq(
+      Trade(60_000L, "a", "P1", 10.0, 1),
+      Trade(61_000L, "b", "P1", 99.0, 2),
+      Trade(62_000L, "c", "P1", 5.0, 3),
+      Trade(63_000L, "d", "P1", 50.0, 4))).collect()
+    assert(bars.length == 1)
+    val b = bars.head
+    assert(b.getAs[Double]("open") == 10.0)
+    assert(b.getAs[Double]("high") == 99.0)
+    assert(b.getAs[Double]("low") == 5.0)
+    assert(b.getAs[Double]("close") == 50.0)
+    assert(b.getAs[Long]("volume") == 10L)
+  }
+
+  test("equal timestamps break ties by the tiebreak column") {
+    val bars = tradeBars(Seq(
+      Trade(60_000L, "z", "P1", 1.0, 1), // same ts, higher tiebreak
+      Trade(60_000L, "a", "P1", 2.0, 1))).collect()
+    val b = bars.head
+    assert(b.getAs[Double]("open") == 2.0) // "a" < "z"
+    assert(b.getAs[Double]("close") == 1.0)
+  }
+
+  test("grid alignment: trades land in epoch-aligned tumbling windows") {
+    val bars = tradeBars(Seq(
+      Trade(59_999L, "a", "P1", 1.0, 1),
+      Trade(60_000L, "b", "P1", 2.0, 1)))
+      .orderBy("window_start").collect()
+    assert(bars.length == 2)
+    assert(bars(0).getAs[java.sql.Timestamp]("window_start").getTime == 0L)
+    assert(bars(1).getAs[java.sql.Timestamp]("window_start").getTime == 60_000L)
+  }
+
+  test("keys partition bars") {
+    val bars = tradeBars(Seq(
+      Trade(60_000L, "a", "P1", 1.0, 1),
+      Trade(61_000L, "b", "P2", 9.0, 2))).collect()
+    assert(bars.length == 2)
+    assert(bars.map(_.getAs[String]("product")).toSet == Set("P1", "P2"))
+  }
+
+  test("bar-of-bars: 5m rollup of 1m bars equals direct 5m bars") {
+    val trades = (0 until 600).map { i =>
+      Trade(i * 997L, s"i$i", s"P${i % 3}", (i * 7919 % 100).toDouble, i % 10 + 1)
+    }
+    val direct = tradeBars(trades, "5 minutes")
+    val fine = tradeBars(trades, "1 minute")
+    val rolled = Ohlcv.rollup(fine, Seq("product"), "5 minutes")
+    assert(direct.exceptAll(rolled).isEmpty && rolled.exceptAll(direct).isEmpty)
+  }
+
+  test("flagship entry returns bars on sf0.001") {
+    val df = SparkEntry.entry(spark)
+    assert(df.count() > 0)
+    val cols = df.columns.toSet
+    assert(Set("window_start", "open", "high", "low", "close", "volume").subsetOf(cols))
+  }
+
+  test("all declared queries run and return rows on sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf0001).count()
+      assert(n > 0, s"query $name returned no rows")
+    }
+  }
+
+  test("every oracleSql key has a matching query") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+}
