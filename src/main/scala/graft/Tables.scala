@@ -36,8 +36,12 @@ object Tables {
 
   /** Register all tables as temp views for the spark.sql surface
     * (reference's create_temporary_view, /root/reference/old/flink.py:39). */
-  def registerAll(spark: SparkSession, dir: String): Unit =
-    Seq("events", "lineitem", "orders", "customer", "part", "supplier",
+  def registerAll(spark: SparkSession, dir: String): Unit = {
+    Seq("lineitem", "orders", "customer", "part", "supplier",
       "nation", "region", "documents", "embeddings")
       .foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    // events goes through its loader so the view exposes a real
+    // timestamp column, not raw nano longs
+    events(spark, dir).createOrReplaceTempView("events")
+  }
 }

@@ -1,0 +1,328 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Table-stakes relational surface: scan → project/filter → aggregate →
+  * join → sort/limit, plus set ops, ranking windows, rollup/cube, JSON
+  * extraction. The reference itself has no filters or joins (SURVEY.md
+  * §2.3 — its whole surface is source → parse → key-by → window-agg →
+  * sink), but an engine replacing it needs these as first-class, and the
+  * driver's oracle exercises them over the TPC-H-ish testdata.
+  *
+  * Scale notes baked into the shapes below:
+  *  - filters/projections sit directly on the parquet scan so Catalyst
+  *    pushes them into the reader (PushedFilters + pruned ReadSchema);
+  *  - dimension joins (nation/region/customer at TPC-H proportions)
+  *    broadcast explicitly — no shuffle of the fact table;
+  *  - fact-fact joins shuffle on the join key once, with AQE free to
+  *    re-plan skew at runtime;
+  *  - money aggregates run in integer cents (exact, order-independent —
+  *    a double sum's last bits depend on partition order, which is
+  *    nondeterministic on a cluster and breaks result-hash comparison).
+  */
+object Relational {
+
+  /** Exact integer cents of a 2-decimal money column. */
+  private def cents(c: Column): Column = round(c * 100, 0).cast("long")
+
+  // -- Q1-flavor pricing summary -----------------------------------------
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(expr("l_shipdate <= timestamp '2000-12-01'"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        (sum(cents(col("l_extendedprice"))) / 100.0).as("sum_base"),
+        (sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")) )) / 10000.0)
+          .as("revenue"),
+        count(lit(1)).as("n"))
+      .withColumn("avg_qty", col("sum_qty") / col("n"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  // -- filter + projection (pushdown path) -------------------------------
+  def filterProject(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(expr("l_shipdate >= timestamp '1996-01-01'") &&
+        expr("l_shipdate < timestamp '1997-01-01'") && col("l_quantity") < 5)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_returnflag"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  // -- multi-way join with broadcast dimension ---------------------------
+  def revenueByNation(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .filter(expr("o_orderdate >= timestamp '1996-01-01'") &&
+        expr("o_orderdate < timestamp '1998-01-01'"))
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        (sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))) / 10000.0)
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("n_name"))
+  }
+
+  // -- broadcast dim join + aggregate ------------------------------------
+  def ordersBySegment(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        (sum(cents(col("o_totalprice"))) / 100.0).as("total_price"))
+      .orderBy(col("c_mktsegment"))
+
+  // -- semi / anti joins (EXISTS / NOT EXISTS) ---------------------------
+  def customersWithOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir).filter(col("o_orderstatus") === "F"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      .orderBy(col("c_custkey"))
+
+  /** NOT EXISTS — customers with no 'P'-status order (an unrestricted
+    * anti join is vacuously empty in this data: every customer orders). */
+  def customersWithoutOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir).filter(col("o_orderstatus") === "P"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+
+  // -- top-k (sort + limit, deterministic tiebreak) ----------------------
+  def topOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  // -- distinct aggregation ----------------------------------------------
+  def distinctCustomers(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(countDistinct(col("o_custkey")).as("n_custs"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderstatus"))
+
+  // -- ranking window function -------------------------------------------
+  def topOrdersPerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  // -- rollup / cube ------------------------------------------------------
+  def rollupOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        (sum(cents(col("o_totalprice"))) / 100.0).as("total_price"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  def cubeStatusYear(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), year(col("o_orderdate")).as("order_year"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("order_year").asc_nulls_first)
+
+  // -- set operations ------------------------------------------------------
+  def exceptCustkeys(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      .except(o.filter(col("o_orderstatus") === "O").select(col("o_custkey")))
+      .orderBy(col("o_custkey"))
+  }
+
+  def intersectCustkeys(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      .intersect(o.filter(col("o_orderstatus") === "P").select(col("o_custkey")))
+      .orderBy(col("o_custkey"))
+  }
+
+  // -- scalar string / date functions --------------------------------------
+  def partStrings(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_u"),
+        substring(col("p_name"), 1, 8).as("name_pfx"),
+        length(col("p_name")).as("name_len"),
+        concat(col("p_brand"), lit("/"), col("p_type")).as("brand_type"))
+      .orderBy(col("p_partkey"))
+
+  def ordersByMonth(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("y"), col("m"))
+
+  // -- CASE WHEN bucketing --------------------------------------------------
+  def valueBuckets(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("bucket",
+        when(col("value") < 5, "low")
+          .when(col("value") < 20, "mid")
+          .otherwise("high"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type"), col("bucket"))
+
+  // -- JSON extraction (reference P6 parse_json, old/kfk.py:13-32) ---------
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
+  // -- correlated EXISTS subquery via the SQL surface ----------------------
+  def existsBigLineitem(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT o_orderstatus, count(*) AS n
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_pricing_summary" -> ((s, d) => pricingSummary(s, d)),
+    "rel_filter_project" -> ((s, d) => filterProject(s, d)),
+    "rel_revenue_by_nation" -> ((s, d) => revenueByNation(s, d)),
+    "rel_orders_by_segment" -> ((s, d) => ordersBySegment(s, d)),
+    "rel_semi_join" -> ((s, d) => customersWithOrders(s, d)),
+    "rel_anti_join" -> ((s, d) => customersWithoutOrders(s, d)),
+    "rel_topk_orders" -> ((s, d) => topOrders(s, d)),
+    "rel_distinct_customers" -> ((s, d) => distinctCustomers(s, d)),
+    "rel_window_rank" -> ((s, d) => topOrdersPerCustomer(s, d)),
+    "rel_rollup_orders" -> ((s, d) => rollupOrders(s, d)),
+    "rel_cube_status_year" -> ((s, d) => cubeStatusYear(s, d)),
+    "rel_except" -> ((s, d) => exceptCustkeys(s, d)),
+    "rel_intersect" -> ((s, d) => intersectCustkeys(s, d)),
+    "rel_part_strings" -> ((s, d) => partStrings(s, d)),
+    "rel_orders_by_month" -> ((s, d) => ordersByMonth(s, d)),
+    "rel_value_buckets" -> ((s, d) => valueBuckets(s, d)),
+    "rel_json_extract" -> ((s, d) => jsonExtract(s, d)),
+    "rel_exists_subquery" -> ((s, d) => existsBigLineitem(s, d)))
+
+  val oracle: Map[String, String] = Map(
+    "rel_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  sum(CAST(round(l_extendedprice*100,0) AS BIGINT))::BIGINT / 100.0 AS sum_base,
+        |  sum(CAST(round(l_extendedprice*100,0) AS BIGINT)
+        |      * (100 - CAST(round(l_discount*100,0) AS BIGINT)))::BIGINT / 10000.0 AS revenue,
+        |  count(*)::BIGINT AS n,
+        |  sum(l_quantity) / count(*)::BIGINT AS avg_qty
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "rel_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01' AND l_quantity < 5
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "rel_revenue_by_nation" ->
+      """SELECT n_name,
+        |  sum(CAST(round(l_extendedprice*100,0) AS BIGINT)
+        |      * (100 - CAST(round(l_discount*100,0) AS BIGINT)))::BIGINT / 10000.0 AS revenue,
+        |  count(*)::BIGINT AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "rel_orders_by_segment" ->
+      """SELECT c_mktsegment, count(*)::BIGINT AS n_orders,
+        |  sum(CAST(round(o_totalprice*100,0) AS BIGINT))::BIGINT / 100.0 AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "rel_semi_join" ->
+      """SELECT c_custkey, c_name, c_nationkey FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+    "rel_anti_join" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin,
+    "rel_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "rel_distinct_customers" ->
+      """SELECT o_orderstatus, count(DISTINCT o_custkey)::BIGINT AS n_custs,
+        |  count(*)::BIGINT AS n_orders
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "rel_window_rank" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "rel_rollup_orders" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*)::BIGINT AS n,
+        |  sum(CAST(round(o_totalprice*100,0) AS BIGINT))::BIGINT / 100.0 AS total_price
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+    "rel_cube_status_year" ->
+      """SELECT o_orderstatus, year(o_orderdate)::INT AS order_year,
+        |  count(*)::BIGINT AS n
+        |FROM orders GROUP BY CUBE (o_orderstatus, year(o_orderdate)::INT)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+    "rel_except" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY o_custkey""".stripMargin,
+    "rel_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+        |ORDER BY o_custkey""".stripMargin,
+    "rel_part_strings" ->
+      """SELECT p_partkey, upper(p_brand) AS brand_u,
+        |  substr(p_name, 1, 8) AS name_pfx, length(p_name)::INT AS name_len,
+        |  p_brand || '/' || p_type AS brand_type
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "rel_orders_by_month" ->
+      """SELECT year(o_orderdate)::INT AS y, month(o_orderdate)::INT AS m,
+        |  count(*)::BIGINT AS n
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "rel_value_buckets" ->
+      """SELECT event_type,
+        |  CASE WHEN value < 5 THEN 'low' WHEN value < 20 THEN 'mid'
+        |       ELSE 'high' END AS bucket,
+        |  count(*)::BIGINT AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "rel_json_extract" ->
+      """SELECT event_type,
+        |  sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+        |  count(*)::BIGINT AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "rel_exists_subquery" ->
+      """SELECT o_orderstatus, count(*)::BIGINT AS n
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+}

@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators.Relational
+
+class RelationalSpec extends SparkSpec {
+
+  private def physical(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filter + projection push into the parquet scan") {
+    val plan = physical(Relational.filterProject(spark, sf0001))
+    assert(plan.contains("PushedFilters:"), "no pushed filters in scan")
+    assert(plan.contains("l_quantity"), "quantity filter missing from scan")
+    // pruned read schema: only the 6 needed columns, not all 11
+    assert(!plan.contains("l_comment") && !plan.contains("l_tax"),
+      "scan reads columns the query never touches")
+  }
+
+  test("dimension joins broadcast (no fact-table shuffle)") {
+    val plan = physical(Relational.revenueByNation(spark, sf0001))
+    assert(plan.contains("BroadcastHashJoin"), "dimension join did not broadcast")
+  }
+
+  test("semi and anti join partition the customer set") {
+    val semi = Relational.customersWithOrders(spark, sf0001)
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    val anti = Relational.customersWithoutOrders(spark, sf0001)
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    assert(semi.nonEmpty)
+    assert(anti.nonEmpty, "anti join vacuous — adjust predicate")
+  }
+
+  test("top-k is descending with deterministic tiebreak") {
+    val rows = Relational.topOrders(spark, sf0001).collect()
+    assert(rows.length == 10)
+    val prices = rows.map(_.getAs[Double]("o_totalprice"))
+    assert(prices.zip(prices.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("pricing summary invariants") {
+    val rows = Relational.pricingSummary(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("revenue") <= r.getAs[Double]("sum_base"))
+      assert(r.getAs[Double]("avg_qty") > 0)
+    }
+  }
+
+  test("window rank emits at most 3 rows per customer") {
+    val byCust = Relational.topOrdersPerCustomer(spark, sf0001)
+      .groupBy("o_custkey").count().collect()
+    assert(byCust.forall(_.getAs[Long]("count") <= 3))
+  }
+
+  test("rollup includes grand total row") {
+    val rows = Relational.rollupOrders(spark, sf0001).collect()
+    val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(grand.length == 1)
+    assert(grand.head.getAs[Long]("n") == rows.filter(r => !r.isNullAt(0) && r.isNullAt(1))
+      .map(_.getAs[Long]("n")).sum)
+  }
+}
