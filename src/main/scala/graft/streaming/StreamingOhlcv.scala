@@ -1,0 +1,153 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.model.{BarState, RunningBar, Trade}
+
+/** Streaming OHLCV engines (SURVEY.md §2.4–2.5).
+  *
+  * Two shapes, mirroring the reference's two generations:
+  *
+  *  1. `windowedBars` — declarative tumbling-window aggregation
+  *     (A1/W2/W3: /root/reference/old/flink.py:42-67 TUMBLE SQL,
+  *     /root/reference/3_ohlc.py:62). Append mode: one final bar per
+  *     (key, window) once the watermark passes window end. This is the
+  *     scale path — partial aggregation collapses each (key, window) to
+  *     one state row; state size is key-cardinality × open windows, not
+  *     events.
+  *
+  *  2. `statefulBars` — keyed explicit state via flatMapGroupsWithState
+  *     (A3–A8: /root/reference/4_ohlc.py:25-59 continuous running-bar
+  *     emit; /root/reference/7_ohlc.py:64-98 grid-aligned windows with
+  *     end-of-window final emit; A7 timer flush via EventTimeTimeout,
+  *     /root/reference/6_ohlc.py:98-103). Update mode emits the running
+  *     bar after every event (the reference's per-event emission,
+  *     /root/reference/4_ohlc.py:47-56); append mode emits only final
+  *     bars when the watermark passes window end.
+  *
+  * Watermark slack choices preserved as parameters (W6 0s monotonous /
+  * W7 5s / W8 60s — /root/reference/4_ohlc.py:95-99,
+  * /root/reference/old/kfk.py:108-112). Flink's allowed_lateness
+  * re-firing (/root/reference/3_ohlc.py:63) has no Spark equivalent;
+  * update mode approximates it (SURVEY.md §7.4).
+  *
+  * State scale: per-key state is a handful of open windows × 6 doubles —
+  * at the reference's 2,000 keys that is trivially small; at 10^8 keys it
+  * is a few GB spread over the cluster's state stores, still fine because
+  * eviction is watermark-driven (no unbounded growth).
+  */
+object StreamingOhlcv {
+
+  /** Event-time column + watermark on a typed trade stream. */
+  def withEventTime(trades: Dataset[Trade], slack: String = "0 seconds"): DataFrame =
+    trades
+      .withColumn("ts", timestamp_millis(col("timestamp")))
+      .withWatermark("ts", slack)
+
+  /** Declarative tumbling-window OHLCV (A1). Works identically on batch
+    * and streaming DataFrames; in streaming use append output mode. */
+  def windowedBars(tradesWithTs: DataFrame, width: String): DataFrame = {
+    val ord = struct(col("ts"), col("instrument_id"))
+    tradesWithTs
+      .groupBy(window(col("ts"), width).as("w"), col("product"))
+      .agg(
+        min_by(col("price"), ord).as("open"),
+        max(col("price")).as("high"),
+        min(col("price")).as("low"),
+        max_by(col("price"), ord).as("close"),
+        sum(col("qty")).as("volume"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("product"), col("open"), col("high"), col("low"), col("close"),
+        col("volume"))
+  }
+
+  /** Trade + derived event-time for the typed stateful path. */
+  final case class TimedTrade(
+      timestamp: Long, instrument_id: String, product: String,
+      price: Double, qty: Long, ts: java.sql.Timestamp)
+
+  /** Per-product state: one BarState per open grid-aligned window
+    * (the reference holds exactly one, /root/reference/7_ohlc.py:66 —
+    * a map tolerates out-of-order arrival across window boundaries
+    * within the watermark, which a replayed log produces). */
+  final case class ProductBars(bars: Map[Long, BarState])
+
+  private def updated(st: BarState, t: TimedTrade): BarState = {
+    // Initialization semantics preserved from /root/reference/5_ohlc.py:27-34:
+    // open set once by the first event; high/low fold from -inf/+inf.
+    val open = if (st.events == 0L) t.price else st.open
+    BarState(st.windowStart, open, math.max(st.high, t.price),
+      math.min(st.low, t.price), t.price, st.volume + t.qty, st.events + 1L)
+  }
+
+  private def toBar(product: String, widthMs: Long, st: BarState, endOfWindow: Boolean): RunningBar =
+    RunningBar(new java.sql.Timestamp(st.windowStart), product,
+      st.open, st.high, st.low, st.close, st.volume, endOfWindow)
+
+  /** Keyed stateful OHLCV with grid-aligned N-minute windows
+    * (/root/reference/7_ohlc.py:64: window_start = minute // N * N).
+    *
+    * @param emitRunning update-mode per-event running bars
+    *   (/root/reference/4_ohlc.py:47-56); false → append-mode final bars
+    *   only (/root/reference/7_ohlc.py:96-98)
+    */
+  def statefulBars(
+      tradesWithTs: DataFrame,
+      widthMs: Long,
+      emitRunning: Boolean): Dataset[RunningBar] = {
+    val spark = tradesWithTs.sparkSession
+    import spark.implicits._
+    val mode = if (emitRunning) OutputMode.Update() else OutputMode.Append()
+
+    tradesWithTs.as[TimedTrade]
+      .groupByKey(_.product)
+      .flatMapGroupsWithState(mode, GroupStateTimeout.EventTimeTimeout)(
+        process(widthMs, emitRunning))
+  }
+
+  /** The per-key transition function — the Spark analog of the
+    * reference's ProcessFunction (/root/reference/7_ohlc.py:45-98), with
+    * the never-armed on_timer intent (/root/reference/6_ohlc.py:98-103)
+    * realized via event-time timeout. */
+  private[streaming] def process(widthMs: Long, emitRunning: Boolean)(
+      product: String,
+      events: Iterator[TimedTrade],
+      state: GroupState[ProductBars]): Iterator[RunningBar] = {
+
+    val watermark = if (state.getCurrentWatermarkMs() > 0) state.getCurrentWatermarkMs() else 0L
+    var bars = state.getOption.map(_.bars).getOrElse(Map.empty[Long, BarState])
+    val out = Iterator.newBuilder[RunningBar]
+
+    if (!state.hasTimedOut) {
+      // Event-time order within the micro-batch: batches are unordered,
+      // the reference assumes per-key arrival order — sorting restores a
+      // deterministic open/close (SURVEY.md §7.4).
+      val sorted = events.toArray.sortBy(t => (t.timestamp, t.instrument_id))
+      for (t <- sorted) {
+        val ws = t.timestamp / widthMs * widthMs // grid align, 7_ohlc.py:64
+        val st = updated(bars.getOrElse(ws, BarState.init(ws)), t)
+        bars = bars.updated(ws, st)
+        if (emitRunning) out += toBar(product, widthMs, st, endOfWindow = false)
+      }
+    }
+
+    // Watermark-driven finalization: every window fully below the
+    // watermark emits its final bar (end_of_window=true,
+    // /root/reference/7_ohlc.py:67-69) and is evicted.
+    val (closed, open) = bars.partition { case (ws, _) => ws + widthMs <= watermark }
+    closed.toSeq.sortBy(_._1).foreach { case (_, st) =>
+      out += toBar(product, widthMs, st, endOfWindow = true)
+    }
+
+    if (open.isEmpty) state.remove()
+    else {
+      state.update(ProductBars(open))
+      // Wake when the earliest open window can close. Timeout timestamps
+      // must exceed the current watermark.
+      val nextClose = open.keys.min + widthMs
+      state.setTimeoutTimestamp(math.max(nextClose, watermark + 1))
+    }
+    out.result()
+  }
+}

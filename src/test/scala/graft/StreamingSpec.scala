@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.model.Trade
+import graft.streaming.{KafkaIO, StreamingOhlcv}
+
+/** Streaming semantics (SURVEY.md §5.3): MemoryStream replays of the
+  * reference's mock distribution (/root/reference/old/beam2.py:7-16),
+  * asserting update-mode running bars (A3), append-mode final bars (A6),
+  * and watermark-driven finalization. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+  implicit def sqlContext: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private val T0 = 1723459200000L // 2024-08-12 10:40:00 UTC, minute-aligned
+
+  private def trade(offMs: Long, product: String, price: Double, qty: Long) =
+    Trade(T0 + offMs, s"I${offMs % 7}", product, price, qty)
+
+  test("kafka wire round-trip: toJsonValue → parseTrades") {
+    val trades = Seq(
+      trade(0, "P1", 512.0, 31),
+      trade(1000, "P2", 7.0, 2))
+    val wire = KafkaIO.toJsonValue(trades.toDF())
+    val back = KafkaIO.parseTrades(wire).collect().sortBy(_.product)
+    assert(back.toSeq == trades)
+  }
+
+  test("parseTrades drops records failing the declared schema") {
+    val wire = Seq(
+      """{"timestamp":1723459200000,"instrument_id":"I1","product":"P1","price":5.0,"qty":1}""",
+      """not json at all""",
+      """{"no_timestamp":true}""").toDF("value")
+    assert(KafkaIO.parseTrades(wire).count() == 1)
+  }
+
+  test("windowedBars matches batch OHLCV semantics on a bounded stream") {
+    val input = MemoryStream[Trade]
+    input.addData(
+      trade(0, "P1", 10.0, 1), trade(5000, "P1", 30.0, 2),
+      trade(10000, "P1", 5.0, 3), trade(59000, "P1", 20.0, 4),
+      trade(61000, "P1", 99.0, 5)) // second window
+    val bars = StreamingOhlcv.windowedBars(
+      StreamingOhlcv.withEventTime(input.toDS(), "0 seconds"), "1 minute")
+    val q = bars.writeStream.format("memory").queryName("wb").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("wb").orderBy("window_start").collect()
+      assert(rows.length == 2)
+      val first = rows(0)
+      assert(first.getAs[Double]("open") == 10.0)
+      assert(first.getAs[Double]("high") == 30.0)
+      assert(first.getAs[Double]("low") == 5.0)
+      assert(first.getAs[Double]("close") == 20.0)
+      assert(first.getAs[Long]("volume") == 10L)
+      assert(rows(1).getAs[Double]("open") == 99.0)
+    } finally q.stop()
+  }
+
+  test("statefulBars update mode emits a running bar per event") {
+    val input = MemoryStream[Trade]
+    val bars = StreamingOhlcv.statefulBars(
+      StreamingOhlcv.withEventTime(input.toDS(), "0 seconds"),
+      widthMs = 60000L, emitRunning = true)
+    val q = bars.writeStream.format("memory").queryName("run").outputMode("update").start()
+    try {
+      input.addData(trade(0, "P1", 10.0, 1), trade(1000, "P1", 30.0, 2),
+        trade(2000, "P1", 5.0, 3))
+      q.processAllAvailable()
+      val rows = spark.table("run").filter(!col("end_of_window"))
+        .orderBy("volume").collect()
+      // one running bar per event, cumulative (4_ohlc.py:47-56)
+      assert(rows.length == 3)
+      assert(rows.map(_.getAs[Long]("volume")).toSeq == Seq(1L, 3L, 6L))
+      assert(rows.last.getAs[Double]("open") == 10.0)
+      assert(rows.last.getAs[Double]("high") == 30.0)
+      assert(rows.last.getAs[Double]("low") == 5.0)
+      assert(rows.last.getAs[Double]("close") == 5.0)
+    } finally q.stop()
+  }
+
+  test("statefulBars append mode emits final bars when watermark passes window end") {
+    val input = MemoryStream[Trade]
+    val bars = StreamingOhlcv.statefulBars(
+      StreamingOhlcv.withEventTime(input.toDS(), "0 seconds"),
+      widthMs = 60000L, emitRunning = false)
+    val q = bars.writeStream.format("memory").queryName("fin").outputMode("append").start()
+    try {
+      input.addData(
+        trade(0, "P1", 10.0, 1), trade(30000, "P1", 40.0, 2),
+        trade(0, "P2", 7.0, 5))
+      q.processAllAvailable()
+      // watermark still at 30s — nothing final yet
+      assert(spark.table("fin").isEmpty)
+
+      // an event in the next window advances the watermark past minute 1
+      input.addData(trade(61000, "P1", 99.0, 1))
+      q.processAllAvailable()
+      input.addData(trade(121000, "P1", 1.0, 1)) // advance past minute 2
+      q.processAllAvailable()
+
+      val rows = spark.table("fin").orderBy("product").collect()
+      assert(rows.length >= 2)
+      val p1 = rows.filter(_.getAs[String]("product") == "P1")
+        .minBy(_.getAs[java.sql.Timestamp]("time").getTime)
+      assert(p1.getAs[Double]("open") == 10.0 && p1.getAs[Double]("close") == 40.0)
+      assert(p1.getAs[Long]("volume") == 3L)
+      assert(p1.getAs[Boolean]("end_of_window"))
+      val p2 = rows.filter(_.getAs[String]("product") == "P2").head
+      assert(p2.getAs[Double]("open") == 7.0 && p2.getAs[Long]("volume") == 5L)
+    } finally q.stop()
+  }
+
+  test("statefulBars sustains the reference generator rate profile") {
+    // 2,000 msg across ~2,000 keys in one micro-batch (old/gen.py profile)
+    val rnd = new scala.util.Random(42)
+    val msgs = (0 until 2000).map { i =>
+      trade(rnd.nextInt(120000).toLong, s"Product_${rnd.nextInt(1999) + 1}",
+        (rnd.nextInt(1000) + 1).toDouble, (rnd.nextInt(100) + 1).toLong)
+    }
+    val input = MemoryStream[Trade]
+    input.addData(msgs: _*)
+    val bars = StreamingOhlcv.statefulBars(
+      StreamingOhlcv.withEventTime(input.toDS(), "5 seconds"),
+      widthMs = 60000L, emitRunning = true)
+    val q = bars.writeStream.format("memory").queryName("gen").outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      val running = spark.table("gen").filter(!col("end_of_window"))
+      assert(running.count() == 2000L) // one running bar per event
+      // volume conservation per product
+      val sumVol = spark.table("gen").filter(!col("end_of_window"))
+        .groupBy("product", "time").agg(max("volume").as("v"))
+        .agg(sum("v")).as[Long].head()
+      assert(sumVol == msgs.map(_.qty).sum)
+    } finally q.stop()
+  }
+}
