@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic, cross-engine text primitives shared by the text
+  * analysis and deduplication suites (the training-data-pipeline
+  * extension beyond the reference surface — the reference's only string
+  * work is JSON parse/format, /root/reference/old/kfk.py:13-32).
+  *
+  * Everything here is pure Catalyst column algebra (split / higher-order
+  * functions / integer arithmetic): no UDFs, no RDDs, so the whole
+  * pipeline stays inside Catalyst optimization and (for the non-HOF
+  * parts) whole-stage codegen, and every value is reproducible
+  * bit-for-bit by the DuckDB oracle, which implements the same fold in
+  * SQL.
+  *
+  * Hashing is an explicit 31-ary polynomial over character codes modulo
+  * the Mersenne prime 2^31-1. A built-in hash (xxhash64, murmur) would be
+  * faster but engine-specific — the point of an arithmetic hash is that
+  * the oracle can recompute it. At 100 TB the per-char fold is still a
+  * linear scan fused into the projection; swap in xxhash64 when oracle
+  * parity is not required (both variants exposed).
+  */
+object TextFunctions {
+
+  /** Mersenne prime 2^31-1: modulus of all polynomial hashes. */
+  val P: Long = 2147483647L
+
+  /** Whitespace tokens, empties dropped (split-on-regex emits a trailing
+    * "" under Java split semantics; DuckDB's string_split does not —
+    * filtering makes both engines agree). */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= lit(""))
+
+  /** Characters of a string as an array (empties dropped — Java
+    * split("") appends a trailing empty match). */
+  def chars(c: Column): Column =
+    filter(split(c, ""), ch => ch =!= lit(""))
+
+  /** 31-ary polynomial rolling hash of a string mod 2^31-1:
+    * h = fold(h * 31 + code(char)) — the classic Rabin-Karp/Java-style
+    * rolling hash, computable identically in any SQL engine. */
+  def polyHash(c: Column): Column =
+    aggregate(chars(c), lit(0L), (acc, ch) => (acc * 31 + ascii(ch)) % P)
+
+  /** Second independent polynomial (multiplier 37, offset 7) for
+    * constructions needing more than 31 hash bits (SimHash). */
+  def polyHash37(c: Column): Column =
+    aggregate(chars(c), lit(7L), (acc, ch) => (acc * 37 + ascii(ch)) % P)
+
+  /** Word n-gram shingles: ["a","b","c","d"] with n=3 →
+    * ["a b c","b c d"]. Shingling is the standard unit for near-dup
+    * detection (Broder, "On the resemblance and containment of
+    * documents", 1997). */
+  def shingles(toks: Column, n: Int): Column =
+    transform(
+      sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
+      j => concat_ws(" ", (0 until n).map(k => element_at(toks, j + lit(k))): _*))
+
+  /** Distinct shingle hash codes for a document — the set MinHash and
+    * Jaccard operate on. */
+  def shingleCodes(text: Column, n: Int): Column =
+    transform(array_distinct(shingles(tokens(text), n)), s => polyHash(s))
+
+  /** MinHash signature entry i over a set of codes:
+    * min over x of ((2i+1)·x + 104729·i + 12345) mod P. Odd multipliers
+    * are coprime with the Mersenne-prime modulus, giving k independent
+    * permutation approximations (Broder et al., "Min-wise independent
+    * permutations", 1998). */
+  def minHash(codes: Column, i: Int): Column =
+    array_min(transform(codes,
+      x => (x * (2 * i + 1) + lit(104729L) * i + 12345L) % P))
+
+  /** Non-oracle production variant: 64-bit xxhash64 shingles (codegen'd,
+    * engine-native). Use when DuckDB parity is not needed. */
+  def shingleCodes64(text: Column, n: Int): Column =
+    transform(array_distinct(shingles(tokens(text), n)), s => xxhash64(s))
+}

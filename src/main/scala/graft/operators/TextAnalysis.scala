@@ -1,0 +1,180 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Text analysis for large-scale training-data pipelines (extension
+  * beyond the reference surface — see SURVEY.md §7.1(7)): token
+  * statistics, quality scoring, n-gram language identification, and
+  * document fingerprinting over the `documents` table.
+  *
+  * All ops are embarrassingly parallel per-row column algebra — no
+  * shuffle except the final aggregations — so they scale linearly with
+  * input splits: exactly the shape a 100 TB corpus scan wants (the only
+  * exchange in `wordCountTopK` carries one row per distinct token after
+  * map-side partial aggregation, not per input token).
+  *
+  * Arithmetic is deliberately cross-engine deterministic (see
+  * TextFunctions): the DuckDB oracle reproduces every value bit-for-bit.
+  */
+object TextAnalysis {
+
+  // Stopword lists per language — tiny on purpose: deterministic and
+  // reproducible in the oracle SQL. A production list would be broadcast
+  // from a file; the plan shape (array-membership filter per row) is the
+  // same.
+  val stop: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "los", "y", "en", "que"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "fr" -> Seq("le", "les", "et", "un", "une", "est"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4"))
+
+  private def hits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(w => w: Any): _*)))
+
+  /** Per-document token statistics. */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(t).cast("long").as("n_tokens"),
+        size(array_distinct(t)).cast("long").as("n_distinct"),
+        aggregate(t, lit(0L), (acc, x) => acc + length(x)).as("sum_len"))
+      .withColumn("avg_token_len", col("sum_len") / col("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Heuristic quality score in [0,1]: length, vocabulary diversity,
+    * stopword balance, average token length. The exact blend is less
+    * important than being deterministic and cheap — it runs in the scan
+    * projection, so a 100 TB corpus pays one pass. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val allStop = stop.values.flatten.toSeq.distinct.sorted
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        size(t).cast("long").as("n_tokens"),
+        size(array_distinct(t)).cast("long").as("n_distinct"),
+        hits(t, allStop).cast("long").as("n_stop"),
+        aggregate(t, lit(0L), (acc, x) => acc + length(x)).as("sum_len"))
+      .withColumn("diversity", col("n_distinct") / col("n_tokens").cast("double"))
+      .withColumn("stop_ratio", col("n_stop") / col("n_tokens").cast("double"))
+      .withColumn("quality",
+        least(col("n_tokens") / lit(100.0), lit(1.0)) * 0.25
+          + col("diversity") * 0.25
+          + (lit(1.0) - col("stop_ratio")) * 0.25
+          + least(col("sum_len") / col("n_tokens") / lit(8.0), lit(1.0)) * 0.25)
+      .select("doc_id", "n_tokens", "diversity", "stop_ratio", "quality")
+      .orderBy(col("doc_id"))
+  }
+
+  /** N-gram/stopword language identification: score each candidate
+    * language by stopword hits, predict the argmax (ties broken in fixed
+    * language order en>es>de>fr>zh). The corpus vocabulary is English-ish
+    * so predictions skew `en` — the mechanism (per-language evidence
+    * counters folded in one scan projection) is the deliverable. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val langs = Seq("en", "es", "de", "fr", "zh")
+    val scored = Tables.documents(spark, dir)
+      .select(Seq(col("doc_id"), col("lang").as("labeled_lang")) ++
+        langs.map(l => hits(t, stop(l)).cast("long").as(s"${l}_hits")): _*)
+    val pred = langs.init.foldRight(lit(langs.last): Column) { (l, els) =>
+      val ge = langs.filter(_ != l)
+        .map(o => col(s"${l}_hits") >= col(s"${o}_hits"))
+        .reduce(_ && _)
+      when(ge, lit(l)).otherwise(els)
+    }
+    scored
+      .withColumn("predicted", when(langs.map(l => col(s"${l}_hits")).reduce(greatest(_, _)) === 0, "unknown").otherwise(pred))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Document fingerprints: two independent 31-bit rolling hashes of the
+    * raw text (Rabin-Karp style, TextFunctions.polyHash). Joined
+    * fingerprints give exact-dup detection with 62 effective bits while
+    * staying oracle-reproducible. */
+  def fingerprints(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        polyHash(col("text")).as("fp31"),
+        polyHash37(col("text")).as("fp37"))
+      .orderBy(col("doc_id"))
+
+  /** Corpus-level word count, top 30 tokens — the canonical map-side
+    * combine shape: explode → partial agg per task → single small
+    * shuffle of (token, count). */
+  def wordCountTopK(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(30)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_token_stats" -> ((s, d) => tokenStats(s, d)),
+    "text_quality" -> ((s, d) => qualityScore(s, d)),
+    "text_lang_id" -> ((s, d) => langId(s, d)),
+    "text_fingerprint" -> ((s, d) => fingerprints(s, d)),
+    "text_wordcount_topk" -> ((s, d) => wordCountTopK(s, d)))
+
+  private val stopSqlAll: String =
+    stop.values.flatten.toSeq.distinct.sorted.map(w => s"'$w'").mkString(", ")
+  private def stopSql(l: String): String = stop(l).map(w => s"'$w'").mkString(", ")
+
+  val oracle: Map[String, String] = Map(
+    "text_token_stats" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |SELECT doc_id,
+        |  len(toks)::BIGINT AS n_tokens,
+        |  len(list_distinct(toks))::BIGINT AS n_distinct,
+        |  list_reduce(list_prepend(0::BIGINT, list_transform(toks, x -> length(x)::BIGINT)), (a, b) -> a + b) AS sum_len,
+        |  list_reduce(list_prepend(0::BIGINT, list_transform(toks, x -> length(x)::BIGINT)), (a, b) -> a + b) / len(toks)::BIGINT AS avg_token_len
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |s AS (SELECT doc_id,
+         |  len(toks)::BIGINT AS n_tokens,
+         |  len(list_distinct(toks))::BIGINT AS n_distinct,
+         |  len(list_filter(toks, x -> x IN ($stopSqlAll)))::BIGINT AS n_stop,
+         |  list_reduce(list_prepend(0::BIGINT, list_transform(toks, x -> length(x)::BIGINT)), (a, b) -> a + b) AS sum_len
+         | FROM t)
+         |SELECT doc_id, n_tokens,
+         |  n_distinct / n_tokens::DOUBLE AS diversity,
+         |  n_stop / n_tokens::DOUBLE AS stop_ratio,
+         |  least(n_tokens / 100.0, 1.0) * 0.25
+         |    + (n_distinct / n_tokens::DOUBLE) * 0.25
+         |    + (1.0 - n_stop / n_tokens::DOUBLE) * 0.25
+         |    + least(sum_len / n_tokens::DOUBLE / 8.0, 1.0) * 0.25 AS quality
+         |FROM s ORDER BY doc_id""".stripMargin,
+    "text_lang_id" -> {
+      val langs = Seq("en", "es", "de", "fr", "zh")
+      val hitCols = langs.map(l =>
+        s"len(list_filter(toks, x -> x IN (${stopSql(l)})))::BIGINT AS ${l}_hits").mkString(",\n  ")
+      val pred = langs.init.foldRight(s"'${langs.last}'") { (l, els) =>
+        val ge = langs.filter(_ != l).map(o => s"${l}_hits >= ${o}_hits").mkString(" AND ")
+        s"CASE WHEN $ge THEN '$l' ELSE $els END"
+      }
+      val mx = s"greatest(${langs.map(_ + "_hits").mkString(", ")})"
+      s"""WITH t AS (SELECT doc_id, lang AS labeled_lang, string_split(text, ' ') AS toks FROM documents),
+         |s AS (SELECT doc_id, labeled_lang,
+         |  $hitCols
+         | FROM t)
+         |SELECT *, CASE WHEN $mx = 0 THEN 'unknown' ELSE $pred END AS predicted
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(0::BIGINT, list_transform(string_split(text, ''), c -> ascii(c)::BIGINT)), (a, c) -> (a * 31 + c) % 2147483647) AS fp31,
+        |  list_reduce(list_prepend(7::BIGINT, list_transform(string_split(text, ''), c -> ascii(c)::BIGINT)), (a, c) -> (a * 37 + c) % 2147483647) AS fp37
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_wordcount_topk" ->
+      """SELECT token, count(*)::BIGINT AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token ORDER BY n DESC, token LIMIT 30""".stripMargin)
+}
