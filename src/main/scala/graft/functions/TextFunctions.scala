@@ -50,18 +50,23 @@ object TextFunctions {
     aggregate(chars(c), lit(7L), (acc, ch) => (acc * 37 + ascii(ch)) % P)
 
   /** Word n-gram shingles: ["a","b","c","d"] with n=3 →
-    * ["a b c","b c d"]. Shingling is the standard unit for near-dup
-    * detection (Broder, "On the resemblance and containment of
+    * ["a b c","b c d"]; empty when fewer than n tokens. (Built with an
+    * index-guarded transform — `sequence(1, size-n+1)` would descend,
+    * not empty, for short docs.) Shingling is the standard unit for
+    * near-dup detection (Broder, "On the resemblance and containment of
     * documents", 1997). */
   def shingles(toks: Column, n: Int): Column =
-    transform(
-      sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
-      j => concat_ws(" ", (0 until n).map(k => element_at(toks, j + lit(k))): _*))
+    filter(
+      transform(toks, (_, i) =>
+        when(i < size(toks) - (n - 1),
+          concat_ws(" ", (0 until n).map(k => element_at(toks, i + lit(k + 1))): _*))),
+      s => s.isNotNull)
 
   /** Distinct shingle hash codes for a document — the set MinHash and
-    * Jaccard operate on. */
+    * Jaccard operate on. Distinct AFTER hashing, so a hash collision
+    * inside one document cannot desync set sizes vs the oracle. */
   def shingleCodes(text: Column, n: Int): Column =
-    transform(array_distinct(shingles(tokens(text), n)), s => polyHash(s))
+    array_distinct(transform(array_distinct(shingles(tokens(text), n)), s => polyHash(s)))
 
   /** MinHash signature entry i over a set of codes:
     * min over x of ((2i+1)·x + 104729·i + 12345) mod P. Odd multipliers

@@ -1,0 +1,304 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Deduplication for large-scale training-data pipelines (extension
+  * beyond the reference surface, SURVEY.md §7.1(7)): exact, n-gram
+  * Jaccard, MinHash+LSH, SimHash, and embedding-cosine near-dup over the
+  * `documents` / `embeddings` tables.
+  *
+  * Scale design — none of these do an unblocked O(n²) self-join:
+  *
+  *  - exact: one hash-shuffle on the content digest (map-side combine);
+  *  - n-gram Jaccard: inverted-index join — explode distinct shingles,
+  *    self-join on shingle code, count common per pair. Shuffle carries
+  *    (shingle, doc) postings, and candidate pairs are only those sharing
+  *    ≥1 shingle. Stop-shingle skew (a shingle in k docs yields k²
+  *    pairs) is the known hot spot: at corpus scale drop postings longer
+  *    than a cap before the join (AQE skew-join handles the residue);
+  *  - MinHash/LSH: signatures are a per-row scan projection; the join is
+  *    on (band, band-signature) — candidates per band bucket only.
+  *    Classic Broder resemblance sketch: k=16 permutations, 8 bands × 2
+  *    rows ⇒ catches ~90% of pairs at J=0.5, ~99.9% at J=0.8;
+  *  - SimHash: one 31-bit signature per doc (Charikar sketch); pairs via
+  *    pigeonhole block join (8 blocks ⇒ any pair within Hamming 7 shares
+  *    a block — complete, not probabilistic);
+  *  - embedding near-dup: random-hyperplane sign buckets (8 bits) then
+  *    exact cosine only within buckets.
+  *
+  * All arithmetic is cross-engine deterministic (TextFunctions): the
+  * DuckDB oracle replays the identical pipeline — including the same
+  * LSH misses — so results hash-match exactly. Cosines are folded in
+  * array-index order in both engines, making even the floating-point
+  * bits identical.
+  */
+object Dedup {
+
+  val ShingleN = 3
+  val MinHashK = 16
+  val Bands = 8 // × 2 rows per band = 16
+  val JaccardThreshold = 0.5
+  val HammingMax = 3
+  val SimHashBits = 31
+  val SimHashBlocks = 4 // blocks of 8 bits; pigeonhole-complete for d ≤ 3
+  val HyperplaneBits = 8
+  val CosineThreshold = 0.3
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup: canonical doc per content digest. At 100 TB this is
+    * the cheapest pass — digest in the scan projection, one shuffle of
+    * (digest, id). */
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(md5(col("text")).as("digest"), col("doc_id"))
+      .groupBy(col("digest"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("canonical_id"))
+
+  // ------------------------------------------------- exact n-gram Jaccard
+
+  /** (doc_id, distinct shingle codes, set size) — shared front of the
+    * Jaccard and MinHash paths. */
+  private def shingled(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), shingleCodes(col("text"), ShingleN).as("codes"))
+      .withColumn("sz", size(col("codes")).cast("long"))
+
+  /** Exact word-3-gram Jaccard near-dup pairs via inverted index. */
+  def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(spark, dir).persist()
+    val posts = sh.select(col("doc_id"), explode(col("codes")).as("code"))
+    val common = posts.as("a").join(posts.as("b"),
+        col("a.code") === col("b.code") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sh.select(col("doc_id").as("doc_i"), col("sz").as("sz_i")), "doc_i")
+      .join(sh.select(col("doc_id").as("doc_j"), col("sz").as("sz_j")), "doc_j")
+      .withColumn("jaccard",
+        col("common") / (col("sz_i") + col("sz_j") - col("common")))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("doc_i"), col("doc_j"), col("jaccard"))
+      .orderBy(col("doc_i"), col("doc_j"))
+  }
+
+  // ---------------------------------------------------------- MinHash+LSH
+
+  /** Per-doc MinHash signature (array of k minima) plus banded keys. */
+  def minHashSignatures(spark: SparkSession, dir: String): DataFrame =
+    shingled(spark, dir)
+      .withColumn("sig", array((0 until MinHashK).map(i => minHash(col("codes"), i)): _*))
+
+  /** MinHash/LSH near-dup pairs: band-bucket candidates, then exact
+    * Jaccard verification at the threshold. Deterministically misses
+    * what LSH misses — the oracle replays the same banding. */
+  def minHashLshPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sh = minHashSignatures(spark, dir).persist()
+    val bands = sh.select(col("doc_id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(Bands - 1)),
+          b => struct(
+            element_at(col("sig"), b * 2 + 1).as("m1"),
+            element_at(col("sig"), b * 2 + 2).as("m2")))))
+      .select(col("doc_id"), col("pos").as("band"),
+        col("col.m1").as("m1"), col("col.m2").as("m2"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.m1") === col("b.m1") &&
+          col("a.m2") === col("b.m2") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
+      .distinct()
+    val sets = sh.select(col("doc_id"), col("codes"), size(col("codes")).cast("long").as("sz"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_i"), col("codes").as("c_i"), col("sz").as("sz_i")), "doc_i")
+      .join(sets.select(col("doc_id").as("doc_j"), col("codes").as("c_j"), col("sz").as("sz_j")), "doc_j")
+      .withColumn("common", size(array_intersect(col("c_i"), col("c_j"))).cast("long"))
+      .withColumn("jaccard", col("common") / (col("sz_i") + col("sz_j") - col("common")))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("doc_i"), col("doc_j"), col("jaccard"))
+      .orderBy(col("doc_i"), col("doc_j"))
+  }
+
+  // -------------------------------------------------------------- SimHash
+
+  /** 31-bit Charikar SimHash over the document's distinct shingle codes:
+    * bit b is set when more codes have bit b than not. Shingles, not
+    * tokens — in a small-vocabulary corpus token SETS barely differ
+    * across documents (measured: token-level SimHash puts ~90% of all
+    * pairs within Hamming 7), while shingle sets separate cleanly. */
+  private def simHashCol: Column = {
+    val hs = shingleCodes(col("text"), ShingleN)
+    (0 until SimHashBits).map { b =>
+      val vote = aggregate(hs, lit(0L),
+        (acc, h) => acc + shiftright(h, b).bitwiseAND(1) * 2 - 1)
+      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** SimHash near-dup pairs within Hamming distance 3, found by
+    * pigeonhole block join: 31 bits split into 4 blocks of 8; any pair
+    * with ≤3 differing bits shares at least one block — the candidate
+    * set is complete, not probabilistic. */
+  def simHashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"), simHashCol.as("simhash"))
+      .persist()
+    val blocks = sh.select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until SimHashBlocks).map(k =>
+          shiftright(col("simhash"), k * 8).bitwiseAND(255)): _*)))
+      .select(col("doc_id"), col("simhash"), col("pos").as("blk"), col("col").as("bv"))
+    blocks.as("a").join(blocks.as("b"),
+        col("a.blk") === col("b.blk") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"),
+        col("a.simhash").as("sh_i"), col("b.simhash").as("sh_j"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sh_i").bitwiseXOR(col("sh_j"))).cast("long"))
+      .filter(col("hamming") <= HammingMax)
+      .select(col("doc_i"), col("doc_j"), col("hamming"))
+      .orderBy(col("doc_i"), col("doc_j"))
+  }
+
+  // ------------------------------------------------- embedding near-dup
+
+  /** Dot product folded in array-index order — both engines produce the
+    * identical double bit pattern. */
+  private def dotOrdered(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def norm(a: Column): Column = sqrt(dotOrdered(a, a))
+
+  /** Sign-bit LSH bucket: bit k = sign of ⟨v, h_k⟩ where the hyperplanes
+    * h_k are the embeddings of vec_id 0..7 — deterministic and
+    * data-derived, so the oracle reproduces them (a cluster deployment
+    * would broadcast seeded Gaussian planes instead; plan shape
+    * identical: broadcast small side, bucket in the scan). */
+  def embeddingNearDups(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val planes = broadcast(
+      emb.filter(col("vec_id") < HyperplaneBits)
+        .select(col("vec_id").as("plane_id"), col("embedding").as("plane")))
+    val bucketed = emb.crossJoin(planes)
+      .withColumn("bit",
+        when(dotOrdered(col("embedding"), col("plane")) >= 0,
+          expr("shiftleft(cast(1 as bigint), cast(plane_id as int))")).otherwise(0L))
+      .groupBy(col("vec_id"), col("embedding"))
+      .agg(sum(col("bit")).as("bucket"))
+    val b = bucketed.select(col("vec_id"), col("embedding"), col("bucket"))
+    b.as("a").join(b.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cosine",
+        dotOrdered(col("a.embedding"), col("b.embedding")) /
+          (norm(col("a.embedding")) * norm(col("b.embedding"))))
+      .filter(col("cosine") >= CosineThreshold)
+      .select(col("a.vec_id").as("vec_i"), col("b.vec_id").as("vec_j"), col("cosine"))
+      .orderBy(col("vec_i"), col("vec_j"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> ((s, d) => exact(s, d)),
+    "dedup_jaccard_pairs" -> ((s, d) => jaccardPairs(s, d)),
+    "dedup_minhash_lsh" -> ((s, d) => minHashLshPairs(s, d)),
+    "dedup_simhash_pairs" -> ((s, d) => simHashPairs(s, d)),
+    "dedup_embedding" -> ((s, d) => embeddingNearDups(s, d)))
+
+  // ------------------------------------------------------------- oracles
+
+  /** Shared oracle CTE: distinct word-3-gram shingle codes per doc,
+    * polynomial-hashed exactly as TextFunctions.polyHash. */
+  private val shingleCte =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh0 AS (SELECT doc_id,
+      |  list_distinct(list_transform(
+      |    list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+      |      j -> t[j] || ' ' || t[j+1] || ' ' || t[j+2])),
+      |    s -> list_reduce(list_prepend(0::BIGINT,
+      |           list_transform(string_split(s, ''), c -> ascii(c)::BIGINT)),
+      |         (a, c) -> (a * 31 + c) % 2147483647))) AS codes
+      | FROM toks),
+      |sh AS (SELECT doc_id, codes, len(codes)::BIGINT AS sz FROM sh0)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS digest, min(doc_id) AS canonical_id,
+        |  count(*)::BIGINT AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY canonical_id""".stripMargin,
+    "dedup_jaccard_pairs" ->
+      s"""WITH $shingleCte,
+         |posts AS (SELECT doc_id, unnest(codes) AS code FROM sh),
+         |common AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
+         |    count(*)::BIGINT AS common
+         |  FROM posts a JOIN posts b ON a.code = b.code AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_i, doc_j,
+         |  common::DOUBLE / (si.sz + sj.sz - common) AS jaccard
+         |FROM common
+         |JOIN sh si ON si.doc_id = doc_i
+         |JOIN sh sj ON sj.doc_id = doc_j
+         |WHERE common::DOUBLE / (si.sz + sj.sz - common) >= 0.5
+         |ORDER BY doc_i, doc_j""".stripMargin,
+    "dedup_minhash_lsh" ->
+      s"""WITH $shingleCte,
+         |mh AS (SELECT doc_id, i,
+         |    min((c * (2*i + 1) + 104729 * i + 12345) % 2147483647) AS m
+         |  FROM (SELECT doc_id, unnest(codes) AS c FROM sh),
+         |       (SELECT unnest(range(0, $MinHashK)) AS i)
+         |  GROUP BY 1, 2),
+         |sig AS (SELECT doc_id, list(m ORDER BY i) AS s FROM mh GROUP BY 1),
+         |bands AS (SELECT doc_id, band, s[2*band + 1] AS m1, s[2*band + 2] AS m2
+         |  FROM sig, (SELECT unnest(range(0, $Bands)) AS band)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.m1 = b.m1
+         |    AND a.m2 = b.m2 AND a.doc_id < b.doc_id)
+         |SELECT doc_i, doc_j,
+         |  len(list_intersect(si.codes, sj.codes))::DOUBLE
+         |    / (si.sz + sj.sz - len(list_intersect(si.codes, sj.codes))) AS jaccard
+         |FROM cand JOIN sh si ON si.doc_id = doc_i JOIN sh sj ON sj.doc_id = doc_j
+         |WHERE len(list_intersect(si.codes, sj.codes))::DOUBLE
+         |    / (si.sz + sj.sz - len(list_intersect(si.codes, sj.codes))) >= 0.5
+         |ORDER BY doc_i, doc_j""".stripMargin,
+    "dedup_simhash_pairs" ->
+      s"""WITH $shingleCte,
+         |sim AS (SELECT doc_id,
+         |  sum(CASE WHEN list_reduce(list_prepend(0::BIGINT,
+         |      list_transform(codes, x -> ((x >> b) & 1) * 2 - 1)), (a, v) -> a + v) > 0
+         |    THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+         | FROM sh, (SELECT unnest(range(0, $SimHashBits)) AS b) GROUP BY doc_id),
+         |blocks AS (SELECT doc_id, simhash, k AS blk, (simhash >> (k*8)) & 255 AS bv
+         |  FROM sim, (SELECT unnest(range(0, $SimHashBlocks)) AS k)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j,
+         |    a.simhash AS sh_i, b.simhash AS sh_j
+         |  FROM blocks a JOIN blocks b ON a.blk = b.blk AND a.bv = b.bv
+         |    AND a.doc_id < b.doc_id)
+         |SELECT doc_i, doc_j, bit_count(xor(sh_i, sh_j))::BIGINT AS hamming
+         |FROM cand WHERE bit_count(xor(sh_i, sh_j)) <= $HammingMax
+         |ORDER BY doc_i, doc_j""".stripMargin,
+    "dedup_embedding" ->
+      s"""WITH planes AS (SELECT vec_id AS plane_id, embedding AS plane
+         |  FROM embeddings WHERE vec_id < $HyperplaneBits),
+         |bucketed AS (SELECT e.vec_id, e.embedding,
+         |    sum(CASE WHEN list_reduce(list_prepend(0.0::DOUBLE,
+         |        list_transform(range(1, len(e.embedding) + 1),
+         |          k -> e.embedding[k]::DOUBLE * p.plane[k]::DOUBLE)),
+         |        (a, v) -> a + v) >= 0
+         |      THEN (1::BIGINT << p.plane_id) ELSE 0 END)::BIGINT AS bucket
+         |  FROM embeddings e, planes p GROUP BY 1, 2),
+         |pairs AS (SELECT a.vec_id AS vec_i, b.vec_id AS vec_j,
+         |    list_reduce(list_prepend(0.0::DOUBLE,
+         |      list_transform(range(1, len(a.embedding) + 1),
+         |        k -> a.embedding[k]::DOUBLE * b.embedding[k]::DOUBLE)), (x, v) -> x + v)
+         |    / (sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+         |        list_transform(range(1, len(a.embedding) + 1),
+         |          k -> a.embedding[k]::DOUBLE * a.embedding[k]::DOUBLE)), (x, v) -> x + v))
+         |     * sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+         |        list_transform(range(1, len(b.embedding) + 1),
+         |          k -> b.embedding[k]::DOUBLE * b.embedding[k]::DOUBLE)), (x, v) -> x + v)))
+         |    AS cosine
+         |  FROM bucketed a JOIN bucketed b
+         |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |SELECT vec_i, vec_j, cosine FROM pairs WHERE cosine >= $CosineThreshold
+         |ORDER BY vec_i, vec_j""".stripMargin)
+}

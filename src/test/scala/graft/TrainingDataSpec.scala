@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, TextAnalysis}
+import graft.functions.TextFunctions
+
+/** Semantics tests for the training-data pipeline extension: text
+  * analysis + dedup suites (oracle parity is checked separately by the
+  * driver's DuckDB gate; here we assert the *invariants* that make the
+  * operators correct independent of the oracle). */
+class TrainingDataSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "a b c d e", "en", "s", 9L),
+    (2L, "a b c d e", "en", "s", 9L), // exact dup of 1
+    (3L, "a b c d x", "en", "s", 9L), // near dup of 1 (shares "a b c", "b c d")
+    (4L, "q r s t u v", "en", "s", 11L),
+    (5L, "ab", "en", "s", 2L) // shorter than one shingle
+  ).toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("shingles: n-gram construction and short-doc edge") {
+    val sh = docs.select(col("doc_id"),
+      TextFunctions.shingles(TextFunctions.tokens(col("text")), 3).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(sh(1L) == Seq("a b c", "b c d", "c d e"))
+    assert(sh(5L).isEmpty) // must be empty, not a descending-sequence artifact
+    assert(sh(4L).length == 4)
+  }
+
+  test("polyHash matches a reference implementation") {
+    def ref(s: String): Long = s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 2147483647L)
+    val got = docs.select(TextFunctions.polyHash(col("text")).as("h"), col("text"))
+      .collect().map(r => r.getString(1) -> r.getLong(0)).toMap
+    got.foreach { case (s, h) => assert(h == ref(s), s"polyHash($s)") }
+  }
+
+  test("exact dedup groups identical texts") {
+    docs.createOrReplaceTempView("documents_tmp")
+    val d = docs.select(md5(col("text")).as("digest"), col("doc_id"))
+      .groupBy("digest").agg(min("doc_id").as("canonical_id"), count(lit(1)).as("n"))
+    val m = d.collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(m(1L) == 2L) // docs 1 and 2 collapse
+    assert(m(3L) == 1L)
+  }
+
+  test("minhash LSH finds exactly the exact-Jaccard pairs on sf0.001") {
+    val exact = Dedup.jaccardPairs(spark, sf0001)
+      .select("doc_i", "doc_j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minHashLshPairs(spark, sf0001)
+      .select("doc_i", "doc_j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "LSH+verify must never emit a false positive")
+    assert(lsh.size >= exact.size * 8 / 10, s"LSH recall too low: ${lsh.size}/${exact.size}")
+  }
+
+  test("simhash pairs are near-dups by construction") {
+    val pairs = Dedup.simHashPairs(spark, sf0001).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach(r => assert(r.getLong(2) <= Dedup.HammingMax))
+    // planted near-dups dominate: every simhash pair should also be an
+    // exact-Jaccard pair at the 0.5 threshold on this corpus
+    val exact = Dedup.jaccardPairs(spark, sf0001)
+      .select("doc_i", "doc_j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((sh -- exact).size <= 2, s"too many simhash-only pairs: ${sh -- exact}")
+  }
+
+  test("embedding near-dup cosines are valid and thresholded") {
+    val rows = Dedup.embeddingNearDups(spark, sf0001).collect()
+    rows.foreach { r =>
+      val c = r.getDouble(2)
+      assert(c >= Dedup.CosineThreshold && c <= 1.0 + 1e-9)
+    }
+  }
+
+  test("quality score stays in [0,1] and langId covers every doc") {
+    val q = TextAnalysis.qualityScore(spark, sf0001).collect()
+    q.foreach { r =>
+      val s = r.getAs[Double]("quality")
+      assert(s >= 0.0 && s <= 1.0, s"quality=$s")
+    }
+    val l = TextAnalysis.langId(spark, sf0001)
+    assert(l.filter(col("predicted").isNull).count() == 0)
+    assert(l.count() == TextAnalysis.tokenStats(spark, sf0001).count())
+  }
+
+  test("fingerprints are stable and collision-free on distinct texts") {
+    val fp = TextAnalysis.fingerprints(spark, sf0001)
+    val n = fp.count()
+    assert(fp.select("fp31", "fp37").distinct().count() == n)
+  }
+}
