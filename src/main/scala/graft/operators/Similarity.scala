@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.VectorFunctions.cosineSim
+
+/** Similarity search over the `embeddings` table (training-data
+  * pipeline extension, SURVEY.md §7.1(7)): brute-force cosine top-k as
+  * the exact baseline, and an IVF-style cell-probed variant as the
+  * scale path.
+  *
+  * Plan shape at scale:
+  *  - the query set is tiny and BROADCAST — the corpus never shuffles;
+  *    each executor streams its corpus partitions once against all
+  *    queries (classic brute-force kNN layout);
+  *  - cosine is the fused-loop native expression
+  *    (graft.functions.CosineSimilarity), inside whole-stage codegen;
+  *  - IVF: candidates are pruned to the query's cell (here the
+  *    pre-assigned `label` plays the role of the coarse-quantizer
+  *    assignment; a production build would k-means its own centroids) —
+  *    probing 1 of C cells cuts scanned vectors by ~C×, the standard
+  *    recall/cost knob (Jégou et al., "Product quantization for nearest
+  *    neighbor search", 2011);
+  *  - top-k per query via window rank. At extreme corpus sizes replace
+  *    with per-partition partial top-k then a single small merge — same
+  *    semantics, bounded shuffle.
+  */
+object Similarity {
+
+  val NumQueries = 8
+  val TopK = 10
+  val IvfTopK = 5
+
+  private def queriesDf(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("label").as("qlabel"))
+
+  /** Exact brute-force cosine top-k for each query vector. */
+  def topKBruteForce(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    broadcast(queriesDf(spark, dir))
+      .join(emb, col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", cosineSim(col("qv"), col("embedding")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= TopK)
+      .select(col("query_id"), col("rnk"), col("vec_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** IVF-probed approximate top-k: only the query's cell is scanned. */
+  def topKIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    broadcast(queriesDf(spark, dir))
+      .join(emb, col("label") === col("qlabel") && col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", cosineSim(col("qv"), col("embedding")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= IvfTopK)
+      .select(col("query_id"), col("rnk"), col("vec_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_topk_bruteforce" -> ((s, d) => topKBruteForce(s, d)),
+    "sim_topk_ivf" -> ((s, d) => topKIvf(s, d)))
+
+  /** Cosine with the same operation order as the native expression:
+    * index-ordered fold of dot and both norms, then one division. */
+  private def cosSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len($a) + 1),
+       |      k -> $a[k]::DOUBLE * $b[k]::DOUBLE)), (x, v) -> x + v)
+       |  / (sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len($a) + 1),
+       |      k -> $a[k]::DOUBLE * $a[k]::DOUBLE)), (x, v) -> x + v))
+       |   * sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len($b) + 1),
+       |      k -> $b[k]::DOUBLE * $b[k]::DOUBLE)), (x, v) -> x + v)))""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "sim_topk_bruteforce" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+         |  WHERE vec_id < $NumQueries),
+         |c AS (SELECT query_id, e.vec_id,
+         |    ${cosSql("qv", "e.embedding")} AS cosine
+         |  FROM q, embeddings e WHERE e.vec_id <> query_id),
+         |r AS (SELECT query_id, vec_id, cosine,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rnk
+         |  FROM c)
+         |SELECT query_id, rnk, vec_id, cosine FROM r WHERE rnk <= $TopK
+         |ORDER BY query_id, rnk""".stripMargin,
+    "sim_topk_ivf" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
+         |  FROM embeddings WHERE vec_id < $NumQueries),
+         |c AS (SELECT query_id, e.vec_id,
+         |    ${cosSql("qv", "e.embedding")} AS cosine
+         |  FROM q, embeddings e WHERE e.label = qlabel AND e.vec_id <> query_id),
+         |r AS (SELECT query_id, vec_id, cosine,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rnk
+         |  FROM c)
+         |SELECT query_id, rnk, vec_id, cosine FROM r WHERE rnk <= $IvfTopK
+         |ORDER BY query_id, rnk""".stripMargin)
+}

@@ -1,0 +1,32 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge into Spark's `private[sql]` Column internals — the supported
+  * technique for libraries shipping custom Catalyst `Expression`s
+  * (Spark 4 moved Column construction behind ColumnNode; this is the
+  * one-file shim every expression library needs).
+  */
+object ColumnBridge {
+  /** Wrap a raw Catalyst Expression as a user-facing Column. */
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+
+  /** Unwrap a Column to its Catalyst Expression. */
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register an expression builder as a temp function on a live session
+    * (the session-build-time path is GraftExtensions via
+    * spark.sql.extensions). */
+  def registerFunction(
+      spark: org.apache.spark.sql.SparkSession,
+      name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+      .registerFunction(FunctionIdentifier(name),
+        new ExpressionInfo(builder.getClass.getName, name),
+        builder)
+}

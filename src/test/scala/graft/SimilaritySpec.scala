@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.0f, 1.0f, 0.0f)),
+    (2L, Array(1.0f, 1.0f, 0.0f)),
+    (3L, Array(2.0f, 0.0f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("cosine_sim: orthogonal, identical, scaled vectors") {
+    val pairs = vecs.as("a").crossJoin(vecs.as("b"))
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+        VectorFunctions.cosineSim(col("a.embedding"), col("b.embedding")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((0L, 1L)) == 0.0)
+    assert(math.abs(pairs((0L, 0L)) - 1.0) < 1e-12)
+    assert(math.abs(pairs((0L, 3L)) - 1.0) < 1e-12) // scale-invariant
+    assert(math.abs(pairs((0L, 2L)) - math.sqrt(0.5)) < 1e-12)
+  }
+
+  test("cosine_sim codegen agrees with interpreted eval") {
+    // wholestage off forces the interpreted path; results must be identical bits
+    val q = vecs.as("a").crossJoin(vecs.as("b"))
+      .select(VectorFunctions.cosineSim(col("a.embedding"), col("b.embedding")).as("c"))
+    val on = q.collect().map(_.getDouble(0)).toSeq
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    val off = try q.collect().map(_.getDouble(0)).toSeq
+    finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    assert(on.map(java.lang.Double.doubleToLongBits) ==
+      off.map(java.lang.Double.doubleToLongBits))
+  }
+
+  test("cosine_sim is registered for the SQL surface") {
+    VectorFunctions.register(spark)
+    vecs.createOrReplaceTempView("vecs_tmp")
+    val r = spark.sql(
+      """SELECT a.vec_id, cosine_sim(a.embedding, b.embedding) AS c
+        |FROM vecs_tmp a JOIN vecs_tmp b ON b.vec_id = 0 WHERE a.vec_id = 3""".stripMargin)
+      .collect()
+    assert(math.abs(r.head.getDouble(1) - 1.0) < 1e-12)
+  }
+
+  test("cosine_sim null propagates") {
+    val df = Seq((Some(Array(1.0f)), None: Option[Array[Float]]))
+      .toDF("a", "b")
+      .select(VectorFunctions.cosineSim(col("a"), col("b")).as("c"))
+    assert(df.collect().head.isNullAt(0))
+  }
+
+  test("IVF results are a subset of brute-force candidates per query") {
+    val bf = Similarity.topKBruteForce(spark, sf0001)
+      .select("query_id", "vec_id", "cosine").as[(Long, Long, Double)]
+      .collect().map(t => (t._1, t._2) -> t._3).toMap
+    val ivf = Similarity.topKIvf(spark, sf0001)
+      .select("query_id", "vec_id", "cosine").as[(Long, Long, Double)].collect()
+    assert(ivf.nonEmpty)
+    // any IVF hit that brute force also ranked must carry the same cosine
+    ivf.foreach { case (q, v, c) =>
+      bf.get((q, v)).foreach(bfc =>
+        assert(java.lang.Double.doubleToLongBits(bfc) == java.lang.Double.doubleToLongBits(c)))
+    }
+  }
+}
