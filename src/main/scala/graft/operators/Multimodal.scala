@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Multimodal column plumbing for training-data pipelines (extension,
+  * SURVEY.md §7.1(7)): media as opaque `binary` payloads plus typed
+  * metadata, with decode / feature-extract / frame-sample stages.
+  *
+  * The decode step is a clearly-marked deterministic STUB — this
+  * container has no image/audio codecs — but everything around it is
+  * the real engine surface a 100 TB media pipeline needs:
+  *
+  *  - schema: `(doc_id, media_type, payload binary, meta struct)` —
+  *    payload stays opaque bytes end-to-end, never a string detour;
+  *  - partition-parallel batched execution: `mapPartitions` over a
+  *    typed Dataset, draining each partition in fixed-size batches
+  *    (the JVM analog of Arrow-batched mapInPandas: the decoder is
+  *    amortized per batch, not invoked per row, and memory is bounded
+  *    by batch size × payload size, not partition size);
+  *  - feature extraction is real compute (byte-class histogram over the
+  *    raw payload) and the frame sampler is real arithmetic over byte
+  *    offsets — both oracle-verified;
+  *  - no shuffle anywhere: every stage is a narrow per-partition map,
+  *    so the pipeline scales with input splits.
+  *
+  * Payloads here are the documents' UTF-8 bytes standing in for encoded
+  * media (testdata has no binary table); the operator surface does not
+  * depend on what the bytes mean.
+  */
+object Multimodal {
+
+  /** Typed media record — the pipeline's wire schema. */
+  final case class MediaMeta(source: String, n_bytes: Long)
+  final case class MediaRecord(doc_id: Long, media_type: String,
+      payload: Array[Byte], meta: MediaMeta)
+
+  /** Decoded media header (the stub decoder's output). */
+  final case class DecodedMedia(doc_id: Long, media_type: String,
+      n_bytes: Long, width: Long, height: Long)
+
+  /** Extracted per-payload features (real byte-level compute). */
+  final case class MediaFeatures(doc_id: Long, n_alpha: Long, n_digit: Long,
+      n_space: Long, n_other: Long)
+
+  val BatchSize = 64
+  val FrameBytes = 64
+  val FrameStride = 4
+
+  /** documents → typed media table: payload = raw UTF-8 bytes. */
+  def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
+        encode(col("text"), "UTF-8").as("payload"),
+        struct(col("source"), length(col("text")).cast("long").as("n_bytes")).as("meta"))
+      .as[MediaRecord]
+  }
+
+  /** STUB decoder ??? — stands in for an image/audio codec call, which
+    * this container cannot run. Deterministic fake: header fields are
+    * derived from the first payload bytes, so the oracle can replay it.
+    * A real deployment swaps ONLY this function body for e.g. a JNI
+    * image decode; the batching/partitioning plumbing is unchanged. */
+  private def decodeStub(payload: Array[Byte]): (Long, Long) = {
+    val b0 = if (payload.length > 0) payload(0) & 0xffL else 0L
+    val b1 = if (payload.length > 1) payload(1) & 0xffL else 0L
+    (16L + b0 % 64, 16L + b1 % 64) // fake (width, height)
+  }
+
+  /** Batched partition-parallel decode: drains each partition in
+    * BatchSize groups (Arrow-batch analog) through the stub codec. */
+  def decode(media: Dataset[MediaRecord]): Dataset[DecodedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        // one "codec context" per batch, amortized like a Pandas UDF batch
+        batch.map { m =>
+          val (w, h) = decodeStub(m.payload)
+          DecodedMedia(m.doc_id, m.media_type, m.meta.n_bytes, w, h)
+        }
+      }
+    }
+  }
+
+  /** Real feature extraction: byte-class histogram over raw payloads. */
+  def features(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap(_.map { m =>
+        var a = 0L; var d = 0L; var s = 0L; var o = 0L
+        var i = 0
+        while (i < m.payload.length) {
+          val b = m.payload(i) & 0xff
+          if ((b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z')) a += 1
+          else if (b >= '0' && b <= '9') d += 1
+          else if (b == ' ') s += 1
+          else o += 1
+          i += 1
+        }
+        MediaFeatures(m.doc_id, a, d, s, o)
+      })
+    }
+  }
+
+  /** Frame sampling: every FrameStride-th FrameBytes-chunk of the
+    * payload, with its offset and true length — pure column arithmetic
+    * (no decode needed to plan which byte ranges to fetch; on object
+    * storage this becomes ranged reads). */
+  def frameSample(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir).toDF()
+      .select(col("doc_id"), col("meta.n_bytes").as("n_bytes"))
+      .select(col("doc_id"), col("n_bytes"),
+        posexplode(sequence(lit(0L),
+          expr(s"(n_bytes - 1) div $FrameBytes"), lit(FrameStride.toLong))))
+      .select(col("doc_id"), col("col").as("frame_no"),
+        (col("col") * FrameBytes).as("byte_offset"),
+        least(lit(FrameBytes.toLong), col("n_bytes") - col("col") * FrameBytes).as("frame_len"))
+      .orderBy(col("doc_id"), col("frame_no"))
+
+  // -------------------------------------------------------------- queries
+
+  def decodeMeta(spark: SparkSession, dir: String): DataFrame =
+    decode(mediaTable(spark, dir)).toDF().orderBy(col("doc_id"))
+
+  def featureHistogram(spark: SparkSession, dir: String): DataFrame =
+    features(mediaTable(spark, dir)).toDF().orderBy(col("doc_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_decode_meta" -> ((s, d) => decodeMeta(s, d)),
+    "mm_feature_histogram" -> ((s, d) => featureHistogram(s, d)),
+    "mm_frame_sample" -> ((s, d) => frameSample(s, d)))
+
+  val oracle: Map[String, String] = Map(
+    // replays the stub codec arithmetic over the first two bytes
+    "mm_decode_meta" ->
+      """SELECT doc_id,
+        |  (['image', 'audio', 'video'])[(doc_id % 3 + 1)::INT] AS media_type,
+        |  length(text)::BIGINT AS n_bytes,
+        |  16 + ascii(substr(text, 1, 1)) % 64 AS width,
+        |  16 + ascii(substr(text, 2, 1)) % 64 AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_feature_histogram" ->
+      """SELECT doc_id,
+        |  length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::BIGINT AS n_alpha,
+        |  length(regexp_replace(text, '[^0-9]', '', 'g'))::BIGINT AS n_digit,
+        |  length(regexp_replace(text, '[^ ]', '', 'g'))::BIGINT AS n_space,
+        |  (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))::BIGINT AS n_other
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_frame_sample" ->
+      s"""SELECT doc_id, frame_no, frame_no * $FrameBytes AS byte_offset,
+         |  least($FrameBytes, n_bytes - frame_no * $FrameBytes)::BIGINT AS frame_len
+         |FROM (SELECT doc_id, length(text)::BIGINT AS n_bytes,
+         |        unnest(range(0, (length(text) - 1) // $FrameBytes + 1,
+         |        $FrameStride)) AS frame_no
+         |      FROM documents)
+         |ORDER BY doc_id, frame_no""".stripMargin)
+}

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Multimodal
+
+class MultimodalSpec extends SparkSpec {
+
+  test("media table carries opaque binary payloads with typed metadata") {
+    val m = Multimodal.mediaTable(spark, sf0001)
+    val r = m.toDF()
+    assert(r.schema("payload").dataType.typeName == "binary")
+    val first = m.filter(col("doc_id") === 0L).head()
+    assert(first.payload.length == first.meta.n_bytes)
+    assert(Set("image", "audio", "video").contains(first.media_type))
+  }
+
+  test("batched decode emits one header per record, bounded dims") {
+    val media = Multimodal.mediaTable(spark, sf0001)
+    val dec = Multimodal.decode(media).collect()
+    assert(dec.length == media.count())
+    dec.foreach { d =>
+      assert(d.width >= 16 && d.width < 80)
+      assert(d.height >= 16 && d.height < 80)
+    }
+  }
+
+  test("feature histogram partitions every byte into exactly one class") {
+    val media = Multimodal.mediaTable(spark, sf0001)
+    val sizes = media.toDF().select(col("doc_id"), col("meta.n_bytes").as("n"))
+    val feats = Multimodal.features(media).toDF()
+    val bad = feats.join(sizes, "doc_id")
+      .filter(col("n_alpha") + col("n_digit") + col("n_space") + col("n_other") =!= col("n"))
+      .count()
+    assert(bad == 0)
+  }
+
+  test("frame sample covers the payload at the configured stride") {
+    val fs = Multimodal.frameSample(spark, sf0001)
+    val r = fs.filter(col("doc_id") === 0L).collect()
+    assert(r.nonEmpty)
+    assert(r.head.getAs[Long]("frame_no") == 0L)
+    r.foreach { row =>
+      val len = row.getAs[Long]("frame_len")
+      assert(len > 0 && len <= Multimodal.FrameBytes)
+      assert(row.getAs[Long]("frame_no") % Multimodal.FrameStride == 0)
+      assert(row.getAs[Long]("byte_offset") ==
+        row.getAs[Long]("frame_no") * Multimodal.FrameBytes)
+    }
+  }
+}
