@@ -128,7 +128,25 @@ object Ohlcv {
         col("volume"))
       .orderBy(col("time"), col("event_type"))
 
+  /** 1-minute bars through the typed Aggregator/udaf path
+    * (graft.functions.OhlcvAggregator — the §2.7 UDAF surface). Result
+    * is identical to bars1m; the plan differs: ObjectHashAggregate over
+    * the typed buffer instead of codegen'd min_by/max_by. */
+  def bars1mTyped(spark: SparkSession, dir: String): DataFrame = {
+    val ohlcv = udaf(new graft.functions.OhlcvAggregator())
+    spark.udf.register("ohlcv_agg", ohlcv) // SQL surface (Q6)
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 minute").as("w"), col("event_type"))
+      .agg(ohlcv(unix_millis(col("ts")), col("value"), lit(1L), col("event_id")).as("bar"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("event_type"), col("bar.open").as("open"), col("bar.high").as("high"),
+        col("bar.low").as("low"), col("bar.close").as("close"),
+        col("bar.volume").as("volume"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ohlcv_1m_typed" -> ((s, d) => bars1mTyped(s, d)),
     "ohlcv_1m" -> ((s, d) => bars1m(s, d)),
     "ohlcv_5m" -> ((s, d) => bars5m(s, d)),
     "ohlcv_1h_by_user" -> ((s, d) => bars1hByUser(s, d)),
@@ -140,6 +158,14 @@ object Ohlcv {
     * grid uses epoch arithmetic. (ts, event_type) pairs are unique in the
     * testdata, so arg_min/arg_max on ts alone is deterministic. */
   val oracle: Map[String, String] = Map(
+    "ohlcv_1m_typed" ->
+      """SELECT date_trunc('minute', ts) AS window_start,
+        |       date_trunc('minute', ts) + INTERVAL 1 MINUTE AS window_end,
+        |       event_type,
+        |       arg_min(value, ts) AS open, max(value) AS high,
+        |       min(value) AS low, arg_max(value, ts) AS close,
+        |       count(*)::BIGINT AS volume
+        |FROM events GROUP BY 1, 2, 3 ORDER BY 1, 3""".stripMargin,
     "ohlcv_1m" ->
       """SELECT date_trunc('minute', ts) AS window_start,
         |       date_trunc('minute', ts) + INTERVAL 1 MINUTE AS window_end,
