@@ -129,7 +129,7 @@ object Dedup {
     * across documents (measured: token-level SimHash puts ~90% of all
     * pairs within Hamming 7), while shingle sets separate cleanly. */
   private def simHashCol: Column = {
-    val hs = shingleCodes(col("text"), ShingleN)
+    val hs = col("codes")
     (0 until SimHashBits).map { b =>
       val vote = aggregate(hs, lit(0L),
         (acc, h) => acc + shiftright(h, b).bitwiseAND(1) * 2 - 1)
@@ -140,9 +140,15 @@ object Dedup {
   /** SimHash near-dup pairs within Hamming distance 3, found by
     * pigeonhole block join: 31 bits split into 4 blocks of 8; any pair
     * with ≤3 differing bits shares at least one block — the candidate
-    * set is complete, not probabilistic. */
+    * set is complete, not probabilistic.
+    *
+    * The shingle-code array is materialized (persist) BEFORE the 31
+    * per-bit vote expressions: inlined, each vote would re-run the whole
+    * shingle+hash pipeline (Catalyst does not CSE across higher-order
+    * lambdas — measured 30× slower). */
   def simHashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sh = Tables.documents(spark, dir)
+    val sh = shingled(spark, dir).select(col("doc_id"), col("codes"))
+      .persist()
       .select(col("doc_id"), simHashCol.as("simhash"))
       .persist()
     val blocks = sh.select(col("doc_id"), col("simhash"),
@@ -163,36 +169,29 @@ object Dedup {
 
   // ------------------------------------------------- embedding near-dup
 
-  /** Dot product folded in array-index order — both engines produce the
-    * identical double bit pattern. */
-  private def dotOrdered(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-
-  private def norm(a: Column): Column = sqrt(dotOrdered(a, a))
-
   /** Sign-bit LSH bucket: bit k = sign of ⟨v, h_k⟩ where the hyperplanes
     * h_k are the embeddings of vec_id 0..7 — deterministic and
     * data-derived, so the oracle reproduces them (a cluster deployment
     * would broadcast seeded Gaussian planes instead; plan shape
-    * identical: broadcast small side, bucket in the scan). */
+    * identical: broadcast small side, bucket in the scan). Sign of the
+    * dot equals sign of the cosine (norms are positive), so the bucket
+    * bit reuses the fused-loop native cosine expression. */
   def embeddingNearDups(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.cosineSim
     val emb = Tables.embeddings(spark, dir)
     val planes = broadcast(
       emb.filter(col("vec_id") < HyperplaneBits)
         .select(col("vec_id").as("plane_id"), col("embedding").as("plane")))
     val bucketed = emb.crossJoin(planes)
       .withColumn("bit",
-        when(dotOrdered(col("embedding"), col("plane")) >= 0,
+        when(cosineSim(col("embedding"), col("plane")) >= 0,
           expr("shiftleft(cast(1 as bigint), cast(plane_id as int))")).otherwise(0L))
       .groupBy(col("vec_id"), col("embedding"))
       .agg(sum(col("bit")).as("bucket"))
     val b = bucketed.select(col("vec_id"), col("embedding"), col("bucket"))
     b.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cosine",
-        dotOrdered(col("a.embedding"), col("b.embedding")) /
-          (norm(col("a.embedding")) * norm(col("b.embedding"))))
+      .withColumn("cosine", cosineSim(col("a.embedding"), col("b.embedding")))
       .filter(col("cosine") >= CosineThreshold)
       .select(col("a.vec_id").as("vec_i"), col("b.vec_id").as("vec_j"), col("cosine"))
       .orderBy(col("vec_i"), col("vec_j"))
