@@ -15,8 +15,10 @@ import graft.Tables
   * Scale notes baked into the shapes below:
   *  - filters/projections sit directly on the parquet scan so Catalyst
   *    pushes them into the reader (PushedFilters + pruned ReadSchema);
-  *  - dimension joins (nation/region/customer at TPC-H proportions)
-  *    broadcast explicitly — no shuffle of the fact table;
+  *  - fixed-size dimensions (nation/region: 25/5 rows at ANY scale
+  *    factor) broadcast explicitly — no shuffle of the fact table;
+  *    SF-proportional tables (customer) leave join strategy to
+  *    Catalyst/AQE so the plan survives a 100× scale-up;
   *  - fact-fact joins shuffle on the join key once, with AQE free to
   *    re-plan skew at runtime;
   *  - money aggregates run in integer cents (exact, order-independent —
@@ -59,8 +61,11 @@ object Relational {
         expr("o_orderdate < timestamp '1998-01-01'"))
     val c = Tables.customer(spark, dir)
     val n = Tables.nation(spark, dir)
+    // nation is a FIXED dimension (25 rows at any SF) — broadcast
+    // explicitly. customer scales with SF — leave its join strategy to
+    // Catalyst/AQE (broadcast at small SF, shuffle at cluster scale).
     li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(
@@ -70,10 +75,11 @@ object Relational {
       .orderBy(col("n_name"))
   }
 
-  // -- broadcast dim join + aggregate ------------------------------------
+  // -- dim join + aggregate (strategy left to Catalyst/AQE: customer
+  // scales with SF, so a hardcoded broadcast would break at 100 TB) ----
   def ordersBySegment(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
-      .join(broadcast(Tables.customer(spark, dir)),
+      .join(Tables.customer(spark, dir),
         col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"))
       .agg(

@@ -62,6 +62,39 @@ object StreamingOhlcv {
         col("volume"))
   }
 
+  /** Multi-resolution streaming cascade — the reference's dual 1-min +
+    * 5-min bars from one stream (/root/reference/old/flink.py:42-67),
+    * but as ONE chained query instead of two independent scans: fine
+    * bars aggregate the raw stream, coarse bars aggregate the fine bars
+    * (stacked windowed aggregations, event-time carried through
+    * `window_time`). The coarse stage's input is already
+    * key×fine-window sized — at 100 TB the second stage shuffles
+    * bar-counts, not event-counts. Append mode: each resolution emits
+    * once its watermark passes. */
+  def cascadeBars(tradesWithTs: DataFrame, fine: String, coarse: String): DataFrame = {
+    val ord = struct(col("ts"), col("instrument_id"))
+    val fineBars = tradesWithTs
+      .groupBy(window(col("ts"), fine).as("w"), col("product"))
+      .agg(
+        min_by(col("price"), ord).as("open"),
+        max(col("price")).as("high"),
+        min(col("price")).as("low"),
+        max_by(col("price"), ord).as("close"),
+        sum(col("qty")).as("volume"))
+    fineBars
+      .withColumn("fine_start", col("w.start"))
+      .groupBy(window(window_time(col("w")), coarse).as("cw"), col("product"))
+      .agg(
+        min_by(col("open"), col("fine_start")).as("open"),
+        max(col("high")).as("high"),
+        min(col("low")).as("low"),
+        max_by(col("close"), col("fine_start")).as("close"),
+        sum(col("volume")).as("volume"))
+      .select(col("cw.start").as("window_start"), col("cw.end").as("window_end"),
+        col("product"), col("open"), col("high"), col("low"), col("close"),
+        col("volume"))
+  }
+
   /** Trade + derived event-time for the typed stateful path. */
   final case class TimedTrade(
       timestamp: Long, instrument_id: String, product: String,

@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.model.Schemas
+import graft.sources.JsonSource
+import graft.streaming.StreamingOhlcv
+
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+  implicit def sqlContext: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def writeLines(lines: Seq[String]): String = {
+    val dir = Files.createTempDirectory("graft-json")
+    Files.writeString(dir.resolve("part-0.json"), lines.mkString("\n"))
+    dir.toString
+  }
+
+  test("declared-schema json read, permissive mode captures corrupt records") {
+    val path = writeLines(Seq(
+      """{"timestamp":1723459200000,"instrument_id":"I1","product":"P1","price":5.0,"qty":1}""",
+      """{"timestamp":1723459201000,"instrument_id":"I2","product":"P2","price":6.5,"qty":2}""",
+      """{"broken json"""))
+    val df = JsonSource.jsonLines(spark, path, Schemas.trade, failOnMissing = false)
+      .cache() // Spark disallows querying only _corrupt_record off a raw scan
+    assert(df.filter(col("_corrupt_record").isNotNull).count() == 1)
+    assert(df.filter(col("product").isNotNull).count() == 2)
+  }
+
+  test("failOnMissing=FAILFAST aborts on malformed input (old/kfk.py:91 semantics)") {
+    val path = writeLines(Seq(
+      """{"timestamp":1,"instrument_id":"I","product":"P","price":1.0,"qty":1}""",
+      """{"broken"""))
+    val strict = JsonSource.jsonLines(spark, path, Schemas.trade, failOnMissing = true)
+    intercept[Exception] { strict.collect() }
+  }
+
+  test("parseJson strict drops records with missing declared fields") {
+    val df = Seq(
+      """{"timestamp":1,"instrument_id":"I","product":"P","price":1.0,"qty":1}""",
+      """{"instrument_id":"I2","product":"P2"}""").toDF("value")
+    assert(JsonSource.parseJson(df, "value", Schemas.trade, failOnMissing = true).count() == 1)
+    assert(JsonSource.parseJson(df, "value", Schemas.trade, failOnMissing = false).count() == 2)
+  }
+
+  test("streaming 1m->5m cascade equals direct 5m bars") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.model.Trade
+    val T0 = 1723459200000L // 5-minute aligned
+    val input = MemoryStream[Trade]
+    val trades = Seq(
+      Trade(T0, "I1", "P1", 10.0, 1),
+      Trade(T0 + 70000, "I2", "P1", 30.0, 2), // minute 1
+      Trade(T0 + 140000, "I3", "P1", 5.0, 3), // minute 2
+      Trade(T0 + 299000, "I4", "P1", 20.0, 4), // minute 4 (same 5m window)
+      Trade(T0 + 301000, "I5", "P1", 99.0, 5), // next 5m window
+      Trade(T0 + 900000, "I6", "P1", 1.0, 1)) // far future: advances watermark
+    input.addData(trades: _*)
+    val cascade = StreamingOhlcv.cascadeBars(
+      StreamingOhlcv.withEventTime(input.toDS(), "0 seconds"), "1 minute", "5 minutes")
+    val q = cascade.writeStream.format("memory").queryName("casc")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      input.addData(Trade(T0 + 1800000, "I7", "P1", 1.0, 1)) // close all windows
+      q.processAllAvailable()
+      val rows = spark.table("casc").orderBy("window_start").collect()
+      assert(rows.length >= 2)
+      val first = rows(0)
+      assert(first.getAs[Double]("open") == 10.0)
+      assert(first.getAs[Double]("high") == 30.0)
+      assert(first.getAs[Double]("low") == 5.0)
+      assert(first.getAs[Double]("close") == 20.0)
+      assert(first.getAs[Long]("volume") == 10L)
+      val second = rows(1)
+      assert(second.getAs[Double]("open") == 99.0)
+      assert(second.getAs[Long]("volume") == 5L)
+    } finally q.stop()
+  }
+}
