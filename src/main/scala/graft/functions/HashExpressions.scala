@@ -1,0 +1,205 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native codegen implementations of the cross-engine deterministic
+  * hashes in TextFunctions. Semantically IDENTICAL to the higher-order
+  * `aggregate` formulations (and therefore to the DuckDB oracle SQL) —
+  * the difference is execution: one fused loop per row instead of one
+  * interpreted lambda dispatch per character/bit. On a 100 TB corpus
+  * scan the HOF path pays ~10³ interpreter calls per row; these pay one
+  * static call. TextFunctions keeps the HOF variants only as executable
+  * documentation of the arithmetic.
+  */
+object HashOps {
+  final val P: Long = 2147483647L
+
+  /** 31-ary (or multiplier-m) polynomial over the string's code points
+    * mod 2^31-1 — the loop form of TextFunctions.polyHash. Code points,
+    * not bytes: DuckDB's ascii() yields code points on multibyte input. */
+  def polyHash(s: UTF8String, mult: Long, init: Long): Long = {
+    val str = s.toString
+    var h = init
+    var i = 0
+    val n = str.length
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      h = (h * mult + cp) % P
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  /** Distinct word-n-gram shingle hashes in one pass — the loop form of
+    * TextFunctions.shingleCodes (tokenize on single spaces dropping
+    * empties, hash each n-token shingle joined by ' ' with the
+    * polynomial, keep first-occurrence-distinct codes). The composed
+    * column-algebra version allocates ~|shingles| intermediate strings
+    * and runs three interpreted array passes per row; this is O(chars)
+    * with no string materialization beyond the tokens. */
+  def shingleHashes(s: UTF8String, n: Int, mult: Long, init: Long): ArrayData = {
+    val toks = new java.util.ArrayList[String]()
+    s.toString.split(" ", -1).foreach(t => if (t.nonEmpty) toks.add(t))
+    val m = toks.size
+    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    var j = 0
+    while (j + n <= m) {
+      var h = init
+      var k = 0
+      while (k < n) {
+        if (k > 0) h = (h * mult + ' '.toLong) % P
+        val t = toks.get(k + j)
+        var i = 0
+        val len = t.length
+        while (i < len) {
+          val cp = t.codePointAt(i)
+          h = (h * mult + cp) % P
+          i += Character.charCount(cp)
+        }
+        k += 1
+      }
+      out.add(h)
+      j += 1
+    }
+    val arr = new Array[Long](out.size)
+    val it = out.iterator()
+    var i = 0
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(arr)
+  }
+
+  /** k-entry MinHash signature in one pass over the code set — the loop
+    * form of k× TextFunctions.minHash: sig(i) = min over x of
+    * ((2i+1)·x + 104729·i + 12345) mod P. */
+  def minHashSig(codes: ArrayData, k: Int): ArrayData = {
+    val sig = Array.fill(k)(Long.MaxValue)
+    val n = codes.numElements()
+    var j = 0
+    while (j < n) {
+      val x = codes.getLong(j)
+      var i = 0
+      while (i < k) {
+        val h = (x * (2 * i + 1) + 104729L * i + 12345L) % P
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(sig)
+  }
+
+  /** 31-bit Charikar SimHash over an array of hash codes: bit b set iff
+    * more codes have bit b set than not. One pass over the codes with a
+    * vote counter per bit — the loop form of the 31 per-bit folds in
+    * Dedup.simHashCol. */
+  def simHash31(codes: ArrayData): Long = {
+    val n = codes.numElements()
+    val votes = new Array[Int](31)
+    var i = 0
+    while (i < n) {
+      val h = codes.getLong(i)
+      var b = 0
+      while (b < 31) {
+        votes(b) += (((h >> b) & 1L) * 2 - 1).toInt
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 31) {
+      if (votes(b) > 0) out |= 1L << b
+      b += 1
+    }
+    out
+  }
+}
+
+/** poly_hash(str): rolling polynomial hash (TextFunctions.polyHash). */
+case class PolyHash(child: Expression, mult: Long, init: Long)
+    extends UnaryExpression {
+  override def prettyName: String = "poly_hash"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires string input")
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashOps.polyHash(input.asInstanceOf[UTF8String], mult, init)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashOps.polyHash($c, ${mult}L, ${init}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): PolyHash =
+    copy(child = newChild)
+}
+
+/** shingle_hashes(str): distinct word-n-gram polynomial hash codes. */
+case class ShingleHashes(child: Expression, n: Int, mult: Long, init: Long)
+    extends UnaryExpression {
+  override def prettyName: String = "shingle_hashes"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires string input")
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashOps.shingleHashes(input.asInstanceOf[UTF8String], n, mult, init)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashOps.shingleHashes($c, $n, ${mult}L, ${init}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+/** minhash_sig(array<long>): k-permutation MinHash signature. */
+case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
+  override def prettyName: String = "minhash_sig"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got ${t.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashOps.minHashSig(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.minHashSig($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** simhash31(array<long>): Charikar sketch of a code set. */
+case class SimHash31(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "simhash31"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got ${t.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashOps.simHash31(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.simHash31($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash31 =
+    copy(child = newChild)
+}

@@ -40,14 +40,23 @@ object TextFunctions {
 
   /** 31-ary polynomial rolling hash of a string mod 2^31-1:
     * h = fold(h * 31 + code(char)) — the classic Rabin-Karp/Java-style
-    * rolling hash, computable identically in any SQL engine. */
+    * rolling hash, computable identically in any SQL engine. Executes
+    * as the native PolyHash expression (one fused codegen loop);
+    * `polyHashHof` below is the same arithmetic as column algebra. */
   def polyHash(c: Column): Column =
-    aggregate(chars(c), lit(0L), (acc, ch) => (acc * 31 + ascii(ch)) % P)
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      PolyHash(org.apache.spark.sql.graft.ColumnBridge.expression(c), 31L, 0L))
 
   /** Second independent polynomial (multiplier 37, offset 7) for
-    * constructions needing more than 31 hash bits (SimHash). */
+    * constructions needing more than 31 hash bits. */
   def polyHash37(c: Column): Column =
-    aggregate(chars(c), lit(7L), (acc, ch) => (acc * 37 + ascii(ch)) % P)
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      PolyHash(org.apache.spark.sql.graft.ColumnBridge.expression(c), 37L, 7L))
+
+  /** HOF formulation of polyHash — executable documentation of the
+    * arithmetic the native expression (and the DuckDB oracle) computes. */
+  def polyHashHof(c: Column): Column =
+    aggregate(chars(c), lit(0L), (acc, ch) => (acc * 31 + ascii(ch)) % P)
 
   /** Word n-gram shingles: ["a","b","c","d"] with n=3 →
     * ["a b c","b c d"]; empty when fewer than n tokens. (Built with an
@@ -64,8 +73,17 @@ object TextFunctions {
 
   /** Distinct shingle hash codes for a document — the set MinHash and
     * Jaccard operate on. Distinct AFTER hashing, so a hash collision
-    * inside one document cannot desync set sizes vs the oracle. */
+    * inside one document cannot desync set sizes vs the oracle.
+    * Executes as the native ShingleHashes expression (single fused pass,
+    * no intermediate shingle strings — measured ~10× over the composed
+    * form); `shingleCodesHof` is the same arithmetic as column algebra. */
   def shingleCodes(text: Column, n: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      ShingleHashes(org.apache.spark.sql.graft.ColumnBridge.expression(text), n, 31L, 0L))
+
+  /** HOF formulation of shingleCodes — executable documentation of what
+    * the native expression (and the DuckDB oracle) computes. */
+  def shingleCodesHof(text: Column, n: Int): Column =
     array_distinct(transform(array_distinct(shingles(tokens(text), n)), s => polyHash(s)))
 
   /** MinHash signature entry i over a set of codes:

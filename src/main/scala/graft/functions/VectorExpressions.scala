@@ -111,5 +111,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (children: Seq[Expression]) => CosineSimilarity(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("poly_hash"),
+      new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),
+      (children: Seq[Expression]) => PolyHash(children.head, 31L, 0L)))
+    ext.injectFunction((
+      FunctionIdentifier("simhash31"),
+      new ExpressionInfo(classOf[SimHash31].getName, "simhash31"),
+      (children: Seq[Expression]) => SimHash31(children.head)))
   }
 }

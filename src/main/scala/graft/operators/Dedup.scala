@@ -88,10 +88,15 @@ object Dedup {
 
   // ---------------------------------------------------------- MinHash+LSH
 
-  /** Per-doc MinHash signature (array of k minima) plus banded keys. */
+  /** Per-doc MinHash signature (array of k minima) plus banded keys.
+    * Native MinHashSig expression: one pass over the code set for all k
+    * permutations (the composed form re-walks the array k times through
+    * interpreted lambdas). */
   def minHashSignatures(spark: SparkSession, dir: String): DataFrame =
     shingled(spark, dir)
-      .withColumn("sig", array((0 until MinHashK).map(i => minHash(col("codes"), i)): _*))
+      .withColumn("sig", org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.functions.MinHashSig(
+          org.apache.spark.sql.graft.ColumnBridge.expression(col("codes")), MinHashK)))
 
   /** MinHash/LSH near-dup pairs: band-bucket candidates, then exact
     * Jaccard verification at the threshold. Deterministically misses
@@ -128,14 +133,10 @@ object Dedup {
     * tokens — in a small-vocabulary corpus token SETS barely differ
     * across documents (measured: token-level SimHash puts ~90% of all
     * pairs within Hamming 7), while shingle sets separate cleanly. */
-  private def simHashCol: Column = {
-    val hs = col("codes")
-    (0 until SimHashBits).map { b =>
-      val vote = aggregate(hs, lit(0L),
-        (acc, h) => acc + shiftright(h, b).bitwiseAND(1) * 2 - 1)
-      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
-  }
+  private def simHashCol: Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.SimHash31(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("codes"))))
 
   /** SimHash near-dup pairs within Hamming distance 3, found by
     * pigeonhole block join: 31 bits split into 4 blocks of 8; any pair

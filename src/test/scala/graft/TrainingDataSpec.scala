@@ -35,6 +35,34 @@ class TrainingDataSpec extends SparkSpec {
     got.foreach { case (s, h) => assert(h == ref(s), s"polyHash($s)") }
   }
 
+  test("native PolyHash expression equals the HOF formulation on real data") {
+    val bad = Tables.documents(spark, sf0001)
+      .select(TextFunctions.polyHash(col("text")).as("native"),
+        TextFunctions.polyHashHof(col("text")).as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(bad == 0)
+  }
+
+  test("native ShingleHashes equals the HOF formulation on real data") {
+    val bad = Tables.documents(spark, sf0001)
+      .select(TextFunctions.shingleCodes(col("text"), 3).as("native"),
+        TextFunctions.shingleCodesHof(col("text"), 3).as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(bad == 0)
+  }
+
+  test("native MinHashSig equals the composed per-permutation minima") {
+    val codes = TextFunctions.shingleCodes(col("text"), 3).as("codes")
+    val bad = Tables.documents(spark, sf0001)
+      .select(codes)
+      .select(
+        org.apache.spark.sql.graft.ColumnBridge.column(graft.functions.MinHashSig(
+          org.apache.spark.sql.graft.ColumnBridge.expression(col("codes")), 16)).as("native"),
+        array((0 until 16).map(i => TextFunctions.minHash(col("codes"), i)): _*).as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(bad == 0)
+  }
+
   test("exact dedup groups identical texts") {
     docs.createOrReplaceTempView("documents_tmp")
     val d = docs.select(md5(col("text")).as("digest"), col("doc_id"))
