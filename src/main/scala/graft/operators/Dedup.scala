@@ -180,16 +180,21 @@ object Dedup {
   def embeddingNearDups(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions.cosineSim
     val emb = Tables.embeddings(spark, dir)
-    val planes = broadcast(
-      emb.filter(col("vec_id") < HyperplaneBits)
-        .select(col("vec_id").as("plane_id"), col("embedding").as("plane")))
-    val bucketed = emb.crossJoin(planes)
-      .withColumn("bit",
-        when(cosineSim(col("embedding"), col("plane")) >= 0,
-          expr("shiftleft(cast(1 as bigint), cast(plane_id as int))")).otherwise(0L))
-      .groupBy(col("vec_id"), col("embedding"))
-      .agg(sum(col("bit")).as("bucket"))
-    val b = bucketed.select(col("vec_id"), col("embedding"), col("bucket"))
+    // The 8 hyperplanes are collected once (8 rows) and folded into the
+    // scan projection as literals — bucketing costs ZERO shuffle; the
+    // crossJoin+groupBy alternative re-shuffles the whole corpus keyed
+    // by a float-array column. This is the plan a 10^9-vector corpus
+    // needs: one narrow pass to bucket, then the bucket-local join.
+    val planes: Array[(Int, Array[Float])] = emb
+      .filter(col("vec_id") < HyperplaneBits)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray))
+    val bucket = planes.map { case (k, plane) =>
+      when(cosineSim(col("embedding"), typedlit(plane)) >= 0, lit(1L << k))
+        .otherwise(0L)
+    }.reduce(_ + _)
+    val b = emb.select(col("vec_id"), col("embedding"), bucket.as("bucket"))
     b.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .withColumn("cosine", cosineSim(col("a.embedding"), col("b.embedding")))
