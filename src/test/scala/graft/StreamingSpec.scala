@@ -112,6 +112,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("late events beyond the watermark slack are dropped (W6) but kept within it (W7)") {
+    // W6: 0s slack — an event whose window is already below the watermark
+    // never reaches a final bar. W7: 5s slack keeps it alive.
+    def finalVolumes(slack: String): Map[Long, Long] = {
+      val input = MemoryStream[Trade]
+      val name = s"late_${slack.replace(' ', '_')}"
+      val bars = StreamingOhlcv.windowedBars(
+        StreamingOhlcv.withEventTime(input.toDS(), slack), "1 minute")
+      val q = bars.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        input.addData(trade(0, "P1", 10.0, 1), trade(59000, "P1", 20.0, 2))
+        q.processAllAvailable()
+        input.addData(trade(62000, "P1", 30.0, 4)) // watermark → 62s (minus slack)
+        q.processAllAvailable()
+        input.addData(trade(58000, "P1", 40.0, 8)) // late by 4s vs max event time
+        q.processAllAvailable()
+        input.addData(trade(300000, "P1", 1.0, 16)) // close everything
+        q.processAllAvailable()
+        spark.table(name).collect()
+          .map(r => r.getAs[java.sql.Timestamp]("window_start").getTime -> r.getAs[Long]("volume"))
+          .toMap
+      } finally q.stop()
+    }
+    assert(finalVolumes("0 seconds")(T0) == 3L) // late event dropped
+    assert(finalVolumes("5 seconds")(T0) == 11L) // late event within slack kept
+  }
+
   test("statefulBars sustains the reference generator rate profile") {
     // 2,000 msg across ~2,000 keys in one micro-batch (old/gen.py profile)
     val rnd = new scala.util.Random(42)
