@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Skew
+
+/** Salted-aggregation/join equivalence: skew mitigation must never
+  * change results, only the shuffle layout. */
+class SkewSpec extends SparkSpec {
+
+  private lazy val events = Tables.events(spark, sf001)
+
+  test("saltedAgg equals direct aggregation") {
+    val direct = events.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("value").as("sv"),
+        min("value").as("mn"), max("value").as("mx"))
+    val salted = Skew.saltedAgg(
+      events,
+      keys = Seq("event_type"),
+      saltCol = Skew.salt(16, col("event_id")),
+      partial = Seq(count(lit(1)).as("pn"), sum("value").as("psv"),
+        min("value").as("pmn"), max("value").as("pmx")),
+      fin = Seq(sum("pn").as("n"), sum("psv").as("sv"),
+        min("pmn").as("mn"), max("pmx").as("mx")))
+    // float sums: compare to tolerance (summation order differs by design)
+    val d = direct.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val s = salted.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(d.keySet == s.keySet)
+    d.foreach { case (k, (n, sv, mn, mx)) =>
+      val (n2, sv2, mn2, mx2) = s(k)
+      assert(n == n2 && mn == mn2 && mx == mx2)
+      assert(math.abs(sv - sv2) < 1e-6 * math.abs(sv))
+    }
+  }
+
+  test("saltedJoin equals direct join") {
+    val orders = Tables.orders(spark, sf001)
+    val customer = Tables.customer(spark, sf001)
+      .select("c_custkey", "c_mktsegment")
+    val direct = orders.join(customer,
+        orders("o_custkey") === customer("c_custkey"))
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+    val salted = Skew.saltedJoin(
+        orders.withColumnRenamed("o_custkey", "c_custkey"), customer,
+        key = "c_custkey", n = 8, tiebreak = Seq(col("o_orderkey")))
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+    val d = direct.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val s = salted.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(d == s)
+  }
+
+  test("salt is deterministic and spreads keys") {
+    val salts = events.select(Skew.salt(16, col("event_id")).as("s"))
+    val counts = salts.groupBy("s").count().collect()
+    assert(counts.length == 16) // all 16 buckets populated
+    // re-evaluation yields identical assignment (no rand())
+    val a = salts.collect().map(_.getInt(0)).toSeq
+    val b = salts.collect().map(_.getInt(0)).toSeq
+    assert(a == b)
+  }
+}
