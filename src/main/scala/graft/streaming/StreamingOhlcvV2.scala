@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.streaming.{MapState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig}
+import graft.model.{BarState, RunningBar}
+import graft.streaming.StreamingOhlcv.TimedTrade
+
+/** transformWithState (Spark 4 "arbitrary stateful processing v2")
+  * implementation of the keyed OHLCV engine — same semantics as
+  * `StreamingOhlcv.statefulBars` (A3–A8, grid-aligned windows,
+  * watermark-driven final bars), expressed through the new
+  * `StatefulProcessor` API. Kept alongside the
+  * `flatMapGroupsWithState` engine: v2 brings typed state handles,
+  * TTL, and timers decoupled from the input path — but it requires the
+  * RocksDB state store provider, so the v1 engine remains the default.
+  */
+class OhlcvProcessor(widthMs: Long, emitRunning: Boolean)
+    extends StatefulProcessor[String, TimedTrade, RunningBar] {
+
+  // One state-store entry per open window — v2's native MapState (the
+  // value-state Avro encoder rejects MapType; per-window entries also
+  // avoid rewriting the whole map on every event).
+  @transient private var bars: MapState[Long, BarState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    bars = getHandle.getMapState[Long, BarState](
+      "bars", Encoders.scalaLong, Encoders.product[BarState], TTLConfig.NONE)
+  }
+
+  private def updated(st: BarState, t: TimedTrade): BarState = {
+    val open = if (st.events == 0L) t.price else st.open
+    BarState(st.windowStart, open, math.max(st.high, t.price),
+      math.min(st.low, t.price), t.price, st.volume + t.qty, st.events + 1L)
+  }
+
+  private def toBar(product: String, st: BarState, endOfWindow: Boolean): RunningBar =
+    RunningBar(new java.sql.Timestamp(st.windowStart), product,
+      st.open, st.high, st.low, st.close, st.volume, endOfWindow)
+
+  /** Emit final bars for every window fully below the watermark, keep
+    * the rest, arm a timer at the earliest next close. */
+  private def finalize(product: String, watermark: Long): Iterator[RunningBar] = {
+    val (closed, open) = bars.iterator().toSeq
+      .partition { case (ws, _) => ws + widthMs <= watermark }
+    closed.foreach { case (ws, _) => bars.removeKey(ws) }
+    if (open.nonEmpty)
+      getHandle.registerTimer(math.max(open.map(_._1).min + widthMs, watermark + 1))
+    closed.sortBy(_._1).map { case (_, st) => toBar(product, st, endOfWindow = true) }
+      .iterator
+  }
+
+  override def handleInputRows(
+      product: String,
+      rows: Iterator[TimedTrade],
+      timerValues: TimerValues): Iterator[RunningBar] = {
+    val out = Iterator.newBuilder[RunningBar]
+    val sorted = rows.toArray.sortBy(t => (t.timestamp, t.instrument_id))
+    for (t <- sorted) {
+      val ws = t.timestamp / widthMs * widthMs
+      val prev = if (bars.containsKey(ws)) bars.getValue(ws) else BarState.init(ws)
+      val st = updated(prev, t)
+      bars.updateValue(ws, st)
+      if (emitRunning) out += toBar(product, st, endOfWindow = false)
+    }
+    out.result() ++ finalize(product, timerValues.getCurrentWatermarkInMs())
+  }
+
+  override def handleExpiredTimer(
+      product: String,
+      timerValues: TimerValues,
+      expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[RunningBar] =
+    finalize(product, timerValues.getCurrentWatermarkInMs())
+}
+
+object StreamingOhlcvV2 {
+
+  /** transformWithState variant of StreamingOhlcv.statefulBars. The
+    * session must run the RocksDB state store provider:
+    * spark.sql.streaming.stateStore.providerClass=
+    * org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider */
+  def statefulBars(
+      tradesWithTs: DataFrame,
+      widthMs: Long,
+      emitRunning: Boolean): Dataset[RunningBar] = {
+    val spark = tradesWithTs.sparkSession
+    import spark.implicits._
+    val mode = if (emitRunning) OutputMode.Update() else OutputMode.Append()
+    tradesWithTs.as[TimedTrade]
+      .groupByKey(_.product)
+      .transformWithState(new OhlcvProcessor(widthMs, emitRunning),
+        TimeMode.EventTime(), mode)
+  }
+}
