@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import graft.model.Trade
+import graft.operators._
+import graft.streaming.{KafkaIO, StreamingOhlcv, StreamingOhlcvV2}
+
+/** The library facade — everything a user of the reference engine
+  * (pnikhil610/kafka-flink) needs to run their workloads on Spark, in
+  * one import:
+  *
+  * {{{
+  * import graft.Graft
+  *
+  * // batch candles over any trade-shaped DataFrame
+  * val bars = Graft.ohlcv(trades, $"ts", $"price", $"qty",
+  *   keys = Seq("product" -> $"product"), width = "1 minute", tiebreak = $"id")
+  *
+  * // streaming: Kafka JSON in → stateful bars → dual sink
+  * val stream = Graft.kafkaTrades(spark, "broker:9092", "trades")
+  * val bars   = Graft.streamingBars(stream, slack = "5 seconds", widthMs = 60000L)
+  *
+  * // training-data pipeline
+  * Graft.registerFunctions(spark) // cosine_sim, poly_hash, simhash31 in SQL
+  * }}}
+  *
+  * Each method is a thin alias for the implementing operator object —
+  * see those for semantics, oracle SQL, and scale notes.
+  */
+object Graft {
+
+  // ---------------------------------------------------------------- batch
+  /** Tumbling-window OHLCV candles (operators.Ohlcv.bars). */
+  def ohlcv(trades: DataFrame, ts: Column, price: Column, qty: Column,
+      keys: Seq[(String, Column)], width: String, tiebreak: Column): DataFrame =
+    Ohlcv.bars(trades, ts, price, qty, keys, width, tiebreak)
+
+  /** Roll fine bars into coarser bars without rescanning raw events. */
+  def ohlcvRollup(bars: DataFrame, keys: Seq[String], width: String): DataFrame =
+    Ohlcv.rollup(bars, keys, width)
+
+  // ------------------------------------------------------------ streaming
+  /** Kafka JSON trade stream with the reference wire schema. */
+  def kafkaTrades(spark: SparkSession, bootstrap: String, topic: String,
+      startingOffsets: String = "earliest"): Dataset[Trade] =
+    KafkaIO.tradeStream(spark, bootstrap, topic, startingOffsets)
+
+  /** Event-time + watermark, then keyed stateful bars (update or append). */
+  def streamingBars(trades: Dataset[Trade], slack: String, widthMs: Long,
+      emitRunning: Boolean = true): Dataset[graft.model.RunningBar] =
+    StreamingOhlcv.statefulBars(
+      StreamingOhlcv.withEventTime(trades, slack), widthMs, emitRunning)
+
+  /** Same engine on the Spark-4 transformWithState API (RocksDB store). */
+  def streamingBarsV2(trades: Dataset[Trade], slack: String, widthMs: Long,
+      emitRunning: Boolean = true): Dataset[graft.model.RunningBar] =
+    StreamingOhlcvV2.statefulBars(
+      StreamingOhlcv.withEventTime(trades, slack), widthMs, emitRunning)
+
+  /** Declarative windowed bars — works on batch AND streaming frames. */
+  def windowedBars(tradesWithTs: DataFrame, width: String): DataFrame =
+    StreamingOhlcv.windowedBars(tradesWithTs, width)
+
+  /** Chained 1m→5m (fine→coarse) streaming cascade. */
+  def cascadeBars(tradesWithTs: DataFrame, fine: String, coarse: String): DataFrame =
+    StreamingOhlcv.cascadeBars(tradesWithTs, fine, coarse)
+
+  // -------------------------------------------------- training-data suite
+  /** Exact + approximate dedup entry points (operators.Dedup). */
+  val dedup: Dedup.type = Dedup
+  /** Cosine top-k / ANN search (operators.Similarity). */
+  val similarity: Similarity.type = Similarity
+  /** Token stats, quality, language-ID, fingerprints (operators.TextAnalysis). */
+  val text: TextAnalysis.type = TextAnalysis
+  /** Binary media plumbing (operators.Multimodal). */
+  val multimodal: Multimodal.type = Multimodal
+  /** Skew-safe join/agg helpers (operators.Skew). */
+  val skew: Skew.type = Skew
+
+  /** Register the native expressions (cosine_sim, poly_hash, simhash31)
+    * for spark.sql; session-build-time alternative:
+    * spark.sql.extensions=graft.functions.GraftExtensions. */
+  def registerFunctions(spark: SparkSession): Unit = {
+    graft.functions.VectorFunctions.register(spark)
+    org.apache.spark.sql.graft.ColumnBridge.registerFunction(spark, "poly_hash",
+      (c: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.PolyHash(c.head, 31L, 0L))
+    org.apache.spark.sql.graft.ColumnBridge.registerFunction(spark, "simhash31",
+      (c: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.SimHash31(c.head))
+  }
+}

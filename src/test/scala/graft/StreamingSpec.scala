@@ -112,6 +112,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dualSink fans one stateful stream out to running and final targets") {
+    import graft.streaming.Sinks
+    import graft.model.RunningBar
+    val running = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val finals = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val input = MemoryStream[Trade]
+    val bars = StreamingOhlcv.statefulBars(
+      StreamingOhlcv.withEventTime(input.toDS(), "0 seconds"),
+      widthMs = 60000L, emitRunning = true)
+    val q = Sinks.dualSink(bars,
+        runningSink = df => running.synchronized {
+          running ++= df.select("volume").collect().map(_.getLong(0)) },
+        finalSink = df => finals.synchronized {
+          finals ++= df.select("volume").collect().map(_.getLong(0)) })
+      .outputMode("update").start()
+    try {
+      input.addData(trade(0, "P1", 10.0, 1), trade(30000, "P1", 40.0, 2))
+      q.processAllAvailable()
+      input.addData(trade(120000, "P1", 99.0, 4)) // closes minute 0
+      q.processAllAvailable()
+      assert(running.sorted.toSeq == Seq(1L, 3L, 4L)) // one per event
+      assert(finals.toSeq == Seq(3L)) // the closed minute-0 bar
+    } finally q.stop()
+  }
+
   test("late events beyond the watermark slack are dropped (W6) but kept within it (W7)") {
     // W6: 0s slack — an event whose window is already below the watermark
     // never reaches a final bar. W7: 5s slack keeps it alive.
