@@ -58,7 +58,7 @@ object KafkaIO {
   /** All columns → single JSON string `value` column (K1; reference
     * serializer /root/reference/0_kafka_json_flink.py:35-45). */
   def toJsonValue(df: DataFrame): DataFrame =
-    df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+    df.select(to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("value"))
 
   /** Kafka JSON sink (K1/K2): serialize every column into the record
     * value and hand the writer back for trigger/checkpoint config. */

@@ -47,6 +47,16 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(r.head.getDouble(1) - 1.0) < 1e-12)
   }
 
+  test("Graft.registerFunctions exposes poly_hash and simhash31 in SQL") {
+    Graft.registerFunctions(spark)
+    val r = spark.sql(
+      "SELECT poly_hash('hello') AS h, simhash31(array(1L, 1L, 2L)) AS s").head()
+    val ref = "hello".foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 2147483647L)
+    assert(r.getLong(0) == ref)
+    // bits present in ≥2 of {1,1,2}: bit0 (two 1s vote +1 net)
+    assert(r.getLong(1) == 1L)
+  }
+
   test("cosine_sim null propagates") {
     val df = Seq((Some(Array(1.0f)), None: Option[Array[Float]]))
       .toDF("a", "b")

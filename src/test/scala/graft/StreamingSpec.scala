@@ -165,6 +165,32 @@ class StreamingSpec extends SparkSpec {
     assert(finalVolumes("5 seconds")(T0) == 11L) // late event within slack kept
   }
 
+  test("property: streaming windowedBars equals batch Ohlcv.bars on random trades") {
+    val rnd = new scala.util.Random(7)
+    val trades = (0 until 500).map { i =>
+      Trade(T0 + rnd.nextInt(600000).toLong, s"I$i", s"P${rnd.nextInt(5)}",
+        (rnd.nextInt(1000) + 1).toDouble, (rnd.nextInt(100) + 1).toLong)
+    }
+    // batch, through the operators.Ohlcv plan
+    val batchDf = operators.Ohlcv.bars(
+      StreamingOhlcv.withEventTime(trades.toDS(), "0 seconds"),
+      col("ts"), col("price"), col("qty"), Seq("product" -> col("product")),
+      "1 minute", col("instrument_id"))
+    // streaming, complete mode over one replay
+    val input = MemoryStream[Trade]
+    input.addData(trades: _*)
+    val q = StreamingOhlcv.windowedBars(
+        StreamingOhlcv.withEventTime(input.toDS(), "0 seconds"), "1 minute")
+      .writeStream.format("memory").queryName("prop").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val cols = Seq("window_start", "product", "open", "high", "low", "close", "volume")
+      val b = batchDf.select(cols.map(col): _*).collect().map(_.toSeq).toSet
+      val s = spark.table("prop").select(cols.map(col): _*).collect().map(_.toSeq).toSet
+      assert(b == s)
+    } finally q.stop()
+  }
+
   test("statefulBars sustains the reference generator rate profile") {
     // 2,000 msg across ~2,000 keys in one micro-batch (old/gen.py profile)
     val rnd = new scala.util.Random(42)
