@@ -145,7 +145,27 @@ object Ohlcv {
       .orderBy(col("window_start"), col("event_type"))
   }
 
+  /** The same 1-minute bars through the pure SQL surface (Q1–Q5: the
+    * reference's TUMBLE SQL pipeline, /root/reference/old/flink.py:42-53,
+    * /root/reference/old/kfk.py:123-132): temp view + spark.sql text.
+    * Catalyst plans this identically to the DataFrame version. */
+  def bars1mSql(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT window.start AS window_start, window.end AS window_end,
+        |  event_type,
+        |  min_by(value, struct(ts, event_id)) AS open,
+        |  max(value) AS high,
+        |  min(value) AS low,
+        |  max_by(value, struct(ts, event_id)) AS close,
+        |  count(*) AS volume
+        |FROM events
+        |GROUP BY window(ts, '1 minute'), event_type
+        |ORDER BY window_start, event_type""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ohlcv_1m_sql" -> ((s, d) => bars1mSql(s, d)),
     "ohlcv_1m_typed" -> ((s, d) => bars1mTyped(s, d)),
     "ohlcv_1m" -> ((s, d) => bars1m(s, d)),
     "ohlcv_5m" -> ((s, d) => bars5m(s, d)),
@@ -158,6 +178,14 @@ object Ohlcv {
     * grid uses epoch arithmetic. (ts, event_type) pairs are unique in the
     * testdata, so arg_min/arg_max on ts alone is deterministic. */
   val oracle: Map[String, String] = Map(
+    "ohlcv_1m_sql" ->
+      """SELECT date_trunc('minute', ts) AS window_start,
+        |       date_trunc('minute', ts) + INTERVAL 1 MINUTE AS window_end,
+        |       event_type,
+        |       arg_min(value, ts) AS open, max(value) AS high,
+        |       min(value) AS low, arg_max(value, ts) AS close,
+        |       count(*)::BIGINT AS volume
+        |FROM events GROUP BY 1, 2, 3 ORDER BY 1, 3""".stripMargin,
     "ohlcv_1m_typed" ->
       """SELECT date_trunc('minute', ts) AS window_start,
         |       date_trunc('minute', ts) + INTERVAL 1 MINUTE AS window_end,
