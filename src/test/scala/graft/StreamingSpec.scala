@@ -165,6 +165,37 @@ class StreamingSpec extends SparkSpec {
     assert(finalVolumes("5 seconds")(T0) == 11L) // late event within slack kept
   }
 
+  test("statefulBars absorbs out-of-order events across window boundaries within the watermark") {
+    val input = MemoryStream[Trade]
+    val bars = StreamingOhlcv.statefulBars(
+      StreamingOhlcv.withEventTime(input.toDS(), "2 minutes"), // generous slack
+      widthMs = 60000L, emitRunning = false)
+    val q = bars.writeStream.format("memory").queryName("ooo").outputMode("append").start()
+    try {
+      // batch 1: events for minute 1 BEFORE minute 0 (out of order)
+      input.addData(trade(70000, "P1", 50.0, 1), trade(10000, "P1", 10.0, 2))
+      q.processAllAvailable()
+      // batch 2: stragglers for BOTH minutes, still within the 2-min slack
+      input.addData(trade(80000, "P1", 60.0, 4), trade(20000, "P1", 20.0, 8))
+      q.processAllAvailable()
+      // close both windows
+      input.addData(trade(600000, "P1", 1.0, 16))
+      q.processAllAvailable()
+      input.addData(trade(900000, "P1", 1.0, 32))
+      q.processAllAvailable()
+      val rows = spark.table("ooo")
+        .orderBy("time").collect()
+      assert(rows.length >= 2)
+      val m0 = rows(0)
+      assert(m0.getAs[java.sql.Timestamp]("time").getTime == T0)
+      assert(m0.getAs[Double]("open") == 10.0 && m0.getAs[Double]("close") == 20.0)
+      assert(m0.getAs[Long]("volume") == 10L)
+      val m1 = rows(1)
+      assert(m1.getAs[Double]("open") == 50.0 && m1.getAs[Double]("close") == 60.0)
+      assert(m1.getAs[Long]("volume") == 5L)
+    } finally q.stop()
+  }
+
   test("property: streaming windowedBars equals batch Ohlcv.bars on random trades") {
     val rnd = new scala.util.Random(7)
     val trades = (0 until 500).map { i =>
