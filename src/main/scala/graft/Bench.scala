@@ -38,7 +38,41 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val rate = streamingRate(spark)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""streaming_events_per_sec":$rate,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Single-node streaming throughput: 200k trades over the reference
+    * generator's key/value profile (~2,000 products,
+    * /root/reference/old/gen.py:13-26) through the keyed stateful
+    * engine in one replay. The reference's generator targets ~2,000
+    * msg/s; this reports how many the engine absorbs per second. */
+  private def streamingRate(spark: SparkSession): Long = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.model.Trade
+    import graft.streaming.StreamingOhlcv
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val n = 200000
+    val rnd = new scala.util.Random(42)
+    val base = 1723459200000L
+    val trades = (0 until n).map { _ =>
+      Trade(base + rnd.nextInt(600000).toLong, s"I${rnd.nextInt(100)}",
+        s"Product_${rnd.nextInt(1999) + 1}",
+        (rnd.nextInt(1000) + 1).toDouble, (rnd.nextInt(100) + 1).toLong)
+    }
+    val input = MemoryStream[Trade]
+    input.addData(trades: _*)
+    val bars = StreamingOhlcv.statefulBars(
+      StreamingOhlcv.withEventTime(input.toDS(), "5 seconds"),
+      widthMs = 60000L, emitRunning = false)
+    val q = bars.writeStream.format("noop").outputMode("append").start()
+    try {
+      val t0 = System.nanoTime()
+      q.processAllAvailable()
+      (n / ((System.nanoTime() - t0) / 1e9)).toLong
+    } finally q.stop()
   }
 }

@@ -145,6 +145,30 @@ object Ohlcv {
       .orderBy(col("window_start"), col("event_type"))
   }
 
+  /** Packed-tiebreak fast path: the struct ordering key in `bars`
+    * forces SortAggregate (a DeclarativeAggregate with an immutable
+    * struct buffer cannot hash-aggregate); packing (ts, tiebreak) into
+    * one BIGINT — unix-millis ≪ 20 | id — keeps every buffer field
+    * primitive and the plan becomes HashAggregate. Constraint: tiebreak
+    * must fit 20 bits (id < 1,048,576); `bars` is the
+    * unconstrained-scale fallback. Ordering is identical (millis
+    * dominate, id breaks ties), so results match `bars1m` exactly. */
+  def bars1mPacked(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val ord = shiftleft(unix_millis(col("ts")), 20) + col("event_id")
+    ev.groupBy(window(col("ts"), "1 minute").as("w"), col("event_type"))
+      .agg(
+        min_by(col("value"), ord).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), ord).as("close"),
+        count(lit(1)).as("volume"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("event_type"), col("open"), col("high"), col("low"), col("close"),
+        col("volume"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
   /** The same 1-minute bars through the pure SQL surface (Q1–Q5: the
     * reference's TUMBLE SQL pipeline, /root/reference/old/flink.py:42-53,
     * /root/reference/old/kfk.py:123-132): temp view + spark.sql text.
@@ -166,6 +190,7 @@ object Ohlcv {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ohlcv_1m_sql" -> ((s, d) => bars1mSql(s, d)),
+    "ohlcv_1m_packed" -> ((s, d) => bars1mPacked(s, d)),
     "ohlcv_1m_typed" -> ((s, d) => bars1mTyped(s, d)),
     "ohlcv_1m" -> ((s, d) => bars1m(s, d)),
     "ohlcv_5m" -> ((s, d) => bars5m(s, d)),
@@ -179,6 +204,14 @@ object Ohlcv {
     * testdata, so arg_min/arg_max on ts alone is deterministic. */
   val oracle: Map[String, String] = Map(
     "ohlcv_1m_sql" ->
+      """SELECT date_trunc('minute', ts) AS window_start,
+        |       date_trunc('minute', ts) + INTERVAL 1 MINUTE AS window_end,
+        |       event_type,
+        |       arg_min(value, ts) AS open, max(value) AS high,
+        |       min(value) AS low, arg_max(value, ts) AS close,
+        |       count(*)::BIGINT AS volume
+        |FROM events GROUP BY 1, 2, 3 ORDER BY 1, 3""".stripMargin,
+    "ohlcv_1m_packed" ->
       """SELECT date_trunc('minute', ts) AS window_start,
         |       date_trunc('minute', ts) + INTERVAL 1 MINUTE AS window_end,
         |       event_type,
