@@ -26,18 +26,22 @@ object Bench {
     // warmup: session + parquet footer reads off the clock
     Tables.lineitem(spark, sfDir).select("l_orderkey").limit(1).collect()
 
+    // a failed query records -1, never its time-to-failure — a broken
+    // query must not masquerade as a fast one in tracked benchmarks
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch {
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        name -> (System.nanoTime() - t0) / 1e9
+      } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          name -> -1.0
       }
-      name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     val rate = streamingRate(spark)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""streaming_events_per_sec":$rate,"sf":"$sfDir"}""")

@@ -27,9 +27,11 @@ object TextFunctions {
   /** Mersenne prime 2^31-1: modulus of all polynomial hashes. */
   val P: Long = 2147483647L
 
-  /** Whitespace tokens, empties dropped (split-on-regex emits a trailing
-    * "" under Java split semantics; DuckDB's string_split does not —
-    * filtering makes both engines agree). */
+  /** Whitespace tokens, empties dropped. Both Spark's split and
+    * DuckDB's string_split emit empty strings around leading/trailing/
+    * consecutive separators — the oracle SQL applies the same
+    * `list_filter(…, x -> x <> '')`, so tokenization agrees on ANY
+    * input, not just single-spaced text. */
   def tokens(text: Column): Column =
     filter(split(text, " "), t => t =!= lit(""))
 

@@ -58,19 +58,49 @@ final case class Bar(
   * (/root/reference/7_ohlc.py:26-33 ProductState{high, low, open, close,
   * volume, start_of_window}). Initialization semantics preserved:
   * high=-inf, low=+inf, volume=0, open set once by the first event
-  * (/root/reference/5_ohlc.py:27-34). */
+  * (/root/reference/5_ohlc.py:27-34).
+  *
+  * open/close carry their (event-time, tiebreak) stamps so that a
+  * late-but-within-watermark event arriving in a LATER micro-batch
+  * still lands correctly: without the stamps, arrival order would
+  * leak into open/close across batches (the reference, processing one
+  * event at a time in arrival order, has the same defect by design —
+  * we keep event-time semantics instead, matching OhlcvAggregator). */
 final case class BarState(
     windowStart: Long, // epoch ms, grid-aligned
     open: Double,
+    openTs: Long,
+    openTie: String,
     high: Double,
     low: Double,
     close: Double,
+    closeTs: Long,
+    closeTie: String,
     volume: Long,
     events: Long)
 
 object BarState {
   def init(windowStart: Long): BarState =
-    BarState(windowStart, Double.NaN, Double.MinValue, Double.MaxValue, Double.NaN, 0L, 0L)
+    BarState(windowStart, Double.NaN, Long.MaxValue, "", Double.MinValue,
+      Double.MaxValue, Double.NaN, Long.MinValue, "", 0L, 0L)
+
+  private def earlier(ts1: Long, tie1: String, ts2: Long, tie2: String): Boolean =
+    ts1 < ts2 || (ts1 == ts2 && tie1 < tie2)
+
+  /** Fold one event into the bar — order-independent: correct whatever
+    * order events arrive in, within or across micro-batches. */
+  def updated(st: BarState, tsMs: Long, tie: String, price: Double, qty: Long): BarState = {
+    val first = st.events == 0L
+    val (o, oTs, oTie) =
+      if (first || earlier(tsMs, tie, st.openTs, st.openTie)) (price, tsMs, tie)
+      else (st.open, st.openTs, st.openTie)
+    val (c, cTs, cTie) =
+      if (first || !earlier(tsMs, tie, st.closeTs, st.closeTie)) (price, tsMs, tie)
+      else (st.close, st.closeTs, st.closeTie)
+    BarState(st.windowStart, o, oTs, oTie,
+      math.max(st.high, price), math.min(st.low, price),
+      c, cTs, cTie, st.volume + qty, st.events + 1L)
+  }
 }
 
 /** Running-bar emission for update-mode output (one per input event,

@@ -68,9 +68,14 @@ object Dedup {
       .select(col("doc_id"), shingleCodes(col("text"), ShingleN).as("codes"))
       .withColumn("sz", size(col("codes")).cast("long"))
 
-  /** Exact word-3-gram Jaccard near-dup pairs via inverted index. */
+  /** Exact word-3-gram Jaccard near-dup pairs via inverted index.
+    * `sh` appears three times in the plan and is recomputed per use —
+    * cheap here (ShingleHashes is one fused scan pass) and leak-free; a
+    * 100 TB run would checkpoint the shingle table to storage once
+    * instead (a library-held `.persist()` with no unpersist hook leaks
+    * executor storage across a long session). */
   def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(spark, dir).persist()
+    val sh = shingled(spark, dir)
     val posts = sh.select(col("doc_id"), explode(col("codes")).as("code"))
     val common = posts.as("a").join(posts.as("b"),
         col("a.code") === col("b.code") && col("a.doc_id") < col("b.doc_id"))
@@ -102,7 +107,7 @@ object Dedup {
     * Jaccard verification at the threshold. Deterministically misses
     * what LSH misses — the oracle replays the same banding. */
   def minHashLshPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sh = minHashSignatures(spark, dir).persist()
+    val sh = minHashSignatures(spark, dir)
     val bands = sh.select(col("doc_id"), col("sig"),
         posexplode(transform(sequence(lit(0), lit(Bands - 1)),
           b => struct(
@@ -141,17 +146,13 @@ object Dedup {
   /** SimHash near-dup pairs within Hamming distance 3, found by
     * pigeonhole block join: 31 bits split into 4 blocks of 8; any pair
     * with ≤3 differing bits shares at least one block — the candidate
-    * set is complete, not probabilistic.
-    *
-    * The shingle-code array is materialized (persist) BEFORE the 31
-    * per-bit vote expressions: inlined, each vote would re-run the whole
-    * shingle+hash pipeline (Catalyst does not CSE across higher-order
-    * lambdas — measured 30× slower). */
+    * set is complete, not probabilistic. (SimHash31 computes all 31
+    * bit votes in one native pass over the code array — the earlier
+    * 31-expression column-algebra form re-ran the shingle pipeline per
+    * bit because Catalyst does not CSE across HOF lambdas.) */
   def simHashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(spark, dir).select(col("doc_id"), col("codes"))
-      .persist()
+    val sh = shingled(spark, dir)
       .select(col("doc_id"), simHashCol.as("simhash"))
-      .persist()
     val blocks = sh.select(col("doc_id"), col("simhash"),
         posexplode(array((0 until SimHashBlocks).map(k =>
           shiftright(col("simhash"), k * 8).bitwiseAND(255)): _*)))
@@ -215,7 +216,7 @@ object Dedup {
   /** Shared oracle CTE: distinct word-3-gram shingle codes per doc,
     * polynomial-hashed exactly as TextFunctions.polyHash. */
   private val shingleCte =
-    """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    """toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
       |sh0 AS (SELECT doc_id,
       |  list_distinct(list_transform(
       |    list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),

@@ -113,6 +113,8 @@ object Multimodal {
   def frameSample(spark: SparkSession, dir: String): DataFrame =
     mediaTable(spark, dir).toDF()
       .select(col("doc_id"), col("meta.n_bytes").as("n_bytes"))
+      .filter(col("n_bytes") > 0) // empty payload → no frames (div truncates
+      // toward zero, so (0-1) div 64 = 0 would fabricate one)
       .select(col("doc_id"), col("n_bytes"),
         posexplode(sequence(lit(0L),
           expr(s"(n_bytes - 1) div $FrameBytes"), lit(FrameStride.toLong))))
@@ -134,6 +136,11 @@ object Multimodal {
     "mm_feature_histogram" -> ((s, d) => featureHistogram(s, d)),
     "mm_frame_sample" -> ((s, d) => frameSample(s, d)))
 
+  /** Oracle validity domain: these SQL replicas compare per-CHARACTER
+    * arithmetic (ascii()/regexp over text) against the engine's
+    * per-BYTE arithmetic over the UTF-8 payload — equivalent only for
+    * ASCII corpora (which the testdata is, verified). The engine's
+    * byte semantics are the correct ones for a media pipeline. */
   val oracle: Map[String, String] = Map(
     // replays the stub codec arithmetic over the first two bytes
     "mm_decode_meta" ->

@@ -129,7 +129,7 @@ object TextAnalysis {
 
   val oracle: Map[String, String] = Map(
     "text_token_stats" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents)
         |SELECT doc_id,
         |  len(toks)::BIGINT AS n_tokens,
         |  len(list_distinct(toks))::BIGINT AS n_distinct,
@@ -137,7 +137,7 @@ object TextAnalysis {
         |  list_reduce(list_prepend(0::BIGINT, list_transform(toks, x -> length(x)::BIGINT)), (a, b) -> a + b) / len(toks)::BIGINT AS avg_token_len
         |FROM t ORDER BY doc_id""".stripMargin,
     "text_quality" ->
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      s"""WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
          |s AS (SELECT doc_id,
          |  len(toks)::BIGINT AS n_tokens,
          |  len(list_distinct(toks))::BIGINT AS n_distinct,
@@ -161,7 +161,7 @@ object TextAnalysis {
         s"CASE WHEN $ge THEN '$l' ELSE $els END"
       }
       val mx = s"greatest(${langs.map(_ + "_hits").mkString(", ")})"
-      s"""WITH t AS (SELECT doc_id, lang AS labeled_lang, string_split(text, ' ') AS toks FROM documents),
+      s"""WITH t AS (SELECT doc_id, lang AS labeled_lang, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
          |s AS (SELECT doc_id, labeled_lang,
          |  $hitCols
          | FROM t)
@@ -175,6 +175,6 @@ object TextAnalysis {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_wordcount_topk" ->
       """SELECT token, count(*)::BIGINT AS n
-        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token FROM documents)
         |GROUP BY token ORDER BY n DESC, token LIMIT 30""".stripMargin)
 }

@@ -59,7 +59,7 @@ object Windows {
     "win_user_sessions" ->
       """WITH o AS (SELECT user_id, ts, value,
         |    CASE WHEN lag(ts) OVER w IS NULL
-        |              OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+        |              OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
         |         THEN 1 ELSE 0 END AS brk
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
         |s AS (SELECT user_id, ts, value,

@@ -40,14 +40,17 @@ object JsonSource {
       .json(path)
 
   /** Parse an embedded JSON string column against a declared schema —
-    * the Kafka-value path. Strict mode drops records where any declared
-    * top-level field parsed to null (the closest batch analog of
-    * fail_on_missing_field: `from_json` never throws per-record). */
+    * the Kafka-value path. Strict mode drops records where a declared
+    * NON-NULLABLE field parsed to null (the closest batch analog of
+    * fail_on_missing_field: `from_json` never throws per-record);
+    * nullable fields — e.g. RichTrade's counterparty/OTC columns — may
+    * legitimately be absent. */
   def parseJson(df: DataFrame, column: String, schema: StructType,
       failOnMissing: Boolean): DataFrame = {
     val parsed = df.withColumn("_parsed", from_json(col(column), schema))
     val flat = parsed.select(col("_parsed.*"))
-    if (!failOnMissing) flat
-    else flat.filter(schema.fields.map(f => col(f.name).isNotNull).reduce(_ && _))
+    val required = schema.fields.filterNot(_.nullable)
+    if (!failOnMissing || required.isEmpty) flat
+    else flat.filter(required.map(f => col(f.name).isNotNull).reduce(_ && _))
   }
 }

@@ -45,15 +45,32 @@ object KafkaIO {
     * the stream source and batch tests (reference deserializer,
     * /root/reference/3_ohlc.py:29-36). Records failing the declared schema
     * parse to null fields — filtered, mirroring fail_on_missing_field
-    * (/root/reference/old/kfk.py:91). */
+    * (/root/reference/old/kfk.py:91). Every Trade field is required:
+    * price/qty are primitives (a null would kill the typed stream at
+    * deserialization) and instrument_id is the engines' tiebreak. */
   def parseTrades(raw: DataFrame): Dataset[Trade] = {
     import raw.sparkSession.implicits._
     raw
       .select(from_json(col("value").cast("string"), Schemas.trade).as("t"))
       .select(col("t.*"))
-      .filter(col("timestamp").isNotNull && col("product").isNotNull)
+      .filter(col("timestamp").isNotNull && col("product").isNotNull &&
+        col("price").isNotNull && col("qty").isNotNull &&
+        col("instrument_id").isNotNull)
       .as[Trade]
   }
+
+  /** Trade fields PLUS Kafka lineage (kafka_partition, kafka_offset) —
+    * the unique-per-record tiebreak for deterministic open/close in the
+    * declarative engines (struct(kafka_partition, kafka_offset) is
+    * unique and replay-stable on a compacted-off topic). */
+  def parseTradesWithLineage(raw: DataFrame): DataFrame =
+    raw
+      .select(col("partition").as("kafka_partition"), col("offset").as("kafka_offset"),
+        from_json(col("value").cast("string"), Schemas.trade).as("t"))
+      .select(col("kafka_partition"), col("kafka_offset"), col("t.*"))
+      .filter(col("timestamp").isNotNull && col("product").isNotNull &&
+        col("price").isNotNull && col("qty").isNotNull &&
+        col("instrument_id").isNotNull)
 
   /** All columns → single JSON string `value` column (K1; reference
     * serializer /root/reference/0_kafka_json_flink.py:35-45). */

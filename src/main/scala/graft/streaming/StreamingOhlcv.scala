@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.model.{BarState, RunningBar, Trade}
@@ -46,9 +46,18 @@ object StreamingOhlcv {
       .withWatermark("ts", slack)
 
   /** Declarative tumbling-window OHLCV (A1). Works identically on batch
-    * and streaming DataFrames; in streaming use append output mode. */
-  def windowedBars(tradesWithTs: DataFrame, width: String): DataFrame = {
-    val ord = struct(col("ts"), col("instrument_id"))
+    * and streaming DataFrames; in streaming use append output mode.
+    *
+    * @param tiebreak column ordering events with EQUAL event time —
+    *   open/close are deterministic only if (ts, tiebreak) is unique per
+    *   row. The instrument_id default matches the reference's data model
+    *   but can collide for a busy instrument in the same millisecond;
+    *   feed Kafka lineage (`KafkaIO.parseTradesWithLineage` →
+    *   struct(kafka_partition, kafka_offset)) when strict run-to-run
+    *   determinism is required. */
+  def windowedBars(tradesWithTs: DataFrame, width: String,
+      tiebreak: Column = col("instrument_id")): DataFrame = {
+    val ord = struct(col("ts"), tiebreak)
     tradesWithTs
       .groupBy(window(col("ts"), width).as("w"), col("product"))
       .agg(
@@ -71,8 +80,10 @@ object StreamingOhlcv {
     * key×fine-window sized — at 100 TB the second stage shuffles
     * bar-counts, not event-counts. Append mode: each resolution emits
     * once its watermark passes. */
-  def cascadeBars(tradesWithTs: DataFrame, fine: String, coarse: String): DataFrame = {
-    val ord = struct(col("ts"), col("instrument_id"))
+  def cascadeBars(tradesWithTs: DataFrame, fine: String, coarse: String,
+      tiebreak: Column = col("instrument_id")): DataFrame = {
+    val ord = struct(col("ts"), tiebreak) // uniqueness contract: see windowedBars
+
     val fineBars = tradesWithTs
       .groupBy(window(col("ts"), fine).as("w"), col("product"))
       .agg(
@@ -105,14 +116,6 @@ object StreamingOhlcv {
     * a map tolerates out-of-order arrival across window boundaries
     * within the watermark, which a replayed log produces). */
   final case class ProductBars(bars: Map[Long, BarState])
-
-  private def updated(st: BarState, t: TimedTrade): BarState = {
-    // Initialization semantics preserved from /root/reference/5_ohlc.py:27-34:
-    // open set once by the first event; high/low fold from -inf/+inf.
-    val open = if (st.events == 0L) t.price else st.open
-    BarState(st.windowStart, open, math.max(st.high, t.price),
-      math.min(st.low, t.price), t.price, st.volume + t.qty, st.events + 1L)
-  }
 
   private def toBar(product: String, widthMs: Long, st: BarState, endOfWindow: Boolean): RunningBar =
     RunningBar(new java.sql.Timestamp(st.windowStart), product,
@@ -153,13 +156,14 @@ object StreamingOhlcv {
     val out = Iterator.newBuilder[RunningBar]
 
     if (!state.hasTimedOut) {
-      // Event-time order within the micro-batch: batches are unordered,
-      // the reference assumes per-key arrival order — sorting restores a
-      // deterministic open/close (SURVEY.md §7.4).
+      // BarState.updated is order-independent (event-time-stamped
+      // open/close), so correctness never depends on arrival order —
+      // sorting only makes the running-bar emission sequence readable.
       val sorted = events.toArray.sortBy(t => (t.timestamp, t.instrument_id))
       for (t <- sorted) {
         val ws = t.timestamp / widthMs * widthMs // grid align, 7_ohlc.py:64
-        val st = updated(bars.getOrElse(ws, BarState.init(ws)), t)
+        val st = BarState.updated(bars.getOrElse(ws, BarState.init(ws)),
+          t.timestamp, t.instrument_id, t.price, t.qty)
         bars = bars.updated(ws, st)
         if (emitRunning) out += toBar(product, widthMs, st, endOfWindow = false)
       }

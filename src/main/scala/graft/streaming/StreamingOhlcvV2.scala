@@ -27,12 +27,6 @@ class OhlcvProcessor(widthMs: Long, emitRunning: Boolean)
       "bars", Encoders.scalaLong, Encoders.product[BarState], TTLConfig.NONE)
   }
 
-  private def updated(st: BarState, t: TimedTrade): BarState = {
-    val open = if (st.events == 0L) t.price else st.open
-    BarState(st.windowStart, open, math.max(st.high, t.price),
-      math.min(st.low, t.price), t.price, st.volume + t.qty, st.events + 1L)
-  }
-
   private def toBar(product: String, st: BarState, endOfWindow: Boolean): RunningBar =
     RunningBar(new java.sql.Timestamp(st.windowStart), product,
       st.open, st.high, st.low, st.close, st.volume, endOfWindow)
@@ -58,7 +52,7 @@ class OhlcvProcessor(widthMs: Long, emitRunning: Boolean)
     for (t <- sorted) {
       val ws = t.timestamp / widthMs * widthMs
       val prev = if (bars.containsKey(ws)) bars.getValue(ws) else BarState.init(ws)
-      val st = updated(prev, t)
+      val st = BarState.updated(prev, t.timestamp, t.instrument_id, t.price, t.qty)
       bars.updateValue(ws, st)
       if (emitRunning) out += toBar(product, st, endOfWindow = false)
     }

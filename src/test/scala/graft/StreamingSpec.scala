@@ -172,11 +172,12 @@ class StreamingSpec extends SparkSpec {
       widthMs = 60000L, emitRunning = false)
     val q = bars.writeStream.format("memory").queryName("ooo").outputMode("append").start()
     try {
-      // batch 1: events for minute 1 BEFORE minute 0 (out of order)
-      input.addData(trade(70000, "P1", 50.0, 1), trade(10000, "P1", 10.0, 2))
+      // batch 1: one event in each of minutes 0 and 1
+      input.addData(trade(70000, "P1", 50.0, 1), trade(50000, "P1", 5.0, 2))
       q.processAllAvailable()
-      // batch 2: stragglers for BOTH minutes, still within the 2-min slack
-      input.addData(trade(80000, "P1", 60.0, 4), trade(20000, "P1", 20.0, 8))
+      // batch 2: stragglers for BOTH minutes with EARLIER event times —
+      // a later micro-batch must be able to supply the true open
+      input.addData(trade(65000, "P1", 60.0, 4), trade(10000, "P1", 9.0, 8))
       q.processAllAvailable()
       // close both windows
       input.addData(trade(600000, "P1", 1.0, 16))
@@ -188,10 +189,12 @@ class StreamingSpec extends SparkSpec {
       assert(rows.length >= 2)
       val m0 = rows(0)
       assert(m0.getAs[java.sql.Timestamp]("time").getTime == T0)
-      assert(m0.getAs[Double]("open") == 10.0 && m0.getAs[Double]("close") == 20.0)
+      // event-time order, not arrival order: the batch-2 straggler at
+      // ts=10s is the open; close is the batch-1 event at ts=50s
+      assert(m0.getAs[Double]("open") == 9.0 && m0.getAs[Double]("close") == 5.0)
       assert(m0.getAs[Long]("volume") == 10L)
       val m1 = rows(1)
-      assert(m1.getAs[Double]("open") == 50.0 && m1.getAs[Double]("close") == 60.0)
+      assert(m1.getAs[Double]("open") == 60.0 && m1.getAs[Double]("close") == 50.0)
       assert(m1.getAs[Long]("volume") == 5L)
     } finally q.stop()
   }
