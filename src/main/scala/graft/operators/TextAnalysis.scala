@@ -105,6 +105,61 @@ object TextAnalysis {
         polyHash37(col("text")).as("fp37"))
       .orderBy(col("doc_id"))
 
+  /** Character-trigram language profiles — the n-gram flavor of
+    * language-ID (vs the stopword flavor in `langId`): score = how many
+    * of the text's char-trigrams appear in each language's profile
+    * (tiny fixed profiles of characteristic trigrams; a production
+    * system learns ~300 per language from a labeled corpus — Cavnar &
+    * Trenkle, "N-gram-based text categorization", 1994). */
+  val triProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "ing", "and", "ion", "ent", "her"),
+    "es" -> Seq("que", "ión", "los", "ado", "nte", "era"),
+    "de" -> Seq("der", "ein", "ich", "sch", "und", "die"),
+    "fr" -> Seq("les", "ent", "que", "ion", "eur", "ait"),
+    "zh" -> Seq("zh5", "sh5", "ng5", "ao5", "ia5", "uo5"))
+
+  /** BPE-ish subword tokenization count: runs of letters, runs of
+    * digits, runs of punctuation — the standard pre-tokenizer regex
+    * shape (GPT-2 style, simplified to stay cross-engine identical).
+    * Whitespace token count alongside for the compression ratio. */
+  def bpeTokenCounts(spark: SparkSession, dir: String): DataFrame = {
+    val pattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+"
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_ws_tokens"),
+        regexp_count(col("text"), lit(pattern)).cast("long").as("n_bpe_tokens"))
+      .withColumn("tokens_per_word",
+        col("n_bpe_tokens") / col("n_ws_tokens").cast("double"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Char-trigram language scores + argmax prediction. */
+  def langIdNgram(spark: SparkSession, dir: String): DataFrame = {
+    val langs = Seq("en", "es", "de", "fr", "zh")
+    // dynamic-start substring needs the SQL lambda form
+    val trisExpr = expr(
+      "transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))")
+    val scored = Tables.documents(spark, dir)
+      .select(Seq(col("doc_id"), col("lang").as("labeled_lang"),
+        when(length(col("text")) >= 3, trisExpr)
+          .otherwise(array().cast("array<string>")).as("tris")): _*)
+      .select(Seq(col("doc_id"), col("labeled_lang")) ++
+        langs.map(l => size(filter(col("tris"),
+          t => t.isin(triProfiles(l).map(w => w: Any): _*))).cast("long")
+          .as(s"${l}_tri_hits")): _*)
+    val pred = langs.init.foldRight(lit(langs.last): Column) { (l, els) =>
+      val ge = langs.filter(_ != l)
+        .map(o => col(s"${l}_tri_hits") >= col(s"${o}_tri_hits"))
+        .reduce(_ && _)
+      when(ge, lit(l)).otherwise(els)
+    }
+    scored
+      .withColumn("predicted",
+        when(langs.map(l => col(s"${l}_tri_hits")).reduce(greatest(_, _)) === 0, "unknown")
+          .otherwise(pred))
+      .orderBy(col("doc_id"))
+  }
+
   /** Corpus-level word count, top 30 tokens — the canonical map-side
     * combine shape: explode → partial agg per task → single small
     * shuffle of (token, count). */
@@ -121,6 +176,8 @@ object TextAnalysis {
     "text_quality" -> ((s, d) => qualityScore(s, d)),
     "text_lang_id" -> ((s, d) => langId(s, d)),
     "text_fingerprint" -> ((s, d) => fingerprints(s, d)),
+    "text_bpe_tokens" -> ((s, d) => bpeTokenCounts(s, d)),
+    "text_lang_id_ngram" -> ((s, d) => langIdNgram(s, d)),
     "text_wordcount_topk" -> ((s, d) => wordCountTopK(s, d)))
 
   private val stopSqlAll: String =
@@ -173,6 +230,34 @@ object TextAnalysis {
         |  list_reduce(list_prepend(0::BIGINT, list_transform(string_split(text, ''), c -> ascii(c)::BIGINT)), (a, c) -> (a * 31 + c) % 2147483647) AS fp31,
         |  list_reduce(list_prepend(7::BIGINT, list_transform(string_split(text, ''), c -> ascii(c)::BIGINT)), (a, c) -> (a * 37 + c) % 2147483647) AS fp37
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_bpe_tokens" ->
+      """SELECT doc_id,
+        |  len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS n_ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+'))::BIGINT AS n_bpe_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+'))
+        |    / len(list_filter(string_split(text, ' '), x -> x <> ''))::DOUBLE AS tokens_per_word
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_lang_id_ngram" -> {
+      val langs = Seq("en", "es", "de", "fr", "zh")
+      def tl(l: String): String = triProfiles(l).map(w => s"'$w'").mkString(", ")
+      val hitCols = langs.map(l =>
+        s"len(list_filter(tris, t -> t IN (${tl(l)})))::BIGINT AS ${l}_tri_hits").mkString(",\n  ")
+      val pred = langs.init.foldRight(s"'${langs.last}'") { (l, els) =>
+        val ge = langs.filter(_ != l).map(o => s"${l}_tri_hits >= ${o}_tri_hits").mkString(" AND ")
+        s"CASE WHEN $ge THEN '$l' ELSE $els END"
+      }
+      val mx = s"greatest(${langs.map(_ + "_tri_hits").mkString(", ")})"
+      s"""WITH t AS (SELECT doc_id, lang AS labeled_lang,
+         |  CASE WHEN length(text) >= 3
+         |    THEN list_transform(range(1, length(text) - 1), i -> substr(text, i::INT, 3))
+         |    ELSE []::VARCHAR[] END AS tris
+         | FROM documents),
+         |s AS (SELECT doc_id, labeled_lang,
+         |  $hitCols
+         | FROM t)
+         |SELECT *, CASE WHEN $mx = 0 THEN 'unknown' ELSE $pred END AS predicted
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
     "text_wordcount_topk" ->
       """SELECT token, count(*)::BIGINT AS n
         |FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token FROM documents)
