@@ -23,8 +23,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warmup: session + parquet footer reads off the clock
-    Tables.lineitem(spark, sfDir).select("l_orderkey").limit(1).collect()
+    // warmup: session init + parquet footer/schema reads of EVERY table
+    // off the clock (footer reads are per-file — warming only one table
+    // would charge the first query touching each of the others)
+    Seq("lineitem", "orders", "customer", "part", "supplier", "nation",
+      "region", "documents", "embeddings")
+      .foreach(t => Tables.load(spark, sfDir, t).limit(1).collect())
+    Tables.events(spark, sfDir).limit(1).collect()
 
     // a failed query records -1, never its time-to-failure — a broken
     // query must not masquerade as a fast one in tracked benchmarks
@@ -39,12 +44,17 @@ object Bench {
           name -> -1.0
       }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => JsonUtil.q(k) + ":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val rate = streamingRate(spark)
+    // one streaming failure must not discard the batch measurements
+    val rate = try streamingRate(spark) catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] streamingRate failed: ${e.getMessage}")
+        -1L
+    }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""streaming_events_per_sec":$rate,"sf":"$sfDir"}""")
+      s""""streaming_events_per_sec":$rate,"sf":${JsonUtil.q(sfDir)}}""")
     spark.stop()
   }
 

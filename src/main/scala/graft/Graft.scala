@@ -79,14 +79,8 @@ object Graft {
 
   /** Register the native expressions (cosine_sim, poly_hash, simhash31)
     * for spark.sql; session-build-time alternative:
-    * spark.sql.extensions=graft.functions.GraftExtensions. */
-  def registerFunctions(spark: SparkSession): Unit = {
+    * spark.sql.extensions=graft.functions.GraftExtensions. Both paths
+    * share VectorFunctions.builders, so they cannot diverge. */
+  def registerFunctions(spark: SparkSession): Unit =
     graft.functions.VectorFunctions.register(spark)
-    org.apache.spark.sql.graft.ColumnBridge.registerFunction(spark, "poly_hash",
-      (c: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        graft.functions.PolyHash(c.head, 31L, 0L))
-    org.apache.spark.sql.graft.ColumnBridge.registerFunction(spark, "simhash31",
-      (c: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        graft.functions.SimHash31(c.head))
-  }
 }

@@ -11,19 +11,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * bucketed by join key); the API shape — name → DataFrame — is the same.
   */
 object Tables {
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // The events table carries TIMESTAMP(NANOS) parquet, which Spark's
-    // vectorized reader rejects; read nanos as long and convert at the
-    // ingest edge (integer division — a double round-trip would lose
-    // precision above 2^53 ns).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
-  }
 
-  def events(spark: SparkSession, dir: String): DataFrame =
+  /** The events table carries TIMESTAMP(NANOS) parquet, which Spark's
+    * vectorized reader rejects; read nanos as long and convert at the
+    * ingest edge (integer division — a double round-trip would lose
+    * precision above 2^53 ns). The legacy conf is scoped HERE, not in
+    * `load`: flipping it for every table would silently change how any
+    * other nanos parquet in the session reads. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(spark, dir, "events")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")

@@ -96,28 +96,32 @@ object VectorFunctions {
     ColumnBridge.column(
       CosineSimilarity(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
-  /** Make `cosine_sim` callable from spark.sql on a live session. */
+  /** The ONE registry of (name, class, builder) — both registration
+    * paths (per-session and spark.sql.extensions) read from here, so
+    * the SQL surface cannot diverge between them. */
+  val builders: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    ("cosine_sim", classOf[CosineSimilarity],
+      (c: Seq[Expression]) => CosineSimilarity(c.head, c(1))),
+    ("poly_hash", classOf[PolyHash],
+      (c: Seq[Expression]) => PolyHash(c.head, 31L, 0L)),
+    ("simhash31", classOf[SimHash31],
+      (c: Seq[Expression]) => SimHash31(c.head)))
+
+  /** Make every graft expression callable from spark.sql on a live
+    * session. */
   def register(spark: SparkSession): Unit =
-    ColumnBridge.registerFunction(spark, "cosine_sim",
-      (children: Seq[Expression]) => CosineSimilarity(children.head, children(1)))
+    builders.foreach { case (name, _, builder) =>
+      ColumnBridge.registerFunction(spark, name, builder)
+    }
 }
 
 /** `spark.sql.extensions=graft.functions.GraftExtensions` wiring — the
   * idiomatic deployment path: functions available in every session of
   * the cluster without per-session registration. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("cosine_sim"),
-      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      (children: Seq[Expression]) => CosineSimilarity(children.head, children(1))))
-    ext.injectFunction((
-      FunctionIdentifier("poly_hash"),
-      new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),
-      (children: Seq[Expression]) => PolyHash(children.head, 31L, 0L)))
-    ext.injectFunction((
-      FunctionIdentifier("simhash31"),
-      new ExpressionInfo(classOf[SimHash31].getName, "simhash31"),
-      (children: Seq[Expression]) => SimHash31(children.head)))
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    VectorFunctions.builders.foreach { case (name, cls, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name), new ExpressionInfo(cls.getName, name), builder))
+    }
 }

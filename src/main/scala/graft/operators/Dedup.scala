@@ -52,12 +52,15 @@ object Dedup {
   /** Exact dedup: canonical doc per content digest. At 100 TB this is
     * the cheapest pass — digest in the scan projection, one shuffle of
     * (digest, id). */
-  def exact(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(md5(col("text")).as("digest"), col("doc_id"))
+  def exactOn(docs: DataFrame, text: Column, id: Column): DataFrame =
+    docs
+      .select(md5(text).as("digest"), id.as("doc_id"))
       .groupBy(col("digest"))
       .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
       .orderBy(col("canonical_id"))
+
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    exactOn(Tables.documents(spark, dir), col("text"), col("doc_id"))
 
   // ------------------------------------------------- exact n-gram Jaccard
 

@@ -30,9 +30,10 @@ class SimilaritySpec extends SparkSpec {
     val q = vecs.as("a").crossJoin(vecs.as("b"))
       .select(VectorFunctions.cosineSim(col("a.embedding"), col("b.embedding")).as("c"))
     val on = q.collect().map(_.getDouble(0)).toSeq
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage")
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
     val off = try q.collect().map(_.getDouble(0)).toSeq
-    finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
     assert(on.map(java.lang.Double.doubleToLongBits) ==
       off.map(java.lang.Double.doubleToLongBits))
   }

@@ -30,7 +30,7 @@ class SkewSpec extends SparkSpec {
     d.foreach { case (k, (n, sv, mn, mx)) =>
       val (n2, sv2, mn2, mx2) = s(k)
       assert(n == n2 && mn == mn2 && mx == mx2)
-      assert(math.abs(sv - sv2) < 1e-6 * math.abs(sv))
+      assert(math.abs(sv - sv2) <= 1e-6 * math.abs(sv) + 1e-9)
     }
   }
 

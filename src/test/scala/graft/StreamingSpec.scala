@@ -156,9 +156,13 @@ class StreamingSpec extends SparkSpec {
         q.processAllAvailable()
         input.addData(trade(300000, "P1", 1.0, 16)) // close everything
         q.processAllAvailable()
-        spark.table(name).collect()
+        val rows = spark.table(name).collect()
           .map(r => r.getAs[java.sql.Timestamp]("window_start").getTime -> r.getAs[Long]("volume"))
-          .toMap
+        // append mode must emit each window exactly once — a duplicate
+        // re-emission regression must FAIL, not vanish into toMap
+        assert(rows.map(_._1).distinct.length == rows.length,
+          s"duplicate window emission: ${rows.toSeq}")
+        rows.toMap
       } finally q.stop()
     }
     assert(finalVolumes("0 seconds")(T0) == 3L) // late event dropped

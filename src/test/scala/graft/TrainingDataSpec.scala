@@ -64,12 +64,11 @@ class TrainingDataSpec extends SparkSpec {
   }
 
   test("exact dedup groups identical texts") {
-    docs.createOrReplaceTempView("documents_tmp")
-    val d = docs.select(md5(col("text")).as("digest"), col("doc_id"))
-      .groupBy("digest").agg(min("doc_id").as("canonical_id"), count(lit(1)).as("n"))
+    val d = Dedup.exactOn(docs, col("text"), col("doc_id"))
     val m = d.collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
     assert(m(1L) == 2L) // docs 1 and 2 collapse
     assert(m(3L) == 1L)
+    assert(!m.contains(2L)) // dup's canonical id is the min, 1
   }
 
   test("minhash LSH finds exactly the exact-Jaccard pairs on sf0.001") {
