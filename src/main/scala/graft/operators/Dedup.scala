@@ -207,7 +207,47 @@ object Dedup {
       .orderBy(col("vec_i"), col("vec_j"))
   }
 
+  // ------------------------------------------------------- dup clustering
+
+  /** Connected components over the near-dup pair graph → one canonical
+    * doc per duplicate cluster (the step that turns pairwise dup
+    * detection into an actual keep/drop decision). Min-label
+    * propagation: every doc starts labeled with itself; each round a
+    * doc adopts the smallest label among itself and its neighbors;
+    * fixpoint = component-minimum. Near-dup clusters are tiny (pairs
+    * and short chains), so the diameter — and the iteration count — is
+    * small; each round is one join + aggregate, all distributed (the
+    * standard large-graph CC shape; at web scale swap in
+    * large-star/small-star to cut rounds, Kiveris et al. 2014). */
+  def dupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = jaccardPairs(spark, dir).select(col("doc_i"), col("doc_j"))
+    // undirected edges both ways; localCheckpoint = materialize once AND
+    // truncate lineage — the labels plan references itself twice per
+    // round, so without truncation the logical plan doubles every
+    // iteration (2^rounds analysis blowup)
+    val edges = pairs
+      .union(pairs.select(col("doc_j").as("doc_i"), col("doc_i").as("doc_j")))
+      .localCheckpoint()
+    val members = edges.select(col("doc_i").as("doc_id")).distinct()
+    var labels = members.withColumn("label", col("doc_id")).localCheckpoint()
+    val maxRounds = 10 // >> any near-dup cluster diameter
+    for (_ <- 1 to maxRounds) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("doc_id", "doc_j"), "doc_j")
+        .groupBy(col("doc_i").as("doc_id"))
+        .agg(min(col("label")).as("nlabel"))
+      labels = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint()
+    }
+    labels
+      .select(col("doc_id"), col("label").as("canonical_id"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_clusters" -> ((s, d) => dupClusters(s, d)),
     "dedup_exact" -> ((s, d) => exact(s, d)),
     "dedup_jaccard_pairs" -> ((s, d) => jaccardPairs(s, d)),
     "dedup_minhash_lsh" -> ((s, d) => minHashLshPairs(s, d)),
@@ -231,6 +271,24 @@ object Dedup {
       |sh AS (SELECT doc_id, codes, len(codes)::BIGINT AS sz FROM sh0)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |posts AS (SELECT doc_id, unnest(codes) AS code FROM sh),
+         |common AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
+         |    count(*)::BIGINT AS common
+         |  FROM posts a JOIN posts b ON a.code = b.code AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (SELECT doc_i, doc_j FROM common
+         |  JOIN sh si ON si.doc_id = doc_i JOIN sh sj ON sj.doc_id = doc_j
+         |  WHERE common::DOUBLE / (si.sz + sj.sz - common) >= 0.5),
+         |edges AS (SELECT doc_i, doc_j FROM pairs
+         |  UNION ALL SELECT doc_j, doc_i FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT doc_i, doc_i FROM (SELECT DISTINCT doc_i FROM edges)
+         |  UNION
+         |  SELECT r.src, e.doc_j FROM reach r JOIN edges e ON r.dst = e.doc_i)
+         |SELECT src AS doc_id, min(dst) AS canonical_id
+         |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS digest, min(doc_id) AS canonical_id,
         |  count(*)::BIGINT AS n_copies

@@ -92,6 +92,22 @@ class TrainingDataSpec extends SparkSpec {
     assert((sh -- exact).size <= 2, s"too many simhash-only pairs: ${sh -- exact}")
   }
 
+  test("dup clustering assigns component-minimum canonicals (chains included)") {
+    val m = Dedup.dupClusters(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m.nonEmpty)
+    // canonical is a member of the same cluster and is minimal
+    m.foreach { case (doc, canon) =>
+      assert(canon <= doc)
+      assert(m(canon) == canon, s"canonical $canon of $doc must be its own canonical")
+    }
+    // consistency with the pair graph: both ends of every dup pair land
+    // in the same cluster
+    Dedup.jaccardPairs(spark, sf0001).collect().foreach { r =>
+      assert(m(r.getLong(0)) == m(r.getLong(1)))
+    }
+  }
+
   test("embedding near-dup cosines are valid and thresholded") {
     val rows = Dedup.embeddingNearDups(spark, sf0001).collect()
     rows.foreach { r =>
