@@ -16,10 +16,11 @@ import org.apache.spark.sql.expressions.Aggregator
   * (operators/Ohlcv.scala) but exercised through the typed
   * `Aggregator`/`udaf` path.
   *
-  * Input rows: (tsMs epoch-millis, price, qty, tiebreak) where tiebreak
-  * makes (tsMs, tiebreak) unique per trade (Kafka offset / event id).
+  * Input rows: (tsTicks event-time ticks in any fixed unit — only compared,
+  * never converted — price, qty, tiebreak) where tiebreak
+  * makes (tsTicks, tiebreak) unique per trade (Kafka offset / event id).
   */
-final case class TradePoint(tsMs: Long, price: Double, qty: Long, tiebreak: Long)
+final case class TradePoint(tsTicks: Long, price: Double, qty: Long, tiebreak: Long)
 
 final case class OhlcvBuf(
     openTs: Long, openTb: Long, open: Double,
@@ -43,11 +44,11 @@ class OhlcvAggregator extends Aggregator[TradePoint, OhlcvBuf, OhlcvResult] {
 
   override def reduce(b: OhlcvBuf, t: TradePoint): OhlcvBuf = {
     val (oTs, oTb, o) =
-      if (b.n == 0L || earlier(t.tsMs, t.tiebreak, b.openTs, b.openTb))
-        (t.tsMs, t.tiebreak, t.price) else (b.openTs, b.openTb, b.open)
+      if (b.n == 0L || earlier(t.tsTicks, t.tiebreak, b.openTs, b.openTb))
+        (t.tsTicks, t.tiebreak, t.price) else (b.openTs, b.openTb, b.open)
     val (cTs, cTb, c) =
-      if (b.n == 0L || earlier(b.closeTs, b.closeTb, t.tsMs, t.tiebreak))
-        (t.tsMs, t.tiebreak, t.price) else (b.closeTs, b.closeTb, b.close)
+      if (b.n == 0L || earlier(b.closeTs, b.closeTb, t.tsTicks, t.tiebreak))
+        (t.tsTicks, t.tiebreak, t.price) else (b.closeTs, b.closeTb, b.close)
     OhlcvBuf(oTs, oTb, o, cTs, cTb, c,
       math.max(b.high, t.price), math.min(b.low, t.price),
       b.volume + t.qty, b.n + 1L)

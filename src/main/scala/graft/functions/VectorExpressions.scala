@@ -89,6 +89,68 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** dot_product(a, b): the fused-loop dot without the norms — for
+  * sign-bucket LSH, where the raw dot's sign must be tested directly
+  * (cosine is NaN for a zero vector, and NaN comparisons differ
+  * between engines: IEEE false in Spark, NaN-greatest in DuckDB's
+  * total order — the dot is 0.0 in both). */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def prettyName: String = "dot_product"
+  override def dataType: DataType = DoubleType
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(e: Expression): Boolean = e.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>/array<double> inputs")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val lf = elemType(left) == FloatType
+    val rf = elemType(right) == FloatType
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      dot += xi * yi
+      i += 1
+    }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val getL = if (elemType(left) == FloatType) "getFloat" else "getDouble"
+    val getR = if (elemType(right) == FloatType) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += (double) $a.$getL($i) * (double) $b.$getR($i);
+         |}
+         |${ev.value} = $dot;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-API and SQL-surface entry points for the vector expressions. */
 object VectorFunctions {
   /** cosine_sim(a, b) as a Column (DataFrame API). */
@@ -96,12 +158,19 @@ object VectorFunctions {
     ColumnBridge.column(
       CosineSimilarity(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  /** dot_product(a, b) as a Column (DataFrame API). */
+  def dotProduct(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
   /** The ONE registry of (name, class, builder) — both registration
     * paths (per-session and spark.sql.extensions) read from here, so
     * the SQL surface cannot diverge between them. */
   val builders: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
     ("cosine_sim", classOf[CosineSimilarity],
       (c: Seq[Expression]) => CosineSimilarity(c.head, c(1))),
+    ("dot_product", classOf[DotProduct],
+      (c: Seq[Expression]) => DotProduct(c.head, c(1))),
     ("poly_hash", classOf[PolyHash],
       (c: Seq[Expression]) => PolyHash(c.head, 31L, 0L)),
     ("simhash31", classOf[SimHash31],

@@ -24,8 +24,8 @@ import graft.functions.TextFunctions._
   *    Classic Broder resemblance sketch: k=16 permutations, 8 bands × 2
   *    rows ⇒ catches ~90% of pairs at J=0.5, ~99.9% at J=0.8;
   *  - SimHash: one 31-bit signature per doc (Charikar sketch); pairs via
-  *    pigeonhole block join (8 blocks ⇒ any pair within Hamming 7 shares
-  *    a block — complete, not probabilistic);
+  *    pigeonhole block join (4 blocks of 8 bits ⇒ any pair within
+  *    Hamming 3 shares a block — complete, not probabilistic);
   *  - embedding near-dup: random-hyperplane sign buckets (8 bits) then
   *    exact cosine only within buckets.
   *
@@ -102,6 +102,7 @@ object Dedup {
     * interpreted lambdas). */
   def minHashSignatures(spark: SparkSession, dir: String): DataFrame =
     shingled(spark, dir)
+      .filter(col("sz") > 0) // a doc too short to shingle has no set to sketch
       .withColumn("sig", org.apache.spark.sql.graft.ColumnBridge.column(
         graft.functions.MinHashSig(
           org.apache.spark.sql.graft.ColumnBridge.expression(col("codes")), MinHashK)))
@@ -154,7 +155,10 @@ object Dedup {
     * 31-expression column-algebra form re-ran the shingle pipeline per
     * bit because Catalyst does not CSE across HOF lambdas.) */
   def simHashPairs(spark: SparkSession, dir: String): DataFrame = {
+    // docs with no shingles all hash to simhash 0 — without the sz
+    // filter, every pair of sub-3-token docs would come out Hamming 0
     val sh = shingled(spark, dir)
+      .filter(col("sz") > 0)
       .select(col("doc_id"), simHashCol.as("simhash"))
     val blocks = sh.select(col("doc_id"), col("simhash"),
         posexplode(array((0 until SimHashBlocks).map(k =>
@@ -182,8 +186,15 @@ object Dedup {
     * dot equals sign of the cosine (norms are positive), so the bucket
     * bit reuses the fused-loop native cosine expression. */
   def embeddingNearDups(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.VectorFunctions.cosineSim
+    import graft.functions.VectorFunctions.{cosineSim, dotProduct}
+    // Zero-norm vectors are excluded up front on BOTH sides (oracle
+    // carries the same predicate): their cosine is NaN, and NaN
+    // comparison semantics differ between engines (IEEE false in
+    // Spark, NaN-greatest in DuckDB). The bucket bit tests the raw
+    // dot's sign, not the cosine's — same sign for nonzero norms, and
+    // well-defined arithmetic in both engines.
     val emb = Tables.embeddings(spark, dir)
+      .filter(dotProduct(col("embedding"), col("embedding")) > 0)
     // The 8 hyperplanes are collected once (8 rows) and folded into the
     // scan projection as literals — bucketing costs ZERO shuffle; the
     // crossJoin+groupBy alternative re-shuffles the whole corpus keyed
@@ -195,7 +206,7 @@ object Dedup {
       .collect()
       .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray))
     val bucket = planes.map { case (k, plane) =>
-      when(cosineSim(col("embedding"), typedlit(plane)) >= 0, lit(1L << k))
+      when(dotProduct(col("embedding"), typedlit(plane)) >= 0, lit(1L << k))
         .otherwise(0L)
     }.reduce(_ + _)
     val b = emb.select(col("vec_id"), col("embedding"), bucket.as("bucket"))
@@ -230,17 +241,30 @@ object Dedup {
       .localCheckpoint()
     val members = edges.select(col("doc_i").as("doc_id")).distinct()
     var labels = members.withColumn("label", col("doc_id")).localCheckpoint()
-    val maxRounds = 10 // >> any near-dup cluster diameter
-    for (_ <- 1 to maxRounds) {
+    // iterate to CONVERGENCE (the oracle computes the exact transitive
+    // closure — a fixed round cap would silently split any component
+    // whose diameter exceeds it); maxRounds is a runaway backstop. The
+    // checkpoint copies live until driver GC, but each holds only the
+    // dup-graph members (pairs + chains), orders of magnitude smaller
+    // than the corpus.
+    val maxRounds = 50
+    var round = 0
+    var changed = 1L
+    while (changed > 0 && round < maxRounds) {
       val neighborMin = edges
         .join(labels.withColumnRenamed("doc_id", "doc_j"), "doc_j")
         .groupBy(col("doc_i").as("doc_id"))
         .agg(min(col("label")).as("nlabel"))
-      labels = labels.join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+      val next = labels.withColumnRenamed("label", "prev")
+        .join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("prev"),
+          least(col("prev"), coalesce(col("nlabel"), col("prev"))).as("label"))
         .localCheckpoint()
+      changed = next.filter(col("label") =!= col("prev")).count()
+      labels = next.select(col("doc_id"), col("label"))
+      round += 1
     }
+    require(changed == 0, s"dupClusters did not converge in $maxRounds rounds")
     labels
       .select(col("doc_id"), col("label").as("canonical_id"))
       .orderBy(col("doc_id"))
@@ -333,7 +357,8 @@ object Dedup {
          |  sum(CASE WHEN list_reduce(list_prepend(0::BIGINT,
          |      list_transform(codes, x -> ((x >> b) & 1) * 2 - 1)), (a, v) -> a + v) > 0
          |    THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
-         | FROM sh, (SELECT unnest(range(0, $SimHashBits)) AS b) GROUP BY doc_id),
+         | FROM (SELECT * FROM sh WHERE sz > 0) sh,
+         |      (SELECT unnest(range(0, $SimHashBits)) AS b) GROUP BY doc_id),
          |blocks AS (SELECT doc_id, simhash, k AS blk, (simhash >> (k*8)) & 255 AS bv
          |  FROM sim, (SELECT unnest(range(0, $SimHashBlocks)) AS k)),
          |cand AS (SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j,
@@ -344,15 +369,19 @@ object Dedup {
          |FROM cand WHERE bit_count(xor(sh_i, sh_j)) <= $HammingMax
          |ORDER BY doc_i, doc_j""".stripMargin,
     "dedup_embedding" ->
-      s"""WITH planes AS (SELECT vec_id AS plane_id, embedding AS plane
-         |  FROM embeddings WHERE vec_id < $HyperplaneBits),
+      s"""WITH nz AS (SELECT vec_id, embedding FROM embeddings
+         |  WHERE list_reduce(list_prepend(0.0::DOUBLE,
+         |      list_transform(range(1, len(embedding) + 1),
+         |        k -> embedding[k]::DOUBLE * embedding[k]::DOUBLE)), (a, v) -> a + v) > 0),
+         |planes AS (SELECT vec_id AS plane_id, embedding AS plane
+         |  FROM nz WHERE vec_id < $HyperplaneBits),
          |bucketed AS (SELECT e.vec_id, e.embedding,
          |    sum(CASE WHEN list_reduce(list_prepend(0.0::DOUBLE,
          |        list_transform(range(1, len(e.embedding) + 1),
          |          k -> e.embedding[k]::DOUBLE * p.plane[k]::DOUBLE)),
          |        (a, v) -> a + v) >= 0
          |      THEN (1::BIGINT << p.plane_id) ELSE 0 END)::BIGINT AS bucket
-         |  FROM embeddings e, planes p GROUP BY 1, 2),
+         |  FROM nz e, planes p GROUP BY 1, 2),
          |pairs AS (SELECT a.vec_id AS vec_i, b.vec_id AS vec_j,
          |    list_reduce(list_prepend(0.0::DOUBLE,
          |      list_transform(range(1, len(a.embedding) + 1),

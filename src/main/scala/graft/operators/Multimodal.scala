@@ -163,6 +163,6 @@ object Multimodal {
          |FROM (SELECT doc_id, length(text)::BIGINT AS n_bytes,
          |        unnest(range(0, (length(text) - 1) // $FrameBytes + 1,
          |        $FrameStride)) AS frame_no
-         |      FROM documents)
+         |      FROM documents WHERE length(text) > 0)
          |ORDER BY doc_id, frame_no""".stripMargin)
 }

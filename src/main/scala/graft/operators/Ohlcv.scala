@@ -137,7 +137,7 @@ object Ohlcv {
     spark.udf.register("ohlcv_agg", ohlcv) // SQL surface (Q6)
     Tables.events(spark, dir)
       .groupBy(window(col("ts"), "1 minute").as("w"), col("event_type"))
-      .agg(ohlcv(unix_millis(col("ts")), col("value"), lit(1L), col("event_id")).as("bar"))
+      .agg(ohlcv(unix_micros(col("ts")), col("value"), lit(1L), col("event_id")).as("bar"))
       .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
         col("event_type"), col("bar.open").as("open"), col("bar.high").as("high"),
         col("bar.low").as("low"), col("bar.close").as("close"),
@@ -148,14 +148,20 @@ object Ohlcv {
   /** Packed-tiebreak fast path: the struct ordering key in `bars`
     * forces SortAggregate (a DeclarativeAggregate with an immutable
     * struct buffer cannot hash-aggregate); packing (ts, tiebreak) into
-    * one BIGINT — unix-millis ≪ 20 | id — keeps every buffer field
-    * primitive and the plan becomes HashAggregate. Constraint: tiebreak
-    * must fit 20 bits (id < 1,048,576); `bars` is the
-    * unconstrained-scale fallback. Ordering is identical (millis
-    * dominate, id breaks ties), so results match `bars1m` exactly. */
+    * ONE atomic value keeps every buffer field mutable and the plan
+    * becomes HashAggregate. The key is DECIMAL(38,0) =
+    * unix_micros × 2^20 + id — full microsecond precision (a BIGINT
+    * pack would have to truncate to millis and could then order
+    * same-millisecond events by id instead of sub-ms time), ~70 bits
+    * needed so a long cannot hold it. Constraint: the tiebreak id must
+    * fit 20 bits — enforced with raise_error, because a silent overflow
+    * would corrupt ordering; `bars` is the unconstrained fallback. */
   def bars1mPacked(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
-    val ord = shiftleft(unix_millis(col("ts")), 20) + col("event_id")
+    val ord = expr(
+      """CASE WHEN event_id >= 1048576 OR event_id < 0
+        |  THEN CAST(raise_error('bars1mPacked: event_id exceeds 20-bit pack') AS DECIMAL(38,0))
+        |  ELSE CAST(unix_micros(ts) AS DECIMAL(38,0)) * 1048576 + event_id END""".stripMargin)
     ev.groupBy(window(col("ts"), "1 minute").as("w"), col("event_type"))
       .agg(
         min_by(col("value"), ord).as("open"),

@@ -117,7 +117,7 @@ object StreamingOhlcv {
     * within the watermark, which a replayed log produces). */
   final case class ProductBars(bars: Map[Long, BarState])
 
-  private def toBar(product: String, widthMs: Long, st: BarState, endOfWindow: Boolean): RunningBar =
+  private def toBar(product: String, st: BarState, endOfWindow: Boolean): RunningBar =
     RunningBar(new java.sql.Timestamp(st.windowStart), product,
       st.open, st.high, st.low, st.close, st.volume, endOfWindow)
 
@@ -165,7 +165,7 @@ object StreamingOhlcv {
         val st = BarState.updated(bars.getOrElse(ws, BarState.init(ws)),
           t.timestamp, t.instrument_id, t.price, t.qty)
         bars = bars.updated(ws, st)
-        if (emitRunning) out += toBar(product, widthMs, st, endOfWindow = false)
+        if (emitRunning) out += toBar(product, st, endOfWindow = false)
       }
     }
 
@@ -174,7 +174,7 @@ object StreamingOhlcv {
     // /root/reference/7_ohlc.py:67-69) and is evicted.
     val (closed, open) = bars.partition { case (ws, _) => ws + widthMs <= watermark }
     closed.toSeq.sortBy(_._1).foreach { case (_, st) =>
-      out += toBar(product, widthMs, st, endOfWindow = true)
+      out += toBar(product, st, endOfWindow = true)
     }
 
     if (open.isEmpty) state.remove()

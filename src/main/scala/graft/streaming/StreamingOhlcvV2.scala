@@ -37,6 +37,10 @@ class OhlcvProcessor(widthMs: Long, emitRunning: Boolean)
     val (closed, open) = bars.iterator().toSeq
       .partition { case (ws, _) => ws + widthMs <= watermark }
     closed.foreach { case (ws, _) => bars.removeKey(ws) }
+    // registerTimer ADDS a timer (unlike v1's setTimeoutTimestamp,
+    // which replaces) — clear stale ones or every batch leaves another
+    // pending timer behind for long-lived keys
+    getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
     if (open.nonEmpty)
       getHandle.registerTimer(math.max(open.map(_._1).min + widthMs, watermark + 1))
     closed.sortBy(_._1).map { case (_, st) => toBar(product, st, endOfWindow = true) }
