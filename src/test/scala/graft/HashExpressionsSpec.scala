@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.functions.{HashOps, VectorFunctions}
+import graft.functions.TextFunctions
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Property tests for the native expressions against independent
+  * reference implementations, on generated inputs including the edge
+  * cases the real corpus never exercises (empty strings, single chars,
+  * irregular whitespace, non-ASCII code points). */
+class HashExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val P = 2147483647L
+
+  private def refPolyHash(s: String, mult: Long, init: Long): Long = {
+    var h = init
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * mult + cp) % P
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  private def refTokens(s: String): Seq[String] =
+    s.split(" ", -1).toSeq.filter(_.nonEmpty)
+
+  private def refShingles(s: String, n: Int): Seq[Long] = {
+    val toks = refTokens(s)
+    toks.sliding(n).filter(_.length == n)
+      .map(g => refPolyHash(g.mkString(" "), 31L, 0L))
+      .toSeq.distinct
+  }
+
+  private val textGen: Gen[String] = {
+    val word = Gen.choose(1, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.frequency(
+        8 -> Gen.alphaLowerChar,
+        1 -> Gen.oneOf('é', 'ß', '中', '9'))).map(_.mkString))
+    Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, word))
+      .map(_.mkString(" "))
+      .flatMap(s => Gen.oneOf(s, s" $s", s"$s ", s.replace(" ", "  ")))
+  }
+
+  private def samples(from: Long, until: Long): Seq[String] =
+    (from until until).map(seed =>
+      textGen.pureApply(Gen.Parameters.default, Seed(seed))) ++
+      Seq("", " ", "a", "a b", "a  b ", "中 文 字 符", "x" * 500)
+
+  test("HashOps.polyHash matches the reference fold on arbitrary strings") {
+    samples(0, 300).foreach { s =>
+      assert(HashOps.polyHash(UTF8String.fromString(s), 31L, 0L) ==
+        refPolyHash(s, 31L, 0L), s"polyHash(${s.take(30)})")
+      assert(HashOps.polyHash(UTF8String.fromString(s), 37L, 7L) ==
+        refPolyHash(s, 37L, 7L))
+    }
+  }
+
+  test("HashOps.shingleHashes matches tokenize+slide+hash+distinct on arbitrary strings") {
+    samples(300, 600).foreach { s =>
+      val got = HashOps.shingleHashes(UTF8String.fromString(s), 3, 31L, 0L)
+        .toLongArray().toSeq
+      assert(got == refShingles(s, 3), s"shingleHashes(${s.take(30)})")
+    }
+  }
+
+  test("native expressions equal HOF column algebra on irregular-whitespace rows") {
+    val df = samples(600, 700).toDF("text")
+    val bad = df.select(
+        TextFunctions.polyHash(col("text")).as("nh"),
+        TextFunctions.polyHashHof(col("text")).as("hh"),
+        TextFunctions.shingleCodes(col("text"), 3).as("nc"),
+        TextFunctions.shingleCodesHof(col("text"), 3).as("hc"))
+      .filter(col("nh") =!= col("hh") || col("nc") =!= col("hc"))
+      .count()
+    assert(bad == 0)
+  }
+
+  test("minHashSig and simHash31 match per-element reference math") {
+    samples(700, 800).foreach { s =>
+      val codes = refShingles(s, 3)
+      val arr = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(codes.toArray)
+      val sig = HashOps.minHashSig(arr, 16).toLongArray()
+      (0 until 16).foreach { i =>
+        val expect =
+          if (codes.isEmpty) Long.MaxValue
+          else codes.map(x => (x * (2 * i + 1) + 104729L * i + 12345L) % P).min
+        assert(sig(i) == expect)
+      }
+      val sh = HashOps.simHash31(arr)
+      (0 until 31).foreach { b =>
+        val votes = codes.map(x => ((x >> b) & 1L) * 2 - 1).sum
+        assert(((sh >> b) & 1L) == (if (votes > 0) 1L else 0L))
+      }
+    }
+  }
+
+  test("dot_product: SQL surface, zero-vector sign semantics") {
+    Graft.registerFunctions(spark)
+    val r = spark.sql(
+      """SELECT dot_product(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS d,
+        |       dot_product(array(0.0F, 0.0F), array(3.0F, 4.0F)) AS z""".stripMargin).head()
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getDouble(1) == 0.0) // well-defined (cosine would be NaN)
+  }
+
+  test("NgramProfileHits counts trigram hits per profile") {
+    val hits = graft.functions.NgramProfileHits(
+      org.apache.spark.sql.graft.ColumnBridge.expression(col("text")),
+      3, Seq(Seq("abc", "bcd"), Seq("xyz")))
+    val got = Seq("abcd", "xyzabc", "ab", "").toDF("text")
+      .select(org.apache.spark.sql.graft.ColumnBridge.column(hits).as("h"))
+      .collect().map(_.getSeq[Long](0).toSeq)
+    assert(got(0) == Seq(2L, 0L)) // abc + bcd
+    assert(got(1) == Seq(1L, 1L)) // abc (at pos 4) + xyz
+    assert(got(2) == Seq(0L, 0L)) // too short
+    assert(got(3) == Seq(0L, 0L)) // empty
+  }
+}
