@@ -106,6 +106,37 @@ object Multimodal {
     }
   }
 
+  /** Resized media record: payload downsampled, original dims kept. */
+  final case class ResizedMedia(doc_id: Long, media_type: String,
+      orig_bytes: Long, resized_bytes: Long, checksum: Long)
+
+  val ResizeFactor = 4
+
+  /** Resize: deterministic 1-in-ResizeFactor byte downsample — the
+    * stand-in for an image/audio resample (a real codec changes ONLY
+    * the per-record byte transform; the batched partition-parallel
+    * plumbing and the byte-length accounting are what the engine
+    * owns). Emits a checksum of the resized payload so the transform
+    * is actually exercised, not just planned. */
+  def resize(media: Dataset[MediaRecord]): Dataset[ResizedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap(_.map { m =>
+        val out = new Array[Byte]((m.payload.length + ResizeFactor - 1) / ResizeFactor)
+        var i = 0
+        while (i < out.length) {
+          out(i) = m.payload(i * ResizeFactor)
+          i += 1
+        }
+        var sum = 0L
+        var j = 0
+        while (j < out.length) { sum = (sum * 31 + (out(j) & 0xff)) % 2147483647L; j += 1 }
+        ResizedMedia(m.doc_id, m.media_type, m.payload.length.toLong,
+          out.length.toLong, sum)
+      })
+    }
+  }
+
   /** Frame sampling: every FrameStride-th FrameBytes-chunk of the
     * payload, with its offset and true length — pure column arithmetic
     * (no decode needed to plan which byte ranges to fetch; on object
@@ -131,7 +162,11 @@ object Multimodal {
   def featureHistogram(spark: SparkSession, dir: String): DataFrame =
     features(mediaTable(spark, dir)).toDF().orderBy(col("doc_id"))
 
+  def resizeMeta(spark: SparkSession, dir: String): DataFrame =
+    resize(mediaTable(spark, dir)).toDF().orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_resize" -> ((s, d) => resizeMeta(s, d)),
     "mm_decode_meta" -> ((s, d) => decodeMeta(s, d)),
     "mm_feature_histogram" -> ((s, d) => featureHistogram(s, d)),
     "mm_frame_sample" -> ((s, d) => frameSample(s, d)))
@@ -142,6 +177,18 @@ object Multimodal {
     * ASCII corpora (which the testdata is, verified). The engine's
     * byte semantics are the correct ones for a media pipeline. */
   val oracle: Map[String, String] = Map(
+    // replays the byte downsample: every ResizeFactor-th char, rolled
+    // into the same 31-ary checksum
+    "mm_resize" ->
+      s"""SELECT doc_id,
+         |  (['image', 'audio', 'video'])[(doc_id % 3 + 1)::INT] AS media_type,
+         |  length(text)::BIGINT AS orig_bytes,
+         |  ((length(text) + ${ResizeFactor - 1}) // $ResizeFactor)::BIGINT AS resized_bytes,
+         |  list_reduce(list_prepend(0::BIGINT,
+         |    list_transform(range(0, (length(text) + ${ResizeFactor - 1}) // $ResizeFactor),
+         |      i -> ascii(substr(text, (i * $ResizeFactor + 1)::INT, 1))::BIGINT)),
+         |    (a, c) -> (a * 31 + c) % 2147483647) AS checksum
+         |FROM documents ORDER BY doc_id""".stripMargin,
     // replays the stub codec arithmetic over the first two bytes
     "mm_decode_meta" ->
       """SELECT doc_id,
