@@ -22,11 +22,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Ohlcv.queries ++ Relational.queries ++ TextAnalysis.queries ++
-      Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++ Windows.queries
+      Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++
+      Windows.queries ++ Pipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Ohlcv.oracle ++ Relational.oracle ++ TextAnalysis.oracle ++
-      Dedup.oracle ++ Similarity.oracle ++ Multimodal.oracle ++ Windows.oracle
+      Dedup.oracle ++ Similarity.oracle ++ Multimodal.oracle ++
+      Windows.oracle ++ Pipeline.oracle
 }

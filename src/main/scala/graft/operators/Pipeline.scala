@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** End-to-end training-corpus cleaning — the composition the whole
+  * extension suite exists for, in one declarative plan:
+  *
+  *   quality-filter → exact-dedup canonicalization → deterministic
+  *   sampling → embedding enrichment → per-source accounting.
+  *
+  * Everything stays one Catalyst plan: the quality score and digest
+  * compute in the scan projection, dedup is one shuffle, the sample is
+  * a hash predicate (pushable, reproducible — `rand()` sampling breaks
+  * retries and can't be oracle-checked), and the enrichment join keys
+  * on the canonical id. At 100 TB this is exactly one pass over the
+  * corpus plus one dedup shuffle plus one join.
+  */
+object Pipeline {
+
+  val QualityMin = 0.5
+  val SamplePct = 80 // keep 80% of surviving docs, by fingerprint bucket
+
+  def cleanCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("source"),
+        size(t).cast("long").as("n_tokens"),
+        size(array_distinct(t)).cast("long").as("n_distinct"),
+        aggregate(t, lit(0L), (acc, x) => acc + length(x)).as("sum_len"))
+      .withColumn("quality",
+        least(col("n_tokens") / lit(100.0), lit(1.0)) * 0.5
+          + (col("n_distinct") / col("n_tokens").cast("double")) * 0.5)
+      .filter(col("quality") >= QualityMin)
+    // canonical doc per digest: keep only the minimum doc_id of each
+    // exact-duplicate group (a window-free self-semi-join shape)
+    val canon = scored
+      .withColumn("digest", md5(col("text")))
+      .withColumn("canonical_id", min(col("doc_id"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("digest"))))
+      .filter(col("doc_id") === col("canonical_id"))
+    // deterministic sample: fingerprint bucket < pct
+    val sampled = canon.filter(polyHash(col("text")) % 100 < SamplePct)
+    // enrich with the embedding's cluster label (doc_id = vec_id here)
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("doc_id"), col("label"))
+    sampled.join(emb, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("label")).as("n_labels"),
+        sum(col("n_tokens")).as("total_tokens"))
+      .orderBy(col("source"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_clean_corpus" -> ((s, d) => cleanCorpus(s, d)))
+
+  val oracle: Map[String, String] = Map(
+    "pipeline_clean_corpus" ->
+      s"""WITH toks AS (SELECT doc_id, text, source,
+         |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+         |  FROM documents),
+         |scored AS (SELECT doc_id, text, source,
+         |    len(t)::BIGINT AS n_tokens,
+         |    least(len(t)::BIGINT / 100.0, 1.0) * 0.5
+         |      + (len(list_distinct(t))::BIGINT / len(t)::DOUBLE) * 0.5 AS quality
+         |  FROM toks),
+         |q AS (SELECT * FROM scored WHERE quality >= $QualityMin),
+         |canon AS (SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
+         |  FROM q),
+         |keep AS (SELECT * FROM canon WHERE doc_id = canonical_id),
+         |sampled AS (SELECT * FROM keep
+         |  WHERE list_reduce(list_prepend(0::BIGINT,
+         |      list_transform(string_split(text, ''), c -> ascii(c)::BIGINT)),
+         |      (a, c) -> (a * 31 + c) % 2147483647) % 100 < $SamplePct)
+         |SELECT s.source, count(*)::BIGINT AS n_docs,
+         |  count(DISTINCT e.label)::BIGINT AS n_labels,
+         |  sum(s.n_tokens)::BIGINT AS total_tokens
+         |FROM sampled s LEFT JOIN embeddings e ON e.vec_id = s.doc_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
+}
