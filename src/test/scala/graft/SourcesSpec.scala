@@ -43,6 +43,31 @@ class SourcesSpec extends SparkSpec {
     assert(JsonSource.parseJson(df, "value", Schemas.trade, failOnMissing = false).count() == 2)
   }
 
+  test("format round-trips: CSV and ORC preserve the documents table; curated parquet partitions prune") {
+    import graft.sources.Formats
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text", "lang", "source")
+    val base = Files.createTempDirectory("graft-fmt").toString
+
+    Formats.writeCsv(docs, s"$base/csv")
+    val backCsv = Formats.csv(spark, s"$base/csv", docs.schema, failOnMalformed = true)
+    assert(backCsv.count() == docs.count())
+    assert(backCsv.orderBy("doc_id").collect().toSeq ==
+      docs.orderBy("doc_id").collect().toSeq)
+
+    Formats.writeOrc(docs, s"$base/orc")
+    val backOrc = Formats.orc(spark, s"$base/orc")
+    assert(backOrc.orderBy("doc_id").collect().toSeq ==
+      docs.orderBy("doc_id").collect().toSeq)
+
+    Formats.writeCuratedParquet(docs, s"$base/curated", "lang")
+    val pruned = spark.read.parquet(s"$base/curated").filter(col("lang") === "en")
+    // partition pruning visible in the plan: the lang filter becomes a
+    // PartitionFilter, not a data filter
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("lang"))
+    assert(pruned.count() == docs.filter(col("lang") === "en").count())
+  }
+
   test("streaming 1m->5m cascade equals direct 5m bars") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.model.Trade
