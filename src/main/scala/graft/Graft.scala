@@ -35,9 +35,11 @@ object Graft {
       keys: Seq[(String, Column)], width: String, tiebreak: Column): DataFrame =
     Ohlcv.bars(trades, ts, price, qty, keys, width, tiebreak)
 
-  /** Roll fine bars into coarser bars without rescanning raw events. */
-  def ohlcvRollup(bars: DataFrame, keys: Seq[String], width: String): DataFrame =
-    Ohlcv.rollup(bars, keys, width)
+  /** Roll fine bars into coarser bars without rescanning raw events
+    * (coarse width must be a multiple of the fine width). */
+  def ohlcvRollup(bars: DataFrame, keys: Seq[String], fineWidth: String,
+      width: String): DataFrame =
+    Ohlcv.rollup(bars, keys, fineWidth, width)
 
   // ------------------------------------------------------------ streaming
   /** Kafka JSON trade stream with the reference wire schema. */

@@ -56,9 +56,20 @@ object Multimodal {
         element_at(array(lit("image"), lit("audio"), lit("video")),
           (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
         encode(col("text"), "UTF-8").as("payload"),
-        struct(col("source"), length(col("text")).cast("long").as("n_bytes")).as("meta"))
+        // octet_length, not length: metadata carries the PAYLOAD's byte
+        // count (frame planning does ranged reads from it) — character
+        // count diverges on any non-ASCII text
+        struct(col("source"), octet_length(col("text")).cast("long").as("n_bytes")).as("meta"))
       .as[MediaRecord]
   }
+
+  /** Partition-parallel batched execution: drain the partition in
+    * BatchSize groups. The batch boundary is the amortization hook — a
+    * real codec opens its context once per batch here (this container
+    * has no codecs, so `f` receives the whole batch and the stub maps
+    * per record). */
+  private def inBatches[T](it: Iterator[MediaRecord])(f: Seq[MediaRecord] => Iterator[T]): Iterator[T] =
+    it.grouped(BatchSize).flatMap(f)
 
   /** STUB decoder ??? — stands in for an image/audio codec call, which
     * this container cannot run. Deterministic fake: header fields are
@@ -76,9 +87,8 @@ object Multimodal {
   def decode(media: Dataset[MediaRecord]): Dataset[DecodedMedia] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      it.grouped(BatchSize).flatMap { batch =>
-        // one "codec context" per batch, amortized like a Pandas UDF batch
-        batch.map { m =>
+      inBatches(it) { batch =>
+        batch.iterator.map { m =>
           val (w, h) = decodeStub(m.payload)
           DecodedMedia(m.doc_id, m.media_type, m.meta.n_bytes, w, h)
         }
@@ -90,7 +100,7 @@ object Multimodal {
   def features(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      it.grouped(BatchSize).flatMap(_.map { m =>
+      inBatches(it)(_.iterator.map { m =>
         var a = 0L; var d = 0L; var s = 0L; var o = 0L
         var i = 0
         while (i < m.payload.length) {
@@ -121,7 +131,7 @@ object Multimodal {
   def resize(media: Dataset[MediaRecord]): Dataset[ResizedMedia] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      it.grouped(BatchSize).flatMap(_.map { m =>
+      inBatches(it)(_.iterator.map { m =>
         val out = new Array[Byte]((m.payload.length + ResizeFactor - 1) / ResizeFactor)
         var i = 0
         while (i < out.length) {
@@ -182,10 +192,10 @@ object Multimodal {
     "mm_resize" ->
       s"""SELECT doc_id,
          |  (['image', 'audio', 'video'])[(doc_id % 3 + 1)::INT] AS media_type,
-         |  length(text)::BIGINT AS orig_bytes,
-         |  ((length(text) + ${ResizeFactor - 1}) // $ResizeFactor)::BIGINT AS resized_bytes,
+         |  octet_length(encode(text))::BIGINT AS orig_bytes,
+         |  ((octet_length(encode(text)) + ${ResizeFactor - 1}) // $ResizeFactor)::BIGINT AS resized_bytes,
          |  list_reduce(list_prepend(0::BIGINT,
-         |    list_transform(range(0, (length(text) + ${ResizeFactor - 1}) // $ResizeFactor),
+         |    list_transform(range(0, (octet_length(encode(text)) + ${ResizeFactor - 1}) // $ResizeFactor),
          |      i -> ascii(substr(text, (i * $ResizeFactor + 1)::INT, 1))::BIGINT)),
          |    (a, c) -> (a * 31 + c) % 2147483647) AS checksum
          |FROM documents ORDER BY doc_id""".stripMargin,
@@ -193,7 +203,7 @@ object Multimodal {
     "mm_decode_meta" ->
       """SELECT doc_id,
         |  (['image', 'audio', 'video'])[(doc_id % 3 + 1)::INT] AS media_type,
-        |  length(text)::BIGINT AS n_bytes,
+        |  octet_length(encode(text))::BIGINT AS n_bytes,
         |  16 + ascii(substr(text, 1, 1)) % 64 AS width,
         |  16 + ascii(substr(text, 2, 1)) % 64 AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
@@ -207,9 +217,9 @@ object Multimodal {
     "mm_frame_sample" ->
       s"""SELECT doc_id, frame_no, frame_no * $FrameBytes AS byte_offset,
          |  least($FrameBytes, n_bytes - frame_no * $FrameBytes)::BIGINT AS frame_len
-         |FROM (SELECT doc_id, length(text)::BIGINT AS n_bytes,
-         |        unnest(range(0, (length(text) - 1) // $FrameBytes + 1,
+         |FROM (SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
+         |        unnest(range(0, (octet_length(encode(text)) - 1) // $FrameBytes + 1,
          |        $FrameStride)) AS frame_no
-         |      FROM documents WHERE length(text) > 0)
+         |      FROM documents WHERE octet_length(encode(text)) > 0)
          |ORDER BY doc_id, frame_no""".stripMargin)
 }

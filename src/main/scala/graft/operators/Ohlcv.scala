@@ -58,14 +58,33 @@ object Ohlcv {
         Seq(col("open"), col("high"), col("low"), col("close"), col("volume"))): _*)
   }
 
+  /** Millis of a "N unit" window-width string (seconds/minutes/hours). */
+  private[operators] def widthMillis(w: String): Long = {
+    val parts = w.trim.split("\\s+")
+    require(parts.length == 2, s"expected 'N unit', got '$w'")
+    val n = parts(0).toLong
+    parts(1).toLowerCase match {
+      case "second" | "seconds" => n * 1000L
+      case "minute" | "minutes" => n * 60000L
+      case "hour" | "hours" => n * 3600000L
+      case u => throw new IllegalArgumentException(s"unsupported window unit '$u'")
+    }
+  }
+
   /** Roll fine bars up into coarser bars without revisiting the raw
     * events — the dual-resolution invariant of
     * /root/reference/old/flink.py:42-67 (1-min and 5-min bars from one
     * stream). open/close of the coarse bar are the open of the earliest /
     * close of the latest fine bar; volume adds. At scale this is the
     * cheap path to multi-resolution candles: the rollup input is already
-    * key×window sized, so the second shuffle is tiny. */
-  def rollup(bars: DataFrame, keys: Seq[String], width: String): DataFrame = {
+    * key×window sized, so the second shuffle is tiny.
+    *
+    * The coarse width must be a multiple of the fine width — otherwise a
+    * fine bar straddles two coarse windows and its whole volume would
+    * silently land in one of them; enforced, not assumed. */
+  def rollup(bars: DataFrame, keys: Seq[String], fineWidth: String, width: String): DataFrame = {
+    require(widthMillis(width) % widthMillis(fineWidth) == 0,
+      s"rollup width '$width' must be a multiple of the fine bar width '$fineWidth'")
     val ord = col("window_start")
     bars
       .groupBy((window(col("window_start"), width).as("w") +: keys.map(col)): _*)
@@ -114,7 +133,7 @@ object Ohlcv {
     * consistency (/root/reference/old/flink.py:42-67 dual resolution). */
   def bars5mFrom1m(spark: SparkSession, dir: String): DataFrame = {
     val oneMin = eventBars(spark, dir, "1 minute")
-    rollup(oneMin, Seq("event_type"), "5 minutes")
+    rollup(oneMin, Seq("event_type"), "1 minute", "5 minutes")
       .orderBy(col("window_start"), col("event_type"))
   }
 
@@ -204,51 +223,43 @@ object Ohlcv {
     "ohlcv_5m_rollup" -> ((s, d) => bars5mFrom1m(s, d)),
     "ohlcv_formatted" -> ((s, d) => barsFormatted(s, d)))
 
+  // ONE oracle string per distinct result shape — four query paths
+  // (DataFrame, SQL text, typed udaf, packed fast path) are documented
+  // result-identical, so they must share the oracle literally: a future
+  // edit to one copy cannot silently desynchronize the others.
+  private val oneMinuteOracle: String =
+    """SELECT date_trunc('minute', ts) AS window_start,
+        |       date_trunc('minute', ts) + INTERVAL 1 MINUTE AS window_end,
+        |       event_type,
+        |       arg_min(value, ts) AS open, max(value) AS high,
+        |       min(value) AS low, arg_max(value, ts) AS close,
+        |       count(*)::BIGINT AS volume
+        |FROM events GROUP BY 1, 2, 3 ORDER BY 1, 3""".stripMargin
+
+  private val fiveMinuteOracle: String =
+    """SELECT to_timestamp((epoch_us(ts) // 300000000) * 300) AS window_start,
+        |       to_timestamp((epoch_us(ts) // 300000000) * 300 + 300) AS window_end,
+        |       event_type,
+        |       arg_min(value, ts) AS open, max(value) AS high,
+        |       min(value) AS low, arg_max(value, ts) AS close,
+        |       count(*)::BIGINT AS volume
+        |FROM events GROUP BY 1, 2, 3 ORDER BY 1, 3""".stripMargin
+
   /** DuckDB oracle equivalents. date_trunc-based buckets equal Spark's
     * grid-aligned tumbling windows for minute/hour widths; the 5-minute
     * grid uses epoch arithmetic. (ts, event_type) pairs are unique in the
     * testdata, so arg_min/arg_max on ts alone is deterministic. */
   val oracle: Map[String, String] = Map(
     "ohlcv_1m_sql" ->
-      """SELECT date_trunc('minute', ts) AS window_start,
-        |       date_trunc('minute', ts) + INTERVAL 1 MINUTE AS window_end,
-        |       event_type,
-        |       arg_min(value, ts) AS open, max(value) AS high,
-        |       min(value) AS low, arg_max(value, ts) AS close,
-        |       count(*)::BIGINT AS volume
-        |FROM events GROUP BY 1, 2, 3 ORDER BY 1, 3""".stripMargin,
+      oneMinuteOracle,
     "ohlcv_1m_packed" ->
-      """SELECT date_trunc('minute', ts) AS window_start,
-        |       date_trunc('minute', ts) + INTERVAL 1 MINUTE AS window_end,
-        |       event_type,
-        |       arg_min(value, ts) AS open, max(value) AS high,
-        |       min(value) AS low, arg_max(value, ts) AS close,
-        |       count(*)::BIGINT AS volume
-        |FROM events GROUP BY 1, 2, 3 ORDER BY 1, 3""".stripMargin,
+      oneMinuteOracle,
     "ohlcv_1m_typed" ->
-      """SELECT date_trunc('minute', ts) AS window_start,
-        |       date_trunc('minute', ts) + INTERVAL 1 MINUTE AS window_end,
-        |       event_type,
-        |       arg_min(value, ts) AS open, max(value) AS high,
-        |       min(value) AS low, arg_max(value, ts) AS close,
-        |       count(*)::BIGINT AS volume
-        |FROM events GROUP BY 1, 2, 3 ORDER BY 1, 3""".stripMargin,
+      oneMinuteOracle,
     "ohlcv_1m" ->
-      """SELECT date_trunc('minute', ts) AS window_start,
-        |       date_trunc('minute', ts) + INTERVAL 1 MINUTE AS window_end,
-        |       event_type,
-        |       arg_min(value, ts) AS open, max(value) AS high,
-        |       min(value) AS low, arg_max(value, ts) AS close,
-        |       count(*)::BIGINT AS volume
-        |FROM events GROUP BY 1, 2, 3 ORDER BY 1, 3""".stripMargin,
+      oneMinuteOracle,
     "ohlcv_5m" ->
-      """SELECT to_timestamp((epoch_us(ts) // 300000000) * 300) AS window_start,
-        |       to_timestamp((epoch_us(ts) // 300000000) * 300 + 300) AS window_end,
-        |       event_type,
-        |       arg_min(value, ts) AS open, max(value) AS high,
-        |       min(value) AS low, arg_max(value, ts) AS close,
-        |       count(*)::BIGINT AS volume
-        |FROM events GROUP BY 1, 2, 3 ORDER BY 1, 3""".stripMargin,
+      fiveMinuteOracle,
     "ohlcv_1h_by_user" ->
       """SELECT date_trunc('hour', ts) AS window_start,
         |       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
@@ -258,13 +269,7 @@ object Ohlcv {
         |       count(*)::BIGINT AS volume
         |FROM events GROUP BY 1, 2, 3, 4 ORDER BY 1, 3, 4""".stripMargin,
     "ohlcv_5m_rollup" ->
-      """SELECT to_timestamp((epoch_us(ts) // 300000000) * 300) AS window_start,
-        |       to_timestamp((epoch_us(ts) // 300000000) * 300 + 300) AS window_end,
-        |       event_type,
-        |       arg_min(value, ts) AS open, max(value) AS high,
-        |       min(value) AS low, arg_max(value, ts) AS close,
-        |       count(*)::BIGINT AS volume
-        |FROM events GROUP BY 1, 2, 3 ORDER BY 1, 3""".stripMargin,
+      fiveMinuteOracle,
     "ohlcv_formatted" ->
       """SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS time,
         |       event_type,

@@ -24,15 +24,12 @@ object Pipeline {
   val SamplePct = 80 // keep 80% of surviving docs, by fingerprint bucket
 
   def cleanCorpus(spark: SparkSession, dir: String): DataFrame = {
-    val t = tokens(col("text"))
+    // THE suite's quality blend (TextAnalysis.qualityExpr) — not a
+    // local re-implementation that could drift from text_quality
     val scored = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"), col("source"),
-        size(t).cast("long").as("n_tokens"),
-        size(array_distinct(t)).cast("long").as("n_distinct"),
-        aggregate(t, lit(0L), (acc, x) => acc + length(x)).as("sum_len"))
-      .withColumn("quality",
-        least(col("n_tokens") / lit(100.0), lit(1.0)) * 0.5
-          + (col("n_distinct") / col("n_tokens").cast("double")) * 0.5)
+      .select(Seq(col("doc_id"), col("text"), col("source")) ++
+        TextAnalysis.qualityFeatures(col("text")): _*)
+      .withColumn("quality", TextAnalysis.qualityExpr)
       .filter(col("quality") >= QualityMin)
     // canonical doc per digest: keep only the minimum doc_id of each
     // exact-duplicate group (a window-free self-semi-join shape)
@@ -59,14 +56,13 @@ object Pipeline {
 
   val oracle: Map[String, String] = Map(
     "pipeline_clean_corpus" ->
-      s"""WITH toks AS (SELECT doc_id, text, source,
-         |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+      s"""WITH t0 AS (SELECT doc_id, text, source,
+         |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
          |  FROM documents),
          |scored AS (SELECT doc_id, text, source,
-         |    len(t)::BIGINT AS n_tokens,
-         |    least(len(t)::BIGINT / 100.0, 1.0) * 0.5
-         |      + (len(list_distinct(t))::BIGINT / len(t)::DOUBLE) * 0.5 AS quality
-         |  FROM toks),
+         |    len(toks)::BIGINT AS n_tokens,
+         |    ${TextAnalysis.qualitySql} AS quality
+         |  FROM t0),
          |q AS (SELECT * FROM scored WHERE quality >= $QualityMin),
          |canon AS (SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
          |  FROM q),

@@ -48,29 +48,46 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** The quality feature columns over a `text` column — THE one
+    * definition of the blend's inputs, shared by qualityScore and the
+    * cleaning pipeline (Pipeline.cleanCorpus) so the two can never
+    * silently diverge. */
+  def qualityFeatures(text: Column): Seq[Column] = {
+    val t = tokens(text)
+    val allStop = stop.values.flatten.toSeq.distinct.sorted
+    Seq(
+      size(t).cast("long").as("n_tokens"),
+      size(array_distinct(t)).cast("long").as("n_distinct"),
+      hits(t, allStop).cast("long").as("n_stop"),
+      aggregate(t, lit(0L), (acc, x) => acc + length(x)).as("sum_len"))
+  }
+
+  /** The quality blend over the qualityFeatures column names. */
+  def qualityExpr: Column =
+    least(col("n_tokens") / lit(100.0), lit(1.0)) * 0.25 +
+      (col("n_distinct") / col("n_tokens").cast("double")) * 0.25 +
+      (lit(1.0) - col("n_stop") / col("n_tokens").cast("double")) * 0.25 +
+      least(col("sum_len") / col("n_tokens") / lit(8.0), lit(1.0)) * 0.25
+
+  /** DuckDB replica of qualityExpr over a token-list column `toks`. */
+  private[operators] def qualitySql: String =
+    s"""least(len(toks)::BIGINT / 100.0, 1.0) * 0.25
+       |    + (len(list_distinct(toks))::BIGINT / len(toks)::DOUBLE) * 0.25
+       |    + (1.0 - len(list_filter(toks, x -> x IN ($stopSqlAll)))::BIGINT / len(toks)::DOUBLE) * 0.25
+       |    + least(list_reduce(list_prepend(0::BIGINT, list_transform(toks, x -> length(x)::BIGINT)), (a, b) -> a + b) / len(toks)::DOUBLE / 8.0, 1.0) * 0.25""".stripMargin
+
   /** Heuristic quality score in [0,1]: length, vocabulary diversity,
     * stopword balance, average token length. The exact blend is less
     * important than being deterministic and cheap — it runs in the scan
     * projection, so a 100 TB corpus pays one pass. */
-  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
-    val t = tokens(col("text"))
-    val allStop = stop.values.flatten.toSeq.distinct.sorted
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("doc_id"), col("n_chars"),
-        size(t).cast("long").as("n_tokens"),
-        size(array_distinct(t)).cast("long").as("n_distinct"),
-        hits(t, allStop).cast("long").as("n_stop"),
-        aggregate(t, lit(0L), (acc, x) => acc + length(x)).as("sum_len"))
+      .select(col("doc_id") +: qualityFeatures(col("text")): _*)
       .withColumn("diversity", col("n_distinct") / col("n_tokens").cast("double"))
       .withColumn("stop_ratio", col("n_stop") / col("n_tokens").cast("double"))
-      .withColumn("quality",
-        least(col("n_tokens") / lit(100.0), lit(1.0)) * 0.25
-          + col("diversity") * 0.25
-          + (lit(1.0) - col("stop_ratio")) * 0.25
-          + least(col("sum_len") / col("n_tokens") / lit(8.0), lit(1.0)) * 0.25)
+      .withColumn("quality", qualityExpr)
       .select("doc_id", "n_tokens", "diversity", "stop_ratio", "quality")
       .orderBy(col("doc_id"))
-  }
 
   /** N-gram/stopword language identification: score each candidate
     * language by stopword hits, predict the argmax (ties broken in fixed

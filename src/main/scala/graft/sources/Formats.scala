@@ -8,24 +8,34 @@ import org.apache.spark.sql.types.StructType
   * JsonSource): CSV for interchange, ORC/Parquet for columnar at-rest.
   * Same contract as JsonSource: schemas are declared, never inferred
   * (inference costs a full extra pass — at 100 TB that doubles the
-  * read), and strict mode rejects malformed records loudly.
+  * read), and malformed records either fail loudly (FAILFAST) or land
+  * capturable in `_corrupt_record` — never silent null-filled rows.
   */
 object Formats {
 
-  /** CSV with declared schema; strict = FAILFAST on malformed rows. */
+  /** CSV with declared schema; strict = FAILFAST on malformed rows,
+    * permissive = malformed rows captured in `_corrupt_record`.
+    * multiLine handles quoted embedded newlines (document text!) —
+    * Spark's default line-split read would shred such records. */
   def csv(spark: SparkSession, path: String, schema: StructType,
-      failOnMalformed: Boolean, header: Boolean = true): DataFrame =
-    spark.read.schema(schema)
+      failOnMalformed: Boolean, header: Boolean = true): DataFrame = {
+    val full = if (failOnMalformed) schema else schema.add("_corrupt_record", "string")
+    spark.read.schema(full)
       .option("header", header)
+      .option("multiLine", true)
       .option("mode", if (failOnMalformed) "FAILFAST" else "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
       .csv(path)
+  }
 
   def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
     df.write.mode("overwrite").option("header", header).csv(path)
 
-  /** ORC — columnar with predicate pushdown, the parquet alternative. */
-  def orc(spark: SparkSession, path: String): DataFrame =
-    spark.read.orc(path)
+  /** ORC with a declared schema — ORC is self-describing, so the
+    * declared schema acts as validation (a silently renamed/retyped
+    * upstream column errors instead of flowing through). */
+  def orc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
 
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").orc(path)

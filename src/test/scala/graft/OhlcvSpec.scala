@@ -73,7 +73,7 @@ class OhlcvSpec extends SparkSpec {
     }
     val direct = tradeBars(trades, "5 minutes")
     val fine = tradeBars(trades, "1 minute")
-    val rolled = Ohlcv.rollup(fine, Seq("product"), "5 minutes")
+    val rolled = Ohlcv.rollup(fine, Seq("product"), "1 minute", "5 minutes")
     assert(direct.exceptAll(rolled).isEmpty && rolled.exceptAll(direct).isEmpty)
   }
 

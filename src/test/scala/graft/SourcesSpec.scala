@@ -55,9 +55,16 @@ class SourcesSpec extends SparkSpec {
       docs.orderBy("doc_id").collect().toSeq)
 
     Formats.writeOrc(docs, s"$base/orc")
-    val backOrc = Formats.orc(spark, s"$base/orc")
+    val backOrc = Formats.orc(spark, s"$base/orc", docs.schema)
     assert(backOrc.orderBy("doc_id").collect().toSeq ==
       docs.orderBy("doc_id").collect().toSeq)
+
+    // embedded newlines in text must survive the CSV round-trip
+    import spark.implicits._
+    val tricky = Seq((1L, "line one\nline two", "en", "s")).toDF("doc_id", "text", "lang", "source")
+    Formats.writeCsv(tricky, s"$base/csv_nl")
+    val backNl = Formats.csv(spark, s"$base/csv_nl", tricky.schema, failOnMalformed = true)
+    assert(backNl.collect().head.getString(1) == "line one\nline two")
 
     Formats.writeCuratedParquet(docs, s"$base/curated", "lang")
     val pruned = spark.read.parquet(s"$base/curated").filter(col("lang") === "en")
