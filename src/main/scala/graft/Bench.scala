@@ -53,8 +53,14 @@ object Bench {
         System.err.println(s"[bench] streamingRate failed: ${e.getMessage}")
         -1L
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""streaming_events_per_sec":$rate,"sf":${JsonUtil.q(sfDir)}}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""streaming_events_per_sec":$rate,"sf":${JsonUtil.q(sfDir)}}"""
+    println(line)
+    // also a machine-readable file — sbt prefixes stdout with [info]/
+    // [error] tags, which broke the driver's log-scrape parser in r1
+    val outPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.out.json"))
+    java.nio.file.Files.write(outPath, (line + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 

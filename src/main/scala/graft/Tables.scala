@@ -37,13 +37,24 @@ object Tables {
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 
   /** Register all tables as temp views for the spark.sql surface
-    * (reference's create_temporary_view, /root/reference/old/flink.py:39). */
-  def registerAll(spark: SparkSession, dir: String): Unit = {
-    Seq("lineitem", "orders", "customer", "part", "supplier",
-      "nation", "region", "documents", "embeddings")
-      .foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
-    // events goes through its loader so the view exposes a real
-    // timestamp column, not raw nano longs
-    events(spark, dir).createOrReplaceTempView("events")
+    * (reference's create_temporary_view, /root/reference/old/flink.py:39).
+    *
+    * Memoized per (session, dir): registration re-reads every parquet
+    * footer for schema inference, which charged ~1 s of pure catalog
+    * overhead to EVERY spark.sql query that called this defensively.
+    * WeakHashMap so a stopped session's entry can be collected. */
+  private val registeredDir =
+    new java.util.WeakHashMap[SparkSession, String]()
+
+  def registerAll(spark: SparkSession, dir: String): Unit = registeredDir.synchronized {
+    if (registeredDir.get(spark) != dir) {
+      Seq("lineitem", "orders", "customer", "part", "supplier",
+        "nation", "region", "documents", "embeddings")
+        .foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+      // events goes through its loader so the view exposes a real
+      // timestamp column, not raw nano longs
+      events(spark, dir).createOrReplaceTempView("events")
+      registeredDir.put(spark, dir)
+    }
   }
 }

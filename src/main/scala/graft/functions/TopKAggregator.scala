@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** One (id, score) candidate inside a bounded top-k buffer. */
+final case class ScoredId(vec_id: Long, cosine: Double)
+
+/** Bounded top-k by (score DESC, id ASC) as a typed Aggregator — the
+  * scale-safe replacement for a global `row_number` window over the
+  * whole scored corpus (operators/Similarity.scala). A window plan
+  * funnels EVERY scored row through the shuffle into one reducer
+  * partition per query; this Aggregator partial-aggregates map-side, so
+  * each map task forwards at most k candidates per query and the final
+  * merge per query sees k × numPartitions rows, independent of corpus
+  * size — the classic distributed top-k partial/merge shape.
+  *
+  * Determinism: the buffer is kept under the total order
+  * (score DESC, id ASC) using java.lang.Double.compare, which is
+  * NaN-greatest — the same DESC placement of NaN scores as Spark's and
+  * DuckDB's sort, so results stay bit-identical to the window/oracle
+  * formulation. `merge` is associative and commutative (bounded
+  * merge-insert under a total order), as partial aggregation requires.
+  */
+final class TopKByScore(k: Int) extends Aggregator[ScoredId, List[ScoredId], Seq[ScoredId]] {
+  require(k > 0, s"top-k needs k > 0, got $k")
+
+  // strict total order when ids are unique: does `a` rank ahead of `b`
+  private def beats(a: ScoredId, b: ScoredId): Boolean = {
+    val c = java.lang.Double.compare(a.cosine, b.cosine)
+    c > 0 || (c == 0 && a.vec_id < b.vec_id)
+  }
+
+  override def zero: List[ScoredId] = Nil
+
+  private def insert(buf: List[ScoredId], in: ScoredId): List[ScoredId] =
+    if (buf.lengthCompare(k) >= 0 && beats(buf.last, in)) buf // full and out-ranked: O(1) reject
+    else {
+      val (pre, post) = buf.span(e => beats(e, in))
+      (pre ::: in :: post).take(k)
+    }
+
+  override def reduce(buf: List[ScoredId], in: ScoredId): List[ScoredId] = insert(buf, in)
+
+  override def merge(x: List[ScoredId], y: List[ScoredId]): List[ScoredId] =
+    y.foldLeft(x)(insert)
+
+  override def finish(buf: List[ScoredId]): Seq[ScoredId] = buf
+
+  override def bufferEncoder: Encoder[List[ScoredId]] = ExpressionEncoder()
+  override def outputEncoder: Encoder[Seq[ScoredId]] = ExpressionEncoder()
+}

@@ -64,22 +64,46 @@ object Dedup {
 
   // ------------------------------------------------- exact n-gram Jaccard
 
-  /** (doc_id, distinct shingle codes, set size) — shared front of the
-    * Jaccard and MinHash paths. */
-  private def shingled(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+  /** Posting-list document-frequency cap for the inverted-index join.
+    * High enough to be a no-op on every testdata scale factor (sf0.1 has
+    * ~10³ docs), so oracles stay exact; at corpus scale it is THE skew
+    * valve — a stop-shingle present in k docs otherwise contributes k²
+    * candidate pairs to one join key. */
+  val DefaultMaxShingleDf = 100000L
+
+  /** (doc_id, distinct shingle codes, set size) over any (doc_id, text)
+    * frame — public seam so specs can feed synthetic corpora. */
+  private[graft] def shingledOn(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), shingleCodes(col("text"), ShingleN).as("codes"))
       .withColumn("sz", size(col("codes")).cast("long"))
+
+  private def shingled(spark: SparkSession, dir: String): DataFrame =
+    shingledOn(Tables.documents(spark, dir))
 
   /** Exact word-3-gram Jaccard near-dup pairs via inverted index.
     * `sh` appears three times in the plan and is recomputed per use —
     * cheap here (ShingleHashes is one fused scan pass) and leak-free; a
     * 100 TB run would checkpoint the shingle table to storage once
     * instead (a library-held `.persist()` with no unpersist hook leaks
-    * executor storage across a long session). */
-  def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(spark, dir)
-    val posts = sh.select(col("doc_id"), explode(col("codes")).as("code"))
+    * executor storage across a long session).
+    *
+    * @param maxDf drop shingle codes whose document frequency exceeds
+    *   this BEFORE the self-join. Dropping a shingle removes it from
+    *   every doc's posting list but not from the set sizes, so the
+    *   capped jaccard is a LOWER BOUND on the true one: the cap can only
+    *   miss pairs whose overlap rides on corpus-wide stop-shingles —
+    *   exactly the pairs that are near-dups of boilerplate, not content.
+    *   The df counts reuse the same `code` shuffle key as the join that
+    *   follows, so the cap costs one co-partitioned aggregate, not an
+    *   extra wide shuffle. */
+  def jaccardPairsOn(sh: DataFrame, maxDf: Long = DefaultMaxShingleDf): DataFrame = {
+    val allPosts = sh.select(col("doc_id"), explode(col("codes")).as("code"))
+    val rare = allPosts.groupBy(col("code"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select(col("code"))
+    val posts = allPosts.join(rare, Seq("code"), "left_semi")
     val common = posts.as("a").join(posts.as("b"),
         col("a.code") === col("b.code") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
@@ -93,6 +117,9 @@ object Dedup {
       .select(col("doc_i"), col("doc_j"), col("jaccard"))
       .orderBy(col("doc_i"), col("doc_j"))
   }
+
+  def jaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    jaccardPairsOn(shingled(spark, dir))
 
   // ---------------------------------------------------------- MinHash+LSH
 

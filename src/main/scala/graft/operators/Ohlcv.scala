@@ -104,12 +104,18 @@ object Ohlcv {
   // mapping: ts→timestamp, event_type→product, value→price, unit qty;
   // event_id is the deterministic tiebreak).
 
-  private def eventBars(spark: SparkSession, dir: String, width: String): DataFrame = {
+  /** Unsorted bars — composition building block. Mid-plan ordering is
+    * wasted work (any downstream groupBy destroys it with another
+    * exchange); presentation `orderBy` belongs on the FINAL result only. */
+  private def eventBarsUnsorted(spark: SparkSession, dir: String, width: String): DataFrame = {
     val ev = Tables.events(spark, dir)
     bars(ev, col("ts"), col("value"), lit(1L), Seq("event_type" -> col("event_type")),
       width, col("event_id"))
-      .orderBy(col("window_start"), col("event_type"))
   }
+
+  private def eventBars(spark: SparkSession, dir: String, width: String): DataFrame =
+    eventBarsUnsorted(spark, dir, width)
+      .orderBy(col("window_start"), col("event_type"))
 
   /** 1-minute bars keyed by event_type — the flagship slice
     * (reference main line, /root/reference/5_ohlc.py:72). */
@@ -132,7 +138,7 @@ object Ohlcv {
   /** 5-minute bars computed by rolling up 1-minute bars — bar-of-bars
     * consistency (/root/reference/old/flink.py:42-67 dual resolution). */
   def bars5mFrom1m(spark: SparkSession, dir: String): DataFrame = {
-    val oneMin = eventBars(spark, dir, "1 minute")
+    val oneMin = eventBarsUnsorted(spark, dir, "1 minute")
     rollup(oneMin, Seq("event_type"), "1 minute", "5 minutes")
       .orderBy(col("window_start"), col("event_type"))
   }
@@ -236,9 +242,11 @@ object Ohlcv {
         |       count(*)::BIGINT AS volume
         |FROM events GROUP BY 1, 2, 3 ORDER BY 1, 3""".stripMargin
 
+  // DuckDB to_timestamp returns TIMESTAMP WITH TIME ZONE; Spark windows
+  // are plain TIMESTAMP — cast, or the driver's schema/hash compare fails.
   private val fiveMinuteOracle: String =
-    """SELECT to_timestamp((epoch_us(ts) // 300000000) * 300) AS window_start,
-        |       to_timestamp((epoch_us(ts) // 300000000) * 300 + 300) AS window_end,
+    """SELECT to_timestamp((epoch_us(ts) // 300000000) * 300)::TIMESTAMP AS window_start,
+        |       to_timestamp((epoch_us(ts) // 300000000) * 300 + 300)::TIMESTAMP AS window_end,
         |       event_type,
         |       arg_min(value, ts) AS open, max(value) AS high,
         |       min(value) AS low, arg_max(value, ts) AS close,

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.VectorFunctions.cosineSim
@@ -23,9 +22,13 @@ import graft.functions.VectorFunctions.cosineSim
   *    probing 1 of C cells cuts scanned vectors by ~C×, the standard
   *    recall/cost knob (Jégou et al., "Product quantization for nearest
   *    neighbor search", 2011);
-  *  - top-k per query via window rank. At extreme corpus sizes replace
-  *    with per-partition partial top-k then a single small merge — same
-  *    semantics, bounded shuffle.
+  *  - top-k per query via a bounded typed Aggregator
+  *    (graft.functions.TopKByScore): map-side partial top-k, then one
+  *    small merge — each map task forwards ≤ k candidates per query, so
+  *    shuffle volume is k × partitions per query regardless of corpus
+  *    size. (A `row_number` window would instead shuffle EVERY scored
+  *    row into one reducer partition per query — the single-stage global
+  *    window is the 100 TB scale-killer this shape avoids.)
   */
 object Similarity {
 
@@ -39,32 +42,42 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         col("label").as("qlabel"))
 
+  /** Partial/merge top-k over (query_id, vec_id, cosine) rows: map-side
+    * bounded top-k per query, one tiny final merge, rank by explode
+    * position. Identical semantics (and float bits) to
+    * `row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC,
+    * vec_id) <= k`, without the global window's single-reducer funnel. */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val topk = udaf(new graft.functions.TopKByScore(k))
+    scored
+      .groupBy(col("query_id"))
+      .agg(topk(col("vec_id"), col("cosine")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + lit(1)).as("rnk"),
+        col("col.vec_id").as("vec_id"), col("col.cosine").as("cosine"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   /** Exact brute-force cosine top-k for each query vector. */
   def topKBruteForce(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("vec_id"))
-    broadcast(queriesDf(spark, dir))
-      .join(emb, col("vec_id") =!= col("query_id"))
-      .withColumn("cosine", cosineSim(col("qv"), col("embedding")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= TopK)
-      .select(col("query_id"), col("rnk"), col("vec_id"), col("cosine"))
-      .orderBy(col("query_id"), col("rnk"))
+    topKPerQuery(
+      broadcast(queriesDf(spark, dir))
+        .join(emb, col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          cosineSim(col("qv"), col("embedding")).as("cosine")),
+      TopK)
   }
 
   /** IVF-probed approximate top-k: only the query's cell is scanned. */
   def topKIvf(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("vec_id"))
-    broadcast(queriesDf(spark, dir))
-      .join(emb, col("label") === col("qlabel") && col("vec_id") =!= col("query_id"))
-      .withColumn("cosine", cosineSim(col("qv"), col("embedding")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= IvfTopK)
-      .select(col("query_id"), col("rnk"), col("vec_id"), col("cosine"))
-      .orderBy(col("query_id"), col("rnk"))
+    topKPerQuery(
+      broadcast(queriesDf(spark, dir))
+        .join(emb, col("label") === col("qlabel") && col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          cosineSim(col("qv"), col("embedding")).as("cosine")),
+      IvfTopK)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -50,7 +50,7 @@ object Windows {
     // every event belongs to the two 5-min-aligned starts covering it
     "win_sliding_counts" ->
       """WITH x AS (SELECT event_type, value,
-        |    to_timestamp((epoch_us(ts) // 300000000) * 300 - k * 300) AS window_start
+        |    to_timestamp((epoch_us(ts) // 300000000) * 300 - k * 300)::TIMESTAMP AS window_start
         |  FROM events, (SELECT unnest([0, 1]) AS k))
         |SELECT window_start, window_start + INTERVAL 10 MINUTE AS window_end,
         |  event_type, count(*)::BIGINT AS n, max(value) AS mx

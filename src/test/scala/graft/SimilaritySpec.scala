@@ -65,6 +65,30 @@ class SimilaritySpec extends SparkSpec {
     assert(df.collect().head.isNullAt(0))
   }
 
+  test("partial/merge top-k equals the global row_number window formulation") {
+    // the Aggregator path must be bit-identical to the window it replaced
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, sf0001)
+    val queries = emb.filter(col("vec_id") < Similarity.NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val windowed = broadcast(queries)
+      .join(emb, col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", VectorFunctions.cosineSim(col("qv"), col("embedding")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= Similarity.TopK)
+      .select(col("query_id"), col("rnk"), col("vec_id"), col("cosine"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), java.lang.Double.doubleToLongBits(r.getDouble(3))))
+      .toMap
+    val agg = Similarity.topKBruteForce(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), java.lang.Double.doubleToLongBits(r.getDouble(3))))
+      .toMap
+    assert(agg.nonEmpty)
+    assert(agg == windowed)
+  }
+
   test("IVF results are a subset of brute-force candidates per query") {
     val bf = Similarity.topKBruteForce(spark, sf0001)
       .select("query_id", "vec_id", "cosine").as[(Long, Long, Double)]

@@ -80,6 +80,50 @@ class TrainingDataSpec extends SparkSpec {
     assert(lsh.size >= exact.size * 8 / 10, s"LSH recall too low: ${lsh.size}/${exact.size}")
   }
 
+  test("jaccard df cap: default cap is a no-op on the real corpus") {
+    val sh = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), TextFunctions.shingleCodes(col("text"), Dedup.ShingleN).as("codes"))
+      .withColumn("sz", size(col("codes")).cast("long"))
+    val capped = Dedup.jaccardPairsOn(sh)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val uncapped = Dedup.jaccardPairsOn(sh, maxDf = Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(capped == uncapped, "DefaultMaxShingleDf must not change testdata results")
+    assert(capped.nonEmpty)
+  }
+
+  test("jaccard df cap prunes synthetic stop-shingle pairs") {
+    // 4 docs whose overlap rides ENTIRELY on the boilerplate prefix
+    // "x y z w": shingles per doc are {"x y z", "y z w", "z w <uniq>"},
+    // so each pair has common=2, jaccard=2/4=0.5 → emitted uncapped.
+    // Both shared shingles sit in all 4 docs (df=4); maxDf=3 drops the
+    // posting lists → zero candidates survive.
+    val boiler = Seq(
+      (10L, "x y z w a1"), (11L, "x y z w b1"),
+      (12L, "x y z w c1"), (13L, "x y z w d1")
+    ).toDF("doc_id", "text")
+    val sh = boiler
+      .select(col("doc_id"), TextFunctions.shingleCodes(col("text"), Dedup.ShingleN).as("codes"))
+      .withColumn("sz", size(col("codes")).cast("long"))
+    assert(Dedup.jaccardPairsOn(sh, maxDf = Long.MaxValue).count() == 6L,
+      "all 4-choose-2 boilerplate pairs pass the threshold uncapped")
+    assert(Dedup.jaccardPairsOn(sh, maxDf = 3L).count() == 0L,
+      "the df cap must drop pairs that only overlap on stop-shingles")
+    // and on a mixed corpus the cap only BOUNDS jaccard from below:
+    // every capped pair appears uncapped with >= jaccard
+    val shMixed = docs.select(col("doc_id"), col("text")).union(boiler)
+      .select(col("doc_id"), TextFunctions.shingleCodes(col("text"), Dedup.ShingleN).as("codes"))
+      .withColumn("sz", size(col("codes")).cast("long"))
+    val unc = Dedup.jaccardPairsOn(shMixed, maxDf = Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val capped = Dedup.jaccardPairsOn(shMixed, maxDf = 3L).collect()
+    capped.foreach { r =>
+      val k = (r.getLong(0), r.getLong(1))
+      assert(unc.contains(k) && unc(k) >= r.getDouble(2) - 1e-12,
+        s"capped pair $k must be a (lower-bounded) subset of uncapped")
+    }
+  }
+
   test("simhash pairs are near-dups by construction") {
     val pairs = Dedup.simHashPairs(spark, sf0001).collect()
     assert(pairs.nonEmpty)
