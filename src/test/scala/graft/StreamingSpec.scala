@@ -169,6 +169,34 @@ class StreamingSpec extends SparkSpec {
     assert(finalVolumes("5 seconds")(T0) == 11L) // late event within slack kept
   }
 
+  test("windowedBars update mode re-emits a corrected bar for an in-watermark late event (W5)") {
+    // the declarative path's allowed-lateness approximation (SURVEY §7.4):
+    // update mode must re-fire the bar when a late-but-within-watermark
+    // event lands in a LATER micro-batch — including correcting the open
+    val input = MemoryStream[Trade]
+    val bars = StreamingOhlcv.windowedBars(
+      StreamingOhlcv.withEventTime(input.toDS(), "2 minutes"), "1 minute")
+    val q = bars.writeStream.format("memory").queryName("refire")
+      .outputMode("update").start()
+    try {
+      input.addData(trade(30000, "P1", 10.0, 1), trade(50000, "P1", 20.0, 2))
+      q.processAllAvailable()
+      val firstFire = spark.table("refire").collect()
+        .map(r => (r.getAs[Double]("open"), r.getAs[Long]("volume")))
+      assert(firstFire.toSeq == Seq((10.0, 3L)))
+      // late straggler, EARLIER event time than anything seen: within the
+      // 2-minute slack, so the minute-0 bar must re-fire with the true open
+      input.addData(trade(10000, "P1", 5.0, 4))
+      q.processAllAvailable()
+      val fires = spark.table("refire").collect()
+        .map(r => (r.getAs[java.sql.Timestamp]("window_start").getTime,
+          r.getAs[Double]("open"), r.getAs[Double]("close"), r.getAs[Long]("volume")))
+      assert(fires.length == 2, s"expected a re-fire row, got ${fires.toSeq}")
+      assert(fires.contains((T0, 5.0, 20.0, 7L)),
+        s"re-fired bar must carry the corrected open/volume: ${fires.toSeq}")
+    } finally q.stop()
+  }
+
   test("statefulBars absorbs out-of-order events across window boundaries within the watermark") {
     val input = MemoryStream[Trade]
     val bars = StreamingOhlcv.statefulBars(
