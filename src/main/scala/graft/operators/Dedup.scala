@@ -212,14 +212,18 @@ object Dedup {
     * identical: broadcast small side, bucket in the scan). Sign of the
     * dot equals sign of the cosine (norms are positive), so the bucket
     * bit reuses the fused-loop native cosine expression. */
-  def embeddingNearDups(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.VectorFunctions.{cosineSim, dotProduct}
-    // Zero-norm vectors are excluded up front on BOTH sides (oracle
-    // carries the same predicate): their cosine is NaN, and NaN
-    // comparison semantics differ between engines (IEEE false in
-    // Spark, NaN-greatest in DuckDB). The bucket bit tests the raw
-    // dot's sign, not the cosine's — same sign for nonzero norms, and
-    // well-defined arithmetic in both engines.
+  /** (vec_id, embedding, bucket) with the 8-bit sign-LSH bucket —
+    * shared by embedding near-dup and the LSH-probed ANN
+    * (operators/Similarity.topKLsh).
+    *
+    * Zero-norm vectors are excluded up front on BOTH sides (oracle
+    * carries the same predicate): their cosine is NaN, and NaN
+    * comparison semantics differ between engines (IEEE false in
+    * Spark, NaN-greatest in DuckDB). The bucket bit tests the raw
+    * dot's sign, not the cosine's — same sign for nonzero norms, and
+    * well-defined arithmetic in both engines. */
+  private[graft] def signBucketed(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.dotProduct
     val emb = Tables.embeddings(spark, dir)
       .filter(dotProduct(col("embedding"), col("embedding")) > 0)
     // The 8 hyperplanes are collected once (8 rows) and folded into the
@@ -236,7 +240,12 @@ object Dedup {
       when(dotProduct(col("embedding"), typedlit(plane)) >= 0, lit(1L << k))
         .otherwise(0L)
     }.reduce(_ + _)
-    val b = emb.select(col("vec_id"), col("embedding"), bucket.as("bucket"))
+    emb.select(col("vec_id"), col("embedding"), bucket.as("bucket"))
+  }
+
+  def embeddingNearDups(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.cosineSim
+    val b = signBucketed(spark, dir)
     b.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .withColumn("cosine", cosineSim(col("a.embedding"), col("b.embedding")))
@@ -257,8 +266,12 @@ object Dedup {
     * small; each round is one join + aggregate, all distributed (the
     * standard large-graph CC shape; at web scale swap in
     * large-star/small-star to cut rounds, Kiveris et al. 2014). */
-  def dupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = jaccardPairs(spark, dir).select(col("doc_i"), col("doc_j"))
+  def dupClusters(spark: SparkSession, dir: String): DataFrame =
+    minLabelClustersOn(jaccardPairs(spark, dir).select(col("doc_i"), col("doc_j")))
+
+  /** Min-label propagation over an undirected pair graph — public seam
+    * so specs can feed synthetic graphs (chains, stars, forests). */
+  private[graft] def minLabelClustersOn(pairs: DataFrame): DataFrame = {
     // undirected edges both ways; localCheckpoint = materialize once AND
     // truncate lineage — the labels plan references itself twice per
     // round, so without truncation the logical plan doubles every
@@ -297,8 +310,81 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Connected components by alternating large-star / small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014) — the web-scale upgrade over min-label propagation:
+    * converges in O(log² n) rounds regardless of component DIAMETER,
+    * where label propagation needs diameter-many rounds (a 10⁶-long
+    * boilerplate chain = 10⁶ joins). Same output contract as
+    * [[dupClusters]]: (doc_id, component-minimum canonical_id) for every
+    * node of the pair graph — so it shares the recursive-CTE oracle.
+    *
+    * Each round is two join+aggregate passes over the CURRENT edge set,
+    * which only shrinks toward the star forest — no per-round growth.
+    *
+    *  - large-star: each node u links every LARGER neighbor to
+    *    m = min(N(u) ∪ {u}) — long tails fold onto small labels;
+    *  - small-star: with edges oriented high→low, each u links its
+    *    smaller neighbors and itself to m = min(N(u) ∪ {u}).
+    *
+    * Fixpoint: the edge set stabilizes as a star forest, every member
+    * pointing at its component minimum. */
+  def dupClustersStar(spark: SparkSession, dir: String): DataFrame =
+    starClustersOn(jaccardPairs(spark, dir).select(col("doc_i"), col("doc_j")))
+
+  private[graft] def starClustersOn(pairs: DataFrame): DataFrame = {
+    // orient high→low once; the invariant (src > dst) is restored by
+    // every subsequent step, and self-loops are dropped at the source
+    var edges = pairs
+      .select(greatest(col("doc_i"), col("doc_j")).as("src"),
+        least(col("doc_i"), col("doc_j")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val mins = sym.groupBy(col("src"))
+        .agg(min(col("dst")).as("mn"))
+        .select(col("src"), least(col("src"), col("mn")).as("m"))
+      // (v, m) for v ∈ N(u), v > u: v > u ≥ m, so orientation holds
+      sym.join(mins, "src")
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .distinct()
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy(col("src")).agg(min(col("dst")).as("m"))
+      val relink = e.join(mins, "src")
+        .select(col("dst").as("src"), col("m").as("dst"))
+      relink.union(mins.select(col("src"), col("m").as("dst")))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+    }
+
+    val maxRounds = 50 // runaway backstop; O(log² n) expected
+    var round = 0
+    var changed = 1L
+    while (changed > 0 && round < maxRounds) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      // fixpoint = identical edge set (both directions of except; the
+      // sets are star-forest-sized by now, the check is two small joins)
+      changed = next.exceptAll(edges).count() + edges.exceptAll(next).count()
+      edges = next
+      round += 1
+    }
+    require(changed == 0, s"starClusters did not converge in $maxRounds rounds")
+    // star forest: every non-root points at its component min; roots
+    // (the mins themselves) label themselves
+    edges.select(col("src").as("doc_id"), col("dst").as("canonical_id"))
+      .union(edges.select(col("dst"), col("dst")).distinct())
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_clusters" -> ((s, d) => dupClusters(s, d)),
+    "dedup_clusters_star" -> ((s, d) => dupClustersStar(s, d)),
     "dedup_exact" -> ((s, d) => exact(s, d)),
     "dedup_jaccard_pairs" -> ((s, d) => jaccardPairs(s, d)),
     "dedup_minhash_lsh" -> ((s, d) => minHashLshPairs(s, d)),
@@ -321,25 +407,32 @@ object Dedup {
       | FROM toks),
       |sh AS (SELECT doc_id, codes, len(codes)::BIGINT AS sz FROM sh0)""".stripMargin
 
+  /** dedup_clusters and dedup_clusters_star share one oracle: both
+    * compute exact connected components with component-min canonicals —
+    * only the distributed algorithm differs (diameter-bound label
+    * propagation vs O(log² n) alternating stars). */
+  private val clustersOracle =
+    s"""WITH RECURSIVE $shingleCte,
+       |posts AS (SELECT doc_id, unnest(codes) AS code FROM sh),
+       |common AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
+       |    count(*)::BIGINT AS common
+       |  FROM posts a JOIN posts b ON a.code = b.code AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (SELECT doc_i, doc_j FROM common
+       |  JOIN sh si ON si.doc_id = doc_i JOIN sh sj ON sj.doc_id = doc_j
+       |  WHERE common::DOUBLE / (si.sz + sj.sz - common) >= 0.5),
+       |edges AS (SELECT doc_i, doc_j FROM pairs
+       |  UNION ALL SELECT doc_j, doc_i FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT doc_i, doc_i FROM (SELECT DISTINCT doc_i FROM edges)
+       |  UNION
+       |  SELECT r.src, e.doc_j FROM reach r JOIN edges e ON r.dst = e.doc_i)
+       |SELECT src AS doc_id, min(dst) AS canonical_id
+       |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin
+
   val oracle: Map[String, String] = Map(
-    "dedup_clusters" ->
-      s"""WITH RECURSIVE $shingleCte,
-         |posts AS (SELECT doc_id, unnest(codes) AS code FROM sh),
-         |common AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
-         |    count(*)::BIGINT AS common
-         |  FROM posts a JOIN posts b ON a.code = b.code AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |pairs AS (SELECT doc_i, doc_j FROM common
-         |  JOIN sh si ON si.doc_id = doc_i JOIN sh sj ON sj.doc_id = doc_j
-         |  WHERE common::DOUBLE / (si.sz + sj.sz - common) >= 0.5),
-         |edges AS (SELECT doc_i, doc_j FROM pairs
-         |  UNION ALL SELECT doc_j, doc_i FROM pairs),
-         |reach(src, dst) AS (
-         |  SELECT doc_i, doc_i FROM (SELECT DISTINCT doc_i FROM edges)
-         |  UNION
-         |  SELECT r.src, e.doc_j FROM reach r JOIN edges e ON r.dst = e.doc_i)
-         |SELECT src AS doc_id, min(dst) AS canonical_id
-         |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dedup_clusters" -> clustersOracle,
+    "dedup_clusters_star" -> clustersOracle,
     "dedup_exact" ->
       """SELECT md5(text) AS digest, min(doc_id) AS canonical_id,
         |  count(*)::BIGINT AS n_copies

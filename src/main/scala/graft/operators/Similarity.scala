@@ -80,9 +80,39 @@ object Similarity {
       IvfTopK)
   }
 
+  /** LSH-probed approximate top-k — the bucketed scale path the sign-LSH
+    * dedup already pays for: corpus vectors carry an 8-bit
+    * random-hyperplane bucket (Dedup.signBucketed — computed in the scan,
+    * zero shuffle), and each query probes its own bucket plus all 8
+    * Hamming-1 neighbors (multi-probe LSH, Lv et al. VLDB 2007 — the
+    * standard recall knob without more tables). The 9 probe keys per
+    * query form a tiny broadcast side of an EQUI-join on `bucket`, so the
+    * corpus is hash-pruned to ~9/256 of its rows before any cosine is
+    * computed — compare brute force, which scores everything.
+    * Each corpus vector has exactly ONE bucket and the 9 probe buckets
+    * are distinct, so no candidate dedup is needed. */
+  def topKLsh(spark: SparkSession, dir: String): DataFrame = {
+    val b = Dedup.signBucketed(spark, dir)
+    val q = b.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("bucket").as("qb"))
+    val flipMasks = typedlit(0L +: (0 until Dedup.HyperplaneBits).map(1L << _))
+    val probes = q
+      .select(col("query_id"), col("qv"), col("qb"), explode(flipMasks).as("mask"))
+      .select(col("query_id"), col("qv"),
+        col("qb").bitwiseXOR(col("mask")).as("bucket"))
+    topKPerQuery(
+      broadcast(probes).join(b, Seq("bucket"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          cosineSim(col("qv"), col("embedding")).as("cosine")),
+      IvfTopK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_bruteforce" -> ((s, d) => topKBruteForce(s, d)),
-    "sim_topk_ivf" -> ((s, d) => topKIvf(s, d)))
+    "sim_topk_ivf" -> ((s, d) => topKIvf(s, d)),
+    "sim_topk_lsh" -> ((s, d) => topKLsh(s, d)))
 
   /** Cosine with the same operation order as the native expression:
     * index-ordered fold of dot and both norms, then one division. */

@@ -152,6 +152,35 @@ class TrainingDataSpec extends SparkSpec {
     }
   }
 
+  test("large-star/small-star clustering equals min-label propagation on the real pair graph") {
+    val pairs = Dedup.jaccardPairs(spark, sf0001)
+      .select(org.apache.spark.sql.functions.col("doc_i"),
+        org.apache.spark.sql.functions.col("doc_j"))
+    val byLabel = Dedup.minLabelClustersOn(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val byStar = Dedup.starClustersOn(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(byStar.nonEmpty)
+    assert(byStar == byLabel)
+  }
+
+  test("star clustering handles long chains, stars, and forests") {
+    import spark.implicits._
+    // a 12-node chain (diameter >> log n), a star rooted at 100, an
+    // isolated pair — min-label needs ~12 rounds on the chain; the star
+    // algorithm must produce identical components regardless
+    val chain = (1L until 12L).map(i => (i, i + 1))
+    val star = (102L to 106L).map(i => (100L, i))
+    val pair = Seq((200L, 201L))
+    val edges = (chain ++ star ++ pair).toDF("doc_i", "doc_j")
+    val got = Dedup.starClustersOn(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1L to 12L).foreach(i => assert(got(i) == 1L, s"chain node $i"))
+    (Seq(100L) ++ (102L to 106L)).foreach(i => assert(got(i) == 100L, s"star node $i"))
+    assert(got(200L) == 200L && got(201L) == 200L)
+    assert(got.size == 12 + 6 + 2)
+  }
+
   test("embedding near-dup cosines are valid and thresholded") {
     val rows = Dedup.embeddingNearDups(spark, sf0001).collect()
     rows.foreach { r =>
