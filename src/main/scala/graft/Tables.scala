@@ -46,10 +46,15 @@ object Tables {
   private val registeredDir =
     new java.util.WeakHashMap[SparkSession, String]()
 
+  private val viewNames = Seq("lineitem", "orders", "customer", "part",
+    "supplier", "nation", "region", "documents", "embeddings", "events")
+
   def registerAll(spark: SparkSession, dir: String): Unit = registeredDir.synchronized {
-    if (registeredDir.get(spark) != dir) {
-      Seq("lineitem", "orders", "customer", "part", "supplier",
-        "nation", "region", "documents", "embeddings")
+    // the memo fast path must also survive a caller DROPping a view in
+    // the same session: cheap catalog existence check before skipping
+    if (registeredDir.get(spark) != dir ||
+        !viewNames.forall(spark.catalog.tableExists)) {
+      viewNames.filterNot(_ == "events")
         .foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
       // events goes through its loader so the view exposes a real
       // timestamp column, not raw nano longs

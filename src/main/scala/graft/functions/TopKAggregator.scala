@@ -26,9 +26,13 @@ final case class ScoredId(vec_id: Long, cosine: Double)
 final class TopKByScore(k: Int) extends Aggregator[ScoredId, List[ScoredId], Seq[ScoredId]] {
   require(k > 0, s"top-k needs k > 0, got $k")
 
-  // strict total order when ids are unique: does `a` rank ahead of `b`
+  // strict total order when ids are unique: does `a` rank ahead of `b`.
+  // `+ 0.0` collapses -0.0 to 0.0 before comparing: Double.compare alone
+  // orders -0.0 < 0.0, but Spark's sort (nanSafeCompareDoubles) and the
+  // DuckDB oracle treat them as equal and fall to the vec_id tiebreak —
+  // and a -0.0 cosine is reachable (dot of -0.0 over positive norms).
   private def beats(a: ScoredId, b: ScoredId): Boolean = {
-    val c = java.lang.Double.compare(a.cosine, b.cosine)
+    val c = java.lang.Double.compare(a.cosine + 0.0, b.cosine + 0.0)
     c > 0 || (c == 0 && a.vec_id < b.vec_id)
   }
 

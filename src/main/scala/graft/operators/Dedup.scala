@@ -65,10 +65,11 @@ object Dedup {
   // ------------------------------------------------- exact n-gram Jaccard
 
   /** Posting-list document-frequency cap for the inverted-index join.
-    * High enough to be a no-op on every testdata scale factor (sf0.1 has
-    * ~10³ docs), so oracles stay exact; at corpus scale it is THE skew
-    * valve — a stop-shingle present in k docs otherwise contributes k²
-    * candidate pairs to one join key. */
+    * A no-op on every testdata scale factor (sf0.1 has ~10³ docs), and
+    * mirrored verbatim in the jaccard-derived oracle SQL (postsCte), so
+    * engine/oracle parity holds even at a scale where it bites; at
+    * corpus scale it is THE skew valve — a stop-shingle present in k
+    * docs otherwise contributes k² candidate pairs to one join key. */
   val DefaultMaxShingleDf = 100000L
 
   /** (doc_id, distinct shingle codes, set size) over any (doc_id, text)
@@ -240,7 +241,15 @@ object Dedup {
       when(dotProduct(col("embedding"), typedlit(plane)) >= 0, lit(1L << k))
         .otherwise(0L)
     }.reduce(_ + _)
+    // Materialize the bucketed projection ONCE: every consumer
+    // (embeddingNearDups, Similarity.topKLsh) self-joins this frame, and
+    // without the checkpoint Catalyst recomputes the 8-dot-product
+    // projection independently on each join side (measured 2.6× on the
+    // near-dup query, round 2). At cluster scale the equivalent is one
+    // write of the bucketed table to storage before the bucket-local
+    // joins — same one-narrow-pass-then-join shape.
     emb.select(col("vec_id"), col("embedding"), bucket.as("bucket"))
+      .localCheckpoint()
   }
 
   def embeddingNearDups(spark: SparkSession, dir: String): DataFrame = {
@@ -411,9 +420,18 @@ object Dedup {
     * compute exact connected components with component-min canonicals —
     * only the distributed algorithm differs (diameter-bound label
     * propagation vs O(log² n) alternating stars). */
+  /** Posting-list CTEs shared by the jaccard-derived oracles — mirrors
+    * jaccardPairsOn's df cap exactly, so engine and oracle stay paired
+    * at EVERY scale factor, not only ones where the cap is a no-op. */
+  private val postsCte =
+    s"""allposts AS (SELECT doc_id, unnest(codes) AS code FROM sh),
+       |rare AS (SELECT code FROM allposts GROUP BY code
+       |  HAVING count(*) <= $DefaultMaxShingleDf),
+       |posts AS (SELECT p.doc_id, p.code FROM allposts p JOIN rare USING (code))""".stripMargin
+
   private val clustersOracle =
     s"""WITH RECURSIVE $shingleCte,
-       |posts AS (SELECT doc_id, unnest(codes) AS code FROM sh),
+       |$postsCte,
        |common AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
        |    count(*)::BIGINT AS common
        |  FROM posts a JOIN posts b ON a.code = b.code AND a.doc_id < b.doc_id
@@ -439,7 +457,7 @@ object Dedup {
         |FROM documents GROUP BY 1 ORDER BY canonical_id""".stripMargin,
     "dedup_jaccard_pairs" ->
       s"""WITH $shingleCte,
-         |posts AS (SELECT doc_id, unnest(codes) AS code FROM sh),
+         |$postsCte,
          |common AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
          |    count(*)::BIGINT AS common
          |  FROM posts a JOIN posts b ON a.code = b.code AND a.doc_id < b.doc_id

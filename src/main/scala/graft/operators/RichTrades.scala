@@ -102,9 +102,21 @@ object RichTrades {
         struct(col("open"), col("high"), col("low"), col("close")).as("ohlc"))
       .orderBy(col("window_start"))
 
+  /** Driver-comparable twin of [[nestedBars1m]]: the nested ROW rendered
+    * as its JSON wire form (`to_json` — the exact bytes the Kafka sink
+    * K4 would emit). The driver's comparator cannot hash a struct column
+    * (round 2: pandas `TypeError: unhashable 'dict'`), but the JSON
+    * STRING hashes fine, and key order is fixed by the struct field
+    * order on the Spark side / the literal order in the oracle —
+    * identical by construction. The nested schema itself stays asserted
+    * by RichTradesSpec against graft.model.Schemas.nestedBar. */
+  def nestedBars1mJson(spark: SparkSession, dir: String): DataFrame =
+    nestedBars1m(spark, dir)
+      .select(col("window_start"), to_json(col("ohlc")).as("ohlc_json"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rich_trade_ohlcv" -> ((s, d) => ohlcv1m(s, d)),
-    "rich_trade_nested" -> ((s, d) => nestedBars1m(s, d)))
+    "rich_trade_nested" -> ((s, d) => nestedBars1mJson(s, d)))
 
   /** Oracles replay the SAME derivations straight from the events
     * parquet — legal because JSON encode→parse is value-identity and
@@ -122,7 +134,7 @@ object RichTrades {
         |FROM events GROUP BY 1, 2, 3 ORDER BY 1, 3""".stripMargin,
     "rich_trade_nested" ->
       """SELECT epoch_ms(date_trunc('minute', ts))::BIGINT AS window_start,
-        |       {'open': arg_min(value, ts), 'high': max(value),
-        |        'low': min(value), 'close': arg_max(value, ts)} AS ohlc
+        |       to_json({'open': arg_min(value, ts), 'high': max(value),
+        |                'low': min(value), 'close': arg_max(value, ts)})::VARCHAR AS ohlc_json
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -146,5 +146,36 @@ object Similarity {
          |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rnk
          |  FROM c)
          |SELECT query_id, rnk, vec_id, cosine FROM r WHERE rnk <= $IvfTopK
+         |ORDER BY query_id, rnk""".stripMargin,
+    // Replays Dedup.signBucketed bit for bit (same zero-norm filter, same
+    // 8 data-derived hyperplanes, raw-dot sign per bit), then the 9
+    // multi-probe XOR masks {0, 1<<k} and the bounded top-k as a
+    // row_number window — identical semantics (and float bits, cosSql's
+    // index-ordered fold) to the Spark plan.
+    "sim_topk_lsh" ->
+      s"""WITH nz AS (SELECT vec_id, embedding FROM embeddings
+         |  WHERE list_reduce(list_prepend(0.0::DOUBLE,
+         |      list_transform(range(1, len(embedding) + 1),
+         |        k -> embedding[k]::DOUBLE * embedding[k]::DOUBLE)), (a, v) -> a + v) > 0),
+         |planes AS (SELECT vec_id AS plane_id, embedding AS plane
+         |  FROM nz WHERE vec_id < ${Dedup.HyperplaneBits}),
+         |b AS (SELECT e.vec_id, e.embedding,
+         |    sum(CASE WHEN list_reduce(list_prepend(0.0::DOUBLE,
+         |        list_transform(range(1, len(e.embedding) + 1),
+         |          k -> e.embedding[k]::DOUBLE * p.plane[k]::DOUBLE)),
+         |        (a, v) -> a + v) >= 0
+         |      THEN (1::BIGINT << p.plane_id) ELSE 0 END)::BIGINT AS bucket
+         |  FROM nz e, planes p GROUP BY 1, 2),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv, bucket AS qb
+         |  FROM b WHERE vec_id < $NumQueries),
+         |probes AS (SELECT query_id, qv, xor(qb, mask) AS bucket
+         |  FROM q, (SELECT unnest([0${(0 until Dedup.HyperplaneBits).map(k => s", ${1L << k}").mkString}]) AS mask)),
+         |c AS (SELECT query_id, b.vec_id,
+         |    ${cosSql("qv", "b.embedding")} AS cosine
+         |  FROM probes JOIN b USING (bucket) WHERE b.vec_id <> query_id),
+         |r AS (SELECT query_id, vec_id, cosine,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rnk
+         |  FROM c)
+         |SELECT query_id, rnk, vec_id, cosine FROM r WHERE rnk <= $IvfTopK
          |ORDER BY query_id, rnk""".stripMargin)
 }

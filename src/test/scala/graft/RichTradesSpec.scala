@@ -76,4 +76,19 @@ class RichTradesSpec extends SparkSpec {
       assert(s.getDouble(2) <= s.getDouble(1)) // low <= high
     }
   }
+
+  test("JSON verify twin is the nested producer, value-identically") {
+    val nested = RichTrades.nestedBars1m(spark, sf0001)
+    val twin = RichTrades.nestedBars1mJson(spark, sf0001)
+    assert(twin.schema.fieldNames.toSeq == Seq("window_start", "ohlc_json"))
+    // parse the wire string back through the declared struct type: the
+    // round trip must reproduce the nested rows bit-for-bit
+    val ohlcType = nested.schema("ohlc").dataType
+    val back = twin.select(col("window_start"),
+      from_json(col("ohlc_json"), ohlcType).as("ohlc"))
+    assert(back.exceptAll(nested).isEmpty && nested.exceptAll(back).isEmpty)
+    // key order on the wire is the struct field order, fixed
+    val one = twin.select("ohlc_json").as[String].head()
+    assert("\"open\".*\"high\".*\"low\".*\"close\"".r.findFirstIn(one).isDefined)
+  }
 }
