@@ -109,9 +109,99 @@ object Similarity {
       IvfTopK)
   }
 
+  // ------------------------------------------------ learned IVF (k-means)
+
+  val KMeansCells = 10
+  val KMeansIters = 2
+  /** Fixed-point scale (2^20) for the centroid update: each component
+    * sum is an EXACT scaled long — integer addition is associative, so
+    * Spark's partial-aggregation order (and DuckDB's) cannot perturb the
+    * mean; the centroid component is then one integer-over-integer
+    * double division, bit-identical in both engines. A double-sum mean
+    * would differ run-to-run, let alone engine-to-engine. */
+  val KMeansScale = 1048576L
+
+  /** ⟨v,v⟩ in array-index order — the same fold the oracle replays. */
+  private def selfDot(v: Array[Double]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < v.length) { acc += v(i) * v(i); i += 1 }
+    acc
+  }
+
+  /** cell = argmin over centroids of (|c|² − 2⟨e,c⟩), ties to the lowest
+    * cell id. The |e|² term of the true squared distance is constant per
+    * row and dropped IDENTICALLY in the oracle, so even float-edge
+    * argmin ties agree. Centroids ride into the scan as literals (the
+    * signBucketed hyperplane trick) — assignment is a narrow codegen'd
+    * pass, zero shuffle, regardless of corpus size. */
+  private def withCell(emb: DataFrame, cents: Array[(Int, Array[Double])]): DataFrame = {
+    import graft.functions.VectorFunctions.dotProduct
+    val scored = cents.map { case (cid, cv) =>
+      struct(
+        (lit(selfDot(cv)) - lit(2.0) * dotProduct(col("embedding"), typedlit(cv))).as("dist"),
+        lit(cid).as("cell"))
+    }
+    emb.withColumn("cell", array_min(array(scored.toIndexedSeq: _*)).getField("cell"))
+  }
+
+  /** Seeded fixed-iteration Lloyd's k-means over the corpus: init = the
+    * first KMeansCells vectors (deterministic), then KMeansIters
+    * assign/update rounds. Each round is one narrow assignment pass plus
+    * one (cell)-keyed aggregate of scaled-long component sums — the
+    * standard distributed k-means shape (map-side partials, k×dim longs
+    * over the shuffle). Only the k centroids ever reach the driver. */
+  private[graft] def kmeansCentroids(emb: DataFrame): Array[(Int, Array[Double])] = {
+    var cents: Array[(Int, Array[Double])] = emb
+      .filter(col("vec_id") < KMeansCells)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).map(_.toDouble).toArray))
+      .sortBy(_._1)
+    val dim = cents.head._2.length
+    for (_ <- 0 until KMeansIters) {
+      val sums = (0 until dim).map(k =>
+        sum(floor(element_at(col("embedding"), k + 1).cast("double")
+          * lit(KMeansScale.toDouble) + lit(0.5))).as(s"s$k"))
+      cents = withCell(emb, cents)
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n"), sums: _*)
+        .collect()
+        .map { r =>
+          val n = r.getLong(1).toDouble
+          (r.getInt(0),
+            Array.tabulate(dim)(k => r.getLong(2 + k).toDouble / (n * KMeansScale)))
+        }
+        .sortBy(_._1)
+    }
+    cents
+  }
+
+  /** IVF top-k probing the LEARNED coarse quantizer: corpus and queries
+    * are assigned to their nearest k-means centroid's cell, and each
+    * query scans only its own cell — the production ANN shape (the
+    * quantizer is owned, not borrowed from a label column as topKIvf's
+    * baseline variant). Checkpointed once: the assignment projection
+    * feeds both join sides. */
+  def topKIvfKmeans(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val assigned = withCell(emb, kmeansCentroids(emb))
+      .select(col("vec_id"), col("embedding"), col("cell"))
+      .localCheckpoint()
+    val q = assigned.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("cell"))
+    topKPerQuery(
+      broadcast(q).join(assigned, Seq("cell"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          cosineSim(col("qv"), col("embedding")).as("cosine")),
+      IvfTopK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_bruteforce" -> ((s, d) => topKBruteForce(s, d)),
     "sim_topk_ivf" -> ((s, d) => topKIvf(s, d)),
+    "sim_topk_ivf_kmeans" -> ((s, d) => topKIvfKmeans(s, d)),
     "sim_topk_lsh" -> ((s, d) => topKLsh(s, d)))
 
   /** Cosine with the same operation order as the native expression:
@@ -123,6 +213,35 @@ object Similarity {
        |      k -> $a[k]::DOUBLE * $a[k]::DOUBLE)), (x, v) -> x + v))
        |   * sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len($b) + 1),
        |      k -> $b[k]::DOUBLE * $b[k]::DOUBLE)), (x, v) -> x + v)))""".stripMargin
+
+  /** ⟨a,b⟩ as the same index-ordered fold the engine's native DotProduct
+    * runs (b already DOUBLE — centroid lists are built as doubles). */
+  private def kmDotSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len($a) + 1),
+       |      k -> $a[k]::DOUBLE * $b[k])), (a, v) -> a + v)""".stripMargin
+
+  /** One k-means assignment pass against centroid CTE `cents`
+    * (cell, cv): argmin of |c|² − 2⟨e,c⟩, ties to the lowest cell. */
+  private def kmAssignCte(cents: String): String =
+    s"""SELECT vec_id, embedding, cell FROM (
+       |  SELECT e.vec_id, e.embedding, c.cell,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |      ${kmDotSql("c.cv", "c.cv")} - 2.0 * ${kmDotSql("e.embedding", "c.cv")},
+       |      c.cell) AS rn
+       |  FROM embeddings e, $cents c)
+       |WHERE rn = 1""".stripMargin
+
+  /** One k-means update pass over assignment CTE `asg`: exact
+    * scaled-long component sums, then one double division per
+    * component — the engine's KMeansScale fixed-point arithmetic. */
+  private def kmCentCte(asg: String): String =
+    s"""SELECT x.cell, list(x.sk::DOUBLE / (n.n::DOUBLE * $KMeansScale.0) ORDER BY x.k) AS cv
+       |FROM (SELECT cell, k,
+       |        sum(floor(embedding[k]::DOUBLE * $KMeansScale.0 + 0.5)::BIGINT)::BIGINT AS sk
+       |      FROM (SELECT cell, embedding, unnest(range(1, len(embedding) + 1)) AS k FROM $asg)
+       |      GROUP BY 1, 2) x
+       |JOIN (SELECT cell, count(*)::BIGINT AS n FROM $asg GROUP BY 1) n USING (cell)
+       |GROUP BY x.cell""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "sim_topk_bruteforce" ->
@@ -145,6 +264,30 @@ object Similarity {
          |r AS (SELECT query_id, vec_id, cosine,
          |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rnk
          |  FROM c)
+         |SELECT query_id, rnk, vec_id, cosine FROM r WHERE rnk <= $IvfTopK
+         |ORDER BY query_id, rnk""".stripMargin,
+    // Replays the full seeded k-means: init = first-KMeansCells vectors
+    // as doubles, KMeansIters assign/update rounds (a1,c1,a2,c2), final
+    // assignment af, then cell-local cosine top-k — every fold
+    // index-ordered, every mean exact fixed-point, so argmin ties and
+    // float bits match the engine.
+    "sim_topk_ivf_kmeans" ->
+      s"""WITH c0 AS (SELECT vec_id::INT AS cell,
+         |    list_transform(embedding, x -> x::DOUBLE) AS cv
+         |  FROM embeddings WHERE vec_id < $KMeansCells),
+         |a1 AS (${kmAssignCte("c0")}),
+         |c1 AS (${kmCentCte("a1")}),
+         |a2 AS (${kmAssignCte("c1")}),
+         |c2 AS (${kmCentCte("a2")}),
+         |af AS (${kmAssignCte("c2")}),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv, cell FROM af
+         |  WHERE vec_id < $NumQueries),
+         |cand AS (SELECT query_id, a.vec_id,
+         |    ${cosSql("qv", "a.embedding")} AS cosine
+         |  FROM q JOIN af a USING (cell) WHERE a.vec_id <> query_id),
+         |r AS (SELECT query_id, vec_id, cosine,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rnk
+         |  FROM cand)
          |SELECT query_id, rnk, vec_id, cosine FROM r WHERE rnk <= $IvfTopK
          |ORDER BY query_id, rnk""".stripMargin,
     // Replays Dedup.signBucketed bit for bit (same zero-norm filter, same

@@ -89,6 +89,48 @@ class SimilaritySpec extends SparkSpec {
     assert(agg == windowed)
   }
 
+  test("k-means centroids are deterministic and means live in the data's hull") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val c1 = Similarity.kmeansCentroids(emb)
+    val c2 = Similarity.kmeansCentroids(emb)
+    assert(c1.length > 1 && c1.length <= Similarity.KMeansCells)
+    // run-to-run bit determinism — the property the oracle parity rests on
+    assert(c1.map(_._1).toSeq == c2.map(_._1).toSeq)
+    assert(c1.zip(c2).forall { case ((_, a), (_, b)) =>
+      a.map(java.lang.Double.doubleToLongBits).toSeq ==
+        b.map(java.lang.Double.doubleToLongBits).toSeq })
+    // each centroid component is a mean of member components: bounded by
+    // the corpus-wide min/max of that component
+    val mm = emb.select(
+        org.apache.spark.sql.functions.min(array_min(col("embedding"))),
+        org.apache.spark.sql.functions.max(array_max(col("embedding")))).head()
+    val (lo, hi) = (mm.getFloat(0).toDouble, mm.getFloat(1).toDouble)
+    // fixed-point rounding can nudge a mean by at most 1/KMeansScale
+    val eps = 1.0 / Similarity.KMeansScale
+    c1.foreach { case (_, cv) =>
+      cv.foreach(x => assert(x >= lo - eps && x <= hi + eps)) }
+  }
+
+  test("k-means IVF top-k carries brute-force-identical cosines and full rank lists") {
+    val km = Similarity.topKIvfKmeans(spark, sf0001)
+      .select("query_id", "rnk", "vec_id", "cosine")
+      .as[(Long, Int, Long, Double)].collect()
+    assert(km.nonEmpty)
+    val bf = Similarity.topKBruteForce(spark, sf0001)
+      .select("query_id", "vec_id", "cosine").as[(Long, Long, Double)]
+      .collect().map(t => (t._1, t._2) -> t._3).toMap
+    km.foreach { case (q, _, v, c) =>
+      bf.get((q, v)).foreach(bfc =>
+        assert(java.lang.Double.doubleToLongBits(bfc) == java.lang.Double.doubleToLongBits(c)))
+    }
+    // ranks are 1..n consecutive per query (cell smaller than k is legal)
+    km.groupBy(_._1).values.foreach { rows =>
+      val rnks = rows.map(_._2).sorted.toSeq
+      assert(rnks == (1 to rnks.max))
+      assert(rnks.max <= Similarity.IvfTopK)
+    }
+  }
+
   test("IVF results are a subset of brute-force candidates per query") {
     val bf = Similarity.topKBruteForce(spark, sf0001)
       .select("query_id", "vec_id", "cosine").as[(Long, Long, Double)]
