@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.{Ohlcv, Similarity}
+
+/** Plan-shape regression guards: the round-2 physical-plan wins, locked
+  * in as assertions so a refactor cannot silently reintroduce the
+  * scale-killers (global windows, lost pushdown, extra shuffles). */
+class PlanShapeSpec extends SparkSpec {
+
+  private def physical(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("top-k per query plans with no Window operator") {
+    // the bounded Aggregator replaced a row_number window whose single
+    // reducer partition per query was the 100 TB funnel — it must never
+    // come back
+    val p = physical(Similarity.topKBruteForce(spark, sf0001))
+    assert(!p.contains("Window"),
+      s"top-k must stay a partial/merge aggregate, found a window:\n$p")
+    assert(p.contains("Aggregate"), s"expected an aggregate-based top-k:\n$p")
+  }
+
+  test("rel_filter_project pushes its predicates into the parquet scan") {
+    // toString truncates the FileScan line, so don't require the closing
+    // bracket — a non-']' right after '[' means at least one pushed filter
+    val p = physical(SparkEntry.queries("rel_filter_project")(spark, sf0001))
+    val pushed = "PushedFilters: \\[\\s*[^\\]\\s]".r.findFirstIn(p)
+    assert(pushed.nonEmpty, s"expected non-empty PushedFilters in the scan:\n$p")
+  }
+
+  test("Ohlcv.bars aggregates through exactly one shuffle") {
+    val ev = Tables.events(spark, sf0001)
+    val df = Ohlcv.bars(ev, col("ts"), col("value"), lit(1L),
+      Seq("event_type" -> col("event_type")), "1 minute", col("event_id"))
+    val exchanges = "Exchange".r.findAllIn(physical(df)).size
+    assert(exchanges == 1,
+      s"bars must be partial-agg + ONE hash exchange, found $exchanges:\n${physical(df)}")
+  }
+}
