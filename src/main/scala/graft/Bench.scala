@@ -48,13 +48,16 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     // one streaming failure must not discard the batch measurements
-    val rate = try streamingRate(spark) catch {
+    def safeRate(label: String)(f: => Long): Long = try f catch {
       case e: Throwable =>
-        System.err.println(s"[bench] streamingRate failed: ${e.getMessage}")
+        System.err.println(s"[bench] $label failed: ${e.getMessage}")
         -1L
     }
+    val rate = safeRate("streamingRate")(streamingRate(spark))
+    val rateV2 = safeRate("streamingRateV2")(streamingRateV2(spark))
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""streaming_events_per_sec":$rate,"sf":${JsonUtil.q(sfDir)}}"""
+      s""""streaming_events_per_sec":$rate,""" +
+      s""""streaming_v2_events_per_sec":$rateV2,"sf":${JsonUtil.q(sfDir)}}"""
     println(line)
     // also a machine-readable file — sbt prefixes stdout with [info]/
     // [error] tags, which broke the driver's log-scrape parser in r1
@@ -69,30 +72,65 @@ object Bench {
     * /root/reference/old/gen.py:13-26) through the keyed stateful
     * engine in one replay. The reference's generator targets ~2,000
     * msg/s; this reports how many the engine absorbs per second. */
-  private def streamingRate(spark: SparkSession): Long = {
-    import spark.implicits._
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+  private val StreamN = 200000
+
+  private def genTrades: Seq[graft.model.Trade] = {
     import graft.model.Trade
-    import graft.streaming.StreamingOhlcv
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val n = 200000
     val rnd = new scala.util.Random(42)
     val base = 1723459200000L
-    val trades = (0 until n).map { _ =>
+    (0 until StreamN).map { _ =>
       Trade(base + rnd.nextInt(600000).toLong, s"I${rnd.nextInt(100)}",
         s"Product_${rnd.nextInt(1999) + 1}",
         (rnd.nextInt(1000) + 1).toDouble, (rnd.nextInt(100) + 1).toLong)
     }
-    val input = MemoryStream[Trade]
-    input.addData(trades: _*)
-    val bars = StreamingOhlcv.statefulBars(
-      StreamingOhlcv.withEventTime(input.toDS(), "5 seconds"),
-      widthMs = 60000L, emitRunning = false)
+  }
+
+  /** Replay the generated trades through `bars`, return events/sec. */
+  private def measure(
+      spark: SparkSession,
+      bars: org.apache.spark.sql.Dataset[graft.model.RunningBar]): Long = {
     val q = bars.writeStream.format("noop").outputMode("append").start()
     try {
       val t0 = System.nanoTime()
       q.processAllAvailable()
-      (n / ((System.nanoTime() - t0) / 1e9)).toLong
+      (StreamN / ((System.nanoTime() - t0) / 1e9)).toLong
     } finally q.stop()
+  }
+
+  private def streamingRate(spark: SparkSession): Long = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingOhlcv
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[graft.model.Trade]
+    input.addData(genTrades: _*)
+    measure(spark, StreamingOhlcv.statefulBars(
+      StreamingOhlcv.withEventTime(input.toDS(), "5 seconds"),
+      widthMs = 60000L, emitRunning = false))
+  }
+
+  /** Same replay through the Spark-4 transformWithState engine — needs
+    * the RocksDB state store provider, a per-query-start conf set (and
+    * restored) around the run so the v1 measurement keeps the default
+    * HDFS-backed provider. */
+  private def streamingRateV2(spark: SparkSession): Long = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.{StreamingOhlcv, StreamingOhlcvV2}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val providerConf = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerConf)
+    spark.conf.set(providerConf,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[graft.model.Trade]
+      input.addData(genTrades: _*)
+      measure(spark, StreamingOhlcvV2.statefulBars(
+        StreamingOhlcv.withEventTime(input.toDS(), "5 seconds"),
+        widthMs = 60000L, emitRunning = false))
+    } finally prev match {
+      case Some(v) => spark.conf.set(providerConf, v)
+      case None => spark.conf.unset(providerConf)
+    }
   }
 }
