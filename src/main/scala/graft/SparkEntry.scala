@@ -23,12 +23,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Ohlcv.queries ++ Relational.queries ++ TextAnalysis.queries ++
       Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++
-      Windows.queries ++ Pipeline.queries ++ RichTrades.queries
+      Windows.queries ++ Pipeline.queries ++ RichTrades.queries ++
+      Skew.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Ohlcv.oracle ++ Relational.oracle ++ TextAnalysis.oracle ++
       Dedup.oracle ++ Similarity.oracle ++ Multimodal.oracle ++
-      Windows.oracle ++ Pipeline.oracle ++ RichTrades.oracle
+      Windows.oracle ++ Pipeline.oracle ++ RichTrades.oracle ++
+      Skew.oracle
 }

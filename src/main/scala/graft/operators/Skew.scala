@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Tables
 
 /** Skew-mitigation utilities for hot keys at cluster scale.
   *
@@ -65,4 +66,56 @@ object Skew {
     val repDim = dim.withColumn("_salt", explode(sequence(lit(0), lit(n - 1))))
     saltedFact.join(repDim, Seq(key, "_salt")).drop("_salt")
   }
+
+  /** Hot-key stats over `events.event_type` (5 distinct keys — the
+    * degenerate reducer-skew shape) through the two-phase salted path.
+    * The oracle is the plain one-phase GROUP BY: salting must be
+    * invisible in the result. Integer-cents sum keeps the double
+    * aggregation order-independent across both phases and both engines. */
+  def saltedTypeStats(spark: SparkSession, dir: String): DataFrame =
+    saltedAgg(
+      Tables.events(spark, dir),
+      keys = Seq("event_type"),
+      saltCol = salt(16, col("event_id")),
+      partial = Seq(
+        count(lit(1)).as("n_part"),
+        sum(round(col("value") * 100, 0).cast("long")).as("cents_part"),
+        min(col("value")).as("min_part"),
+        max(col("value")).as("max_part")),
+      fin = Seq(
+        sum(col("n_part")).as("n"),
+        (sum(col("cents_part")) / 100.0).as("sum_value"),
+        min(col("min_part")).as("min_value"),
+        max(col("max_part")).as("max_value")))
+      .orderBy(col("event_type"))
+
+  /** events×customer 1:N equi-join through the salted-replicate path,
+    * rolled up by market segment — again the plain join is the oracle. */
+  def saltedSegmentRollup(spark: SparkSession, dir: String): DataFrame = {
+    val fact = Tables.events(spark, dir)
+      .withColumnRenamed("user_id", "c_custkey")
+    val dim = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    saltedJoin(fact, dim, "c_custkey", n = 8, tiebreak = Seq(col("event_id")))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("value") * 100, 0).cast("long")) / 100.0).as("sum_value"))
+      .orderBy(col("c_mktsegment"), col("event_type"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "skew_salted_agg" -> ((s, d) => saltedTypeStats(s, d)),
+    "skew_salted_join" -> ((s, d) => saltedSegmentRollup(s, d)))
+
+  val oracle: Map[String, String] = Map(
+    "skew_salted_agg" ->
+      """SELECT event_type, count(*)::BIGINT AS n,
+        |  sum(CAST(round(value * 100, 0) AS BIGINT))::BIGINT / 100.0 AS sum_value,
+        |  min(value) AS min_value, max(value) AS max_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "skew_salted_join" ->
+      """SELECT c.c_mktsegment, e.event_type, count(*)::BIGINT AS n,
+        |  sum(CAST(round(e.value * 100, 0) AS BIGINT))::BIGINT / 100.0 AS sum_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 }
