@@ -1,0 +1,226 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions.tokens
+
+/** Corpus-curation operators for training-data pipelines (extension
+  * beyond the reference surface, same family as TextAnalysis):
+  * repetition-based quality filtering, PII scrubbing, deterministic
+  * sampling, and domain-mixing weights.
+  *
+  * Scale notes:
+  *  - `repetitionStats` is the only op here that shuffles — (doc_id,
+  *    gram) partial counts, keyed on high-cardinality doc_id, with
+  *    map-side combine; everything else is scan-projection algebra.
+  *  - Sampling is HASH-deterministic (md5 of a stable key), never
+  *    rand(): reproducible across retries, speculative tasks, and
+  *    engines — the only sampling discipline that survives a 1000-
+  *    executor re-run, and it makes the sample itself oracle-checkable.
+  *  - `mixWeights` aggregates to one row per domain then cross-joins
+  *    the 1-row total back — broadcast by construction.
+  */
+object Curation {
+
+  // ---------------------------------------------------------------- //
+  // Repetition filtering (Gopher-style, Rae et al. 2021 §A1.1):      //
+  // documents dominated by a repeated 2-gram, or whose 3-grams       //
+  // mostly recur, are boilerplate/spam candidates.                   //
+  // ---------------------------------------------------------------- //
+
+  private def grams(docs: DataFrame, n: Int): DataFrame =
+    docs.where(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(col("toks")) - n),
+        i => concat_ws(" ", (1 to n).map(j => element_at(col("toks"), i + j)): _*)))
+        .as("gram"))
+
+  /** Per-doc repetition stats: fraction of 2-grams taken by the most
+    * frequent 2-gram, fraction of 3-grams that occur more than once,
+    * and the resulting keep/drop flag. */
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val a2 = grams(docs, 2)
+      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("max2"), sum(col("c")).as("n2"))
+    val a3 = grams(docs, 3)
+      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).as("dup3"),
+        sum(col("c")).as("n3"))
+    docs.select(col("doc_id"))
+      .join(a2, Seq("doc_id"), "left")
+      .join(a3, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("max2").cast("double") / col("n2")).as("top2gram_frac"),
+        (col("dup3").cast("double") / col("n3")).as("dup3gram_frac"))
+      .withColumn("repetitive",
+        col("top2gram_frac") > 0.18 || col("dup3gram_frac") > 0.30)
+      .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------- //
+  // PII / URL scrubbing. The corpus carries no PII, so the query     //
+  // plants deterministic PII derived from doc_id (mirrored in the    //
+  // oracle) — the regexes and replacement order are the deliverable. //
+  // ---------------------------------------------------------------- //
+
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val UrlRe = "https?://[A-Za-z0-9./_-]+"
+  private val PhoneRe = "[0-9]{3}-[0-9]{4}"
+
+  /** Scrub emails, URLs, then phone numbers (in that order — the email
+    * pattern must not see URL hostnames it could partially eat) and
+    * count each hit class. One scan projection, zero shuffle. */
+  def scrubPii(spark: SparkSession, dir: String): DataFrame = {
+    val planted = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@mail.example.com or http://ex"), col("doc_id").cast("string"),
+      lit(".com/page tel 555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), planted.as("aug"))
+      .select(col("doc_id"),
+        regexp_count(col("aug"), lit(EmailRe)).cast("long").as("n_emails"),
+        regexp_count(col("aug"), lit(UrlRe)).cast("long").as("n_urls"),
+        regexp_count(col("aug"), lit(PhoneRe)).cast("long").as("n_phones"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("aug"), EmailRe, "<EMAIL>"),
+            UrlRe, "<URL>"),
+          PhoneRe, "<PHONE>").as("scrubbed"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------- //
+  // Deterministic sampling.                                          //
+  // ---------------------------------------------------------------- //
+
+  /** md5-keyed uniform u in [0,1): the first 4 hex chars as an integer
+    * over 2^16 — exact in a double, identical in any engine with md5. */
+  private def hashU(key: Column): Column =
+    conv(substring(md5(key), 1, 4), 16, 10).cast("long") / 65536.0
+
+  private def sampleKey: Column =
+    concat(col("doc_id").cast("string"), lit(":"), col("lang"))
+
+  /** Uniform 1/16 Bernoulli sample: first md5 nibble = '0'. */
+  def sampleHash(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("bucket", substring(md5(sampleKey), 1, 8))
+      .where(substring(col("bucket"), 1, 1) === "0")
+      .select(col("doc_id"), col("lang"), col("bucket"))
+      .orderBy(col("doc_id"))
+
+  /** Per-language acceptance rates: downsample the majority language,
+    * keep the tail — the standard rebalancing shape. */
+  val strataRates: Map[String, Double] =
+    Map("en" -> 0.25, "es" -> 0.5, "de" -> 0.75, "fr" -> 1.0, "zh" -> 1.0)
+
+  /** Stratified sample: keep iff hashU < rate(lang). */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    val rate = strataRates.foldLeft(lit(1.0)) { case (els, (l, r)) =>
+      when(col("lang") === l, lit(r)).otherwise(els)
+    }
+    Tables.documents(spark, dir)
+      .withColumn("u", hashU(sampleKey))
+      .where(col("u") < rate)
+      .select(col("doc_id"), col("lang"), col("u"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------- //
+  // Domain mixing: sqrt-temperature weights over the language        //
+  // distribution (multilingual-sampling shape, Conneau & Lample      //
+  // 2019 §3.1 with alpha = 0.5).                                     //
+  // ---------------------------------------------------------------- //
+
+  /** Per-language doc/token counts, corpus share p, and normalized
+    * sqrt(p) mixing weight. Rounded to 9 decimals in both engines: the
+    * cross-group sum of 5 sqrt doubles is the one order-sensitive
+    * float reduction in this suite. */
+  def mixWeights(spark: SparkSession, dir: String): DataFrame = {
+    val perLang = Tables.documents(spark, dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(tokens(col("text"))).cast("long")).as("n_tokens"))
+    val totals = perLang.agg(
+      sum(col("n_docs")).as("total_docs"),
+      sum(sqrt(col("n_docs").cast("double"))).as("sum_sqrt"))
+    perLang.crossJoin(broadcast(totals))
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        round(col("n_docs") / col("total_docs").cast("double"), 9).as("p"),
+        round(sqrt(col("n_docs").cast("double")) / col("sum_sqrt"), 9).as("weight"))
+      .orderBy(col("lang"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_repetition" -> ((s, d) => repetitionStats(s, d)),
+    "text_scrub" -> ((s, d) => scrubPii(s, d)),
+    "sample_hash" -> ((s, d) => sampleHash(s, d)),
+    "sample_stratified" -> ((s, d) => sampleStratified(s, d)),
+    "mix_weights" -> ((s, d) => mixWeights(s, d)))
+
+  private def sqlGrams(n: Int): String =
+    if (n == 2) "list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])"
+    else "list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])"
+
+  // single line on purpose: this is spliced into stripMargin templates,
+  // where a continuation line starting with '||' would lose a pipe
+  private val sqlAug =
+    "text || ' contact user' || doc_id::VARCHAR || '@mail.example.com or http://ex' || " +
+      "doc_id::VARCHAR || '.com/page tel 555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')"
+
+  // hashU replica: hex digits folded to an int (DuckDB lacks conv())
+  private val sqlU =
+    """list_reduce(list_transform(string_split(substr(md5(doc_id::VARCHAR || ':' || lang), 1, 4), ''),
+      |  c -> strpos('0123456789abcdef', c) - 1), (a, b) -> a * 16 + b) / 65536.0""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "text_repetition" ->
+      s"""WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+         |g2 AS (SELECT doc_id, unnest(${sqlGrams(2)}) AS gram FROM t WHERE len(toks) >= 2),
+         |g3 AS (SELECT doc_id, unnest(${sqlGrams(3)}) AS gram FROM t WHERE len(toks) >= 3),
+         |a2 AS (SELECT doc_id, max(c)::BIGINT AS max2, sum(c)::BIGINT AS n2
+         |  FROM (SELECT doc_id, gram, count(*) AS c FROM g2 GROUP BY 1, 2) GROUP BY 1),
+         |a3 AS (SELECT doc_id, sum(CASE WHEN c > 1 THEN c ELSE 0 END)::BIGINT AS dup3, sum(c)::BIGINT AS n3
+         |  FROM (SELECT doc_id, gram, count(*) AS c FROM g3 GROUP BY 1, 2) GROUP BY 1)
+         |SELECT t.doc_id,
+         |  max2::DOUBLE / n2 AS top2gram_frac,
+         |  dup3::DOUBLE / n3 AS dup3gram_frac,
+         |  (max2::DOUBLE / n2 > 0.18 OR dup3::DOUBLE / n3 > 0.30) AS repetitive
+         |FROM t LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    "text_scrub" ->
+      s"""WITH a AS (SELECT doc_id, $sqlAug AS aug FROM documents)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(aug, '$EmailRe'))::BIGINT AS n_emails,
+         |  len(regexp_extract_all(aug, '$UrlRe'))::BIGINT AS n_urls,
+         |  len(regexp_extract_all(aug, '$PhoneRe'))::BIGINT AS n_phones,
+         |  regexp_replace(regexp_replace(regexp_replace(aug,
+         |    '$EmailRe', '<EMAIL>', 'g'), '$UrlRe', '<URL>', 'g'),
+         |    '$PhoneRe', '<PHONE>', 'g') AS scrubbed
+         |FROM a ORDER BY doc_id""".stripMargin,
+    "sample_hash" ->
+      """SELECT doc_id, lang, substr(md5(doc_id::VARCHAR || ':' || lang), 1, 8) AS bucket
+        |FROM documents
+        |WHERE substr(md5(doc_id::VARCHAR || ':' || lang), 1, 1) = '0'
+        |ORDER BY doc_id""".stripMargin,
+    "sample_stratified" ->
+      s"""SELECT doc_id, lang, $sqlU AS u
+         |FROM documents
+         |WHERE $sqlU < CASE lang WHEN 'en' THEN 0.25 WHEN 'es' THEN 0.5
+         |  WHEN 'de' THEN 0.75 WHEN 'fr' THEN 1.0 WHEN 'zh' THEN 1.0 ELSE 1.0 END
+         |ORDER BY doc_id""".stripMargin,
+    "mix_weights" ->
+      """WITH g AS (SELECT lang, count(*)::BIGINT AS n_docs,
+        |    sum(len(list_filter(string_split(text, ' '), x -> x <> '')))::BIGINT AS n_tokens
+        |  FROM documents GROUP BY lang),
+        |t AS (SELECT sum(n_docs)::BIGINT AS total_docs, sum(sqrt(n_docs::DOUBLE)) AS sum_sqrt FROM g)
+        |SELECT lang, n_docs, n_tokens,
+        |  round(n_docs / total_docs::DOUBLE, 9) AS p,
+        |  round(sqrt(n_docs::DOUBLE) / sum_sqrt, 9) AS weight
+        |FROM g, t ORDER BY lang""".stripMargin)
+}

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Curation
+
+class CurationSpec extends SparkSpec {
+
+  test("repetition fractions are in [0,1] and the flag matches the thresholds") {
+    val rows = Curation.repetitionStats(spark, sf0001)
+      .select("top2gram_frac", "dup3gram_frac", "repetitive").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (t2, d3) = (r.getDouble(0), r.getDouble(1))
+      assert(t2 >= 0 && t2 <= 1 && d3 >= 0 && d3 <= 1)
+      assert(r.getBoolean(2) == (t2 > 0.18 || d3 > 0.30))
+    }
+  }
+
+  test("a doc made of one repeated 2-gram maxes the repetition fractions") {
+    // "x y x y x y x y": 2-grams = [x y, y x, x y, y x, x y, y x, x y]
+    // → top "x y" 4/7; 3-grams all recur → dup3 = 1.0
+    import spark.implicits._
+    val toks = Seq("x", "y", "x", "y", "x", "y", "x", "y")
+    val one = Seq((1L, toks.mkString(" "))).toDF("doc_id", "text")
+    // replay the public query's algebra through a temp view of one doc
+    val g2 = one.select(explode(expr(
+      "transform(sequence(0, size(split(text, ' ')) - 2), " +
+        "i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1]))")).as("g"))
+      .groupBy("g").count().agg(max("count").as("mx"), sum("count").as("n"))
+      .head()
+    assert(g2.getLong(0) == 4 && g2.getLong(1) == 7)
+  }
+
+  test("scrubbed text carries no live email, url, or phone") {
+    val rows = Curation.scrubPii(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val s = r.getAs[String]("scrubbed")
+      assert(!s.contains("@") && !s.contains("http://") &&
+        !s.matches(".*[0-9]{3}-[0-9]{4}.*"), s"unscrubbed: $s")
+      assert(r.getAs[Long]("n_emails") >= 1 && r.getAs[Long]("n_urls") >= 1 &&
+        r.getAs[Long]("n_phones") >= 1)
+      assert(s.contains("<EMAIL>") && s.contains("<URL>") && s.contains("<PHONE>"))
+    }
+  }
+
+  test("hash sampling is deterministic and keeps only the '0' nibble") {
+    val a = Curation.sampleHash(spark, sf0001).collect()
+    val b = Curation.sampleHash(spark, sf0001).collect()
+    assert(a.toSeq == b.toSeq, "hash sample must be replay-stable")
+    a.foreach(r => assert(r.getAs[String]("bucket").startsWith("0")))
+  }
+
+  test("stratified sampling respects each language's acceptance rate") {
+    val docs = Tables.documents(spark, sf0001)
+    val total = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = Curation.sampleStratified(spark, sf0001).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((lang, rate) <- Curation.strataRates if total.contains(lang)) {
+      val frac = kept.getOrElse(lang, 0L).toDouble / total(lang)
+      if (rate == 1.0) assert(frac == 1.0, s"$lang: rate-1.0 stratum must keep all")
+      // u is uniform-ish; at sf0.001 strata are small, so bound loosely
+      else assert(math.abs(frac - rate) < 0.25, s"$lang: kept $frac, rate $rate")
+    }
+  }
+
+  test("mixing weights and corpus shares each sum to 1") {
+    val rows = Curation.mixWeights(spark, sf0001).collect()
+    assert(math.abs(rows.map(_.getAs[Double]("p")).sum - 1.0) < 1e-6)
+    assert(math.abs(rows.map(_.getAs[Double]("weight")).sum - 1.0) < 1e-6)
+    // sqrt temperature flattens: every share moves toward uniform
+    rows.foreach { r =>
+      val (p, w) = (r.getAs[Double]("p"), r.getAs[Double]("weight"))
+      if (p > 1.0 / rows.length) assert(w < p)
+      if (p < 1.0 / rows.length) assert(w > p)
+    }
+  }
+}
