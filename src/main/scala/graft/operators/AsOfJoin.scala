@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** As-of (point-in-time) join — the trade↔quote temporal-join shape the
+  * reference's domain implies but never implements (its pipelines only
+  * window-aggregate one stream; a real market-data engine also asks
+  * "the latest quote at or before each trade").
+  *
+  * Spark lacks a native as-of join, and the naive formulation — a range
+  * join `l.ts >= r.ts` plus a per-left-row max — is a cartesian-ish
+  * O(n·m) per key. The scalable Spark-first shape used here:
+  *
+  *   1. union both sides into one keyed stream, right-side attribute
+  *      columns null on left rows;
+  *   2. one window pass per key ordered by (ts, side): running
+  *      `last(attr, ignoreNulls)` carries the most recent right-side
+  *      values forward;
+  *   3. keep left rows.
+  *
+  * Cost: ONE shuffle on the key + an in-partition sort — identical
+  * asymptotics to a native as-of (DuckDB's ASOF JOIN, the oracle,
+  * is the same sort-merge under the hood). The window is per-key, so
+  * 1000-executor parallelism is key-cardinality-wide, and no state
+  * beyond the sort buffer is held.
+  *
+  * Determinism contract: ties on the right side are collapsed to one
+  * row per (key, ts) BEFORE the join (max event_id wins) — DuckDB's
+  * ASOF picks an arbitrary row among equal timestamps, so the dedup
+  * must live in both engines for bit-equal results.
+  */
+object AsOfJoin {
+
+  /** Generic backward as-of join: for each `left` row, carry the
+    * attributes of the `right` row with the greatest `ts` ≤ the left
+    * row's `ts` within the same `key` (null attrs when none precedes —
+    * LEFT ASOF semantics). `right` must be unique per (key, ts) — see
+    * the determinism contract above — and share no column names with
+    * `left` besides `key` and `ts`; its `ts` is carried as `rTsName`. */
+  def asOfLast(left: DataFrame, right: DataFrame,
+      key: String, ts: String, rTsName: String): DataFrame = {
+    val attrs = right.columns.filterNot(c => c == key || c == ts).toSeq
+    val leftAttrs = left.columns.filterNot(c => c == key || c == ts).toSeq
+
+    // side 0 = right, 1 = left: a right row at the left row's exact ts
+    // sorts first, so "at or before" includes it (ASOF >= semantics)
+    val l = attrs.foldLeft(
+      left.withColumn("_side", lit(1))
+        .withColumn(rTsName, lit(null).cast(right.schema(ts).dataType))) {
+      (d, a) => d.withColumn(a, lit(null).cast(right.schema(a).dataType))
+    }
+    val r = leftAttrs.foldLeft(
+      right.withColumn("_side", lit(0)).withColumn(rTsName, col(ts))) {
+      (d, c) => d.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }
+
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // one Window operator: Catalyst collapses same-spec last() projections
+    val carried = (rTsName +: attrs).foldLeft(l.unionByName(r)) {
+      (d, a) => d.withColumn(a, last(col(a), ignoreNulls = true).over(w))
+    }
+    carried.where(col("_side") === 1)
+      .select((left.columns.toSeq ++ (rTsName +: attrs)).map(col): _*)
+  }
+
+  /** Most recent at-or-before 'purchase' for every 'click', per user. */
+  def clickLastPurchase(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("p_event_id"),
+        max_by(col("value"), col("event_id")).as("p_value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    asOfLast(clicks, purchases, key = "user_id", ts = "ts", rTsName = "p_ts")
+      .orderBy(col("event_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_asof_join" -> ((s, d) => clickLastPurchase(s, d)))
+
+  val oracle: Map[String, String] = Map(
+    "rel_asof_join" ->
+      """WITH p AS (SELECT user_id, ts, max(event_id) AS p_event_id,
+        |    arg_max(value, event_id) AS p_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |c AS (SELECT event_id, user_id, ts, value
+        |  FROM events WHERE event_type = 'click')
+        |SELECT c.event_id, c.user_id, c.ts, c.value,
+        |  p.ts AS p_ts, p.p_event_id, p.p_value
+        |FROM c ASOF LEFT JOIN p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.event_id""".stripMargin)
+}

@@ -198,6 +198,31 @@ object Relational {
       .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
       .orderBy(col("event_type"))
 
+  // -- exact quantiles (sort-based percentile; at corpus scale swap in
+  //    percentile_approx — same plan shape, bounded-memory sketch) --------
+  def valueQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        // round 6: both engines interpolate linearly between the same
+        // two sorted neighbors, but may associate the blend differently
+        round(expr("percentile(value, 0.25)"), 6).as("q25"),
+        round(expr("percentile(value, 0.5)"), 6).as("q50"),
+        round(expr("percentile(value, 0.9)"), 6).as("q90"))
+      .orderBy(col("event_type"))
+
+  // -- pivot: day × event_type count matrix -------------------------------
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+  def pivotEventDays(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("day", date_trunc("day", col("ts")))
+      .groupBy(col("day"))
+      // explicit value list: no extra distinct pass, stable column order
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+      .na.fill(0L, EventTypes)
+      .orderBy(col("day"))
+
   // -- correlated EXISTS subquery via the SQL surface ----------------------
   def existsBigLineitem(spark: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(spark, dir)
@@ -227,7 +252,9 @@ object Relational {
     "rel_orders_by_month" -> ((s, d) => ordersByMonth(s, d)),
     "rel_value_buckets" -> ((s, d) => valueBuckets(s, d)),
     "rel_json_extract" -> ((s, d) => jsonExtract(s, d)),
-    "rel_exists_subquery" -> ((s, d) => existsBigLineitem(s, d)))
+    "rel_exists_subquery" -> ((s, d) => existsBigLineitem(s, d)),
+    "rel_quantiles" -> ((s, d) => valueQuantiles(s, d)),
+    "rel_pivot_days" -> ((s, d) => pivotEventDays(s, d)))
 
   val oracle: Map[String, String] = Map(
     "rel_pricing_summary" ->
@@ -330,5 +357,19 @@ object Relational {
         |FROM orders
         |WHERE EXISTS (SELECT 1 FROM lineitem
         |              WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
-        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "rel_quantiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.25), 6) AS q25,
+        |  round(quantile_cont(value, 0.5), 6) AS q50,
+        |  round(quantile_cont(value, 0.9), 6) AS q90
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "rel_pivot_days" ->
+      """SELECT date_trunc('day', ts)::TIMESTAMP AS day,
+        |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS click,
+        |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS error,
+        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS purchase,
+        |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS signup,
+        |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS view
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
 }

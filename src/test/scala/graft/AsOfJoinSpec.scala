@@ -1,0 +1,67 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.operators.AsOfJoin
+
+class AsOfJoinSpec extends SparkSpec {
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+
+  test("asOfLast picks the latest at-or-before right row per key") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, "a", ts(10), 1.0), // after both quotes: latest (t=8) wins
+      (2L, "a", ts(5), 2.0),  // between quotes: t=3 wins
+      (3L, "a", ts(8), 3.0),  // exactly AT a quote ts: included (>= semantics)
+      (4L, "b", ts(4), 4.0),  // key b: only the t=4 quote qualifies
+      (5L, "c", ts(9), 5.0),  // key with no right rows at all → nulls
+      (6L, "a", ts(2), 6.0)   // before every quote → nulls
+    ).toDF("event_id", "k", "ts", "value")
+    val right = Seq(
+      ("a", ts(3), 100L), ("a", ts(8), 200L),
+      ("b", ts(4), 300L), ("b", ts(7), 400L)
+    ).toDF("k", "ts", "q")
+
+    val got = AsOfJoin.asOfLast(left, right, "k", "ts", "q_ts")
+      .select("event_id", "q_ts", "q").collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2))))).toMap
+
+    assert(got(1L) == (Some(ts(8)), Some(200L)))
+    assert(got(2L) == (Some(ts(3)), Some(100L)))
+    assert(got(3L) == (Some(ts(8)), Some(200L)))
+    assert(got(4L) == (Some(ts(4)), Some(300L)))
+    assert(got(5L) == (None, None))
+    assert(got(6L) == (None, None))
+  }
+
+  test("asOfLast plans one shuffle and one Window pass") {
+    import spark.implicits._
+    val left = Seq((1L, "a", ts(10), 1.0)).toDF("event_id", "k", "ts", "value")
+    val right = Seq(("a", ts(3), 100L)).toDF("k", "ts", "q")
+    val plan = AsOfJoin.asOfLast(left, right, "k", "ts", "q_ts")
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size == 1, s"want 1 exchange:\n$plan")
+    assert("Window".r.findAllIn(plan).size == 1, s"want 1 window:\n$plan")
+  }
+
+  test("rel_asof_join matches a per-row replay at sf0.001") {
+    val ev = Tables.events(spark, sf0001)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "ts", "event_id", "value").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+    val got = AsOfJoin.clickLastPurchase(spark, sf0001).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (uid, cts) = (r.getLong(1), r.getTimestamp(2))
+      val eligible = purchases.filter(p => p._1 == uid && !p._2.after(cts))
+      if (eligible.isEmpty) assert(r.isNullAt(4) && r.isNullAt(5))
+      else {
+        val bestTs = eligible.map(_._2.getTime).max
+        val best = eligible.filter(_._2.getTime == bestTs).maxBy(_._3)
+        assert(r.getTimestamp(4).getTime == bestTs)
+        assert(r.getLong(5) == best._3)
+      }
+    }
+  }
+}
