@@ -22,6 +22,15 @@ final case class Trade(
     price: Double,
     qty: Long)
 
+/** Market-data quote — the second stream of the trade↔quote
+  * stream-stream join (no reference analogue: its pipelines consume one
+  * stream; a market-data engine needs the two-stream shape). */
+final case class Quote(
+    timestamp: Long, // epoch ms, event time
+    product: String,
+    bid: Double,
+    ask: Double)
+
 /** 13-field rich trade (/root/reference/old/kfk.py:13-29,70-91;
   * generator /root/reference/old/generate.py:19-33). */
 final case class RichTrade(

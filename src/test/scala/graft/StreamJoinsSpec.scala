@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.model.{Quote, Trade}
+import graft.streaming.{StreamJoins, StreamingOhlcv}
+
+/** Stream-stream interval join and watermark dedup semantics over
+  * MemoryStream replays. */
+class StreamJoinsSpec extends SparkSpec {
+  import spark.implicits._
+  implicit def sqlContext: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private val T0 = 1723459200000L // minute-aligned
+
+  private def trade(offMs: Long, product: String, price: Double, qty: Long) =
+    Trade(T0 + offMs, s"I${offMs % 7}", product, price, qty)
+  private def quote(offMs: Long, product: String, bid: Double) =
+    Quote(T0 + offMs, product, bid, bid + 1.0)
+
+  test("interval join pairs each trade with its product's quotes in the lookback") {
+    val trades = MemoryStream[Trade]
+    val quotes = MemoryStream[Quote]
+    val joined = StreamJoins.tradesWithRecentQuotes(
+      StreamingOhlcv.withEventTime(trades.toDS(), "5 seconds"),
+      StreamJoins.quotesWithEventTime(quotes.toDS(), "5 seconds"),
+      lookbackSeconds = 10)
+    val q = joined.writeStream.format("memory").queryName("ij")
+      .outputMode("append").start()
+    try {
+      quotes.addData(quote(5000, "A", 1.0), quote(9000, "A", 2.0),
+        quote(15000, "A", 3.0), quote(25000, "A", 4.0), quote(9000, "B", 9.0))
+      trades.addData(trade(10000, "A", 100.0, 1), trade(20000, "A", 200.0, 2))
+      q.processAllAvailable()
+      val got = spark.table("ij")
+        .select(col("timestamp") - T0, col("bid")).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      // trade@10s ← quotes (0s, 10s]: 5s and 9s of product A only;
+      // trade@20s ← quotes (10s, 20s]: 15s
+      assert(got == Set((10000L, 1.0), (10000L, 2.0), (20000L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("dedupWithinWatermark drops redelivered trades, keeps distinct ones") {
+    val input = MemoryStream[Trade]
+    val deduped = StreamJoins.dedupWithinWatermark(
+      StreamingOhlcv.withEventTime(input.toDS(), "10 seconds"),
+      Seq("product", "instrument_id", "timestamp"))
+    val q = deduped.writeStream.format("memory").queryName("dd")
+      .outputMode("append").start()
+    try {
+      val t = trade(1000, "P1", 10.0, 1)
+      input.addData(t, t, t.copy(price = 10.0), trade(2000, "P1", 20.0, 2))
+      q.processAllAvailable()
+      input.addData(t) // redelivery in a later batch, still in horizon
+      q.processAllAvailable()
+      val rows = spark.table("dd").collect()
+      assert(rows.length == 2, s"want the 2 distinct trades, got ${rows.length}")
+    } finally q.stop()
+  }
+}
