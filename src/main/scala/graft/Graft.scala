@@ -67,6 +67,25 @@ object Graft {
   def cascadeBars(tradesWithTs: DataFrame, fine: String, coarse: String): DataFrame =
     StreamingOhlcv.cascadeBars(tradesWithTs, fine, coarse)
 
+  /** Stream-stream interval join: each trade × its product's quotes in
+    * the lookback horizon (streaming.StreamJoins). */
+  def tradeQuoteJoin(tradesWithTs: DataFrame, quotesWithTs: DataFrame,
+      lookbackSeconds: Int): DataFrame =
+    graft.streaming.StreamJoins.tradesWithRecentQuotes(
+      tradesWithTs, quotesWithTs, lookbackSeconds)
+
+  /** At-least-once redelivery repair: drop duplicate keys while the
+    * watermark horizon still covers them. */
+  def streamingDedup(withTs: DataFrame, keys: Seq[String]): DataFrame =
+    graft.streaming.StreamJoins.dedupWithinWatermark(withTs, keys)
+
+  // --------------------------------------------------------- batch joins
+  /** Backward as-of join: latest right row at-or-before each left row
+    * per key (operators.AsOfJoin — one shuffle, one window pass). */
+  def asOf(left: DataFrame, right: DataFrame, key: String, ts: String,
+      rTsName: String): DataFrame =
+    AsOfJoin.asOfLast(left, right, key, ts, rTsName)
+
   // -------------------------------------------------- training-data suite
   /** Exact + approximate dedup entry points (operators.Dedup). */
   val dedup: Dedup.type = Dedup
@@ -78,6 +97,9 @@ object Graft {
   val multimodal: Multimodal.type = Multimodal
   /** Skew-safe join/agg helpers (operators.Skew). */
   val skew: Skew.type = Skew
+  /** Corpus curation: repetition filters, PII scrub, deterministic
+    * sampling, mixing weights (operators.Curation). */
+  val curation: Curation.type = Curation
 
   /** Register the native expressions (cosine_sim, poly_hash, simhash31)
     * for spark.sql; session-build-time alternative:
