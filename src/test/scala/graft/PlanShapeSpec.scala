@@ -30,6 +30,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(pushed.nonEmpty, s"expected non-empty PushedFilters in the scan:\n$p")
   }
 
+  test("rel_revenue_by_nation broadcasts its fixed-size dimensions") {
+    // nation/region are 25/5 rows at ANY scale factor — if they ever
+    // stop broadcasting, the fact table starts shuffling for no reason
+    val p = physical(SparkEntry.queries("rel_revenue_by_nation")(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected a broadcast join for the nation dim:\n$p")
+  }
+
+  test("text_quality reads only the projected document columns") {
+    val p = physical(SparkEntry.queries("text_quality")(spark, sf0001))
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1))
+    assert(read.isDefined, s"no ReadSchema in:\n$p")
+    // doc_id + text only — lang/source/n_chars must be pruned from the scan
+    assert(!read.get.contains("source") && !read.get.contains("n_chars"),
+      s"scan reads unprojected columns: ${read.get}")
+  }
+
   test("Ohlcv.bars aggregates through exactly one shuffle") {
     val ev = Tables.events(spark, sf0001)
     val df = Ohlcv.bars(ev, col("ts"), col("value"), lit(1L),

@@ -112,6 +112,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("statefulBars recovers keyed state and watermark across a restart") {
+    // production restart drill: stop after half a window, restart from
+    // the checkpoint, and the final bar must combine events from BOTH
+    // runs — proof the GroupState, timers, and watermark all persist
+    // memory sinks cannot resume from a checkpoint — use the file sink
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-ckpt-out").toString
+    val input = MemoryStream[Trade]
+    def start() = StreamingOhlcv.statefulBars(
+        StreamingOhlcv.withEventTime(input.toDS(), "0 seconds"),
+        widthMs = 60000L, emitRunning = false)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+
+    val q1 = start()
+    try {
+      input.addData(trade(0, "P1", 10.0, 1), trade(30000, "P1", 20.0, 2))
+      q1.processAllAvailable()
+      assert(spark.read.parquet(out).isEmpty) // window still open
+    } finally q1.stop()
+
+    val q2 = start()
+    try {
+      input.addData(trade(59000, "P1", 5.0, 3), trade(130000, "P1", 99.0, 4))
+      q2.processAllAvailable()
+      val fin = spark.read.parquet(out)
+        .filter(col("end_of_window")).orderBy("time").collect()
+      assert(fin.length == 1, s"want the one closed window, got ${fin.length}")
+      assert(fin(0).getAs[Double]("open") == 10.0)  // run-1 event
+      assert(fin(0).getAs[Double]("high") == 20.0)  // run-1 event
+      assert(fin(0).getAs[Double]("close") == 5.0)  // run-2 event
+      assert(fin(0).getAs[Long]("volume") == 6L)    // 1+2 (run 1) + 3 (run 2)
+    } finally q2.stop()
+  }
+
   test("dualSink fans one stateful stream out to running and final targets") {
     import graft.streaming.Sinks
     import graft.model.RunningBar
