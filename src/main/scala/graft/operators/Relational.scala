@@ -198,6 +198,42 @@ object Relational {
       .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
       .orderBy(col("event_type"))
 
+  // -- GROUPING SETS (the general form of rollup/cube) via the SQL surface
+  def groupingSetsOrders(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |                        (o_orderstatus), (o_orderpriority))
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+  }
+
+  // -- lag/lead navigation over per-customer order history -----------------
+  def orderGaps(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w))
+          .as("days_since_prev"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  // -- full outer join: activity per customer incl. never-active ones ------
+  def customerActivity(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+    Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .join(perUser, col("c_custkey") === col("user_id"), "full_outer")
+      .select(coalesce(col("c_custkey"), col("user_id")).as("custkey"),
+        col("c_mktsegment"), col("n_events"))
+      .orderBy(col("custkey"))
+  }
+
   // -- exact quantiles (sort-based percentile; at corpus scale swap in
   //    percentile_approx — same plan shape, bounded-memory sketch) --------
   def valueQuantiles(spark: SparkSession, dir: String): DataFrame =
@@ -254,7 +290,10 @@ object Relational {
     "rel_json_extract" -> ((s, d) => jsonExtract(s, d)),
     "rel_exists_subquery" -> ((s, d) => existsBigLineitem(s, d)),
     "rel_quantiles" -> ((s, d) => valueQuantiles(s, d)),
-    "rel_pivot_days" -> ((s, d) => pivotEventDays(s, d)))
+    "rel_pivot_days" -> ((s, d) => pivotEventDays(s, d)),
+    "rel_grouping_sets" -> ((s, d) => groupingSetsOrders(s, d)),
+    "rel_lag_lead" -> ((s, d) => orderGaps(s, d)),
+    "rel_full_outer" -> ((s, d) => customerActivity(s, d)))
 
   val oracle: Map[String, String] = Map(
     "rel_pricing_summary" ->
@@ -364,6 +403,28 @@ object Relational {
         |  round(quantile_cont(value, 0.5), 6) AS q50,
         |  round(quantile_cont(value, 0.9), 6) AS q90
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "rel_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*)::BIGINT AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |                        (o_orderstatus), (o_orderpriority))
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "rel_lag_lead" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  lag(o_totalprice, 1) OVER w AS prev_price,
+        |  lead(o_totalprice, 1) OVER w AS next_price,
+        |  (o_orderdate::DATE - (lag(o_orderdate, 1) OVER w)::DATE)::INT AS days_since_prev
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "rel_full_outer" ->
+      """SELECT coalesce(c.c_custkey, e.user_id) AS custkey,
+        |  c.c_mktsegment, e.n_events
+        |FROM (SELECT c_custkey, c_mktsegment FROM customer) c
+        |FULL OUTER JOIN (SELECT user_id, count(*)::BIGINT AS n_events
+        |                 FROM events GROUP BY 1) e
+        |  ON c.c_custkey = e.user_id
+        |ORDER BY custkey""".stripMargin,
     "rel_pivot_days" ->
       """SELECT date_trunc('day', ts)::TIMESTAMP AS day,
         |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS click,
