@@ -24,7 +24,8 @@ object SparkEntry {
     Ohlcv.queries ++ Relational.queries ++ TextAnalysis.queries ++
       Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++
       Windows.queries ++ Pipeline.queries ++ RichTrades.queries ++
-      Skew.queries ++ Curation.queries ++ AsOfJoin.queries
+      Skew.queries ++ Curation.queries ++ AsOfJoin.queries ++
+      Profiling.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -32,5 +33,6 @@ object SparkEntry {
     Ohlcv.oracle ++ Relational.oracle ++ TextAnalysis.oracle ++
       Dedup.oracle ++ Similarity.oracle ++ Multimodal.oracle ++
       Windows.oracle ++ Pipeline.oracle ++ RichTrades.oracle ++
-      Skew.oracle ++ Curation.oracle ++ AsOfJoin.oracle
+      Skew.oracle ++ Curation.oracle ++ AsOfJoin.oracle ++
+      Profiling.oracle
 }
