@@ -131,6 +131,17 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic train/val/test split (80/10/10 by hash): the same
+    * document lands in the same split on every run, every engine, every
+    * cluster — the property rand() splits silently lose on retry. */
+  def assignSplits(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("u", hashU(sampleKey))
+      .withColumn("split",
+        when(col("u") < 0.8, "train").when(col("u") < 0.9, "val").otherwise("test"))
+      .select(col("doc_id"), col("lang"), col("split"))
+      .orderBy(col("doc_id"))
+
   // ---------------------------------------------------------------- //
   // Domain mixing: sqrt-temperature weights over the language        //
   // distribution (multilingual-sampling shape, Conneau & Lample      //
@@ -161,6 +172,7 @@ object Curation {
     "text_scrub" -> ((s, d) => scrubPii(s, d)),
     "sample_hash" -> ((s, d) => sampleHash(s, d)),
     "sample_stratified" -> ((s, d) => sampleStratified(s, d)),
+    "sample_splits" -> ((s, d) => assignSplits(s, d)),
     "mix_weights" -> ((s, d) => mixWeights(s, d)))
 
   private def sqlGrams(n: Int): String =
@@ -214,6 +226,11 @@ object Curation {
          |WHERE $sqlU < CASE lang WHEN 'en' THEN 0.25 WHEN 'es' THEN 0.5
          |  WHEN 'de' THEN 0.75 WHEN 'fr' THEN 1.0 WHEN 'zh' THEN 1.0 ELSE 1.0 END
          |ORDER BY doc_id""".stripMargin,
+    "sample_splits" ->
+      s"""SELECT doc_id, lang,
+         |  CASE WHEN $sqlU < 0.8 THEN 'train'
+         |       WHEN $sqlU < 0.9 THEN 'val' ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "mix_weights" ->
       """WITH g AS (SELECT lang, count(*)::BIGINT AS n_docs,
         |    sum(len(list_filter(string_split(text, ' '), x -> x <> '')))::BIGINT AS n_tokens

@@ -65,6 +65,17 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("hash splits are deterministic, exhaustive, and near 80/10/10") {
+    val a = Curation.assignSplits(spark, sf001).collect()
+    val b = Curation.assignSplits(spark, sf001).collect()
+    assert(a.toSeq == b.toSeq, "split assignment must be replay-stable")
+    val n = a.length.toDouble
+    val frac = a.groupBy(_.getAs[String]("split")).view.mapValues(_.length / n).toMap
+    assert(frac.keySet == Set("train", "val", "test"))
+    assert(math.abs(frac("train") - 0.8) < 0.06, s"train ${frac("train")}")
+    assert(math.abs(frac("val") - 0.1) < 0.04 && math.abs(frac("test") - 0.1) < 0.04)
+  }
+
   test("mixing weights and corpus shares each sum to 1") {
     val rows = Curation.mixWeights(spark, sf0001).collect()
     assert(math.abs(rows.map(_.getAs[Double]("p")).sum - 1.0) < 1e-6)

@@ -147,6 +147,30 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("session windows merge and close on a stream (Windows.userSessions shape)") {
+    val input = MemoryStream[Trade]
+    val sess = StreamingOhlcv.withEventTime(input.toDS(), "0 seconds")
+      .groupBy(session_window(col("ts"), "30 seconds").as("w"), col("product"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("s"), col("w.end").as("e"), col("product"), col("n"))
+    val q = sess.writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    try {
+      // 0/10/20s chain into ONE session ending 20+30=50s; 120s starts another
+      input.addData(trade(0, "P1", 1.0, 1), trade(10000, "P1", 1.0, 1),
+        trade(20000, "P1", 1.0, 1), trade(120000, "P1", 1.0, 1))
+      q.processAllAvailable()
+      input.addData(trade(300000, "P1", 1.0, 1)) // watermark past both
+      q.processAllAvailable()
+      val rows = spark.table("sess").orderBy("s").collect()
+      assert(rows.length == 2)
+      assert(rows(0).getAs[Long]("n") == 3)
+      assert(rows(0).getAs[java.sql.Timestamp]("e").getTime -
+        rows(0).getAs[java.sql.Timestamp]("s").getTime == 50000L)
+      assert(rows(1).getAs[Long]("n") == 1)
+    } finally q.stop()
+  }
+
   test("dualSink fans one stateful stream out to running and final targets") {
     import graft.streaming.Sinks
     import graft.model.RunningBar
