@@ -45,4 +45,22 @@ object Formats {
     * should land in — partition pruning is free filtering at 100 TB). */
   def writeCuratedParquet(df: DataFrame, path: String, partitionCol: String): Unit =
     df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+
+  /** Compact a parquet dataset to ~`targetMB`-sized files — the
+    * small-files repair every long-lived table needs (a table landed by
+    * thousands of streaming micro-batches pays per-file open/footer
+    * costs that dwarf the actual read; object stores throttle the
+    * request storm on top). Output file count comes from the on-disk
+    * byte size; `coalesce` narrows without a shuffle when shrinking.
+    * Returns the output file count. */
+  def compactParquet(spark: SparkSession, inPath: String, outPath: String,
+      targetMB: Int = 256): Int = {
+    val p = new org.apache.hadoop.fs.Path(inPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(p).getLength
+    val nFiles = math.max(1, (bytes / (targetMB.toLong * 1024 * 1024)).toInt)
+    spark.read.parquet(inPath).coalesce(nFiles)
+      .write.mode("overwrite").parquet(outPath)
+    nFiles
+  }
 }

@@ -3,7 +3,7 @@ package graft
 import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import graft.model.Schemas
-import graft.sources.JsonSource
+import graft.sources.{Formats, JsonSource}
 import graft.streaming.StreamingOhlcv
 
 class SourcesSpec extends SparkSpec {
@@ -73,6 +73,21 @@ class SourcesSpec extends SparkSpec {
     val scan = pruned.queryExecution.executedPlan.toString
     assert(scan.contains("PartitionFilters") && scan.contains("lang"))
     assert(pruned.count() == docs.filter(col("lang") === "en").count())
+  }
+
+  test("compactParquet collapses a many-file table without losing rows") {
+    val scattered = Files.createTempDirectory("graft-scatter").toString
+    val compacted = Files.createTempDirectory("graft-compact").toString
+    val docs = Tables.documents(spark, sf001)
+    docs.repartition(40).write.mode("overwrite").parquet(scattered)
+
+    def parquetFiles(dir: String) =
+      new java.io.File(dir).listFiles.count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(scattered) == 40)
+
+    Formats.compactParquet(spark, scattered, compacted, targetMB = 256)
+    assert(parquetFiles(compacted) == 1, "sf0.01 docs fit one 256 MB file")
+    assert(spark.read.parquet(compacted).count() == docs.count())
   }
 
   test("streaming 1m->5m cascade equals direct 5m bars") {
