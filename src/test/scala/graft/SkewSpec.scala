@@ -59,4 +59,19 @@ class SkewSpec extends SparkSpec {
     val b = salts.collect().map(_.getInt(0)).toSeq
     assert(a == b)
   }
+
+  test("salting spreads a single hot key over many reducer partitions") {
+    // the mechanism itself: unsalted, one key = one partition (the
+    // straggler); salted, the same key's rows land on many
+    import org.apache.spark.sql.functions.spark_partition_id
+    val hot = events.withColumn("k", lit("HOT")) // 100% skew
+    def partitionsUsed(df: org.apache.spark.sql.DataFrame, cols: Seq[String]) =
+      df.repartition(16, cols.map(col): _*)
+        .select(spark_partition_id().as("p")).distinct().count()
+    assert(partitionsUsed(hot, Seq("k")) == 1)
+    val salted = hot.withColumn("_salt", Skew.salt(16, col("event_id")))
+    // 16 salts hashed into 16 partitions collide birthday-style:
+    // E[distinct] = 16(1-(15/16)^16) ≈ 10 — assert the spread, not luck
+    assert(partitionsUsed(salted, Seq("k", "_salt")) >= 8)
+  }
 }
