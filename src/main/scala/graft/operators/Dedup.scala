@@ -263,6 +263,17 @@ object Dedup {
       .orderBy(col("vec_i"), col("vec_j"))
   }
 
+  /** SemDeDup-shaped composition: connected components over the
+    * embedding near-dup pair graph (semantic duplicates, not just
+    * lexical ones) → one canonical vector per semantic cluster. Reuses
+    * the O(log² n) star machinery, so the whole chain — bucket, pair,
+    * cluster — stays web-scale. */
+  def embeddingClusters(spark: SparkSession, dir: String): DataFrame =
+    starClustersOn(embeddingNearDups(spark, dir)
+      .select(col("vec_i").as("doc_i"), col("vec_j").as("doc_j")))
+      .select(col("doc_id").as("vec_id"), col("canonical_id"))
+      .orderBy(col("vec_id"))
+
   // ------------------------------------------------------- dup clustering
 
   /** Connected components over the near-dup pair graph → one canonical
@@ -398,7 +409,8 @@ object Dedup {
     "dedup_jaccard_pairs" -> ((s, d) => jaccardPairs(s, d)),
     "dedup_minhash_lsh" -> ((s, d) => minHashLshPairs(s, d)),
     "dedup_simhash_pairs" -> ((s, d) => simHashPairs(s, d)),
-    "dedup_embedding" -> ((s, d) => embeddingNearDups(s, d)))
+    "dedup_embedding" -> ((s, d) => embeddingNearDups(s, d)),
+    "dedup_embedding_clusters" -> ((s, d) => embeddingClusters(s, d)))
 
   // ------------------------------------------------------------- oracles
 
@@ -507,32 +519,48 @@ object Dedup {
          |FROM cand WHERE bit_count(xor(sh_i, sh_j)) <= $HammingMax
          |ORDER BY doc_i, doc_j""".stripMargin,
     "dedup_embedding" ->
-      s"""WITH nz AS (SELECT vec_id, embedding FROM embeddings
-         |  WHERE list_reduce(list_prepend(0.0::DOUBLE,
-         |      list_transform(range(1, len(embedding) + 1),
-         |        k -> embedding[k]::DOUBLE * embedding[k]::DOUBLE)), (a, v) -> a + v) > 0),
-         |planes AS (SELECT vec_id AS plane_id, embedding AS plane
-         |  FROM nz WHERE vec_id < $HyperplaneBits),
-         |bucketed AS (SELECT e.vec_id, e.embedding,
-         |    sum(CASE WHEN list_reduce(list_prepend(0.0::DOUBLE,
-         |        list_transform(range(1, len(e.embedding) + 1),
-         |          k -> e.embedding[k]::DOUBLE * p.plane[k]::DOUBLE)),
-         |        (a, v) -> a + v) >= 0
-         |      THEN (1::BIGINT << p.plane_id) ELSE 0 END)::BIGINT AS bucket
-         |  FROM nz e, planes p GROUP BY 1, 2),
-         |pairs AS (SELECT a.vec_id AS vec_i, b.vec_id AS vec_j,
-         |    list_reduce(list_prepend(0.0::DOUBLE,
-         |      list_transform(range(1, len(a.embedding) + 1),
-         |        k -> a.embedding[k]::DOUBLE * b.embedding[k]::DOUBLE)), (x, v) -> x + v)
-         |    / (sqrt(list_reduce(list_prepend(0.0::DOUBLE,
-         |        list_transform(range(1, len(a.embedding) + 1),
-         |          k -> a.embedding[k]::DOUBLE * a.embedding[k]::DOUBLE)), (x, v) -> x + v))
-         |     * sqrt(list_reduce(list_prepend(0.0::DOUBLE,
-         |        list_transform(range(1, len(b.embedding) + 1),
-         |          k -> b.embedding[k]::DOUBLE * b.embedding[k]::DOUBLE)), (x, v) -> x + v)))
-         |    AS cosine
-         |  FROM bucketed a JOIN bucketed b
-         |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+      s"""WITH $embPairsCte
          |SELECT vec_i, vec_j, cosine FROM pairs WHERE cosine >= $CosineThreshold
-         |ORDER BY vec_i, vec_j""".stripMargin)
+         |ORDER BY vec_i, vec_j""".stripMargin,
+    "dedup_embedding_clusters" ->
+      s"""WITH RECURSIVE $embPairsCte,
+         |cpairs AS (SELECT vec_i, vec_j FROM pairs WHERE cosine >= $CosineThreshold),
+         |edges AS (SELECT vec_i, vec_j FROM cpairs
+         |  UNION ALL SELECT vec_j, vec_i FROM cpairs),
+         |reach(src, dst) AS (
+         |  SELECT vec_i, vec_i FROM (SELECT DISTINCT vec_i FROM edges)
+         |  UNION
+         |  SELECT r.src, e.vec_j FROM reach r JOIN edges e ON r.dst = e.vec_i)
+         |SELECT src AS vec_id, min(dst) AS canonical_id
+         |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin)
+
+  /** Sign-LSH bucket + bucket-local cosine pairs CTE (unfiltered) —
+    * shared by the near-dup oracle and its cluster composition. */
+  private lazy val embPairsCte: String =
+    s"""nz AS (SELECT vec_id, embedding FROM embeddings
+       |  WHERE list_reduce(list_prepend(0.0::DOUBLE,
+       |      list_transform(range(1, len(embedding) + 1),
+       |        k -> embedding[k]::DOUBLE * embedding[k]::DOUBLE)), (a, v) -> a + v) > 0),
+       |planes AS (SELECT vec_id AS plane_id, embedding AS plane
+       |  FROM nz WHERE vec_id < $HyperplaneBits),
+       |bucketed AS (SELECT e.vec_id, e.embedding,
+       |    sum(CASE WHEN list_reduce(list_prepend(0.0::DOUBLE,
+       |        list_transform(range(1, len(e.embedding) + 1),
+       |          k -> e.embedding[k]::DOUBLE * p.plane[k]::DOUBLE)),
+       |        (a, v) -> a + v) >= 0
+       |      THEN (1::BIGINT << p.plane_id) ELSE 0 END)::BIGINT AS bucket
+       |  FROM nz e, planes p GROUP BY 1, 2),
+       |pairs AS (SELECT a.vec_id AS vec_i, b.vec_id AS vec_j,
+       |    list_reduce(list_prepend(0.0::DOUBLE,
+       |      list_transform(range(1, len(a.embedding) + 1),
+       |        k -> a.embedding[k]::DOUBLE * b.embedding[k]::DOUBLE)), (x, v) -> x + v)
+       |    / (sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+       |        list_transform(range(1, len(a.embedding) + 1),
+       |          k -> a.embedding[k]::DOUBLE * a.embedding[k]::DOUBLE)), (x, v) -> x + v))
+       |     * sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+       |        list_transform(range(1, len(b.embedding) + 1),
+       |          k -> b.embedding[k]::DOUBLE * b.embedding[k]::DOUBLE)), (x, v) -> x + v)))
+       |    AS cosine
+       |  FROM bucketed a JOIN bucketed b
+       |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id)""".stripMargin
 }
