@@ -41,6 +41,41 @@ class StreamJoinsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("composed pipeline: dedup -> quote join -> windowed agg, one query, three stateful ops") {
+    val trades = MemoryStream[Trade]
+    val quotes = MemoryStream[Quote]
+    val deduped = StreamJoins.dedupWithinWatermark(
+      StreamingOhlcv.withEventTime(trades.toDS(), "5 seconds"),
+      Seq("product", "instrument_id", "timestamp"))
+    val joined = StreamJoins.tradesWithRecentQuotes(deduped,
+      StreamJoins.quotesWithEventTime(quotes.toDS(), "5 seconds"),
+      lookbackSeconds = 60)
+    val bars = joined
+      .groupBy(window(col("ts"), "1 minute").as("w"), col("product"))
+      .agg(count(lit(1)).as("n_quoted"),
+        max(col("ask") - col("bid")).as("max_spread"))
+    val q = bars.writeStream.format("memory").queryName("composed")
+      .outputMode("append").start()
+    try {
+      val t = trade(10000, "A", 100.0, 1)
+      quotes.addData(quote(5000, "A", 10.0), quote(8000, "A", 20.0))
+      trades.addData(t, t, trade(20000, "A", 101.0, 2)) // t redelivered
+      q.processAllAvailable()
+      // push both watermarks far past the first window
+      trades.addData(trade(600000, "A", 1.0, 1))
+      quotes.addData(quote(600000, "A", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("composed")
+        .filter(col("product") === "A" && col("w.start") === new java.sql.Timestamp(T0))
+        .collect()
+      assert(rows.length == 1)
+      // 2 distinct trades × 2 in-lookback quotes = 4 joined rows (the
+      // redelivered trade contributes nothing: dedup ran FIRST)
+      assert(rows(0).getAs[Long]("n_quoted") == 4L)
+      assert(rows(0).getAs[Double]("max_spread") == 1.0)
+    } finally q.stop()
+  }
+
   test("dedupWithinWatermark drops redelivered trades, keeps distinct ones") {
     val input = MemoryStream[Trade]
     val deduped = StreamJoins.dedupWithinWatermark(
