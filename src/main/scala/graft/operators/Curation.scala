@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions.tokens
@@ -142,6 +143,29 @@ object Curation {
       .select(col("doc_id"), col("lang"), col("split"))
       .orderBy(col("doc_id"))
 
+  val PackCapacity = 2048L
+  val PackBuckets = 8
+
+  /** Greedy contiguous sequence packing: documents fill fixed
+    * token-budget bins (`seq_id`) in doc_id order — the batching step
+    * between a cleaned corpus and a trainer. A single global running
+    * sum would be one reducer owning the whole corpus, so packing runs
+    * per hash bucket: parallelism = buckets, each bin stays
+    * bucket-local, and the assignment is still fully deterministic
+    * (raise PackBuckets with the cluster, not the data). */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("bucket", pmod(col("doc_id"), lit(PackBuckets)).cast("int"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("seq_id", expr(s"(cum - n_tokens) div $PackCapacity"))
+      .select(col("doc_id"), col("bucket"), col("n_tokens"), col("seq_id"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------- //
   // Domain mixing: sqrt-temperature weights over the language        //
   // distribution (multilingual-sampling shape, Conneau & Lample      //
@@ -173,6 +197,7 @@ object Curation {
     "sample_hash" -> ((s, d) => sampleHash(s, d)),
     "sample_stratified" -> ((s, d) => sampleStratified(s, d)),
     "sample_splits" -> ((s, d) => assignSplits(s, d)),
+    "pack_sequences" -> ((s, d) => packSequences(s, d)),
     "mix_weights" -> ((s, d) => mixWeights(s, d)))
 
   private def sqlGrams(n: Int): String =
@@ -231,6 +256,17 @@ object Curation {
          |  CASE WHEN $sqlU < 0.8 THEN 'train'
          |       WHEN $sqlU < 0.9 THEN 'val' ELSE 'test' END AS split
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "pack_sequences" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS n_tokens,
+         |    (doc_id % $PackBuckets)::INT AS bucket
+         |  FROM documents),
+         |c AS (SELECT doc_id, bucket, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+         |                        ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+         |  FROM t)
+         |SELECT doc_id, bucket, n_tokens, (cum - n_tokens) // $PackCapacity AS seq_id
+         |FROM c ORDER BY doc_id""".stripMargin,
     "mix_weights" ->
       """WITH g AS (SELECT lang, count(*)::BIGINT AS n_docs,
         |    sum(len(list_filter(string_split(text, ' '), x -> x <> '')))::BIGINT AS n_tokens

@@ -46,6 +46,18 @@ object Formats {
   def writeCuratedParquet(df: DataFrame, path: String, partitionCol: String): Unit =
     df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
 
+  /** Range-clustered parquet layout: rows range-partitioned and sorted
+    * on `clusterCol`, so each output file owns a disjoint value range.
+    * Parquet row-group min/max stats then let ANY engine skip whole
+    * files on a `clusterCol` predicate — data skipping is the cheapest
+    * filter there is at 100 TB (no read beats a fast read). The 1-D
+    * cousin of Z-ordering; use the Z-curve when two+ columns need it. */
+  def writeRangeClustered(df: DataFrame, path: String, clusterCol: String,
+      numFiles: Int): Unit =
+    df.repartitionByRange(numFiles, df(clusterCol))
+      .sortWithinPartitions(clusterCol)
+      .write.mode("overwrite").parquet(path)
+
   /** Compact a parquet dataset to ~`targetMB`-sized files — the
     * small-files repair every long-lived table needs (a table landed by
     * thousands of streaming micro-batches pays per-file open/footer

@@ -90,6 +90,23 @@ class SourcesSpec extends SparkSpec {
     assert(spark.read.parquet(compacted).count() == docs.count())
   }
 
+  test("writeRangeClustered yields disjoint per-file ranges (file-skipping layout)") {
+    val out = Files.createTempDirectory("graft-range").toString
+    val docs = Tables.documents(spark, sf001)
+    Formats.writeRangeClustered(docs, out, "doc_id", numFiles = 4)
+    val files = new java.io.File(out).listFiles
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+    assert(files.length == 4)
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min(col("doc_id")), max(col("doc_id"))).head
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    // disjoint, ordered ranges: a doc_id predicate can skip whole files
+    ranges.sliding(2).foreach { case Array((_, hi), (lo, _)) => assert(hi < lo) }
+    assert(spark.read.parquet(out).count() == docs.count())
+  }
+
   test("streaming 1m->5m cascade equals direct 5m bars") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.model.Trade
