@@ -11,7 +11,9 @@ object Explain {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("rel_filter_project", "rel_revenue_by_nation", "ohlcv_1m",
-        "sim_topk_bruteforce", "dedup_minhash_lsh", "text_wordcount_topk")
+        "sim_topk_bruteforce", "dedup_minhash_lsh", "text_wordcount_topk",
+        "rel_asof_join", "skew_salted_agg", "profile_events",
+        "text_repetition", "pack_sequences", "sim_topk_ivf_kmeans")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
