@@ -187,4 +187,24 @@ object StreamingOhlcv {
     }
     out.result()
   }
+
+  /** Continuous "top movers": once the watermark closes a window, rank
+    * its products by traded volume and keep the top k. The append-mode
+    * windowed agg does the heavy lifting distributed (map-side partial
+    * sums, one shuffle); each micro-batch then carries ONLY the freshly
+    * closed (window, product) rows, so the per-batch rank is over a
+    * bounded, already-aggregated frame — never the event stream. */
+  def topMoversPerWindow(tradesWithTs: DataFrame, width: String, k: Int)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val vol = tradesWithTs
+      .groupBy(window(col("ts"), width).as("w"), col("product"))
+      .agg(sum(col("qty")).as("volume"))
+      .select(col("w.start").as("window_start"), col("product"), col("volume"))
+    vol.writeStream.outputMode("append").foreachBatch { (batch: DataFrame, _: Long) =>
+      val rankW = W.partitionBy(col("window_start"))
+        .orderBy(col("volume").desc, col("product"))
+      sink(batch.withColumn("rnk", row_number().over(rankW)).filter(col("rnk") <= k))
+    }.start()
+  }
 }

@@ -147,6 +147,32 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("topMoversPerWindow ranks closed windows by volume, bounded to k") {
+    val input = MemoryStream[Trade]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, Int)]
+    val q = StreamingOhlcv.topMoversPerWindow(
+      StreamingOhlcv.withEventTime(input.toDS(), "0 seconds"), "1 minute", k = 2) {
+      batch =>
+        got.synchronized {
+          got ++= batch.collect().map(r => (
+            r.getAs[java.sql.Timestamp]("window_start").getTime - T0,
+            r.getAs[String]("product"), r.getAs[Long]("volume"),
+            r.getAs[Int]("rnk")))
+        }
+    }
+    try {
+      input.addData(
+        trade(0, "A", 1.0, 10), trade(1000, "A", 1.0, 15), // A: 25
+        trade(2000, "B", 1.0, 30),                         // B: 30
+        trade(3000, "C", 1.0, 5), trade(4000, "D", 1.0, 1))
+      q.processAllAvailable()
+      input.addData(trade(120000, "A", 1.0, 1)) // close minute 0
+      q.processAllAvailable()
+      val w0 = got.synchronized(got.filter(_._1 == 0L).sortBy(_._4))
+      assert(w0.map(t => (t._2, t._3, t._4)).toSeq == Seq(("B", 30L, 1), ("A", 25L, 2)))
+    } finally q.stop()
+  }
+
   test("session windows merge and close on a stream (Windows.userSessions shape)") {
     val input = MemoryStream[Trade]
     val sess = StreamingOhlcv.withEventTime(input.toDS(), "0 seconds")
