@@ -39,32 +39,39 @@ object AsOfJoin {
     * row's `ts` within the same `key` (null attrs when none precedes —
     * LEFT ASOF semantics). `right` must be unique per (key, ts) — see
     * the determinism contract above — and share no column names with
-    * `left` besides `key` and `ts`; its `ts` is carried as `rTsName`. */
+    * `left` besides `key` and `ts`; its `ts` is carried as `rTsName`.
+    *
+    * The matched row is carried as ONE struct, not per-column: a
+    * per-attribute `last(_, ignoreNulls)` would skip a matched row's
+    * legitimately-NULL attribute and resurrect a STALE older value —
+    * the struct is non-null whenever a right row exists, so its fields
+    * arrive exactly as that row holds them (native ASOF semantics). */
   def asOfLast(left: DataFrame, right: DataFrame,
       key: String, ts: String, rTsName: String): DataFrame = {
     val attrs = right.columns.filterNot(c => c == key || c == ts).toSeq
     val leftAttrs = left.columns.filterNot(c => c == key || c == ts).toSeq
+    val rStruct = org.apache.spark.sql.types.StructType(
+      (ts +: attrs).map(right.schema(_)))
 
     // side 0 = right, 1 = left: a right row at the left row's exact ts
     // sorts first, so "at or before" includes it (ASOF >= semantics)
-    val l = attrs.foldLeft(
-      left.withColumn("_side", lit(1))
-        .withColumn(rTsName, lit(null).cast(right.schema(ts).dataType))) {
-      (d, a) => d.withColumn(a, lit(null).cast(right.schema(a).dataType))
-    }
+    val l = left.withColumn("_side", lit(1))
+      .withColumn("_r", lit(null).cast(rStruct))
     val r = leftAttrs.foldLeft(
-      right.withColumn("_side", lit(0)).withColumn(rTsName, col(ts))) {
+      right.withColumn("_side", lit(0))
+        .withColumn("_r", struct((ts +: attrs).map(col): _*))
+        .drop(attrs: _*)) {
       (d, c) => d.withColumn(c, lit(null).cast(left.schema(c).dataType))
     }
 
     val w = Window.partitionBy(col(key)).orderBy(col(ts), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // one Window operator: Catalyst collapses same-spec last() projections
-    val carried = (rTsName +: attrs).foldLeft(l.unionByName(r)) {
-      (d, a) => d.withColumn(a, last(col(a), ignoreNulls = true).over(w))
-    }
-    carried.where(col("_side") === 1)
-      .select((left.columns.toSeq ++ (rTsName +: attrs)).map(col): _*)
+    l.unionByName(r)
+      .withColumn("_r", last(col("_r"), ignoreNulls = true).over(w))
+      .where(col("_side") === 1)
+      .select(left.columns.toSeq.map(col) ++
+        (col("_r").getField(ts).as(rTsName) +:
+          attrs.map(a => col("_r").getField(a).as(a))): _*)
   }
 
   /** Most recent at-or-before 'purchase' for every 'click', per user. */

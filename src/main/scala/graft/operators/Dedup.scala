@@ -247,7 +247,11 @@ object Dedup {
     // projection independently on each join side (measured 2.6× on the
     // near-dup query, round 2). At cluster scale the equivalent is one
     // write of the bucketed table to storage before the bucket-local
-    // joins — same one-narrow-pass-then-join shape.
+    // joins — same one-narrow-pass-then-join shape. Caveats of the
+    // local form, deliberate for this single-JVM harness: checkpoint
+    // blocks live until driver GC (repeat callers in one session pay
+    // storage), and localCheckpoint lineage is NOT recomputable after
+    // executor loss — a real deploy uses the storage write.
     emb.select(col("vec_id"), col("embedding"), bucket.as("bucket"))
       .localCheckpoint()
   }

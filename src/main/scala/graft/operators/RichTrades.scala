@@ -1,5 +1,6 @@
 package graft.operators
 
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -109,10 +110,22 @@ object RichTrades {
     * STRING hashes fine, and key order is fixed by the struct field
     * order on the Spark side / the literal order in the oracle —
     * identical by construction. The nested schema itself stays asserted
-    * by RichTradesSpec against graft.model.Schemas.nestedBar. */
+    * by RichTradesSpec against graft.model.Schemas.nestedBar.
+    *
+    * Formatting contract: Spark (Jackson) and DuckDB agree on double
+    * JSON text only for plain decimals — Spark goes scientific at
+    * |x| >= 1e7 or < 1e-3 where DuckDB does not. Trade prices (2-decimal,
+    * bounded) live comfortably inside the shared zone; RichTradesSpec
+    * asserts the domain so a testdata change fails loudly in CI instead
+    * of as a mysterious oracle hash divergence. */
   def nestedBars1mJson(spark: SparkSession, dir: String): DataFrame =
     nestedBars1m(spark, dir)
-      .select(col("window_start"), to_json(col("ohlc")).as("ohlc_json"))
+      .select(col("window_start"),
+        // explicit ignoreNullFields=false: DuckDB's to_json keeps null
+        // fields, so Spark must too (unreachable for non-empty groups,
+        // but parity should not hinge on that)
+        to_json(col("ohlc"), Map("ignoreNullFields" -> "false").asJava)
+          .as("ohlc_json"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rich_trade_ohlcv" -> ((s, d) => ohlcv1m(s, d)),

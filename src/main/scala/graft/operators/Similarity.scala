@@ -184,7 +184,11 @@ object Similarity {
     * baseline variant). Checkpointed once: the assignment projection
     * feeds both join sides. */
   def topKIvfKmeans(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.dotProduct
+    // zero-norm vectors out up front (oracle mirrors): their cosine is
+    // NaN, and NaN ranks FIRST in Spark's top-k but NULL-last in DuckDB
     val emb = Tables.embeddings(spark, dir)
+      .filter(dotProduct(col("embedding"), col("embedding")) > 0)
     val assigned = withCell(emb, kmeansCentroids(emb))
       .select(col("vec_id"), col("embedding"), col("cell"))
       .localCheckpoint()
@@ -228,7 +232,7 @@ object Similarity {
        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
        |      ${kmDotSql("c.cv", "c.cv")} - 2.0 * ${kmDotSql("e.embedding", "c.cv")},
        |      c.cell) AS rn
-       |  FROM embeddings e, $cents c)
+       |  FROM kmnz e, $cents c)
        |WHERE rn = 1""".stripMargin
 
   /** One k-means update pass over assignment CTE `asg`: exact
@@ -272,9 +276,13 @@ object Similarity {
     // index-ordered, every mean exact fixed-point, so argmin ties and
     // float bits match the engine.
     "sim_topk_ivf_kmeans" ->
-      s"""WITH c0 AS (SELECT vec_id::INT AS cell,
+      s"""WITH kmnz AS (SELECT vec_id, embedding FROM embeddings
+         |  WHERE list_reduce(list_prepend(0.0::DOUBLE,
+         |      list_transform(range(1, len(embedding) + 1),
+         |        k -> embedding[k]::DOUBLE * embedding[k]::DOUBLE)), (a, v) -> a + v) > 0),
+         |c0 AS (SELECT vec_id::INT AS cell,
          |    list_transform(embedding, x -> x::DOUBLE) AS cv
-         |  FROM embeddings WHERE vec_id < $KMeansCells),
+         |  FROM kmnz WHERE vec_id < $KMeansCells),
          |a1 AS (${kmAssignCte("c0")}),
          |c1 AS (${kmCentCte("a1")}),
          |a2 AS (${kmAssignCte("c1")}),

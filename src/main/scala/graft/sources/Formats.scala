@@ -70,9 +70,15 @@ object Formats {
     val p = new org.apache.hadoop.fs.Path(inPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bytes = fs.getContentSummary(p).getLength
-    val nFiles = math.max(1, (bytes / (targetMB.toLong * 1024 * 1024)).toInt)
-    spark.read.parquet(inPath).coalesce(nFiles)
-      .write.mode("overwrite").parquet(outPath)
+    // ceiling: a 511 MB input at target 256 must be 2 files, not one 511
+    val nFiles = math.max(1,
+      ((bytes + targetMB.toLong * 1024 * 1024 - 1) / (targetMB.toLong * 1024 * 1024)).toInt)
+    val df = spark.read.parquet(inPath)
+    // coalesce only shrinks; growing the file count (few huge inputs)
+    // needs the shuffle — compaction is a rare maintenance pass
+    val sized = if (nFiles <= df.rdd.getNumPartitions) df.coalesce(nFiles)
+      else df.repartition(nFiles)
+    sized.write.mode("overwrite").parquet(outPath)
     nFiles
   }
 }

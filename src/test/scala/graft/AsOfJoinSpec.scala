@@ -18,18 +18,20 @@ class AsOfJoinSpec extends SparkSpec {
       (5L, "c", ts(9), 5.0),  // key with no right rows at all → nulls
       (6L, "a", ts(2), 6.0)   // before every quote → nulls
     ).toDF("event_id", "k", "ts", "value")
+    // the t=8 quote carries a NULL attr: a match on it must surface
+    // that null, never resurrect the stale t=3 value (ASOF semantics)
     val right = Seq(
-      ("a", ts(3), 100L), ("a", ts(8), 200L),
-      ("b", ts(4), 300L), ("b", ts(7), 400L)
+      ("a", ts(3), Some(100L)), ("a", ts(8), None),
+      ("b", ts(4), Some(300L)), ("b", ts(7), Some(400L))
     ).toDF("k", "ts", "q")
 
     val got = AsOfJoin.asOfLast(left, right, "k", "ts", "q_ts")
       .select("event_id", "q_ts", "q").collect()
       .map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2))))).toMap
 
-    assert(got(1L) == (Some(ts(8)), Some(200L)))
+    assert(got(1L) == (Some(ts(8)), None))
     assert(got(2L) == (Some(ts(3)), Some(100L)))
-    assert(got(3L) == (Some(ts(8)), Some(200L)))
+    assert(got(3L) == (Some(ts(8)), None))
     assert(got(4L) == (Some(ts(4)), Some(300L)))
     assert(got(5L) == (None, None))
     assert(got(6L) == (None, None))
@@ -55,12 +57,13 @@ class AsOfJoinSpec extends SparkSpec {
     got.foreach { r =>
       val (uid, cts) = (r.getLong(1), r.getTimestamp(2))
       val eligible = purchases.filter(p => p._1 == uid && !p._2.after(cts))
-      if (eligible.isEmpty) assert(r.isNullAt(4) && r.isNullAt(5))
+      if (eligible.isEmpty) assert(r.isNullAt(4) && r.isNullAt(5) && r.isNullAt(6))
       else {
         val bestTs = eligible.map(_._2.getTime).max
         val best = eligible.filter(_._2.getTime == bestTs).maxBy(_._3)
         assert(r.getTimestamp(4).getTime == bestTs)
         assert(r.getLong(5) == best._3)
+        assert(r.getDouble(6) == best._4)
       }
     }
   }

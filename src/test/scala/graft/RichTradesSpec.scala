@@ -77,6 +77,18 @@ class RichTradesSpec extends SparkSpec {
     }
   }
 
+  test("OHLC values stay inside the cross-engine JSON format-stable zone") {
+    // Spark goes scientific at |x| >= 1e7 or (0, 1e-3); DuckDB never
+    // does — the rich_trade_nested oracle hash relies on this domain
+    val bad = RichTrades.nestedBars1m(spark, sf001)
+      .select(col("ohlc.*"))
+      .select(Seq("open", "high", "low", "close").map(c =>
+        (abs(col(c)) >= 1e7 || (abs(col(c)) > 0 && abs(col(c)) < 1e-3)).as(c)): _*)
+      .filter(col("open") || col("high") || col("low") || col("close"))
+    assert(bad.isEmpty,
+      "OHLC magnitude left the zone where Spark and DuckDB JSON agree")
+  }
+
   test("JSON verify twin is the nested producer, value-identically") {
     val nested = RichTrades.nestedBars1m(spark, sf0001)
     val twin = RichTrades.nestedBars1mJson(spark, sf0001)
