@@ -143,6 +143,19 @@ object Curation {
       .select(col("doc_id"), col("lang"), col("split"))
       .orderBy(col("doc_id"))
 
+  /** Canonical text normalization for dedup/tokenizer front-ends:
+    * lowercase, collapse whitespace runs, strip leading/trailing space.
+    * One scan projection; emits the cleaned text plus a changed flag so
+    * a pipeline can count normalization impact for free. */
+  def normalizeText(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("norm",
+        trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+      .select(col("doc_id"), col("norm"),
+        (col("norm") =!= col("text")).as("changed"),
+        (length(col("text")) - length(col("norm"))).cast("long").as("chars_removed"))
+      .orderBy(col("doc_id"))
+
   val PackCapacity = 2048L
   val PackBuckets = 8
 
@@ -198,6 +211,7 @@ object Curation {
     "sample_stratified" -> ((s, d) => sampleStratified(s, d)),
     "sample_splits" -> ((s, d) => assignSplits(s, d)),
     "pack_sequences" -> ((s, d) => packSequences(s, d)),
+    "text_normalize" -> ((s, d) => normalizeText(s, d)),
     "mix_weights" -> ((s, d) => mixWeights(s, d)))
 
   private def sqlGrams(n: Int): String =
@@ -256,6 +270,13 @@ object Curation {
          |  CASE WHEN $sqlU < 0.8 THEN 'train'
          |       WHEN $sqlU < 0.9 THEN 'val' ELSE 'test' END AS split
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm,
+        |  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) <> text AS changed,
+        |  (length(text) - length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))))::BIGINT
+        |    AS chars_removed
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "pack_sequences" ->
       s"""WITH t AS (SELECT doc_id,
          |    len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS n_tokens,
