@@ -73,40 +73,48 @@ object Bench {
     * engine in one replay. The reference's generator targets ~2,000
     * msg/s; this reports how many the engine absorbs per second. */
   private val StreamN = 200000
+  private val WarmupN = 30000
 
-  private def genTrades: Seq[graft.model.Trade] = {
+  private def genTrades(n: Int): Seq[graft.model.Trade] = {
     import graft.model.Trade
     val rnd = new scala.util.Random(42)
     val base = 1723459200000L
-    (0 until StreamN).map { _ =>
+    (0 until n).map { _ =>
       Trade(base + rnd.nextInt(600000).toLong, s"I${rnd.nextInt(100)}",
         s"Product_${rnd.nextInt(1999) + 1}",
         (rnd.nextInt(1000) + 1).toDouble, (rnd.nextInt(100) + 1).toLong)
     }
   }
 
-  /** Replay the generated trades through `bars`, return events/sec. */
-  private def measure(
+  /** Replay `n` generated trades through the engine, return events/sec.
+    * Run once with WarmupN (discarded) before the measured replay: the
+    * state-store and codegen paths JIT during the first replay, which
+    * otherwise swings the recorded rate ±40% run to run. */
+  private def replayRate(
       spark: SparkSession,
-      bars: org.apache.spark.sql.Dataset[graft.model.RunningBar]): Long = {
-    val q = bars.writeStream.format("noop").outputMode("append").start()
-    try {
-      val t0 = System.nanoTime()
-      q.processAllAvailable()
-      (StreamN / ((System.nanoTime() - t0) / 1e9)).toLong
-    } finally q.stop()
-  }
-
-  private def streamingRate(spark: SparkSession): Long = {
+      n: Int,
+      engine: org.apache.spark.sql.DataFrame => org.apache.spark.sql.Dataset[graft.model.RunningBar]): Long = {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.StreamingOhlcv
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[graft.model.Trade]
-    input.addData(genTrades: _*)
-    measure(spark, StreamingOhlcv.statefulBars(
-      StreamingOhlcv.withEventTime(input.toDS(), "5 seconds"),
-      widthMs = 60000L, emitRunning = false))
+    input.addData(genTrades(n): _*)
+    val q = engine(StreamingOhlcv.withEventTime(input.toDS(), "5 seconds"))
+      .writeStream.format("noop").outputMode("append").start()
+    try {
+      val t0 = System.nanoTime()
+      q.processAllAvailable()
+      (n / ((System.nanoTime() - t0) / 1e9)).toLong
+    } finally q.stop()
+  }
+
+  private def streamingRate(spark: SparkSession): Long = {
+    import graft.streaming.StreamingOhlcv
+    def engine(df: org.apache.spark.sql.DataFrame) =
+      StreamingOhlcv.statefulBars(df, widthMs = 60000L, emitRunning = false)
+    replayRate(spark, WarmupN, engine) // warmup, discarded
+    replayRate(spark, StreamN, engine)
   }
 
   /** Same replay through the Spark-4 transformWithState engine — needs
@@ -114,20 +122,16 @@ object Bench {
     * restored) around the run so the v1 measurement keeps the default
     * HDFS-backed provider. */
   private def streamingRateV2(spark: SparkSession): Long = {
-    import spark.implicits._
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    import graft.streaming.{StreamingOhlcv, StreamingOhlcvV2}
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.StreamingOhlcvV2
     val providerConf = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(providerConf)
     spark.conf.set(providerConf,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
-      val input = MemoryStream[graft.model.Trade]
-      input.addData(genTrades: _*)
-      measure(spark, StreamingOhlcvV2.statefulBars(
-        StreamingOhlcv.withEventTime(input.toDS(), "5 seconds"),
-        widthMs = 60000L, emitRunning = false))
+      def engine(df: org.apache.spark.sql.DataFrame) =
+        StreamingOhlcvV2.statefulBars(df, widthMs = 60000L, emitRunning = false)
+      replayRate(spark, WarmupN, engine) // warmup, discarded
+      replayRate(spark, StreamN, engine)
     } finally prev match {
       case Some(v) => spark.conf.set(providerConf, v)
       case None => spark.conf.unset(providerConf)

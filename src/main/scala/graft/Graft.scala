@@ -100,6 +100,8 @@ object Graft {
   /** Corpus curation: repetition filters, PII scrub, deterministic
     * sampling, mixing weights (operators.Curation). */
   val curation: Curation.type = Curation
+  /** One-scan column profiling (operators.Profiling). */
+  val profiling: Profiling.type = Profiling
 
   /** Register the native expressions (cosine_sim, poly_hash, simhash31)
     * for spark.sql; session-build-time alternative:
