@@ -98,29 +98,41 @@ object Dedup {
     *   The df counts reuse the same `code` shuffle key as the join that
     *   follows, so the cap costs one co-partitioned aggregate, not an
     *   extra wide shuffle. */
-  def jaccardPairsOn(sh: DataFrame, maxDf: Long = DefaultMaxShingleDf): DataFrame = {
-    val allPosts = sh.select(col("doc_id"), explode(col("codes")).as("code"))
+  def jaccardPairsOn(sh: DataFrame, maxDf: Long = DefaultMaxShingleDf): DataFrame =
+    jaccardPairsUnsortedOn(sh, maxDf).orderBy(col("doc_i"), col("doc_j"))
+
+  /** [[jaccardPairsOn]] without the presentation sort — the seam the
+    * clustering consumers use: a global sort feeding a hash-shuffle join
+    * is pure waste (the exchange destroys the order immediately). */
+  private[graft] def jaccardPairsUnsortedOn(
+      sh: DataFrame, maxDf: Long = DefaultMaxShingleDf): DataFrame = {
+    // Postings carry the owning doc's set size: one extra long on the
+    // (code, doc) shuffle buys back the two sh-joins the jaccard
+    // denominator otherwise needs — and with them two more passes over
+    // the shingle scan (sh appeared three times in the old plan).
+    val allPosts = sh.select(col("doc_id"), col("sz"),
+      explode(col("codes")).as("code"))
     val rare = allPosts.groupBy(col("code"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
       .select(col("code"))
     val posts = allPosts.join(rare, Seq("code"), "left_semi")
-    val common = posts.as("a").join(posts.as("b"),
+    posts.as("a").join(posts.as("b"),
         col("a.code") === col("b.code") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
-      .agg(count(lit(1)).as("common"))
-    common
-      .join(sh.select(col("doc_id").as("doc_i"), col("sz").as("sz_i")), "doc_i")
-      .join(sh.select(col("doc_id").as("doc_j"), col("sz").as("sz_j")), "doc_j")
+      .agg(count(lit(1)).as("common"),
+        first(col("a.sz")).as("sz_i"), first(col("b.sz")).as("sz_j"))
       .withColumn("jaccard",
         col("common") / (col("sz_i") + col("sz_j") - col("common")))
       .filter(col("jaccard") >= JaccardThreshold)
       .select(col("doc_i"), col("doc_j"), col("jaccard"))
-      .orderBy(col("doc_i"), col("doc_j"))
   }
 
   def jaccardPairs(spark: SparkSession, dir: String): DataFrame =
     jaccardPairsOn(shingled(spark, dir))
+
+  private[graft] def jaccardPairsUnsorted(spark: SparkSession, dir: String): DataFrame =
+    jaccardPairsUnsortedOn(shingled(spark, dir))
 
   // ---------------------------------------------------------- MinHash+LSH
 
@@ -256,7 +268,13 @@ object Dedup {
       .localCheckpoint()
   }
 
-  def embeddingNearDups(spark: SparkSession, dir: String): DataFrame = {
+  def embeddingNearDups(spark: SparkSession, dir: String): DataFrame =
+    embeddingNearDupsUnsorted(spark, dir).orderBy(col("vec_i"), col("vec_j"))
+
+  /** [[embeddingNearDups]] without the presentation sort (see
+    * [[jaccardPairsUnsortedOn]] for why the clustering path skips it). */
+  private[graft] def embeddingNearDupsUnsorted(
+      spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions.cosineSim
     val b = signBucketed(spark, dir)
     b.as("a").join(b.as("b"),
@@ -264,7 +282,6 @@ object Dedup {
       .withColumn("cosine", cosineSim(col("a.embedding"), col("b.embedding")))
       .filter(col("cosine") >= CosineThreshold)
       .select(col("a.vec_id").as("vec_i"), col("b.vec_id").as("vec_j"), col("cosine"))
-      .orderBy(col("vec_i"), col("vec_j"))
   }
 
   /** SemDeDup-shaped composition: connected components over the
@@ -273,7 +290,7 @@ object Dedup {
     * the O(log² n) star machinery, so the whole chain — bucket, pair,
     * cluster — stays web-scale. */
   def embeddingClusters(spark: SparkSession, dir: String): DataFrame =
-    starClustersOn(embeddingNearDups(spark, dir)
+    starClustersOn(embeddingNearDupsUnsorted(spark, dir)
       .select(col("vec_i").as("doc_i"), col("vec_j").as("doc_j")))
       .select(col("doc_id").as("vec_id"), col("canonical_id"))
       .orderBy(col("vec_id"))
@@ -291,20 +308,35 @@ object Dedup {
     * standard large-graph CC shape; at web scale swap in
     * large-star/small-star to cut rounds, Kiveris et al. 2014). */
   def dupClusters(spark: SparkSession, dir: String): DataFrame =
-    minLabelClustersOn(jaccardPairs(spark, dir).select(col("doc_i"), col("doc_j")))
+    minLabelClustersOn(
+      jaccardPairsUnsorted(spark, dir).select(col("doc_i"), col("doc_j")))
 
   /** Min-label propagation over an undirected pair graph — public seam
     * so specs can feed synthetic graphs (chains, stars, forests). */
   private[graft] def minLabelClustersOn(pairs: DataFrame): DataFrame = {
+    // Materialize the pair plan ONCE before symmetrizing: `pairs` is the
+    // expensive upstream (the inverted-index join), and the union below
+    // references it twice — without this checkpoint Catalyst computes
+    // the whole pair pipeline once per union branch (measured ~2.4 s of
+    // pure recomputation on dedup_clusters at sf0.1, round 4).
+    val p = pairs.localCheckpoint()
     // undirected edges both ways; localCheckpoint = materialize once AND
     // truncate lineage — the labels plan references itself twice per
     // round, so without truncation the logical plan doubles every
     // iteration (2^rounds analysis blowup)
-    val edges = pairs
-      .union(pairs.select(col("doc_j").as("doc_i"), col("doc_i").as("doc_j")))
+    val edges = p
+      .union(p.select(col("doc_j").as("doc_i"), col("doc_i").as("doc_j")))
       .localCheckpoint()
-    val members = edges.select(col("doc_i").as("doc_id")).distinct()
-    var labels = members.withColumn("label", col("doc_id")).localCheckpoint()
+    // Init fused with propagation round 1: label₀(v) = v, so round 1's
+    // min over self ∪ neighbors is computable in ONE aggregate over the
+    // symmetric edge set (every member appears as doc_i) — no separate
+    // members-distinct job, no identity-labels checkpoint, one fewer
+    // join round through the loop below.
+    var labels = edges
+      .groupBy(col("doc_i").as("doc_id"))
+      .agg(min(col("doc_j")).as("nmin"))
+      .select(col("doc_id"), least(col("doc_id"), col("nmin")).as("label"))
+      .localCheckpoint()
     // iterate to CONVERGENCE (the oracle computes the exact transitive
     // closure — a fixed round cap would silently split any component
     // whose diameter exceeds it); maxRounds is a runaway backstop. The
@@ -315,6 +347,7 @@ object Dedup {
     var round = 0
     var changed = 1L
     while (changed > 0 && round < maxRounds) {
+      val t0 = System.nanoTime()
       val neighborMin = edges
         .join(labels.withColumnRenamed("doc_id", "doc_j"), "doc_j")
         .groupBy(col("doc_i").as("doc_id"))
@@ -327,6 +360,8 @@ object Dedup {
       changed = next.filter(col("label") =!= col("prev")).count()
       labels = next.select(col("doc_id"), col("label"))
       round += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(f"[cc] minlabel round $round changed=$changed ${(System.nanoTime() - t0) / 1e9}%.3f s")
     }
     require(changed == 0, s"dupClusters did not converge in $maxRounds rounds")
     labels
@@ -354,7 +389,8 @@ object Dedup {
     * Fixpoint: the edge set stabilizes as a star forest, every member
     * pointing at its component minimum. */
   def dupClustersStar(spark: SparkSession, dir: String): DataFrame =
-    starClustersOn(jaccardPairs(spark, dir).select(col("doc_i"), col("doc_j")))
+    starClustersOn(
+      jaccardPairsUnsorted(spark, dir).select(col("doc_i"), col("doc_j")))
 
   private[graft] def starClustersOn(pairs: DataFrame): DataFrame = {
     // orient high→low once; the invariant (src > dst) is restored by
@@ -391,12 +427,20 @@ object Dedup {
     var round = 0
     var changed = 1L
     while (changed > 0 && round < maxRounds) {
+      val t0 = System.nanoTime()
       val next = smallStar(largeStar(edges)).localCheckpoint()
-      // fixpoint = identical edge set (both directions of except; the
-      // sets are star-forest-sized by now, the check is two small joins)
-      changed = next.exceptAll(edges).count() + edges.exceptAll(next).count()
+      // fixpoint = identical edge set. Both sides are distinct sets, so
+      // the symmetric difference is exactly the keys whose +1/-1 weights
+      // don't cancel — ONE aggregate job over two materialized frames,
+      // where the two-directional exceptAll formulation cost two.
+      changed = next.withColumn("w", lit(1L))
+        .union(edges.withColumn("w", lit(-1L)))
+        .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+        .filter(col("w") =!= 0).count()
       edges = next
       round += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(f"[cc] star round $round changed=$changed ${(System.nanoTime() - t0) / 1e9}%.3f s")
     }
     require(changed == 0, s"starClusters did not converge in $maxRounds rounds")
     // star forest: every non-root points at its component min; roots
