@@ -86,6 +86,12 @@ object Graft {
       rTsName: String): DataFrame =
     AsOfJoin.asOfLast(left, right, key, ts, rTsName)
 
+  /** Native whole-operator as-of join (plans.AsOfJoinPlan →
+    * AsOfJoinExec): a dedicated streaming sort-merge — prefer at scale. */
+  def asOfNative(left: DataFrame, right: DataFrame, key: String, ts: String,
+      rTsName: String): DataFrame =
+    AsOfJoin.asOfNative(left, right, key, ts, rTsName)
+
   // -------------------------------------------------- training-data suite
   /** Exact + approximate dedup entry points (operators.Dedup). */
   val dedup: Dedup.type = Dedup

@@ -185,12 +185,15 @@ object VectorFunctions {
 }
 
 /** `spark.sql.extensions=graft.functions.GraftExtensions` wiring — the
-  * idiomatic deployment path: functions available in every session of
-  * the cluster without per-session registration. */
+  * idiomatic deployment path: functions AND planner strategies
+  * available in every session of the cluster without per-session
+  * registration. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     VectorFunctions.builders.foreach { case (name, cls, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name), new ExpressionInfo(cls.getName, name), builder))
     }
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+  }
 }

@@ -74,8 +74,40 @@ object AsOfJoin {
           attrs.map(a => col("_r").getField(a).as(a))): _*)
   }
 
+  /** Backward as-of join on the NATIVE whole-operator plan
+    * (graft.plans.AsOfJoinPlan → AsOfJoinExec): same contract and
+    * output shape as [[asOfLast]], planned as a dedicated sort-merge —
+    * one hash exchange per side, partition-local (key, ts) sorts, then
+    * a streaming O(|L|+|R|) merge holding ONE candidate row. Prefer
+    * this form at scale; asOfLast remains the pure-composition
+    * fallback (and the differential test partner). */
+  def asOfNative(left: DataFrame, right: DataFrame,
+      key: String, ts: String, rTsName: String): DataFrame = {
+    val spark = left.sparkSession
+    graft.plans.GraftPlans.install(spark)
+    val attrs = right.columns.filterNot(c => c == key || c == ts).toSeq
+    // Alias EVERY right column: fresh attribute ids decouple the right
+    // output from any lineage shared with the left (self-join safety —
+    // the analyzer's conflict handling only knows built-in node types).
+    val r2 = right.select(
+      (col(key).as("__asof_key") +: col(ts).as(rTsName) +:
+        attrs.map(a => col(a).as(a))): _*)
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = r2.queryExecution.analyzed
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        n: String) = p.output.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(s"column $n not found"))
+    org.apache.spark.sql.graft.ColumnBridge.ofRows(spark,
+      graft.plans.AsOfJoinPlan(lPlan, rPlan,
+        attr(lPlan, key), attr(rPlan, "__asof_key"),
+        attr(lPlan, ts), attr(rPlan, rTsName)))
+      .drop("__asof_key")
+  }
+
   /** Most recent at-or-before 'purchase' for every 'click', per user. */
-  def clickLastPurchase(spark: SparkSession, dir: String): DataFrame = {
+  private def clickLastPurchaseVia(
+      join: (DataFrame, DataFrame, String, String, String) => DataFrame)(
+      spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
     val purchases = ev.filter(col("event_type") === "purchase")
       .groupBy(col("user_id"), col("ts"))
@@ -83,23 +115,36 @@ object AsOfJoin {
         max_by(col("value"), col("event_id")).as("p_value"))
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("event_id"), col("user_id"), col("ts"), col("value"))
-    asOfLast(clicks, purchases, key = "user_id", ts = "ts", rTsName = "p_ts")
+    join(clicks, purchases, "user_id", "ts", "p_ts")
       .orderBy(col("event_id"))
   }
 
+  def clickLastPurchase(spark: SparkSession, dir: String): DataFrame =
+    clickLastPurchaseVia(asOfLast(_, _, _, _, _))(spark, dir)
+
+  /** Same query through the native AsOfJoinExec plan — both hash-match
+    * the same DuckDB ASOF oracle, so the custom operator is held to the
+    * full correctness bar, not just a unit spec. */
+  def clickLastPurchaseNative(spark: SparkSession, dir: String): DataFrame =
+    clickLastPurchaseVia(asOfNative(_, _, _, _, _))(spark, dir)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "rel_asof_join" -> ((s, d) => clickLastPurchase(s, d)))
+    "rel_asof_join" -> ((s, d) => clickLastPurchase(s, d)),
+    "rel_asof_join_native" -> ((s, d) => clickLastPurchaseNative(s, d)))
+
+  private val asofOracleSql =
+    """WITH p AS (SELECT user_id, ts, max(event_id) AS p_event_id,
+      |    arg_max(value, event_id) AS p_value
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |c AS (SELECT event_id, user_id, ts, value
+      |  FROM events WHERE event_type = 'click')
+      |SELECT c.event_id, c.user_id, c.ts, c.value,
+      |  p.ts AS p_ts, p.p_event_id, p.p_value
+      |FROM c ASOF LEFT JOIN p
+      |  ON c.user_id = p.user_id AND c.ts >= p.ts
+      |ORDER BY c.event_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
-    "rel_asof_join" ->
-      """WITH p AS (SELECT user_id, ts, max(event_id) AS p_event_id,
-        |    arg_max(value, event_id) AS p_value
-        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
-        |c AS (SELECT event_id, user_id, ts, value
-        |  FROM events WHERE event_type = 'click')
-        |SELECT c.event_id, c.user_id, c.ts, c.value,
-        |  p.ts AS p_ts, p.p_event_id, p.p_value
-        |FROM c ASOF LEFT JOIN p
-        |  ON c.user_id = p.user_id AND c.ts >= p.ts
-        |ORDER BY c.event_id""".stripMargin)
+    "rel_asof_join" -> asofOracleSql,
+    "rel_asof_join_native" -> asofOracleSql)
 }

@@ -17,6 +17,15 @@ object ColumnBridge {
   /** Unwrap a Column to its Catalyst Expression. */
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Wrap a (resolved) logical plan as a user-facing DataFrame — the
+    * construction path for custom LogicalPlan operators (Dataset.ofRows
+    * is private[sql]). */
+  def ofRows(
+      spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** Register an expression builder as a temp function on a live session
     * (the session-build-time path is GraftExtensions via
     * spark.sql.extensions). */

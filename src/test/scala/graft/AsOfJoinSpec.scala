@@ -67,4 +67,51 @@ class AsOfJoinSpec extends SparkSpec {
       }
     }
   }
+
+  // ------------------------------------------- native AsOfJoinExec plan
+
+  test("asOfNative matches asOfLast on the edge-case fixture (incl. null keys)") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, Some("a"), ts(10), 1.0),
+      (2L, Some("a"), ts(5), 2.0),
+      (3L, Some("a"), ts(8), 3.0),  // exact-ts match (>= semantics)
+      (4L, Some("b"), ts(4), 4.0),
+      (5L, Some("c"), ts(9), 5.0),  // key with no right rows → nulls
+      (6L, Some("a"), ts(2), 6.0),  // before every quote → nulls
+      (7L, None, ts(6), 7.0)        // null key: SQL equality, matches nothing
+    ).toDF("event_id", "k", "ts", "value")
+    val right = Seq(
+      (Some("a"), ts(3), Some(100L)), (Some("a"), ts(8), None),
+      (Some("b"), ts(4), Some(300L)), (Some("b"), ts(7), Some(400L)),
+      (Option.empty[String], ts(1), Some(999L)) // null right key: never a match
+    ).toDF("k", "ts", "q")
+
+    val a = AsOfJoin.asOfLast(left, right.filter(col("k").isNotNull), "k", "ts", "q_ts")
+      .orderBy("event_id").collect().map(_.toString)
+    val b = AsOfJoin.asOfNative(left, right, "k", "ts", "q_ts")
+      .orderBy("event_id").collect().map(_.toString)
+    assert(a.toSeq == b.toSeq)
+    // the null-key left row joined nothing
+    val r7 = AsOfJoin.asOfNative(left, right, "k", "ts", "q_ts")
+      .where(col("event_id") === 7).collect().head
+    assert(r7.isNullAt(4) && r7.isNullAt(5))
+  }
+
+  test("asOfNative plans the custom AsOfJoin exec over sorted exchanges") {
+    import spark.implicits._
+    val left = Seq((1L, "a", ts(10), 1.0)).toDF("event_id", "k", "ts", "value")
+    val right = Seq(("a", ts(3), 100L)).toDF("k", "ts", "q")
+    val plan = AsOfJoin.asOfNative(left, right, "k", "ts", "q_ts")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), s"want AsOfJoin exec:\n$plan")
+    assert("Exchange".r.findAllIn(plan).size == 2, s"want 2 exchanges:\n$plan")
+    assert(!plan.contains("Window"), s"no Window operator expected:\n$plan")
+  }
+
+  test("rel_asof_join_native is row-identical to rel_asof_join at sf0.001") {
+    val a = AsOfJoin.clickLastPurchase(spark, sf0001).collect().map(_.toString)
+    val b = AsOfJoin.clickLastPurchaseNative(spark, sf0001).collect().map(_.toString)
+    assert(a.nonEmpty && a.toSeq == b.toSeq)
+  }
 }
