@@ -25,7 +25,7 @@ object SparkEntry {
       Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++
       Windows.queries ++ Pipeline.queries ++ RichTrades.queries ++
       Skew.queries ++ Curation.queries ++ AsOfJoin.queries ++
-      Profiling.queries
+      Profiling.queries ++ graft.sources.GenTradesSource.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -34,5 +34,5 @@ object SparkEntry {
       Dedup.oracle ++ Similarity.oracle ++ Multimodal.oracle ++
       Windows.oracle ++ Pipeline.oracle ++ RichTrades.oracle ++
       Skew.oracle ++ Curation.oracle ++ AsOfJoin.oracle ++
-      Profiling.oracle
+      Profiling.oracle ++ graft.sources.GenTradesSource.oracle
 }

@@ -1,0 +1,232 @@
+package graft.sources
+
+import java.util
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 deterministic trade-generator source — the reference's
+  * mock/generator sources (/root/reference/old/gen.py:13-36 synthetic
+  * feed: ~2000 products, price 1–1000, qty 1–100;
+  * /root/reference/old/beam2.py:7-16 in-pipeline mock DoFn) rebuilt at
+  * the Spark connector tier:
+  *
+  * {{{
+  * spark.read.format("graft-trades").option("rows", 200000).load()
+  * }}}
+  *
+  * Why a full TableProvider and not `spark.range(n).select(...)`: the
+  * connector tier is where a REAL source (Kafka snapshot, archive
+  * format) plugs in, and this implementation exercises the whole
+  * contract a 100 TB source needs —
+  *
+  *  - '''partition planning''': the [0, rows) sequence range is split
+  *    into `partitions` independent [[InputPartition]]s, so a
+  *    1000-executor cluster reads 1000 splits in parallel (exactly how
+  *    a file/offset-range source plans);
+  *  - '''column pruning''' ([[SupportsPushDownRequiredColumns]]): the
+  *    reader materializes ONLY projected columns — `.explain` shows
+  *    the pruned ReadSchema, and e.g. a count over 2 columns never
+  *    builds the other 4;
+  *  - '''filter pushdown''' ([[SupportsPushDownFilters]]): range
+  *    predicates on `seq` narrow the PLANNED ranges — partitions that
+  *    fall wholly outside the bound are never scheduled (the DSv2
+  *    analogue of parquet row-group/partition pruning). Other filters
+  *    stay residual and Spark re-applies them.
+  *
+  * Determinism contract (the DuckDB oracle replays it from
+  * `range(rows)`): every field derives from the row's sequence number
+  * by the C-rand LCG step h(i,s) = ((i+s)·1103515245 + 12345) mod 2³¹
+  * — pure BIGINT arithmetic, no overflow below i ≈ 8·10⁹, identical in
+  * both engines (the repo-wide explicit-arithmetic rule; engine hash
+  * builtins are never oracle-replayable).
+  */
+class GenTradesSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+
+  override def shortName(): String = "graft-trades"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GenTradesSource.schema
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new GenTradesTable(new CaseInsensitiveStringMap(properties))
+}
+
+object GenTradesSource {
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+  import org.apache.spark.sql.functions._
+
+  /** OHLCV-style rollup over the generated feed, read THROUGH the DSv2
+    * connector (not a derived DataFrame): the scan in this plan carries
+    * a pruned ReadSchema (4 of 6 columns) and a pushed seq-range that
+    * shrank the planned partitions before scheduling. `dir` is unused —
+    * the source is its own data. */
+  def ohlcvByProduct(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("graft-trades").option("rows", 200000L).load()
+      .where(col("seq") >= 50000L && col("seq") < 150000L)
+      .groupBy(col("product"))
+      .agg(
+        min_by(col("price"), col("seq")).as("open"),
+        max(col("price")).as("high"),
+        min(col("price")).as("low"),
+        max_by(col("price"), col("seq")).as("close"),
+        sum(col("qty")).as("volume"),
+        count(lit(1)).as("n_trades"))
+      .orderBy(col("product"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_gen_trades_ohlcv" -> ((s, d) => ohlcvByProduct(s, d)))
+
+  /** DuckDB replays the LCG from range(): identical BIGINT arithmetic,
+    * identical rows — the oracle checks the connector's planning
+    * (range narrowing included) produced exactly the declared feed. */
+  val oracle: Map[String, String] = Map(
+    "src_gen_trades_ohlcv" ->
+      """WITH g AS (
+        |  SELECT range AS seq,
+        |    'Product_' || ((((range + 3) * 1103515245 + 12345) % 2147483648) % 1999 + 1) AS product,
+        |    ((((range + 1) * 1103515245 + 12345) % 2147483648) % 1000 + 1)::DOUBLE AS price,
+        |    (((range + 2) * 1103515245 + 12345) % 2147483648) % 100 + 1 AS qty
+        |  FROM range(0, 200000)
+        |  WHERE range >= 50000 AND range < 150000)
+        |SELECT product, arg_min(price, seq) AS open, max(price) AS high,
+        |  min(price) AS low, arg_max(price, seq) AS close,
+        |  sum(qty)::BIGINT AS volume, count(*)::BIGINT AS n_trades
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin)
+
+  /** The reference's 5-field trade wire shape (SURVEY.md §1.1) plus the
+    * generator's own sequence number; timestamps ride as epoch-ms
+    * BIGINT exactly as on the reference wire. */
+  val schema: StructType = StructType(Seq(
+    StructField("seq", LongType, nullable = false),
+    StructField("timestamp", LongType, nullable = false),
+    StructField("instrument_id", StringType, nullable = false),
+    StructField("product", StringType, nullable = false),
+    StructField("price", DoubleType, nullable = false),
+    StructField("qty", LongType, nullable = false)))
+
+  val DefaultRows = 100000L
+  val BaseTs = 1723459200000L // 2024-08-12T10:40:00Z, the gen.py era
+
+  /** One LCG step — the whole wire record derives from (seq, salt). */
+  def h(i: Long, salt: Long): Long =
+    ((i + salt) * 1103515245L + 12345L) % 2147483648L
+
+  def fieldValue(name: String, i: Long): Any = name match {
+    case "seq" => i
+    case "timestamp" => BaseTs + i * 500L
+    case "instrument_id" => UTF8String.fromString("I" + h(i, 4) % 100L)
+    case "product" => UTF8String.fromString("Product_" + (h(i, 3) % 1999L + 1L))
+    case "price" => (h(i, 1) % 1000L + 1L).toDouble
+    case "qty" => h(i, 2) % 100L + 1L
+  }
+}
+
+class GenTradesTable(options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  override def name(): String = "graft_gen_trades"
+  override def schema(): StructType = GenTradesSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder = {
+    val merged = new CaseInsensitiveStringMap(
+      (options.asScala ++ o.asScala).asJava)
+    new GenTradesScanBuilder(merged)
+  }
+}
+
+class GenTradesScanBuilder(options: CaseInsensitiveStringMap)
+    extends ScanBuilder
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+
+  private val totalRows =
+    options.asScala.getOrElse("rows", GenTradesSource.DefaultRows.toString).toLong
+  private val numPartitions =
+    options.asScala.getOrElse("partitions", "32").toInt
+
+  private var required: StructType = GenTradesSource.schema
+  private var lo: Long = 0L
+  private var hi: Long = totalRows // exclusive
+  private var accepted: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  /** Accept seq-range predicates by narrowing [lo, hi); everything else
+    * is residual. Accepted filters are also fully APPLIED (the range IS
+    * the filter), so they need no re-evaluation — but they are still
+    * returned from pushedFilters only, not claimed as exactly-once;
+    * Spark may re-apply them, which is harmless and keeps the contract
+    * conservative. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (acc, residual) = filters.partition {
+      case GreaterThan("seq", v: Long) => lo = math.max(lo, v + 1); true
+      case GreaterThanOrEqual("seq", v: Long) => lo = math.max(lo, v); true
+      case LessThan("seq", v: Long) => hi = math.min(hi, v); true
+      case LessThanOrEqual("seq", v: Long) => hi = math.min(hi, v + 1); true
+      case EqualTo("seq", v: Long) => lo = math.max(lo, v); hi = math.min(hi, v + 1); true
+      case _ => false
+    }
+    accepted = acc
+    residual
+  }
+
+  override def pushedFilters(): Array[Filter] = accepted
+
+  override def build(): Scan =
+    new GenTradesScan(required, lo, math.max(lo, hi), numPartitions)
+}
+
+case class GenTradesRange(start: Long, end: Long) extends InputPartition
+
+class GenTradesScan(
+    required: StructType, lo: Long, hi: Long, numPartitions: Int)
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-trades [$lo, $hi) cols=${required.fieldNames.mkString(",")}"
+
+  /** Even range splits — empty tails are simply not planned, the DSv2
+    * analogue of partition pruning. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val n = hi - lo
+    if (n <= 0) return Array.empty
+    val parts = math.min(numPartitions.toLong, n).toInt
+    val step = (n + parts - 1) / parts
+    (0 until parts).iterator
+      .map(p => GenTradesRange(lo + p * step, math.min(lo + (p + 1) * step, hi)))
+      .filter(r => r.end > r.start)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GenTradesReaderFactory(required.fieldNames)
+}
+
+class GenTradesReaderFactory(fields: Array[String])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val r = p.asInstanceOf[GenTradesRange]
+    new PartitionReader[InternalRow] {
+      private var i = r.start - 1
+      override def next(): Boolean = { i += 1; i < r.end }
+      override def get(): InternalRow =
+        new GenericInternalRow(
+          fields.map(GenTradesSource.fieldValue(_, i)).asInstanceOf[Array[Any]])
+      override def close(): Unit = ()
+    }
+  }
+}

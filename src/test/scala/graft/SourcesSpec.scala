@@ -141,4 +141,42 @@ class SourcesSpec extends SparkSpec {
       assert(second.getAs[Long]("volume") == 5L)
     } finally q.stop()
   }
+
+  // ------------------------------------------- DSv2 graft-trades source
+
+  test("graft-trades: deterministic rows match the LCG contract") {
+    val r = spark.read.format("graft-trades").option("rows", 10).load()
+      .orderBy("seq").collect()
+    assert(r.length == 10)
+    def h(i: Long, s: Long) = ((i + s) * 1103515245L + 12345L) % 2147483648L
+    r.foreach { row =>
+      val i = row.getAs[Long]("seq")
+      assert(row.getAs[Long]("timestamp") == 1723459200000L + i * 500L)
+      assert(row.getAs[String]("product") == "Product_" + (h(i, 3) % 1999L + 1L))
+      assert(row.getAs[Double]("price") == (h(i, 1) % 1000L + 1L).toDouble)
+      assert(row.getAs[Long]("qty") == h(i, 2) % 100L + 1L)
+    }
+  }
+
+  test("graft-trades: column pruning reaches the connector's ReadSchema") {
+    val df = spark.read.format("graft-trades").option("rows", 100).load()
+      .select("product", "qty")
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("product"), scan)
+    assert(!scan.contains("instrument_id"), s"instrument_id not pruned:\n$scan")
+  }
+
+  test("graft-trades: seq-range pushdown narrows the planned partitions") {
+    val one = spark.read.format("graft-trades")
+      .option("rows", 200000L).option("partitions", 32).load()
+      .where(col("seq") === 12345L)
+    // EqualTo narrows the planned range to ONE row → one InputPartition
+    assert(one.rdd.getNumPartitions == 1)
+    assert(one.count() == 1)
+    val band = spark.read.format("graft-trades")
+      .option("rows", 200000L).option("partitions", 32).load()
+      .where(col("seq") >= 199990L)
+    assert(band.count() == 10)
+    assert(band.rdd.getNumPartitions == 10) // min(32, 10 rows) splits
+  }
 }
