@@ -295,6 +295,44 @@ object Dedup {
       .select(col("doc_id").as("vec_id"), col("canonical_id"))
       .orderBy(col("vec_id"))
 
+  // ------------------------------------------------- decontamination
+
+  /** Eval-suite membership for the decontamination demo: every 97th
+    * doc plays the held-out benchmark. In production this is a second
+    * (small) corpus — the plan shape is what matters here. */
+  val DecontamEvalMod = 97L
+
+  /** Flag a doc only when it shares at least this many distinct
+    * shingles with the eval suite — single-shingle collisions are
+    * noise, sustained overlap is contamination. */
+  val DecontamMinShared = 3L
+
+  /** Test-set decontamination: for every corpus doc, the number of
+    * distinct word-3-gram shingles it shares with the eval suite —
+    * the "does the training set contain the benchmark" pass every
+    * serious LLM data pipeline runs before training.
+    *
+    * Scale shape: the eval suite is tiny next to the corpus (KBs of
+    * benchmark text vs 100 TB), so its distinct shingle set is
+    * BROADCAST — the corpus posting explode is filtered map-side with
+    * zero shuffle, and the only exchange carries the surviving
+    * (doc_id, code) matches into the per-doc count. The corpus is
+    * never self-joined and never shuffled whole. */
+  def decontamOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(spark, dir)
+    val evalCodes = sh.filter(col("doc_id") % DecontamEvalMod === 0)
+      .select(explode(col("codes")).as("code")).distinct()
+    val corpus = sh.filter(col("doc_id") % DecontamEvalMod =!= 0)
+      .select(col("doc_id"), explode(col("codes")).as("code"))
+    // codes are distinct per doc (shingledOn), so the post-semi-join
+    // count IS the distinct shared-shingle count
+    corpus.join(broadcast(evalCodes), Seq("code"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= DecontamMinShared)
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------- dup clustering
 
   /** Connected components over the near-dup pair graph → one canonical
@@ -458,7 +496,8 @@ object Dedup {
     "dedup_minhash_lsh" -> ((s, d) => minHashLshPairs(s, d)),
     "dedup_simhash_pairs" -> ((s, d) => simHashPairs(s, d)),
     "dedup_embedding" -> ((s, d) => embeddingNearDups(s, d)),
-    "dedup_embedding_clusters" -> ((s, d) => embeddingClusters(s, d)))
+    "dedup_embedding_clusters" -> ((s, d) => embeddingClusters(s, d)),
+    "decontam_overlap" -> ((s, d) => decontamOverlap(s, d)))
 
   // ------------------------------------------------------------- oracles
 
@@ -511,6 +550,16 @@ object Dedup {
   val oracle: Map[String, String] = Map(
     "dedup_clusters" -> clustersOracle,
     "dedup_clusters_star" -> clustersOracle,
+    "decontam_overlap" ->
+      s"""WITH $shingleCte,
+         |evalcodes AS (SELECT DISTINCT unnest(codes) AS code FROM sh
+         |  WHERE doc_id % $DecontamEvalMod = 0),
+         |corpus AS (SELECT doc_id, unnest(codes) AS code FROM sh
+         |  WHERE doc_id % $DecontamEvalMod <> 0)
+         |SELECT c.doc_id, count(*)::BIGINT AS n_shared
+         |FROM corpus c JOIN evalcodes e USING (code)
+         |GROUP BY 1 HAVING count(*) >= $DecontamMinShared
+         |ORDER BY 1""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS digest, min(doc_id) AS canonical_id,
         |  count(*)::BIGINT AS n_copies

@@ -55,4 +55,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges == 1,
       s"bars must be partial-agg + ONE hash exchange, found $exchanges:\n${physical(df)}")
   }
+
+  test("decontam_overlap broadcasts the eval shingle set, never sort-merges") {
+    // the eval suite is KBs against a 100 TB corpus: the corpus posting
+    // explode must be filtered by a broadcast semi-join map-side — a
+    // sort-merge here would shuffle the whole corpus posting list
+    val p = physical(SparkEntry.queries("decontam_overlap")(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected broadcast semi-join against the eval set:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus postings must not shuffle into a sort-merge join:\n$p")
+  }
 }
