@@ -13,7 +13,8 @@ object Explain {
       else Seq("rel_filter_project", "rel_revenue_by_nation", "ohlcv_1m",
         "sim_topk_bruteforce", "dedup_minhash_lsh", "text_wordcount_topk",
         "rel_asof_join", "skew_salted_agg", "profile_events",
-        "text_repetition", "pack_sequences", "sim_topk_ivf_kmeans")
+        "text_repetition", "pack_sequences", "sim_topk_ivf_kmeans",
+        "rel_asof_join_native", "src_gen_trades_ohlcv", "decontam_overlap")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

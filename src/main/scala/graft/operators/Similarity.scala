@@ -186,9 +186,14 @@ object Similarity {
   def topKIvfKmeans(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions.dotProduct
     // zero-norm vectors out up front (oracle mirrors): their cosine is
-    // NaN, and NaN ranks FIRST in Spark's top-k but NULL-last in DuckDB
+    // NaN, and NaN ranks FIRST in Spark's top-k but NULL-last in DuckDB.
+    // Materialized ONCE: Lloyd's iterations re-scan the working set
+    // (2 aggregate passes) and the final assignment scans it again —
+    // the standard cache-the-training-frame shape (MLlib does the
+    // same); without it each pass re-reads parquet and re-filters.
     val emb = Tables.embeddings(spark, dir)
       .filter(dotProduct(col("embedding"), col("embedding")) > 0)
+      .localCheckpoint()
     val assigned = withCell(emb, kmeansCentroids(emb))
       .select(col("vec_id"), col("embedding"), col("cell"))
       .localCheckpoint()
