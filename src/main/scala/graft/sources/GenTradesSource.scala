@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -138,7 +139,7 @@ class GenTradesTable(options: CaseInsensitiveStringMap)
   override def name(): String = "graft_gen_trades"
   override def schema(): StructType = GenTradesSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder = {
     val merged = new CaseInsensitiveStringMap(
       (options.asScala ++ o.asScala).asJava)
@@ -184,18 +185,25 @@ class GenTradesScanBuilder(options: CaseInsensitiveStringMap)
 
   override def pushedFilters(): Array[Filter] = accepted
 
+  private val rowsPerBatch =
+    options.asScala.getOrElse("rowsPerBatch", "10000").toLong
+
   override def build(): Scan =
-    new GenTradesScan(required, lo, math.max(lo, hi), numPartitions)
+    new GenTradesScan(required, lo, math.max(lo, hi), numPartitions,
+      rowsPerBatch)
 }
 
 case class GenTradesRange(start: Long, end: Long) extends InputPartition
 
 class GenTradesScan(
-    required: StructType, lo: Long, hi: Long, numPartitions: Int)
+    required: StructType, lo: Long, hi: Long, numPartitions: Int,
+    rowsPerBatch: Long = 10000L)
     extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new GenTradesMicroBatchStream(required, lo, hi, numPartitions, rowsPerBatch)
   override def description(): String =
     s"graft-trades [$lo, $hi) cols=${required.fieldNames.mkString(",")}"
 
@@ -214,6 +222,60 @@ class GenTradesScan(
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GenTradesReaderFactory(required.fieldNames)
+}
+
+/** Stream position = next unread sequence number; serialized as its
+  * decimal string (the Kafka-source offset-log pattern). */
+case class GenTradesOffset(pos: Long) extends Offset {
+  override def json(): String = pos.toString
+}
+
+/** The generator as a LIVE feed (the reference runs gen.py as a
+  * standalone producer beside the pipeline — here the replay is the
+  * connector's own streaming tier): each micro-batch advances the
+  * sequence cursor by up to `rowsPerBatch`, planned as range splits
+  * with the same reader the batch scan uses.
+  *
+  * Pacing goes through [[SupportsAdmissionControl]] — the Kafka-source
+  * mechanism: the engine hands `latestOffset` the batch's START offset
+  * plus a ReadLimit and the source answers with the capped end, so the
+  * offset log never records rows a batch did not read (capping inside
+  * planInputPartitions instead would silently drop the remainder of
+  * every batch). Offsets restart from the checkpoint log via
+  * deserializeOffset, so a recovered query resumes mid-sequence
+  * without duplication — deterministic rows make that provable. */
+class GenTradesMicroBatchStream(
+    required: StructType, lo: Long, hi: Long, numPartitions: Int,
+    rowsPerBatch: Long) extends MicroBatchStream with SupportsAdmissionControl {
+
+  override def initialOffset(): Offset = GenTradesOffset(lo)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(rowsPerBatch)
+
+  override def latestOffset(startOffset: Offset, limit: ReadLimit): Offset = {
+    val s = startOffset.asInstanceOf[GenTradesOffset].pos
+    GenTradesOffset(math.min(s + rowsPerBatch, hi))
+  }
+
+  // legacy no-admission-control path: everything available
+  override def latestOffset(): Offset = GenTradesOffset(hi)
+
+  override def reportLatestOffset(): Offset = GenTradesOffset(hi)
+
+  override def deserializeOffset(json: String): Offset =
+    GenTradesOffset(json.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    new GenTradesScan(required,
+      start.asInstanceOf[GenTradesOffset].pos,
+      end.asInstanceOf[GenTradesOffset].pos, numPartitions)
+      .planInputPartitions()
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GenTradesReaderFactory(required.fieldNames)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 class GenTradesReaderFactory(fields: Array[String])

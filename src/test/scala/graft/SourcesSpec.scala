@@ -179,4 +179,23 @@ class SourcesSpec extends SparkSpec {
     assert(band.count() == 10)
     assert(band.rdd.getNumPartitions == 10) // min(32, 10 rows) splits
   }
+
+  test("graft-trades streams in rowsPerBatch micro-batches, rows identical to batch read") {
+    val q = spark.readStream.format("graft-trades")
+      .option("rows", 1000).option("rowsPerBatch", 400).load()
+      .writeStream.format("memory").queryName("gen_trades_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("gen_trades_stream")
+        .orderBy("seq").collect().map(_.toString)
+      val batch = spark.read.format("graft-trades").option("rows", 1000).load()
+        .orderBy("seq").collect().map(_.toString)
+      assert(streamed.length == 1000)
+      assert(streamed.toSeq == batch.toSeq)
+      // admission control paced the feed: ceil(1000/400) = 3 batches
+      assert(q.recentProgress.count(_.numInputRows > 0) == 3,
+        q.recentProgress.map(_.numInputRows).mkString(","))
+    } finally q.stop()
+  }
 }
