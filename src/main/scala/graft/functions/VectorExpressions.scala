@@ -195,5 +195,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FunctionIdentifier(name), new ExpressionInfo(cls.getName, name), builder))
     }
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.PushLimitThroughAsOfJoin)
   }
 }

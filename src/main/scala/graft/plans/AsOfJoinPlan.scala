@@ -171,13 +171,42 @@ case class AsOfJoinExec(
     copy(left = newLeft, right = newRight)
 }
 
+/** Optimizer rule for the custom node — the Rule[LogicalPlan] tier of
+  * the extension quartet. Catalyst's built-in LimitPushDown knows the
+  * built-in join types (it pushes a limit into a LEFT OUTER join's left
+  * side); it cannot know AsOfJoinPlan, so the same sound rewrite is
+  * supplied here: the as-of join emits EXACTLY one row per left row,
+  * so any-n-of(join(L)) ≡ join(any-n-of(L)) — and a limit without an
+  * order is an any-n contract by definition. The pushed LocalLimit
+  * lands BELOW the left side's hash exchange: at 100 TB that is the
+  * difference between shuffling n rows and shuffling the table. */
+object PushLimitThroughAsOfJoin
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.{LocalLimit, Project}
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    // guards keep the rewrite one-shot under fixed-point iteration
+    case LocalLimit(expr, j: AsOfJoinPlan)
+        if !j.left.isInstanceOf[LocalLimit] =>
+      LocalLimit(expr, j.copy(left = LocalLimit(expr, j.left)))
+    // a Project over the join (e.g. the __asof_key drop) is row-count
+    // preserving — push through it too
+    case LocalLimit(expr, p @ Project(_, j: AsOfJoinPlan))
+        if !j.left.isInstanceOf[LocalLimit] =>
+      LocalLimit(expr, p.copy(child = j.copy(left = LocalLimit(expr, j.left))))
+  }
+}
+
 /** Session wiring for the custom plans (the expression twin is
   * functions.VectorFunctions.register). */
 object GraftPlans {
-  /** Idempotently add the graft planner strategies to a live session. */
+  /** Idempotently add the graft planner strategies + optimizer rules to
+    * a live session. */
   def install(spark: org.apache.spark.sql.SparkSession): Unit = {
     val cur = spark.experimental.extraStrategies
     if (!cur.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies = cur :+ AsOfJoinStrategy
+    val opts = spark.experimental.extraOptimizations
+    if (!opts.contains(PushLimitThroughAsOfJoin))
+      spark.experimental.extraOptimizations = opts :+ PushLimitThroughAsOfJoin
   }
 }

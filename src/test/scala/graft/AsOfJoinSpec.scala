@@ -114,4 +114,20 @@ class AsOfJoinSpec extends SparkSpec {
     val b = AsOfJoin.clickLastPurchaseNative(spark, sf0001).collect().map(_.toString)
     assert(a.nonEmpty && a.toSeq == b.toSeq)
   }
+
+  test("limit pushes through the native as-of join to below the left exchange") {
+    import spark.implicits._
+    val left = (1L to 100L).map(i => (i, "a", ts(i), i.toDouble))
+      .toDF("event_id", "k", "ts", "value")
+    val right = Seq(("a", ts(3), 100L)).toDF("k", "ts", "q")
+    val limited = AsOfJoin.asOfNative(left, right, "k", "ts", "q_ts").limit(5)
+    val opt = limited.queryExecution.optimizedPlan.toString
+    // LocalLimit must sit on the LEFT CHILD of the as-of node (below
+    // the exchange EnsureRequirements will plant), not only on top
+    val idxJoin = opt.indexOf("AsOfJoinPlan")
+    assert(idxJoin >= 0, s"as-of node missing:\n$opt")
+    assert(opt.indexOf("LocalLimit", idxJoin + 1) > idxJoin,
+      s"expected LocalLimit pushed below the as-of join:\n$opt")
+    assert(limited.count() == 5)
+  }
 }
