@@ -333,6 +333,37 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  // ------------------------------------------------ keep-best selection
+
+  /** Quality-aware canonical selection: for every near-dup cluster,
+    * KEEP the member with the best TextAnalysis quality score (ties to
+    * the lowest doc_id) — the step that turns "these docs are dups"
+    * into the actual curation decision, and keeps the best-written
+    * copy instead of dupClusters' arbitrary min-id canonical.
+    *
+    * Scale shape: quality is a scan projection over cluster MEMBERS
+    * only (a semi-join-sized fraction of the corpus); selection is one
+    * (canonical)-keyed aggregate using max(struct(quality, -doc_id)) —
+    * a map-side-combining argmax, never a per-cluster window. Quality
+    * doubles are bit-identical across engines (text_quality's verified
+    * arithmetic), so even the argmax ordering replays exactly. */
+  def keepBestPerCluster(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = minLabelClustersOn(
+      jaccardPairsUnsorted(spark, dir).select(col("doc_i"), col("doc_j")))
+    val quality = Tables.documents(spark, dir)
+      .select(col("doc_id") +: TextAnalysis.qualityFeatures(col("text")): _*)
+      .withColumn("quality", TextAnalysis.qualityExpr)
+      .select(col("doc_id"), col("quality"))
+    clusters.join(quality, "doc_id")
+      .groupBy(col("canonical_id"))
+      .agg(
+        count(lit(1)).as("cluster_size"),
+        max(struct(col("quality").as("q"), (-col("doc_id")).as("nid"))).as("best"))
+      .select(col("canonical_id"), col("cluster_size"),
+        (-col("best.nid")).as("kept_doc_id"), col("best.q").as("kept_quality"))
+      .orderBy(col("canonical_id"))
+  }
+
   // ------------------------------------------------------- dup clustering
 
   /** Connected components over the near-dup pair graph → one canonical
@@ -497,7 +528,8 @@ object Dedup {
     "dedup_simhash_pairs" -> ((s, d) => simHashPairs(s, d)),
     "dedup_embedding" -> ((s, d) => embeddingNearDups(s, d)),
     "dedup_embedding_clusters" -> ((s, d) => embeddingClusters(s, d)),
-    "decontam_overlap" -> ((s, d) => decontamOverlap(s, d)))
+    "decontam_overlap" -> ((s, d) => decontamOverlap(s, d)),
+    "dedup_keep_best" -> ((s, d) => keepBestPerCluster(s, d)))
 
   // ------------------------------------------------------------- oracles
 
@@ -528,8 +560,10 @@ object Dedup {
        |  HAVING count(*) <= $DefaultMaxShingleDf),
        |posts AS (SELECT p.doc_id, p.code FROM allposts p JOIN rare USING (code))""".stripMargin
 
-  private val clustersOracle =
-    s"""WITH RECURSIVE $shingleCte,
+  /** Shared CC CTE chain (shingles → postings → jaccard pairs →
+    * transitive closure) — clusters and keep-best build on it. */
+  private val ccCte =
+    s"""$shingleCte,
        |$postsCte,
        |common AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
        |    count(*)::BIGINT AS common
@@ -543,13 +577,31 @@ object Dedup {
        |reach(src, dst) AS (
        |  SELECT doc_i, doc_i FROM (SELECT DISTINCT doc_i FROM edges)
        |  UNION
-       |  SELECT r.src, e.doc_j FROM reach r JOIN edges e ON r.dst = e.doc_i)
+       |  SELECT r.src, e.doc_j FROM reach r JOIN edges e ON r.dst = e.doc_i)""".stripMargin
+
+  private val clustersOracle =
+    s"""WITH RECURSIVE $ccCte
        |SELECT src AS doc_id, min(dst) AS canonical_id
        |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "dedup_clusters" -> clustersOracle,
     "dedup_clusters_star" -> clustersOracle,
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE $ccCte,
+         |cl AS (SELECT src AS doc_id, min(dst) AS canonical_id
+         |  FROM reach GROUP BY 1),
+         |tq AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+         |q AS (SELECT doc_id, ${TextAnalysis.qualitySql} AS quality FROM tq),
+         |j AS (SELECT cl.canonical_id, cl.doc_id, q.quality
+         |  FROM cl JOIN q USING (doc_id))
+         |SELECT canonical_id, cluster_size, doc_id AS kept_doc_id,
+         |  quality AS kept_quality
+         |FROM (SELECT canonical_id, doc_id, quality,
+         |    row_number() OVER (PARTITION BY canonical_id
+         |      ORDER BY quality DESC, doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY canonical_id) AS cluster_size
+         |  FROM j) WHERE rn = 1 ORDER BY canonical_id""".stripMargin,
     "decontam_overlap" ->
       s"""WITH $shingleCte,
          |evalcodes AS (SELECT DISTINCT unnest(codes) AS code FROM sh
