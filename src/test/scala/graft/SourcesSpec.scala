@@ -198,4 +198,43 @@ class SourcesSpec extends SparkSpec {
         q.recentProgress.map(_.numInputRows).mkString(","))
     } finally q.stop()
   }
+
+  test("graft-trades streaming feed drives the stateful OHLCV engine") {
+    import graft.model.Trade
+    val feed = spark.readStream.format("graft-trades")
+      .option("rows", 5000).option("rowsPerBatch", 2000).load()
+      .select("timestamp", "instrument_id", "product", "price", "qty")
+      .as[Trade]
+    val bars = StreamingOhlcv.statefulBars(
+      StreamingOhlcv.withEventTime(feed, "5 seconds"),
+      widthMs = 60000L, emitRunning = false)
+    val q = bars.writeStream.format("memory").queryName("gen_trades_bars")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("gen_trades_bars").collect()
+      assert(streamed.nonEmpty)
+      // every closed streamed bar must equal the batch computation over
+      // the SAME connector feed (append mode can't emit the last open
+      // windows, so streamed ⊆ batch)
+      val batch = graft.operators.Ohlcv.bars(
+        spark.read.format("graft-trades").option("rows", 5000).load()
+          .withColumn("ts", timestamp_millis(col("timestamp"))),
+        col("ts"), col("price"), col("qty"),
+        Seq("product" -> col("product")), "1 minute", col("timestamp"))
+        .collect()
+        .map(r => (r.getAs[java.sql.Timestamp]("window_start"),
+          r.getAs[String]("product")) -> r).toMap
+      streamed.foreach { s =>
+        val key = (s.getAs[java.sql.Timestamp]("time"),
+          s.getAs[String]("product"))
+        val b = batch.getOrElse(key, fail(s"no batch bar for $key"))
+        assert(s.getAs[Double]("open") == b.getAs[Double]("open"))
+        assert(s.getAs[Double]("close") == b.getAs[Double]("close"))
+        assert(s.getAs[Double]("high") == b.getAs[Double]("high"))
+        assert(s.getAs[Double]("low") == b.getAs[Double]("low"))
+        assert(s.getAs[Long]("volume") == b.getAs[Long]("volume"))
+      }
+    } finally q.stop()
+  }
 }
