@@ -85,7 +85,14 @@ object AsOfJoin {
       key: String, ts: String, rTsName: String): DataFrame = {
     val spark = left.sparkSession
     graft.plans.GraftPlans.install(spark)
-    val attrs = right.columns.filterNot(c => c == key || c == ts).toSeq
+    // resolve names under the SESSION's case-sensitivity rule, exactly
+    // as asOfLast's col() references do — the two entry points share a
+    // contract and must accept the same inputs
+    val caseSensitive =
+      spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
+    def same(a: String, b: String): Boolean =
+      if (caseSensitive) a == b else a.equalsIgnoreCase(b)
+    val attrs = right.columns.filterNot(c => same(c, key) || same(c, ts)).toSeq
     // Alias EVERY right column: fresh attribute ids decouple the right
     // output from any lineage shared with the left (self-join safety —
     // the analyzer's conflict handling only knows built-in node types).
@@ -95,11 +102,21 @@ object AsOfJoin {
     val lPlan = left.queryExecution.analyzed
     val rPlan = r2.queryExecution.analyzed
     def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-        n: String) = p.output.find(_.name == n).getOrElse(
+        n: String) = p.output.find(a => same(a.name, n)).getOrElse(
       throw new IllegalArgumentException(s"column $n not found"))
+    val lKey = attr(lPlan, key)
+    // Float/double join keys are rejected: Catalyst's
+    // NormalizeFloatingNumbers rule only knows built-in joins, so -0.0
+    // vs 0.0 would hash to different partitions here and silently miss
+    // matches that asOfLast (normalized Window) and SQL equality find.
+    // As-of keys are ids/symbols in practice; timestamps stay unrestricted.
+    require(!Seq(org.apache.spark.sql.types.FloatType,
+        org.apache.spark.sql.types.DoubleType).contains(lKey.dataType),
+      s"asOfNative does not support floating-point join keys " +
+        s"(got ${lKey.dataType.catalogString} for '$key'); use asOfLast")
     org.apache.spark.sql.graft.ColumnBridge.ofRows(spark,
       graft.plans.AsOfJoinPlan(lPlan, rPlan,
-        attr(lPlan, key), attr(rPlan, "__asof_key"),
+        lKey, attr(rPlan, "__asof_key"),
         attr(lPlan, ts), attr(rPlan, rTsName)))
       .drop("__asof_key")
   }

@@ -155,6 +155,8 @@ class GenTradesScanBuilder(options: CaseInsensitiveStringMap)
     options.asScala.getOrElse("rows", GenTradesSource.DefaultRows.toString).toLong
   private val numPartitions =
     options.asScala.getOrElse("partitions", "32").toInt
+  require(totalRows >= 0, s"rows must be >= 0, got $totalRows")
+  require(numPartitions > 0, s"partitions must be > 0, got $numPartitions")
 
   private var required: StructType = GenTradesSource.schema
   private var lo: Long = 0L
@@ -165,18 +167,22 @@ class GenTradesScanBuilder(options: CaseInsensitiveStringMap)
     required = requiredSchema
 
   /** Accept seq-range predicates by narrowing [lo, hi); everything else
-    * is residual. Accepted filters are also fully APPLIED (the range IS
-    * the filter), so they need no re-evaluation — but they are still
-    * returned from pushedFilters only, not claimed as exactly-once;
-    * Spark may re-apply them, which is harmless and keeps the contract
-    * conservative. */
+    * is residual. Accepted filters MUST be fully applied by the range —
+    * Spark re-evaluates only the residual it gets back, it does NOT
+    * re-check accepted filters — so the boundary arithmetic saturates
+    * instead of overflowing (seq > Long.MaxValue must yield the empty
+    * range, not wrap to "all rows"). */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // saturating exclusive-upper / inclusive-lower increments
+    def succ(v: Long): Long = if (v == Long.MaxValue) Long.MaxValue else v + 1
     val (acc, residual) = filters.partition {
-      case GreaterThan("seq", v: Long) => lo = math.max(lo, v + 1); true
+      case GreaterThan("seq", v: Long) =>
+        if (v == Long.MaxValue) hi = lo else lo = math.max(lo, succ(v)); true
       case GreaterThanOrEqual("seq", v: Long) => lo = math.max(lo, v); true
       case LessThan("seq", v: Long) => hi = math.min(hi, v); true
-      case LessThanOrEqual("seq", v: Long) => hi = math.min(hi, v + 1); true
-      case EqualTo("seq", v: Long) => lo = math.max(lo, v); hi = math.min(hi, v + 1); true
+      case LessThanOrEqual("seq", v: Long) => hi = math.min(hi, succ(v)); true
+      case EqualTo("seq", v: Long) =>
+        lo = math.max(lo, v); hi = math.min(hi, succ(v)); true
       case _ => false
     }
     accepted = acc
@@ -253,8 +259,17 @@ class GenTradesMicroBatchStream(
   override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(rowsPerBatch)
 
   override def latestOffset(startOffset: Offset, limit: ReadLimit): Offset = {
+    import org.apache.spark.sql.connector.read.streaming.{ReadAllAvailable, ReadMaxRows}
     val s = startOffset.asInstanceOf[GenTradesOffset].pos
-    GenTradesOffset(math.min(s + rowsPerBatch, hi))
+    // honor the ENGINE's limit, not only our default: Trigger.Once/
+    // AvailableNow hand ReadAllAvailable expecting the whole feed in
+    // one batch — capping it at rowsPerBatch would silently truncate
+    val cap = limit match {
+      case _: ReadAllAvailable => hi - s
+      case m: ReadMaxRows => m.maxRows()
+      case _ => rowsPerBatch
+    }
+    GenTradesOffset(math.min(s + math.max(cap, 0L), hi))
   }
 
   // legacy no-admission-control path: everything available

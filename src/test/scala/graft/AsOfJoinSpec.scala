@@ -115,6 +115,23 @@ class AsOfJoinSpec extends SparkSpec {
     assert(a.nonEmpty && a.toSeq == b.toSeq)
   }
 
+  test("asOfNative resolves names case-insensitively and rejects float keys") {
+    import spark.implicits._
+    val left = Seq((1L, "a", ts(10), 1.0)).toDF("event_id", "K", "TS", "value")
+    val right = Seq(("a", ts(3), 100L)).toDF("k", "ts", "q")
+    // session default spark.sql.caseSensitive=false: "k"/"ts" must
+    // resolve against "K"/"TS" exactly as asOfLast's col() lookups do
+    val r = AsOfJoin.asOfNative(left, right, "k", "ts", "q_ts").collect()
+    assert(r.length == 1 && r.head.getAs[Long]("q") == 100L)
+    // float/double keys: NormalizeFloatingNumbers doesn't know the
+    // custom node, so they are rejected rather than silently mis-hashed
+    val fl = Seq((1L, 0.0, ts(10))).toDF("event_id", "k", "ts")
+    val fr = Seq((-0.0, ts(3), 100L)).toDF("k", "ts", "q")
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asOfNative(fl, fr, "k", "ts", "q_ts")
+    }
+  }
+
   test("limit pushes through the native as-of join to below the left exchange") {
     import spark.implicits._
     val left = (1L to 100L).map(i => (i, "a", ts(i), i.toDouble))

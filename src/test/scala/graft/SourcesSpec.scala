@@ -199,6 +199,27 @@ class SourcesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("graft-trades honors engine read limits and boundary predicates") {
+    // Trigger.AvailableNow hands ReadAllAvailable — the whole feed must
+    // land regardless of rowsPerBatch (capping would silently truncate)
+    val q = spark.readStream.format("graft-trades")
+      .option("rows", 1000).option("rowsPerBatch", 400).load()
+      .writeStream.format("memory").queryName("gen_trades_all")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(60000L)
+      assert(spark.table("gen_trades_all").count() == 1000)
+    } finally q.stop()
+    // pushed boundary predicates must saturate, not overflow: accepted
+    // filters are never re-checked by Spark, so wrap-around = wrong rows
+    val base = spark.read.format("graft-trades").option("rows", 100).load()
+    assert(base.where(col("seq") > Long.MaxValue).count() == 0)
+    assert(base.where(col("seq") <= Long.MaxValue).count() == 100)
+    assert(base.where(col("seq") >= Long.MaxValue).count() == 0)
+  }
+
   test("graft-trades streaming feed drives the stateful OHLCV engine") {
     import graft.model.Trade
     val feed = spark.readStream.format("graft-trades")
