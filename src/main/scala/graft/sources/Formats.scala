@@ -81,4 +81,51 @@ object Formats {
     sized.write.mode("overwrite").parquet(outPath)
     nFiles
   }
+
+  /** Morton/Z-value: interleave the low `bits` bits of two NON-NEGATIVE
+    * integer columns (a in the odd positions). Pure bitwise column
+    * algebra — codegen'd, zero shuffle; 2·bits ops per row. */
+  def zValue(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+      bits: Int = 16): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, shiftleft, shiftright}
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i + 1)
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i))
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** Z-order-clustered parquet layout over TWO columns — the 2-D
+    * upgrade of [[writeRangeClustered]]: rows are quantized per column
+    * (uniform-width buckets from one cheap min/max agg; swap in
+    * approxQuantile cuts for equi-depth on skewed data), Z-interleaved,
+    * then range-partitioned and sorted on the Z-value. Every output
+    * file owns a compact rectangle-ish region of (c1, c2) space, so
+    * parquet min/max stats let any engine skip files on predicates
+    * over EITHER column — 1-D clustering can only serve one of them.
+    * The standard lakehouse layout trick (Delta/Iceberg OPTIMIZE
+    * ZORDER), here as a plain-parquet primitive. */
+  def writeZOrdered(df: DataFrame, path: String, c1: String, c2: String,
+      numFiles: Int, bits: Int = 16): Unit = {
+    import org.apache.spark.sql.functions._
+    val mm = df.agg(
+      min(col(c1)).cast("double"), max(col(c1)).cast("double"),
+      min(col(c2)).cast("double"), max(col(c2)).cast("double")).head()
+    if (mm.isNullAt(0)) { // empty input: nothing to cluster
+      df.write.mode("overwrite").parquet(path); return
+    }
+    val (min1, max1, min2, max2) =
+      (mm.getDouble(0), mm.getDouble(1), mm.getDouble(2), mm.getDouble(3))
+    val buckets = (1L << bits) - 1
+    def q(c: String, lo: Double, hi: Double) =
+      if (hi == lo) lit(0L)
+      else ((col(c).cast("double") - lit(lo)) / lit(hi - lo) * buckets)
+        .cast("long")
+    val z = zValue(q(c1, min1, max1), q(c2, min2, max2), bits)
+    df.withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
 }

@@ -40,4 +40,46 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS customer_b")
     }
   }
+
+  test("zValue interleaves bits (Morton order)") {
+    import spark.implicits._
+    import graft.sources.Formats
+    // 5=0101, 3=0011 → a in odd positions: (1<<1)+(1<<5)=34; b: (1<<0)+(1<<2)=5
+    val r = Seq((5L, 3L)).toDF("a", "b")
+      .select(Formats.zValue(col("a"), col("b"), 4).as("z")).head()
+    assert(r.getLong(0) == 39L)
+    // locality sanity: neighbors in (a,b) are near in z
+    val zs = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L)).toDF("a", "b")
+      .select(Formats.zValue(col("a"), col("b"), 4).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(zs == Seq(0L, 2L, 1L, 3L)) // one 2x2 tile = z 0..3
+  }
+
+  test("z-ordered layout bounds BOTH columns per file; 1-D clustering only one") {
+    import spark.implicits._
+    import graft.sources.Formats
+    val grid = (for (a <- 0 until 64; b <- 0 until 64) yield (a.toLong, b.toLong))
+      .toDF("a", "b")
+    val dir = Files.createTempDirectory("graft-zorder")
+    val zPath = s"$dir/z"; val aPath = s"$dir/a1d"
+    Formats.writeZOrdered(grid, zPath, "a", "b", numFiles = 16)
+    Formats.writeRangeClustered(grid, aPath, "a", numFiles = 16)
+
+    def boxes(path: String) = spark.read.parquet(path)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("a").as("a0"), max("a").as("a1"),
+        min("b").as("b0"), max("b").as("b1"))
+      .collect()
+    val zBoxes = boxes(zPath)
+    assert(zBoxes.length == 16)
+    // every z file covers a compact rectangle in BOTH dims (≤ half the
+    // 0..63 extent; ideal 16-file tiling gives quarter extents)
+    zBoxes.foreach { r =>
+      assert(r.getAs[Long]("a1") - r.getAs[Long]("a0") <= 32, r.toString)
+      assert(r.getAs[Long]("b1") - r.getAs[Long]("b0") <= 32, r.toString)
+    }
+    // the 1-D layout cannot bound b: its files span (almost) all of it
+    assert(boxes(aPath).forall(r =>
+      r.getAs[Long]("b1") - r.getAs[Long]("b0") >= 60))
+  }
 }
