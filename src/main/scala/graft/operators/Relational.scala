@@ -259,6 +259,41 @@ object Relational {
       .na.fill(0L, EventTypes)
       .orderBy(col("day"))
 
+  // -- RANGE window frame: trailing 1-hour spend per user ------------------
+  /** Event-time RANGE frame (the window-frame family rank/lag cover
+    * only ROWS of): each event's trailing-1h per-user spend. Ordered by
+    * epoch MICROS so the frame boundary is exact against DuckDB's
+    * INTERVAL arithmetic; summed in integer cents (float summation
+    * order inside a segment-tree window differs between engines). */
+  def trailingHourSpend(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-3600000000L, 0L)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        unix_micros(col("ts")).as("ts_us"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .withColumn("trailing_1h_cents", sum(col("cents")).over(w))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("trailing_1h_cents"))
+      .orderBy(col("event_id"))
+  }
+
+  // -- unpivot / melt ------------------------------------------------------
+  /** Native unpivot (Spark 3.4+ melt): wide per-line metrics to long
+    * (metric, val) rows — the report/feature-store reshape. One narrow
+    * pass, output = rows × metrics, no shuffle before the sort. */
+  def unpivotLineMetrics(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("double").as("quantity"),
+        col("l_extendedprice").cast("double").as("extendedprice"),
+        col("l_discount").cast("double").as("discount"))
+      .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("quantity"), col("extendedprice"), col("discount")),
+        "metric", "val")
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"))
+
   // -- correlated EXISTS subquery via the SQL surface ----------------------
   def existsBigLineitem(spark: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(spark, dir)
@@ -293,7 +328,9 @@ object Relational {
     "rel_pivot_days" -> ((s, d) => pivotEventDays(s, d)),
     "rel_grouping_sets" -> ((s, d) => groupingSetsOrders(s, d)),
     "rel_lag_lead" -> ((s, d) => orderGaps(s, d)),
-    "rel_full_outer" -> ((s, d) => customerActivity(s, d)))
+    "rel_full_outer" -> ((s, d) => customerActivity(s, d)),
+    "rel_range_frame" -> ((s, d) => trailingHourSpend(s, d)),
+    "rel_unpivot" -> ((s, d) => unpivotLineMetrics(s, d)))
 
   val oracle: Map[String, String] = Map(
     "rel_pricing_summary" ->
@@ -432,5 +469,23 @@ object Relational {
         |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS purchase,
         |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS signup,
         |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS view
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "rel_range_frame" ->
+      """SELECT event_id, user_id, ts,
+        |  sum(floor(value * 100 + 0.5)::BIGINT) OVER (
+        |    PARTITION BY user_id ORDER BY ts
+        |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+        |  )::BIGINT AS trailing_1h_cents
+        |FROM events ORDER BY event_id""".stripMargin,
+    "rel_unpivot" ->
+      """WITH w AS (SELECT l_orderkey, l_linenumber,
+        |    l_quantity::DOUBLE AS quantity,
+        |    l_extendedprice::DOUBLE AS extendedprice,
+        |    l_discount::DOUBLE AS discount FROM lineitem)
+        |SELECT l_orderkey, l_linenumber, 'quantity' AS metric, quantity AS val FROM w
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'extendedprice' AS metric, extendedprice AS val FROM w
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'discount' AS metric, discount AS val FROM w
+        |ORDER BY 1, 2, 3""".stripMargin)
 }
