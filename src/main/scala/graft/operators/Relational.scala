@@ -294,6 +294,40 @@ object Relational {
         "metric", "val")
       .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"))
 
+  // -- distribution window functions (percent_rank / cume_dist) ------------
+  /** Rank each order within its CUSTOMER's history — partitioned by a
+    * high-cardinality key, so the window parallelism is customer-wide
+    * (a global ntile/percent_rank would funnel the table through one
+    * reducer; that shape is banned here, see PlanShapeSpec). Both
+    * functions are exact small-integer ratios — bit-identical across
+    * engines. */
+  def orderPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  // -- correlated SCALAR subquery via the SQL surface ----------------------
+  /** Each customer's maximal order(s), phrased as a correlated SCALAR
+    * subquery (the EXISTS twin covers predicates; this covers values).
+    * max is order-independent — exact float parity by construction —
+    * and Catalyst decorrelates to an aggregate + join, so the plan is
+    * the scale-safe one despite the nested phrasing. */
+  def maxOrderPerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders o
+        |WHERE o_totalprice = (SELECT max(o2.o_totalprice) FROM orders o2
+        |                      WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
   // -- correlated EXISTS subquery via the SQL surface ----------------------
   def existsBigLineitem(spark: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(spark, dir)
@@ -330,7 +364,9 @@ object Relational {
     "rel_lag_lead" -> ((s, d) => orderGaps(s, d)),
     "rel_full_outer" -> ((s, d) => customerActivity(s, d)),
     "rel_range_frame" -> ((s, d) => trailingHourSpend(s, d)),
-    "rel_unpivot" -> ((s, d) => unpivotLineMetrics(s, d)))
+    "rel_unpivot" -> ((s, d) => unpivotLineMetrics(s, d)),
+    "rel_percent_rank" -> ((s, d) => orderPercentiles(s, d)),
+    "rel_scalar_subquery" -> ((s, d) => maxOrderPerCustomer(s, d)))
 
   val oracle: Map[String, String] = Map(
     "rel_pricing_summary" ->
@@ -487,5 +523,18 @@ object Relational {
         |SELECT l_orderkey, l_linenumber, 'extendedprice' AS metric, extendedprice AS val FROM w
         |UNION ALL
         |SELECT l_orderkey, l_linenumber, 'discount' AS metric, discount AS val FROM w
-        |ORDER BY 1, 2, 3""".stripMargin)
+        |ORDER BY 1, 2, 3""".stripMargin,
+    "rel_percent_rank" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  percent_rank() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice, o_orderkey) AS pr,
+        |  cume_dist() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice, o_orderkey) AS cd
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "rel_scalar_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders o
+        |WHERE o_totalprice = (SELECT max(o2.o_totalprice) FROM orders o2
+        |                      WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin)
 }
