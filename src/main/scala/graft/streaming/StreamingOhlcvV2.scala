@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
-import org.apache.spark.sql.streaming.{MapState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig}
+import org.apache.spark.sql.streaming.{MapState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 import graft.model.{BarState, RunningBar}
 import graft.streaming.StreamingOhlcv.TimedTrade
 
@@ -21,10 +21,19 @@ class OhlcvProcessor(widthMs: Long, emitRunning: Boolean)
   // value-state Avro encoder rejects MapType; per-window entries also
   // avoid rewriting the whole map on every event).
   @transient private var bars: MapState[Long, BarState] = _
+  // The single armed timer's timestamp (absent = none). registerTimer
+  // ADDS timers (unlike v1's replacing setTimeoutTimestamp), so the
+  // engine must delete before re-arming — but a list+delete+register
+  // round per key per BATCH is three timer-CF writes even when the
+  // target never moved; tracking the armed value makes the steady
+  // state (same earliest open window) zero timer writes.
+  @transient private var armed: ValueState[Long] = _
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
     bars = getHandle.getMapState[Long, BarState](
       "bars", Encoders.scalaLong, Encoders.product[BarState], TTLConfig.NONE)
+    armed = getHandle.getValueState[Long](
+      "armedTimer", Encoders.scalaLong, TTLConfig.NONE)
   }
 
   private def toBar(product: String, st: BarState, endOfWindow: Boolean): RunningBar =
@@ -32,17 +41,27 @@ class OhlcvProcessor(widthMs: Long, emitRunning: Boolean)
       st.open, st.high, st.low, st.close, st.volume, endOfWindow)
 
   /** Emit final bars for every window fully below the watermark, keep
-    * the rest, arm a timer at the earliest next close. */
+    * the rest, arm a timer at the earliest next close — re-arming ONLY
+    * when the target moved (see `armed`).
+    *
+    * A fired timer is consumed by the engine while `armed` still holds
+    * its timestamp; that cannot strand a flush: the recomputed target
+    * is ≥ watermark+1 > the fired timestamp, so the `cur != desired`
+    * branch always re-arms after a firing (deleteTimer on the consumed
+    * timer is a no-op). */
   private def finalize(product: String, watermark: Long): Iterator[RunningBar] = {
     val (closed, open) = bars.iterator().toSeq
       .partition { case (ws, _) => ws + widthMs <= watermark }
     closed.foreach { case (ws, _) => bars.removeKey(ws) }
-    // registerTimer ADDS a timer (unlike v1's setTimeoutTimestamp,
-    // which replaces) — clear stale ones or every batch leaves another
-    // pending timer behind for long-lived keys
-    getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
-    if (open.nonEmpty)
-      getHandle.registerTimer(math.max(open.map(_._1).min + widthMs, watermark + 1))
+    val desired =
+      if (open.isEmpty) 0L
+      else math.max(open.map(_._1).min + widthMs, watermark + 1)
+    val cur = if (armed.exists()) armed.get() else 0L
+    if (cur != desired) {
+      if (cur != 0L) getHandle.deleteTimer(cur)
+      if (desired != 0L) { getHandle.registerTimer(desired); armed.update(desired) }
+      else armed.clear()
+    }
     closed.sortBy(_._1).map { case (_, st) => toBar(product, st, endOfWindow = true) }
       .iterator
   }
