@@ -115,6 +115,30 @@ class AsOfJoinSpec extends SparkSpec {
     assert(a.nonEmpty && a.toSeq == b.toSeq)
   }
 
+  test("asOfNative ≡ asOfLast on randomized key/ts fixtures (seeded)") {
+    import spark.implicits._
+    // small key space + dense ts collisions = the adversarial regime
+    // for the merge (candidate carryover, exact-ts inclusion, key-group
+    // boundaries, left rows before any right, keys with no right rows)
+    val rnd = new scala.util.Random(20260812L)
+    for (round <- 1 to 8) {
+      val nL = 30 + rnd.nextInt(40)
+      val left = (1 to nL).map(i =>
+        (i.toLong, "k" + rnd.nextInt(5), ts(rnd.nextInt(20).toLong), rnd.nextDouble()))
+        .toDF("event_id", "k", "ts", "value")
+      val right = (1 to 20).map(_ =>
+        ("k" + rnd.nextInt(6), ts(rnd.nextInt(20).toLong), rnd.nextLong() % 1000))
+        .distinct
+        .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq // unique per (key, ts)
+        .toDF("k", "ts", "q")
+      val a = AsOfJoin.asOfLast(left, right, "k", "ts", "q_ts")
+        .orderBy("event_id").collect().map(_.toString).toSeq
+      val b = AsOfJoin.asOfNative(left, right, "k", "ts", "q_ts")
+        .orderBy("event_id").collect().map(_.toString).toSeq
+      assert(a == b, s"round $round diverged")
+    }
+  }
+
   test("asOfNative resolves names case-insensitively and rejects float keys") {
     import spark.implicits._
     val left = Seq((1L, "a", ts(10), 1.0)).toDF("event_id", "K", "TS", "value")

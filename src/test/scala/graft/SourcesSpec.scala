@@ -220,6 +220,33 @@ class SourcesSpec extends SparkSpec {
     assert(base.where(col("seq") >= Long.MaxValue).count() == 0)
   }
 
+  test("graft-trades stream recovers from a checkpoint without loss or duplication") {
+    val dir = Files.createTempDirectory("graft-trades-ckpt")
+    val out = s"$dir/out"; val ckpt = s"$dir/ckpt"
+    def run(maxBatches: Option[Int]): Unit = {
+      val q = spark.readStream.format("graft-trades")
+        .option("rows", 2000).option("rowsPerBatch", 500).load()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try {
+        maxBatches match {
+          case Some(n) => // stop mid-feed after ~n batches committed
+            val deadline = System.nanoTime() + 60e9.toLong
+            while (q.recentProgress.length < n && System.nanoTime() < deadline)
+              Thread.sleep(50)
+          case None => q.processAllAvailable()
+        }
+      } finally q.stop()
+    }
+    run(Some(2)) // first incarnation dies mid-stream
+    run(None)    // recovery resumes from the offset log
+    val seqs = spark.read.parquet(out).select("seq")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(seqs == (0L until 2000L), // every row exactly once
+      s"got ${seqs.length} rows, dups=${seqs.length - seqs.distinct.length}")
+  }
+
   test("graft-trades streaming feed drives the stateful OHLCV engine") {
     import graft.model.Trade
     val feed = spark.readStream.format("graft-trades")
