@@ -48,4 +48,15 @@ object StreamJoins {
     * (within the watermark horizon). */
   def dedupWithinWatermark(withTs: DataFrame, keys: Seq[String]): DataFrame =
     withTs.dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
+  /** Stream-static enrichment: every stream row decorated with its
+    * dimension attributes (instrument metadata, product reference
+    * data). The static side is explicitly broadcast — zero streaming
+    * state, zero shuffle of the stream, and the dim is re-resolvable
+    * per micro-batch (a dim TABLE picks up slowly-changing updates
+    * between batches). Left join: a stream row with no dim entry flows
+    * through with nulls rather than silently dropping. */
+  def enrichWithStatic(stream: DataFrame, dim: DataFrame,
+      key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
 }

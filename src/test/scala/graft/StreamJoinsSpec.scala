@@ -93,4 +93,23 @@ class StreamJoinsSpec extends SparkSpec {
       assert(rows.length == 2, s"want the 2 distinct trades, got ${rows.length}")
     } finally q.stop()
   }
+
+  test("enrichWithStatic decorates the stream via broadcast, nulls for missing dims") {
+    val input = MemoryStream[Trade]
+    val dim = Seq(("P1", "Energy", 2), ("P2", "Metals", 5))
+      .toDF("product", "sector", "tick_size")
+    val enriched = StreamJoins.enrichWithStatic(
+      input.toDF(), dim, key = "product")
+    val q = enriched.writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      input.addData(trade(0, "P1", 10.0, 1), trade(1, "P3", 30.0, 3))
+      q.processAllAvailable()
+      val rows = spark.table("enriched").collect()
+        .map(r => r.getAs[String]("product") ->
+          ((Option(r.getAs[String]("sector")), Option(r.get(r.fieldIndex("tick_size")))))).toMap
+      assert(rows("P1") == ((Some("Energy"), Some(2))))
+      assert(rows("P3") == ((None, None))) // no dim row → nulls, not dropped
+    } finally q.stop()
+  }
 }
