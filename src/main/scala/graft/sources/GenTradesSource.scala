@@ -124,13 +124,16 @@ object GenTradesSource {
   def h(i: Long, salt: Long): Long =
     ((i + salt) * 1103515245L + 12345L) % 2147483648L
 
-  def fieldValue(name: String, i: Long): Any = name match {
-    case "seq" => i
-    case "timestamp" => BaseTs + i * 500L
-    case "instrument_id" => UTF8String.fromString("I" + h(i, 4) % 100L)
-    case "product" => UTF8String.fromString("Product_" + (h(i, 3) % 1999L + 1L))
-    case "price" => (h(i, 1) % 1000L + 1L).toDouble
-    case "qty" => h(i, 2) % 100L + 1L
+  /** Getter per field, resolved ONCE per partition reader — resolving
+    * by name per row would put six string compares in the scan hot
+    * path. */
+  def fieldGetter(name: String): Long => Any = name match {
+    case "seq" => i => i
+    case "timestamp" => i => BaseTs + i * 500L
+    case "instrument_id" => i => UTF8String.fromString("I" + h(i, 4) % 100L)
+    case "product" => i => UTF8String.fromString("Product_" + (h(i, 3) % 1999L + 1L))
+    case "price" => i => (h(i, 1) % 1000L + 1L).toDouble
+    case "qty" => i => h(i, 2) % 100L + 1L
   }
 }
 
@@ -297,12 +300,12 @@ class GenTradesReaderFactory(fields: Array[String])
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val r = p.asInstanceOf[GenTradesRange]
+    val getters = fields.map(GenTradesSource.fieldGetter)
     new PartitionReader[InternalRow] {
       private var i = r.start - 1
       override def next(): Boolean = { i += 1; i < r.end }
       override def get(): InternalRow =
-        new GenericInternalRow(
-          fields.map(GenTradesSource.fieldValue(_, i)).asInstanceOf[Array[Any]])
+        new GenericInternalRow(getters.map(g => g(i)): Array[Any])
       override def close(): Unit = ()
     }
   }

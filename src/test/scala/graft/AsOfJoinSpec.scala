@@ -128,7 +128,6 @@ class AsOfJoinSpec extends SparkSpec {
         .toDF("event_id", "k", "ts", "value")
       val right = (1 to 20).map(_ =>
         ("k" + rnd.nextInt(6), ts(rnd.nextInt(20).toLong), rnd.nextLong() % 1000))
-        .distinct
         .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq // unique per (key, ts)
         .toDF("k", "ts", "q")
       val a = AsOfJoin.asOfLast(left, right, "k", "ts", "q_ts")
