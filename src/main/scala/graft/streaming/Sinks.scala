@@ -45,4 +45,27 @@ object Sinks {
         .option("kafka.bootstrap.servers", bootstrap)
         .option("topic", topic)
         .save()
+
+  /** Exactly-once table sink over an at-least-once channel: foreachBatch
+    * re-runs a batch after recovery with the SAME batchId, so writing
+    * each batch into its own `_batch_id` partition with dynamic
+    * partition overwrite makes the replay overwrite its own previous
+    * (possibly partial) output instead of appending duplicates — the
+    * standard idempotent-upsert pattern for K5-style relational/table
+    * targets (a JDBC variant keys a DELETE+INSERT transaction on
+    * batchId the same way). Partition count stays bounded: compact or
+    * drop the _batch_id dimension downstream once batches are old. */
+  def idempotentTableSink(path: String): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => {
+      val spark = batch.sparkSession
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try {
+        batch.withColumn("_batch_id", lit(batchId))
+          .write.mode("overwrite").partitionBy("_batch_id").parquet(path)
+      } finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
 }
