@@ -108,18 +108,25 @@ object Formats {
   def writeZOrdered(df: DataFrame, path: String, c1: String, c2: String,
       numFiles: Int, bits: Int = 16): Unit = {
     import org.apache.spark.sql.functions._
-    val mm = df.agg(
-      min(col(c1)).cast("double"), max(col(c1)).cast("double"),
-      min(col(c2)).cast("double"), max(col(c2)).cast("double")).head()
-    if (mm.isNullAt(0)) { // empty input: nothing to cluster
-      df.write.mode("overwrite").parquet(path); return
+    // NaN poisons the quantizer silently (max() ranks NaN greatest, so
+    // hi = NaN makes EVERY row's bucket 0 and the advertised 2-D
+    // bound degrades to 1-D) — strip NaN from the extent agg and pin
+    // NaN/null rows to bucket 0 explicitly.
+    def clean(c: String) = {
+      val d = col(c).cast("double")
+      when(isnan(d), lit(null)).otherwise(d)
     }
-    val (min1, max1, min2, max2) =
-      (mm.getDouble(0), mm.getDouble(1), mm.getDouble(2), mm.getDouble(3))
+    val mm = df.agg(
+      min(clean(c1)), max(clean(c1)), min(clean(c2)), max(clean(c2))).head()
+    def extent(i: Int): (Double, Double) =
+      if (mm.isNullAt(i)) (0.0, 0.0) // all null/NaN: one bucket
+      else (mm.getDouble(i), mm.getDouble(i + 1))
+    val (min1, max1) = extent(0)
+    val (min2, max2) = extent(2)
     val buckets = (1L << bits) - 1
     def q(c: String, lo: Double, hi: Double) =
       if (hi == lo) lit(0L)
-      else ((col(c).cast("double") - lit(lo)) / lit(hi - lo) * buckets)
+      else ((coalesce(clean(c), lit(lo)) - lit(lo)) / lit(hi - lo) * buckets)
         .cast("long")
     val z = zValue(q(c1, min1, max1), q(c2, min2, max2), bits)
     df.withColumn("__z", z)

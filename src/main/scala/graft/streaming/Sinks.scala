@@ -57,15 +57,13 @@ object Sinks {
     * drop the _batch_id dimension downstream once batches are old. */
   def idempotentTableSink(path: String): (DataFrame, Long) => Unit =
     (batch: DataFrame, batchId: Long) => {
-      val spark = batch.sparkSession
-      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try {
-        batch.withColumn("_batch_id", lit(batchId))
-          .write.mode("overwrite").partitionBy("_batch_id").parquet(path)
-      } finally prev match {
-        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-      }
+      // dynamic overwrite as a WRITER option, never the session conf: a
+      // session-global toggle races concurrent writers on the same
+      // SparkSession (another overwrite planned in the restored-static
+      // window would wipe every committed partition at its path)
+      batch.withColumn("_batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_batch_id").parquet(path)
     }
 }

@@ -59,6 +59,13 @@ class OhlcvProcessor(widthMs: Long, emitRunning: Boolean)
     val cur = if (armed.exists()) armed.get() else 0L
     if (cur != desired) {
       if (cur != 0L) getHandle.deleteTimer(cur)
+      else {
+        // no tracked timer: sweep strays so a checkpoint written before
+        // armed-timer tracking existed (one registered timer, no
+        // armedTimer state) self-heals instead of firing twice
+        getHandle.listTimers().foreach(t =>
+          getHandle.deleteTimer(t.asInstanceOf[Long]))
+      }
       if (desired != 0L) { getHandle.registerTimer(desired); armed.update(desired) }
       else armed.clear()
     }

@@ -223,24 +223,21 @@ class SourcesSpec extends SparkSpec {
   test("graft-trades stream recovers from a checkpoint without loss or duplication") {
     val dir = Files.createTempDirectory("graft-trades-ckpt")
     val out = s"$dir/out"; val ckpt = s"$dir/ckpt"
-    def run(maxBatches: Option[Int]): Unit = {
+    // incarnation 1 sees a 500-row feed and drains it; incarnation 2
+    // reuses the checkpoint against the grown 2000-row feed — a
+    // deterministic restart-mid-sequence (no stop-vs-stream race) that
+    // must resume from the offset log, not from offset zero
+    def run(rows: Int): Unit = {
       val q = spark.readStream.format("graft-trades")
-        .option("rows", 2000).option("rowsPerBatch", 500).load()
+        .option("rows", rows).option("rowsPerBatch", 500).load()
         .writeStream.format("parquet")
         .option("path", out).option("checkpointLocation", ckpt)
         .outputMode("append").start()
-      try {
-        maxBatches match {
-          case Some(n) => // stop mid-feed after ~n batches committed
-            val deadline = System.nanoTime() + 60e9.toLong
-            while (q.recentProgress.length < n && System.nanoTime() < deadline)
-              Thread.sleep(50)
-          case None => q.processAllAvailable()
-        }
-      } finally q.stop()
+      try q.processAllAvailable() finally q.stop()
     }
-    run(Some(2)) // first incarnation dies mid-stream
-    run(None)    // recovery resumes from the offset log
+    run(rows = 500)
+    assert(spark.read.parquet(out).count() == 500) // genuinely mid-sequence
+    run(rows = 2000) // recovery resumes from the offset log
     val seqs = spark.read.parquet(out).select("seq")
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(seqs == (0L until 2000L), // every row exactly once
@@ -258,24 +255,20 @@ class SourcesSpec extends SparkSpec {
     val b0 = spark.range(5).toDF("seq")
     unitSink(b0, 0L); unitSink(b0, 0L)
     assert(spark.read.parquet(s"$dir/unit").count() == 5)
-    // end-to-end: kill a stream mid-feed, restart from the checkpoint;
-    // the recovering batch replays through the same sink
-    def run(stopEarly: Boolean): Unit = {
+    // end-to-end: drain a 500-row feed, then restart the checkpoint
+    // against the grown 2000-row feed — deterministic mid-sequence
+    // resume through the same sink (no stop-vs-stream race)
+    def run(rows: Int): Unit = {
       val q = spark.readStream.format("graft-trades")
-        .option("rows", 2000).option("rowsPerBatch", 500).load()
+        .option("rows", rows).option("rowsPerBatch", 500).load()
         .writeStream.foreachBatch(sink)
         .option("checkpointLocation", ckpt).start()
-      try {
-        if (stopEarly) {
-          val deadline = System.nanoTime() + 60e9.toLong
-          while (q.recentProgress.length < 2 && System.nanoTime() < deadline)
-            Thread.sleep(50)
-        } else q.processAllAvailable()
-      } finally q.stop()
+      try q.processAllAvailable() finally q.stop()
     }
-    run(stopEarly = true)
-    run(stopEarly = false)
-    val seqs = spark.read.parquet(out).where(col("seq") < 2000)
+    run(rows = 500)
+    assert(spark.read.parquet(out).count() == 500) // genuinely mid-sequence
+    run(rows = 2000)
+    val seqs = spark.read.parquet(out)
       .select("seq").collect().map(_.getLong(0)).sorted.toSeq
     assert(seqs == (0L until 2000L),
       s"rows=${seqs.length} dups=${seqs.length - seqs.distinct.length}")
