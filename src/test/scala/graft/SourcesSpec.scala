@@ -99,7 +99,7 @@ class SourcesSpec extends SparkSpec {
     assert(files.length == 4)
     val ranges = files.map { f =>
       val r = spark.read.parquet(f)
-        .agg(min(col("doc_id")), max(col("doc_id"))).head
+        .agg(min(col("doc_id")), max(col("doc_id"))).head()
       (r.getLong(0), r.getLong(1))
     }.sortBy(_._1)
     // disjoint, ordered ranges: a doc_id predicate can skip whole files
