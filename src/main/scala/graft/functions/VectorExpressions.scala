@@ -196,5 +196,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.PushLimitThroughAsOfJoin)
+    ext.injectTableFunction((FunctionIdentifier("gen_trades"),
+      new ExpressionInfo(classOf[graft.sources.GenTradesSource].getName, "gen_trades"),
+      graft.sources.GenTradesSource.tableFunctionBuilder _))
   }
 }

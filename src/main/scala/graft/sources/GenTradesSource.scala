@@ -124,6 +124,28 @@ object GenTradesSource {
   def h(i: Long, salt: Long): Long =
     ((i + salt) * 1103515245L + 12345L) % 2147483648L
 
+  /** SQL table-valued-function form of the connector — `SELECT * FROM
+    * gen_trades(100000)` — built by resolving the literal row count
+    * into a DSv2 relation over [[GenTradesTable]] (same planning,
+    * pruning, and pushdown as the reader path). Registered per-session
+    * via ColumnBridge.registerTableFunction and cluster-wide via
+    * GraftExtensions.injectTableFunction. */
+  def tableFunctionBuilder(
+      args: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val n = args match {
+      case Seq(Literal(v: Long, LongType)) => v
+      case Seq(Literal(v: Int, IntegerType)) => v.toLong
+      case _ => throw new IllegalArgumentException(
+        "gen_trades(rows) expects one integer literal")
+    }
+    val opts = new CaseInsensitiveStringMap(
+      java.util.Map.of("rows", n.toString))
+    org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+      .create(new GenTradesTable(opts), None, None)
+  }
+
   /** Getter per field, resolved ONCE per partition reader — resolving
     * by name per row would put six string compares in the scan hot
     * path. */

@@ -38,4 +38,16 @@ object ColumnBridge {
       .registerFunction(FunctionIdentifier(name),
         new ExpressionInfo(builder.getClass.getName, name),
         builder)
+
+  /** Register a TABLE function (FROM-clause callable) on a live session
+    * — same dual-path pattern as registerFunction. */
+  def registerTableFunction(
+      spark: org.apache.spark.sql.SparkSession,
+      name: String,
+      builder: Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.tableFunctionRegistry
+      .registerFunction(FunctionIdentifier(name),
+        new ExpressionInfo(builder.getClass.getName, name),
+        builder)
 }

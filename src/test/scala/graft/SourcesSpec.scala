@@ -199,6 +199,19 @@ class SourcesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("gen_trades table-valued function matches the reader path") {
+    org.apache.spark.sql.graft.ColumnBridge.registerTableFunction(
+      spark, "gen_trades", graft.sources.GenTradesSource.tableFunctionBuilder)
+    val tvf = spark.sql(
+      "SELECT count(*) AS n, sum(qty) AS q FROM gen_trades(1000)").head()
+    val rdr = spark.read.format("graft-trades").option("rows", 1000).load()
+      .agg(count(lit(1)), sum(col("qty"))).head()
+    assert(tvf.getLong(0) == rdr.getLong(0) && tvf.getLong(1) == rdr.getLong(1))
+    // pruning/pushdown flow through the TVF relation too
+    assert(spark.sql("SELECT product FROM gen_trades(1000) WHERE seq = 7")
+      .count() == 1)
+  }
+
   test("graft-trades honors engine read limits and boundary predicates") {
     // Trigger.AvailableNow hands ReadAllAvailable — the whole feed must
     // land regardless of rowsPerBatch (capping would silently truncate)
