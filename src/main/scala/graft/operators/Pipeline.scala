@@ -51,6 +51,36 @@ object Pipeline {
       .orderBy(col("source"))
   }
 
+  /** [[cleanCorpus]] instrumented with per-stage data-quality counters
+    * via `observe()` — the operational must-have at 100 TB: every
+    * filter stage reports what it dropped WITHOUT a second pass
+    * (`observe` metrics piggyback the existing action as accumulators;
+    * a count() per stage would re-scan the corpus once per counter).
+    * Returns the same DataFrame plus the Observations to read after
+    * the action completes. */
+  def cleanCorpusObserved(spark: SparkSession, dir: String)
+      : (DataFrame, org.apache.spark.sql.Observation, org.apache.spark.sql.Observation) = {
+    import org.apache.spark.sql.Observation
+    val inObs = Observation("clean_in")
+    val keptObs = Observation("clean_kept")
+    val scored = Tables.documents(spark, dir)
+      .select(Seq(col("doc_id"), col("text"), col("source")) ++
+        TextAnalysis.qualityFeatures(col("text")): _*)
+      .withColumn("quality", TextAnalysis.qualityExpr)
+      .observe(inObs, count(lit(1)).as("n_in"),
+        count(when(col("quality") < QualityMin, 1)).as("n_low_quality"))
+      .filter(col("quality") >= QualityMin)
+    val canon = scored
+      .withColumn("digest", md5(col("text")))
+      .withColumn("canonical_id", min(col("doc_id"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("digest"))))
+      .filter(col("doc_id") === col("canonical_id"))
+    val sampled = canon.filter(polyHash(col("text")) % 100 < SamplePct)
+      .observe(keptObs, count(lit(1)).as("n_kept"),
+        sum(col("n_tokens")).as("kept_tokens"))
+    (sampled.select(col("doc_id"), col("source"), col("n_tokens")), inObs, keptObs)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_clean_corpus" -> ((s, d) => cleanCorpus(s, d)))
 

@@ -205,4 +205,21 @@ class TrainingDataSpec extends SparkSpec {
     val n = fp.count()
     assert(fp.select("fp31", "fp37").distinct().count() == n)
   }
+
+  test("cleanCorpusObserved reports per-stage drop counters in one pass") {
+    val (kept, inObs, keptObs) =
+      graft.operators.Pipeline.cleanCorpusObserved(spark, sf0001)
+    val keptRows = kept.count() // ONE action drives both observations
+    val in = inObs.get
+    val out = keptObs.get
+    assert(in("n_in") == Tables.documents(spark, sf0001).count())
+    assert(out("n_kept") == keptRows)
+    // observed drop accounting is consistent: kept ≤ in − low-quality
+    assert(out("n_kept").asInstanceOf[Long] <=
+      in("n_in").asInstanceOf[Long] - in("n_low_quality").asInstanceOf[Long])
+    // and the aggregated pipeline sees the same survivor population
+    val aggDocs = graft.operators.Pipeline.cleanCorpus(spark, sf0001)
+      .agg(org.apache.spark.sql.functions.sum("n_docs")).head().getLong(0)
+    assert(out("n_kept") == aggDocs)
+  }
 }
