@@ -25,7 +25,8 @@ object SparkEntry {
       Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++
       Windows.queries ++ Pipeline.queries ++ RichTrades.queries ++
       Skew.queries ++ Curation.queries ++ AsOfJoin.queries ++
-      Profiling.queries ++ graft.sources.GenTradesSource.queries
+      Profiling.queries ++ Sketches.queries ++
+      graft.sources.GenTradesSource.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -34,5 +35,6 @@ object SparkEntry {
       Dedup.oracle ++ Similarity.oracle ++ Multimodal.oracle ++
       Windows.oracle ++ Pipeline.oracle ++ RichTrades.oracle ++
       Skew.oracle ++ Curation.oracle ++ AsOfJoin.oracle ++
-      Profiling.oracle ++ graft.sources.GenTradesSource.oracle
+      Profiling.oracle ++ Sketches.oracle ++
+      graft.sources.GenTradesSource.oracle
 }

@@ -1,0 +1,203 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{PolyHash => PolyHashExpr}
+import org.apache.spark.sql.graft.ColumnBridge
+
+/** Mergeable sketches — the 100 TB cardinality/frequency primitives.
+  *
+  * Exact `count_distinct` and per-key exact counts are the two
+  * aggregations that stop scaling first: both shuffle every distinct
+  * value. A sketch caps the shuffled state at a constant (registers /
+  * counter cells) per group regardless of input size, and merges
+  * associatively, so map-side partials combine like any other agg.
+  * Spark ships HLL/CMS (`approx_count_distinct`,
+  * `count_min_sketch`) — but their hash (xxhash64) is engine-private,
+  * so results cannot be replayed by another engine. These variants
+  * re-derive both sketches over the repo's deterministic polynomial
+  * hash + an integer avalanche finalizer: every register value, and
+  * therefore every estimate, is reproducible bit-for-bit in DuckDB.
+  * Swap the hash for xxhash64 when cross-engine parity is not needed;
+  * the plan shape is identical.
+  *
+  * Scale shape (both sketches): one narrow scan projecting hashes, one
+  * map-side-combined shuffle of at most (groups × registers) rows, one
+  * tiny finishing agg. No distinct, no windows. Reference anchor: the
+  * reference has no approximate layer at all — its only aggregation is
+  * whole-window OHLC buffering (/root/reference/7_ohlc.py:83-121);
+  * sketches are part of the beyond-reference training-data tier.
+  */
+object Sketches {
+
+  /** HLL registers (m). 256 → relative error ≈ 1.04/√256 ≈ 6.5%. */
+  private val HllM = 256
+  /** Bias constant α·1000 for m=256: round(0.7213/(1 + 1.079/256)·1000). */
+  private val AlphaMilli = 719L
+  /** α·m²·2^25, milli-scaled: numerator of the raw estimator (the
+    * register sum below is scaled by 2^25 to stay integral). */
+  private val HllConstMilli: Long = AlphaMilli * HllM * HllM * 33554432L
+  /** Linear-counting table, milli-scaled: LcMilli(v) = round(m·ln(m/v)·1000)
+    * for v = 1..m−1 empty registers (index 0 unused). ln() runs HERE, at
+    * plan-build time — the runtime (and the oracle, which embeds the same
+    * literals) does a table lookup, so no transcendental ever has to agree
+    * across engines. */
+  private val LcMilli: Seq[Long] =
+    0L +: (1 until HllM).map(v => Math.round(HllM * math.log(HllM.toDouble / v) * 1000))
+  /** Raw-estimate cutoff below which linear counting wins: 2.5·m·1000. */
+  private val LcCutoffMilli = 2500L * HllM
+
+  /** CMS geometry: d=4 hash rows × w=16 cells. w is deliberately tiny so
+    * the sf0.01 corpus (31 distinct tokens) actually collides and the
+    * min-over-rows estimator is exercised; at corpus scale w is the knob
+    * (2^20 cells ≈ 8 MB per row of exact-integer counters). */
+  private val CmsW = 16
+  private val CmsHashes = Seq((31L, 0L), (37L, 7L), (41L, 11L), (43L, 13L))
+
+  /** 32-bit avalanche finalizer (xor-shift-multiply, twice, then a final
+    * xor-shift): the standard integer mixer shape. The polynomial hash
+    * alone has no avalanche — a short decimal string never wraps the
+    * 2^31−1 modulus, so its high bits are structured and HLL's
+    * leading-zero statistic would be garbage. Plain long arithmetic
+    * (xor / shift / multiply / mod 2^32), identical in DuckDB. */
+  def avalanche32(h: Column): Column = {
+    def r(x: Column): Column =
+      (x.bitwiseXOR(shiftright(x, 16)) * lit(73244475L)) % lit(4294967296L)
+    val m = r(r(h))
+    m.bitwiseXOR(shiftright(m, 16))
+  }
+
+  private def polyHashWith(c: Column, mult: Long, init: Long): Column =
+    ColumnBridge.column(PolyHashExpr(ColumnBridge.expression(c.cast("string")), mult, init))
+
+  /** Mixed 32-bit hash of any value via its decimal/string form. */
+  def hash32(c: Column): Column = avalanche32(polyHashWith(c, 31L, 0L))
+
+  /** HyperLogLog distinct-count report over `events`: per event_type,
+    * the cardinality of event_id (high — exercises the raw harmonic
+    * estimator) and user_id (low — exercises the linear-counting
+    * branch), next to the exact count for verification. At 100 TB the
+    * exact column is dropped and only the register shuffle remains:
+    * ≤ m rows per (group × input partition) cross the wire, however
+    * many trillion rows scanned.
+    *
+    * All-integer estimator: registers hold ρ (leading-zero rank) of the
+    * mixed hash's top 24 bits; Σ2^−ρ is kept scaled by 2^25 so the
+    * harmonic mean is exact BIGINT division; α and the LC table are
+    * milli-scaled integer literals shared with the oracle. */
+  def hllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.events(spark, dir).selectExpr(
+      "event_type",
+      "stack(2, 'event_id', event_id, 'user_id', user_id) AS (column_name, val)")
+    // ρ = clz(top-24-bits) + 1; w = x >> 8 (bucket uses the low 8 bits)
+    val reg = src
+      .select(col("event_type"), col("column_name"), hash32(col("val")).as("x"))
+      .select(col("event_type"), col("column_name"),
+        (col("x") % HllM).as("bucket"),
+        when(shiftright(col("x"), 8) === 0, 25L)
+          .otherwise(lit(25L) - length(bin(shiftright(col("x"), 8)))).as("rho"))
+      .groupBy("event_type", "column_name", "bucket")
+      .agg(max("rho").as("rho"))
+    val z = reg.groupBy("event_type", "column_name").agg(
+      (sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(25 - rho AS INT))"))
+        + (lit(HllM.toLong) - count(lit(1))) * 33554432L).as("zs"),
+      (lit(HllM.toLong) - count(lit(1))).as("n_zero_buckets"))
+    val exact = src.groupBy("event_type", "column_name")
+      .agg(count_distinct(col("val")).as("n_exact"))
+    z.join(exact, Seq("event_type", "column_name"))
+      .withColumn("raw_milli", expr(s"${HllConstMilli}L div zs"))
+      .withColumn("est_milli",
+        when(col("n_zero_buckets") > 0 && col("raw_milli") < LcCutoffMilli,
+          element_at(typedLit(LcMilli), (col("n_zero_buckets") + 1).cast("int")))
+          .otherwise(col("raw_milli")))
+      .select(col("event_type"), col("column_name"), col("n_exact"),
+        col("n_zero_buckets"), expr("est_milli div 1000").as("hll_est"))
+      .orderBy("event_type", "column_name")
+  }
+
+  /** Count-Min heavy-hitter report over the corpus vocabulary: exact
+    * top-20 token counts next to their CMS estimates (est ≥ exact by
+    * construction; equality when no collision). The sketch is built
+    * from per-token totals, not per-occurrence rows — hashing each
+    * distinct token once and weighting by its count is algebraically
+    * identical to incrementing per occurrence, and turns |corpus| hash
+    * evaluations into |vocabulary|. */
+  def cmsTopK(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    val counts = Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+    val slotCols = CmsHashes.zipWithIndex.map { case ((m, s), i) =>
+      (avalanche32(polyHashWith(col("token"), m, s)) % CmsW).as(s"s$i")
+    }
+    val hashed = counts.select(col("token") +: col("n") +: slotCols: _*)
+    val cells = hashed.selectExpr(
+      "stack(4, 0, s0, 1, s1, 2, s2, 3, s3) AS (r, slot)", "n")
+    val sketch = cells.groupBy("r", "slot").agg(sum("n").as("cnt"))
+    val probes = hashed.orderBy(col("n").desc, col("token")).limit(20)
+      .selectExpr("token", "n AS n_exact",
+        "stack(4, 0, s0, 1, s1, 2, s2, 3, s3) AS (r, slot)")
+    probes.join(sketch, Seq("r", "slot"))
+      .groupBy("token", "n_exact").agg(min("cnt").as("cms_est"))
+      .orderBy(col("n_exact").desc, col("token"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_hll_distinct" -> ((s, d) => hllDistinct(s, d)),
+    "sketch_cms_topk" -> ((s, d) => cmsTopK(s, d)))
+
+  // ---- oracle ----------------------------------------------------------
+
+  /** The polynomial fold + avalanche mixer in DuckDB SQL, over `expr`. */
+  private def mixSql(e: String, mult: Long, init: Long): String = {
+    val fold = s"list_reduce(list_prepend(${init}::BIGINT, " +
+      s"list_transform(string_split($e, ''), c -> ascii(c)::BIGINT)), " +
+      s"(a, c) -> (a * $mult + c) % 2147483647)"
+    val r1 = s"(xor($fold, ($fold) // 65536) * 73244475) % 4294967296"
+    val r2 = s"(xor(($r1), ($r1) // 65536) * 73244475) % 4294967296"
+    s"xor(($r2), ($r2) // 65536)"
+  }
+
+  private val lcSql = LcMilli.mkString("[", ",", "]")
+
+  private val cmsSlotSql = CmsHashes.zipWithIndex.map { case ((m, s), i) =>
+    s"(${mixSql("token", m, s)}) % $CmsW AS s$i"
+  }.mkString(", ")
+
+  val oracle: Map[String, String] = Map(
+    "sketch_hll_distinct" ->
+      s"""WITH src AS (
+         |  SELECT event_type, 'event_id' AS column_name, event_id AS val FROM events
+         |  UNION ALL
+         |  SELECT event_type, 'user_id', user_id FROM events),
+         |h AS (SELECT event_type, column_name, ${mixSql("val::VARCHAR", 31L, 0L)} AS x FROM src),
+         |reg AS (
+         |  SELECT event_type, column_name, x % $HllM AS bucket,
+         |    max(CASE WHEN x // $HllM = 0 THEN 25 ELSE 25 - length(bin(x // $HllM)) END) AS rho
+         |  FROM h GROUP BY 1, 2, 3),
+         |z AS (
+         |  SELECT event_type, column_name,
+         |    (sum((1::BIGINT << (25 - rho)))::BIGINT + ($HllM - count(*))::BIGINT * 33554432) AS zs,
+         |    ($HllM - count(*))::BIGINT AS n_zero_buckets
+         |  FROM reg GROUP BY 1, 2),
+         |ex AS (SELECT event_type, column_name, count(DISTINCT val)::BIGINT AS n_exact
+         |  FROM src GROUP BY 1, 2)
+         |SELECT z.event_type, z.column_name, ex.n_exact, z.n_zero_buckets,
+         |  ((CASE WHEN z.n_zero_buckets > 0 AND $HllConstMilli // z.zs < $LcCutoffMilli
+         |         THEN ($lcSql)[z.n_zero_buckets + 1]
+         |         ELSE $HllConstMilli // z.zs END) // 1000)::BIGINT AS hll_est
+         |FROM z JOIN ex USING (event_type, column_name)
+         |ORDER BY 1, 2""".stripMargin,
+    "sketch_cms_topk" ->
+      s"""WITH toks AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token FROM documents),
+         |counts AS (SELECT token, count(*)::BIGINT AS n FROM toks GROUP BY 1),
+         |hashed AS (SELECT token, n, $cmsSlotSql FROM counts),
+         |cells AS (SELECT unnest([0,1,2,3]) AS r, unnest([s0,s1,s2,s3]) AS slot, n FROM hashed),
+         |sketch AS (SELECT r, slot, sum(n)::BIGINT AS cnt FROM cells GROUP BY 1, 2),
+         |topk AS (SELECT token, n, s0, s1, s2, s3 FROM hashed ORDER BY n DESC, token LIMIT 20),
+         |probes AS (SELECT token, n AS n_exact, unnest([0,1,2,3]) AS r, unnest([s0,s1,s2,s3]) AS slot FROM topk)
+         |SELECT token, n_exact, min(cnt)::BIGINT AS cms_est
+         |FROM probes JOIN sketch USING (r, slot)
+         |GROUP BY 1, 2 ORDER BY n_exact DESC, token""".stripMargin)
+}
