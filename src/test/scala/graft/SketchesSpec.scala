@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sketches
+
+/** Sketch-tier guarantees: estimator accuracy, CMS one-sidedness, and
+  * the avalanche mixer's arithmetic (the oracle replays the same ops —
+  * these specs pin the Spark side independently of parity). */
+class SketchesSpec extends SparkSpec {
+
+  test("avalanche32 matches the reference integer recipe and stays in [0, 2^32)") {
+    import spark.implicits._
+    def ref(h0: Long): Long = {
+      def r(x: Long): Long = ((x ^ (x >>> 16)) * 73244475L) % 4294967296L
+      val m = r(r(h0))
+      m ^ (m >>> 16)
+    }
+    val ins = Seq(0L, 1L, 97L, 2147483646L, 123456789L)
+    val got = ins.toDF("h").select(Sketches.avalanche32(col("h")).as("x"))
+      .collect().map(_.getLong(0))
+    assert(got.toSeq == ins.map(ref))
+    assert(got.forall(x => x >= 0 && x < 4294967296L))
+    // avalanche: consecutive inputs land far apart (no structure left)
+    val a = ref(1000); val b = ref(1001)
+    assert(java.lang.Long.bitCount(a ^ b) >= 8)
+  }
+
+  test("HLL estimates land within 4 standard errors of exact, both branches") {
+    val rows = Sketches.hllDistinct(spark, sf001).collect()
+    assert(rows.length == 10) // 5 event types × 2 columns
+    // m=256 → σ ≈ 6.5%; 4σ = 26%
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("n_exact"); val est = r.getAs[Long]("hll_est")
+      assert(math.abs(est - exact).toDouble / exact < 0.26,
+        s"${r.getString(0)}/${r.getString(1)}: est=$est exact=$exact")
+    }
+    // both estimator branches are exercised by the fixture: user_id
+    // (~150 distinct) takes linear counting, event_id (~2000) raw HLL
+    val byCol = rows.groupBy(_.getAs[String]("column_name"))
+    assert(byCol("user_id").forall(_.getAs[Long]("n_zero_buckets") > 0))
+    assert(byCol("event_id").forall(r =>
+      r.getAs[Long]("n_exact") > 640)) // > 2.5m ⇒ raw branch regardless of v
+  }
+
+  test("CMS estimates are one-sided (est >= exact) and collide at w=16") {
+    val rows = Sketches.cmsTopK(spark, sf001).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cms_est") >= r.getAs[Long]("n_exact"))
+    }
+    // w=16 over a 31-token vocabulary must actually collide somewhere —
+    // otherwise the min-over-rows estimator is never exercised
+    assert(rows.exists(r => r.getAs[Long]("cms_est") > r.getAs[Long]("n_exact")))
+    // ...and the 4 independent rows rescue at least one token exactly
+    assert(rows.exists(r => r.getAs[Long]("cms_est") == r.getAs[Long]("n_exact")))
+  }
+}
