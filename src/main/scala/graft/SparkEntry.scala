@@ -25,7 +25,7 @@ object SparkEntry {
       Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++
       Windows.queries ++ Pipeline.queries ++ RichTrades.queries ++
       Skew.queries ++ Curation.queries ++ AsOfJoin.queries ++
-      Profiling.queries ++ Sketches.queries ++
+      Profiling.queries ++ Sketches.queries ++ Retrieval.queries ++
       graft.sources.GenTradesSource.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -35,6 +35,6 @@ object SparkEntry {
       Dedup.oracle ++ Similarity.oracle ++ Multimodal.oracle ++
       Windows.oracle ++ Pipeline.oracle ++ RichTrades.oracle ++
       Skew.oracle ++ Curation.oracle ++ AsOfJoin.oracle ++
-      Profiling.oracle ++ Sketches.oracle ++
+      Profiling.oracle ++ Sketches.oracle ++ Retrieval.oracle ++
       graft.sources.GenTradesSource.oracle
 }

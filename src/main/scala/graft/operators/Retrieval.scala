@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions.tokens
+
+/** Full-text retrieval over the corpus — BM25 ranking in exact integer
+  * arithmetic.
+  *
+  * Training-data curation needs search (find documents matching an
+  * eval-set phrase, audit what the dedup kept for a topic), and BM25 is
+  * the standard lexical ranker. Classic BM25 is float-valued
+  * (ln-based idf, fractional length norm) — summation order would
+  * change the last bits and break cross-engine verification. This
+  * variant is BM25 with every factor mapped to scaled integers
+  * (SC = 10^6): the idf's log-odds argument (N−df+0.5)/(df+0.5) is kept
+  * as the exact rational (2(N−df)+1)/(2df+1) instead of its logarithm,
+  * and the tf saturation / length normalization (k1 = 1.2, b = 0.75)
+  * use integer division at every step. Same monotonicity in tf, df, and
+  * dl as BM25 (the log is monotone — rankings agree except where the
+  * log's compression would reorder multi-term sums), and every score is
+  * a BIGINT both engines reproduce exactly.
+  *
+  * Scale shape: the inverted index (doc_id, token) → tf is ONE
+  * map-side-combined shuffle of the corpus; query terms, per-term df,
+  * and corpus stats are broadcast (a query's term list is KBs); the
+  * final ranking is the bounded map-side top-k Aggregator — k ×
+  * partitions rows per query cross the last shuffle, never the
+  * candidate set. No windows, no cartesian products.
+  */
+object Retrieval {
+
+  private val SC = 1000000L
+  private val K = 5
+
+  /** Fixed query workload (terms drawn from the corpus vocabulary). */
+  val QueryTerms: Seq[(String, String)] = Seq(
+    "q_hash_join" -> Seq("hash", "join"),
+    "q_slow_scan" -> Seq("slow", "scan", "filter"),
+    "q_stream_key" -> Seq("stream", "order", "key"))
+    .flatMap { case (q, ts) => ts.map(q -> _) }
+
+  /** Integer-BM25 top-5 documents per query. */
+  def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    // inverted index with doc length riding the key (dl is functionally
+    // dependent on doc_id — keeping it in the groupBy avoids a join back)
+    val tfs = toks
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("token"))
+      .groupBy("doc_id", "dl", "token").agg(count(lit(1)).as("tf"))
+    val stats = toks
+      .agg(count(lit(1)).as("n_docs"), sum(size(col("toks"))).as("sum_dl"))
+      .select(col("n_docs"), expr(s"(sum_dl * $SC) div n_docs").as("avgdl_sc"))
+    val qterms = QueryTerms.toDF("query_id", "token")
+    val dfs = tfs
+      .join(broadcast(qterms.select("token").distinct()), Seq("token"))
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    val scores = tfs
+      .join(broadcast(qterms), Seq("token"))
+      .join(broadcast(dfs), Seq("token"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_sc", expr(s"($SC * (2 * (n_docs - df) + 1)) div (2 * df + 1)"))
+      .withColumn("norm_sc", expr(s"250000 + (3 * dl * $SC * $SC) div (4 * avgdl_sc)"))
+      .withColumn("contrib",
+        expr(s"(idf_sc * ((tf * 22000000) div 10)) div (tf * $SC + (12 * norm_sc) div 10)"))
+      .groupBy("query_id", "doc_id").agg(sum("contrib").as("score_sc"))
+    val topk = udaf(new graft.functions.TopKByScore(K))
+    scores.groupBy(col("query_id"))
+      // score_sc < 2^53, so the double round-trip through the top-k
+      // buffer is exact
+      .agg(topk(col("doc_id"), col("score_sc").cast("double")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + lit(1)).as("rnk"),
+        col("col.vec_id").as("doc_id"), col("col.cosine").cast("long").as("score_sc"))
+      .orderBy("query_id", "rnk")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bm25_topk" -> ((s, d) => bm25TopK(s, d)))
+
+  private val qValuesSql = QueryTerms
+    .map { case (q, t) => s"('$q', '$t')" }.mkString(", ")
+
+  val oracle: Map[String, String] = Map(
+    "text_bm25_topk" ->
+      s"""WITH toks0 AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+         |tf AS (SELECT doc_id, len(toks)::BIGINT AS dl, unnest(toks) AS token FROM toks0),
+         |tfs AS (SELECT doc_id, dl, token, count(*)::BIGINT AS tf FROM tf GROUP BY 1, 2, 3),
+         |stats AS (SELECT count(*)::BIGINT AS n_docs,
+         |    (sum(len(toks))::BIGINT * $SC) // count(*)::BIGINT AS avgdl_sc FROM toks0),
+         |q(query_id, token) AS (VALUES $qValuesSql),
+         |dfs AS (SELECT token, count(*)::BIGINT AS df FROM tfs
+         |  WHERE token IN (SELECT DISTINCT token FROM q) GROUP BY 1),
+         |sc AS (
+         |  SELECT q.query_id, t.doc_id,
+         |    sum((((${SC} * (2 * (s.n_docs - d.df) + 1)) // (2 * d.df + 1))
+         |         * ((t.tf * 22000000) // 10))
+         |        // (t.tf * $SC
+         |            + (12 * (250000 + (3 * t.dl * $SC * $SC) // (4 * s.avgdl_sc))) // 10))::BIGINT AS score_sc
+         |  FROM tfs t JOIN q ON t.token = q.token JOIN dfs d ON t.token = d.token
+         |  CROSS JOIN stats s
+         |  GROUP BY 1, 2)
+         |SELECT query_id,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY score_sc DESC, doc_id) AS rnk,
+         |  doc_id, score_sc
+         |FROM sc QUALIFY rnk <= $K ORDER BY query_id, rnk""".stripMargin)
+}
