@@ -75,6 +75,29 @@ class SourcesSpec extends SparkSpec {
     assert(pruned.count() == docs.filter(col("lang") === "en").count())
   }
 
+  test("dynamic partition pruning: a dim-side filter prunes fact partitions at runtime") {
+    // the 100 TB pattern: fact partitioned on a key, the selective
+    // predicate lives on a DIMENSION attribute — static pruning can't
+    // help, DPP turns the broadcast dim into a runtime partition filter
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text", "lang", "source")
+    val base = Files.createTempDirectory("graft-dpp").toString
+    Formats.writeCuratedParquet(docs, base, "lang")
+    val fact = spark.read.parquet(base)
+    val langs = docs.select("lang").distinct().orderBy("lang")
+      .collect().map(_.getString(0))
+    val kept = langs.head
+    // the dim must be file-backed: a literal LocalRelation constant-folds
+    // its Filter away and the DPP rule no longer sees a selective predicate
+    langs.map(l => (l, if (l == kept) "keep" else "drop")).toSeq
+      .toDF("lang", "verdict").write.mode("overwrite").parquet(s"$base-dim")
+    val dim = spark.read.parquet(s"$base-dim")
+    val q = fact.join(dim.filter($"verdict" === "keep"), "lang")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected a dynamic partition pruning filter on the fact scan:\n$plan")
+    assert(q.count() == docs.filter($"lang" === kept).count())
+  }
+
   test("compactParquet collapses a many-file table without losing rows") {
     val scattered = Files.createTempDirectory("graft-scatter").toString
     val compacted = Files.createTempDirectory("graft-compact").toString
