@@ -32,7 +32,7 @@ import org.apache.spark.sql.graft.ColumnBridge
 object Sketches {
 
   /** HLL registers (m). 256 → relative error ≈ 1.04/√256 ≈ 6.5%. */
-  private val HllM = 256
+  private[graft] val HllM = 256
   /** Bias constant α·1000 for m=256: round(0.7213/(1 + 1.079/256)·1000). */
   private val AlphaMilli = 719L
   /** α·m²·2^25, milli-scaled: numerator of the raw estimator (the
@@ -74,46 +74,93 @@ object Sketches {
   /** Mixed 32-bit hash of any value via its decimal/string form. */
   def hash32(c: Column): Column = avalanche32(polyHashWith(c, 31L, 0L))
 
+  /** Generic per-group HLL estimate as column algebra: groups `df` by
+    * `keys` and estimates the distinct count of `value`. Emits
+    * keys ++ (n_zero_buckets, hll_est).
+    *
+    * ρ = clz(top-24-bits) + 1; w = x >> 8 (the bucket uses the low
+    * 8 bits); Σ2^−ρ is kept scaled by 2^25 so the harmonic mean is
+    * exact BIGINT division; α and the LC table are milli-scaled
+    * integer literals shared with the oracle — and with the scalar
+    * streaming twin below, which must produce identical estimates. */
+  def hllEstimateBy(df: DataFrame, keys: Seq[String], value: Column): DataFrame = {
+    val kc = keys.map(col)
+    df.select(kc :+ hash32(value).as("x"): _*)
+      .select(kc ++ Seq(
+        (col("x") % HllM).as("bucket"),
+        when(shiftright(col("x"), 8) === 0, 25L)
+          .otherwise(lit(25L) - length(bin(shiftright(col("x"), 8)))).as("rho")): _*)
+      .groupBy(kc :+ col("bucket"): _*)
+      .agg(max("rho").as("rho"))
+      .groupBy(kc: _*).agg(
+        (sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(25 - rho AS INT))"))
+          + (lit(HllM.toLong) - count(lit(1))) * 33554432L).as("zs"),
+        (lit(HllM.toLong) - count(lit(1))).as("n_zero_buckets"))
+      .withColumn("raw_milli", expr(s"${HllConstMilli}L div zs"))
+      .withColumn("est_milli",
+        when(col("n_zero_buckets") > 0 && col("raw_milli") < LcCutoffMilli,
+          element_at(typedLit(LcMilli), (col("n_zero_buckets") + 1).cast("int")))
+          .otherwise(col("raw_milli")))
+      .select(kc ++ Seq(col("n_zero_buckets"), expr("est_milli div 1000").as("hll_est")): _*)
+  }
+
   /** HyperLogLog distinct-count report over `events`: per event_type,
     * the cardinality of event_id (high — exercises the raw harmonic
     * estimator) and user_id (low — exercises the linear-counting
     * branch), next to the exact count for verification. At 100 TB the
     * exact column is dropped and only the register shuffle remains:
     * ≤ m rows per (group × input partition) cross the wire, however
-    * many trillion rows scanned.
-    *
-    * All-integer estimator: registers hold ρ (leading-zero rank) of the
-    * mixed hash's top 24 bits; Σ2^−ρ is kept scaled by 2^25 so the
-    * harmonic mean is exact BIGINT division; α and the LC table are
-    * milli-scaled integer literals shared with the oracle. */
+    * many trillion rows scanned. */
   def hllDistinct(spark: SparkSession, dir: String): DataFrame = {
     val src = Tables.events(spark, dir).selectExpr(
       "event_type",
       "stack(2, 'event_id', event_id, 'user_id', user_id) AS (column_name, val)")
-    // ρ = clz(top-24-bits) + 1; w = x >> 8 (bucket uses the low 8 bits)
-    val reg = src
-      .select(col("event_type"), col("column_name"), hash32(col("val")).as("x"))
-      .select(col("event_type"), col("column_name"),
-        (col("x") % HllM).as("bucket"),
-        when(shiftright(col("x"), 8) === 0, 25L)
-          .otherwise(lit(25L) - length(bin(shiftright(col("x"), 8)))).as("rho"))
-      .groupBy("event_type", "column_name", "bucket")
-      .agg(max("rho").as("rho"))
-    val z = reg.groupBy("event_type", "column_name").agg(
-      (sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(25 - rho AS INT))"))
-        + (lit(HllM.toLong) - count(lit(1))) * 33554432L).as("zs"),
-      (lit(HllM.toLong) - count(lit(1))).as("n_zero_buckets"))
+    val est = hllEstimateBy(src, Seq("event_type", "column_name"), col("val"))
     val exact = src.groupBy("event_type", "column_name")
       .agg(count_distinct(col("val")).as("n_exact"))
-    z.join(exact, Seq("event_type", "column_name"))
-      .withColumn("raw_milli", expr(s"${HllConstMilli}L div zs"))
-      .withColumn("est_milli",
-        when(col("n_zero_buckets") > 0 && col("raw_milli") < LcCutoffMilli,
-          element_at(typedLit(LcMilli), (col("n_zero_buckets") + 1).cast("int")))
-          .otherwise(col("raw_milli")))
+    est.join(exact, Seq("event_type", "column_name"))
       .select(col("event_type"), col("column_name"), col("n_exact"),
-        col("n_zero_buckets"), expr("est_milli div 1000").as("hll_est"))
+        col("n_zero_buckets"), col("hll_est"))
       .orderBy("event_type", "column_name")
+  }
+
+  // ---- scalar twin (stateful streaming) --------------------------------
+
+  /** Scalar form of [[avalanche32]] — bit-identical by construction. */
+  private[graft] def mix32(h0: Long): Long = {
+    def r(x: Long): Long = ((x ^ (x >>> 16)) * 73244475L) % 4294967296L
+    val m = r(r(h0))
+    m ^ (m >>> 16)
+  }
+
+  /** Scalar form of [[hash32]]. */
+  private[graft] def hash32Scalar(value: String): Long =
+    mix32(graft.functions.HashOps.polyHash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(value), 31L, 0L))
+
+  /** Fold one value into an m-register HLL state (one byte per
+    * register — the entire per-key streaming state is HllM bytes). */
+  private[graft] def hllUpdate(reg: Array[Byte], value: String): Unit = {
+    val x = hash32Scalar(value)
+    val bucket = (x % HllM).toInt
+    val w = x >>> 8
+    val rho =
+      if (w == 0) 25 else 25 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+    if (rho > reg(bucket)) reg(bucket) = rho.toByte
+  }
+
+  /** Estimate from a register array — the same milli-scaled integer
+    * arithmetic as [[hllEstimateBy]]'s final projection, so a streaming
+    * state fed the same values yields the identical estimate. */
+  private[graft] def hllEstimate(reg: Array[Byte]): Long = {
+    var zs = 0L; var v = 0; var i = 0
+    while (i < HllM) {
+      zs += 1L << (25 - reg(i))
+      if (reg(i) == 0) v += 1
+      i += 1
+    }
+    val raw = HllConstMilli / zs
+    (if (v > 0 && raw < LcCutoffMilli) LcMilli(v) else raw) / 1000
   }
 
   /** Count-Min heavy-hitter report over the corpus vocabulary: exact

@@ -54,4 +54,35 @@ class SketchesSpec extends SparkSpec {
     // ...and the 4 independent rows rescue at least one token exactly
     assert(rows.exists(r => r.getAs[Long]("cms_est") == r.getAs[Long]("n_exact")))
   }
+
+  test("streaming HLL state emits bit-identical estimates to the batch column form") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = (1 to 400).map(i => graft.streaming.KeyedValue(s"k${i % 2}", s"u${i % 157}")) ++
+      (1 to 50).map(i => graft.streaming.KeyedValue("k2", s"u$i"))
+    val input = MemoryStream[graft.streaming.KeyedValue]
+    // two batches: state must carry registers across triggers
+    input.addData(rows.take(200))
+    val q = graft.streaming.StreamingSketch.distinctByKey(input.toDS())
+      .writeStream.format("memory").queryName("shll").outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      input.addData(rows.drop(200))
+      q.processAllAvailable()
+      // registers only grow, so the estimate is monotone non-decreasing
+      // and max == the final per-key emission (memory-sink row order is
+      // not a reliable "last")
+      val streamed = spark.table("shll")
+        .groupBy("key").agg(max("n_estimate").as("n_estimate"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val batch = Sketches.hllEstimateBy(
+          rows.toDF("key", "value"), Seq("key"), col("value"))
+        .collect().map(r => r.getString(0) -> r.getAs[Long]("hll_est")).toMap
+      assert(streamed == batch,
+        s"streaming and batch sketches diverged: $streamed vs $batch")
+      // sanity: k0/k1 see ~157 distinct users, k2 sees 50
+      assert(math.abs(streamed("k2") - 50L) <= 15)
+    } finally q.stop()
+  }
 }
