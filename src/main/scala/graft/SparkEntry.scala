@@ -26,7 +26,8 @@ object SparkEntry {
       Windows.queries ++ Pipeline.queries ++ RichTrades.queries ++
       Skew.queries ++ Curation.queries ++ AsOfJoin.queries ++
       Profiling.queries ++ Sketches.queries ++ Retrieval.queries ++
-      Graph.queries ++ graft.sources.GenTradesSource.queries
+      Graph.queries ++ Behavior.queries ++
+      graft.sources.GenTradesSource.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -36,5 +37,6 @@ object SparkEntry {
       Windows.oracle ++ Pipeline.oracle ++ RichTrades.oracle ++
       Skew.oracle ++ Curation.oracle ++ AsOfJoin.oracle ++
       Profiling.oracle ++ Sketches.oracle ++ Retrieval.oracle ++
-      Graph.oracle ++ graft.sources.GenTradesSource.oracle
+      Graph.oracle ++ Behavior.oracle ++
+      graft.sources.GenTradesSource.oracle
 }

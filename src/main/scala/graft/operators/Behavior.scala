@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Behavioral analytics over the events stream table — funnel
+  * conversion and cohort retention, the two canonical product-analytics
+  * workloads.
+  *
+  * Both are pure integer/timestamp arithmetic (counts, mins, integer
+  * week indexes from epoch microseconds — no calendar truncation whose
+  * week-start conventions could differ between engines), so results
+  * replay exactly in the oracle.
+  *
+  * Scale shape: everything aggregates per user_id first — one hash
+  * shuffle of (user, small aggregate) each phase, map-side combined;
+  * the ordered-stage dependency (click after first view, purchase
+  * after first qualifying click) is resolved by re-aggregating the
+  * same co-partitioned frame, not by windows over raw events. At
+  * 100 TB the user-grain frames are orders of magnitude smaller than
+  * the event log, and every join keys on the same user_id hash.
+  */
+object Behavior {
+
+  /** Conversion window: a stage counts only within 24 h of the
+    * previous stage's first event (epoch-microsecond arithmetic). */
+  private val WindowUs = 24L * 3600L * 1000000L
+
+  /** Ordered view → click → purchase funnel: users counted at a stage
+    * only if it happened at-or-after their previous stage's first
+    * event AND within the conversion window (min-timestamp "first
+    * touch" semantics). One row per stage. */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val t1 = ev.groupBy("user_id")
+      .agg(min(when(col("event_type") === "view", col("ts"))).as("t_view"))
+      .filter(col("t_view").isNotNull)
+    val t2 = ev.join(t1, "user_id")
+      .filter(col("event_type") === "click" && col("ts") >= col("t_view") &&
+        unix_micros(col("ts")) - unix_micros(col("t_view")) <= WindowUs)
+      .groupBy("user_id").agg(min(col("ts")).as("t_click"))
+    val t3 = ev.join(t2, "user_id")
+      .filter(col("event_type") === "purchase" && col("ts") >= col("t_click") &&
+        unix_micros(col("ts")) - unix_micros(col("t_click")) <= WindowUs)
+      .groupBy("user_id").agg(min(col("ts")).as("t_purchase"))
+    val counts = t1.agg(count(lit(1)).as("n")).withColumn("stage", lit("1_view"))
+      .union(t2.agg(count(lit(1)).as("n")).withColumn("stage", lit("2_click")))
+      .union(t3.agg(count(lit(1)).as("n")).withColumn("stage", lit("3_purchase")))
+    counts.select(col("stage"), col("n").as("n_users")).orderBy("stage")
+  }
+
+  /** Weekly cohort retention: users bucketed by the integer epoch-week
+    * of their first `signup` event; for each later week-offset, how
+    * many are active (any event). Week index = epoch_us // (7·86400·10^6)
+    * — plain integer division, no week-start convention. */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val WeekUs = 7L * 86400L * 1000000L
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        expr(s"unix_micros(ts) div $WeekUs").as("week"))
+    val cohorts = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("week").as("cohort_week"))
+    ev.join(cohorts, "user_id")
+      .filter(col("week") >= col("cohort_week"))
+      .select(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"),
+        col("user_id"))
+      .distinct()
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "funnel_conversion" -> ((s, d) => funnel(s, d)),
+    "cohort_retention" -> ((s, d) => cohortRetention(s, d)))
+
+  val oracle: Map[String, String] = Map(
+    "funnel_conversion" ->
+      """WITH t1 AS (SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+        |  FROM events GROUP BY 1 HAVING t_view IS NOT NULL),
+        |t2 AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e JOIN t1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts >= t1.t_view
+        |    AND epoch_us(e.ts) - epoch_us(t1.t_view) <= 86400000000 GROUP BY 1),
+        |t3 AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM events e JOIN t2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts >= t2.t_click
+        |    AND epoch_us(e.ts) - epoch_us(t2.t_click) <= 86400000000 GROUP BY 1)
+        |SELECT stage, n_users FROM (
+        |  SELECT '1_view' AS stage, count(*)::BIGINT AS n_users FROM t1
+        |  UNION ALL SELECT '2_click', count(*)::BIGINT FROM t2
+        |  UNION ALL SELECT '3_purchase', count(*)::BIGINT FROM t3)
+        |ORDER BY stage""".stripMargin,
+    "cohort_retention" ->
+      """WITH ev AS (SELECT user_id, event_type,
+        |    epoch_us(ts) // 604800000000 AS week FROM events),
+        |cohorts AS (SELECT user_id, min(week) AS cohort_week FROM ev
+        |  WHERE event_type = 'signup' GROUP BY 1)
+        |SELECT cohort_week, week - cohort_week AS week_offset,
+        |  count(DISTINCT ev.user_id)::BIGINT AS n_users
+        |FROM ev JOIN cohorts USING (user_id)
+        |WHERE week >= cohort_week
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+}
