@@ -48,9 +48,14 @@ object Graph {
   /** Three fixed-point PageRank iterations (damping 0.85):
     * r'(v) = 0.15·SC + 0.85·Σ_{u→v} (r(u) div deg(u)), all BIGINT. */
   def pageRank(spark: SparkSession, dir: String): DataFrame = {
-    val edges = purchaseEdges(spark, dir)
+    // materialize the static edge list once — every iteration (and the
+    // degree count) would otherwise re-run the orders⋈lineitem distinct
+    // from scratch; localCheckpoint also truncates the growing lineage,
+    // the same pattern as Dedup.minLabelClustersOn
+    val edges = purchaseEdges(spark, dir).localCheckpoint()
     val deg = edges.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
     var ranks = deg.withColumn("r", lit(SC))
     for (_ <- 1 to Iters) {
       val in = edges

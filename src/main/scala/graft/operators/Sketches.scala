@@ -190,9 +190,46 @@ object Sketches {
       .orderBy(col("n_exact").desc, col("token"))
   }
 
+  /** Histogram-sketch quantiles — the third classic sketch: approx
+    * p50/p90/p99 of `value` per event_type from a fixed 1000-bin
+    * integer histogram over cents.
+    *
+    * Exact percentiles need a per-group sort of every value; the
+    * histogram caps shuffled state at ≤ bins rows per group (mergeable:
+    * bin counts add), and the estimate is the lower edge of the bin
+    * where the running count crosses ⌈p·n/100⌉ — error bounded by one
+    * bin width. All integer (cents, integer-division bin width and
+    * edges), so the estimate replays exactly. The cumulative window
+    * runs over the SKETCH (≤ bins × groups rows), never the data — the
+    * scale-banned shape is a window over the corpus, not over a
+    * constant-size summary. */
+  def quantileHist(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = Tables.events(spark, dir)
+      .select(col("event_type"), round(col("value") * 100, 0).cast("long").as("cents"))
+    val bounds = cents.groupBy("event_type")
+      .agg(min("cents").as("lo"), max("cents").as("hi"), count(lit(1)).as("n"))
+      .withColumn("bw", expr("(hi - lo + 1000) div 1000"))
+    val cum = cents.join(broadcast(bounds.select("event_type", "lo", "bw")), "event_type")
+      .select(col("event_type"), expr("(cents - lo) div bw").as("bin"))
+      .groupBy("event_type", "bin").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum",
+        sum("cnt").over(Window.partitionBy("event_type").orderBy("bin")))
+    import spark.implicits._
+    val tgt = bounds.crossJoin(broadcast(Seq(50, 90, 99).toDF("p")))
+      .withColumn("target", expr("(p * n + 99) div 100"))
+    tgt.join(cum, Seq("event_type"))
+      .filter(col("cum") >= col("target"))
+      .groupBy("event_type", "p", "lo", "bw").agg(min("bin").as("bin"))
+      .select(col("event_type"), col("p"),
+        (col("lo") + col("bin") * col("bw")).as("est_cents"))
+      .orderBy("event_type", "p")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sketch_hll_distinct" -> ((s, d) => hllDistinct(s, d)),
-    "sketch_cms_topk" -> ((s, d) => cmsTopK(s, d)))
+    "sketch_cms_topk" -> ((s, d) => cmsTopK(s, d)),
+    "sketch_quantile_hist" -> ((s, d) => quantileHist(s, d)))
 
   // ---- oracle ----------------------------------------------------------
 
@@ -246,5 +283,19 @@ object Sketches {
          |probes AS (SELECT token, n AS n_exact, unnest([0,1,2,3]) AS r, unnest([s0,s1,s2,s3]) AS slot FROM topk)
          |SELECT token, n_exact, min(cnt)::BIGINT AS cms_est
          |FROM probes JOIN sketch USING (r, slot)
-         |GROUP BY 1, 2 ORDER BY n_exact DESC, token""".stripMargin)
+         |GROUP BY 1, 2 ORDER BY n_exact DESC, token""".stripMargin,
+    "sketch_quantile_hist" ->
+      """WITH c AS (SELECT event_type, CAST(round(value*100,0) AS BIGINT) AS cents FROM events),
+        |b AS (SELECT event_type, min(cents) AS lo, max(cents) AS hi, count(*)::BIGINT AS n FROM c GROUP BY 1),
+        |w AS (SELECT *, (hi - lo + 1000) // 1000 AS bw FROM b),
+        |hist AS (SELECT c.event_type, (c.cents - w.lo) // w.bw AS bin, count(*)::BIGINT AS cnt
+        |  FROM c JOIN w USING (event_type) GROUP BY 1, 2),
+        |cum AS (SELECT event_type, bin, sum(cnt) OVER (PARTITION BY event_type ORDER BY bin)::BIGINT AS cum
+        |  FROM hist),
+        |p(p) AS (VALUES (50), (90), (99)),
+        |tgt AS (SELECT w.event_type, p.p, w.lo, w.bw, (p.p * w.n + 99) // 100 AS target
+        |  FROM w CROSS JOIN p)
+        |SELECT t.event_type, t.p, t.lo + min(c.bin) * t.bw AS est_cents
+        |FROM tgt t JOIN cum c ON c.event_type = t.event_type AND c.cum >= t.target
+        |GROUP BY 1, 2, t.lo, t.bw ORDER BY 1, 2""".stripMargin)
 }

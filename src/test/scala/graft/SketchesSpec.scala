@@ -55,6 +55,29 @@ class SketchesSpec extends SparkSpec {
     assert(rows.exists(r => r.getAs[Long]("cms_est") == r.getAs[Long]("n_exact")))
   }
 
+  test("histogram quantile estimate brackets the exact rank statistic within one bin") {
+    val est = Sketches.quantileHist(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getAs[Long]("est_cents")).toMap
+    assert(est.size == 15) // 5 event types × 3 percentiles
+    // the sketch's contract: est is the lower edge of the bin holding
+    // the ⌈p·n/100⌉-th smallest value — so est ≤ that order statistic
+    // < est + bin width. (NOT interpolated percentile: in a sparse tail
+    // the interpolated value can sit far from any bin edge.)
+    val byType = spark.read.parquet(s"$sf001/events.parquet")
+      .selectExpr("event_type", "CAST(round(value*100,0) AS BIGINT) AS cents")
+      .collect().groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getLong(1)).sorted).toMap
+    byType.foreach { case (t, sorted) =>
+      val bw = (sorted.last - sorted.head + 1000) / 1000
+      Seq(50, 90, 99).foreach { p =>
+        val kth = sorted(((p.toLong * sorted.length + 99) / 100).toInt - 1)
+        val e = est((t, p))
+        assert(e <= kth && kth < e + bw,
+          s"$t p$p: est=$e kth=$kth bw=$bw")
+      }
+    }
+  }
+
   test("streaming HLL state emits bit-identical estimates to the batch column form") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
