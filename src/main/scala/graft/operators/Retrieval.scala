@@ -41,10 +41,16 @@ object Retrieval {
     "q_stream_key" -> Seq("stream", "order", "key"))
     .flatMap { case (q, ts) => ts.map(q -> _) }
 
-  /** Integer-BM25 top-5 documents per query. */
-  def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
+  /** Integer-BM25 top-5 documents per query over the corpus table. */
+  def bm25TopK(spark: SparkSession, dir: String): DataFrame =
+    bm25On(Tables.documents(spark, dir), QueryTerms, K)
+
+  /** Scoring core over any (doc_id, text) frame — separable so specs
+    * can probe ranking semantics on constructed corpora. */
+  def bm25On(docs: DataFrame, queryTerms: Seq[(String, String)], k: Int): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    val toks = Tables.documents(spark, dir)
+    val toks = docs
       .select(col("doc_id"), tokens(col("text")).as("toks"))
     // inverted index with doc length riding the key (dl is functionally
     // dependent on doc_id — keeping it in the groupBy avoids a join back)
@@ -55,7 +61,7 @@ object Retrieval {
     val stats = toks
       .agg(count(lit(1)).as("n_docs"), sum(size(col("toks"))).as("sum_dl"))
       .select(col("n_docs"), expr(s"(sum_dl * $SC) div n_docs").as("avgdl_sc"))
-    val qterms = QueryTerms.toDF("query_id", "token")
+    val qterms = queryTerms.toDF("query_id", "token")
     val dfs = tfs
       .join(broadcast(qterms.select("token").distinct()), Seq("token"))
       .groupBy("token").agg(count(lit(1)).as("df"))
@@ -65,10 +71,16 @@ object Retrieval {
       .crossJoin(broadcast(stats))
       .withColumn("idf_sc", expr(s"($SC * (2 * (n_docs - df) + 1)) div (2 * df + 1)"))
       .withColumn("norm_sc", expr(s"250000 + (3 * dl * $SC * $SC) div (4 * avgdl_sc)"))
-      .withColumn("contrib",
-        expr(s"(idf_sc * ((tf * 22000000) div 10)) div (tf * $SC + (12 * norm_sc) div 10)"))
+      // tf saturation reduced to MILLI scale before touching idf: the
+      // factor is bounded by k1+1 = 2.2 (sat_milli ≤ 2200), so
+      // idf_sc · sat_milli stays under 2^63 up to ~10^9 docs — a raw
+      // idf_sc · tf · SC product would overflow at corpus scale for
+      // rare terms (idf_sc ≈ SC·2N at df=1)
+      .withColumn("sat_milli",
+        expr(s"(tf * 2200 * $SC) div (tf * $SC + (12 * norm_sc) div 10)"))
+      .withColumn("contrib", expr("(idf_sc * sat_milli) div 1000"))
       .groupBy("query_id", "doc_id").agg(sum("contrib").as("score_sc"))
-    val topk = udaf(new graft.functions.TopKByScore(K))
+    val topk = udaf(new graft.functions.TopKByScore(k))
     scores.groupBy(col("query_id"))
       // score_sc < 2^53, so the double round-trip through the top-k
       // buffer is exact
@@ -98,9 +110,10 @@ object Retrieval {
          |sc AS (
          |  SELECT q.query_id, t.doc_id,
          |    sum((((${SC} * (2 * (s.n_docs - d.df) + 1)) // (2 * d.df + 1))
-         |         * ((t.tf * 22000000) // 10))
-         |        // (t.tf * $SC
-         |            + (12 * (250000 + (3 * t.dl * $SC * $SC) // (4 * s.avgdl_sc))) // 10))::BIGINT AS score_sc
+         |         * ((t.tf * 2200 * $SC)
+         |            // (t.tf * $SC
+         |                + (12 * (250000 + (3 * t.dl * $SC * $SC) // (4 * s.avgdl_sc))) // 10)))
+         |        // 1000)::BIGINT AS score_sc
          |  FROM tfs t JOIN q ON t.token = q.token JOIN dfs d ON t.token = d.token
          |  CROSS JOIN stats s
          |  GROUP BY 1, 2)

@@ -233,20 +233,30 @@ object Sketches {
 
   // ---- oracle ----------------------------------------------------------
 
-  /** The polynomial fold + avalanche mixer in DuckDB SQL, over `expr`. */
-  private def mixSql(e: String, mult: Long, init: Long): String = {
-    val fold = s"list_reduce(list_prepend(${init}::BIGINT, " +
+  /** The polynomial fold in DuckDB SQL, over `e` — keep this bound to a
+    * named CTE column ONCE per hash: the avalanche below textually
+    * duplicates its argument 8×, which is fine for a column reference
+    * but would re-run the per-char fold 8× if inlined. */
+  private def foldSql(e: String, mult: Long, init: Long): String =
+    s"list_reduce(list_prepend(${init}::BIGINT, " +
       s"list_transform(string_split($e, ''), c -> ascii(c)::BIGINT)), " +
       s"(a, c) -> (a * $mult + c) % 2147483647)"
-    val r1 = s"(xor($fold, ($fold) // 65536) * 73244475) % 4294967296"
+
+  /** The avalanche mixer over an (already-folded) column reference. */
+  private def mixColSql(c: String): String = {
+    val r1 = s"(xor($c, ($c) // 65536) * 73244475) % 4294967296"
     val r2 = s"(xor(($r1), ($r1) // 65536) * 73244475) % 4294967296"
     s"xor(($r2), ($r2) // 65536)"
   }
 
   private val lcSql = LcMilli.mkString("[", ",", "]")
 
-  private val cmsSlotSql = CmsHashes.zipWithIndex.map { case ((m, s), i) =>
-    s"(${mixSql("token", m, s)}) % $CmsW AS s$i"
+  private val cmsFoldSql = CmsHashes.zipWithIndex.map { case ((m, s), i) =>
+    s"${foldSql("token", m, s)} AS f$i"
+  }.mkString(", ")
+
+  private val cmsSlotSql = (0 until CmsHashes.length).map { i =>
+    s"(${mixColSql(s"f$i")}) % $CmsW AS s$i"
   }.mkString(", ")
 
   val oracle: Map[String, String] = Map(
@@ -255,7 +265,8 @@ object Sketches {
          |  SELECT event_type, 'event_id' AS column_name, event_id AS val FROM events
          |  UNION ALL
          |  SELECT event_type, 'user_id', user_id FROM events),
-         |h AS (SELECT event_type, column_name, ${mixSql("val::VARCHAR", 31L, 0L)} AS x FROM src),
+         |h0 AS (SELECT event_type, column_name, ${foldSql("val::VARCHAR", 31L, 0L)} AS hash FROM src),
+         |h AS (SELECT event_type, column_name, ${mixColSql("hash")} AS x FROM h0),
          |reg AS (
          |  SELECT event_type, column_name, x % $HllM AS bucket,
          |    max(CASE WHEN x // $HllM = 0 THEN 25 ELSE 25 - length(bin(x // $HllM)) END) AS rho
@@ -276,7 +287,8 @@ object Sketches {
     "sketch_cms_topk" ->
       s"""WITH toks AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token FROM documents),
          |counts AS (SELECT token, count(*)::BIGINT AS n FROM toks GROUP BY 1),
-         |hashed AS (SELECT token, n, $cmsSlotSql FROM counts),
+         |folded AS (SELECT token, n, $cmsFoldSql FROM counts),
+         |hashed AS (SELECT token, n, $cmsSlotSql FROM folded),
          |cells AS (SELECT unnest([0,1,2,3]) AS r, unnest([s0,s1,s2,s3]) AS slot, n FROM hashed),
          |sketch AS (SELECT r, slot, sum(n)::BIGINT AS cnt FROM cells GROUP BY 1, 2),
          |topk AS (SELECT token, n, s0, s1, s2, s3 FROM hashed ORDER BY n DESC, token LIMIT 20),

@@ -22,10 +22,27 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
-  test("bm25 favors higher tf at equal length: ranking is tf-monotone") {
-    // within one query, the rank-1 doc's summed contributions must be
-    // >= every other returned doc's (already implied), and the plan
-    // must be window-free with the query side broadcast
+  test("bm25 ranking is tf-monotone and length-normalized on a constructed corpus") {
+    import spark.implicits._
+    val q = Seq("q" -> "cat")
+    // equal length, different tf: doc 1 mentions cat twice, doc 2 once
+    val tf = Seq(
+      (1L, "cat cat dog bird fish"),
+      (2L, "cat dog dog bird fish"),
+      (3L, "dog dog dog bird fish")).toDF("doc_id", "text")
+    val tfRanked = Retrieval.bm25On(tf, q, 3).collect()
+    assert(tfRanked.map(_.getLong(2)).toSeq == Seq(1L, 2L),
+      "higher tf at equal length must rank first; tf=0 must not appear")
+    // equal tf, different length: the shorter doc must rank first
+    val len = Seq(
+      (1L, "cat dog"),
+      (2L, "cat dog bird fish mouse horse cow hen owl fox")).toDF("doc_id", "text")
+    val lenRanked = Retrieval.bm25On(len, q, 2).collect()
+    assert(lenRanked.map(_.getLong(2)).toSeq == Seq(1L, 2L),
+      "equal tf must rank the shorter document first")
+  }
+
+  test("bm25 plan is window-free with the query side broadcast") {
     val plan = Retrieval.bm25TopK(spark, sf001)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"),

@@ -87,18 +87,23 @@ class SketchesSpec extends SparkSpec {
     val input = MemoryStream[graft.streaming.KeyedValue]
     // two batches: state must carry registers across triggers
     input.addData(rows.take(200))
+    // keep the LAST emission per key by batch id — the raw estimate is
+    // NOT monotone across the linear-counting→raw branch switch (LC at
+    // v=1 exceeds the 2.5m cutoff the raw branch resumes under), so a
+    // max over all emissions could exceed the final state's estimate
+    val lastEst = scala.collection.concurrent.TrieMap[String, (Long, Long)]()
     val q = graft.streaming.StreamingSketch.distinctByKey(input.toDS())
-      .writeStream.format("memory").queryName("shll").outputMode("update").start()
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[graft.streaming.DistinctEstimate], id: Long) =>
+        df.collect().foreach { e =>
+          if (!lastEst.get(e.key).exists(_._1 > id)) lastEst(e.key) = (id, e.n_estimate)
+        }
+      }.start()
     try {
       q.processAllAvailable()
       input.addData(rows.drop(200))
       q.processAllAvailable()
-      // registers only grow, so the estimate is monotone non-decreasing
-      // and max == the final per-key emission (memory-sink row order is
-      // not a reliable "last")
-      val streamed = spark.table("shll")
-        .groupBy("key").agg(max("n_estimate").as("n_estimate"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val streamed = lastEst.map { case (k, (_, est)) => k -> est }.toMap
       val batch = Sketches.hllEstimateBy(
           rows.toDF("key", "value"), Seq("key"), col("value"))
         .collect().map(r => r.getString(0) -> r.getAs[Long]("hll_est")).toMap
