@@ -26,7 +26,7 @@ object SparkEntry {
       Windows.queries ++ Pipeline.queries ++ RichTrades.queries ++
       Skew.queries ++ Curation.queries ++ AsOfJoin.queries ++
       Profiling.queries ++ Sketches.queries ++ Retrieval.queries ++
-      Graph.queries ++ Behavior.queries ++
+      Graph.queries ++ Behavior.queries ++ Warehouse.queries ++
       graft.sources.GenTradesSource.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -37,6 +37,6 @@ object SparkEntry {
       Windows.oracle ++ Pipeline.oracle ++ RichTrades.oracle ++
       Skew.oracle ++ Curation.oracle ++ AsOfJoin.oracle ++
       Profiling.oracle ++ Sketches.oracle ++ Retrieval.oracle ++
-      Graph.oracle ++ Behavior.oracle ++
+      Graph.oracle ++ Behavior.oracle ++ Warehouse.oracle ++
       graft.sources.GenTradesSource.oracle
 }

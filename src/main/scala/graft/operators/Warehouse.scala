@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Warehouse-maintenance patterns: MERGE-style upsert and
+  * gaps-and-islands sessionization — the two idioms every lakehouse
+  * migration asks for next after plain SQL.
+  *
+  * Spark has no table format with MERGE INTO in this container, so the
+  * upsert is expressed as the copy-on-write plan every format runs
+  * underneath: matched target rows replaced, unmatched kept, new rows
+  * appended — one anti-join + one union, no windows. At 100 TB the
+  * win is pairing this with the partitioned layout (SourcesSpec's DPP
+  * drill): only partitions containing matched keys are rewritten.
+  *
+  * Gaps-and-islands runs its window over per-user partitions —
+  * user_id is the high-cardinality key, so partitions are tiny and
+  * the sort is local; the banned shape is a window over ONE global
+  * partition, not this.
+  */
+object Warehouse {
+
+  /** Deterministic update set against `customer`: every 10th customer
+    * moves nation (matched-update), plus 10 brand-new customers
+    * (not-matched-insert). */
+  private def updatesFor(spark: SparkSession, dir: String): DataFrame = {
+    val matched = Tables.customer(spark, dir)
+      .filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey"), col("c_name"),
+        ((col("c_nationkey") + 1) % 25).as("c_nationkey"))
+    val inserted = spark.range(1, 11)
+      .select((col("id") + 900000).as("c_custkey"),
+        concat(lit("Customer#new"), col("id")).as("c_name"),
+        (col("id") % 25).as("c_nationkey"))
+    matched.union(inserted)
+  }
+
+  /** MERGE INTO customer USING updates ON c_custkey — WHEN MATCHED
+    * UPDATE, WHEN NOT MATCHED INSERT — as the underlying
+    * copy-on-write plan. `action` records each row's provenance. */
+  def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val target = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+    val updates = updatesFor(spark, dir)
+    val kept = target
+      .join(updates.select(col("c_custkey")), Seq("c_custkey"), "left_anti")
+      .withColumn("action", lit("kept"))
+    val applied = updates.withColumn("action",
+      when(col("c_custkey") < 900000, "updated").otherwise("inserted"))
+    kept.union(applied)
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Consecutive same-event_type runs per user ("islands"): a run
+    * boundary wherever the type changes along the (ts, event_id)
+    * order; island id = running count of boundaries. Epoch-microsecond
+    * outputs keep the oracle integer-exact. */
+  def gapsIslands(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_micros(ts)").as("ts_us"))
+      .withColumn("chg",
+        when(lag("event_type", 1).over(byUser).isNull ||
+          lag("event_type", 1).over(byUser) =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum("chg").over(byUser))
+      .groupBy("user_id", "island", "event_type")
+      .agg(count(lit(1)).as("n_events"),
+        min("ts_us").as("start_us"), max("ts_us").as("end_us"))
+      .select("user_id", "island", "event_type", "n_events", "start_us", "end_us")
+      .orderBy("user_id", "island")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_merge_upsert" -> ((s, d) => mergeUpsert(s, d)),
+    "rel_gaps_islands" -> ((s, d) => gapsIslands(s, d)))
+
+  val oracle: Map[String, String] = Map(
+    "rel_merge_upsert" ->
+      """WITH updates AS (
+        |  SELECT c_custkey, c_name, (c_nationkey + 1) % 25 AS c_nationkey
+        |  FROM customer WHERE c_custkey % 10 = 0
+        |  UNION ALL
+        |  SELECT id + 900000, 'Customer#new' || id::VARCHAR, id % 25
+        |  FROM range(1, 11) t(id))
+        |SELECT c.c_custkey, c.c_name, c.c_nationkey, 'kept' AS action
+        |FROM customer c WHERE c.c_custkey NOT IN (SELECT c_custkey FROM updates)
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_nationkey,
+        |  CASE WHEN c_custkey < 900000 THEN 'updated' ELSE 'inserted' END
+        |FROM updates
+        |ORDER BY c_custkey""".stripMargin,
+    "rel_gaps_islands" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |f AS (SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+        |      OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |i AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)::BIGINT AS island FROM f)
+        |SELECT user_id, island, event_type, count(*)::BIGINT AS n_events,
+        |  min(ts_us) AS start_us, max(ts_us) AS end_us
+        |FROM i GROUP BY 1, 2, 3 ORDER BY user_id, island""".stripMargin)
+}
