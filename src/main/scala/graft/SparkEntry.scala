@@ -27,7 +27,8 @@ object SparkEntry {
       Skew.queries ++ Curation.queries ++ AsOfJoin.queries ++
       Profiling.queries ++ Sketches.queries ++ Retrieval.queries ++
       Graph.queries ++ Behavior.queries ++ Warehouse.queries ++
-      graft.sources.GenTradesSource.queries
+      graft.sources.GenTradesSource.queries ++
+      graft.sources.GenKVSource.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -38,5 +39,6 @@ object SparkEntry {
       Skew.oracle ++ Curation.oracle ++ AsOfJoin.oracle ++
       Profiling.oracle ++ Sketches.oracle ++ Retrieval.oracle ++
       Graph.oracle ++ Behavior.oracle ++ Warehouse.oracle ++
-      graft.sources.GenTradesSource.oracle
+      graft.sources.GenTradesSource.oracle ++
+      graft.sources.GenKVSource.oracle
 }

@@ -75,6 +75,45 @@ class SourcesSpec extends SparkSpec {
     assert(pruned.count() == docs.filter(col("lang") === "en").count())
   }
 
+  test("storage-partitioned join: co-bucketed DSv2 scans join with zero shuffle") {
+    val conf = Map(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      // the partition key (bucket) is a strict subset of the join keys
+      // (bucket, key) — subset satisfaction must be allowed or
+      // EnsureRequirements inserts the exchange anyway
+      "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") // force a non-broadcast join
+    val saved = conf.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    conf.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      def side(salt: Int) = spark.read.format("graft-kv")
+        .option("keys", 1000).option("buckets", 8).option("salt", salt).load()
+      val a = side(1); val b = side(2)
+      val j = a.join(b, Seq("bucket", "key"))
+        .select(col("key"), a("value").as("va"), b("value").as("vb"))
+      val rows = j.collect()
+      assert(rows.length == 1000)
+      rows.foreach { r =>
+        val k = r.getLong(0)
+        assert(r.getLong(1) == graft.sources.GenKVSource.valueOf(k, 1))
+        assert(r.getLong(2) == graft.sources.GenKVSource.valueOf(k, 2))
+      }
+      // the whole point: equal-valued partitions pair up group-wise —
+      // no shuffle exchange anywhere in the executed plan
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"storage-partitioned join must not shuffle:\n$plan")
+      // negative control: with SPJ off the same join must shuffle
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      val shuffled = side(1).join(side(2), Seq("bucket", "key"))
+      shuffled.collect()
+      assert(shuffled.queryExecution.executedPlan.toString.contains("Exchange"))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("dynamic partition pruning: a dim-side filter prunes fact partitions at runtime") {
     // the 100 TB pattern: fact partitioned on a key, the selective
     // predicate lives on a DIMENSION attribute — static pruning can't
