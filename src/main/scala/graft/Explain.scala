@@ -14,7 +14,9 @@ object Explain {
         "sim_topk_bruteforce", "dedup_minhash_lsh", "text_wordcount_topk",
         "rel_asof_join", "skew_salted_agg", "profile_events",
         "text_repetition", "pack_sequences", "sim_topk_ivf_kmeans",
-        "rel_asof_join_native", "src_gen_trades_ohlcv", "decontam_overlap")
+        "rel_asof_join_native", "src_gen_trades_ohlcv", "decontam_overlap",
+        "sketch_hll_distinct", "text_bm25_topk", "graph_pagerank",
+        "src_kv_copartition_join")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -22,33 +22,32 @@ import graft.Tables
   */
 object Warehouse {
 
-  /** Deterministic update set against `customer`: every 10th customer
-    * moves nation (matched-update), plus 10 brand-new customers
-    * (not-matched-insert). */
-  private def updatesFor(spark: SparkSession, dir: String): DataFrame = {
-    val matched = Tables.customer(spark, dir)
-      .filter(col("c_custkey") % 10 === 0)
-      .select(col("c_custkey"), col("c_name"),
-        ((col("c_nationkey") + 1) % 25).as("c_nationkey"))
-    val inserted = spark.range(1, 11)
-      .select((col("id") + 900000).as("c_custkey"),
-        concat(lit("Customer#new"), col("id")).as("c_name"),
-        (col("id") % 25).as("c_nationkey"))
-    matched.union(inserted)
-  }
-
   /** MERGE INTO customer USING updates ON c_custkey — WHEN MATCHED
     * UPDATE, WHEN NOT MATCHED INSERT — as the underlying
-    * copy-on-write plan. `action` records each row's provenance. */
+    * copy-on-write plan. Updates: every 10th customer moves nation
+    * (matched), plus 10 brand-new customers (inserted) whose keys are
+    * allocated ABOVE max(c_custkey) — a fixed key base would collide
+    * with real customers at a large enough scale factor and silently
+    * drop their rows. `action` is tagged per branch, never inferred
+    * from key ranges. */
   def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
     val target = Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
-    val updates = updatesFor(spark, dir)
+    val matched = target
+      .filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey"), col("c_name"),
+        ((col("c_nationkey") + 1) % 25).as("c_nationkey"))
+      .withColumn("action", lit("updated"))
+    val maxKey = target.agg(max("c_custkey").as("maxk"))
+    val inserted = spark.range(1, 11).crossJoin(broadcast(maxKey))
+      .select((col("maxk") + col("id")).as("c_custkey"),
+        concat(lit("Customer#new"), col("id")).as("c_name"),
+        (col("id") % 25).as("c_nationkey"))
+      .withColumn("action", lit("inserted"))
+    val applied = matched.union(inserted)
     val kept = target
-      .join(updates.select(col("c_custkey")), Seq("c_custkey"), "left_anti")
+      .join(applied.select(col("c_custkey")), Seq("c_custkey"), "left_anti")
       .withColumn("action", lit("kept"))
-    val applied = updates.withColumn("action",
-      when(col("c_custkey") < 900000, "updated").otherwise("inserted"))
     kept.union(applied)
       .orderBy(col("c_custkey"))
   }
@@ -82,17 +81,17 @@ object Warehouse {
   val oracle: Map[String, String] = Map(
     "rel_merge_upsert" ->
       """WITH updates AS (
-        |  SELECT c_custkey, c_name, (c_nationkey + 1) % 25 AS c_nationkey
+        |  SELECT c_custkey, c_name, (c_nationkey + 1) % 25 AS c_nationkey,
+        |    'updated' AS action
         |  FROM customer WHERE c_custkey % 10 = 0
         |  UNION ALL
-        |  SELECT id + 900000, 'Customer#new' || id::VARCHAR, id % 25
+        |  SELECT (SELECT max(c_custkey) FROM customer) + id,
+        |    'Customer#new' || id::VARCHAR, id % 25, 'inserted'
         |  FROM range(1, 11) t(id))
         |SELECT c.c_custkey, c.c_name, c.c_nationkey, 'kept' AS action
         |FROM customer c WHERE c.c_custkey NOT IN (SELECT c_custkey FROM updates)
         |UNION ALL
-        |SELECT c_custkey, c_name, c_nationkey,
-        |  CASE WHEN c_custkey < 900000 THEN 'updated' ELSE 'inserted' END
-        |FROM updates
+        |SELECT c_custkey, c_name, c_nationkey, action FROM updates
         |ORDER BY c_custkey""".stripMargin,
     "rel_gaps_islands" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),

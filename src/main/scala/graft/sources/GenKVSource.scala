@@ -60,8 +60,13 @@ object GenKVSource {
     * storage-partitioned joins enabled the whole scan→join→agg chain
     * plans with ZERO shuffle exchanges (the key-grouped scan satisfies
     * the join's distribution AND the groupBy(bucket) after it); only
-    * the 32-row final sort exchanges. The confs are set here because
-    * the plan shape IS the point of the query. */
+    * the 32-row final sort exchanges. The confs are set here — and
+    * deliberately NOT restored: planning is lazy, so they must still
+    * be live when the caller acts on the frame. Leak contract: both
+    * confs only influence scans that REPORT KeyGroupedPartitioning
+    * (in this repo, only graft-kv itself) — every parquet/generator
+    * scan and join elsewhere plans identically with or without them,
+    * so query order cannot change any other plan shape. */
   def coPartitionJoin(spark: org.apache.spark.sql.SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._

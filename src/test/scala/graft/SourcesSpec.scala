@@ -103,6 +103,15 @@ class SourcesSpec extends SparkSpec {
       val plan = j.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"),
         s"storage-partitioned join must not shuffle:\n$plan")
+      // and the reported partitioning also carries THROUGH the join
+      // into a bucket-grained aggregate (the documented
+      // scan→join→agg chain) — still zero exchanges
+      val agg = a.join(b, Seq("bucket", "key"))
+        .groupBy("bucket").agg(sum(a("value")).as("s"))
+      agg.collect()
+      val aggPlan = agg.queryExecution.executedPlan.toString
+      assert(!aggPlan.contains("Exchange"),
+        s"the post-join aggregate must reuse the key-grouped partitioning:\n$aggPlan")
       // negative control: with SPJ off the same join must shuffle
       spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
       val shuffled = side(1).join(side(2), Seq("bucket", "key"))
