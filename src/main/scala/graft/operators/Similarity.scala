@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.VectorFunctions.cosineSim
@@ -135,15 +135,18 @@ object Similarity {
     * argmin ties agree. Centroids ride into the scan as literals (the
     * signBucketed hyperplane trick) — assignment is a narrow codegen'd
     * pass, zero shuffle, regardless of corpus size. */
-  private def withCell(emb: DataFrame, cents: Array[(Int, Array[Double])]): DataFrame = {
+  private def argminCell(v: Column, cents: Array[(Int, Array[Double])]): Column = {
     import graft.functions.VectorFunctions.dotProduct
     val scored = cents.map { case (cid, cv) =>
       struct(
-        (lit(selfDot(cv)) - lit(2.0) * dotProduct(col("embedding"), typedlit(cv))).as("dist"),
+        (lit(selfDot(cv)) - lit(2.0) * dotProduct(v, typedlit(cv))).as("dist"),
         lit(cid).as("cell"))
     }
-    emb.withColumn("cell", array_min(array(scored.toIndexedSeq: _*)).getField("cell"))
+    array_min(array(scored.toIndexedSeq: _*)).getField("cell")
   }
+
+  private def withCell(emb: DataFrame, cents: Array[(Int, Array[Double])]): DataFrame =
+    emb.withColumn("cell", argminCell(col("embedding"), cents))
 
   /** Seeded fixed-iteration Lloyd's k-means over the corpus: init = the
     * first KMeansCells vectors (deterministic), then KMeansIters
@@ -207,11 +210,71 @@ object Similarity {
       IvfTopK)
   }
 
+  // ------------------------------------------------ product quantization
+
+  /** PQ geometry: 64-dim embeddings split into 4 subspaces of 16 dims;
+    * each subspace gets its own KMeansCells-centroid codebook. Memory
+    * per corpus vector collapses from 64 floats to 4 small codes — the
+    * compression that lets a billion-vector index live in RAM. */
+  val PqSubspaces = 4
+  val PqSubDim = 16
+
+  /** PQ-ADC approximate top-k: per-subspace Lloyd's codebooks (the same
+    * seeded fixed-point machinery as topKIvfKmeans), corpus encoded as
+    * PqSubspaces small codes in ONE narrow pass, then asymmetric
+    * distance computation — each query builds a tiny LUT of
+    * (|c|² − 2⟨q_s,c⟩) per subspace centroid, and a candidate's score
+    * is 4 lookups + 3 adds, never a full 64-dim dot product. Scale
+    * shape: codebooks are literals in the scan, queries broadcast, the
+    * corpus never shuffles, ranking is the bounded top-k Aggregator.
+    * ADC sums doubles in fixed subspace order, so the oracle replays
+    * the exact bits. */
+  def topKPq(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.dotProduct
+    val emb = Tables.embeddings(spark, dir)
+      .filter(dotProduct(col("embedding"), col("embedding")) > 0)
+      .localCheckpoint()
+    // slices aliased through a projection boundary once — subspace
+    // codebook training and encoding both read s0..s3
+    val sliced = emb.select(
+      col("vec_id") +:
+        (0 until PqSubspaces).map(s =>
+          slice(col("embedding"), s * PqSubDim + 1, PqSubDim).as(s"s$s")): _*)
+    val books: Seq[Array[(Int, Array[Double])]] = (0 until PqSubspaces).map { s =>
+      kmeansCentroids(sliced.select(col("vec_id"), col(s"s$s").as("embedding")))
+    }
+    val codes = sliced.select(
+      col("vec_id") +:
+        (0 until PqSubspaces).map(s => argminCell(col(s"s$s"), books(s)).as(s"c$s")): _*)
+    val queries = sliced.filter(col("vec_id") < NumQueries).select(
+      col("vec_id").as("query_id") +:
+        (0 until PqSubspaces).map(s => col(s"s$s").as(s"q$s")): _*)
+    // per-subspace LUT pick: a when-chain keyed on the code id (robust
+    // to a centroid losing all members — ids need not stay contiguous)
+    def lut(s: Int): Column = coalesce(books(s).sortBy(_._1).map { case (cid, cv) =>
+      when(col(s"c$s") === cid,
+        lit(selfDot(cv)) - lit(2.0) * dotProduct(col(s"q$s"), typedlit(cv)))
+    }.toIndexedSeq: _*)
+    val scored = codes.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adc", (0 until PqSubspaces).map(lut).reduce(_ + _))
+    // bounded top-k by ADC ascending: negate into the (score DESC, id)
+    // Aggregator — exact for doubles
+    val topk = udaf(new graft.functions.TopKByScore(IvfTopK))
+    scored.groupBy(col("query_id"))
+      .agg(topk(col("vec_id"), -col("adc")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + lit(1)).as("rnk"),
+        col("col.vec_id").as("vec_id"), (-col("col.cosine")).as("adc"))
+      .orderBy("query_id", "rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_bruteforce" -> ((s, d) => topKBruteForce(s, d)),
     "sim_topk_ivf" -> ((s, d) => topKIvf(s, d)),
     "sim_topk_ivf_kmeans" -> ((s, d) => topKIvfKmeans(s, d)),
-    "sim_topk_lsh" -> ((s, d) => topKLsh(s, d)))
+    "sim_topk_lsh" -> ((s, d) => topKLsh(s, d)),
+    "sim_topk_pq" -> ((s, d) => topKPq(s, d)))
 
   /** Cosine with the same operation order as the native expression:
     * index-ordered fold of dot and both norms, then one division. */
@@ -229,16 +292,19 @@ object Similarity {
     s"""list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len($a) + 1),
        |      k -> $a[k]::DOUBLE * $b[k])), (a, v) -> a + v)""".stripMargin
 
-  /** One k-means assignment pass against centroid CTE `cents`
-    * (cell, cv): argmin of |c|² − 2⟨e,c⟩, ties to the lowest cell. */
-  private def kmAssignCte(cents: String): String =
+  /** One k-means assignment pass of source CTE `src` (vec_id,
+    * embedding) against centroid CTE `cents` (cell, cv): argmin of
+    * |c|² − 2⟨e,c⟩, ties to the lowest cell. */
+  private def kmAssignCteOn(src: String, cents: String): String =
     s"""SELECT vec_id, embedding, cell FROM (
        |  SELECT e.vec_id, e.embedding, c.cell,
        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
        |      ${kmDotSql("c.cv", "c.cv")} - 2.0 * ${kmDotSql("e.embedding", "c.cv")},
        |      c.cell) AS rn
-       |  FROM kmnz e, $cents c)
+       |  FROM $src e, $cents c)
        |WHERE rn = 1""".stripMargin
+
+  private def kmAssignCte(cents: String): String = kmAssignCteOn("kmnz", cents)
 
   /** One k-means update pass over assignment CTE `asg`: exact
     * scaled-long component sums, then one double division per
@@ -252,7 +318,56 @@ object Similarity {
        |JOIN (SELECT cell, count(*)::BIGINT AS n FROM $asg GROUP BY 1) n USING (cell)
        |GROUP BY x.cell""".stripMargin
 
+  /** Per-subspace PQ codebook chain: slice, seeded init, two Lloyd's
+    * rounds, final encode — the ivf_kmeans CTE chain instantiated per
+    * subspace (inner fragments are pre-stripped; spliced lines carry no
+    * margin pipes). */
+  private def pqSubCtes(s: Int): String = {
+    val lo = s * PqSubDim + 1; val hi = (s + 1) * PqSubDim
+    (s"""k$s AS (SELECT vec_id, embedding[$lo:$hi] AS embedding FROM kmnz),
+        |kc${s}0 AS (SELECT vec_id::INT AS cell, list_transform(embedding, x -> x::DOUBLE) AS cv
+        |  FROM k$s WHERE vec_id < $KMeansCells),
+        |ka${s}1 AS (""" + kmAssignCteOn(s"k$s", s"kc${s}0") + s"""),
+        |kc${s}1 AS (""" + kmCentCte(s"ka${s}1") + s"""),
+        |ka${s}2 AS (""" + kmAssignCteOn(s"k$s", s"kc${s}1") + s"""),
+        |kc${s}2 AS (""" + kmCentCte(s"ka${s}2") + s"""),
+        |cod$s AS (SELECT vec_id, cell AS c$s FROM (""" +
+      kmAssignCteOn(s"k$s", s"kc${s}2") + ") t)").stripMargin
+  }
+
+  private val pqOracle: String = {
+    val subs = (0 until PqSubspaces).map(pqSubCtes).mkString(",\n")
+    val qSlices = (0 until PqSubspaces).map { s =>
+      s"embedding[${s * PqSubDim + 1}:${(s + 1) * PqSubDim}] AS q$s"
+    }.mkString(", ")
+    val adc = (0 until PqSubspaces).map { s =>
+      s"(${kmDotSql(s"b$s.cv", s"b$s.cv")} - 2.0 * ${kmDotSql(s"q.q$s", s"b$s.cv")})"
+    }.mkString("\n  + ")
+    val joins = (0 until PqSubspaces)
+      .map(s => s"JOIN kc${s}2 b$s ON b$s.cell = c.c$s").mkString("\n  ")
+    val codeJoins = (1 until PqSubspaces).map(s => s"JOIN cod$s USING (vec_id)").mkString(" ")
+    s"""WITH kmnz AS (SELECT vec_id, embedding FROM embeddings
+       |  WHERE list_reduce(list_prepend(0.0::DOUBLE,
+       |      list_transform(range(1, len(embedding) + 1),
+       |        k -> embedding[k]::DOUBLE * embedding[k]::DOUBLE)), (a, v) -> a + v) > 0),
+       |$subs,
+       |codes AS (SELECT cod0.vec_id, ${(0 until PqSubspaces).map(s => s"c$s").mkString(", ")}
+       |  FROM cod0 $codeJoins),
+       |q AS (SELECT vec_id AS query_id, $qSlices FROM kmnz WHERE vec_id < $NumQueries),
+       |scored AS (SELECT q.query_id, c.vec_id,
+       |    $adc AS adc
+       |  FROM q, codes c
+       |  $joins
+       |  WHERE c.vec_id <> q.query_id),
+       |r AS (SELECT query_id, vec_id, adc,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY adc ASC, vec_id) AS rnk
+       |  FROM scored)
+       |SELECT query_id, rnk, vec_id, adc FROM r WHERE rnk <= $IvfTopK
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "sim_topk_pq" -> pqOracle,
     "sim_topk_bruteforce" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
          |  WHERE vec_id < $NumQueries),

@@ -144,4 +144,29 @@ class SimilaritySpec extends SparkSpec {
         assert(java.lang.Double.doubleToLongBits(bfc) == java.lang.Double.doubleToLongBits(c)))
     }
   }
+
+  test("PQ-ADC top-k is well-formed and recalls true neighbors") {
+    val pq = Similarity.topKPq(spark, sf0001)
+      .select("query_id", "rnk", "vec_id", "adc")
+      .as[(Long, Int, Long, Double)].collect()
+    assert(pq.nonEmpty)
+    pq.groupBy(_._1).values.foreach { rows =>
+      // full rank lists, ADC non-decreasing with rank (distance, not score)
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to sorted.length))
+      val adcs = sorted.map(_._4).toSeq
+      assert(adcs == adcs.sorted)
+      // a query's own vector is never its own neighbor
+      assert(!rows.exists(r => r._3 == r._1))
+    }
+    // quantized recall: each query's PQ top-10 must overlap the exact
+    // brute-force top-10 (weak bound on purpose — 4×16 PQ at 10
+    // centroids is coarse; zero overlap would mean broken codebooks)
+    val bf = Similarity.topKBruteForce(spark, sf0001)
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    pq.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._3).count(bf(q)) >= 1, s"query $q: zero PQ recall")
+    }
+  }
 }
