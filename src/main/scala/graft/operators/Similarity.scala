@@ -219,6 +219,43 @@ object Similarity {
   val PqSubspaces = 4
   val PqSubDim = 16
 
+  /** All four subspace codebooks trained JOINTLY: each Lloyd's round
+    * is ONE job — codes for every subspace in one projection, stacked
+    * to (subspace, cell, subvector) rows, one map-side-combined
+    * aggregate of scaled-long component sums. Running kmeansCentroids
+    * per subspace would cost 4× the scans (12 jobs instead of 3);
+    * arithmetic per (subspace, cell) is IDENTICAL, so the per-subspace
+    * oracle chain still replays it exactly. */
+  private def pqTrainBooks(sliced: DataFrame): Seq[Array[(Int, Array[Double])]] = {
+    var books: Seq[Array[(Int, Array[Double])]] = {
+      val rows = sliced.filter(col("vec_id") < KMeansCells)
+        .collect().sortBy(_.getLong(0))
+      (0 until PqSubspaces).map(s => rows.map(r =>
+        (r.getLong(0).toInt, r.getSeq[Float](s + 1).map(_.toDouble).toArray)).toArray)
+    }
+    val stackArgs = (0 until PqSubspaces).map(s => s"$s, c$s, s$s").mkString(", ")
+    val sums = (0 until PqSubDim).map(k =>
+      sum(floor(element_at(col("v"), k + 1).cast("double")
+        * lit(KMeansScale.toDouble) + lit(0.5))).as(s"m$k"))
+    for (_ <- 0 until KMeansIters) {
+      val rows = sliced
+        .select(col("vec_id") +: (0 until PqSubspaces).flatMap(s => Seq(
+          col(s"s$s"), argminCell(col(s"s$s"), books(s)).as(s"c$s"))): _*)
+        .selectExpr(s"stack($PqSubspaces, $stackArgs) AS (sub, cell, v)")
+        .groupBy(col("sub"), col("cell"))
+        .agg(count(lit(1)).as("n"), sums: _*)
+        .collect()
+      books = (0 until PqSubspaces).map { s =>
+        rows.filter(_.getInt(0) == s).map { r =>
+          val n = r.getLong(2).toDouble
+          (r.getInt(1), Array.tabulate(PqSubDim)(k =>
+            r.getLong(3 + k).toDouble / (n * KMeansScale)))
+        }.sortBy(_._1).toArray
+      }
+    }
+    books
+  }
+
   /** PQ-ADC approximate top-k: per-subspace Lloyd's codebooks (the same
     * seeded fixed-point machinery as topKIvfKmeans), corpus encoded as
     * PqSubspaces small codes in ONE narrow pass, then asymmetric
@@ -240,9 +277,7 @@ object Similarity {
       col("vec_id") +:
         (0 until PqSubspaces).map(s =>
           slice(col("embedding"), s * PqSubDim + 1, PqSubDim).as(s"s$s")): _*)
-    val books: Seq[Array[(Int, Array[Double])]] = (0 until PqSubspaces).map { s =>
-      kmeansCentroids(sliced.select(col("vec_id"), col(s"s$s").as("embedding")))
-    }
+    val books = pqTrainBooks(sliced)
     val codes = sliced.select(
       col("vec_id") +:
         (0 until PqSubspaces).map(s => argminCell(col(s"s$s"), books(s)).as(s"c$s")): _*)
