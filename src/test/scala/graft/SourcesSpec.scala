@@ -123,6 +123,39 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("runtime bloom filter: a selective dim filter row-prunes the fact scan side") {
+    // the row-level sibling of DPP: InjectRuntimeFilter builds a bloom
+    // filter from the filtered dim keys and applies might_contain on
+    // the fact side BEFORE its shuffle — at 100 TB this is the
+    // difference between shuffling the whole fact table and shuffling
+    // the ~matching fraction. Thresholds floored because the test data
+    // is far below the 10 MB/10 GB production defaults.
+    val conf = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      // creation side must be SMALLER than its threshold (it caps the
+      // bloom build cost); application side must be LARGER than its
+      // scan threshold (it guards the benefit) — so raise one, floor
+      // the other for the small fixture
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = conf.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    conf.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact = Tables.lineitem(spark, sf001)
+      val dim = Tables.orders(spark, sf001).filter(col("o_orderpriority") === "1-URGENT")
+      val j = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(sum(col("l_quantity")).as("q"))
+      val optimized = j.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain"),
+        s"expected an injected runtime bloom filter on the fact side:\n$optimized")
+      assert(j.collect().length == 1)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("dynamic partition pruning: a dim-side filter prunes fact partitions at runtime") {
     // the 100 TB pattern: fact partitioned on a key, the selective
     // predicate lives on a DIMENSION attribute — static pruning can't
