@@ -34,19 +34,19 @@ object Sketches {
   /** HLL registers (m). 256 → relative error ≈ 1.04/√256 ≈ 6.5%. */
   private[graft] val HllM = 256
   /** Bias constant α·1000 for m=256: round(0.7213/(1 + 1.079/256)·1000). */
-  private val AlphaMilli = 719L
+  private[graft] val AlphaMilli = 719L
   /** α·m²·2^25, milli-scaled: numerator of the raw estimator (the
     * register sum below is scaled by 2^25 to stay integral). */
-  private val HllConstMilli: Long = AlphaMilli * HllM * HllM * 33554432L
+  private[graft] val HllConstMilli: Long = AlphaMilli * HllM * HllM * 33554432L
   /** Linear-counting table, milli-scaled: LcMilli(v) = round(m·ln(m/v)·1000)
     * for v = 1..m−1 empty registers (index 0 unused). ln() runs HERE, at
     * plan-build time — the runtime (and the oracle, which embeds the same
     * literals) does a table lookup, so no transcendental ever has to agree
     * across engines. */
-  private val LcMilli: Seq[Long] =
+  private[graft] val LcMilli: Seq[Long] =
     0L +: (1 until HllM).map(v => Math.round(HllM * math.log(HllM.toDouble / v) * 1000))
   /** Raw-estimate cutoff below which linear counting wins: 2.5·m·1000. */
-  private val LcCutoffMilli = 2500L * HllM
+  private[graft] val LcCutoffMilli = 2500L * HllM
 
   /** CMS geometry: d=4 hash rows × w=16 cells. w is deliberately tiny so
     * the sf0.01 corpus (31 distinct tokens) actually collides and the

@@ -1,11 +1,16 @@
 package graft.streaming
 
-import org.apache.spark.sql.Dataset
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 import graft.operators.Sketches
 
 /** A keyed (key, value) pair on the stream. */
 final case class KeyedValue(key: String, value: String)
+
+/** An event-time-stamped value on the stream. */
+final case class TimedValue(ts: Timestamp, value: String)
 
 /** Running distinct-count estimate for one key. */
 final case class DistinctEstimate(key: String, n_estimate: Long)
@@ -30,6 +35,41 @@ final case class DistinctEstimate(key: String, n_estimate: Long)
   * mode emits the refreshed estimate each trigger.
   */
 object StreamingSketch {
+
+  /** Approximate distinct values per event-time window — TWO chained
+    * stateful aggregations in append mode (register max per
+    * (window, bucket), then the window's estimate), legal since the
+    * second groups by the first's time window. State per open window
+    * is ≤ HllM register rows and the watermark evicts it; the emitted
+    * estimate uses the exact integer arithmetic of
+    * Sketches.hllEstimateBy, so a closed window's estimate equals the
+    * batch computation over the same rows (spec-proven). */
+  def windowedDistinct(tv: Dataset[TimedValue], windowDur: String,
+      watermarkDelay: String): DataFrame = {
+    import org.apache.spark.sql.functions.{window => timeWindow}
+    tv.toDF()
+      .withWatermark("ts", watermarkDelay)
+      .select(col("ts"), Sketches.hash32(col("value")).as("x"))
+      .select(col("ts"), (col("x") % Sketches.HllM).as("bucket"),
+        when(shiftright(col("x"), 8) === 0, 25L)
+          .otherwise(lit(25L) - length(bin(shiftright(col("x"), 8)))).as("rho"))
+      .groupBy(timeWindow(col("ts"), windowDur), col("bucket"))
+      .agg(max("rho").as("rho"))
+      // second stateful agg: re-window the first window onto itself via
+      // window_time — the chained-aggregation form append mode accepts
+      .groupBy(timeWindow(window_time(col("window")), windowDur))
+      .agg(
+        (sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(25 - rho AS INT))"))
+          + (lit(Sketches.HllM.toLong) - count(lit(1))) * 33554432L).as("zs"),
+        (lit(Sketches.HllM.toLong) - count(lit(1))).as("n_zero_buckets"))
+      .withColumn("raw_milli", expr(s"${Sketches.HllConstMilli}L div zs"))
+      .withColumn("est_milli",
+        when(col("n_zero_buckets") > 0 && col("raw_milli") < Sketches.LcCutoffMilli,
+          element_at(typedLit(Sketches.LcMilli), (col("n_zero_buckets") + 1).cast("int")))
+          .otherwise(col("raw_milli")))
+      .select(col("window").getField("start").as("window_start"),
+        col("n_zero_buckets"), expr("est_milli div 1000").as("hll_est"))
+  }
 
   /** Running distinct-`value` estimate per key. */
   def distinctByKey(kv: Dataset[KeyedValue]): Dataset[DistinctEstimate] = {

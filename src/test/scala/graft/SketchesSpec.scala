@@ -78,6 +78,42 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("windowed streaming HLL closes windows with batch-identical estimates") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    // two 1-minute windows with distinct user populations + repeats
+    val w1 = (1 to 120).map(i => graft.streaming.TimedValue(t(10 + i % 50), s"u${i % 57}"))
+    val w2 = (1 to 80).map(i => graft.streaming.TimedValue(t(70 + i % 40), s"v${i % 23}"))
+    val input = MemoryStream[graft.streaming.TimedValue]
+    val q = graft.streaming.StreamingSketch
+      .windowedDistinct(input.toDS(), "1 minute", "10 seconds")
+      .writeStream.format("memory").queryName("whll").outputMode("append").start()
+    try {
+      input.addData(w1)
+      q.processAllAvailable()
+      input.addData(w2)
+      q.processAllAvailable()
+      // advance the watermark far past both windows to close them
+      input.addData(graft.streaming.TimedValue(t(1000), "sentinel"))
+      q.processAllAvailable()
+      val streamed = spark.table("whll")
+        .collect().map(r => r.getTimestamp(0).getTime / 1000 -> r.getAs[Long]("hll_est")).toMap
+      assert(streamed.keySet == Set(0L, 60L))
+      // batch twin over the same rows, grouped by the same window
+      val batch = Sketches.hllEstimateBy(
+          (w1 ++ w2).toDF("ts", "value")
+            .withColumn("ws", expr("unix_seconds(ts) div 60 * 60")),
+          Seq("ws"), col("value"))
+        .collect().map(r => r.getLong(0) -> r.getAs[Long]("hll_est")).toMap
+      assert(streamed == batch,
+        s"windowed streaming and batch sketches diverged: $streamed vs $batch")
+      // sanity: populations are ~57 and ~23 distinct
+      assert(math.abs(streamed(0L) - 57L) <= 15 && math.abs(streamed(60L) - 23L) <= 10)
+    } finally q.stop()
+  }
+
   test("streaming HLL state emits bit-identical estimates to the batch column form") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
