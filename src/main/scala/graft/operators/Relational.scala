@@ -209,6 +209,21 @@ object Relational {
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
   }
 
+  // -- ordered string aggregation ------------------------------------------
+  /** Region roster: nation names concatenated per region in a DECLARED
+    * order — collect_list gives no order guarantee, so the deterministic
+    * Spark form is sort_array before array_join (DuckDB: string_agg
+    * with ORDER BY). The list is per-group tiny; the groupBy is the
+    * only shuffle. */
+  def regionRoster(spark: SparkSession, dir: String): DataFrame =
+    Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"))
+      .agg(array_join(sort_array(collect_list(col("n_name"))), ",").as("nations"),
+        count(lit(1)).as("n_nations"))
+      .orderBy("region")
+
   // -- lag/lead navigation over per-customer order history -----------------
   def orderGaps(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
@@ -362,6 +377,7 @@ object Relational {
     "rel_pivot_days" -> ((s, d) => pivotEventDays(s, d)),
     "rel_grouping_sets" -> ((s, d) => groupingSetsOrders(s, d)),
     "rel_lag_lead" -> ((s, d) => orderGaps(s, d)),
+    "rel_string_agg" -> ((s, d) => regionRoster(s, d)),
     "rel_full_outer" -> ((s, d) => customerActivity(s, d)),
     "rel_range_frame" -> ((s, d) => trailingHourSpend(s, d)),
     "rel_unpivot" -> ((s, d) => unpivotLineMetrics(s, d)),
@@ -482,6 +498,12 @@ object Relational {
         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
         |                        (o_orderstatus), (o_orderpriority))
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "rel_string_agg" ->
+      """SELECT r.r_name AS region,
+        |  string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations,
+        |  count(*)::BIGINT AS n_nations
+        |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "rel_lag_lead" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,
         |  lag(o_totalprice, 1) OVER w AS prev_price,

@@ -74,6 +74,11 @@ object Sketches {
   /** Mixed 32-bit hash of any value via its decimal/string form. */
   def hash32(c: Column): Column = avalanche32(polyHashWith(c, 31L, 0L))
 
+  /** Independent second hash (multiplier 37, offset 7) — the pair that
+    * double-hashing constructions (bloom probes) derive their k probe
+    * positions from. */
+  def hash37(c: Column): Column = avalanche32(polyHashWith(c, 37L, 7L))
+
   /** Generic per-group HLL estimate as column algebra: groups `df` by
     * `keys` and estimates the distinct count of `value`. Emits
     * keys ++ (n_zero_buckets, hll_est).
@@ -226,10 +231,55 @@ object Sketches {
       .orderBy("event_type", "p")
   }
 
+  /** Bloom geometry: m=32768 bits as 1024×32-bit words (32-bit words so
+    * no shift ever touches the BIGINT sign bit in either engine), k=4
+    * probes by double hashing h1 + i·h2. Sized for ~0.8% FP at the
+    * sf0.01 dim (~2.9k keys) — real false positives exist AND the
+    * filter is actually selective; at scale m is the knob (2^30 bits =
+    * 128 MB filters a trillion-row fact). */
+  private val BloomBits = 32768L
+  private val BloomK = 4
+
+  /** Membership-sketch report — the explicit form of a runtime join
+    * filter: build a bloom over the URGENT orders' keys, test every
+    * distinct lineitem key against it, and report pass/true/false-
+    * positive counts. The broadcast is 32 words (128 bytes) however
+    * many keys the dim holds — the poor-man's semi-join when shipping
+    * the key set itself is too big, and unlike Spark's injected
+    * `might_contain` (spec-proven separately) this one's bits replay
+    * in DuckDB. No false negatives by construction: every true match
+    * passes. */
+  def bloomReport(spark: SparkSession, dir: String): DataFrame = {
+    def probes(df: DataFrame): DataFrame = df
+      .select(col("key"), hash32(col("key")).as("h1"), hash37(col("key")).as("h2"))
+      .select(col("key"), explode(array((0 until BloomK).map(i =>
+        (col("h1") + lit(i.toLong) * col("h2")) % BloomBits): _*)).as("probe"))
+      .select(col("key"), expr("probe div 32").as("word"), (col("probe") % 32).as("bit"))
+    val dimKeys = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey").as("key"))
+    val bloom = probes(dimKeys).groupBy("word")
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT)))").as("bits"))
+    val factKeys = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("key")).distinct()
+    val verdicts = probes(factKeys)
+      .join(broadcast(bloom), Seq("word"), "left")
+      .groupBy("key")
+      .agg(min(coalesce(expr("shiftright(bits, CAST(bit AS INT)) & 1"), lit(0L)))
+        .as("all_set"))
+    verdicts
+      .join(dimKeys.distinct().withColumn("is_true", lit(1L)), Seq("key"), "left")
+      .agg(sum(col("all_set")).as("n_keys_pass"),
+        sum(coalesce(col("is_true"), lit(0L))).as("n_keys_true"),
+        sum(when(col("all_set") === 1 && col("is_true").isNull, 1L).otherwise(0L))
+          .as("n_false_positives"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sketch_hll_distinct" -> ((s, d) => hllDistinct(s, d)),
     "sketch_cms_topk" -> ((s, d) => cmsTopK(s, d)),
-    "sketch_quantile_hist" -> ((s, d) => quantileHist(s, d)))
+    "sketch_quantile_hist" -> ((s, d) => quantileHist(s, d)),
+    "sketch_bloom_filter" -> ((s, d) => bloomReport(s, d)))
 
   // ---- oracle ----------------------------------------------------------
 
@@ -309,5 +359,33 @@ object Sketches {
         |  FROM w CROSS JOIN p)
         |SELECT t.event_type, t.p, t.lo + min(c.bin) * t.bw AS est_cents
         |FROM tgt t JOIN cum c ON c.event_type = t.event_type AND c.cum >= t.target
-        |GROUP BY 1, 2, t.lo, t.bw ORDER BY 1, 2""".stripMargin)
+        |GROUP BY 1, 2, t.lo, t.bw ORDER BY 1, 2""".stripMargin,
+    "sketch_bloom_filter" ->
+      s"""WITH dimk AS (SELECT o_orderkey AS key FROM orders
+         |  WHERE o_orderpriority = '1-URGENT'),
+         |dh AS (SELECT key, ${foldSql("key::VARCHAR", 31L, 0L)} AS f1,
+         |    ${foldSql("key::VARCHAR", 37L, 7L)} AS f2 FROM dimk),
+         |dp AS (SELECT key,
+         |    unnest(list_transform([0, 1, 2, 3],
+         |      i -> ((${mixColSql("f1")}) + i * (${mixColSql("f2")})) % $BloomBits)) AS probe
+         |  FROM dh),
+         |bloom AS (SELECT probe // 32 AS word,
+         |    bit_or((1::BIGINT << (probe % 32)::INT))::BIGINT AS bits
+         |  FROM dp GROUP BY 1),
+         |fk AS (SELECT DISTINCT l_orderkey AS key FROM lineitem),
+         |fh AS (SELECT key, ${foldSql("key::VARCHAR", 31L, 0L)} AS f1,
+         |    ${foldSql("key::VARCHAR", 37L, 7L)} AS f2 FROM fk),
+         |fp AS (SELECT key,
+         |    unnest(list_transform([0, 1, 2, 3],
+         |      i -> ((${mixColSql("f1")}) + i * (${mixColSql("f2")})) % $BloomBits)) AS probe
+         |  FROM fh),
+         |v AS (SELECT key,
+         |    min(coalesce((b.bits >> (p.probe % 32)::INT) & 1, 0))::BIGINT AS all_set
+         |  FROM (SELECT key, probe, probe // 32 AS word FROM fp) p
+         |  LEFT JOIN bloom b USING (word) GROUP BY key)
+         |SELECT sum(v.all_set)::BIGINT AS n_keys_pass,
+         |  sum(CASE WHEN d.key IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_keys_true,
+         |  sum(CASE WHEN v.all_set = 1 AND d.key IS NULL THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_false_positives
+         |FROM v LEFT JOIN (SELECT DISTINCT key FROM dimk) d USING (key)""".stripMargin)
 }

@@ -78,6 +78,17 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("bloom membership has no false negatives and a small live FP tail") {
+    val r = Sketches.bloomReport(spark, sf001).head()
+    val (pass, truth, fp) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    // no false negatives: every true key passes, so pass = true + fp
+    assert(pass == truth + fp)
+    assert(truth > 0)
+    // sized so the FP path is exercised but the filter stays selective
+    assert(fp > 0, "geometry must produce real false positives at sf0.01")
+    assert(fp.toDouble / (pass + 1) < 0.1, s"filter saturated: $fp FPs of $pass passes")
+  }
+
   test("windowed streaming HLL closes windows with batch-identical estimates") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
