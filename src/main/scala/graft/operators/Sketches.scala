@@ -164,6 +164,9 @@ object Sketches {
       if (reg(i) == 0) v += 1
       i += 1
     }
+    if (v == HllM) return 0L // no values ever folded in — a state the
+    // batch form can't reach (SQL emits no row for an empty group), but
+    // the scalar API can be handed
     val raw = HllConstMilli / zs
     (if (v > 0 && raw < LcCutoffMilli) LcMilli(v) else raw) / 1000
   }

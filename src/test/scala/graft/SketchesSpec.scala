@@ -78,6 +78,31 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("HLL registers merge associatively: any partition of the input gives identical state") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // the property partial aggregation relies on: registers built from
+    // any split/merge of the rows equal registers built from all rows
+    val gen = for {
+      n <- Gen.chooseNum(0, 400)
+      vals <- Gen.listOfN(n, Gen.chooseNum(0, 5000).map(i => s"u$i"))
+      cut <- Gen.chooseNum(0, n)
+    } yield (vals, cut)
+    (1 to 50).foreach { i =>
+      val (vals, cut) = gen(org.scalacheck.Gen.Parameters.default, Seed(i.toLong)).get
+      val whole = new Array[Byte](graft.operators.Sketches.HllM)
+      vals.foreach(v => Sketches.hllUpdate(whole, v))
+      val (a, b) = vals.splitAt(cut)
+      val ra = new Array[Byte](graft.operators.Sketches.HllM)
+      val rb = new Array[Byte](graft.operators.Sketches.HllM)
+      a.foreach(v => Sketches.hllUpdate(ra, v))
+      b.foreach(v => Sketches.hllUpdate(rb, v))
+      val merged = ra.zip(rb).map { case (x, y) => math.max(x, y).toByte }
+      assert(merged.toSeq == whole.toSeq, s"seed $i: split-merge diverged")
+      assert(Sketches.hllEstimate(merged) == Sketches.hllEstimate(whole))
+    }
+  }
+
   test("bloom membership has no false negatives and a small live FP tail") {
     val r = Sketches.bloomReport(spark, sf001).head()
     val (pass, truth, fp) = (r.getLong(0), r.getLong(1), r.getLong(2))

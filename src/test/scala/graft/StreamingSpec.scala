@@ -366,4 +366,37 @@ class StreamingSpec extends SparkSpec {
       assert(sumVol == msgs.map(_.qty).sum)
     } finally q.stop()
   }
+
+  test("streaming session windows merge across micro-batches and close on watermark") {
+    // batch session semantics live in Windows.userSessions; this drill
+    // pins the STREAMING form: a gap-keyed session must merge rows
+    // arriving in different micro-batches, then emit once closed
+    val input = MemoryStream[Trade]
+    val sessions = StreamingOhlcv.withEventTime(input.toDS(), "5 seconds")
+      .groupBy(session_window(col("ts"), "30 seconds").as("w"), col("product"))
+      .agg(count(lit(1)).as("n_trades"), sum(col("qty")).as("volume"))
+      .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
+        col("product"), col("n_trades"), col("volume"))
+    val q = sessions.writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    try {
+      // batch 1: two events 10s apart (same session: gap < 30s)
+      input.addData(trade(0, "S1", 10.0, 1), trade(10000, "S1", 11.0, 2))
+      q.processAllAvailable()
+      // batch 2: extends the SAME session (25s after the last event),
+      // plus a far-future event to push the watermark past session end
+      input.addData(trade(35000, "S1", 12.0, 3))
+      q.processAllAvailable()
+      input.addData(trade(200000, "S1", 13.0, 4))
+      q.processAllAvailable()
+      val rows = spark.table("sess").orderBy("session_start").collect()
+      assert(rows.length == 1, s"expected one closed session, got ${rows.toSeq}")
+      // one merged session covering all three batches' events:
+      // [T0, T0+35s+30s gap), 3 trades, volume 6
+      assert(rows(0).getAs[Long]("n_trades") == 3)
+      assert(rows(0).getAs[Long]("volume") == 6)
+      val span = rows(0).getTimestamp(1).getTime - rows(0).getTimestamp(0).getTime
+      assert(span == 35000 + 30000, s"session span was $span")
+    } finally q.stop()
+  }
 }
