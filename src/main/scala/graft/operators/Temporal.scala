@@ -67,9 +67,30 @@ object Temporal {
       .orderBy("key", "valid_from_us", "version_seq")
   }
 
+  /** Point-in-time lookup of events against the SCD2 history — the
+    * composition the temporal stack exists for: each event finds the
+    * version valid AT its timestamp via the repo's as-of join (last
+    * version opened at-or-before the event), then validity-filters so
+    * delete-closed intervals reject events after the close. */
+  def scd2Lookup(spark: SparkSession, dir: String): DataFrame = {
+    val dim = scd2Build(spark, dir).select(
+      col("key"), col("valid_from_us").as("ts_us"),
+      col("version_seq"), col("val_cents"), col("valid_to_us"))
+    val probes = Tables.events(spark, dir).select(
+      (col("user_id") % 500).as("key"),
+      col("event_id"),
+      expr("unix_micros(ts)").as("ts_us"))
+    AsOfJoin.asOfLast(probes, dim, "key", "ts_us", "valid_from_us")
+      .filter(col("valid_to_us").isNotNull && col("valid_to_us") > col("ts_us"))
+      .select(col("event_id"), col("key"), col("ts_us"),
+        col("version_seq"), col("val_cents"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rel_cdc_apply" -> ((s, d) => cdcApply(s, d)),
-    "rel_scd2_build" -> ((s, d) => scd2Build(s, d)))
+    "rel_scd2_build" -> ((s, d) => scd2Build(s, d)),
+    "rel_scd2_lookup" -> ((s, d) => scd2Lookup(s, d)))
 
   private val logCte =
     """log AS (SELECT o_custkey % 500 AS key, o_orderkey AS seq,
@@ -94,5 +115,22 @@ object Temporal {
          |SELECT key, seq AS version_seq, val_cents, ts_us AS valid_from_us,
          |  valid_to_us, valid_to_us = 253402300799000000 AS is_current
          |FROM v WHERE op <> 'D'
-         |ORDER BY key, valid_from_us, version_seq""".stripMargin)
+         |ORDER BY key, valid_from_us, version_seq""".stripMargin,
+    "rel_scd2_lookup" ->
+      s"""WITH $logCte,
+         |v AS (SELECT *, coalesce(lead(ts_us) OVER (PARTITION BY key ORDER BY ts_us, seq),
+         |    253402300799000000) AS valid_to_us FROM log),
+         |dim AS (SELECT key, ts_us AS valid_from_us, seq AS version_seq,
+         |    val_cents, valid_to_us FROM v WHERE op <> 'D'),
+         |probes AS (SELECT user_id % 500 AS key, event_id, epoch_us(ts) AS ts_us
+         |  FROM events),
+         |matched AS MATERIALIZED (
+         |  SELECT p.event_id, p.key, p.ts_us, d.version_seq, d.val_cents,
+         |    d.valid_to_us
+         |  FROM probes p ASOF LEFT JOIN dim d
+         |    ON p.key = d.key AND p.ts_us >= d.valid_from_us)
+         |SELECT event_id, key, ts_us, version_seq, val_cents
+         |FROM matched
+         |WHERE valid_to_us IS NOT NULL AND valid_to_us > ts_us
+         |ORDER BY event_id""".stripMargin)
 }
