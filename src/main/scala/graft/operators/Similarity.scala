@@ -281,18 +281,34 @@ object Similarity {
     val codes = sliced.select(
       col("vec_id") +:
         (0 until PqSubspaces).map(s => argminCell(col(s"s$s"), books(s)).as(s"c$s")): _*)
-    val queries = sliced.filter(col("vec_id") < NumQueries).select(
-      col("vec_id").as("query_id") +:
-        (0 until PqSubspaces).map(s => col(s"s$s").as(s"q$s")): _*)
-    // per-subspace LUT pick: a when-chain keyed on the code id (robust
-    // to a centroid losing all members — ids need not stay contiguous)
-    def lut(s: Int): Column = coalesce(books(s).sortBy(_._1).map { case (cid, cv) =>
-      when(col(s"c$s") === cid,
-        lit(selfDot(cv)) - lit(2.0) * dotProduct(col(s"q$s"), typedlit(cv)))
-    }.toIndexedSeq: _*)
-    val scored = codes.crossJoin(broadcast(queries))
+    // the ADC LUTs are computed ON THE DRIVER — queries are the small
+    // side by definition (collect of NumQueries rows), and codebooks
+    // already live there. Each LUT entry is |c|² − 2⟨q_s,c⟩ with the
+    // same ascending-index fold as the native DotProduct, so the values
+    // (and the oracle's kmDotSql replay) are bit-identical to computing
+    // them per candidate row. Arrays index by centroid id; a dead
+    // centroid's slot holds MaxValue and is unreachable (codes only
+    // take live ids).
+    import spark.implicits._
+    val lutDf = sliced.filter(col("vec_id") < NumQueries)
+      .collect().sortBy(_.getLong(0)).toSeq.map { r =>
+        val luts = (0 until PqSubspaces).map { s =>
+          val q = r.getSeq[Float](s + 1).map(_.toDouble).toArray
+          val arr = Array.fill(books(s).map(_._1).max + 1)(Double.MaxValue)
+          books(s).foreach { case (cid, cv) =>
+            var dot = 0.0; var i = 0
+            while (i < cv.length) { dot += q(i) * cv(i); i += 1 }
+            arr(cid) = selfDot(cv) - 2.0 * dot
+          }
+          arr.toSeq
+        }
+        (r.getLong(0), luts(0), luts(1), luts(2), luts(3))
+      }.toDF("query_id", "l0", "l1", "l2", "l3")
+    // per candidate: 4 array lookups + 3 adds — no dot products at all
+    val scored = codes.crossJoin(broadcast(lutDf))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("adc", (0 until PqSubspaces).map(lut).reduce(_ + _))
+      .withColumn("adc", (0 until PqSubspaces).map(s =>
+        element_at(col(s"l$s"), col(s"c$s") + lit(1))).reduce(_ + _))
     // bounded top-k by ADC ascending: negate into the (score DESC, id)
     // Aggregator — exact for doubles
     val topk = udaf(new graft.functions.TopKByScore(IvfTopK))

@@ -79,34 +79,50 @@ object Sketches {
     * positions from. */
   def hash37(c: Column): Column = avalanche32(polyHashWith(c, 37L, 7L))
 
+  /** (bucket, rho) projection of a mixed hash column — the shared front
+    * of the batch AND windowed-streaming estimators.
+    * ρ = clz(top-24-bits) + 1; w = x >> 8 (the bucket uses the low
+    * 8 bits). */
+  private[graft] def hllRhoCols(x: Column): Seq[Column] = Seq(
+    (x % HllM).as("bucket"),
+    when(shiftright(x, 8) === 0, 25L)
+      .otherwise(lit(25L) - length(bin(shiftright(x, 8)))).as("rho"))
+
+  /** Aggregates over per-bucket max-ρ rows: scaled register sum + empty
+    * count — shared by batch and windowed-streaming estimators. */
+  private[graft] val hllAggCols: Seq[Column] = Seq(
+    (sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(25 - rho AS INT))"))
+      + (lit(HllM.toLong) - count(lit(1))) * 33554432L).as("zs"),
+    (lit(HllM.toLong) - count(lit(1))).as("n_zero_buckets"))
+
+  /** zs/n_zero_buckets → `hll_est`, the milli-scaled branch chain. Any
+    * change here reaches the batch report, the windowed stream, and (via
+    * the spec's bit-identity assertions) flags the scalar twin. */
+  private[graft] def withHllEstimate(df: DataFrame): DataFrame = df
+    .withColumn("raw_milli", expr(s"${HllConstMilli}L div zs"))
+    .withColumn("est_milli",
+      when(col("n_zero_buckets") > 0 && col("raw_milli") < LcCutoffMilli,
+        element_at(typedLit(LcMilli), (col("n_zero_buckets") + 1).cast("int")))
+        .otherwise(col("raw_milli")))
+    .withColumn("hll_est", expr("est_milli div 1000"))
+
   /** Generic per-group HLL estimate as column algebra: groups `df` by
     * `keys` and estimates the distinct count of `value`. Emits
-    * keys ++ (n_zero_buckets, hll_est).
-    *
-    * ρ = clz(top-24-bits) + 1; w = x >> 8 (the bucket uses the low
-    * 8 bits); Σ2^−ρ is kept scaled by 2^25 so the harmonic mean is
-    * exact BIGINT division; α and the LC table are milli-scaled
-    * integer literals shared with the oracle — and with the scalar
-    * streaming twin below, which must produce identical estimates. */
+    * keys ++ (n_zero_buckets, hll_est). Σ2^−ρ is kept scaled by 2^25 so
+    * the harmonic mean is exact BIGINT division; α and the LC table are
+    * milli-scaled integer literals shared with the oracle — and with
+    * the scalar streaming twin below, which must produce identical
+    * estimates. */
   def hllEstimateBy(df: DataFrame, keys: Seq[String], value: Column): DataFrame = {
     val kc = keys.map(col)
-    df.select(kc :+ hash32(value).as("x"): _*)
-      .select(kc ++ Seq(
-        (col("x") % HllM).as("bucket"),
-        when(shiftright(col("x"), 8) === 0, 25L)
-          .otherwise(lit(25L) - length(bin(shiftright(col("x"), 8)))).as("rho")): _*)
-      .groupBy(kc :+ col("bucket"): _*)
-      .agg(max("rho").as("rho"))
-      .groupBy(kc: _*).agg(
-        (sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(25 - rho AS INT))"))
-          + (lit(HllM.toLong) - count(lit(1))) * 33554432L).as("zs"),
-        (lit(HllM.toLong) - count(lit(1))).as("n_zero_buckets"))
-      .withColumn("raw_milli", expr(s"${HllConstMilli}L div zs"))
-      .withColumn("est_milli",
-        when(col("n_zero_buckets") > 0 && col("raw_milli") < LcCutoffMilli,
-          element_at(typedLit(LcMilli), (col("n_zero_buckets") + 1).cast("int")))
-          .otherwise(col("raw_milli")))
-      .select(kc ++ Seq(col("n_zero_buckets"), expr("est_milli div 1000").as("hll_est")): _*)
+    withHllEstimate(
+      df.select(kc :+ hash32(value).as("x"): _*)
+        .select(kc ++ hllRhoCols(col("x")): _*)
+        .groupBy(kc :+ col("bucket"): _*)
+        .agg(max("rho").as("rho"))
+        .groupBy(kc: _*)
+        .agg(hllAggCols.head, hllAggCols.tail: _*))
+      .select(kc ++ Seq(col("n_zero_buckets"), col("hll_est")): _*)
   }
 
   /** HyperLogLog distinct-count report over `events`: per event_type,
@@ -246,7 +262,7 @@ object Sketches {
   /** Membership-sketch report — the explicit form of a runtime join
     * filter: build a bloom over the URGENT orders' keys, test every
     * distinct lineitem key against it, and report pass/true/false-
-    * positive counts. The broadcast is 32 words (128 bytes) however
+    * positive counts. The broadcast is 1024 words (~8 KB as BIGINT rows) however
     * many keys the dim holds — the poor-man's semi-join when shipping
     * the key set itself is too big, and unlike Spark's injected
     * `might_contain` (spec-proven separately) this one's bits replay

@@ -73,9 +73,19 @@ object Temporal {
     * version opened at-or-before the event), then validity-filters so
     * delete-closed intervals reject events after the close. */
   def scd2Lookup(spark: SparkSession, dir: String): DataFrame = {
-    val dim = scd2Build(spark, dir).select(
-      col("key"), col("valid_from_us").as("ts_us"),
-      col("version_seq"), col("val_cents"), col("valid_to_us"))
+    import org.apache.spark.sql.expressions.Window
+    // asOfLast's contract: the right side must be unique per (key, ts) —
+    // day-granularity change times DO tie, and which tied version an
+    // as-of match picks is engine- and run-arbitrary. Semantics chosen:
+    // the LATEST version opened at an instant wins (its earlier twins
+    // are zero-length intervals that never validly match anyway).
+    val perInstant = Window.partitionBy("key", "valid_from_us")
+      .orderBy(col("version_seq").desc)
+    val dim = scd2Build(spark, dir)
+      .withColumn("rn", row_number().over(perInstant))
+      .filter(col("rn") === 1)
+      .select(col("key"), col("valid_from_us").as("ts_us"),
+        col("version_seq"), col("val_cents"), col("valid_to_us"))
     val probes = Tables.events(spark, dir).select(
       (col("user_id") % 500).as("key"),
       col("event_id"),
@@ -121,7 +131,8 @@ object Temporal {
          |v AS (SELECT *, coalesce(lead(ts_us) OVER (PARTITION BY key ORDER BY ts_us, seq),
          |    253402300799000000) AS valid_to_us FROM log),
          |dim AS (SELECT key, ts_us AS valid_from_us, seq AS version_seq,
-         |    val_cents, valid_to_us FROM v WHERE op <> 'D'),
+         |    val_cents, valid_to_us FROM v WHERE op <> 'D'
+         |  QUALIFY row_number() OVER (PARTITION BY key, ts_us ORDER BY seq DESC) = 1),
          |probes AS (SELECT user_id % 500 AS key, event_id, epoch_us(ts) AS ts_us
          |  FROM events),
          |matched AS MATERIALIZED (

@@ -47,28 +47,21 @@ object StreamingSketch {
   def windowedDistinct(tv: Dataset[TimedValue], windowDur: String,
       watermarkDelay: String): DataFrame = {
     import org.apache.spark.sql.functions.{window => timeWindow}
-    tv.toDF()
-      .withWatermark("ts", watermarkDelay)
-      .select(col("ts"), Sketches.hash32(col("value")).as("x"))
-      .select(col("ts"), (col("x") % Sketches.HllM).as("bucket"),
-        when(shiftright(col("x"), 8) === 0, 25L)
-          .otherwise(lit(25L) - length(bin(shiftright(col("x"), 8)))).as("rho"))
-      .groupBy(timeWindow(col("ts"), windowDur), col("bucket"))
-      .agg(max("rho").as("rho"))
-      // second stateful agg: re-window the first window onto itself via
-      // window_time — the chained-aggregation form append mode accepts
-      .groupBy(timeWindow(window_time(col("window")), windowDur))
-      .agg(
-        (sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(25 - rho AS INT))"))
-          + (lit(Sketches.HllM.toLong) - count(lit(1))) * 33554432L).as("zs"),
-        (lit(Sketches.HllM.toLong) - count(lit(1))).as("n_zero_buckets"))
-      .withColumn("raw_milli", expr(s"${Sketches.HllConstMilli}L div zs"))
-      .withColumn("est_milli",
-        when(col("n_zero_buckets") > 0 && col("raw_milli") < Sketches.LcCutoffMilli,
-          element_at(typedLit(Sketches.LcMilli), (col("n_zero_buckets") + 1).cast("int")))
-          .otherwise(col("raw_milli")))
+    Sketches.withHllEstimate(
+      tv.toDF()
+        .withWatermark("ts", watermarkDelay)
+        // hash aliased through a projection so bucket and rho don't each
+        // re-run the fold+mixer
+        .select(col("ts"), Sketches.hash32(col("value")).as("x"))
+        .select(col("ts") +: Sketches.hllRhoCols(col("x")): _*)
+        .groupBy(timeWindow(col("ts"), windowDur), col("bucket"))
+        .agg(max("rho").as("rho"))
+        // second stateful agg: re-window the first window onto itself via
+        // window_time — the chained-aggregation form append mode accepts
+        .groupBy(timeWindow(window_time(col("window")), windowDur))
+        .agg(Sketches.hllAggCols.head, Sketches.hllAggCols.tail: _*))
       .select(col("window").getField("start").as("window_start"),
-        col("n_zero_buckets"), expr("est_milli div 1000").as("hll_est"))
+        col("n_zero_buckets"), col("hll_est"))
   }
 
   /** Running distinct-`value` estimate per key. */
