@@ -24,7 +24,7 @@ object Temporal {
 
   /** Deterministic CDC log: (key, seq, ts_us, op, val_cents).
     * op: orderkey%10 ∈ 0..5 → U, 6..8 → I, 9 → D. */
-  private def changeLog(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def changeLog(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir).select(
       (col("o_custkey") % 500).as("key"),
       col("o_orderkey").as("seq"),
