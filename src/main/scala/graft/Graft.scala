@@ -108,6 +108,35 @@ object Graft {
   val curation: Curation.type = Curation
   /** One-scan column profiling (operators.Profiling). */
   val profiling: Profiling.type = Profiling
+  /** Mergeable sketches: HLL distinct, Count-Min, histogram quantiles,
+    * bloom membership (operators.Sketches). */
+  val sketches: Sketches.type = Sketches
+  /** Temporal/CDC: last-writer-wins apply, SCD2 build + point-in-time
+    * lookup (operators.Temporal). */
+  val temporal: Temporal.type = Temporal
+  /** Funnel conversion + cohort retention (operators.Behavior). */
+  val behavior: Behavior.type = Behavior
+
+  /** Per-group approximate distinct count — the scale-safe
+    * count_distinct swap, DuckDB-replayable (operators.Sketches). */
+  def approxDistinct(df: DataFrame, keys: Seq[String], value: Column): DataFrame =
+    Sketches.hllEstimateBy(df, keys, value)
+
+  /** Whole-history streaming distinct per key: 256 bytes of state per
+    * key forever, estimates bit-identical to [[approxDistinct]]. */
+  def streamingDistinct(kv: Dataset[graft.streaming.KeyedValue])
+      : Dataset[graft.streaming.DistinctEstimate] =
+    graft.streaming.StreamingSketch.distinctByKey(kv)
+
+  /** Windowed streaming distinct: watermark-evicted per-window sketch
+    * state, append-mode emission on window close. */
+  def streamingWindowedDistinct(tv: Dataset[graft.streaming.TimedValue],
+      windowDur: String, watermarkDelay: String): DataFrame =
+    graft.streaming.StreamingSketch.windowedDistinct(tv, windowDur, watermarkDelay)
+
+  /** Integer-BM25 full-text top-k over any (doc_id, text) frame. */
+  def bm25(docs: DataFrame, queryTerms: Seq[(String, String)], k: Int): DataFrame =
+    Retrieval.bm25On(docs, queryTerms, k)
 
   /** Register the native expressions (cosine_sim, poly_hash, simhash31)
     * for spark.sql; session-build-time alternative:
