@@ -29,6 +29,27 @@ object Windows {
         col("event_type"), col("n"), col("mx"))
       .orderBy(col("window_start"), col("event_type"))
 
+  /** Top-3 users per 10-minute sliding window — the windowed top-k
+    * composition: per-(window, user) counts partial-aggregate map-side,
+    * then the bounded TopKByScore Aggregator caps what crosses the
+    * final shuffle at k × partitions per window (a per-window
+    * row_number would funnel every user count through one reducer per
+    * window — the shape PlanShapeSpec bans for similarity top-k, banned
+    * here for the same reason). */
+  def slidingTopUsers(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    val topk = udaf(new graft.functions.TopKByScore(3))
+    counts.groupBy(col("w"))
+      // counts < 2^53: the double round-trip through the buffer is exact
+      .agg(topk(col("user_id"), col("n").cast("double")).as("top"))
+      .select(col("w.start").as("window_start"), posexplode(col("top")))
+      .select(col("window_start"), (col("pos") + lit(1)).as("rnk"),
+        col("col.vec_id").as("user_id"), col("col.cosine").cast("long").as("n_events"))
+      .orderBy("window_start", "rnk")
+  }
+
   /** Per-user sessions with a 30-minute inactivity gap: session_end =
     * last event + gap (Spark session_window semantics). */
   def userSessions(spark: SparkSession, dir: String): DataFrame =
@@ -44,6 +65,7 @@ object Windows {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "win_sliding_counts" -> ((s, d) => slidingCounts(s, d)),
+    "win_sliding_topk" -> ((s, d) => slidingTopUsers(s, d)),
     "win_user_sessions" -> ((s, d) => userSessions(s, d)))
 
   val oracle: Map[String, String] = Map(
@@ -55,6 +77,18 @@ object Windows {
         |SELECT window_start, window_start + INTERVAL 10 MINUTE AS window_end,
         |  event_type, count(*)::BIGINT AS n, max(value) AS mx
         |FROM x GROUP BY 1, 2, 3 ORDER BY 1, 3""".stripMargin,
+    // same two-start expansion, then rank user counts inside each window
+    "win_sliding_topk" ->
+      """WITH x AS (SELECT user_id,
+        |    to_timestamp((epoch_us(ts) // 300000000) * 300 - k * 300)::TIMESTAMP AS window_start
+        |  FROM events, (SELECT unnest([0, 1]) AS k)),
+        |c AS (SELECT window_start, user_id, count(*)::BIGINT AS n_events
+        |  FROM x GROUP BY 1, 2),
+        |r AS (SELECT window_start, user_id, n_events,
+        |    row_number() OVER (PARTITION BY window_start ORDER BY n_events DESC, user_id) AS rnk
+        |  FROM c)
+        |SELECT window_start, rnk, user_id, n_events
+        |FROM r WHERE rnk <= 3 ORDER BY window_start, rnk""".stripMargin,
     // gaps-and-islands replay of session_window(ts, 30 min)
     "win_user_sessions" ->
       """WITH o AS (SELECT user_id, ts, value,
