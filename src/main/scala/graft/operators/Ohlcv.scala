@@ -121,6 +121,25 @@ object Ohlcv {
     * (reference main line, /root/reference/5_ohlc.py:72). */
   def bars1m(spark: SparkSession, dir: String): DataFrame = eventBars(spark, dir, "1 minute")
 
+  /** 1-minute VWAP (volume-weighted average price) next to the bar —
+    * the column every trading system adds right after OHLCV. Exact
+    * integer arithmetic end to end: price in cents, a deterministic
+    * synthetic quantity (event_id % 10 + 1 — the events fixture carries
+    * no real size), and the weighted mean as milli-cents by BIGINT
+    * division, so the result replays exactly (a double division's last
+    * bit would depend on nothing but luck). Plan shape: same single
+    * map-side-combined exchange as the plain bars. */
+  def bars1mVwap(spark: SparkSession, dir: String): DataFrame = {
+    val cents = expr("CAST(round(value * 100, 0) AS BIGINT)")
+    val qty = col("event_id") % 10 + 1
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 minute").as("w"), col("event_type"))
+      .agg(sum(cents * qty).as("pv"), sum(qty).as("volume"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("volume"), expr("(pv * 10) div volume").as("vwap_millicents"))
+      .orderBy("window_start", "event_type")
+  }
+
   /** 5-minute bars (the reference's second resolution,
     * /root/reference/old/flink.py:56-67). */
   def bars5m(spark: SparkSession, dir: String): DataFrame = eventBars(spark, dir, "5 minutes")
@@ -224,6 +243,7 @@ object Ohlcv {
     "ohlcv_1m_packed" -> ((s, d) => bars1mPacked(s, d)),
     "ohlcv_1m_typed" -> ((s, d) => bars1mTyped(s, d)),
     "ohlcv_1m" -> ((s, d) => bars1m(s, d)),
+    "ohlcv_1m_vwap" -> ((s, d) => bars1mVwap(s, d)),
     "ohlcv_5m" -> ((s, d) => bars5m(s, d)),
     "ohlcv_1h_by_user" -> ((s, d) => bars1hByUser(s, d)),
     "ohlcv_5m_rollup" -> ((s, d) => bars5mFrom1m(s, d)),
@@ -258,6 +278,12 @@ object Ohlcv {
     * grid uses epoch arithmetic. (ts, event_type) pairs are unique in the
     * testdata, so arg_min/arg_max on ts alone is deterministic. */
   val oracle: Map[String, String] = Map(
+    "ohlcv_1m_vwap" ->
+      """SELECT date_trunc('minute', ts) AS window_start, event_type,
+        |  sum(event_id % 10 + 1)::BIGINT AS volume,
+        |  ((sum(CAST(round(value * 100, 0) AS BIGINT) * (event_id % 10 + 1))::BIGINT * 10)
+        |    // sum(event_id % 10 + 1)::BIGINT)::BIGINT AS vwap_millicents
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "ohlcv_1m_sql" ->
       oneMinuteOracle,
     "ohlcv_1m_packed" ->
