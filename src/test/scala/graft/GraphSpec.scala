@@ -18,6 +18,32 @@ class GraphSpec extends SparkSpec {
     assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
   }
 
+  test("degree-oriented triangle counting matches a naive id-ordered enumeration") {
+    import org.apache.spark.sql.functions._
+    val li = Tables.lineitem(spark, sf0001)
+      .join(Tables.orders(spark, sf0001)
+        .filter(col("o_orderpriority") === "1-URGENT"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val a = li.select(col("ok"), col("pk").as("u"))
+    val b = li.select(col("ok"), col("pk").as("v"))
+    val e0 = a.join(b, "ok").filter(col("u") < col("v")).select("u", "v").distinct()
+    // naive: wedges on the id order, no degree orientation
+    val e1 = e0.select(col("u"), col("v").as("x"))
+    val e2 = e0.select(col("u"), col("v").as("y"))
+    val naive = e1.join(e2, "u").filter(col("x") < col("y"))
+      .join(e0.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
+      .select(explode(array(col("u"), col("x"), col("y"))).as("part_key"))
+      .groupBy("part_key").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("part_key")).limit(20)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val oriented = Graph.triangleParts(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(oriented.toSeq == naive.toSeq)
+    // total triangle participation is 3 × triangle count — must be > 0
+    assert(oriented.map(_._2).sum > 0)
+  }
+
   test("suppliers (high in-degree side) concentrate rank mass") {
     val rows = Graph.pageRank(spark, sf0001).collect()
     val byType = rows.groupBy(_.getAs[String]("node_type"))
