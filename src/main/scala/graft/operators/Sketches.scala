@@ -294,7 +294,101 @@ object Sketches {
           .as("n_false_positives"))
   }
 
+  // ---- KMV (k-minimum-values) sketch -----------------------------------
+
+  /** KMV sketch size. 64 → relative error ≈ 1/√(k−2) ≈ 13%; the demo
+    * corpus has 150 users per type, so the estimator branch (not the
+    * exact small-set branch) is exercised. */
+  private[graft] val KmvK = 64
+  /** Hash domain size: hash32/avalanche32 emit values in [0, 2^32). */
+  private[graft] val KmvDomain = 4294967296L
+
+  /** sketch ARRAY<BIGINT> → (n_sketch, kmv_est): THE estimator
+    * projection, shared by the batch report and (via the scalar twin
+    * below and the spec's bit-identity assertion) the streaming state. */
+  private[graft] def withKmvEstimate(df: DataFrame): DataFrame = df
+    .withColumn("n_sketch", size(col("sketch")).cast("long"))
+    .withColumn("kmv_est",
+      when(col("n_sketch") < KmvK, col("n_sketch"))
+        .otherwise(expr(s"(${KmvK - 1} * ${KmvDomain}L) div element_at(sketch, $KmvK)")))
+
+  /** Scalar twin of [[withKmvEstimate]] over an ascending bottom-k
+    * sketch — the streaming state's estimator. */
+  private[graft] def kmvEstimate(sk: List[Long]): Long =
+    if (sk.sizeIs < KmvK) sk.size.toLong
+    else (KmvK - 1).toLong * KmvDomain / sk.last
+
+  /** Per-group KMV sketches of user_id — the bottom-k DISTINCT hashes,
+    * kept bounded INSIDE the aggregator (functions.BottomKDistinct):
+    * each map task forwards ≤ k longs per group, never the distinct
+    * value set itself. Returns (event_type, sketch ARRAY<BIGINT>). */
+  private def kmvSketches(spark: SparkSession, dir: String): DataFrame = {
+    val bottomK = udaf(new graft.functions.BottomKDistinct(KmvK))
+    Tables.events(spark, dir)
+      .select(col("event_type"), hash32(col("user_id")).as("h"))
+      .groupBy("event_type")
+      .agg(bottomK(col("h")).as("sketch"))
+  }
+
+  /** KMV distinct-count report per event_type: when the sketch is not
+    * full the set IS the distinct set (exact count); when full, the
+    * k-th minimum estimates density: est = (k−1)·2^32 div h_k — pure
+    * integer arithmetic, replayed bit-for-bit by the oracle. Unlike
+    * HLL, a KMV sketch also supports set operations (see the Jaccard
+    * report below) — the reason to keep both in the toolbox. */
+  def kmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val est = withKmvEstimate(kmvSketches(spark, dir))
+      .select("event_type", "n_sketch", "kmv_est")
+    val exact = Tables.events(spark, dir).groupBy("event_type")
+      .agg(count_distinct(col("user_id")).as("n_exact"))
+    est.join(exact, "event_type")
+      .select("event_type", "n_exact", "n_sketch", "kmv_est")
+      .orderBy("event_type")
+  }
+
+  /** KMV set-similarity report: estimated vs exact Jaccard of the user
+    * sets of every event-type pair. The union sketch of A and B is the
+    * bottom-k of (sketch_A ∪ sketch_B) — itself a valid KMV sample of
+    * A ∪ B — and the fraction of it present in BOTH sketches estimates
+    * |A∩B| / |A∪B| (Beyer et al., "On synopses for distinct-value
+    * estimation under multiset operations", 2007). At 100 TB the exact
+    * columns are dropped: the pair join then touches only G² sketch
+    * rows of k longs each, never the corpus. */
+  def kmvJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sk = kmvSketches(spark, dir)
+    val a = sk.select(col("event_type").as("type_a"), col("sketch").as("sk_a"))
+    val b = sk.select(col("event_type").as("type_b"), col("sketch").as("sk_b"))
+    val est = a.join(b, col("type_a") < col("type_b"))
+      .withColumn("merged",
+        slice(array_sort(array_union(col("sk_a"), col("sk_b"))), 1, KmvK))
+      .select(col("type_a"), col("type_b"),
+        expr("1000L * size(filter(merged, v -> array_contains(sk_a, v) AND array_contains(sk_b, v))) div size(merged)")
+          .as("jaccard_est_milli"))
+    val users = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id")).distinct()
+    val ua = users.select(col("event_type").as("type_a"), col("user_id"))
+    val ub = users.select(col("event_type").as("type_b"), col("user_id"))
+    val exact = ua.join(ub, ua("user_id") === ub("user_id") &&
+        col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_inter"))
+      .join(users.groupBy(col("event_type").as("type_a"))
+        .agg(count(lit(1)).as("n_a")), "type_a")
+      .join(users.groupBy(col("event_type").as("type_b"))
+        .agg(count(lit(1)).as("n_b")), "type_b")
+      .select(col("type_a"), col("type_b"),
+        expr("1000L * n_inter div (n_a + n_b - n_inter)").as("jaccard_exact_milli"))
+    // a fully disjoint pair has no row in `exact` (its intersection join
+    // is empty) but a real Jaccard of zero — left join, not inner
+    est.join(exact, Seq("type_a", "type_b"), "left")
+      .select(col("type_a"), col("type_b"),
+        coalesce(col("jaccard_exact_milli"), lit(0L)).as("jaccard_exact_milli"),
+        col("jaccard_est_milli"))
+      .orderBy("type_a", "type_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_kmv_distinct" -> ((s, d) => kmvDistinct(s, d)),
+    "sketch_kmv_jaccard" -> ((s, d) => kmvJaccard(s, d)),
     "sketch_hll_distinct" -> ((s, d) => hllDistinct(s, d)),
     "sketch_cms_topk" -> ((s, d) => cmsTopK(s, d)),
     "sketch_quantile_hist" -> ((s, d) => quantileHist(s, d)),
@@ -328,7 +422,56 @@ object Sketches {
     s"(${mixColSql(s"f$i")}) % $CmsW AS s$i"
   }.mkString(", ")
 
+  /** Shared oracle front: distinct (event_type, user) pairs, their mixed
+    * hashes, and the per-type bottom-64 sketch. The oracle states the
+    * SEMANTIC bottom-k (sort + slice over the distinct hash set); the
+    * engine's bounded aggregator must reproduce it exactly. */
+  private val kmvSketchSql =
+    s"""du AS (SELECT DISTINCT event_type, user_id FROM events),
+       |h0 AS (SELECT event_type, ${foldSql("user_id::VARCHAR", 31L, 0L)} AS f FROM du),
+       |h AS (SELECT DISTINCT event_type, ${mixColSql("f")} AS x FROM h0),
+       |sk AS (SELECT event_type, (list_sort(list(x)))[:$KmvK] AS sketch
+       |  FROM h GROUP BY 1)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "sketch_kmv_distinct" ->
+      s"""WITH $kmvSketchSql,
+         |est AS (SELECT event_type, len(sketch)::BIGINT AS n_sketch,
+         |    CASE WHEN len(sketch) < $KmvK THEN len(sketch)::BIGINT
+         |         ELSE (${KmvK - 1} * 4294967296) // sketch[$KmvK] END AS kmv_est
+         |  FROM sk),
+         |ex AS (SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_exact
+         |  FROM events GROUP BY 1)
+         |SELECT e.event_type, ex.n_exact, e.n_sketch, e.kmv_est
+         |FROM est e JOIN ex USING (event_type) ORDER BY 1""".stripMargin,
+    "sketch_kmv_jaccard" ->
+      s"""WITH $kmvSketchSql,
+         |pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+         |    a.sketch AS sk_a, b.sketch AS sk_b
+         |  FROM sk a JOIN sk b ON a.event_type < b.event_type),
+         |est AS (SELECT type_a, type_b,
+         |    1000 * len(list_filter(merged,
+         |      v -> list_contains(sk_a, v) AND list_contains(sk_b, v))) // len(merged)
+         |      AS jaccard_est_milli
+         |  FROM (SELECT *,
+         |      (list_sort(list_distinct(list_concat(sk_a, sk_b))))[:$KmvK] AS merged
+         |    FROM pairs)),
+         |inter AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+         |    count(*)::BIGINT AS n_inter
+         |  FROM du a JOIN du b
+         |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+         |  GROUP BY 1, 2),
+         |card AS (SELECT event_type, count(*)::BIGINT AS n FROM du GROUP BY 1),
+         |ex AS (SELECT i.type_a, i.type_b,
+         |    1000 * i.n_inter // (ca.n + cb.n - i.n_inter) AS jaccard_exact_milli
+         |  FROM inter i
+         |  JOIN card ca ON ca.event_type = i.type_a
+         |  JOIN card cb ON cb.event_type = i.type_b)
+         |SELECT e.type_a, e.type_b,
+         |  coalesce(ex.jaccard_exact_milli, 0)::BIGINT AS jaccard_exact_milli,
+         |  e.jaccard_est_milli::BIGINT AS jaccard_est_milli
+         |FROM est e LEFT JOIN ex USING (type_a, type_b)
+         |ORDER BY 1, 2""".stripMargin,
     "sketch_hll_distinct" ->
       s"""WITH src AS (
          |  SELECT event_type, 'event_id' AS column_name, event_id AS val FROM events

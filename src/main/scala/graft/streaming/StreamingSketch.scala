@@ -15,6 +15,9 @@ final case class TimedValue(ts: Timestamp, value: String)
 /** Running distinct-count estimate for one key. */
 final case class DistinctEstimate(key: String, n_estimate: Long)
 
+/** Running KMV estimate for one key. */
+final case class KmvEstimate(key: String, n_sketch: Long, kmv_est: Long)
+
 /** Streaming cardinality — per-key HLL registers as keyed state.
   *
   * `dropDuplicates` on a stream keeps every seen value in the state
@@ -62,6 +65,32 @@ object StreamingSketch {
         .agg(Sketches.hllAggCols.head, Sketches.hllAggCols.tail: _*))
       .select(col("window").getField("start").as("window_start"),
         col("n_zero_buckets"), col("hll_est"))
+  }
+
+  /** Running KMV state per key: the bottom-k distinct hashes as a
+    * bounded list (k longs per key forever — same constant-state
+    * discipline as the HLL registers), inserted with the SAME bounded
+    * set-union the batch Aggregator runs (functions.BottomKDistinct)
+    * and estimated with the SAME integer arithmetic
+    * (Sketches.kmvEstimate) — so a streaming run over the same rows
+    * emits bit-identical estimates to the batch column form
+    * (spec-proven). Unlike HLL registers, the KMV state additionally
+    * supports downstream set algebra: union two keys' final sketches
+    * and you have a valid sketch of the union (the batch Jaccard
+    * report's mechanism). */
+  def kmvByKey(kv: Dataset[KeyedValue]): Dataset[KmvEstimate] = {
+    import kv.sparkSession.implicits._
+    val agg = new graft.functions.BottomKDistinct(Sketches.KmvK)
+    kv.groupByKey(_.key)
+      .mapGroupsWithState[List[Long], KmvEstimate](
+        GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[KeyedValue], state: GroupState[List[Long]]) =>
+          val sk = rows.foldLeft(state.getOption.getOrElse(agg.zero)) {
+            (buf, r) => agg.reduce(buf, Sketches.hash32Scalar(r.value))
+          }
+          state.update(sk)
+          KmvEstimate(key, sk.size.toLong, Sketches.kmvEstimate(sk))
+      }
   }
 
   /** Running distinct-`value` estimate per key. */

@@ -103,6 +103,54 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("BottomKDistinct is a bounded distinct bottom-k under any split/merge") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val k = 16
+    val agg = new graft.functions.BottomKDistinct(k)
+    val gen = for {
+      n <- Gen.chooseNum(0, 300)
+      vals <- Gen.listOfN(n, Gen.chooseNum(0L, 200L)) // dense: many duplicates
+      cut <- Gen.chooseNum(0, n)
+    } yield (vals, cut)
+    (1 to 50).foreach { i =>
+      val (vals, cut) = gen(org.scalacheck.Gen.Parameters.default, Seed(i.toLong)).get
+      val whole = vals.foldLeft(agg.zero)(agg.reduce)
+      // semantic definition: sorted distinct values, first k
+      assert(whole == vals.distinct.sorted.take(k), s"seed $i")
+      val (a, b) = vals.splitAt(cut)
+      val merged = agg.merge(
+        a.foldLeft(agg.zero)(agg.reduce), b.foldLeft(agg.zero)(agg.reduce))
+      assert(merged == whole, s"seed $i: split-merge diverged")
+    }
+  }
+
+  test("KMV distinct estimates land within sketch error of exact") {
+    val rows = Sketches.kmvDistinct(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("n_exact"); val est = r.getAs[Long]("kmv_est")
+      val nSketch = r.getAs[Long]("n_sketch")
+      if (nSketch < Sketches.KmvK) assert(est == exact) // small sets are exact
+      // k=64 → σ ≈ 13%; allow 4σ
+      else assert(math.abs(est - exact).toDouble / exact < 0.52,
+        s"${r.getString(0)}: est=$est exact=$exact")
+    }
+  }
+
+  test("KMV Jaccard estimates track exact set similarity") {
+    val rows = Sketches.kmvJaccard(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("jaccard_exact_milli")
+      val est = r.getAs[Long]("jaccard_est_milli")
+      assert(est >= 0 && est <= 1000 && exact >= 0 && exact <= 1000)
+      // k=64 union sample → generous band; the point is the estimator
+      // is live, not degenerate (all-0 or all-1000)
+      assert(math.abs(est - exact) <= 350, s"${r.getString(0)}/${r.getString(1)}: est=$est exact=$exact")
+    }
+  }
+
   test("bloom membership has no false negatives and a small live FP tail") {
     val r = Sketches.bloomReport(spark, sf001).head()
     val (pass, truth, fp) = (r.getLong(0), r.getLong(1), r.getLong(2))
@@ -147,6 +195,47 @@ class SketchesSpec extends SparkSpec {
         s"windowed streaming and batch sketches diverged: $streamed vs $batch")
       // sanity: populations are ~57 and ~23 distinct
       assert(math.abs(streamed(0L) - 57L) <= 15 && math.abs(streamed(60L) - 23L) <= 10)
+    } finally q.stop()
+  }
+
+  test("streaming KMV state emits bit-identical estimates to the batch aggregator form") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // k0/k1 exceed the sketch (estimator branch), k2 stays under (exact)
+    val rows = (1 to 400).map(i => graft.streaming.KeyedValue(s"k${i % 2}", s"u${i % 157}")) ++
+      (1 to 40).map(i => graft.streaming.KeyedValue("k2", s"u$i"))
+    val input = MemoryStream[graft.streaming.KeyedValue]
+    input.addData(rows.take(200))
+    val lastEst = scala.collection.concurrent.TrieMap[String, (Long, (Long, Long))]()
+    val q = graft.streaming.StreamingSketch.kmvByKey(input.toDS())
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[graft.streaming.KmvEstimate], id: Long) =>
+        df.collect().foreach { e =>
+          if (!lastEst.get(e.key).exists(_._1 > id))
+            lastEst(e.key) = (id, (e.n_sketch, e.kmv_est))
+        }
+      }.start()
+    try {
+      q.processAllAvailable()
+      input.addData(rows.drop(200))
+      q.processAllAvailable()
+      val streamed = lastEst.map { case (k, (_, v)) => k -> v }.toMap
+      // batch form: the same rows through the bounded Aggregator + the
+      // shared estimator projection
+      val bottomK = udaf(new graft.functions.BottomKDistinct(Sketches.KmvK))
+      val batch = Sketches.withKmvEstimate(
+          rows.toDF("key", "value")
+            .select(col("key"), Sketches.hash32(col("value")).as("h"))
+            .groupBy("key").agg(bottomK(col("h")).as("sketch")))
+        .collect()
+        .map(r => r.getAs[String]("key") ->
+          (r.getAs[Long]("n_sketch"), r.getAs[Long]("kmv_est"))).toMap
+      assert(streamed == batch,
+        s"streaming and batch KMV diverged: $streamed vs $batch")
+      // small set is exact; large sets near truth
+      assert(streamed("k2") == (40L, 40L))
+      assert(math.abs(streamed("k0")._2 - 157L) <= 80)
     } finally q.stop()
   }
 
