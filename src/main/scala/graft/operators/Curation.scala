@@ -204,7 +204,47 @@ object Curation {
       .orderBy(col("lang"))
   }
 
+  // ---------------------------------------------------------------- //
+  // Rule-based document filters (Gopher, Rae et al. 2021 §A1.1):     //
+  // hard thresholds on cheap per-document statistics. Complements    //
+  // repetitionStats (n-gram duplication) and TextAnalysis.quality    //
+  // (a blended score): these are the individually-reported pass/fail //
+  // gates a curation pipeline tunes one by one.                      //
+  // ---------------------------------------------------------------- //
+
+  /** Per-document Gopher-style filter report: each statistic as an
+    * exact integer (milli-scaled where fractional), each rule's verdict
+    * folded into `keep`. Thresholds are calibrated so the demo corpus
+    * genuinely splits; at 100 TB this is one scan projection — the
+    * entire report costs zero shuffles. */
+  def gopherFilters(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val en = TextAnalysis.stop("en")
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(t).cast("long").as("n_words"),
+        aggregate(t, lit(0L), (a, x) => a + length(x)).as("sum_len"),
+        size(array_distinct(t)).cast("long").as("n_distinct"),
+        size(filter(t, x => x.isin(en.map(w => w: Any): _*)))
+          .cast("long").as("stop_hits"),
+        size(filter(t, x => x.rlike("^[a-z]+$"))).cast("long").as("n_alpha"))
+      .select(col("doc_id"), col("n_words"),
+        expr("sum_len * 1000 div n_words").as("mean_len_milli"),
+        expr("n_distinct * 1000 div n_words").as("diversity_milli"),
+        col("stop_hits"),
+        expr("n_alpha * 1000 div n_words").as("alpha_frac_milli"))
+      .withColumn("keep",
+        col("n_words").between(30L, 100000L) &&
+          col("mean_len_milli").between(3000L, 10000L) &&
+          col("diversity_milli") >= 350L &&
+          col("stop_hits") >= 2L &&
+          col("alpha_frac_milli") >= 800L)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_gopher_filters" -> ((s, d) => gopherFilters(s, d)),
     "text_repetition" -> ((s, d) => repetitionStats(s, d)),
     "text_scrub" -> ((s, d) => scrubPii(s, d)),
     "sample_hash" -> ((s, d) => sampleHash(s, d)),
@@ -229,7 +269,30 @@ object Curation {
     """list_reduce(list_transform(string_split(substr(md5(doc_id::VARCHAR || ':' || lang), 1, 4), ''),
       |  c -> strpos('0123456789abcdef', c) - 1), (a, b) -> a * 16 + b) / 65536.0""".stripMargin
 
+  private val stopEnSql =
+    TextAnalysis.stop("en").map(w => s"'$w'").mkString(", ")
+
   val oracle: Map[String, String] = Map(
+    "text_gopher_filters" ->
+      s"""WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+         |f AS (SELECT doc_id,
+         |    len(toks)::BIGINT AS n_words,
+         |    list_reduce(list_prepend(0::BIGINT, list_transform(toks, x -> length(x)::BIGINT)), (a, b) -> a + b) AS sum_len,
+         |    len(list_distinct(toks))::BIGINT AS n_distinct,
+         |    len(list_filter(toks, x -> x IN ($stopEnSql)))::BIGINT AS stop_hits,
+         |    len(list_filter(toks, x -> regexp_matches(x, '^[a-z]+${"$"}')))::BIGINT AS n_alpha
+         |  FROM t)
+         |SELECT doc_id, n_words,
+         |  sum_len * 1000 // n_words AS mean_len_milli,
+         |  n_distinct * 1000 // n_words AS diversity_milli,
+         |  stop_hits,
+         |  n_alpha * 1000 // n_words AS alpha_frac_milli,
+         |  (n_words BETWEEN 30 AND 100000
+         |    AND sum_len * 1000 // n_words BETWEEN 3000 AND 10000
+         |    AND n_distinct * 1000 // n_words >= 350
+         |    AND stop_hits >= 2
+         |    AND n_alpha * 1000 // n_words >= 800) AS keep
+         |FROM f ORDER BY doc_id""".stripMargin,
     "text_repetition" ->
       s"""WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
          |g2 AS (SELECT doc_id, unnest(${sqlGrams(2)}) AS gram FROM t WHERE len(toks) >= 2),

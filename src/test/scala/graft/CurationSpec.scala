@@ -5,6 +5,24 @@ import graft.operators.Curation
 
 class CurationSpec extends SparkSpec {
 
+  test("gopher filter verdict recomputes from its reported statistics and splits the corpus") {
+    val rows = Curation.gopherFilters(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val keeps = rows.map(_.getAs[Boolean]("keep"))
+    // thresholds are calibrated to genuinely split the demo corpus
+    assert(keeps.contains(true) && keeps.contains(false))
+    rows.foreach { r =>
+      val expected = r.getAs[Long]("n_words") >= 30 &&
+        r.getAs[Long]("n_words") <= 100000 &&
+        r.getAs[Long]("mean_len_milli") >= 3000 &&
+        r.getAs[Long]("mean_len_milli") <= 10000 &&
+        r.getAs[Long]("diversity_milli") >= 350 &&
+        r.getAs[Long]("stop_hits") >= 2 &&
+        r.getAs[Long]("alpha_frac_milli") >= 800
+      assert(r.getAs[Boolean]("keep") == expected, s"doc ${r.getLong(0)}")
+    }
+  }
+
   test("repetition fractions are in [0,1] and the flag matches the thresholds") {
     val rows = Curation.repetitionStats(spark, sf0001)
       .select("top2gram_frac", "dup3gram_frac", "repetitive").collect()
