@@ -354,7 +354,31 @@ object Relational {
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
   }
 
+  // -- fuzzy join (edit-distance record linkage with blocking) -------------
+  /** Distinct part-name pairs within Levenshtein distance 3, blocked on
+    * the name's last token. A raw edit-distance join is an all-pairs
+    * cartesian (the classic record-linkage trap); blocking turns it
+    * into an equi-join on a cheap key so only same-block candidates pay
+    * the distance computation — the same sketch-then-join discipline as
+    * the dedup tier, with the block standing in for the LSH bucket.
+    * Blocking is a recall tradeoff by design (cross-block matches are
+    * unseen); the oracle carries the identical block predicate, so the
+    * tradeoff is explicit, not a silent divergence. */
+  def fuzzyPartPairs(spark: SparkSession, dir: String): DataFrame = {
+    val names = Tables.part(spark, dir).select(col("p_name")).distinct()
+      .withColumn("noun", element_at(split(col("p_name"), " "), -1))
+    val a = names.select(col("p_name").as("name_a"), col("noun"))
+    val b = names.select(col("p_name").as("name_b"), col("noun"))
+    a.join(b, "noun")
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= 3)
+      .select("name_a", "name_b", "dist")
+      .orderBy("name_a", "name_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_fuzzy_join" -> ((s, d) => fuzzyPartPairs(s, d)),
     "rel_pricing_summary" -> ((s, d) => pricingSummary(s, d)),
     "rel_filter_project" -> ((s, d) => filterProject(s, d)),
     "rel_revenue_by_nation" -> ((s, d) => revenueByNation(s, d)),
@@ -385,6 +409,14 @@ object Relational {
     "rel_scalar_subquery" -> ((s, d) => maxOrderPerCustomer(s, d)))
 
   val oracle: Map[String, String] = Map(
+    "rel_fuzzy_join" ->
+      """WITH names AS (SELECT DISTINCT p_name FROM part),
+        |b AS (SELECT p_name, string_split(p_name, ' ')[-1] AS noun FROM names)
+        |SELECT a.p_name AS name_a, b2.p_name AS name_b,
+        |  levenshtein(a.p_name, b2.p_name)::INT AS dist
+        |FROM b a JOIN b b2 ON a.noun = b2.noun AND a.p_name < b2.p_name
+        |WHERE levenshtein(a.p_name, b2.p_name) <= 3
+        |ORDER BY 1, 2""".stripMargin,
     "rel_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,

@@ -320,7 +320,36 @@ object Similarity {
       .orderBy("query_id", "rnk")
   }
 
+  /** Range-search threshold: calibrated so the demo corpus returns a
+    * real (non-empty, non-everything) neighbor set per query. */
+  val RangeTau = 0.25
+
+  /** Radius (range) search — every corpus vector with cosine ≥ τ of
+    * each query, the other half of the ANN API surface (top-k answers
+    * "best k", range answers "all within radius" — near-dup mining and
+    * retrieval-with-confidence-floor both want the latter).
+    *
+    * Scale shape: queries broadcast, corpus scans once, the τ predicate
+    * filters INSIDE the scan projection — no shuffle at all on the
+    * corpus side and no top-k state, because the radius bounds the
+    * result instead of a rank. Zero-norm vectors are excluded on both
+    * sides (NaN cosines compare differently across engines — the same
+    * guard Dedup.signBucketed documents). */
+  def rangeSearch(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.dotProduct
+    val nz = Tables.embeddings(spark, dir)
+      .filter(dotProduct(col("embedding"), col("embedding")) > 0)
+    val q = nz.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    broadcast(q).join(nz, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosineSim(col("qv"), col("embedding")).as("cosine"))
+      .filter(col("cosine") >= RangeTau)
+      .orderBy("query_id", "vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_range_search" -> ((s, d) => rangeSearch(s, d)),
     "sim_topk_bruteforce" -> ((s, d) => topKBruteForce(s, d)),
     "sim_topk_ivf" -> ((s, d) => topKIvf(s, d)),
     "sim_topk_ivf_kmeans" -> ((s, d) => topKIvfKmeans(s, d)),
@@ -418,6 +447,18 @@ object Similarity {
   }
 
   val oracle: Map[String, String] = Map(
+    "sim_range_search" ->
+      s"""WITH nz AS (SELECT vec_id, embedding FROM embeddings
+         |  WHERE list_reduce(list_prepend(0.0::DOUBLE,
+         |      list_transform(range(1, len(embedding) + 1),
+         |        k -> embedding[k]::DOUBLE * embedding[k]::DOUBLE)), (a, v) -> a + v) > 0),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv FROM nz
+         |  WHERE vec_id < $NumQueries),
+         |c AS (SELECT query_id, e.vec_id,
+         |    ${cosSql("qv", "e.embedding")} AS cosine
+         |  FROM q, nz e WHERE e.vec_id <> query_id)
+         |SELECT query_id, vec_id, cosine FROM c WHERE cosine >= $RangeTau
+         |ORDER BY query_id, vec_id""".stripMargin,
     "sim_topk_pq" -> pqOracle,
     "sim_topk_bruteforce" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings

@@ -7,6 +7,24 @@ class RelationalSpec extends SparkSpec {
   private def physical(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  test("fuzzy join blocks on the noun: equi-join plan, symmetric-free pairs, dist <= 3") {
+    import org.apache.spark.sql.functions._
+    val df = Relational.fuzzyPartPairs(spark, sf0001)
+    // blocking makes it an equi-join — never a cartesian/nested-loop
+    val plan = physical(df)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
+    val rows = df.collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, d) =>
+      assert(a < b && d <= 3)
+      assert(a.split(" ").last == b.split(" ").last) // same block
+      // levenshtein recomputed on the driver agrees
+      val lev = org.apache.commons.text.similarity.LevenshteinDistance
+        .getDefaultInstance.apply(a, b)
+      assert(lev == d, s"($a,$b): engine=$d driver=$lev")
+    }
+  }
+
   test("filter + projection push into the parquet scan") {
     val plan = physical(Relational.filterProject(spark, sf0001))
     assert(plan.contains("PushedFilters:"), "no pushed filters in scan")

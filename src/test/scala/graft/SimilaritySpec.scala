@@ -131,6 +131,27 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("range search returns exactly the brute-force cosines at or above tau") {
+    import graft.operators.Similarity
+    val got = Similarity.rangeSearch(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty)
+    got.foreach { case (q, v, c) =>
+      assert(c >= Similarity.RangeTau)
+      assert(q != v) // never the query itself
+    }
+    // cross-check against the brute-force scorer: every top-scored pair
+    // above tau must appear in the range result with the same bits
+    val bf = Similarity.topKBruteForce(spark, sf001).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("cosine")))
+      .filter(_._3 >= Similarity.RangeTau)
+    val gotSet = got.map(t => (t._1, t._2) -> t._3).toMap
+    bf.foreach { case (q, v, c) =>
+      assert(gotSet.get((q, v)).contains(c), s"missing ($q,$v)")
+    }
+  }
+
   test("IVF results are a subset of brute-force candidates per query") {
     val bf = Similarity.topKBruteForce(spark, sf0001)
       .select("query_id", "vec_id", "cosine").as[(Long, Long, Double)]
