@@ -74,11 +74,80 @@ object Warehouse {
       .orderBy("user_id", "island")
   }
 
+  /** Incremental view maintenance: refresh a materialized aggregate
+    * from a change log WITHOUT rescanning the base table.
+    *
+    * The view is orders-by-status (count, cents total). The change log
+    * is a deterministic delete/update/insert set derived from the
+    * table itself (delete keys ≡ 0 mod 101; update keys ≡ 0 mod 97 —
+    * status advances O→F→P→O and price bumps 500 cents; 5 fresh
+    * inserts). Every change becomes ±1-weighted delta rows — an update
+    * is a (−old, +new) pair — so the refreshed view is
+    * base ⟗ Σdelta with groups whose count reaches zero dropped: the
+    * classic algebraic IVM for distributive aggregates (count/sum).
+    *
+    * Scale shape: the refresh plan touches |delta| + |groups| rows.
+    * In a deployment the base aggregate is the STORED view (here it is
+    * recomputed inline because the container has no table format to
+    * persist it — the join shape is identical); the fact table is
+    * never rescanned by the refresh path. The oracle recomputes the
+    * aggregate from the patched table — the IVM algebra must land on
+    * exactly that. */
+  def ivmRefresh(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir).select(
+      col("o_orderkey"), col("o_orderstatus").as("status"),
+      round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+    val base = orders.groupBy("status")
+      .agg(count(lit(1)).as("n"), sum("cents").as("tc"))
+    val isDel = col("o_orderkey") % 101 === 0
+    val isUpd = col("o_orderkey") % 97 === 0 && col("o_orderkey") % 101 =!= 0
+    val flipped = when(col("status") === "O", "F")
+      .when(col("status") === "F", "P").otherwise("O")
+    val delta =
+      orders.filter(isDel)
+        .select(col("status"), lit(-1L).as("dw"), (-col("cents")).as("dc"))
+      .union(orders.filter(isUpd)
+        .select(col("status"), lit(-1L).as("dw"), (-col("cents")).as("dc")))
+      .union(orders.filter(isUpd)
+        .select(flipped.as("status"), lit(1L).as("dw"),
+          (col("cents") + 500L).as("dc")))
+      .union(spark.range(1, 6)
+        .select(lit("O").as("status"), lit(1L).as("dw"),
+          (lit(10000L) + col("id") * 100L).as("dc")))
+    val deltaAgg = delta.groupBy("status")
+      .agg(sum("dw").as("dn"), sum("dc").as("dtc"))
+    base.join(deltaAgg, Seq("status"), "full")
+      .select(col("status"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_orders"),
+        (coalesce(col("tc"), lit(0L)) + coalesce(col("dtc"), lit(0L))).as("total_cents"))
+      .filter(col("n_orders") > 0)
+      .orderBy("status")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rel_merge_upsert" -> ((s, d) => mergeUpsert(s, d)),
+    "rel_ivm_refresh" -> ((s, d) => ivmRefresh(s, d)),
     "rel_gaps_islands" -> ((s, d) => gapsIslands(s, d)))
 
   val oracle: Map[String, String] = Map(
+    // the oracle recomputes the view from the PATCHED table — the
+    // engine's algebraic base+delta refresh must land on exactly this
+    "rel_ivm_refresh" ->
+      """WITH o AS (SELECT o_orderkey, o_orderstatus AS status,
+        |    CAST(round(o_totalprice*100,0) AS BIGINT) AS cents FROM orders),
+        |patched AS (
+        |  SELECT status, cents FROM o
+        |  WHERE o_orderkey % 101 <> 0
+        |    AND NOT (o_orderkey % 97 = 0 AND o_orderkey % 101 <> 0)
+        |  UNION ALL
+        |  SELECT CASE status WHEN 'O' THEN 'F' WHEN 'F' THEN 'P' ELSE 'O' END,
+        |    cents + 500
+        |  FROM o WHERE o_orderkey % 97 = 0 AND o_orderkey % 101 <> 0
+        |  UNION ALL
+        |  SELECT 'O', 10000 + id * 100 FROM range(1, 6) t(id))
+        |SELECT status, count(*)::BIGINT AS n_orders,
+        |  sum(cents)::BIGINT AS total_cents
+        |FROM patched GROUP BY 1 ORDER BY 1""".stripMargin,
     "rel_merge_upsert" ->
       """WITH updates AS (
         |  SELECT c_custkey, c_name, (c_nationkey + 1) % 25 AS c_nationkey,
