@@ -190,7 +190,71 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("token"))
       .limit(30)
 
+  /** BPE merge-training rounds. */
+  val BpeRounds = 3
+
+  /** One greedy left-to-right BPE merge pass over a symbol array:
+    * every non-overlapping adjacent (l, r) becomes the single symbol
+    * l||r. The fold appends each symbol unless the buffer's last entry
+    * is `l` and the incoming one is `r` — a freshly merged tail can't
+    * re-merge because its value is l||r, never l, which is exactly
+    * BPE's non-overlap rule (and the arithmetic the oracle replays on
+    * a '|'-serialized accumulator). */
+  private def bpeMergePass(syms: Column, l: Column, r: Column): Column =
+    aggregate(syms, array().cast("array<string>"), (out, s) =>
+      when(size(out) > 0 && element_at(out, -1) === l && s === r,
+        concat(slice(out, lit(1), size(out) - 1), array(concat(l, r))))
+        .otherwise(concat(out, array(s))))
+
+  /** BPE merge TRAINING — learn the first [[BpeRounds]] merges from
+    * the corpus (Sennrich et al., "Neural machine translation of rare
+    * words with subword units", 2016): per round, count adjacent
+    * symbol pairs over the (word, count) vocabulary, adopt the most
+    * frequent pair (ties to the lexicographically smallest), and merge
+    * it everywhere.
+    *
+    * Scale shape: the corpus is scanned ONCE, into a (word, count)
+    * vocabulary — every training round thereafter touches only the
+    * |vocab| aggregate (localCheckpoint pins it), which is bounded by
+    * the language's word inventory, not the corpus. Pair counting is a
+    * map-side-combined aggregate over ≤ |word|-1 pairs per vocab row;
+    * the argmax sorts the pair TABLE (alphabet², tiny); the merge pass
+    * is a per-row fold against the broadcast winner. This is exactly
+    * how production BPE trainers scale: corpus → weighted vocab, then
+    * rounds over the vocab. */
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.chars
+    var vocab = Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .select(chars(col("word")).as("syms"), col("cnt"))
+      .localCheckpoint()
+    var merges: DataFrame = null
+    for (round <- 1 to BpeRounds) {
+      val pairs = vocab.where(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(transform(
+          sequence(lit(1), size(col("syms")) - 1),
+          i => struct(element_at(col("syms"), i).as("l"),
+            element_at(col("syms"), i + lit(1)).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("cnt").as("pair_count"))
+      val best = pairs
+        .orderBy(col("pair_count").desc, col("l"), col("r")).limit(1)
+        .localCheckpoint() // winner feeds both the merge pass and the report
+      vocab = vocab
+        .crossJoin(broadcast(best.select(col("l").as("bl"), col("r").as("br"))))
+        .select(bpeMergePass(col("syms"), col("bl"), col("br")).as("syms"),
+          col("cnt"))
+        .localCheckpoint() // next round reads |vocab| rows, not the lineage
+      val m = best.select(lit(round.toLong).as("round"),
+        col("l"), col("r"), col("pair_count"))
+      merges = if (merges == null) m else merges.union(m)
+    }
+    merges.orderBy("round")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bpe_train" -> ((s, d) => bpeTrain(s, d)),
     "text_token_stats" -> ((s, d) => tokenStats(s, d)),
     "text_quality" -> ((s, d) => qualityScore(s, d)),
     "text_lang_id" -> ((s, d) => langId(s, d)),
@@ -203,7 +267,46 @@ object TextAnalysis {
     stop.values.flatten.toSeq.distinct.sorted.map(w => s"'$w'").mkString(", ")
   private def stopSql(l: String): String = stop(l).map(w => s"'$w'").mkString(", ")
 
+  /** One BPE merge pass over a '|'-serialized accumulator — the scalar
+    * replay of bpeMergePass (symbols never contain '|': they are runs
+    * of word characters). */
+  private def bpeFoldSql: String =
+    """string_split(list_reduce(list_prepend('', s.syms), (acc, c) ->
+      |    CASE WHEN acc <> '' AND (acc = b.l OR ends_with(acc, '|' || b.l)) AND c = b.r
+      |         THEN substr(acc, 1, length(acc) - length(b.l)) || b.l || b.r
+      |         ELSE CASE WHEN acc = '' THEN c ELSE acc || '|' || c END END), '|')""".stripMargin
+
+  private def bpePairsSql(s: String): String =
+    s"""SELECT p.l AS l, p.r AS r, sum(cnt)::BIGINT AS pair_count
+       |  FROM (SELECT cnt, unnest(list_transform(range(1, len(syms)),
+       |        i -> {'l': syms[i], 'r': syms[i+1]})) AS p
+       |        FROM $s WHERE len(syms) >= 2)
+       |  GROUP BY 1, 2""".stripMargin
+
+  private val bpeTrainSql: String = {
+    val rounds = (1 to BpeRounds).map { r =>
+      val src = if (r == 1) "s1" else s"s$r"
+      val merge = if (r < BpeRounds)
+        s""",
+           |s${r + 1} AS (SELECT $bpeFoldSql AS syms, s.cnt FROM $src s, b$r b)""".stripMargin
+      else ""
+      s"""p$r AS (${bpePairsSql(src)}),
+         |b$r AS (SELECT l, r, pair_count FROM p$r
+         |  ORDER BY pair_count DESC, l, r LIMIT 1)$merge""".stripMargin
+    }.mkString(",\n")
+    val report = (1 to BpeRounds)
+      .map(r => s"SELECT $r::BIGINT AS round, l, r, pair_count FROM b$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH toks AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word FROM documents),
+       |v AS (SELECT word, count(*)::BIGINT AS cnt FROM toks GROUP BY 1),
+       |s1 AS (SELECT list_filter(string_split(word, ''), c -> c <> '') AS syms, cnt FROM v),
+       |$rounds
+       |$report
+       |ORDER BY round""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "text_bpe_train" -> bpeTrainSql,
     "text_token_stats" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents)
         |SELECT doc_id,

@@ -63,6 +63,49 @@ class TrainingDataSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("BPE training learns the naively-counted top pair and merges greedily") {
+    import spark.implicits._
+    val merges = TextAnalysis.bpeTrain(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(merges.length == TextAnalysis.BpeRounds)
+    assert(merges.map(_._1).toSeq == (1L to TextAnalysis.BpeRounds))
+    // round 1 winner must equal a naive driver-side count of adjacent
+    // char pairs weighted by word frequency
+    val words = Tables.documents(spark, sf001)
+      .select(explode(TextFunctions.tokens(col("text"))).as("w"))
+      .groupBy("w").count().collect().map(r => r.getString(0) -> r.getLong(1))
+    val naive = scala.collection.mutable.Map[(String, String), Long]()
+    words.foreach { case (w, c) =>
+      w.sliding(2).filter(_.length == 2).foreach { p =>
+        val k = (p.take(1), p.drop(1)); naive(k) = naive.getOrElse(k, 0L) + c
+      }
+    }
+    val best = naive.toSeq.sortBy { case ((l, r), n) => (-n, l, r) }.head
+    assert((merges(0)._2, merges(0)._3) == best._1 && merges(0)._4 == best._2,
+      s"round 1: got ${merges(0)}, naive $best")
+    // later rounds never re-learn an earlier merge
+    assert(merges.map(m => (m._2, m._3)).distinct.length == merges.length)
+  }
+
+  test("the BPE merge pass is greedy left-to-right and respects symbol boundaries") {
+    import spark.implicits._
+    // aaaa → [aa, aa] (non-overlap), xc|c stays (boundary: xc != c)
+    val df = Seq(
+      (Seq("a", "a", "a", "a"), "a", "a"),
+      (Seq("a", "a", "a"), "a", "a"),
+      (Seq("x", "c", "c"), "c", "c"),
+      (Seq("e", "r", "e", "r"), "e", "r")).toDF("syms", "l", "r")
+    val got = df.select(
+        aggregate(col("syms"), array().cast("array<string>"), (out, s) =>
+          when(size(out) > 0 && element_at(out, -1) === col("l") && s === col("r"),
+            concat(slice(out, lit(1), size(out) - 1),
+              array(concat(col("l"), col("r")))))
+            .otherwise(concat(out, array(s)))).as("m"))
+      .collect().map(_.getSeq[String](0).toList)
+    assert(got.toList == List(
+      List("aa", "aa"), List("aa", "a"), List("x", "cc"), List("er", "er")))
+  }
+
   test("exact dedup groups identical texts") {
     val d = Dedup.exactOn(docs, col("text"), col("doc_id"))
     val m = d.collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
