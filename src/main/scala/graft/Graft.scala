@@ -116,6 +116,15 @@ object Graft {
   val temporal: Temporal.type = Temporal
   /** Funnel conversion + cohort retention (operators.Behavior). */
   val behavior: Behavior.type = Behavior
+  /** Warehouse maintenance: MERGE-style upsert, gaps-and-islands,
+    * incremental view maintenance (operators.Warehouse). */
+  val warehouse: Warehouse.type = Warehouse
+  /** Iterative graph analytics: PageRank, triangle counting
+    * (operators.Graph). */
+  val graph: Graph.type = Graph
+  /** Interval joins without cartesian plans: point-in-interval and
+    * interval-overlap via grid buckets (operators.Intervals). */
+  val intervals: Intervals.type = Intervals
 
   /** Per-group approximate distinct count — the scale-safe
     * count_distinct swap, DuckDB-replayable (operators.Sketches). */
@@ -133,6 +142,13 @@ object Graft {
   def streamingWindowedDistinct(tv: Dataset[graft.streaming.TimedValue],
       windowDur: String, watermarkDelay: String): DataFrame =
     graft.streaming.StreamingSketch.windowedDistinct(tv, windowDur, watermarkDelay)
+
+  /** Streaming KMV per key: k longs of state forever, estimates
+    * bit-identical to the batch sketch; final sketches support set
+    * algebra (union/Jaccard) downstream. */
+  def streamingKmv(kv: Dataset[graft.streaming.KeyedValue])
+      : Dataset[graft.streaming.KmvEstimate] =
+    graft.streaming.StreamingSketch.kmvByKey(kv)
 
   /** Integer-BM25 full-text top-k over any (doc_id, text) frame. */
   def bm25(docs: DataFrame, queryTerms: Seq[(String, String)], k: Int): DataFrame =
