@@ -243,7 +243,36 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Reservoir size for [[sampleReservoir]]. */
+  private[graft] val ReservoirK = 32
+
+  /** Deterministic fixed-size sample: the k documents with the
+    * smallest stable hashes of doc_id. Semantically a uniform
+    * without-replacement sample (a good hash ranks rows in
+    * effectively random order) whose MEMBERSHIP is a pure function of
+    * the data — reruns, speculative tasks, and other engines pick the
+    * identical k rows, unlike rand()-reservoirs. Kept bounded
+    * map-side by the TopKByScore aggregator: each task forwards ≤ k
+    * candidates, so k × partitions rows cross the shuffle however
+    * large the corpus — never a global ORDER BY hash LIMIT k sort.
+    * (sampleHash keeps a fixed FRACTION; this keeps a fixed COUNT.) */
+  def sampleReservoir(spark: SparkSession, dir: String): DataFrame = {
+    val topk = udaf(new graft.functions.TopKByScore(ReservoirK))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        Sketches.hash32(col("doc_id")).as("h"))
+      .agg(topk(col("doc_id"), -col("h").cast("double")).as("top"))
+      .select(posexplode(col("top")))
+      .select((col("pos") + lit(1)).cast("long").as("rnk"),
+        col("col.vec_id").as("doc_id"),
+        (-col("col.cosine")).cast("long").as("hash_val"))
+      .join(Tables.documents(spark, dir).select("doc_id", "lang"), "doc_id")
+      .select("rnk", "doc_id", "lang", "hash_val")
+      .orderBy("rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_reservoir" -> ((s, d) => sampleReservoir(s, d)),
     "text_gopher_filters" -> ((s, d) => gopherFilters(s, d)),
     "text_repetition" -> ((s, d) => repetitionStats(s, d)),
     "text_scrub" -> ((s, d) => scrubPii(s, d)),
@@ -273,6 +302,16 @@ object Curation {
     TextAnalysis.stop("en").map(w => s"'$w'").mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    // the oracle states the semantic definition — the global hash-order
+    // sort the bounded aggregator must reproduce exactly
+    "sample_reservoir" ->
+      s"""WITH h0 AS (SELECT doc_id, lang,
+         |    ${Sketches.foldSql("doc_id::VARCHAR", 31L, 0L)} AS f FROM documents),
+         |h AS (SELECT doc_id, lang, ${Sketches.mixColSql("f")} AS x FROM h0),
+         |r AS (SELECT doc_id, lang, x,
+         |    row_number() OVER (ORDER BY x, doc_id) AS rnk FROM h)
+         |SELECT rnk, doc_id, lang, x::BIGINT AS hash_val FROM r
+         |WHERE rnk <= $ReservoirK ORDER BY rnk""".stripMargin,
     "text_gopher_filters" ->
       s"""WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
          |f AS (SELECT doc_id,

@@ -400,13 +400,13 @@ object Sketches {
     * named CTE column ONCE per hash: the avalanche below textually
     * duplicates its argument 8×, which is fine for a column reference
     * but would re-run the per-char fold 8× if inlined. */
-  private def foldSql(e: String, mult: Long, init: Long): String =
+  private[operators] def foldSql(e: String, mult: Long, init: Long): String =
     s"list_reduce(list_prepend(${init}::BIGINT, " +
       s"list_transform(string_split($e, ''), c -> ascii(c)::BIGINT)), " +
       s"(a, c) -> (a * $mult + c) % 2147483647)"
 
   /** The avalanche mixer over an (already-folded) column reference. */
-  private def mixColSql(c: String): String = {
+  private[operators] def mixColSql(c: String): String = {
     val r1 = s"(xor($c, ($c) // 65536) * 73244475) % 4294967296"
     val r2 = s"(xor(($r1), ($r1) // 65536) * 73244475) % 4294967296"
     s"xor(($r2), ($r2) // 65536)"

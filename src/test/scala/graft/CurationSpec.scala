@@ -23,6 +23,26 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("bounded reservoir equals the global hash-order sort and is stable") {
+    import graft.operators.Sketches
+    val got = Curation.sampleReservoir(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(got.length == 32)
+    // the banned global-sort formulation, at test scale only
+    val naive = Tables.documents(spark, sf001)
+      .select(col("doc_id"), Sketches.hash32(col("doc_id")).as("h"))
+      .orderBy("h", "doc_id").limit(32).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.map(t => (t._2, t._3)).toSeq == naive.toSeq)
+    // rank is 1..k in hash order
+    assert(got.map(_._1).toSeq == (1L to 32L))
+    assert(got.map(_._3).toSeq == got.map(_._3).sorted.toSeq)
+    // stable across runs
+    val again = Curation.sampleReservoir(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(got.toSeq == again.toSeq)
+  }
+
   test("repetition fractions are in [0,1] and the flag matches the thresholds") {
     val rows = Curation.repetitionStats(spark, sf0001)
       .select("top2gram_frac", "dup3gram_frac", "repetitive").collect()
