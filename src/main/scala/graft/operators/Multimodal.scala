@@ -164,6 +164,69 @@ object Multimodal {
         least(lit(FrameBytes.toLong), col("n_bytes") - col("col") * FrameBytes).as("frame_len"))
       .orderBy(col("doc_id"), col("frame_no"))
 
+  /** Perceptual-hash geometry: 60 bits (4 pigeonhole blocks × 15 —
+    * staying under the BIGINT sign bit in both engines, like
+    * SimHash31) over the first 60 resized bytes. */
+  val PhashBits = 60
+  private val PhashBlocks = 4
+  private val PhashBlockBits = 15
+
+  /** Average-hash (aHash) over the decoded-and-resized payload: bit i
+    * set when resized byte i exceeds the mean of the considered bytes —
+    * the classic perceptual image fingerprint (resize → threshold
+    * against the mean), computed on the same downsample [[resize]]
+    * ships. A real deployment hashes actual decoded pixels; the
+    * byte-level arithmetic and everything downstream are unchanged. */
+  private def aHash(payload: Array[Byte]): Long = {
+    val n = math.min(PhashBits,
+      (payload.length + ResizeFactor - 1) / ResizeFactor)
+    if (n == 0) return 0L
+    var sum = 0L
+    var i = 0
+    while (i < n) { sum += payload(i * ResizeFactor) & 0xffL; i += 1 }
+    val mean = sum / n
+    var h = 0L
+    i = 0
+    while (i < n) {
+      if ((payload(i * ResizeFactor) & 0xffL) > mean) h |= 1L << i
+      i += 1
+    }
+    h
+  }
+
+  final case class PHashed(doc_id: Long, phash: Long)
+
+  /** Near-duplicate media pairs by perceptual hash: Hamming(aHash) ≤ 3
+    * via the pigeonhole block join (same discipline as the SimHash text
+    * dedup — 3 differing bits cannot touch all 4 blocks, so every true
+    * pair shares at least one exact 15-bit block). Scale shape: the
+    * hash is a narrow batched map (zero shuffle), candidates come from
+    * an equi-join on (block, key) — never an all-pairs comparison —
+    * and the exact Hamming check runs only on block-collided pairs. */
+  def phashNearDups(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hashed = mediaTable(spark, dir).mapPartitions { it =>
+      inBatches(it)(_.iterator.map(m => PHashed(m.doc_id, aHash(m.payload))))
+    }.toDF()
+      .localCheckpoint() // both join sides read this narrow (id, hash) frame
+    val blocks = hashed.select(col("doc_id"), col("phash"),
+      explode(sequence(lit(0), lit(PhashBlocks - 1))).as("blk"))
+      .select(col("doc_id"), col("phash"), col("blk"),
+        expr(s"shiftright(phash, CAST(blk * $PhashBlockBits AS INT))")
+          .bitwiseAND(lit((1L << PhashBlockBits) - 1)).as("key"))
+    val a = blocks.select(col("blk"), col("key"),
+      col("doc_id").as("doc_a"), col("phash").as("pa"))
+    val b = blocks.select(col("blk"), col("key"),
+      col("doc_id").as("doc_b"), col("phash").as("pb"))
+    a.join(b, Seq("blk", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "pa", "pb").distinct()
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(pa ^ pb)").cast("long").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .orderBy("doc_a", "doc_b")
+  }
+
   // -------------------------------------------------------------- queries
 
   def decodeMeta(spark: SparkSession, dir: String): DataFrame =
@@ -176,6 +239,7 @@ object Multimodal {
     resize(mediaTable(spark, dir)).toDF().orderBy(col("doc_id"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_phash_neardups" -> ((s, d) => phashNearDups(s, d)),
     "mm_resize" -> ((s, d) => resizeMeta(s, d)),
     "mm_decode_meta" -> ((s, d) => decodeMeta(s, d)),
     "mm_feature_histogram" -> ((s, d) => featureHistogram(s, d)),
@@ -187,6 +251,32 @@ object Multimodal {
     * ASCII corpora (which the testdata is, verified). The engine's
     * byte semantics are the correct ones for a media pipeline. */
   val oracle: Map[String, String] = Map(
+    // replays aHash (downsample → mean threshold → 60 bits) and the
+    // pigeonhole block join in list algebra
+    "mm_phash_neardups" ->
+      s"""WITH rs AS (SELECT doc_id,
+         |    list_transform(range(0, least($PhashBits, (octet_length(encode(text)) + ${ResizeFactor - 1}) // $ResizeFactor)),
+         |      i -> ascii(substr(text, (i * $ResizeFactor + 1)::INT, 1))::BIGINT) AS rb
+         |  FROM documents),
+         |m AS (SELECT doc_id, rb,
+         |    list_reduce(list_prepend(0::BIGINT, rb), (a, b) -> a + b)
+         |      // greatest(len(rb), 1) AS mean FROM rs),
+         |h AS (SELECT doc_id,
+         |    list_reduce(list_prepend(0::BIGINT, list_transform(range(0, len(rb)),
+         |      i -> CASE WHEN rb[(i + 1)::INT] > mean
+         |           THEN (1::BIGINT << i::INT) ELSE 0::BIGINT END)),
+         |      (a, b) -> a + b) AS phash
+         |  FROM m),
+         |bk AS (SELECT doc_id, phash, blk,
+         |    (phash >> (blk * $PhashBlockBits)::INT) & ${(1L << PhashBlockBits) - 1} AS key
+         |  FROM (SELECT doc_id, phash, unnest(range(0, $PhashBlocks)) AS blk FROM h)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.phash AS pa, b.phash AS pb
+         |  FROM bk a JOIN bk b ON a.blk = b.blk AND a.key = b.key
+         |    AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, bit_count(xor(pa, pb))::BIGINT AS hamming
+         |FROM cand WHERE bit_count(xor(pa, pb)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
     // replays the byte downsample: every ResizeFactor-th char, rolled
     // into the same 31-ary checksum
     "mm_resize" ->

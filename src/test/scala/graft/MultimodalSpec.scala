@@ -34,6 +34,33 @@ class MultimodalSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("phash near-dups: pigeonhole join finds every Hamming<=3 pair the naive scan finds") {
+    import org.apache.spark.sql.functions._
+    val got = Multimodal.phashNearDups(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got.foreach { case (a, b, h) => assert(a < b && h >= 0 && h <= 3) }
+    // no duplicates despite multi-block collisions
+    assert(got.map(t => (t._1, t._2)).distinct.length == got.length)
+    // completeness: a driver-side all-pairs scan over the same hashes
+    // (test scale only — the banned shape the block join replaces)
+    val media = Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("text")).collect()
+      .map { r =>
+        val payload = r.getString(1).getBytes("UTF-8")
+        val n = math.min(60, (payload.length + 3) / 4)
+        val bytes = (0 until n).map(i => payload(i * 4) & 0xffL)
+        val mean = if (n == 0) 0L else bytes.sum / n
+        val h = (0 until n).foldLeft(0L)((acc, i) =>
+          if (bytes(i) > mean) acc | (1L << i) else acc)
+        r.getLong(0) -> h
+      }
+    val naive = for {
+      (a, ha) <- media; (b, hb) <- media
+      if a < b && java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (a, b, java.lang.Long.bitCount(ha ^ hb).toLong)
+    assert(got.toSet == naive.toSet, s"got ${got.length}, naive ${naive.length}")
+  }
+
   test("frame sample covers the payload at the configured stride") {
     val fs = Multimodal.frameSample(spark, sf0001)
     val r = fs.filter(col("doc_id") === 0L).collect()
