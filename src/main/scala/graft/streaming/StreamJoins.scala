@@ -44,6 +44,24 @@ object StreamJoins {
         col("q_ts") <= col("ts"))
       .drop("q_product")
 
+  /** Left-outer flavor of [[tradesWithRecentQuotes]]: a trade with NO
+    * quote in its lookback window still emits — once the quote-side
+    * watermark passes the window's end and the match can be ruled out —
+    * with null quote columns. This is the streaming outer join's core
+    * mechanic: the unmatched result is a WATERMARK decision, not a
+    * per-batch one (emitting eagerly would retract when a late quote
+    * arrived). State bounds are identical to the inner form. */
+  def tradesWithQuotesOuter(
+      tradesWithTs: DataFrame,
+      quotesWithTs: DataFrame,
+      lookbackSeconds: Int): DataFrame =
+    tradesWithTs.join(quotesWithTs,
+      col("product") === col("q_product") &&
+        col("q_ts") > col("ts") - expr(s"INTERVAL $lookbackSeconds SECONDS") &&
+        col("q_ts") <= col("ts"),
+      "left_outer")
+      .drop("q_product")
+
   /** Drop redelivered duplicates by `keys` while they can still recur
     * (within the watermark horizon). */
   def dedupWithinWatermark(withTs: DataFrame, keys: Seq[String]): DataFrame =

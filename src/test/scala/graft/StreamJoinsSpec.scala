@@ -41,6 +41,33 @@ class StreamJoinsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer interval join emits unmatched trades with nulls after the watermark rules a match out") {
+    val trades = MemoryStream[Trade]
+    val quotes = MemoryStream[Quote]
+    val joined = StreamJoins.tradesWithQuotesOuter(
+      StreamingOhlcv.withEventTime(trades.toDS(), "5 seconds"),
+      StreamJoins.quotesWithEventTime(quotes.toDS(), "5 seconds"),
+      lookbackSeconds = 10)
+    val q = joined.writeStream.format("memory").queryName("oj")
+      .outputMode("append").start()
+    try {
+      quotes.addData(quote(9000, "A", 2.0))
+      // B has NO quotes at all; A@10s matches quote@9s
+      trades.addData(trade(10000, "A", 100.0, 1), trade(10000, "B", 50.0, 1))
+      q.processAllAvailable()
+      // push both watermarks far past the lookback horizon so the
+      // engine can prove B@10s has no match
+      trades.addData(trade(600000, "A", 1.0, 1))
+      quotes.addData(quote(600000, "A", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("oj")
+        .filter(col("timestamp") === T0 + 10000)
+        .select(col("product"), col("bid")).collect()
+        .map(r => (r.getString(0), Option(r.get(1)))).toSet
+      assert(got == Set(("A", Some(2.0)), ("B", None)))
+    } finally q.stop()
+  }
+
   test("composed pipeline: dedup -> quote join -> windowed agg, one query, three stateful ops") {
     val trades = MemoryStream[Trade]
     val quotes = MemoryStream[Quote]
