@@ -320,6 +320,65 @@ object Similarity {
       .orderBy("query_id", "rnk")
   }
 
+  /** IVF-PQ: the production-index composition — the learned coarse
+    * quantizer prunes candidates to the query's cell (topKIvfKmeans's
+    * IVF), and the pruned survivors are scored by PQ-ADC lookups
+    * (topKPq's compression) instead of full-width dots. This is the
+    * memory/compute shape a billion-vector index actually deploys
+    * (Jégou et al. 2011): scan |corpus|/cells candidates × 4 table
+    * lookups each, corpus never shuffles, both quantizers trained with
+    * the same seeded fixed-point Lloyd's the oracle replays exactly. */
+  def topKIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.dotProduct
+    val emb = Tables.embeddings(spark, dir)
+      .filter(dotProduct(col("embedding"), col("embedding")) > 0)
+      .localCheckpoint()
+    // coarse quantizer: full-width k-means cells
+    val coarse = withCell(emb, kmeansCentroids(emb))
+      .select(col("vec_id"), col("cell"))
+      .localCheckpoint() // feeds corpus candidates AND the query cells
+    // fine quantizer: per-subspace PQ codebooks + one-pass encoding
+    val sliced = emb.select(
+      col("vec_id") +:
+        (0 until PqSubspaces).map(s =>
+          slice(col("embedding"), s * PqSubDim + 1, PqSubDim).as(s"s$s")): _*)
+    val books = pqTrainBooks(sliced)
+    val codes = sliced.select(
+      col("vec_id") +:
+        (0 until PqSubspaces).map(s => argminCell(col(s"s$s"), books(s)).as(s"c$s")): _*)
+    val cand = coarse.join(codes, "vec_id")
+    // per-query ADC LUTs (driver-built, as in topKPq) + the query's cell
+    val qcell = coarse.filter(col("vec_id") < NumQueries)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    import spark.implicits._
+    val lutDf = sliced.filter(col("vec_id") < NumQueries)
+      .collect().sortBy(_.getLong(0)).toSeq.map { r =>
+        val luts = (0 until PqSubspaces).map { s =>
+          val q = r.getSeq[Float](s + 1).map(_.toDouble).toArray
+          val arr = Array.fill(books(s).map(_._1).max + 1)(Double.MaxValue)
+          books(s).foreach { case (cid, cv) =>
+            var dot = 0.0; var i = 0
+            while (i < cv.length) { dot += q(i) * cv(i); i += 1 }
+            arr(cid) = selfDot(cv) - 2.0 * dot
+          }
+          arr.toSeq
+        }
+        (r.getLong(0), qcell(r.getLong(0)), luts(0), luts(1), luts(2), luts(3))
+      }.toDF("query_id", "cell", "l0", "l1", "l2", "l3")
+    // equi-join on cell = the IVF prune; ADC = 4 lookups + 3 adds
+    val scored = cand.join(broadcast(lutDf), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adc", (0 until PqSubspaces).map(s =>
+        element_at(col(s"l$s"), col(s"c$s") + lit(1))).reduce(_ + _))
+    val topk = udaf(new graft.functions.TopKByScore(IvfTopK))
+    scored.groupBy(col("query_id"))
+      .agg(topk(col("vec_id"), -col("adc")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + lit(1)).as("rnk"),
+        col("col.vec_id").as("vec_id"), (-col("col.cosine")).as("adc"))
+      .orderBy("query_id", "rnk")
+  }
+
   /** Range-search threshold: calibrated so the demo corpus returns a
     * real (non-empty, non-everything) neighbor set per query. */
   val RangeTau = 0.25
@@ -349,6 +408,7 @@ object Similarity {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_topk_ivfpq" -> ((s, d) => topKIvfPq(s, d)),
     "sim_range_search" -> ((s, d) => rangeSearch(s, d)),
     "sim_topk_bruteforce" -> ((s, d) => topKBruteForce(s, d)),
     "sim_topk_ivf" -> ((s, d) => topKIvf(s, d)),
@@ -446,7 +506,54 @@ object Similarity {
        |ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** IVF-PQ oracle: the coarse k-means chain (c0→af, exactly
+    * sim_topk_ivf_kmeans's) AND the four PQ subspace chains (exactly
+    * sim_topk_pq's) over the same kmnz base, then ADC scoring of only
+    * the query's-cell candidates. CTE names are disjoint by
+    * construction (c0/a1/c1/a2/c2/af vs kN/kcNN/kaNN/codN). */
+  private val ivfPqOracle: String = {
+    val subs = (0 until PqSubspaces).map(pqSubCtes).mkString(",\n")
+    val qSlices = (0 until PqSubspaces).map { s =>
+      s"embedding[${s * PqSubDim + 1}:${(s + 1) * PqSubDim}] AS q$s"
+    }.mkString(", ")
+    val adc = (0 until PqSubspaces).map { s =>
+      s"(${kmDotSql(s"b$s.cv", s"b$s.cv")} - 2.0 * ${kmDotSql(s"q.q$s", s"b$s.cv")})"
+    }.mkString("\n  + ")
+    val joins = (0 until PqSubspaces)
+      .map(s => s"JOIN kc${s}2 b$s ON b$s.cell = c.c$s").mkString("\n  ")
+    val codeJoins = (1 until PqSubspaces).map(s => s"JOIN cod$s USING (vec_id)").mkString(" ")
+    s"""WITH kmnz AS (SELECT vec_id, embedding FROM embeddings
+       |  WHERE list_reduce(list_prepend(0.0::DOUBLE,
+       |      list_transform(range(1, len(embedding) + 1),
+       |        k -> embedding[k]::DOUBLE * embedding[k]::DOUBLE)), (a, v) -> a + v) > 0),
+       |c0 AS (SELECT vec_id::INT AS cell,
+       |    list_transform(embedding, x -> x::DOUBLE) AS cv
+       |  FROM kmnz WHERE vec_id < $KMeansCells),
+       |a1 AS (${kmAssignCte("c0")}),
+       |c1 AS (${kmCentCte("a1")}),
+       |a2 AS (${kmAssignCte("c1")}),
+       |c2 AS (${kmCentCte("a2")}),
+       |af AS (${kmAssignCte("c2")}),
+       |$subs,
+       |codes AS (SELECT cod0.vec_id, ${(0 until PqSubspaces).map(s => s"c$s").mkString(", ")}
+       |  FROM cod0 $codeJoins),
+       |q AS (SELECT vec_id AS query_id, cell, $qSlices FROM af
+       |  WHERE vec_id < $NumQueries),
+       |scored AS (SELECT q.query_id, a.vec_id,
+       |    $adc AS adc
+       |  FROM q
+       |  JOIN af a ON a.cell = q.cell AND a.vec_id <> q.query_id
+       |  JOIN codes c ON c.vec_id = a.vec_id
+       |  $joins),
+       |r AS (SELECT query_id, vec_id, adc,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY adc ASC, vec_id) AS rnk
+       |  FROM scored)
+       |SELECT query_id, rnk, vec_id, adc FROM r WHERE rnk <= $IvfTopK
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "sim_topk_ivfpq" -> ivfPqOracle,
     "sim_range_search" ->
       s"""WITH nz AS (SELECT vec_id, embedding FROM embeddings
          |  WHERE list_reduce(list_prepend(0.0::DOUBLE,

@@ -131,6 +131,32 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ is well-formed and agrees with plain PQ on shared pairs") {
+    import graft.operators.Similarity
+    val ivfpq = Similarity.topKIvfPq(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2), r.getDouble(3)))
+    assert(ivfpq.nonEmpty)
+    // full 1..k rank list per query, never the query itself
+    ivfpq.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1L to rows.length))
+      assert(rows.forall(_._3 != q))
+      // ADC ascending along the rank order
+      val byRank = rows.sortBy(_._2).map(_._4)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a <= b })
+    }
+    // same codebooks ⇒ identical ADC for any (query, vec) pair both
+    // indexes ranked (IVF only prunes candidates, never rescores)
+    val pq = Similarity.topKPq(spark, sf001).collect()
+      .map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    ivfpq.foreach { case (q, _, v, adc) =>
+      pq.get((q, v)).foreach(other => assert(other == adc, s"($q,$v)"))
+    }
+    // deterministic across runs
+    val again = Similarity.topKIvfPq(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2), r.getDouble(3)))
+    assert(ivfpq.toSeq == again.toSeq)
+  }
+
   test("range search returns exactly the brute-force cosines at or above tau") {
     import graft.operators.Similarity
     val got = Similarity.rangeSearch(spark, sf001).collect()
