@@ -22,6 +22,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Aggregate"), s"expected an aggregate-based top-k:\n$p")
   }
 
+  test("round-4 joins plan with no cartesian or nested-loop operator") {
+    // interval join, fuzzy join, phash dedup: the equi-key reformulation
+    // is the whole point — a refactor that loses the bucket/block key
+    // falls back to BroadcastNestedLoopJoin and dies at scale
+    Seq("rel_interval_join", "rel_interval_overlap", "rel_fuzzy_join",
+        "mm_phash_neardups").foreach { q =>
+      val p = physical(SparkEntry.queries(q)(spark, sf0001))
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoop"), s"$q plans a nested loop:\n$p")
+    }
+  }
+
+  test("KMV distinct plans the bounded aggregator, never a distinct+window") {
+    val p = physical(SparkEntry.queries("sketch_kmv_distinct")(spark, sf0001))
+    assert(!p.contains("Window"), s"KMV must stay an aggregate:\n$p")
+    // two-level aggregate: partial BottomKDistinct then merge
+    assert(p.contains("Aggregate"), s"expected aggregate-based sketch:\n$p")
+  }
+
   test("rel_filter_project pushes its predicates into the parquet scan") {
     // toString truncates the FileScan line, so don't require the closing
     // bracket — a non-']' right after '[' means at least one pushed filter
