@@ -271,7 +271,41 @@ object Curation {
       .orderBy("rnk")
   }
 
+  /** Priority-sample size for [[samplePriority]]. */
+  private[graft] val PriorityK = 16
+
+  /** Deterministic weighted sampling without replacement — priority
+    * sampling (Duffield, Lund & Thorup, JACM 2007): each row gets
+    * priority w/u for a uniform u ∈ (0, 1], and the k highest
+    * priorities form a sample whose inclusion odds are
+    * weight-proportional. Here u is the stable hash scaled into
+    * (0, 2^32], so priority = w·2^32 div (hash+1) is EXACT integer
+    * arithmetic — the sample is a pure function of the data, like
+    * every other sampler in this suite, and replays in the oracle.
+    * Weight = n_chars: longer documents are proportionally likelier
+    * to be drawn (token-budget-weighted corpus audits want exactly
+    * this). Bounded map-side by the top-k aggregator, as in
+    * [[sampleReservoir]]. */
+  def samplePriority(spark: SparkSession, dir: String): DataFrame = {
+    val topk = udaf(new graft.functions.TopKByScore(PriorityK))
+    val prio = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        Sketches.hash32(col("doc_id")).as("h"))
+      .select(col("doc_id"),
+        expr("n_chars * 4294967296L div (h + 1L)").as("priority"))
+    prio
+      .agg(topk(col("doc_id"), col("priority").cast("double")).as("top"))
+      .select(posexplode(col("top")))
+      .select((col("pos") + lit(1)).cast("long").as("rnk"),
+        col("col.vec_id").as("doc_id"),
+        col("col.cosine").cast("long").as("priority"))
+      .join(Tables.documents(spark, dir).select("doc_id", "n_chars"), "doc_id")
+      .select("rnk", "doc_id", "n_chars", "priority")
+      .orderBy("rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_priority" -> ((s, d) => samplePriority(s, d)),
     "sample_reservoir" -> ((s, d) => sampleReservoir(s, d)),
     "text_gopher_filters" -> ((s, d) => gopherFilters(s, d)),
     "text_repetition" -> ((s, d) => repetitionStats(s, d)),
@@ -302,6 +336,16 @@ object Curation {
     TextAnalysis.stop("en").map(w => s"'$w'").mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "sample_priority" ->
+      s"""WITH h0 AS (SELECT doc_id, n_chars,
+         |    ${Sketches.foldSql("doc_id::VARCHAR", 31L, 0L)} AS f FROM documents),
+         |p AS (SELECT doc_id, n_chars,
+         |    (n_chars * 4294967296) // ((${Sketches.mixColSql("f")}) + 1) AS priority
+         |  FROM h0),
+         |r AS (SELECT doc_id, n_chars, priority,
+         |    row_number() OVER (ORDER BY priority DESC, doc_id) AS rnk FROM p)
+         |SELECT rnk, doc_id, n_chars, priority::BIGINT AS priority FROM r
+         |WHERE rnk <= $PriorityK ORDER BY rnk""".stripMargin,
     // the oracle states the semantic definition — the global hash-order
     // sort the bounded aggregator must reproduce exactly
     "sample_reservoir" ->

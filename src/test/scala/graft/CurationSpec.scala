@@ -43,6 +43,26 @@ class CurationSpec extends SparkSpec {
     assert(got.toSeq == again.toSeq)
   }
 
+  test("priority sample equals the global priority sort and favors heavy docs") {
+    import graft.operators.Sketches
+    val got = Curation.samplePriority(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == 16)
+    val naive = Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("n_chars"), Sketches.hash32(col("doc_id")).as("h"))
+      .select(col("doc_id"), col("n_chars"),
+        expr("n_chars * 4294967296L div (h + 1L)").as("p"))
+      .orderBy(col("p").desc, col("doc_id")).limit(16).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(got.map(t => (t._2, t._4)).toSeq == naive.toSeq)
+    // weighted: mean sampled length must exceed the corpus mean
+    val corpusMean = Tables.documents(spark, sf001)
+      .agg(avg("n_chars")).head().getDouble(0)
+    val sampleMean = got.map(_._3).sum.toDouble / got.length
+    assert(sampleMean > corpusMean,
+      s"weighting inert: sample $sampleMean <= corpus $corpusMean")
+  }
+
   test("repetition fractions are in [0,1] and the flag matches the thresholds") {
     val rows = Curation.repetitionStats(spark, sf0001)
       .select("top2gram_frac", "dup3gram_frac", "repetitive").collect()
