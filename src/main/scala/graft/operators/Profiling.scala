@@ -69,8 +69,52 @@ object Profiling {
       .orderBy(col("event_id"))
   }
 
+  /** ANALYZE-style table statistics built from SKETCHES only — the
+    * stats a cost-based optimizer actually consumes (row count, NDV,
+    * equi-depth histogram boundaries), produced without any exact
+    * distinct or global sort: NDV from the KMV bottom-k sketch
+    * (Sketches.kmvEstimateBy) and decile boundaries from the 1000-bin
+    * integer histogram (the sketch_quantile_hist machinery, deciles
+    * instead of tail percentiles). profileEvents is the exact
+    * small-scale profile; THIS is the one that still runs at 100 TB —
+    * constant sketch state per column, one scan, the only window over
+    * the ≤1000-row histogram. All integer (cents), so every boundary
+    * and estimate replays in the oracle. */
+  def tableStatsSketch(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val src = Tables.lineitem(spark, dir).selectExpr(
+      "stack(3, " +
+        "'l_quantity', CAST(round(l_quantity*100,0) AS BIGINT), " +
+        "'l_extendedprice', CAST(round(l_extendedprice*100,0) AS BIGINT), " +
+        "'l_discount', CAST(round(l_discount*100,0) AS BIGINT)) " +
+        "AS (column_name, cents)")
+    val ndv = Sketches.kmvEstimateBy(src, Seq("column_name"), col("cents"))
+      .select(col("column_name"), col("kmv_est").as("ndv_est"))
+    val bounds = src.groupBy("column_name")
+      .agg(min("cents").as("lo"), max("cents").as("hi"), count(lit(1)).as("n"))
+      .withColumn("bw", expr("(hi - lo + 1000) div 1000"))
+    val cum = src
+      .join(broadcast(bounds.select("column_name", "lo", "bw")), "column_name")
+      .select(col("column_name"), expr("(cents - lo) div bw").as("bin"))
+      .groupBy("column_name", "bin").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum",
+        sum("cnt").over(Window.partitionBy("column_name").orderBy("bin")))
+    import spark.implicits._
+    val tgt = bounds
+      .crossJoin(broadcast((1 to 9).map(_ * 10).toDF("p")))
+      .withColumn("target", expr("(p * n + 99) div 100"))
+    tgt.join(cum, Seq("column_name"))
+      .filter(col("cum") >= col("target"))
+      .groupBy("column_name", "n", "p", "lo", "bw").agg(min("bin").as("bin"))
+      .join(ndv, "column_name")
+      .select(col("column_name"), col("n"), col("ndv_est"), col("p"),
+        (col("lo") + col("bin") * col("bw")).as("est_cents"))
+      .orderBy("column_name", "p")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "profile_events" -> ((s, d) => profileEvents(s, d)),
+    "profile_stats_sketch" -> ((s, d) => tableStatsSketch(s, d)),
     "profile_outliers" -> ((s, d) => valueOutliers(s, d)))
 
   private def colSql(name: String, c: String): String =
@@ -81,6 +125,43 @@ object Profiling {
        |FROM events""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "profile_stats_sketch" ->
+      s"""WITH src AS (
+         |  SELECT 'l_quantity' AS column_name, CAST(round(l_quantity*100,0) AS BIGINT) AS cents FROM lineitem
+         |  UNION ALL
+         |  SELECT 'l_extendedprice', CAST(round(l_extendedprice*100,0) AS BIGINT) FROM lineitem
+         |  UNION ALL
+         |  SELECT 'l_discount', CAST(round(l_discount*100,0) AS BIGINT) FROM lineitem),
+         |h0 AS (SELECT column_name, ${Sketches.foldSql("cents::VARCHAR", 31L, 0L)} AS f
+         |  FROM (SELECT DISTINCT column_name, cents FROM src)),
+         |hx AS (SELECT DISTINCT column_name, ${Sketches.mixColSql("f")} AS x FROM h0),
+         |sk AS (SELECT column_name, (list_sort(list(x)))[:${Sketches.KmvK}] AS sketch
+         |  FROM hx GROUP BY 1),
+         |ndv AS (SELECT column_name,
+         |    CASE WHEN len(sketch) < ${Sketches.KmvK} THEN len(sketch)::BIGINT
+         |         ELSE (${Sketches.KmvK - 1} * 4294967296) // sketch[${Sketches.KmvK}]
+         |    END AS ndv_est
+         |  FROM sk),
+         |b AS (SELECT column_name, min(cents) AS lo, max(cents) AS hi,
+         |    count(*)::BIGINT AS n FROM src GROUP BY 1),
+         |w AS (SELECT *, (hi - lo + 1000) // 1000 AS bw FROM b),
+         |hist AS (SELECT s.column_name, (s.cents - w.lo) // w.bw AS bin,
+         |    count(*)::BIGINT AS cnt
+         |  FROM src s JOIN w USING (column_name) GROUP BY 1, 2),
+         |cum AS (SELECT column_name, bin,
+         |    sum(cnt) OVER (PARTITION BY column_name ORDER BY bin)::BIGINT AS cum
+         |  FROM hist),
+         |p(p) AS (VALUES (10), (20), (30), (40), (50), (60), (70), (80), (90)),
+         |tgt AS (SELECT w.column_name, w.n, p.p, w.lo, w.bw,
+         |    (p.p * w.n + 99) // 100 AS target
+         |  FROM w CROSS JOIN p)
+         |SELECT t.column_name, t.n, ndv.ndv_est, t.p,
+         |  t.lo + min(c.bin) * t.bw AS est_cents
+         |FROM tgt t
+         |JOIN cum c ON c.column_name = t.column_name AND c.cum >= t.target
+         |JOIN ndv ON ndv.column_name = t.column_name
+         |GROUP BY 1, 2, 3, 4, t.lo, t.bw
+         |ORDER BY 1, 4""".stripMargin,
     "profile_events" ->
       (Seq(
         colSql("event_id", "event_id"),

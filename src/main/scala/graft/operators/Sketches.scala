@@ -330,6 +330,19 @@ object Sketches {
       .agg(bottomK(col("h")).as("sketch"))
   }
 
+  /** Generic per-group KMV distinct estimate: the sketch-based sibling
+    * of [[hllEstimateBy]], with set-algebra-capable state. Emits
+    * keys ++ (n_sketch, kmv_est). */
+  def kmvEstimateBy(df: DataFrame, keys: Seq[String], value: Column): DataFrame = {
+    val bottomK = udaf(new graft.functions.BottomKDistinct(KmvK))
+    val kc = keys.map(col)
+    withKmvEstimate(
+      df.select(kc :+ hash32(value).as("h"): _*)
+        .groupBy(kc: _*)
+        .agg(bottomK(col("h")).as("sketch")))
+      .select(kc ++ Seq(col("n_sketch"), col("kmv_est")): _*)
+  }
+
   /** KMV distinct-count report per event_type: when the sketch is not
     * full the set IS the distinct set (exact count); when full, the
     * k-th minimum estimates density: est = (k−1)·2^32 div h_k — pure

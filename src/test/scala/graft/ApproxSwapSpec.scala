@@ -11,6 +11,34 @@ class ApproxSwapSpec extends SparkSpec {
 
   private lazy val events = Tables.events(spark, sf001)
 
+  test("sketch table stats: monotone deciles bracketing the data, NDV within KMV error") {
+    val rows = graft.operators.Profiling.tableStatsSketch(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getLong(4)))
+    assert(rows.map(_._1).distinct.sorted.toSeq ==
+      Seq("l_discount", "l_extendedprice", "l_quantity"))
+    val li = Tables.lineitem(spark, sf001)
+    rows.groupBy(_._1).foreach { case (cn, rs) =>
+      // 9 deciles, non-decreasing in p
+      assert(rs.map(_._4).sorted.toSeq == (10 to 90 by 10))
+      val byP = rs.sortBy(_._4).map(_._5)
+      assert(byP.zip(byP.tail).forall { case (a, b) => a <= b }, s"$cn not monotone")
+      // n is the real row count; boundaries sit inside the data range
+      val src = li.select(round(col(cn.replace("column_", "")) * 100, 0)
+        .cast("long").as("c"))
+      val (lo, hi, n) = {
+        val r = src.agg(min("c"), max("c"), count(lit(1))).head()
+        (r.getLong(0), r.getLong(1), r.getLong(2))
+      }
+      assert(rs.head._2 == n)
+      byP.foreach(v => assert(v >= lo && v <= hi, s"$cn boundary $v outside [$lo,$hi]"))
+      // KMV NDV within 4 sigma (k=64 → ~13% sigma) or exact when small
+      val exact = src.distinct().count()
+      val est = rs.head._3
+      if (exact < 64) assert(est == exact)
+      else assert(math.abs(est - exact).toDouble / exact < 0.52, s"$cn ndv $est vs $exact")
+    }
+  }
+
   test("approx_count_distinct tracks exact distinct counts within 5%") {
     for (c <- Seq("user_id", "event_id", "value")) {
       val exact = events.agg(count_distinct(col(c))).head.getLong(0)
