@@ -140,6 +140,46 @@ object Ohlcv {
       .orderBy("window_start", "event_type")
   }
 
+  /** Gap-filled 1-minute bars: every minute of the span gets a bar per
+    * key — minutes with no trades carry the previous close as
+    * open=high=low=close with volume 0 and a `gap_filled` marker. The
+    * reference (like Spark's `window()`) emits only non-empty windows;
+    * charting and TA consumers need the dense series, and forward-fill
+    * is the standard construction.
+    *
+    * Shape: the dense grid is |span minutes| × |keys| rows built from
+    * one `sequence` explode (never from the events), the carry is a
+    * running `last(close) ignore nulls` window over per-KEY partitions
+    * of that grid — bounded by the time span, local sorts, the same
+    * legality class as gapsIslands. Leading minutes before a key's
+    * first bar have nothing to carry and are dropped (standard
+    * convention). */
+  def bars1mGapFill(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // the bars aggregate feeds the span, the key list, and the join —
+    // checkpoint once instead of re-aggregating events three times
+    val b = eventBarsUnsorted(spark, dir, "1 minute")
+      .drop("window_end").localCheckpoint()
+    val span = b.agg(min("window_start").as("lo"), max("window_start").as("hi"))
+    val grid = span
+      .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 minute")))
+        .as("window_start"))
+      .crossJoin(b.select("event_type").distinct())
+    val carry = Window.partitionBy("event_type").orderBy("window_start")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(b, Seq("window_start", "event_type"), "left")
+      .withColumn("prev_close", last("close", ignoreNulls = true).over(carry))
+      .filter(col("prev_close").isNotNull)
+      .select(col("window_start"), col("event_type"),
+        coalesce(col("open"), col("prev_close")).as("open"),
+        coalesce(col("high"), col("prev_close")).as("high"),
+        coalesce(col("low"), col("prev_close")).as("low"),
+        coalesce(col("close"), col("prev_close")).as("close"),
+        coalesce(col("volume"), lit(0L)).as("volume"),
+        col("open").isNull.as("gap_filled"))
+      .orderBy("window_start", "event_type")
+  }
+
   /** 5-minute bars (the reference's second resolution,
     * /root/reference/old/flink.py:56-67). */
   def bars5m(spark: SparkSession, dir: String): DataFrame = eventBars(spark, dir, "5 minutes")
@@ -243,6 +283,7 @@ object Ohlcv {
     "ohlcv_1m_packed" -> ((s, d) => bars1mPacked(s, d)),
     "ohlcv_1m_typed" -> ((s, d) => bars1mTyped(s, d)),
     "ohlcv_1m" -> ((s, d) => bars1m(s, d)),
+    "ohlcv_1m_gapfill" -> ((s, d) => bars1mGapFill(s, d)),
     "ohlcv_1m_vwap" -> ((s, d) => bars1mVwap(s, d)),
     "ohlcv_5m" -> ((s, d) => bars5m(s, d)),
     "ohlcv_1h_by_user" -> ((s, d) => bars1hByUser(s, d)),
@@ -278,6 +319,31 @@ object Ohlcv {
     * grid uses epoch arithmetic. (ts, event_type) pairs are unique in the
     * testdata, so arg_min/arg_max on ts alone is deterministic. */
   val oracle: Map[String, String] = Map(
+    "ohlcv_1m_gapfill" ->
+      """WITH b AS (SELECT date_trunc('minute', ts) AS window_start, event_type,
+        |    arg_min(value, ts) AS open, max(value) AS high, min(value) AS low,
+        |    arg_max(value, ts) AS close, count(*)::BIGINT AS volume
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT min(window_start) AS lo, max(window_start) AS hi FROM b),
+        |grid AS (SELECT g.ws AS window_start, t.event_type
+        |  FROM (SELECT unnest(generate_series(lo, hi, INTERVAL 1 MINUTE)) AS ws
+        |        FROM span) g
+        |  CROSS JOIN (SELECT DISTINCT event_type FROM b) t),
+        |f AS (SELECT g.window_start, g.event_type,
+        |    b.open, b.high, b.low, b.close, b.volume,
+        |    last_value(b.close IGNORE NULLS) OVER (
+        |      PARTITION BY g.event_type ORDER BY g.window_start
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_close
+        |  FROM grid g LEFT JOIN b USING (window_start, event_type))
+        |SELECT window_start, event_type,
+        |  coalesce(open, prev_close) AS open,
+        |  coalesce(high, prev_close) AS high,
+        |  coalesce(low, prev_close) AS low,
+        |  coalesce(close, prev_close) AS close,
+        |  coalesce(volume, 0)::BIGINT AS volume,
+        |  (open IS NULL) AS gap_filled
+        |FROM f WHERE prev_close IS NOT NULL
+        |ORDER BY window_start, event_type""".stripMargin,
     "ohlcv_1m_vwap" ->
       """SELECT date_trunc('minute', ts) AS window_start, event_type,
         |  sum(event_id % 10 + 1)::BIGINT AS volume,

@@ -77,6 +77,42 @@ class OhlcvSpec extends SparkSpec {
     assert(direct.exceptAll(rolled).isEmpty && rolled.exceptAll(direct).isEmpty)
   }
 
+  test("gap-fill emits a dense per-key minute series carrying the previous close") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.Ohlcv.bars1mGapFill(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val byType = rows.groupBy(_.getAs[String]("event_type"))
+    byType.foreach { case (t, rs) =>
+      val sorted = rs.sortBy(_.getAs[java.sql.Timestamp]("window_start").getTime)
+      // dense: consecutive minutes, no holes from the first bar onward
+      val times = sorted.map(_.getAs[java.sql.Timestamp]("window_start").getTime)
+      times.zip(times.tail).foreach { case (a, b) =>
+        assert(b - a == 60000L, s"$t hole between $a and $b") }
+      // a filled gap is flat at the previous close with zero volume
+      sorted.zip(sorted.tail).foreach { case (prev, cur) =>
+        if (cur.getAs[Boolean]("gap_filled")) {
+          val pc = prev.getAs[Double]("close")
+          assert(cur.getAs[Double]("open") == pc &&
+            cur.getAs[Double]("high") == pc &&
+            cur.getAs[Double]("low") == pc &&
+            cur.getAs[Double]("close") == pc)
+          assert(cur.getAs[Long]("volume") == 0L)
+        } else assert(cur.getAs[Long]("volume") > 0L)
+      }
+    }
+    // real bars agree with the plain 1m bars
+    val plain = graft.operators.Ohlcv.bars1m(spark, sf0001).collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("window_start"),
+        r.getAs[String]("event_type")) ->
+        (r.getAs[Double]("open"), r.getAs[Double]("close"),
+          r.getAs[Long]("volume"))).toMap
+    rows.filter(!_.getAs[Boolean]("gap_filled")).foreach { r =>
+      val k = (r.getAs[java.sql.Timestamp]("window_start"), r.getAs[String]("event_type"))
+      assert(plain(k) == ((r.getAs[Double]("open"), r.getAs[Double]("close"),
+        r.getAs[Long]("volume"))))
+    }
+  }
+
   test("flagship entry returns bars on sf0.001") {
     val df = SparkEntry.entry(spark)
     assert(df.count() > 0)
