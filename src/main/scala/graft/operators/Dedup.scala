@@ -136,6 +136,50 @@ object Dedup {
 
   // ---------------------------------------------------------- MinHash+LSH
 
+  /** Banding configurations surveyed by [[lshTuningReport]]: k=16
+    * signatures split as 8×2, 4×4, 2×8 (bands × rows). */
+  private[graft] val TuningConfigs = Seq((8, 2), (4, 4), (2, 8))
+
+  /** LSH banding tuning report — THE operational question at corpus
+    * scale: for each (bands b × rows r) split of the k=16 signature,
+    * how many candidate pairs does the index generate (cost: every
+    * candidate pays an exact verification) and how many true near-dups
+    * does it find (recall vs the exact inverted-index pairs)? More
+    * bands = higher recall AND more candidates; the S-curve threshold
+    * sits near (1/b)^(1/r). The report computes signatures ONCE and
+    * replays the three band joins over the checkpointed frame. */
+  def lshTuningReport(spark: SparkSession, dir: String): DataFrame = {
+    val sh = minHashSignatures(spark, dir).localCheckpoint()
+    val sets = sh.select(col("doc_id"), col("codes"), col("sz"))
+    val nTrue = jaccardPairsUnsorted(spark, dir).agg(count(lit(1)).as("n_true"))
+    val perConfig = TuningConfigs.map { case (b, r) =>
+      val bands = sh.select(col("doc_id"),
+          posexplode(transform(sequence(lit(0), lit(b - 1)),
+            i => slice(col("sig"), i * r + 1, lit(r)))))
+        .select(col("doc_id"), col("pos").as("band"), col("col").as("key"))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
+        .distinct()
+      cand
+        .join(sets.select(col("doc_id").as("doc_i"),
+          col("codes").as("c_i"), col("sz").as("sz_i")), "doc_i")
+        .join(sets.select(col("doc_id").as("doc_j"),
+          col("codes").as("c_j"), col("sz").as("sz_j")), "doc_j")
+        .withColumn("common", size(array_intersect(col("c_i"), col("c_j"))).cast("long"))
+        .withColumn("jacc", col("common") / (col("sz_i") + col("sz_j") - col("common")))
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(when(col("jacc") >= JaccardThreshold, 1L).otherwise(0L)).as("n_found"))
+        .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+          col("n_candidates"), col("n_found"))
+    }
+    perConfig.reduce(_ union _)
+      .crossJoin(broadcast(nTrue))
+      .withColumn("recall_milli", expr("1000 * n_found div n_true"))
+      .orderBy(col("bands").desc)
+  }
+
   /** Per-doc MinHash signature (array of k minima) plus banded keys.
     * Native MinHashSig expression: one pass over the code set for all k
     * permutations (the composed form re-walks the array k times through
@@ -525,6 +569,7 @@ object Dedup {
     "dedup_exact" -> ((s, d) => exact(s, d)),
     "dedup_jaccard_pairs" -> ((s, d) => jaccardPairs(s, d)),
     "dedup_minhash_lsh" -> ((s, d) => minHashLshPairs(s, d)),
+    "dedup_lsh_tuning" -> ((s, d) => lshTuningReport(s, d)),
     "dedup_simhash_pairs" -> ((s, d) => simHashPairs(s, d)),
     "dedup_embedding" -> ((s, d) => embeddingNearDups(s, d)),
     "dedup_embedding_clusters" -> ((s, d) => embeddingClusters(s, d)),
@@ -630,6 +675,41 @@ object Dedup {
          |JOIN sh sj ON sj.doc_id = doc_j
          |WHERE common::DOUBLE / (si.sz + sj.sz - common) >= 0.5
          |ORDER BY doc_i, doc_j""".stripMargin,
+    "dedup_lsh_tuning" -> {
+      def cfg(b: Int, r: Int): String =
+        s"""bands$b AS (SELECT doc_id, band, s[band*$r + 1 : band*$r + $r] AS key
+           |  FROM sig, (SELECT unnest(range(0, $b)) AS band)),
+           |cand$b AS (SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j
+           |  FROM bands$b a JOIN bands$b b ON a.band = b.band AND a.key = b.key
+           |    AND a.doc_id < b.doc_id),
+           |ver$b AS (SELECT count(*)::BIGINT AS n_candidates,
+           |    coalesce(sum(CASE WHEN len(list_intersect(si.codes, sj.codes))::DOUBLE
+           |      / (si.sz + sj.sz - len(list_intersect(si.codes, sj.codes))) >= $JaccardThreshold
+           |      THEN 1 ELSE 0 END), 0)::BIGINT AS n_found
+           |  FROM cand$b
+           |  JOIN sh si ON si.doc_id = doc_i JOIN sh sj ON sj.doc_id = doc_j)""".stripMargin
+      def row(b: Int, r: Int): String =
+        s"SELECT $b AS bands, $r AS rows_per_band, n_candidates, n_found, n_true, " +
+          s"1000 * n_found // n_true AS recall_milli FROM ver$b, tru"
+      s"""WITH $shingleCte,
+         |$postsCte,
+         |common AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
+         |    count(*)::BIGINT AS common
+         |  FROM posts a JOIN posts b ON a.code = b.code AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |tru AS (SELECT count(*)::BIGINT AS n_true FROM common
+         |  JOIN sh si ON si.doc_id = doc_i JOIN sh sj ON sj.doc_id = doc_j
+         |  WHERE common::DOUBLE / (si.sz + sj.sz - common) >= $JaccardThreshold),
+         |mh AS (SELECT doc_id, i,
+         |    min((c * (2*i + 1) + 104729 * i + 12345) % 2147483647) AS m
+         |  FROM (SELECT doc_id, unnest(codes) AS c FROM sh),
+         |       (SELECT unnest(range(0, $MinHashK)) AS i)
+         |  GROUP BY 1, 2),
+         |sig AS (SELECT doc_id, list(m ORDER BY i) AS s FROM mh GROUP BY 1),
+         |${TuningConfigs.map { case (b, r) => cfg(b, r) }.mkString(",\n")}
+         |${TuningConfigs.map { case (b, r) => row(b, r) }.mkString("\nUNION ALL ")}
+         |ORDER BY bands DESC""".stripMargin
+    },
     "dedup_minhash_lsh" ->
       s"""WITH $shingleCte,
          |mh AS (SELECT doc_id, i,

@@ -114,6 +114,28 @@ class TrainingDataSpec extends SparkSpec {
     assert(!m.contains(2L)) // dup's canonical id is the min, 1
   }
 
+  test("LSH tuning report: more bands means more candidates, 8x2 found matches the production config") {
+    val rows = Dedup.lshTuningReport(spark, sf001).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.map(t => (t._1, t._2)).toSeq == Seq((8, 2), (4, 4), (2, 8)))
+    // n_true is one corpus-wide constant
+    assert(rows.map(_._5).distinct.length == 1)
+    // recall in [0, 1000], found <= candidates, found <= true
+    rows.foreach { case (_, _, cand, found, truth, recall) =>
+      assert(found <= cand && found <= truth)
+      assert(recall >= 0 && recall <= 1000)
+      assert(recall == 1000 * found / truth)
+    }
+    // banding monotonicity: fewer rows per band can only add candidates
+    val byBands = rows.map(t => t._1 -> (t._3, t._4)).toMap
+    assert(byBands(8)._1 >= byBands(4)._1 && byBands(4)._1 >= byBands(2)._1)
+    assert(byBands(8)._2 >= byBands(4)._2 && byBands(4)._2 >= byBands(2)._2)
+    // the 8x2 row's found count equals the production LSH query's pairs
+    val prod = Dedup.minHashLshPairs(spark, sf001).count()
+    assert(byBands(8)._2 == prod)
+  }
+
   test("minhash LSH finds exactly the exact-Jaccard pairs on sf0.001") {
     val exact = Dedup.jaccardPairs(spark, sf0001)
       .select("doc_i", "doc_j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
