@@ -180,6 +180,33 @@ object Ohlcv {
       .orderBy("window_start", "event_type")
   }
 
+  /** Rolling technical indicators over the 1-minute bars: 5-bar simple
+    * moving average and population stddev of the close (the Bollinger
+    * inputs). Moments are EXACT integer cents (rolling sum and
+    * sum-of-squares are long adds over a 5-row frame), divided once at
+    * the end — sma as milli-cents by BIGINT division, stddev as one
+    * double sqrt of an exact integer ratio, so both replay
+    * bit-for-bit. The window runs over per-KEY bar series (span-
+    * bounded local sorts, the gapsIslands legality class) — and over
+    * BARS, which are already aggregated: |keys| × |minutes| rows,
+    * never the raw events. */
+  def bars1mIndicators(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy("window_start")
+      .rowsBetween(-4, 0)
+    eventBarsUnsorted(spark, dir, "1 minute")
+      .select(col("window_start"), col("event_type"),
+        round(col("close") * 100, 0).cast("long").as("cents"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s1", sum("cents").over(w))
+      .withColumn("s2", sum(col("cents") * col("cents")).over(w))
+      .select(col("window_start"), col("event_type"), col("n"),
+        expr("(s1 * 10) div n").as("sma_millicents"),
+        sqrt((col("s2") / col("n") - (col("s1") / col("n")) * (col("s1") / col("n"))) / 10000.0)
+          .as("stddev"))
+      .orderBy("window_start", "event_type")
+  }
+
   /** 5-minute bars (the reference's second resolution,
     * /root/reference/old/flink.py:56-67). */
   def bars5m(spark: SparkSession, dir: String): DataFrame = eventBars(spark, dir, "5 minutes")
@@ -284,6 +311,7 @@ object Ohlcv {
     "ohlcv_1m_typed" -> ((s, d) => bars1mTyped(s, d)),
     "ohlcv_1m" -> ((s, d) => bars1m(s, d)),
     "ohlcv_1m_gapfill" -> ((s, d) => bars1mGapFill(s, d)),
+    "ohlcv_1m_indicators" -> ((s, d) => bars1mIndicators(s, d)),
     "ohlcv_1m_vwap" -> ((s, d) => bars1mVwap(s, d)),
     "ohlcv_5m" -> ((s, d) => bars5m(s, d)),
     "ohlcv_1h_by_user" -> ((s, d) => bars1hByUser(s, d)),
@@ -319,6 +347,21 @@ object Ohlcv {
     * grid uses epoch arithmetic. (ts, event_type) pairs are unique in the
     * testdata, so arg_min/arg_max on ts alone is deterministic. */
   val oracle: Map[String, String] = Map(
+    "ohlcv_1m_indicators" ->
+      """WITH b AS (SELECT date_trunc('minute', ts) AS window_start, event_type,
+        |    CAST(round(arg_max(value, ts) * 100, 0) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT window_start, event_type,
+        |    count(*) OVER w::BIGINT AS n,
+        |    sum(cents) OVER w::BIGINT AS s1,
+        |    sum(cents * cents) OVER w::BIGINT AS s2
+        |  FROM b
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY window_start
+        |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+        |SELECT window_start, event_type, n,
+        |  (s1 * 10) // n AS sma_millicents,
+        |  sqrt((s2 / n - (s1 / n) * (s1 / n)) / 10000.0) AS stddev
+        |FROM r ORDER BY window_start, event_type""".stripMargin,
     "ohlcv_1m_gapfill" ->
       """WITH b AS (SELECT date_trunc('minute', ts) AS window_start, event_type,
         |    arg_min(value, ts) AS open, max(value) AS high, min(value) AS low,

@@ -113,6 +113,28 @@ class OhlcvSpec extends SparkSpec {
     }
   }
 
+  test("rolling indicators: expanding head, 5-bar steady state, driver-recomputed moments") {
+    import org.apache.spark.sql.functions._
+    val bars = graft.operators.Ohlcv.bars1m(spark, sf0001).collect()
+      .groupBy(_.getAs[String]("event_type"))
+      .view.mapValues(_.sortBy(_.getAs[java.sql.Timestamp]("window_start").getTime)
+        .map(r => math.round(r.getAs[Double]("close") * 100))).toMap
+    val got = graft.operators.Ohlcv.bars1mIndicators(spark, sf0001).collect()
+    assert(got.nonEmpty)
+    got.groupBy(_.getAs[String]("event_type")).foreach { case (t, rs) =>
+      val sorted = rs.sortBy(_.getAs[java.sql.Timestamp]("window_start").getTime)
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        val frame = bars(t).slice(math.max(0, i - 4), i + 1)
+        assert(r.getAs[Long]("n") == frame.length)
+        assert(r.getAs[Long]("sma_millicents") == frame.sum * 10 / frame.length)
+        val n = frame.length.toDouble
+        val expSd = math.sqrt((frame.map(c => c.toDouble * c).sum / n -
+          (frame.sum / n) * (frame.sum / n)) / 10000.0)
+        assert(math.abs(r.getAs[Double]("stddev") - expSd) < 1e-9)
+      }
+    }
+  }
+
   test("flagship entry returns bars on sf0.001") {
     val df = SparkEntry.entry(spark)
     assert(df.count() > 0)
