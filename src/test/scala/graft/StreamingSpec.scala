@@ -367,6 +367,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow drains the backlog, self-terminates, and matches the batch answer") {
+    // the production backfill pattern: the SAME streaming query code
+    // pointed at a backlog runs to completion and stops — no trigger
+    // loop to babysit, results identical to a batch run over the data
+    import org.apache.spark.sql.streaming.Trigger
+    val input = MemoryStream[Trade]
+    val msgs = (0 until 500).map(i =>
+      trade(i * 250L, s"P${i % 7}", (i % 50 + 1).toDouble, (i % 9 + 1).toLong))
+    input.addData(msgs: _*)
+    val q = StreamingOhlcv.windowedBars(
+        StreamingOhlcv.withEventTime(input.toDS(), "0 seconds"), "1 minute")
+      .writeStream.format("memory").queryName("avail_now")
+      .outputMode("complete").trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      // self-termination is the point: no processAllAvailable, no stop
+      assert(q.awaitTermination(60000), "AvailableNow query did not finish")
+      val streamed = spark.table("avail_now")
+        .select("window_start", "product", "open", "high", "low", "close", "volume")
+        .collect().map(_.toSeq).toSet
+      import spark.implicits._
+      val batch = StreamingOhlcv.windowedBars(
+          StreamingOhlcv.withEventTime(msgs.toDS(), "0 seconds"), "1 minute")
+        .select("window_start", "product", "open", "high", "low", "close", "volume")
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming session windows merge across micro-batches and close on watermark") {
     // batch session semantics live in Windows.userSessions; this drill
     // pins the STREAMING form: a gap-keyed session must merge rows
