@@ -152,4 +152,45 @@ class OhlcvSpec extends SparkSpec {
   test("every oracleSql key has a matching query") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
+
+  test("no suite silently shadows another's query or oracle key") {
+    // SparkEntry merges suite maps with ++ — a duplicated key would
+    // overwrite an operator and shrink coverage without any failure
+    import graft.operators._
+    val suites: Seq[(String, Set[String], Set[String])] = Seq(
+      ("Ohlcv", Ohlcv.queries.keySet, Ohlcv.oracle.keySet),
+      ("Relational", Relational.queries.keySet, Relational.oracle.keySet),
+      ("TextAnalysis", TextAnalysis.queries.keySet, TextAnalysis.oracle.keySet),
+      ("Dedup", Dedup.queries.keySet, Dedup.oracle.keySet),
+      ("Similarity", Similarity.queries.keySet, Similarity.oracle.keySet),
+      ("Multimodal", Multimodal.queries.keySet, Multimodal.oracle.keySet),
+      ("Windows", Windows.queries.keySet, Windows.oracle.keySet),
+      ("Pipeline", Pipeline.queries.keySet, Pipeline.oracle.keySet),
+      ("RichTrades", RichTrades.queries.keySet, RichTrades.oracle.keySet),
+      ("Skew", Skew.queries.keySet, Skew.oracle.keySet),
+      ("Curation", Curation.queries.keySet, Curation.oracle.keySet),
+      ("AsOfJoin", AsOfJoin.queries.keySet, AsOfJoin.oracle.keySet),
+      ("Profiling", Profiling.queries.keySet, Profiling.oracle.keySet),
+      ("Sketches", Sketches.queries.keySet, Sketches.oracle.keySet),
+      ("Retrieval", Retrieval.queries.keySet, Retrieval.oracle.keySet),
+      ("Graph", Graph.queries.keySet, Graph.oracle.keySet),
+      ("Behavior", Behavior.queries.keySet, Behavior.oracle.keySet),
+      ("Warehouse", Warehouse.queries.keySet, Warehouse.oracle.keySet),
+      ("Temporal", Temporal.queries.keySet, Temporal.oracle.keySet),
+      ("Intervals", Intervals.queries.keySet, Intervals.oracle.keySet),
+      ("GenTrades", graft.sources.GenTradesSource.queries.keySet,
+        graft.sources.GenTradesSource.oracle.keySet),
+      ("GenKV", graft.sources.GenKVSource.queries.keySet,
+        graft.sources.GenKVSource.oracle.keySet))
+    val qSum = suites.map(_._2.size).sum
+    val oSum = suites.map(_._3.size).sum
+    assert(SparkEntry.queries.size == qSum,
+      s"query-key collision: merged ${SparkEntry.queries.size}, suites sum $qSum")
+    assert(SparkEntry.oracleSql.size == oSum,
+      s"oracle-key collision: merged ${SparkEntry.oracleSql.size}, suites sum $oSum")
+    // and the SparkEntry merge actually includes every suite
+    suites.foreach { case (n, qs, _) =>
+      assert(qs.subsetOf(SparkEntry.queries.keySet), s"suite $n not merged")
+    }
+  }
 }
