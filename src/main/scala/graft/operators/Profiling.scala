@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -112,9 +112,53 @@ object Profiling {
       .orderBy("column_name", "p")
   }
 
+  /** Distribution-drift detector between two cohorts of one frame:
+    * shared 20-bin integer histogram over the combined range, per-bin
+    * milli-normalized frequencies, L1 distance per group. The
+    * histogram is the mergeable sketch again — each cohort's
+    * distribution compresses to ≤ bins rows per group however many
+    * rows it has, so comparing yesterday's snapshot to today's costs
+    * two sketch builds and a ≤ bins-row join, never a row-level diff.
+    * All integer (milli frequencies by BIGINT division): replays
+    * exactly. */
+  def driftOn(df: DataFrame, isA: Column, cents: Column,
+      group: Column): DataFrame = {
+    val ev = df.select(group.as("grp"), isA.as("is_a"), cents.as("cents"))
+    val bounds = ev.groupBy("grp")
+      .agg(min("cents").as("lo"), max("cents").as("hi"))
+      .withColumn("bw", expr("(hi - lo + 20) div 20"))
+    val counts = ev
+      .join(broadcast(bounds.select("grp", "lo", "bw")), "grp")
+      .select(col("grp"), col("is_a"), expr("(cents - lo) div bw").as("bin"))
+      .groupBy("grp", "bin")
+      .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("cb"))
+    val totals = counts.groupBy("grp")
+      .agg(sum("ca").as("na"), sum("cb").as("nb"))
+    counts.join(broadcast(totals), "grp")
+      .select(col("grp"), col("na"), col("nb"),
+        abs(expr("1000 * ca div na") - expr("1000 * cb div nb")).as("d"))
+      .groupBy("grp", "na", "nb").agg(sum("d").as("l1_milli"))
+      .select(col("grp"), col("na"), col("nb"), col("l1_milli"))
+  }
+
+  /** Drift report over `events`: cohort A = even event_ids, cohort B =
+    * odd — an undrifted split of one distribution, so the expected
+    * reading is ≈ 0 (the null baseline a monitoring pipeline alerts
+    * against; the spec drives the detector with genuinely drifted
+    * cohorts and sees it fire). */
+  def driftReport(spark: SparkSession, dir: String): DataFrame =
+    driftOn(Tables.events(spark, dir),
+      col("event_id") % 2 === 0,
+      round(col("value") * 100, 0).cast("long"),
+      col("event_type"))
+      .withColumnRenamed("grp", "event_type")
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "profile_events" -> ((s, d) => profileEvents(s, d)),
     "profile_stats_sketch" -> ((s, d) => tableStatsSketch(s, d)),
+    "profile_drift" -> ((s, d) => driftReport(s, d)),
     "profile_outliers" -> ((s, d) => valueOutliers(s, d)))
 
   private def colSql(name: String, c: String): String =
@@ -125,6 +169,21 @@ object Profiling {
        |FROM events""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "profile_drift" ->
+      """WITH e AS (SELECT event_type AS grp, event_id % 2 = 0 AS is_a,
+        |    CAST(round(value*100,0) AS BIGINT) AS cents FROM events),
+        |b AS (SELECT grp, min(cents) AS lo, max(cents) AS hi FROM e GROUP BY 1),
+        |w AS (SELECT *, (hi - lo + 20) // 20 AS bw FROM b),
+        |c AS (SELECT e.grp, (e.cents - w.lo) // w.bw AS bin,
+        |    sum(CASE WHEN e.is_a THEN 1 ELSE 0 END)::BIGINT AS ca,
+        |    sum(CASE WHEN e.is_a THEN 0 ELSE 1 END)::BIGINT AS cb
+        |  FROM e JOIN w USING (grp) GROUP BY 1, 2),
+        |t AS (SELECT grp, sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb
+        |  FROM c GROUP BY 1)
+        |SELECT c.grp AS event_type, t.na, t.nb,
+        |  sum(abs(1000 * c.ca // t.na - 1000 * c.cb // t.nb))::BIGINT AS l1_milli
+        |FROM c JOIN t USING (grp)
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
     "profile_stats_sketch" ->
       s"""WITH src AS (
          |  SELECT 'l_quantity' AS column_name, CAST(round(l_quantity*100,0) AS BIGINT) AS cents FROM lineitem

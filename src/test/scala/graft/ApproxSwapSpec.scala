@@ -39,6 +39,28 @@ class ApproxSwapSpec extends SparkSpec {
     }
   }
 
+  test("drift detector: near zero on an undrifted split, fires on disjoint cohorts") {
+    import spark.implicits._
+    import graft.operators.Profiling
+    // undrifted: the real report splits one distribution by parity
+    val calm = Profiling.driftReport(spark, sf001).collect()
+    assert(calm.nonEmpty)
+    calm.foreach { r =>
+      val l1 = r.getAs[Long]("l1_milli")
+      // same distribution in both cohorts: far from the max of 2000
+      assert(l1 < 400, s"${r.getString(0)}: undrifted split reads $l1")
+    }
+    // drifted: cohort A in [0,100), cohort B in [1000,1100) — disjoint
+    // bins, so L1 ≈ 2000 (each side's mass fully unmatched)
+    val drifted = (0 until 200).map { i =>
+      if (i % 2 == 0) ("g", true, (i % 100).toLong)
+      else ("g", false, (1000 + i % 100).toLong)
+    }.toDF("grp", "is_a", "cents")
+    val fired = Profiling.driftOn(drifted, col("is_a"), col("cents"), col("grp"))
+      .head().getAs[Long]("l1_milli")
+    assert(fired > 1800, s"disjoint cohorts read only $fired")
+  }
+
   test("approx_count_distinct tracks exact distinct counts within 5%") {
     for (c <- Seq("user_id", "event_id", "value")) {
       val exact = events.agg(count_distinct(col(c))).head.getLong(0)
