@@ -377,7 +377,28 @@ object Relational {
       .orderBy("name_a", "name_b")
   }
 
+  // -- LATERAL correlated subquery via the SQL surface ----------------------
+  /** Top-2 orders per active customer through a LATERAL join — the SQL
+    * surface's per-row subquery idiom (each customer row drives its own
+    * ordered+limited scan of orders). Catalyst decorrelates this to the
+    * same window/aggregate machinery the explicit formulations use, so
+    * the nested phrasing costs nothing at scale — the point is that the
+    * surface ACCEPTS it (it is how analysts write top-N-per-key). */
+  def lateralTopOrders(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        |FROM customer c
+        |JOIN LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        |WHERE c.c_custkey <= 100
+        |ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_lateral_topn" -> ((s, d) => lateralTopOrders(s, d)),
     "rel_fuzzy_join" -> ((s, d) => fuzzyPartPairs(s, d)),
     "rel_pricing_summary" -> ((s, d) => pricingSummary(s, d)),
     "rel_filter_project" -> ((s, d) => filterProject(s, d)),
@@ -409,6 +430,14 @@ object Relational {
     "rel_scalar_subquery" -> ((s, d) => maxOrderPerCustomer(s, d)))
 
   val oracle: Map[String, String] = Map(
+    "rel_lateral_topn" ->
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        |FROM customer c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        |WHERE c.c_custkey <= 100
+        |ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""".stripMargin,
     "rel_fuzzy_join" ->
       """WITH names AS (SELECT DISTINCT p_name FROM part),
         |b AS (SELECT p_name, string_split(p_name, ' ')[-1] AS noun FROM names)

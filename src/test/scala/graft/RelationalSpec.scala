@@ -7,6 +7,24 @@ class RelationalSpec extends SparkSpec {
   private def physical(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  test("lateral top-N per key equals the window-rank formulation") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val got = Relational.lateralTopOrders(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty)
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val windowed = Tables.orders(spark, sf0001)
+      .filter(col("o_custkey") <= 100)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 2)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == windowed.toSeq)
+  }
+
   test("fuzzy join blocks on the noun: equi-join plan, symmetric-free pairs, dist <= 3") {
     import org.apache.spark.sql.functions._
     val df = Relational.fuzzyPartPairs(spark, sf0001)
