@@ -150,6 +150,15 @@ object Graft {
       : Dataset[graft.streaming.KmvEstimate] =
     graft.streaming.StreamingSketch.kmvByKey(kv)
 
+  /** Windowed drift monitor: each closed window's value histogram vs a
+    * batch-built baseline, L1 in milli — the streaming twin of
+    * `profiling.driftOn`. */
+  def streamingDrift(tv: Dataset[graft.streaming.TimedValue], windowDur: String,
+      watermarkDelay: String, lo: Long, bw: Long,
+      baselineMilli: Map[Long, Long]): DataFrame =
+    graft.streaming.StreamingSketch.windowedDrift(
+      tv, windowDur, watermarkDelay, lo, bw, baselineMilli)
+
   /** Integer-BM25 full-text top-k over any (doc_id, text) frame. */
   def bm25(docs: DataFrame, queryTerms: Seq[(String, String)], k: Int): DataFrame =
     Retrieval.bm25On(docs, queryTerms, k)

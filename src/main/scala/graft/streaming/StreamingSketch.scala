@@ -93,6 +93,47 @@ object StreamingSketch {
       }
   }
 
+  /** Windowed drift monitor — the streaming twin of
+    * operators.Profiling.driftOn: each closed event-time window's value
+    * histogram is compared against a FIXED baseline histogram (built
+    * batch-side, shipped as a map literal), emitting the L1 distance in
+    * milli. Two chained stateful aggregations in append mode (the
+    * windowedDistinct mechanism): per-(window, bin) counts, then one
+    * bounded collect per window — ≤ bins rows of state per open window,
+    * watermark-evicted. Absent bins still contribute their baseline
+    * mass: L1 = Σ_present |f_w − f_base| + (Σ_all f_base − Σ_present
+    * f_base), all integer.
+    *
+    * `values` are integer readings (cents); `lo`/`bw` are the
+    * baseline's binning so stream and baseline share the grid;
+    * `baselineMilli` maps bin → milli frequency. This is the
+    * monitoring loop a 100 TB ingest runs: yesterday's corpus
+    * compresses to ≤ bins literals, today's stream keeps ≤ bins
+    * counters per window, drift is one subtraction per bin. */
+  def windowedDrift(tv: Dataset[TimedValue], windowDur: String,
+      watermarkDelay: String, lo: Long, bw: Long,
+      baselineMilli: Map[Long, Long]): DataFrame = {
+    import org.apache.spark.sql.functions.{window => timeWindow}
+    val base = typedlit(baselineMilli)
+    val baseSum = baselineMilli.values.sum
+    tv.toDF()
+      .withWatermark("ts", watermarkDelay)
+      .select(col("ts"),
+        expr(s"(CAST(value AS BIGINT) - ${lo}L) div ${bw}L").as("bin"))
+      .groupBy(timeWindow(col("ts"), windowDur), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(timeWindow(window_time(col("window")), windowDur))
+      .agg(collect_list(struct(col("bin"), col("cnt"))).as("bins"),
+        sum(col("cnt")).as("n"))
+      .select(col("window").getField("start").as("window_start"), col("n"),
+        (aggregate(col("bins"), lit(0L), (acc, b) =>
+          acc + abs((lit(1000L) * b.getField("cnt") / col("n")).cast("long")
+            - coalesce(element_at(base, b.getField("bin")), lit(0L))))
+          + (lit(baseSum) - aggregate(col("bins"), lit(0L), (acc, b) =>
+            acc + coalesce(element_at(base, b.getField("bin")), lit(0L)))))
+          .as("l1_milli"))
+  }
+
   /** Running distinct-`value` estimate per key. */
   def distinctByKey(kv: Dataset[KeyedValue]): Dataset[DistinctEstimate] = {
     import kv.sparkSession.implicits._

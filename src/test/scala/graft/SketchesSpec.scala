@@ -198,6 +198,40 @@ class SketchesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming drift monitor reads calm on baseline-like windows and fires on shifted ones") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t0 = 1723459200000L
+    // baseline: uniform over [0, 100) in 20 bins of width 5, milli = 50/bin
+    val lo = 0L; val bw = 5L
+    val baseline = (0L until 20L).map(b => b -> 50L).toMap
+    def tv(offMs: Long, v: Long) =
+      graft.streaming.TimedValue(new java.sql.Timestamp(t0 + offMs), v.toString)
+    val input = MemoryStream[graft.streaming.TimedValue]
+    val q = graft.streaming.StreamingSketch
+      .windowedDrift(input.toDS(), "1 minute", "0 seconds", lo, bw, baseline)
+      .writeStream.format("memory").queryName("drift").outputMode("append")
+      .start()
+    try {
+      // window 1: matches the baseline exactly (values 0..99, 5 per bin)
+      input.addData((0 until 100).map(i => tv(i * 100L, i.toLong)): _*)
+      // window 2: all mass shifted into bins the baseline barely holds
+      input.addData((0 until 100).map(i => tv(60000L + i * 100L, 95L)): _*)
+      // close both windows
+      input.addData(tv(600000L, 1L))
+      q.processAllAvailable()
+      val rows = spark.table("drift").orderBy("window_start").collect()
+      assert(rows.length == 2, s"expected two closed windows: ${rows.toSeq}")
+      val calm = rows(0).getAs[Long]("l1_milli")
+      val fired = rows(1).getAs[Long]("l1_milli")
+      assert(calm == 0L, s"identical distribution read $calm")
+      // all 1000 milli in one bin vs 50 there: |1000-50| + (1000-50) = 1900
+      assert(fired == 1900L, s"shifted window read $fired")
+      assert(rows.forall(_.getAs[Long]("n") == 100L))
+    } finally q.stop()
+  }
+
   test("streaming KMV state emits bit-identical estimates to the batch aggregator form") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
