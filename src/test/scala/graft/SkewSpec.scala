@@ -60,6 +60,50 @@ class SkewSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("AQE splits a skewed join partition at runtime (the salting alternative)") {
+    // deterministic salting is the replay-safe mitigation; AQE's skew
+    // rewrite is the zero-code one. Prove the engine configuration
+    // story actually fires: a 100%-hot-key join under tiny skew
+    // thresholds must show skew=true splits in the final SMJ plan.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // data-derived 99%-hot key (a constant literal would constant-fold
+      // the join condition away into a cartesian against a 1-row side)
+      // skew splitting works at map-output granularity: the sf0.01
+      // parquet is ONE split, so spread the fact over several map tasks
+      // first or the hot reducer partition has nothing to split by
+      val hotFact = events.repartition(8, col("event_id"))
+        .withColumn("k",
+          when(col("event_id") % 100 === 0, lit("COLD")).otherwise(lit("HOT")))
+        .select(col("k"), col("event_id"), col("value"))
+      val dim = spark.range(2)
+        .select(when(col("id") === 0, "HOT").otherwise("COLD").as("k"),
+          col("id").as("dim_id"))
+      val joined = hotFact.join(dim, "k")
+      // execute THIS Dataset's query execution: AQE finalizes the plan
+      // as it runs, so the inspected instance must be the one acted on
+      // (a count() would plan and adapt its own separate execution)
+      assert(joined.collect().length == events.count())
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE skew rewrite did not fire:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("salting spreads a single hot key over many reducer partitions") {
     // the mechanism itself: unsalted, one key = one partition (the
     // straggler); salted, the same key's rows land on many
