@@ -104,6 +104,29 @@ class SkewSpec extends SparkSpec {
     }
   }
 
+  test("AQE coalesces near-empty shuffle partitions after a selective aggregate") {
+    // the other AQE lever: 32 planned reducers for 5 groups is 27 empty
+    // tasks at 100 TB scale-down points; the runtime plan must read the
+    // shuffle as fewer, fused partitions
+    import org.apache.spark.sql.functions._
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "1KB")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val agg = events.groupBy("event_type").agg(count(lit(1)).as("n"))
+      assert(agg.collect().length == 5)
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(plan.contains("AQEShuffleRead coalesced"),
+        s"expected a coalesced shuffle read:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("salting spreads a single hot key over many reducer partitions") {
     // the mechanism itself: unsalted, one key = one partition (the
     // straggler); salted, the same key's rows land on many
