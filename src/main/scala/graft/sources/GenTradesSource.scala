@@ -6,7 +6,9 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
@@ -86,13 +88,31 @@ object GenTradesSource {
         count(lit(1)).as("n_trades"))
       .orderBy(col("product"))
 
+  /** count/min/max(seq) answered INSIDE the connector (aggregate
+    * pushdown): the plan carries no Aggregate operator and the source
+    * generates zero wire rows — the metadata fast path (parquet
+    * footers, Iceberg manifests) at the DSv2 tier, composed with the
+    * pushed seq-range narrowing. */
+  def feedStats(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read.format("graft-trades").option("rows", 200000L).load()
+      .where(col("seq") >= 50000L && col("seq") < 150000L)
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("seq")).as("min_seq"), max(col("seq")).as("max_seq"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_gen_trades_stats" -> ((s, d) => feedStats(s, d)),
     "src_gen_trades_ohlcv" -> ((s, d) => ohlcvByProduct(s, d)))
 
   /** DuckDB replays the LCG from range(): identical BIGINT arithmetic,
     * identical rows — the oracle checks the connector's planning
     * (range narrowing included) produced exactly the declared feed. */
   val oracle: Map[String, String] = Map(
+    "src_gen_trades_stats" ->
+      """SELECT count(*)::BIGINT AS n_rows, min(range) AS min_seq,
+        |  max(range) AS max_seq
+        |FROM range(0, 200000) WHERE range >= 50000 AND range < 150000""".stripMargin,
     "src_gen_trades_ohlcv" ->
       """WITH g AS (
         |  SELECT range AS seq,
@@ -174,7 +194,8 @@ class GenTradesTable(options: CaseInsensitiveStringMap)
 
 class GenTradesScanBuilder(options: CaseInsensitiveStringMap)
     extends ScanBuilder
-    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownAggregates {
 
   private val totalRows =
     options.asScala.getOrElse("rows", GenTradesSource.DefaultRows.toString).toLong
@@ -216,12 +237,85 @@ class GenTradesScanBuilder(options: CaseInsensitiveStringMap)
 
   override def pushedFilters(): Array[Filter] = accepted
 
+  // ---- aggregate pushdown ------------------------------------------------
+  // COUNT(*), MIN(seq), MAX(seq) with no grouping are pure planning
+  // arithmetic over the (already filter-narrowed) [lo, hi) range: the
+  // source answers them WITHOUT generating a single row. This is the
+  // statistics fast path every metadata-rich format has (parquet
+  // footers, Iceberg manifests) expressed at the connector tier —
+  // complete pushdown, so Spark plans no aggregate at all.
+  private var pushedAggTags: Option[Seq[String]] = None
+
+  private def translateAggs(agg: Aggregation): Option[Seq[String]] = {
+    if (agg.groupByExpressions.nonEmpty) return None
+    val tags = agg.aggregateExpressions.map {
+      case _: CountStar => "count"
+      case m: Min => m.column match {
+        case f: NamedReference if f.fieldNames.sameElements(Array("seq")) => "min"
+        case _ => return None
+      }
+      case m: Max => m.column match {
+        case f: NamedReference if f.fieldNames.sameElements(Array("seq")) => "max"
+        case _ => return None
+      }
+      case _ => return None
+    }
+    Some(tags.toSeq)
+  }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    translateAggs(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    translateAggs(agg) match {
+      case Some(tags) => pushedAggTags = Some(tags); true
+      case None => false
+    }
+
   private val rowsPerBatch =
     options.asScala.getOrElse("rowsPerBatch", "10000").toLong
 
-  override def build(): Scan =
-    new GenTradesScan(required, lo, math.max(lo, hi), numPartitions,
-      rowsPerBatch)
+  override def build(): Scan = pushedAggTags match {
+    case Some(tags) => new GenTradesStatsScan(tags, lo, math.max(lo, hi))
+    case None =>
+      new GenTradesScan(required, lo, math.max(lo, hi), numPartitions,
+        rowsPerBatch)
+  }
+}
+
+/** One-row, one-partition scan answering a completely-pushed-down
+  * aggregation from range arithmetic: count = hi−lo, min = lo,
+  * max = hi−1 (min/max null on an empty range, count 0 — SQL
+  * aggregate semantics). */
+class GenTradesStatsScan(tags: Seq[String], lo: Long, hi: Long)
+    extends Scan with Batch {
+  override def readSchema(): StructType = StructType(tags.zipWithIndex.map {
+    case (t, i) => StructField(s"agg_$i", LongType, nullable = t != "count")
+  })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-trades stats [$lo, $hi) PushedAggregates=[${tags.mkString(",")}]"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GenTradesRange(0, 1)) // one token partition, one row
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GenTradesStatsReaderFactory(tags, lo, hi)
+}
+
+class GenTradesStatsReaderFactory(tags: Seq[String], lo: Long, hi: Long)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val values: Array[Any] = tags.map {
+      case "count" => (hi - lo): Any
+      case "min" => if (hi > lo) lo: Any else null
+      case "max" => if (hi > lo) (hi - 1): Any else null
+    }.toArray
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = { val r = !emitted; emitted = true; r }
+      override def get(): InternalRow = new GenericInternalRow(values)
+      override def close(): Unit = ()
+    }
+  }
 }
 
 case class GenTradesRange(start: Long, end: Long) extends InputPartition

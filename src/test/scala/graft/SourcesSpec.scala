@@ -284,6 +284,28 @@ class SourcesSpec extends SparkSpec {
     assert(band.rdd.getNumPartitions == 10) // min(32, 10 rows) splits
   }
 
+  test("graft-trades: count/min/max push into the connector, no Aggregate in the plan") {
+    val stats = graft.sources.GenTradesSource.feedStats(spark, sf0001)
+    val row = stats.head()
+    // answered from range arithmetic on the narrowed [50000, 150000)
+    assert(row.getLong(0) == 100000L)
+    assert(row.getLong(1) == 50000L && row.getLong(2) == 149999L)
+    // complete pushdown: the plan carries the stats scan, no aggregate
+    val plan = stats.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates"), s"no pushed aggregates:\n$plan")
+    assert(!plan.contains("HashAggregate") && !plan.contains("SortAggregate"),
+      s"aggregate not fully pushed:\n$plan")
+    // a non-pushable aggregate still works through the row path
+    val sumQty = spark.read.format("graft-trades").option("rows", 1000L).load()
+      .agg(sum("qty")).head().getLong(0)
+    assert(sumQty > 0)
+    // empty narrowed range: count 0, min/max null — SQL agg semantics
+    val empty = spark.read.format("graft-trades").option("rows", 100L).load()
+      .where(col("seq") >= 500L)
+      .agg(count(lit(1)), min("seq"), max("seq")).head()
+    assert(empty.getLong(0) == 0L && empty.isNullAt(1) && empty.isNullAt(2))
+  }
+
   test("graft-trades streams in rowsPerBatch micro-batches, rows identical to batch read") {
     val q = spark.readStream.format("graft-trades")
       .option("rows", 1000).option("rowsPerBatch", 400).load()
