@@ -323,9 +323,49 @@ case class GenTradesRange(start: Long, end: Long) extends InputPartition
 class GenTradesScan(
     required: StructType, lo: Long, hi: Long, numPartitions: Int,
     rowsPerBatch: Long = 10000L)
-    extends Scan with Batch {
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
   override def readSchema(): StructType = required
+
+  // ---- runtime filtering (the DSv2 dynamic-pruning handshake) ----------
+  // Spark hands the scan the build side's seq values AT EXECUTION TIME
+  // (after planning); the scan narrows its planned ranges to their
+  // envelope before any reader runs — the Iceberg partition-prune
+  // mechanism. Pruning is best-effort for correctness (the join still
+  // applies its condition), so the [min, max] envelope is safe and
+  // keeps planInputPartitions arithmetic.
+  private var rtLo: Long = lo
+  private var rtHi: Long = hi
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("seq"))
+
+  override def filter(filters: Array[Filter]): Unit = filters.foreach {
+    case org.apache.spark.sql.sources.In("seq", vs) if vs.nonEmpty =>
+      val longs = vs.collect { case l: Long => l }
+      if (longs.nonEmpty) {
+        rtLo = math.max(rtLo, longs.min)
+        rtHi = math.min(rtHi, longs.max + 1)
+      }
+    case _ => // unsupported runtime filter: ignore (join re-checks)
+  }
+
+  /** Exact planning statistics from the (filter-narrowed) range — the
+    * connector-tier equivalent of parquet footer counts. Reporting
+    * them lets Catalyst make its OWN join-strategy call: a narrowed
+    * feed under the broadcast threshold is broadcast automatically,
+    * no hint needed (spec-proven). ~40 bytes/row: 3 longs + a double
+    * + two short strings. */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      private val n = math.max(0L, hi - lo)
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(n * 40L)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(n)
+    }
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new GenTradesMicroBatchStream(required, lo, hi, numPartitions, rowsPerBatch)
@@ -333,14 +373,17 @@ class GenTradesScan(
     s"graft-trades [$lo, $hi) cols=${required.fieldNames.mkString(",")}"
 
   /** Even range splits — empty tails are simply not planned, the DSv2
-    * analogue of partition pruning. */
+    * analogue of partition pruning. Bounds come from the RUNTIME-
+    * narrowed range (equal to the planning-time one unless a runtime
+    * filter arrived). */
   override def planInputPartitions(): Array[InputPartition] = {
-    val n = hi - lo
+    val (l, h) = (rtLo, rtHi)
+    val n = h - l
     if (n <= 0) return Array.empty
     val parts = math.min(numPartitions.toLong, n).toInt
     val step = (n + parts - 1) / parts
     (0 until parts).iterator
-      .map(p => GenTradesRange(lo + p * step, math.min(lo + (p + 1) * step, hi)))
+      .map(p => GenTradesRange(l + p * step, math.min(l + (p + 1) * step, h)))
       .filter(r => r.end > r.start)
       .toArray
   }

@@ -306,6 +306,55 @@ class SourcesSpec extends SparkSpec {
     assert(empty.getLong(0) == 0L && empty.isNullAt(1) && empty.isNullAt(2))
   }
 
+  test("graft-trades: reported statistics drive an automatic broadcast after narrowing") {
+    // the connector reports exact numRows/sizeInBytes for its narrowed
+    // range, so Catalyst's own size-based join planning kicks in: a
+    // tiny pushed range broadcasts WITHOUT a hint; the full feed (too
+    // big under a lowered threshold) must not
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64KB")
+    try {
+      val fact = Tables.lineitem(spark, sf001)
+        .select(col("l_linenumber").cast("long").as("seq"), col("l_quantity"))
+      def feed(rows: Long) = spark.read.format("graft-trades")
+        .option("rows", rows).load().select("seq", "price")
+      // narrowed: 100 rows × 40B = 4KB reported → broadcast
+      val small = fact.join(feed(200000L).where(col("seq") < 100L), "seq")
+      val planSmall = small.queryExecution.executedPlan.toString
+      assert(planSmall.contains("BroadcastHashJoin"),
+        s"narrowed feed did not broadcast:\n$planSmall")
+      // full: 200k × 40B = 8MB reported → over the 64KB threshold
+      val big = fact.join(feed(200000L), "seq")
+      val planBig = big.queryExecution.executedPlan.toString
+      assert(!planBig.contains("BroadcastHashJoin"),
+        s"8MB-reported feed must not broadcast under 64KB threshold:\n$planBig")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("graft-trades: a join's build side runtime-filters the connector scan") {
+    // V2 runtime filtering: the dim side's seq values reach the scan at
+    // execution time and narrow the generated range — the DSv2 dynamic
+    // pruning handshake (SupportsRuntimeFiltering)
+    import spark.implicits._
+    // the DPP injection heuristic wants a SELECTIVE predicate on the
+    // build side, and the dim must be file-backed — a LocalRelation
+    // constant-folds its filter away before the rule looks
+    val base = Files.createTempDirectory("graft-rtf").toString
+    (500L until 570L).map(s => (s, s"d${s % 7}")).toDF("seq", "tag")
+      .write.mode("overwrite").parquet(base)
+    val dim = spark.read.parquet(base).where(col("tag") === "d3")
+    val feed = spark.read.format("graft-trades")
+      .option("rows", 1000000L).option("partitions", 32).load()
+    val joined = feed.join(broadcast(dim), "seq")
+    val rows = joined.select("seq", "tag", "qty").collect()
+    // tag d3 ⇒ seq % 7 == 3 within [500, 570): exactly 10 matches
+    val expected = (500L until 570L).filter(_ % 7 == 3)
+    assert(rows.map(_.getLong(0)).sorted.toSeq == expected)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("RuntimeFilters: [dynamicpruning"),
+      s"no runtime filter reached the scan:\n$plan")
+  }
+
   test("graft-trades streams in rowsPerBatch micro-batches, rows identical to batch read") {
     val q = spark.readStream.format("graft-trades")
       .option("rows", 1000).option("rowsPerBatch", 400).load()
