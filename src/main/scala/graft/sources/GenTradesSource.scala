@@ -195,7 +195,10 @@ class GenTradesTable(options: CaseInsensitiveStringMap)
 class GenTradesScanBuilder(options: CaseInsensitiveStringMap)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownOffset
+    with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
 
   private val totalRows =
     options.asScala.getOrElse("rows", GenTradesSource.DefaultRows.toString).toLong
@@ -265,6 +268,41 @@ class GenTradesScanBuilder(options: CaseInsensitiveStringMap)
 
   override def supportCompletePushDown(agg: Aggregation): Boolean =
     translateAggs(agg).isDefined
+
+  // ---- limit / offset / top-N pushdown -----------------------------------
+  // The feed's storage order IS ascending seq, so LIMIT trims hi,
+  // OFFSET advances lo, and a top-N sorted by seq (either direction)
+  // is a range trim — the scan generates exactly the requested window
+  // instead of rows for Spark to drop. All three return true = fully
+  // handled; Spark plans no Limit/Offset/Sort over the scan.
+  override def pushLimit(limit: Int): Boolean = {
+    hi = math.min(hi, if (lo > Long.MaxValue - limit) Long.MaxValue else lo + limit)
+    true
+  }
+  override def isPartiallyPushed(): Boolean = false
+
+  override def pushOffset(offset: Int): Boolean = {
+    lo = math.min(hi, if (lo > Long.MaxValue - offset) Long.MaxValue else lo + offset)
+    true
+  }
+
+  /** Top-N sorted by seq ASCENDING is exactly "first N of the window" —
+    * the readers already emit ascending seq, so full pushdown holds.
+    * DESCENDING is rejected (NOT mutated-then-rejected): the set would
+    * be right but the emission order wrong, and a complete TopN push
+    * promises sorted output. */
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      limit: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.SortDirection
+    val ascSeq = orders.length == 1 &&
+      orders(0).direction() == SortDirection.ASCENDING &&
+      (orders(0).expression() match {
+        case f: NamedReference => f.fieldNames.sameElements(Array("seq"))
+        case _ => false
+      })
+    if (ascSeq) pushLimit(limit) else false
+  }
 
   override def pushAggregation(agg: Aggregation): Boolean =
     translateAggs(agg) match {

@@ -355,6 +355,30 @@ class SourcesSpec extends SparkSpec {
       s"no runtime filter reached the scan:\n$plan")
   }
 
+  test("graft-trades: limit, offset, and asc top-N push into the scan; desc stays in Spark") {
+    def feed = spark.read.format("graft-trades")
+      .option("rows", 1000000L).option("partitions", 32).load()
+    // limit: the scan generates exactly 5 rows (one planned partition)
+    val lim = feed.limit(5)
+    // 32 planned partitions collapse to ≤ 5 single-row ranges: the
+    // limit reached the planner, not a post-scan row drop
+    assert(lim.rdd.getNumPartitions <= 5)
+    assert(lim.collect().map(_.getLong(0)).toSeq == (0L until 5L))
+    // offset composes: skip 10, take 5 → [10, 15)
+    val page = feed.offset(10).limit(5)
+    assert(page.collect().map(_.getLong(0)).toSeq == (10L until 15L))
+    // asc top-N = first N, fully pushed: no Sort in the plan
+    val topAsc = feed.orderBy(col("seq")).limit(3)
+    assert(topAsc.collect().map(_.getLong(0)).toSeq == (0L until 3L))
+    val planAsc = topAsc.queryExecution.executedPlan.toString
+    assert(!planAsc.contains("TakeOrderedAndProject") && !planAsc.contains("Sort "),
+      s"asc top-N not fully pushed:\n$planAsc")
+    // desc top-N is NOT claimed: Spark sorts, results still correct
+    val topDesc = feed.orderBy(col("seq").desc).limit(3)
+    assert(topDesc.collect().map(_.getLong(0)).toSeq ==
+      Seq(999999L, 999998L, 999997L))
+  }
+
   test("graft-trades streams in rowsPerBatch micro-batches, rows identical to batch read") {
     val q = spark.readStream.format("graft-trades")
       .option("rows", 1000).option("rowsPerBatch", 400).load()
