@@ -59,7 +59,6 @@ object Curation {
         (col("dup3").cast("double") / col("n3")).as("dup3gram_frac"))
       .withColumn("repetitive",
         col("top2gram_frac") > 0.18 || col("dup3gram_frac") > 0.30)
-      .orderBy(col("doc_id"))
   }
 
   // ---------------------------------------------------------------- //
@@ -92,7 +91,6 @@ object Curation {
             regexp_replace(col("aug"), EmailRe, "<EMAIL>"),
             UrlRe, "<URL>"),
           PhoneRe, "<PHONE>").as("scrubbed"))
-      .orderBy(col("doc_id"))
   }
 
   // ---------------------------------------------------------------- //
@@ -113,7 +111,6 @@ object Curation {
       .withColumn("bucket", substring(md5(sampleKey), 1, 8))
       .where(substring(col("bucket"), 1, 1) === "0")
       .select(col("doc_id"), col("lang"), col("bucket"))
-      .orderBy(col("doc_id"))
 
   /** Per-language acceptance rates: downsample the majority language,
     * keep the tail — the standard rebalancing shape. */
@@ -129,7 +126,6 @@ object Curation {
       .withColumn("u", hashU(sampleKey))
       .where(col("u") < rate)
       .select(col("doc_id"), col("lang"), col("u"))
-      .orderBy(col("doc_id"))
   }
 
   /** Deterministic train/val/test split (80/10/10 by hash): the same
@@ -141,7 +137,6 @@ object Curation {
       .withColumn("split",
         when(col("u") < 0.8, "train").when(col("u") < 0.9, "val").otherwise("test"))
       .select(col("doc_id"), col("lang"), col("split"))
-      .orderBy(col("doc_id"))
 
   /** Canonical text normalization for dedup/tokenizer front-ends:
     * lowercase, collapse whitespace runs, strip leading/trailing space.
@@ -154,7 +149,6 @@ object Curation {
       .select(col("doc_id"), col("norm"),
         (col("norm") =!= col("text")).as("changed"),
         (length(col("text")) - length(col("norm"))).cast("long").as("chars_removed"))
-      .orderBy(col("doc_id"))
 
   val PackCapacity = 2048L
   val PackBuckets = 8
@@ -176,7 +170,6 @@ object Curation {
       .withColumn("cum", sum(col("n_tokens")).over(w))
       .withColumn("seq_id", expr(s"(cum - n_tokens) div $PackCapacity"))
       .select(col("doc_id"), col("bucket"), col("n_tokens"), col("seq_id"))
-      .orderBy(col("doc_id"))
   }
 
   // ---------------------------------------------------------------- //
@@ -240,7 +233,6 @@ object Curation {
           col("diversity_milli") >= 350L &&
           col("stop_hits") >= 2L &&
           col("alpha_frac_milli") >= 800L)
-      .orderBy("doc_id")
   }
 
   /** Reservoir size for [[sampleReservoir]]. */

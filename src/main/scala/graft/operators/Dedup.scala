@@ -57,7 +57,6 @@ object Dedup {
       .select(md5(text).as("digest"), id.as("doc_id"))
       .groupBy(col("digest"))
       .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
-      .orderBy(col("canonical_id"))
 
   def exact(spark: SparkSession, dir: String): DataFrame =
     exactOn(Tables.documents(spark, dir), col("text"), col("doc_id"))
@@ -99,11 +98,12 @@ object Dedup {
     *   follows, so the cap costs one co-partitioned aggregate, not an
     *   extra wide shuffle. */
   def jaccardPairsOn(sh: DataFrame, maxDf: Long = DefaultMaxShingleDf): DataFrame =
-    jaccardPairsUnsortedOn(sh, maxDf).orderBy(col("doc_i"), col("doc_j"))
+    jaccardPairsUnsortedOn(sh, maxDf)
 
-  /** [[jaccardPairsOn]] without the presentation sort — the seam the
-    * clustering consumers use: a global sort feeding a hash-shuffle join
-    * is pure waste (the exchange destroys the order immediately). */
+  /** [[jaccardPairsOn]]'s body — kept as the named seam the clustering
+    * consumers call directly. No sort anywhere: the driver/oracle
+    * comparator canonicalizes, and a global sort feeding a hash-shuffle
+    * join is pure waste (the exchange destroys the order immediately). */
   private[graft] def jaccardPairsUnsortedOn(
       sh: DataFrame, maxDf: Long = DefaultMaxShingleDf): DataFrame = {
     // Postings carry the owning doc's set size: one extra long on the
@@ -216,7 +216,6 @@ object Dedup {
       .withColumn("jaccard", col("common") / (col("sz_i") + col("sz_j") - col("common")))
       .filter(col("jaccard") >= JaccardThreshold)
       .select(col("doc_i"), col("doc_j"), col("jaccard"))
-      .orderBy(col("doc_i"), col("doc_j"))
   }
 
   // -------------------------------------------------------------- SimHash
@@ -257,7 +256,6 @@ object Dedup {
       .withColumn("hamming", bit_count(col("sh_i").bitwiseXOR(col("sh_j"))).cast("long"))
       .filter(col("hamming") <= HammingMax)
       .select(col("doc_i"), col("doc_j"), col("hamming"))
-      .orderBy(col("doc_i"), col("doc_j"))
   }
 
   // ------------------------------------------------- embedding near-dup
@@ -313,9 +311,9 @@ object Dedup {
   }
 
   def embeddingNearDups(spark: SparkSession, dir: String): DataFrame =
-    embeddingNearDupsUnsorted(spark, dir).orderBy(col("vec_i"), col("vec_j"))
+    embeddingNearDupsUnsorted(spark, dir)
 
-  /** [[embeddingNearDups]] without the presentation sort (see
+  /** [[embeddingNearDups]]'s body as a named seam (see
     * [[jaccardPairsUnsortedOn]] for why the clustering path skips it). */
   private[graft] def embeddingNearDupsUnsorted(
       spark: SparkSession, dir: String): DataFrame = {
@@ -337,7 +335,6 @@ object Dedup {
     starClustersOn(embeddingNearDupsUnsorted(spark, dir)
       .select(col("vec_i").as("doc_i"), col("vec_j").as("doc_j")))
       .select(col("doc_id").as("vec_id"), col("canonical_id"))
-      .orderBy(col("vec_id"))
 
   // ------------------------------------------------- decontamination
 
@@ -374,7 +371,6 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= DecontamMinShared)
-      .orderBy(col("doc_id"))
   }
 
   // ------------------------------------------------ keep-best selection
@@ -405,7 +401,6 @@ object Dedup {
         max(struct(col("quality").as("q"), (-col("doc_id")).as("nid"))).as("best"))
       .select(col("canonical_id"), col("cluster_size"),
         (-col("best.nid")).as("kept_doc_id"), col("best.q").as("kept_quality"))
-      .orderBy(col("canonical_id"))
   }
 
   // ------------------------------------------------------- dup clustering
@@ -479,7 +474,6 @@ object Dedup {
     require(changed == 0, s"dupClusters did not converge in $maxRounds rounds")
     labels
       .select(col("doc_id"), col("label").as("canonical_id"))
-      .orderBy(col("doc_id"))
   }
 
   /** Connected components by alternating large-star / small-star
@@ -560,7 +554,6 @@ object Dedup {
     // (the mins themselves) label themselves
     edges.select(col("src").as("doc_id"), col("dst").as("canonical_id"))
       .union(edges.select(col("dst"), col("dst")).distinct())
-      .orderBy(col("doc_id"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -162,7 +162,6 @@ object Multimodal {
       .select(col("doc_id"), col("col").as("frame_no"),
         (col("col") * FrameBytes).as("byte_offset"),
         least(lit(FrameBytes.toLong), col("n_bytes") - col("col") * FrameBytes).as("frame_len"))
-      .orderBy(col("doc_id"), col("frame_no"))
 
   /** Perceptual-hash geometry: 60 bits (4 pigeonhole blocks × 15 —
     * staying under the BIGINT sign bit in both engines, like
@@ -224,19 +223,18 @@ object Multimodal {
       .select(col("doc_a"), col("doc_b"),
         expr("bit_count(pa ^ pb)").cast("long").as("hamming"))
       .filter(col("hamming") <= 3)
-      .orderBy("doc_a", "doc_b")
   }
 
   // -------------------------------------------------------------- queries
 
   def decodeMeta(spark: SparkSession, dir: String): DataFrame =
-    decode(mediaTable(spark, dir)).toDF().orderBy(col("doc_id"))
+    decode(mediaTable(spark, dir)).toDF()
 
   def featureHistogram(spark: SparkSession, dir: String): DataFrame =
-    features(mediaTable(spark, dir)).toDF().orderBy(col("doc_id"))
+    features(mediaTable(spark, dir)).toDF()
 
   def resizeMeta(spark: SparkSession, dir: String): DataFrame =
-    resize(mediaTable(spark, dir)).toDF().orderBy(col("doc_id"))
+    resize(mediaTable(spark, dir)).toDF()
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_phash_neardups" -> ((s, d) => phashNearDups(s, d)),

@@ -45,7 +45,6 @@ object TextAnalysis {
         size(array_distinct(t)).cast("long").as("n_distinct"),
         aggregate(t, lit(0L), (acc, x) => acc + length(x)).as("sum_len"))
       .withColumn("avg_token_len", col("sum_len") / col("n_tokens"))
-      .orderBy(col("doc_id"))
   }
 
   /** The quality feature columns over a `text` column — THE one
@@ -87,7 +86,6 @@ object TextAnalysis {
       .withColumn("stop_ratio", col("n_stop") / col("n_tokens").cast("double"))
       .withColumn("quality", qualityExpr)
       .select("doc_id", "n_tokens", "diversity", "stop_ratio", "quality")
-      .orderBy(col("doc_id"))
 
   /** N-gram/stopword language identification: score each candidate
     * language by stopword hits, predict the argmax (ties broken in fixed
@@ -108,7 +106,6 @@ object TextAnalysis {
     }
     scored
       .withColumn("predicted", when(langs.map(l => col(s"${l}_hits")).reduce(greatest(_, _)) === 0, "unknown").otherwise(pred))
-      .orderBy(col("doc_id"))
   }
 
   /** Document fingerprints: two independent 31-bit rolling hashes of the
@@ -120,7 +117,6 @@ object TextAnalysis {
       .select(col("doc_id"),
         polyHash(col("text")).as("fp31"),
         polyHash37(col("text")).as("fp37"))
-      .orderBy(col("doc_id"))
 
   /** Character-trigram language profiles — the n-gram flavor of
     * language-ID (vs the stopword flavor in `langId`): score = how many
@@ -147,7 +143,6 @@ object TextAnalysis {
         regexp_count(col("text"), lit(pattern)).cast("long").as("n_bpe_tokens"))
       .withColumn("tokens_per_word",
         col("n_bpe_tokens") / col("n_ws_tokens").cast("double"))
-      .orderBy(col("doc_id"))
   }
 
   /** Char-trigram language scores + argmax prediction. */
@@ -176,7 +171,6 @@ object TextAnalysis {
       .withColumn("predicted",
         when(langs.map(l => col(s"${l}_tri_hits")).reduce(greatest(_, _)) === 0, "unknown")
           .otherwise(pred))
-      .orderBy(col("doc_id"))
   }
 
   /** Corpus-level word count, top 30 tokens — the canonical map-side

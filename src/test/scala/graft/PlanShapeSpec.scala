@@ -75,6 +75,19 @@ class PlanShapeSpec extends SparkSpec {
       s"bars must be partial-agg + ONE hash exchange, found $exchanges:\n${physical(df)}")
   }
 
+  test("per-document outputs plan no global sort (round-5: presentation sorts removed)") {
+    // the round-4 audit found ~15 corpus-size outputs ending in a
+    // verification-only .orderBy — a full range-partition sort per query
+    // that the canonical comparator makes redundant. Gone; stay gone.
+    Seq("text_gopher_filters", "text_lang_id", "sample_hash",
+        "text_token_stats", "text_normalize", "mm_decode_meta",
+        "dedup_exact", "dedup_clusters_star").foreach { q =>
+      val p = physical(SparkEntry.queries(q)(spark, sf0001))
+      assert(!p.contains("rangepartitioning") && !p.contains("RangePartitioning"),
+        s"$q plans a global sort (range partitioning):\n$p")
+    }
+  }
+
   test("decontam_overlap broadcasts the eval shingle set, never sort-merges") {
     // the eval suite is KBs against a 100 TB corpus: the corpus posting
     // explode must be filtered by a broadcast semi-join map-side — a
