@@ -236,6 +236,138 @@ case class NgramProfileHits(child: Expression, n: Int, profiles: Seq[Seq[String]
     copy(child = newChild)
 }
 
+/** token_stats(str): the five per-document token statistics every text
+  * gate needs — [n_words, sum_len, n_distinct, stop_hits, n_alpha] —
+  * in ONE pass over the string with no token array materialized.
+  * Replaces five interpreted HOF lambdas (aggregate/filter/isin) plus a
+  * per-token rlike in the hottest corpus scans (gopher filters, quality
+  * score): those paid an interpreter dispatch per token per statistic;
+  * this pays one static call per row. Semantics are IDENTICAL to the
+  * HOF formulation (tokenize on single spaces dropping empties; length
+  * in code points like Spark's length(); alpha = entirely [a-z] like
+  * rlike '^[a-z]+$'), property-tested against it on irregular input. */
+case class TokenStats(child: Expression, stopwords: Seq[String])
+    extends UnaryExpression {
+  override def prettyName: String = "token_stats"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires string input")
+
+  @transient private lazy val stopSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    stopwords.foreach(s.add)
+    s
+  }
+
+  /** Shared by interpreted eval and generated code. */
+  def compute(input: UTF8String): ArrayData = {
+    val s = input.toString
+    var nWords = 0L
+    var sumLen = 0L
+    var stopHits = 0L
+    var nAlpha = 0L
+    val distinct = new java.util.HashSet[String]()
+    val n = s.length
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || s.charAt(i) == ' ') {
+        if (i > start) {
+          val tok = s.substring(start, i)
+          nWords += 1
+          sumLen += tok.codePointCount(0, tok.length)
+          distinct.add(tok)
+          if (stopSet.contains(tok)) stopHits += 1
+          var alpha = true
+          var j = 0
+          while (alpha && j < tok.length) {
+            val c = tok.charAt(j)
+            if (c < 'a' || c > 'z') alpha = false
+            j += 1
+          }
+          if (alpha) nAlpha += 1
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    ArrayData.toArrayData(
+      Array(nWords, sumLen, distinct.size.toLong, stopHits, nAlpha))
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tokenStats", this, classOf[TokenStats].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"(org.apache.spark.sql.catalyst.util.ArrayData) $ref.compute($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenStats =
+    copy(child = newChild)
+}
+
+/** token_profile_hits(str): per-profile counts of how many whitespace
+  * tokens belong to each word list — the token-level sibling of
+  * [[NgramProfileHits]] and the scoring kernel of stopword language
+  * identification. One tokenization pass serves ALL profiles (the HOF
+  * form re-tokenized and re-filtered once per language). */
+case class TokenProfileHits(child: Expression, profiles: Seq[Seq[String]])
+    extends UnaryExpression {
+  override def prettyName: String = "token_profile_hits"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires string input")
+
+  @transient private lazy val sets: Array[java.util.HashSet[String]] =
+    profiles.map { p =>
+      val s = new java.util.HashSet[String]()
+      p.foreach(s.add); s
+    }.toArray
+
+  /** Shared by interpreted eval and generated code. */
+  def compute(input: UTF8String): ArrayData = {
+    val s = input.toString
+    val counts = new Array[Long](sets.length)
+    val n = s.length
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || s.charAt(i) == ' ') {
+        if (i > start) {
+          val tok = s.substring(start, i)
+          var p = 0
+          while (p < sets.length) {
+            if (sets(p).contains(tok)) counts(p) += 1
+            p += 1
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    ArrayData.toArrayData(counts)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tokenProfileHits", this,
+      classOf[TokenProfileHits].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"(org.apache.spark.sql.catalyst.util.ArrayData) $ref.compute($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenProfileHits =
+    copy(child = newChild)
+}
+
 /** simhash31(array<long>): Charikar sketch of a code set. */
 case class SimHash31(child: Expression) extends UnaryExpression {
   override def prettyName: String = "simhash31"

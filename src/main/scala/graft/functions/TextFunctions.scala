@@ -101,4 +101,20 @@ object TextFunctions {
     * engine-native). Use when DuckDB parity is not needed. */
   def shingleCodes64(text: Column, n: Int): Column =
     transform(array_distinct(shingles(tokens(text), n)), s => xxhash64(s))
+
+  /** The five per-document token statistics in one fused pass (native
+    * TokenStats expression): [n_words, sum_len, n_distinct, stop_hits,
+    * n_alpha]. The HOF formulation — size(tokens), aggregate-length
+    * fold, size(array_distinct), isin filter, rlike filter — is the
+    * executable documentation (TextAnalysis.tokenStats keeps it live
+    * and oracle-checked); this is what the hot corpus scans run. */
+  def tokenStatsArr(text: Column, stopwords: Seq[String]): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      TokenStats(org.apache.spark.sql.graft.ColumnBridge.expression(text), stopwords))
+
+  /** Per-profile token-membership counts in one tokenization pass
+    * (native TokenProfileHits): the stopword language-ID kernel. */
+  def tokenProfileHits(text: Column, profiles: Seq[Seq[String]]): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      TokenProfileHits(org.apache.spark.sql.graft.ColumnBridge.expression(text), profiles))
 }

@@ -211,17 +211,20 @@ object Curation {
     * genuinely splits; at 100 TB this is one scan projection — the
     * entire report costs zero shuffles. */
   def gopherFilters(spark: SparkSession, dir: String): DataFrame = {
-    val t = tokens(col("text"))
-    val en = TextAnalysis.stop("en")
+    // one fused TokenStats pass per document (native expression; the
+    // five separate HOF lambdas + per-token rlike it replaced were the
+    // most expensive scan in the text suite) — Catalyst CSE evaluates
+    // the shared array once per row
+    val ts = graft.functions.TextFunctions.tokenStatsArr(
+      col("text"), TextAnalysis.stop("en"))
     Tables.documents(spark, dir)
       .select(
         col("doc_id"),
-        size(t).cast("long").as("n_words"),
-        aggregate(t, lit(0L), (a, x) => a + length(x)).as("sum_len"),
-        size(array_distinct(t)).cast("long").as("n_distinct"),
-        size(filter(t, x => x.isin(en.map(w => w: Any): _*)))
-          .cast("long").as("stop_hits"),
-        size(filter(t, x => x.rlike("^[a-z]+$"))).cast("long").as("n_alpha"))
+        element_at(ts, 1).as("n_words"),
+        element_at(ts, 2).as("sum_len"),
+        element_at(ts, 3).as("n_distinct"),
+        element_at(ts, 4).as("stop_hits"),
+        element_at(ts, 5).as("n_alpha"))
       .select(col("doc_id"), col("n_words"),
         expr("sum_len * 1000 div n_words").as("mean_len_milli"),
         expr("n_distinct * 1000 div n_words").as("diversity_milli"),
@@ -279,18 +282,22 @@ object Curation {
     * this). Bounded map-side by the top-k aggregator, as in
     * [[sampleReservoir]]. */
   def samplePriority(spark: SparkSession, dir: String): DataFrame = {
-    val topk = udaf(new graft.functions.TopKByScore(PriorityK))
+    // exact BIGINT ranking end to end: priorities reach n_chars·2^32,
+    // which overflows a double's 2^53 integer range for documents past
+    // ~2M chars — the long-keyed aggregator keeps the engine's order
+    // identical to the oracle's BIGINT order unconditionally
+    val topk = udaf(new graft.functions.TopKByLongScore(PriorityK))
     val prio = Tables.documents(spark, dir)
       .select(col("doc_id"), col("n_chars"),
         Sketches.hash32(col("doc_id")).as("h"))
       .select(col("doc_id"),
         expr("n_chars * 4294967296L div (h + 1L)").as("priority"))
     prio
-      .agg(topk(col("doc_id"), col("priority").cast("double")).as("top"))
+      .agg(topk(col("doc_id"), col("priority")).as("top"))
       .select(posexplode(col("top")))
       .select((col("pos") + lit(1)).cast("long").as("rnk"),
         col("col.vec_id").as("doc_id"),
-        col("col.cosine").cast("long").as("priority"))
+        col("col.score").as("priority"))
       .join(Tables.documents(spark, dir).select("doc_id", "n_chars"), "doc_id")
       .select("rnk", "doc_id", "n_chars", "priority")
       .orderBy("rnk")

@@ -32,9 +32,6 @@ object TextAnalysis {
     "fr" -> Seq("le", "les", "et", "un", "une", "est"),
     "zh" -> Seq("de5", "shi4", "le5", "zai4"))
 
-  private def hits(toks: Column, words: Seq[String]): Column =
-    size(filter(toks, t => t.isin(words.map(w => w: Any): _*)))
-
   /** Per-document token statistics. */
   def tokenStats(spark: SparkSession, dir: String): DataFrame = {
     val t = tokens(col("text"))
@@ -52,13 +49,16 @@ object TextAnalysis {
     * cleaning pipeline (Pipeline.cleanCorpus) so the two can never
     * silently diverge. */
   def qualityFeatures(text: Column): Seq[Column] = {
-    val t = tokens(text)
+    // fused one-pass TokenStats (native expression); the HOF
+    // formulation of the same arithmetic stays live — and
+    // oracle-checked — in `tokenStats` below
     val allStop = stop.values.flatten.toSeq.distinct.sorted
+    val ts = tokenStatsArr(text, allStop)
     Seq(
-      size(t).cast("long").as("n_tokens"),
-      size(array_distinct(t)).cast("long").as("n_distinct"),
-      hits(t, allStop).cast("long").as("n_stop"),
-      aggregate(t, lit(0L), (acc, x) => acc + length(x)).as("sum_len"))
+      element_at(ts, 1).as("n_tokens"),
+      element_at(ts, 3).as("n_distinct"),
+      element_at(ts, 4).as("n_stop"),
+      element_at(ts, 2).as("sum_len"))
   }
 
   /** The quality blend over the qualityFeatures column names. */
@@ -93,11 +93,17 @@ object TextAnalysis {
     * so predictions skew `en` — the mechanism (per-language evidence
     * counters folded in one scan projection) is the deliverable. */
   def langId(spark: SparkSession, dir: String): DataFrame = {
-    val t = tokens(col("text"))
     val langs = Seq("en", "es", "de", "fr", "zh")
+    // one fused tokenization scores all five languages (native
+    // TokenProfileHits); the HOF form re-tokenized and re-filtered the
+    // document once per language
+    val h = tokenProfileHits(col("text"), langs.map(stop))
     val scored = Tables.documents(spark, dir)
-      .select(Seq(col("doc_id"), col("lang").as("labeled_lang")) ++
-        langs.map(l => hits(t, stop(l)).cast("long").as(s"${l}_hits")): _*)
+      .select(Seq(col("doc_id"), col("lang").as("labeled_lang"), h.as("h")): _*)
+      .select(Seq(col("doc_id"), col("labeled_lang")) ++
+        langs.zipWithIndex.map { case (l, i) =>
+          element_at(col("h"), i + 1).as(s"${l}_hits")
+        }: _*)
     val pred = langs.init.foldRight(lit(langs.last): Column) { (l, els) =>
       val ge = langs.filter(_ != l)
         .map(o => col(s"${l}_hits") >= col(s"${o}_hits"))

@@ -109,6 +109,47 @@ class HashExpressionsSpec extends SparkSpec {
     assert(r.getDouble(1) == 0.0) // well-defined (cosine would be NaN)
   }
 
+  test("TokenStats equals the five HOF statistics on irregular input") {
+    // the fused expression replaced five interpreted lambdas + a
+    // per-token rlike in the hot corpus scans; this pins them equal on
+    // generated strings with empty tokens, non-ASCII, repeated words
+    val stopEn = graft.operators.TextAnalysis.stop("en")
+    val df = samples(800, 900).toDF("text")
+    val t = TextFunctions.tokens(col("text"))
+    val ts = TextFunctions.tokenStatsArr(col("text"), stopEn)
+    val bad = df.select(
+        ts.as("ts"),
+        size(t).cast("long").as("h1"),
+        aggregate(t, lit(0L), (a, x) => a + length(x)).as("h2"),
+        size(array_distinct(t)).cast("long").as("h3"),
+        size(filter(t, x => x.isin(stopEn.map(w => w: Any): _*))).cast("long").as("h4"),
+        size(filter(t, x => x.rlike("^[a-z]+$"))).cast("long").as("h5"))
+      .filter(element_at(col("ts"), 1) =!= col("h1") ||
+        element_at(col("ts"), 2) =!= col("h2") ||
+        element_at(col("ts"), 3) =!= col("h3") ||
+        element_at(col("ts"), 4) =!= col("h4") ||
+        element_at(col("ts"), 5) =!= col("h5"))
+      .count()
+    assert(bad == 0)
+  }
+
+  test("TokenProfileHits equals per-profile isin filters on irregular input") {
+    val profiles = Seq(Seq("the", "a", "of"), Seq("der", "und"), Seq("中"))
+    val df = samples(900, 1000).toDF("text")
+    val t = TextFunctions.tokens(col("text"))
+    val h = TextFunctions.tokenProfileHits(col("text"), profiles)
+    val bad = df.select(h.as("h") +:
+        profiles.zipWithIndex.map { case (p, i) =>
+          size(filter(t, x => x.isin(p.map(w => w: Any): _*)))
+            .cast("long").as(s"f$i")
+        }: _*)
+      .filter(profiles.indices
+        .map(i => element_at(col("h"), i + 1) =!= col(s"f$i"))
+        .reduce(_ || _))
+      .count()
+    assert(bad == 0)
+  }
+
   test("NgramProfileHits counts trigram hits per profile") {
     val hits = graft.functions.NgramProfileHits(
       org.apache.spark.sql.graft.ColumnBridge.expression(col("text")),
