@@ -8,9 +8,11 @@ import graft.Tables
   * SURVEY.md §7.1(7)): media as opaque `binary` payloads plus typed
   * metadata, with decode / feature-extract / frame-sample stages.
   *
-  * The decode step is a clearly-marked deterministic STUB — this
-  * container has no image/audio codecs — but everything around it is
-  * the real engine surface a 100 TB media pipeline needs:
+  * The image decode is REAL — JDK ImageIO parsing BMP fixture bytes,
+  * dims read from the decoded bitmap — while audio/video keep a
+  * clearly-marked deterministic stub fallback (no such codecs in this
+  * container). Everything around the codec seam is the real engine
+  * surface a 100 TB media pipeline needs:
   *
   *  - schema: `(doc_id, media_type, payload binary, meta struct)` —
   *    payload stays opaque bytes end-to-end, never a string detour;
@@ -71,25 +73,69 @@ object Multimodal {
   private def inBatches[T](it: Iterator[MediaRecord])(f: Seq[MediaRecord] => Iterator[T]): Iterator[T] =
     it.grouped(BatchSize).flatMap(f)
 
-  /** STUB decoder ??? — stands in for an image/audio codec call, which
-    * this container cannot run. Deterministic fake: header fields are
-    * derived from the first payload bytes, so the oracle can replay it.
-    * A real deployment swaps ONLY this function body for e.g. a JNI
-    * image decode; the batching/partitioning plumbing is unchanged. */
-  private def decodeStub(payload: Array[Byte]): (Long, Long) = {
+  /** Fixture dims: derived from the first payload bytes so the oracle
+    * can replay them. The image fixtures below are ENCODED with these
+    * dims; the decoder then reads them back from the real bitmap
+    * header, so for images the emitted values are decoded facts, with
+    * this arithmetic living only in the fixture builder (and oracle). */
+  private def fixtureDims(payload: Array[Byte]): (Long, Long) = {
     val b0 = if (payload.length > 0) payload(0) & 0xffL else 0L
     val b1 = if (payload.length > 1) payload(1) & 0xffL else 0L
-    (16L + b0 % 64, 16L + b1 % 64) // fake (width, height)
+    (16L + b0 % 64, 16L + b1 % 64) // (width, height)
   }
 
+  /** Deterministic BMP fixture for an image row: a REAL encoded bitmap
+    * (JDK ImageIO, offline-available) with [[fixtureDims]] dimensions
+    * and gray pixels = payload bytes cycled. The corpus has no binary
+    * media, so image rows synthesize this stand-in — but the bytes ARE
+    * a decodable image, which is what lets the decode stage run a real
+    * codec instead of a stub. */
+  private[graft] def bmpFixture(payload: Array[Byte]): Array[Byte] = {
+    val (w, h) = fixtureDims(payload)
+    val img = new java.awt.image.BufferedImage(
+      w.toInt, h.toInt, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    var i = 0
+    while (y < h.toInt) {
+      var x = 0
+      while (x < w.toInt) {
+        val v = if (payload.length == 0) 0 else payload(i % payload.length) & 0xff
+        raster.setSample(x, y, 0, v)
+        i += 1
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", out)
+    out.toByteArray
+  }
+
+  /** REAL image decode: JDK ImageIO parsing actual BMP bytes — width/
+    * height/pixels come from the decoded bitmap, not from arithmetic
+    * over the input. Returns null for undecodable bytes (ImageIO's
+    * contract), which the caller maps to the stub fallback. */
+  private def decodeImage(bmp: Array[Byte]): java.awt.image.BufferedImage =
+    javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bmp))
+
   /** Batched partition-parallel decode: drains each partition in
-    * BatchSize groups (Arrow-batch analog) through the stub codec. */
+    * BatchSize groups (Arrow-batch analog). Image rows run the REAL
+    * ImageIO codec against their BMP fixture bytes (decoded dims, not
+    * computed ones); audio/video rows — codecs this container lacks —
+    * keep the deterministic stub fallback, the honest seam a real
+    * deployment fills with its own codec. */
   def decode(media: Dataset[MediaRecord]): Dataset[DecodedMedia] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       inBatches(it) { batch =>
         batch.iterator.map { m =>
-          val (w, h) = decodeStub(m.payload)
+          val (w, h) =
+            if (m.media_type == "image") {
+              val img = decodeImage(bmpFixture(m.payload))
+              if (img == null) fixtureDims(m.payload) // undecodable → stub
+              else (img.getWidth.toLong, img.getHeight.toLong)
+            } else fixtureDims(m.payload) // no audio/video codec here: stub
           DecodedMedia(m.doc_id, m.media_type, m.meta.n_bytes, w, h)
         }
       }
