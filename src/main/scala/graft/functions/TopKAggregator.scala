@@ -55,3 +55,41 @@ final class TopKByScore(k: Int) extends Aggregator[ScoredId, List[ScoredId], Seq
   override def bufferEncoder: Encoder[List[ScoredId]] = ExpressionEncoder()
   override def outputEncoder: Encoder[Seq[ScoredId]] = ExpressionEncoder()
 }
+
+/** One (id, score) candidate with an exact BIGINT score. */
+final case class LongScoredId(vec_id: Long, score: Long)
+
+/** [[TopKByScore]] with an exact Long score — for rankings defined in
+  * integer arithmetic (priority sampling's n_chars·2^32 div (h+1)).
+  * Casting such scores to Double collapses distinct values above 2^53
+  * (n_chars ≳ 2^21 in the priority-sampling case), where the engine's
+  * top-k order could diverge from an oracle's exact BIGINT order; the
+  * long-keyed buffer keeps the determinism claim unconditional. */
+final class TopKByLongScore(k: Int)
+    extends Aggregator[LongScoredId, List[LongScoredId], Seq[LongScoredId]] {
+  require(k > 0, s"top-k needs k > 0, got $k")
+
+  // strict total order when ids are unique: (score DESC, id ASC), exact
+  private def beats(a: LongScoredId, b: LongScoredId): Boolean =
+    a.score > b.score || (a.score == b.score && a.vec_id < b.vec_id)
+
+  override def zero: List[LongScoredId] = Nil
+
+  private def insert(buf: List[LongScoredId], in: LongScoredId): List[LongScoredId] =
+    if (buf.lengthCompare(k) >= 0 && beats(buf.last, in)) buf // full and out-ranked
+    else {
+      val (pre, post) = buf.span(e => beats(e, in))
+      (pre ::: in :: post).take(k)
+    }
+
+  override def reduce(buf: List[LongScoredId], in: LongScoredId): List[LongScoredId] =
+    insert(buf, in)
+
+  override def merge(x: List[LongScoredId], y: List[LongScoredId]): List[LongScoredId] =
+    y.foldLeft(x)(insert)
+
+  override def finish(buf: List[LongScoredId]): Seq[LongScoredId] = buf
+
+  override def bufferEncoder: Encoder[List[LongScoredId]] = ExpressionEncoder()
+  override def outputEncoder: Encoder[Seq[LongScoredId]] = ExpressionEncoder()
+}

@@ -104,8 +104,11 @@ object Graph {
     val deg = e0.select(col("u").as("node"))
       .union(e0.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
-      // one sortable key encodes the (degree, id) total order
-      .select(col("node"), (col("deg") * 1000000000L + col("node")).as("ord"))
+      // the (degree, id) total order as a struct — Spark orders structs
+      // lexicographically, so this is overflow- and collision-free at
+      // any id/degree magnitude (an arithmetic deg*C+id encoding breaks
+      // once ids or degrees reach C, plausible at 100 TB)
+      .select(col("node"), struct(col("deg"), col("node")).as("ord"))
     val oriented = e0
       .join(deg.select(col("node").as("u"), col("ord").as("u_ord")), "u")
       .join(deg.select(col("node").as("v"), col("ord").as("v_ord")), "v")

@@ -39,6 +39,19 @@ final case class KmvEstimate(key: String, n_sketch: Long, kmv_est: Long)
   */
 object StreamingSketch {
 
+  /** BIGINT `div` as column algebra (Catalyst IntegralDivide): the
+    * streaming twins must use the SAME integer arithmetic as their
+    * batch originals (Profiling's `expr("... div ...")`) — `/` on
+    * longs is double division, whose truncation can diverge from
+    * integer div in ulp-edge cases at very large counts. Built through
+    * the bridge because lambda-bound HOF variables are invisible to
+    * `expr(...)` strings. */
+  private def intDiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
   /** Approximate distinct values per event-time window — TWO chained
     * stateful aggregations in append mode (register max per
     * (window, bucket), then the window's estimate), legal since the
@@ -127,7 +140,7 @@ object StreamingSketch {
         sum(col("cnt")).as("n"))
       .select(col("window").getField("start").as("window_start"), col("n"),
         (aggregate(col("bins"), lit(0L), (acc, b) =>
-          acc + abs((lit(1000L) * b.getField("cnt") / col("n")).cast("long")
+          acc + abs(intDiv(lit(1000L) * b.getField("cnt"), col("n"))
             - coalesce(element_at(base, b.getField("bin")), lit(0L))))
           + (lit(baseSum) - aggregate(col("bins"), lit(0L), (acc, b) =>
             acc + coalesce(element_at(base, b.getField("bin")), lit(0L)))))
