@@ -10,11 +10,21 @@ import org.apache.spark.sql.SparkSession
   * column-pruned count scans far less than the real query computes).
   * A warmup query runs first so JVM/session initialization is not
   * charged to the first measured query.
+  *
+  * Every query runs SPARK_GRAFT_BENCH_RUNS times (default 3) and the
+  * headline per-query number is the MEDIAN; min and max ride along in
+  * `queries_min`/`queries_max`. Single-shot timings let host
+  * contention impersonate regressions (round 4's driver run showed a
+  * 7× "regression" on code that had not changed — the builder's run
+  * of the identical commit measured 0.6 s where the driver saw 5.3 s);
+  * the median of three is the cheapest estimator that survives one
+  * contended sample, and max−min makes the noise itself visible.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -31,33 +41,70 @@ object Bench {
       .foreach(t => Tables.load(spark, sfDir, t).limit(1).collect())
     Tables.events(spark, sfDir).limit(1).collect()
 
-    // a failed query records -1, never its time-to-failure — a broken
-    // query must not masquerade as a fast one in tracked benchmarks
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        name -> (System.nanoTime() - t0) / 1e9
-      } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          name -> -1.0
+    // a failed run records -1, never its time-to-failure — a broken
+    // query must not masquerade as a fast one in tracked benchmarks.
+    // SPARK_GRAFT_BENCH_ONLY=streaming skips the batch loop — a local
+    // iteration knob for streaming-engine work; the driver never sets it
+    val skipQueries = sys.env.get("SPARK_GRAFT_BENCH_ONLY").contains("streaming")
+    val results: Seq[(String, Seq[Double])] =
+      (if (skipQueries) Nil else SparkEntry.queries.toSeq.sortBy(_._1)).map { case (name, fn) =>
+        name -> (1 to runs).map { _ =>
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name failed: ${e.getMessage}")
+              -1.0
+          }
+        }
       }
+    // median over the successful runs only; -1 (all failed) stays -1.
+    // Odd run counts take the true middle; even ones the upper-middle —
+    // both monotone, both immune to a single slow outlier at n >= 3.
+    def median(ts: Seq[Double]): Double = {
+      val ok = ts.filter(_ >= 0).sorted
+      if (ok.isEmpty) -1.0 else ok(ok.size / 2)
     }
-    val qs = results.map { case (k, v) => JsonUtil.q(k) + ":" + v }
+    def jmap(f: Seq[Double] => Double): String = results
+      .map { case (k, ts) => JsonUtil.q(k) + ":" + f(ts) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val qs = jmap(median)
+    val qsMin = jmap(ts => if (ts.forall(_ < 0)) -1.0 else ts.filter(_ >= 0).min)
+    val qsMax = jmap(ts => if (ts.forall(_ < 0)) -1.0 else ts.filter(_ >= 0).max)
+    val total = results.map(r => median(r._2)).filter(_ >= 0).sum
     // one streaming failure must not discard the batch measurements
     def safeRate(label: String)(f: => Long): Long = try f catch {
       case e: Throwable =>
         System.err.println(s"[bench] $label failed: ${e.getMessage}")
         -1L
     }
-    val rate = safeRate("streamingRate")(streamingRate(spark))
-    val rateV2 = safeRate("streamingRateV2")(streamingRateV2(spark))
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    // Streaming runs at StreamParts state partitions for BOTH engines:
+    // state partition count is a real deployment knob (fixed at the
+    // first checkpoint, sized to state volume × executors, NOT the SQL
+    // shuffle default). At 32 partitions the 200k-event replay leaves
+    // each RocksDB instance too little work to amortize its per-batch
+    // open/commit lifecycle — v2 measured 49k ev/s at 32 partitions vs
+    // 69-71k at 16/8 on the same code, while v1's in-memory provider
+    // barely cares (71k/69k/61k). Equal partitioning is what makes the
+    // v1-vs-v2 numbers an ENGINE comparison, not a provider-fixed-cost
+    // artifact; 16 is near both engines' local[32] optimum.
+    val streamParts = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "16")
+    val partsConf = "spark.sql.shuffle.partitions"
+    val prevParts = spark.conf.get(partsConf)
+    spark.conf.set(partsConf, streamParts)
+    val (rate, rateV2, rateComposed) = try {
+      (safeRate("streamingRate")(streamingRate(spark)),
+        safeRate("streamingRateV2")(streamingRateV2(spark)),
+        safeRate("streamingRateComposed")(streamingRateComposed(spark)))
+    } finally spark.conf.set(partsConf, prevParts)
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,""" +
+      s""""queries":$qs,"queries_min":$qsMin,"queries_max":$qsMax,""" +
       s""""streaming_events_per_sec":$rate,""" +
-      s""""streaming_v2_events_per_sec":$rateV2,"sf":${JsonUtil.q(sfDir)}}"""
+      s""""streaming_v2_events_per_sec":$rateV2,""" +
+      s""""streaming_composed_events_per_sec":$rateComposed,""" +
+      s""""sf":${JsonUtil.q(sfDir)}}"""
     println(line)
     // also a machine-readable file — sbt prefixes stdout with [info]/
     // [error] tags, which broke the driver's log-scrape parser in r1
@@ -83,6 +130,17 @@ object Bench {
       Trade(base + rnd.nextInt(600000).toLong, s"I${rnd.nextInt(100)}",
         s"Product_${rnd.nextInt(1999) + 1}",
         (rnd.nextInt(1000) + 1).toDouble, (rnd.nextInt(100) + 1).toLong)
+    }
+  }
+
+  private def genQuotes(n: Int): Seq[graft.model.Quote] = {
+    import graft.model.Quote
+    val rnd = new scala.util.Random(43)
+    val base = 1723459200000L
+    (0 until n).map { _ =>
+      val bid = (rnd.nextInt(1000) + 1).toDouble
+      Quote(base + rnd.nextInt(600000).toLong,
+        s"Product_${rnd.nextInt(1999) + 1}", bid, bid + 1.0)
     }
   }
 
@@ -133,18 +191,68 @@ object Bench {
     * HDFS-backed provider. */
   private def streamingRateV2(spark: SparkSession): Long = {
     import graft.streaming.StreamingOhlcvV2
-    val providerConf = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(providerConf)
-    spark.conf.set(providerConf,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // changelog checkpointing ships per-batch deltas instead of full
+    // RocksDB snapshots at every commit, and row-count tracking adds a
+    // maintenance read-modify-write per store op — both are the
+    // documented production settings for high-throughput stateful
+    // queries on the RocksDB provider
+    val confs = Seq(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true",
+      "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows" -> "false") ++
+      sys.env.get("SPARK_GRAFT_V2_PARTS").map("spark.sql.shuffle.partitions" -> _)
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
     try {
       def engine(df: org.apache.spark.sql.DataFrame) =
         StreamingOhlcvV2.statefulBars(df, widthMs = 60000L, emitRunning = false)
       replayRate(spark, WarmupN, engine) // warmup, discarded
       bestOf3(replayRate(spark, StreamN, engine))
-    } finally prev match {
-      case Some(v) => spark.conf.set(providerConf, v)
-      case None => spark.conf.unset(providerConf)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
     }
+  }
+
+  /** Composed-pipeline throughput: dedup → stream-stream interval join
+    * → windowed agg, THREE stateful operators in one continuous query
+    * (the StreamJoinsSpec pipeline, scaled up). Trades and quotes replay
+    * together; the rate counts every input event across both streams.
+    * This is the figure that tells you what a real multi-operator
+    * topology sustains — the single-operator rates above are upper
+    * bounds, this is the end-to-end floor. */
+  private val ComposedTradesN = 100000
+  private def streamingRateComposed(spark: SparkSession): Long = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import graft.streaming.{StreamJoins, StreamingOhlcv}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def run(nTrades: Int): Long = {
+      val nQuotes = nTrades / 4
+      val trades = MemoryStream[graft.model.Trade]
+      val quotes = MemoryStream[graft.model.Quote]
+      trades.addData(genTrades(nTrades): _*)
+      quotes.addData(genQuotes(nQuotes): _*)
+      val deduped = StreamJoins.dedupWithinWatermark(
+        StreamingOhlcv.withEventTime(trades.toDS(), "5 seconds"),
+        Seq("product", "instrument_id", "timestamp"))
+      val joined = StreamJoins.tradesWithRecentQuotes(deduped,
+        StreamJoins.quotesWithEventTime(quotes.toDS(), "5 seconds"),
+        lookbackSeconds = 10)
+      val bars = joined
+        .groupBy(window(col("ts"), "1 minute").as("w"), col("product"))
+        .agg(count(lit(1)).as("n_quoted"),
+          max(col("ask") - col("bid")).as("max_spread"))
+      val q = bars.writeStream.format("noop").outputMode("append").start()
+      try {
+        val t0 = System.nanoTime()
+        q.processAllAvailable()
+        ((nTrades + nQuotes) / ((System.nanoTime() - t0) / 1e9)).toLong
+      } finally q.stop()
+    }
+    run(WarmupN) // warmup, discarded
+    bestOf3(run(ComposedTradesN))
   }
 }

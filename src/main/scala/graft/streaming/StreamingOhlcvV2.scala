@@ -79,13 +79,22 @@ class OhlcvProcessor(widthMs: Long, emitRunning: Boolean)
       timerValues: TimerValues): Iterator[RunningBar] = {
     val out = Iterator.newBuilder[RunningBar]
     val sorted = rows.toArray.sortBy(t => (t.timestamp, t.instrument_id))
+    // fold the batch per window LOCALLY, then write each touched window
+    // ONCE: MapState get/put go through RocksDB + Avro codec per call,
+    // so per-event access paid 3 store round trips per trade (the bulk
+    // of the v2-vs-v1 throughput gap — v1's GroupState loads once per
+    // key-batch). This is the same semantics with O(touched windows)
+    // store ops instead of O(events).
+    val local = scala.collection.mutable.HashMap.empty[Long, BarState]
     for (t <- sorted) {
       val ws = t.timestamp / widthMs * widthMs
-      val prev = if (bars.containsKey(ws)) bars.getValue(ws) else BarState.init(ws)
+      val prev = local.getOrElse(ws,
+        if (bars.containsKey(ws)) bars.getValue(ws) else BarState.init(ws))
       val st = BarState.updated(prev, t.timestamp, t.instrument_id, t.price, t.qty)
-      bars.updateValue(ws, st)
+      local(ws) = st
       if (emitRunning) out += toBar(product, st, endOfWindow = false)
     }
+    local.foreach { case (ws, st) => bars.updateValue(ws, st) }
     out.result() ++ finalize(product, timerValues.getCurrentWatermarkInMs())
   }
 

@@ -75,6 +75,28 @@ class PlanShapeSpec extends SparkSpec {
       s"bars must be partial-agg + ONE hash exchange, found $exchanges:\n${physical(df)}")
   }
 
+  test("flagship plan shapes hold at sf0.1, not only the unit-test scale") {
+    // AQE and broadcast thresholds see different sizes/stats at sf0.1
+    // than at sf0.001 — the scale claims are only as good as the plan
+    // at the graded scale factor. (SPJ zero-Exchange is covered in
+    // SourcesSpec against the generator source, which has no sf.)
+    Seq(sf0001, sf01).foreach { d =>
+      val topk = physical(Similarity.topKBruteForce(spark, d))
+      assert(!topk.contains("Window"), s"top-k windows at $d:\n$topk")
+      val dec = physical(SparkEntry.queries("decontam_overlap")(spark, d))
+      assert(dec.contains("BroadcastHashJoin") && !dec.contains("SortMergeJoin"),
+        s"decontam must broadcast the eval set at $d:\n$dec")
+      Seq("rel_interval_join", "rel_interval_overlap").foreach { q =>
+        val p = physical(SparkEntry.queries(q)(spark, d))
+        assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+          s"$q loses its equi-key at $d:\n$p")
+      }
+      val fp = physical(SparkEntry.queries("rel_filter_project")(spark, d))
+      assert("PushedFilters: \\[\\s*[^\\]\\s]".r.findFirstIn(fp).nonEmpty,
+        s"pushdown lost at $d:\n$fp")
+    }
+  }
+
   test("per-document outputs plan no global sort (round-5: presentation sorts removed)") {
     // the round-4 audit found ~15 corpus-size outputs ending in a
     // verification-only .orderBy — a full range-partition sort per query
