@@ -397,7 +397,56 @@ object Relational {
         |ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""".stripMargin)
   }
 
+  // -- recursive CTE via the SQL surface -----------------------------------
+  /** Order "streaks" per customer — runs of consecutive orders each
+    * within 30 days of the previous — walked with a RECURSIVE CTE
+    * (Spark 4.1's iterative SQL surface): roots are orders with no
+    * predecessor inside the gap, each recursion step follows the
+    * precomputed next-order link while it stays linked. The chain
+    * table is a forest (every order has exactly one predecessor link),
+    * so UNION ALL recursion terminates at depth = longest streak with
+    * no duplicate rows.
+    *
+    * Scale note: each recursion level is one join + union over the
+    * frontier — depth-many rounds, the same shape as the min-label CC
+    * loop in Dedup, driven by the engine instead of library code. For
+    * unbounded-depth graphs use the O(log² n) star machinery; for THIS
+    * semantics (gap runs) the window formulation (`rel_gaps_islands`)
+    * is the one-pass production path — the recursive phrasing is the
+    * SQL-surface capability, oracle-verified against DuckDB's
+    * identical recursion. */
+  def recursiveOrderChains(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """WITH RECURSIVE ord AS (
+        |  SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS od,
+        |    lead(o_orderkey) OVER w AS next_key,
+        |    CASE WHEN datediff(lead(CAST(o_orderdate AS DATE)) OVER w,
+        |                       CAST(o_orderdate AS DATE)) <= 30
+        |         THEN 1 ELSE 0 END AS linked,
+        |    CASE WHEN lag(o_orderdate) OVER w IS NULL
+        |              OR datediff(CAST(o_orderdate AS DATE),
+        |                          lag(CAST(o_orderdate AS DATE)) OVER w) > 30
+        |         THEN 1 ELSE 0 END AS is_root
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+        |chain(root_key, okey) AS (
+        |  SELECT o_orderkey, o_orderkey FROM ord WHERE is_root = 1
+        |  UNION ALL
+        |  SELECT c.root_key, o.next_key FROM chain c
+        |  JOIN ord o ON c.okey = o.o_orderkey
+        |  WHERE o.linked = 1)
+        |SELECT o.o_custkey, c.root_key AS streak_root,
+        |  count(*) AS n_orders,
+        |  CAST(min(o.od) AS STRING) AS first_day,
+        |  CAST(max(o.od) AS STRING) AS last_day
+        |FROM chain c JOIN ord o ON c.okey = o.o_orderkey
+        |GROUP BY o.o_custkey, c.root_key
+        |ORDER BY o_custkey, streak_root""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_recursive_chains" -> ((s, d) => recursiveOrderChains(s, d)),
     "rel_lateral_topn" -> ((s, d) => lateralTopOrders(s, d)),
     "rel_fuzzy_join" -> ((s, d) => fuzzyPartPairs(s, d)),
     "rel_pricing_summary" -> ((s, d) => pricingSummary(s, d)),
@@ -430,6 +479,34 @@ object Relational {
     "rel_scalar_subquery" -> ((s, d) => maxOrderPerCustomer(s, d)))
 
   val oracle: Map[String, String] = Map(
+    // identical recursion in DuckDB (dialect delta: DATE - DATE is
+    // already integer days, where Spark needs datediff)
+    "rel_recursive_chains" ->
+      """WITH RECURSIVE ord AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate::DATE AS od,
+        |    lead(o_orderkey) OVER w AS next_key,
+        |    CASE WHEN date_diff('day', o_orderdate::DATE,
+        |                        lead(o_orderdate::DATE) OVER w) <= 30
+        |         THEN 1 ELSE 0 END AS linked,
+        |    CASE WHEN lag(o_orderdate) OVER w IS NULL
+        |              OR date_diff('day', lag(o_orderdate::DATE) OVER w,
+        |                           o_orderdate::DATE) > 30
+        |         THEN 1 ELSE 0 END AS is_root
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+        |chain(root_key, okey) AS (
+        |  SELECT o_orderkey, o_orderkey FROM ord WHERE is_root = 1
+        |  UNION ALL
+        |  SELECT c.root_key, o.next_key FROM chain c
+        |  JOIN ord o ON c.okey = o.o_orderkey
+        |  WHERE o.linked = 1)
+        |SELECT o.o_custkey, c.root_key AS streak_root,
+        |  count(*)::BIGINT AS n_orders,
+        |  min(o.od)::VARCHAR AS first_day,
+        |  max(o.od)::VARCHAR AS last_day
+        |FROM chain c JOIN ord o ON c.okey = o.o_orderkey
+        |GROUP BY o.o_custkey, c.root_key
+        |ORDER BY o_custkey, streak_root""".stripMargin,
     "rel_lateral_topn" ->
       """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
         |FROM customer c, LATERAL (
