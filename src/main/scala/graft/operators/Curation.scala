@@ -266,6 +266,31 @@ object Curation {
       .orderBy("rnk")
   }
 
+  /** Per-stratum reservoir size for [[sampleReservoirPerLang]]. */
+  private[graft] val StratumK = 8
+
+  /** Fixed-COUNT sample per stratum: the k smallest-hash documents of
+    * EACH language — the per-group flavor of [[sampleReservoir]]
+    * (sampleStratified keeps a per-group FRACTION; audits and eval-set
+    * construction usually want an exact per-group count). Same bounded
+    * shape, just keyed: the top-k aggregator partial-aggregates under
+    * the groupBy, so each map task forwards ≤ k candidates per
+    * language and no stratum ever funnels through a global sort —
+    * at 100 TB this is one hash-partitioned aggregate over ≤ k ×
+    * partitions × |langs| rows. */
+  def sampleReservoirPerLang(spark: SparkSession, dir: String): DataFrame = {
+    val topk = udaf(new graft.functions.TopKByScore(StratumK))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        Sketches.hash32(col("doc_id")).as("h"))
+      .groupBy(col("lang"))
+      .agg(topk(col("doc_id"), -col("h").cast("double")).as("top"))
+      .select(col("lang"), posexplode(col("top")))
+      .select(col("lang"), (col("pos") + lit(1)).cast("long").as("rnk"),
+        col("col.vec_id").as("doc_id"),
+        (-col("col.cosine")).cast("long").as("hash_val"))
+  }
+
   /** Priority-sample size for [[samplePriority]]. */
   private[graft] val PriorityK = 16
 
@@ -306,6 +331,7 @@ object Curation {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_priority" -> ((s, d) => samplePriority(s, d)),
     "sample_reservoir" -> ((s, d) => sampleReservoir(s, d)),
+    "sample_reservoir_per_lang" -> ((s, d) => sampleReservoirPerLang(s, d)),
     "text_gopher_filters" -> ((s, d) => gopherFilters(s, d)),
     "text_repetition" -> ((s, d) => repetitionStats(s, d)),
     "text_scrub" -> ((s, d) => scrubPii(s, d)),
@@ -345,6 +371,14 @@ object Curation {
          |    row_number() OVER (ORDER BY priority DESC, doc_id) AS rnk FROM p)
          |SELECT rnk, doc_id, n_chars, priority::BIGINT AS priority FROM r
          |WHERE rnk <= $PriorityK ORDER BY rnk""".stripMargin,
+    "sample_reservoir_per_lang" ->
+      s"""WITH h0 AS (SELECT doc_id, lang,
+         |    ${Sketches.foldSql("doc_id::VARCHAR", 31L, 0L)} AS f FROM documents),
+         |h AS (SELECT doc_id, lang, ${Sketches.mixColSql("f")} AS x FROM h0),
+         |r AS (SELECT doc_id, lang, x,
+         |    row_number() OVER (PARTITION BY lang ORDER BY x, doc_id) AS rnk FROM h)
+         |SELECT lang, rnk, doc_id, x::BIGINT AS hash_val FROM r
+         |WHERE rnk <= $StratumK ORDER BY lang, rnk""".stripMargin,
     // the oracle states the semantic definition — the global hash-order
     // sort the bounded aggregator must reproduce exactly
     "sample_reservoir" ->

@@ -222,12 +222,18 @@ object TextAnalysis {
     * is a per-row fold against the broadcast winner. This is exactly
     * how production BPE trainers scale: corpus → weighted vocab, then
     * rounds over the vocab. */
-  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame =
+    bpeTrained(spark, dir)._1.orderBy("round")
+
+  /** The trained artifacts: (merge table, final vocabulary with each
+    * word's post-merge symbol array). One training run feeds both the
+    * report (`bpeTrain`) and the apply stage (`bpeApplyCounts`). */
+  private def bpeTrained(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import graft.functions.TextFunctions.chars
     var vocab = Tables.documents(spark, dir)
       .select(explode(tokens(col("text"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
-      .select(chars(col("word")).as("syms"), col("cnt"))
+      .select(col("word"), chars(col("word")).as("syms"), col("cnt"))
       .localCheckpoint()
     var merges: DataFrame = null
     for (round <- 1 to BpeRounds) {
@@ -243,18 +249,81 @@ object TextAnalysis {
         .localCheckpoint() // winner feeds both the merge pass and the report
       vocab = vocab
         .crossJoin(broadcast(best.select(col("l").as("bl"), col("r").as("br"))))
-        .select(bpeMergePass(col("syms"), col("bl"), col("br")).as("syms"),
+        .select(col("word"), bpeMergePass(col("syms"), col("bl"), col("br")).as("syms"),
           col("cnt"))
         .localCheckpoint() // next round reads |vocab| rows, not the lineage
       val m = best.select(lit(round.toLong).as("round"),
         col("l"), col("r"), col("pair_count"))
       merges = if (merges == null) m else merges.union(m)
     }
-    merges.orderBy("round")
+    (merges, vocab)
+  }
+
+  /** BPE APPLY — tokenize the corpus with the vocabulary the trainer
+    * just learned: each document's post-merge symbol count (and words)
+    * via a join against the trained vocab, the step that turns
+    * `bpeTrain`'s merge table into an actual corpus encoding.
+    *
+    * Scale shape: the expensive fold already ran — once per VOCAB
+    * word, during training; apply is explode(tokens) → broadcast-or-
+    * hash join on word → per-doc sum, i.e. one corpus scan and one
+    * bounded model join, exactly how production tokenizer application
+    * distributes (the vocab rides the closure/broadcast, documents
+    * never collect). */
+  def bpeApplyCounts(spark: SparkSession, dir: String): DataFrame = {
+    val (_, vocab) = bpeTrained(spark, dir)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .join(vocab.select(col("word"), size(col("syms")).cast("long").as("n_syms")),
+        "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_syms")).as("n_syms"))
+  }
+
+  /** Character-bigram language-model quality score (the CCNet recipe —
+    * Wenzek et al., "CCNet: extracting high-quality monolingual
+    * datasets from web crawl data", 2020 — with the 5-gram KenLM
+    * swapped for an oracle-replayable bigram model): estimate
+    * P(c2|c1) = (cnt(c1c2)+1) / (cnt(c1·)+|alphabet|) from the corpus
+    * itself (add-one smoothing), then score each document by its mean
+    * negative log-likelihood. Gibberish and boilerplate-with-rare-
+    * charset score high; fluent text scores low — the standard
+    * perplexity-based quality gate.
+    *
+    * Scale shape: two corpus scans (one builds the model — a bounded
+    * alphabet² aggregate; one scores) and a broadcast of the tiny
+    * model table; per-doc score is a map-side-combined aggregate. The
+    * probability is an exact integer-ratio double in both engines; the
+    * only transcendental is ln, rounded to 6 decimals after the
+    * per-doc mean. */
+  def charLmScore(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.chars
+    val ch = chars(col("text"))
+    val bg = when(size(ch) >= 2,
+      transform(sequence(lit(1), size(ch) - 1),
+        i => concat(element_at(ch, i), element_at(ch, i + lit(1)))))
+      .otherwise(array().cast("array<string>"))
+    val docs = Tables.documents(spark, dir)
+    val docBg = docs.select(col("doc_id"), explode(bg).as("bg"))
+    val alphabet = docs.select(explode(ch).as("c"))
+      .agg(countDistinct(col("c")).as("v")) // 1 row
+    val bgCnt = docBg.groupBy(col("bg")).agg(count(lit(1)).as("cnt_bg"))
+      .withColumn("c1", substring(col("bg"), 1, 1))
+    val prefCnt = bgCnt.groupBy(col("c1")).agg(sum(col("cnt_bg")).as("cnt_c1"))
+    val model = bgCnt.join(prefCnt, "c1")
+      .crossJoin(broadcast(alphabet))
+      .select(col("bg"),
+        ((col("cnt_bg") + lit(1)).cast("double") / (col("cnt_c1") + col("v"))).as("p"))
+    docBg.join(broadcast(model), "bg")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(-avg(log(col("p"))), 6).as("nll_nats"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bpe_train" -> ((s, d) => bpeTrain(s, d)),
+    "text_bpe_apply" -> ((s, d) => bpeApplyCounts(s, d)),
+    "text_char_lm" -> ((s, d) => charLmScore(s, d)),
     "text_token_stats" -> ((s, d) => tokenStats(s, d)),
     "text_quality" -> ((s, d) => qualityScore(s, d)),
     "text_lang_id" -> ((s, d) => langId(s, d)),
@@ -283,30 +352,62 @@ object TextAnalysis {
        |        FROM $s WHERE len(syms) >= 2)
        |  GROUP BY 1, 2""".stripMargin
 
-  private val bpeTrainSql: String = {
+  /** The train-round CTE chain (vocab → per-round pair counts, winner,
+    * merged vocab), shared by the train report and the apply oracle.
+    * `word` rides along so the post-merge vocabulary stays joinable;
+    * `withFinalVocab` adds the last merge pass (s(R+1)) that only the
+    * apply stage needs. */
+  private def bpeCtes(withFinalVocab: Boolean): String = {
     val rounds = (1 to BpeRounds).map { r =>
-      val src = if (r == 1) "s1" else s"s$r"
-      val merge = if (r < BpeRounds)
+      val merge = if (r < BpeRounds || withFinalVocab)
         s""",
-           |s${r + 1} AS (SELECT $bpeFoldSql AS syms, s.cnt FROM $src s, b$r b)""".stripMargin
+           |s${r + 1} AS (SELECT s.word, $bpeFoldSql AS syms, s.cnt FROM s$r s, b$r b)""".stripMargin
       else ""
-      s"""p$r AS (${bpePairsSql(src)}),
+      s"""p$r AS (${bpePairsSql(s"s$r")}),
          |b$r AS (SELECT l, r, pair_count FROM p$r
          |  ORDER BY pair_count DESC, l, r LIMIT 1)$merge""".stripMargin
     }.mkString(",\n")
+    s"""toks AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word FROM documents),
+       |v AS (SELECT word, count(*)::BIGINT AS cnt FROM toks GROUP BY 1),
+       |s1 AS (SELECT word, list_filter(string_split(word, ''), c -> c <> '') AS syms, cnt FROM v),
+       |$rounds""".stripMargin
+  }
+
+  private val bpeTrainSql: String = {
     val report = (1 to BpeRounds)
       .map(r => s"SELECT $r::BIGINT AS round, l, r, pair_count FROM b$r")
       .mkString("\nUNION ALL ")
-    s"""WITH toks AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word FROM documents),
-       |v AS (SELECT word, count(*)::BIGINT AS cnt FROM toks GROUP BY 1),
-       |s1 AS (SELECT list_filter(string_split(word, ''), c -> c <> '') AS syms, cnt FROM v),
-       |$rounds
+    s"""WITH ${bpeCtes(withFinalVocab = false)}
        |$report
        |ORDER BY round""".stripMargin
   }
 
+  private val bpeApplySql: String =
+    s"""WITH ${bpeCtes(withFinalVocab = true)},
+       |d AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word FROM documents)
+       |SELECT d.doc_id, count(*)::BIGINT AS n_words, sum(len(s.syms))::BIGINT AS n_syms
+       |FROM d JOIN s${BpeRounds + 1} s USING (word)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  private val charLmSql: String =
+    """WITH ch AS (SELECT doc_id, list_filter(string_split(text, ''), c -> c <> '') AS cs FROM documents),
+      |bg AS (SELECT doc_id, unnest(CASE WHEN len(cs) >= 2
+      |       THEN list_transform(range(1, len(cs)), i -> cs[i] || cs[i+1])
+      |       ELSE []::VARCHAR[] END) AS bg FROM ch),
+      |al AS (SELECT count(DISTINCT c)::BIGINT AS v FROM (SELECT unnest(cs) AS c FROM ch)),
+      |bc AS (SELECT bg, count(*)::BIGINT AS cnt_bg FROM bg GROUP BY 1),
+      |pc AS (SELECT substr(bg, 1, 1) AS c1, sum(cnt_bg)::BIGINT AS cnt_c1 FROM bc GROUP BY 1),
+      |m AS (SELECT bg, (cnt_bg + 1)::DOUBLE / (cnt_c1 + v) AS p
+      |      FROM bc JOIN pc ON substr(bc.bg, 1, 1) = pc.c1, al)
+      |SELECT b.doc_id, count(*)::BIGINT AS n_bigrams,
+      |  round(-avg(ln(p)), 6) AS nll_nats
+      |FROM bg b JOIN m USING (bg)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "text_bpe_train" -> bpeTrainSql,
+    "text_bpe_apply" -> bpeApplySql,
+    "text_char_lm" -> charLmSql,
     "text_token_stats" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents)
         |SELECT doc_id,

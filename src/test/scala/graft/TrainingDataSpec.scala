@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.{Curation, Dedup, TextAnalysis}
 import graft.functions.TextFunctions
 
 /** Semantics tests for the training-data pipeline extension: text
@@ -286,5 +286,50 @@ class TrainingDataSpec extends SparkSpec {
     val aggDocs = graft.operators.Pipeline.cleanCorpus(spark, sf0001)
       .agg(org.apache.spark.sql.functions.sum("n_docs")).head().getLong(0)
     assert(out("n_kept") == aggDocs)
+  }
+
+  test("per-stratum reservoir keeps at most k per language, ranked by hash") {
+    val rows = Curation.sampleReservoirPerLang(spark, sf0001).collect()
+    val byLang = rows.groupBy(_.getString(0))
+    assert(byLang.nonEmpty)
+    byLang.foreach { case (_, rs) =>
+      assert(rs.length <= Curation.StratumK)
+      // ranks are 1..n and hash values ascend with rank
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to rs.length).toSeq)
+      assert(sorted.map(_.getLong(3)).toSeq == sorted.map(_.getLong(3)).sorted.toSeq)
+    }
+  }
+
+  test("BPE apply: merged symbol counts are between words and characters") {
+    val applied = TextAnalysis.bpeApplyCounts(spark, sf0001)
+    val base = Tables.documents(spark, sf0001).select(
+      col("doc_id"),
+      org.apache.spark.sql.functions.size(TextFunctions.tokens(col("text")))
+        .cast("long").as("n_toks"),
+      org.apache.spark.sql.functions.aggregate(TextFunctions.tokens(col("text")),
+        org.apache.spark.sql.functions.lit(0L),
+        (a, x) => a + org.apache.spark.sql.functions.length(x)).as("n_chars_in_toks"))
+    val bad = applied.join(base, "doc_id")
+      // every word is >= 1 symbol; merging can only shrink the char count
+      .filter(col("n_syms") < col("n_words") || col("n_syms") > col("n_chars_in_toks") ||
+        col("n_words") =!= col("n_toks"))
+      .count()
+    assert(bad == 0)
+    // the 3 trained merges must actually merge something somewhere
+    val totSyms = applied.agg(org.apache.spark.sql.functions.sum("n_syms")).head().getLong(0)
+    val totChars = base.agg(org.apache.spark.sql.functions.sum("n_chars_in_toks")).head().getLong(0)
+    assert(totSyms < totChars, s"no merge applied: $totSyms vs $totChars")
+  }
+
+  test("char-bigram LM scores are positive and finite, one row per multi-char doc") {
+    val rows = TextAnalysis.charLmScore(spark, sf0001).collect()
+    assert(rows.length ==
+      Tables.documents(spark, sf0001).filter(length(col("text")) >= 2).count())
+    rows.foreach { r =>
+      val nll = r.getDouble(2)
+      assert(nll > 0 && !nll.isInfinite && !nll.isNaN, s"bad nll $nll")
+      assert(r.getLong(1) > 0)
+    }
   }
 }
