@@ -756,32 +756,39 @@ object Dedup {
          |SELECT src AS vec_id, min(dst) AS canonical_id
          |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin)
 
-  /** Sign-LSH bucket + bucket-local cosine pairs CTE (unfiltered) —
-    * shared by the near-dup oracle and its cluster composition. */
-  private lazy val embPairsCte: String =
+  /** Index-order dot-product fold between two list columns — the exact
+    * arithmetic of the native CosineSimilarity numerator. */
+  private[graft] def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(0.0::DOUBLE,
+       |      list_transform(range(1, len($a) + 1),
+       |        k -> $a[k]::DOUBLE * $b[k]::DOUBLE)), (x, v) -> x + v)""".stripMargin
+
+  /** Cosine between two list columns, folded in index order (float
+    * bits identical to the engine's fused-loop expression). */
+  private[graft] def cosineSql(a: String, b: String): String =
+    s"""${dotSql(a, b)}
+       |    / (sqrt(${dotSql(a, a)})
+       |     * sqrt(${dotSql(b, b)}))""".stripMargin
+
+  /** Sign-LSH bucket assignment CTE (nz → planes → bucketed) — shared
+    * by the near-dup oracles and the kNN-join oracle
+    * (operators/Similarity). */
+  private[graft] lazy val embBucketCte: String =
     s"""nz AS (SELECT vec_id, embedding FROM embeddings
-       |  WHERE list_reduce(list_prepend(0.0::DOUBLE,
-       |      list_transform(range(1, len(embedding) + 1),
-       |        k -> embedding[k]::DOUBLE * embedding[k]::DOUBLE)), (a, v) -> a + v) > 0),
+       |  WHERE ${dotSql("embedding", "embedding")} > 0),
        |planes AS (SELECT vec_id AS plane_id, embedding AS plane
        |  FROM nz WHERE vec_id < $HyperplaneBits),
        |bucketed AS (SELECT e.vec_id, e.embedding,
-       |    sum(CASE WHEN list_reduce(list_prepend(0.0::DOUBLE,
-       |        list_transform(range(1, len(e.embedding) + 1),
-       |          k -> e.embedding[k]::DOUBLE * p.plane[k]::DOUBLE)),
-       |        (a, v) -> a + v) >= 0
+       |    sum(CASE WHEN ${dotSql("e.embedding", "p.plane")} >= 0
        |      THEN (1::BIGINT << p.plane_id) ELSE 0 END)::BIGINT AS bucket
-       |  FROM nz e, planes p GROUP BY 1, 2),
+       |  FROM nz e, planes p GROUP BY 1, 2)""".stripMargin
+
+  /** Sign-LSH bucket + bucket-local cosine pairs CTE (unfiltered) —
+    * shared by the near-dup oracle and its cluster composition. */
+  private lazy val embPairsCte: String =
+    s"""$embBucketCte,
        |pairs AS (SELECT a.vec_id AS vec_i, b.vec_id AS vec_j,
-       |    list_reduce(list_prepend(0.0::DOUBLE,
-       |      list_transform(range(1, len(a.embedding) + 1),
-       |        k -> a.embedding[k]::DOUBLE * b.embedding[k]::DOUBLE)), (x, v) -> x + v)
-       |    / (sqrt(list_reduce(list_prepend(0.0::DOUBLE,
-       |        list_transform(range(1, len(a.embedding) + 1),
-       |          k -> a.embedding[k]::DOUBLE * a.embedding[k]::DOUBLE)), (x, v) -> x + v))
-       |     * sqrt(list_reduce(list_prepend(0.0::DOUBLE,
-       |        list_transform(range(1, len(b.embedding) + 1),
-       |          k -> b.embedding[k]::DOUBLE * b.embedding[k]::DOUBLE)), (x, v) -> x + v)))
+       |    ${cosineSql("a.embedding", "b.embedding")}
        |    AS cosine
        |  FROM bucketed a JOIN bucketed b
        |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id)""".stripMargin

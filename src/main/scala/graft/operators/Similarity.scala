@@ -407,7 +407,39 @@ object Similarity {
       .orderBy("query_id", "vec_id")
   }
 
+  /** Neighbors kept per vector in [[knnJoin]]. */
+  val KnnK = 3
+
+  /** kNN JOIN: every corpus vector gets its k nearest bucket-mates —
+    * the all-vectors flavor of top-k search (the `sim_topk_*` family
+    * answers a small query set; SemDeDup-style clustering, diversity
+    * audits, and graph construction need neighbors for EVERYONE).
+    *
+    * Scale shape: an all-pairs exact kNN join is O(n²) and unrunnable
+    * at corpus scale, so candidates come from the shared sign-LSH
+    * buckets (Dedup.signBucketed — one narrow pass to bucket, zero
+    * shuffle) and only bucket-mates are scored; per-vector top-k is
+    * the bounded aggregator, so the shuffle carries ≤ k × partitions
+    * rows per vector, never the full candidate list. Semantics are
+    * "k nearest AMONG bucket-mates" — the LSH recall tradeoff is
+    * explicit and the oracle replays the identical buckets, misses
+    * included. */
+  def knnJoin(spark: SparkSession, dir: String): DataFrame = {
+    val b = Dedup.signBucketed(spark, dir)
+    val topk = udaf(new graft.functions.TopKByScore(KnnK))
+    b.as("a").join(b.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("vec_id"),
+        cosineSim(col("a.embedding"), col("b.embedding")).as("cosine"))
+      .groupBy(col("query_id"))
+      .agg(topk(col("vec_id"), col("cosine")).as("top"))
+      .select(col("query_id").as("vec_id"), posexplode(col("top")))
+      .select(col("vec_id"), (col("pos") + lit(1)).as("rnk"),
+        col("col.vec_id").as("nn_id"), col("col.cosine").as("cosine"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_knn_join" -> ((s, d) => knnJoin(s, d)),
     "sim_topk_ivfpq" -> ((s, d) => topKIvfPq(s, d)),
     "sim_range_search" -> ((s, d) => rangeSearch(s, d)),
     "sim_topk_bruteforce" -> ((s, d) => topKBruteForce(s, d)),
@@ -553,6 +585,20 @@ object Similarity {
   }
 
   val oracle: Map[String, String] = Map(
+    // identical sign-LSH buckets (Dedup's shared CTE), directional
+    // bucket-mate pairs, then the window-rank statement of the
+    // bounded-aggregator semantics
+    "sim_knn_join" ->
+      s"""WITH ${Dedup.embBucketCte},
+         |sc AS (SELECT a.vec_id AS qid, b.vec_id AS nn_id,
+         |    ${Dedup.cosineSql("a.embedding", "b.embedding")} AS cosine
+         |  FROM bucketed a JOIN bucketed b
+         |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+         |r AS (SELECT qid, nn_id, cosine,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nn_id) AS rnk
+         |  FROM sc)
+         |SELECT qid AS vec_id, rnk, nn_id, cosine FROM r
+         |WHERE rnk <= $KnnK ORDER BY vec_id, rnk""".stripMargin,
     "sim_topk_ivfpq" -> ivfPqOracle,
     "sim_range_search" ->
       s"""WITH nz AS (SELECT vec_id, embedding FROM embeddings

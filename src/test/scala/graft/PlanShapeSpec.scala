@@ -27,7 +27,7 @@ class PlanShapeSpec extends SparkSpec {
     // is the whole point — a refactor that loses the bucket/block key
     // falls back to BroadcastNestedLoopJoin and dies at scale
     Seq("rel_interval_join", "rel_interval_overlap", "rel_fuzzy_join",
-        "mm_phash_neardups").foreach { q =>
+        "mm_phash_neardups", "sim_knn_join").foreach { q =>
       val p = physical(SparkEntry.queries(q)(spark, sf0001))
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
       assert(!p.contains("BroadcastNestedLoop"), s"$q plans a nested loop:\n$p")
