@@ -328,7 +328,45 @@ object Curation {
       .orderBy("rnk")
   }
 
+  /** Curriculum staging: each document binned into a length quartile
+    * (stage 1 = shortest … 4 = longest) — the difficulty-binning step a
+    * curriculum-learning loader runs before epoch scheduling. A naive
+    * ntile() is a window over the CORPUS (single-reducer global sort,
+    * the banned shape); here quartile boundaries come from the same
+    * integer histogram-sketch discipline as Sketches.quantileHist —
+    * 1000-bin histogram, cumulative window over the ≤1000-row SKETCH,
+    * integer-division targets — broadcast back as three cuts, and the
+    * stage assignment is one scan projection. All integer arithmetic;
+    * the oracle replays the identical histogram estimate. */
+  def curriculumStages(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
+    val bounds = docs
+      .agg(min("n_chars").as("lo"), max("n_chars").as("hi"), count(lit(1)).as("n"))
+      .withColumn("bw", expr("(hi - lo + 1000) div 1000"))
+    val cum = docs.crossJoin(broadcast(bounds.select("lo", "bw")))
+      .select(expr("(n_chars - lo) div bw").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(Window.orderBy("bin")))
+    val tgt = bounds.crossJoin(broadcast(Seq(25, 50, 75).toDF("p")))
+      .withColumn("target", expr("(p * n + 99) div 100"))
+    val cuts = tgt.crossJoin(cum)
+      .filter(col("cum") >= col("target"))
+      .groupBy("p", "lo", "bw").agg(min("bin").as("bin"))
+      .select(col("p"), (col("lo") + col("bin") * col("bw")).as("cut"))
+      .groupBy().pivot("p", Seq(25, 50, 75)).agg(first("cut"))
+      .select(col("25").as("q1"), col("50").as("q2"), col("75").as("q3"))
+    docs.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("n_chars"),
+        when(col("n_chars") <= col("q1"), lit(1L))
+          .when(col("n_chars") <= col("q2"), lit(2L))
+          .when(col("n_chars") <= col("q3"), lit(3L))
+          .otherwise(lit(4L)).as("stage"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curriculum_stages" -> ((s, d) => curriculumStages(s, d)),
     "sample_priority" -> ((s, d) => samplePriority(s, d)),
     "sample_reservoir" -> ((s, d) => sampleReservoir(s, d)),
     "sample_reservoir_per_lang" -> ((s, d) => sampleReservoirPerLang(s, d)),
@@ -361,6 +399,23 @@ object Curation {
     TextAnalysis.stop("en").map(w => s"'$w'").mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "curriculum_stages" ->
+      """WITH d AS (SELECT doc_id, n_chars FROM documents),
+        |b AS (SELECT min(n_chars) AS lo, max(n_chars) AS hi, count(*)::BIGINT AS n FROM d),
+        |b2 AS (SELECT lo, hi, n, (hi - lo + 1000) // 1000 AS bw FROM b),
+        |h AS (SELECT (n_chars - lo) // bw AS bin, count(*)::BIGINT AS cnt FROM d, b2 GROUP BY 1),
+        |c AS (SELECT bin, cnt, sum(cnt) OVER (ORDER BY bin)::BIGINT AS cum FROM h),
+        |t AS (SELECT p, (p * n + 99) // 100 AS target, lo, bw
+        |  FROM b2, (SELECT unnest([25, 50, 75]) AS p)),
+        |q AS (SELECT p, lo + min(bin) * bw AS cut
+        |  FROM t JOIN c ON c.cum >= t.target GROUP BY p, lo, bw),
+        |cuts AS (SELECT max(CASE WHEN p = 25 THEN cut END) AS q1,
+        |    max(CASE WHEN p = 50 THEN cut END) AS q2,
+        |    max(CASE WHEN p = 75 THEN cut END) AS q3 FROM q)
+        |SELECT doc_id, n_chars,
+        |  (CASE WHEN n_chars <= q1 THEN 1 WHEN n_chars <= q2 THEN 2
+        |        WHEN n_chars <= q3 THEN 3 ELSE 4 END)::BIGINT AS stage
+        |FROM d, cuts ORDER BY doc_id""".stripMargin,
     "sample_priority" ->
       s"""WITH h0 AS (SELECT doc_id, n_chars,
          |    ${Sketches.foldSql("doc_id::VARCHAR", 31L, 0L)} AS f FROM documents),
