@@ -438,7 +438,48 @@ object Similarity {
         col("col.vec_id").as("nn_id"), col("col.cosine").as("cosine"))
   }
 
+  /** Per-(label, dimension) centroid SUMS in exact micro-unit integers
+    * (round(v·10⁶) per component, summed as BIGINT) — the domain-
+    * centroid monitoring primitive: every embedding-space drift /
+    * domain-balance dashboard starts from these. Sums, not means, on
+    * purpose: integer division semantics differ across engines for
+    * negative values (floor vs truncate), cosine is scale-invariant so
+    * downstream never needs the division, and the sums are EXACT — no
+    * float summation-order nondeterminism anywhere.
+    *
+    * Scale shape: posexplode to (label, dim) with map-side combine —
+    * the shuffle carries |labels| × dims rows, not the corpus. */
+  def centroidSums(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")))
+      .select(col("label"), col("pos").cast("long").as("dim"),
+        round(col("col").cast("double") * 1000000, 0).cast("long").as("micro"))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("micro")).as("sum_micro"))
+
+  /** Pairwise label-centroid cosines — the domain-drift report (which
+    * domains' embedding distributions sit close, which drifted apart).
+    * Cosine is invariant to the 1/n scaling, so it runs on the exact
+    * integer centroid sums; folds are index-ordered, so float bits
+    * replay in the oracle. |labels|² rows — a report, not a corpus. */
+  def centroidSims(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = centroidSums(spark, dir)
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("sum_micro")))).as("sv"))
+      .select(col("label"),
+        transform(col("sv"), e => e.getField("sum_micro").cast("double")).as("v"))
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    vecs.as("a").join(vecs.as("b"), col("a.label") < col("b.label"))
+      .select(col("a.label").as("label_a"), col("b.label").as("label_b"),
+        (dot(col("a.v"), col("b.v")) /
+          (sqrt(dot(col("a.v"), col("a.v"))) * sqrt(dot(col("b.v"), col("b.v")))))
+          .as("cosine"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_centroids" -> ((s, d) => centroidSums(s, d)),
+    "emb_centroid_sims" -> ((s, d) => centroidSims(s, d)),
     "sim_knn_join" -> ((s, d) => knnJoin(s, d)),
     "sim_topk_ivfpq" -> ((s, d) => topKIvfPq(s, d)),
     "sim_range_search" -> ((s, d) => rangeSearch(s, d)),
@@ -584,7 +625,25 @@ object Similarity {
        |ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** Shared micro-unit explode CTE for the centroid oracles. */
+  private val centroidCte: String =
+    """x AS (SELECT label, u.i::BIGINT - 1 AS dim,
+      |    CAST(round(embedding[u.i::INT]::DOUBLE * 1000000, 0) AS BIGINT) AS micro
+      |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i))""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "emb_centroids" ->
+      s"""WITH $centroidCte
+         |SELECT label, dim, count(*)::BIGINT AS n, sum(micro)::BIGINT AS sum_micro
+         |FROM x GROUP BY 1, 2 ORDER BY label, dim""".stripMargin,
+    "emb_centroid_sims" ->
+      s"""WITH $centroidCte,
+         |c AS (SELECT label, dim, sum(micro)::BIGINT AS s FROM x GROUP BY 1, 2),
+         |v AS (SELECT label, list(s::DOUBLE ORDER BY dim) AS v FROM c GROUP BY 1)
+         |SELECT a.label AS label_a, b.label AS label_b,
+         |  ${Dedup.cosineSql("a.v", "b.v")} AS cosine
+         |FROM v a JOIN v b ON a.label < b.label
+         |ORDER BY label_a, label_b""".stripMargin,
     // identical sign-LSH buckets (Dedup's shared CTE), directional
     // bucket-mate pairs, then the window-rank statement of the
     // bounded-aggregator semantics
