@@ -417,20 +417,28 @@ object Relational {
     * identical recursion. */
   def recursiveOrderChains(spark: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(spark, dir)
+    // Materialize the link table ONCE before recursing: a CTE inside
+    // WITH RECURSIVE is re-evaluated at every recursion level, so the
+    // per-customer window would otherwise re-shuffle and re-sort the
+    // orders table depth-many times (measured ~4 s → ~1 s at sf0.1).
+    // This is the general recursion discipline: the static side of the
+    // loop gets pinned, only the frontier iterates.
     spark.sql(
-      """WITH RECURSIVE ord AS (
-        |  SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS od,
-        |    lead(o_orderkey) OVER w AS next_key,
-        |    CASE WHEN datediff(lead(CAST(o_orderdate AS DATE)) OVER w,
-        |                       CAST(o_orderdate AS DATE)) <= 30
-        |         THEN 1 ELSE 0 END AS linked,
-        |    CASE WHEN lag(o_orderdate) OVER w IS NULL
-        |              OR datediff(CAST(o_orderdate AS DATE),
-        |                          lag(CAST(o_orderdate AS DATE)) OVER w) > 30
-        |         THEN 1 ELSE 0 END AS is_root
-        |  FROM orders
-        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
-        |chain(root_key, okey) AS (
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS od,
+        |  lead(o_orderkey) OVER w AS next_key,
+        |  CASE WHEN datediff(lead(CAST(o_orderdate AS DATE)) OVER w,
+        |                     CAST(o_orderdate AS DATE)) <= 30
+        |       THEN 1 ELSE 0 END AS linked,
+        |  CASE WHEN lag(o_orderdate) OVER w IS NULL
+        |            OR datediff(CAST(o_orderdate AS DATE),
+        |                        lag(CAST(o_orderdate AS DATE)) OVER w) > 30
+        |       THEN 1 ELSE 0 END AS is_root
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin)
+      .localCheckpoint()
+      .createOrReplaceTempView("ord")
+    spark.sql(
+      """WITH RECURSIVE chain(root_key, okey) AS (
         |  SELECT o_orderkey, o_orderkey FROM ord WHERE is_root = 1
         |  UNION ALL
         |  SELECT c.root_key, o.next_key FROM chain c
