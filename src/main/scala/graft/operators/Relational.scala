@@ -198,6 +198,22 @@ object Relational {
       .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
       .orderBy(col("event_type"))
 
+  /** VARIANT twin of [[jsonExtract]] — Spark 4's semi-structured type:
+    * parse once into the binary VARIANT encoding, extract with typed
+    * `variant_get` paths. Same aggregate as the string-path query so
+    * the two surfaces are directly comparable; at scale VARIANT wins
+    * because the parse happens once per row into a navigable binary
+    * (and shreds into columns on parquet write) where
+    * `get_json_object` re-parses the string per path expression. */
+  def variantExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("variant_get(parse_json(props), '$.k', 'long')").as("k"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), max(col("k")).as("max_k"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
   // -- GROUPING SETS (the general form of rollup/cube) via the SQL surface
   def groupingSetsOrders(spark: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(spark, dir)
@@ -474,6 +490,7 @@ object Relational {
     "rel_orders_by_month" -> ((s, d) => ordersByMonth(s, d)),
     "rel_value_buckets" -> ((s, d) => valueBuckets(s, d)),
     "rel_json_extract" -> ((s, d) => jsonExtract(s, d)),
+    "rel_variant_extract" -> ((s, d) => variantExtract(s, d)),
     "rel_exists_subquery" -> ((s, d) => existsBigLineitem(s, d)),
     "rel_quantiles" -> ((s, d) => valueQuantiles(s, d)),
     "rel_pivot_days" -> ((s, d) => pivotEventDays(s, d)),
@@ -624,6 +641,12 @@ object Relational {
     "rel_json_extract" ->
       """SELECT event_type,
         |  sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+        |  count(*)::BIGINT AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "rel_variant_extract" ->
+      """SELECT event_type,
+        |  sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+        |  max(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS max_k,
         |  count(*)::BIGINT AS n
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "rel_exists_subquery" ->
