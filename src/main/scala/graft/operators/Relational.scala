@@ -154,6 +154,17 @@ object Relational {
       .orderBy(col("o_custkey"))
   }
 
+  /** EXCEPT ALL — the multiset subtraction the set-op family was
+    * missing: each F-status order key survives as many times as its F
+    * count exceeds its O count (plain EXCEPT collapses to distinct).
+    * Spark plans this as one aggregate computing per-key multiplicity
+    * deltas + a generate — no join, one shuffle. */
+  def exceptAllCustkeys(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      .exceptAll(o.filter(col("o_orderstatus") === "O").select(col("o_custkey")))
+  }
+
   def intersectCustkeys(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
     o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
@@ -491,6 +502,7 @@ object Relational {
     "rel_value_buckets" -> ((s, d) => valueBuckets(s, d)),
     "rel_json_extract" -> ((s, d) => jsonExtract(s, d)),
     "rel_variant_extract" -> ((s, d) => variantExtract(s, d)),
+    "rel_except_all" -> ((s, d) => exceptAllCustkeys(s, d)),
     "rel_exists_subquery" -> ((s, d) => existsBigLineitem(s, d)),
     "rel_quantiles" -> ((s, d) => valueQuantiles(s, d)),
     "rel_pivot_days" -> ((s, d) => pivotEventDays(s, d)),
@@ -643,6 +655,10 @@ object Relational {
         |  sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k,
         |  count(*)::BIGINT AS n
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "rel_except_all" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |EXCEPT ALL
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""".stripMargin,
     "rel_variant_extract" ->
       """SELECT event_type,
         |  sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k,
