@@ -11,7 +11,12 @@ import scala.util.control.NonFatal
   * must never let a regression pass the compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional third arg: comma-separated query names (iteration aid —
+    // the driver always runs the full surface with two args)
+    val (sfDir, outDir, only) = args match {
+      case Array(s, o)    => (s, o, None)
+      case Array(s, o, f) => (s, o, Some(f.split(",").toSet))
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -27,7 +32,8 @@ object Verify {
       p.delete(); ()
     }
 
-    val failed = SparkEntry.queries.flatMap { case (name, fn) =>
+    val selected = only.fold(SparkEntry.queries)(f => SparkEntry.queries.filter(kv => f(kv._1)))
+    val failed = selected.flatMap { case (name, fn) =>
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
@@ -40,7 +46,7 @@ object Verify {
       }
     }.toSet
 
-    val json = (SparkEntry.oracleSql -- failed)
+    val json = (SparkEntry.oracleSql.filter(kv => selected.contains(kv._1)) -- failed)
       .map { case (k, v) => s"${JsonUtil.q(k)}: ${JsonUtil.q(v)}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -93,3 +93,41 @@ final class TopKByLongScore(k: Int)
   override def bufferEncoder: Encoder[List[LongScoredId]] = ExpressionEncoder()
   override def outputEncoder: Encoder[Seq[LongScoredId]] = ExpressionEncoder()
 }
+
+/** One (term, score) candidate with an exact BIGINT score. */
+final case class ScoredTerm(term: String, score: Long)
+
+/** [[TopKByLongScore]] keyed by a string — for per-group term rankings
+  * (tf-idf top terms, operators/Retrieval.scala) where the
+  * deterministic tiebreak is the term itself: (score DESC, term ASC).
+  * String comparison is Java's UTF-16 code-unit order, which agrees
+  * with Spark's and DuckDB's binary UTF-8 collation on all BMP
+  * characters (and exactly on the ASCII corpus the oracle checks). */
+final class TopKTermsByLongScore(k: Int)
+    extends Aggregator[ScoredTerm, List[ScoredTerm], Seq[ScoredTerm]] {
+  require(k > 0, s"top-k needs k > 0, got $k")
+
+  // strict total order when terms are unique per group
+  private def beats(a: ScoredTerm, b: ScoredTerm): Boolean =
+    a.score > b.score || (a.score == b.score && a.term < b.term)
+
+  override def zero: List[ScoredTerm] = Nil
+
+  private def insert(buf: List[ScoredTerm], in: ScoredTerm): List[ScoredTerm] =
+    if (buf.lengthCompare(k) >= 0 && beats(buf.last, in)) buf // full and out-ranked
+    else {
+      val (pre, post) = buf.span(e => beats(e, in))
+      (pre ::: in :: post).take(k)
+    }
+
+  override def reduce(buf: List[ScoredTerm], in: ScoredTerm): List[ScoredTerm] =
+    insert(buf, in)
+
+  override def merge(x: List[ScoredTerm], y: List[ScoredTerm]): List[ScoredTerm] =
+    y.foldLeft(x)(insert)
+
+  override def finish(buf: List[ScoredTerm]): Seq[ScoredTerm] = buf
+
+  override def bufferEncoder: Encoder[List[ScoredTerm]] = ExpressionEncoder()
+  override def outputEncoder: Encoder[Seq[ScoredTerm]] = ExpressionEncoder()
+}

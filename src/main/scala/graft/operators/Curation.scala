@@ -172,6 +172,38 @@ object Curation {
       .select(col("doc_id"), col("bucket"), col("n_tokens"), col("seq_id"))
   }
 
+  val ChunkTokens = 40
+  val ChunkStride = 30
+
+  /** Sliding-window document chunking: each document splits into
+    * fixed-budget token windows of ChunkTokens, advancing by
+    * ChunkStride (25% overlap) — the retrieval/embedding prep step that
+    * turns long documents into model-sized passages with continuity
+    * across cuts. Chunk starts are 0, S, 2S, … while start < n_tokens,
+    * so every token is covered and only the last window runs short.
+    *
+    * The complement of packSequences: packing concatenates SHORT
+    * documents up to a budget, chunking splits LONG ones down to it.
+    *
+    * Scale shape: pure per-row algebra — tokenize once, explode the
+    * ceil(n/S) window starts, slice the token array per start. Output
+    * rows ≈ corpus tokens / S; zero shuffles, zero windows, linear in
+    * input splits. */
+  def chunkStride(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), t.as("toks"), size(t).as("n"))
+      .where(col("n") > 0)
+      .select(col("doc_id"), col("toks"),
+        posexplode(sequence(lit(0), col("n") - 1, lit(ChunkStride))))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+        col("col").cast("long").as("start_tok"),
+        slice(col("toks"), col("col") + lit(1), lit(ChunkTokens)).as("chunk"))
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+        size(col("chunk")).cast("long").as("n_chunk_tokens"),
+        array_join(col("chunk"), " ").as("chunk_text"))
+  }
+
   // ---------------------------------------------------------------- //
   // Domain mixing: sqrt-temperature weights over the language        //
   // distribution (multilingual-sampling shape, Conneau & Lample      //
@@ -377,6 +409,7 @@ object Curation {
     "sample_stratified" -> ((s, d) => sampleStratified(s, d)),
     "sample_splits" -> ((s, d) => assignSplits(s, d)),
     "pack_sequences" -> ((s, d) => packSequences(s, d)),
+    "text_chunk_stride" -> ((s, d) => chunkStride(s, d)),
     "text_normalize" -> ((s, d) => normalizeText(s, d)),
     "mix_weights" -> ((s, d) => mixWeights(s, d)))
 
@@ -522,6 +555,16 @@ object Curation {
          |  FROM t)
          |SELECT doc_id, bucket, n_tokens, (cum - n_tokens) // $PackCapacity AS seq_id
          |FROM c ORDER BY doc_id""".stripMargin,
+    // DuckDB list slices are 1-based and inclusive on both ends:
+    // toks[s+1 : s+W] is Spark's slice(toks, s+1, W)
+    "text_chunk_stride" ->
+      s"""WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+         |s AS (SELECT doc_id, toks, len(toks)::BIGINT AS n FROM t WHERE len(toks) > 0),
+         |c AS (SELECT doc_id, toks, n, unnest(range(0, n, $ChunkStride))::BIGINT AS start_tok FROM s)
+         |SELECT doc_id, start_tok // $ChunkStride AS chunk_idx, start_tok,
+         |  least($ChunkTokens, n - start_tok)::BIGINT AS n_chunk_tokens,
+         |  array_to_string(toks[(start_tok + 1)::INT : (start_tok + $ChunkTokens)::INT], ' ') AS chunk_text
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     "mix_weights" ->
       """WITH g AS (SELECT lang, count(*)::BIGINT AS n_docs,
         |    sum(len(list_filter(string_split(text, ' '), x -> x <> '')))::BIGINT AS n_tokens

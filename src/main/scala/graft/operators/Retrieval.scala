@@ -91,8 +91,50 @@ object Retrieval {
       .orderBy("query_id", "rnk")
   }
 
+  private val TfidfK = 5
+
+  /** Per-document top-5 characteristic terms by tf·idf — the other
+    * direction from bm25TopK (documents per query): terms per document,
+    * the standard keyword/topic-surfacing pass over a corpus.
+    *
+    * Exact integer scoring, same philosophy as the BM25 variant above:
+    * idf is kept linear (1/df) instead of logarithmic, so the score is
+    * the single BIGINT `(tf * SC) div df` both engines reproduce
+    * exactly. Within one document the corpus-size factor N of any idf
+    * formulation is a constant and drops out of the ranking; linear vs
+    * log idf only reorders terms where the log's compression of df
+    * ratios crosses a tf ratio — an acceptable trade for bit-exact
+    * cross-engine verification (tf ≤ dl keeps tf·SC far below 2^63 for
+    * any real document).
+    *
+    * Scale shape: (doc, token) tf is ONE map-side-combined shuffle of
+    * the corpus; df is a second vocab-keyed aggregation of that frame
+    * (rows = distinct (doc, token) pairs, already partial-aggregated);
+    * the tf⋈df equi-join shuffles on token; the final per-document
+    * ranking is the bounded map-side top-k Aggregator — never a global
+    * window over the scored pairs. */
+  def tfidfTopK(spark: SparkSession, dir: String): DataFrame =
+    tfidfOn(Tables.documents(spark, dir), TfidfK)
+
+  /** Scoring core over any (doc_id, text) frame. */
+  def tfidfOn(docs: DataFrame, k: Int): DataFrame = {
+    val tfs = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfs = tfs.groupBy("token").agg(count(lit(1)).as("df"))
+    val scored = tfs.join(dfs, Seq("token"))
+      .withColumn("tfidf_sc", expr(s"(tf * $SC) div df"))
+    val topk = udaf(new graft.functions.TopKTermsByLongScore(k))
+    scored.groupBy(col("doc_id"))
+      .agg(topk(col("token"), col("tfidf_sc")).as("top"))
+      .select(col("doc_id"), posexplode(col("top")))
+      .select(col("doc_id"), (col("pos") + lit(1)).as("rnk"),
+        col("col.term").as("term"), col("col.score").as("tfidf_sc"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "text_bm25_topk" -> ((s, d) => bm25TopK(s, d)))
+    "text_bm25_topk" -> ((s, d) => bm25TopK(s, d)),
+    "text_tfidf_topk" -> ((s, d) => tfidfTopK(s, d)))
 
   private val qValuesSql = QueryTerms
     .map { case (q, t) => s"('$q', '$t')" }.mkString(", ")
@@ -120,5 +162,15 @@ object Retrieval {
          |SELECT query_id,
          |  row_number() OVER (PARTITION BY query_id ORDER BY score_sc DESC, doc_id) AS rnk,
          |  doc_id, score_sc
-         |FROM sc QUALIFY rnk <= $K ORDER BY query_id, rnk""".stripMargin)
+         |FROM sc QUALIFY rnk <= $K ORDER BY query_id, rnk""".stripMargin,
+    "text_tfidf_topk" ->
+      s"""WITH t AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token FROM documents),
+         |tfs AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM t GROUP BY 1, 2),
+         |dfs AS (SELECT token, count(*)::BIGINT AS df FROM tfs GROUP BY 1),
+         |sc AS (SELECT doc_id, token AS term, (tf * $SC) // df AS tfidf_sc
+         |  FROM tfs JOIN dfs USING (token))
+         |SELECT doc_id,
+         |  row_number() OVER (PARTITION BY doc_id ORDER BY tfidf_sc DESC, term) AS rnk,
+         |  term, tfidf_sc
+         |FROM sc QUALIFY rnk <= $TfidfK ORDER BY doc_id, rnk""".stripMargin)
 }

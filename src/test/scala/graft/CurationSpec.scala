@@ -134,6 +134,37 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(frac("val") - 0.1) < 0.04 && math.abs(frac("test") - 0.1) < 0.04)
   }
 
+  test("stride chunking covers every token, overlaps by W-S, and rebuilds the document") {
+    val rows = Curation.chunkStride(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(rows.nonEmpty)
+    val (w, s) = (Curation.ChunkTokens, Curation.ChunkStride)
+    rows.groupBy(_._1).foreach { case (_, cs) =>
+      val sorted = cs.sortBy(_._2)
+      // starts advance by exactly the stride from zero
+      assert(sorted.map(_._3).toSeq == sorted.indices.map(_.toLong * s))
+      // every chunk is exactly min(W, n - start) tokens: full-width in
+      // the interior, tapering once a start lands within W of the end —
+      // and never empty (a start is only emitted while start < n)
+      val ns = sorted.map(_._4)
+      val n = sorted.last._3 + ns.last
+      sorted.foreach { c => assert(c._4 == math.min(w.toLong, n - c._3) && c._4 >= 1) }
+      assert(sorted.forall(c => c._5.split(" ").count(_.nonEmpty) == c._4))
+      // consecutive chunks agree on their W-S token overlap
+      sorted.zip(sorted.tail).foreach { case (a, b) =>
+        val at = a._5.split(" ").filter(_.nonEmpty)
+        val bt = b._5.split(" ").filter(_.nonEmpty)
+        assert(at.drop(s).sameElements(bt.take(at.length - s)))
+      }
+      // stitching chunks at stride offsets reproduces the document's
+      // token stream: chunk i contributes its first S tokens, the last
+      // chunk contributes everything
+      val stitched = sorted.init.flatMap(_._5.split(" ").filter(_.nonEmpty).take(s)) ++
+        sorted.last._5.split(" ").filter(_.nonEmpty)
+      assert(stitched.length == n, "chunk union must cover every token exactly")
+    }
+  }
+
   test("mixing weights and corpus shares each sum to 1") {
     val rows = Curation.mixWeights(spark, sf0001).collect()
     assert(math.abs(rows.map(_.getAs[Double]("p")).sum - 1.0) < 1e-6)

@@ -42,6 +42,39 @@ class RetrievalSpec extends SparkSpec {
       "equal tf must rank the shorter document first")
   }
 
+  test("tfidf top terms: rare terms outrank common ones, ties break on term") {
+    import spark.implicits._
+    // "zebra" appears once in the corpus (df=1), "dog" in every doc
+    // (df=3); in doc 1 both have tf=1 so the rare term must rank first.
+    // "ant" and "bee" tie exactly (tf=1, df=1) and must order lexically.
+    val docs = Seq(
+      (1L, "zebra dog ant bee"),
+      (2L, "dog dog cat"),
+      (3L, "dog cat cat")).toDF("doc_id", "text")
+    val top = Retrieval.tfidfOn(docs, 4).collect()
+      .filter(_.getLong(0) == 1L).sortBy(_.getInt(1))
+    assert(top.map(_.getString(2)).toSeq == Seq("ant", "bee", "zebra", "dog"),
+      "df=1 terms first (alphabetical among equal scores), df=3 last")
+    val scores = top.map(_.getLong(3))
+    assert(scores.init.zip(scores.tail).forall { case (a, b) => a >= b })
+    // tf raises the score at equal df: doc 2's "dog" (tf=2) must beat
+    // doc 3's "cat"-free ranking of dog (tf=1)
+    val all = Retrieval.tfidfOn(docs, 4).collect()
+    def sc(doc: Long, term: String) =
+      all.find(r => r.getLong(0) == doc && r.getString(2) == term).get.getLong(3)
+    assert(sc(2L, "dog") == 2 * sc(3L, "dog"),
+      "linear tf: doubled term frequency doubles the exact score")
+  }
+
+  test("tfidf top-k is bounded at k and window-free") {
+    val df = Retrieval.tfidfTopK(spark, sf001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"per-doc ranking must stay a partial/merge aggregate:\n$plan")
+    val counts = df.groupBy("doc_id").count().collect()
+    assert(counts.forall(_.getLong(1) <= 5))
+  }
+
   test("bm25 plan is window-free with the query side broadcast") {
     val plan = Retrieval.bm25TopK(spark, sf001)
       .queryExecution.executedPlan.toString
