@@ -27,7 +27,7 @@ object SparkEntry {
       Skew.queries ++ Curation.queries ++ AsOfJoin.queries ++
       Profiling.queries ++ Sketches.queries ++ Retrieval.queries ++
       Graph.queries ++ Behavior.queries ++ Warehouse.queries ++
-      Temporal.queries ++ Intervals.queries ++
+      Temporal.queries ++ Intervals.queries ++ Layout.queries ++
       graft.sources.GenTradesSource.queries ++
       graft.sources.GenKVSource.queries
 
@@ -40,7 +40,7 @@ object SparkEntry {
       Skew.oracle ++ Curation.oracle ++ AsOfJoin.oracle ++
       Profiling.oracle ++ Sketches.oracle ++ Retrieval.oracle ++
       Graph.oracle ++ Behavior.oracle ++ Warehouse.oracle ++
-      Temporal.oracle ++ Intervals.oracle ++
+      Temporal.oracle ++ Intervals.oracle ++ Layout.oracle ++
       graft.sources.GenTradesSource.oracle ++
       graft.sources.GenKVSource.oracle
 }

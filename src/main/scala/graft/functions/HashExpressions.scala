@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -118,6 +118,23 @@ object HashOps {
     }
     out
   }
+
+  /** Spread the low 32 bits of x so bit i lands at bit 2i — the
+    * magic-number dilation half of Morton encoding. */
+  def spread32(x0: Long): Long = {
+    var x = x0 & 0xFFFFFFFFL
+    x = (x | (x << 16)) & 0x0000FFFF0000FFFFL
+    x = (x | (x << 8)) & 0x00FF00FF00FF00FFL
+    x = (x | (x << 4)) & 0x0F0F0F0F0F0F0F0FL
+    x = (x | (x << 2)) & 0x3333333333333333L
+    x = (x | (x << 1)) & 0x5555555555555555L
+    x
+  }
+
+  /** Morton (z-order) interleave of two 32-bit values: a's bit i at
+    * bit 2i, b's at bit 2i+1. Each step is five shift-mask rounds the
+    * oracle replays with the same decimal mask constants. */
+  def zorder2(a: Long, b: Long): Long = spread32(a) | (spread32(b) << 1)
 }
 
 /** poly_hash(str): rolling polynomial hash (TextFunctions.polyHash). */
@@ -387,4 +404,35 @@ case class SimHash31(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): SimHash31 =
     copy(child = newChild)
+}
+
+/** zorder2(a, b): Morton interleave of two BIGINT dimension values —
+  * the clustering key behind multi-dimensional data layout (Delta/
+  * Iceberg `OPTIMIZE ZORDER BY`): sorting by it keeps rows close in
+  * BOTH dimensions physically adjacent, so per-file min/max statistics
+  * prune scans filtered on either column. Inputs are taken mod 2^32
+  * (callers bucket real keys first); two 31-bit inputs keep the result
+  * positive. */
+case class ZOrder2(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def prettyName: String = "zorder2"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (bigint, bigint), got " +
+        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashOps.zorder2(a.asInstanceOf[Long], b.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.HashOps.zorder2($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ZOrder2 =
+    copy(left = newLeft, right = newRight)
 }

@@ -174,7 +174,9 @@ object VectorFunctions {
     ("poly_hash", classOf[PolyHash],
       (c: Seq[Expression]) => PolyHash(c.head, 31L, 0L)),
     ("simhash31", classOf[SimHash31],
-      (c: Seq[Expression]) => SimHash31(c.head)))
+      (c: Seq[Expression]) => SimHash31(c.head)),
+    ("zorder2", classOf[ZOrder2],
+      (c: Seq[Expression]) => ZOrder2(c.head, c(1))))
 
   /** Make every graft expression callable from spark.sql on a live
     * session. */

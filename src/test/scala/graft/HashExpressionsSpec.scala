@@ -162,4 +162,40 @@ class HashExpressionsSpec extends SparkSpec {
     assert(got(2) == Seq(0L, 0L)) // too short
     assert(got(3) == Seq(0L, 0L)) // empty
   }
+
+  test("zorder2 matches a bit-by-bit Morton reference and is SQL-callable") {
+    def ref(a: Long, b: Long): Long = {
+      var z = 0L
+      (0 until 32).foreach { i =>
+        z |= ((a >> i) & 1L) << (2 * i)
+        z |= ((b >> i) & 1L) << (2 * i + 1)
+      }
+      z
+    }
+    val edge = Seq(0L, 1L, 2L, 3L, 63L, 64L, 1023L, 1024L, 65535L, 65536L,
+      (1L << 31) - 1, (1L << 32) - 1, (1L << 32) + 7 /* mod-2^32 wrap */)
+    val rnd = new scala.util.Random(42)
+    val pairs = (for (a <- edge; b <- edge) yield (a, b)) ++
+      Seq.fill(200)((rnd.nextLong().abs, rnd.nextLong().abs))
+    pairs.foreach { case (a, b) =>
+      assert(HashOps.zorder2(a, b) == ref(a & 0xFFFFFFFFL, b & 0xFFFFFFFFL),
+        s"zorder2($a, $b)")
+    }
+    // monotone locality on one dimension at fixed other
+    assert(HashOps.zorder2(5, 9) < HashOps.zorder2(6, 9))
+    // SQL surface (codegen path) agrees with the direct call
+    VectorFunctions.register(spark)
+    val rows = Seq((3L, 5L), (1023L, 0L)).toDF("a", "b")
+      .selectExpr("zorder2(a, b) AS z").collect().map(_.getLong(0))
+    assert(rows.toSeq == Seq(HashOps.zorder2(3, 5), HashOps.zorder2(1023, 0)))
+  }
+
+  test("zorder tiles bound both dimensions' bounding boxes") {
+    val tiles = graft.operators.Layout.zorderTiles(spark, sf0001).collect()
+    assert(tiles.nonEmpty)
+    tiles.foreach { r =>
+      assert(r.getAs[Long]("bbox_cells") <= graft.operators.Layout.TileKeys,
+        s"a z-range must cover one 64x64 tile, got $r")
+    }
+  }
 }
