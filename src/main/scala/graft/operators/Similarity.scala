@@ -477,7 +477,38 @@ object Similarity {
           .as("cosine"))
   }
 
+  /** Embedding dimensionality of the demo table (64-d float vectors). */
+  val EmbDim = 64
+
+  /** Full covariance moments of the embedding cloud — the X^T X pass
+    * that feeds PCA/whitening of an embedding space (is the space
+    * collapsing? which dimensions carry no variance post-training?).
+    *
+    * One pass, one buffer: rows fold into a fixed d(d+3)/2-long moment
+    * buffer per map task (functions/CovarianceAggregator.scala), merges
+    * are elementwise adds, and the exchange carries ONE ~17 KB buffer
+    * per partition — never the d²-expanded rows a posexplode self-join
+    * formulation would push through the shuffle. Inputs are
+    * milli-quantized so every moment is an exact BIGINT the oracle
+    * replays; the final covariance is one deterministic double division
+    * of those exact integers. */
+  def covariance(spark: SparkSession, dir: String): DataFrame = {
+    val cov = udaf(new graft.functions.CovarianceSums(EmbDim))
+    Tables.embeddings(spark, dir)
+      .select(transform(col("embedding"),
+        x => round(x.cast("double") * 1000, 0).cast("long")).as("m"))
+      .agg(cov(col("m")).as("cells"))
+      .select(explode(col("cells")).as("c"))
+      .select(col("c.dim_i").cast("long").as("dim_i"),
+        col("c.dim_j").cast("long").as("dim_j"),
+        col("c.n").as("n"), col("c.sum_i").as("sum_i"),
+        col("c.sum_j").as("sum_j"), col("c.s_ij").as("s_ij"),
+        ((col("c.n") * col("c.s_ij") - col("c.sum_i") * col("c.sum_j")).cast("double")
+          / (col("c.n") * (col("c.n") - lit(1))) / lit(1000000.0)).as("cov"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_covariance" -> ((s, d) => covariance(s, d)),
     "emb_centroids" -> ((s, d) => centroidSums(s, d)),
     "emb_centroid_sims" -> ((s, d) => centroidSims(s, d)),
     "sim_knn_join" -> ((s, d) => knnJoin(s, d)),
@@ -632,6 +663,20 @@ object Similarity {
       |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // same milli quantization, same exact integer moments, same final
+    // double division order (numerator::DOUBLE / n(n-1) / 10^6)
+    "emb_covariance" ->
+      """WITH x AS (SELECT vec_id, u.i::BIGINT - 1 AS dim,
+        |    CAST(round(embedding[u.i::INT]::DOUBLE * 1000, 0) AS BIGINT) AS milli
+        |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)),
+        |p AS (SELECT a.dim AS dim_i, b.dim AS dim_j, count(*)::BIGINT AS n,
+        |    sum(a.milli)::BIGINT AS sum_i, sum(b.milli)::BIGINT AS sum_j,
+        |    sum(a.milli * b.milli)::BIGINT AS s_ij
+        |  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+        |  GROUP BY 1, 2)
+        |SELECT dim_i, dim_j, n, sum_i, sum_j, s_ij,
+        |  (n * s_ij - sum_i * sum_j)::DOUBLE / (n * (n - 1)) / 1000000.0 AS cov
+        |FROM p ORDER BY dim_i, dim_j""".stripMargin,
     "emb_centroids" ->
       s"""WITH $centroidCte
          |SELECT label, dim, count(*)::BIGINT AS n, sum(micro)::BIGINT AS sum_micro

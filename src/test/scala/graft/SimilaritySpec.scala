@@ -216,4 +216,37 @@ class SimilaritySpec extends SparkSpec {
       assert(rows.map(_._3).count(bf(q)) >= 1, s"query $q: zero PQ recall")
     }
   }
+
+  test("covariance moments equal a direct fold and are split-invariant") {
+    val d = 3
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(50)(Array.fill(d)(rnd.nextInt(2001).toLong - 1000))
+    val agg = new graft.functions.CovarianceSums(d)
+    def run(rs: Seq[Array[Long]]) = rs.foldLeft(agg.zero)(agg.reduce)
+    val whole = agg.finish(run(rows))
+    // partition-split then merge must be bit-identical to one pass
+    val (l, r) = rows.splitAt(17)
+    val merged = agg.finish(agg.merge(run(l), run(r)))
+    assert(whole == merged)
+    // every moment equals the direct per-cell fold
+    whole.foreach { c =>
+      assert(c.n == rows.length)
+      assert(c.sum_i == rows.map(_(c.dim_i)).sum)
+      assert(c.sum_j == rows.map(_(c.dim_j)).sum)
+      assert(c.s_ij == rows.map(x => x(c.dim_i) * x(c.dim_j)).sum)
+    }
+    assert(whole.size == d * (d + 1) / 2)
+  }
+
+  test("embedding covariance diagonal is nonnegative with full upper triangle") {
+    val cells = Similarity.covariance(spark, sf0001).collect()
+    assert(cells.length == Similarity.EmbDim * (Similarity.EmbDim + 1) / 2)
+    cells.filter(r => r.getLong(0) == r.getLong(1)).foreach { r =>
+      assert(r.getAs[Double]("cov") >= 0.0, s"negative variance at $r")
+    }
+    // the exchange must carry one merged buffer, not exploded rows: the
+    // plan's only shuffle is the two-phase aggregate
+    val plan = Similarity.covariance(spark, sf0001).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && !plan.toLowerCase.contains("cartesian"))
+  }
 }
