@@ -72,11 +72,61 @@ object Behavior {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** Pattern window: a purchase matches a view only within 6 h. */
+  private val PatternUs = 6L * 3600L * 1000000L
+
+  /** Event-pattern detection (CEP's bread-and-butter `A FOLLOWED BY B
+    * WITHIN T`, the reference ecosystem's FlinkCEP shape): for every
+    * `view`, its EARLIEST strictly-later `purchase` by the same user
+    * within six hours — one row per matched view with the exact
+    * microsecond gap. Earliest-match ties break on (ts, event_id).
+    *
+    * Scale shape: views⋈purchases is a plain user_id equi-join (both
+    * sides pre-filtered in the scan) with the time band as a post-
+    * filter, then a min(struct) aggregate per view picks the first
+    * match — the same keyed aggregate-join discipline as the funnel,
+    * no window over raw events, no per-user sort. The streaming twin
+    * of this shape is the watermarked interval join in
+    * streaming/StreamJoins.scala. */
+  def patternWithin(spark: SparkSession, dir: String): DataFrame =
+    patternWithinOn(Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type")))
+
+  /** Matching core over any (event_id, ts, user_id, event_type) frame —
+    * separable so specs can probe match semantics on constructed logs. */
+  def patternWithinOn(ev: DataFrame): DataFrame = {
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+    views.join(purchases, Seq("user_id"))
+      .filter(col("p_ts") > col("view_ts") &&
+        unix_micros(col("p_ts")) - unix_micros(col("view_ts")) <= PatternUs)
+      .groupBy(col("user_id"), col("view_id"), col("view_ts"))
+      .agg(min(struct(col("p_ts"), col("p_id"))).as("m"))
+      .select(col("user_id"), col("view_id"), col("view_ts"),
+        col("m.p_id").as("purchase_id"), col("m.p_ts").as("purchase_ts"),
+        (unix_micros(col("m.p_ts")) - unix_micros(col("view_ts"))).as("gap_us"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "funnel_conversion" -> ((s, d) => funnel(s, d)),
+    "evt_pattern_within" -> ((s, d) => patternWithin(s, d)),
     "cohort_retention" -> ((s, d) => cohortRetention(s, d)))
 
   val oracle: Map[String, String] = Map(
+    // earliest match = row_number over (p.ts, p.event_id) — the same
+    // total order as Spark's min(struct(p_ts, p_id))
+    "evt_pattern_within" ->
+      """SELECT v.user_id, v.event_id AS view_id, v.ts AS view_ts,
+        |  p.event_id AS purchase_id, p.ts AS purchase_ts,
+        |  epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+        |FROM events v JOIN events p
+        |  ON p.user_id = v.user_id AND p.event_type = 'purchase'
+        |  AND p.ts > v.ts AND epoch_us(p.ts) - epoch_us(v.ts) <= 21600000000
+        |WHERE v.event_type = 'view'
+        |QUALIFY row_number() OVER (PARTITION BY v.event_id ORDER BY p.ts, p.event_id) = 1
+        |ORDER BY v.user_id, view_id""".stripMargin,
     "funnel_conversion" ->
       """WITH t1 AS (SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
         |  FROM events GROUP BY 1 HAVING t_view IS NOT NULL),

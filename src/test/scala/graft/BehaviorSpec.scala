@@ -1,0 +1,61 @@
+package graft
+
+import java.sql.Timestamp
+import graft.operators.Behavior
+
+/** Event-pattern (view FOLLOWED BY purchase WITHIN 6 h) semantics on
+  * constructed logs: earliest-match, strict ordering, window edges,
+  * per-user isolation, and deterministic tie-breaks. */
+class BehaviorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val T0 = 1700000000000L
+  private def ts(offMin: Long) = new Timestamp(T0 + offMin * 60000L)
+  private val H6 = 6L * 60
+
+  private def run(rows: (Long, Long, Long, String)*) =
+    Behavior.patternWithinOn(
+      rows.map { case (id, off, u, t) => (id, ts(off), u, t) }
+        .toDF("event_id", "ts", "user_id", "event_type"))
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(3), r.getLong(5)))
+      .sortBy(_._1)
+
+  test("each view matches its earliest strictly-later purchase within the window") {
+    val got = run(
+      (1L, 0L, 7L, "view"),
+      (2L, 10L, 7L, "purchase"), // earliest for view 1
+      (3L, 20L, 7L, "purchase"), // later: must not match view 1
+      (4L, 15L, 7L, "view"), // matches purchase 3
+      (5L, 16L, 7L, "click")) // noise
+    assert(got.toSeq == Seq(
+      (1L, 2L, 10L * 60000000L),
+      (4L, 3L, 5L * 60000000L)))
+  }
+
+  test("window edges: a purchase exactly at +6h matches, beyond it does not") {
+    val got = run(
+      (1L, 0L, 1L, "view"),
+      (2L, H6, 1L, "purchase"), // exactly 6 h: inclusive
+      (3L, 100L, 2L, "view"),
+      (4L, 100L + H6 + 1, 2L, "purchase")) // 6 h + 1 min: out
+    assert(got.toSeq == Seq((1L, 2L, 6L * 3600L * 1000000L)))
+  }
+
+  test("a purchase at the same instant or before the view never matches") {
+    val got = run(
+      (1L, 5L, 1L, "view"),
+      (2L, 5L, 1L, "purchase"), // simultaneous: strict > excludes
+      (3L, 4L, 1L, "purchase")) // earlier: excluded
+    assert(got.isEmpty)
+  }
+
+  test("matches never cross users; same-ts purchases tie-break on event_id") {
+    val got = run(
+      (1L, 0L, 1L, "view"),
+      (2L, 1L, 2L, "purchase"), // other user: invisible to view 1
+      (3L, 2L, 1L, "purchase"),
+      (4L, 2L, 1L, "purchase")) // same ts as 3: id 3 must win
+    assert(got.toSeq == Seq((1L, 3L, 2L * 60000000L)))
+  }
+}
