@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.TextFunctions.tokens
+import graft.functions.TextFunctions.{polyHash, tokens}
 
 /** Corpus-curation operators for training-data pipelines (extension
   * beyond the reference surface, same family as TextAnalysis):
@@ -397,7 +397,63 @@ object Curation {
           .otherwise(lit(4L)).as("stage"))
   }
 
+  // ---------------------------------------------------------------- //
+  // Model-based quality filtering (the fastText-classifier stage of   //
+  // CCNet/RefinedWeb-style pipelines): weak-label on a cheap rule,    //
+  // train a hashed-feature linear scorer by counting, apply it in     //
+  // the scan. Everything is exact integer arithmetic.                 //
+  // ---------------------------------------------------------------- //
+
+  val ClassifierBuckets = 64L
+  private val SC = 1000000L
+
+  /** Hashed-feature quality classifier, trained and applied in one
+    * plan:
+    *  1. weak label: `hq = 2·n_distinct ≥ n_tokens` (vocabulary
+    *     diversity — the kind of cheap rule that bootstraps a real
+    *     quality classifier);
+    *  2. train by counting: every token hashes into one of 64 buckets
+    *     (native PolyHash % B — feature hashing, Weinberger et al.
+    *     2009); a bucket's weight is its Laplace-smoothed high-quality
+    *     rate `SC·(pos+1) div (total+2)`, exact BIGINT;
+    *  3. apply: a document's score is the integer mean of its tokens'
+    *     bucket weights; predicted high-quality iff score ≥ SC/2.
+    *
+    * Scale shape: the token-grain frame aggregates to B = 64 weight
+    * rows (map-side combined), which BROADCAST back onto the same
+    * token frame; the only corpus-sized exchange is the per-doc score
+    * aggregation keyed on doc_id. Two passes over the corpus — one to
+    * train, one to score — is the honest cost of train-then-apply.
+    * Swapping real trained weights for the counted ones changes only
+    * the 64-row table. */
+  def classifierQuality(spark: SparkSession, dir: String): DataFrame =
+    classifierQualityOn(Tables.documents(spark, dir))
+
+  /** Train-and-score core over any (doc_id, text) frame. */
+  def classifierQualityOn(corpus: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    val docs = corpus
+      .select(col("doc_id"), t.as("toks"))
+      .withColumn("hq",
+        lit(2) * size(array_distinct(col("toks"))) >= size(col("toks")))
+    val tok = docs
+      .select(col("doc_id"), col("hq"), explode(col("toks")).as("token"))
+      .withColumn("bucket", pmod(polyHash(col("token")), lit(ClassifierBuckets)))
+    val w = tok.groupBy(col("bucket")).agg(
+      expr(s"($SC * (sum(CASE WHEN hq THEN 1 ELSE 0 END) + 1)) div (count(*) + 2)")
+        .as("w_sc"))
+    tok.join(broadcast(w), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        expr("sum(w_sc) div count(*)").as("score_sc"))
+      .join(docs.select(col("doc_id"), col("hq")), Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"), col("score_sc"),
+        (col("score_sc") >= lit(SC / 2)).as("predicted_hq"),
+        col("hq").as("label_hq"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_classifier_quality" -> ((s, d) => classifierQuality(s, d)),
     "curriculum_stages" -> ((s, d) => curriculumStages(s, d)),
     "sample_priority" -> ((s, d) => samplePriority(s, d)),
     "sample_reservoir" -> ((s, d) => sampleReservoir(s, d)),
@@ -555,6 +611,26 @@ object Curation {
          |  FROM t)
          |SELECT doc_id, bucket, n_tokens, (cum - n_tokens) // $PackCapacity AS seq_id
          |FROM c ORDER BY doc_id""".stripMargin,
+    // per-token 31-ary polynomial hash fold (the fp31 replica) mod the
+    // bucket count; weights and scores in the same integer divisions
+    "text_classifier_quality" ->
+      s"""WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+         |lab AS (SELECT doc_id, toks, 2 * len(list_distinct(toks)) >= len(toks) AS hq FROM t),
+         |tok AS (SELECT doc_id, hq, unnest(toks) AS token FROM lab),
+         |b AS (SELECT doc_id, hq,
+         |    list_reduce(list_prepend(0::BIGINT, list_transform(string_split(token, ''), c -> ascii(c)::BIGINT)),
+         |      (a, c) -> (a * 31 + c) % 2147483647) % $ClassifierBuckets AS bucket
+         |  FROM tok),
+         |w AS (SELECT bucket,
+         |    ($SC * (sum(CASE WHEN hq THEN 1 ELSE 0 END)::BIGINT + 1)) // (count(*)::BIGINT + 2) AS w_sc
+         |  FROM b GROUP BY 1),
+         |sc AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         |    sum(w_sc)::BIGINT // count(*)::BIGINT AS score_sc
+         |  FROM b JOIN w USING (bucket) GROUP BY 1)
+         |SELECT s.doc_id, s.n_tokens, s.score_sc,
+         |  s.score_sc >= ${SC / 2} AS predicted_hq, l.hq AS label_hq
+         |FROM sc s JOIN lab l USING (doc_id)
+         |ORDER BY s.doc_id""".stripMargin,
     // DuckDB list slices are 1-based and inclusive on both ends:
     // toks[s+1 : s+W] is Spark's slice(toks, s+1, W)
     "text_chunk_stride" ->

@@ -165,6 +165,36 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("hashed classifier separates disjoint-vocabulary quality classes") {
+    import spark.implicits._
+    // hq docs: diverse vocabulary (all-distinct tokens); lq docs: one
+    // token repeated. Vocabularies are disjoint, so bucket weights
+    // learned from the labels must rank every hq doc above every lq doc.
+    val hq = (0L until 6L).map(i =>
+      (i, s"alpha$i beta$i gamma$i delta$i epsilon$i"))
+    val lq = (6L until 12L).map(i => (i, Seq.fill(8)(s"spam$i").mkString(" ")))
+    val out = Curation.classifierQualityOn((hq ++ lq).toDF("doc_id", "text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3), r.getBoolean(4)))
+    assert(out.length == 12)
+    // labels recompute from the rule
+    out.foreach { case (id, _, _, lab) => assert(lab == (id < 6L)) }
+    val hqScores = out.filter(_._1 < 6L).map(_._2)
+    val lqScores = out.filter(_._1 >= 6L).map(_._2)
+    assert(hqScores.min > lqScores.max,
+      s"classifier must separate the classes: hq=$hqScores lq=$lqScores")
+    // prediction agrees with the label on this separable corpus
+    out.foreach { case (_, _, pred, lab) => assert(pred == lab) }
+  }
+
+  test("classifier weights broadcast; the only corpus shuffle keys on doc_id") {
+    val plan = Curation.classifierQuality(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the 64-row weight table must broadcast, not shuffle the tokens:\n$plan")
+    assert(!plan.contains("Window"))
+  }
+
   test("mixing weights and corpus shares each sum to 1") {
     val rows = Curation.mixWeights(spark, sf0001).collect()
     assert(math.abs(rows.map(_.getAs[Double]("p")).sum - 1.0) < 1e-6)
