@@ -194,15 +194,21 @@ object Dedup {
   /** MinHash/LSH near-dup pairs: band-bucket candidates, then exact
     * Jaccard verification at the threshold. Deterministically misses
     * what LSH misses — the oracle replays the same banding. */
-  def minHashLshPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sh = minHashSignatures(spark, dir)
-    val bands = sh.select(col("doc_id"), col("sig"),
+  /** Banded LSH keys of a signature frame: one (doc_id, band, m1, m2)
+    * row per band — the bucket-join key for both the symmetric pair
+    * search and the incremental batch-vs-corpus probe. */
+  private def bandsOf(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"), col("sig"),
         posexplode(transform(sequence(lit(0), lit(Bands - 1)),
           b => struct(
             element_at(col("sig"), b * 2 + 1).as("m1"),
             element_at(col("sig"), b * 2 + 2).as("m2")))))
       .select(col("doc_id"), col("pos").as("band"),
         col("col.m1").as("m1"), col("col.m2").as("m2"))
+
+  def minHashLshPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sh = minHashSignatures(spark, dir)
+    val bands = bandsOf(sh)
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.m1") === col("b.m1") &&
           col("a.m2") === col("b.m2") && col("a.doc_id") < col("b.doc_id"))
@@ -556,7 +562,55 @@ object Dedup {
       .union(edges.select(col("dst"), col("dst")).distinct())
   }
 
+  /** Which doc_ids play the incoming batch in the incremental drill. */
+  val IncrementalBatchMod = 4L
+
+  /** Incremental dedup: an incoming BATCH probed against the standing
+    * CORPUS (every 4th document plays the batch) — the shape of a
+    * production ingestion gate, where each new crawl snapshot is
+    * deduped against everything already kept rather than re-pairing
+    * the whole corpus.
+    *
+    * One row per shingleable batch document: how many corpus docs it
+    * near-duplicates (banded MinHash candidates, exact Jaccard ≥ 0.5
+    * verification), its best Jaccard, and the keep verdict.
+    *
+    * The at-scale point is the asymmetry: the corpus side of the band
+    * join is a STATIC index — signatures and band keys are computed
+    * once per corpus generation and persist (bucketed by band key)
+    * across ingests; each ingest shuffles only the new batch's bands
+    * (here 1/4 of rows; in production ~1/1000 of the corpus) plus the
+    * candidate matches into verification. Nothing re-pairs corpus ×
+    * corpus. */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val sh = minHashSignatures(spark, dir)
+    val isBatch = pmod(col("doc_id"), lit(IncrementalBatchMod)) === 0
+    val bands = bandsOf(sh)
+    val cand = bands.filter(isBatch).as("a")
+      .join(bands.filter(!isBatch).as("b"),
+        col("a.band") === col("b.band") && col("a.m1") === col("b.m1") &&
+          col("a.m2") === col("b.m2"))
+      .select(col("a.doc_id").as("batch_id"), col("b.doc_id").as("corpus_id"))
+      .distinct()
+    val sets = sh.select(col("doc_id"), col("codes"), size(col("codes")).cast("long").as("sz"))
+    val dups = cand
+      .join(sets.select(col("doc_id").as("batch_id"), col("codes").as("c_i"), col("sz").as("sz_i")), "batch_id")
+      .join(sets.select(col("doc_id").as("corpus_id"), col("codes").as("c_j"), col("sz").as("sz_j")), "corpus_id")
+      .withColumn("common", size(array_intersect(col("c_i"), col("c_j"))).cast("long"))
+      .withColumn("jaccard", col("common") / (col("sz_i") + col("sz_j") - col("common")))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .groupBy(col("batch_id"))
+      .agg(count(lit(1)).as("n_dups"), max(col("jaccard")).as("best_jaccard"))
+    sh.filter(isBatch).select(col("doc_id").as("batch_id"))
+      .join(dups, Seq("batch_id"), "left")
+      .select(col("batch_id"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        col("best_jaccard"),
+        col("n_dups").isNull.as("keep"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_incremental" -> ((s, d) => incrementalDedup(s, d)),
     "dedup_clusters" -> ((s, d) => dupClusters(s, d)),
     "dedup_clusters_star" -> ((s, d) => dupClustersStar(s, d)),
     "dedup_exact" -> ((s, d) => exact(s, d)),
@@ -703,6 +757,32 @@ object Dedup {
          |${TuningConfigs.map { case (b, r) => row(b, r) }.mkString("\nUNION ALL ")}
          |ORDER BY bands DESC""".stripMargin
     },
+    // same signature/banding CTEs as dedup_minhash_lsh, asymmetric
+    // candidate join, then the per-batch-doc verdict
+    "dedup_incremental" ->
+      s"""WITH $shingleCte,
+         |mh AS (SELECT doc_id, i,
+         |    min((c * (2*i + 1) + 104729 * i + 12345) % 2147483647) AS m
+         |  FROM (SELECT doc_id, unnest(codes) AS c FROM sh),
+         |       (SELECT unnest(range(0, $MinHashK)) AS i)
+         |  GROUP BY 1, 2),
+         |sig AS (SELECT doc_id, list(m ORDER BY i) AS s FROM mh GROUP BY 1),
+         |bands AS (SELECT doc_id, band, s[2*band + 1] AS m1, s[2*band + 2] AS m2
+         |  FROM sig, (SELECT unnest(range(0, $Bands)) AS band)),
+         |cand AS (SELECT DISTINCT a.doc_id AS batch_id, b.doc_id AS corpus_id
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.m1 = b.m1 AND a.m2 = b.m2
+         |  WHERE a.doc_id % $IncrementalBatchMod = 0 AND b.doc_id % $IncrementalBatchMod <> 0),
+         |agg AS (SELECT batch_id, count(*)::BIGINT AS n_dups, max(jaccard) AS best_jaccard
+         |  FROM (SELECT batch_id, corpus_id,
+         |      len(list_intersect(si.codes, sj.codes))::DOUBLE
+         |        / (si.sz + sj.sz - len(list_intersect(si.codes, sj.codes))) AS jaccard
+         |    FROM cand JOIN sh si ON si.doc_id = batch_id JOIN sh sj ON sj.doc_id = corpus_id)
+         |  WHERE jaccard >= $JaccardThreshold GROUP BY 1)
+         |SELECT b.doc_id AS batch_id, coalesce(a.n_dups, 0)::BIGINT AS n_dups,
+         |  a.best_jaccard, a.n_dups IS NULL AS keep
+         |FROM (SELECT doc_id FROM sh WHERE sz > 0 AND doc_id % $IncrementalBatchMod = 0) b
+         |LEFT JOIN agg a ON a.batch_id = b.doc_id
+         |ORDER BY batch_id""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""WITH $shingleCte,
          |mh AS (SELECT doc_id, i,

@@ -189,6 +189,34 @@ class TrainingDataSpec extends SparkSpec {
     }
   }
 
+  test("incremental dedup equals the symmetric search restricted to batch-corpus pairs") {
+    val m = Dedup.IncrementalBatchMod
+    // ground truth: the symmetric LSH pairs with exactly one batch side
+    val cross = Dedup.minHashLshPairs(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .flatMap { case (i, j, jac) =>
+        if (i % m == 0 && j % m != 0) Some((i, j, jac))
+        else if (j % m == 0 && i % m != 0) Some((j, i, jac))
+        else None
+      }
+    val want = cross.groupBy(_._1).view
+      .mapValues(ps => (ps.length.toLong, ps.map(_._3).max)).toMap
+    val got = Dedup.incrementalDedup(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)), r.getBoolean(3)))
+    assert(got.nonEmpty)
+    got.foreach { case (id, nDups, best, keep) =>
+      assert(id % m == 0)
+      assert(keep == (nDups == 0L))
+      want.get(id) match {
+        case Some((n, j)) => assert(nDups == n && best.contains(j), s"batch doc $id")
+        case None => assert(nDups == 0L && best.isEmpty, s"batch doc $id")
+      }
+    }
+    // every batch doc with a cross match is reported
+    assert(want.keySet.subsetOf(got.map(_._1).toSet))
+  }
+
   test("simhash pairs are near-dups by construction") {
     val pairs = Dedup.simHashPairs(spark, sf0001).collect()
     assert(pairs.nonEmpty)
