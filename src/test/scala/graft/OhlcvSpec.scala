@@ -178,6 +178,7 @@ class OhlcvSpec extends SparkSpec {
       ("Warehouse", Warehouse.queries.keySet, Warehouse.oracle.keySet),
       ("Temporal", Temporal.queries.keySet, Temporal.oracle.keySet),
       ("Intervals", Intervals.queries.keySet, Intervals.oracle.keySet),
+      ("Layout", Layout.queries.keySet, Layout.oracle.keySet),
       ("GenTrades", graft.sources.GenTradesSource.queries.keySet,
         graft.sources.GenTradesSource.oracle.keySet),
       ("GenKV", graft.sources.GenKVSource.queries.keySet,
