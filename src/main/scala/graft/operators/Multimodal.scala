@@ -8,11 +8,13 @@ import graft.Tables
   * SURVEY.md §7.1(7)): media as opaque `binary` payloads plus typed
   * metadata, with decode / feature-extract / frame-sample stages.
   *
-  * The image decode is REAL — JDK ImageIO parsing BMP fixture bytes,
-  * dims read from the decoded bitmap — while audio/video keep a
-  * clearly-marked deterministic stub fallback (no such codecs in this
-  * container). Everything around the codec seam is the real engine
-  * surface a 100 TB media pipeline needs:
+  * The image decode is REAL (JDK ImageIO parsing BMP fixture bytes,
+  * dims read from the decoded bitmap) and so is the audio decode (JDK
+  * javax.sound.sampled parsing RIFF/WAVE fixtures — header facts and
+  * PCM samples from the codec); video keeps a clearly-marked
+  * deterministic stub fallback (no video codec in this container).
+  * Everything around the codec seam is the real engine surface a
+  * 100 TB media pipeline needs:
   *
   *  - schema: `(doc_id, media_type, payload binary, meta struct)` —
   *    payload stays opaque bytes end-to-end, never a string detour;
@@ -140,6 +142,93 @@ object Multimodal {
         }
       }
     }
+  }
+
+  /** One decoded-audio analysis window: exact integer energy. */
+  final case class AudioWindow(doc_id: Long, sample_rate: Long,
+      n_samples: Long, window_idx: Long, sum_sq: Long)
+
+  val AudioRate = 8000f
+  val AudioWindowSamples = 16
+
+  /** Deterministic WAV fixture for an audio row: a REAL RIFF/WAVE file
+    * (JDK javax.sound.sampled, offline-available) — 16-bit mono PCM at
+    * 8 kHz, one sample per payload byte, centered and scaled:
+    * s_i = (byte_i − 128) · 256. As with [[bmpFixture]], the corpus has
+    * no binary media, so audio rows synthesize a stand-in — but the
+    * bytes ARE a decodable WAV, which is what lets the audio stage run
+    * a real codec instead of the stub. */
+  private[graft] def wavFixture(payload: Array[Byte]): Array[Byte] = {
+    val pcm = new Array[Byte](payload.length * 2)
+    var i = 0
+    while (i < payload.length) {
+      val s = ((payload(i) & 0xff) - 128) * 256
+      pcm(2 * i) = (s & 0xff).toByte // little-endian lo
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(AudioRate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, payload.length.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** REAL audio decode + windowed energy over the decoded samples:
+    * AudioSystem parses the actual WAV header (sample rate, channel
+    * count, frame length all read from the file, not assumed), the
+    * 16-bit PCM frames decode to samples, and each full 16-sample
+    * window reports its exact integer energy Σ s². The decoded samples
+    * are what's analyzed — a codec round trip, not arithmetic on the
+    * input. Payload bytes that fail to parse as WAV fall back to the
+    * synthesis arithmetic (the honest stub seam, as with images).
+    *
+    * Scale: narrow batched mapPartitions like every stage here; output
+    * ≈ samples/16 rows, no shuffle. */
+  def audioEnergy(media: Dataset[MediaRecord]): Dataset[AudioWindow] = {
+    import media.sparkSession.implicits._
+    media.filter(_.media_type == "audio").mapPartitions { it =>
+      inBatches(it) { batch =>
+        batch.iterator.flatMap { m =>
+          val (rate, samples) =
+            try {
+              val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(wavFixture(m.payload)))
+              val fmt = ais.getFormat
+              val n = ais.getFrameLength.toInt
+              val raw = ais.readAllBytes()
+              val ss = new Array[Long](n)
+              var i = 0
+              while (i < n) {
+                val lo = raw(2 * i) & 0xff
+                val hi = raw(2 * i + 1) // sign byte (little-endian 16-bit)
+                ss(i) = (hi.toLong << 8) | lo
+                i += 1
+              }
+              (fmt.getSampleRate.toLong, ss)
+            } catch {
+              case _: Exception => // undecodable → stub synthesis math
+                (AudioRate.toLong,
+                  m.payload.map(b => (((b & 0xff) - 128) * 256).toLong))
+            }
+          (0 until samples.length / AudioWindowSamples).iterator.map { w =>
+            var sq = 0L
+            var i = w * AudioWindowSamples
+            val end = i + AudioWindowSamples
+            while (i < end) { sq += samples(i) * samples(i); i += 1 }
+            AudioWindow(m.doc_id, rate, samples.length.toLong, w.toLong, sq)
+          }
+        }
+      }
+    }
+  }
+
+  /** Windowed audio energy over the media table's audio rows. */
+  def audioEnergyMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    audioEnergy(mediaTable(spark, dir)).toDF()
   }
 
   /** Real feature extraction: byte-class histogram over raw payloads. */
@@ -283,6 +372,7 @@ object Multimodal {
     resize(mediaTable(spark, dir)).toDF()
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_audio_energy" -> ((s, d) => audioEnergyMeta(s, d)),
     "mm_phash_neardups" -> ((s, d) => phashNearDups(s, d)),
     "mm_resize" -> ((s, d) => resizeMeta(s, d)),
     "mm_decode_meta" -> ((s, d) => decodeMeta(s, d)),
@@ -295,6 +385,21 @@ object Multimodal {
     * ASCII corpora (which the testdata is, verified). The engine's
     * byte semantics are the correct ones for a media pipeline. */
   val oracle: Map[String, String] = Map(
+    // replays the PCM synthesis (sample = (byte − 128)·256) and the
+    // 16-sample window energy; the engine's values additionally round-
+    // trip through a real WAV encode/decode, which must be lossless
+    "mm_audio_energy" ->
+      s"""WITH a AS (SELECT doc_id, list_transform(string_split(text, ''),
+         |      c -> (ascii(c) - 128) * 256) AS s
+         |  FROM documents WHERE doc_id % 3 = 1),
+         |w AS (SELECT doc_id, len(s)::BIGINT AS n_samples,
+         |    (u.i - 1) // $AudioWindowSamples AS window_idx,
+         |    s[u.i::INT] AS v
+         |  FROM a, UNNEST(range(1, len(s) + 1)) AS u(i))
+         |SELECT doc_id, ${AudioRate.toLong} AS sample_rate, n_samples,
+         |  window_idx::BIGINT AS window_idx, sum(v * v)::BIGINT AS sum_sq
+         |FROM w GROUP BY 1, 2, 3, 4 HAVING count(*) = $AudioWindowSamples
+         |ORDER BY doc_id, window_idx""".stripMargin,
     // replays aHash (downsample → mean threshold → 60 bits) and the
     // pigeonhole block join in list algebra
     "mm_phash_neardups" ->

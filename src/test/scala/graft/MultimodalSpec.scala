@@ -107,4 +107,28 @@ class MultimodalSpec extends SparkSpec {
         row.getAs[Long]("frame_no") * Multimodal.FrameBytes)
     }
   }
+
+  test("audio rows decode through a REAL WAV codec: header facts and lossless PCM") {
+    import spark.implicits._
+    // a payload with known bytes: samples (b-128)*256, windows of 16
+    val payload = (0 until 40).map(i => (i * 7 % 256).toByte).toArray
+    val rec = Multimodal.MediaRecord(1L, "audio", payload,
+      Multimodal.MediaMeta("t", payload.length.toLong))
+    val got = Multimodal.audioEnergy(Seq(rec).toDS()).collect().sortBy(_.window_idx)
+    // 40 samples → 2 full 16-sample windows, the 8-sample tail dropped
+    assert(got.length == 2)
+    got.foreach { w =>
+      assert(w.sample_rate == 8000L, "sample rate must come from the decoded header")
+      assert(w.n_samples == 40L, "frame length must come from the decoded header")
+    }
+    def sq(from: Int): Long = (from until from + 16)
+      .map(i => ((payload(i) & 0xff) - 128).toLong * 256)
+      .map(s => s * s).sum
+    assert(got(0).sum_sq == sq(0) && got(1).sum_sq == sq(16),
+      "decoded PCM must be bit-identical to the synthesized samples")
+    // the WAV fixture is a real RIFF file
+    val wav = Multimodal.wavFixture(payload)
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+  }
 }
