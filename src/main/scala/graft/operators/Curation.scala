@@ -442,17 +442,44 @@ object Curation {
     val w = tok.groupBy(col("bucket")).agg(
       expr(s"($SC * (sum(CASE WHEN hq THEN 1 ELSE 0 END) + 1)) div (count(*) + 2)")
         .as("w_sc"))
-    tok.join(broadcast(w), Seq("bucket"))
+    val scored = tok.join(broadcast(w), Seq("bucket"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
         expr("sum(w_sc) div count(*)").as("score_sc"))
+    // decision threshold = the corpus mean score (1-row broadcast):
+    // mean-of-weights scores shrink toward the base rate as documents
+    // grow (law of large numbers over ~50 tokens), so an absolute
+    // SC/2 cut would be degenerate; the data-derived cut splits at the
+    // distribution's center regardless of shrinkage
+    val thr = scored.agg(expr("sum(score_sc) div count(*)").as("mean_sc"))
+    scored.crossJoin(broadcast(thr))
       .join(docs.select(col("doc_id"), col("hq")), Seq("doc_id"))
       .select(col("doc_id"), col("n_tokens"), col("score_sc"),
-        (col("score_sc") >= lit(SC / 2)).as("predicted_hq"),
+        (col("score_sc") >= col("mean_sc")).as("predicted_hq"),
         col("hq").as("label_hq"))
   }
 
+  /** Calibration (reliability) table for the hashed classifier: docs
+    * bucketed into ten equal-width bins of the OBSERVED score range
+    * (min/max via a 1-row broadcast — fixed absolute deciles would
+    * collapse into one bin under the mean-of-weights shrinkage), each
+    * bin reporting its observed high-quality rate in milli — the
+    * diagnostic that tells a curation team what a score cut means
+    * before they pick a filtering threshold. A useful scorer shows
+    * hq_rate_milli rising with the decile. */
+  def classifierCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val perDoc = classifierQualityOn(Tables.documents(spark, dir))
+    val range = perDoc.agg(min(col("score_sc")).as("mn"), max(col("score_sc")).as("mx"))
+    perDoc.crossJoin(broadcast(range))
+      .withColumn("decile", expr("((score_sc - mn) * 10) div (mx - mn + 1)"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("label_hq"), lit(1L)).otherwise(lit(0L))).as("n_hq"))
+      .withColumn("hq_rate_milli", expr("(1000 * n_hq) div n_docs"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_classifier_calibration" -> ((s, d) => classifierCalibration(s, d)),
     "text_classifier_quality" -> ((s, d) => classifierQuality(s, d)),
     "curriculum_stages" -> ((s, d) => curriculumStages(s, d)),
     "sample_priority" -> ((s, d) => samplePriority(s, d)),
@@ -611,6 +638,27 @@ object Curation {
          |  FROM t)
          |SELECT doc_id, bucket, n_tokens, (cum - n_tokens) // $PackCapacity AS seq_id
          |FROM c ORDER BY doc_id""".stripMargin,
+    // the classifier CTE chain + decile bucketing; same integer div
+    "text_classifier_calibration" ->
+      s"""WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+         |lab AS (SELECT doc_id, toks, 2 * len(list_distinct(toks)) >= len(toks) AS hq FROM t),
+         |tok AS (SELECT doc_id, hq, unnest(toks) AS token FROM lab),
+         |b AS (SELECT doc_id, hq,
+         |    list_reduce(list_prepend(0::BIGINT, list_transform(string_split(token, ''), c -> ascii(c)::BIGINT)),
+         |      (a, c) -> (a * 31 + c) % 2147483647) % $ClassifierBuckets AS bucket
+         |  FROM tok),
+         |w AS (SELECT bucket,
+         |    ($SC * (sum(CASE WHEN hq THEN 1 ELSE 0 END)::BIGINT + 1)) // (count(*)::BIGINT + 2) AS w_sc
+         |  FROM b GROUP BY 1),
+         |sc AS (SELECT doc_id, sum(w_sc)::BIGINT // count(*)::BIGINT AS score_sc
+         |  FROM b JOIN w USING (bucket) GROUP BY 1),
+         |rg AS (SELECT min(score_sc) AS mn, max(score_sc) AS mx FROM sc),
+         |d AS (SELECT l.doc_id, ((s.score_sc - rg.mn) * 10) // (rg.mx - rg.mn + 1) AS decile, l.hq
+         |  FROM sc s JOIN lab l USING (doc_id), rg)
+         |SELECT decile, count(*)::BIGINT AS n_docs,
+         |  sum(CASE WHEN hq THEN 1 ELSE 0 END)::BIGINT AS n_hq,
+         |  (1000 * sum(CASE WHEN hq THEN 1 ELSE 0 END)::BIGINT) // count(*)::BIGINT AS hq_rate_milli
+         |FROM d GROUP BY 1 ORDER BY decile""".stripMargin,
     // per-token 31-ary polynomial hash fold (the fp31 replica) mod the
     // bucket count; weights and scores in the same integer divisions
     "text_classifier_quality" ->
@@ -626,10 +674,11 @@ object Curation {
          |  FROM b GROUP BY 1),
          |sc AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
          |    sum(w_sc)::BIGINT // count(*)::BIGINT AS score_sc
-         |  FROM b JOIN w USING (bucket) GROUP BY 1)
+         |  FROM b JOIN w USING (bucket) GROUP BY 1),
+         |st AS (SELECT sum(score_sc) // count(*) AS mean_sc FROM sc)
          |SELECT s.doc_id, s.n_tokens, s.score_sc,
-         |  s.score_sc >= ${SC / 2} AS predicted_hq, l.hq AS label_hq
-         |FROM sc s JOIN lab l USING (doc_id)
+         |  s.score_sc >= st.mean_sc AS predicted_hq, l.hq AS label_hq
+         |FROM sc s JOIN lab l USING (doc_id), st
          |ORDER BY s.doc_id""".stripMargin,
     // DuckDB list slices are 1-based and inclusive on both ends:
     // toks[s+1 : s+W] is Spark's slice(toks, s+1, W)
