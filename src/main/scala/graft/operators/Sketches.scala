@@ -52,8 +52,23 @@ object Sketches {
     * the sf0.01 corpus (31 distinct tokens) actually collides and the
     * min-over-rows estimator is exercised; at corpus scale w is the knob
     * (2^20 cells ≈ 8 MB per row of exact-integer counters). */
-  private val CmsW = 16
-  private val CmsHashes = Seq((31L, 0L), (37L, 7L), (41L, 11L), (43L, 13L))
+  private[graft] val CmsW = 16
+  private[graft] val CmsHashes = Seq((31L, 0L), (37L, 7L), (41L, 11L), (43L, 13L))
+
+  /** The d slot columns of a value under the CMS hash rows — shared by
+    * the batch sketch and the streaming windowed twin. */
+  private[graft] def cmsSlotCols(c: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] =
+    CmsHashes.zipWithIndex.map { case ((m, off), i) =>
+      (avalanche32(polyHashWith(c, m, off)) % CmsW).as(s"s$i")
+    }
+
+  /** Scalar twin of [[cmsSlotCols]] — bit-identical by construction
+    * (mix32 == avalanche32, HashOps.polyHash == the PolyHash column). */
+  private[graft] def cmsSlotsScalar(value: String): Seq[Long] =
+    CmsHashes.map { case (m, off) =>
+      mix32(graft.functions.HashOps.polyHash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(value), m, off)) % CmsW
+    }
 
   /** 32-bit avalanche finalizer (xor-shift-multiply, twice, then a final
     * xor-shift): the standard integer mixer shape. The polynomial hash
@@ -199,9 +214,7 @@ object Sketches {
     val counts = Tables.documents(spark, dir)
       .select(explode(tokens(col("text"))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("n"))
-    val slotCols = CmsHashes.zipWithIndex.map { case ((m, s), i) =>
-      (avalanche32(polyHashWith(col("token"), m, s)) % CmsW).as(s"s$i")
-    }
+    val slotCols = cmsSlotCols(col("token"))
     val hashed = counts.select(col("token") +: col("n") +: slotCols: _*)
     val cells = hashed.selectExpr(
       "stack(4, 0, s0, 1, s1, 2, s2, 3, s3) AS (r, slot)", "n")

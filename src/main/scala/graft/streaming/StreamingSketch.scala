@@ -147,6 +147,53 @@ object StreamingSketch {
           .as("l1_milli"))
   }
 
+  /** Windowed Count-Min heavy-hitter monitor — the streaming twin of
+    * operators.Sketches.cmsTopK: each closed event-time window reports
+    * CMS frequency estimates for a FIXED probe set (the heavy-hitter
+    * candidates a batch pass nominated, shipped as literals — the same
+    * baseline discipline as [[windowedDrift]]).
+    *
+    * State per open window is the sketch itself: ≤ d·w = 64 exact
+    * integer cells, watermark-evicted — never per-token counters, which
+    * is the point of CMS under a 100 TB/day token firehose. Two chained
+    * stateful aggregations in append mode (the [[windowedDistinct]]
+    * mechanism): per-(window, row, slot) counts, then one bounded
+    * per-window reduction taking each probe's min over its d cells
+    * (absent cell = exact zero). Slots hash with the SAME column/scalar
+    * pair as the batch sketch (Sketches.cmsSlotCols/cmsSlotsScalar), so
+    * a closed window's estimate is bit-identical to the batch CMS over
+    * the same rows (spec-proven). */
+  def windowedCms(tv: Dataset[TimedValue], windowDur: String,
+      watermarkDelay: String, probes: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{window => timeWindow}
+    require(probes.nonEmpty, "windowedCms needs at least one probe token")
+    val cells = tv.toDF()
+      .withWatermark("ts", watermarkDelay)
+      .select(col("ts") +: Sketches.cmsSlotCols(col("value")): _*)
+      .selectExpr("ts", "stack(4, 0, s0, 1, s1, 2, s2, 3, s3) AS (r, slot)")
+      .groupBy(timeWindow(col("ts"), windowDur), col("r"), col("slot"))
+      .agg(count(lit(1)).as("cnt"))
+    // one min-cell aggregate per (probe, hash row); absent cell = 0
+    val perProbeRow = probes.zipWithIndex.flatMap { case (p, pi) =>
+      Sketches.cmsSlotsScalar(p).zipWithIndex.map { case (s, r) =>
+        min(when(col("r") === r && col("slot") === s, col("cnt"))).as(s"p${pi}_r$r")
+      }
+    }
+    val est = probes.indices.map { pi =>
+      least((0 until Sketches.CmsHashes.length)
+        .map(r => coalesce(col(s"p${pi}_r$r"), lit(0L))): _*).as(s"e$pi")
+    }
+    val stacked = probes.zipWithIndex
+      .map { case (p, pi) => s"'${p.replace("'", "''")}', e$pi" }
+      .mkString(", ")
+    cells
+      .groupBy(timeWindow(window_time(col("window")), windowDur))
+      .agg(perProbeRow.head, perProbeRow.tail: _*)
+      .select(col("window").getField("start").as("window_start") +: est: _*)
+      .selectExpr("window_start",
+        s"stack(${probes.length}, $stacked) AS (token, cms_est)")
+  }
+
   /** Running distinct-`value` estimate per key. */
   def distinctByKey(kv: Dataset[KeyedValue]): Dataset[DistinctEstimate] = {
     import kv.sparkSession.implicits._

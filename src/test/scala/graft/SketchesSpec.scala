@@ -198,6 +198,53 @@ class SketchesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed streaming CMS closes windows with reference-identical estimates") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    // window 1: 'hot' dominates; window 2: 'warm' dominates, 'hot' absent
+    val w1 = (1 to 60).map(i =>
+      graft.streaming.TimedValue(t(5 + i % 50), if (i % 3 == 0) s"x$i" else "hot"))
+    val w2 = (1 to 40).map(i =>
+      graft.streaming.TimedValue(t(65 + i % 40), if (i % 4 == 0) s"y$i" else "warm"))
+    val probes = Seq("hot", "warm", "absent")
+    val input = MemoryStream[graft.streaming.TimedValue]
+    val q = graft.streaming.StreamingSketch
+      .windowedCms(input.toDS(), "1 minute", "10 seconds", probes)
+      .writeStream.format("memory").queryName("wcms").outputMode("append").start()
+    try {
+      input.addData(w1)
+      q.processAllAvailable()
+      input.addData(w2)
+      q.processAllAvailable()
+      input.addData(graft.streaming.TimedValue(t(1000), "sentinel"))
+      q.processAllAvailable()
+      val streamed = spark.table("wcms").collect()
+        .map(r => (r.getTimestamp(0).getTime / 1000, r.getString(1)) -> r.getAs[Long]("cms_est"))
+        .toMap
+      assert(streamed.keySet.map(_._1) == Set(0L, 60L))
+      // scalar CMS reference over each window's rows
+      def ref(rows: Seq[graft.streaming.TimedValue], probe: String): Long = {
+        val cells = scala.collection.mutable.Map.empty[(Int, Long), Long]
+        rows.foreach { r =>
+          graft.operators.Sketches.cmsSlotsScalar(r.value).zipWithIndex.foreach {
+            case (s, ri) => cells((ri, s)) = cells.getOrElse((ri, s), 0L) + 1
+          }
+        }
+        graft.operators.Sketches.cmsSlotsScalar(probe).zipWithIndex
+          .map { case (s, ri) => cells.getOrElse((ri, s), 0L) }.min
+      }
+      probes.foreach { p =>
+        assert(streamed((0L, p)) == ref(w1, p), s"window 0 probe $p")
+        assert(streamed((60L, p)) == ref(w2, p), s"window 1 probe $p")
+      }
+      // CMS is an overestimate: est >= exact occurrence count
+      assert(streamed((0L, "hot")) >= w1.count(_.value == "hot"))
+      assert(streamed((60L, "warm")) >= w2.count(_.value == "warm"))
+    } finally q.stop()
+  }
+
   test("streaming drift monitor reads calm on baseline-like windows and fires on shifted ones") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
