@@ -155,7 +155,58 @@ object Profiling {
       .withColumnRenamed("grp", "event_type")
       .orderBy("event_type")
 
+  /** The event types whose per-minute activity series get correlated. */
+  val CorrTypes = Seq("view", "click", "purchase", "signup", "error")
+
+  /** Cross-series Pearson correlation: for every pair of event types,
+    * the correlation of their per-minute activity counts — the
+    * monitoring question "do errors move with clicks?" answered over
+    * the whole log.
+    *
+    * Shape: one scan pivots to a dense (minute × 5 counts) frame via
+    * conditional sums (absent activity = exact 0, which a join-based
+    * pairing would silently drop), then every pair's five moments
+    * (Σx, Σy, Σxy, Σx², Σy²) aggregate in the same pass over that
+    * frame — exact BIGINTs, map-side combined, one row out per pair.
+    * The final correlation is deterministic double arithmetic over
+    * those exact integers, rounded to 6 in both engines. */
+  def activityCorr(spark: SparkSession, dir: String): DataFrame =
+    activityCorrOn(Tables.events(spark, dir), CorrTypes)
+
+  /** Correlation core over any (ts, event_type) frame. */
+  def activityCorrOn(ev: DataFrame, types: Seq[String]): DataFrame = {
+    val minuteCols = types.map(t =>
+      sum(when(col("event_type") === t, lit(1L)).otherwise(lit(0L))).as(s"n_$t"))
+    val perMinute = ev
+      .select(expr("unix_micros(ts) div 60000000").as("minute"), col("event_type"))
+      .groupBy(col("minute"))
+      .agg(minuteCols.head, minuteCols.tail: _*)
+    val pairs = for {
+      (a, i) <- types.zipWithIndex; b <- types.drop(i + 1)
+    } yield (a, b)
+    val momentCols = pairs.flatMap { case (a, b) =>
+      Seq(
+        count(lit(1)).as(s"n_${a}_$b"),
+        sum(col(s"n_$a")).as(s"sx_${a}_$b"),
+        sum(col(s"n_$b")).as(s"sy_${a}_$b"),
+        sum(col(s"n_$a") * col(s"n_$b")).as(s"sxy_${a}_$b"),
+        sum(col(s"n_$a") * col(s"n_$a")).as(s"sxx_${a}_$b"),
+        sum(col(s"n_$b") * col(s"n_$b")).as(s"syy_${a}_$b"))
+    }
+    val wide = perMinute.agg(momentCols.head, momentCols.tail: _*)
+    val stacked = pairs.map { case (a, b) =>
+      s"'$a', '$b', n_${a}_$b, sx_${a}_$b, sy_${a}_$b, sxy_${a}_$b, sxx_${a}_$b, syy_${a}_$b"
+    }.mkString(", ")
+    wide.selectExpr(s"stack(${pairs.length}, $stacked) AS " +
+        "(type_a, type_b, n, sx, sy, sxy, sxx, syy)")
+      .withColumn("corr",
+        round(((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+            * sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double")))), 6))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "profile_corr" -> ((s, d) => activityCorr(s, d)),
     "profile_events" -> ((s, d) => profileEvents(s, d)),
     "profile_stats_sketch" -> ((s, d) => tableStatsSketch(s, d)),
     "profile_drift" -> ((s, d) => driftReport(s, d)),
@@ -169,6 +220,30 @@ object Profiling {
        |FROM events""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // same dense pivot, same exact integer moments, same double op
+    // order (numerator / (sqrt * sqrt)), rounded to 6 in both engines
+    "profile_corr" -> {
+      val pairs = for {
+        (a, i) <- CorrTypes.zipWithIndex; b <- CorrTypes.drop(i + 1)
+      } yield (a, b)
+      val cnt = CorrTypes.map(t =>
+        s"sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END)::BIGINT AS n_$t").mkString(",\n    ")
+      val rows = pairs.map { case (a, b) =>
+        s"""SELECT '$a' AS type_a, '$b' AS type_b, count(*)::BIGINT AS n,
+           |  sum(n_$a)::BIGINT AS sx, sum(n_$b)::BIGINT AS sy,
+           |  sum(n_$a * n_$b)::BIGINT AS sxy,
+           |  sum(n_$a * n_$a)::BIGINT AS sxx, sum(n_$b * n_$b)::BIGINT AS syy
+           |FROM m""".stripMargin
+      }.mkString("\nUNION ALL ")
+      s"""WITH m AS (SELECT epoch_us(ts) // 60000000 AS minute,
+         |    $cnt
+         |  FROM events GROUP BY 1),
+         |p AS ($rows)
+         |SELECT type_a, type_b, n, sx, sy, sxy, sxx, syy,
+         |  round((n * sxy - sx * sy)::DOUBLE
+         |    / (sqrt((n * sxx - sx * sx)::DOUBLE) * sqrt((n * syy - sy * sy)::DOUBLE)), 6) AS corr
+         |FROM p ORDER BY type_a, type_b""".stripMargin
+    },
     "profile_drift" ->
       """WITH e AS (SELECT event_type AS grp, event_id % 2 = 0 AS is_a,
         |    CAST(round(value*100,0) AS BIGINT) AS cents FROM events),

@@ -70,6 +70,25 @@ class ApproxSwapSpec extends SparkSpec {
     }
   }
 
+  test("activity correlation: +1 on lockstep series, -1 on opposed, bounds everywhere") {
+    import spark.implicits._
+    def t(min: Long) = new java.sql.Timestamp(min * 60000L)
+    // minute m: 'a' fires m%3+1 times, 'b' twice that (corr +1), 'c'
+    // fires 4-(m%3+1) times (corr -1 with a)
+    val rows = (0L until 30L).flatMap { m =>
+      val k = (m % 3 + 1).toInt
+      Seq.fill(k)(("a", t(m))) ++ Seq.fill(2 * k)(("b", t(m))) ++
+        Seq.fill(4 - k)(("c", t(m)))
+    }
+    val got = graft.operators.Profiling
+      .activityCorrOn(rows.toDF("event_type", "ts"), Seq("a", "b", "c"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Double]("corr")).toMap
+    assert(got(("a", "b")) == 1.0, s"lockstep series must correlate at +1: $got")
+    assert(got(("a", "c")) == -1.0, s"opposed series must correlate at -1: $got")
+    got.values.foreach(c => assert(c >= -1.0 && c <= 1.0))
+  }
+
   test("approx_percentile tracks exact quantiles within 5%") {
     val exact = events
       .agg(expr("percentile(value, array(0.25, 0.5, 0.9))")).head.getSeq[Double](0)
