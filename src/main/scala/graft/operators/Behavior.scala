@@ -109,9 +109,53 @@ object Behavior {
         (unix_micros(col("m.p_ts")) - unix_micros(col("view_ts"))).as("gap_us"))
   }
 
+  /** One smoothed reading per event. */
+  final case class EwmaPoint(user_id: Long, event_id: Long,
+      cents: Long, ewma_cents: Long)
+
+  /** EWMA smoothing constant: 1/8 per step, in truncating division. */
+  private val EwmaShift = 8L
+
+  /** Per-user sequential smoothing: an exponentially-weighted moving
+    * average of each user's `value` stream in event order —
+    * e₀ = x₀, eᵢ = eᵢ₋₁ + trunc((xᵢ − eᵢ₋₁)/8), all integer cents — the
+    * state a per-entity anomaly detector keeps (and the batch twin of
+    * what a `mapGroupsWithState` streaming smoother would hold).
+    *
+    * An inherently SEQUENTIAL fold: eᵢ depends on every prior reading,
+    * so no window/aggregate expresses it. The right Spark shape is
+    * typed `flatMapGroups` — one shuffle keyed on user_id, then an
+    * in-memory ordered fold per user, bounded by per-user activity
+    * (≤ ~10² events here; at 100 TB the bound is the entity's history,
+    * not the corpus — repartition stays uniform because the fold is
+    * per-key). Truncating division (Scala `/` on Long = Spark `div` =
+    * DuckDB `//`, all toward zero) keeps the arithmetic engine-exact
+    * on negative deltas. */
+  def ewmaSmooth(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tus"),
+        expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (uid: Long, it: Iterator[(Long, Long, Long, Long)]) =>
+        val evs = it.toArray.sortBy(e => (e._3, e._2))
+        var e = 0L
+        var first = true
+        evs.iterator.map { ev =>
+          if (first) { e = ev._4; first = false }
+          else e += (ev._4 - e) / EwmaShift
+          EwmaPoint(uid, ev._2, ev._4, e)
+        }
+      }
+      .toDF()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "funnel_conversion" -> ((s, d) => funnel(s, d)),
     "evt_pattern_within" -> ((s, d) => patternWithin(s, d)),
+    "evt_ewma" -> ((s, d) => ewmaSmooth(s, d)),
     "cohort_retention" -> ((s, d) => cohortRetention(s, d)))
 
   val oracle: Map[String, String] = Map(
@@ -127,6 +171,27 @@ object Behavior {
         |WHERE v.event_type = 'view'
         |QUALIFY row_number() OVER (PARTITION BY v.event_id ORDER BY p.ts, p.event_id) = 1
         |ORDER BY v.user_id, view_id""".stripMargin,
+    // the sequential fold replayed as a '|'-serialized running
+    // accumulator (the bpeFoldSql trick): list_reduce's acc carries
+    // every intermediate EWMA, unnest pairs them back to events
+    "evt_ewma" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events),
+        |g AS (SELECT user_id,
+        |    list(event_id ORDER BY tus, event_id) AS ids,
+        |    list(cents ORDER BY tus, event_id) AS cs
+        |  FROM e GROUP BY 1),
+        |f AS (SELECT user_id, ids, cs,
+        |    string_split(list_reduce(list_transform(cs, c -> c::VARCHAR),
+        |      (acc, c) -> acc || '|' ||
+        |        (string_split(acc, '|')[-1]::BIGINT
+        |         + (c::BIGINT - string_split(acc, '|')[-1]::BIGINT) // 8)::VARCHAR),
+        |      '|') AS es
+        |  FROM g)
+        |SELECT user_id, ids[u.i::INT] AS event_id, cs[u.i::INT] AS cents,
+        |  es[u.i::INT]::BIGINT AS ewma_cents
+        |FROM f, UNNEST(range(1, len(ids) + 1)) AS u(i)
+        |ORDER BY user_id, event_id""".stripMargin,
     "funnel_conversion" ->
       """WITH t1 AS (SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
         |  FROM events GROUP BY 1 HAVING t_view IS NOT NULL),

@@ -50,6 +50,33 @@ class BehaviorSpec extends SparkSpec {
     assert(got.isEmpty)
   }
 
+  test("ewma smoothing: seeded at the first reading, converges, tracks steps exactly") {
+    import graft.operators.Behavior
+    val rows = Behavior.ewmaSmooth(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // smoothed readings stay inside the observed per-user value range
+    rows.groupBy(_._1).foreach { case (_, es) =>
+      val (mn, mx) = (es.map(_._3).min, es.map(_._3).max)
+      es.foreach(e => assert(e._4 >= mn - 8 && e._4 <= mx + 8))
+    }
+    // exact replay of the busiest user's fold, in true (ts, id) order
+    val uid = rows.groupBy(_._1).maxBy(_._2.length)._1
+    val byId = rows.filter(_._1 == uid).map(r => r._2 -> r._4).toMap
+    val ordered = Tables.events(spark, sf0001)
+      .filter(org.apache.spark.sql.functions.col("user_id") === uid)
+      .selectExpr("event_id", "unix_micros(ts) AS tus",
+        "CAST(round(value * 100, 0) AS BIGINT) AS cents")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(e => (e._2, e._1))
+    var e = 0L
+    var first = true
+    ordered.foreach { case (id, _, c) =>
+      if (first) { e = c; first = false } else e += (c - e) / 8
+      assert(byId(id) == e, "the emitted series must be the exact sequential fold")
+    }
+  }
+
   test("matches never cross users; same-ts purchases tie-break on event_id") {
     val got = run(
       (1L, 0L, 1L, "view"),
