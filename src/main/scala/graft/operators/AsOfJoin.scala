@@ -145,8 +145,47 @@ object AsOfJoin {
   def clickLastPurchaseNative(spark: SparkSession, dir: String): DataFrame =
     clickLastPurchaseVia(asOfNative(_, _, _, _, _))(spark, dir)
 
+  /** Nearest-in-time join: for every click, the purchase closest in
+    * EITHER direction (the sensor-fusion/market-data "nearest reading"
+    * semantics ASOF alone can't give). Composed from two passes of the
+    * same as-of engine — backward on `ts`, forward as backward on the
+    * NEGATED epoch-microsecond axis — then one equi-join on the unique
+    * click id picks the closer side; exact ties go backward. Cost: two
+    * keyed window passes plus one id-keyed join, no range join, no
+    * per-row subquery. Same dedup contract as [[asOfLast]] (purchases
+    * unique per (user, ts)). */
+  def clickNearestPurchase(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("p_event_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val back = asOfLast(clicks, purchases, "user_id", "ts", "b_ts")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("b_ts"), col("p_event_id").as("b_event_id"))
+    val clicksF = clicks
+      .withColumn("tsn", -unix_micros(col("ts"))).drop("ts")
+    val purchasesF = purchases
+      .withColumn("tsn", -unix_micros(col("ts"))).drop("ts")
+    val fwd = asOfLast(clicksF, purchasesF, "user_id", "tsn", "f_tsn")
+      .select(col("event_id"), col("f_tsn"), col("p_event_id").as("f_event_id"))
+    val bGap = unix_micros(col("ts")) - unix_micros(col("b_ts"))
+    val fGap = -col("f_tsn") - unix_micros(col("ts"))
+    val backWins = col("b_ts").isNotNull &&
+      (col("f_tsn").isNull || bGap <= fGap)
+    back.join(fwd, Seq("event_id"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(col("b_ts").isNull && col("f_tsn").isNull, lit("none"))
+          .when(backWins, lit("backward")).otherwise(lit("forward")).as("side"),
+        when(backWins, col("b_event_id")).otherwise(col("f_event_id")).as("p_event_id"),
+        when(backWins, bGap).otherwise(fGap).as("gap_us"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rel_asof_join" -> ((s, d) => clickLastPurchase(s, d)),
+    "rel_asof_nearest" -> ((s, d) => clickNearestPurchase(s, d)),
     "rel_asof_join_native" -> ((s, d) => clickLastPurchaseNative(s, d)))
 
   private val asofOracleSql =
@@ -163,5 +202,33 @@ object AsOfJoin {
 
   val oracle: Map[String, String] = Map(
     "rel_asof_join" -> asofOracleSql,
-    "rel_asof_join_native" -> asofOracleSql)
+    "rel_asof_join_native" -> asofOracleSql,
+    // two DuckDB ASOF passes (>= backward, <= forward), closer side
+    // wins, exact tie goes backward — the engine's selection rule
+    "rel_asof_nearest" ->
+      """WITH p AS (SELECT user_id, ts, max(event_id) AS p_event_id
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |b AS (SELECT c.event_id, p.ts AS b_ts, p.p_event_id AS b_event_id
+        |  FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts),
+        |f AS (SELECT c.event_id, p.ts AS f_ts, p.p_event_id AS f_event_id
+        |  FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.ts)
+        |SELECT c.event_id, c.user_id, c.ts,
+        |  CASE WHEN b_ts IS NULL AND f_ts IS NULL THEN 'none'
+        |       WHEN f_ts IS NULL THEN 'backward'
+        |       WHEN b_ts IS NULL THEN 'forward'
+        |       WHEN epoch_us(c.ts) - epoch_us(b_ts)
+        |            <= epoch_us(f_ts) - epoch_us(c.ts) THEN 'backward'
+        |       ELSE 'forward' END AS side,
+        |  CASE WHEN b_ts IS NOT NULL AND (f_ts IS NULL
+        |         OR epoch_us(c.ts) - epoch_us(b_ts)
+        |            <= epoch_us(f_ts) - epoch_us(c.ts)) THEN b_event_id
+        |       ELSE f_event_id END AS p_event_id,
+        |  CASE WHEN b_ts IS NOT NULL AND (f_ts IS NULL
+        |         OR epoch_us(c.ts) - epoch_us(b_ts)
+        |            <= epoch_us(f_ts) - epoch_us(c.ts))
+        |         THEN epoch_us(c.ts) - epoch_us(b_ts)
+        |       ELSE epoch_us(f_ts) - epoch_us(c.ts) END AS gap_us
+        |FROM c JOIN b USING (event_id) JOIN f USING (event_id)
+        |ORDER BY c.event_id""".stripMargin)
 }

@@ -170,4 +170,34 @@ class AsOfJoinSpec extends SparkSpec {
       s"expected LocalLimit pushed below the as-of join:\n$opt")
     assert(limited.count() == 5)
   }
+
+  test("nearest as-of picks the closer direction, ties backward, per-row replayed") {
+    // replay rel_asof_nearest at sf0.001 against a per-click scan
+    val got = AsOfJoin.clickNearestPurchase(spark, sf0001).collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(3), if (r.isNullAt(4)) None else Some(r.getLong(4)),
+          if (r.isNullAt(5)) None else Some(r.getLong(5)))).toMap
+    val ev = Tables.events(spark, sf0001)
+      .selectExpr("event_id", "user_id", "unix_micros(ts) AS tus", "event_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // dedup purchases per (user, tus) by max event_id — the contract
+    val purchases = ev.filter(_._4 == "purchase").groupBy(p => (p._2, p._3))
+      .map { case ((u, t), ps) => (u, t, ps.map(_._1).max) }.toSeq
+    val clicks = ev.filter(_._4 == "click")
+    assert(got.size == clicks.length)
+    clicks.foreach { case (id, u, t, _) =>
+      val mine = purchases.filter(_._1 == u)
+      val back = mine.filter(_._2 <= t).sortBy(p => (-p._2, -p._3)).headOption
+      val fwd = mine.filter(_._2 >= t).sortBy(p => (p._2, p._3)).headOption
+      val expect = (back, fwd) match {
+        case (None, None) => ("none", None, None)
+        case (Some(b), None) => ("backward", Some(b._3), Some(t - b._2))
+        case (None, Some(f)) => ("forward", Some(f._3), Some(f._2 - t))
+        case (Some(b), Some(f)) =>
+          if (t - b._2 <= f._2 - t) ("backward", Some(b._3), Some(t - b._2))
+          else ("forward", Some(f._3), Some(f._2 - t))
+      }
+      assert(got(id) == expect, s"click $id")
+    }
+  }
 }
