@@ -17,6 +17,12 @@ import graft.functions.ZOrder2
   * that column and none on the other; the z-curve trades a constant
   * factor on each dimension for pruning on all of them.
   *
+  * The physical write path lives in `sources/Formats.writeZOrdered`
+  * (quantize → interleave → repartitionByRange → sortWithinPartitions),
+  * which runs on the same native ZOrder2 expression via
+  * `Formats.zValue`; this module owns the expression's SQL surface and
+  * the oracle-verified locality statistics.
+  *
   * `zorderTiles` is the verifiable core of that claim: bucket lineitem's
   * (l_partkey, l_suppkey) into a 1024×1024 grid, interleave with the
   * native ZOrder2 expression (functions/HashExpressions.scala), and

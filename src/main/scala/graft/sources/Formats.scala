@@ -83,16 +83,22 @@ object Formats {
   }
 
   /** Morton/Z-value: interleave the low `bits` bits of two NON-NEGATIVE
-    * integer columns (a in the odd positions). Pure bitwise column
-    * algebra — codegen'd, zero shuffle; 2·bits ops per row. */
+    * integer columns (a in the odd positions). Runs on the native
+    * fused ZOrder2 expression (functions/HashExpressions.scala — five
+    * shift-mask dilation rounds in one codegen call, vs the 2·bits
+    * composed bitwise ops this used to expand to); inputs are masked
+    * to `bits` bits to keep the historical truncation contract, and
+    * ZOrder2's (even, odd) convention is swapped to preserve this
+    * function's a-in-odd-positions output bit-for-bit. */
   def zValue(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
       bits: Int = 16): org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.functions.{lit, shiftleft, shiftright}
+    import org.apache.spark.sql.functions.lit
+    import org.apache.spark.sql.graft.ColumnBridge
     require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
-    (0 until bits).map { i =>
-      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i + 1)
-        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i))
-    }.reduce(_.bitwiseOR(_))
+    val mask = lit((1L << bits) - 1)
+    ColumnBridge.column(graft.functions.ZOrder2(
+      ColumnBridge.expression(b.cast("long").bitwiseAND(mask)),
+      ColumnBridge.expression(a.cast("long").bitwiseAND(mask))))
   }
 
   /** Z-order-clustered parquet layout over TWO columns — the 2-D
