@@ -190,6 +190,39 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("token"))
       .limit(30)
 
+  /** Per-document character-distribution entropy in bits — the
+    * randomness gate (low entropy = repeated boilerplate, high =
+    * encrypted/binary junk) curation stacks next to the Gopher rules.
+    *
+    * H = log₂n − (Σ cᵢ·ln cᵢ)/(n·ln 2) over exact character counts.
+    * The one float reduction — Σ cᵢ·ln cᵢ — runs as an INDEX-ORDERED
+    * fold over the char-sorted count array in BOTH engines (a plain
+    * SUM's partial-aggregation order is engine- and partition-
+    * dependent), so the doubles agree bit-for-bit before the final
+    * 6-decimal rounding. Shape: one (doc, char) map-side-combined
+    * shuffle, then the per-doc fold in the projection. */
+  def charEntropy(spark: SparkSession, dir: String): DataFrame =
+    charEntropyOn(Tables.documents(spark, dir))
+
+  /** Entropy core over any (doc_id, text) frame. */
+  def charEntropyOn(docs: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions.chars
+    docs
+      .select(col("doc_id"), explode(chars(col("text"))).as("c"))
+      .groupBy(col("doc_id"), col("c"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n"),
+        count(lit(1)).as("n_distinct_chars"),
+        array_sort(collect_list(struct(col("c"), col("cnt")))).as("cs"))
+      .select(col("doc_id"), col("n"), col("n_distinct_chars"),
+        round((log(col("n").cast("double")) -
+          aggregate(col("cs"), lit(0.0), (acc, e) =>
+            acc + e.getField("cnt").cast("double") * log(e.getField("cnt").cast("double")))
+            / col("n").cast("double")) / lit(math.log(2.0)), 6)
+          .as("entropy_bits"))
+  }
+
   /** BPE merge-training rounds. */
   val BpeRounds = 3
 
@@ -335,7 +368,8 @@ object TextAnalysis {
     "text_fingerprint" -> ((s, d) => fingerprints(s, d)),
     "text_bpe_tokens" -> ((s, d) => bpeTokenCounts(s, d)),
     "text_lang_id_ngram" -> ((s, d) => langIdNgram(s, d)),
-    "text_wordcount_topk" -> ((s, d) => wordCountTopK(s, d)))
+    "text_wordcount_topk" -> ((s, d) => wordCountTopK(s, d)),
+    "text_char_entropy" -> ((s, d) => charEntropy(s, d)))
 
   private val stopSqlAll: String =
     stop.values.flatten.toSeq.distinct.sorted.map(w => s"'$w'").mkString(", ")
@@ -410,6 +444,18 @@ object TextAnalysis {
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // exact counts; the float fold runs char-sorted in both engines
+    "text_char_entropy" ->
+      """WITH ch AS (SELECT doc_id, unnest(list_filter(string_split(text, ''), c -> c <> '')) AS c FROM documents),
+        |cnts AS (SELECT doc_id, c, count(*)::BIGINT AS cnt FROM ch GROUP BY 1, 2),
+        |g AS (SELECT doc_id, sum(cnt)::BIGINT AS n, count(*)::BIGINT AS n_distinct_chars,
+        |    list(cnt::DOUBLE ORDER BY c) AS cs
+        |  FROM cnts GROUP BY 1)
+        |SELECT doc_id, n, n_distinct_chars,
+        |  round((ln(n::DOUBLE) -
+        |    list_reduce(list_prepend(0.0, list_transform(cs, x -> x * ln(x))), (a, b) -> a + b)
+        |      / n::DOUBLE) / ln(2.0), 6) AS entropy_bits
+        |FROM g ORDER BY doc_id""".stripMargin,
     "text_bpe_train" -> bpeTrainSql,
     "text_bpe_apply" -> bpeApplySql,
     "text_char_lm" -> charLmSql,

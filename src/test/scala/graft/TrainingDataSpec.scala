@@ -282,6 +282,24 @@ class TrainingDataSpec extends SparkSpec {
     }
   }
 
+  test("char entropy: 0 on constant docs, log2(k) on uniform, bounded by distinct chars") {
+    val rows = TextAnalysis.charEntropy(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, n, k, h) =>
+      assert(h >= 0.0 && h <= math.log(k.toDouble) / math.log(2.0) + 1e-9,
+        s"doc $id: H=$h outside [0, log2($k)]")
+      assert(k <= n)
+    }
+    // constructed extremes through the operator itself
+    import spark.implicits._
+    val got = TextAnalysis.charEntropyOn(
+        Seq((1L, "aaaaaaaa"), (2L, "abcdabcdabcd")).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(got(1L) == 0.0, "constant doc has zero entropy")
+    assert(got(2L) == 2.0, "uniform 4-char doc has exactly 2 bits")
+  }
+
   test("quality score stays in [0,1] and langId covers every doc") {
     val q = TextAnalysis.qualityScore(spark, sf0001).collect()
     q.foreach { r =>
