@@ -16,7 +16,9 @@ object Explain {
         "text_repetition", "pack_sequences", "sim_topk_ivf_kmeans",
         "rel_asof_join_native", "src_gen_trades_ohlcv", "decontam_overlap",
         "sketch_hll_distinct", "text_bm25_topk", "graph_pagerank",
-        "src_kv_copartition_join")
+        "src_kv_copartition_join", "text_tfidf_topk", "text_chunk_stride",
+        "layout_zorder_tiles", "emb_covariance", "evt_pattern_within",
+        "text_classifier_quality", "dedup_incremental", "rel_asof_nearest")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
