@@ -94,6 +94,20 @@ class PlanShapeSpec extends SparkSpec {
       val fp = physical(SparkEntry.queries("rel_filter_project")(spark, d))
       assert("PushedFilters: \\[\\s*[^\\]\\s]".r.findFirstIn(fp).nonEmpty,
         s"pushdown lost at $d:\n$fp")
+      // late round-5 operators hold their shapes at the graded sf too
+      val tfidf = physical(SparkEntry.queries("text_tfidf_topk")(spark, d))
+      assert(!tfidf.contains("Window"),
+        s"tfidf per-doc ranking windows at $d:\n$tfidf")
+      Seq("emb_covariance", "layout_zorder_tiles").foreach { q =>
+        val p = physical(SparkEntry.queries(q)(spark, d))
+        val n = "Exchange".r.findAllIn(p).size - "BroadcastExchange".r.findAllIn(p).size
+        assert(n <= 1, s"$q must be a single-exchange aggregate at $d ($n):\n$p")
+      }
+      Seq("evt_pattern_within", "rel_asof_nearest", "dedup_incremental").foreach { q =>
+        val p = physical(SparkEntry.queries(q)(spark, d))
+        assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+          s"$q loses its equi-key at $d:\n$p")
+      }
     }
   }
 
