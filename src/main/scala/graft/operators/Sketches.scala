@@ -202,6 +202,39 @@ object Sketches {
     (if (v > 0 && raw < LcCutoffMilli) LcMilli(v) else raw) / 1000
   }
 
+  /** Sketch-algebra drill: HLL registers are a MERGEABLE summary, and
+    * this query proves it end to end — per-event_type user sketches,
+    * the register-max UNION of those per-type sketches, and the sketch
+    * built directly over all rows, side by side. The union row and the
+    * direct row must carry the SAME estimate bit-for-bit: max-per-
+    * bucket over partial registers is exactly the register state the
+    * full scan produces.
+    *
+    * This is the property that makes sketches composable warehouse
+    * objects at 100 TB: per-partition/per-day sketches roll up to any
+    * coarser grain (week, global) by register max — ≤ m tiny rows per
+    * group move, the data is never rescanned. */
+  def hllUnion(spark: SparkSession, dir: String): DataFrame = {
+    val rho = Tables.events(spark, dir)
+      .select(col("event_type"), hash32(col("user_id")).as("x"))
+      .select(col("event_type") +: hllRhoCols(col("x")): _*)
+    val perTypeReg = rho.groupBy(col("event_type"), col("bucket"))
+      .agg(max("rho").as("rho"))
+    val perType = withHllEstimate(
+        perTypeReg.groupBy(col("event_type"))
+          .agg(hllAggCols.head, hllAggCols.tail: _*))
+      .select(col("event_type").as("scope"), col("n_zero_buckets"), col("hll_est"))
+    val unionEst = withHllEstimate(
+        perTypeReg.groupBy(col("bucket")).agg(max("rho").as("rho"))
+          .agg(hllAggCols.head, hllAggCols.tail: _*))
+      .select(lit("union(types)").as("scope"), col("n_zero_buckets"), col("hll_est"))
+    val direct = withHllEstimate(
+        rho.groupBy(col("bucket")).agg(max("rho").as("rho"))
+          .agg(hllAggCols.head, hllAggCols.tail: _*))
+      .select(lit("direct(all)").as("scope"), col("n_zero_buckets"), col("hll_est"))
+    perType.unionByName(unionEst).unionByName(direct)
+  }
+
   /** Count-Min heavy-hitter report over the corpus vocabulary: exact
     * top-20 token counts next to their CMS estimates (est ≥ exact by
     * construction; equality when no collision). The sketch is built
@@ -416,6 +449,7 @@ object Sketches {
     "sketch_kmv_distinct" -> ((s, d) => kmvDistinct(s, d)),
     "sketch_kmv_jaccard" -> ((s, d) => kmvJaccard(s, d)),
     "sketch_hll_distinct" -> ((s, d) => hllDistinct(s, d)),
+    "sketch_hll_union" -> ((s, d) => hllUnion(s, d)),
     "sketch_cms_topk" -> ((s, d) => cmsTopK(s, d)),
     "sketch_quantile_hist" -> ((s, d) => quantileHist(s, d)),
     "sketch_bloom_filter" -> ((s, d) => bloomReport(s, d)))
@@ -498,6 +532,30 @@ object Sketches {
          |  e.jaccard_est_milli::BIGINT AS jaccard_est_milli
          |FROM est e LEFT JOIN ex USING (type_a, type_b)
          |ORDER BY 1, 2""".stripMargin,
+    // per-type registers, register-max union, and the direct sketch —
+    // the union and direct rows must agree exactly (mergeability)
+    "sketch_hll_union" ->
+      s"""WITH h0 AS (SELECT event_type, ${foldSql("user_id::VARCHAR", 31L, 0L)} AS hash FROM events),
+         |h AS (SELECT event_type, ${mixColSql("hash")} AS x FROM h0),
+         |r AS (SELECT event_type, x % $HllM AS bucket,
+         |    CASE WHEN x // $HllM = 0 THEN 25 ELSE 25 - length(bin(x // $HllM)) END AS rho
+         |  FROM h),
+         |treg AS (SELECT event_type, bucket, max(rho) AS rho FROM r GROUP BY 1, 2),
+         |scopes AS (
+         |  SELECT event_type AS scope, bucket, rho FROM treg
+         |  UNION ALL
+         |  SELECT 'union(types)', bucket, max(rho) FROM treg GROUP BY 2
+         |  UNION ALL
+         |  SELECT 'direct(all)', bucket, max(rho) FROM r GROUP BY 2),
+         |z AS (SELECT scope,
+         |    (sum((1::BIGINT << (25 - rho)))::BIGINT + ($HllM - count(*))::BIGINT * 33554432) AS zs,
+         |    ($HllM - count(*))::BIGINT AS n_zero_buckets
+         |  FROM scopes GROUP BY 1)
+         |SELECT scope, n_zero_buckets,
+         |  ((CASE WHEN n_zero_buckets > 0 AND $HllConstMilli // zs < $LcCutoffMilli
+         |         THEN ($lcSql)[n_zero_buckets + 1]
+         |         ELSE $HllConstMilli // zs END) // 1000)::BIGINT AS hll_est
+         |FROM z ORDER BY scope""".stripMargin,
     "sketch_hll_distinct" ->
       s"""WITH src AS (
          |  SELECT event_type, 'event_id' AS column_name, event_id AS val FROM events

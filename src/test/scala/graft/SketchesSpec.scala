@@ -198,6 +198,23 @@ class SketchesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("HLL union: register-max merge equals the direct sketch exactly") {
+    val rows = Sketches.hllUnion(spark, sf001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.size == 7)
+    // mergeability: rolling up per-type registers IS the full-scan sketch
+    assert(rows("union(types)") == rows("direct(all)"),
+      s"union-of-registers must equal the direct sketch: $rows")
+    // register-max dominance: the union estimate covers every part
+    val parts = rows.view.filterKeys(k => !k.contains("(")).values.map(_._2)
+    assert(rows("union(types)")._2 >= parts.max)
+    // and the merged estimate agrees with the generic estimator
+    val direct = Sketches.hllEstimateBy(
+        Tables.events(spark, sf001).select(col("user_id")), Nil, col("user_id"))
+      .collect().head.getAs[Long]("hll_est")
+    assert(rows("direct(all)")._2 == direct)
+  }
+
   test("windowed streaming CMS closes windows with reference-identical estimates") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
