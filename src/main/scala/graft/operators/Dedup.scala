@@ -150,7 +150,6 @@ object Dedup {
     * replays the three band joins over the checkpointed frame. */
   def lshTuningReport(spark: SparkSession, dir: String): DataFrame = {
     val sh = minHashSignatures(spark, dir).localCheckpoint()
-    val sets = sh.select(col("doc_id"), col("codes"), col("sz"))
     val nTrue = jaccardPairsUnsorted(spark, dir).agg(count(lit(1)).as("n_true"))
     val perConfig = TuningConfigs.map { case (b, r) =>
       val bands = sh.select(col("doc_id"),
@@ -162,15 +161,9 @@ object Dedup {
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
         .distinct()
-      cand
-        .join(sets.select(col("doc_id").as("doc_i"),
-          col("codes").as("c_i"), col("sz").as("sz_i")), "doc_i")
-        .join(sets.select(col("doc_id").as("doc_j"),
-          col("codes").as("c_j"), col("sz").as("sz_j")), "doc_j")
-        .withColumn("common", size(array_intersect(col("c_i"), col("c_j"))).cast("long"))
-        .withColumn("jacc", col("common") / (col("sz_i") + col("sz_j") - col("common")))
+      withJaccard(cand, sh, "doc_i", "doc_j")
         .agg(count(lit(1)).as("n_candidates"),
-          sum(when(col("jacc") >= JaccardThreshold, 1L).otherwise(0L)).as("n_found"))
+          sum(when(col("jaccard") >= JaccardThreshold, 1L).otherwise(0L)).as("n_found"))
         .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
           col("n_candidates"), col("n_found"))
     }
@@ -194,6 +187,24 @@ object Dedup {
   /** MinHash/LSH near-dup pairs: band-bucket candidates, then exact
     * Jaccard verification at the threshold. Deterministically misses
     * what LSH misses — the oracle replays the same banding. */
+  /** Exact-Jaccard verification shared by every LSH variant: join both
+    * sides' (codes, sz) from the signature frame onto a candidate pair
+    * frame (id columns named by `leftCol`/`rightCol`) and score ONE
+    * array_intersect per candidate — expensive work only on survivors
+    * of the band join, never all pairs. Emits the input columns plus
+    * `jaccard`. */
+  private def withJaccard(cand: DataFrame, sh: DataFrame,
+      leftCol: String, rightCol: String): DataFrame = {
+    val sets = sh.select(col("doc_id"), col("codes"), col("sz").cast("long").as("sz"))
+    cand
+      .join(sets.select(col("doc_id").as(leftCol),
+        col("codes").as("c_i"), col("sz").as("sz_i")), leftCol)
+      .join(sets.select(col("doc_id").as(rightCol),
+        col("codes").as("c_j"), col("sz").as("sz_j")), rightCol)
+      .withColumn("common", size(array_intersect(col("c_i"), col("c_j"))).cast("long"))
+      .withColumn("jaccard", col("common") / (col("sz_i") + col("sz_j") - col("common")))
+  }
+
   /** Banded LSH keys of a signature frame: one (doc_id, band, m1, m2)
     * row per band — the bucket-join key for both the symmetric pair
     * search and the incremental batch-vs-corpus probe. */
@@ -214,12 +225,7 @@ object Dedup {
           col("a.m2") === col("b.m2") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
       .distinct()
-    val sets = sh.select(col("doc_id"), col("codes"), size(col("codes")).cast("long").as("sz"))
-    cand
-      .join(sets.select(col("doc_id").as("doc_i"), col("codes").as("c_i"), col("sz").as("sz_i")), "doc_i")
-      .join(sets.select(col("doc_id").as("doc_j"), col("codes").as("c_j"), col("sz").as("sz_j")), "doc_j")
-      .withColumn("common", size(array_intersect(col("c_i"), col("c_j"))).cast("long"))
-      .withColumn("jaccard", col("common") / (col("sz_i") + col("sz_j") - col("common")))
+    withJaccard(cand, sh, "doc_i", "doc_j")
       .filter(col("jaccard") >= JaccardThreshold)
       .select(col("doc_i"), col("doc_j"), col("jaccard"))
   }
@@ -592,12 +598,7 @@ object Dedup {
           col("a.m2") === col("b.m2"))
       .select(col("a.doc_id").as("batch_id"), col("b.doc_id").as("corpus_id"))
       .distinct()
-    val sets = sh.select(col("doc_id"), col("codes"), size(col("codes")).cast("long").as("sz"))
-    val dups = cand
-      .join(sets.select(col("doc_id").as("batch_id"), col("codes").as("c_i"), col("sz").as("sz_i")), "batch_id")
-      .join(sets.select(col("doc_id").as("corpus_id"), col("codes").as("c_j"), col("sz").as("sz_j")), "corpus_id")
-      .withColumn("common", size(array_intersect(col("c_i"), col("c_j"))).cast("long"))
-      .withColumn("jaccard", col("common") / (col("sz_i") + col("sz_j") - col("common")))
+    val dups = withJaccard(cand, sh, "batch_id", "corpus_id")
       .filter(col("jaccard") >= JaccardThreshold)
       .groupBy(col("batch_id"))
       .agg(count(lit(1)).as("n_dups"), max(col("jaccard")).as("best_jaccard"))

@@ -163,24 +163,36 @@ object Profiling {
     * monitoring question "do errors move with clicks?" answered over
     * the whole log.
     *
-    * Shape: one scan pivots to a dense (minute × 5 counts) frame via
-    * conditional sums (absent activity = exact 0, which a join-based
-    * pairing would silently drop), then every pair's five moments
-    * (Σx, Σy, Σxy, Σx², Σy²) aggregate in the same pass over that
-    * frame — exact BIGINTs, map-side combined, one row out per pair.
-    * The final correlation is deterministic double arithmetic over
-    * those exact integers, rounded to 6 in both engines. */
+    * Shape: one scan pivots to a (minute × 5 counts) frame via
+    * conditional sums, which is then made DENSE over the full observed
+    * [min, max] minute range (a distributed range spine from a 1-row
+    * extent pull, zero-filled left join): a silent minute is a real
+    * observation of zero activity for every series — ~79% of this
+    * log's span — and dropping it would compute correlation
+    * conditional on activity instead of correlation of the series.
+    * Every pair's five moments (Σx, Σy, Σxy, Σx², Σy²) then aggregate
+    * in one pass — exact BIGINTs, map-side combined, one row out per
+    * pair. The final correlation is deterministic double arithmetic
+    * over those exact integers, rounded to 6 in both engines. */
   def activityCorr(spark: SparkSession, dir: String): DataFrame =
     activityCorrOn(Tables.events(spark, dir), CorrTypes)
 
   /** Correlation core over any (ts, event_type) frame. */
   def activityCorrOn(ev: DataFrame, types: Seq[String]): DataFrame = {
+    val spark = ev.sparkSession
     val minuteCols = types.map(t =>
       sum(when(col("event_type") === t, lit(1L)).otherwise(lit(0L))).as(s"n_$t"))
-    val perMinute = ev
+    val active = ev
       .select(expr("unix_micros(ts) div 60000000").as("minute"), col("event_type"))
       .groupBy(col("minute"))
       .agg(minuteCols.head, minuteCols.tail: _*)
+    // bounded 1-row pull: just the series extent, never data
+    val ext = active.agg(min(col("minute")), max(col("minute"))).head()
+    require(!ext.isNullAt(0), "activityCorr needs at least one event")
+    val perMinute = spark.range(ext.getLong(0), ext.getLong(1) + 1)
+      .toDF("minute")
+      .join(active, Seq("minute"), "left")
+      .na.fill(0L, types.map(t => s"n_$t"))
     val pairs = for {
       (a, i) <- types.zipWithIndex; b <- types.drop(i + 1)
     } yield (a, b)
@@ -233,11 +245,15 @@ object Profiling {
            |  sum(n_$a)::BIGINT AS sx, sum(n_$b)::BIGINT AS sy,
            |  sum(n_$a * n_$b)::BIGINT AS sxy,
            |  sum(n_$a * n_$a)::BIGINT AS sxx, sum(n_$b * n_$b)::BIGINT AS syy
-           |FROM m""".stripMargin
+           |FROM d""".stripMargin
       }.mkString("\nUNION ALL ")
+      val zf = CorrTypes.map(t => s"coalesce(n_$t, 0) AS n_$t").mkString(", ")
       s"""WITH m AS (SELECT epoch_us(ts) // 60000000 AS minute,
          |    $cnt
          |  FROM events GROUP BY 1),
+         |ext AS (SELECT min(minute) AS mn, max(minute) AS mx FROM m),
+         |spine AS (SELECT unnest(generate_series(mn, mx)) AS minute FROM ext),
+         |d AS (SELECT s.minute, $zf FROM spine s LEFT JOIN m USING (minute)),
          |p AS ($rows)
          |SELECT type_a, type_b, n, sx, sy, sxy, sxx, syy,
          |  round((n * sxy - sx * sy)::DOUBLE

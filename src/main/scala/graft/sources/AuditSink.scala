@@ -78,6 +78,14 @@ object AuditStore {
       name: String, schema: StructType,
       append: Vector[Array[Any]], truncate: Boolean): Unit =
     tables.synchronized {
+      // an append onto an existing table must match its schema — old
+      // rows were encoded under it, and replacing it would decode them
+      // under the wrong column layout at scan time
+      val existing = if (truncate) StructType(Nil) else schemaOf(name)
+      if (existing.nonEmpty && existing != schema)
+        throw new IllegalArgumentException(
+          s"graft-audit append schema ${schema.catalogString} does not match " +
+            s"table '$name' schema ${existing.catalogString}; use overwrite")
       val prev = if (truncate) Vector.empty else rows(name)
       tables.put(name, (schema, prev ++ append))
     }
@@ -156,7 +164,10 @@ private[sources] class AuditWriterFactory(schema: StructType)
       private val buf = Vector.newBuilder[Array[Any]]
       override def write(row: InternalRow): Unit =
         buf += schema.fields.zipWithIndex.map { case (f, i) =>
-          f.dataType match {
+          // null check first: getLong/getDouble on a null slot would
+          // silently store a phantom 0, getUTF8String would NPE
+          if (row.isNullAt(i)) null
+          else f.dataType match {
             case LongType => row.getLong(i)
             case IntegerType => row.getInt(i)
             case DoubleType => row.getDouble(i)

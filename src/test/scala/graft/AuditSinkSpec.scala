@@ -47,6 +47,37 @@ class AuditSinkSpec extends SparkSpec {
       "failed job must publish nothing (atomic all-or-nothing)")
   }
 
+  test("null fields round-trip as nulls, never phantom zeros or NPEs") {
+    AuditStore.drop("t4")
+    Seq((Some(1L), Option("a"), Some(1.5)),
+        (None, None, None),
+        (Some(3L), Option("c"), None))
+      .toDF("id", "tag", "score")
+      .write.format("graft-audit").option("table", "t4").mode("append").save()
+    val back = spark.read.format("graft-audit").option("table", "t4").load()
+    assert(back.count() == 3)
+    assert(back.filter(col("id").isNull && col("tag").isNull && col("score").isNull)
+      .count() == 1, "the all-null row must read back as nulls")
+    assert(back.filter(col("id") === 0L).count() == 0,
+      "a null BIGINT must never surface as a phantom 0")
+    assert(back.agg(sum("id")).head().getLong(0) == 4L)
+  }
+
+  test("a schema-mismatched append is rejected at commit, not decoded as garbage") {
+    AuditStore.drop("t5")
+    write("t5", 10)
+    val swapped = (1 to 5).map(i => (s"x$i", i.toLong, i * 1.0))
+      .toDF("tag", "id", "score") // same names, different positions/types
+    intercept[Exception] {
+      swapped.write.format("graft-audit").option("table", "t5").mode("append").save()
+    }
+    assert(AuditStore.rows("t5").length == 10, "the bad append must publish nothing")
+    // overwrite with a new schema is the sanctioned path
+    swapped.write.format("graft-audit").option("table", "t5").mode("overwrite").save()
+    val back = spark.read.format("graft-audit").option("table", "t5").load()
+    assert(back.count() == 5 && back.schema.fieldNames.head == "tag")
+  }
+
   test("overwrite routes through SupportsTruncate: old rows replaced in one publish") {
     AuditStore.drop("t3")
     write("t3", 300)
