@@ -109,6 +109,40 @@ object Behavior {
         (unix_micros(col("m.p_ts")) - unix_micros(col("view_ts"))).as("gap_us"))
   }
 
+  /** Markov transition matrix over each user's event-type sequence:
+    * counts of adjacent src → dst event-type pairs in per-user
+    * (ts, event_id) order, with the per-source transition probability
+    * in integer milli (truncating div — engine-exact). The behavioral
+    * "what happens next" model a recommender or anomaly scorer starts
+    * from.
+    *
+    * Scale shape: lag() runs inside a per-USER window — one hash
+    * shuffle on user_id with the sort bounded by each entity's own
+    * history, never a corpus-wide order; the (src, dst) aggregate
+    * map-side-combines into at most |types|² rows, and the per-source
+    * totals re-aggregate that tiny matrix and broadcast back. */
+  def transitions(spark: SparkSession, dir: String): DataFrame =
+    transitionsOn(Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type")))
+
+  /** Core over any (event_id, ts, user_id, event_type) frame — seam for
+    * spec logs, mirroring [[patternWithinOn]]. */
+  private[graft] def transitionsOn(evIn: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("event_id"))
+    val ev = evIn.select(col("user_id"), col("event_id"), col("event_type"),
+      unix_micros(col("ts")).as("tus"))
+    val counts = ev.withColumn("src_type", lag(col("event_type"), 1).over(w))
+      .filter(col("src_type").isNotNull)
+      .groupBy(col("src_type"), col("event_type").as("dst_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(col("src_type")).agg(sum(col("n")).as("total"))
+    counts.join(broadcast(totals), "src_type")
+      .select(col("src_type"), col("dst_type"), col("n"),
+        expr("n * 1000 div total").as("milli_prob"))
+  }
+
   /** One smoothed reading per event. */
   final case class EwmaPoint(user_id: Long, event_id: Long,
       cents: Long, ewma_cents: Long)
@@ -156,6 +190,7 @@ object Behavior {
     "funnel_conversion" -> ((s, d) => funnel(s, d)),
     "evt_pattern_within" -> ((s, d) => patternWithin(s, d)),
     "evt_ewma" -> ((s, d) => ewmaSmooth(s, d)),
+    "evt_transitions" -> ((s, d) => transitions(s, d)),
     "cohort_retention" -> ((s, d) => cohortRetention(s, d)))
 
   val oracle: Map[String, String] = Map(
@@ -192,6 +227,18 @@ object Behavior {
         |  es[u.i::INT]::BIGINT AS ewma_cents
         |FROM f, UNNEST(range(1, len(ids) + 1)) AS u(i)
         |ORDER BY user_id, event_id""".stripMargin,
+    "evt_transitions" ->
+      """WITH p AS (SELECT user_id,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS src_type,
+        |    event_type AS dst_type
+        |  FROM events),
+        |c AS (SELECT src_type, dst_type, count(*)::BIGINT AS n FROM p
+        |  WHERE src_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT src_type, sum(n)::BIGINT AS total FROM c GROUP BY 1)
+        |SELECT c.src_type, c.dst_type, c.n, (c.n * 1000) // t.total AS milli_prob
+        |FROM c JOIN t USING (src_type)
+        |ORDER BY 1, 2""".stripMargin,
     "funnel_conversion" ->
       """WITH t1 AS (SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
         |  FROM events GROUP BY 1 HAVING t_view IS NOT NULL),

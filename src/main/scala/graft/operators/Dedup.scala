@@ -385,6 +385,45 @@ object Dedup {
       .filter(col("n_shared") >= DecontamMinShared)
   }
 
+  // -------------------------------------------- cross-doc span duplication
+
+  /** Cross-document duplicated-span fraction — the INTER-document twin
+    * of Curation's within-doc `text_repetition` (and the diagnostic
+    * behind span-level dedup in pipelines like RefinedWeb): for every
+    * doc, how many of its distinct word-3-gram shingles also occur in
+    * at least one OTHER document, as a count and an integer milli
+    * fraction (truncating div, engine-exact).
+    *
+    * Scale shape: one inverted-index pass — explode distinct shingles,
+    * hash-aggregate document frequency per code (map-side combined),
+    * semi-join the postings back against the df≥2 codes on the SAME
+    * code shuffle key (the exchange is reused, no second wide shuffle),
+    * then one per-doc count. The corpus is never self-joined, and no
+    * df cap is needed: unlike the pair join, a hot shingle's cost here
+    * is linear in its posting list, never quadratic. */
+  def crossDocSpanStats(spark: SparkSession, dir: String): DataFrame =
+    crossDocSpanStatsOn(Tables.documents(spark, dir))
+
+  /** Core over any (doc_id, text) frame — seam for spec corpora. */
+  private[graft] def crossDocSpanStatsOn(docs: DataFrame): DataFrame = {
+    val sh = shingledOn(docs).filter(col("sz") > 0)
+    val posts = sh.select(col("doc_id"), explode(col("codes")).as("code"))
+    // codes are distinct per doc (shingledOn), so count(*) per code IS
+    // the document frequency
+    val sharedCodes = posts.groupBy(col("code"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+      .select(col("code"))
+    val perDoc = posts.join(sharedCodes, Seq("code"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+    sh.select(col("doc_id"), col("sz").as("n_shingles"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        expr("coalesce(n_shared, 0L) * 1000 div n_shingles").as("shared_milli"))
+  }
+
   // ------------------------------------------------ keep-best selection
 
   /** Quality-aware canonical selection: for every near-dup cluster,
@@ -622,6 +661,7 @@ object Dedup {
     "dedup_embedding" -> ((s, d) => embeddingNearDups(s, d)),
     "dedup_embedding_clusters" -> ((s, d) => embeddingClusters(s, d)),
     "decontam_overlap" -> ((s, d) => decontamOverlap(s, d)),
+    "dedup_span_frac" -> ((s, d) => crossDocSpanStats(s, d)),
     "dedup_keep_best" -> ((s, d) => keepBestPerCluster(s, d)))
 
   // ------------------------------------------------------------- oracles
@@ -704,6 +744,19 @@ object Dedup {
          |SELECT c.doc_id, count(*)::BIGINT AS n_shared
          |FROM corpus c JOIN evalcodes e USING (code)
          |GROUP BY 1 HAVING count(*) >= $DecontamMinShared
+         |ORDER BY 1""".stripMargin,
+    "dedup_span_frac" ->
+      s"""WITH $shingleCte,
+         |shz AS (SELECT doc_id, codes, sz FROM sh WHERE sz > 0),
+         |posts AS (SELECT doc_id, unnest(codes) AS code FROM shz),
+         |sharedc AS (SELECT code FROM posts GROUP BY code
+         |  HAVING count(*) >= 2),
+         |per AS (SELECT p.doc_id, count(*)::BIGINT AS n_shared
+         |  FROM posts p JOIN sharedc USING (code) GROUP BY 1)
+         |SELECT s.doc_id, s.sz AS n_shingles,
+         |  coalesce(per.n_shared, 0)::BIGINT AS n_shared,
+         |  (coalesce(per.n_shared, 0) * 1000) // s.sz AS shared_milli
+         |FROM shz s LEFT JOIN per USING (doc_id)
          |ORDER BY 1""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS digest, min(doc_id) AS canonical_id,

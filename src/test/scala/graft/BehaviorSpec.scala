@@ -85,4 +85,26 @@ class BehaviorSpec extends SparkSpec {
       (4L, 2L, 1L, "purchase")) // same ts as 3: id 3 must win
     assert(got.toSeq == Seq((1L, 3L, 2L * 60000000L)))
   }
+
+  test("transitions count per-user adjacent pairs with same-ts ties on event_id") {
+    val got = Behavior.transitionsOn(
+      Seq(
+        (1L, 0L, 7L, "view"),
+        (2L, 1L, 7L, "click"),
+        (3L, 2L, 7L, "view"),
+        (4L, 3L, 7L, "purchase"),
+        (5L, 0L, 8L, "view"), // separate user: no cross-user pair
+        (6L, 1L, 8L, "view"),
+        (7L, 1L, 8L, "click")) // same ts as 6: order is 5, 6, 7 by id
+        .map { case (id, off, u, t) => (id, ts(off), u, t) }
+        .toDF("event_id", "ts", "user_id", "event_type"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == Map(
+      ("view", "click") -> ((2L, 500L)),
+      ("view", "view") -> ((1L, 250L)),
+      ("view", "purchase") -> ((1L, 250L)),
+      ("click", "view") -> ((1L, 1000L))))
+  }
 }

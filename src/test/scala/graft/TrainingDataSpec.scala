@@ -106,6 +106,23 @@ class TrainingDataSpec extends SparkSpec {
       List("aa", "aa"), List("aa", "a"), List("x", "cc"), List("er", "er")))
   }
 
+  test("cross-doc span fraction counts shingles shared with OTHER docs only") {
+    val corpus = Seq(
+      (1L, "a b c d"), // {abc, bcd}; shares abc with doc 2
+      (2L, "a b c x"), // {abc, bcx}
+      (3L, "p q r s t"), // 3 shingles, all unique to doc 3
+      (4L, "a b") // too short to shingle: excluded, not divided by zero
+    ).toDF("doc_id", "text")
+    val got = Dedup.crossDocSpanStatsOn(corpus)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == Map(
+      1L -> ((2L, 1L, 500L)),
+      2L -> ((2L, 1L, 500L)),
+      3L -> ((3L, 0L, 0L))))
+  }
+
   test("exact dedup groups identical texts") {
     val d = Dedup.exactOn(docs, col("text"), col("doc_id"))
     val m = d.collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
