@@ -385,6 +385,49 @@ object Dedup {
       .filter(col("n_shared") >= DecontamMinShared)
   }
 
+  // ---------------------------------------------------- containment pairs
+
+  /** Directed containment threshold in milli: |A∩B|/|A| ≥ 0.8. */
+  val ContainmentMilli = 800L
+
+  /** Asymmetric containment near-dups: directed pairs where at least
+    * 80% of doc A's distinct shingles also appear in doc B — the pass
+    * that catches a SHORT document embedded in a LONG one (quotation,
+    * concatenation, page-within-crawl), which symmetric Jaccard
+    * misses because the union denominator dilutes the overlap.
+    * Containment C(A→B) = |A∩B|/|A| is reported in integer milli
+    * (truncating div, engine-exact); identical docs appear in both
+    * directions at 1000.
+    *
+    * Scale shape: the same inverted-index discipline as
+    * [[jaccardPairsOn]] — postings carry the owning doc's set size, the
+    * df cap is the stop-shingle skew valve, and candidates are only
+    * pairs sharing ≥1 surviving shingle. The `=!=` join emits both
+    * directions of each candidate (containment is directed), doubling
+    * pair rows but not the shuffle of postings. */
+  def containmentPairs(spark: SparkSession, dir: String): DataFrame =
+    containmentPairsOn(shingled(spark, dir))
+
+  /** Core over any (doc_id, codes, sz) shingle frame — spec seam. */
+  private[graft] def containmentPairsOn(
+      sh: DataFrame, maxDf: Long = DefaultMaxShingleDf): DataFrame = {
+    val allPosts = sh.filter(col("sz") > 0)
+      .select(col("doc_id"), col("sz"), explode(col("codes")).as("code"))
+    val rare = allPosts.groupBy(col("code"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select(col("code"))
+    val posts = allPosts.join(rare, Seq("code"), "left_semi")
+    posts.as("a").join(posts.as("b"),
+        col("a.code") === col("b.code") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"), first(col("a.sz")).as("sz_a"))
+      // integer-exact threshold: common/sz_a >= C/1000 without doubles
+      .filter(col("common") * lit(1000L) >= lit(ContainmentMilli) * col("sz_a"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("common * 1000 div sz_a").as("containment_milli"))
+  }
+
   // -------------------------------------------- cross-doc span duplication
 
   /** Cross-document duplicated-span fraction — the INTER-document twin
@@ -662,6 +705,7 @@ object Dedup {
     "dedup_embedding_clusters" -> ((s, d) => embeddingClusters(s, d)),
     "decontam_overlap" -> ((s, d) => decontamOverlap(s, d)),
     "dedup_span_frac" -> ((s, d) => crossDocSpanStats(s, d)),
+    "dedup_containment" -> ((s, d) => containmentPairs(s, d)),
     "dedup_keep_best" -> ((s, d) => keepBestPerCluster(s, d)))
 
   // ------------------------------------------------------------- oracles
@@ -745,6 +789,18 @@ object Dedup {
          |FROM corpus c JOIN evalcodes e USING (code)
          |GROUP BY 1 HAVING count(*) >= $DecontamMinShared
          |ORDER BY 1""".stripMargin,
+    "dedup_containment" ->
+      s"""WITH $shingleCte,
+         |$postsCte,
+         |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    count(*)::BIGINT AS common
+         |  FROM posts a JOIN posts b ON a.code = b.code
+         |    AND a.doc_id <> b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, (common * 1000) // sa.sz AS containment_milli
+         |FROM common JOIN sh sa ON sa.doc_id = doc_a
+         |WHERE common * 1000 >= $ContainmentMilli * sa.sz
+         |ORDER BY 1, 2""".stripMargin,
     "dedup_span_frac" ->
       s"""WITH $shingleCte,
          |shz AS (SELECT doc_id, codes, sz FROM sh WHERE sz > 0),

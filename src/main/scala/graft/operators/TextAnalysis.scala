@@ -190,6 +190,45 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("token"))
       .limit(30)
 
+  /** Head-coverage rank cut for the Zipf report. */
+  val HeadK = 1000
+
+  /** Vocabulary head coverage (the Zipf sanity report a tokenizer/
+    * vocab decision starts from): what fraction of all token
+    * OCCURRENCES the top-10 / top-100 / top-1000 most frequent words
+    * cover, in integer milli. One row.
+    *
+    * Scale shape: the only corpus-size exchange is the (token, count)
+    * map-side-combined shuffle; the top-k cut is TakeOrdered (per-
+    * partition heaps, k rows to the driver-side merge, never a global
+    * sort), and the ranking window runs over the k-LIMITED frame —
+    * bounded by k=1000, not the corpus. Ties order (count desc, token)
+    * in both engines. */
+  def headCoverage(spark: SparkSession, dir: String): DataFrame =
+    headCoverageOn(Tables.documents(spark, dir))
+
+  /** Core over any (doc_id, text) frame — spec seam. */
+  private[graft] def headCoverageOn(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("total"))
+    val ranked = counts.orderBy(col("n").desc, col("token")).limit(HeadK)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("n").desc, col("token"))))
+    val cov = ranked.agg(
+      sum(when(col("rank") <= 10, col("n"))).as("c10"),
+      sum(when(col("rank") <= 100, col("n"))).as("c100"),
+      sum(col("n")).as("c1000"))
+    cov.crossJoin(broadcast(total)).select(
+      col("total").as("total_tokens"),
+      expr("coalesce(c10, 0L) * 1000 div total").as("top10_milli"),
+      expr("coalesce(c100, 0L) * 1000 div total").as("top100_milli"),
+      expr("c1000 * 1000 div total").as("top1000_milli"))
+  }
+
   /** Per-document character-distribution entropy in bits — the
     * randomness gate (low entropy = repeated boilerplate, high =
     * encrypted/binary junk) curation stacks next to the Gopher rules.
@@ -369,6 +408,7 @@ object TextAnalysis {
     "text_bpe_tokens" -> ((s, d) => bpeTokenCounts(s, d)),
     "text_lang_id_ngram" -> ((s, d) => langIdNgram(s, d)),
     "text_wordcount_topk" -> ((s, d) => wordCountTopK(s, d)),
+    "text_head_coverage" -> ((s, d) => headCoverage(s, d)),
     "text_char_entropy" -> ((s, d) => charEntropy(s, d)))
 
   private val stopSqlAll: String =
@@ -535,5 +575,19 @@ object TextAnalysis {
     "text_wordcount_topk" ->
       """SELECT token, count(*)::BIGINT AS n
         |FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token FROM documents)
-        |GROUP BY token ORDER BY n DESC, token LIMIT 30""".stripMargin)
+        |GROUP BY token ORDER BY n DESC, token LIMIT 30""".stripMargin,
+    "text_head_coverage" ->
+      s"""WITH tok AS (SELECT unnest(list_filter(string_split(text, ' '),
+         |    x -> x <> '')) AS token FROM documents),
+         |c AS (SELECT token, count(*)::BIGINT AS n FROM tok GROUP BY 1),
+         |r AS (SELECT n, row_number() OVER (ORDER BY n DESC, token) AS rank
+         |  FROM c),
+         |t AS (SELECT sum(n)::BIGINT AS total FROM c)
+         |SELECT t.total AS total_tokens,
+         |  (coalesce(sum(CASE WHEN rank <= 10 THEN n END), 0)::BIGINT * 1000)
+         |    // t.total AS top10_milli,
+         |  (coalesce(sum(CASE WHEN rank <= 100 THEN n END), 0)::BIGINT * 1000)
+         |    // t.total AS top100_milli,
+         |  (sum(n)::BIGINT * 1000) // t.total AS top1000_milli
+         |FROM r, t WHERE rank <= $HeadK GROUP BY t.total""".stripMargin)
 }

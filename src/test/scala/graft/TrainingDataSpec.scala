@@ -123,6 +123,32 @@ class TrainingDataSpec extends SparkSpec {
       3L -> ((3L, 0L, 0L))))
   }
 
+  test("containment catches a short doc inside a long one that Jaccard misses") {
+    val corpus = Seq(
+      (1L, "a b c d"), // {abc, bcd} — fully contained in doc 2
+      (2L, "a b c d e f g h i j") // 8 shingles
+    ).toDF("doc_id", "text")
+    val sh = Dedup.shingledOn(corpus)
+    val cont = Dedup.containmentPairsOn(sh)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // C(1→2) = 2/2 = 1000 ≥ 800; C(2→1) = 2/8 = 250 < 800
+    assert(cont == Set((1L, 2L, 1000L)))
+    // symmetric Jaccard = 2/8 = 0.25 < 0.5: the pair is invisible to it
+    assert(Dedup.jaccardPairsOn(sh).count() == 0L)
+  }
+
+  test("head coverage milli fractions follow the constructed Zipf head") {
+    // 12 singleton words + one word appearing 8 times: 20 occurrences.
+    // top-10 = "x"(8) + 9 singletons = 17/20 = 850 milli; wider cuts
+    // cover everything.
+    val docs =
+      ((1L to 12L).map(i => (i, s"w$i")) :+ (13L, Seq.fill(8)("x").mkString(" ")))
+        .toDF("doc_id", "text")
+    val r = TextAnalysis.headCoverageOn(docs).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((20L, 850L, 1000L, 1000L)))
+  }
+
   test("exact dedup groups identical texts") {
     val d = Dedup.exactOn(docs, col("text"), col("doc_id"))
     val m = d.collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
