@@ -413,6 +413,59 @@ object Sketches {
     * estimation under multiset operations", 2007). At 100 TB the exact
     * columns are dropped: the pair join then touches only G² sketch
     * rows of k longs each, never the corpus. */
+  /** KMV set algebra: estimated |A∪B|, |A∩B|, |A\B|, |B\A| for every
+    * event-type pair, beside the exact union/intersection — the full
+    * multiset-operations story (Beyer et al. 2007) that makes KMV the
+    * planning sketch HLL cannot be. The union sketch is the bottom-k
+    * of the merged sketches (itself a valid KMV sample of A∪B), the
+    * intersection estimate rides its shared fraction
+    * (K∩/|merged| · Û), and the differences follow by inclusion-
+    * exclusion over already-estimated terms, clamped at zero — all
+    * integer milli-free arithmetic replayed bit-for-bit by the oracle.
+    *
+    * Scale shape: after the one sketch-building shuffle, the pair join
+    * touches G² sketch rows of ≤ k longs each — the corpus is never
+    * read again. The exact columns exist for the report and drop out
+    * at 100 TB. */
+  def kmvSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val sk = withKmvEstimate(kmvSketches(spark, dir))
+    val a = sk.select(col("event_type").as("type_a"), col("sketch").as("sk_a"),
+      col("kmv_est").as("est_a"))
+    val b = sk.select(col("event_type").as("type_b"), col("sketch").as("sk_b"),
+      col("kmv_est").as("est_b"))
+    val est = a.join(b, col("type_a") < col("type_b"))
+      .withColumn("merged",
+        slice(array_sort(array_union(col("sk_a"), col("sk_b"))), 1, KmvK))
+      .withColumn("msz", size(col("merged")).cast("long"))
+      .withColumn("union_est",
+        when(col("msz") < KmvK, col("msz"))
+          .otherwise(expr(s"(${KmvK - 1} * ${KmvDomain}L) div element_at(merged, $KmvK)")))
+      .withColumn("n_shared",
+        expr("size(filter(merged, v -> array_contains(sk_a, v) AND array_contains(sk_b, v)))")
+          .cast("long"))
+      .withColumn("inter_est", expr("n_shared * union_est div msz"))
+    val users = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id")).distinct()
+    val ua = users.select(col("event_type").as("type_a"), col("user_id"))
+    val ub = users.select(col("event_type").as("type_b"), col("user_id"))
+    val inter = ua.join(ub, ua("user_id") === ub("user_id") &&
+        col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_inter"))
+    val card = users.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    est
+      .join(card.select(col("event_type").as("type_a"), col("n").as("n_a")), "type_a")
+      .join(card.select(col("event_type").as("type_b"), col("n").as("n_b")), "type_b")
+      .join(inter, Seq("type_a", "type_b"), "left")
+      .select(col("type_a"), col("type_b"),
+        (col("n_a") + col("n_b") - coalesce(col("n_inter"), lit(0L)))
+          .as("n_union_exact"),
+        col("union_est"),
+        coalesce(col("n_inter"), lit(0L)).as("n_inter_exact"),
+        col("inter_est"),
+        greatest(col("est_a") - col("inter_est"), lit(0L)).as("diff_ab_est"),
+        greatest(col("est_b") - col("inter_est"), lit(0L)).as("diff_ba_est"))
+  }
+
   def kmvJaccard(spark: SparkSession, dir: String): DataFrame = {
     val sk = kmvSketches(spark, dir)
     val a = sk.select(col("event_type").as("type_a"), col("sketch").as("sk_a"))
@@ -448,6 +501,7 @@ object Sketches {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sketch_kmv_distinct" -> ((s, d) => kmvDistinct(s, d)),
     "sketch_kmv_jaccard" -> ((s, d) => kmvJaccard(s, d)),
+    "sketch_kmv_setops" -> ((s, d) => kmvSetOps(s, d)),
     "sketch_hll_distinct" -> ((s, d) => hllDistinct(s, d)),
     "sketch_hll_union" -> ((s, d) => hllUnion(s, d)),
     "sketch_cms_topk" -> ((s, d) => cmsTopK(s, d)),
@@ -531,6 +585,47 @@ object Sketches {
          |  coalesce(ex.jaccard_exact_milli, 0)::BIGINT AS jaccard_exact_milli,
          |  e.jaccard_est_milli::BIGINT AS jaccard_est_milli
          |FROM est e LEFT JOIN ex USING (type_a, type_b)
+         |ORDER BY 1, 2""".stripMargin,
+    "sketch_kmv_setops" ->
+      s"""WITH $kmvSketchSql,
+         |est0 AS (SELECT event_type, sketch,
+         |    CASE WHEN len(sketch) < $KmvK THEN len(sketch)::BIGINT
+         |         ELSE (${KmvK - 1} * 4294967296) // sketch[$KmvK] END AS kmv_est
+         |  FROM sk),
+         |pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+         |    a.sketch AS sk_a, b.sketch AS sk_b,
+         |    a.kmv_est AS est_a, b.kmv_est AS est_b
+         |  FROM est0 a JOIN est0 b ON a.event_type < b.event_type),
+         |m AS (SELECT *,
+         |    (list_sort(list_distinct(list_concat(sk_a, sk_b))))[:$KmvK] AS merged
+         |  FROM pairs),
+         |e AS (SELECT type_a, type_b, est_a, est_b,
+         |    len(merged)::BIGINT AS msz,
+         |    CASE WHEN len(merged) < $KmvK THEN len(merged)::BIGINT
+         |         ELSE (${KmvK - 1} * 4294967296) // merged[$KmvK] END AS union_est,
+         |    len(list_filter(merged, v -> list_contains(sk_a, v)
+         |      AND list_contains(sk_b, v)))::BIGINT AS n_shared
+         |  FROM m),
+         |e2 AS (SELECT type_a, type_b, est_a, est_b, union_est,
+         |    (n_shared * union_est) // msz AS inter_est
+         |  FROM e),
+         |inter AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+         |    count(*)::BIGINT AS n_inter
+         |  FROM du a JOIN du b
+         |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+         |  GROUP BY 1, 2),
+         |card AS (SELECT event_type, count(*)::BIGINT AS n FROM du GROUP BY 1)
+         |SELECT e2.type_a, e2.type_b,
+         |  (ca.n + cb.n - coalesce(i.n_inter, 0))::BIGINT AS n_union_exact,
+         |  e2.union_est,
+         |  coalesce(i.n_inter, 0)::BIGINT AS n_inter_exact,
+         |  e2.inter_est,
+         |  greatest(e2.est_a - e2.inter_est, 0)::BIGINT AS diff_ab_est,
+         |  greatest(e2.est_b - e2.inter_est, 0)::BIGINT AS diff_ba_est
+         |FROM e2
+         |JOIN card ca ON ca.event_type = e2.type_a
+         |JOIN card cb ON cb.event_type = e2.type_b
+         |LEFT JOIN inter i ON i.type_a = e2.type_a AND i.type_b = e2.type_b
          |ORDER BY 1, 2""".stripMargin,
     // per-type registers, register-max union, and the direct sketch —
     // the union and direct rows must agree exactly (mergeability)

@@ -151,6 +151,25 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("KMV set ops track exact union/intersection and respect identities") {
+    val rows = Sketches.kmvSetOps(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (uEx, uEst) = (r.getAs[Long]("n_union_exact"), r.getAs[Long]("union_est"))
+      val (iEx, iEst) = (r.getAs[Long]("n_inter_exact"), r.getAs[Long]("inter_est"))
+      val (dAb, dBa) = (r.getAs[Long]("diff_ab_est"), r.getAs[Long]("diff_ba_est"))
+      // structural identities of the estimator, scale-independent
+      assert(iEst >= 0 && iEst <= uEst, "intersection within union")
+      assert(dAb >= 0 && dBa >= 0, "differences clamped at zero")
+      // union sketch error: k=64 → σ ≈ 13%; allow 4σ
+      assert(math.abs(uEst - uEx).toDouble / uEx < 0.52,
+        s"${r.getString(0)}/${r.getString(1)}: union est=$uEst exact=$uEx")
+      // intersection carries union + shared-fraction error; generous band
+      assert(math.abs(iEst - iEx).toDouble / uEx < 0.52,
+        s"${r.getString(0)}/${r.getString(1)}: inter est=$iEst exact=$iEx")
+    }
+  }
+
   test("bloom membership has no false negatives and a small live FP tail") {
     val r = Sketches.bloomReport(spark, sf001).head()
     val (pass, truth, fp) = (r.getLong(0), r.getLong(1), r.getLong(2))
