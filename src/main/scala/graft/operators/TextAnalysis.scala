@@ -87,6 +87,40 @@ object TextAnalysis {
       .withColumn("quality", qualityExpr)
       .select("doc_id", "n_tokens", "diversity", "stop_ratio", "quality")
 
+  /** Per-language quantile normalization of the quality score — the
+    * step that makes quality thresholds comparable across
+    * heterogeneous subcorpora (a cut of 0.6 means different things in
+    * `en` and `zh`; the percentile is the language-fair ranking).
+    * Emits each doc's milli-bin and its percentile-below in milli:
+    * pct = (# same-lang docs in a strictly lower bin) · 1000 div n_lang.
+    *
+    * Scale shape: NO per-doc window — docs reduce to bounded
+    * (lang, bin) counts (≤ |langs|·1001 rows, map-side combined), the
+    * cumulative runs over that sketch-sized frame, and the result
+    * broadcast-joins back to the corpus on (lang, bin). The quality
+    * doubles are bit-identical across engines (text_quality's verified
+    * arithmetic), so even the bin edges replay exactly. */
+  def qualityNormalized(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = Tables.documents(spark, dir)
+      .select(col("doc_id") +: col("lang") +: qualityFeatures(col("text")): _*)
+      .withColumn("quality", qualityExpr)
+      .select(col("doc_id"), col("lang"),
+        floor(col("quality") * lit(1000.0)).as("q_bin"))
+    val bins = q.groupBy(col("lang"), col("q_bin"))
+      .agg(count(lit(1)).as("n_bin"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("q_bin"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = bins.withColumn("below",
+      coalesce(sum(col("n_bin")).over(w), lit(0L)))
+    val tot = bins.groupBy(col("lang")).agg(sum(col("n_bin")).as("n_lang"))
+    q.join(broadcast(cum.select(col("lang"), col("q_bin"), col("below"))),
+        Seq("lang", "q_bin"))
+      .join(broadcast(tot), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("q_bin"),
+        expr("below * 1000 div n_lang").as("pct_milli"))
+  }
+
   /** N-gram/stopword language identification: score each candidate
     * language by stopword hits, predict the argmax (ties broken in fixed
     * language order en>es>de>fr>zh). The corpus vocabulary is English-ish
@@ -403,6 +437,7 @@ object TextAnalysis {
     "text_char_lm" -> ((s, d) => charLmScore(s, d)),
     "text_token_stats" -> ((s, d) => tokenStats(s, d)),
     "text_quality" -> ((s, d) => qualityScore(s, d)),
+    "text_quality_norm" -> ((s, d) => qualityNormalized(s, d)),
     "text_lang_id" -> ((s, d) => langId(s, d)),
     "text_fingerprint" -> ((s, d) => fingerprints(s, d)),
     "text_bpe_tokens" -> ((s, d) => bpeTokenCounts(s, d)),
@@ -576,6 +611,21 @@ object TextAnalysis {
       """SELECT token, count(*)::BIGINT AS n
         |FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token FROM documents)
         |GROUP BY token ORDER BY n DESC, token LIMIT 30""".stripMargin,
+    "text_quality_norm" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+         |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+         |  FROM documents),
+         |q AS (SELECT doc_id, lang,
+         |    floor(($qualitySql) * 1000)::BIGINT AS q_bin FROM t),
+         |b AS (SELECT lang, q_bin, count(*)::BIGINT AS n_bin FROM q GROUP BY 1, 2),
+         |c AS (SELECT lang, q_bin,
+         |    coalesce(sum(n_bin) OVER (PARTITION BY lang ORDER BY q_bin
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS below
+         |  FROM b),
+         |tot AS (SELECT lang, sum(n_bin)::BIGINT AS n_lang FROM b GROUP BY 1)
+         |SELECT q.doc_id, q.lang, q.q_bin, (c.below * 1000) // tot.n_lang AS pct_milli
+         |FROM q JOIN c USING (lang, q_bin) JOIN tot USING (lang)
+         |ORDER BY 1""".stripMargin,
     "text_head_coverage" ->
       s"""WITH tok AS (SELECT unnest(list_filter(string_split(text, ' '),
          |    x -> x <> '')) AS token FROM documents),

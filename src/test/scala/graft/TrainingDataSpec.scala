@@ -354,6 +354,24 @@ class TrainingDataSpec extends SparkSpec {
     assert(l.count() == TextAnalysis.tokenStats(spark, sf0001).count())
   }
 
+  test("quality percentiles are per-lang ranks: bounded, bin-monotone, floor at 0") {
+    val rows = TextAnalysis.qualityNormalized(spark, sf0001)
+      .collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, pct) => assert(pct >= 0 && pct < 1000) }
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      // strictly lower bin ⇒ no higher percentile, within each language
+      val byBin = rs.groupBy(_._2).view.mapValues(_.map(_._3).toSet)
+      byBin.values.foreach(ps =>
+        assert(ps.size == 1, s"$lang: same bin must share one percentile"))
+      val sorted = byBin.toSeq.sortBy(_._1).map(_._2.head)
+      assert(sorted == sorted.sorted, s"$lang: percentile must rise with bin")
+      // the lowest bin has nothing below it
+      assert(sorted.head == 0L, s"$lang: lowest bin must sit at percentile 0")
+    }
+  }
+
   test("fingerprints are stable and collision-free on distinct texts") {
     val fp = TextAnalysis.fingerprints(spark, sf0001)
     val n = fp.count()
