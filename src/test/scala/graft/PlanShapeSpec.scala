@@ -124,6 +124,28 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("round-5 session ops keep their shapes: no cartesian, no corpus window") {
+    // span-frac / containment are inverted-index passes; transitions'
+    // only window is per-user; quality_norm's only window runs over the
+    // bounded (lang, bin) frame and rejoins by broadcast. (kmv_setops
+    // is exempt from the nested-loop ban: its type_a < type_b pair join
+    // over the G-row sketch frame is a deliberate bounded non-equi
+    // join, same as kmvJaccard.)
+    Seq("dedup_span_frac", "dedup_containment", "evt_transitions",
+        "text_quality_norm").foreach { q =>
+      val p = physical(SparkEntry.queries(q)(spark, sf0001))
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoop"), s"$q plans a nested loop:\n$p")
+    }
+    Seq("dedup_span_frac", "dedup_containment").foreach { q =>
+      val p = physical(SparkEntry.queries(q)(spark, sf0001))
+      assert(!p.contains("Window"), s"$q must stay window-free:\n$p")
+    }
+    val qn = physical(SparkEntry.queries("text_quality_norm")(spark, sf0001))
+    assert(qn.contains("BroadcastHashJoin"),
+      s"quality_norm must broadcast the bin frame back to the corpus:\n$qn")
+  }
+
   test("decontam_overlap broadcasts the eval shingle set, never sort-merges") {
     // the eval suite is KBs against a 100 TB corpus: the corpus posting
     // explode must be filtered by a broadcast semi-join map-side — a
