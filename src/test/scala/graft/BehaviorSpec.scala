@@ -86,6 +86,42 @@ class BehaviorSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 3L, 2L * 60000000L)))
   }
 
+  test("streaming transition edges replay the batch pairs across triggers") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.{StreamingBehavior, UserEvent}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val evs = Seq(
+      UserEvent(7L, 1L, 1000L, "view"),
+      UserEvent(7L, 2L, 2000L, "click"),
+      UserEvent(8L, 3L, 1000L, "view"),
+      // second trigger: user 7 bridges click→purchase ACROSS the
+      // trigger boundary through the carried state
+      UserEvent(7L, 4L, 3000L, "purchase"),
+      UserEvent(8L, 5L, 2000L, "view"),
+      UserEvent(8L, 6L, 2000L, "click")) // same tus as 5: sorts after by id
+    val input = MemoryStream[UserEvent]
+    val edges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String)]
+    val q = StreamingBehavior.transitionEdges(input.toDS())
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[graft.streaming.TransitionEdge], _: Long) =>
+        edges.synchronized { edges ++= df.collect().map(e => (e.user_id, e.src_type, e.dst_type)) }
+        ()
+      }.start()
+    try {
+      input.addData(evs.take(3)); q.processAllAvailable()
+      input.addData(evs.drop(3)); q.processAllAvailable()
+    } finally q.stop()
+    // batch reference over the same rows, as a multiset of (src, dst)
+    val batch = Behavior.transitionsOn(
+        evs.map(e => (e.event_id, new Timestamp(e.tus / 1000L), e.user_id, e.event_type))
+          .toDF("event_id", "ts", "user_id", "event_type"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val streamed = edges.toSeq.groupBy(e => (e._2, e._3)).view.mapValues(_.size.toLong).toMap
+    assert(streamed == batch,
+      s"streaming edge counts must equal the batch transition counts: $streamed vs $batch")
+  }
+
   test("transitions count per-user adjacent pairs with same-ts ties on event_id") {
     val got = Behavior.transitionsOn(
       Seq(
