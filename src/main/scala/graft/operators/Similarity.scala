@@ -329,6 +329,47 @@ object Similarity {
     * lookups each, corpus never shuffles, both quantizers trained with
     * the same seeded fixed-point Lloyd's the oracle replays exactly. */
   def topKIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val scored = ivfPqAdcScored(spark, dir)
+    val topk = udaf(new graft.functions.TopKByScore(IvfTopK))
+    scored.groupBy(col("query_id"))
+      .agg(topk(col("vec_id"), -col("adc")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + lit(1)).as("rnk"),
+        col("col.vec_id").as("vec_id"), (-col("col.cosine")).as("adc"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Shortlist size for the exact re-rank stage (2× the final k). */
+  val RerankShortlist = 10
+
+  /** IVF-PQ with exact re-rank — the two-stage shape a deployed ANN
+    * service actually runs (Jégou et al. 2011 §V-D): the compressed
+    * index nominates a SHORTLIST per query by ADC (4 table lookups per
+    * candidate), then ONLY the shortlist rows are re-scored with the
+    * full-width exact cosine and re-ranked. ADC quantization error can
+    * reorder true neighbors; rescoring k₁ = 2k exact dots per query
+    * repairs the head of the list at a cost independent of corpus
+    * size — the expensive exact stage touches queries × k₁ rows,
+    * never the corpus. */
+  def topKIvfPqRerank(spark: SparkSession, dir: String): DataFrame = {
+    val topShort = udaf(new graft.functions.TopKByScore(RerankShortlist))
+    val shortlist = ivfPqAdcScored(spark, dir)
+      .groupBy(col("query_id"))
+      .agg(topShort(col("vec_id"), -col("adc")).as("top"))
+      .select(col("query_id"), explode(col("top")).as("c"))
+      .select(col("query_id"), col("c.vec_id").as("vec_id"))
+    val exact = shortlist
+      .join(Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
+        "vec_id")
+      .join(broadcast(queriesDf(spark, dir)), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        cosineSim(col("qv"), col("embedding")).as("cosine"))
+    topKPerQuery(exact, IvfTopK)
+  }
+
+  /** Stage shared by [[topKIvfPq]] and [[topKIvfPqRerank]]: every
+    * candidate in the query's coarse cell scored by PQ-ADC lookups. */
+  private def ivfPqAdcScored(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions.dotProduct
     val emb = Tables.embeddings(spark, dir)
       .filter(dotProduct(col("embedding"), col("embedding")) > 0)
@@ -366,17 +407,11 @@ object Similarity {
         (r.getLong(0), qcell(r.getLong(0)), luts(0), luts(1), luts(2), luts(3))
       }.toDF("query_id", "cell", "l0", "l1", "l2", "l3")
     // equi-join on cell = the IVF prune; ADC = 4 lookups + 3 adds
-    val scored = cand.join(broadcast(lutDf), Seq("cell"))
+    cand.join(broadcast(lutDf), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("adc", (0 until PqSubspaces).map(s =>
         element_at(col(s"l$s"), col(s"c$s") + lit(1))).reduce(_ + _))
-    val topk = udaf(new graft.functions.TopKByScore(IvfTopK))
-    scored.groupBy(col("query_id"))
-      .agg(topk(col("vec_id"), -col("adc")).as("top"))
-      .select(col("query_id"), posexplode(col("top")))
-      .select(col("query_id"), (col("pos") + lit(1)).as("rnk"),
-        col("col.vec_id").as("vec_id"), (-col("col.cosine")).as("adc"))
-      .orderBy("query_id", "rnk")
+      .select(col("query_id"), col("vec_id"), col("adc"))
   }
 
   /** Range-search threshold: calibrated so the demo corpus returns a
@@ -513,6 +548,7 @@ object Similarity {
     "emb_centroid_sims" -> ((s, d) => centroidSims(s, d)),
     "sim_knn_join" -> ((s, d) => knnJoin(s, d)),
     "sim_topk_ivfpq" -> ((s, d) => topKIvfPq(s, d)),
+    "sim_topk_ivfpq_rerank" -> ((s, d) => topKIvfPqRerank(s, d)),
     "sim_range_search" -> ((s, d) => rangeSearch(s, d)),
     "sim_topk_bruteforce" -> ((s, d) => topKBruteForce(s, d)),
     "sim_topk_ivf" -> ((s, d) => topKIvf(s, d)),
@@ -615,7 +651,9 @@ object Similarity {
     * sim_topk_pq's) over the same kmnz base, then ADC scoring of only
     * the query's-cell candidates. CTE names are disjoint by
     * construction (c0/a1/c1/a2/c2/af vs kN/kcNN/kaNN/codN). */
-  private val ivfPqOracle: String = {
+  /** CTE chain shared by the ivfpq oracles: everything through the
+    * per-candidate ADC scores of the query's-cell survivors. */
+  private val ivfPqScoredCtes: String = {
     val subs = (0 until PqSubspaces).map(pqSubCtes).mkString(",\n")
     val qSlices = (0 until PqSubspaces).map { s =>
       s"embedding[${s * PqSubDim + 1}:${(s + 1) * PqSubDim}] AS q$s"
@@ -626,7 +664,7 @@ object Similarity {
     val joins = (0 until PqSubspaces)
       .map(s => s"JOIN kc${s}2 b$s ON b$s.cell = c.c$s").mkString("\n  ")
     val codeJoins = (1 until PqSubspaces).map(s => s"JOIN cod$s USING (vec_id)").mkString(" ")
-    s"""WITH kmnz AS (SELECT vec_id, embedding FROM embeddings
+    s"""kmnz AS (SELECT vec_id, embedding FROM embeddings
        |  WHERE list_reduce(list_prepend(0.0::DOUBLE,
        |      list_transform(range(1, len(embedding) + 1),
        |        k -> embedding[k]::DOUBLE * embedding[k]::DOUBLE)), (a, v) -> a + v) > 0),
@@ -648,13 +686,37 @@ object Similarity {
        |  FROM q
        |  JOIN af a ON a.cell = q.cell AND a.vec_id <> q.query_id
        |  JOIN codes c ON c.vec_id = a.vec_id
-       |  $joins),
+       |  $joins)""".stripMargin
+  }
+
+  private val ivfPqOracle: String =
+    s"""WITH $ivfPqScoredCtes,
        |r AS (SELECT query_id, vec_id, adc,
        |    row_number() OVER (PARTITION BY query_id ORDER BY adc ASC, vec_id) AS rnk
        |  FROM scored)
        |SELECT query_id, rnk, vec_id, adc FROM r WHERE rnk <= $IvfTopK
        |ORDER BY query_id, rnk""".stripMargin
-  }
+
+  /** Shortlist by ADC, then exact-cosine re-rank of only those rows —
+    * the oracle replay of [[topKIvfPqRerank]]'s two stages. */
+  private val ivfPqRerankOracle: String =
+    s"""WITH $ivfPqScoredCtes,
+       |short AS (SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY adc ASC, vec_id) AS srnk
+       |    FROM scored) WHERE srnk <= $RerankShortlist),
+       |qv AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+       |  WHERE vec_id < $NumQueries),
+       |exact AS (SELECT s.query_id, s.vec_id,
+       |    ${cosSql("qv.qvec", "e.embedding")} AS cosine
+       |  FROM short s
+       |  JOIN embeddings e ON e.vec_id = s.vec_id
+       |  JOIN qv ON qv.query_id = s.query_id),
+       |rr AS (SELECT query_id, vec_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rnk
+       |  FROM exact)
+       |SELECT query_id, rnk, vec_id, cosine FROM rr WHERE rnk <= $IvfTopK
+       |ORDER BY query_id, rnk""".stripMargin
 
   /** Shared micro-unit explode CTE for the centroid oracles. */
   private val centroidCte: String =
@@ -704,6 +766,7 @@ object Similarity {
          |SELECT qid AS vec_id, rnk, nn_id, cosine FROM r
          |WHERE rnk <= $KnnK ORDER BY vec_id, rnk""".stripMargin,
     "sim_topk_ivfpq" -> ivfPqOracle,
+    "sim_topk_ivfpq_rerank" -> ivfPqRerankOracle,
     "sim_range_search" ->
       s"""WITH nz AS (SELECT vec_id, embedding FROM embeddings
          |  WHERE list_reduce(list_prepend(0.0::DOUBLE,

@@ -217,6 +217,34 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("exact re-rank restores true cosine order over the ADC shortlist") {
+    val rr = Similarity.topKIvfPqRerank(spark, sf0001)
+      .select("query_id", "rnk", "vec_id", "cosine")
+      .as[(Long, Int, Long, Double)].collect()
+    assert(rr.nonEmpty)
+    // the same cell-pruned candidates scored exactly (the IVF k-means
+    // top-k carries brute-force-identical cosines for its cell)
+    val ivf = Similarity.topKIvfKmeans(spark, sf0001)
+      .select("query_id", "vec_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+    rr.groupBy(_._1).values.foreach { rows =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to sorted.length), "full rank list")
+      // exact cosines DESCEND with rank — the re-rank's whole point;
+      // ADC order (sim_topk_ivfpq) need not be cosine-monotone
+      val cos = sorted.map(_._4).toSeq
+      assert(cos == cos.sorted.reverse, "re-ranked by exact cosine")
+      assert(!rows.exists(r => r._3 == r._1), "never its own neighbor")
+    }
+    // where the re-rank keeps a vector the plain IVF also scored, the
+    // exact cosine must agree bit-for-bit with the IVF path's
+    rr.foreach { case (q, _, v, c) =>
+      ivf.get(q).flatMap(_.get(v)).foreach(expected =>
+        assert(c == expected, s"query $q vec $v: cosine drifted"))
+    }
+  }
+
   test("covariance moments equal a direct fold and are split-invariant") {
     val d = 3
     val rnd = new scala.util.Random(7)
