@@ -397,6 +397,45 @@ object Curation {
           .otherwise(lit(4L)).as("stage"))
   }
 
+  /** Budget as a fraction of total corpus tokens: keep the top-quality
+    * quarter. */
+  val BudgetDenom = 4L
+
+  /** Token-budget curation: select the highest-quality documents whose
+    * tokens fit a budget (total div 4) — the "give me the best X
+    * tokens" cut an annealing / midtraining data order starts from.
+    * Greedy quality-first at milli-bin granularity: a bin is selected
+    * iff ALL tokens in bins at-or-above it fit the budget, so the
+    * decision is a pure function of the bin histogram (no per-doc
+    * knapsack, no ordering ambiguity inside a bin).
+    *
+    * Scale shape: docs reduce to a ≤1001-row (bin, tokens) histogram
+    * (map-side combined); the top-down cumulative runs over that
+    * bounded frame; the verdict broadcast-joins back to the corpus on
+    * the bin. One corpus shuffle total — the histogram's. */
+  def tokenBudgetSelect(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id") +: TextAnalysis.qualityFeatures(col("text")): _*)
+      .withColumn("quality", TextAnalysis.qualityExpr)
+      .select(col("doc_id"),
+        floor(col("quality") * lit(1000.0)).as("q_bin"),
+        col("n_tokens"))
+    val hist = d.groupBy(col("q_bin")).agg(sum(col("n_tokens")).as("bin_tokens"))
+    // cumulative from the TOP over the bounded bin frame: tokens in
+    // bins >= this one
+    val w = Window.orderBy(col("q_bin").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = hist.withColumn("cum", sum(col("bin_tokens")).over(w))
+      .select(col("q_bin"), col("cum"))
+    val budget = d.agg(sum(col("n_tokens")).as("total"))
+      .select(expr(s"total div $BudgetDenom").as("budget"))
+    d.join(broadcast(cum), Seq("q_bin"))
+      .crossJoin(broadcast(budget))
+      .select(col("doc_id"), col("q_bin"), col("n_tokens"),
+        (col("cum") <= col("budget")).as("selected"))
+  }
+
   // ---------------------------------------------------------------- //
   // Model-based quality filtering (the fastText-classifier stage of   //
   // CCNet/RefinedWeb-style pipelines): weak-label on a cheap rule,    //
@@ -482,6 +521,7 @@ object Curation {
     "text_classifier_calibration" -> ((s, d) => classifierCalibration(s, d)),
     "text_classifier_quality" -> ((s, d) => classifierQuality(s, d)),
     "curriculum_stages" -> ((s, d) => curriculumStages(s, d)),
+    "curation_token_budget" -> ((s, d) => tokenBudgetSelect(s, d)),
     "sample_priority" -> ((s, d) => samplePriority(s, d)),
     "sample_reservoir" -> ((s, d) => sampleReservoir(s, d)),
     "sample_reservoir_per_lang" -> ((s, d) => sampleReservoirPerLang(s, d)),
@@ -515,6 +555,21 @@ object Curation {
     TextAnalysis.stop("en").map(w => s"'$w'").mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "curation_token_budget" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+         |  FROM documents),
+         |d AS (SELECT doc_id,
+         |    floor((${TextAnalysis.qualitySql}) * 1000)::BIGINT AS q_bin,
+         |    len(toks)::BIGINT AS n_tokens FROM t),
+         |h AS (SELECT q_bin, sum(n_tokens)::BIGINT AS bin_tokens FROM d GROUP BY 1),
+         |c AS (SELECT q_bin, sum(bin_tokens) OVER (ORDER BY q_bin DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum
+         |  FROM h),
+         |tot AS (SELECT sum(n_tokens)::BIGINT // $BudgetDenom AS budget FROM d)
+         |SELECT d.doc_id, d.q_bin, d.n_tokens, (c.cum <= tot.budget) AS selected
+         |FROM d JOIN c USING (q_bin), tot
+         |ORDER BY 1""".stripMargin,
     "curriculum_stages" ->
       """WITH d AS (SELECT doc_id, n_chars FROM documents),
         |b AS (SELECT min(n_chars) AS lo, max(n_chars) AS hi, count(*)::BIGINT AS n FROM d),

@@ -69,6 +69,28 @@ object Similarity {
       TopK)
   }
 
+  /** Hard negatives kept per query. */
+  val HardNegK = 3
+
+  /** Hard-negative mining — the metric-learning data-prep pass: for
+    * each query vector, the most-similar vectors carrying a DIFFERENT
+    * label. These maximally-confusing negatives are what contrastive /
+    * triplet training needs next to its positives (easy negatives
+    * contribute ~zero gradient). Same broadcast-queries brute-force
+    * shape as [[topKBruteForce]] with the label inequality fused into
+    * the join — the corpus never shuffles, the label filter prunes
+    * before any cosine is computed. */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    topKPerQuery(
+      broadcast(queriesDf(spark, dir))
+        .join(emb, col("vec_id") =!= col("query_id") &&
+          col("label") =!= col("qlabel"))
+        .select(col("query_id"), col("vec_id"),
+          cosineSim(col("qv"), col("embedding")).as("cosine")),
+      HardNegK)
+  }
+
   /** IVF-probed approximate top-k: only the query's cell is scanned. */
   def topKIvf(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
@@ -554,7 +576,8 @@ object Similarity {
     "sim_topk_ivf" -> ((s, d) => topKIvf(s, d)),
     "sim_topk_ivf_kmeans" -> ((s, d) => topKIvfKmeans(s, d)),
     "sim_topk_lsh" -> ((s, d) => topKLsh(s, d)),
-    "sim_topk_pq" -> ((s, d) => topKPq(s, d)))
+    "sim_topk_pq" -> ((s, d) => topKPq(s, d)),
+    "sim_hard_negatives" -> ((s, d) => hardNegatives(s, d)))
 
   /** Cosine with the same operation order as the native expression:
     * index-ordered fold of dot and both norms, then one division. */
@@ -790,6 +813,18 @@ object Similarity {
          |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rnk
          |  FROM c)
          |SELECT query_id, rnk, vec_id, cosine FROM r WHERE rnk <= $TopK
+         |ORDER BY query_id, rnk""".stripMargin,
+    "sim_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
+         |  FROM embeddings WHERE vec_id < $NumQueries),
+         |c AS (SELECT query_id, e.vec_id,
+         |    ${cosSql("qv", "e.embedding")} AS cosine
+         |  FROM q, embeddings e
+         |  WHERE e.vec_id <> query_id AND e.label <> qlabel),
+         |r AS (SELECT query_id, vec_id, cosine,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rnk
+         |  FROM c)
+         |SELECT query_id, rnk, vec_id, cosine FROM r WHERE rnk <= $HardNegK
          |ORDER BY query_id, rnk""".stripMargin,
     "sim_topk_ivf" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS qlabel

@@ -63,6 +63,30 @@ class CurationSpec extends SparkSpec {
       s"weighting inert: sample $sampleMean <= corpus $corpusMean")
   }
 
+  test("token-budget selection is maximal, within budget, and quality-monotone") {
+    val rows = Curation.tokenBudgetSelect(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    val budget = rows.map(_._3).sum / Curation.BudgetDenom
+    val selected = rows.filter(_._4)
+    assert(selected.nonEmpty, "the cut must select something at sf0.001")
+    assert(selected.map(_._3).sum <= budget, "selected tokens fit the budget")
+    // monotone: every doc in a bin above any selected bin is selected
+    val minSelBin = selected.map(_._2).min
+    rows.filter(_._2 > minSelBin).foreach(r =>
+      assert(r._4, s"doc ${r._1} in bin ${r._2} above the cut must be selected"))
+    // maximal at bin granularity: adding the best unselected bin overflows
+    val unselBins = rows.filter(!_._4).map(_._2)
+    if (unselBins.nonEmpty) {
+      val nextBin = unselBins.max
+      val withNext = selected.map(_._3).sum +
+        rows.filter(r => r._2 == nextBin).map(_._3).sum
+      assert(withNext > budget,
+        s"bin $nextBin would still fit — the cut is not maximal")
+    }
+  }
+
   test("repetition fractions are in [0,1] and the flag matches the thresholds") {
     val rows = Curation.repetitionStats(spark, sf0001)
       .select("top2gram_frac", "dup3gram_frac", "repetitive").collect()

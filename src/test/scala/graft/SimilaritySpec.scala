@@ -217,6 +217,25 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("hard negatives carry a different label and rank by true cosine") {
+    val labels = graft.Tables.embeddings(spark, sf0001)
+      .select("vec_id", "label").as[(Long, Int)].collect().toMap
+    val hn = Similarity.hardNegatives(spark, sf0001)
+      .select("query_id", "rnk", "vec_id", "cosine")
+      .as[(Long, Int, Long, Double)].collect()
+    assert(hn.nonEmpty)
+    hn.groupBy(_._1).foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to sorted.length), "full rank list")
+      val cos = sorted.map(_._4).toSeq
+      assert(cos == cos.sorted.reverse, "cosine descends with rank")
+      rows.foreach { r =>
+        assert(labels(r._3) != labels(q),
+          s"query $q: vec ${r._3} shares the query's label — not a negative")
+      }
+    }
+  }
+
   test("exact re-rank restores true cosine order over the ADC shortlist") {
     val rr = Similarity.topKIvfPqRerank(spark, sf0001)
       .select("query_id", "rnk", "vec_id", "cosine")
