@@ -18,7 +18,11 @@ object Explain {
         "sketch_hll_distinct", "text_bm25_topk", "graph_pagerank",
         "src_kv_copartition_join", "text_tfidf_topk", "text_chunk_stride",
         "layout_zorder_tiles", "emb_covariance", "evt_pattern_within",
-        "text_classifier_quality", "dedup_incremental", "rel_asof_nearest")
+        "text_classifier_quality", "dedup_incremental", "rel_asof_nearest",
+        "dedup_span_frac", "dedup_containment", "evt_transitions",
+        "sketch_kmv_setops", "text_quality_norm", "text_head_coverage",
+        "sim_topk_ivfpq_rerank", "sim_hard_negatives",
+        "curation_token_budget")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
