@@ -564,8 +564,59 @@ object Similarity {
           / (col("c.n") * (col("c.n") - lit(1))) / lit(1000000.0)).as("cov"))
   }
 
+  /** Power-method iterations for the leading eigenvector. */
+  val PcaIters = 3
+
+  /** Distributed PCA scoring — project every embedding onto the
+    * leading principal component of the cloud (the "is this space
+    * collapsing onto one axis / which docs sit at the extremes"
+    * diagnostic that follows [[covariance]]). Three stages, each in
+    * its scale-correct place:
+    *
+    *  1. the X^T X pass is [[covariance]]'s one-buffer aggregate —
+    *     exact BIGINT moments, one ~17 KB buffer per partition;
+    *  2. the eigen-solve runs ON THE DRIVER over the d(d+1)/2 = 2,080
+    *     covariance cells (a bounded pull, the PQ-LUT class):
+    *     [[PcaIters]] unnormalized power-method mat-vecs from the
+    *     all-ones start in strict index order, one final
+    *     normalization, sign fixed by the first nonzero component —
+    *     every double op replayed in the same order by the oracle, so
+    *     the eigenvector is bit-identical;
+    *  3. the projection is a narrow codegen'd scan pass — the
+    *     component rides in as a literal (the hyperplane trick), the
+    *     corpus never shuffles.
+    */
+  def pcaProject(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.dotProduct
+    val c = Array.ofDim[Double](EmbDim, EmbDim)
+    covariance(spark, dir).select(col("dim_i"), col("dim_j"), col("cov"))
+      .collect().foreach { r =>
+        val (i, j) = (r.getLong(0).toInt, r.getLong(1).toInt)
+        c(i)(j) = r.getDouble(2); c(j)(i) = r.getDouble(2)
+      }
+    var v = Array.fill(EmbDim)(1.0)
+    var it = 0
+    while (it < PcaIters) {
+      val nv = new Array[Double](EmbDim)
+      var i = 0
+      while (i < EmbDim) {
+        var acc = 0.0; var j = 0
+        while (j < EmbDim) { acc += c(i)(j) * v(j); j += 1 }
+        nv(i) = acc; i += 1
+      }
+      v = nv; it += 1
+    }
+    val norm = math.sqrt(selfDot(v))
+    val sign = if (v.find(_ != 0.0).getOrElse(1.0) < 0) -1.0 else 1.0
+    val pc = v.map(x => (sign * x) / norm)
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        dotProduct(col("embedding"), typedlit(pc.toSeq)).as("pc1_score"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_covariance" -> ((s, d) => covariance(s, d)),
+    "emb_pca_project" -> ((s, d) => pcaProject(s, d)),
     "emb_centroids" -> ((s, d) => centroidSums(s, d)),
     "emb_centroid_sims" -> ((s, d) => centroidSims(s, d)),
     "sim_knn_join" -> ((s, d) => knnJoin(s, d)),
@@ -741,6 +792,50 @@ object Similarity {
        |SELECT query_id, rnk, vec_id, cosine FROM rr WHERE rnk <= $IvfTopK
        |ORDER BY query_id, rnk""".stripMargin
 
+  /** Oracle replay of [[pcaProject]]: the emb_covariance moments, the
+    * symmetric matrix as per-row ordered lists, [[PcaIters]] index-
+    * ordered mat-vec folds (bit-identical to the driver's while-loops),
+    * one final normalization, first-nonzero sign fix, and the same
+    * index-ordered projection fold as the native DotProduct. */
+  private val pcaOracle: String = {
+    val d1 = EmbDim + 1
+    def fold(items: String): String =
+      s"list_reduce(list_prepend(0.0::DOUBLE, $items), (a, b) -> a + b)"
+    def matvec(src: String): String =
+      s"""(SELECT list(val ORDER BY i) AS v FROM (
+         |    SELECT m.i, ${fold(s"list_transform(range(1, $d1), k -> m.r[k] * $src.v[k])")} AS val
+         |    FROM m, $src))""".stripMargin
+    s"""WITH x AS (SELECT vec_id, u.i::BIGINT - 1 AS dim,
+       |    CAST(round(embedding[u.i::INT]::DOUBLE * 1000, 0) AS BIGINT) AS milli
+       |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)),
+       |p AS (SELECT a.dim AS dim_i, b.dim AS dim_j, count(*)::BIGINT AS n,
+       |    sum(a.milli)::BIGINT AS sum_i, sum(b.milli)::BIGINT AS sum_j,
+       |    sum(a.milli * b.milli)::BIGINT AS s_ij
+       |  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+       |  GROUP BY 1, 2),
+       |cv AS (SELECT dim_i, dim_j,
+       |    (n * s_ij - sum_i * sum_j)::DOUBLE / (n * (n - 1)) / 1000000.0 AS cov
+       |  FROM p),
+       |sym AS (SELECT dim_i AS i, dim_j AS j, cov FROM cv
+       |  UNION ALL SELECT dim_j, dim_i, cov FROM cv WHERE dim_i <> dim_j),
+       |m AS (SELECT i, list(cov ORDER BY j) AS r FROM sym GROUP BY i),
+       |v0 AS (SELECT list_transform(range(1, $d1), k -> 1.0::DOUBLE) AS v),
+       |v1 AS ${matvec("v0")},
+       |v2 AS ${matvec("v1")},
+       |v3 AS ${matvec("v2")},
+       |nrm AS (SELECT v,
+       |    sqrt(${fold(s"list_transform(range(1, $d1), k -> v[k] * v[k])")}) AS norm,
+       |    CASE WHEN coalesce(list_filter(v, z -> z <> 0)[1], 1.0) < 0
+       |         THEN -1.0 ELSE 1.0 END AS sgn
+       |  FROM v3),
+       |pc AS (SELECT list_transform(range(1, $d1),
+       |    k -> (sgn * v[k]) / norm) AS pcv FROM nrm)
+       |SELECT e.vec_id,
+       |  ${fold(s"list_transform(range(1, $d1), k -> e.embedding[k]::DOUBLE * pc.pcv[k])")} AS pc1_score
+       |FROM embeddings e, pc
+       |ORDER BY 1""".stripMargin
+  }
+
   /** Shared micro-unit explode CTE for the centroid oracles. */
   private val centroidCte: String =
     """x AS (SELECT label, u.i::BIGINT - 1 AS dim,
@@ -790,6 +885,7 @@ object Similarity {
          |WHERE rnk <= $KnnK ORDER BY vec_id, rnk""".stripMargin,
     "sim_topk_ivfpq" -> ivfPqOracle,
     "sim_topk_ivfpq_rerank" -> ivfPqRerankOracle,
+    "emb_pca_project" -> pcaOracle,
     "sim_range_search" ->
       s"""WITH nz AS (SELECT vec_id, embedding FROM embeddings
          |  WHERE list_reduce(list_prepend(0.0::DOUBLE,

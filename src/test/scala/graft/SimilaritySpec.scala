@@ -264,6 +264,30 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("pc1 projection is deterministic and captures above-average variance") {
+    val a = Similarity.pcaProject(spark, sf0001)
+      .as[(Long, Double)].collect().sortBy(_._1)
+    val b = Similarity.pcaProject(spark, sf0001)
+      .as[(Long, Double)].collect().sortBy(_._1)
+    assert(a.nonEmpty && a.sameElements(b), "bit-identical across runs")
+    val scores = a.map(_._2)
+    // sample variance of the projections = the Rayleigh quotient of the
+    // (unit) component; the leading eigendirection must capture at
+    // least the MEAN per-axis variance (trace/d bounds the top
+    // eigenvalue from below) — 1% slack covers the milli quantization
+    // of the covariance pass vs the raw-float projection
+    val n = scores.length
+    val mean = scores.sum / n
+    val svar = scores.map(s => (s - mean) * (s - mean)).sum / (n - 1)
+    val diag = Similarity.covariance(spark, sf0001)
+      .filter(col("dim_i") === col("dim_j"))
+      .select("cov").as[Double].collect()
+    assert(diag.length == Similarity.EmbDim)
+    val meanVar = diag.sum / diag.length
+    assert(svar >= 0.99 * meanVar,
+      s"pc1 variance $svar below mean axis variance $meanVar")
+  }
+
   test("covariance moments equal a direct fold and are split-invariant") {
     val d = 3
     val rnd = new scala.util.Random(7)
