@@ -65,8 +65,41 @@ object Layout {
       .withColumn("bbox_cells",
         (col("mx_a") - col("mn_a") + lit(1)) * (col("mx_b") - col("mn_b") + lit(1)))
 
+  /** Output files the compaction plan targets. */
+  val CompactionFiles = 16L
+
+  /** Small-file compaction plan over the z-clustered tiles — the
+    * `OPTIMIZE` binpack step a lakehouse table needs after streaming
+    * ingest litters it with small files: assign z-ADJACENT tiles to
+    * output files of ~total/16 rows each by greedy cumulative fill.
+    * Because the assignment is monotone in z, every output file covers
+    * one CONTIGUOUS z-range — compaction never un-clusters the layout,
+    * so the min/max pruning zorderTiles proves is preserved (the
+    * property LayoutSpec asserts as non-overlapping file ranges).
+    *
+    * Scale shape: the corpus pays only zorderTiles' scan + one
+    * map-side-combined aggregate to |tiles| rows; the cumulative and
+    * the binning run over that bounded ≤256-row frame (tiles, never
+    * rows), with the 1-row total broadcast in. */
+  def compactionPlan(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tiles = zorderTiles(spark, dir).select(col("tile"), col("n_rows"))
+    val tot = tiles.agg(sum(col("n_rows")).as("total"))
+    val w = Window.orderBy(col("tile"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    tiles.crossJoin(broadcast(tot))
+      .withColumn("target",
+        expr(s"(total + $CompactionFiles - 1) div $CompactionFiles"))
+      .withColumn("cum", sum(col("n_rows")).over(w))
+      .withColumn("out_file", expr("(cum - n_rows) div target"))
+      .groupBy(col("out_file"))
+      .agg(count(lit(1)).as("n_tiles"), sum(col("n_rows")).as("n_rows"),
+        min(col("tile")).as("tile_min"), max(col("tile")).as("tile_max"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "layout_zorder_tiles" -> ((s, d) => zorderTiles(s, d)))
+    "layout_zorder_tiles" -> ((s, d) => zorderTiles(s, d)),
+    "layout_compaction_plan" -> ((s, d) => compactionPlan(s, d)))
 
   // the five dilation rounds of HashOps.spread32 with the same mask
   // constants in decimal (0x0000FFFF0000FFFF, 0x00FF00FF00FF00FF,
@@ -95,5 +128,21 @@ object Layout {
          |SELECT tile, count(*)::BIGINT AS n_rows,
          |  min(pa) AS mn_a, max(pa) AS mx_a, min(pb) AS mn_b, max(pb) AS mx_b,
          |  (max(pa) - min(pa) + 1) * (max(pb) - min(pb) + 1) AS bbox_cells
-         |FROM z GROUP BY tile ORDER BY tile""".stripMargin)
+         |FROM z GROUP BY tile ORDER BY tile""".stripMargin,
+    "layout_compaction_plan" ->
+      s"""WITH b AS (SELECT (l_partkey % $GridCells)::BIGINT AS pa,
+         |    (l_suppkey % $GridCells)::BIGINT AS pb FROM lineitem),
+         |$spreadCtes,
+         |z AS (SELECT (za | (zb << 1)) // $TileKeys AS tile FROM s5),
+         |t AS (SELECT tile, count(*)::BIGINT AS n_rows FROM z GROUP BY 1),
+         |tot AS (SELECT sum(n_rows)::BIGINT AS total FROM t),
+         |c AS (SELECT tile, n_rows,
+         |    sum(n_rows) OVER (ORDER BY tile
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum,
+         |    (tot.total + $CompactionFiles - 1) // $CompactionFiles AS target
+         |  FROM t, tot)
+         |SELECT (cum - n_rows) // target AS out_file,
+         |  count(*)::BIGINT AS n_tiles, sum(n_rows)::BIGINT AS n_rows,
+         |  min(tile) AS tile_min, max(tile) AS tile_max
+         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -82,4 +82,34 @@ class BucketingSpec extends SparkSpec {
     assert(boxes(aPath).forall(r =>
       r.getAs[Long]("b1") - r.getAs[Long]("b0") >= 60))
   }
+
+  test("compaction plan keeps contiguous non-overlapping z-ranges near target size") {
+    val plan = graft.operators.Layout.compactionPlan(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(plan.nonEmpty)
+    val total = plan.map(_._3).sum
+    val target = (total + graft.operators.Layout.CompactionFiles - 1) /
+      graft.operators.Layout.CompactionFiles
+    // file ids strictly increase from 0 (sparse when one tile exceeds
+    // the target: it consumes several targets' worth of cumulative);
+    // z-ranges strictly ordered and disjoint — compaction must never
+    // interleave tiles across output files
+    assert(plan.head._1 == 0L)
+    assert(plan.map(_._1).toSeq == plan.map(_._1).toSeq.sorted.distinct)
+    plan.sliding(2).foreach {
+      case Array(a, b) => assert(a._5 < b._4,
+        s"files ${a._1} and ${b._1} overlap in z")
+      case _ =>
+    }
+    // greedy fill: every file crosses the target only by its last tile,
+    // so no file can reach 2x target unless a single tile does
+    val maxTile = graft.operators.Layout.zorderTiles(spark, sf0001)
+      .agg(org.apache.spark.sql.functions.max("n_rows")).head().getLong(0)
+    plan.foreach { f =>
+      assert(f._3 < target + maxTile,
+        s"file ${f._1} holds ${f._3} rows vs target $target")
+    }
+  }
 }
