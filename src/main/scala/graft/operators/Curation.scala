@@ -428,7 +428,9 @@ object Curation {
       .rowsBetween(Window.unboundedPreceding, 0)
     val cum = hist.withColumn("cum", sum(col("bin_tokens")).over(w))
       .select(col("q_bin"), col("cum"))
-    val budget = d.agg(sum(col("n_tokens")).as("total"))
+    // total from the bounded histogram, not a third corpus scan —
+    // every doc lands in exactly one bin, so the sums are identical
+    val budget = hist.agg(sum(col("bin_tokens")).as("total"))
       .select(expr(s"total div $BudgetDenom").as("budget"))
     d.join(broadcast(cum), Seq("q_bin"))
       .crossJoin(broadcast(budget))

@@ -104,19 +104,27 @@ object Dedup {
     * consumers call directly. No sort anywhere: the driver/oracle
     * comparator canonicalizes, and a global sort feeding a hash-shuffle
     * join is pure waste (the exchange destroys the order immediately). */
-  private[graft] def jaccardPairsUnsortedOn(
-      sh: DataFrame, maxDf: Long = DefaultMaxShingleDf): DataFrame = {
-    // Postings carry the owning doc's set size: one extra long on the
-    // (code, doc) shuffle buys back the two sh-joins the jaccard
-    // denominator otherwise needs — and with them two more passes over
-    // the shingle scan (sh appeared three times in the old plan).
+  /** Exploded (doc_id, sz, code) postings with the document-frequency
+    * cap applied — THE skew valve (see [[jaccardPairsOn]]), shared by
+    * the jaccard and containment pair joins so the cap can never
+    * desynchronize between them. Postings carry the owning doc's set
+    * size: one extra long on the (code, doc) shuffle buys back the
+    * sh-joins the similarity denominators otherwise need. The df
+    * aggregate reuses the same `code` shuffle key as the join that
+    * follows, so the cap costs one co-partitioned aggregate. */
+  private def cappedPosts(sh: DataFrame, maxDf: Long): DataFrame = {
     val allPosts = sh.select(col("doc_id"), col("sz"),
       explode(col("codes")).as("code"))
     val rare = allPosts.groupBy(col("code"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
       .select(col("code"))
-    val posts = allPosts.join(rare, Seq("code"), "left_semi")
+    allPosts.join(rare, Seq("code"), "left_semi")
+  }
+
+  private[graft] def jaccardPairsUnsortedOn(
+      sh: DataFrame, maxDf: Long = DefaultMaxShingleDf): DataFrame = {
+    val posts = cappedPosts(sh, maxDf)
     posts.as("a").join(posts.as("b"),
         col("a.code") === col("b.code") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
@@ -411,13 +419,7 @@ object Dedup {
   /** Core over any (doc_id, codes, sz) shingle frame — spec seam. */
   private[graft] def containmentPairsOn(
       sh: DataFrame, maxDf: Long = DefaultMaxShingleDf): DataFrame = {
-    val allPosts = sh.filter(col("sz") > 0)
-      .select(col("doc_id"), col("sz"), explode(col("codes")).as("code"))
-    val rare = allPosts.groupBy(col("code"))
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf)
-      .select(col("code"))
-    val posts = allPosts.join(rare, Seq("code"), "left_semi")
+    val posts = cappedPosts(sh.filter(col("sz") > 0), maxDf)
     posts.as("a").join(posts.as("b"),
         col("a.code") === col("b.code") && col("a.doc_id") =!= col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

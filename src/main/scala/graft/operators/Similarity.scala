@@ -380,7 +380,11 @@ object Similarity {
       .agg(topShort(col("vec_id"), -col("adc")).as("top"))
       .select(col("query_id"), explode(col("top")).as("c"))
       .select(col("query_id"), col("c.vec_id").as("vec_id"))
-    val exact = shortlist
+    // the shortlist (queries × k₁ rows) is the broadcast side — without
+    // the hint a stats-less post-aggregate frame can fall back to a
+    // corpus-shuffling sort-merge join, exactly the cost this stage
+    // exists to avoid
+    val exact = broadcast(shortlist)
       .join(Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
         "vec_id")
       .join(broadcast(queriesDf(spark, dir)), "query_id")

@@ -405,14 +405,6 @@ object Sketches {
       .orderBy("event_type")
   }
 
-  /** KMV set-similarity report: estimated vs exact Jaccard of the user
-    * sets of every event-type pair. The union sketch of A and B is the
-    * bottom-k of (sketch_A ∪ sketch_B) — itself a valid KMV sample of
-    * A ∪ B — and the fraction of it present in BOTH sketches estimates
-    * |A∩B| / |A∪B| (Beyer et al., "On synopses for distinct-value
-    * estimation under multiset operations", 2007). At 100 TB the exact
-    * columns are dropped: the pair join then touches only G² sketch
-    * rows of k longs each, never the corpus. */
   /** KMV set algebra: estimated |A∪B|, |A∩B|, |A\B|, |B\A| for every
     * event-type pair, beside the exact union/intersection — the full
     * multiset-operations story (Beyer et al. 2007) that makes KMV the
@@ -466,6 +458,14 @@ object Sketches {
         greatest(col("est_b") - col("inter_est"), lit(0L)).as("diff_ba_est"))
   }
 
+  /** KMV set-similarity report: estimated vs exact Jaccard of the user
+    * sets of every event-type pair. The union sketch of A and B is the
+    * bottom-k of (sketch_A ∪ sketch_B) — itself a valid KMV sample of
+    * A ∪ B — and the fraction of it present in BOTH sketches estimates
+    * |A∩B| / |A∪B| (Beyer et al., "On synopses for distinct-value
+    * estimation under multiset operations", 2007). At 100 TB the exact
+    * columns are dropped: the pair join then touches only G² sketch
+    * rows of k longs each, never the corpus. */
   def kmvJaccard(spark: SparkSession, dir: String): DataFrame = {
     val sk = kmvSketches(spark, dir)
     val a = sk.select(col("event_type").as("type_a"), col("sketch").as("sk_a"))

@@ -256,11 +256,15 @@ object TextAnalysis {
       sum(when(col("rank") <= 10, col("n"))).as("c10"),
       sum(when(col("rank") <= 100, col("n"))).as("c100"),
       sum(col("n")).as("c1000"))
-    cov.crossJoin(broadcast(total)).select(
-      col("total").as("total_tokens"),
-      expr("coalesce(c10, 0L) * 1000 div total").as("top10_milli"),
-      expr("coalesce(c100, 0L) * 1000 div total").as("top100_milli"),
-      expr("c1000 * 1000 div total").as("top1000_milli"))
+    // a token-free corpus yields a null total (agg over zero groups);
+    // the oracle's `FROM r, t` returns zero rows there — match it
+    cov.crossJoin(broadcast(total))
+      .filter(col("total").isNotNull)
+      .select(
+        col("total").as("total_tokens"),
+        expr("coalesce(c10, 0L) * 1000 div total").as("top10_milli"),
+        expr("coalesce(c100, 0L) * 1000 div total").as("top100_milli"),
+        expr("c1000 * 1000 div total").as("top1000_milli"))
   }
 
   /** Per-document character-distribution entropy in bits — the

@@ -144,6 +144,12 @@ class PlanShapeSpec extends SparkSpec {
     val qn = physical(SparkEntry.queries("text_quality_norm")(spark, sf0001))
     assert(qn.contains("BroadcastHashJoin"),
       s"quality_norm must broadcast the bin frame back to the corpus:\n$qn")
+    // the re-rank's exact stage must broadcast its tiny shortlist into
+    // the corpus join, never shuffle the embeddings for 80 rows
+    val rr = physical(SparkEntry.queries("sim_topk_ivfpq_rerank")(spark, sf0001))
+    assert(rr.contains("BroadcastHashJoin"),
+      s"rerank must broadcast the shortlist into the corpus join:\n$rr")
+    assert(!rr.contains("CartesianProduct"), s"rerank plans a cartesian:\n$rr")
   }
 
   test("decontam_overlap broadcasts the eval shingle set, never sort-merges") {
