@@ -186,11 +186,60 @@ object Behavior {
       .toDF()
   }
 
+  /** Association rules over per-user event-type baskets — market-basket
+    * mining's support / confidence / lift for every unordered type pair
+    * {a, b} (a < b), all integer milli (truncating div, engine-exact):
+    * conf(a→b) = 1000·n_ab div n_a, lift = 1000·n_ab·n_users div
+    * (n_a·n_b). Lift > 1000 means the types co-occur more than
+    * independence predicts — the "users who view also purchase" signal
+    * a recommender mines.
+    *
+    * Scale shape: the event log collapses to per-user distinct type
+    * SETS in ONE shuffle (collect_set under map-side combine, bounded
+    * by |types| per user); pairs, per-type user counts, and the user
+    * total are all derived from that user-grain frame — the pair
+    * expansion is a map-side array transform (≤ C(|types|,2) structs
+    * per user, never a self-join of the log), and the final joins
+    * broadcast |types|-row and 1-row frames. At 100 TB nothing beyond
+    * the first shuffle touches event-grain data. */
+  def assocRules(spark: SparkSession, dir: String): DataFrame =
+    assocRulesOn(Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type")))
+
+  /** Core over any (user_id, event_type) frame — spec seam. */
+  private[graft] def assocRulesOn(ev: DataFrame): DataFrame = {
+    val sets = ev.groupBy("user_id")
+      .agg(collect_set(col("event_type")).as("types"))
+    val nUsers = sets.agg(count(lit(1)).as("n_users"))
+    val typeCounts = sets.select(explode(col("types")).as("event_type"))
+      .groupBy("event_type").agg(count(lit(1)).as("n_t"))
+    val pairs = sets
+      .select(explode(expr(
+        """flatten(transform(types, a ->
+          |  transform(filter(types, b -> b > a), b ->
+          |    named_struct('ta', a, 'tb', b))))""".stripMargin)).as("p"))
+      .groupBy(col("p.ta").as("type_a"), col("p.tb").as("type_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(typeCounts.select(
+        col("event_type").as("type_a"), col("n_t").as("n_a"))), "type_a")
+      .join(broadcast(typeCounts.select(
+        col("event_type").as("type_b"), col("n_t").as("n_b"))), "type_b")
+      .crossJoin(broadcast(nUsers))
+      .select(col("type_a"), col("type_b"), col("n_ab"),
+        col("n_a"), col("n_b"),
+        expr("n_ab * 1000 div n_a").as("conf_ab_milli"),
+        expr("n_ab * 1000 div n_b").as("conf_ba_milli"),
+        expr("n_ab * n_users * 1000 div (n_a * n_b)").as("lift_milli"))
+      .orderBy("type_a", "type_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "funnel_conversion" -> ((s, d) => funnel(s, d)),
     "evt_pattern_within" -> ((s, d) => patternWithin(s, d)),
     "evt_ewma" -> ((s, d) => ewmaSmooth(s, d)),
     "evt_transitions" -> ((s, d) => transitions(s, d)),
+    "evt_assoc_rules" -> ((s, d) => assocRules(s, d)),
     "cohort_retention" -> ((s, d) => cohortRetention(s, d)))
 
   val oracle: Map[String, String] = Map(
@@ -253,6 +302,22 @@ object Behavior {
         |  UNION ALL SELECT '2_click', count(*)::BIGINT FROM t2
         |  UNION ALL SELECT '3_purchase', count(*)::BIGINT FROM t3)
         |ORDER BY stage""".stripMargin,
+    "evt_assoc_rules" ->
+      """WITH ue AS (SELECT DISTINCT user_id, event_type FROM events),
+        |tc AS (SELECT event_type, count(*)::BIGINT AS n_t FROM ue GROUP BY 1),
+        |nu AS (SELECT count(DISTINCT user_id)::BIGINT AS n_users FROM ue),
+        |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    count(*)::BIGINT AS n_ab
+        |  FROM ue a JOIN ue b
+        |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, n_ab, ta.n_t AS n_a, tb.n_t AS n_b,
+        |  (n_ab * 1000) // ta.n_t AS conf_ab_milli,
+        |  (n_ab * 1000) // tb.n_t AS conf_ba_milli,
+        |  (n_ab * nu.n_users * 1000) // (ta.n_t * tb.n_t) AS lift_milli
+        |FROM p JOIN tc ta ON ta.event_type = p.type_a
+        |  JOIN tc tb ON tb.event_type = p.type_b, nu
+        |ORDER BY type_a, type_b""".stripMargin,
     "cohort_retention" ->
       """WITH ev AS (SELECT user_id, event_type,
         |    epoch_us(ts) // 604800000000 AS week FROM events),

@@ -143,4 +143,28 @@ class BehaviorSpec extends SparkSpec {
       ("view", "purchase") -> ((1L, 250L)),
       ("click", "view") -> ((1L, 1000L))))
   }
+
+  test("assoc rules: pair support, both confidences, and lift on a known basket set") {
+    // 4 users: {v,c} {v,c} {v} {c,p} — repeats within a user collapse
+    val got = Behavior.assocRulesOn(
+      Seq((1L, "view"), (1L, "click"), (1L, "view"),
+        (2L, "view"), (2L, "click"),
+        (3L, "view"),
+        (4L, "click"), (4L, "purchase"))
+        .toDF("user_id", "event_type"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))))
+      .toMap
+    // n_view=3 n_click=3 n_purchase=1 n_users=4
+    assert(got == Map(
+      ("click", "view") -> ((2L, 3L, 3L, 666L, 666L, 888L)),
+      ("click", "purchase") -> ((1L, 3L, 1L, 333L, 1000L, 1333L))))
+  }
+
+  test("assoc rules: a user with a single type produces no pairs; lift is symmetric in its inputs") {
+    val got = Behavior.assocRulesOn(
+      Seq((1L, "a"), (2L, "b")).toDF("user_id", "event_type")).collect()
+    assert(got.isEmpty)
+  }
 }
