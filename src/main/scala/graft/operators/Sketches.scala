@@ -340,6 +340,58 @@ object Sketches {
           .as("n_false_positives"))
   }
 
+  /** Bloom-PRUNED dimension join — [[bloomReport]]'s sketch put to its
+    * real work: the explicit form of a runtime join filter (what
+    * Spark's InjectRuntimeFilter synthesizes, here with bits that
+    * replay in the oracle). The URGENT orders' keys compress to a
+    * 1024-word bloom pulled to the driver — bounded by GEOMETRY
+    * (m/32 = 1024 longs ≈ 8 KB regardless of data; at scale m is the
+    * knob and the words ship as a broadcast variable) — and the fact
+    * scan tests all four probes against that literal array, so the
+    * prune happens INSIDE the lineitem scan stage, before any
+    * exchange. False positives (~0.8% at this geometry) survive the
+    * filter but die in the real equi-join that follows, so the result
+    * is bit-identical to the unpruned join — which is exactly what the
+    * oracle runs. At 100 TB this is the difference between shuffling
+    * the full fact table and shuffling the ~matching fraction. */
+  def bloomJoin(spark: SparkSession, dir: String): DataFrame = {
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+    val wordRows = urgent
+      .select(col("o_orderkey").as("key"))
+      .select(col("key"), hash32(col("key")).as("h1"), hash37(col("key")).as("h2"))
+      .select(explode(array((0 until BloomK).map(i =>
+        (col("h1") + lit(i.toLong) * col("h2")) % BloomBits): _*)).as("probe"))
+      .select(expr("probe div 32").as("word"), (col("probe") % 32).as("bit"))
+      .groupBy("word")
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT)))").as("bits"))
+      .collect()
+    val words = Array.fill((BloomBits / 32).toInt)(0L)
+    wordRows.foreach(r => words(r.getLong(0).toInt) = r.getLong(1))
+    val bitsLit = typedlit(words.toSeq)
+    val passes = (0 until BloomK).map { i =>
+      expr(s"shiftright(element_at(bloom_bits, CAST((h1 + ${i}L * h2) % $BloomBits div 32 AS INT) + 1), " +
+        s"CAST((h1 + ${i}L * h2) % $BloomBits % 32 AS INT)) & 1 = 1")
+    }.reduce(_ && _)
+    val pruned = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_returnflag"),
+        col("l_extendedprice"), col("l_discount"))
+      .withColumn("h1", hash32(col("l_orderkey")))
+      .withColumn("h2", hash37(col("l_orderkey")))
+      .withColumn("bloom_bits", bitsLit)
+      .filter(passes)
+      .drop("h1", "h2", "bloom_bits")
+    def cents(c: Column): Column = round(c * 100, 0).cast("long")
+    pruned.join(urgent.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        (sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))) / 10000.0)
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("l_returnflag")
+  }
+
   // ---- KMV (k-minimum-values) sketch -----------------------------------
 
   /** KMV sketch size. 64 → relative error ≈ 1/√(k−2) ≈ 13%; the demo
@@ -506,7 +558,8 @@ object Sketches {
     "sketch_hll_union" -> ((s, d) => hllUnion(s, d)),
     "sketch_cms_topk" -> ((s, d) => cmsTopK(s, d)),
     "sketch_quantile_hist" -> ((s, d) => quantileHist(s, d)),
-    "sketch_bloom_filter" -> ((s, d) => bloomReport(s, d)))
+    "sketch_bloom_filter" -> ((s, d) => bloomReport(s, d)),
+    "sketch_bloom_join" -> ((s, d) => bloomJoin(s, d)))
 
   // ---- oracle ----------------------------------------------------------
 
@@ -728,5 +781,16 @@ object Sketches {
          |  sum(CASE WHEN d.key IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_keys_true,
          |  sum(CASE WHEN v.all_set = 1 AND d.key IS NULL THEN 1 ELSE 0 END)::BIGINT
          |    AS n_false_positives
-         |FROM v LEFT JOIN (SELECT DISTINCT key FROM dimk) d USING (key)""".stripMargin)
+         |FROM v LEFT JOIN (SELECT DISTINCT key FROM dimk) d USING (key)""".stripMargin,
+    // the bloom prune has no false negatives and the closing equi-join
+    // kills its false positives, so the engine's pruned plan must equal
+    // the PLAIN join — the oracle runs the unpruned form on purpose
+    "sketch_bloom_join" ->
+      """SELECT l_returnflag,
+        |  sum(CAST(round(l_extendedprice*100,0) AS BIGINT)
+        |      * (100 - CAST(round(l_discount*100,0) AS BIGINT)))::BIGINT / 10000.0 AS revenue,
+        |  count(*)::BIGINT AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -152,6 +152,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(!rr.contains("CartesianProduct"), s"rerank plans a cartesian:\n$rr")
   }
 
+  test("sketch_bloom_join prunes the fact scan before any exchange") {
+    // the whole point of the runtime-filter pattern: the 4-probe bloom
+    // test must sit in a Filter on the lineitem side BELOW the join's
+    // exchange, so the unmatched fact fraction never shuffles
+    val p = physical(SparkEntry.queries("sketch_bloom_join")(spark, sf0001))
+    assert(p.contains("element_at") || p.contains("shiftright"),
+      s"bloom probe filter missing from the physical plan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"bloom join plans a cartesian:\n$p")
+  }
+
   test("decontam_overlap broadcasts the eval shingle set, never sort-merges") {
     // the eval suite is KBs against a 100 TB corpus: the corpus posting
     // explode must be filtered by a broadcast semi-join map-side — a

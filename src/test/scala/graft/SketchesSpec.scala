@@ -391,4 +391,23 @@ class SketchesSpec extends SparkSpec {
       assert(math.abs(streamed("k2") - 50L) <= 15)
     } finally q.stop()
   }
+
+  test("bloom-pruned join equals the plain unpruned join exactly") {
+    import org.apache.spark.sql.functions._
+    val pruned = graft.operators.Sketches.bloomJoin(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
+    val li = graft.Tables.lineitem(spark, sf0001)
+    val urgent = graft.Tables.orders(spark, sf0001)
+      .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+    val plain = li.join(urgent, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg((sum(round(col("l_extendedprice") * 100, 0).cast("long") *
+        (lit(100L) - round(col("l_discount") * 100, 0).cast("long"))) / 10000.0)
+        .as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy("l_returnflag")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(pruned == plain,
+      s"bloom false positives must die in the equi-join: $pruned vs $plain")
+    assert(pruned.nonEmpty)
+  }
 }
