@@ -550,6 +550,48 @@ object Sketches {
       .orderBy("type_a", "type_b")
   }
 
+  /** Join-cardinality estimation from a coordinated bottom-k key
+    * sample — the cost-based-optimizer primitive: |A ⋈ B on key| =
+    * Σ_key f_A·f_B, here the self-join events⋈events on user_id
+    * (F₂ = Σ f², the second frequency moment — THE skew statistic).
+    *
+    * Estimator: the bottom-k hash sample of the key domain is a
+    * uniform sample of DISTINCT keys (KMV), so F̂₂ = D̂ · Σ_sample f²
+    * div m with D̂ the KMV distinct estimate, m the realized sample
+    * size, and per-key f computed exactly but ONLY for sampled keys.
+    * All integer arithmetic over the deterministic hash — replays in
+    * the oracle bit-for-bit.
+    *
+    * Scale shape: ONE shuffle to the (user, f) grain; the sketch is a
+    * k-long bounded aggregate; the sample filter `h ≤ τ` re-scans the
+    * user-grain frame with a broadcast 1-row τ. The exact d/F₂ columns
+    * are verification-only — at 100 TB they drop, and with them the
+    * only full-width aggregate: the estimator itself touches k keys.
+    * This is how a planner sizes a shuffle join WITHOUT running it. */
+  def joinCardEstimate(spark: SparkSession, dir: String): DataFrame = {
+    val bottomK = udaf(new graft.functions.BottomKDistinct(KmvK))
+    val counts = Tables.events(spark, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("f"))
+      .withColumn("h", hash32(col("user_id")))
+    val tau = counts.agg(bottomK(col("h")).as("sketch"))
+      .select(size(col("sketch")).cast("long").as("n_sketch"),
+        when(size(col("sketch")) < KmvK, lit(KmvDomain))
+          .otherwise(element_at(col("sketch"), KmvK)).as("tau"),
+        when(size(col("sketch")) < KmvK, size(col("sketch")).cast("long"))
+          .otherwise(expr(s"(${KmvK - 1} * ${KmvDomain}L) div element_at(sketch, $KmvK)"))
+          .as("d_est"))
+    val sample = counts.crossJoin(broadcast(tau))
+      .filter(col("h") <= col("tau"))
+      .groupBy(col("d_est"))
+      .agg(count(lit(1)).as("m"), sum(col("f") * col("f")).as("s2"))
+    val exact = counts.agg(count(lit(1)).as("d_exact"),
+      sum(col("f") * col("f")).as("f2_exact"))
+    sample.crossJoin(broadcast(exact))
+      .select(col("d_est"), col("d_exact"), col("m"),
+        expr("d_est * s2 div m").as("f2_est"), col("f2_exact"),
+        expr("1000 * abs(d_est * s2 div m - f2_exact) div f2_exact").as("err_milli"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sketch_kmv_distinct" -> ((s, d) => kmvDistinct(s, d)),
     "sketch_kmv_jaccard" -> ((s, d) => kmvJaccard(s, d)),
@@ -559,7 +601,8 @@ object Sketches {
     "sketch_cms_topk" -> ((s, d) => cmsTopK(s, d)),
     "sketch_quantile_hist" -> ((s, d) => quantileHist(s, d)),
     "sketch_bloom_filter" -> ((s, d) => bloomReport(s, d)),
-    "sketch_bloom_join" -> ((s, d) => bloomJoin(s, d)))
+    "sketch_bloom_join" -> ((s, d) => bloomJoin(s, d)),
+    "sketch_join_card" -> ((s, d) => joinCardEstimate(s, d)))
 
   // ---- oracle ----------------------------------------------------------
 
@@ -785,6 +828,23 @@ object Sketches {
     // the bloom prune has no false negatives and the closing equi-join
     // kills its false positives, so the engine's pruned plan must equal
     // the PLAIN join — the oracle runs the unpruned form on purpose
+    "sketch_join_card" ->
+      s"""WITH c AS (SELECT user_id, count(*)::BIGINT AS f FROM events GROUP BY 1),
+         |h0 AS (SELECT user_id, f, ${foldSql("user_id::VARCHAR", 31L, 0L)} AS f0 FROM c),
+         |hh AS (SELECT user_id, f, ${mixColSql("f0")} AS h FROM h0),
+         |sk AS (SELECT (list_sort(list_distinct(list(h))))[:$KmvK] AS sketch FROM hh),
+         |t AS (SELECT len(sketch)::BIGINT AS n_sketch,
+         |    CASE WHEN len(sketch) < $KmvK THEN 4294967296 ELSE sketch[$KmvK] END AS tau,
+         |    CASE WHEN len(sketch) < $KmvK THEN len(sketch)::BIGINT
+         |         ELSE (${KmvK - 1} * 4294967296) // sketch[$KmvK] END AS d_est
+         |  FROM sk),
+         |s AS (SELECT t.d_est, count(*)::BIGINT AS m, sum(hh.f * hh.f)::BIGINT AS s2
+         |  FROM hh, t WHERE hh.h <= t.tau GROUP BY 1),
+         |ex AS (SELECT count(*)::BIGINT AS d_exact, sum(f * f)::BIGINT AS f2_exact FROM c)
+         |SELECT s.d_est, ex.d_exact, s.m,
+         |  (s.d_est * s.s2) // s.m AS f2_est, ex.f2_exact,
+         |  (1000 * abs((s.d_est * s.s2) // s.m - ex.f2_exact)) // ex.f2_exact AS err_milli
+         |FROM s, ex""".stripMargin,
     "sketch_bloom_join" ->
       """SELECT l_returnflag,
         |  sum(CAST(round(l_extendedprice*100,0) AS BIGINT)

@@ -392,6 +392,17 @@ class SketchesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("join-cardinality estimate tracks exact F2 within sketch error") {
+    val r = graft.operators.Sketches.joinCardEstimate(spark, sf001).collect().head
+    val (dEst, dExact) = (r.getAs[Long]("d_est"), r.getAs[Long]("d_exact"))
+    val (f2Est, f2Exact) = (r.getAs[Long]("f2_est"), r.getAs[Long]("f2_exact"))
+    // k=64 → σ ≈ 13% on D; F2 compounds the sample variance — 4σ band
+    assert(math.abs(dEst - dExact).toDouble / dExact < 0.52, s"d: $dEst vs $dExact")
+    assert(math.abs(f2Est - f2Exact).toDouble / f2Exact < 0.60, s"F2: $f2Est vs $f2Exact")
+    // the sample the estimator touched is bounded by k (+hash ties)
+    assert(r.getAs[Long]("m") <= graft.operators.Sketches.KmvK + 2)
+  }
+
   test("bloom-pruned join equals the plain unpruned join exactly") {
     import org.apache.spark.sql.functions._
     val pruned = graft.operators.Sketches.bloomJoin(spark, sf0001)
