@@ -217,8 +217,60 @@ object Profiling {
             * sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double")))), 6))
   }
 
+  /** The lags (in minutes) the ACF is reported at. */
+  val AcfLags = Seq(1L, 2L, 3L, 5L, 10L)
+
+  /** Autocorrelation of the per-minute TOTAL activity series at small
+    * lags — the seasonality/burst detector: ACF(lag) is the Pearson
+    * correlation of (x_t, x_{t+lag}) over the dense series. High
+    * ACF(1) means bursty load; a spike at lag k means a k-minute
+    * periodicity (a cron, a retry storm).
+    *
+    * Shape: the log collapses to a dense per-minute count series
+    * exactly as [[activityCorrOn]] (range spine, zero-filled — a
+    * silent minute is a reading of zero); each lag is then one
+    * co-partitioned equi-join of the BOUNDED series with its shifted
+    * self plus a five-moment aggregate. At 100 TB the series is
+    * minutes-in-a-year (~526k rows) regardless of event volume — every
+    * join after the first shuffle touches only that. Same exact-BIGINT
+    * moments + round-6 double finish as the cross-series report. */
+  def activityAutocorr(spark: SparkSession, dir: String): DataFrame =
+    activityAutocorrOn(Tables.events(spark, dir))
+
+  /** ACF core over any (ts) frame — spec seam. */
+  def activityAutocorrOn(ev: DataFrame): DataFrame = {
+    val spark = ev.sparkSession
+    val active = ev
+      .select(expr("unix_micros(ts) div 60000000").as("minute"))
+      .groupBy(col("minute")).agg(count(lit(1)).as("n"))
+    // bounded 1-row pull: just the series extent, never data
+    val ext = active.agg(min(col("minute")), max(col("minute"))).head()
+    require(!ext.isNullAt(0), "activityAutocorr needs at least one event")
+    val series = spark.range(ext.getLong(0), ext.getLong(1) + 1)
+      .toDF("minute")
+      .join(active, Seq("minute"), "left")
+      .na.fill(0L, Seq("n"))
+    val perLag = AcfLags.map { l =>
+      val a = series.select(col("minute"), col("n").as("x"))
+      val b = series.select((col("minute") - l).as("minute"), col("n").as("y"))
+      a.join(b, "minute")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(lit(l).as("lag_min"), col("n"), col("sx"), col("sy"),
+          col("sxy"), col("sxx"), col("syy"))
+    }.reduce(_ unionAll _)
+    perLag
+      .withColumn("corr",
+        round(((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+            * sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double")))), 6))
+      .orderBy("lag_min")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "profile_corr" -> ((s, d) => activityCorr(s, d)),
+    "profile_autocorr" -> ((s, d) => activityAutocorr(s, d)),
     "profile_events" -> ((s, d) => profileEvents(s, d)),
     "profile_stats_sketch" -> ((s, d) => tableStatsSketch(s, d)),
     "profile_drift" -> ((s, d) => driftReport(s, d)),
@@ -259,6 +311,26 @@ object Profiling {
          |  round((n * sxy - sx * sy)::DOUBLE
          |    / (sqrt((n * sxx - sx * sx)::DOUBLE) * sqrt((n * syy - sy * sy)::DOUBLE)), 6) AS corr
          |FROM p ORDER BY type_a, type_b""".stripMargin
+    },
+    "profile_autocorr" -> {
+      val arms = AcfLags.map { l =>
+        s"""SELECT ${l} AS lag_min, count(*)::BIGINT AS n,
+           |  sum(a.n)::BIGINT AS sx, sum(b.n)::BIGINT AS sy,
+           |  sum(a.n * b.n)::BIGINT AS sxy,
+           |  sum(a.n * a.n)::BIGINT AS sxx, sum(b.n * b.n)::BIGINT AS syy
+           |FROM d a JOIN d b ON b.minute = a.minute + ${l}""".stripMargin
+      }.mkString("\nUNION ALL ")
+      s"""WITH m AS (SELECT epoch_us(ts) // 60000000 AS minute,
+         |    count(*)::BIGINT AS n FROM events GROUP BY 1),
+         |ext AS (SELECT min(minute) AS mn, max(minute) AS mx FROM m),
+         |spine AS (SELECT unnest(generate_series(mn, mx)) AS minute FROM ext),
+         |d AS (SELECT s.minute, coalesce(m.n, 0) AS n
+         |  FROM spine s LEFT JOIN m USING (minute)),
+         |p AS ($arms)
+         |SELECT lag_min, n, sx, sy, sxy, sxx, syy,
+         |  round((n * sxy - sx * sy)::DOUBLE
+         |    / (sqrt((n * sxx - sx * sx)::DOUBLE) * sqrt((n * syy - sy * sy)::DOUBLE)), 6) AS corr
+         |FROM p ORDER BY lag_min""".stripMargin
     },
     "profile_drift" ->
       """WITH e AS (SELECT event_type AS grp, event_id % 2 = 0 AS is_a,

@@ -89,6 +89,21 @@ class ApproxSwapSpec extends SparkSpec {
     got.values.foreach(c => assert(c >= -1.0 && c <= 1.0))
   }
 
+  test("autocorrelation: an alternating series reads -1 at lag 1 and +1 at lag 2") {
+    import spark.implicits._
+    def t(min: Long) = new java.sql.Timestamp(min * 60000L)
+    // one event at every EVEN minute 0..18 → dense series alternates
+    // 1,0,1,0,… over [0,18]; silent odd minutes are real zeros
+    val rows = (0L to 18L by 2).map(m => Tuple1(t(m)))
+    val got = graft.operators.Profiling
+      .activityAutocorrOn(rows.toDF("ts"))
+      .collect()
+      .map(r => r.getAs[Long]("lag_min") -> r.getAs[Double]("corr")).toMap
+    assert(got(1L) == -1.0, s"alternating series must anti-correlate at lag 1: $got")
+    assert(got(2L) == 1.0, s"period-2 series must correlate at +1 at lag 2: $got")
+    got.values.foreach(c => assert(c >= -1.0 && c <= 1.0))
+  }
+
   test("approx_percentile tracks exact quantiles within 5%") {
     val exact = events
       .agg(expr("percentile(value, array(0.25, 0.5, 0.9))")).head.getSeq[Double](0)
