@@ -618,7 +618,53 @@ object Similarity {
         dotProduct(col("embedding"), typedlit(pc.toSeq)).as("pc1_score"))
   }
 
+  /** SQ8 half-range: unit-normalized components scale to [-127, 127]. */
+  private val Sq8Scale = 127L
+
+  /** Int8 scalar-quantized cosine top-k — the memory-side ANN knob PQ's
+    * codebooks skip past: each vector is unit-normalized and every
+    * component mapped to a signed 8-bit code (floor(x̂·127 + ½)), the
+    * standard symmetric int8 embedding quantization. The INTEGER dot
+    * product of two code vectors then approximates cosine·127², so
+    * ranking is exact small-integer arithmetic — engine and oracle
+    * agree bit-for-bit past the (deterministic, data-independent)
+    * quantizer, and the corpus shrinks 4× vs float32.
+    *
+    * Scale shape: the quantizer is a pure scan projection — no global
+    * stats, no collect, nothing to broadcast but the NumQueries code
+    * rows; the bounded top-k aggregator keeps shuffle volume at
+    * k×partitions per query and the corpus never shuffles. In
+    * production the byte codes persist as a 4×-smaller sidecar table
+    * and the scan reads THAT — re-encoding a query needs only its own
+    * norm, no fitted state at all. */
+  def sq8TopK(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.dotProduct
+    // zero-norm vectors out up front (oracle mirrors): x̂ is undefined
+    val emb = Tables.embeddings(spark, dir)
+      .filter(dotProduct(col("embedding"), col("embedding")) > 0)
+    val codes = emb
+      .withColumn("nrm", sqrt(dotProduct(col("embedding"), col("embedding"))))
+      .select(col("vec_id"), expr(
+        s"""transform(embedding, x -> CAST(floor(
+           |  CAST(x AS DOUBLE) / nrm * ${Sq8Scale}.0D + 0.5D) AS DOUBLE))"""
+          .stripMargin).as("codes"))
+    val q = codes.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("codes").as("qcodes"))
+    val topk = udaf(new graft.functions.TopKByScore(TopK))
+    broadcast(q)
+      .join(codes, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        dotProduct(col("qcodes"), col("codes")).as("score"))
+      .groupBy(col("query_id"))
+      .agg(topk(col("vec_id"), col("score")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + lit(1)).as("rnk"),
+        col("col.vec_id").as("vec_id"), col("col.cosine").cast("long").as("score"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_topk_sq8" -> ((s, d) => sq8TopK(s, d)),
     "emb_covariance" -> ((s, d) => covariance(s, d)),
     "emb_pca_project" -> ((s, d) => pcaProject(s, d)),
     "emb_centroids" -> ((s, d) => centroidSums(s, d)),
@@ -903,6 +949,34 @@ object Similarity {
          |SELECT query_id, vec_id, cosine FROM c WHERE cosine >= $RangeTau
          |ORDER BY query_id, vec_id""".stripMargin,
     "sim_topk_pq" -> pqOracle,
+    // same index-ordered norm fold (the engine's native DotProduct
+    // order), same floor(x̂·127 + ½) quantizer in identical double
+    // arithmetic, then an exact BIGINT dot product — no float
+    // comparison survives the quantizer, so the scores match
+    // bit-for-bit and ties break on vec_id in both engines
+    "sim_topk_sq8" ->
+      s"""WITH nz AS (SELECT vec_id, embedding,
+         |    sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+         |      list_transform(range(1, len(embedding) + 1),
+         |        k -> embedding[k]::DOUBLE * embedding[k]::DOUBLE)),
+         |      (a, v) -> a + v)) AS nrm
+         |  FROM embeddings),
+         |c AS (SELECT vec_id,
+         |    list_transform(range(1, len(embedding) + 1),
+         |      k -> floor(embedding[k]::DOUBLE / nrm * ${Sq8Scale}.0 + 0.5)::BIGINT)
+         |      AS codes
+         |  FROM nz WHERE nrm > 0),
+         |sc AS (SELECT q.vec_id AS query_id, d.vec_id,
+         |    list_reduce(list_prepend(0::BIGINT,
+         |      list_transform(range(1, len(q.codes) + 1),
+         |        k -> q.codes[k] * d.codes[k])), (a, v) -> a + v) AS score
+         |  FROM c q JOIN c d ON q.vec_id <> d.vec_id
+         |  WHERE q.vec_id < $NumQueries),
+         |r AS (SELECT query_id, vec_id, score,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rnk
+         |  FROM sc)
+         |SELECT query_id, rnk, vec_id, score FROM r WHERE rnk <= $TopK
+         |ORDER BY query_id, rnk""".stripMargin,
     "sim_topk_bruteforce" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
          |  WHERE vec_id < $NumQueries),

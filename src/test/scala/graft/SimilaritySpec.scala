@@ -320,4 +320,31 @@ class SimilaritySpec extends SparkSpec {
     val plan = Similarity.covariance(spark, sf0001).queryExecution.executedPlan.toString
     assert(!plan.contains("Window") && !plan.toLowerCase.contains("cartesian"))
   }
+
+  test("SQ8 scores are exact small integers and recall true neighbors") {
+    val sq = Similarity.sq8TopK(spark, sf0001)
+      .select("query_id", "rnk", "vec_id", "score")
+      .as[(Long, Int, Long, Long)].collect()
+    assert(sq.nonEmpty)
+    sq.groupBy(_._1).values.foreach { rows =>
+      // dense 1..k ranks, distinct neighbors, never the query itself
+      assert(rows.map(_._2).sorted.toSeq == (1 to rows.length))
+      assert(rows.map(_._3).distinct.length == rows.length)
+      rows.foreach { case (q, _, v, s) =>
+        assert(v != q)
+        // signed codes in [-127, 127] bound the integer dot product
+        val cap = Similarity.EmbDim.toLong * 127L * 127L
+        assert(s >= -cap && s <= cap)
+      }
+      // ranks are ordered by descending score (vec_id breaks ties)
+      val byRnk = rows.sortBy(_._2).map(_._4)
+      assert(byRnk.zip(byRnk.tail).forall { case (a, b) => a >= b })
+    }
+    // the 8-bit grid must still find most true top-k neighbors
+    val bf = Similarity.topKBruteForce(spark, sf0001)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val overlap = sq.count(r => bf.contains((r._1, r._3)))
+    assert(overlap >= sq.length / 2,
+      s"SQ8 recall collapsed: $overlap of ${sq.length} match brute force")
+  }
 }
