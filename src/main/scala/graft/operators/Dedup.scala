@@ -139,6 +139,61 @@ object Dedup {
   def jaccardPairs(spark: SparkSession, dir: String): DataFrame =
     jaccardPairsOn(shingled(spark, dir))
 
+  // ------------------------------------- exact prefix-filtered sim join
+
+  /** PPJoin-style prefix-filtered EXACT Jaccard self-join over the same
+    * distinct word-3-gram shingle-code sets as [[jaccardPairs]] (the
+    * public all-pairs algorithm family: Bayardo et al. WWW'07 prefix
+    * filtering, Xiao et al. WWW'08). Complements the inverted-index
+    * join: that one is a LOWER BOUND under its df cap, while this join
+    * is exact at τ = 1/2 with no cap — a pair with jaccard ≥ τ must
+    * share a code inside each side's (m − ⌈τm⌉ + 1)-code prefix once
+    * every doc's codes are ordered by global rarity, so candidates
+    * from prefix postings alone are complete, and the length filter
+    * 2·min(m) ≥ max(m) prunes the rest before verification.
+    *
+    * Scale shape: the df aggregate and the prefix-posting self-join
+    * share the `code` shuffle key; prefix postings carry each doc's
+    * RAREST codes, so posting lists on the join key are short by
+    * construction (the whole point of the rarity order — boilerplate
+    * shingles never become join keys, which is what lets exactness
+    * survive without jaccardPairs's skew valve). Verification rejoins
+    * the bounded candidate set to the code arrays by doc_id and runs
+    * one exact array_intersect per surviving pair. All similarity
+    * arithmetic is exact integers (2·inter ≥ un, ppm via integer div)
+    * — no float comparison anywhere. */
+  def prefixJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = shingled(spark, dir)
+      .select(col("doc_id"), explode(col("codes")).as("code"))
+    val dfc = e.groupBy(col("code")).agg(count(lit(1)).as("df"))
+    // codes per doc in canonical rarity order (df asc, code asc)
+    val arr = e.join(dfc, Seq("code"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("code")))).as("st"))
+      .select(col("doc_id"), expr("transform(st, s -> s.code)").as("codes"),
+        size(col("st")).cast("long").as("m"))
+    // prefix length p = m − ⌈m/2⌉ + 1, all-integer
+    val pre = arr.select(col("doc_id"), col("m"),
+      explode(expr("slice(codes, 1, CAST(m - ((m + 1L) div 2L) + 1L AS INT))"))
+        .as("code"))
+    val cand = pre.as("a").join(pre.as("b"),
+        col("a.code") === col("b.code") && col("a.doc_id") < col("b.doc_id") &&
+          lit(2L) * least(col("a.m"), col("b.m")) >=
+            greatest(col("a.m"), col("b.m")))
+      .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
+      .distinct()
+    cand
+      .join(arr.select(col("doc_id").as("doc_i"), col("codes").as("ca"),
+        col("m").as("ma")), Seq("doc_i"))
+      .join(arr.select(col("doc_id").as("doc_j"), col("codes").as("cb"),
+        col("m").as("mb")), Seq("doc_j"))
+      .withColumn("inter", size(array_intersect(col("ca"), col("cb"))).cast("long"))
+      .withColumn("un", col("ma") + col("mb") - col("inter"))
+      .filter(lit(2L) * col("inter") >= col("un"))
+      .select(col("doc_i"), col("doc_j"), col("inter"), col("un"),
+        expr("inter * 1000000L div un").as("jac_ppm"))
+  }
+
   private[graft] def jaccardPairsUnsorted(spark: SparkSession, dir: String): DataFrame =
     jaccardPairsUnsortedOn(shingled(spark, dir))
 
@@ -700,6 +755,7 @@ object Dedup {
     "dedup_clusters_star" -> ((s, d) => dupClustersStar(s, d)),
     "dedup_exact" -> ((s, d) => exact(s, d)),
     "dedup_jaccard_pairs" -> ((s, d) => jaccardPairs(s, d)),
+    "dedup_prefix_join" -> ((s, d) => prefixJoin(s, d)),
     "dedup_minhash_lsh" -> ((s, d) => minHashLshPairs(s, d)),
     "dedup_lsh_tuning" -> ((s, d) => lshTuningReport(s, d)),
     "dedup_simhash_pairs" -> ((s, d) => simHashPairs(s, d)),
@@ -834,6 +890,30 @@ object Dedup {
          |JOIN sh sj ON sj.doc_id = doc_j
          |WHERE common::DOUBLE / (si.sz + sj.sz - common) >= 0.5
          |ORDER BY doc_i, doc_j""".stripMargin,
+    // same distinct shingle-code sets (shared shingleCte), same
+    // (df, code) rarity order, same integer prefix length and
+    // 2·min ≥ max length filter, same exact intersection verify —
+    // every comparison is BIGINT, so parity is unconditional
+    "dedup_prefix_join" ->
+      s"""WITH $shingleCte,
+         |e AS (SELECT doc_id, unnest(codes) AS code FROM sh),
+         |df AS (SELECT code, count(*)::BIGINT AS df FROM e GROUP BY 1),
+         |arr AS (SELECT e.doc_id, list(e.code ORDER BY df.df, e.code) AS codes,
+         |    count(*)::BIGINT AS m
+         |  FROM e JOIN df USING (code) GROUP BY e.doc_id),
+         |pre AS (SELECT doc_id, m,
+         |    unnest(codes[1 : (m - ((m + 1) // 2) + 1)::INT]) AS code
+         |  FROM arr),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j
+         |  FROM pre a JOIN pre b ON a.code = b.code AND a.doc_id < b.doc_id
+         |  WHERE 2 * least(a.m, b.m) >= greatest(a.m, b.m)),
+         |v AS (SELECT doc_i, doc_j,
+         |    len(list_filter(x.codes, s -> list_contains(y.codes, s)))::BIGINT AS inter,
+         |    x.m + y.m AS msum
+         |  FROM cand JOIN arr x ON x.doc_id = doc_i JOIN arr y ON y.doc_id = doc_j)
+         |SELECT doc_i, doc_j, inter, (msum - inter) AS un,
+         |  inter * 1000000 // (msum - inter) AS jac_ppm
+         |FROM v WHERE 2 * inter >= msum - inter""".stripMargin,
     "dedup_lsh_tuning" -> {
       def cfg(b: Int, r: Int): String =
         s"""bands$b AS (SELECT doc_id, band, s[band*$r + 1 : band*$r + $r] AS key

@@ -188,6 +188,28 @@ class TrainingDataSpec extends SparkSpec {
     assert(lsh.size >= exact.size * 8 / 10, s"LSH recall too low: ${lsh.size}/${exact.size}")
   }
 
+  test("prefix-filtered exact join recovers every inverted-index pair with matching jaccard") {
+    // at test scale the df cap is a no-op, so the capped inverted index
+    // is itself exact — the prefix-filtered join must find the SAME
+    // pair set (completeness both ways), with the ppm restatement of
+    // each double jaccard
+    val inv = Dedup.jaccardPairs(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val pre = Dedup.prefixJoin(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(4)).toMap
+    assert(pre.keySet == inv.keySet,
+      s"exact prefix join disagrees with the uncapped inverted index: " +
+        s"only-prefix=${pre.keySet -- inv.keySet} only-inv=${inv.keySet -- pre.keySet}")
+    pre.foreach { case (k, ppm) =>
+      assert(math.abs(ppm - math.floor(inv(k) * 1000000)) <= 1.0,
+        s"ppm mismatch at $k: $ppm vs ${inv(k)}")
+    }
+    // plan shape: candidates come from equi-joined prefix postings —
+    // never a cartesian or nested loop over the corpus
+    val p = Dedup.prefixJoin(spark, sf0001).queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+  }
+
   test("jaccard df cap: default cap is a no-op on the real corpus") {
     val sh = Tables.documents(spark, sf0001)
       .select(col("doc_id"), TextFunctions.shingleCodes(col("text"), Dedup.ShingleN).as("codes"))
