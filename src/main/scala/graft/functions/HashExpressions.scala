@@ -135,6 +135,33 @@ object HashOps {
     * bit 2i, b's at bit 2i+1. Each step is five shift-mask rounds the
     * oracle replays with the same decimal mask constants. */
   def zorder2(a: Long, b: Long): Long = spread32(a) | (spread32(b) << 1)
+
+  /** Scalar twin of Sketches.avalanche32 — two multiply-xor rounds mod
+    * 2^32 then a final fold; bit-identical to the column algebra (and
+    * to the oracle's replay) on the nonnegative inputs polyHash emits. */
+  def mix32(h0: Long): Long = {
+    val r1 = ((h0 ^ (h0 >>> 16)) * 73244475L) % 4294967296L
+    val r2 = ((r1 ^ (r1 >>> 16)) * 73244475L) % 4294967296L
+    r2 ^ (r2 >>> 16)
+  }
+
+  /** k double-hashed probes of `s` against a fixed bloom bitset packed
+    * as 32-bit words in longs: probe_i = (h1 + i·h2) mod bits with
+    * h1 = mix32(polyHash(s, 31, 0)), h2 = mix32(polyHash(s, 37, 7)) —
+    * exactly Sketches.hash32/hash37. Both hashes computed ONCE per row;
+    * the column-algebra cascade re-derives them inside every probe
+    * subexpression after projection collapse (8× the hash work). */
+  def bloomMightContain(s: UTF8String, words: Array[Long], k: Int, bits: Long): Boolean = {
+    val h1 = mix32(polyHash(s, 31L, 0L))
+    val h2 = mix32(polyHash(s, 37L, 7L))
+    var i = 0
+    while (i < k) {
+      val p = (h1 + i * h2) % bits
+      if (((words((p / 32L).toInt) >>> (p % 32L).toInt) & 1L) == 0L) return false
+      i += 1
+    }
+    true
+  }
 }
 
 /** poly_hash(str): rolling polynomial hash (TextFunctions.polyHash). */
@@ -435,4 +462,42 @@ case class ZOrder2(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): ZOrder2 =
     copy(left = newLeft, right = newRight)
+}
+
+/** bloom_might_contain(str): k double-hash probes into a FIXED bloom
+  * bitset (32-bit words packed in longs) held once as a codegen
+  * reference object — the fused form of the Sketches.hash32/hash37
+  * probe cascade. Semantics are bit-identical to the column-algebra
+  * formulation (and its DuckDB oracle replay); the difference is
+  * execution: each hash computed once per row and k probes in one
+  * loop, where the collapsed-projection column form re-derives both
+  * hashes inside every probe subexpression and inlines the bitset
+  * literal 2k times into the plan. */
+case class BloomMightContain(child: Expression, words: Seq[Long], k: Int, bits: Long)
+    extends UnaryExpression {
+  require(words.length * 32L >= bits, s"bitset too small: ${words.length} words for $bits bits")
+
+  override def prettyName: String = "bloom_might_contain"
+  override def dataType: DataType = BooleanType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires string input")
+
+  @transient private lazy val wordArr: Array[Long] = words.toArray
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashOps.bloomMightContain(input.asInstanceOf[UTF8String], wordArr, k, bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomWords", wordArr, "long[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashOps.bloomMightContain($c, $ref, $k, ${bits}L)")
+  }
+
+  // keep plans readable: a 1024-word bitset has no place in a tree dump
+  override def toString: String = s"$prettyName($child, ${words.length} words, k=$k, bits=$bits)"
+
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
+    copy(child = newChild)
 }

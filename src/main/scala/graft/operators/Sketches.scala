@@ -368,19 +368,20 @@ object Sketches {
       .collect()
     val words = Array.fill((BloomBits / 32).toInt)(0L)
     wordRows.foreach(r => words(r.getLong(0).toInt) = r.getLong(1))
-    val bitsLit = typedlit(words.toSeq)
-    val passes = (0 until BloomK).map { i =>
-      expr(s"shiftright(element_at(bloom_bits, CAST((h1 + ${i}L * h2) % $BloomBits div 32 AS INT) + 1), " +
-        s"CAST((h1 + ${i}L * h2) % $BloomBits % 32 AS INT)) & 1 = 1")
-    }.reduce(_ && _)
+    // fused probe: both hashes once per row, k probes in one loop, the
+    // bitset a single codegen reference. The column-algebra cascade
+    // (k conjoined element_at probes over a literal array column) is
+    // 8× slower — projection collapse re-derives h1/h2 inside every
+    // probe subexpression and inlines the 1024-word literal 2k times.
+    val passes = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.BloomMightContain(
+        org.apache.spark.sql.graft.ColumnBridge.expression(
+          col("l_orderkey").cast("string")),
+        words.toSeq, BloomK, BloomBits))
     val pruned = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_returnflag"),
         col("l_extendedprice"), col("l_discount"))
-      .withColumn("h1", hash32(col("l_orderkey")))
-      .withColumn("h2", hash37(col("l_orderkey")))
-      .withColumn("bloom_bits", bitsLit)
       .filter(passes)
-      .drop("h1", "h2", "bloom_bits")
     def cents(c: Column): Column = round(c * 100, 0).cast("long")
     pruned.join(urgent.select(col("o_orderkey")),
         col("l_orderkey") === col("o_orderkey"))

@@ -190,6 +190,40 @@ class HashExpressionsSpec extends SparkSpec {
     assert(rows.toSeq == Seq(HashOps.zorder2(3, 5), HashOps.zorder2(1023, 0)))
   }
 
+  test("BloomMightContain equals the column-algebra probe cascade, codegen and interpreted") {
+    import graft.operators.Sketches
+    // a bitset with a deterministic scatter of set bits
+    val words = Array.tabulate(1024)(i => (i * 0x9E3779B97F4A7C15L) | (1L << (i % 32)))
+      .map(_ & 0xFFFFFFFFL) // 32-bit words, as the builder packs them
+    val bits = 32768L
+    val keys = (0L until 2000L).toDF("key")
+    val fused = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.BloomMightContain(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("key").cast("string")),
+        words.toSeq, 4, bits))
+    // reference: the original conjunction of per-probe element_at tests
+    val probes = (0 until 4).map { i =>
+      expr(s"shiftright(element_at(bloom_bits, CAST((h1 + ${i}L * h2) % $bits div 32 AS INT) + 1), " +
+        s"CAST((h1 + ${i}L * h2) % $bits % 32 AS INT)) & 1 = 1")
+    }.reduce(_ && _)
+    val ref = keys
+      .withColumn("h1", Sketches.hash32(col("key")))
+      .withColumn("h2", Sketches.hash37(col("key")))
+      .withColumn("bloom_bits", typedlit(words.toSeq))
+      .select(col("key"), probes.as("hit"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    def run(): Map[Long, Boolean] = keys.select(col("key"), fused.as("hit"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(run() == ref)
+    // interpreted path must agree bit-for-bit with codegen
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try assert(run() == ref)
+    finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+    // sanity: the scatter admits some keys and rejects others
+    assert(ref.values.exists(identity) && ref.values.exists(!_))
+  }
+
   test("zorder tiles bound both dimensions' bounding boxes") {
     val tiles = graft.operators.Layout.zorderTiles(spark, sf0001).collect()
     assert(tiles.nonEmpty)

@@ -157,8 +157,8 @@ class PlanShapeSpec extends SparkSpec {
     // test must sit in a Filter on the lineitem side BELOW the join's
     // exchange, so the unmatched fact fraction never shuffles
     val p = physical(SparkEntry.queries("sketch_bloom_join")(spark, sf0001))
-    assert(p.contains("element_at") || p.contains("shiftright"),
-      s"bloom probe filter missing from the physical plan:\n$p")
+    assert(p.contains("bloom_might_contain"),
+      s"fused bloom probe filter missing from the physical plan:\n$p")
     assert(!p.contains("CartesianProduct"), s"bloom join plans a cartesian:\n$p")
   }
 
