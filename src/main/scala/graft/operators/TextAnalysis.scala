@@ -435,7 +435,55 @@ object TextAnalysis {
         round(-avg(log(col("p"))), 6).as("nll_nats"))
   }
 
+  /** Minimum corpus count for a bigram to be rankable — the classic
+    * collocation guard: below it, one co-occurrence of two hapax words
+    * scores an unbeatable lift. */
+  val PmiMinSupport = 5L
+  val PmiTopK = 30
+
+  /** Collocation mining: top adjacent word bigrams by LIFT,
+    * lift = P(xy) / (P(x)·P(y)). Ranking by the exact integer
+    * cxy·10⁹ div (cx·cy) is ranking by lift — the corpus-size factors
+    * N²/N_bigrams are constant across bigrams — so the report is
+    * all-BIGINT deterministic (ties break on the bigram string). The
+    * ppb scaling holds to cxy < 9.2·10⁹ occurrences; beyond that a
+    * production run scales the numerator down (or goes DECIMAL).
+    *
+    * Scale shape: unigram and bigram counts are map-side-combined
+    * shuffles on the token/bigram; the min-support filter prunes the
+    * bigram frame BEFORE it joins the vocab counts (two co-partitioned
+    * equi-joins on token), and the final ranking is TakeOrdered over
+    * the support-filtered frame — per-partition heaps, k rows to the
+    * driver merge, never a global sort. */
+  def pmiBigrams(spark: SparkSession, dir: String): DataFrame =
+    pmiBigramsOn(Tables.documents(spark, dir))
+
+  /** Core over any (doc_id, text) frame — spec seam. */
+  private[graft] def pmiBigramsOn(docs: DataFrame): DataFrame = {
+    val docT = docs
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+    val t = col("t")
+    val bg = when(size(t) >= 2,
+      transform(sequence(lit(1), size(t) - 1),
+        i => struct(element_at(t, i).as("x"), element_at(t, i + lit(1)).as("y"))))
+      .otherwise(array().cast("array<struct<x:string,y:string>>"))
+    val big = docT.select(explode(bg).as("b")).select(col("b.x"), col("b.y"))
+    val uni = docT.select(explode(t).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val bc = big.groupBy(col("x"), col("y")).agg(count(lit(1)).as("cxy"))
+      .filter(col("cxy") >= PmiMinSupport)
+    bc
+      .join(uni.select(col("tok").as("x"), col("c").as("cx")), Seq("x"))
+      .join(uni.select(col("tok").as("y"), col("c").as("cy")), Seq("y"))
+      .select(concat_ws(" ", col("x"), col("y")).as("bigram"),
+        col("cxy"), col("cx"), col("cy"),
+        expr("cxy * 1000000000L div (cx * cy)").as("lift_ppb"))
+      .orderBy(col("lift_ppb").desc, col("bigram"))
+      .limit(PmiTopK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_pmi_bigrams" -> ((s, d) => pmiBigrams(s, d)),
     "text_bpe_train" -> ((s, d) => bpeTrain(s, d)),
     "text_bpe_apply" -> ((s, d) => bpeApplyCounts(s, d)),
     "text_char_lm" -> ((s, d) => charLmScore(s, d)),
@@ -615,6 +663,22 @@ object TextAnalysis {
       """SELECT token, count(*)::BIGINT AS n
         |FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token FROM documents)
         |GROUP BY token ORDER BY n DESC, token LIMIT 30""".stripMargin,
+    // same tokenization, same adjacent pairs, same min support, same
+    // exact ppb integer lift, same (lift desc, bigram) tiebreak
+    "text_pmi_bigrams" ->
+      s"""WITH tk AS (SELECT doc_id,
+         |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+         |  FROM documents),
+         |uc AS (SELECT tok, count(*)::BIGINT AS c
+         |  FROM (SELECT unnest(toks) AS tok FROM tk) GROUP BY 1),
+         |big AS (SELECT toks[j::INT] AS x, toks[j::INT + 1] AS y
+         |  FROM tk, UNNEST(range(1, len(toks))) AS u(j)),
+         |bc AS (SELECT x, y, count(*)::BIGINT AS cxy FROM big
+         |  GROUP BY 1, 2 HAVING count(*) >= $PmiMinSupport)
+         |SELECT bc.x || ' ' || bc.y AS bigram, bc.cxy, ux.c AS cx, uy.c AS cy,
+         |  bc.cxy * 1000000000 // (ux.c * uy.c) AS lift_ppb
+         |FROM bc JOIN uc ux ON ux.tok = bc.x JOIN uc uy ON uy.tok = bc.y
+         |ORDER BY lift_ppb DESC, bigram LIMIT $PmiTopK""".stripMargin,
     "text_quality_norm" ->
       s"""WITH t AS (SELECT doc_id, lang,
          |    list_filter(string_split(text, ' '), x -> x <> '') AS toks

@@ -149,6 +149,32 @@ class TrainingDataSpec extends SparkSpec {
       ((20L, 850L, 1000L, 1000L)))
   }
 
+  test("PMI bigrams rank the constructed collocation first with exact counts") {
+    // "aa bb" always co-occurs (6 times); "cc dd" co-occurs 5 of the
+    // times cc and dd each appear (8 each) — lift must rank aa bb
+    // first. Filler words keep both pairs above min support without
+    // adding competing bigrams (each filler bigram is unique).
+    val docs = (
+      (1L to 6L).map(i => (i, s"aa bb f$i g$i")) ++
+      (7L to 11L).map(i => (i, s"cc dd h$i k$i")) ++
+      Seq((12L, "cc x1 cc x2 cc y1 dd y2 dd y3 dd z9"))
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.pmiBigramsOn(docs).collect()
+    assert(rows.nonEmpty)
+    val first = rows.head
+    assert(first.getString(0) == "aa bb", s"expected aa bb first, got $first")
+    assert((first.getLong(1), first.getLong(2), first.getLong(3)) == ((6L, 6L, 6L)))
+    // lift_ppb is the exact integer restatement everywhere
+    rows.foreach { r =>
+      assert(r.getLong(4) == r.getLong(1) * 1000000000L / (r.getLong(2) * r.getLong(3)))
+      assert(r.getLong(1) >= TextAnalysis.PmiMinSupport)
+    }
+    // descending by (lift, bigram): the report order is total
+    val scores = rows.map(r => (r.getLong(4), r.getString(0)))
+    assert(scores.zip(scores.tail).forall { case ((a, s1), (b, s2)) =>
+      a > b || (a == b && s1 < s2) })
+  }
+
   test("exact dedup groups identical texts") {
     val d = Dedup.exactOn(docs, col("text"), col("doc_id"))
     val m = d.collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
