@@ -268,7 +268,107 @@ object Profiling {
       .orderBy("lag_min")
   }
 
+  /** Declarative data-quality constraint suite — the Deequ-style audit
+    * a pipeline runs before promoting a snapshot: referential
+    * integrity, key uniqueness, range and completeness checks, each
+    * reported as (check_name, checked, violations).
+    *
+    * Scale shape: every FK check is ONE left join on the key (dim keys
+    * deduplicated first so fact rows never multiply) feeding a single
+    * count/sum aggregate — map-side partials, one row out. Uniqueness
+    * is count minus count-distinct in one aggregate over the scan.
+    * Range/completeness checks are pure scan aggregates. The union of
+    * one-row frames is driver-trivial; no check materializes violating
+    * rows (a drill-down would re-run the one failing check with a
+    * limit). */
+  /** One FK check: fact rows whose key misses the (deduplicated) dim
+    * key set. Spec seam — the audit wires it to the TPC-H tables. */
+  private[graft] def fkCheck(name: String, fact: DataFrame, key: String,
+                             dim: DataFrame, dimKey: String): DataFrame =
+    fact.select(col(key).as("k"))
+      .join(dim.select(col(dimKey).as("k")).distinct()
+        .withColumn("hit", lit(1)), Seq("k"), "left")
+      .agg(count(lit(1)).as("checked"),
+        sum(when(col("hit").isNull, 1L).otherwise(0L)).as("violations"))
+      .select(lit(name).as("check_name"), col("checked"), col("violations"))
+
+  /** One predicate check: rows where `ok` is false or null. */
+  private[graft] def rangeCheck(name: String, df: DataFrame, ok: Column): DataFrame =
+    df.agg(count(lit(1)).as("checked"),
+      sum(when(ok, 0L).otherwise(1L)).as("violations"))
+      .select(lit(name).as("check_name"), col("checked"), col("violations"))
+
+  def constraintAudit(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val lineitem = Tables.lineitem(spark, dir)
+    val customer = Tables.customer(spark, dir)
+    val part = Tables.part(spark, dir)
+    val documents = Tables.documents(spark, dir)
+    val fk = fkCheck _
+    val checks = Seq(
+      fk("fk_orders_custkey", orders, "o_custkey", customer, "c_custkey"),
+      fk("fk_lineitem_orderkey", lineitem, "l_orderkey", orders, "o_orderkey"),
+      fk("fk_lineitem_partkey", lineitem, "l_partkey", part, "p_partkey"),
+      customer.agg(count(lit(1)).as("checked"),
+        (count(lit(1)) - count_distinct(col("c_custkey"))).as("violations"))
+        .select(lit("unique_customer_custkey").as("check_name"),
+          col("checked"), col("violations")),
+      lineitem.agg(count(lit(1)).as("checked"),
+        (count(lit(1)) - count_distinct(col("l_orderkey"), col("l_linenumber")))
+          .as("violations"))
+        .select(lit("unique_lineitem_pk").as("check_name"),
+          col("checked"), col("violations")),
+      rangeCheck("range_orders_totalprice", orders, col("o_totalprice") > 0),
+      rangeCheck("range_lineitem_quantity", lineitem,
+        col("l_quantity").between(1, 50)),
+      rangeCheck("range_lineitem_discount", lineitem,
+        col("l_discount").between(0, 1)),
+      rangeCheck("nonempty_documents_text", documents,
+        col("text").isNotNull && length(col("text")) > 0))
+    checks.reduce(_ unionAll _).orderBy("check_name")
+  }
+
+  /** Distributed ordinary least squares by sufficient statistics — the
+    * one-pass regression every feature pipeline runs: per l_returnflag,
+    * fit extendedprice-cents = a + b·quantity.
+    *
+    * The five sufficient statistics (n, Σx, Σy, Σxy, Σx²) are EXACT
+    * long sums over integer cents — associative, so partition merge
+    * order cannot perturb them (a double sum's last bits would differ
+    * run to run and engine to engine). Only the final combine is
+    * double, and it is a fixed expression tree over five scalars, so
+    * it is bit-identical in any engine. Per-row xy ≤ 50·10⁷ cents, so
+    * the long sums hold to ~10⁹ rows per group; past that production
+    * promotes the accumulators to DECIMAL(38,0) — same plan shape.
+    * Scale: one scan, map-side partial aggregation, one exchange of
+    * |groups| rows. */
+  def linregSuffStats(spark: SparkSession, dir: String): DataFrame =
+    linregOn(Tables.lineitem(spark, dir))
+
+  /** Core over any (l_returnflag, l_quantity, l_extendedprice) frame —
+    * spec seam. */
+  private[graft] def linregOn(items: DataFrame): DataFrame = {
+    val x = round(col("l_quantity"), 0).cast("long")
+    val y = round(col("l_extendedprice") * 100, 0).cast("long")
+    val d = (c: Column) => c.cast("double")
+    items
+      .select(col("l_returnflag"), x.as("x"), y.as("y"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .withColumn("slope",
+        (d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+          (d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))))
+      .select(col("l_returnflag"), col("n"), col("sx"), col("sy"),
+        round(col("slope"), 6).as("slope_cents_per_unit"),
+        round((d(col("sy")) - col("slope") * d(col("sx"))) / d(col("n")), 6)
+          .as("intercept_cents"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qa_constraint_audit" -> ((s, d) => constraintAudit(s, d)),
+    "profile_linreg" -> ((s, d) => linregSuffStats(s, d)),
     "profile_corr" -> ((s, d) => activityCorr(s, d)),
     "profile_autocorr" -> ((s, d) => activityAutocorr(s, d)),
     "profile_events" -> ((s, d) => profileEvents(s, d)),
@@ -284,6 +384,62 @@ object Profiling {
        |FROM events""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // same checks, same left-join-on-deduped-dim-keys FK algebra
+    "qa_constraint_audit" ->
+      """SELECT 'fk_orders_custkey' AS check_name, count(*)::BIGINT AS checked,
+        |  sum(CASE WHEN c.k IS NULL THEN 1 ELSE 0 END)::BIGINT AS violations
+        |FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey AS k FROM customer) c
+        |  ON o.o_custkey = c.k
+        |UNION ALL
+        |SELECT 'fk_lineitem_orderkey', count(*)::BIGINT,
+        |  sum(CASE WHEN o.k IS NULL THEN 1 ELSE 0 END)::BIGINT
+        |FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey AS k FROM orders) o
+        |  ON l.l_orderkey = o.k
+        |UNION ALL
+        |SELECT 'fk_lineitem_partkey', count(*)::BIGINT,
+        |  sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END)::BIGINT
+        |FROM lineitem l LEFT JOIN (SELECT DISTINCT p_partkey AS k FROM part) p
+        |  ON l.l_partkey = p.k
+        |UNION ALL
+        |SELECT 'unique_customer_custkey', count(*)::BIGINT,
+        |  (count(*) - count(DISTINCT c_custkey))::BIGINT FROM customer
+        |UNION ALL
+        |SELECT 'unique_lineitem_pk', count(*)::BIGINT,
+        |  (count(*) - count(DISTINCT (l_orderkey, l_linenumber)))::BIGINT
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'range_orders_totalprice', count(*)::BIGINT,
+        |  sum(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END)::BIGINT FROM orders
+        |UNION ALL
+        |SELECT 'range_lineitem_quantity', count(*)::BIGINT,
+        |  sum(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END)::BIGINT
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'range_lineitem_discount', count(*)::BIGINT,
+        |  sum(CASE WHEN l_discount BETWEEN 0 AND 1 THEN 0 ELSE 1 END)::BIGINT
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'nonempty_documents_text', count(*)::BIGINT,
+        |  sum(CASE WHEN text IS NOT NULL AND length(text) > 0 THEN 0 ELSE 1 END)::BIGINT
+        |FROM documents
+        |ORDER BY check_name""".stripMargin,
+    // same exact long sufficient statistics, same double combine tree
+    "profile_linreg" ->
+      """WITH s AS (SELECT l_returnflag, count(*)::BIGINT AS n,
+        |    sum(CAST(round(l_quantity,0) AS BIGINT))::BIGINT AS sx,
+        |    sum(CAST(round(l_extendedprice*100,0) AS BIGINT))::BIGINT AS sy,
+        |    sum(CAST(round(l_quantity,0) AS BIGINT)
+        |      * CAST(round(l_extendedprice*100,0) AS BIGINT))::BIGINT AS sxy,
+        |    sum(CAST(round(l_quantity,0) AS BIGINT)
+        |      * CAST(round(l_quantity,0) AS BIGINT))::BIGINT AS sxx
+        |  FROM lineitem GROUP BY 1),
+        |f AS (SELECT *, (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+        |    / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) AS slope
+        |  FROM s)
+        |SELECT l_returnflag, n, sx, sy,
+        |  round(slope, 6) AS slope_cents_per_unit,
+        |  round((sy::DOUBLE - slope * sx::DOUBLE) / n::DOUBLE, 6) AS intercept_cents
+        |FROM f ORDER BY l_returnflag""".stripMargin,
     // same dense pivot, same exact integer moments, same double op
     // order (numerator / (sqrt * sqrt)), rounded to 6 in both engines
     "profile_corr" -> {

@@ -482,7 +482,62 @@ object TextAnalysis {
       .limit(PmiTopK)
   }
 
+  /** Minimum document frequency for a token to be χ²-rankable: rare
+    * tokens have huge variance and their χ² is meaningless. */
+  val Chi2MinDf = 20L
+  val Chi2TopK = 30
+
+  /** χ² feature selection — which tokens most separate English from
+    * everything else. Per token, document-frequency contingency counts
+    * (a = en docs containing it, b = en docs without, c/d likewise for
+    * non-en) are EXACT longs from one distinct-token explode + one
+    * aggregate; χ² = N(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) is then a fixed
+    * double expression tree over those scalars — bit-identical in any
+    * engine. ad−bc ≤ N² so the long diff holds to ~3·10⁹ docs; the
+    * square and the four marginal products are taken in double.
+    *
+    * Scale shape: the token-class counts are one map-side-combined
+    * shuffle on the token; the corpus totals (2 scalars) ride in on a
+    * broadcast cross join; ranking is TakeOrdered over the vocab-sized
+    * frame — per-partition heaps, k rows to the driver, no global
+    * sort. The same frame generalizes to per-class one-vs-rest by
+    * keying the aggregate on (class, token). */
+  def chi2Terms(spark: SparkSession, dir: String): DataFrame =
+    chi2TermsOn(Tables.documents(spark, dir))
+
+  /** Core over any (text, lang) frame — spec seam. */
+  private[graft] def chi2TermsOn(docs: DataFrame): DataFrame = {
+    val isEn = (col("lang") === "en").cast("long")
+    val totals = docs.agg(count(lit(1)).as("n_total"), sum(isEn).as("n_en"))
+    val d = (c: Column) => c.cast("double")
+    docs
+      .select(isEn.as("is_en"), explode(array_distinct(tokens(col("text")))).as("token"))
+      .groupBy("token")
+      .agg(sum(col("is_en")).as("df_en"),
+        sum(lit(1L) - col("is_en")).as("df_other"))
+      .filter(col("df_en") + col("df_other") >= Chi2MinDf)
+      .crossJoin(broadcast(totals))
+      .withColumn("b", col("n_en") - col("df_en"))
+      .withColumn("dd", col("n_total") - col("n_en") - col("df_other"))
+      .withColumn("diff", col("df_en") * col("dd") - col("b") * col("df_other"))
+      .withColumn("chi2",
+        // diff = 0 covers every degenerate marginal (a token present in
+        // ALL docs — think "the" — zeroes the b+d margin AND the diff;
+        // an all-en or all-other corpus likewise), so the guard both
+        // avoids 0/0 and lands on the right χ² = 0 (no association)
+        when(col("diff") === 0L, lit(0.0)).otherwise(
+          d(col("n_total")) * d(col("diff")) * d(col("diff")) /
+            (d(col("n_en")) * d(col("n_total") - col("n_en")) *
+              d(col("df_en") + col("df_other")) *
+              d(col("n_total") - col("df_en") - col("df_other")))))
+      .orderBy(col("chi2").desc, col("token"))
+      .limit(Chi2TopK)
+      .select(col("token"), col("df_en"), col("df_other"),
+        round(col("chi2"), 4).as("chi2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_chi2_terms" -> ((s, d) => chi2Terms(s, d)),
     "text_pmi_bigrams" -> ((s, d) => pmiBigrams(s, d)),
     "text_bpe_train" -> ((s, d) => bpeTrain(s, d)),
     "text_bpe_apply" -> ((s, d) => bpeApplyCounts(s, d)),
@@ -663,6 +718,33 @@ object TextAnalysis {
       """SELECT token, count(*)::BIGINT AS n
         |FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token FROM documents)
         |GROUP BY token ORDER BY n DESC, token LIMIT 30""".stripMargin,
+    // same distinct-token contingency longs, same double χ² tree
+    // (left-assoc products), same (χ² desc, token) tiebreak pre-round
+    "text_chi2_terms" ->
+      s"""WITH tk AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en,
+         |    unnest(list_distinct(list_filter(string_split(text, ' '),
+         |      x -> x <> ''))) AS token
+         |  FROM documents),
+         |tot AS (SELECT count(*)::BIGINT AS n_total,
+         |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS n_en
+         |  FROM documents),
+         |c AS (SELECT token, sum(is_en)::BIGINT AS df_en,
+         |    sum(1 - is_en)::BIGINT AS df_other
+         |  FROM tk GROUP BY 1 HAVING count(*) >= $Chi2MinDf),
+         |x AS (SELECT token, df_en, df_other,
+         |    (df_en * (n_total - n_en - df_other)
+         |      - (n_en - df_en) * df_other)::BIGINT AS diff,
+         |    n_total, n_en
+         |  FROM c CROSS JOIN tot),
+         |s AS (SELECT token, df_en, df_other,
+         |    CASE WHEN diff = 0 THEN 0.0 ELSE
+         |      n_total::DOUBLE * diff::DOUBLE * diff::DOUBLE /
+         |        (n_en::DOUBLE * (n_total - n_en)::DOUBLE
+         |          * (df_en + df_other)::DOUBLE
+         |          * (n_total - df_en - df_other)::DOUBLE) END AS chi2
+         |  FROM x)
+         |SELECT token, df_en, df_other, round(chi2, 4) AS chi2
+         |FROM s ORDER BY s.chi2 DESC, token LIMIT $Chi2TopK""".stripMargin,
     // same tokenization, same adjacent pairs, same min support, same
     // exact ppb integer lift, same (lift desc, bigram) tiebreak
     "text_pmi_bigrams" ->

@@ -124,9 +124,81 @@ object Warehouse {
       .orderBy("status")
   }
 
+  /** Buckets for the anti-entropy table diff. At 100 TB this is the
+    * partition count of the snapshots (thousands); 64 keeps the sf0.01
+    * report readable while exercising every code path. */
+  val DiffBuckets = 64
+
+  /** Anti-entropy snapshot diff — "which partitions of these two table
+    * versions differ, and how" — WITHOUT comparing rows across the
+    * whole table. Two deterministic snapshots are derived from
+    * `orders`: A drops keys ≡ 13 (mod 1000) (so they read as inserts
+    * in B), B drops keys ≡ 7 (mod 1000) (deletes) and doubles the
+    * price cents of keys ≡ 3 (mod 500) (updates).
+    *
+    * Pass 1 reduces each snapshot to `DiffBuckets` fingerprint rows:
+    * per bucket, the row count and the XOR of a 60-bit md5 row digest.
+    * XOR is commutative/associative and self-inverse, so the bucket
+    * fingerprint is order-independent and map-side combinable, and one
+    * changed row flips it. Pass 2 re-reads ONLY the rows of mismatched
+    * buckets (a broadcast semi-join on the tiny bucket list) and
+    * classifies them by a full outer join on the key: deleted /
+    * inserted / changed (key present in both, digest differs).
+    *
+    * Scale shape: pass 1 is a scan + one exchange of `DiffBuckets`
+    * rows per side; pass 2's join touches only the differing buckets'
+    * rows — at 100 TB with sparse drift that is a few partitions, not
+    * the table. The digest folds 15 hex chars of md5 (60 bits) so the
+    * XOR stays in a BIGINT both here and in the DuckDB oracle. */
+  def tableDiff(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir).select(
+      col("o_orderkey").as("k"), col("o_custkey"), col("o_orderstatus"),
+      round(col("o_totalprice") * 100, 0).cast("long").as("cents"),
+      col("o_orderdate").cast("string").as("od"), col("o_orderpriority"))
+    val a = base.filter(col("k") % 1000 =!= 13)
+    val b = base.filter(col("k") % 1000 =!= 7)
+      .withColumn("cents",
+        when(col("k") % 500 === 3, col("cents") * 2).otherwise(col("cents")))
+    def digested(df: DataFrame): DataFrame = df
+      .withColumn("digest", expr(
+        "CAST(conv(substring(md5(concat_ws('|', k, o_custkey, " +
+          "o_orderstatus, cents, od, o_orderpriority)), 1, 15), 16, 10) AS BIGINT)"))
+      .withColumn("bucket", col("k") % DiffBuckets)
+      .select(col("bucket"), col("k"), col("digest"))
+    val (da, db) = (digested(a), digested(b))
+    def summary(df: DataFrame, side: String): DataFrame = df
+      .groupBy("bucket")
+      .agg(count(lit(1)).as(s"rows_$side"), expr("bit_xor(digest)").as(s"x_$side"))
+    val buckets = summary(da, "a").join(summary(db, "b"), Seq("bucket"), "full")
+      .select(col("bucket"),
+        coalesce(col("rows_a"), lit(0L)).as("rows_a"),
+        coalesce(col("rows_b"), lit(0L)).as("rows_b"),
+        coalesce(col("x_a"), lit(0L)).as("x_a"),
+        coalesce(col("x_b"), lit(0L)).as("x_b"))
+      .filter(col("rows_a") =!= col("rows_b") || col("x_a") =!= col("x_b"))
+    val dirty = buckets.select(col("bucket"))
+    val af = da.join(broadcast(dirty), Seq("bucket"), "left_semi")
+    val bf = db.join(broadcast(dirty), Seq("bucket"), "left_semi")
+    val classified = af.select(col("k"), col("bucket").as("bkt_a"), col("digest").as("dig_a"))
+      .join(bf.select(col("k"), col("bucket").as("bkt_b"), col("digest").as("dig_b")),
+        Seq("k"), "full")
+      .select(coalesce(col("bkt_a"), col("bkt_b")).as("bucket"),
+        when(col("dig_b").isNull, 1L).otherwise(0L).as("del"),
+        when(col("dig_a").isNull, 1L).otherwise(0L).as("ins"),
+        when(col("dig_a").isNotNull && col("dig_b").isNotNull &&
+          col("dig_a") =!= col("dig_b"), 1L).otherwise(0L).as("chg"))
+      .groupBy("bucket")
+      .agg(sum("del").as("n_deleted"), sum("ins").as("n_inserted"),
+        sum("chg").as("n_changed"))
+    buckets.select("bucket", "rows_a", "rows_b")
+      .join(classified, Seq("bucket"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rel_merge_upsert" -> ((s, d) => mergeUpsert(s, d)),
     "rel_ivm_refresh" -> ((s, d) => ivmRefresh(s, d)),
+    "qa_table_diff" -> ((s, d) => tableDiff(s, d)),
     "rel_gaps_islands" -> ((s, d) => gapsIslands(s, d)))
 
   val oracle: Map[String, String] = Map(
@@ -162,6 +234,44 @@ object Warehouse {
         |UNION ALL
         |SELECT c_custkey, c_name, c_nationkey, action FROM updates
         |ORDER BY c_custkey""".stripMargin,
+    // same snapshots, same 60-bit md5 digest, same XOR fingerprints,
+    // same dirty-bucket-only row classification
+    "qa_table_diff" ->
+      s"""WITH base AS (SELECT o_orderkey AS k, o_custkey, o_orderstatus,
+         |    CAST(round(o_totalprice*100,0) AS BIGINT) AS cents,
+         |    CAST(o_orderdate AS VARCHAR) AS od, o_orderpriority FROM orders),
+         |a AS (SELECT k, ('0x'||substr(md5(concat_ws('|', k, o_custkey,
+         |      o_orderstatus, cents, od, o_orderpriority)),1,15))::BIGINT AS digest,
+         |    k % $DiffBuckets AS bucket
+         |  FROM base WHERE k % 1000 <> 13),
+         |bsrc AS (SELECT k, o_custkey, o_orderstatus,
+         |    CASE WHEN k % 500 = 3 THEN cents*2 ELSE cents END AS cents,
+         |    od, o_orderpriority
+         |  FROM base WHERE k % 1000 <> 7),
+         |b AS (SELECT k, ('0x'||substr(md5(concat_ws('|', k, o_custkey,
+         |      o_orderstatus, cents, od, o_orderpriority)),1,15))::BIGINT AS digest,
+         |    k % $DiffBuckets AS bucket FROM bsrc),
+         |sa AS (SELECT bucket, count(*)::BIGINT AS rows_a, bit_xor(digest) AS x_a
+         |  FROM a GROUP BY 1),
+         |sb AS (SELECT bucket, count(*)::BIGINT AS rows_b, bit_xor(digest) AS x_b
+         |  FROM b GROUP BY 1),
+         |bk AS (SELECT coalesce(sa.bucket, sb.bucket) AS bucket,
+         |    coalesce(rows_a, 0) AS rows_a, coalesce(rows_b, 0) AS rows_b
+         |  FROM sa FULL JOIN sb ON sa.bucket = sb.bucket
+         |  WHERE coalesce(rows_a, 0) <> coalesce(rows_b, 0)
+         |    OR coalesce(x_a, 0) <> coalesce(x_b, 0)),
+         |cl AS (SELECT coalesce(af.bucket, bf.bucket) AS bucket,
+         |    sum(CASE WHEN bf.k IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_deleted,
+         |    sum(CASE WHEN af.k IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_inserted,
+         |    sum(CASE WHEN af.k IS NOT NULL AND bf.k IS NOT NULL
+         |      AND af.digest <> bf.digest THEN 1 ELSE 0 END)::BIGINT AS n_changed
+         |  FROM (SELECT * FROM a WHERE bucket IN (SELECT bucket FROM bk)) af
+         |  FULL JOIN (SELECT * FROM b WHERE bucket IN (SELECT bucket FROM bk)) bf
+         |    ON af.k = bf.k
+         |  GROUP BY 1)
+         |SELECT bk.bucket, bk.rows_a, bk.rows_b,
+         |  cl.n_deleted, cl.n_inserted, cl.n_changed
+         |FROM bk JOIN cl USING (bucket) ORDER BY bucket""".stripMargin,
     "rel_gaps_islands" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
         |f AS (SELECT *, CASE WHEN lag(event_type) OVER w IS NULL

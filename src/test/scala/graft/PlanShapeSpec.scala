@@ -152,6 +152,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(!rr.contains("CartesianProduct"), s"rerank plans a cartesian:\n$rr")
   }
 
+  test("qa/profile/chi2 ops keep their shapes: heap top-k, broadcast bucket prune, no cartesian") {
+    // chi2/pmi rankings must stay TakeOrdered (per-partition heaps),
+    // never a global range-partitioned sort over the vocab frame
+    Seq("text_chi2_terms", "text_pmi_bigrams").foreach { q =>
+      val p = physical(SparkEntry.queries(q)(spark, sf0001))
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$q must rank via TakeOrdered, not a global sort:\n$p")
+      assert(!p.contains("Window"), s"$q must stay window-free:\n$p")
+    }
+    // the table diff's row-level pass must reach rows via the broadcast
+    // dirty-bucket semi-join — re-shuffling both snapshots for a few
+    // dirty buckets is exactly the anti-pattern the design avoids
+    val td = physical(operators.Warehouse.tableDiff(spark, sf0001))
+    assert(td.contains("BroadcastHashJoin") && td.contains("LeftSemi"),
+      s"table diff must broadcast-semi-join the dirty bucket list:\n$td")
+    assert(!td.contains("CartesianProduct"), s"table diff plans a cartesian:\n$td")
+    // audit + linreg: scan aggregates and key joins only
+    Seq("qa_constraint_audit", "profile_linreg").foreach { q =>
+      val p = physical(SparkEntry.queries(q)(spark, sf0001))
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
+      assert(!p.contains("Window"), s"$q must stay window-free:\n$p")
+    }
+  }
+
   test("sketch_bloom_join prunes the fact scan before any exchange") {
     // the whole point of the runtime-filter pattern: the 4-probe bloom
     // test must sit in a Filter on the lineitem side BELOW the join's

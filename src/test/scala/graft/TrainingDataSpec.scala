@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Curation, Dedup, TextAnalysis}
+import graft.operators.{Curation, Dedup, Profiling, TextAnalysis}
 import graft.functions.TextFunctions
 
 /** Semantics tests for the training-data pipeline extension: text
@@ -173,6 +173,40 @@ class TrainingDataSpec extends SparkSpec {
     val scores = rows.map(r => (r.getLong(4), r.getString(0)))
     assert(scores.zip(scores.tail).forall { case ((a, s1), (b, s2)) =>
       a > b || (a == b && s1 < s2) })
+  }
+
+  test("OLS sufficient statistics recover an exact linear relation per group") {
+    // y = 300x + 10000 cents in group A, y = -50x + 50000 in group B:
+    // the normal equations must recover both exactly (the sums are
+    // exact longs; the final combine is one double expression)
+    val items = (
+      (1 to 40).map(q => ("A", q.toDouble, (3.0 * q + 100.0))) ++
+      (1 to 40).map(q => ("B", q.toDouble, (-0.5 * q + 500.0)))
+    ).toDF("l_returnflag", "l_quantity", "l_extendedprice")
+    val rows = Profiling.linregOn(items).collect()
+      .map(r => r.getString(0) -> (r.getDouble(4), r.getDouble(5))).toMap
+    assert(rows("A") == ((300.0, 10000.0)), s"got ${rows("A")}")
+    assert(rows("B") == ((-50.0, 50000.0)), s"got ${rows("B")}")
+  }
+
+  test("chi-squared terms rank the perfectly-separating token first") {
+    // "zz" appears in every en doc and no other; "cc" appears in every
+    // doc of both classes (zero association); fillers are unique per
+    // doc and fall below min-df
+    val docs = (
+      (1 to 30).map(i => (s"cc zz en$i", "en")) ++
+      (1 to 30).map(i => (s"cc de$i x$i", "de"))
+    ).toDF("text", "lang")
+    val rows = TextAnalysis.chi2TermsOn(docs).collect()
+    val byTok = rows.map(r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(rows.head.getString(0) == "zz")
+    // a=30 b=0 c=0 d=30 → χ² = N = 60 (perfect association)
+    assert(byTok("zz") == ((30L, 0L, 60.0)))
+    // present everywhere → diff = ad−bc = 0 → χ² = 0
+    assert(byTok("cc") == ((30L, 30L, 0.0)))
+    // min-df guard: per-doc fillers (df=1) never reach the report
+    assert(rows.length == 2)
   }
 
   test("exact dedup groups identical texts") {
