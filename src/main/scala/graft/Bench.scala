@@ -35,11 +35,18 @@ object Bench {
 
     // warmup: session init + parquet footer/schema reads of EVERY table
     // off the clock (footer reads are per-file — warming only one table
-    // would charge the first query touching each of the others)
+    // would charge the first query touching each of the others).
+    // Per-table guard: one broken loader must cost one table's warmup,
+    // never the whole artifact (round 5 lost its entire bench to an
+    // uncaught analysis error right here).
+    def warm(label: String)(body: => Unit): Unit = try body catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] warmup $label failed: ${e.getMessage}")
+    }
     Seq("lineitem", "orders", "customer", "part", "supplier", "nation",
       "region", "documents", "embeddings")
-      .foreach(t => Tables.load(spark, sfDir, t).limit(1).collect())
-    Tables.events(spark, sfDir).limit(1).collect()
+      .foreach(t => warm(t)(Tables.load(spark, sfDir, t).limit(1).collect()))
+    warm("events")(Tables.events(spark, sfDir).limit(1).collect())
 
     // a failed run records -1, never its time-to-failure — a broken
     // query must not masquerade as a fast one in tracked benchmarks.

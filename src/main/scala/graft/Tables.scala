@@ -14,17 +14,32 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table carries TIMESTAMP(NANOS) parquet, which Spark's
-    * vectorized reader rejects; read nanos as long and convert at the
-    * ingest edge (integer division — a double round-trip would lose
-    * precision above 2^53 ns). The legacy conf is scoped HERE, not in
-    * `load`: flipping it for every table would silently change how any
-    * other nanos parquet in the session reads. */
+  /** The events table's `ts` physical type has drifted across testdata
+    * generations — TIMESTAMP(NANOS) (read as long via the legacy conf),
+    * then timestamp[us] (read as TIMESTAMP_NTZ). Branch on the LOADED
+    * dtype so either fixture yields the same TimestampType column:
+    *  - LongType (nanos): integer `div 1000` then timestamp_micros — a
+    *    double round-trip would lose precision above 2^53 ns.
+    *  - TimestampNTZType (micros): cast to session-TZ timestamp; the
+    *    session runs UTC everywhere (Verify/Bench/tests), so the
+    *    NTZ→LTZ cast is value-identical.
+    * The legacy conf is scoped HERE, not in `load`: flipping it for
+    * every table would silently change how any other nanos parquet in
+    * the session reads. */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val df = load(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => df
+      case other => throw new IllegalStateException(
+        s"events.ts: unsupported parquet-loaded type $other")
+    }
   }
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")

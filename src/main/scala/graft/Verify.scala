@@ -33,7 +33,7 @@ object Verify {
     }
 
     val selected = only.fold(SparkEntry.queries)(f => SparkEntry.queries.filter(kv => f(kv._1)))
-    val failed = selected.flatMap { case (name, fn) =>
+    val failed: Map[String, String] = selected.flatMap { case (name, fn) =>
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
@@ -42,14 +42,23 @@ object Verify {
         case NonFatal(e) =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
           deleteRecursively(new java.io.File(s"$outDir/$name"))
-          Some(name)
+          Some(name -> String.valueOf(e.getMessage).take(500))
       }
-    }.toSet
+    }
 
-    val json = (SparkEntry.oracleSql.filter(kv => selected.contains(kv._1)) -- failed)
+    val json = (SparkEntry.oracleSql.filter(kv => selected.contains(kv._1)) -- failed.keys)
       .map { case (k, v) => s"${JsonUtil.q(k)}: ${JsonUtil.q(v)}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // regressions must be LOUD: a failed query becomes an artifact entry,
+    // not a silent shrink of oracle_sql.json (round 5's 41-query
+    // regression surfaced only as "fewer queries")
+    val failedJson = failed.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${JsonUtil.q(k)}: ${JsonUtil.q(v)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/failed.json"), failedJson)
+    if (failed.nonEmpty)
+      System.err.println(s"[verify] ${failed.size} FAILED queries: ${failed.keys.toSeq.sorted.mkString(", ")}")
     spark.stop()
   }
 }
