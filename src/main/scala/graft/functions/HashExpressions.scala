@@ -145,6 +145,40 @@ object HashOps {
     r2 ^ (r2 >>> 16)
   }
 
+  /** polyHash of a long's DECIMAL STRING form, computed arithmetically —
+    * bit-identical to `polyHash(UTF8String.fromString(v.toString), …)`
+    * (digit d is codepoint 48+d) without materializing the string. The
+    * bloom probe sits inside a 100 TB fact scan; a per-row long→string
+    * allocation × the scan width is pure garbage-collector pressure. */
+  def polyHashLong(v: Long, mult: Long, init: Long): Long = {
+    if (v == Long.MinValue) // |MinValue| overflows; rare enough to string
+      return polyHash(UTF8String.fromString(v.toString), mult, init)
+    var h = init
+    var x = v
+    if (x < 0) { h = (h * mult + 45) % P; x = -x } // '-' is codepoint 45
+    var pow = 1L
+    while (x / pow >= 10) pow *= 10
+    while (pow > 0) {
+      h = (h * mult + 48 + (x / pow) % 10) % P
+      pow /= 10
+    }
+    h
+  }
+
+  /** Long fast path of [[bloomMightContain]]: same probes, same bits,
+    * zero string materialization on the scan side. */
+  def bloomMightContainLong(v: Long, words: Array[Long], k: Int, bits: Long): Boolean = {
+    val h1 = mix32(polyHashLong(v, 31L, 0L))
+    val h2 = mix32(polyHashLong(v, 37L, 7L))
+    var i = 0
+    while (i < k) {
+      val p = (h1 + i * h2) % bits
+      if (((words((p / 32L).toInt) >>> (p % 32L).toInt) & 1L) == 0L) return false
+      i += 1
+    }
+    true
+  }
+
   /** k double-hashed probes of `s` against a fixed bloom bitset packed
     * as 32-bit words in longs: probe_i = (h1 + i·h2) mod bits with
     * h1 = mix32(polyHash(s, 31, 0)), h2 = mix32(polyHash(s, 37, 7)) —
@@ -464,15 +498,17 @@ case class ZOrder2(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** bloom_might_contain(str): k double-hash probes into a FIXED bloom
-  * bitset (32-bit words packed in longs) held once as a codegen
+/** bloom_might_contain(str|bigint): k double-hash probes into a FIXED
+  * bloom bitset (32-bit words packed in longs) held once as a codegen
   * reference object — the fused form of the Sketches.hash32/hash37
   * probe cascade. Semantics are bit-identical to the column-algebra
   * formulation (and its DuckDB oracle replay); the difference is
   * execution: each hash computed once per row and k probes in one
   * loop, where the collapsed-projection column form re-derives both
   * hashes inside every probe subexpression and inlines the bitset
-  * literal 2k times into the plan. */
+  * literal 2k times into the plan. A BIGINT child takes the
+  * arithmetic decimal-digit path — same hash as hashing its string
+  * form, but the 100 TB-scan side never allocates a string. */
 case class BloomMightContain(child: Expression, words: Seq[Long], k: Int, bits: Long)
     extends UnaryExpression {
   require(words.length * 32L >= bits, s"bitset too small: ${words.length} words for $bits bits")
@@ -480,19 +516,26 @@ case class BloomMightContain(child: Expression, words: Seq[Long], k: Int, bits: 
   override def prettyName: String = "bloom_might_contain"
   override def dataType: DataType = BooleanType
 
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires string input")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType | LongType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string or bigint input, got ${t.catalogString}")
+  }
 
   @transient private lazy val wordArr: Array[Long] = words.toArray
 
-  override protected def nullSafeEval(input: Any): Any =
-    HashOps.bloomMightContain(input.asInstanceOf[UTF8String], wordArr, k, bits)
+  override protected def nullSafeEval(input: Any): Any = child.dataType match {
+    case LongType =>
+      HashOps.bloomMightContainLong(input.asInstanceOf[Long], wordArr, k, bits)
+    case _ =>
+      HashOps.bloomMightContain(input.asInstanceOf[UTF8String], wordArr, k, bits)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("bloomWords", wordArr, "long[]")
+    val fn = if (child.dataType == LongType) "bloomMightContainLong" else "bloomMightContain"
     defineCodeGen(ctx, ev,
-      c => s"graft.functions.HashOps.bloomMightContain($c, $ref, $k, ${bits}L)")
+      c => s"graft.functions.HashOps.$fn($c, $ref, $k, ${bits}L)")
   }
 
   // keep plans readable: a 1024-word bitset has no place in a tree dump

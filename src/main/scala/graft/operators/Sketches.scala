@@ -373,10 +373,13 @@ object Sketches {
     // (k conjoined element_at probes over a literal array column) is
     // 8× slower — projection collapse re-derives h1/h2 inside every
     // probe subexpression and inlines the 1024-word literal 2k times.
+    // The key stays a LONG into the probe (decimal-digit arithmetic
+    // hash) — the previous cast("string") allocated a UTF8String per
+    // fact row before any hashing could start.
     val passes = org.apache.spark.sql.graft.ColumnBridge.column(
       graft.functions.BloomMightContain(
         org.apache.spark.sql.graft.ColumnBridge.expression(
-          col("l_orderkey").cast("string")),
+          col("l_orderkey").cast("long")),
         words.toSeq, BloomK, BloomBits))
     val pruned = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_returnflag"),

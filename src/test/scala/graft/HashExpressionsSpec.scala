@@ -61,6 +61,20 @@ class HashExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("HashOps.polyHashLong is bit-identical to polyHash of the decimal string") {
+    val edge = Seq(0L, 1L, 9L, 10L, 99L, 100L, -1L, -10L, 12345678901234L,
+      Long.MaxValue, Long.MinValue, Long.MinValue + 1)
+    val gen = (0 until 300).map(i => HashOps.mix32(i.toLong * 2654435761L) *
+      (if (i % 3 == 0) -1 else 1))
+    (edge ++ gen).foreach { v =>
+      val s = UTF8String.fromString(v.toString)
+      assert(HashOps.polyHashLong(v, 31L, 0L) == HashOps.polyHash(s, 31L, 0L),
+        s"polyHashLong($v) mult=31")
+      assert(HashOps.polyHashLong(v, 37L, 7L) == HashOps.polyHash(s, 37L, 7L),
+        s"polyHashLong($v) mult=37")
+    }
+  }
+
   test("HashOps.shingleHashes matches tokenize+slide+hash+distinct on arbitrary strings") {
     samples(300, 600).foreach { s =>
       val got = HashOps.shingleHashes(UTF8String.fromString(s), 3, 31L, 0L)
