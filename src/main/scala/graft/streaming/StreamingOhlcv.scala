@@ -29,8 +29,10 @@ import graft.model.{BarState, RunningBar, Trade}
   * Watermark slack choices preserved as parameters (W6 0s monotonous /
   * W7 5s / W8 60s — /root/reference/4_ohlc.py:95-99,
   * /root/reference/old/kfk.py:108-112). Flink's allowed_lateness
-  * re-firing (/root/reference/3_ohlc.py:63) has no Spark equivalent;
-  * update mode approximates it (SURVEY.md §7.4).
+  * re-firing (W5, /root/reference/3_ohlc.py:63) is realized by
+  * [[statefulBarsWithLateness]]: fire at the true watermark, retain the
+  * closed window for the lateness horizon, re-emit a corrected bar per
+  * allowed late event, drop beyond.
   *
   * State scale: per-key state is a handful of open windows × 6 doubles —
   * at the reference's 2,000 keys that is trivially small; at 10^8 keys it
@@ -184,6 +186,97 @@ object StreamingOhlcv {
       // must exceed the current watermark.
       val nextClose = open.keys.min + widthMs
       state.setTimeoutTimestamp(math.max(nextClose, watermark + 1))
+    }
+    out.result()
+  }
+
+  /** Per-product lateness state: open/retained windows plus the set of
+    * windows that already fired their first final bar (Seq, not Set —
+    * product encoders cover Seq on every Spark line this builds on). */
+  final case class LatenessBars(bars: Map[Long, BarState], fired: Seq[Long])
+
+  /** W5 — Flink allowed-lateness re-fire semantics
+    * (/root/reference/3_ohlc.py:63, `allowed_lateness(10*1000)`):
+    * a window FIRES its bar when the true watermark passes window end,
+    * then its state is RETAINED for `latenessMs` more; each late event
+    * landing in that grace window updates the bar and re-emits it
+    * immediately (one corrected bar per late element — exactly Flink's
+    * event-time trigger on a late firing); events later than the
+    * horizon are dropped.
+    *
+    * Spark filters input rows below the watermark before they reach the
+    * state function, so the stream's watermark DELAY must absorb the
+    * grace period: pass `withEventTime(trades, slack + lateness)` and
+    * hand `latenessMs` here. The function then treats
+    * `sparkWatermark + latenessMs` as the TRUE watermark (fire line)
+    * and `sparkWatermark` as the eviction line — the two horizons
+    * Flink tracks as "fire at watermark ≥ end" / "purge at watermark ≥
+    * end + lateness", shifted into Spark's single-delay model.
+    *
+    * Output is Update-mode by nature: a re-fire REPLACES the previous
+    * bar for its (window, product) — downstream keyed upsert, same as
+    * Flink's late firings. State stays bounded: open windows + fired
+    * windows inside one lateness horizon, watermark-evicted. */
+  def statefulBarsWithLateness(
+      tradesWithTs: DataFrame,
+      widthMs: Long,
+      latenessMs: Long): Dataset[RunningBar] = {
+    val spark = tradesWithTs.sparkSession
+    import spark.implicits._
+    tradesWithTs.as[TimedTrade]
+      .groupByKey(_.product)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.EventTimeTimeout)(
+        processWithLateness(widthMs, latenessMs))
+  }
+
+  private[streaming] def processWithLateness(widthMs: Long, latenessMs: Long)(
+      product: String,
+      events: Iterator[TimedTrade],
+      state: GroupState[LatenessBars]): Iterator[RunningBar] = {
+
+    // sparkWatermark = maxEventTime − (slack + lateness): the EVICTION
+    // line. The true watermark (fire line) sits latenessMs above it.
+    val evictLine = math.max(state.getCurrentWatermarkMs(), 0L)
+    val fireLine = evictLine + latenessMs
+    val prev = state.getOption.getOrElse(LatenessBars(Map.empty, Seq.empty))
+    var bars = prev.bars
+    var fired = prev.fired.toSet
+    val out = Iterator.newBuilder[RunningBar]
+
+    if (!state.hasTimedOut) {
+      val sorted = events.toArray.sortBy(t => (t.timestamp, t.instrument_id))
+      for (t <- sorted) {
+        val ws = t.timestamp / widthMs * widthMs
+        if (ws + widthMs > evictLine) { // inside the lateness horizon
+          val st = BarState.updated(bars.getOrElse(ws, BarState.init(ws)),
+            t.timestamp, t.instrument_id, t.price, t.qty)
+          bars = bars.updated(ws, st)
+          // late element into an already-fired window → immediate re-fire
+          if (fired(ws)) out += toBar(product, st, endOfWindow = true)
+        } // beyond the horizon: dropped, like Flink's late-data discard
+      }
+    }
+
+    // initial firing: window end at/below the TRUE watermark, not fired yet
+    bars.keys.filter(ws => ws + widthMs <= fireLine && !fired(ws)).toSeq.sorted
+      .foreach { ws =>
+        out += toBar(product, bars(ws), endOfWindow = true)
+        fired += ws
+      }
+
+    // eviction: lateness horizon passed (end + lateness ≤ true watermark)
+    val (dead, alive) = bars.partition { case (ws, _) => ws + widthMs <= evictLine }
+    bars = alive
+    fired = fired -- dead.keys
+
+    if (bars.isEmpty) state.remove()
+    else {
+      state.update(LatenessBars(bars, fired.toSeq.sorted))
+      // wake at the earlier of the next unfired close (reached when the
+      // spark watermark hits close − lateness) or the next eviction
+      val wakeAt = bars.keys.map(ws =>
+        if (fired(ws)) ws + widthMs else ws + widthMs - latenessMs).min
+      state.setTimeoutTimestamp(math.max(wakeAt, evictLine + 1))
     }
     out.result()
   }

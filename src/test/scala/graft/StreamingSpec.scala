@@ -35,6 +35,53 @@ class StreamingSpec extends SparkSpec {
     assert(KafkaIO.parseTrades(wire).count() == 1)
   }
 
+  test("W5 allowed lateness: late event within horizon re-fires corrected bar, beyond is dropped") {
+    val input = MemoryStream[Trade]
+    // width 60 s, lateness 10 s, slack 0 → stream watermark delay 10 s
+    val bars = StreamingOhlcv.statefulBarsWithLateness(
+      StreamingOhlcv.withEventTime(input.toDS(), "10 seconds"),
+      widthMs = 60000L, latenessMs = 10000L)
+    val q = bars.writeStream.format("memory").queryName("w5").outputMode("update").start()
+    try {
+      def minute0 = spark.table("w5")
+        .filter(col("time") === new java.sql.Timestamp(T0)).collect()
+
+      input.addData(trade(0, "P1", 10.0, 1), trade(30000, "P1", 20.0, 2))
+      q.processAllAvailable()
+      assert(minute0.isEmpty) // watermark still inside minute 0
+
+      // event time 65 s → spark watermark 55 s → TRUE watermark 65 s:
+      // minute 0 fires its first final bar but stays retained
+      input.addData(trade(65000, "P1", 99.0, 5))
+      q.processAllAvailable()
+      assert(minute0.length == 1)
+      assert(minute0.head.getAs[Long]("volume") == 3L)
+      assert(minute0.head.getAs[Double]("close") == 20.0)
+      assert(minute0.head.getAs[Boolean]("end_of_window"))
+
+      // LATE event at 56 s: below the true watermark (65 s) but above
+      // the spark watermark (55 s — the filter there is inclusive), so
+      // it survives into the lateness horizon → immediate corrected
+      // re-fire
+      input.addData(trade(56000, "P1", 5.0, 7))
+      q.processAllAvailable()
+      val refired = minute0.sortBy(_.getAs[Long]("volume"))
+      assert(refired.length == 2)
+      assert(refired(1).getAs[Long]("volume") == 10L)
+      assert(refired(1).getAs[Double]("low") == 5.0)
+      assert(refired(1).getAs[Double]("close") == 5.0) // 56 s is latest event time
+
+      // advance far past the horizon, then send an event for minute 0:
+      // it is beyond end+lateness → dropped, no further re-fire
+      input.addData(trade(130000, "P1", 42.0, 1))
+      q.processAllAvailable()
+      input.addData(trade(59000, "P1", 1.0, 9))
+      q.processAllAvailable()
+      assert(minute0.length == 2) // unchanged
+      assert(spark.table("w5").filter(col("low") === 1.0).isEmpty)
+    } finally q.stop()
+  }
+
   test("windowedBars matches batch OHLCV semantics on a bounded stream") {
     val input = MemoryStream[Trade]
     input.addData(
