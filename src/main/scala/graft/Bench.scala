@@ -101,16 +101,18 @@ object Bench {
     val partsConf = "spark.sql.shuffle.partitions"
     val prevParts = spark.conf.get(partsConf)
     spark.conf.set(partsConf, streamParts)
-    val (rate, rateV2, rateComposed) = try {
+    val (rate, rateV2, rateComposed, rateLateness) = try {
       (safeRate("streamingRate")(streamingRate(spark)),
         safeRate("streamingRateV2")(streamingRateV2(spark)),
-        safeRate("streamingRateComposed")(streamingRateComposed(spark)))
+        safeRate("streamingRateComposed")(streamingRateComposed(spark)),
+        safeRate("streamingRateLateness")(streamingRateLateness(spark)))
     } finally spark.conf.set(partsConf, prevParts)
     val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,""" +
       s""""queries":$qs,"queries_min":$qsMin,"queries_max":$qsMax,""" +
       s""""streaming_events_per_sec":$rate,""" +
       s""""streaming_v2_events_per_sec":$rateV2,""" +
       s""""streaming_composed_events_per_sec":$rateComposed,""" +
+      s""""streaming_lateness_events_per_sec":$rateLateness,""" +
       s""""sf":${JsonUtil.q(sfDir)}}"""
     println(line)
     // also a machine-readable file — sbt prefixes stdout with [info]/
@@ -158,7 +160,8 @@ object Bench {
   private def replayRate(
       spark: SparkSession,
       n: Int,
-      engine: org.apache.spark.sql.DataFrame => org.apache.spark.sql.Dataset[graft.model.RunningBar]): Long = {
+      engine: org.apache.spark.sql.DataFrame => org.apache.spark.sql.Dataset[graft.model.RunningBar],
+      outputMode: String = "append"): Long = {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.StreamingOhlcv
@@ -166,7 +169,7 @@ object Bench {
     val input = MemoryStream[graft.model.Trade]
     input.addData(genTrades(n): _*)
     val q = engine(StreamingOhlcv.withEventTime(input.toDS(), "5 seconds"))
-      .writeStream.format("noop").outputMode("append").start()
+      .writeStream.format("noop").outputMode(outputMode).start()
     try {
       val t0 = System.nanoTime()
       q.processAllAvailable()
@@ -190,6 +193,18 @@ object Bench {
       StreamingOhlcv.statefulBars(df, widthMs = 60000L, emitRunning = false)
     replayRate(spark, WarmupN, engine) // warmup, discarded
     bestOf3(replayRate(spark, StreamN, engine))
+  }
+
+  /** The W5 allowed-lateness engine under the same replay: per-window
+    * retention + re-fire bookkeeping priced against plain statefulBars
+    * (same data, same watermark slack budget split 4s slack + 1s
+    * lateness so the grace path is actually exercised). */
+  private def streamingRateLateness(spark: SparkSession): Long = {
+    import graft.streaming.StreamingOhlcv
+    def engine(df: org.apache.spark.sql.DataFrame) =
+      StreamingOhlcv.statefulBarsWithLateness(df, widthMs = 60000L, latenessMs = 1000L)
+    replayRate(spark, WarmupN, engine, "update") // warmup, discarded
+    bestOf3(replayRate(spark, StreamN, engine, "update"))
   }
 
   /** Same replay through the Spark-4 transformWithState engine — needs

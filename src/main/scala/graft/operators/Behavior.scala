@@ -143,6 +143,37 @@ object Behavior {
         expr("n * 1000 div total").as("milli_prob"))
   }
 
+  /** Journeys kept by [[paths3]]. */
+  private[graft] val Paths3TopK = 30
+
+  /** Top user journeys — the most frequent length-3 event-type paths
+    * across all users ([[transitionsOn]] is the order-2 Markov view;
+    * product analytics asks the order-3 question "what do users DO,
+    * three steps at a time"). Same scale shape as transitions: ONE
+    * hash shuffle on user_id for the ordered window, two `lead`s over
+    * it (no extra exchange — same window frame), a map-side-combined
+    * count per (step1, step2, step3) — at most |event_types|³ groups
+    * however big the corpus — and the global top-k as sort+limit =
+    * TakeOrderedAndProject, never a full sort. */
+  def paths3(spark: SparkSession, dir: String): DataFrame =
+    paths3On(Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type")))
+
+  private[graft] def paths3On(evIn: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("event_id"))
+    val ev = evIn.select(col("user_id"), col("event_id"), col("event_type"),
+      unix_micros(col("ts")).as("tus"))
+    ev.withColumn("step2", lead(col("event_type"), 1).over(w))
+      .withColumn("step3", lead(col("event_type"), 2).over(w))
+      .filter(col("step3").isNotNull)
+      .groupBy(col("event_type").as("step1"), col("step2"), col("step3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("step1"), col("step2"), col("step3"))
+      .limit(Paths3TopK)
+  }
+
   /** One smoothed reading per event. */
   final case class EwmaPoint(user_id: Long, event_id: Long,
       cents: Long, ewma_cents: Long)
@@ -239,6 +270,7 @@ object Behavior {
     "evt_pattern_within" -> ((s, d) => patternWithin(s, d)),
     "evt_ewma" -> ((s, d) => ewmaSmooth(s, d)),
     "evt_transitions" -> ((s, d) => transitions(s, d)),
+    "evt_paths3" -> ((s, d) => paths3(s, d)),
     "evt_assoc_rules" -> ((s, d) => assocRules(s, d)),
     "cohort_retention" -> ((s, d) => cohortRetention(s, d)))
 
@@ -288,6 +320,17 @@ object Behavior {
         |SELECT c.src_type, c.dst_type, c.n, (c.n * 1000) // t.total AS milli_prob
         |FROM c JOIN t USING (src_type)
         |ORDER BY 1, 2""".stripMargin,
+    "evt_paths3" ->
+      s"""WITH p AS (SELECT
+         |    event_type AS step1,
+         |    lead(event_type, 1) OVER (PARTITION BY user_id
+         |      ORDER BY epoch_us(ts), event_id) AS step2,
+         |    lead(event_type, 2) OVER (PARTITION BY user_id
+         |      ORDER BY epoch_us(ts), event_id) AS step3
+         |  FROM events)
+         |SELECT step1, step2, step3, count(*)::BIGINT AS n FROM p
+         |WHERE step3 IS NOT NULL GROUP BY 1, 2, 3
+         |ORDER BY n DESC, step1, step2, step3 LIMIT $Paths3TopK""".stripMargin,
     "funnel_conversion" ->
       """WITH t1 AS (SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
         |  FROM events GROUP BY 1 HAVING t_view IS NOT NULL),

@@ -618,6 +618,60 @@ object Similarity {
         dotProduct(col("embedding"), typedlit(pc.toSeq)).as("pc1_score"))
   }
 
+  /** Outliers kept by [[outliers]]. */
+  val OutlierK = 40
+
+  /** Embedding-space outlier scoring — diagonal Mahalanobis distance
+    * (z² summed over dimensions) to the corpus distribution, the
+    * standard "prune the weird vectors before training" curation
+    * filter (encoder glitches, empty-input embeddings, wrong-modality
+    * rows all land in the tail).
+    *
+    * Scale shape, in three scale-correct stages like [[pcaProject]]:
+    * per-dim moments are ONE map-side-combined aggregate over
+    * milli-quantized exact BIGINTs (64 rows out); the driver turns
+    * them into per-dim (μ, σ) — a bounded pull of d rows, the PQ-LUT
+    * class; the scan pass then folds ((milli−μ)/σ)² in strict index
+    * order with the stats riding as a literal, and the global top-k
+    * is sort+limit = TakeOrderedAndProject (per-partition top-k, one
+    * bounded merge — never a full sort). Every double op (divide,
+    * sqrt, fold-add) is IEEE-correctly-rounded from exact integers in
+    * a fixed order, so the oracle replays the bits, not just the
+    * ranks. Zero-variance dims contribute exactly 0 (guarded in both
+    * engines). */
+  def outliers(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val milli = transform(col("embedding"),
+      x => round(x.cast("double") * 1000, 0).cast("long"))
+    val stats = emb
+      .select(posexplode(milli))
+      .select(col("pos").cast("long").as("dim"), col("col").as("m"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"), sum(col("m")).as("s"),
+        sum(col("m") * col("m")).as("q"))
+      .collect()
+      .map { r =>
+        val (dim, n, s, q) = (r.getLong(0).toInt, r.getLong(1), r.getLong(2), r.getLong(3))
+        val mu = s.toDouble / n
+        val varNum = n * q - s * s
+        val sd = if (varNum == 0L) 0.0
+          else math.sqrt(varNum.toDouble / (n.toDouble * (n - 1)))
+        dim -> (mu, sd)
+      }.toMap
+    val statLit = typedlit((0 until EmbDim).map(d => stats(d)))
+    emb
+      .select(col("vec_id"),
+        aggregate(
+          zip_with(milli, statLit, (m, st) =>
+            when(st.getField("_2") === 0.0, 0.0).otherwise {
+              val z = (m.cast("double") - st.getField("_1")) / st.getField("_2")
+              z * z
+            }),
+          lit(0.0), (acc, zz) => acc + zz).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(OutlierK)
+  }
+
   /** SQ8 half-range: unit-normalized components scale to [-127, 127]. */
   private val Sq8Scale = 127L
 
@@ -665,6 +719,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_sq8" -> ((s, d) => sq8TopK(s, d)),
+    "emb_outliers" -> ((s, d) => outliers(s, d)),
     "emb_covariance" -> ((s, d) => covariance(s, d)),
     "emb_pca_project" -> ((s, d) => pcaProject(s, d)),
     "emb_centroids" -> ((s, d) => centroidSums(s, d)),
@@ -907,6 +962,31 @@ object Similarity {
         |SELECT dim_i, dim_j, n, sum_i, sum_j, s_ij,
         |  (n * s_ij - sum_i * sum_j)::DOUBLE / (n * (n - 1)) / 1000000.0 AS cov
         |FROM p ORDER BY dim_i, dim_j""".stripMargin,
+    // same milli quantization and exact per-dim moments; μ, σ, the z²
+    // terms, and the fold all replayed in the identical IEEE op order
+    // (list(... ORDER BY dim) + list_reduce = the index-ordered fold)
+    "emb_outliers" ->
+      s"""WITH x AS (SELECT vec_id, u.i::BIGINT - 1 AS dim,
+         |    CAST(round(embedding[u.i::INT]::DOUBLE * 1000, 0) AS BIGINT) AS milli
+         |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)),
+         |mo AS (SELECT dim, count(*)::BIGINT AS n, sum(milli)::BIGINT AS s,
+         |    sum(milli * milli)::BIGINT AS q
+         |  FROM x GROUP BY 1),
+         |st AS (SELECT dim, s::DOUBLE / n AS mu,
+         |    CASE WHEN n * q - s * s = 0 THEN 0.0::DOUBLE
+         |         ELSE sqrt((n * q - s * s)::DOUBLE / (n::DOUBLE * (n - 1))) END AS sd
+         |  FROM mo),
+         |z AS (SELECT x.vec_id, x.dim,
+         |    CASE WHEN st.sd = 0 THEN 0.0::DOUBLE
+         |         ELSE ((x.milli - st.mu) / st.sd) * ((x.milli - st.mu) / st.sd)
+         |    END AS zz
+         |  FROM x JOIN st USING (dim)),
+         |sc AS (SELECT vec_id, list_reduce(
+         |    list_prepend(0.0::DOUBLE, list(zz ORDER BY dim)),
+         |    (a, b) -> a + b) AS score
+         |  FROM z GROUP BY vec_id)
+         |SELECT vec_id, score FROM sc
+         |ORDER BY score DESC, vec_id LIMIT $OutlierK""".stripMargin,
     "emb_centroids" ->
       s"""WITH $centroidCte
          |SELECT label, dim, count(*)::BIGINT AS n, sum(micro)::BIGINT AS sum_micro

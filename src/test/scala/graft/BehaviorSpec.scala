@@ -144,6 +144,27 @@ class BehaviorSpec extends SparkSpec {
       ("click", "view") -> ((1L, 1000L))))
   }
 
+  test("paths3 counts per-user length-3 journeys, ordered by count then path") {
+    val got = Behavior.paths3On(
+      Seq(
+        (1L, 0L, 7L, "view"),
+        (2L, 1L, 7L, "click"),
+        (3L, 2L, 7L, "purchase"),
+        (4L, 3L, 7L, "view"), // user 7 paths: v-c-p, c-p-v
+        (5L, 0L, 8L, "view"),
+        (6L, 1L, 8L, "click"),
+        (7L, 1L, 8L, "purchase"), // same ts as 6 → order 6, 7 by id
+        (8L, 0L, 9L, "view"),
+        (9L, 1L, 9L, "click")) // only 2 events: no path
+        .map { case (id, off, u, t) => (id, ts(off), u, t) }
+        .toDF("event_id", "ts", "user_id", "event_type"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      ("view", "click", "purchase", 2L), // users 7 and 8
+      ("click", "purchase", "view", 1L)))
+  }
+
   test("assoc rules: pair support, both confidences, and lift on a known basket set") {
     // 4 users: {v,c} {v,c} {v} {c,p} — repeats within a user collapse
     val got = Behavior.assocRulesOn(
