@@ -231,6 +231,44 @@ object Multimodal {
     audioEnergy(mediaTable(spark, dir)).toDF()
   }
 
+  /** VAD energy gate: ≈ the fixture corpus's median window energy, so
+    * voiced/silent actually splits the data. */
+  private[graft] val VadThreshold = 2200000000L
+  /** Shortest run of consecutive voiced windows that counts as speech. */
+  private[graft] val VadMinWindows = 2L
+
+  /** Voice-activity segmentation over the decoded audio — the energy
+    * windows of [[audioEnergy]] gated at [[VadThreshold]], stitched
+    * into runs of consecutive window indices (gaps-and-islands:
+    * window_idx − row_number is constant within a run), runs shorter
+    * than [[VadMinWindows]] discarded, and a per-clip segment report
+    * (count, voiced windows, longest run, first start). This is the
+    * speech-detection pass an audio-corpus pipeline runs before
+    * transcription — clips with no speech never reach the expensive
+    * model.
+    *
+    * Scale shape: the decode stage is the narrow batched map (zero
+    * shuffle, output ≈ samples/16 rows); the islands window and both
+    * aggregates all hash on doc_id — ONE exchange reused by all three
+    * (Catalyst collapses the matching partitionings), and every group
+    * is one clip's windows, bounded by clip length, never corpus-sized. */
+  def audioVad(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("window_idx"))
+    audioEnergyMeta(spark, dir)
+      .filter(col("sum_sq") >= VadThreshold)
+      .select(col("doc_id"), col("window_idx"))
+      .withColumn("grp", col("window_idx") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(count(lit(1)).as("n_windows"), min(col("window_idx")).as("seg_start"))
+      .filter(col("n_windows") >= VadMinWindows)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segments"),
+        sum(col("n_windows")).as("voiced_windows"),
+        max(col("n_windows")).as("longest_segment"),
+        min(col("seg_start")).as("first_segment_start"))
+  }
+
   /** Real feature extraction: byte-class histogram over raw payloads. */
   def features(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
@@ -373,6 +411,7 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_audio_energy" -> ((s, d) => audioEnergyMeta(s, d)),
+    "mm_audio_vad" -> ((s, d) => audioVad(s, d)),
     "mm_phash_neardups" -> ((s, d) => phashNearDups(s, d)),
     "mm_resize" -> ((s, d) => resizeMeta(s, d)),
     "mm_decode_meta" -> ((s, d) => decodeMeta(s, d)),
@@ -400,6 +439,31 @@ object Multimodal {
          |  window_idx::BIGINT AS window_idx, sum(v * v)::BIGINT AS sum_sq
          |FROM w GROUP BY 1, 2, 3, 4 HAVING count(*) = $AudioWindowSamples
          |ORDER BY doc_id, window_idx""".stripMargin,
+    // the energy oracle's windows, gated and stitched into islands
+    // (window_idx − row_number constant per run) exactly as the engine
+    "mm_audio_vad" ->
+      s"""WITH a AS (SELECT doc_id, list_transform(string_split(text, ''),
+         |      c -> (ascii(c) - 128) * 256) AS s
+         |  FROM documents WHERE doc_id % 3 = 1),
+         |w AS (SELECT doc_id,
+         |    (u.i - 1) // $AudioWindowSamples AS window_idx,
+         |    s[u.i::INT] AS v
+         |  FROM a, UNNEST(range(1, len(s) + 1)) AS u(i)),
+         |en AS (SELECT doc_id, window_idx::BIGINT AS window_idx,
+         |    sum(v * v)::BIGINT AS sum_sq
+         |  FROM w GROUP BY 1, 2 HAVING count(*) = $AudioWindowSamples),
+         |vc AS (SELECT doc_id, window_idx,
+         |    window_idx - row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY window_idx) AS grp
+         |  FROM en WHERE sum_sq >= $VadThreshold),
+         |seg AS (SELECT doc_id, grp, count(*)::BIGINT AS n_windows,
+         |    min(window_idx)::BIGINT AS seg_start
+         |  FROM vc GROUP BY 1, 2 HAVING count(*) >= $VadMinWindows)
+         |SELECT doc_id, count(*)::BIGINT AS n_segments,
+         |  sum(n_windows)::BIGINT AS voiced_windows,
+         |  max(n_windows)::BIGINT AS longest_segment,
+         |  min(seg_start)::BIGINT AS first_segment_start
+         |FROM seg GROUP BY 1 ORDER BY doc_id""".stripMargin,
     // replays aHash (downsample → mean threshold → 60 bits) and the
     // pigeonhole block join in list algebra
     "mm_phash_neardups" ->
