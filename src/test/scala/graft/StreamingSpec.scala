@@ -194,6 +194,46 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("W5 lateness engine re-fires correctly after a checkpoint restart") {
+    // the re-fire path depends on TWO pieces of recovered state: the
+    // retained closed-window bars AND the fired-window set — a restart
+    // losing either would double-fire or mis-aggregate the late event
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-w5-ckpt").toString
+    val input = MemoryStream[Trade]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double, Long)]
+    def start() = StreamingOhlcv.statefulBarsWithLateness(
+        StreamingOhlcv.withEventTime(input.toDS(), "10 seconds"),
+        widthMs = 60000L, latenessMs = 10000L)
+      .writeStream.foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[graft.model.RunningBar], _: Long) =>
+          got.synchronized {
+            got ++= batch.collect().map(b =>
+              (b.time.getTime, b.low, b.close, b.volume))
+          }
+          ()
+      }
+      .option("checkpointLocation", ckpt).outputMode("update").start()
+
+    val q1 = start()
+    try {
+      input.addData(trade(0, "P1", 10.0, 1), trade(30000, "P1", 20.0, 2))
+      q1.processAllAvailable()
+      input.addData(trade(65000, "P1", 99.0, 5)) // true watermark 65 s: fire
+      q1.processAllAvailable()
+      assert(got.synchronized(got.count(_._1 == T0)) == 1)
+    } finally q1.stop()
+
+    val q2 = start()
+    try {
+      input.addData(trade(56000, "P1", 5.0, 7)) // late, inside the horizon
+      q2.processAllAvailable()
+      val m0 = got.synchronized(got.filter(_._1 == T0).sortBy(_._4))
+      assert(m0.map(_._4) == Seq(3L, 10L), s"volumes: ${m0.map(_._4)}")
+      assert(m0(1)._2 == 5.0) // low updated by the recovered late merge
+      assert(m0(1)._3 == 5.0) // close is the latest event time (56 s)
+    } finally q2.stop()
+  }
+
   test("topMoversPerWindow ranks closed windows by volume, bounded to k") {
     val input = MemoryStream[Trade]
     val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, Int)]
