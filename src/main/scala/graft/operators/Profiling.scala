@@ -366,7 +366,47 @@ object Profiling {
       .orderBy("l_returnflag")
   }
 
+  /** Robust daily-volume anomaly detection: for each event type, the
+    * days whose event count deviates from the type's median daily
+    * count by more than 3× the median absolute deviation — the
+    * ingest-monitoring check that catches a stuck producer or a
+    * backfill double-write without being fooled by the outlier days
+    * themselves (a z-score's mean and sd absorb the very anomaly
+    * they're meant to flag; the median and MAD don't).
+    *
+    * All exact integers end to end — counts, the LOWER median
+    * (element (n+1) div 2 of the sorted list, replayed verbatim in
+    * the oracle), absolute deviations, and the 3×MAD comparison — so
+    * the flag set is bit-identical across engines.
+    *
+    * Scale shape: the daily grid is |types| × |days| rows however big
+    * the corpus (one map-side-combined count), the medians run over
+    * per-type day-count lists bounded by the calendar, and both small
+    * frames broadcast back onto the grid. */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    def lowerMedian(df: DataFrame, value: String, out: String): DataFrame = df
+      .groupBy("event_type")
+      .agg(sort_array(collect_list(col(value))).as("xs"))
+      .select(col("event_type"),
+        element_at(col("xs"), expr("CAST((size(xs) + 1) div 2 AS INT)")).as(out))
+    val med = lowerMedian(daily, "n", "med")
+    val dev = daily.join(broadcast(med), "event_type")
+      .withColumn("adev", abs(col("n") - col("med")))
+    val mad = lowerMedian(dev, "adev", "mad")
+    dev.join(broadcast(mad), "event_type")
+      .filter(col("adev") > lit(3L) * col("mad"))
+      // day as ISO text: a DATE column round-trips as date32 here but
+      // datetime64 from the oracle's fetch — stringify on both sides
+      .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n"), col("med"), col("mad"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qa_mad_outliers" -> ((s, d) => madOutliers(s, d)),
     "qa_constraint_audit" -> ((s, d) => constraintAudit(s, d)),
     "profile_linreg" -> ((s, d) => linregSuffStats(s, d)),
     "profile_corr" -> ((s, d) => activityCorr(s, d)),
@@ -384,6 +424,25 @@ object Profiling {
        |FROM events""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // same daily grid, same sorted-list lower-median convention
+    // ((n+1) // 2, 1-based), same integer 3×MAD gate
+    "qa_mad_outliers" ->
+      """WITH d AS (SELECT event_type, ts::DATE AS day, count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type,
+        |    (list_sort(list(n)))[((count(*) + 1) // 2)::INT] AS med
+        |  FROM d GROUP BY 1),
+        |a AS (SELECT d.event_type, d.day, d.n, m.med,
+        |    abs(d.n - m.med) AS adev
+        |  FROM d JOIN m USING (event_type)),
+        |md AS (SELECT event_type,
+        |    (list_sort(list(adev)))[((count(*) + 1) // 2)::INT] AS mad
+        |  FROM a GROUP BY 1)
+        |SELECT a.event_type, strftime(a.day, '%Y-%m-%d') AS day,
+        |  a.n, a.med, md.mad
+        |FROM a JOIN md USING (event_type)
+        |WHERE a.adev > 3 * md.mad
+        |ORDER BY a.event_type, day""".stripMargin,
     // same checks, same left-join-on-deduped-dim-keys FK algebra
     "qa_constraint_audit" ->
       """SELECT 'fk_orders_custkey' AS check_name, count(*)::BIGINT AS checked,
