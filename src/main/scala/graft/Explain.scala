@@ -22,7 +22,8 @@ object Explain {
         "dedup_span_frac", "dedup_containment", "evt_transitions",
         "sketch_kmv_setops", "text_quality_norm", "text_head_coverage",
         "sim_topk_ivfpq_rerank", "sim_hard_negatives",
-        "curation_token_budget", "emb_pca_project", "layout_compaction_plan")
+        "curation_token_budget", "emb_pca_project", "layout_compaction_plan",
+        "emb_outliers", "evt_paths3", "mm_audio_vad", "qa_mad_outliers")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
