@@ -196,4 +196,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       s"corpus postings must not shuffle into a sort-merge join:\n$p")
   }
+
+  test("round-6 ops keep their shapes: scan-only outlier fold, bounded top-k, no corpus window") {
+    // emb_outliers: the (μ, σ) stats ride as literals, so the scoring
+    // pass is scan + TakeOrdered — any Exchange before the top-k means
+    // the corpus started shuffling for a per-row projection
+    val po = physical(SparkEntry.queries("emb_outliers")(spark, sf0001))
+    assert(po.contains("TakeOrderedAndProject"),
+      s"emb_outliers top-k must be TakeOrdered, not a global sort:\n$po")
+    assert(!po.contains("Exchange"),
+      s"emb_outliers scoring must not shuffle the corpus:\n$po")
+
+    // evt_paths3: the journey window partitions by user — an empty
+    // partition spec would funnel the whole corpus through one task
+    val pp = physical(SparkEntry.queries("evt_paths3")(spark, sf0001))
+    assert(!pp.contains("Window [")
+      || pp.contains("windowspecdefinition(user_id"),
+      s"evt_paths3 window must partition by user_id:\n$pp")
+    assert(pp.contains("TakeOrderedAndProject"),
+      s"evt_paths3 top-k must be TakeOrdered, not a global sort:\n$pp")
+
+    // qa_mad_outliers: the median/MAD frames are calendar-bounded and
+    // must broadcast back onto the daily grid, never sort-merge it
+    val pm = physical(SparkEntry.queries("qa_mad_outliers")(spark, sf0001))
+    assert(!pm.contains("SortMergeJoin"),
+      s"qa_mad_outliers must broadcast its bounded stats frames:\n$pm")
+    assert(!pm.contains("CartesianProduct"), s"qa_mad_outliers cartesian:\n$pm")
+  }
 }
