@@ -548,8 +548,9 @@ object Curation {
     "text || ' contact user' || doc_id::VARCHAR || '@mail.example.com or http://ex' || " +
       "doc_id::VARCHAR || '.com/page tel 555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')"
 
-  // hashU replica: hex digits folded to an int (DuckDB lacks conv())
-  private val sqlU =
+  // hashU replica: hex digits folded to an int (DuckDB lacks conv());
+  // operators-visible so the split-leakage audit replays the SAME split
+  private[operators] val sqlU =
     """list_reduce(list_transform(string_split(substr(md5(doc_id::VARCHAR || ':' || lang), 1, 4), ''),
       |  c -> strpos('0123456789abcdef', c) - 1), (a, b) -> a * 16 + b) / 65536.0""".stripMargin
 

@@ -749,7 +749,32 @@ object Dedup {
         col("n_dups").isNull.as("keep"))
   }
 
+  /** Eval-set leakage audit: near-dup pairs that STRADDLE the
+    * train/val/test split — the decontamination hygiene check every
+    * training pipeline needs (a test doc whose near-duplicate sits in
+    * train inflates eval silently; random splits guarantee some, and
+    * this query names them). Composes the exact inverted-index pair
+    * machinery with Curation's deterministic hash split, so both the
+    * pairs and the split assignment replay in the oracle; the fix a
+    * pipeline applies downstream is split-by-cluster, and this report
+    * is its before/after measure.
+    *
+    * Scale shape: the pair frame (post-threshold near-dups) is orders
+    * smaller than the corpus; the split frame is a scan projection —
+    * two doc_id equi-joins, no new shuffle class. */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val splits = Curation.assignSplits(spark, dir)
+      .select(col("doc_id"), col("split"))
+    jaccardPairsUnsortedOn(shingled(spark, dir))
+      .join(splits.select(col("doc_id").as("doc_i"), col("split").as("split_i")), "doc_i")
+      .join(splits.select(col("doc_id").as("doc_j"), col("split").as("split_j")), "doc_j")
+      .filter(col("split_i") =!= col("split_j"))
+      .select(col("doc_i"), col("doc_j"), col("split_i"), col("split_j"),
+        col("jaccard"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qa_split_leakage" -> ((s, d) => splitLeakage(s, d)),
     "dedup_incremental" -> ((s, d) => incrementalDedup(s, d)),
     "dedup_clusters" -> ((s, d) => dupClusters(s, d)),
     "dedup_clusters_star" -> ((s, d) => dupClustersStar(s, d)),
@@ -820,6 +845,30 @@ object Dedup {
        |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // the jaccard pair SQL with the score carried, joined against the
+    // SAME md5 split rule sample_splits replays (Curation.sqlU)
+    "qa_split_leakage" ->
+      s"""WITH $shingleCte,
+         |$postsCte,
+         |common AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
+         |    count(*)::BIGINT AS common
+         |  FROM posts a JOIN posts b ON a.code = b.code AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pr AS (SELECT doc_i, doc_j,
+         |    common::DOUBLE / (si.sz + sj.sz - common) AS jaccard
+         |  FROM common
+         |  JOIN sh si ON si.doc_id = doc_i JOIN sh sj ON sj.doc_id = doc_j
+         |  WHERE common::DOUBLE / (si.sz + sj.sz - common) >= 0.5),
+         |sp AS (SELECT doc_id,
+         |    CASE WHEN ${Curation.sqlU} < 0.8 THEN 'train'
+         |         WHEN ${Curation.sqlU} < 0.9 THEN 'val' ELSE 'test' END AS split
+         |  FROM documents)
+         |SELECT pr.doc_i, pr.doc_j, si.split AS split_i, sj.split AS split_j,
+         |  pr.jaccard
+         |FROM pr JOIN sp si ON si.doc_id = pr.doc_i
+         |JOIN sp sj ON sj.doc_id = pr.doc_j
+         |WHERE si.split <> sj.split
+         |ORDER BY doc_i, doc_j""".stripMargin,
     "dedup_clusters" -> clustersOracle,
     "dedup_clusters_star" -> clustersOracle,
     "dedup_keep_best" ->
