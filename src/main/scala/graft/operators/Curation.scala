@@ -98,8 +98,9 @@ object Curation {
   // ---------------------------------------------------------------- //
 
   /** md5-keyed uniform u in [0,1): the first 4 hex chars as an integer
-    * over 2^16 — exact in a double, identical in any engine with md5. */
-  private def hashU(key: Column): Column =
+    * over 2^16 — exact in a double, identical in any engine with md5.
+    * Operators-visible: the cluster-keyed split reuses the same rule. */
+  private[operators] def hashU(key: Column): Column =
     conv(substring(md5(key), 1, 4), 16, 10).cast("long") / 65536.0
 
   private def sampleKey: Column =

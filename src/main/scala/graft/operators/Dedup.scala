@@ -773,8 +773,31 @@ object Dedup {
         col("jaccard"))
   }
 
+  /** The FIX for [[splitLeakage]]: split-by-cluster. Every doc is
+    * assigned train/val/test by the md5 of its near-dup cluster
+    * canonical (its own id when unclustered), so a whole near-dup
+    * family lands in ONE split and cross-split leakage is zero by
+    * construction — the standard decontamination-aware split. Same
+    * thresholds as Curation.assignSplits; the key is group-pure (no
+    * per-doc fields), which is precisely what makes it leak-proof.
+    *
+    * Scale shape: the cluster map is the (bounded) CC output left-
+    * joined onto a scan projection; the split is a pure hash
+    * expression — no shuffle beyond what clustering already did. */
+  def splitsByCluster(spark: SparkSession, dir: String): DataFrame = {
+    val cl = dupClusters(spark, dir).select(col("doc_id"), col("canonical_id"))
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(cl, Seq("doc_id"), "left")
+      .withColumn("group_id", coalesce(col("canonical_id"), col("doc_id")))
+      .withColumn("u", Curation.hashU(col("group_id").cast("string")))
+      .select(col("doc_id"), col("group_id"),
+        when(col("u") < 0.8, "train").when(col("u") < 0.9, "val")
+          .otherwise("test").as("split"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qa_split_leakage" -> ((s, d) => splitLeakage(s, d)),
+    "sample_splits_by_cluster" -> ((s, d) => splitsByCluster(s, d)),
     "dedup_incremental" -> ((s, d) => incrementalDedup(s, d)),
     "dedup_clusters" -> ((s, d) => dupClusters(s, d)),
     "dedup_clusters_star" -> ((s, d) => dupClustersStar(s, d)),
@@ -869,6 +892,24 @@ object Dedup {
          |JOIN sp sj ON sj.doc_id = pr.doc_j
          |WHERE si.split <> sj.split
          |ORDER BY doc_i, doc_j""".stripMargin,
+    // the recursive-CC cluster map, group ids, and the same md5 fold
+    // split rule keyed on the group id
+    "sample_splits_by_cluster" ->
+      s"""WITH RECURSIVE $ccCte,
+         |cl AS (SELECT src AS doc_id, min(dst) AS canonical_id
+         |  FROM reach GROUP BY 1),
+         |g AS (SELECT d.doc_id, coalesce(cl.canonical_id, d.doc_id) AS group_id
+         |  FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id),
+         |u AS (SELECT doc_id, group_id,
+         |    list_reduce(list_transform(
+         |      string_split(substr(md5(group_id::VARCHAR), 1, 4), ''),
+         |      c -> strpos('0123456789abcdef', c) - 1),
+         |      (a, b) -> a * 16 + b) / 65536.0 AS u
+         |  FROM g)
+         |SELECT doc_id, group_id,
+         |  CASE WHEN u < 0.8 THEN 'train'
+         |       WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
+         |FROM u ORDER BY doc_id""".stripMargin,
     "dedup_clusters" -> clustersOracle,
     "dedup_clusters_star" -> clustersOracle,
     "dedup_keep_best" ->

@@ -19,6 +19,21 @@ class TrainingDataSpec extends SparkSpec {
     (5L, "ab", "en", "s", 2L) // shorter than one shingle
   ).toDF("doc_id", "text", "lang", "source", "n_chars")
 
+  test("splitsByCluster: no near-dup pair straddles a split (leak-free by construction)") {
+    val sp = Dedup.splitsByCluster(spark, sf0001)
+    val pairs = Dedup.jaccardPairs(spark, sf0001)
+    val leaked = pairs
+      .join(sp.select(col("doc_id").as("doc_i"), col("split").as("si")), "doc_i")
+      .join(sp.select(col("doc_id").as("doc_j"), col("split").as("sj")), "doc_j")
+      .filter(col("si") =!= col("sj"))
+    assert(leaked.isEmpty,
+      s"cluster-keyed split leaked pairs: ${leaked.collect().mkString(", ")}")
+    // and the split is still a real 3-way partition of every doc
+    val n = Tables.documents(spark, sf0001).count()
+    assert(sp.count() == n)
+    assert(sp.select("split").distinct().count() == 3)
+  }
+
   test("shingles: n-gram construction and short-doc edge") {
     val sh = docs.select(col("doc_id"),
       TextFunctions.shingles(TextFunctions.tokens(col("text")), 3).as("s"))
