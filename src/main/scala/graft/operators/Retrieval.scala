@@ -45,9 +45,10 @@ object Retrieval {
   def bm25TopK(spark: SparkSession, dir: String): DataFrame =
     bm25On(Tables.documents(spark, dir), QueryTerms, K)
 
-  /** Scoring core over any (doc_id, text) frame — separable so specs
-    * can probe ranking semantics on constructed corpora. */
-  def bm25On(docs: DataFrame, queryTerms: Seq[(String, String)], k: Int): DataFrame = {
+  /** The (query_id, doc_id, score_sc) BM25 frame — the scoring core
+    * shared by the top-k query and the RRF fusion. */
+  private[operators] def bm25Scores(
+      docs: DataFrame, queryTerms: Seq[(String, String)]): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val toks = docs
@@ -65,7 +66,7 @@ object Retrieval {
     val dfs = tfs
       .join(broadcast(qterms.select("token").distinct()), Seq("token"))
       .groupBy("token").agg(count(lit(1)).as("df"))
-    val scores = tfs
+    tfs
       .join(broadcast(qterms), Seq("token"))
       .join(broadcast(dfs), Seq("token"))
       .crossJoin(broadcast(stats))
@@ -80,6 +81,12 @@ object Retrieval {
         expr(s"(tf * 2200 * $SC) div (tf * $SC + (12 * norm_sc) div 10)"))
       .withColumn("contrib", expr("(idf_sc * sat_milli) div 1000"))
       .groupBy("query_id", "doc_id").agg(sum("contrib").as("score_sc"))
+  }
+
+  /** Scoring core over any (doc_id, text) frame — separable so specs
+    * can probe ranking semantics on constructed corpora. */
+  def bm25On(docs: DataFrame, queryTerms: Seq[(String, String)], k: Int): DataFrame = {
+    val scores = bm25Scores(docs, queryTerms)
     val topk = udaf(new graft.functions.TopKByScore(k))
     scores.groupBy(col("query_id"))
       // score_sc < 2^53, so the double round-trip through the top-k
@@ -132,37 +139,138 @@ object Retrieval {
         col("col.term").as("term"), col("col.score").as("tfidf_sc"))
   }
 
+  /** RRF constant (Cormack et al.'s 60), candidate pool per ranker,
+    * and fused results kept per query. */
+  private[operators] val RrfPoolK = 20
+  private[operators] val RrfK = 5
+  /** Coverage composite pack base: n_matched · 2^40 dominates any
+    * capped tf_sum, keeping the composite exact in a BIGINT. */
+  private val CovBase = 1L << 40
+
+  /** Hybrid retrieval by reciprocal-rank fusion — the standard way to
+    * blend rankers with incommensurable scores (RRF: score =
+    * Σ 1/(60 + rank), Cormack et al. 2009; what production hybrid
+    * search runs over its lexical + semantic legs). Leg one is the
+    * integer BM25 above; leg two is the coordination ranker (distinct
+    * query terms matched, total matched tf as tiebreak — the boolean
+    * coverage signal BM25's per-term saturation can underweight).
+    * Reciprocal ranks are integer milli (1000000 div (60 + rank)), so
+    * the fused score is BIGINT-exact.
+    *
+    * Scale shape: each leg truncates to a [[RrfPoolK]] pool via the
+    * bounded exact-long top-k aggregator BEFORE any ranking window —
+    * the row_number that turns pool position into a rank runs over
+    * ≤ poolK rows per query, never the candidate set, and the fusion
+    * join + final top-k operate on ≤ 2·poolK rows per query. */
+  def rrfFusion(spark: SparkSession, dir: String): DataFrame =
+    rrfFusionOn(Tables.documents(spark, dir), QueryTerms, RrfPoolK, RrfK)
+
+  /** Fusion core over any (doc_id, text) frame. */
+  def rrfFusionOn(docs: DataFrame, queryTerms: Seq[(String, String)],
+      poolK: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val topLong = udaf(new graft.functions.TopKByLongScore(poolK))
+    def pool(scored: DataFrame, scoreCol: String, rankName: String): DataFrame =
+      scored.groupBy(col("query_id"))
+        .agg(topLong(col("doc_id"), col(scoreCol)).as("top"))
+        .select(col("query_id"), posexplode(col("top")))
+        .select(col("query_id"), (col("pos") + lit(1)).as(rankName),
+          col("col.vec_id").as("doc_id"))
+
+    val poolA = pool(bm25Scores(docs, queryTerms), "score_sc", "rank_a")
+
+    val qterms = queryTerms.toDF("query_id", "token")
+    val cov = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .join(broadcast(qterms), Seq("token"))
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_matched"), sum(col("tf")).as("tf_sum"))
+      .withColumn("cov_score",
+        col("n_matched") * lit(CovBase) + least(col("tf_sum"), lit(CovBase - 1)))
+    val poolB = pool(cov, "cov_score", "rank_b")
+
+    val fused = poolA.join(poolB, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf_milli",
+        coalesce(expr("1000000 div (60 + rank_a)"), lit(0L)) +
+          coalesce(expr("1000000 div (60 + rank_b)"), lit(0L)))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_milli").desc, col("doc_id"))
+    fused
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("doc_id"), col("rrf_milli"))
+      .orderBy("query_id", "rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_rrf_fusion" -> ((s, d) => rrfFusion(s, d)),
     "text_bm25_topk" -> ((s, d) => bm25TopK(s, d)),
     "text_tfidf_topk" -> ((s, d) => tfidfTopK(s, d)))
 
   private val qValuesSql = QueryTerms
     .map { case (q, t) => s"('$q', '$t')" }.mkString(", ")
 
+  /** Shared CTE chain through the (query_id, doc_id, score_sc) BM25
+    * frame — the bm25 top-k and the RRF fusion both build on it. */
+  private val bm25ScoreCteSql =
+    s"""toks0 AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+       |tf AS (SELECT doc_id, len(toks)::BIGINT AS dl, unnest(toks) AS token FROM toks0),
+       |tfs AS (SELECT doc_id, dl, token, count(*)::BIGINT AS tf FROM tf GROUP BY 1, 2, 3),
+       |stats AS (SELECT count(*)::BIGINT AS n_docs,
+       |    (sum(len(toks))::BIGINT * $SC) // count(*)::BIGINT AS avgdl_sc FROM toks0),
+       |q(query_id, token) AS (VALUES $qValuesSql),
+       |dfs AS (SELECT token, count(*)::BIGINT AS df FROM tfs
+       |  WHERE token IN (SELECT DISTINCT token FROM q) GROUP BY 1),
+       |sc AS (
+       |  SELECT q.query_id, t.doc_id,
+       |    sum((((${SC} * (2 * (s.n_docs - d.df) + 1)) // (2 * d.df + 1))
+       |         * ((t.tf * 2200 * $SC)
+       |            // (t.tf * $SC
+       |                + (12 * (250000 + (3 * t.dl * $SC * $SC) // (4 * s.avgdl_sc))) // 10)))
+       |        // 1000)::BIGINT AS score_sc
+       |  FROM tfs t JOIN q ON t.token = q.token JOIN dfs d ON t.token = d.token
+       |  CROSS JOIN stats s
+       |  GROUP BY 1, 2)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "text_bm25_topk" ->
-      s"""WITH toks0 AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
-         |tf AS (SELECT doc_id, len(toks)::BIGINT AS dl, unnest(toks) AS token FROM toks0),
-         |tfs AS (SELECT doc_id, dl, token, count(*)::BIGINT AS tf FROM tf GROUP BY 1, 2, 3),
-         |stats AS (SELECT count(*)::BIGINT AS n_docs,
-         |    (sum(len(toks))::BIGINT * $SC) // count(*)::BIGINT AS avgdl_sc FROM toks0),
-         |q(query_id, token) AS (VALUES $qValuesSql),
-         |dfs AS (SELECT token, count(*)::BIGINT AS df FROM tfs
-         |  WHERE token IN (SELECT DISTINCT token FROM q) GROUP BY 1),
-         |sc AS (
-         |  SELECT q.query_id, t.doc_id,
-         |    sum((((${SC} * (2 * (s.n_docs - d.df) + 1)) // (2 * d.df + 1))
-         |         * ((t.tf * 2200 * $SC)
-         |            // (t.tf * $SC
-         |                + (12 * (250000 + (3 * t.dl * $SC * $SC) // (4 * s.avgdl_sc))) // 10)))
-         |        // 1000)::BIGINT AS score_sc
-         |  FROM tfs t JOIN q ON t.token = q.token JOIN dfs d ON t.token = d.token
-         |  CROSS JOIN stats s
-         |  GROUP BY 1, 2)
+      s"""WITH $bm25ScoreCteSql
          |SELECT query_id,
          |  row_number() OVER (PARTITION BY query_id ORDER BY score_sc DESC, doc_id) AS rnk,
          |  doc_id, score_sc
          |FROM sc QUALIFY rnk <= $K ORDER BY query_id, rnk""".stripMargin,
+    // both pool rankings, the same 2^40 coverage composite, integer
+    // reciprocal ranks, and the same (rrf DESC, doc_id) final order
+    "text_rrf_fusion" ->
+      s"""WITH $bm25ScoreCteSql,
+         |ra AS (SELECT query_id, doc_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score_sc DESC, doc_id) AS rank_a
+         |  FROM sc QUALIFY rank_a <= $RrfPoolK),
+         |cov AS (SELECT q.query_id, t.doc_id, count(*)::BIGINT AS n_matched,
+         |    sum(t.tf)::BIGINT AS tf_sum
+         |  FROM tfs t JOIN q ON t.token = q.token GROUP BY 1, 2),
+         |cs AS (SELECT query_id, doc_id,
+         |    n_matched * ${CovBase} + least(tf_sum, ${CovBase - 1}) AS cov_score
+         |  FROM cov),
+         |rb AS (SELECT query_id, doc_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cov_score DESC, doc_id) AS rank_b
+         |  FROM cs QUALIFY rank_b <= $RrfPoolK),
+         |f AS (SELECT coalesce(ra.query_id, rb.query_id) AS query_id,
+         |    coalesce(ra.doc_id, rb.doc_id) AS doc_id,
+         |    (coalesce(1000000 // (60 + ra.rank_a), 0)
+         |     + coalesce(1000000 // (60 + rb.rank_b), 0))::BIGINT AS rrf_milli
+         |  FROM ra FULL OUTER JOIN rb
+         |    ON ra.query_id = rb.query_id AND ra.doc_id = rb.doc_id)
+         |SELECT query_id,
+         |  row_number() OVER (PARTITION BY query_id
+         |    ORDER BY rrf_milli DESC, doc_id)::BIGINT AS rnk,
+         |  doc_id, rrf_milli
+         |FROM f QUALIFY rnk <= $RrfK ORDER BY query_id, rnk""".stripMargin,
     "text_tfidf_topk" ->
       s"""WITH t AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token FROM documents),
          |tfs AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM t GROUP BY 1, 2),
