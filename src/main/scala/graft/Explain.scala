@@ -23,7 +23,8 @@ object Explain {
         "sketch_kmv_setops", "text_quality_norm", "text_head_coverage",
         "sim_topk_ivfpq_rerank", "sim_hard_negatives",
         "curation_token_budget", "emb_pca_project", "layout_compaction_plan",
-        "emb_outliers", "evt_paths3", "mm_audio_vad", "qa_mad_outliers")
+        "emb_outliers", "evt_paths3", "mm_audio_vad", "qa_mad_outliers",
+        "text_rrf_fusion", "qa_split_leakage", "sample_splits_by_cluster")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
