@@ -795,7 +795,41 @@ object Dedup {
           .otherwise("test").as("split"))
   }
 
+  /** The dedup DIVIDEND, by source: docs and chars before vs after
+    * keep-best canonicalization — the number every curation run
+    * reports ("dedup removed X% of source Y"). One CC run feeds both
+    * the keeper selection and the dropped set; the rollup is a
+    * broadcast of the (bounded) dropped ids onto one corpus scan,
+    * grouped to |sources| rows. */
+  def dedupSavings(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = minLabelClustersOn(
+      jaccardPairsUnsorted(spark, dir).select(col("doc_i"), col("doc_j")))
+    val quality = Tables.documents(spark, dir)
+      .select(col("doc_id") +: TextAnalysis.qualityFeatures(col("text")): _*)
+      .withColumn("quality", TextAnalysis.qualityExpr)
+      .select(col("doc_id"), col("quality"))
+    val kept = clusters.join(quality, "doc_id")
+      .groupBy(col("canonical_id"))
+      .agg(max(struct(col("quality").as("q"), (-col("doc_id")).as("nid"))).as("best"))
+      .select((-col("best.nid")).as("doc_id"))
+    val dropped = clusters.select(col("doc_id"))
+      .join(kept, Seq("doc_id"), "left_anti")
+      .withColumn("is_dropped", lit(true))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .join(dropped, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_dropped"), 0L).otherwise(1L)).as("n_kept"),
+        sum(col("n_chars")).as("chars_total"),
+        sum(when(col("is_dropped"), 0L).otherwise(col("n_chars"))).as("chars_kept"))
+      .withColumn("savings_milli",
+        expr("(chars_total - chars_kept) * 1000 div chars_total"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_savings" -> ((s, d) => dedupSavings(s, d)),
     "qa_split_leakage" -> ((s, d) => splitLeakage(s, d)),
     "sample_splits_by_cluster" -> ((s, d) => splitsByCluster(s, d)),
     "dedup_incremental" -> ((s, d) => incrementalDedup(s, d)),
@@ -912,6 +946,30 @@ object Dedup {
          |FROM u ORDER BY doc_id""".stripMargin,
     "dedup_clusters" -> clustersOracle,
     "dedup_clusters_star" -> clustersOracle,
+    // same cluster map and keeper rule as dedup_keep_best, rolled up
+    // to the per-source before/after report
+    "dedup_savings" ->
+      s"""WITH RECURSIVE $ccCte,
+         |cl AS (SELECT src AS doc_id, min(dst) AS canonical_id
+         |  FROM reach GROUP BY 1),
+         |tq AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+         |q AS (SELECT doc_id, ${TextAnalysis.qualitySql} AS quality FROM tq),
+         |j AS (SELECT cl.canonical_id, cl.doc_id, q.quality
+         |  FROM cl JOIN q USING (doc_id)),
+         |keep AS (SELECT doc_id FROM (SELECT doc_id,
+         |    row_number() OVER (PARTITION BY canonical_id
+         |      ORDER BY quality DESC, doc_id) AS rn FROM j) WHERE rn = 1),
+         |dr AS (SELECT doc_id FROM cl
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM keep))
+         |SELECT d.source, count(*)::BIGINT AS n_docs,
+         |  sum(CASE WHEN dr.doc_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+         |  sum(d.n_chars)::BIGINT AS chars_total,
+         |  sum(CASE WHEN dr.doc_id IS NULL THEN d.n_chars ELSE 0 END)::BIGINT AS chars_kept,
+         |  (((sum(d.n_chars)
+         |     - sum(CASE WHEN dr.doc_id IS NULL THEN d.n_chars ELSE 0 END)) * 1000)
+         |   // sum(d.n_chars))::BIGINT AS savings_milli
+         |FROM documents d LEFT JOIN dr ON d.doc_id = dr.doc_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "dedup_keep_best" ->
       s"""WITH RECURSIVE $ccCte,
          |cl AS (SELECT src AS doc_id, min(dst) AS canonical_id
