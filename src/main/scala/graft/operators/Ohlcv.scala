@@ -221,6 +221,29 @@ object Ohlcv {
       .orderBy(col("window_start"), col("event_type"), col("user_id"))
   }
 
+  /** HOPPING bars: 2-minute windows advancing every 1 minute — the
+    * overlapping-window mode the tumbling family lacks (smoother
+    * indicator inputs; Flink's SlidingEventTimeWindows twin). Spark's
+    * `window(ts, width, slide)` expands each event into width/slide
+    * window memberships inside the scan projection — the SAME single
+    * map-side-combined exchange as tumbling bars, just with 2× the
+    * pre-aggregation rows, never a self-join or re-scan per offset. */
+  def bars2m1mHopping(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val ord = struct(col("ts"), col("event_id"))
+    ev.groupBy(window(col("ts"), "2 minutes", "1 minute").as("w"), col("event_type"))
+      .agg(
+        min_by(col("value"), ord).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), ord).as("close"),
+        count(lit(1)).as("volume"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("event_type"), col("open"), col("high"), col("low"), col("close"),
+        col("volume"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
   /** 5-minute bars computed by rolling up 1-minute bars — bar-of-bars
     * consistency (/root/reference/old/flink.py:42-67 dual resolution). */
   def bars5mFrom1m(spark: SparkSession, dir: String): DataFrame = {
@@ -314,6 +337,7 @@ object Ohlcv {
     "ohlcv_1m_indicators" -> ((s, d) => bars1mIndicators(s, d)),
     "ohlcv_1m_vwap" -> ((s, d) => bars1mVwap(s, d)),
     "ohlcv_5m" -> ((s, d) => bars5m(s, d)),
+    "ohlcv_2m1m_hopping" -> ((s, d) => bars2m1mHopping(s, d)),
     "ohlcv_1h_by_user" -> ((s, d) => bars1hByUser(s, d)),
     "ohlcv_5m_rollup" -> ((s, d) => bars5mFrom1m(s, d)),
     "ohlcv_formatted" -> ((s, d) => barsFormatted(s, d)))
@@ -403,6 +427,20 @@ object Ohlcv {
       oneMinuteOracle,
     "ohlcv_5m" ->
       fiveMinuteOracle,
+    // hopping windows: each event belongs to exactly width/slide = 2
+    // minute-aligned windows (start = floor-minute − k), replayed by
+    // an explicit 2-row unnest per event
+    "ohlcv_2m1m_hopping" ->
+      """WITH s AS (SELECT e.*,
+        |    ((epoch_us(ts) // 60000000) - k.k) * 60 AS ws_s
+        |  FROM events e, UNNEST(range(0, 2)) AS k(k))
+        |SELECT to_timestamp(ws_s)::TIMESTAMP AS window_start,
+        |       to_timestamp(ws_s + 120)::TIMESTAMP AS window_end,
+        |       event_type,
+        |       arg_min(value, ts) AS open, max(value) AS high,
+        |       min(value) AS low, arg_max(value, ts) AS close,
+        |       count(*)::BIGINT AS volume
+        |FROM s GROUP BY 1, 2, 3 ORDER BY 1, 3""".stripMargin,
     "ohlcv_1h_by_user" ->
       """SELECT date_trunc('hour', ts) AS window_start,
         |       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
