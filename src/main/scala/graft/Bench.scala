@@ -39,8 +39,11 @@ object Bench {
     // Per-table guard: one broken loader must cost one table's warmup,
     // never the whole artifact (round 5 lost its entire bench to an
     // uncaught analysis error right here).
+    // NonFatal, not Throwable: an analysis/IO error must cost one
+    // table's warmup, but a fatal JVM error (OOM, LinkageError) means
+    // every number the run would record is garbage — abort instead.
     def warm(label: String)(body: => Unit): Unit = try body catch {
-      case e: Throwable =>
+      case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] warmup $label failed: ${e.getMessage}")
     }
     Seq("lineitem", "orders", "customer", "part", "supplier", "nation",
@@ -61,7 +64,7 @@ object Bench {
             fn(spark, sfDir).write.format("noop").mode("overwrite").save()
             (System.nanoTime() - t0) / 1e9
           } catch {
-            case e: Throwable =>
+            case scala.util.control.NonFatal(e) =>
               System.err.println(s"[bench] $name failed: ${e.getMessage}")
               -1.0
           }
@@ -83,7 +86,7 @@ object Bench {
     val total = results.map(r => median(r._2)).filter(_ >= 0).sum
     // one streaming failure must not discard the batch measurements
     def safeRate(label: String)(f: => Long): Long = try f catch {
-      case e: Throwable =>
+      case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] $label failed: ${e.getMessage}")
         -1L
     }
@@ -120,7 +123,20 @@ object Bench {
     val outPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.out.json"))
     java.nio.file.Files.write(outPath, (line + "\n").getBytes("UTF-8"))
+    // The full line above is ~10 KB (a per-query map over 170+ queries)
+    // and overflows the driver's bounded tail capture — six rounds of
+    // BENCH_r0*.json came back `parsed: null` because the tail started
+    // mid-line. Print a compact summary (~200 bytes, no per-query map)
+    // as the LAST stdout line so any tail window catches a complete,
+    // parseable JSON object; the full detail stays in BENCH.out.json.
+    val summary = s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},""" +
+      s""""runs":$runs,"streaming_events_per_sec":$rate,""" +
+      s""""streaming_v2_events_per_sec":$rateV2,""" +
+      s""""streaming_composed_events_per_sec":$rateComposed,""" +
+      s""""streaming_lateness_events_per_sec":$rateLateness,""" +
+      s""""sf":${JsonUtil.q(sfDir)}}"""
     spark.stop()
+    println(summary)
   }
 
   /** Single-node streaming throughput: 200k trades over the reference
@@ -161,14 +177,15 @@ object Bench {
       spark: SparkSession,
       n: Int,
       engine: org.apache.spark.sql.DataFrame => org.apache.spark.sql.Dataset[graft.model.RunningBar],
-      outputMode: String = "append"): Long = {
+      outputMode: String = "append",
+      slack: String = "5 seconds"): Long = {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.StreamingOhlcv
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[graft.model.Trade]
     input.addData(genTrades(n): _*)
-    val q = engine(StreamingOhlcv.withEventTime(input.toDS(), "5 seconds"))
+    val q = engine(StreamingOhlcv.withEventTime(input.toDS(), slack))
       .writeStream.format("noop").outputMode(outputMode).start()
     try {
       val t0 = System.nanoTime()
@@ -197,14 +214,17 @@ object Bench {
 
   /** The W5 allowed-lateness engine under the same replay: per-window
     * retention + re-fire bookkeeping priced against plain statefulBars
-    * (same data, same watermark slack budget split 4s slack + 1s
-    * lateness so the grace path is actually exercised). */
+    * (same data; true-watermark slack 4s + lateness 1s, with the
+    * watermark delay absorbing the full grace — slack + width +
+    * lateness = 65s — per the statefulBarsWithLateness contract, so
+    * windows stay retained and the re-fire path is actually
+    * exercised). */
   private def streamingRateLateness(spark: SparkSession): Long = {
     import graft.streaming.StreamingOhlcv
     def engine(df: org.apache.spark.sql.DataFrame) =
       StreamingOhlcv.statefulBarsWithLateness(df, widthMs = 60000L, latenessMs = 1000L)
-    replayRate(spark, WarmupN, engine, "update") // warmup, discarded
-    bestOf3(replayRate(spark, StreamN, engine, "update"))
+    replayRate(spark, WarmupN, engine, "update", "65 seconds") // warmup, discarded
+    bestOf3(replayRate(spark, StreamN, engine, "update", "65 seconds"))
   }
 
   /** Same replay through the Spark-4 transformWithState engine — needs

@@ -653,9 +653,13 @@ object Similarity {
       .map { r =>
         val (dim, n, s, q) = (r.getLong(0).toInt, r.getLong(1), r.getLong(2), r.getLong(3))
         val mu = s.toDouble / n
-        val varNum = n * q - s * s
-        val sd = if (varNum == 0L) 0.0
-          else math.sqrt(varNum.toDouble / (n.toDouble * (n - 1)))
+        // BigInt: n·q ≈ 1e6·n² for milli-quantized unit vectors, which
+        // crosses 2^63 past ~3M vectors — a Long here silently wraps to
+        // a wrong σ at corpus scale (the oracle's HUGEINT would not)
+        val varNum = BigInt(n) * BigInt(q) - BigInt(s) * BigInt(s)
+        val sd = if (varNum == 0)
+          0.0
+        else math.sqrt(varNum.toDouble / (n.toDouble * (n - 1)))
         dim -> (mu, sd)
       }.toMap
     val statLit = typedlit((0 until EmbDim).map(d => stats(d)))
@@ -973,8 +977,9 @@ object Similarity {
          |    sum(milli * milli)::BIGINT AS q
          |  FROM x GROUP BY 1),
          |st AS (SELECT dim, s::DOUBLE / n AS mu,
-         |    CASE WHEN n * q - s * s = 0 THEN 0.0::DOUBLE
-         |         ELSE sqrt((n * q - s * s)::DOUBLE / (n::DOUBLE * (n - 1))) END AS sd
+         |    CASE WHEN n::HUGEINT * q - s::HUGEINT * s = 0 THEN 0.0::DOUBLE
+         |         ELSE sqrt((n::HUGEINT * q - s::HUGEINT * s)::DOUBLE
+         |                   / (n::DOUBLE * (n - 1))) END AS sd
          |  FROM mo),
          |z AS (SELECT x.vec_id, x.dim,
          |    CASE WHEN st.sd = 0 THEN 0.0::DOUBLE

@@ -206,12 +206,20 @@ object StreamingOhlcv {
     *
     * Spark filters input rows below the watermark before they reach the
     * state function, so the stream's watermark DELAY must absorb the
-    * grace period: pass `withEventTime(trades, slack + lateness)` and
-    * hand `latenessMs` here. The function then treats
-    * `sparkWatermark + latenessMs` as the TRUE watermark (fire line)
-    * and `sparkWatermark` as the eviction line — the two horizons
-    * Flink tracks as "fire at watermark ≥ end" / "purge at watermark ≥
-    * end + lateness", shifted into Spark's single-delay model.
+    * full grace an acceptable late event can need. Flink accepts any
+    * element of a window whose `end + lateness` the watermark has not
+    * passed — the element itself may sit a full window-width EARLIER
+    * than that horizon (ts = windowStart, horizon = windowStart +
+    * width + lateness). Pass `withEventTime(trades,
+    * slack + width + lateness)` and hand `widthMs`/`latenessMs` here;
+    * then sparkWatermark = trueWatermark − width − lateness, and the
+    * function reconstructs Flink's two horizons from it:
+    * fire when `windowEnd ≤ sparkWatermark + width + lateness`
+    * (= trueWatermark ≥ end), evict when `windowStart ≤ sparkWatermark`
+    * (= trueWatermark ≥ end + lateness). Because every live window has
+    * `windowStart > sparkWatermark`, no element of a live window can be
+    * dropped by Spark's pre-filter — a late event ANYWHERE inside a
+    * retained window re-fires, exactly Flink's acceptance test.
     *
     * Output is Update-mode by nature: a re-fire REPLACES the previous
     * bar for its (window, product) — downstream keyed upsert, same as
@@ -234,10 +242,14 @@ object StreamingOhlcv {
       events: Iterator[TimedTrade],
       state: GroupState[LatenessBars]): Iterator[RunningBar] = {
 
-    // sparkWatermark = maxEventTime − (slack + lateness): the EVICTION
-    // line. The true watermark (fire line) sits latenessMs above it.
-    val evictLine = math.max(state.getCurrentWatermarkMs(), 0L)
-    val fireLine = evictLine + latenessMs
+    // sparkWatermark = maxEventTime − (slack + width + lateness). Both
+    // Flink horizons shift down by (width + lateness): fire when
+    // sparkWM ≥ end − width − lateness = start − lateness, evict when
+    // sparkWM ≥ end − width = start. A still-at-zero watermark means
+    // "not established yet" — deriving a fire line from it would fire
+    // epoch-adjacent windows prematurely, so hold both lines at 0.
+    val sparkWm = math.max(state.getCurrentWatermarkMs(), 0L)
+    val fireLine = if (sparkWm == 0L) 0L else sparkWm + widthMs + latenessMs
     val prev = state.getOption.getOrElse(LatenessBars(Map.empty, Seq.empty))
     var bars = prev.bars
     var fired = prev.fired.toSet
@@ -247,7 +259,11 @@ object StreamingOhlcv {
       val sorted = events.toArray.sortBy(t => (t.timestamp, t.instrument_id))
       for (t <- sorted) {
         val ws = t.timestamp / widthMs * widthMs
-        if (ws + widthMs > evictLine) { // inside the lateness horizon
+        // Flink's acceptance test: window alive while trueWatermark <
+        // end + lateness ⟺ ws > sparkWm. The pre-filter only drops
+        // ts < sparkWm, and every element of a live window has
+        // ts ≥ ws > sparkWm — so nothing acceptable is lost upstream.
+        if (ws > sparkWm) {
           val st = BarState.updated(bars.getOrElse(ws, BarState.init(ws)),
             t.timestamp, t.instrument_id, t.price, t.qty)
           bars = bars.updated(ws, st)
@@ -265,7 +281,7 @@ object StreamingOhlcv {
       }
 
     // eviction: lateness horizon passed (end + lateness ≤ true watermark)
-    val (dead, alive) = bars.partition { case (ws, _) => ws + widthMs <= evictLine }
+    val (dead, alive) = bars.partition { case (ws, _) => ws <= sparkWm }
     bars = alive
     fired = fired -- dead.keys
 
@@ -273,10 +289,11 @@ object StreamingOhlcv {
     else {
       state.update(LatenessBars(bars, fired.toSeq.sorted))
       // wake at the earlier of the next unfired close (reached when the
-      // spark watermark hits close − lateness) or the next eviction
+      // spark watermark hits start − lateness) or the next eviction
+      // (spark watermark reaching start)
       val wakeAt = bars.keys.map(ws =>
-        if (fired(ws)) ws + widthMs else ws + widthMs - latenessMs).min
-      state.setTimeoutTimestamp(math.max(wakeAt, evictLine + 1))
+        if (fired(ws)) ws else ws - latenessMs).min
+      state.setTimeoutTimestamp(math.max(wakeAt, sparkWm + 1))
     }
     out.result()
   }

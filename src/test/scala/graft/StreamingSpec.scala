@@ -37,9 +37,11 @@ class StreamingSpec extends SparkSpec {
 
   test("W5 allowed lateness: late event within horizon re-fires corrected bar, beyond is dropped") {
     val input = MemoryStream[Trade]
-    // width 60 s, lateness 10 s, slack 0 → stream watermark delay 10 s
+    // width 60 s, lateness 10 s, slack 0 → stream watermark delay must
+    // absorb the FULL grace width + lateness = 70 s (a late event can sit
+    // a whole window-width below the still-open horizon)
     val bars = StreamingOhlcv.statefulBarsWithLateness(
-      StreamingOhlcv.withEventTime(input.toDS(), "10 seconds"),
+      StreamingOhlcv.withEventTime(input.toDS(), "70 seconds"),
       widthMs = 60000L, latenessMs = 10000L)
     val q = bars.writeStream.format("memory").queryName("w5").outputMode("update").start()
     try {
@@ -50,7 +52,7 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       assert(minute0.isEmpty) // watermark still inside minute 0
 
-      // event time 65 s → spark watermark 55 s → TRUE watermark 65 s:
+      // event time 65 s → spark watermark −5 s → TRUE watermark 65 s:
       // minute 0 fires its first final bar but stays retained
       input.addData(trade(65000, "P1", 99.0, 5))
       q.processAllAvailable()
@@ -59,10 +61,9 @@ class StreamingSpec extends SparkSpec {
       assert(minute0.head.getAs[Double]("close") == 20.0)
       assert(minute0.head.getAs[Boolean]("end_of_window"))
 
-      // LATE event at 56 s: below the true watermark (65 s) but above
-      // the spark watermark (55 s — the filter there is inclusive), so
-      // it survives into the lateness horizon → immediate corrected
-      // re-fire
+      // LATE event at 56 s: below the true watermark (65 s) but inside
+      // minute 0's lateness horizon (end 60 s + 10 s) → immediate
+      // corrected re-fire
       input.addData(trade(56000, "P1", 5.0, 7))
       q.processAllAvailable()
       val refired = minute0.sortBy(_.getAs[Long]("volume"))
@@ -71,13 +72,25 @@ class StreamingSpec extends SparkSpec {
       assert(refired(1).getAs[Double]("low") == 5.0)
       assert(refired(1).getAs[Double]("close") == 5.0) // 56 s is latest event time
 
+      // MID-WINDOW late event at 40 s — a full window-width below the
+      // true watermark yet still inside the horizon (65 < 70). Flink
+      // accepts it; the absorbed width+lateness delay keeps Spark's
+      // pre-filter (−5 s here) from eating it before the state function
+      input.addData(trade(40000, "P1", 3.0, 20))
+      q.processAllAvailable()
+      val midFired = minute0.sortBy(_.getAs[Long]("volume"))
+      assert(midFired.length == 3)
+      assert(midFired(2).getAs[Long]("volume") == 30L)
+      assert(midFired(2).getAs[Double]("low") == 3.0)
+      assert(midFired(2).getAs[Double]("close") == 5.0) // 56 s still latest
+
       // advance far past the horizon, then send an event for minute 0:
       // it is beyond end+lateness → dropped, no further re-fire
-      input.addData(trade(130000, "P1", 42.0, 1))
+      input.addData(trade(140000, "P1", 42.0, 1))
       q.processAllAvailable()
       input.addData(trade(59000, "P1", 1.0, 9))
       q.processAllAvailable()
-      assert(minute0.length == 2) // unchanged
+      assert(minute0.length == 3) // unchanged
       assert(spark.table("w5").filter(col("low") === 1.0).isEmpty)
     } finally q.stop()
   }
@@ -202,7 +215,7 @@ class StreamingSpec extends SparkSpec {
     val input = MemoryStream[Trade]
     val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double, Long)]
     def start() = StreamingOhlcv.statefulBarsWithLateness(
-        StreamingOhlcv.withEventTime(input.toDS(), "10 seconds"),
+        StreamingOhlcv.withEventTime(input.toDS(), "70 seconds"), // width + lateness
         widthMs = 60000L, latenessMs = 10000L)
       .writeStream.foreachBatch {
         (batch: org.apache.spark.sql.Dataset[graft.model.RunningBar], _: Long) =>
