@@ -73,6 +73,39 @@ object HashOps {
     org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(arr)
   }
 
+  /** POSITIONAL word-n-gram span hashes — [[shingleHashes]] without the
+    * distinct: entry j is the polynomial hash of tokens j..j+n-1, so the
+    * array index IS the span's token offset. The span-level dedup
+    * operator needs positions to emit removal intervals; the set-based
+    * shingle form deliberately erases them. */
+  def spanHashes(s: UTF8String, n: Int, mult: Long, init: Long): ArrayData = {
+    val toks = new java.util.ArrayList[String]()
+    s.toString.split(" ", -1).foreach(t => if (t.nonEmpty) toks.add(t))
+    val m = toks.size
+    val cnt = math.max(m - n + 1, 0)
+    val arr = new Array[Long](cnt)
+    var j = 0
+    while (j + n <= m) {
+      var h = init
+      var k = 0
+      while (k < n) {
+        if (k > 0) h = (h * mult + ' '.toLong) % P
+        val t = toks.get(k + j)
+        var i = 0
+        val len = t.length
+        while (i < len) {
+          val cp = t.codePointAt(i)
+          h = (h * mult + cp) % P
+          i += Character.charCount(cp)
+        }
+        k += 1
+      }
+      arr(j) = h
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(arr)
+  }
+
   /** k-entry MinHash signature in one pass over the code set — the loop
     * form of k× TextFunctions.minHash: sig(i) = min over x of
     * ((2i+1)·x + 104729·i + 12345) mod P. */
@@ -237,6 +270,28 @@ case class ShingleHashes(child: Expression, n: Int, mult: Long, init: Long)
       c => s"graft.functions.HashOps.shingleHashes($c, $n, ${mult}L, ${init}L)")
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+/** span_hashes(str): positional word-n-gram polynomial hash codes —
+  * entry j is the hash of the n-token span starting at token j. */
+case class SpanHashes(child: Expression, n: Int, mult: Long, init: Long)
+    extends UnaryExpression {
+  override def prettyName: String = "span_hashes"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires string input")
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashOps.spanHashes(input.asInstanceOf[UTF8String], n, mult, init)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashOps.spanHashes($c, $n, ${mult}L, ${init}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): SpanHashes =
     copy(child = newChild)
 }
 

@@ -97,6 +97,13 @@ object TextFunctions {
     array_min(transform(codes,
       x => (x * (2 * i + 1) + lit(104729L) * i + 12345L) % P))
 
+  /** Positional word-n-gram span hashes (native SpanHashes expression):
+    * entry j is polyHash of tokens j..j+n-1 joined by ' ' — shingleCodes
+    * WITH positions (no distinct), the unit span-level dedup removes. */
+  def spanCodes(text: Column, n: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      SpanHashes(org.apache.spark.sql.graft.ColumnBridge.expression(text), n, 31L, 0L))
+
   /** Non-oracle production variant: 64-bit xxhash64 shingles (codegen'd,
     * engine-native). Use when DuckDB parity is not needed. */
   def shingleCodes64(text: Column, n: Int): Column =

@@ -524,6 +524,123 @@ object Dedup {
         expr("coalesce(n_shared, 0L) * 1000 div n_shingles").as("shared_milli"))
   }
 
+  // ------------------------------------------- exact duplicate-span dedup
+
+  /** Span width (tokens) for exact duplicate-span removal — the
+    * suffix-array pipelines (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better", 2022) use 50 tokens on web text;
+    * 15 is the same operator scaled to this corpus's 10–99-token docs. */
+  val SpanW = 15
+
+  /** Packs (doc_id, pos) into ONE orderable long so keeper selection is
+    * a plain min() both engines replay bit-identically (min-of-struct
+    * orderings are an engine-semantics trap). Token positions are below
+    * 2^20 by contract (a 1M-token doc is beyond any tokenizer context);
+    * doc_ids keep 43 bits. */
+  val SpanPosShift = 1L << 20
+
+  /** Exact cross-document duplicate-SPAN removal — the operator
+    * [[crossDocSpanStats]] measures but does not act on: find every
+    * `SpanW`-token span occurring in ≥2 distinct documents, KEEP the
+    * one globally-first occurrence (min packed (doc_id, pos)), and emit
+    * the merged per-document token intervals to delete — the
+    * Lee-et-al-style "dedup at the span level, rewrite the text" pass
+    * (theirs via suffix arrays; here via hashed span postings, which
+    * distribute). Output: one row per merged removal interval
+    * (doc_id, span_start, span_end, span_tokens), token positions
+    * 0-based, end exclusive.
+    *
+    * Scale shape — never a self-join: positional span hashes are ONE
+    * fused scan projection (native SpanHashes); duplicate detection is
+    * a map-side-combined aggregate on the code (min ≠ max of doc_id
+    * replaces count-distinct — no Expand, one shuffle); the removal
+    * join reuses the SAME code shuffle key. A span duplicated across k
+    * documents costs k posting rows — LINEAR in k where the pair joins
+    * above are quadratic, which is why span dedup needs no df cap.
+    * Interval merging is a per-document window (bounded by doc length),
+    * partitioned on doc_id across the cluster. */
+  def spanRemoval(spark: SparkSession, dir: String): DataFrame =
+    spanRemovalOn(Tables.documents(spark, dir))
+
+  /** Core over any (doc_id, text) frame — seam for spec corpora. */
+  private[graft] def spanRemovalOn(docs: DataFrame, w: Int = SpanW): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val occ = docs
+      .select(col("doc_id"), posexplode(spanCodes(col("text"), w)))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("code"))
+    // cross-document duplicate codes + the one occurrence each keeps
+    val dup = occ
+      .groupBy(col("code"))
+      .agg(min(col("doc_id")).as("d_min"), max(col("doc_id")).as("d_max"),
+        min(col("doc_id") * SpanPosShift + col("pos")).as("keeper"))
+      .filter(col("d_min") =!= col("d_max"))
+      .select(col("code"), col("keeper"))
+    val removed = occ.join(dup, "code")
+      .filter(col("doc_id") * SpanPosShift + col("pos") =!= col("keeper"))
+      .select(col("doc_id"), col("pos"))
+    // merge overlapping/adjacent [pos, pos+w) intervals per doc:
+    // gaps-and-islands on the span starts (equal widths ⇒ the running
+    // max of interval ends is just the previous start + w)
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    removed
+      .withColumn("prev", lag(col("pos"), 1).over(byDoc))
+      .withColumn("brk",
+        when(col("prev").isNull || col("pos") - col("prev") > w, 1L).otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"), (max(col("pos")) + w).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("span_tokens"))
+  }
+
+  /** The ACT step on [[spanRemoval]]'s intervals: rewrite every document
+    * with its duplicated spans deleted (tokens re-joined on single
+    * spaces — both engines rebuild from the token stream, so irregular
+    * source whitespace cannot desync them). Docs with nothing to remove
+    * pass through token-normalized; a fully-duplicated doc becomes ''.
+    *
+    * Scale shape: the interval list rides a doc_id equi-join back onto
+    * the corpus scan (per-doc lists are tiny — merged intervals over a
+    * bounded doc); the rewrite is a per-row filter-with-index over the
+    * token array, no shuffle beyond the join. */
+  def spanScrub(spark: SparkSession, dir: String): DataFrame =
+    spanScrubbedOn(Tables.documents(spark, dir))
+
+  /** Core over any (doc_id, text) frame — seam for spec corpora. */
+  private[graft] def spanScrubbedOn(docs: DataFrame, w: Int = SpanW): DataFrame = {
+    val iv = spanRemovalOn(docs, w)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start").as("s"), col("span_end").as("e")))
+        .as("iv"))
+    docs.select(col("doc_id"), col("text"))
+      .join(iv, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        concat_ws(" ", filter(tokens(col("text")), (_, i) =>
+          !coalesce(exists(col("iv"), s =>
+            i.cast("long") >= s("s") && i.cast("long") < s("e")), lit(false))))
+          .as("text"))
+  }
+
+  /** Per-document accounting for [[spanRemoval]]: how many tokens the
+    * span pass deletes from each doc (0-row docs included — the report
+    * covers the corpus, not just the touched docs). */
+  def spanSavings(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val nt = docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"))
+    val rem = spanRemovalOn(docs)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("span_tokens")).as("rt"), count(lit(1)).as("ns"))
+    nt.join(rem, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("rt"), lit(0L)).as("removed_tokens"),
+        coalesce(col("ns"), lit(0L)).as("n_spans"),
+        when(col("n_tokens") > 0,
+          expr("coalesce(rt, 0L) * 1000 div n_tokens")).otherwise(lit(0L))
+          .as("removed_milli"))
+  }
+
   // ------------------------------------------------ keep-best selection
 
   /** Quality-aware canonical selection: for every near-dup cluster,
@@ -845,6 +962,9 @@ object Dedup {
     "dedup_embedding_clusters" -> ((s, d) => embeddingClusters(s, d)),
     "decontam_overlap" -> ((s, d) => decontamOverlap(s, d)),
     "dedup_span_frac" -> ((s, d) => crossDocSpanStats(s, d)),
+    "dedup_span_removal" -> ((s, d) => spanRemoval(s, d)),
+    "dedup_span_scrub" -> ((s, d) => spanScrub(s, d)),
+    "dedup_span_savings" -> ((s, d) => spanSavings(s, d)),
     "dedup_containment" -> ((s, d) => containmentPairs(s, d)),
     "dedup_keep_best" -> ((s, d) => keepBestPerCluster(s, d)))
 
@@ -895,6 +1015,34 @@ object Dedup {
        |  SELECT doc_i, doc_i FROM (SELECT DISTINCT doc_i FROM edges)
        |  UNION
        |  SELECT r.src, e.doc_j FROM reach r JOIN edges e ON r.dst = e.doc_i)""".stripMargin
+
+  /** Shared oracle CTE chain for the span-dedup family: positional
+    * SpanW-token span hashes (same polynomial as the engine's
+    * SpanHashes), cross-doc duplicate codes with their packed-min
+    * keeper, and the merged removal intervals via gaps-and-islands —
+    * the engine pipeline replayed in window-function SQL. */
+  private val spanIvCte =
+    s"""toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+       |sp AS (SELECT doc_id, j::BIGINT - 1 AS pos,
+       |    list_reduce(list_prepend(0::BIGINT,
+       |        list_transform(string_split(
+       |          list_reduce(t[j:j+${SpanW - 1}], (a, b) -> a || ' ' || b), ''),
+       |          c -> ascii(c)::BIGINT)),
+       |      (a, c) -> (a * 31 + c) % 2147483647) AS code
+       |  FROM toks, UNNEST(range(1, len(t) - $SpanW + 2)) AS u(j)
+       |  WHERE len(t) >= $SpanW),
+       |dup AS (SELECT code, min(doc_id * $SpanPosShift + pos) AS keeper
+       |  FROM sp GROUP BY code HAVING min(doc_id) <> max(doc_id)),
+       |rm AS (SELECT sp.doc_id, sp.pos FROM sp JOIN dup USING (code)
+       |  WHERE sp.doc_id * $SpanPosShift + sp.pos <> dup.keeper),
+       |lagd AS (SELECT doc_id, pos,
+       |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM rm),
+       |isl AS (SELECT doc_id, pos,
+       |    sum(CASE WHEN prev IS NULL OR pos - prev > $SpanW THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+       |  FROM lagd),
+       |iv AS (SELECT doc_id, min(pos) AS span_start, max(pos) + $SpanW AS span_end
+       |  FROM isl GROUP BY doc_id, island)""".stripMargin
 
   private val clustersOracle =
     s"""WITH RECURSIVE $ccCte
@@ -1020,6 +1168,43 @@ object Dedup {
          |  (coalesce(per.n_shared, 0) * 1000) // s.sz AS shared_milli
          |FROM shz s LEFT JOIN per USING (doc_id)
          |ORDER BY 1""".stripMargin,
+    "dedup_span_removal" ->
+      s"""WITH $spanIvCte
+         |SELECT doc_id, span_start, span_end,
+         |  span_end - span_start AS span_tokens
+         |FROM iv ORDER BY doc_id, span_start""".stripMargin,
+    // rebuild every doc from its kept token positions (single-space
+    // joined, exactly the engine's token-normalized rewrite); merged
+    // intervals never overlap, so the LEFT JOIN matches ≤1 per token
+    "dedup_span_scrub" ->
+      s"""WITH $spanIvCte,
+         |tok AS (SELECT doc_id, u.i::BIGINT - 1 AS pos, t[u.i::INT] AS tok
+         |  FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)),
+         |kept AS (SELECT tk.doc_id, tk.pos, tk.tok FROM tok tk
+         |  LEFT JOIN iv ON iv.doc_id = tk.doc_id
+         |    AND tk.pos >= iv.span_start AND tk.pos < iv.span_end
+         |  WHERE iv.doc_id IS NULL),
+         |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS t2
+         |  FROM kept GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(a.t2, '') AS text
+         |FROM documents d LEFT JOIN agg a USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+    "dedup_span_savings" ->
+      s"""WITH $spanIvCte,
+         |perdoc AS (SELECT doc_id, sum(span_end - span_start)::BIGINT AS rt,
+         |    count(*)::BIGINT AS ns
+         |  FROM iv GROUP BY doc_id),
+         |nt AS (SELECT doc_id,
+         |    len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS n_tokens
+         |  FROM documents)
+         |SELECT nt.doc_id, nt.n_tokens,
+         |  coalesce(p.rt, 0)::BIGINT AS removed_tokens,
+         |  coalesce(p.ns, 0)::BIGINT AS n_spans,
+         |  (CASE WHEN nt.n_tokens > 0
+         |        THEN coalesce(p.rt, 0) * 1000 // nt.n_tokens
+         |        ELSE 0 END)::BIGINT AS removed_milli
+         |FROM nt LEFT JOIN perdoc p USING (doc_id)
+         |ORDER BY nt.doc_id""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS digest, min(doc_id) AS canonical_id,
         |  count(*)::BIGINT AS n_copies

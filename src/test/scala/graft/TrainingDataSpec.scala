@@ -138,6 +138,45 @@ class TrainingDataSpec extends SparkSpec {
       3L -> ((3L, 0L, 0L))))
   }
 
+  test("native SpanHashes equals the positional HOF formulation on real data") {
+    // spanCodes = shingles WITH positions: entry j must hash tokens j..j+n-1
+    val bad = Tables.documents(spark, sf0001)
+      .select(TextFunctions.spanCodes(col("text"), 3).as("native"),
+        transform(TextFunctions.shingles(TextFunctions.tokens(col("text")), 3),
+          s => TextFunctions.polyHash(s)).as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(bad == 0)
+  }
+
+  test("duplicate-span removal keeps one occurrence, merges intervals, and scrubbing kills the overlap") {
+    val corpus = Seq(
+      (1L, "a b c d e f"),   // global-first occurrence of every shared span
+      (2L, "x y a b c d z"), // embeds "a b c d" mid-doc
+      (3L, "p q r s"),       // unique content — untouched
+      (4L, "a b c d e f")    // exact dup of doc 1 — fully removed
+    ).toDF("doc_id", "text")
+    val iv = Dedup.spanRemovalOn(corpus, w = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // doc 2: dup 3-spans start at 2,3 → one merged interval [2,6);
+    // doc 4: starts 0..3 → [0,6) (the whole doc); docs 1/3 keep all
+    assert(iv == Set((2L, 2L, 6L, 4L), (4L, 0L, 6L, 6L)))
+
+    val scrubbed = Dedup.spanScrubbedOn(corpus, w = 3)
+    val texts = scrubbed.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(texts == Map(1L -> "a b c d e f", 2L -> "x y z",
+      3L -> "p q r s", 4L -> ""))
+
+    // the defining property: the scrubbed corpus has NO cross-document
+    // duplicated span left — removal removed the overlap it found
+    assert(Dedup.spanRemovalOn(scrubbed, w = 3).isEmpty)
+  }
+
+  test("span scrub leaves zero cross-doc duplicate spans on real data") {
+    val scrubbed = Dedup.spanScrubbedOn(
+      Tables.documents(spark, sf0001).select(col("doc_id"), col("text")))
+    assert(Dedup.spanRemovalOn(scrubbed).isEmpty)
+  }
+
   test("containment catches a short doc inside a long one that Jaccard misses") {
     val corpus = Seq(
       (1L, "a b c d"), // {abc, bcd} — fully contained in doc 2
