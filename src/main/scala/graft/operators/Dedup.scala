@@ -656,8 +656,7 @@ object Dedup {
     * doubles are bit-identical across engines (text_quality's verified
     * arithmetic), so even the argmax ordering replays exactly. */
   def keepBestPerCluster(spark: SparkSession, dir: String): DataFrame = {
-    val clusters = minLabelClustersOn(
-      jaccardPairsUnsorted(spark, dir).select(col("doc_i"), col("doc_j")))
+    val clusters = clusterMap(spark, dir)
     val quality = Tables.documents(spark, dir)
       .select(col("doc_id") +: TextAnalysis.qualityFeatures(col("text")): _*)
       .withColumn("quality", TextAnalysis.qualityExpr)
@@ -684,8 +683,35 @@ object Dedup {
     * standard large-graph CC shape; at web scale swap in
     * large-star/small-star to cut rounds, Kiveris et al. 2014). */
   def dupClusters(spark: SparkSession, dir: String): DataFrame =
-    minLabelClustersOn(
-      jaccardPairsUnsorted(spark, dir).select(col("doc_i"), col("doc_j")))
+    clusterMap(spark, dir)
+
+  /** Session-scoped memo of the CC cluster map over the jaccard pairs.
+    * FOUR consumers need the identical subplan — [[dupClusters]],
+    * [[keepBestPerCluster]], [[dedupSavings]], [[splitsByCluster]] —
+    * and each independent recompute pays the inverted-index pair join
+    * plus the convergence-checked propagation rounds (~3 s each at
+    * sf0.1). At 100 TB the cluster map is materialized once per
+    * curation generation and reused by every downstream stage; this
+    * memo is that shape in miniature, keyed per (session, dir) exactly
+    * like Tables.registerAll. The frame handed out is the
+    * localCheckpoint-backed labels (materialized, lineage-truncated),
+    * so the memo pins blocks, not an unevaluated plan — every consumer
+    * reads the same bits and result hashes are unchanged. WeakHashMap:
+    * a stopped session's entry can be collected. */
+  private val clusterMemo =
+    new java.util.WeakHashMap[SparkSession, (String, DataFrame)]()
+
+  private def clusterMap(spark: SparkSession, dir: String): DataFrame =
+    clusterMemo.synchronized {
+      Option(clusterMemo.get(spark)) match {
+        case Some((d, df)) if d == dir => df
+        case _ =>
+          val df = minLabelClustersOn(
+            jaccardPairsUnsorted(spark, dir).select(col("doc_i"), col("doc_j")))
+          clusterMemo.put(spark, (dir, df))
+          df
+      }
+    }
 
   /** Min-label propagation over an undirected pair graph — public seam
     * so specs can feed synthetic graphs (chains, stars, forests). */
@@ -919,8 +945,7 @@ object Dedup {
     * broadcast of the (bounded) dropped ids onto one corpus scan,
     * grouped to |sources| rows. */
   def dedupSavings(spark: SparkSession, dir: String): DataFrame = {
-    val clusters = minLabelClustersOn(
-      jaccardPairsUnsorted(spark, dir).select(col("doc_i"), col("doc_j")))
+    val clusters = clusterMap(spark, dir)
     val quality = Tables.documents(spark, dir)
       .select(col("doc_id") +: TextAnalysis.qualityFeatures(col("text")): _*)
       .withColumn("quality", TextAnalysis.qualityExpr)
