@@ -122,6 +122,21 @@ object Dedup {
     allPosts.join(rare, Seq("code"), "left_semi")
   }
 
+  /** The cap's AUDIT channel: the shingle codes [[jaccardPairsOn]] (via
+    * cappedPosts) will DROP at `maxDf`, with their document frequency —
+    * a production run materializes this tiny frame alongside the pair
+    * join so the recall the cap trades away is REPORTED, never silent
+    * (each row is a boilerplate shingle whose pairs-by-overlap are
+    * excluded; the bench/spec assert the resulting pair-completeness
+    * delta explicitly). Same df aggregate the cap itself runs — at
+    * 100 TB this is |hot codes| rows, a log line, not a dataset. */
+  def droppedShingleReport(
+      sh: DataFrame, maxDf: Long = DefaultMaxShingleDf): DataFrame =
+    sh.select(explode(col("codes")).as("code"))
+      .groupBy(col("code"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+
   private[graft] def jaccardPairsUnsortedOn(
       sh: DataFrame, maxDf: Long = DefaultMaxShingleDf): DataFrame = {
     val posts = cappedPosts(sh, maxDf)

@@ -127,6 +127,53 @@ class SkewSpec extends SparkSpec {
     }
   }
 
+  test("df cap bounds the posting join under 1000x shingle skew and reports the recall loss") {
+    // the adversarial fixture for the dedup tier's one tuning knob: a
+    // boilerplate 3-gram present in 1000 docs contributes ~500k
+    // candidate pairs to ONE join key uncapped; the cap must (a) keep
+    // the join linear, (b) keep every genuine content near-dup, and
+    // (c) name what it dropped — recall loss reported, never silent
+    import spark.implicits._
+    import graft.operators.Dedup
+    val boiler = (1L to 1000L).map(i =>
+      (i, s"zz yy xx u${i}a u${i}b u${i}c u${i}d")) // hot 3-gram + unique tail
+    val genuine = Seq( // near-dup via CONTENT, no boilerplate
+      (2001L, "aa bb cc dd ee ff"), (2002L, "aa bb cc dd ee ff"))
+    val boilerOnly = Seq( // overlap rides ONLY on the hot shingle
+      (3001L, "zz yy xx"), (3002L, "zz yy xx"))
+    val sh = Dedup.shingledOn(
+      (boiler ++ genuine ++ boilerOnly).toDF("doc_id", "text"))
+
+    // quadratic blow-up the cap averts, computed from the df profile:
+    // candidate pairs = Σ df·(df−1)/2 over surviving codes
+    val dfs = sh.select(explode(col("codes")).as("code"))
+      .groupBy("code").agg(count(lit(1)).as("df"))
+    def candidates(f: org.apache.spark.sql.DataFrame) =
+      f.agg(sum(col("df") * (col("df") - 1) / 2)).first().getDouble(0).toLong
+    assert(candidates(dfs) > 490000L) // uncapped: the hot key alone ~501k
+    assert(candidates(dfs.filter(col("df") <= 100)) < 100L) // capped: linear
+
+    val uncapped = Dedup.jaccardPairsOn(sh)
+      .select("doc_i", "doc_j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.jaccardPairsOn(sh, maxDf = 100L)
+      .select("doc_i", "doc_j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // genuine content pair survives the cap; the pair-completeness
+    // delta is EXACTLY the boilerplate-only pair — the advertised
+    // lower-bound semantics, not an arbitrary recall hole
+    assert(uncapped == Set((2001L, 2002L), (3001L, 3002L)))
+    assert(capped == Set((2001L, 2002L)))
+    assert(uncapped -- capped == Set((3001L, 3002L)))
+
+    // and the loss is named: the report carries the one hot code at its
+    // true document frequency (1000 boiler + 2 boiler-only docs)
+    val report = Dedup.droppedShingleReport(sh, maxDf = 100L).collect()
+    assert(report.length == 1)
+    assert(report.head.getAs[Long]("df") == 1002L)
+    val hotCode = sh.filter(col("doc_id") === 3001L)
+      .select(explode(col("codes"))).first().getLong(0)
+    assert(report.head.getAs[Long]("code") == hotCode)
+  }
+
   test("salting spreads a single hot key over many reducer partitions") {
     // the mechanism itself: unsalted, one key = one partition (the
     // straggler); salted, the same key's rows land on many
