@@ -88,8 +88,12 @@ class OhlcvProcessor(widthMs: Long, emitRunning: Boolean)
     val local = scala.collection.mutable.HashMap.empty[Long, BarState]
     for (t <- sorted) {
       val ws = t.timestamp / widthMs * widthMs
-      val prev = local.getOrElse(ws,
-        if (bars.containsKey(ws)) bars.getValue(ws) else BarState.init(ws))
+      // getValue returns null on absence — one store read, where
+      // containsKey-then-getValue paid two per touched window
+      val prev = local.getOrElse(ws, {
+        val existing = bars.getValue(ws)
+        if (existing == null) BarState.init(ws) else existing
+      })
       val st = BarState.updated(prev, t.timestamp, t.instrument_id, t.price, t.qty)
       local(ws) = st
       if (emitRunning) out += toBar(product, st, endOfWindow = false)
