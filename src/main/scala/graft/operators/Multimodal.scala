@@ -9,10 +9,14 @@ import graft.Tables
   * metadata, with decode / feature-extract / frame-sample stages.
   *
   * The image decode is REAL (JDK ImageIO parsing BMP fixture bytes,
-  * dims read from the decoded bitmap) and so is the audio decode (JDK
+  * dims read from the decoded bitmap), so is the audio decode (JDK
   * javax.sound.sampled parsing RIFF/WAVE fixtures — header facts and
-  * PCM samples from the codec); video keeps a clearly-marked
-  * deterministic stub fallback (no video codec in this container).
+  * PCM samples from the codec), and so is the video path: a RIFF/AVI
+  * walk (ids, sizes, padding read from the container) demuxes
+  * MJPEG-in-AVI fixtures into per-frame chunks that the JDK JPEG codec
+  * decodes — dims/frame-count are decoded facts, mean luma a true
+  * lossy round trip. Undecodable bytes fall back to clearly-marked
+  * deterministic stubs (the seam a deployment fills with its codec).
   * Everything around the codec seam is the real engine surface a
   * 100 TB media pipeline needs:
   *
@@ -137,8 +141,171 @@ object Multimodal {
               val img = decodeImage(bmpFixture(m.payload))
               if (img == null) fixtureDims(m.payload) // undecodable → stub
               else (img.getWidth.toLong, img.getHeight.toLong)
-            } else fixtureDims(m.payload) // no audio/video codec here: stub
+            } else if (m.media_type == "video") {
+              // real path: demux the AVI, decode frame 0's JPEG
+              try {
+                val img = decodeImage(demuxAvi(aviFixture(m.payload)).head)
+                if (img == null) fixtureDims(m.payload)
+                else (img.getWidth.toLong, img.getHeight.toLong)
+              } catch {
+                case scala.util.control.NonFatal(_) => fixtureDims(m.payload)
+              }
+            } else fixtureDims(m.payload) // audio dims are not a concept: stub
           DecodedMedia(m.doc_id, m.media_type, m.meta.n_bytes, w, h)
+        }
+      }
+    }
+  }
+
+  // ---------------------------------------------------------------- video
+
+  /** Frames per video fixture — oracle-replayable arithmetic, like
+    * [[fixtureDims]]: the fixture is ENCODED with this count and the
+    * demuxer reads it back from the real container. */
+  private[graft] def videoFrameCount(nBytes: Long): Int = (1 + nBytes % 4).toInt
+
+  /** One decoded video frame: dims from the decoded JPEG, mean luma
+    * from its pixels (a real lossy-codec round trip — spec-checked to
+    * ±2 of the encoded constant, excluded from the DuckDB oracle). */
+  final case class VideoFrame(doc_id: Long, frame_no: Long,
+      width: Long, height: Long, mean_luma: Long)
+
+  private def le32(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+  private def le16(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  private def cc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+  private def aviChunk(id: String, data: Array[Byte]): Array[Byte] = {
+    val pad = if (data.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+    cc(id) ++ le32(data.length) ++ data ++ pad
+  }
+  private def aviList(listType: String, children: Array[Byte]): Array[Byte] =
+    cc("LIST") ++ le32(4 + children.length) ++ cc(listType) ++ children
+
+  /** Deterministic MJPEG-in-AVI fixture for a video row: a REAL RIFF/AVI
+    * container (avih + strl headers, MJPG stream, movi list) whose
+    * '00dc' chunks each hold a REAL JDK-encoded JPEG — frame f is a
+    * constant-gray [[fixtureDims]] image at luma payload[f] (cycled).
+    * As with [[bmpFixture]]/[[wavFixture]], the corpus has no binary
+    * media so video rows synthesize a stand-in — but the bytes ARE a
+    * demuxable AVI of decodable JPEGs, which is what lets the video
+    * stage run a real container walk + image codec instead of a stub. */
+  private[graft] def aviFixture(payload: Array[Byte]): Array[Byte] = {
+    val (w, h) = fixtureDims(payload)
+    val n = videoFrameCount(payload.length.toLong)
+    val jpegs = (0 until n).map { f =>
+      val v = if (payload.length == 0) 0 else payload(f % payload.length) & 0xff
+      val img = new java.awt.image.BufferedImage(
+        w.toInt, h.toInt, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h.toInt) {
+        var x = 0
+        while (x < w.toInt) { raster.setSample(x, y, 0, v); x += 1 }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", out)
+      out.toByteArray
+    }
+    val maxJpeg = jpegs.map(_.length).max
+    val strh = aviChunk("strh",
+      cc("vids") ++ cc("MJPG") ++ le32(0) ++ le16(0) ++ le16(0) ++
+        le32(0) ++ le32(1) ++ le32(10) ++ le32(0) ++ le32(n) ++
+        le32(maxJpeg) ++ le32(-1) ++ le32(0) ++
+        le16(0) ++ le16(0) ++ le16(w.toInt) ++ le16(h.toInt))
+    val strf = aviChunk("strf", // BITMAPINFOHEADER, biCompression='MJPG'
+      le32(40) ++ le32(w.toInt) ++ le32(h.toInt) ++ le16(1) ++ le16(24) ++
+        cc("MJPG") ++ le32(w.toInt * h.toInt * 3) ++
+        le32(0) ++ le32(0) ++ le32(0) ++ le32(0))
+    val avih = aviChunk("avih",
+      le32(100000) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(n) ++
+        le32(0) ++ le32(1) ++ le32(maxJpeg) ++ le32(w.toInt) ++ le32(h.toInt) ++
+        le32(0) ++ le32(0) ++ le32(0) ++ le32(0))
+    val hdrl = aviList("hdrl", avih ++ aviList("strl", strh ++ strf))
+    val movi = aviList("movi",
+      jpegs.map(j => aviChunk("00dc", j)).foldLeft(Array.empty[Byte])(_ ++ _))
+    val body = cc("AVI ") ++ hdrl ++ movi
+    cc("RIFF") ++ le32(body.length) ++ body
+  }
+
+  private def rdLe32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+  private def rdCc(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, "US-ASCII")
+
+  /** REAL container demux: walk the RIFF chunk structure (ids + sizes
+    * read from the file, even-byte padding honored), find the 'movi'
+    * list, and return each video chunk's ('00dc'/'00db') payload —
+    * the per-frame JPEG byte ranges a ranged-read pipeline would fetch.
+    * Throws on non-AVI bytes (caller maps to the stub fallback). */
+  private[graft] def demuxAvi(avi: Array[Byte]): Seq[Array[Byte]] = {
+    require(avi.length >= 12 && rdCc(avi, 0) == "RIFF" && rdCc(avi, 8) == "AVI ",
+      "not a RIFF/AVI file")
+    val frames = Seq.newBuilder[Array[Byte]]
+    def walk(from: Int, to: Int, inMovi: Boolean): Unit = {
+      var off = from
+      while (off + 8 <= to) {
+        val id = rdCc(avi, off)
+        val sz = rdLe32(avi, off + 4)
+        if (id == "LIST") {
+          val listType = rdCc(avi, off + 8)
+          walk(off + 12, off + 8 + sz, inMovi || listType == "movi")
+        } else if (inMovi && (id.endsWith("dc") || id.endsWith("db"))) {
+          frames += java.util.Arrays.copyOfRange(avi, off + 8, off + 8 + sz)
+        }
+        off += 8 + sz + (sz % 2) // chunks are even-aligned
+      }
+    }
+    walk(12, avi.length, inMovi = false)
+    frames.result()
+  }
+
+  /** REAL video decode: demux the AVI container, decode every MJPEG
+    * frame with the JDK image codec, report decoded dims and the mean
+    * decoded luma (Σ pixels / count, integer division). Dims and frame
+    * count are decoded facts that happen to equal the fixture plan
+    * (which is what the oracle replays); mean luma is a true lossy
+    * round trip, so it is spec-asserted (±2 of the encoded constant)
+    * rather than oracle-hashed. Undecodable bytes fall back to the
+    * planned arithmetic — the honest stub seam, as with image/audio.
+    *
+    * Scale: narrow batched mapPartitions, no shuffle; at 100 TB the
+    * demux walk is header-sized reads and each frame decode is an
+    * independent CPU task inside the partition. */
+  def videoFrames(media: Dataset[MediaRecord]): Dataset[VideoFrame] = {
+    import media.sparkSession.implicits._
+    media.filter(_.media_type == "video").mapPartitions { it =>
+      inBatches(it) { batch =>
+        batch.iterator.flatMap { m =>
+          try {
+            demuxAvi(aviFixture(m.payload)).iterator.zipWithIndex.map {
+              case (jpeg, f) =>
+                val img = decodeImage(jpeg)
+                val raster = img.getRaster
+                val (w, h) = (img.getWidth, img.getHeight)
+                var sum = 0L
+                var y = 0
+                while (y < h) {
+                  var x = 0
+                  while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
+                  y += 1
+                }
+                VideoFrame(m.doc_id, f.toLong, w.toLong, h.toLong,
+                  sum / (w.toLong * h))
+            }
+          } catch {
+            case scala.util.control.NonFatal(_) => // stub seam: planned values
+              val (w, h) = fixtureDims(m.payload)
+              (0 until videoFrameCount(m.payload.length.toLong)).iterator.map {
+                f =>
+                  val v = if (m.payload.length == 0) 0L
+                    else (m.payload(f % m.payload.length) & 0xff).toLong
+                  VideoFrame(m.doc_id, f.toLong, w, h, v)
+              }
+          }
         }
       }
     }
@@ -409,6 +576,14 @@ object Multimodal {
   def resizeMeta(spark: SparkSession, dir: String): DataFrame =
     resize(mediaTable(spark, dir)).toDF()
 
+  /** Per-frame video decode over the media table's video rows — the
+    * oracle hashes the decoded facts whose plan it can replay (frame
+    * count, dims); mean_luma is the lossy-codec round trip, asserted in
+    * MultimodalSpec instead. */
+  def videoFrameMeta(spark: SparkSession, dir: String): DataFrame =
+    videoFrames(mediaTable(spark, dir)).toDF()
+      .select("doc_id", "frame_no", "width", "height")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_audio_energy" -> ((s, d) => audioEnergyMeta(s, d)),
     "mm_audio_vad" -> ((s, d) => audioVad(s, d)),
@@ -416,6 +591,7 @@ object Multimodal {
     "mm_resize" -> ((s, d) => resizeMeta(s, d)),
     "mm_decode_meta" -> ((s, d) => decodeMeta(s, d)),
     "mm_feature_histogram" -> ((s, d) => featureHistogram(s, d)),
+    "mm_video_frames" -> ((s, d) => videoFrameMeta(s, d)),
     "mm_frame_sample" -> ((s, d) => frameSample(s, d)))
 
   /** Oracle validity domain: these SQL replicas compare per-CHARACTER
@@ -517,6 +693,17 @@ object Multimodal {
         |  length(regexp_replace(text, '[^ ]', '', 'g'))::BIGINT AS n_space,
         |  (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))::BIGINT AS n_other
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // replays the fixture PLAN (frame count and dims the AVI was encoded
+    // with); the engine's values are decoded facts from the real demux +
+    // JPEG codec, which must agree with the plan exactly
+    "mm_video_frames" ->
+      """SELECT doc_id, u.f::BIGINT AS frame_no,
+        |  16 + ascii(substr(text, 1, 1)) % 64 AS width,
+        |  16 + ascii(substr(text, 2, 1)) % 64 AS height
+        |FROM documents,
+        |  UNNEST(range(0, 1 + octet_length(encode(text)) % 4)) AS u(f)
+        |WHERE doc_id % 3 = 2
+        |ORDER BY doc_id, frame_no""".stripMargin,
     "mm_frame_sample" ->
       s"""SELECT doc_id, frame_no, frame_no * $FrameBytes AS byte_offset,
          |  least($FrameBytes, n_bytes - frame_no * $FrameBytes)::BIGINT AS frame_len
