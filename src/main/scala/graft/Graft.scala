@@ -59,6 +59,20 @@ object Graft {
     StreamingOhlcvV2.statefulBars(
       StreamingOhlcv.withEventTime(trades, slack), widthMs, emitRunning)
 
+  /** Flink-style allowed-lateness bars (W5): fire at the true watermark
+    * (maxEventTime − slackMs), retain each fired window for latenessMs,
+    * re-emit a corrected bar per allowed late event, drop beyond. The
+    * watermark delay must absorb the full grace a late event can need
+    * (slack + width + lateness — see statefulBarsWithLateness); this
+    * facade computes that delay so callers cannot get the arithmetic
+    * wrong. Update-mode output: re-fires REPLACE the previous bar. */
+  def streamingBarsWithLateness(trades: Dataset[Trade], slackMs: Long,
+      widthMs: Long, latenessMs: Long): Dataset[graft.model.RunningBar] =
+    StreamingOhlcv.statefulBarsWithLateness(
+      StreamingOhlcv.withEventTime(trades,
+        s"${slackMs + widthMs + latenessMs} milliseconds"),
+      widthMs, latenessMs)
+
   /** Declarative windowed bars — works on batch AND streaming frames. */
   def windowedBars(tradesWithTs: DataFrame, width: String): DataFrame =
     StreamingOhlcv.windowedBars(tradesWithTs, width)

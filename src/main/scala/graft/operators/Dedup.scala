@@ -152,7 +152,7 @@ object Dedup {
   }
 
   def jaccardPairs(spark: SparkSession, dir: String): DataFrame =
-    jaccardPairsOn(shingled(spark, dir))
+    jaccardPairsUnsorted(spark, dir) // memoized; same frame as jaccardPairsOn
 
   // ------------------------------------- exact prefix-filtered sim join
 
@@ -209,8 +209,27 @@ object Dedup {
         expr("inter * 1000000L div un").as("jac_ppm"))
   }
 
+  /** Session-scoped memo of the exact jaccard near-dup pair frame
+    * (doc_i, doc_j, jaccard) — the inverted-index join is the shared
+    * upstream of the pair query, the leakage audit, the LSH tuning
+    * recall baseline, AND the CC cluster chain (which memoizes its own
+    * downstream in [[clusterMap]]). Computed once per (session, dir);
+    * the localCheckpoint pins the materialized pair rows (a
+    * post-threshold frame, orders smaller than the corpus), so every
+    * consumer reads identical bits and result hashes are unchanged. */
+  private val pairsMemo =
+    new java.util.WeakHashMap[SparkSession, (String, DataFrame)]()
+
   private[graft] def jaccardPairsUnsorted(spark: SparkSession, dir: String): DataFrame =
-    jaccardPairsUnsortedOn(shingled(spark, dir))
+    pairsMemo.synchronized {
+      Option(pairsMemo.get(spark)) match {
+        case Some((d, df)) if d == dir => df
+        case _ =>
+          val df = jaccardPairsUnsortedOn(shingled(spark, dir)).localCheckpoint()
+          pairsMemo.put(spark, (dir, df))
+          df
+      }
+    }
 
   // ---------------------------------------------------------- MinHash+LSH
 
@@ -923,7 +942,7 @@ object Dedup {
   def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
     val splits = Curation.assignSplits(spark, dir)
       .select(col("doc_id"), col("split"))
-    jaccardPairsUnsortedOn(shingled(spark, dir))
+    jaccardPairsUnsorted(spark, dir)
       .join(splits.select(col("doc_id").as("doc_i"), col("split").as("split_i")), "doc_i")
       .join(splits.select(col("doc_id").as("doc_j"), col("split").as("split_j")), "doc_j")
       .filter(col("split_i") =!= col("split_j"))

@@ -95,6 +95,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("Graft.streamingBarsWithLateness absorbs the grace delay for the caller") {
+    // the facade owns the slack+width+lateness arithmetic: a mid-window
+    // late event (the case a wrong delay silently drops) must re-fire
+    val input = MemoryStream[Trade]
+    val q = graft.Graft.streamingBarsWithLateness(input.toDS(),
+        slackMs = 0L, widthMs = 60000L, latenessMs = 10000L)
+      .writeStream.format("memory").queryName("w5f").outputMode("update").start()
+    try {
+      input.addData(trade(0, "P1", 10.0, 1), trade(30000, "P1", 20.0, 2))
+      q.processAllAvailable()
+      input.addData(trade(65000, "P1", 99.0, 5)) // true watermark 65 s: fire
+      q.processAllAvailable()
+      input.addData(trade(40000, "P1", 3.0, 20)) // mid-window late: re-fire
+      q.processAllAvailable()
+      val m0 = spark.table("w5f")
+        .filter(col("time") === new java.sql.Timestamp(T0))
+        .collect().sortBy(_.getAs[Long]("volume"))
+      assert(m0.map(_.getAs[Long]("volume")).toSeq == Seq(3L, 23L))
+      assert(m0(1).getAs[Double]("low") == 3.0)
+    } finally q.stop()
+  }
+
   test("windowedBars matches batch OHLCV semantics on a bounded stream") {
     val input = MemoryStream[Trade]
     input.addData(
