@@ -612,9 +612,16 @@ object Dedup {
     val removed = occ.join(dup, "code")
       .filter(col("doc_id") * SpanPosShift + col("pos") =!= col("keeper"))
       .select(col("doc_id"), col("pos"))
-    // merge overlapping/adjacent [pos, pos+w) intervals per doc:
-    // gaps-and-islands on the span starts (equal widths ⇒ the running
-    // max of interval ends is just the previous start + w)
+    mergeSpanIntervals(removed, w)
+  }
+
+  /** Merge overlapping/adjacent [pos, pos+w) spans per doc into removal
+    * intervals: gaps-and-islands on the span starts (equal widths ⇒ the
+    * running max of interval ends is just the previous start + w). The
+    * window partitions on doc_id — bounded by doc length, distributed
+    * across the cluster. Input: (doc_id, pos) span starts. */
+  private def mergeSpanIntervals(removed: DataFrame, w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     removed
       .withColumn("prev", lag(col("pos"), 1).over(byDoc))
@@ -626,6 +633,53 @@ object Dedup {
       .agg(min(col("pos")).as("span_start"), (max(col("pos")) + w).as("span_end"))
       .select(col("doc_id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start")).as("span_tokens"))
+  }
+
+  /** Incremental duplicate-span removal: the incoming BATCH's spans
+    * (every [[IncrementalBatchMod]]th doc plays the batch, as in
+    * [[incrementalDedup]]) probe the STANDING corpus's distinct
+    * span-code index — every batch span already present in the corpus
+    * is a duplicate whose corpus copy is canonical, so the batch
+    * occurrence is removed. One row per batch doc: duplicate span
+    * starts, merged removal-interval token total, and the milli
+    * fraction — the span-level ingest gate next to incrementalDedup's
+    * whole-doc verdict.
+    *
+    * The at-scale asymmetry, same as the whole-doc drill: the corpus
+    * code index is computed once per generation and persists (bucketed
+    * by code); each ingest shuffles only the batch's span postings into
+    * the semi-join probe plus a per-batch-doc window. The corpus is
+    * probe-target only — nothing re-pairs corpus × corpus, and within-
+    * batch duplication is left to the full [[spanRemoval]] pass at the
+    * next generation boundary. */
+  def incrementalSpanRemoval(spark: SparkSession, dir: String): DataFrame =
+    incrementalSpanRemovalOn(Tables.documents(spark, dir))
+
+  /** Core over any (doc_id, text) frame — seam for spec corpora. */
+  private[graft] def incrementalSpanRemovalOn(docs: DataFrame): DataFrame = {
+    val isBatch = pmod(col("doc_id"), lit(IncrementalBatchMod)) === 0
+    val occ = docs
+      .select(col("doc_id"), posexplode(spanCodes(col("text"), SpanW)))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("code"))
+    val corpusCodes = occ.filter(!isBatch).select(col("code")).distinct()
+    val hits = occ.filter(isBatch)
+      .join(corpusCodes, Seq("code"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    val perDoc = hits.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nd"))
+      .join(mergeSpanIntervals(hits, SpanW)
+        .groupBy(col("doc_id")).agg(sum(col("span_tokens")).as("rt")),
+        Seq("doc_id"))
+    docs.filter(isBatch)
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id").as("batch_id"), col("n_tokens"),
+        coalesce(col("nd"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("rt"), lit(0L)).as("removed_tokens"),
+        when(col("n_tokens") > 0,
+          expr("coalesce(rt, 0L) * 1000 div n_tokens")).otherwise(lit(0L))
+          .as("removed_milli"))
   }
 
   /** The ACT step on [[spanRemoval]]'s intervals: rewrite every document
@@ -1024,6 +1078,7 @@ object Dedup {
     "dedup_span_removal" -> ((s, d) => spanRemoval(s, d)),
     "dedup_span_scrub" -> ((s, d) => spanScrub(s, d)),
     "dedup_span_savings" -> ((s, d) => spanSavings(s, d)),
+    "dedup_span_incremental" -> ((s, d) => incrementalSpanRemoval(s, d)),
     "dedup_containment" -> ((s, d) => containmentPairs(s, d)),
     "dedup_keep_best" -> ((s, d) => keepBestPerCluster(s, d)))
 
@@ -1075,12 +1130,9 @@ object Dedup {
        |  UNION
        |  SELECT r.src, e.doc_j FROM reach r JOIN edges e ON r.dst = e.doc_i)""".stripMargin
 
-  /** Shared oracle CTE chain for the span-dedup family: positional
-    * SpanW-token span hashes (same polynomial as the engine's
-    * SpanHashes), cross-doc duplicate codes with their packed-min
-    * keeper, and the merged removal intervals via gaps-and-islands —
-    * the engine pipeline replayed in window-function SQL. */
-  private val spanIvCte =
+  /** Shared oracle CTE: positional SpanW-token span hashes per doc
+    * (same polynomial as the engine's SpanHashes expression). */
+  private val spanSpCte =
     s"""toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
        |sp AS (SELECT doc_id, j::BIGINT - 1 AS pos,
        |    list_reduce(list_prepend(0::BIGINT,
@@ -1089,12 +1141,12 @@ object Dedup {
        |          c -> ascii(c)::BIGINT)),
        |      (a, c) -> (a * 31 + c) % 2147483647) AS code
        |  FROM toks, UNNEST(range(1, len(t) - $SpanW + 2)) AS u(j)
-       |  WHERE len(t) >= $SpanW),
-       |dup AS (SELECT code, min(doc_id * $SpanPosShift + pos) AS keeper
-       |  FROM sp GROUP BY code HAVING min(doc_id) <> max(doc_id)),
-       |rm AS (SELECT sp.doc_id, sp.pos FROM sp JOIN dup USING (code)
-       |  WHERE sp.doc_id * $SpanPosShift + sp.pos <> dup.keeper),
-       |lagd AS (SELECT doc_id, pos,
+       |  WHERE len(t) >= $SpanW)""".stripMargin
+
+  /** Gaps-and-islands merge of a (doc_id, pos) span-start CTE named
+    * `rm` into intervals `iv` — mergeSpanIntervals replayed in SQL. */
+  private val spanMergeCte =
+    s"""lagd AS (SELECT doc_id, pos,
        |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM rm),
        |isl AS (SELECT doc_id, pos,
        |    sum(CASE WHEN prev IS NULL OR pos - prev > $SpanW THEN 1 ELSE 0 END)
@@ -1102,6 +1154,16 @@ object Dedup {
        |  FROM lagd),
        |iv AS (SELECT doc_id, min(pos) AS span_start, max(pos) + $SpanW AS span_end
        |  FROM isl GROUP BY doc_id, island)""".stripMargin
+
+  /** Full span-dedup oracle chain: spans → cross-doc duplicate codes
+    * with their packed-min keeper → merged removal intervals. */
+  private val spanIvCte =
+    s"""$spanSpCte,
+       |dup AS (SELECT code, min(doc_id * $SpanPosShift + pos) AS keeper
+       |  FROM sp GROUP BY code HAVING min(doc_id) <> max(doc_id)),
+       |rm AS (SELECT sp.doc_id, sp.pos FROM sp JOIN dup USING (code)
+       |  WHERE sp.doc_id * $SpanPosShift + sp.pos <> dup.keeper),
+       |$spanMergeCte""".stripMargin
 
   private val clustersOracle =
     s"""WITH RECURSIVE $ccCte
@@ -1264,6 +1326,28 @@ object Dedup {
          |        ELSE 0 END)::BIGINT AS removed_milli
          |FROM nt LEFT JOIN perdoc p USING (doc_id)
          |ORDER BY nt.doc_id""".stripMargin,
+    // batch spans semi-joined against the standing corpus's distinct
+    // codes; same islands merge, per-batch-doc accounting
+    "dedup_span_incremental" ->
+      s"""WITH $spanSpCte,
+         |corp AS (SELECT DISTINCT code FROM sp
+         |  WHERE doc_id % $IncrementalBatchMod <> 0),
+         |rm AS (SELECT sp.doc_id, sp.pos FROM sp JOIN corp USING (code)
+         |  WHERE sp.doc_id % $IncrementalBatchMod = 0),
+         |$spanMergeCte,
+         |per AS (SELECT doc_id, count(*)::BIGINT AS nd FROM rm GROUP BY 1),
+         |rt AS (SELECT doc_id, sum(span_end - span_start)::BIGINT AS rt
+         |  FROM iv GROUP BY 1),
+         |base AS (SELECT doc_id, len(t)::BIGINT AS n_tokens FROM toks
+         |  WHERE doc_id % $IncrementalBatchMod = 0)
+         |SELECT b.doc_id AS batch_id, b.n_tokens,
+         |  coalesce(per.nd, 0)::BIGINT AS n_dup_spans,
+         |  coalesce(rt.rt, 0)::BIGINT AS removed_tokens,
+         |  (CASE WHEN b.n_tokens > 0
+         |        THEN coalesce(rt.rt, 0) * 1000 // b.n_tokens
+         |        ELSE 0 END)::BIGINT AS removed_milli
+         |FROM base b LEFT JOIN per USING (doc_id) LEFT JOIN rt USING (doc_id)
+         |ORDER BY batch_id""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS digest, min(doc_id) AS canonical_id,
         |  count(*)::BIGINT AS n_copies

@@ -171,6 +171,28 @@ class TrainingDataSpec extends SparkSpec {
     assert(Dedup.spanRemovalOn(scrubbed, w = 3).isEmpty)
   }
 
+  test("incremental span removal: batch spans present in the corpus are removed, fresh content kept") {
+    // ids ≡ 0 (mod 4) play the incoming batch; the rest are the corpus
+    val t20 = (1 to 20).map(i => s"c$i").mkString(" ")  // 20 corpus tokens
+    val fresh = (1 to 20).map(i => s"f$i").mkString(" ")
+    val corpus = Seq(
+      (1L, t20),           // standing corpus doc
+      (4L, t20),           // batch doc: full duplicate of corpus content
+      (8L, fresh),         // batch doc: fresh content — nothing removed
+      (12L, s"$fresh $t20") // batch doc: half fresh, half duplicated
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalSpanRemovalOn(corpus)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // doc 4: all 6 15-token span starts hit the corpus → whole doc out
+    assert(got(4L) == ((20L, 6L, 20L, 1000L)))
+    // doc 8: zero hits against the standing index
+    assert(got(8L) == ((20L, 0L, 0L, 0L)))
+    // doc 12: spans fully inside the t20 suffix hit (starts 20..25 →
+    // merged interval [20, 40) = 20 tokens of 40 = 500 milli)
+    assert(got(12L) == ((40L, 6L, 20L, 500L)))
+  }
+
   test("span scrub leaves zero cross-doc duplicate spans on real data") {
     val scrubbed = Dedup.spanScrubbedOn(
       Tables.documents(spark, sf0001).select(col("doc_id"), col("text")))
