@@ -743,8 +743,30 @@ object Dedup {
     * a map-side-combining argmax, never a per-cluster window. Quality
     * doubles are bit-identical across engines (text_quality's verified
     * arithmetic), so even the argmax ordering replays exactly. */
-  def keepBestPerCluster(spark: SparkSession, dir: String): DataFrame = {
-    val clusters = clusterMap(spark, dir)
+  def keepBestPerCluster(spark: SparkSession, dir: String): DataFrame =
+    keepBestOn(spark, dir, clusterMap(spark, dir))
+
+  /** SemDeDup-style semantic canonical selection: the same quality-aware
+    * keep-best decision applied to the EMBEDDING near-dup clusters —
+    * prunes semantically-redundant docs (paraphrases, re-renderings)
+    * that lexical shingles cannot see (Abbas et al., "SemDeDup", 2023 —
+    * theirs keeps an arbitrary cluster member; the quality argmax is
+    * the curation-grade upgrade). doc_id = vec_id by the testdata
+    * contract (Pipeline's embedding enrichment relies on the same
+    * identity). */
+  def keepBestPerEmbeddingCluster(spark: SparkSession, dir: String): DataFrame =
+    keepBestOn(spark, dir, embeddingClusters(spark, dir)
+      .select(col("vec_id").as("doc_id"), col("canonical_id")))
+
+  /** The shared keep-best selection over any (doc_id, canonical_id)
+    * cluster map: quality is a scan projection over cluster MEMBERS
+    * only (a semi-join-sized fraction of the corpus); selection is one
+    * canonical-keyed aggregate using max(struct(quality, -doc_id)) — a
+    * map-side-combining argmax, never a per-cluster window. Quality
+    * doubles are bit-identical across engines (text_quality's verified
+    * arithmetic), so even the argmax ordering replays exactly. */
+  private def keepBestOn(spark: SparkSession, dir: String,
+      clusters: DataFrame): DataFrame = {
     val quality = Tables.documents(spark, dir)
       .select(col("doc_id") +: TextAnalysis.qualityFeatures(col("text")): _*)
       .withColumn("quality", TextAnalysis.qualityExpr)
@@ -1080,7 +1102,8 @@ object Dedup {
     "dedup_span_savings" -> ((s, d) => spanSavings(s, d)),
     "dedup_span_incremental" -> ((s, d) => incrementalSpanRemoval(s, d)),
     "dedup_containment" -> ((s, d) => containmentPairs(s, d)),
-    "dedup_keep_best" -> ((s, d) => keepBestPerCluster(s, d)))
+    "dedup_keep_best" -> ((s, d) => keepBestPerCluster(s, d)),
+    "dedup_embedding_keep_best" -> ((s, d) => keepBestPerEmbeddingCluster(s, d)))
 
   // ------------------------------------------------------------- oracles
 
@@ -1502,7 +1525,31 @@ object Dedup {
          |  UNION
          |  SELECT r.src, e.vec_j FROM reach r JOIN edges e ON r.dst = e.vec_i)
          |SELECT src AS vec_id, min(dst) AS canonical_id
-         |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin)
+         |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the embedding-cluster transitive closure composed with the same
+    // quality window keep_best replays on the lexical clusters
+    "dedup_embedding_keep_best" ->
+      s"""WITH RECURSIVE $embPairsCte,
+         |cpairs AS (SELECT vec_i, vec_j FROM pairs WHERE cosine >= $CosineThreshold),
+         |edges AS (SELECT vec_i, vec_j FROM cpairs
+         |  UNION ALL SELECT vec_j, vec_i FROM cpairs),
+         |reach(src, dst) AS (
+         |  SELECT vec_i, vec_i FROM (SELECT DISTINCT vec_i FROM edges)
+         |  UNION
+         |  SELECT r.src, e.vec_j FROM reach r JOIN edges e ON r.dst = e.vec_i),
+         |cl AS (SELECT src AS doc_id, min(dst) AS canonical_id
+         |  FROM reach GROUP BY 1),
+         |tq AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+         |q AS (SELECT doc_id, ${TextAnalysis.qualitySql} AS quality FROM tq),
+         |j AS (SELECT cl.canonical_id, cl.doc_id, q.quality
+         |  FROM cl JOIN q USING (doc_id))
+         |SELECT canonical_id, cluster_size, doc_id AS kept_doc_id,
+         |  quality AS kept_quality
+         |FROM (SELECT canonical_id, doc_id, quality,
+         |    row_number() OVER (PARTITION BY canonical_id
+         |      ORDER BY quality DESC, doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY canonical_id) AS cluster_size
+         |  FROM j) WHERE rn = 1 ORDER BY canonical_id""".stripMargin)
 
   /** Index-order dot-product fold between two list columns — the exact
     * arithmetic of the native CosineSimilarity numerator. */
