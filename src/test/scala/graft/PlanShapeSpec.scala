@@ -223,4 +223,29 @@ class PlanShapeSpec extends SparkSpec {
       s"qa_mad_outliers must broadcast its bounded stats frames:\n$pm")
     assert(!pm.contains("CartesianProduct"), s"qa_mad_outliers cartesian:\n$pm")
   }
+
+  test("round-7 span/video ops keep their shapes: per-doc windows only, no cartesian") {
+    // span family: the interval merge is the ONLY window and it must
+    // partition on doc_id — an empty partition spec would funnel every
+    // removal interval in the corpus through one task
+    Seq("dedup_span_removal", "dedup_span_scrub", "dedup_span_savings",
+        "dedup_span_incremental").foreach { q =>
+      val p = physical(SparkEntry.queries(q)(spark, sf0001))
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoop"), s"$q plans a nested loop:\n$p")
+      if (p.contains("Window ["))
+        assert(p.contains("windowspecdefinition(doc_id"),
+          s"$q window must partition by doc_id:\n$p")
+    }
+    // per-frame video decode is a pure scan + per-partition flatMap —
+    // any Exchange means the media table started shuffling to decode
+    val pv = physical(SparkEntry.queries("mm_video_frames")(spark, sf0001))
+    assert(!pv.contains("Exchange"), s"video decode must not shuffle:\n$pv")
+    // semantic keep-best: selection stays a map-side argmax aggregate
+    // (the CC subplan may sort-merge its own edges; no per-cluster
+    // window may appear anywhere)
+    val pk = physical(SparkEntry.queries("dedup_embedding_keep_best")(spark, sf0001))
+    assert(!pk.contains("Window"), s"keep-best must stay window-free:\n$pk")
+    assert(!pk.contains("CartesianProduct"), s"keep-best cartesian:\n$pk")
+  }
 }
