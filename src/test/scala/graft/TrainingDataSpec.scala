@@ -193,6 +193,48 @@ class TrainingDataSpec extends SparkSpec {
     assert(got(12L) == ((40L, 6L, 20L, 500L)))
   }
 
+  test("property: span removal matches a naive reference on high-duplication random corpora") {
+    // tiny alphabet → dense cross-doc span duplication, the regime where
+    // keeper selection and interval merging actually get exercised
+    val rnd = new scala.util.Random(11)
+    val alphabet = Vector("aa", "bb", "cc", "dd", "ee")
+    val w = 3
+    for (trial <- 1 to 8) {
+      val docs = (0L until 10L).map { id =>
+        val n = 5 + rnd.nextInt(25)
+        id -> (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.size))).mkString(" ")
+      }
+      // naive reference over span STRINGS (collision-free by construction
+      // at this size): dup = in ≥2 docs; keeper = global min (doc, pos)
+      val occs = docs.flatMap { case (id, text) =>
+        val t = text.split(" ").filter(_.nonEmpty)
+        (0 to t.length - w).map(j => (t.slice(j, j + w).mkString(" "), id, j.toLong))
+      }
+      val keep = occs.groupBy(_._1)
+        .filter { case (_, os) => os.map(_._2).distinct.size >= 2 }
+        .map { case (s, os) => s -> os.map(o => (o._2, o._3)).min }
+      val removedPos = occs
+        .filter(o => keep.get(o._1).exists(_ != ((o._2, o._3))))
+        .map(o => (o._2, o._3))
+      val expected = removedPos.groupBy(_._1).toSeq.flatMap { case (id, ps) =>
+        // merge [p, p+w) intervals over sorted starts
+        val sorted = ps.map(_._2).sorted
+        val ivs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        for (p <- sorted) {
+          if (ivs.nonEmpty && p <= ivs.last._2) // adjacent/overlap: p ≤ prev end
+            ivs(ivs.length - 1) = (ivs.last._1, p + w)
+          else ivs += ((p, p + w))
+        }
+        ivs.map { case (s, e) => (id, s, e, e - s) }
+      }.toSet
+      val got = Dedup.spanRemovalOn(docs.toDF("doc_id", "text"), w = w)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == expected,
+        s"trial $trial: engine ${got.size} intervals vs reference ${expected.size}\n" +
+          s"only-engine: ${(got -- expected).take(5)}\nonly-ref: ${(expected -- got).take(5)}")
+    }
+  }
+
   test("span scrub leaves zero cross-doc duplicate spans on real data") {
     val scrubbed = Dedup.spanScrubbedOn(
       Tables.documents(spark, sf0001).select(col("doc_id"), col("text")))
