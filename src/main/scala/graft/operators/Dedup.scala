@@ -1180,7 +1180,7 @@ object Dedup {
 
   /** Full span-dedup oracle chain: spans → cross-doc duplicate codes
     * with their packed-min keeper → merged removal intervals. */
-  private val spanIvCte =
+  private[operators] val spanIvCte =
     s"""$spanSpCte,
        |dup AS (SELECT code, min(doc_id * $SpanPosShift + pos) AS keeper
        |  FROM sp GROUP BY code HAVING min(doc_id) <> max(doc_id)),

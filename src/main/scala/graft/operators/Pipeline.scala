@@ -81,8 +81,39 @@ object Pipeline {
     (sampled.select(col("doc_id"), col("source"), col("n_tokens")), inObs, keptObs)
   }
 
+  /** A doc surviving span-scrub must keep at least this many tokens. */
+  val SpanCleanMinTokens = 10L
+
+  /** The SPAN-level cleaning composition — the end-to-end shape of the
+    * suffix-array dedup pipelines (Lee et al. 2022): duplicate-span
+    * removal accounting → minimum-surviving-length gate → per-source
+    * report (docs in/kept, tokens in/kept, scrub fraction). Composes
+    * Dedup.spanSavings (kept tokens = n − removed; no text rebuild
+    * needed for accounting) with the doc gate, so the whole report is
+    * the span pipeline plus ONE corpus-scan join and a |sources|-row
+    * aggregate. */
+  def spanCleanCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val sav = Dedup.spanSavings(spark, dir)
+      .select(col("doc_id"), col("n_tokens"), col("removed_tokens"))
+    Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+      .join(sav, "doc_id")
+      .withColumn("kept", col("n_tokens") - col("removed_tokens"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("tokens_in"),
+        sum(col("kept")).as("tokens_kept"),
+        sum(when(col("kept") >= SpanCleanMinTokens, 1L).otherwise(0L))
+          .as("n_docs_kept"))
+      .withColumn("scrub_milli",
+        when(col("tokens_in") > 0,
+          expr("(tokens_in - tokens_kept) * 1000 div tokens_in"))
+          .otherwise(lit(0L)))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "pipeline_clean_corpus" -> ((s, d) => cleanCorpus(s, d)))
+    "pipeline_clean_corpus" -> ((s, d) => cleanCorpus(s, d)),
+    "pipeline_span_clean" -> ((s, d) => spanCleanCorpus(s, d)))
 
   val oracle: Map[String, String] = Map(
     "pipeline_clean_corpus" ->
@@ -105,5 +136,26 @@ object Pipeline {
          |  count(DISTINCT e.label)::BIGINT AS n_labels,
          |  sum(s.n_tokens)::BIGINT AS total_tokens
          |FROM sampled s LEFT JOIN embeddings e ON e.vec_id = s.doc_id
-         |GROUP BY 1 ORDER BY 1""".stripMargin)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the span-dedup interval chain (Dedup.spanIvCte) rolled up to the
+    // per-source report: kept = n_tokens − removed, gate at MinTokens
+    "pipeline_span_clean" ->
+      s"""WITH ${Dedup.spanIvCte},
+         |perdoc AS (SELECT doc_id, sum(span_end - span_start)::BIGINT AS rt
+         |  FROM iv GROUP BY 1),
+         |nt AS (SELECT doc_id, source,
+         |    len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS n_tokens
+         |  FROM documents),
+         |k AS (SELECT nt.doc_id, nt.source, nt.n_tokens,
+         |    nt.n_tokens - coalesce(p.rt, 0) AS kept
+         |  FROM nt LEFT JOIN perdoc p USING (doc_id))
+         |SELECT source, count(*)::BIGINT AS n_docs,
+         |  sum(n_tokens)::BIGINT AS tokens_in,
+         |  sum(kept)::BIGINT AS tokens_kept,
+         |  sum(CASE WHEN kept >= ${Pipeline.SpanCleanMinTokens} THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_docs_kept,
+         |  (CASE WHEN sum(n_tokens) > 0
+         |        THEN (sum(n_tokens) - sum(kept)) * 1000 // sum(n_tokens)
+         |        ELSE 0 END)::BIGINT AS scrub_milli
+         |FROM k GROUP BY 1 ORDER BY 1""".stripMargin)
 }
