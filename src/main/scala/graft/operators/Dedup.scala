@@ -594,7 +594,24 @@ object Dedup {
     * Interval merging is a per-document window (bounded by doc length),
     * partitioned on doc_id across the cluster. */
   def spanRemoval(spark: SparkSession, dir: String): DataFrame =
-    spanRemovalOn(Tables.documents(spark, dir))
+    spanIvMemo.synchronized {
+      Option(spanIvMemo.get(spark)) match {
+        case Some((d, df)) if d == dir => df
+        case _ =>
+          val df = spanRemovalOn(Tables.documents(spark, dir)).localCheckpoint()
+          spanIvMemo.put(spark, (dir, df))
+          df
+      }
+    }
+
+  /** Session-scoped memo of the merged removal-interval frame — four
+    * consumers (the removal query, the scrub rewrite, the savings
+    * report, Pipeline.spanCleanCorpus) share the identical span-posting
+    * subplan; same (session, dir) discipline as [[pairsMemo]] /
+    * [[clusterMap]]. The interval frame is per-removal-interval sized,
+    * far below the corpus. */
+  private val spanIvMemo =
+    new java.util.WeakHashMap[SparkSession, (String, DataFrame)]()
 
   /** Core over any (doc_id, text) frame — seam for spec corpora. */
   private[graft] def spanRemovalOn(docs: DataFrame, w: Int = SpanW): DataFrame = {
@@ -693,11 +710,14 @@ object Dedup {
     * bounded doc); the rewrite is a per-row filter-with-index over the
     * token array, no shuffle beyond the join. */
   def spanScrub(spark: SparkSession, dir: String): DataFrame =
-    spanScrubbedOn(Tables.documents(spark, dir))
+    scrubWith(Tables.documents(spark, dir), spanRemoval(spark, dir))
 
   /** Core over any (doc_id, text) frame — seam for spec corpora. */
-  private[graft] def spanScrubbedOn(docs: DataFrame, w: Int = SpanW): DataFrame = {
-    val iv = spanRemovalOn(docs, w)
+  private[graft] def spanScrubbedOn(docs: DataFrame, w: Int = SpanW): DataFrame =
+    scrubWith(docs, spanRemovalOn(docs, w))
+
+  private def scrubWith(docs: DataFrame, intervals: DataFrame): DataFrame = {
+    val iv = intervals
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("span_start").as("s"), col("span_end").as("e")))
         .as("iv"))
@@ -717,7 +737,7 @@ object Dedup {
     val docs = Tables.documents(spark, dir)
     val nt = docs.select(col("doc_id"),
       size(tokens(col("text"))).cast("long").as("n_tokens"))
-    val rem = spanRemovalOn(docs)
+    val rem = spanRemoval(spark, dir)
       .groupBy(col("doc_id"))
       .agg(sum(col("span_tokens")).as("rt"), count(lit(1)).as("ns"))
     nt.join(rem, Seq("doc_id"), "left")
