@@ -209,26 +209,37 @@ object Dedup {
         expr("inter * 1000000L div un").as("jac_ppm"))
   }
 
-  /** Session-scoped memo of the exact jaccard near-dup pair frame
-    * (doc_i, doc_j, jaccard) — the inverted-index join is the shared
-    * upstream of the pair query, the leakage audit, the LSH tuning
-    * recall baseline, AND the CC cluster chain (which memoizes its own
-    * downstream in [[clusterMap]]). Computed once per (session, dir);
-    * the localCheckpoint pins the materialized pair rows (a
-    * post-threshold frame, orders smaller than the corpus), so every
-    * consumer reads identical bits and result hashes are unchanged. */
-  private val pairsMemo =
-    new java.util.WeakHashMap[SparkSession, (String, DataFrame)]()
+  /** Session-scoped (session, dir)-keyed memo for the expensive shared
+    * subplans of this module — the materialize-once-per-generation
+    * shape of a production curation run, keyed exactly like
+    * Tables.registerAll. Holders hand out localCheckpoint-backed
+    * frames (materialized, lineage-truncated), so every consumer reads
+    * identical bits and result hashes are unchanged; WeakHashMap lets
+    * a stopped session's entry be collected. */
+  private final class DirMemo {
+    private val m = new java.util.WeakHashMap[SparkSession, (String, DataFrame)]()
+    def apply(spark: SparkSession, dir: String)(compute: => DataFrame): DataFrame =
+      m.synchronized {
+        Option(m.get(spark)) match {
+          case Some((d, df)) if d == dir => df
+          case _ =>
+            val df = compute
+            m.put(spark, (dir, df))
+            df
+        }
+      }
+  }
+
+  /** The exact jaccard near-dup pair frame (doc_i, doc_j, jaccard) —
+    * shared upstream of the pair query, the leakage audit, the LSH
+    * tuning recall baseline, AND the CC cluster chain (which memoizes
+    * its own downstream in [[clusterMap]]). The pair frame is
+    * post-threshold, orders smaller than the corpus. */
+  private val pairsMemo = new DirMemo
 
   private[graft] def jaccardPairsUnsorted(spark: SparkSession, dir: String): DataFrame =
-    pairsMemo.synchronized {
-      Option(pairsMemo.get(spark)) match {
-        case Some((d, df)) if d == dir => df
-        case _ =>
-          val df = jaccardPairsUnsortedOn(shingled(spark, dir)).localCheckpoint()
-          pairsMemo.put(spark, (dir, df))
-          df
-      }
+    pairsMemo(spark, dir) {
+      jaccardPairsUnsortedOn(shingled(spark, dir)).localCheckpoint()
     }
 
   // ---------------------------------------------------------- MinHash+LSH
@@ -422,18 +433,29 @@ object Dedup {
   def embeddingNearDups(spark: SparkSession, dir: String): DataFrame =
     embeddingNearDupsUnsorted(spark, dir)
 
+  /** The embedding pair frame — shared by the pair query and the
+    * semantic cluster chain; memoized like [[jaccardPairsUnsorted]]. */
+  private val embPairsMemo = new DirMemo
+
   /** [[embeddingNearDups]]'s body as a named seam (see
     * [[jaccardPairsUnsortedOn]] for why the clustering path skips it). */
   private[graft] def embeddingNearDupsUnsorted(
-      spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.VectorFunctions.cosineSim
-    val b = signBucketed(spark, dir)
-    b.as("a").join(b.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cosine", cosineSim(col("a.embedding"), col("b.embedding")))
-      .filter(col("cosine") >= CosineThreshold)
-      .select(col("a.vec_id").as("vec_i"), col("b.vec_id").as("vec_j"), col("cosine"))
-  }
+      spark: SparkSession, dir: String): DataFrame =
+    embPairsMemo(spark, dir) {
+      import graft.functions.VectorFunctions.cosineSim
+      val b = signBucketed(spark, dir)
+      b.as("a").join(b.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+        .withColumn("cosine", cosineSim(col("a.embedding"), col("b.embedding")))
+        .filter(col("cosine") >= CosineThreshold)
+        .select(col("a.vec_id").as("vec_i"), col("b.vec_id").as("vec_j"), col("cosine"))
+        .localCheckpoint()
+    }
+
+  /** The semantic cluster map — shared by the cluster query and the
+    * SemDeDup keep-best; the star iteration runs eagerly, so the memo
+    * also saves its full convergence loop. */
+  private val embClusterMemo = new DirMemo
 
   /** SemDeDup-shaped composition: connected components over the
     * embedding near-dup pair graph (semantic duplicates, not just
@@ -441,9 +463,11 @@ object Dedup {
     * the O(log² n) star machinery, so the whole chain — bucket, pair,
     * cluster — stays web-scale. */
   def embeddingClusters(spark: SparkSession, dir: String): DataFrame =
-    starClustersOn(embeddingNearDupsUnsorted(spark, dir)
-      .select(col("vec_i").as("doc_i"), col("vec_j").as("doc_j")))
-      .select(col("doc_id").as("vec_id"), col("canonical_id"))
+    embClusterMemo(spark, dir) {
+      starClustersOn(embeddingNearDupsUnsorted(spark, dir)
+        .select(col("vec_i").as("doc_i"), col("vec_j").as("doc_j")))
+        .select(col("doc_id").as("vec_id"), col("canonical_id"))
+    }
 
   // ------------------------------------------------- decontamination
 
@@ -594,24 +618,15 @@ object Dedup {
     * Interval merging is a per-document window (bounded by doc length),
     * partitioned on doc_id across the cluster. */
   def spanRemoval(spark: SparkSession, dir: String): DataFrame =
-    spanIvMemo.synchronized {
-      Option(spanIvMemo.get(spark)) match {
-        case Some((d, df)) if d == dir => df
-        case _ =>
-          val df = spanRemovalOn(Tables.documents(spark, dir)).localCheckpoint()
-          spanIvMemo.put(spark, (dir, df))
-          df
-      }
+    spanIvMemo(spark, dir) {
+      spanRemovalOn(Tables.documents(spark, dir)).localCheckpoint()
     }
 
-  /** Session-scoped memo of the merged removal-interval frame — four
-    * consumers (the removal query, the scrub rewrite, the savings
-    * report, Pipeline.spanCleanCorpus) share the identical span-posting
-    * subplan; same (session, dir) discipline as [[pairsMemo]] /
-    * [[clusterMap]]. The interval frame is per-removal-interval sized,
-    * far below the corpus. */
-  private val spanIvMemo =
-    new java.util.WeakHashMap[SparkSession, (String, DataFrame)]()
+  /** The merged removal-interval frame — four consumers (the removal
+    * query, the scrub rewrite, the savings report,
+    * Pipeline.spanCleanCorpus) share the identical span-posting
+    * subplan. Per-removal-interval sized, far below the corpus. */
+  private val spanIvMemo = new DirMemo
 
   /** Core over any (doc_id, text) frame — seam for spec corpora. */
   private[graft] def spanRemovalOn(docs: DataFrame, w: Int = SpanW): DataFrame = {
@@ -828,19 +843,12 @@ object Dedup {
     * so the memo pins blocks, not an unevaluated plan — every consumer
     * reads the same bits and result hashes are unchanged. WeakHashMap:
     * a stopped session's entry can be collected. */
-  private val clusterMemo =
-    new java.util.WeakHashMap[SparkSession, (String, DataFrame)]()
+  private val clusterMemo = new DirMemo
 
   private def clusterMap(spark: SparkSession, dir: String): DataFrame =
-    clusterMemo.synchronized {
-      Option(clusterMemo.get(spark)) match {
-        case Some((d, df)) if d == dir => df
-        case _ =>
-          val df = minLabelClustersOn(
-            jaccardPairsUnsorted(spark, dir).select(col("doc_i"), col("doc_j")))
-          clusterMemo.put(spark, (dir, df))
-          df
-      }
+    clusterMemo(spark, dir) {
+      minLabelClustersOn(
+        jaccardPairsUnsorted(spark, dir).select(col("doc_i"), col("doc_j")))
     }
 
   /** Min-label propagation over an undirected pair graph — public seam
