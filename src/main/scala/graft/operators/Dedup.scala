@@ -181,12 +181,18 @@ object Dedup {
     val e = shingled(spark, dir)
       .select(col("doc_id"), explode(col("codes")).as("code"))
     val dfc = e.groupBy(col("code")).agg(count(lit(1)).as("df"))
-    // codes per doc in canonical rarity order (df asc, code asc)
+    // codes per doc in canonical rarity order (df asc, code asc) —
+    // materialized once per call (localCheckpoint): the plan consumes
+    // this frame FOUR times (both sides of the prefix self-join, both
+    // verification rejoins), and Catalyst does not share subplans, so
+    // without the checkpoint the df-join + collect ran 4×. Same
+    // materialize-the-index discipline a 100 TB run would use.
     val arr = e.join(dfc, Seq("code"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("df"), col("code")))).as("st"))
       .select(col("doc_id"), expr("transform(st, s -> s.code)").as("codes"),
         size(col("st")).cast("long").as("m"))
+      .localCheckpoint()
     // prefix length p = m − ⌈m/2⌉ + 1, all-integer
     val pre = arr.select(col("doc_id"), col("m"),
       explode(expr("slice(codes, 1, CAST(m - ((m + 1L) div 2L) + 1L AS INT))"))
@@ -523,9 +529,11 @@ object Dedup {
     * Scale shape: the same inverted-index discipline as
     * [[jaccardPairsOn]] — postings carry the owning doc's set size, the
     * df cap is the stop-shingle skew valve, and candidates are only
-    * pairs sharing ≥1 surviving shingle. The `=!=` join emits both
-    * directions of each candidate (containment is directed), doubling
-    * pair rows but not the shuffle of postings. */
+    * pairs sharing ≥1 surviving shingle. `common` is SYMMETRIC, so the
+    * join and the pair aggregate run once over `<`-ordered pairs (half
+    * the volume of a directed `=!=` join); the two directed rows of
+    * each candidate are expanded from the aggregated pair afterwards —
+    * direction costs a row explode, never a second shuffle. */
   def containmentPairs(spark: SparkSession, dir: String): DataFrame =
     containmentPairsOn(shingled(spark, dir))
 
@@ -533,10 +541,18 @@ object Dedup {
   private[graft] def containmentPairsOn(
       sh: DataFrame, maxDf: Long = DefaultMaxShingleDf): DataFrame = {
     val posts = cappedPosts(sh.filter(col("sz") > 0), maxDf)
-    posts.as("a").join(posts.as("b"),
-        col("a.code") === col("b.code") && col("a.doc_id") =!= col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("common"), first(col("a.sz")).as("sz_a"))
+    val und = posts.as("a").join(posts.as("b"),
+        col("a.code") === col("b.code") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
+      .agg(count(lit(1)).as("common"),
+        first(col("a.sz")).as("sz_i"), first(col("b.sz")).as("sz_j"))
+    und.select(explode(array(
+        struct(col("doc_i").as("doc_a"), col("doc_j").as("doc_b"),
+          col("common"), col("sz_i").as("sz_a")),
+        struct(col("doc_j").as("doc_a"), col("doc_i").as("doc_b"),
+          col("common"), col("sz_j").as("sz_a")))).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        col("p.common").as("common"), col("p.sz_a").as("sz_a"))
       // integer-exact threshold: common/sz_a >= C/1000 without doubles
       .filter(col("common") * lit(1000L) >= lit(ContainmentMilli) * col("sz_a"))
       .select(col("doc_a"), col("doc_b"),

@@ -51,8 +51,15 @@ object Graph {
     // materialize the static edge list once — every iteration (and the
     // degree count) would otherwise re-run the orders⋈lineitem distinct
     // from scratch; localCheckpoint also truncates the growing lineage,
-    // the same pattern as Dedup.minLabelClustersOn
-    val edges = purchaseEdges(spark, dir).localCheckpoint()
+    // the same pattern as Dedup.minLabelClustersOn. Hash-partition on
+    // src BEFORE the checkpoint (LogicalRDD keeps the partitioning):
+    // every iteration's edges⋈ranks join then needs no exchange on
+    // either side — ranks comes out of the previous iteration already
+    // hashed on node — so an iteration costs exactly ONE shuffle, the
+    // message aggregation on dst. The canonical distributed-PageRank
+    // shape: partition the static graph once, shuffle only messages.
+    val edges = purchaseEdges(spark, dir)
+      .repartition(col("src")).localCheckpoint()
     val deg = edges.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("deg"))
       .localCheckpoint()
