@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Empirical scaling audit: run one representative query per operator
+  * family at every provided scale factor and print a TSV of medians —
+  * the measurement behind SCALING.md's per-decade scaling exponents
+  * (does a plan that is green at sf0.01 stay linear through sf0.1, or
+  * is something quietly quadratic?).
+  *
+  * Dir-MAJOR order on purpose: the session memos (Tables.registerAll,
+  * Dedup's pair/cluster frames) key on (session, dir), so finishing one
+  * scale factor before moving to the next measures each query against a
+  * warm memo exactly like Bench does — switching dirs per query would
+  * charge every query a memo rebuild that no real run pays.
+  *
+  * Usage: runMain graft.Scaling <dir1,dir2,...> [q1,q2,...]
+  */
+object Scaling {
+
+  /** One representative per family — the plan shapes whose growth rate
+    * at 100 TB the family's other queries share. */
+  val Representatives: Seq[String] = Seq(
+    "ohlcv_1m",              // windowed aggregation (flagship)
+    "rel_revenue_by_nation", // multi-join + agg
+    "rel_window_rank",       // per-key window
+    "rel_asof_join_native",  // custom whole-operator plan
+    "rel_interval_join",     // bucketized non-equi join
+    "dedup_exact",           // digest groupBy
+    "dedup_minhash_lsh",     // banded LSH bucket join
+    "dedup_prefix_join",     // exact prefix-filtered pair join
+    "dedup_span_removal",    // positional span postings
+    "dedup_clusters",        // iterative connected components
+    "sim_topk_bruteforce",   // full-scan ANN baseline
+    "sim_topk_ivfpq",        // quantized ANN path
+    "text_wordcount_topk",   // token explode + agg
+    "text_tfidf_topk",       // doc×term frame + join
+    "text_char_lm",          // char-bigram model train+score
+    "text_bpe_apply",        // vocab-bounded train + apply
+    "sketch_hll_distinct",   // mergeable-register sketch
+    "sketch_quantile_hist",  // histogram sketch
+    "emb_covariance",        // one-pass moment buffer
+    "graph_pagerank",        // iterative message passing
+    "win_user_sessions",     // sessionization window
+    "skew_salted_join",      // salted hot-key join
+    "profile_stats_sketch",  // per-column profiling
+    "pipeline_clean_corpus", // fused multi-stage pipeline
+    "curation_shard_order",  // per-shard rank write shape
+    "mm_decode_meta")        // binary-column codec UDF
+
+  def main(args: Array[String]): Unit = {
+    val dirs = args(0).split(",").toSeq
+    val names = if (args.length > 1) args(1).split(",").toSeq else Representatives
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    println(("query" +: dirs).mkString("\t"))
+    val times = scala.collection.mutable.Map[(String, String), Double]()
+    for (dir <- dirs) {
+      Tables.lineitem(spark, dir).limit(1).collect() // warm footers
+      for (name <- names) {
+        val fn = SparkEntry.queries(name)
+        val ts = (1 to runs).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, dir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        times((name, dir)) = ts.sorted.apply(ts.size / 2)
+      }
+    }
+    for (name <- names)
+      println((name +: dirs.map(d => f"${times((name, d))}%.3f")).mkString("\t"))
+    spark.stop()
+  }
+}

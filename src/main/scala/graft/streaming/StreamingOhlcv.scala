@@ -240,7 +240,16 @@ object StreamingOhlcv {
   private[streaming] def processWithLateness(widthMs: Long, latenessMs: Long)(
       product: String,
       events: Iterator[TimedTrade],
-      state: GroupState[LatenessBars]): Iterator[RunningBar] = {
+      state: GroupState[LatenessBars]): Iterator[RunningBar] =
+    latenessCore(widthMs, latenessMs)(product, events, state)._1.iterator
+
+  /** Shared lateness engine core: returns the (re-)fired bars AND the
+    * events discarded as beyond the horizon — the drop list feeds the
+    * side-output variant, the plain variant ignores it. */
+  private def latenessCore(widthMs: Long, latenessMs: Long)(
+      product: String,
+      events: Iterator[TimedTrade],
+      state: GroupState[LatenessBars]): (Seq[RunningBar], Seq[TimedTrade]) = {
 
     // sparkWatermark = maxEventTime − (slack + width + lateness). Both
     // Flink horizons shift down by (width + lateness): fire when
@@ -253,7 +262,8 @@ object StreamingOhlcv {
     val prev = state.getOption.getOrElse(LatenessBars(Map.empty, Seq.empty))
     var bars = prev.bars
     var fired = prev.fired.toSet
-    val out = Iterator.newBuilder[RunningBar]
+    val out = Seq.newBuilder[RunningBar]
+    val droppedB = Seq.newBuilder[TimedTrade]
 
     if (!state.hasTimedOut) {
       val sorted = events.toArray.sortBy(t => (t.timestamp, t.instrument_id))
@@ -269,7 +279,7 @@ object StreamingOhlcv {
           bars = bars.updated(ws, st)
           // late element into an already-fired window → immediate re-fire
           if (fired(ws)) out += toBar(product, st, endOfWindow = true)
-        } // beyond the horizon: dropped, like Flink's late-data discard
+        } else droppedB += t // beyond the horizon: Flink's late-data discard
       }
     }
 
@@ -295,7 +305,48 @@ object StreamingOhlcv {
         if (fired(ws)) ws else ws - latenessMs).min
       state.setTimeoutTimestamp(math.max(wakeAt, sparkWm + 1))
     }
-    out.result()
+    (out.result(), droppedB.result())
+  }
+
+  /** Routed row of [[statefulBarsWithSideOutput]]: `side = "bar"`
+    * carries a (re-)fired bar, `side = "late"` carries an event
+    * discarded as beyond the lateness horizon. */
+  final case class RoutedOutput(
+      side: String,
+      bar: Option[RunningBar],
+      dropped: Option[TimedTrade])
+
+  /** The lateness engine with Flink's `sideOutputLateData`: identical
+    * bar semantics to [[statefulBarsWithLateness]], but events beyond
+    * the `end + lateness` horizon are EMITTED on a tagged side channel
+    * instead of silently discarded — downstream splits with two
+    * filters on `side` (the idiomatic Spark shape for Flink's
+    * OutputTag: one stateful operator, a tagged union row, cheap
+    * post-filters). Late-data accounting is a first-class production
+    * concern: the side channel is what feeds drop-rate monitoring and
+    * dead-letter reprocessing.
+    *
+    * Boundary vs Flink: the side channel observes every drop that
+    * reaches the state function — anything inside the absorbed
+    * watermark delay (slack + width + lateness). An event older than
+    * the whole delay is removed by Spark's pre-stateful filter
+    * upstream and cannot be observed here; Flink, whose operators see
+    * all elements, side-outputs those too. Widen the absorbed slack if
+    * the monitoring window must extend further back. */
+  def statefulBarsWithSideOutput(
+      tradesWithTs: DataFrame,
+      widthMs: Long,
+      latenessMs: Long): Dataset[RoutedOutput] = {
+    val spark = tradesWithTs.sparkSession
+    import spark.implicits._
+    tradesWithTs.as[TimedTrade]
+      .groupByKey(_.product)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.EventTimeTimeout) {
+        (product: String, events: Iterator[TimedTrade], state: GroupState[LatenessBars]) =>
+          val (barsOut, drops) = latenessCore(widthMs, latenessMs)(product, events, state)
+          (barsOut.map(b => RoutedOutput("bar", Some(b), None)) ++
+            drops.map(t => RoutedOutput("late", None, Some(t)))).iterator
+      }
   }
 
   /** Continuous "top movers": once the watermark closes a window, rank

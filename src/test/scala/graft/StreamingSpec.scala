@@ -95,6 +95,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("W5 side output: beyond-horizon events surface on the late channel, bars unchanged") {
+    import org.apache.spark.sql.Row
+    val input = MemoryStream[Trade]
+    val routed = StreamingOhlcv.statefulBarsWithSideOutput(
+      StreamingOhlcv.withEventTime(input.toDS(), "70 seconds"),
+      widthMs = 60000L, latenessMs = 10000L)
+    val q = routed.writeStream.format("memory").queryName("w5side")
+      .outputMode("update").start()
+    try {
+      def rows = spark.table("w5side").collect()
+      def lateRows = rows.filter(_.getAs[String]("side") == "late")
+      input.addData(trade(0, "P1", 10.0, 1), trade(30000, "P1", 20.0, 2))
+      q.processAllAvailable()
+      input.addData(trade(65000, "P1", 99.0, 5))
+      q.processAllAvailable()
+      // same bar semantics as the plain lateness engine: minute 0 fires
+      val bars0 = rows.filter(r => r.getAs[String]("side") == "bar")
+        .flatMap(r => Option(r.getAs[Row]("bar")))
+        .filter(_.getAs[java.sql.Timestamp]("time").getTime == T0)
+      assert(bars0.length == 1 && bars0.head.getAs[Long]("volume") == 3L)
+      assert(lateRows.isEmpty)
+      // advance the true watermark to 140 s: minute-1's horizon
+      // (end 120 s + 10 s) is passed
+      input.addData(trade(140000, "P1", 42.0, 1))
+      q.processAllAvailable()
+      // ts 75 s clears Spark's pre-filter (spark wm 70 s) but its
+      // window [60,120) is beyond the horizon → routed to "late"
+      input.addData(trade(75000, "P1", 1.0, 9))
+      q.processAllAvailable()
+      assert(lateRows.length == 1)
+      val d = lateRows.head.getAs[Row]("dropped")
+      assert(d.getAs[Long]("timestamp") == T0 + 75000)
+      assert(d.getAs[Long]("qty") == 9L)
+      // the dropped event never contaminates any bar
+      assert(!rows.exists(r => r.getAs[String]("side") == "bar" &&
+        Option(r.getAs[Row]("bar")).exists(_.getAs[Double]("low") == 1.0)))
+    } finally q.stop()
+  }
+
   test("Graft.streamingBarsWithLateness absorbs the grace delay for the caller") {
     // the facade owns the slack+width+lateness arithmetic: a mid-window
     // late event (the case a wrong delay silently drops) must re-fire
