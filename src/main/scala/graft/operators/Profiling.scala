@@ -88,11 +88,20 @@ object Profiling {
         "'l_extendedprice', CAST(round(l_extendedprice*100,0) AS BIGINT), " +
         "'l_discount', CAST(round(l_discount*100,0) AS BIGINT)) " +
         "AS (column_name, cents)")
-    val ndv = Sketches.kmvEstimateBy(src, Seq("column_name"), col("cents"))
-      .select(col("column_name"), col("kmv_est").as("ndv_est"))
-    val bounds = src.groupBy("column_name")
-      .agg(min("cents").as("lo"), max("cents").as("hi"), count(lit(1)).as("n"))
+    // ONE first-pass aggregate carries the KMV sketch AND the histogram
+    // bounds (they were two separate scans of the stacked frame; the
+    // sketch and min/max/count partial-aggregate side by side for free)
+    val bottomK = udaf(new graft.functions.BottomKDistinct(Sketches.KmvK))
+    val pass1 = Sketches.withKmvEstimate(
+      src.select(col("column_name"), col("cents"),
+          Sketches.hash32(col("cents")).as("h"))
+        .groupBy("column_name")
+        .agg(bottomK(col("h")).as("sketch"),
+          min("cents").as("lo"), max("cents").as("hi"),
+          count(lit(1)).as("n")))
       .withColumn("bw", expr("(hi - lo + 1000) div 1000"))
+    val ndv = pass1.select(col("column_name"), col("kmv_est").as("ndv_est"))
+    val bounds = pass1.select("column_name", "lo", "hi", "n", "bw")
     val cum = src
       .join(broadcast(bounds.select("column_name", "lo", "bw")), "column_name")
       .select(col("column_name"), expr("(cents - lo) div bw").as("bin"))

@@ -419,7 +419,11 @@ object TextAnalysis {
       transform(sequence(lit(1), size(cs) - 1),
         i => concat(element_at(cs, i), element_at(cs, i + lit(1)))))
       .otherwise(array().cast("array<string>"))
+    // the bigram frame feeds BOTH the model counts and the scoring
+    // join; materialize it once (Catalyst has no subplan sharing, so
+    // without this the char-split + explode ran twice per query)
     val docBg = docCh.select(col("doc_id"), explode(bg).as("bg"))
+      .localCheckpoint()
     val alphabet = docCh.select(explode(cs).as("c"))
       .agg(countDistinct(col("c")).as("v")) // 1 row
     val bgCnt = docBg.groupBy(col("bg")).agg(count(lit(1)).as("cnt_bg"))
