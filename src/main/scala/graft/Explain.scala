@@ -25,7 +25,9 @@ object Explain {
         "curation_token_budget", "emb_pca_project", "layout_compaction_plan",
         "emb_outliers", "evt_paths3", "mm_audio_vad", "qa_mad_outliers",
         "text_rrf_fusion", "qa_split_leakage", "sample_splits_by_cluster",
-        "dedup_span_removal", "dedup_span_scrub", "mm_video_frames")
+        "dedup_span_removal", "dedup_span_scrub", "mm_video_frames",
+        "curation_source_filter", "profile_corpus_card",
+        "curation_shard_order")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

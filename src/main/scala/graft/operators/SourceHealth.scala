@@ -48,11 +48,16 @@ object SourceHealth {
     * not). The verdict frame is what a pipeline broadcast-joins back to
     * drop whole sources before any per-document work. */
   def sourceFilter(spark: SparkSession, dir: String): DataFrame = {
+    // narrow per-doc frame (text dropped) materialized once: it feeds
+    // BOTH sides of the canon join, and perSource is itself read twice
+    // (corpus mean + final select) — without the checkpoint the
+    // quality-feature scan ran 4× per query
     val base = Tables.documents(spark, dir)
       .select(col("doc_id") +: col("source") +: md5(col("text")).as("digest") +:
         TextAnalysis.qualityFeatures(col("text")): _*)
       .select(col("doc_id"), col("source"), col("digest"),
         col("n_tokens"), qMilli.as("q_milli"))
+      .localCheckpoint()
     val canon = base.groupBy(col("digest")).agg(min(col("doc_id")).as("canon_id"))
     val perSource = base.join(canon, Seq("digest"))
       .groupBy(col("source"))
@@ -84,12 +89,15 @@ object SourceHealth {
     * One corpus scan + the digest reduce; the result is a single row
     * however large the corpus. */
   def corpusCard(spark: SparkSession, dir: String): DataFrame = {
+    // same discipline as sourceFilter: the totals and the digest
+    // histogram both read this frame — one scan, not two
     val base = Tables.documents(spark, dir)
       .select(col("doc_id") +: col("source") +: col("lang") +:
         md5(col("text")).as("digest") +:
         TextAnalysis.qualityFeatures(col("text")): _*)
       .select(col("doc_id"), col("source"), col("lang"), col("digest"),
         col("n_tokens"), qMilli.as("q_milli"))
+      .localCheckpoint()
     val totals = base.agg(
       count(lit(1)).as("n_docs"),
       countDistinct(col("lang")).as("n_langs"),
