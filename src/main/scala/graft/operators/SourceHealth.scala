@@ -59,6 +59,9 @@ object SourceHealth {
         col("n_tokens"), qMilli.as("q_milli"))
       .localCheckpoint()
     val canon = base.groupBy(col("digest")).agg(min(col("doc_id")).as("canon_id"))
+    // the rollup is read twice (corpus mean + final select) — it is
+    // |sources| rows, so materializing it costs nothing and saves a
+    // second digest-keyed corpus shuffle
     val perSource = base.join(canon, Seq("digest"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
@@ -66,6 +69,7 @@ object SourceHealth {
         sum(when(col("doc_id") =!= col("canon_id"), lit(1L)).otherwise(lit(0L)))
           .as("dup_docs"),
         sum(col("q_milli")).as("sum_q"))
+      .localCheckpoint()
     // corpus mean from the bounded rollup, not a second corpus scan:
     // every doc lands in exactly one source row, so the sums agree
     val corpusMean = perSource
