@@ -215,26 +215,8 @@ object Dedup {
         expr("inter * 1000000L div un").as("jac_ppm"))
   }
 
-  /** Session-scoped (session, dir)-keyed memo for the expensive shared
-    * subplans of this module — the materialize-once-per-generation
-    * shape of a production curation run, keyed exactly like
-    * Tables.registerAll. Holders hand out localCheckpoint-backed
-    * frames (materialized, lineage-truncated), so every consumer reads
-    * identical bits and result hashes are unchanged; WeakHashMap lets
-    * a stopped session's entry be collected. */
-  private final class DirMemo {
-    private val m = new java.util.WeakHashMap[SparkSession, (String, DataFrame)]()
-    def apply(spark: SparkSession, dir: String)(compute: => DataFrame): DataFrame =
-      m.synchronized {
-        Option(m.get(spark)) match {
-          case Some((d, df)) if d == dir => df
-          case _ =>
-            val df = compute
-            m.put(spark, (dir, df))
-            df
-        }
-      }
-  }
+  // session memo helper shared by the operator modules: see
+  // operators/DirMemo.scala
 
   /** The exact jaccard near-dup pair frame (doc_i, doc_j, jaccard) —
     * shared upstream of the pair query, the leakage audit, the LSH

@@ -393,9 +393,19 @@ object Similarity {
     topKPerQuery(exact, IvfTopK)
   }
 
-  /** Stage shared by [[topKIvfPq]] and [[topKIvfPqRerank]]: every
-    * candidate in the query's coarse cell scored by PQ-ADC lookups. */
-  private def ivfPqAdcScored(spark: SparkSession, dir: String): DataFrame = {
+  /** Stage shared by [[topKIvfPq]] and [[topKIvfPqRerank]], memoized
+    * per (session, dir) like Dedup's pair frame: the coarse + fine
+    * quantizers are trained ONCE per data generation and the scored
+    * candidate frame (queries × cell candidates, orders smaller than
+    * the corpus) is materialized — exactly how a deployed index
+    * amortizes training across queries. */
+  private val adcMemo = new DirMemo
+  private def ivfPqAdcScored(spark: SparkSession, dir: String): DataFrame =
+    adcMemo(spark, dir)(ivfPqAdcScoredFresh(spark, dir).localCheckpoint())
+
+  /** Uncached build: every candidate in the query's coarse cell scored
+    * by PQ-ADC lookups. */
+  private def ivfPqAdcScoredFresh(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions.dotProduct
     val emb = Tables.embeddings(spark, dir)
       .filter(dotProduct(col("embedding"), col("embedding")) > 0)

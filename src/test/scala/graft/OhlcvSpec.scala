@@ -179,6 +179,7 @@ class OhlcvSpec extends SparkSpec {
       ("Temporal", Temporal.queries.keySet, Temporal.oracle.keySet),
       ("Intervals", Intervals.queries.keySet, Intervals.oracle.keySet),
       ("Layout", Layout.queries.keySet, Layout.oracle.keySet),
+      ("SourceHealth", SourceHealth.queries.keySet, SourceHealth.oracle.keySet),
       ("GenTrades", graft.sources.GenTradesSource.queries.keySet,
         graft.sources.GenTradesSource.oracle.keySet),
       ("GenKV", graft.sources.GenKVSource.queries.keySet,
