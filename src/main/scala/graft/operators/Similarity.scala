@@ -208,20 +208,31 @@ object Similarity {
     * quantizer is owned, not borrowed from a label column as topKIvf's
     * baseline variant). Checkpointed once: the assignment projection
     * feeds both join sides. */
+  /** The trained coarse quantizer's corpus assignment (vec_id,
+    * embedding, cell) — memoized per (session, dir): the SAME learned
+    * quantizer serves topKIvfKmeans and the IVF-PQ chain, trained once
+    * per data generation like a deployed index's.
+    *
+    * Zero-norm vectors are filtered up front (oracle mirrors): their
+    * cosine is NaN, and NaN ranks FIRST in Spark's top-k but NULL-last
+    * in DuckDB. The training frame is materialized once — Lloyd's
+    * iterations re-scan it (2 aggregate passes) and the final
+    * assignment scans it again, the standard cache-the-training-frame
+    * shape (MLlib does the same). */
+  private val coarseMemo = new DirMemo
+  private def coarseAssigned(spark: SparkSession, dir: String): DataFrame =
+    coarseMemo(spark, dir) {
+      import graft.functions.VectorFunctions.dotProduct
+      val emb = Tables.embeddings(spark, dir)
+        .filter(dotProduct(col("embedding"), col("embedding")) > 0)
+        .localCheckpoint()
+      withCell(emb, kmeansCentroids(emb))
+        .select(col("vec_id"), col("embedding"), col("cell"))
+        .localCheckpoint()
+    }
+
   def topKIvfKmeans(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.VectorFunctions.dotProduct
-    // zero-norm vectors out up front (oracle mirrors): their cosine is
-    // NaN, and NaN ranks FIRST in Spark's top-k but NULL-last in DuckDB.
-    // Materialized ONCE: Lloyd's iterations re-scan the working set
-    // (2 aggregate passes) and the final assignment scans it again —
-    // the standard cache-the-training-frame shape (MLlib does the
-    // same); without it each pass re-reads parquet and re-filters.
-    val emb = Tables.embeddings(spark, dir)
-      .filter(dotProduct(col("embedding"), col("embedding")) > 0)
-      .localCheckpoint()
-    val assigned = withCell(emb, kmeansCentroids(emb))
-      .select(col("vec_id"), col("embedding"), col("cell"))
-      .localCheckpoint()
+    val assigned = coarseAssigned(spark, dir)
     val q = assigned.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("cell"))
     topKPerQuery(
@@ -406,14 +417,11 @@ object Similarity {
   /** Uncached build: every candidate in the query's coarse cell scored
     * by PQ-ADC lookups. */
   private def ivfPqAdcScoredFresh(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.VectorFunctions.dotProduct
-    val emb = Tables.embeddings(spark, dir)
-      .filter(dotProduct(col("embedding"), col("embedding")) > 0)
-      .localCheckpoint()
-    // coarse quantizer: full-width k-means cells
-    val coarse = withCell(emb, kmeansCentroids(emb))
-      .select(col("vec_id"), col("cell"))
-      .localCheckpoint() // feeds corpus candidates AND the query cells
+    // the shared learned coarse quantizer (memoized, materialized)
+    // supplies both the working set and the cell assignment
+    val assigned = coarseAssigned(spark, dir)
+    val emb = assigned.select(col("vec_id"), col("embedding"))
+    val coarse = assigned.select(col("vec_id"), col("cell"))
     // fine quantizer: per-subspace PQ codebooks + one-pass encoding
     val sliced = emb.select(
       col("vec_id") +:
