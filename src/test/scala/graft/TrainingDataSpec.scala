@@ -388,6 +388,40 @@ class TrainingDataSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
   }
 
+  test("positional filter keeps the prefix join exact on adversarial boundary corpora") {
+    import spark.implicits._
+    // random code sets over a small universe force many pairs AT the
+    // τ = 1/2 boundary (where the positional bound is tight), plus
+    // deliberate edge shapes: singletons, identical docs, strict
+    // subsets at the 2·min ≥ max length-filter edge
+    val rnd = new scala.util.Random(20260814)
+    val base = (0 until 60).map { i =>
+      val m = 1 + rnd.nextInt(30)
+      (i.toLong, rnd.shuffle((0L until 90L).toList).take(m))
+    }
+    val subset = base.take(8).zipWithIndex.map { case ((_, cs), k) =>
+      // exactly half the codes (rounded up): jaccard vs the base doc is
+      // ⌈m/2⌉ / m ≥ 1/2 — on-threshold containment pairs
+      (100L + k, cs.take((cs.size + 1) / 2))
+    }
+    val clones = base.slice(8, 12).zipWithIndex.map { case ((_, cs), k) =>
+      (200L + k, cs)
+    }
+    val docs = base ++ subset ++ clones
+    val sh = docs.toDF("doc_id", "codes")
+    val got = Dedup.prefixJoinOn(sh)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(4)).toMap
+    val naive = (for {
+      (i, ci) <- docs; (j, cj) <- docs if i < j
+      inter = ci.toSet.intersect(cj.toSet).size
+      un = ci.size + cj.size - inter
+      if 2 * inter >= un
+    } yield (i, j) -> (inter.toLong * 1000000L / un)).toMap
+    assert(got == naive,
+      s"only-prefix=${got.keySet -- naive.keySet} missed=${naive.keySet -- got.keySet}")
+    assert(naive.nonEmpty && naive.size < docs.size * (docs.size - 1) / 2)
+  }
+
   test("jaccard df cap: default cap is a no-op on the real corpus") {
     val sh = Tables.documents(spark, sf0001)
       .select(col("doc_id"), TextFunctions.shingleCodes(col("text"), Dedup.ShingleN).as("codes"))
