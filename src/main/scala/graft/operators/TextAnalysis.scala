@@ -337,8 +337,25 @@ object TextAnalysis {
 
   /** The trained artifacts: (merge table, final vocabulary with each
     * word's post-merge symbol array). One training run feeds both the
-    * report (`bpeTrain`) and the apply stage (`bpeApplyCounts`). */
-  private def bpeTrained(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    * report (`bpeTrain`) and the apply stage (`bpeApplyCounts`) —
+    * memoized per (session, dir) like the ANN quantizers and the dedup
+    * pair frames: a tokenizer is trained once per data generation and
+    * applied everywhere (the frames are localCheckpoint-backed, so
+    * every consumer reads identical bits). */
+  private val bpeMemo =
+    new java.util.WeakHashMap[SparkSession, (String, (DataFrame, DataFrame))]()
+  private def bpeTrained(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    bpeMemo.synchronized {
+      Option(bpeMemo.get(spark)) match {
+        case Some((d, v)) if d == dir => v
+        case _ =>
+          val v = bpeTrainedFresh(spark, dir)
+          bpeMemo.put(spark, (dir, v))
+          v
+      }
+    }
+
+  private def bpeTrainedFresh(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import graft.functions.TextFunctions.chars
     var vocab = Tables.documents(spark, dir)
       .select(explode(tokens(col("text"))).as("word"))
