@@ -51,6 +51,17 @@ object Retrieval {
       docs: DataFrame, queryTerms: Seq[(String, String)]): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    bm25ScoresWeighted(docs,
+      queryTerms.toDF("query_id", "token").withColumn("w", lit(1L)))
+  }
+
+  /** Weighted core: qterms is a bounded (query_id, token, w) frame
+    * (broadcast throughout); each term's BM25 contribution is scaled
+    * by its integer weight — the RM3-style expanded-query shape where
+    * original terms outweigh mined expansion terms. Weight 1
+    * reproduces plain BM25 exactly. */
+  private[operators] def bm25ScoresWeighted(
+      docs: DataFrame, qterms: DataFrame): DataFrame = {
     val toks = docs
       .select(col("doc_id"), tokens(col("text")).as("toks"))
     // inverted index with doc length riding the key (dl is functionally
@@ -62,7 +73,6 @@ object Retrieval {
     val stats = toks
       .agg(count(lit(1)).as("n_docs"), sum(size(col("toks"))).as("sum_dl"))
       .select(col("n_docs"), expr(s"(sum_dl * $SC) div n_docs").as("avgdl_sc"))
-    val qterms = queryTerms.toDF("query_id", "token")
     val dfs = tfs
       .join(broadcast(qterms.select("token").distinct()), Seq("token"))
       .groupBy("token").agg(count(lit(1)).as("df"))
@@ -79,7 +89,7 @@ object Retrieval {
       // rare terms (idf_sc ≈ SC·2N at df=1)
       .withColumn("sat_milli",
         expr(s"(tf * 2200 * $SC) div (tf * $SC + (12 * norm_sc) div 10)"))
-      .withColumn("contrib", expr("(idf_sc * sat_milli) div 1000"))
+      .withColumn("contrib", expr("w * ((idf_sc * sat_milli) div 1000)"))
       .groupBy("query_id", "doc_id").agg(sum("contrib").as("score_sc"))
   }
 
@@ -205,9 +215,83 @@ object Retrieval {
       .orderBy("query_id", "rnk")
   }
 
+  /** Feedback-pool and expansion-term sizes for [[prfExpansion]], and
+    * the minimum corpus df for an expansion term — the same hapax
+    * guard as [[TextAnalysis.PmiMinSupport]]: under linear idf a
+    * feedback doc's one-off token scores an unbeatable fb_tf·SC/1,
+    * so without min support every expansion slot goes to noise words
+    * that recall nothing. */
+  private[operators] val PrfFeedbackK = 3
+  private[operators] val PrfExpandK = 2
+  private[operators] val PrfMinDf = 2L
+
+  /** Pseudo-relevance feedback (RM3-lite, Lavrenko & Croft 2001 /
+    * Abdul-Jaleel et al. 2004 shape): run the query, assume the top
+    * [[PrfFeedbackK]] documents are relevant, mine the
+    * [[PrfExpandK]] most characteristic non-query terms from them
+    * (feedback tf × linear idf, the same exact-integer scoring
+    * discipline as tfidfTopK), then re-run an EXPANDED weighted query
+    * — original terms weight 2, expansion terms weight 1 — and return
+    * the final top-k. The standard recall-repair loop a retrieval
+    * stack runs when queries underspecify the corpus vocabulary.
+    *
+    * Scale shape: both retrieval passes are the broadcast-query BM25
+    * core (the corpus never shuffles on anything but the inverted
+    * index build); the mining stage touches only the feedback docs'
+    * postings — |queries| × [[PrfFeedbackK]] docs semi-joined
+    * map-side — and the expanded term frame (queries × a handful of
+    * terms, localCheckpoint-materialized since two joins consume it)
+    * broadcasts like any query. At 100 TB the inverted index would be
+    * a shared materialized artifact across the passes, as elsewhere. */
+  def prfExpansion(spark: SparkSession, dir: String): DataFrame =
+    prfOn(Tables.documents(spark, dir), QueryTerms, PrfFeedbackK, PrfExpandK, K)
+
+  /** PRF core over any (doc_id, text) frame — spec seam. */
+  def prfOn(docs: DataFrame, queryTerms: Seq[(String, String)],
+      fbK: Int, exK: Int, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // stage 1: feedback pool — top-fbK docs per query, plain BM25
+    val topLong = udaf(new graft.functions.TopKByLongScore(fbK))
+    val fb = bm25Scores(docs, queryTerms).groupBy(col("query_id"))
+      .agg(topLong(col("doc_id"), col("score_sc")).as("top"))
+      .select(col("query_id"), explode(col("top")).as("t"))
+      .select(col("query_id"), col("t.vec_id").as("doc_id"))
+    // stage 2: expansion mining — feedback docs' terms, original query
+    // terms excluded, scored by feedback-tf × linear idf
+    val tfsD = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val allDf = tfsD.groupBy("token").agg(count(lit(1)).as("df"))
+    val qt = queryTerms.toDF("query_id", "token")
+    val cand = broadcast(fb).join(tfsD, Seq("doc_id"))
+      .join(broadcast(qt), Seq("query_id", "token"), "left_anti")
+      .groupBy("query_id", "token").agg(sum(col("tf")).as("fb_tf"))
+    val topTerms = udaf(new graft.functions.TopKTermsByLongScore(exK))
+    val expTerms = allDf.filter(col("df") >= PrfMinDf)
+      .join(broadcast(cand), Seq("token"))
+      .withColumn("exp_sc", expr(s"(fb_tf * $SC) div df"))
+      .groupBy(col("query_id"))
+      .agg(topTerms(col("token"), col("exp_sc")).as("top"))
+      .select(col("query_id"), explode(col("top")).as("t"))
+      .select(col("query_id"), col("t.term").as("token"))
+      .localCheckpoint() // consumed by df-count AND the scoring join
+    // stage 3: weighted re-scoring — originals outweigh expansions 2:1
+    val expanded = qt.withColumn("w", lit(2L))
+      .unionByName(expTerms.withColumn("w", lit(1L)))
+    val topk = udaf(new graft.functions.TopKByLongScore(k))
+    bm25ScoresWeighted(docs, expanded).groupBy(col("query_id"))
+      .agg(topk(col("doc_id"), col("score_sc")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + lit(1)).as("rnk"),
+        col("col.vec_id").as("doc_id"), col("col.score").as("score_sc"))
+      .orderBy("query_id", "rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_rrf_fusion" -> ((s, d) => rrfFusion(s, d)),
     "text_bm25_topk" -> ((s, d) => bm25TopK(s, d)),
+    "text_prf_expansion" -> ((s, d) => prfExpansion(s, d)),
     "text_tfidf_topk" -> ((s, d) => tfidfTopK(s, d)))
 
   private val qValuesSql = QueryTerms
@@ -271,6 +355,47 @@ object Retrieval {
          |    ORDER BY rrf_milli DESC, doc_id)::BIGINT AS rnk,
          |  doc_id, rrf_milli
          |FROM f QUALIFY rnk <= $RrfK ORDER BY query_id, rnk""".stripMargin,
+    // the full two-pass chain: feedback pool (score DESC, doc_id),
+    // expansion mining with NOT EXISTS original-term exclusion and the
+    // (exp_sc DESC, term) rank, then the weighted rescore with the
+    // identical integer BM25 factors under the expanded df table
+    "text_prf_expansion" ->
+      s"""WITH $bm25ScoreCteSql,
+         |fb AS (SELECT query_id, doc_id FROM (
+         |    SELECT query_id, doc_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY score_sc DESC, doc_id) AS r
+         |    FROM sc) WHERE r <= $PrfFeedbackK),
+         |tfsd AS (SELECT doc_id, token, tf FROM tfs),
+         |alldf AS (SELECT token, count(*)::BIGINT AS df FROM tfsd GROUP BY 1),
+         |cand AS (SELECT f.query_id, t.token, sum(t.tf)::BIGINT AS fb_tf
+         |  FROM fb f JOIN tfsd t USING (doc_id)
+         |  WHERE NOT EXISTS (SELECT 1 FROM q
+         |    WHERE q.query_id = f.query_id AND q.token = t.token)
+         |  GROUP BY 1, 2),
+         |ex AS (SELECT query_id, token FROM (
+         |    SELECT c.query_id, c.token,
+         |      row_number() OVER (PARTITION BY c.query_id
+         |        ORDER BY (c.fb_tf * $SC) // d.df DESC, c.token) AS r
+         |    FROM cand c JOIN alldf d USING (token)
+         |    WHERE d.df >= $PrfMinDf) WHERE r <= $PrfExpandK),
+         |q2 AS (SELECT query_id, token, 2::BIGINT AS w FROM q
+         |  UNION ALL SELECT query_id, token, 1::BIGINT AS w FROM ex),
+         |dfs2 AS (SELECT token, count(*)::BIGINT AS df FROM tfs
+         |  WHERE token IN (SELECT DISTINCT token FROM q2) GROUP BY 1),
+         |sc2 AS (SELECT q2.query_id, t.doc_id,
+         |    sum(q2.w * ((((${SC} * (2 * (s.n_docs - d.df) + 1)) // (2 * d.df + 1))
+         |         * ((t.tf * 2200 * $SC)
+         |            // (t.tf * $SC
+         |                + (12 * (250000 + (3 * t.dl * $SC * $SC) // (4 * s.avgdl_sc))) // 10)))
+         |        // 1000))::BIGINT AS score_sc
+         |  FROM tfs t JOIN q2 ON t.token = q2.token JOIN dfs2 d ON t.token = d.token
+         |  CROSS JOIN stats s
+         |  GROUP BY 1, 2)
+         |SELECT query_id,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY score_sc DESC, doc_id) AS rnk,
+         |  doc_id, score_sc
+         |FROM sc2 QUALIFY rnk <= $K ORDER BY query_id, rnk""".stripMargin,
     "text_tfidf_topk" ->
       s"""WITH t AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token FROM documents),
          |tfs AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM t GROUP BY 1, 2),

@@ -75,6 +75,36 @@ class RetrievalSpec extends SparkSpec {
     assert(counts.forall(_.getLong(1) <= 5))
   }
 
+  test("prf expansion recalls a synonym-only doc the plain query misses") {
+    import spark.implicits._
+    // query: "engine". The corpus correlates "engine" with "motor"
+    // in the feedback docs; doc 10 says only "motor" — plain BM25
+    // can never return it, PRF must (the recall-repair the operator
+    // exists for). Filler docs keep the correlated term's df honest.
+    val docs = (Seq(
+      (1L, "engine motor piston crank shaft"),
+      (2L, "engine motor valve cam gear"),
+      (3L, "engine motor bolt nut washer"),
+      (10L, "motor motor motor coil wire"),
+      (11L, "bread butter jam tea scone"),
+      (12L, "river stone moss fern bank"),
+      (13L, "cloud rain wind storm sky")) ++
+      (20L to 40L).map(i => (i, s"filler$i word$i item$i thing$i part$i")))
+      .toDF("doc_id", "text")
+    val q = Seq("q" -> "engine")
+    val plain = Retrieval.bm25On(docs, q, 5).collect().map(_.getLong(2)).toSet
+    assert(!plain.contains(10L), "plain BM25 cannot see the synonym-only doc")
+    val prf = Retrieval.prfOn(docs, q, fbK = 3, exK = 2, k = 5)
+      .collect().map(_.getLong(2)).toSet
+    assert(prf.contains(10L),
+      s"expansion must recall the motor-only doc; got $prf")
+    // original terms outweigh expansions: the engine+motor docs still
+    // rank above the motor-only doc
+    val ranked = Retrieval.prfOn(docs, q, 3, 2, 5).collect()
+      .sortBy(_.getInt(1)).map(_.getLong(2))
+    assert(ranked.indexOf(10L) > ranked.indexOf(1L))
+  }
+
   test("bm25 plan is window-free with the query side broadcast") {
     val plan = Retrieval.bm25TopK(spark, sf001)
       .queryExecution.executedPlan.toString
