@@ -68,6 +68,12 @@ object Multimodal {
         // count (frame planning does ranged reads from it) — character
         // count diverges on any non-ASCII text
         struct(col("source"), octet_length(col("text")).cast("long").as("n_bytes")).as("meta"))
+      // deterministic hash spread BEFORE the codec stages: the demo
+      // corpus is one parquet split, which would run every decode on a
+      // single core — at 100 TB the file count provides this
+      // parallelism for free, locally the one narrow shuffle of ids +
+      // payloads buys core-count codec throughput
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .as[MediaRecord]
   }
 
