@@ -237,10 +237,15 @@ class PlanShapeSpec extends SparkSpec {
         assert(p.contains("windowspecdefinition(doc_id"),
           s"$q window must partition by doc_id:\n$p")
     }
-    // per-frame video decode is a pure scan + per-partition flatMap —
-    // any Exchange means the media table started shuffling to decode
+    // per-frame video decode is a per-partition flatMap over the media
+    // frame. Exactly ONE exchange is allowed: mediaTable's deliberate
+    // doc_id hash spread (the demo corpus is a single parquet split;
+    // without the spread every codec runs on one core). Decode itself
+    // must not add any further shuffle.
     val pv = physical(SparkEntry.queries("mm_video_frames")(spark, sf0001))
-    assert(!pv.contains("Exchange"), s"video decode must not shuffle:\n$pv")
+    assert("Exchange".r.findAllIn(pv).size == 1 &&
+      pv.contains("hashpartitioning(doc_id"),
+      s"video decode must carry only the media-frame spread exchange:\n$pv")
     // semantic keep-best: selection stays a map-side argmax aggregate
     // (the CC subplan may sort-merge its own edges; no per-cluster
     // window may appear anywhere)
