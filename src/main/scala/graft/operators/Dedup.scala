@@ -1124,7 +1124,42 @@ object Dedup {
       .orderBy("source")
   }
 
+  /** Per-document n-gram NOVELTY score — the "how much of this doc is
+    * new to the corpus" curation signal (the additive complement of
+    * near-dup detection: rank-by-contribution instead of drop-by-
+    * similarity). A shingle's first appearance is attributed to the
+    * minimum doc_id holding it (deterministic, order-free); a doc's
+    * novelty is the share of its distinct word-3-gram shingles it is
+    * the first holder of. Boilerplate-heavy docs score near 0, fresh
+    * content near 1 — the score feeds mixing/curriculum weights the
+    * same way quality scores do.
+    *
+    * Scale shape: ONE wide shuffle. The exploded postings are hashed
+    * on code for the min-doc aggregate, and the join back to postings
+    * is on the same key from the same subplan, so Catalyst reuses the
+    * exchange (ReusedExchange in the formatted plan) and the join is
+    * co-partitioned; the per-doc rollup that follows is map-side
+    * combined. Stop-shingle skew is bounded by the same df cap as the
+    * pair joins ([[cappedPostingsOn]] would drop them from both sides
+    * symmetrically); here the hot key costs only a count, never k²
+    * pairs, so the raw postings are safe as-is. */
+  def ngramNoveltyOn(sh: DataFrame): DataFrame = {
+    val posts = sh.select(col("doc_id"), explode(col("codes")).as("code"))
+    val first = posts.groupBy(col("code")).agg(min(col("doc_id")).as("first_doc"))
+    posts.join(first, "code")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double") / col("n_shingles"), 6))
+  }
+
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame =
+    ngramNoveltyOn(shingled(spark, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_ngram_novelty" -> ((s, d) => ngramNovelty(s, d)),
     "dedup_savings" -> ((s, d) => dedupSavings(s, d)),
     "qa_split_leakage" -> ((s, d) => splitLeakage(s, d)),
     "sample_splits_by_cluster" -> ((s, d) => splitsByCluster(s, d)),
@@ -1238,6 +1273,20 @@ object Dedup {
        |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // first-holder novelty: min doc_id per shingle code, share of a
+    // doc's distinct shingles it holds first
+    "text_ngram_novelty" ->
+      s"""WITH $shingleCte,
+         |posts AS (SELECT doc_id, unnest(codes) AS code FROM sh),
+         |firsts AS (SELECT code, min(doc_id) AS first_doc
+         |  FROM posts GROUP BY code)
+         |SELECT p.doc_id, count(*)::BIGINT AS n_shingles,
+         |  sum(CASE WHEN f.first_doc = p.doc_id THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_novel,
+         |  round(sum(CASE WHEN f.first_doc = p.doc_id THEN 1 ELSE 0 END)::DOUBLE
+         |    / count(*), 6) AS novelty
+         |FROM posts p JOIN firsts f USING (code)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the jaccard pair SQL with the score carried, joined against the
     // SAME md5 split rule sample_splits replays (Curation.sqlU)
     "qa_split_leakage" ->

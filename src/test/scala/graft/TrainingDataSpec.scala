@@ -241,6 +241,24 @@ class TrainingDataSpec extends SparkSpec {
     assert(Dedup.spanRemovalOn(scrubbed).isEmpty)
   }
 
+  test("ngram novelty attributes each shingle to its min-doc_id first holder") {
+    val corpus = Seq(
+      (1L, "a b c d"),           // {abc, bcd} — both first here
+      (2L, "a b c d"),           // exact dup: novelty 0
+      (3L, "a b c x y z")        // {abc(old), bcx, cxy, xyz}: 3/4 novel
+    ).toDF("doc_id", "text")
+    val nov = Dedup.ngramNoveltyOn(Dedup.shingledOn(corpus))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(nov == Set((1L, 2L, 2L), (2L, 2L, 0L), (3L, 4L, 3L)))
+    // and the corpus-wide invariant: every shingle is novel exactly once,
+    // so sum(n_novel) = count(distinct codes)
+    val sh = Dedup.shingledOn(Tables.documents(spark, sf0001))
+    val total = Dedup.ngramNoveltyOn(sh)
+      .agg(sum(col("n_novel"))).collect()(0).getLong(0)
+    val distinctCodes = sh.select(explode(col("codes"))).distinct().count()
+    assert(total == distinctCodes)
+  }
+
   test("containment catches a short doc inside a long one that Jaccard misses") {
     val corpus = Seq(
       (1L, "a b c d"), // {abc, bcd} — fully contained in doc 2
