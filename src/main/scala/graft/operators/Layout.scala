@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.ColumnBridge
 import graft.Tables
-import graft.functions.ZOrder2
+import graft.functions.{Hilbert2, ZOrder2}
 
 /** Multi-dimensional data layout: z-order (Morton) clustering keys.
   *
@@ -65,6 +65,35 @@ object Layout {
       .withColumn("bbox_cells",
         (col("mx_a") - col("mn_a") + lit(1)) * (col("mx_b") - col("mn_b") + lit(1)))
 
+  /** Hilbert key column over two BIGINT dimension columns already in
+    * [0, GridCells). */
+  def hilbertKey(a: Column, b: Column): Column =
+    ColumnBridge.column(Hilbert2(
+      ColumnBridge.expression(a), ColumnBridge.expression(b), GridCells))
+
+  /** [[zorderTiles]]'s twin on the Hilbert curve — same grid, same
+    * tile granularity, same per-tile bbox statistics. Aligned 4^k-key
+    * blocks of the Hilbert curve are exact 2^k×2^k subsquares (the
+    * curve is defined by recursive quadrant subdivision), so full
+    * tiles bound bbox_cells at [[TileKeys]] like z-order does; the
+    * curve's edge over Morton is that ARBITRARY contiguous ranges stay
+    * compact too — consecutive keys are always grid-adjacent (no
+    * Morton seam jumps), which is what a range-scan over a clustered
+    * file layout actually reads. BucketingSpec asserts the adjacency
+    * property against the native expression directly. */
+  def hilbertTiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(pmod(col("l_partkey"), lit(GridCells)).as("pa"),
+        pmod(col("l_suppkey"), lit(GridCells)).as("pb"))
+      .withColumn("h", hilbertKey(col("pa"), col("pb")))
+      .withColumn("tile", expr(s"h div $TileKeys"))
+      .groupBy(col("tile"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("pa")).as("mn_a"), max(col("pa")).as("mx_a"),
+        min(col("pb")).as("mn_b"), max(col("pb")).as("mx_b"))
+      .withColumn("bbox_cells",
+        (col("mx_a") - col("mn_a") + lit(1)) * (col("mx_b") - col("mn_b") + lit(1)))
+
   /** Output files the compaction plan targets. */
   val CompactionFiles = 16L
 
@@ -99,7 +128,29 @@ object Layout {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "layout_zorder_tiles" -> ((s, d) => zorderTiles(s, d)),
+    "layout_hilbert_tiles" -> ((s, d) => hilbertTiles(s, d)),
     "layout_compaction_plan" -> ((s, d) => compactionPlan(s, d)))
+
+  /** The xy2d walk unrolled: one CTE per bit plane, s = 512 … 1, state
+    * columns suffixed per round (no lateral-alias capture), flip
+    * constant n−1 = ${GridCells − 1}. Mirrors HashOps.hilbert2 exactly. */
+  private val hilbertCtes: String = {
+    val rounds = (0 until 10).map { i =>
+      val s = GridCells >> (i + 1)
+      val (x, y, d) = (s"x$i", s"y$i", s"d$i")
+      val rx = s"(CASE WHEN ($x & $s) != 0 THEN 1 ELSE 0 END)"
+      val ry = s"(CASE WHEN ($y & $s) != 0 THEN 1 ELSE 0 END)"
+      s"""h${i + 1} AS (SELECT pa, pb,
+         |  CASE WHEN ($y & $s) = 0 THEN (CASE WHEN ($x & $s) != 0
+         |    THEN ${GridCells - 1} - $y ELSE $y END) ELSE $x END AS x${i + 1},
+         |  CASE WHEN ($y & $s) = 0 THEN (CASE WHEN ($x & $s) != 0
+         |    THEN ${GridCells - 1} - $x ELSE $x END) ELSE $y END AS y${i + 1},
+         |  $d + $s * $s * xor(3 * $rx, $ry) AS d${i + 1}
+         |  FROM h$i)""".stripMargin
+    }
+    s"h0 AS (SELECT pa, pb, pa AS x0, pb AS y0, 0::BIGINT AS d0 FROM b),\n" +
+      rounds.mkString(",\n")
+  }
 
   // the five dilation rounds of HashOps.spread32 with the same mask
   // constants in decimal (0x0000FFFF0000FFFF, 0x00FF00FF00FF00FF,
@@ -125,6 +176,15 @@ object Layout {
          |    (l_suppkey % $GridCells)::BIGINT AS pb FROM lineitem),
          |$spreadCtes,
          |z AS (SELECT pa, pb, (za | (zb << 1)) // $TileKeys AS tile FROM s5)
+         |SELECT tile, count(*)::BIGINT AS n_rows,
+         |  min(pa) AS mn_a, max(pa) AS mx_a, min(pb) AS mn_b, max(pb) AS mx_b,
+         |  (max(pa) - min(pa) + 1) * (max(pb) - min(pb) + 1) AS bbox_cells
+         |FROM z GROUP BY tile ORDER BY tile""".stripMargin,
+    "layout_hilbert_tiles" ->
+      s"""WITH b AS (SELECT (l_partkey % $GridCells)::BIGINT AS pa,
+         |    (l_suppkey % $GridCells)::BIGINT AS pb FROM lineitem),
+         |$hilbertCtes,
+         |z AS (SELECT pa, pb, d10 // $TileKeys AS tile FROM h10)
          |SELECT tile, count(*)::BIGINT AS n_rows,
          |  min(pa) AS mn_a, max(pa) AS mx_a, min(pb) AS mn_b, max(pb) AS mx_b,
          |  (max(pa) - min(pa) + 1) * (max(pb) - min(pb) + 1) AS bbox_cells

@@ -112,4 +112,43 @@ class BucketingSpec extends SparkSpec {
         s"file ${f._1} holds ${f._3} rows vs target $target")
     }
   }
+
+  test("hilbert2 is a bijection whose consecutive indices are grid-adjacent") {
+    import graft.functions.HashOps
+    // bijectivity on the full 32×32 grid: 1024 distinct indices in range
+    val n = 32L
+    val cells = for (x <- 0L until n; y <- 0L until n)
+      yield (x, y, HashOps.hilbert2(x, y, n))
+    val ds = cells.map(_._3)
+    assert(ds.toSet == (0L until n * n).toSet)
+    // THE Hilbert property (and what z-order lacks): walking the curve
+    // in index order moves exactly one grid step at a time — every
+    // contiguous key range is a connected region
+    val byD = cells.map(c => c._3 -> (c._1, c._2)).toMap
+    (0L until n * n - 1).foreach { d =>
+      val (x1, y1) = byD(d); val (x2, y2) = byD(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1L,
+        s"jump at d=$d: ($x1,$y1) -> ($x2,$y2)")
+    }
+    // contrast: Morton makes long seam jumps (e.g. crossing the half
+    // grid), so the same walk over zorder2 violates adjacency
+    val zCells = cells.map { case (x, y, _) => (x, y, HashOps.zorder2(x, y)) }
+    val byZ = zCells.map(c => c._3 -> (c._1, c._2)).toMap
+    val zJumps = (0L until n * n - 1).count { z =>
+      val (x1, y1) = byZ(z); val (x2, y2) = byZ(z + 1)
+      math.abs(x1 - x2) + math.abs(y1 - y2) > 1L
+    }
+    assert(zJumps > 0L)
+  }
+
+  test("hilbert tiles: aligned 4096-key blocks are exact 64x64 subsquares") {
+    val tiles = graft.operators.Layout.hilbertTiles(spark, sf0001).collect()
+    assert(tiles.nonEmpty)
+    // every tile's min/max bounding box is capped at one 64×64 square —
+    // the file-statistics pruning bound, same as z-order's aligned tiles
+    tiles.foreach { r =>
+      assert(r.getAs[Long]("bbox_cells") <= graft.operators.Layout.TileKeys,
+        s"tile ${r.getAs[Long]("tile")} bbox ${r.getAs[Long]("bbox_cells")}")
+    }
+  }
 }
