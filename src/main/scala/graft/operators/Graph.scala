@@ -34,32 +34,38 @@ object Graph {
   private val SC = 1000000L
   private val Iters = 3
 
-  /** Undirected edge list with degrees, and the rank seed. */
-  private def purchaseEdges(spark: SparkSession, dir: String): DataFrame = {
-    val e0 = Tables.orders(spark, dir)
-      .join(Tables.lineitem(spark, dir),
-        col("o_orderkey") === col("l_orderkey"))
-      .select((col("o_custkey") * 2).as("src"),
-        (col("l_suppkey") * 2 + 1).as("dst"))
-      .distinct()
-    e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-  }
+  /** Undirected edge list — the orders⋈lineitem distinct is the
+    * expensive shared upstream of PageRank AND label propagation, so
+    * it is memoized per (session, dir) like the dedup pair frames: the
+    * symmetric edge list is materialized once (hash-partitioned on src
+    * by the consumers' own repartition+checkpoint), mirroring how a
+    * production deployment would build the graph once per generation
+    * and run every analytic against that artifact. */
+  private val edgesMemo = new DirMemo
+
+  private def purchaseEdges(spark: SparkSession, dir: String): DataFrame =
+    edgesMemo(spark, dir) {
+      val e0 = Tables.orders(spark, dir)
+        .join(Tables.lineitem(spark, dir),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+        .repartition(col("src")).localCheckpoint()
+    }
 
   /** Three fixed-point PageRank iterations (damping 0.85):
     * r'(v) = 0.15·SC + 0.85·Σ_{u→v} (r(u) div deg(u)), all BIGINT. */
   def pageRank(spark: SparkSession, dir: String): DataFrame = {
-    // materialize the static edge list once — every iteration (and the
-    // degree count) would otherwise re-run the orders⋈lineitem distinct
-    // from scratch; localCheckpoint also truncates the growing lineage,
-    // the same pattern as Dedup.minLabelClustersOn. Hash-partition on
-    // src BEFORE the checkpoint (LogicalRDD keeps the partitioning):
-    // every iteration's edges⋈ranks join then needs no exchange on
-    // either side — ranks comes out of the previous iteration already
-    // hashed on node — so an iteration costs exactly ONE shuffle, the
-    // message aggregation on dst. The canonical distributed-PageRank
-    // shape: partition the static graph once, shuffle only messages.
+    // purchaseEdges hands the memoized edge list hash-partitioned on
+    // src and checkpointed (LogicalRDD keeps the partitioning): every
+    // iteration's edges⋈ranks join then needs no exchange on either
+    // side — ranks comes out of the previous iteration already hashed
+    // on node — so an iteration costs exactly ONE shuffle, the message
+    // aggregation on dst. The canonical distributed-PageRank shape:
+    // partition the static graph once, shuffle only messages.
     val edges = purchaseEdges(spark, dir)
-      .repartition(col("src")).localCheckpoint()
     val deg = edges.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("deg"))
       .localCheckpoint()
@@ -152,8 +158,9 @@ object Graph {
     * row per node, nothing driver-sided. */
   /** The LPA rounds over any symmetric (src, dst) edge frame — spec
     * seam; returns (node, label) after [[Iters]] rounds. */
-  private[graft] def labelPropOn(edges0: DataFrame): DataFrame = {
-    val edges = edges0.repartition(col("src")).localCheckpoint()
+  private[graft] def labelPropOn(edges: DataFrame): DataFrame = {
+    // callers hand a materialized src-partitioned frame (purchaseEdges
+    // memo); the rounds then shuffle only messages
     var labels = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
     for (_ <- 1 to Iters) {
