@@ -27,7 +27,8 @@ object Explain {
         "text_rrf_fusion", "qa_split_leakage", "sample_splits_by_cluster",
         "dedup_span_removal", "dedup_span_scrub", "mm_video_frames",
         "curation_source_filter", "profile_corpus_card",
-        "curation_shard_order")
+        "curation_shard_order", "text_ngram_novelty", "graph_label_prop",
+        "layout_hilbert_tiles", "text_prf_expansion")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -1134,15 +1134,14 @@ object Dedup {
     * content near 1 — the score feeds mixing/curriculum weights the
     * same way quality scores do.
     *
-    * Scale shape: ONE wide shuffle. The exploded postings are hashed
-    * on code for the min-doc aggregate, and the join back to postings
-    * is on the same key from the same subplan, so Catalyst reuses the
-    * exchange (ReusedExchange in the formatted plan) and the join is
-    * co-partitioned; the per-doc rollup that follows is map-side
-    * combined. Stop-shingle skew is bounded by the same df cap as the
-    * pair joins ([[cappedPostingsOn]] would drop them from both sides
-    * symmetrically); here the hot key costs only a count, never k²
-    * pairs, so the raw postings are safe as-is. */
+    * Scale shape: the exploded postings are hashed on code for the
+    * min-doc aggregate and joined back on the same key. At testdata
+    * scale Catalyst broadcasts the firsts aggregate (2 exchanges
+    * total); at corpus scale stats push the join to a co-partitioned
+    * shuffle join over the same subplan, where exchange reuse applies.
+    * The per-doc rollup that follows is map-side combined. Stop-shingle
+    * skew costs only a count here — a hot key never yields k² pairs —
+    * so the raw postings are safe without the pair joins' df cap. */
   def ngramNoveltyOn(sh: DataFrame): DataFrame = {
     val posts = sh.select(col("doc_id"), explode(col("codes")).as("code"))
     val first = posts.groupBy(col("code")).agg(min(col("doc_id")).as("first_doc"))
