@@ -557,7 +557,34 @@ object TextAnalysis {
         round(col("chi2"), 4).as("chi2"))
   }
 
+  /** Blocklist fixture: multi-word phrases from the corpus domain,
+    * deliberately including nested terms ("slow" inside "scan slow")
+    * so overlapping-match counting is exercised — and a replace-based
+    * count (which sees only non-overlapping hits) would diverge. A
+    * production list is thousands of phrases; the automaton cost is
+    * size-independent per scanned byte. */
+  val Blocklist: Seq[String] =
+    Seq("slow query", "scan slow", "slow", "drop table", "hash join")
+  val BlockThreshold = 8L
+
+  /** Per-document blocklist phrase hits via one broadcast Aho-Corasick
+    * pass (functions/AhoCorasick.scala) — every occurrence of every
+    * term counted, nested/overlapping included — plus the block
+    * verdict. Scale shape: a pure per-row scan projection, no shuffle
+    * at all (the one in the plan is the driver-side collect of the
+    * 500-row result at testdata scale; a production run writes
+    * map-side). */
+  def blocklistHits(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        ColumnBridge.column(graft.functions.BlocklistHits(
+          ColumnBridge.expression(col("text")), Blocklist)).as("n_hits"))
+      .withColumn("blocked", col("n_hits") >= lit(BlockThreshold))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_blocklist" -> ((s, d) => blocklistHits(s, d)),
     "text_chi2_terms" -> ((s, d) => chi2Terms(s, d)),
     "text_pmi_bigrams" -> ((s, d) => pmiBigrams(s, d)),
     "text_bpe_train" -> ((s, d) => bpeTrain(s, d)),
@@ -646,7 +673,22 @@ object TextAnalysis {
       |FROM bg b JOIN m USING (bg)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** All-positions occurrence count of `term` — every start index
+    * probed, so nested/overlapping matches count exactly like the
+    * automaton's every-match-end semantics. */
+  private def occSql(term: String): String = {
+    val esc = term.replace("'", "''")
+    val n = term.length
+    s"coalesce(list_sum(list_transform(range(1, greatest(len(text) - $n + 2, 1)), " +
+      s"j -> CASE WHEN substr(text, j, $n) = '$esc' THEN 1 ELSE 0 END)), 0)"
+  }
+
   val oracle: Map[String, String] = Map(
+    "text_blocklist" ->
+      s"""SELECT doc_id,
+         |  (${Blocklist.map(occSql).mkString(" +\n   ")})::BIGINT AS n_hits,
+         |  (${Blocklist.map(occSql).mkString(" +\n   ")}) >= $BlockThreshold AS blocked
+         |FROM documents ORDER BY doc_id""".stripMargin,
     // exact counts; the float fold runs char-sorted in both engines
     "text_char_entropy" ->
       """WITH ch AS (SELECT doc_id, unnest(list_filter(string_split(text, ''), c -> c <> '')) AS c FROM documents),

@@ -238,6 +238,48 @@ class HashExpressionsSpec extends SparkSpec {
     assert(ref.values.exists(identity) && ref.values.exists(!_))
   }
 
+  test("AcAutomaton counts every occurrence, nested and overlapping included") {
+    import graft.functions.AcAutomaton
+    def naive(s: String, terms: Seq[String]): Long =
+      terms.map(t => (0 to s.length - t.length).count(i => s.startsWith(t, i)).toLong)
+        .sum
+    val terms = graft.operators.TextAnalysis.Blocklist
+    val ac = new AcAutomaton(terms)
+    // the nested-term fixture: "slow" inside "scan slow", chained into
+    // "slow query" — three matches share characters
+    val s = "a scan slow query b"
+    assert(naive(s, terms) == 3L)
+    assert(ac.count(UTF8String.fromString(s)) == 3L)
+    // property: equals the all-positions reference on random word salads
+    val word = Gen.oneOf("scan", "slow", "query", "drop", "table", "hash",
+      "join", "x", "slo", "lowq")
+    val salad = Gen.chooseNum(0, 30).flatMap(n => Gen.listOfN(n, word))
+      .map(_.mkString(" "))
+    val texts = Gen.listOfN(300, salad)
+      .apply(Gen.Parameters.default, Seed(42L)).get
+    texts.foreach { t =>
+      assert(ac.count(UTF8String.fromString(t)) == naive(t, terms), s"on '$t'")
+    }
+  }
+
+  test("BlocklistHits equals the driver automaton on real data, codegen and interpreted") {
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+    val ac = new graft.functions.AcAutomaton(graft.operators.TextAnalysis.Blocklist)
+    val ref = docs.collect()
+      .map(r => r.getLong(0) -> ac.count(UTF8String.fromString(r.getString(1))))
+      .toMap
+    def run(): Map[Long, Long] =
+      graft.operators.TextAnalysis.blocklistHits(spark, sf0001)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run() == ref)
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try assert(run() == ref)
+    finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+    // the fixture list actually fires on the corpus
+    assert(ref.values.exists(_ > 0L))
+  }
+
   test("zorder tiles bound both dimensions' bounding boxes") {
     val tiles = graft.operators.Layout.zorderTiles(spark, sf0001).collect()
     assert(tiles.nonEmpty)
