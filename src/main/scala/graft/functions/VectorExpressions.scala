@@ -176,7 +176,12 @@ object VectorFunctions {
     ("simhash31", classOf[SimHash31],
       (c: Seq[Expression]) => SimHash31(c.head)),
     ("zorder2", classOf[ZOrder2],
-      (c: Seq[Expression]) => ZOrder2(c.head, c(1))))
+      (c: Seq[Expression]) => ZOrder2(c.head, c(1))),
+    // hilbert2(x, y[, n]) — n a literal power-of-two grid width,
+    // default the 1024 grid the layout statistics use
+    ("hilbert2", classOf[Hilbert2],
+      (c: Seq[Expression]) => Hilbert2(c.head, c(1),
+        if (c.length > 2) c(2).eval().asInstanceOf[Number].longValue else 1024L)))
 
   /** Make every graft expression callable from spark.sql on a live
     * session. */

@@ -112,7 +112,36 @@ object Formats {
     * The standard lakehouse layout trick (Delta/Iceberg OPTIMIZE
     * ZORDER), here as a plain-parquet primitive. */
   def writeZOrdered(df: DataFrame, path: String, c1: String, c2: String,
-      numFiles: Int, bits: Int = 16): Unit = {
+      numFiles: Int, bits: Int = 16): Unit =
+    writeCurveClustered(df, path, c1, c2, numFiles, bits, zValue(_, _, bits))
+
+  /** Hilbert value over two quantized NON-NEGATIVE columns on the
+    * 2^bits × 2^bits grid (functions/AhoCorasick.scala sibling
+    * Hilbert2 — see HashOps.hilbert2). */
+  def hValue(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+      bits: Int = 16): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.lit
+    import org.apache.spark.sql.graft.ColumnBridge
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    val n = 1L << bits
+    val mask = lit(n - 1)
+    ColumnBridge.column(graft.functions.Hilbert2(
+      ColumnBridge.expression(a.cast("long").bitwiseAND(mask)),
+      ColumnBridge.expression(b.cast("long").bitwiseAND(mask)), n))
+  }
+
+  /** [[writeZOrdered]] on the Hilbert curve: same quantize → interleave
+    * → range-partition → sort pipeline, but consecutive curve values
+    * are always grid-adjacent, so file boundaries (ARBITRARY cuts of
+    * the key range, not aligned tiles) enclose compact regions where
+    * Morton cuts can straddle a seam jump. */
+  def writeHilbertClustered(df: DataFrame, path: String, c1: String, c2: String,
+      numFiles: Int, bits: Int = 16): Unit =
+    writeCurveClustered(df, path, c1, c2, numFiles, bits, hValue(_, _, bits))
+
+  private def writeCurveClustered(df: DataFrame, path: String, c1: String,
+      c2: String, numFiles: Int, bits: Int,
+      key: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column): Unit = {
     import org.apache.spark.sql.functions._
     // NaN poisons the quantizer silently (max() ranks NaN greatest, so
     // hi = NaN makes EVERY row's bucket 0 and the advertised 2-D
@@ -134,7 +163,7 @@ object Formats {
       if (hi == lo) lit(0L)
       else ((coalesce(clean(c), lit(lo)) - lit(lo)) / lit(hi - lo) * buckets)
         .cast("long")
-    val z = zValue(q(c1, min1, max1), q(c2, min2, max2), bits)
+    val z = key(q(c1, min1, max1), q(c2, min2, max2))
     df.withColumn("__z", z)
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")

@@ -83,6 +83,33 @@ class BucketingSpec extends SparkSpec {
       r.getAs[Long]("b1") - r.getAs[Long]("b0") >= 60))
   }
 
+  test("hilbert-clustered layout bounds BOTH columns per file, tighter worst file than morton") {
+    import spark.implicits._
+    import graft.sources.Formats
+    val grid = (for (a <- 0 until 64; b <- 0 until 64) yield (a.toLong, b.toLong))
+      .toDF("a", "b")
+    val dir = Files.createTempDirectory("graft-hilbert")
+    val hPath = s"$dir/h"; val zPath = s"$dir/z"
+    Formats.writeHilbertClustered(grid, hPath, "a", "b", numFiles = 16)
+    Formats.writeZOrdered(grid, zPath, "a", "b", numFiles = 16)
+    def boxes(path: String) = spark.read.parquet(path)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("a").as("a0"), max("a").as("a1"),
+        min("b").as("b0"), max("b").as("b1"))
+      .collect()
+      .map(r => (r.getAs[Long]("a1") - r.getAs[Long]("a0") + 1) *
+        (r.getAs[Long]("b1") - r.getAs[Long]("b0") + 1))
+    val h = boxes(hPath); val z = boxes(zPath)
+    assert(h.length == 16)
+    // every Hilbert file covers a compact region (16 equal range cuts of
+    // a 64x64 grid: each file holds 256 cells; curve adjacency keeps its
+    // bbox within a quadrant, 32x32 = 1024 cells)
+    h.foreach(area => assert(area <= 1024L, s"hilbert file bbox $area"))
+    // and the WORST file's bbox is no worse than Morton's worst: range
+    // cuts never straddle a Hilbert discontinuity (there are none)
+    assert(h.max <= z.max)
+  }
+
   test("compaction plan keeps contiguous non-overlapping z-ranges near target size") {
     val plan = graft.operators.Layout.compactionPlan(spark, sf0001)
       .collect()
@@ -139,6 +166,13 @@ class BucketingSpec extends SparkSpec {
       math.abs(x1 - x2) + math.abs(y1 - y2) > 1L
     }
     assert(zJumps > 0L)
+    // SQL surface: hilbert2(x, y, n) through the registered builder
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    val viaSql = Seq((3L, 5L), (31L, 0L)).toDF("x", "y")
+      .selectExpr(s"hilbert2(x, y, $n) AS h").collect().map(_.getLong(0))
+    assert(viaSql.toSeq ==
+      Seq(HashOps.hilbert2(3, 5, n), HashOps.hilbert2(31, 0, n)))
   }
 
   test("hilbert tiles: aligned 4096-key blocks are exact 64x64 subsquares") {
