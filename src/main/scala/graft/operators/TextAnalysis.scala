@@ -583,8 +583,32 @@ object TextAnalysis {
       .withColumn("blocked", col("n_hits") >= lit(BlockThreshold))
   }
 
+  /** Blocklist terms in scrub order: longest first (so nested terms
+    * are consumed by their superstring), ties lexicographic — a total
+    * order both engines replay. */
+  val BlocklistScrubOrder: Seq[String] =
+    Blocklist.sortBy(t => (-t.length, t))
+
+  /** Acts on [[blocklistHits]]'s matches: sequential whole-corpus
+    * literal replacement of each phrase in [[BlocklistScrubOrder]].
+    * Sequential left-to-right non-overlapping replace is the exact
+    * semantics of both engines' `replace`, so the cleaned text is
+    * byte-identical cross-engine. Same no-shuffle scan shape as the
+    * hit counter. */
+  def blocklistScrub(spark: SparkSession, dir: String): DataFrame = {
+    val cleaned = BlocklistScrubOrder.foldLeft(col("text")) {
+      (c, t) => replace(c, lit(t), lit(""))
+    }
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        length(cleaned).cast("long").as("n_chars_clean"),
+        cleaned.as("text_clean"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_blocklist" -> ((s, d) => blocklistHits(s, d)),
+    "text_blocklist_scrub" -> ((s, d) => blocklistScrub(s, d)),
     "text_chi2_terms" -> ((s, d) => chi2Terms(s, d)),
     "text_pmi_bigrams" -> ((s, d) => pmiBigrams(s, d)),
     "text_bpe_train" -> ((s, d) => bpeTrain(s, d)),
@@ -683,7 +707,17 @@ object TextAnalysis {
       s"j -> CASE WHEN substr(text, j, $n) = '$esc' THEN 1 ELSE 0 END)), 0)"
   }
 
+  private val scrubChainSql: String =
+    BlocklistScrubOrder.foldLeft("text") {
+      (c, t) => s"replace($c, '${t.replace("'", "''")}', '')"
+    }
+
   val oracle: Map[String, String] = Map(
+    "text_blocklist_scrub" ->
+      s"""SELECT doc_id, len(text)::BIGINT AS n_chars,
+         |  len($scrubChainSql)::BIGINT AS n_chars_clean,
+         |  $scrubChainSql AS text_clean
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_blocklist" ->
       s"""SELECT doc_id,
          |  (${Blocklist.map(occSql).mkString(" +\n   ")})::BIGINT AS n_hits,

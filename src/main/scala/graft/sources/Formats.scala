@@ -116,8 +116,8 @@ object Formats {
     writeCurveClustered(df, path, c1, c2, numFiles, bits, zValue(_, _, bits))
 
   /** Hilbert value over two quantized NON-NEGATIVE columns on the
-    * 2^bits × 2^bits grid (functions/AhoCorasick.scala sibling
-    * Hilbert2 — see HashOps.hilbert2). */
+    * 2^bits × 2^bits grid (functions/HashExpressions.scala Hilbert2 —
+    * see HashOps.hilbert2). */
   def hValue(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
       bits: Int = 16): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.lit

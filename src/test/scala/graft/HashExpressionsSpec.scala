@@ -280,6 +280,26 @@ class HashExpressionsSpec extends SparkSpec {
     assert(ref.values.exists(_ > 0L))
   }
 
+  test("blocklist scrub replaces longest-first and matches a literal-chain reference") {
+    import graft.operators.TextAnalysis
+    // longest-first order: "scan slow query" loses "slow query" as one
+    // unit, leaving "scan " — the nested "slow"/"scan slow" never fire
+    val chain = TextAnalysis.BlocklistScrubOrder
+    def ref(s: String): String =
+      chain.foldLeft(s)((acc, t) => acc.replace(t, ""))
+    assert(ref("a scan slow query b") == "a scan  b")
+    val got = TextAnalysis.blocklistScrub(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    docs.foreach { case (id, t) =>
+      val exp = ref(t)
+      assert(got(id) == (exp.length.toLong, exp), s"doc $id")
+    }
+    // the corpus actually shrinks somewhere
+    assert(docs.exists { case (id, t) => got(id)._1 < t.length })
+  }
+
   test("zorder tiles bound both dimensions' bounding boxes") {
     val tiles = graft.operators.Layout.zorderTiles(spark, sf0001).collect()
     assert(tiles.nonEmpty)

@@ -124,6 +124,16 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("blocklist scan and scrub are pure projections: zero exchanges") {
+    // the automaton is a codegen reference object and the scrub a
+    // replace chain — any Exchange here means the per-row scan grew a
+    // shuffle it must never have
+    Seq("text_blocklist", "text_blocklist_scrub").foreach { q =>
+      val p = physical(SparkEntry.queries(q)(spark, sf0001))
+      assert(!p.contains("Exchange"), s"$q plans a shuffle:\n$p")
+    }
+  }
+
   test("round-5 session ops keep their shapes: no cartesian, no corpus window") {
     // span-frac / containment are inverted-index passes; transitions'
     // only window is per-user; quality_norm's only window runs over the
