@@ -265,7 +265,44 @@ object Behavior {
       .orderBy("type_a", "type_b")
   }
 
+  /** Residual threshold: |resid − 1000‰| beyond this flags the cell. */
+  val SeasonalAnomalyMilli = 500L
+
+  /** STL-lite seasonal decomposition of event volume: the hour-of-day
+    * seasonal profile (mean count per hour slot across days) and each
+    * (date, hour) cell's deseasonalized residual in exact milli-ratios
+    * — resid = 1000·n·k div s where (s, k) are the slot's total and
+    * day-count. Removing the within-day cycle FIRST is what separates
+    * a real anomaly from rush hour; qa_mad_outliers flags whole odd
+    * days, this flags odd cells net of the daily rhythm.
+    *
+    * Scale shape: the event log collapses to a (date, hour) grid in
+    * one map-side-combined shuffle (the grid is |days|×24 however big
+    * the log is); the 24-row profile re-joins by broadcast. Integer
+    * end to end — both engines replay the exact milli values. */
+  def seasonalHourly(spark: SparkSession, dir: String): DataFrame = {
+    // the date as a plain string: DATE round-trips with different
+    // physical types per engine, the comparator canonicalizes strings
+    seasonalHourlyOn(Tables.events(spark, dir)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("d"),
+        hour(col("ts")).cast("long").as("h")))
+  }
+
+  /** Core over any (d, h) occurrence frame — spec seam. */
+  private[graft] def seasonalHourlyOn(occ: DataFrame): DataFrame = {
+    val byCell = occ.groupBy("d", "h").agg(count(lit(1)).as("n"))
+    val prof = byCell.groupBy("h")
+      .agg(sum(col("n")).as("s"), count(lit(1)).as("k"))
+    byCell.join(broadcast(prof), "h")
+      .select(col("d"), col("h"), col("n"),
+        expr("s * 1000 div k").as("expected_milli"),
+        expr("n * k * 1000 div s").as("resid_milli"))
+      .withColumn("anomaly",
+        abs(col("resid_milli") - lit(1000L)) > lit(SeasonalAnomalyMilli))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_seasonal_hourly" -> ((s, d) => seasonalHourly(s, d)),
     "funnel_conversion" -> ((s, d) => funnel(s, d)),
     "evt_pattern_within" -> ((s, d) => patternWithin(s, d)),
     "evt_ewma" -> ((s, d) => ewmaSmooth(s, d)),
@@ -275,6 +312,16 @@ object Behavior {
     "cohort_retention" -> ((s, d) => cohortRetention(s, d)))
 
   val oracle: Map[String, String] = Map(
+    "evt_seasonal_hourly" ->
+      s"""WITH bh AS (SELECT strftime(ts, '%Y-%m-%d') AS d, hour(ts)::BIGINT AS h,
+         |    count(*)::BIGINT AS n FROM events GROUP BY 1, 2),
+         |pr AS (SELECT h, sum(n)::BIGINT AS s, count(*)::BIGINT AS k
+         |  FROM bh GROUP BY 1)
+         |SELECT d, bh.h, n, (s * 1000) // k AS expected_milli,
+         |  (n * k * 1000) // s AS resid_milli,
+         |  abs((n * k * 1000) // s - 1000) > $SeasonalAnomalyMilli AS anomaly
+         |FROM bh JOIN pr ON bh.h = pr.h
+         |ORDER BY d, bh.h""".stripMargin,
     // earliest match = row_number over (p.ts, p.event_id) — the same
     // total order as Spark's min(struct(p_ts, p_id))
     "evt_pattern_within" ->

@@ -188,4 +188,32 @@ class BehaviorSpec extends SparkSpec {
       Seq((1L, "a"), (2L, "b")).toDF("user_id", "event_type")).collect()
     assert(got.isEmpty)
   }
+
+  test("seasonal decomposition flags the injected spike cell, not the rush-hour cells") {
+    // three days with a steady rhythm: hour 9 always busy (10 events),
+    // hour 3 always quiet (2) — plus ONE spiked quiet cell on day 2
+    // (8 events at hour 3). MAD-on-daily-volume can't see it (day 2's
+    // total moves from 12 to 18, within noise of the busy hours);
+    // deseasonalization must: hour 3's mean is (2+8+2)/3 = 4, so the
+    // spike's residual is 2000‰ and the steady cells sit at 500‰/2500‰…
+    // exact integers asserted below.
+    val occ = (for {
+      day <- Seq("2024-01-01", "2024-01-02", "2024-01-03")
+      (h, base) <- Seq((9L, 10), (3L, 2))
+      extra = if (day == "2024-01-02" && h == 3L) 6 else 0
+      _ <- 0 until (base + extra)
+    } yield (day, h)).toDF("d", "h")
+    val got = Behavior.seasonalHourlyOn(occ).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    // hour 9: every day at the mean — resid exactly 1000, no flag
+    Seq("2024-01-01", "2024-01-02", "2024-01-03").foreach { d =>
+      assert(got((d, 9L)) == ((10L, 10000L, 1000L, false)), s"hour 9 on $d")
+    }
+    // hour 3 mean = 4: steady days resid 500 (inside the 500 band —
+    // strict inequality), spike day resid 2000 → flagged
+    assert(got(("2024-01-01", 3L)) == ((2L, 4000L, 500L, false)))
+    assert(got(("2024-01-03", 3L)) == ((2L, 4000L, 500L, false)))
+    assert(got(("2024-01-02", 3L)) == ((8L, 4000L, 2000L, true)))
+  }
 }
