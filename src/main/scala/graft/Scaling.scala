@@ -46,7 +46,12 @@ object Scaling {
     "profile_stats_sketch",  // per-column profiling
     "pipeline_clean_corpus", // fused multi-stage pipeline
     "curation_shard_order",  // per-shard rank write shape
-    "mm_decode_meta")        // binary-column codec UDF
+    "mm_decode_meta",        // binary-column codec UDF
+    "text_ngram_novelty",    // postings agg + join-back
+    "graph_label_prop",      // iterative mode-label rounds
+    "layout_hilbert_tiles",  // curve-key scan + tile agg
+    "text_blocklist",        // automaton scan, zero shuffles
+    "evt_seasonal_hourly")   // calendar-grid seasonal profile
 
   def main(args: Array[String]): Unit = {
     val dirs = args(0).split(",").toSeq
