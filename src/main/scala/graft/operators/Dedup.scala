@@ -1157,8 +1157,40 @@ object Dedup {
   def ngramNovelty(spark: SparkSession, dir: String): DataFrame =
     ngramNoveltyOn(shingled(spark, dir))
 
+  /** [[ngramNovelty]]'s ingest form: score an arriving batch's novelty
+    * against the STANDING corpus only (batch docs don't dilute each
+    * other — the question at ingest is "what does this batch add").
+    * Same batch convention as [[incrementalDedup]]: every
+    * [[IncrementalBatchMod]]th doc plays the batch. A shingle is novel
+    * iff absent from the corpus's distinct-code index — the artifact a
+    * 100 TB deployment persists once per generation (exactly the
+    * standing band index [[incrementalDedup]] probes); the ingest then
+    * shuffles ONLY the batch's postings against it, never
+    * corpus × corpus. */
+  def incrementalNovelty(spark: SparkSession, dir: String): DataFrame =
+    incrementalNoveltyOn(shingled(spark, dir),
+      pmod(col("doc_id"), lit(IncrementalBatchMod)) === 0)
+
+  /** Core over any (doc_id, codes) frame and batch predicate — spec
+    * seam. */
+  private[graft] def incrementalNoveltyOn(sh: DataFrame,
+      isBatch: Column): DataFrame = {
+    val corpusCodes = sh.filter(!isBatch)
+      .select(explode(col("codes")).as("code")).distinct()
+      .withColumn("seen", lit(1L))
+    val posts = sh.filter(isBatch)
+      .select(col("doc_id"), explode(col("codes")).as("code"))
+    posts.join(corpusCodes, Seq("code"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double") / col("n_shingles"), 6))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_ngram_novelty" -> ((s, d) => ngramNovelty(s, d)),
+    "text_novelty_incremental" -> ((s, d) => incrementalNovelty(s, d)),
     "dedup_savings" -> ((s, d) => dedupSavings(s, d)),
     "qa_split_leakage" -> ((s, d) => splitLeakage(s, d)),
     "sample_splits_by_cluster" -> ((s, d) => splitsByCluster(s, d)),
@@ -1285,6 +1317,20 @@ object Dedup {
          |  round(sum(CASE WHEN f.first_doc = p.doc_id THEN 1 ELSE 0 END)::DOUBLE
          |    / count(*), 6) AS novelty
          |FROM posts p JOIN firsts f USING (code)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // batch-vs-standing-corpus novelty: left join against the corpus's
+    // distinct code index, batch = every IncrementalBatchMod-th doc
+    "text_novelty_incremental" ->
+      s"""WITH $shingleCte,
+         |corpus AS (SELECT DISTINCT unnest(codes) AS code FROM sh
+         |  WHERE doc_id % $IncrementalBatchMod <> 0),
+         |posts AS (SELECT doc_id, unnest(codes) AS code FROM sh
+         |  WHERE doc_id % $IncrementalBatchMod = 0)
+         |SELECT p.doc_id, count(*)::BIGINT AS n_shingles,
+         |  sum(CASE WHEN c.code IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_novel,
+         |  round(sum(CASE WHEN c.code IS NULL THEN 1 ELSE 0 END)::DOUBLE
+         |    / count(*), 6) AS novelty
+         |FROM posts p LEFT JOIN corpus c USING (code)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the jaccard pair SQL with the score carried, joined against the
     // SAME md5 split rule sample_splits replays (Curation.sqlU)

@@ -259,6 +259,20 @@ class TrainingDataSpec extends SparkSpec {
     assert(total == distinctCodes)
   }
 
+  test("incremental novelty scores the batch against the standing corpus only") {
+    val corpus = Seq(
+      (1L, "a b c d"),     // corpus: {abc, bcd}
+      (4L, "a b c d"),     // batch (id%4==0): exact dup of corpus → 0
+      (8L, "p q r s"),     // batch: all fresh → 1, even though doc 12
+      (12L, "p q r s")     // batch: shares with 8 ONLY — still novel
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalNoveltyOn(Dedup.shingledOn(corpus),
+        pmod(col("doc_id"), lit(4L)) === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // batch docs never dilute each other: 8 and 12 both fully novel
+    assert(got == Set((4L, 2L, 0L), (8L, 2L, 2L), (12L, 2L, 2L)))
+  }
+
   test("containment catches a short doc inside a long one that Jaccard misses") {
     val corpus = Seq(
       (1L, "a b c d"), // {abc, bcd} — fully contained in doc 2
