@@ -28,7 +28,9 @@ object Explain {
         "dedup_span_removal", "dedup_span_scrub", "mm_video_frames",
         "curation_source_filter", "profile_corpus_card",
         "curation_shard_order", "text_ngram_novelty", "graph_label_prop",
-        "layout_hilbert_tiles", "text_prf_expansion")
+        "layout_hilbert_tiles", "text_prf_expansion", "text_blocklist",
+        "text_blocklist_scrub", "evt_seasonal_hourly",
+        "text_novelty_incremental")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
