@@ -288,7 +288,65 @@ object Retrieval {
       .orderBy("query_id", "rnk")
   }
 
+  /** Dirichlet smoothing mass (Zhai & Lafferty 2001's standard μ). */
+  val DirichletMu = 2000L
+
+  /** Query-likelihood ranking with Dirichlet smoothing — the language-
+    * modeling member of the classic lexical trio (BM25 / QL / fusion):
+    * score(q,d) = Σ_t ln P̂(t|d) with P̂ = (tf + μ·P(t|C)) / (dl + μ),
+    * ranked via the corpus-prior-normalized ratio (dividing by
+    * Π P(t|C) is doc-independent, so rankings are identical and every
+    * ln argument is the exact BIGINT rational
+    * (tf·C + μ·cf) / ((dl+μ)·cf), converted to double identically in
+    * both engines — the charLmScore discipline; the per-doc sum spans
+    * ≤|q| terms and is rounded to 6 decimals before ranking, so ties
+    * break on doc_id the same way cross-engine). Unlike BM25's
+    * tf-only sum, a doc is scored on EVERY query term — absence costs
+    * the smoothed-prior penalty, which is what makes QL prefer docs
+    * covering all terms.
+    *
+    * Scale shape: dl × query-terms is a broadcast crossJoin (bounded
+    * multiplier ≤|q| rows per doc); tf/cf restrict the token explode
+    * to query terms before any shuffle; the 1-row corpus total and
+    * the |q|-row cf frame broadcast. The integer products stay under
+    * 2^63 through ~10^12-token corpora (tf·C ≤ dl·C ≈ 10^15,
+    * μ·cf ≤ 2·10^15), and under double's 2^53 exact-integer range at
+    * the same bound. Final ranking is the bounded top-k aggregator. */
+  def qlTopK(spark: SparkSession, dir: String): DataFrame =
+    qlOn(Tables.documents(spark, dir), QueryTerms, DirichletMu, K)
+
+  def qlOn(docs: DataFrame, queryTerms: Seq[(String, String)],
+      mu: Long, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qt = queryTerms.toDF("query_id", "token")
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val dl = toks.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+    val tokq = toks.select(col("doc_id"), explode(col("toks")).as("token"))
+      .join(broadcast(qt.select("token").distinct()), Seq("token"))
+    val cf = tokq.groupBy("token").agg(count(lit(1)).as("cf"))
+    val c = toks.agg(sum(size(col("toks"))).cast("long").as("c"))
+    val tfq = tokq.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val scores = dl
+      .crossJoin(broadcast(qt.join(cf, Seq("token"))))
+      .crossJoin(broadcast(c))
+      .join(tfq, Seq("doc_id", "token"), "left")
+      .withColumn("lr", log(
+        (coalesce(col("tf"), lit(0L)) * col("c") + lit(mu) * col("cf"))
+          .cast("double") /
+          ((col("dl") + lit(mu)) * col("cf")).cast("double")))
+      .groupBy("query_id", "doc_id").agg(round(sum("lr"), 6).as("score"))
+    val topk = udaf(new graft.functions.TopKByScore(k))
+    scores.groupBy(col("query_id"))
+      .agg(topk(col("doc_id"), col("score")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + lit(1)).as("rnk"),
+        col("col.vec_id").as("doc_id"), col("col.cosine").as("score"))
+      .orderBy("query_id", "rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_ql_topk" -> ((s, d) => qlTopK(s, d)),
     "text_rrf_fusion" -> ((s, d) => rrfFusion(s, d)),
     "text_bm25_topk" -> ((s, d) => bm25TopK(s, d)),
     "text_prf_expansion" -> ((s, d) => prfExpansion(s, d)),
@@ -320,6 +378,26 @@ object Retrieval {
        |  GROUP BY 1, 2)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "text_ql_topk" ->
+      s"""WITH toks0 AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+         |dl AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM toks0),
+         |tok AS (SELECT doc_id, unnest(toks) AS token FROM toks0),
+         |q(query_id, token) AS (VALUES $qValuesSql),
+         |cf AS (SELECT token, count(*)::BIGINT AS cf FROM tok
+         |  WHERE token IN (SELECT token FROM q) GROUP BY 1),
+         |c AS (SELECT count(*)::BIGINT AS c FROM tok),
+         |tfq AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM tok
+         |  WHERE token IN (SELECT token FROM q) GROUP BY 1, 2),
+         |sc AS (SELECT q.query_id, d.doc_id,
+         |    round(sum(ln((coalesce(t.tf, 0) * c.c + $DirichletMu * cf.cf)::DOUBLE
+         |      / ((d.dl + $DirichletMu) * cf.cf)::DOUBLE)), 6) AS score
+         |  FROM dl d CROSS JOIN q JOIN cf ON cf.token = q.token CROSS JOIN c
+         |  LEFT JOIN tfq t ON t.doc_id = d.doc_id AND t.token = q.token
+         |  GROUP BY 1, 2)
+         |SELECT query_id,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk,
+         |  doc_id, score
+         |FROM sc QUALIFY rnk <= $K ORDER BY query_id, rnk""".stripMargin,
     "text_bm25_topk" ->
       s"""WITH $bm25ScoreCteSql
          |SELECT query_id,

@@ -113,4 +113,24 @@ class RetrievalSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
       s"query terms / stats must broadcast, not shuffle the index:\n$plan")
   }
+
+  test("query likelihood prefers term coverage and scores every doc (smoothed absence)") {
+    import spark.implicits._
+    // d1 hammers one query term, d2 covers both once, d3 has neither —
+    // the language model's coverage preference (absence pays the
+    // smoothed-prior penalty on EVERY term) must rank d2 > d1 > d3,
+    // where BM25's tf-only sum would happily rank d1 first
+    val docs = Seq(
+      (1L, "a a a a"),
+      (2L, "a b"),
+      (3L, "c c c c")).toDF("doc_id", "text")
+    val got = Retrieval.qlOn(docs, Seq("q1" -> "a", "q1" -> "b"),
+        mu = 2000L, k = 3)
+      .collect().map(r => (r.getLong(2), r.getDouble(3)))
+    assert(got.map(_._1).toSeq == Seq(2L, 1L, 3L), got.mkString(", "))
+    // all three docs scored — tf=0 never drops a doc from the ranking
+    assert(got.length == 3)
+    // scores strictly ordered (the fixture avoids 6-decimal ties)
+    assert(got.sliding(2).forall { case Array(x, y) => x._2 > y._2 })
+  }
 }
