@@ -41,9 +41,44 @@ object Retrieval {
     "q_stream_key" -> Seq("stream", "order", "key"))
     .flatMap { case (q, ts) => ts.map(q -> _) }
 
-  /** Integer-BM25 top-5 documents per query over the corpus table. */
+  /** Integer-BM25 top-5 documents per query over the corpus table —
+    * scored against the memoized corpus index. */
   def bm25TopK(spark: SparkSession, dir: String): DataFrame =
-    bm25On(Tables.documents(spark, dir), QueryTerms, K)
+    topKFromScores(cachedScores(spark, dir, QueryTerms), K)
+
+  /** The corpus inverted index (doc_id, dl, token, tf) — dl rides the
+    * groupBy key (functionally dependent on doc_id) to avoid a join
+    * back. THE artifact a production retrieval stack materializes once
+    * per generation and every pass reads; here memoized per
+    * (session, dir) like the dedup pair frames, so bm25/RRF/PRF stop
+    * re-exploding the corpus per query. */
+  private[operators] def tfsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("token"))
+      .groupBy("doc_id", "dl", "token").agg(count(lit(1)).as("tf"))
+
+  /** 1-row corpus stats — computed from the DOCS frame, not the index,
+    * so zero-token documents still count toward n_docs/avgdl. */
+  private[operators] def statsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .agg(count(lit(1)).as("n_docs"), sum(size(col("toks"))).as("sum_dl"))
+      .select(col("n_docs"), expr(s"(sum_dl * $SC) div n_docs").as("avgdl_sc"))
+
+  private val tfsMemo = new DirMemo
+  private val statsMemo = new DirMemo
+  private def tfsCached(spark: SparkSession, dir: String): DataFrame =
+    tfsMemo(spark, dir)(tfsOf(Tables.documents(spark, dir)).localCheckpoint())
+  private def statsCached(spark: SparkSession, dir: String): DataFrame =
+    statsMemo(spark, dir)(statsOf(Tables.documents(spark, dir)).localCheckpoint())
+
+  /** Weight-1 scores against the memoized index. */
+  private def cachedScores(spark: SparkSession, dir: String,
+      queryTerms: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    bm25ScoresWeightedFrom(tfsCached(spark, dir), statsCached(spark, dir),
+      queryTerms.toDF("query_id", "token").withColumn("w", lit(1L)))
+  }
 
   /** The (query_id, doc_id, score_sc) BM25 frame — the scoring core
     * shared by the top-k query and the RRF fusion. */
@@ -61,18 +96,12 @@ object Retrieval {
     * original terms outweigh mined expansion terms. Weight 1
     * reproduces plain BM25 exactly. */
   private[operators] def bm25ScoresWeighted(
-      docs: DataFrame, qterms: DataFrame): DataFrame = {
-    val toks = docs
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-    // inverted index with doc length riding the key (dl is functionally
-    // dependent on doc_id — keeping it in the groupBy avoids a join back)
-    val tfs = toks
-      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
-        explode(col("toks")).as("token"))
-      .groupBy("doc_id", "dl", "token").agg(count(lit(1)).as("tf"))
-    val stats = toks
-      .agg(count(lit(1)).as("n_docs"), sum(size(col("toks"))).as("sum_dl"))
-      .select(col("n_docs"), expr(s"(sum_dl * $SC) div n_docs").as("avgdl_sc"))
+      docs: DataFrame, qterms: DataFrame): DataFrame =
+    bm25ScoresWeightedFrom(tfsOf(docs), statsOf(docs), qterms)
+
+  /** The scoring arithmetic over a prebuilt (tfs, stats) index pair. */
+  private[operators] def bm25ScoresWeightedFrom(
+      tfs: DataFrame, stats: DataFrame, qterms: DataFrame): DataFrame = {
     val dfs = tfs
       .join(broadcast(qterms.select("token").distinct()), Seq("token"))
       .groupBy("token").agg(count(lit(1)).as("df"))
@@ -95,8 +124,10 @@ object Retrieval {
 
   /** Scoring core over any (doc_id, text) frame — separable so specs
     * can probe ranking semantics on constructed corpora. */
-  def bm25On(docs: DataFrame, queryTerms: Seq[(String, String)], k: Int): DataFrame = {
-    val scores = bm25Scores(docs, queryTerms)
+  def bm25On(docs: DataFrame, queryTerms: Seq[(String, String)], k: Int): DataFrame =
+    topKFromScores(bm25Scores(docs, queryTerms), k)
+
+  private def topKFromScores(scores: DataFrame, k: Int): DataFrame = {
     val topk = udaf(new graft.functions.TopKByScore(k))
     scores.groupBy(col("query_id"))
       // score_sc < 2^53, so the double round-trip through the top-k
@@ -173,13 +204,20 @@ object Retrieval {
     * ≤ poolK rows per query, never the candidate set, and the fusion
     * join + final top-k operate on ≤ 2·poolK rows per query. */
   def rrfFusion(spark: SparkSession, dir: String): DataFrame =
-    rrfFusionOn(Tables.documents(spark, dir), QueryTerms, RrfPoolK, RrfK)
+    rrfFusionFrom(cachedScores(spark, dir, QueryTerms),
+      tfsCached(spark, dir).select("doc_id", "token", "tf"),
+      QueryTerms, RrfPoolK, RrfK)
 
-  /** Fusion core over any (doc_id, text) frame. */
+  /** Fusion core over any (doc_id, text) frame — spec seam. */
   def rrfFusionOn(docs: DataFrame, queryTerms: Seq[(String, String)],
-      poolK: Int, k: Int): DataFrame = {
+      poolK: Int, k: Int): DataFrame =
+    rrfFusionFrom(bm25Scores(docs, queryTerms),
+      tfsOf(docs).select("doc_id", "token", "tf"), queryTerms, poolK, k)
+
+  private def rrfFusionFrom(scoresA: DataFrame, tfsD: DataFrame,
+      queryTerms: Seq[(String, String)], poolK: Int, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val spark = docs.sparkSession
+    val spark = scoresA.sparkSession
     import spark.implicits._
     val topLong = udaf(new graft.functions.TopKByLongScore(poolK))
     def pool(scored: DataFrame, scoreCol: String, rankName: String): DataFrame =
@@ -189,12 +227,10 @@ object Retrieval {
         .select(col("query_id"), (col("pos") + lit(1)).as(rankName),
           col("col.vec_id").as("doc_id"))
 
-    val poolA = pool(bm25Scores(docs, queryTerms), "score_sc", "rank_a")
+    val poolA = pool(scoresA, "score_sc", "rank_a")
 
     val qterms = queryTerms.toDF("query_id", "token")
-    val cov = docs
-      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val cov = tfsD
       .join(broadcast(qterms), Seq("token"))
       .groupBy("query_id", "doc_id")
       .agg(count(lit(1)).as("n_matched"), sum(col("tf")).as("tf_sum"))
@@ -243,25 +279,36 @@ object Retrieval {
     * terms, localCheckpoint-materialized since two joins consume it)
     * broadcasts like any query. At 100 TB the inverted index would be
     * a shared materialized artifact across the passes, as elsewhere. */
-  def prfExpansion(spark: SparkSession, dir: String): DataFrame =
-    prfOn(Tables.documents(spark, dir), QueryTerms, PrfFeedbackK, PrfExpandK, K)
+  def prfExpansion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    prfFrom(
+      q => bm25ScoresWeightedFrom(tfsCached(spark, dir),
+        statsCached(spark, dir), q),
+      tfsCached(spark, dir).select("doc_id", "token", "tf"),
+      QueryTerms, PrfFeedbackK, PrfExpandK, K)
+  }
 
   /** PRF core over any (doc_id, text) frame — spec seam. */
   def prfOn(docs: DataFrame, queryTerms: Seq[(String, String)],
-      fbK: Int, exK: Int, k: Int): DataFrame = {
-    val spark = docs.sparkSession
+      fbK: Int, exK: Int, k: Int): DataFrame =
+    prfFrom(q => bm25ScoresWeighted(docs, q),
+      tfsOf(docs).select("doc_id", "token", "tf"), queryTerms, fbK, exK, k)
+
+  /** The RM3 stages over a weighted-scoring function and a prebuilt
+    * (doc_id, token, tf) index. */
+  private def prfFrom(score: DataFrame => DataFrame, tfsD: DataFrame,
+      queryTerms: Seq[(String, String)], fbK: Int, exK: Int, k: Int): DataFrame = {
+    val spark = tfsD.sparkSession
     import spark.implicits._
     // stage 1: feedback pool — top-fbK docs per query, plain BM25
     val topLong = udaf(new graft.functions.TopKByLongScore(fbK))
-    val fb = bm25Scores(docs, queryTerms).groupBy(col("query_id"))
+    val qtW1 = queryTerms.toDF("query_id", "token").withColumn("w", lit(1L))
+    val fb = score(qtW1).groupBy(col("query_id"))
       .agg(topLong(col("doc_id"), col("score_sc")).as("top"))
       .select(col("query_id"), explode(col("top")).as("t"))
       .select(col("query_id"), col("t.vec_id").as("doc_id"))
     // stage 2: expansion mining — feedback docs' terms, original query
     // terms excluded, scored by feedback-tf × linear idf
-    val tfsD = docs
-      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
     val allDf = tfsD.groupBy("token").agg(count(lit(1)).as("df"))
     val qt = queryTerms.toDF("query_id", "token")
     val cand = broadcast(fb).join(tfsD, Seq("doc_id"))
@@ -280,7 +327,7 @@ object Retrieval {
     val expanded = qt.withColumn("w", lit(2L))
       .unionByName(expTerms.withColumn("w", lit(1L)))
     val topk = udaf(new graft.functions.TopKByLongScore(k))
-    bm25ScoresWeighted(docs, expanded).groupBy(col("query_id"))
+    score(expanded).groupBy(col("query_id"))
       .agg(topk(col("doc_id"), col("score_sc")).as("top"))
       .select(col("query_id"), posexplode(col("top")))
       .select(col("query_id"), (col("pos") + lit(1)).as("rnk"),
