@@ -335,6 +335,91 @@ object Retrieval {
       .orderBy("query_id", "rnk")
   }
 
+  /** MMR pool/output sizes and λ×10 (Carbonell & Goldstein 1998's
+    * maximal marginal relevance, λ = 0.7). */
+  val MmrPoolK = 10
+  val MmrK = 5
+  val MmrLambda10 = 7L
+
+  /** MMR-diversified rerank — the cross-family composition a RAG/
+    * dataset-curation stack runs after lexical retrieval: pool the
+    * BM25 top-[[MmrPoolK]], then greedily select [[MmrK]] docs
+    * maximizing λ·relevance − (1−λ)·max-similarity-to-already-selected,
+    * with similarity from the document EMBEDDINGS (near-duplicate pool
+    * entries stop crowding out coverage). All-integer selection state:
+    * relevance pool-normalized to milli, cosines milli-rounded (the
+    * Similarity discipline — identical bits cross-engine), mmr in
+    * deci-milli (λ×10 = 7, so mmr = 7·rel − 3·pen exactly), ties to
+    * the smaller doc_id; a doc with no embedding row takes penalty 0
+    * (diversity-neutral) rather than dropping from the ranking.
+    *
+    * Scale shape: everything after the memoized BM25 scoring runs on
+    * BOUNDED frames — the pool is ≤ poolK rows per query, the pairwise
+    * sim table ≤ poolK² per query, and each greedy round is a join +
+    * argmax over those; the corpus is touched exactly once, by the
+    * scoring pass. The [[MmrK]] rounds are checkpointed so the loop's
+    * plan stays flat. */
+  def mmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.cosineSim
+    val topPool = udaf(new graft.functions.TopKByLongScore(MmrPoolK))
+    val pool0 = cachedScores(spark, dir, QueryTerms).groupBy(col("query_id"))
+      .agg(topPool(col("doc_id"), col("score_sc")).as("top"))
+      .select(col("query_id"), explode(col("top")).as("t"))
+      .select(col("query_id"), col("t.vec_id").as("doc_id"),
+        col("t.score").as("score_sc"))
+    val mx = pool0.groupBy("query_id").agg(max("score_sc").as("mx"))
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val pool = pool0.join(broadcast(mx), "query_id")
+      .withColumn("rel_milli", expr("(score_sc * 1000) div mx"))
+      .join(emb, Seq("doc_id"), "left")
+      .select("query_id", "doc_id", "rel_milli", "embedding")
+      .localCheckpoint()
+    val sims = pool.as("a").join(pool.as("b"),
+        col("a.query_id") === col("b.query_id") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.query_id").as("query_id"), col("a.doc_id").as("di"),
+        col("b.doc_id").as("dj"),
+        coalesce(
+          round(cosineSim(col("a.embedding"), col("b.embedding")) * 1000, 0)
+            .cast("long"),
+          lit(0L)).as("sim_milli"))
+      .localCheckpoint()
+    mmrSelect(pool.select("query_id", "doc_id", "rel_milli"), sims)
+  }
+
+  /** The greedy rounds over a (query_id, doc_id, rel_milli) pool and a
+    * (query_id, di, dj, sim_milli) pair table — spec seam. */
+  private[graft] def mmrSelect(p: DataFrame, sims: DataFrame): DataFrame = {
+    // round 1: pure relevance (penalty 0), argmax as max(struct)
+    var selected = p.groupBy(col("query_id"))
+      .agg(max(struct((col("rel_milli") * lit(MmrLambda10)).as("m"),
+        (-col("doc_id")).as("nd"))).as("b"))
+      .select(col("query_id"), (-col("b.nd")).as("doc_id"),
+        col("b.m").as("mmr_deci"), lit(1L).as("rnk"))
+      .localCheckpoint()
+    for (i <- 2 to MmrK) {
+      val cand = p.join(selected.select("query_id", "doc_id"),
+        Seq("query_id", "doc_id"), "left_anti")
+      val pen = sims
+        .join(selected.select(col("query_id"), col("doc_id").as("dj")),
+          Seq("query_id", "dj"))
+        .groupBy(col("query_id"), col("di"))
+        .agg(max(col("sim_milli")).as("pen"))
+        .select(col("query_id"), col("di").as("doc_id"), col("pen"))
+      val pick = cand.join(pen, Seq("query_id", "doc_id"), "left")
+        .withColumn("m", col("rel_milli") * lit(MmrLambda10) -
+          coalesce(col("pen"), lit(0L)) * lit(10L - MmrLambda10))
+        .groupBy(col("query_id"))
+        .agg(max(struct(col("m"), (-col("doc_id")).as("nd"))).as("b"))
+        .select(col("query_id"), (-col("b.nd")).as("doc_id"),
+          col("b.m").as("mmr_deci"), lit(i.toLong).as("rnk"))
+      selected = selected.unionByName(pick).localCheckpoint()
+    }
+    selected.select("query_id", "rnk", "doc_id", "mmr_deci")
+      .orderBy("query_id", "rnk")
+  }
+
   /** Dirichlet smoothing mass (Zhai & Lafferty 2001's standard μ). */
   val DirichletMu = 2000L
 
@@ -393,6 +478,7 @@ object Retrieval {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_mmr_rerank" -> ((s, d) => mmrRerank(s, d)),
     "text_ql_topk" -> ((s, d) => qlTopK(s, d)),
     "text_rrf_fusion" -> ((s, d) => rrfFusion(s, d)),
     "text_bm25_topk" -> ((s, d) => bm25TopK(s, d)),
@@ -424,7 +510,49 @@ object Retrieval {
        |  CROSS JOIN stats s
        |  GROUP BY 1, 2)""".stripMargin
 
+  /** One greedy MMR round: penalties vs the selected set s(i−1),
+    * candidate scores, per-query argmax, accumulate. */
+  private def mmrRoundSql(i: Int): String = {
+    val prev = s"s${i - 1}"
+    s"""pen$i AS (SELECT s.query_id, s.di AS doc_id, max(s.sim_milli) AS pen
+       |  FROM sims s JOIN $prev ON $prev.query_id = s.query_id AND $prev.doc_id = s.dj
+       |  GROUP BY 1, 2),
+       |c$i AS (SELECT p.query_id, p.doc_id,
+       |    $MmrLambda10 * p.rel_milli - ${10 - MmrLambda10} * coalesce(n.pen, 0) AS m
+       |  FROM pool p LEFT JOIN pen$i n
+       |    ON n.query_id = p.query_id AND n.doc_id = p.doc_id
+       |  WHERE NOT EXISTS (SELECT 1 FROM $prev
+       |    WHERE $prev.query_id = p.query_id AND $prev.doc_id = p.doc_id)),
+       |p$i AS (SELECT query_id, doc_id, m AS mmr_deci, $i::BIGINT AS rnk FROM c$i
+       |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY m DESC, doc_id) = 1),
+       |s$i AS (SELECT * FROM $prev UNION ALL SELECT * FROM p$i)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "text_mmr_rerank" ->
+      s"""WITH $bm25ScoreCteSql,
+         |pool0 AS (SELECT query_id, doc_id, score_sc FROM sc
+         |  QUALIFY row_number() OVER (PARTITION BY query_id
+         |    ORDER BY score_sc DESC, doc_id) <= $MmrPoolK),
+         |mx AS (SELECT query_id, max(score_sc) AS mx FROM pool0 GROUP BY 1),
+         |pool AS (SELECT p.query_id, p.doc_id,
+         |    (p.score_sc * 1000) // m.mx AS rel_milli, e.embedding
+         |  FROM pool0 p JOIN mx m USING (query_id)
+         |  LEFT JOIN embeddings e ON e.vec_id = p.doc_id),
+         |sims AS (SELECT a.query_id, a.doc_id AS di, b.doc_id AS dj,
+         |    CASE WHEN a.embedding IS NULL OR b.embedding IS NULL THEN 0
+         |      ELSE CAST(round((${Similarity.cosSql("a.embedding", "b.embedding")}) * 1000, 0) AS BIGINT)
+         |    END AS sim_milli
+         |  FROM pool a JOIN pool b
+         |    ON a.query_id = b.query_id AND a.doc_id <> b.doc_id),
+         |s1 AS (SELECT query_id, doc_id, $MmrLambda10 * rel_milli AS mmr_deci,
+         |    1::BIGINT AS rnk
+         |  FROM pool
+         |  QUALIFY row_number() OVER (PARTITION BY query_id
+         |    ORDER BY rel_milli DESC, doc_id) = 1),
+         |${(2 to MmrK).map(mmrRoundSql).mkString(",\n")}
+         |SELECT query_id, rnk, doc_id, mmr_deci FROM s$MmrK
+         |ORDER BY query_id, rnk""".stripMargin,
     "text_ql_topk" ->
       s"""WITH toks0 AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
          |dl AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM toks0),

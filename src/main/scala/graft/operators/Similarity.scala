@@ -758,8 +758,9 @@ object Similarity {
     "sim_hard_negatives" -> ((s, d) => hardNegatives(s, d)))
 
   /** Cosine with the same operation order as the native expression:
-    * index-ordered fold of dot and both norms, then one division. */
-  private def cosSql(a: String, b: String): String =
+    * index-ordered fold of dot and both norms, then one division.
+    * Package-visible: Retrieval's MMR oracle replays the same bits. */
+  private[operators] def cosSql(a: String, b: String): String =
     s"""list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len($a) + 1),
        |      k -> $a[k]::DOUBLE * $b[k]::DOUBLE)), (x, v) -> x + v)
        |  / (sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len($a) + 1),

@@ -114,6 +114,33 @@ class RetrievalSpec extends SparkSpec {
       s"query terms / stats must broadcast, not shuffle the index:\n$plan")
   }
 
+  test("mmr greedy drops a near-duplicate of the leader for a diverse lower-relevance doc") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // A leads; B is A's near-duplicate (sim 1000) with close relevance;
+    // C is diverse with lower relevance. λ=0.7: B's mmr = 7·900 − 3·1000
+    // = 3300 < C's 7·500 = 3500 → selection order A, C, B — pure
+    // relevance would have taken B second.
+    val p = Seq(("q", 1L, 1000L), ("q", 2L, 900L), ("q", 3L, 500L))
+      .toDF("query_id", "doc_id", "rel_milli")
+    val sims = Seq(("q", 1L, 2L, 1000L), ("q", 2L, 1L, 1000L),
+      ("q", 1L, 3L, 0L), ("q", 3L, 1L, 0L),
+      ("q", 2L, 3L, 0L), ("q", 3L, 2L, 0L))
+      .toDF("query_id", "di", "dj", "sim_milli")
+    val got = Retrieval.mmrSelect(p, sims)
+      .select("rnk", "doc_id", "mmr_deci")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 1L, 7000L), (2L, 3L, 3500L), (3L, 2L, 3300L)))
+    // and on real data: rank-1 equals the plain BM25 winner per query
+    val mmr1 = Retrieval.mmrRerank(spark, sf001)
+      .filter(col("rnk") === 1L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val bm1 = Retrieval.bm25TopK(spark, sf001)
+      .filter(col("rnk") === 1L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(mmr1 == bm1)
+  }
+
   test("query likelihood prefers term coverage and scores every doc (smoothed absence)") {
     import spark.implicits._
     // d1 hammers one query term, d2 covers both once, d3 has neither —
