@@ -357,8 +357,9 @@ object Retrieval {
     * BOUNDED frames — the pool is ≤ poolK rows per query, the pairwise
     * sim table ≤ poolK² per query, and each greedy round is a join +
     * argmax over those; the corpus is touched exactly once, by the
-    * scoring pass. The [[MmrK]] rounds are checkpointed so the loop's
-    * plan stays flat. */
+    * scoring pass. Pool, sims, and each round's selected set are
+    * checkpointed — `selected` feeds two joins per round, so an
+    * unreduced loop plan doubles per round. */
   def mmrRerank(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions.cosineSim
     val topPool = udaf(new graft.functions.TopKByLongScore(MmrPoolK))
@@ -397,6 +398,10 @@ object Retrieval {
         (-col("doc_id")).as("nd"))).as("b"))
       .select(col("query_id"), (-col("b.nd")).as("doc_id"),
         col("b.m").as("mmr_deci"), lit(1L).as("rnk"))
+      // per-round checkpoint is load-bearing: `selected` feeds BOTH the
+      // anti-join and the penalty join, so an unreduced plan doubles
+      // per round (2^MmrK subtree copies — measured 2× slower than the
+      // five tiny checkpoint jobs)
       .localCheckpoint()
     for (i <- 2 to MmrK) {
       val cand = p.join(selected.select("query_id", "doc_id"),
