@@ -51,7 +51,8 @@ object Scaling {
     "graph_label_prop",      // iterative mode-label rounds
     "layout_hilbert_tiles",  // curve-key scan + tile agg
     "text_blocklist",        // automaton scan, zero shuffles
-    "evt_seasonal_hourly")   // calendar-grid seasonal profile
+    "evt_seasonal_hourly",   // calendar-grid seasonal profile
+    "text_ql_topk")          // language-model ranking, docs×terms frame
 
   def main(args: Array[String]): Unit = {
     val dirs = args(0).split(",").toSeq
