@@ -180,8 +180,21 @@ object VectorFunctions {
     // hilbert2(x, y[, n]) — n a literal power-of-two grid width,
     // default the 1024 grid the layout statistics use
     ("hilbert2", classOf[Hilbert2],
-      (c: Seq[Expression]) => Hilbert2(c.head, c(1),
-        if (c.length > 2) c(2).eval().asInstanceOf[Number].longValue else 1024L)))
+      (c: Seq[Expression]) => {
+        val n = if (c.length <= 2) 1024L else {
+          val e = c(2)
+          require(e.foldable, "hilbert2's grid width must be a literal")
+          e.eval() match {
+            case i: java.lang.Integer => i.longValue
+            case l: java.lang.Long => l.longValue
+            case s: java.lang.Short => s.longValue
+            case b: java.lang.Byte => b.longValue
+            case other => throw new IllegalArgumentException(
+              s"hilbert2's grid width must be an integral literal, got $other")
+          }
+        }
+        Hilbert2(c.head, c(1), n)
+      }))
 
   /** Make every graft expression callable from spark.sql on a live
     * session. */

@@ -288,9 +288,21 @@ object Behavior {
         hour(col("ts")).cast("long").as("h")))
   }
 
-  /** Core over any (d, h) occurrence frame — spec seam. */
+  /** Core over any (d, h) occurrence frame — spec seam. A silent
+    * (date, hour) cell is a REAL zero observation: the grid is
+    * densified over observed-dates × observed-hours before profiling,
+    * so a total outage at a normally busy hour is flagged (resid 0 →
+    * |0−1000| > band) instead of structurally invisible, and the slot
+    * mean divides by every day, not only the days that happened to
+    * have traffic. Hours with no traffic on ANY day stay absent —
+    * their slot total would be 0 and a 0/0 residual is noise, not an
+    * anomaly. Same densify-the-spine move as Profiling.activityCorr. */
   private[graft] def seasonalHourlyOn(occ: DataFrame): DataFrame = {
-    val byCell = occ.groupBy("d", "h").agg(count(lit(1)).as("n"))
+    val seen = occ.groupBy("d", "h").agg(count(lit(1)).as("n"))
+    val grid = seen.select("d").distinct()
+      .crossJoin(broadcast(seen.select("h").distinct()))
+    val byCell = grid.join(seen, Seq("d", "h"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
     val prof = byCell.groupBy("h")
       .agg(sum(col("n")).as("s"), count(lit(1)).as("k"))
     byCell.join(broadcast(prof), "h")
@@ -313,8 +325,12 @@ object Behavior {
 
   val oracle: Map[String, String] = Map(
     "evt_seasonal_hourly" ->
-      s"""WITH bh AS (SELECT strftime(ts, '%Y-%m-%d') AS d, hour(ts)::BIGINT AS h,
+      s"""WITH seen AS (SELECT strftime(ts, '%Y-%m-%d') AS d, hour(ts)::BIGINT AS h,
          |    count(*)::BIGINT AS n FROM events GROUP BY 1, 2),
+         |bh AS (SELECT gd.d, gh.h, coalesce(seen.n, 0)::BIGINT AS n
+         |  FROM (SELECT DISTINCT d FROM seen) gd
+         |  CROSS JOIN (SELECT DISTINCT h FROM seen) gh
+         |  LEFT JOIN seen ON seen.d = gd.d AND seen.h = gh.h),
          |pr AS (SELECT h, sum(n)::BIGINT AS s, count(*)::BIGINT AS k
          |  FROM bh GROUP BY 1)
          |SELECT d, bh.h, n, (s * 1000) // k AS expected_milli,

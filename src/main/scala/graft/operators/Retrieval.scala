@@ -372,7 +372,12 @@ object Retrieval {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id").as("doc_id"), col("embedding"))
     val pool = pool0.join(broadcast(mx), "query_id")
-      .withColumn("rel_milli", expr("(score_sc * 1000) div mx"))
+      // an all-zero pool (possible once integer idf truncates to 0 for
+      // corpus-saturating terms at ~10^6 docs) must normalize to 0,
+      // not divide by zero — NULL here would poison the greedy argmax
+      .withColumn("rel_milli",
+        when(col("mx") === 0L, lit(0L))
+          .otherwise(expr("(score_sc * 1000) div mx")))
       .join(emb, Seq("doc_id"), "left")
       .select("query_id", "doc_id", "rel_milli", "embedding")
       .localCheckpoint()
@@ -449,8 +454,25 @@ object Retrieval {
     * 2^63 through ~10^12-token corpora (tf·C ≤ dl·C ≈ 10^15,
     * μ·cf ≤ 2·10^15), and under double's 2^53 exact-integer range at
     * the same bound. Final ranking is the bounded top-k aggregator. */
-  def qlTopK(spark: SparkSession, dir: String): DataFrame =
-    qlOn(Tables.documents(spark, dir), QueryTerms, DirichletMu, K)
+  def qlTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // everything but dl derives from the memoized inverted index (cf =
+    // Σtf per query term, C = Σtf overall); dl comes off the docs frame
+    // so zero-token documents still rank — one cheap corpus scan
+    // instead of the three tokenize+explode passes the generic path pays
+    val qt = QueryTerms.toDF("query_id", "token")
+    val tfs = tfsCached(spark, dir)
+    val restricted = tfs
+      .join(broadcast(qt.select("token").distinct()), Seq("token"))
+    val dl = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("dl"))
+    qlRank(dl,
+      qt.join(restricted.groupBy("token").agg(sum(col("tf")).as("cf")),
+        Seq("token")),
+      tfs.agg(sum(col("tf")).as("c")),
+      restricted.select("doc_id", "token", "tf"),
+      DirichletMu, K)
+  }
 
   def qlOn(docs: DataFrame, queryTerms: Seq[(String, String)],
       mu: Long, k: Int): DataFrame = {
@@ -464,8 +486,16 @@ object Retrieval {
     val cf = tokq.groupBy("token").agg(count(lit(1)).as("cf"))
     val c = toks.agg(sum(size(col("toks"))).cast("long").as("c"))
     val tfq = tokq.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    qlRank(dl, qt.join(cf, Seq("token")), c, tfq, mu, k)
+  }
+
+  /** The Dirichlet scoring + ranking over prebuilt frames: per-doc
+    * lengths, (query_id, token, cf), the 1-row corpus total, and the
+    * query-restricted (doc_id, token, tf) postings. */
+  private def qlRank(dl: DataFrame, qtCf: DataFrame, c: DataFrame,
+      tfq: DataFrame, mu: Long, k: Int): DataFrame = {
     val scores = dl
-      .crossJoin(broadcast(qt.join(cf, Seq("token"))))
+      .crossJoin(broadcast(qtCf))
       .crossJoin(broadcast(c))
       .join(tfq, Seq("doc_id", "token"), "left")
       .withColumn("lr", log(
@@ -541,7 +571,9 @@ object Retrieval {
          |    ORDER BY score_sc DESC, doc_id) <= $MmrPoolK),
          |mx AS (SELECT query_id, max(score_sc) AS mx FROM pool0 GROUP BY 1),
          |pool AS (SELECT p.query_id, p.doc_id,
-         |    (p.score_sc * 1000) // m.mx AS rel_milli, e.embedding
+         |    CASE WHEN m.mx = 0 THEN 0
+         |      ELSE (p.score_sc * 1000) // m.mx END AS rel_milli,
+         |    e.embedding
          |  FROM pool0 p JOIN mx m USING (query_id)
          |  LEFT JOIN embeddings e ON e.vec_id = p.doc_id),
          |sims AS (SELECT a.query_id, a.doc_id AS di, b.doc_id AS dj,

@@ -197,11 +197,14 @@ class BehaviorSpec extends SparkSpec {
     // deseasonalization must: hour 3's mean is (2+8+2)/3 = 4, so the
     // spike's residual is 2000‰ and the steady cells sit at 500‰/2500‰…
     // exact integers asserted below.
+    // …and hour 15 runs at 6 except a TOTAL outage on day 3 — no rows
+    // at all for that cell, the densified grid must still flag it
     val occ = (for {
       day <- Seq("2024-01-01", "2024-01-02", "2024-01-03")
-      (h, base) <- Seq((9L, 10), (3L, 2))
+      (h, base) <- Seq((9L, 10), (3L, 2), (15L, 6))
       extra = if (day == "2024-01-02" && h == 3L) 6 else 0
-      _ <- 0 until (base + extra)
+      n = if (day == "2024-01-03" && h == 15L) 0 else base + extra
+      _ <- 0 until n
     } yield (day, h)).toDF("d", "h")
     val got = Behavior.seasonalHourlyOn(occ).collect()
       .map(r => (r.getString(0), r.getLong(1)) ->
@@ -215,5 +218,11 @@ class BehaviorSpec extends SparkSpec {
     assert(got(("2024-01-01", 3L)) == ((2L, 4000L, 500L, false)))
     assert(got(("2024-01-03", 3L)) == ((2L, 4000L, 500L, false)))
     assert(got(("2024-01-02", 3L)) == ((8L, 4000L, 2000L, true)))
+    // hour 15, slot total 12 over k=3 days: steady days sit at 1500
+    // (inside the strict band), the outage cell exists as a real zero
+    // row and is flagged
+    assert(got(("2024-01-01", 15L)) == ((6L, 4000L, 1500L, false)))
+    assert(got(("2024-01-02", 15L)) == ((6L, 4000L, 1500L, false)))
+    assert(got(("2024-01-03", 15L)) == ((0L, 4000L, 0L, true)))
   }
 }
