@@ -30,7 +30,8 @@ object Explain {
         "curation_shard_order", "text_ngram_novelty", "graph_label_prop",
         "layout_hilbert_tiles", "text_prf_expansion", "text_blocklist",
         "text_blocklist_scrub", "evt_seasonal_hourly",
-        "text_novelty_incremental", "text_ql_topk", "text_mmr_rerank")
+        "text_novelty_incremental", "text_ql_topk", "text_mmr_rerank",
+        "ohlcv_1m_anomalies")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

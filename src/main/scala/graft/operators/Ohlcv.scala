@@ -207,6 +207,40 @@ object Ohlcv {
       .orderBy("window_start", "event_type")
   }
 
+  /** Anomaly thresholds: close-to-close move beyond 5% (50‰) or volume
+    * beyond 3× the trailing-5-bar average. */
+  val JumpMilli = 50L
+  val SpikeMilli = 3000L
+
+  /** Bar-level anomaly flags — the monitoring pass a market-data (or
+    * any metered-event) pipeline runs over its OWN aggregates: per-key
+    * close-to-close jump in exact milli-ratios and current volume vs
+    * the trailing 5-bar average (frame excludes the current bar, so a
+    * spike can't dilute its own baseline — same self-pollution rule as
+    * qa_mad_outliers). First bar per key has no baseline and is
+    * dropped, not null-flagged. Windows run over BARS
+    * (|keys| × |minutes| rows), never raw events — the indicators
+    * query's scale shape. */
+  def bars1mAnomalies(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ordW = Window.partitionBy("event_type").orderBy("window_start")
+    val prevW = ordW.rowsBetween(-5, -1)
+    eventBarsUnsorted(spark, dir, "1 minute")
+      .select(col("window_start"), col("event_type"),
+        round(col("close") * 100, 0).cast("long").as("cents"), col("volume"))
+      .withColumn("prev_cents", lag("cents", 1).over(ordW))
+      .withColumn("nprev", count(lit(1)).over(prevW))
+      .withColumn("vsum", sum("volume").over(prevW))
+      .filter(col("prev_cents").isNotNull)
+      .select(col("window_start"), col("event_type"), col("cents"),
+        col("volume"),
+        expr("abs(cents - prev_cents) * 1000 div prev_cents").as("jump_milli"),
+        expr("(volume * nprev * 1000) div vsum").as("vol_ratio_milli"))
+      .withColumn("price_jump", col("jump_milli") > lit(JumpMilli))
+      .withColumn("volume_spike", col("vol_ratio_milli") > lit(SpikeMilli))
+      .orderBy("window_start", "event_type")
+  }
+
   /** 5-minute bars (the reference's second resolution,
     * /root/reference/old/flink.py:56-67). */
   def bars5m(spark: SparkSession, dir: String): DataFrame = eventBars(spark, dir, "5 minutes")
@@ -335,6 +369,7 @@ object Ohlcv {
     "ohlcv_1m" -> ((s, d) => bars1m(s, d)),
     "ohlcv_1m_gapfill" -> ((s, d) => bars1mGapFill(s, d)),
     "ohlcv_1m_indicators" -> ((s, d) => bars1mIndicators(s, d)),
+    "ohlcv_1m_anomalies" -> ((s, d) => bars1mAnomalies(s, d)),
     "ohlcv_1m_vwap" -> ((s, d) => bars1mVwap(s, d)),
     "ohlcv_5m" -> ((s, d) => bars5m(s, d)),
     "ohlcv_2m1m_hopping" -> ((s, d) => bars2m1mHopping(s, d)),
@@ -371,6 +406,26 @@ object Ohlcv {
     * grid uses epoch arithmetic. (ts, event_type) pairs are unique in the
     * testdata, so arg_min/arg_max on ts alone is deterministic. */
   val oracle: Map[String, String] = Map(
+    "ohlcv_1m_anomalies" ->
+      s"""WITH b AS (SELECT date_trunc('minute', ts) AS window_start, event_type,
+         |    CAST(round(arg_max(value, ts) * 100, 0) AS BIGINT) AS cents,
+         |    count(*)::BIGINT AS volume
+         |  FROM events GROUP BY 1, 2),
+         |r AS (SELECT window_start, event_type, cents, volume,
+         |    lag(cents) OVER w1 AS prev_cents,
+         |    count(*) OVER wp::BIGINT AS nprev,
+         |    sum(volume) OVER wp::BIGINT AS vsum
+         |  FROM b
+         |  WINDOW w1 AS (PARTITION BY event_type ORDER BY window_start),
+         |    wp AS (PARTITION BY event_type ORDER BY window_start
+         |      ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING))
+         |SELECT window_start, event_type, cents, volume,
+         |  abs(cents - prev_cents) * 1000 // prev_cents AS jump_milli,
+         |  (volume * nprev * 1000) // vsum AS vol_ratio_milli,
+         |  abs(cents - prev_cents) * 1000 // prev_cents > $JumpMilli AS price_jump,
+         |  (volume * nprev * 1000) // vsum > $SpikeMilli AS volume_spike
+         |FROM r WHERE prev_cents IS NOT NULL
+         |ORDER BY window_start, event_type""".stripMargin,
     "ohlcv_1m_indicators" ->
       """WITH b AS (SELECT date_trunc('minute', ts) AS window_start, event_type,
         |    CAST(round(arg_max(value, ts) * 100, 0) AS BIGINT) AS cents

@@ -135,6 +135,34 @@ class OhlcvSpec extends SparkSpec {
     }
   }
 
+  test("bar anomalies: driver-recomputed jumps/ratios, baseline excludes the current bar") {
+    import org.apache.spark.sql.functions._
+    val bars = graft.operators.Ohlcv.bars1m(spark, sf0001).collect()
+      .groupBy(_.getAs[String]("event_type"))
+      .view.mapValues(_.sortBy(_.getAs[java.sql.Timestamp]("window_start").getTime)
+        .map(r => (math.round(r.getAs[Double]("close") * 100),
+          r.getAs[Long]("volume")))).toMap
+    val got = graft.operators.Ohlcv.bars1mAnomalies(spark, sf0001).collect()
+    assert(got.nonEmpty)
+    got.groupBy(_.getAs[String]("event_type")).foreach { case (t, rs) =>
+      val series = bars(t)
+      val sorted = rs.sortBy(_.getAs[java.sql.Timestamp]("window_start").getTime)
+      // first bar per key is dropped: one fewer output row than bars
+      assert(sorted.length == series.length - 1)
+      sorted.zipWithIndex.foreach { case (r, j) =>
+        val i = j + 1 // output row j is bar i of the series
+        val (c, v) = series(i)
+        val prev = series(i - 1)._1
+        assert(r.getAs[Long]("jump_milli") == math.abs(c - prev) * 1000 / prev)
+        // trailing frame is bars i-5..i-1 — the current bar must NOT
+        // dilute its own baseline
+        val frame = series.slice(math.max(0, i - 5), i).map(_._2)
+        assert(r.getAs[Long]("vol_ratio_milli") ==
+          v * frame.length * 1000 / frame.sum)
+      }
+    }
+  }
+
   test("flagship entry returns bars on sf0.001") {
     val df = SparkEntry.entry(spark)
     assert(df.count() > 0)
