@@ -22,15 +22,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 private[operators] final class DirMemo {
   private val m =
     new java.util.WeakHashMap[SparkSession, (String, SoftReference[DataFrame])]()
-  def apply(spark: SparkSession, dir: String)(compute: => DataFrame): DataFrame =
+  private def lookup(spark: SparkSession, dir: String): Option[DataFrame] =
     m.synchronized {
-      val hit = Option(m.get(spark)).flatMap { case (d, ref) =>
+      Option(m.get(spark)).flatMap { case (d, ref) =>
         if (d == dir) Option(ref.get()) else None
       }
-      hit.getOrElse {
-        val df = compute
-        m.put(spark, (dir, new SoftReference(df)))
-        df
+    }
+
+  /** `compute` runs an eager localCheckpoint job, so it must NOT run
+    * under the map lock — a second session's cheap hit would serialize
+    * behind the first session's build. Double-checked put instead: two
+    * racing misses may both build, and the loser's frame is discarded
+    * in favor of the installed winner (the frames are deterministic, so
+    * which one survives is unobservable — a rare duplicate job, never a
+    * wrong answer). */
+  def apply(spark: SparkSession, dir: String)(compute: => DataFrame): DataFrame =
+    lookup(spark, dir).getOrElse {
+      val df = compute
+      m.synchronized {
+        Option(m.get(spark)).flatMap { case (d, ref) =>
+          if (d == dir) Option(ref.get()) else None
+        }.getOrElse { m.put(spark, (dir, new SoftReference(df))); df }
       }
     }
 }

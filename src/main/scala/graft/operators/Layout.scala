@@ -131,11 +131,17 @@ object Layout {
     "layout_hilbert_tiles" -> ((s, d) => hilbertTiles(s, d)),
     "layout_compaction_plan" -> ((s, d) => compactionPlan(s, d)))
 
-  /** The xy2d walk unrolled: one CTE per bit plane, s = 512 … 1, state
-    * columns suffixed per round (no lateral-alias capture), flip
+  /** Bit planes in the Hilbert walk = log2(GridCells) — derived, not
+    * hardcoded, so resizing the grid can't desynchronize the oracle
+    * from HashOps.hilbert2 (which derives its rounds the same way). */
+  private val HilbertRounds: Int =
+    java.lang.Long.numberOfTrailingZeros(GridCells)
+
+  /** The xy2d walk unrolled: one CTE per bit plane, s = GridCells/2 … 1,
+    * state columns suffixed per round (no lateral-alias capture), flip
     * constant n−1 = ${GridCells − 1}. Mirrors HashOps.hilbert2 exactly. */
   private val hilbertCtes: String = {
-    val rounds = (0 until 10).map { i =>
+    val rounds = (0 until HilbertRounds).map { i =>
       val s = GridCells >> (i + 1)
       val (x, y, d) = (s"x$i", s"y$i", s"d$i")
       val rx = s"(CASE WHEN ($x & $s) != 0 THEN 1 ELSE 0 END)"
@@ -184,7 +190,7 @@ object Layout {
       s"""WITH b AS (SELECT (l_partkey % $GridCells)::BIGINT AS pa,
          |    (l_suppkey % $GridCells)::BIGINT AS pb FROM lineitem),
          |$hilbertCtes,
-         |z AS (SELECT pa, pb, d10 // $TileKeys AS tile FROM h10)
+         |z AS (SELECT pa, pb, d$HilbertRounds // $TileKeys AS tile FROM h$HilbertRounds)
          |SELECT tile, count(*)::BIGINT AS n_rows,
          |  min(pa) AS mn_a, max(pa) AS mx_a, min(pb) AS mn_b, max(pb) AS mx_b,
          |  (max(pa) - min(pa) + 1) * (max(pb) - min(pb) + 1) AS bbox_cells

@@ -231,7 +231,11 @@ object Ohlcv {
       .withColumn("prev_cents", lag("cents", 1).over(ordW))
       .withColumn("nprev", count(lit(1)).over(prevW))
       .withColumn("vsum", sum("volume").over(prevW))
-      .filter(col("prev_cents").isNotNull)
+      // prev_cents = 0 would divide by zero — Spark `div` yields NULL
+      // (silently unflagged) while DuckDB `//` errors, a cross-engine
+      // divergence. A zero-priced bar has no meaningful baseline; drop
+      // it with the first-bar rule (mirrored in the oracle WHERE).
+      .filter(col("prev_cents").isNotNull && col("prev_cents") =!= 0)
       .select(col("window_start"), col("event_type"), col("cents"),
         col("volume"),
         expr("abs(cents - prev_cents) * 1000 div prev_cents").as("jump_milli"),
@@ -424,7 +428,7 @@ object Ohlcv {
          |  (volume * nprev * 1000) // vsum AS vol_ratio_milli,
          |  abs(cents - prev_cents) * 1000 // prev_cents > $JumpMilli AS price_jump,
          |  (volume * nprev * 1000) // vsum > $SpikeMilli AS volume_spike
-         |FROM r WHERE prev_cents IS NOT NULL
+         |FROM r WHERE prev_cents IS NOT NULL AND prev_cents <> 0
          |ORDER BY window_start, event_type""".stripMargin,
     "ohlcv_1m_indicators" ->
       """WITH b AS (SELECT date_trunc('minute', ts) AS window_start, event_type,

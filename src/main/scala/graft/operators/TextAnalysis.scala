@@ -576,10 +576,14 @@ object TextAnalysis {
     * map-side). */
   def blocklistHits(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge
+    // coalesce: BlocklistHits null-propagates a NULL document, but a
+    // missing text has zero hits by this operator's contract (the
+    // oracle coalesces the same way) — without it a NULL row would be
+    // silently unblockable.
     Tables.documents(spark, dir)
       .select(col("doc_id"),
-        ColumnBridge.column(graft.functions.BlocklistHits(
-          ColumnBridge.expression(col("text")), Blocklist)).as("n_hits"))
+        coalesce(ColumnBridge.column(graft.functions.BlocklistHits(
+          ColumnBridge.expression(col("text")), Blocklist)), lit(0L)).as("n_hits"))
       .withColumn("blocked", col("n_hits") >= lit(BlockThreshold))
   }
 
