@@ -78,8 +78,19 @@ object Dedup {
       .select(col("doc_id"), shingleCodes(col("text"), ShingleN).as("codes"))
       .withColumn("sz", size(col("codes")).cast("long"))
 
+  /** The (doc_id, codes, sz) shingle frame, materialized once per
+    * (session, dir) and shared by every shingle consumer (jaccard,
+    * prefix, containment, span-frac, minhash/LSH, decontamination,
+    * novelty) — the "shingle the corpus once per generation" step of a
+    * production run. Before the memo, the three most expensive bench
+    * lines each re-shingled the corpus per query. |docs| rows with a
+    * bounded code array each — corpus-linear, never pair-shaped. */
+  private val shingleMemo = new DirMemo
+
   private def shingled(spark: SparkSession, dir: String): DataFrame =
-    shingledOn(Tables.documents(spark, dir))
+    shingleMemo(spark, dir) {
+      shingledOn(Tables.documents(spark, dir)).localCheckpoint()
+    }
 
   /** Exact word-3-gram Jaccard near-dup pairs via inverted index.
     * `sh` appears three times in the plan and is recomputed per use —
@@ -138,8 +149,10 @@ object Dedup {
       .filter(col("df") > maxDf)
 
   private[graft] def jaccardPairsUnsortedOn(
-      sh: DataFrame, maxDf: Long = DefaultMaxShingleDf): DataFrame = {
-    val posts = cappedPosts(sh, maxDf)
+      sh: DataFrame, maxDf: Long = DefaultMaxShingleDf): DataFrame =
+    jaccardPairsOnPosts(cappedPosts(sh, maxDf))
+
+  private def jaccardPairsOnPosts(posts: DataFrame): DataFrame = {
     posts.as("a").join(posts.as("b"),
         col("a.code") === col("b.code") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
@@ -178,27 +191,42 @@ object Dedup {
     * arithmetic is exact integers (2·inter ≥ un, ppm via integer div)
     * — no float comparison anywhere. */
   def prefixJoin(spark: SparkSession, dir: String): DataFrame =
-    prefixJoinOn(shingled(spark, dir))
+    prefixJoinOnArr(prefixIndexMemo(spark, dir) {
+      prefixIndexOn(shingled(spark, dir))
+    })
+
+  /** The rarity-ordered prefix index (doc_id, codes-by-global-df, m) —
+    * per-(session, dir) memo: the index is the expensive half of the
+    * PPJoin (a wide shuffle + per-doc sort), is deterministic, and is
+    * exactly what a production run materializes once per corpus
+    * generation. |docs| rows. */
+  private val prefixIndexMemo = new DirMemo
 
   /** Core over any (doc_id, codes) shingle frame — spec seam for the
     * adversarial boundary-overlap corpora the positional filter's
     * completeness is differential-tested on. */
-  private[graft] def prefixJoinOn(sh: DataFrame): DataFrame = {
+  private[graft] def prefixJoinOn(sh: DataFrame): DataFrame =
+    prefixJoinOnArr(prefixIndexOn(sh))
+
+  /** Codes per doc in canonical rarity order (df asc, code asc) —
+    * materialized (localCheckpoint): the join plan consumes this frame
+    * FOUR times (both sides of the prefix self-join, both verification
+    * rejoins), and Catalyst does not share subplans, so without the
+    * checkpoint the df-join + collect ran 4×. Same
+    * materialize-the-index discipline a 100 TB run would use. */
+  private def prefixIndexOn(sh: DataFrame): DataFrame = {
     val e = sh
       .select(col("doc_id"), explode(col("codes")).as("code"))
     val dfc = e.groupBy(col("code")).agg(count(lit(1)).as("df"))
-    // codes per doc in canonical rarity order (df asc, code asc) —
-    // materialized once per call (localCheckpoint): the plan consumes
-    // this frame FOUR times (both sides of the prefix self-join, both
-    // verification rejoins), and Catalyst does not share subplans, so
-    // without the checkpoint the df-join + collect ran 4×. Same
-    // materialize-the-index discipline a 100 TB run would use.
-    val arr = e.join(dfc, Seq("code"))
+    e.join(dfc, Seq("code"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("df"), col("code")))).as("st"))
       .select(col("doc_id"), expr("transform(st, s -> s.code)").as("codes"),
         size(col("st")).cast("long").as("m"))
       .localCheckpoint()
+  }
+
+  private def prefixJoinOnArr(arr: DataFrame): DataFrame = {
     // prefix length p = m − ⌈m/2⌉ + 1, all-integer; pos rides along for
     // the positional filter below
     val pre = arr.select(col("doc_id"), col("m"),
@@ -245,7 +273,20 @@ object Dedup {
 
   private[graft] def jaccardPairsUnsorted(spark: SparkSession, dir: String): DataFrame =
     pairsMemo(spark, dir) {
-      jaccardPairsUnsortedOn(shingled(spark, dir)).localCheckpoint()
+      jaccardPairsOnPosts(cappedPostsShared(spark, dir)).localCheckpoint()
+    }
+
+  /** The df-capped exploded postings (code, doc_id, sz), materialized
+    * once per (session, dir) — the shared inverted index under both
+    * symmetric-jaccard and directed-containment pair joins (the two
+    * heaviest dedup bench lines before the memo each re-exploded and
+    * re-capped the corpus). Corpus-linear: one row per (doc, distinct
+    * shingle). */
+  private val postsMemo = new DirMemo
+
+  private def cappedPostsShared(spark: SparkSession, dir: String): DataFrame =
+    postsMemo(spark, dir) {
+      cappedPosts(shingled(spark, dir), DefaultMaxShingleDf).localCheckpoint()
     }
 
   // ---------------------------------------------------------- MinHash+LSH
@@ -535,12 +576,16 @@ object Dedup {
     * each candidate are expanded from the aggregated pair afterwards —
     * direction costs a row explode, never a second shuffle. */
   def containmentPairs(spark: SparkSession, dir: String): DataFrame =
-    containmentPairsOn(shingled(spark, dir))
+    containmentPairsOnPosts(cappedPostsShared(spark, dir))
 
   /** Core over any (doc_id, codes, sz) shingle frame — spec seam. */
   private[graft] def containmentPairsOn(
-      sh: DataFrame, maxDf: Long = DefaultMaxShingleDf): DataFrame = {
-    val posts = cappedPosts(sh.filter(col("sz") > 0), maxDf)
+      sh: DataFrame, maxDf: Long = DefaultMaxShingleDf): DataFrame =
+    containmentPairsOnPosts(cappedPosts(sh, maxDf))
+
+  /** An sz=0 doc has no codes, so explode already drops it from the
+    * postings — the shared frame needs no extra filter. */
+  private def containmentPairsOnPosts(posts: DataFrame): DataFrame = {
     val und = posts.as("a").join(posts.as("b"),
         col("a.code") === col("b.code") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
@@ -576,11 +621,14 @@ object Dedup {
     * df cap is needed: unlike the pair join, a hot shingle's cost here
     * is linear in its posting list, never quadratic. */
   def crossDocSpanStats(spark: SparkSession, dir: String): DataFrame =
-    crossDocSpanStatsOn(Tables.documents(spark, dir))
+    crossDocSpanStatsOnSh(shingled(spark, dir))
 
   /** Core over any (doc_id, text) frame — seam for spec corpora. */
-  private[graft] def crossDocSpanStatsOn(docs: DataFrame): DataFrame = {
-    val sh = shingledOn(docs).filter(col("sz") > 0)
+  private[graft] def crossDocSpanStatsOn(docs: DataFrame): DataFrame =
+    crossDocSpanStatsOnSh(shingledOn(docs))
+
+  private def crossDocSpanStatsOnSh(shRaw: DataFrame): DataFrame = {
+    val sh = shRaw.filter(col("sz") > 0)
     val posts = sh.select(col("doc_id"), explode(col("codes")).as("code"))
     // codes are distinct per doc (shingledOn), so count(*) per code IS
     // the document frequency
