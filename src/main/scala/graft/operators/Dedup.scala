@@ -761,12 +761,19 @@ object Dedup {
     val hits = occ.filter(isBatch)
       .join(corpusCodes, Seq("code"), "left_semi")
       .select(col("doc_id"), col("pos"))
+    spanIngestVerdict(docs.filter(isBatch), hits)
+  }
+
+  /** Per-batch-doc accounting over the duplicate-span hits: dup-span
+    * count, merged removed-token total, and removed-per-mille — the
+    * tail shared by the recompute and persisted-index ingest paths. */
+  private def spanIngestVerdict(batchDocs: DataFrame, hits: DataFrame): DataFrame = {
     val perDoc = hits.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("nd"))
       .join(mergeSpanIntervals(hits, SpanW)
         .groupBy(col("doc_id")).agg(sum(col("span_tokens")).as("rt")),
         Seq("doc_id"))
-    docs.filter(isBatch)
+    batchDocs
       .select(col("doc_id"),
         size(tokens(col("text"))).cast("long").as("n_tokens"))
       .join(perDoc, Seq("doc_id"), "left")
@@ -1094,6 +1101,139 @@ object Dedup {
         col("n_dups").isNull.as("keep"))
   }
 
+  // -------------------------- persisted-index ingest lifecycle (drill)
+
+  /** Bucket count for the persisted index tables. Matches the session's
+    * shuffle partitioning so the probe side shuffles into exactly the
+    * index's layout; at cluster scale this is the corpus generation's
+    * chosen bucket count (hundreds–thousands). */
+  val IndexBuckets = 32
+
+  /** Filesystem root for persisted index generations (overridable so
+    * specs can use an isolated scratch dir). */
+  private def indexRoot: String =
+    sys.props.getOrElse("graft.index.root", "/tmp/graft_indexes")
+
+  /** Identifier-safe table/dir suffix per source dir: the basename
+    * (sf0_01-style) plus a hash of the full path against collisions. */
+  private def idxSuffix(dir: String): String = {
+    val base = dir.split('/').filter(_.nonEmpty).lastOption.getOrElse("root")
+      .replaceAll("[^A-Za-z0-9]", "_")
+    val h = Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(dir))
+    s"${base}_$h"
+  }
+
+  /** Write-once-per-generation: persist the standing corpus's LSH band
+    * index AND its signature/code sets as BUCKETED parquet tables —
+    * the production artifact [[incrementalDedup]]'s scaladoc promises
+    * ("persist (bucketed by band key) across ingests"). Returns the
+    * (bands, sets) table names; idempotent per session (catalog hit →
+    * no rebuild, which is exactly the read-it-back lifecycle: later
+    * ingests in the session join against the on-disk artifact with
+    * ZERO corpus re-shingling).
+    *
+    * repartition-on-bucket-keys before the write uses the same murmur
+    * hash as bucketBy, so each task holds exactly one bucket's rows →
+    * one file per bucket, and the sortBy metadata lets the bucketed
+    * read side skip its sort under a sort-merge join. */
+  private[graft] def ensureBandIndex(spark: SparkSession, dir: String): (String, String) = {
+    val sfx = idxSuffix(dir)
+    val bandsT = s"graft_band_idx_$sfx"
+    val setsT = s"graft_sets_idx_$sfx"
+    if (!spark.catalog.tableExists(bandsT) || !spark.catalog.tableExists(setsT)) {
+      val corpus = minHashSignatures(spark, dir)
+        .filter(pmod(col("doc_id"), lit(IncrementalBatchMod)) =!= 0)
+      bandsOf(corpus)
+        .repartition(IndexBuckets, col("band"), col("m1"), col("m2"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(IndexBuckets, "band", "m1", "m2")
+        .sortBy("band", "m1", "m2")
+        .option("path", s"$indexRoot/band_$sfx")
+        .saveAsTable(bandsT)
+      corpus.select(col("doc_id"), col("codes"), col("sz"))
+        .repartition(IndexBuckets, col("doc_id"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(IndexBuckets, "doc_id")
+        .sortBy("doc_id")
+        .option("path", s"$indexRoot/sets_$sfx")
+        .saveAsTable(setsT)
+    }
+    (bandsT, setsT)
+  }
+
+  /** [[incrementalDedup]] driven from the on-disk bucketed index
+    * instead of recomputed corpus frames — the drill for the 100 TB
+    * lifecycle: only the BATCH is shingled/minhashed from source; the
+    * corpus side enters both the band join and the verification join
+    * as bucketed scans that shuffle NOTHING (PersistedIndexSpec pins
+    * the exchange-free plan shape; the verdict frame is hash-identical
+    * to the recompute path). */
+  def incrementalDedupPersisted(spark: SparkSession, dir: String): DataFrame = {
+    val (bandsT, setsT) = ensureBandIndex(spark, dir)
+    val corpusBands = spark.table(bandsT)
+    val corpusSets = spark.table(setsT)
+    val batchSh = minHashSignatures(spark, dir)
+      .filter(pmod(col("doc_id"), lit(IncrementalBatchMod)) === 0)
+    val cand = bandsOf(batchSh).as("a").join(corpusBands.as("b"),
+        col("a.band") === col("b.band") && col("a.m1") === col("b.m1") &&
+          col("a.m2") === col("b.m2"))
+      .select(col("a.doc_id").as("batch_id"), col("b.doc_id").as("corpus_id"))
+      .distinct()
+    val dups = cand
+      .join(batchSh.select(col("doc_id").as("batch_id"),
+        col("codes").as("c_i"), col("sz").cast("long").as("sz_i")), "batch_id")
+      .join(corpusSets.select(col("doc_id").as("corpus_id"),
+        col("codes").as("c_j"), col("sz").cast("long").as("sz_j")), "corpus_id")
+      .withColumn("common", size(array_intersect(col("c_i"), col("c_j"))).cast("long"))
+      .withColumn("jaccard", col("common") / (col("sz_i") + col("sz_j") - col("common")))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .groupBy(col("batch_id"))
+      .agg(count(lit(1)).as("n_dups"), max(col("jaccard")).as("best_jaccard"))
+    batchSh.select(col("doc_id").as("batch_id"))
+      .join(dups, Seq("batch_id"), "left")
+      .select(col("batch_id"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        col("best_jaccard"),
+        col("n_dups").isNull.as("keep"))
+  }
+
+  /** The span-code generation artifact: the standing corpus's DISTINCT
+    * positional span codes, bucketed by code — the ingest gate's
+    * semi-join probe target. */
+  private[graft] def ensureSpanIndex(spark: SparkSession, dir: String): String = {
+    val sfx = idxSuffix(dir)
+    val t = s"graft_span_idx_$sfx"
+    if (!spark.catalog.tableExists(t)) {
+      Tables.documents(spark, dir)
+        .filter(pmod(col("doc_id"), lit(IncrementalBatchMod)) =!= 0)
+        .select(explode(spanCodes(col("text"), SpanW)).as("code"))
+        .distinct()
+        .repartition(IndexBuckets, col("code"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(IndexBuckets, "code")
+        .sortBy("code")
+        .option("path", s"$indexRoot/span_$sfx")
+        .saveAsTable(t)
+    }
+    t
+  }
+
+  /** [[incrementalSpanRemoval]] driven from the on-disk span-code
+    * index: only the batch is span-hashed; the corpus side of the
+    * semi-join is a bucketed exchange-free scan. Hash-identical to the
+    * recompute path. */
+  def incrementalSpanRemovalPersisted(spark: SparkSession, dir: String): DataFrame = {
+    val corpusCodes = spark.table(ensureSpanIndex(spark, dir))
+    val batchDocs = Tables.documents(spark, dir)
+      .filter(pmod(col("doc_id"), lit(IncrementalBatchMod)) === 0)
+    val occ = batchDocs
+      .select(col("doc_id"), posexplode(spanCodes(col("text"), SpanW)))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("code"))
+    val hits = occ.join(corpusCodes, Seq("code"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    spanIngestVerdict(batchDocs, hits)
+  }
+
   /** Eval-set leakage audit: near-dup pairs that STRADDLE the
     * train/val/test split — the decontamination hygiene check every
     * training pipeline needs (a test doc whose near-duplicate sits in
@@ -1243,6 +1383,8 @@ object Dedup {
     "qa_split_leakage" -> ((s, d) => splitLeakage(s, d)),
     "sample_splits_by_cluster" -> ((s, d) => splitsByCluster(s, d)),
     "dedup_incremental" -> ((s, d) => incrementalDedup(s, d)),
+    "dedup_incremental_persisted" -> ((s, d) => incrementalDedupPersisted(s, d)),
+    "dedup_span_incremental_persisted" -> ((s, d) => incrementalSpanRemovalPersisted(s, d)),
     "dedup_clusters" -> ((s, d) => dupClusters(s, d)),
     "dedup_clusters_star" -> ((s, d) => dupClustersStar(s, d)),
     "dedup_exact" -> ((s, d) => exact(s, d)),
@@ -1351,7 +1493,15 @@ object Dedup {
        |SELECT src AS doc_id, min(dst) AS canonical_id
        |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin
 
-  val oracle: Map[String, String] = Map(
+  /** The persisted-index drills are BY CONSTRUCTION the same queries as
+    * their recompute twins (only the plan's input artifact differs), so
+    * they share the twins' oracle SQL verbatim — parity proves the
+    * on-disk index path computes the identical verdict. */
+  lazy val oracle: Map[String, String] = oracleBase ++ Map(
+    "dedup_incremental_persisted" -> oracleBase("dedup_incremental"),
+    "dedup_span_incremental_persisted" -> oracleBase("dedup_span_incremental"))
+
+  private val oracleBase: Map[String, String] = Map(
     // first-holder novelty: min doc_id per shingle code, share of a
     // doc's distinct shingles it holds first
     "text_ngram_novelty" ->

@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.exchange.Exchange
+import graft.operators.Dedup
+
+/** The persisted-index generation drill: the production dedup lifecycle
+  * writes the corpus band/sets/span-code indexes as bucketed parquet
+  * ONCE per generation, and every later ingest probes them bucket-
+  * locally with zero corpus recompute. These tests execute that
+  * lifecycle end-to-end and pin both halves of the claim:
+  *   (a) the persisted probe computes the IDENTICAL verdict to the
+  *       recompute path, and
+  *   (b) with broadcast disabled (the 100 TB shape — a corpus index
+  *       never broadcasts), no exchange sits BETWEEN an index-table
+  *       scan and the join that consumes it: the corpus side of every
+  *       probe join is a bucketed scan consumed in place, so only the
+  *       ingest batch (and batch-sized candidate frames) shuffle.
+  */
+class PersistedIndexSpec extends SparkSpec {
+
+  private def indexScans(p: SparkPlan): Seq[FileSourceScanExec] =
+    p.collect {
+      case f: FileSourceScanExec
+          if f.tableIdentifier.exists(_.table.startsWith("graft_")) => f
+    }
+
+  private def pathTo(root: SparkPlan, target: SparkPlan): Option[List[SparkPlan]] =
+    if (root eq target) Some(List(root))
+    else root.children.view.flatMap(c => pathTo(c, target)).headOption.map(root :: _)
+
+  /** Index scans with an Exchange between them and the join that
+    * consumes them — must be empty: such an exchange means the on-disk
+    * bucketing was thrown away and the corpus side reshuffled.
+    * (Exchanges ABOVE the consuming join — candidate re-keying,
+    * post-join aggregates — are the ingest batch's own, and legitimate:
+    * they move candidate/batch-sized frames, never the corpus.) */
+  private def reshuffledIndexScans(p: SparkPlan): Seq[FileSourceScanExec] =
+    indexScans(p).filter { scan =>
+      pathTo(p, scan).exists { path =>
+        val belowJoin = path.reverse.takeWhile {
+          case _: org.apache.spark.sql.execution.joins.BaseJoinExec => false
+          case _ => true
+        }
+        belowJoin.exists(_.isInstanceOf[Exchange])
+      }
+    }
+
+  private def executedPlan(df: DataFrame): SparkPlan =
+    df.queryExecution.executedPlan
+
+  /** Static-plan inspection mode: AQE off (AdaptiveSparkPlanExec hides
+    * its subtree from collect) and broadcast off (a corpus-scale index
+    * never broadcasts — the SMJ shape is the one that matters). The
+    * probe frame must be CONSTRUCTED inside the block so its plan is
+    * compiled under these confs. */
+  private def staticNoBroadcast[A](body: => A): A = {
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val old = keys.map { case (k, _) => k -> spark.conf.get(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally old.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
+  private def rows(df: DataFrame): Set[String] =
+    df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSet
+
+  test("persisted minhash index: verdict identical to the recompute path") {
+    val a = rows(Dedup.incrementalDedup(spark, sf0001))
+    val b = rows(Dedup.incrementalDedupPersisted(spark, sf0001))
+    assert(a == b, "persisted-index ingest verdict diverged from recompute")
+    assert(a.nonEmpty)
+  }
+
+  test("persisted span index: verdict identical to the recompute path") {
+    val a = rows(Dedup.incrementalSpanRemoval(spark, sf0001))
+    val b = rows(Dedup.incrementalSpanRemovalPersisted(spark, sf0001))
+    assert(a == b, "persisted span-index ingest verdict diverged from recompute")
+    assert(a.nonEmpty)
+  }
+
+  test("band+sets probe joins are bucket-local: no exchange above either index scan") {
+    staticNoBroadcast {
+      val plan = executedPlan(Dedup.incrementalDedupPersisted(spark, sf0001))
+      val scans = indexScans(plan)
+      assert(scans.size >= 2,
+        s"expected band + sets index scans in the probe plan:\n$plan")
+      assert(scans.forall(_.bucketedScan),
+        s"index scans must read bucketed (one task per on-disk bucket):\n$plan")
+      val bad = reshuffledIndexScans(plan)
+      assert(bad.isEmpty,
+        s"corpus index reshuffled between scan and join:\n$plan")
+    }
+  }
+
+  test("span probe semi-join is bucket-local: no exchange above the span index scan") {
+    staticNoBroadcast {
+      val plan = executedPlan(Dedup.incrementalSpanRemovalPersisted(spark, sf0001))
+      val scans = indexScans(plan)
+      assert(scans.nonEmpty, s"expected the span index scan in the plan:\n$plan")
+      assert(scans.forall(_.bucketedScan),
+        s"span index scan must read bucketed:\n$plan")
+      val bad = reshuffledIndexScans(plan)
+      assert(bad.isEmpty,
+        s"span index reshuffled between scan and join:\n$plan")
+    }
+  }
+
+  test("ingest probes never re-scan the corpus source") {
+    // the probe's only parquet inputs are the index tables; the batch
+    // side reads the session's materialized shingle frame (in
+    // production, the ingest's own source) — documents.parquet itself
+    // must not appear in the probe plan.
+    val plan = staticNoBroadcast {
+      executedPlan(Dedup.incrementalDedupPersisted(spark, sf0001))
+    }
+    val docScans = plan.collect {
+      case f: FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains("documents")) => f
+    }
+    assert(docScans.isEmpty,
+      s"persisted probe re-scanned the corpus source:\n$plan")
+  }
+}
