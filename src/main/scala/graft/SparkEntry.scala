@@ -28,7 +28,7 @@ object SparkEntry {
       Profiling.queries ++ Sketches.queries ++ Retrieval.queries ++
       Graph.queries ++ Behavior.queries ++ Warehouse.queries ++
       Temporal.queries ++ Intervals.queries ++ Layout.queries ++
-      SourceHealth.queries ++
+      SourceHealth.queries ++ Html.queries ++
       graft.sources.GenTradesSource.queries ++
       graft.sources.GenKVSource.queries
 
@@ -42,7 +42,7 @@ object SparkEntry {
       Profiling.oracle ++ Sketches.oracle ++ Retrieval.oracle ++
       Graph.oracle ++ Behavior.oracle ++ Warehouse.oracle ++
       Temporal.oracle ++ Intervals.oracle ++ Layout.oracle ++
-      SourceHealth.oracle ++
+      SourceHealth.oracle ++ Html.oracle ++
       graft.sources.GenTradesSource.oracle ++
       graft.sources.GenKVSource.oracle
 }

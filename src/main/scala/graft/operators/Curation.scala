@@ -243,14 +243,23 @@ object Curation {
     * folded into `keep`. Thresholds are calibrated so the demo corpus
     * genuinely splits; at 100 TB this is one scan projection — the
     * entire report costs zero shuffles. */
-  def gopherFilters(spark: SparkSession, dir: String): DataFrame = {
+  def gopherFilters(spark: SparkSession, dir: String): DataFrame =
+    gopherOn(Tables.documents(spark, dir), col("text"))
+
+  /** The Gopher gate over ANY (doc_id, <text>) frame — the composable
+    * core: [[gopherFilters]] runs it on raw documents, Html runs it on
+    * boilerplate-stripped main content (the CCNet/RefinedWeb stage
+    * order: extract first, quality-gate second). Rows whose text is
+    * empty are emitted with zeroed stats and keep=false rather than
+    * dividing by zero. */
+  private[operators] def gopherOn(docs: DataFrame, text: Column): DataFrame = {
     // one fused TokenStats pass per document (native expression; the
     // five separate HOF lambdas + per-token rlike it replaced were the
     // most expensive scan in the text suite) — Catalyst CSE evaluates
     // the shared array once per row
     val ts = graft.functions.TextFunctions.tokenStatsArr(
-      col("text"), TextAnalysis.stop("en"))
-    Tables.documents(spark, dir)
+      text, TextAnalysis.stop("en"))
+    docs
       .select(
         col("doc_id"),
         element_at(ts, 1).as("n_words"),
@@ -259,10 +268,13 @@ object Curation {
         element_at(ts, 4).as("stop_hits"),
         element_at(ts, 5).as("n_alpha"))
       .select(col("doc_id"), col("n_words"),
-        expr("sum_len * 1000 div n_words").as("mean_len_milli"),
-        expr("n_distinct * 1000 div n_words").as("diversity_milli"),
+        expr("CASE WHEN n_words > 0 THEN sum_len * 1000 div n_words ELSE 0 END")
+          .as("mean_len_milli"),
+        expr("CASE WHEN n_words > 0 THEN n_distinct * 1000 div n_words ELSE 0 END")
+          .as("diversity_milli"),
         col("stop_hits"),
-        expr("n_alpha * 1000 div n_words").as("alpha_frac_milli"))
+        expr("CASE WHEN n_words > 0 THEN n_alpha * 1000 div n_words ELSE 0 END")
+          .as("alpha_frac_milli"))
       .withColumn("keep",
         col("n_words").between(30L, 100000L) &&
           col("mean_len_milli").between(3000L, 10000L) &&
@@ -555,7 +567,7 @@ object Curation {
     """list_reduce(list_transform(string_split(substr(md5(doc_id::VARCHAR || ':' || lang), 1, 4), ''),
       |  c -> strpos('0123456789abcdef', c) - 1), (a, b) -> a * 16 + b) / 65536.0""".stripMargin
 
-  private val stopEnSql =
+  private[operators] val stopEnSql =
     TextAnalysis.stop("en").map(w => s"'$w'").mkString(", ")
 
   val oracle: Map[String, String] = Map(

@@ -1,0 +1,237 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** HTML / boilerplate extraction — the FIRST stage of a web-crawl
+  * training-data pipeline (WARC/WET → main-content extraction), absent
+  * from the reference (which has no text operators at all) and the one
+  * stage the text tier previously assumed away by starting from clean
+  * text.
+  *
+  * The corpus ships as plain text, so each document is first wrapped in
+  * DETERMINISTIC synthetic page chrome (head/title, nav, a link-farm
+  * promo block on every third doc, footer) — a pure string projection
+  * replayed verbatim by the DuckDB oracle, which is what makes the
+  * whole family hash-checkable. The extractor then runs the generic
+  * boilerplate algorithm (jusText/CCNet-family heuristics) with no
+  * knowledge of that structure:
+  *
+  *   1. segment the page into blocks at closing container tags
+  *      (`</nav>|</div>|</footer>`),
+  *   2. per block: tag-strip to text, count anchor text
+  *      (`<a …>…</a>` spans),
+  *   3. gate: a block is CONTENT iff its text is long enough
+  *      ([[MinBlockChars]]) and its link density — anchor chars per
+  *      text char, in exact millis — is at most
+  *      [[MaxLinkDensityMilli]]; everything else is boilerplate,
+  *   4. main text = surviving blocks' text, re-joined.
+  *
+  * Scale shape: every query is ONE scan projection — pure column
+  * algebra (split / transform / filter / aggregate HOFs), no UDF, no
+  * shuffle, no per-doc driver work; the only exchange anywhere is the
+  * single-row corpus rollup's. At 100 TB this is the map-side pass in
+  * front of [[Curation.gopherFilters]], and [[htmlGopher]] runs exactly
+  * that composition (extract first, quality-gate second). */
+object Html {
+
+  /** A block shorter than this (in stripped chars) is boilerplate
+    * regardless of links — page titles, button labels, nav fragments. */
+  val MinBlockChars = 30
+
+  /** Max anchor-chars per text-char, in millis: a block where more
+    * than 30% of the text is link text is navigation/promo chrome. */
+  val MaxLinkDensityMilli = 300L
+
+  // --- deterministic synthetic page chrome (shared with the oracle) --
+  private[operators] val Head = "<html><head><title>Doc "
+  private[operators] val HeadClose = "</title></head><body>"
+  private[operators] val Nav =
+    """<nav><a href="/">Home</a> <a href="/about">About</a> <a href="/contact">Contact</a></nav>"""
+  private[operators] val Promo =
+    """<div class="promo"><a href="/buy">Buy now</a> <a href="/deal">Deal of the day</a> <a href="/win">Win big</a></div>"""
+  private[operators] val MainOpen = """<div class="main"><p>"""
+  private[operators] val MainClose = "</p></div>"
+  private[operators] val Footer =
+    """<footer>(c) 2026 Example Corp <a href="/tos">Terms of Service</a></footer>"""
+  private[operators] val Tail = "</body></html>"
+
+  /** Every third doc gets the link-farm promo block — so the corpus
+    * exercises the density gate on blocks that PASS the length gate. */
+  private val PromoMod = 3L
+
+  private val BlockSplitRe = "</nav>|</div>|</footer>"
+  private val TagRe = "<[^>]*>"
+  private val AnchorRe = "<a [^>]*>([^<]*)</a>"
+
+  /** The synthetic page for one document — pure column algebra. */
+  private def htmlCol(docId: Column, text: Column): Column =
+    concat(
+      lit(Head), docId.cast("string"), lit(HeadClose),
+      lit(Nav),
+      when(pmod(docId, lit(PromoMod)) === 0, lit(Promo)).otherwise(lit("")),
+      lit(MainOpen), coalesce(text, lit("")), lit(MainClose),
+      lit(Footer), lit(Tail))
+
+  /** Per-doc block stats: (txt, chars, anchor_chars, n_links, keep)
+    * per block plus the page — the shared head of every query. */
+  private def blockStats(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), htmlCol(col("doc_id"), col("text")).as("html"))
+      .withColumn("blocks", split(col("html"), BlockSplitRe))
+      .withColumn("bs", expr(
+        s"""transform(blocks, b -> named_struct(
+           |  'txt', trim(regexp_replace(b, '$TagRe', '')),
+           |  'ac', aggregate(regexp_extract_all(b, '$AnchorRe', 1), 0L,
+           |          (a, x) -> a + length(x)),
+           |  'nl', cast(size(regexp_extract_all(b, '$AnchorRe', 1)) as bigint)))"""
+          .stripMargin))
+      .withColumn("nonempty", expr("filter(bs, s -> s.txt != '')"))
+      .withColumn("kept", expr(
+        s"""filter(bs, s -> length(s.txt) >= $MinBlockChars
+           |  and s.ac * 1000 <= $MaxLinkDensityMilli * length(s.txt))"""
+          .stripMargin))
+
+  /** Main-content extraction: segment → strip → gate → re-join. */
+  def extract(spark: SparkSession, dir: String): DataFrame =
+    blockStats(Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        expr("cast(size(nonempty) as bigint)").as("n_blocks"),
+        expr("cast(size(kept) as bigint)").as("n_kept"),
+        expr("array_join(transform(kept, s -> s.txt), ' ')").as("main_text"))
+      .withColumn("main_chars", length(col("main_text")).cast("long"))
+
+  /** Boilerplate accounting per document: how much of the page's text
+    * the gate removed, and the link mass that triggered it. */
+  def boilerplate(spark: SparkSession, dir: String): DataFrame =
+    blockStats(Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        length(col("html")).cast("long").as("html_chars"),
+        expr("aggregate(nonempty, 0L, (a, s) -> a + length(s.txt))").as("text_chars"),
+        expr("aggregate(kept, 0L, (a, s) -> a + length(s.txt))").as("main_chars"),
+        expr("aggregate(bs, 0L, (a, s) -> a + s.ac)").as("anchor_chars"),
+        expr("aggregate(bs, 0L, (a, s) -> a + s.nl)").as("n_links"))
+      .withColumn("boiler_chars", col("text_chars") - col("main_chars"))
+      .withColumn("boiler_milli",
+        expr("CASE WHEN text_chars > 0 THEN boiler_chars * 1000 div text_chars ELSE 0 END"))
+
+  /** Corpus rollup — the boilerplate-fraction report a crawl run logs
+    * per snapshot: total text in vs content out, and how many pages
+    * had no extractable content at all. */
+  def report(spark: SparkSession, dir: String): DataFrame =
+    boilerplate(spark, dir)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("text_chars")).as("text_chars"),
+        sum(col("boiler_chars")).as("boiler_chars"),
+        sum(when(col("main_chars") === 0, 1L).otherwise(0L)).as("n_empty_docs"))
+      .withColumn("boiler_milli",
+        expr("boiler_chars * 1000 div text_chars"))
+
+  /** The composed crawl-pipeline stage pair: extraction feeding the
+    * Gopher quality gate — [[Curation.gopherOn]] over the extracted
+    * main text instead of raw document text. */
+  def htmlGopher(spark: SparkSession, dir: String): DataFrame =
+    Curation.gopherOn(extract(spark, dir), col("main_text"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_html_extract" -> ((s, d) => extract(s, d)),
+    "text_html_boilerplate" -> ((s, d) => boilerplate(s, d)),
+    "text_html_report" -> ((s, d) => report(s, d)),
+    "text_html_gopher" -> ((s, d) => htmlGopher(s, d)))
+
+  // ------------------------------------------------------------ oracle
+
+  private def esc(s: String): String = s.replace("'", "''")
+
+  /** The page build in DuckDB — byte-identical to [[htmlCol]]. */
+  private val htmlSql: String =
+    s"'${esc(Head)}' || doc_id || '${esc(HeadClose)}' || '${esc(Nav)}' || " +
+      s"(CASE WHEN doc_id % $PromoMod = 0 THEN '${esc(Promo)}' ELSE '' END) || " +
+      s"'${esc(MainOpen)}' || coalesce(text, '') || '${esc(MainClose)}' || " +
+      s"'${esc(Footer)}' || '${esc(Tail)}'"
+
+  /** Block stats CTE chain shared by the oracle queries. list_sum of an
+    * empty list is NULL in DuckDB (Spark's aggregate seeds 0) — every
+    * fold is coalesced. */
+  private val blockCte: String =
+    s"""h AS (SELECT doc_id, $htmlSql AS html FROM documents),
+       |b AS (SELECT doc_id, html,
+       |    list_transform(regexp_split_to_array(html, '$BlockSplitRe'),
+       |      blk -> struct_pack(
+       |        txt := trim(regexp_replace(blk, '$TagRe', '', 'g')),
+       |        ac := coalesce(list_sum(list_transform(
+       |                regexp_extract_all(blk, '$AnchorRe', 1),
+       |                x -> length(x)::BIGINT)), 0)::BIGINT,
+       |        nl := len(regexp_extract_all(blk, '$AnchorRe', 1))::BIGINT)) AS bs
+       |  FROM h),
+       |k AS (SELECT doc_id, html,
+       |    list_filter(bs, s -> s.txt <> '') AS nonempty,
+       |    list_filter(bs, s -> length(s.txt) >= $MinBlockChars
+       |      AND s.ac * 1000 <= $MaxLinkDensityMilli * length(s.txt)) AS kept,
+       |    bs
+       |  FROM b)""".stripMargin
+
+  private val boilerSelect: String =
+    s"""SELECT doc_id,
+       |  length(html)::BIGINT AS html_chars,
+       |  coalesce(list_sum(list_transform(nonempty, s -> length(s.txt)::BIGINT)), 0)::BIGINT AS text_chars,
+       |  coalesce(list_sum(list_transform(kept, s -> length(s.txt)::BIGINT)), 0)::BIGINT AS main_chars,
+       |  coalesce(list_sum(list_transform(bs, s -> s.ac)), 0)::BIGINT AS anchor_chars,
+       |  coalesce(list_sum(list_transform(bs, s -> s.nl)), 0)::BIGINT AS n_links
+       |FROM k""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "text_html_extract" ->
+      s"""WITH $blockCte
+         |SELECT doc_id,
+         |  len(nonempty)::BIGINT AS n_blocks,
+         |  len(kept)::BIGINT AS n_kept,
+         |  array_to_string(list_transform(kept, s -> s.txt), ' ') AS main_text,
+         |  length(array_to_string(list_transform(kept, s -> s.txt), ' '))::BIGINT AS main_chars
+         |FROM k ORDER BY doc_id""".stripMargin,
+    "text_html_boilerplate" ->
+      s"""WITH $blockCte,
+         |m AS ($boilerSelect)
+         |SELECT doc_id, html_chars, text_chars, main_chars, anchor_chars,
+         |  n_links,
+         |  (text_chars - main_chars)::BIGINT AS boiler_chars,
+         |  (CASE WHEN text_chars > 0
+         |        THEN (text_chars - main_chars) * 1000 // text_chars
+         |        ELSE 0 END)::BIGINT AS boiler_milli
+         |FROM m ORDER BY doc_id""".stripMargin,
+    "text_html_report" ->
+      s"""WITH $blockCte,
+         |m AS ($boilerSelect)
+         |SELECT count(*)::BIGINT AS n_docs,
+         |  sum(text_chars)::BIGINT AS text_chars,
+         |  sum(text_chars - main_chars)::BIGINT AS boiler_chars,
+         |  sum(CASE WHEN main_chars = 0 THEN 1 ELSE 0 END)::BIGINT AS n_empty_docs,
+         |  (sum(text_chars - main_chars) * 1000 // sum(text_chars))::BIGINT AS boiler_milli
+         |FROM m""".stripMargin,
+    "text_html_gopher" ->
+      s"""WITH $blockCte,
+         |mt AS (SELECT doc_id,
+         |    array_to_string(list_transform(kept, s -> s.txt), ' ') AS main_text
+         |  FROM k),
+         |t AS (SELECT doc_id, list_filter(string_split(main_text, ' '), x -> x <> '') AS toks FROM mt),
+         |f AS (SELECT doc_id,
+         |    len(toks)::BIGINT AS n_words,
+         |    coalesce(list_sum(list_transform(toks, x -> length(x)::BIGINT)), 0)::BIGINT AS sum_len,
+         |    len(list_distinct(toks))::BIGINT AS n_distinct,
+         |    len(list_filter(toks, x -> x IN (${Curation.stopEnSql})))::BIGINT AS stop_hits,
+         |    len(list_filter(toks, x -> regexp_matches(x, '^[a-z]+${"$"}')))::BIGINT AS n_alpha
+         |  FROM t)
+         |SELECT doc_id, n_words,
+         |  (CASE WHEN n_words > 0 THEN sum_len * 1000 // n_words ELSE 0 END)::BIGINT AS mean_len_milli,
+         |  (CASE WHEN n_words > 0 THEN n_distinct * 1000 // n_words ELSE 0 END)::BIGINT AS diversity_milli,
+         |  stop_hits,
+         |  (CASE WHEN n_words > 0 THEN n_alpha * 1000 // n_words ELSE 0 END)::BIGINT AS alpha_frac_milli,
+         |  (n_words BETWEEN 30 AND 100000
+         |    AND (CASE WHEN n_words > 0 THEN sum_len * 1000 // n_words ELSE 0 END) BETWEEN 3000 AND 10000
+         |    AND (CASE WHEN n_words > 0 THEN n_distinct * 1000 // n_words ELSE 0 END) >= 350
+         |    AND stop_hits >= 2
+         |    AND (CASE WHEN n_words > 0 THEN n_alpha * 1000 // n_words ELSE 0 END) >= 800) AS keep
+         |FROM f ORDER BY doc_id""".stripMargin)
+}
