@@ -266,6 +266,31 @@ object Bench {
     * bounds, this is the end-to-end floor. */
   private val ComposedTradesN = 100000
   private def streamingRateComposed(spark: SparkSession): Long = {
+    // The composed topology runs on RocksDB + changelog + join state
+    // format v3 (single store with virtual column families instead of
+    // four stores per join side; RocksDB-only). StreamBreakdown
+    // measured the interval join as HALF the composed budget on the
+    // default HDFS provider (join-only 35k ev/s vs dedup 80k, agg
+    // 60k), and v3 lifts join-only to 54k and the full chain 20.5k →
+    // 27.5k ev/s on the same replay — the one provider/format choice
+    // that moves the end-to-end floor, and the documented production
+    // setting for join-heavy topologies.
+    val confs = Seq(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true",
+      "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows" -> "false",
+      "spark.sql.streaming.join.stateFormatVersion" -> "3")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try streamingRateComposedBody(spark)
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  private def streamingRateComposedBody(spark: SparkSession): Long = {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions._
