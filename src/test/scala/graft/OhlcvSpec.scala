@@ -208,6 +208,7 @@ class OhlcvSpec extends SparkSpec {
       ("Intervals", Intervals.queries.keySet, Intervals.oracle.keySet),
       ("Layout", Layout.queries.keySet, Layout.oracle.keySet),
       ("SourceHealth", SourceHealth.queries.keySet, SourceHealth.oracle.keySet),
+      ("Html", Html.queries.keySet, Html.oracle.keySet),
       ("GenTrades", graft.sources.GenTradesSource.queries.keySet,
         graft.sources.GenTradesSource.oracle.keySet),
       ("GenKV", graft.sources.GenKVSource.queries.keySet,
