@@ -333,7 +333,13 @@ object Dedup {
     * permutations (the composed form re-walks the array k times through
     * interpreted lambdas). */
   def minHashSignatures(spark: SparkSession, dir: String): DataFrame =
-    shingled(spark, dir)
+    signaturesOnSh(shingled(spark, dir))
+
+  /** Signatures over any (doc_id, codes, sz) shingle frame — the seam
+    * the streaming ingest gate probes arbitrary arriving batches
+    * through. */
+  private[graft] def signaturesOnSh(sh: DataFrame): DataFrame =
+    sh
       .filter(col("sz") > 0) // a doc too short to shingle has no set to sketch
       .withColumn("sig", org.apache.spark.sql.graft.ColumnBridge.column(
         graft.functions.MinHashSig(
@@ -1170,10 +1176,20 @@ object Dedup {
     * to the recompute path). */
   def incrementalDedupPersisted(spark: SparkSession, dir: String): DataFrame = {
     val (bandsT, setsT) = ensureBandIndex(spark, dir)
+    probeBandIndex(spark,
+      minHashSignatures(spark, dir)
+        .filter(pmod(col("doc_id"), lit(IncrementalBatchMod)) === 0),
+      bandsT, setsT)
+  }
+
+  /** Probe ANY batch signature frame ((doc_id, codes, sz, sig), e.g.
+    * one micro-batch of arriving documents) against the persisted
+    * corpus index tables — the core shared by the batch drill above
+    * and the streaming ingest gate's foreachBatch. */
+  private[graft] def probeBandIndex(spark: SparkSession, batchSh: DataFrame,
+      bandsT: String, setsT: String): DataFrame = {
     val corpusBands = spark.table(bandsT)
     val corpusSets = spark.table(setsT)
-    val batchSh = minHashSignatures(spark, dir)
-      .filter(pmod(col("doc_id"), lit(IncrementalBatchMod)) === 0)
     val cand = bandsOf(batchSh).as("a").join(corpusBands.as("b"),
         col("a.band") === col("b.band") && col("a.m1") === col("b.m1") &&
           col("a.m2") === col("b.m2"))

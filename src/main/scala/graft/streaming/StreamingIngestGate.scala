@@ -1,0 +1,52 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.Dedup
+
+/** The streaming form of the persisted-index ingest gate: documents
+  * arrive as a STREAM (a crawl feed, a Kafka topic of scraped pages),
+  * and every micro-batch is probed against the standing corpus's
+  * on-disk bucketed MinHash band index — the same
+  * `Dedup.probeBandIndex` core the batch drill runs — emitting one
+  * keep/drop verdict row per arriving document.
+  *
+  * Why foreachBatch and not a stream-stream join: the corpus index is
+  * a STATIC generation artifact (rewritten once per curation cycle,
+  * not an evolving stream), so the right topology is a per-batch
+  * batch-join against the bucketed table — each micro-batch shuffles
+  * only its own bands into the index's bucket layout, the corpus never
+  * moves, and there is no streaming state at all (the gate is
+  * stateless by design; arriving docs are deliberately NOT checked
+  * against each other — within-batch duplication is left to the next
+  * generation's full pass, matching the batch gate's contract).
+  *
+  * At 100 TB: the index tables are the generation's bucketed parquet;
+  * each ingest micro-batch is crawl-minutes of data probed
+  * bucket-locally; the verdict sink feeds the keep queue. */
+object StreamingIngestGate {
+
+  /** Start the gate over a streaming (doc_id, text) frame. The corpus
+    * index for `dir` is ensured once at start (catalog hit → no
+    * rebuild); `sink` receives each micro-batch's verdict frame
+    * (batch_id, n_dups, best_jaccard, keep). */
+  def start(spark: SparkSession, dir: String, docs: DataFrame)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    val (bandsT, setsT) = Dedup.ensureBandIndex(spark, dir)
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(verdictFor(spark, batch, bandsT, setsT), batchId)
+      }
+      .start()
+  }
+
+  /** One micro-batch's verdicts — shingle + sign only the arrivals,
+    * probe the static index. Public seam so specs can replay the
+    * exact per-batch computation. */
+  private[graft] def verdictFor(spark: SparkSession, batch: DataFrame,
+      bandsT: String, setsT: String): DataFrame =
+    Dedup.probeBandIndex(spark,
+      Dedup.signaturesOnSh(Dedup.shingledOn(batch)), bandsT, setsT)
+}
