@@ -176,17 +176,68 @@ object Graph {
     labels
   }
 
+  /** The converged LPA label frame — shared by the community query and
+    * the modularity report (bounded: one row per node). */
+  private val labelsMemo = new DirMemo
+
+  private def labelsOf(spark: SparkSession, dir: String): DataFrame =
+    labelsMemo(spark, dir) {
+      labelPropOn(purchaseEdges(spark, dir)).localCheckpoint()
+    }
+
   def labelProp(spark: SparkSession, dir: String): DataFrame =
-    labelPropOn(purchaseEdges(spark, dir)).select(col("node").as("node_id"),
+    labelsOf(spark, dir).select(col("node").as("node_id"),
         when(col("node") % 2 === 0, "customer").otherwise("supplier")
           .as("node_type"),
         col("label").as("community"))
       .orderBy("node_id")
 
+  /** Newman modularity of the LPA communities — the quality score that
+    * tells you whether the partition is real structure or noise:
+    * Q = Σ_c [L_c/M − (D_c/M)²] over the symmetric directed edge list
+    * (M = |directed edges| = 2m, L_c = intra-community directed edges,
+    * D_c = community degree sum). Emitted per community (top 20 by
+    * size, deterministic tiebreak) with the exact integer ingredients
+    * (L_c, D_c, n_nodes) and the per-community contribution as ONE
+    * double division of exact BIGINT products, rounded — no float
+    * accumulation anywhere (products stay < 2^53, exact in the double;
+    * a corpus-scale run promotes to DECIMAL).
+    *
+    * Scale shape: two label equi-joins of the memoized edge list + a
+    * degree aggregate, all on existing shuffle keys; output is
+    * |communities| rows before the bounded top-20. */
+  def modularity(spark: SparkSession, dir: String): DataFrame = {
+    val e = purchaseEdges(spark, dir)
+    val labels = labelsOf(spark, dir)
+    val m = e.agg(count(lit(1)).as("M"))
+    val intra = e
+      .join(labels.select(col("node").as("src"), col("label").as("ls")), "src")
+      .join(labels.select(col("node").as("dst"), col("label").as("ld")), "dst")
+      .filter(col("ls") === col("ld"))
+      .groupBy(col("ls").as("community"))
+      .agg(count(lit(1)).as("intra_edges"))
+    val commDeg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+      .join(labels, "node")
+      .groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("d")).as("degree_sum"))
+    commDeg
+      .join(intra, Seq("community"), "left")
+      .crossJoin(broadcast(m))
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
+        col("degree_sum"),
+        round((coalesce(col("intra_edges"), lit(0L)) * col("M") -
+          col("degree_sum") * col("degree_sum")).cast("double") /
+          (col("M").cast("double") * col("M").cast("double")), 6).as("q_contrib"))
+      .orderBy(col("n_nodes").desc, col("community"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> ((s, d) => pageRank(s, d)),
     "graph_triangles" -> ((s, d) => triangleParts(s, d)),
-    "graph_label_prop" -> ((s, d) => labelProp(s, d)))
+    "graph_label_prop" -> ((s, d) => labelProp(s, d)),
+    "graph_modularity" -> ((s, d) => modularity(s, d)))
 
   /** One synchronous LPA round as SQL, reading labels from CTE `$prev`:
     * per-node argmax of neighbor-label counts, ties to the min label. */
@@ -232,6 +283,30 @@ object Graph {
          |  CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
          |  label AS community
          |FROM l3 ORDER BY node_id""".stripMargin,
+    // same LPA chain, then Newman's per-community terms in exact
+    // integers with one rounded double division per row
+    "graph_modularity" ->
+      s"""WITH e0 AS (SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+         |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+         |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+         |l1 AS ${lpaRoundSql("l0")},
+         |l2 AS ${lpaRoundSql("l1")},
+         |l3 AS ${lpaRoundSql("l2")},
+         |m AS (SELECT count(*)::BIGINT AS tot FROM e),
+         |intra AS (SELECT ls.label AS community, count(*)::BIGINT AS intra_edges
+         |  FROM e JOIN l3 ls ON e.src = ls.node JOIN l3 ld ON e.dst = ld.node
+         |  WHERE ls.label = ld.label GROUP BY 1),
+         |deg AS (SELECT src AS node, count(*)::BIGINT AS d FROM e GROUP BY 1),
+         |cd AS (SELECT l3.label AS community, count(*)::BIGINT AS n_nodes,
+         |    sum(d)::BIGINT AS degree_sum
+         |  FROM deg JOIN l3 ON deg.node = l3.node GROUP BY 1)
+         |SELECT cd.community, n_nodes,
+         |  coalesce(i.intra_edges, 0)::BIGINT AS intra_edges, degree_sum,
+         |  round((coalesce(i.intra_edges, 0) * m.tot - degree_sum * degree_sum)::DOUBLE
+         |    / (m.tot::DOUBLE * m.tot), 6) AS q_contrib
+         |FROM cd LEFT JOIN intra i ON cd.community = i.community, m
+         |ORDER BY n_nodes DESC, cd.community LIMIT 20""".stripMargin,
     "graph_pagerank" ->
       s"""WITH e0 AS (SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
          |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),

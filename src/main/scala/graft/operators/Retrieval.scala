@@ -512,7 +512,67 @@ object Retrieval {
       .orderBy("query_id", "rnk")
   }
 
+  /** Evaluation depth for [[ndcgEval]]. */
+  val NdcgK = 10
+
+  /** Ranking-quality evaluation: nDCG@[[NdcgK]] of the BM25 ranking
+    * against a deterministic graded-relevance oracle — the quality
+    * gate a retrieval stack runs after every index/ranker change.
+    * Relevance grade of (query, doc) = number of the query's distinct
+    * terms the doc contains (0..|terms|): independent of the ranker's
+    * scores, engine-exact, and graded (so DCG's 2^rel gain curve is
+    * actually exercised). DCG folds (2^rel − 1)/log2(rank+1) in rank
+    * order; the ideal ranking re-sorts the full grade multiset
+    * descending; both folds run over explicitly ORDERED lists so the
+    * float sums are replayed element-for-element by the oracle.
+    *
+    * Scale shape: the ranking is the bounded top-k frame (k×queries
+    * rows); grades come from the memoized tf index joined to the
+    * broadcast term list (rows = postings of the query terms only);
+    * the per-query grade lists are bounded by those postings — a
+    * production run with corpus-wide terms swaps the collect for the
+    * bounded top-k aggregator, losing nothing (IDCG only needs the k
+    * largest grades). */
+  def ndcgEval(spark: SparkSession, dir: String): DataFrame = {
+    val ranked = topKFromScores(cachedScores(spark, dir, QueryTerms), NdcgK)
+      .select(col("query_id"), col("rnk"), col("doc_id"))
+    val q = {
+      import spark.implicits._
+      QueryTerms.toDF("query_id", "token")
+    }
+    // tfs rows are distinct (doc, token), so count(*) = matched terms
+    val rel = tfsCached(spark, dir)
+      .join(broadcast(q), "token")
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("rel"))
+    val dcg = ranked
+      .join(rel, Seq("query_id", "doc_id"), "left")
+      .withColumn("rel", coalesce(col("rel"), lit(0L)))
+      .groupBy(col("query_id"))
+      .agg(sort_array(collect_list(struct(col("rnk"), col("rel")))).as("gs"))
+      .select(col("query_id"),
+        size(col("gs")).cast("long").as("n_ranked"),
+        expr("""aggregate(gs, 0.0D,
+          (a, s) -> a + (pow(2.0D, s.rel) - 1.0D) / log2(cast(s.rnk + 1 as double)))""")
+          .as("dcg"))
+    val ideal = rel
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_rel_docs"),
+        sort_array(collect_list(col("rel")), asc = false).as("rs"))
+      .select(col("query_id"), col("n_rel_docs"),
+        expr(s"""aggregate(
+          transform(sequence(1, least(size(rs), $NdcgK)),
+            i -> (pow(2.0D, element_at(rs, i)) - 1.0D) / log2(cast(i + 1 as double))),
+          0.0D, (a, x) -> a + x)""").as("idcg"))
+    dcg.join(ideal, "query_id")
+      .select(col("query_id"), col("n_ranked"), col("n_rel_docs"),
+        round(col("dcg"), 6).as("dcg"),
+        round(col("idcg"), 6).as("idcg"),
+        round(col("dcg") / col("idcg"), 6).as("ndcg"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_ndcg_eval" -> ((s, d) => ndcgEval(s, d)),
     "text_mmr_rerank" -> ((s, d) => mmrRerank(s, d)),
     "text_ql_topk" -> ((s, d) => qlTopK(s, d)),
     "text_rrf_fusion" -> ((s, d) => rrfFusion(s, d)),
@@ -564,6 +624,40 @@ object Retrieval {
   }
 
   val oracle: Map[String, String] = Map(
+    // same ranked pool, same graded relevance, same ORDERED float
+    // folds (list_reduce left fold ≡ Spark aggregate)
+    "text_ndcg_eval" ->
+      s"""WITH $bm25ScoreCteSql,
+         |ranked AS (SELECT query_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score_sc DESC, doc_id) AS rnk, doc_id
+         |  FROM sc QUALIFY rnk <= $NdcgK),
+         |rel AS (SELECT q.query_id, t.doc_id, count(*)::BIGINT AS rel
+         |  FROM tfs t JOIN q ON t.token = q.token GROUP BY 1, 2),
+         |g AS (SELECT r.query_id, r.rnk, coalesce(rel.rel, 0) AS rel
+         |  FROM ranked r LEFT JOIN rel
+         |    ON rel.query_id = r.query_id AND rel.doc_id = r.doc_id),
+         |d AS (SELECT query_id,
+         |    list(struct_pack(rnk := rnk, rel := rel) ORDER BY rnk) AS gs
+         |  FROM g GROUP BY 1),
+         |dc AS (SELECT query_id, len(gs)::BIGINT AS n_ranked,
+         |    list_reduce(list_prepend(0.0, list_transform(gs,
+         |      s -> (pow(2.0, s.rel) - 1.0) / log2((s.rnk + 1)::DOUBLE))),
+         |      (a, b) -> a + b) AS dcg
+         |  FROM d),
+         |ri AS (SELECT query_id, count(*)::BIGINT AS n_rel_docs,
+         |    list_sort(list(rel), 'DESC') AS rs FROM rel GROUP BY 1),
+         |ic AS (SELECT query_id, n_rel_docs,
+         |    list_reduce(list_prepend(0.0,
+         |      list_transform(range(1, least(len(rs), $NdcgK) + 1),
+         |        i -> (pow(2.0, rs[i]) - 1.0) / log2((i + 1)::DOUBLE))),
+         |      (a, b) -> a + b) AS idcg
+         |  FROM ri)
+         |SELECT dc.query_id, n_ranked, n_rel_docs,
+         |  round(dcg, 6) AS dcg, round(idcg, 6) AS idcg,
+         |  round(dcg / idcg, 6) AS ndcg
+         |FROM dc JOIN ic ON dc.query_id = ic.query_id
+         |ORDER BY dc.query_id""".stripMargin,
     "text_mmr_rerank" ->
       s"""WITH $bm25ScoreCteSql,
          |pool0 AS (SELECT query_id, doc_id, score_sc FROM sc

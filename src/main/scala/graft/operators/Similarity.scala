@@ -739,7 +739,53 @@ object Similarity {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** Dim prefixes surveyed by [[matryoshkaReport]] against the full
+    * 64-dim embedding. */
+  private[graft] val MatryoshkaDims = Seq(8, 16, 32)
+
+  /** Matryoshka truncation evaluation — the operational question
+    * behind MRL-style embedding compression: how much cosine fidelity
+    * survives keeping only the first d dimensions? Over a
+    * deterministic pair sample (consecutive vec_ids — replayable by
+    * any engine; a production run scores the kNN pair frame instead),
+    * report per prefix: mean |cos_d − cos_full| in exact integer
+    * micros, sign flips, and both means. Per-pair cosines are rounded
+    * to integer micros BEFORE aggregation so every sum is exact BIGINT
+    * arithmetic — no float summation order anywhere; the one double
+    * division per output row is deterministic.
+    *
+    * Scale shape: one equi self-join on consecutive ids (single
+    * shuffle), per-pair scan projection of 4 fused-loop cosines, then
+    * a 3-row aggregate. Pairs with a zero-norm 8-dim prefix are
+    * excluded on both sides (cosine undefined; larger prefixes
+    * inherit norm > 0 from the d=8 guard). */
+  def matryoshkaReport(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.{cosineSim, dotProduct}
+    val e = Tables.embeddings(spark, dir)
+    val pairs = e.select(col("vec_id").as("pid"), col("embedding").as("ea"))
+      .join(e.select((col("vec_id") - 1).as("pid"), col("embedding").as("eb")), "pid")
+      .filter(dotProduct(slice(col("ea"), 1, 8), slice(col("ea"), 1, 8)) > 0 &&
+        dotProduct(slice(col("eb"), 1, 8), slice(col("eb"), 1, 8)) > 0)
+    val perDim = array(MatryoshkaDims.map { d =>
+      struct(lit(d).cast("long").as("dim"),
+        round(cosineSim(slice(col("ea"), 1, d), slice(col("eb"), 1, d)) * 1e6)
+          .cast("long").as("cm"))
+    }: _*)
+    pairs
+      .select(round(cosineSim(col("ea"), col("eb")) * 1e6).cast("long").as("cf"),
+        explode(perDim).as("p"))
+      .select(col("p.dim").as("dim"), col("cf"), col("p.cm").as("cm"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("sum(abs(cm - cf)) div count(1)").as("mean_abs_err_micro"),
+        sum(when((col("cm") >= 0) =!= (col("cf") >= 0), 1L).otherwise(0L))
+          .as("sign_flips"),
+        round(sum(col("cm")).cast("double") / count(lit(1)), 6).as("mean_cos_micro"),
+        round(sum(col("cf")).cast("double") / count(lit(1)), 6).as("mean_cos_full_micro"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_matryoshka" -> ((s, d) => matryoshkaReport(s, d)),
     "sim_topk_sq8" -> ((s, d) => sq8TopK(s, d)),
     "emb_outliers" -> ((s, d) => outliers(s, d)),
     "emb_covariance" -> ((s, d) => covariance(s, d)),
@@ -971,6 +1017,35 @@ object Similarity {
       |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // same consecutive-pair sample, same index-ordered cosine folds,
+    // same round-to-micros-then-exact-integer aggregation
+    "emb_matryoshka" -> {
+      val dims = MatryoshkaDims
+      val sliceCols = dims.flatMap(d =>
+        Seq(s"ea[1:$d] AS a$d", s"eb[1:$d] AS b$d")).mkString(", ")
+      val cosCols = (dims.map(d =>
+        s"round(${Dedup.cosineSql(s"a$d", s"b$d")} * 1e6)::BIGINT AS c$d") :+
+        s"round(${Dedup.cosineSql("ea", "eb")} * 1e6)::BIGINT AS cf").mkString(",\n    ")
+      val unions = dims.map(d =>
+        s"SELECT $d::BIGINT AS dim, cf, c$d AS cm FROM c").mkString("\n  UNION ALL ")
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |p0 AS (SELECT a.embedding AS ea, b.embedding AS eb
+         |  FROM e a JOIN e b ON b.vec_id = a.vec_id + 1),
+         |ps AS (SELECT ea, eb, $sliceCols FROM p0),
+         |p AS (SELECT * FROM ps
+         |  WHERE ${Dedup.dotSql("a8", "a8")} > 0
+         |    AND ${Dedup.dotSql("b8", "b8")} > 0),
+         |c AS (SELECT
+         |    $cosCols
+         |  FROM p),
+         |u AS ($unions)
+         |SELECT dim, count(*)::BIGINT AS n_pairs,
+         |  (sum(abs(cm - cf)) // count(*))::BIGINT AS mean_abs_err_micro,
+         |  sum(CASE WHEN (cm >= 0) <> (cf >= 0) THEN 1 ELSE 0 END)::BIGINT AS sign_flips,
+         |  round(sum(cm)::DOUBLE / count(*), 6) AS mean_cos_micro,
+         |  round(sum(cf)::DOUBLE / count(*), 6) AS mean_cos_full_micro
+         |FROM u GROUP BY dim ORDER BY dim""".stripMargin
+    },
     // same milli quantization, same exact integer moments, same final
     // double division order (numerator::DOUBLE / n(n-1) / 10^6)
     "emb_covariance" ->
