@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -313,7 +313,52 @@ object Behavior {
         abs(col("resid_milli") - lit(1000L)) > lit(SeasonalAnomalyMilli))
   }
 
+  /** Fixed RFM band edges (recency days ascending → scores 5..2;
+    * frequency / monetary cents descending → scores 5..2; everything
+    * past the last edge scores 1). Fixed operational bands, NOT
+    * quantile banding: ntile over all users is a single-reducer global
+    * window (the scale-killer this codebase bans), and fixed bands are
+    * what a production scorecard pins anyway so scores stay comparable
+    * across runs. */
+  private[graft] val RfmRecencyDays = Seq(2L, 5L, 10L, 20L)
+  private[graft] val RfmFreq = Seq(100L, 60L, 30L, 10L)
+  private[graft] val RfmCents = Seq(5000000L, 3000000L, 2000000L, 1000000L)
+
+  /** Classic RFM user scoring over the events stream: per user, days
+    * since last activity (vs the corpus max — both exact integer
+    * microsecond math), event count, and monetary value in exact
+    * cents, banded into 1–5 scores plus the concatenated RFM code.
+    * One map-side-combined aggregate to |users| rows, a 1-row
+    * broadcast for the corpus clock, then scan-side CASE bands. */
+  def rfmScores(spark: SparkSession, dir: String): DataFrame = {
+    def asc(c: Column, edges: Seq[Long]): Column =
+      edges.zip(5L to 2L by -1).foldRight(lit(1L)) {
+        case ((e, s), rest) => when(c <= e, s).otherwise(rest)
+      }
+    def desc(c: Column, edges: Seq[Long]): Column =
+      edges.zip(5L to 2L by -1).foldRight(lit(1L)) {
+        case ((e, s), rest) => when(c >= e, s).otherwise(rest)
+      }
+    val per = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(max(unix_micros(col("ts"))).as("last_us"),
+        count(lit(1)).as("frequency"),
+        sum(round(col("value") * 100).cast("long")).as("monetary_cents"))
+    val clock = per.agg(max(col("last_us")).as("corpus_us"))
+    per.crossJoin(broadcast(clock))
+      .withColumn("recency_days",
+        expr("(corpus_us - last_us) div 86400000000"))
+      .withColumn("r_score", asc(col("recency_days"), RfmRecencyDays))
+      .withColumn("f_score", desc(col("frequency"), RfmFreq))
+      .withColumn("m_score", desc(col("monetary_cents"), RfmCents))
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        col("monetary_cents"), col("r_score"), col("f_score"), col("m_score"),
+        concat(col("r_score").cast("string"), col("f_score").cast("string"),
+          col("m_score").cast("string")).as("rfm_code"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_rfm" -> ((s, d) => rfmScores(s, d)),
     "evt_seasonal_hourly" -> ((s, d) => seasonalHourly(s, d)),
     "funnel_conversion" -> ((s, d) => funnel(s, d)),
     "evt_pattern_within" -> ((s, d) => patternWithin(s, d)),
@@ -323,7 +368,35 @@ object Behavior {
     "evt_assoc_rules" -> ((s, d) => assocRules(s, d)),
     "cohort_retention" -> ((s, d) => cohortRetention(s, d)))
 
+  private def caseSqlAsc(c: String, edges: Seq[Long]): String =
+    edges.zip(5L to 2L by -1)
+      .map { case (e, s) => s"WHEN $c <= $e THEN $s" }
+      .mkString("CASE ", " ", " ELSE 1 END")
+
+  private def caseSqlDesc(c: String, edges: Seq[Long]): String =
+    edges.zip(5L to 2L by -1)
+      .map { case (e, s) => s"WHEN $c >= $e THEN $s" }
+      .mkString("CASE ", " ", " ELSE 1 END")
+
   val oracle: Map[String, String] = Map(
+    "evt_rfm" ->
+      s"""WITH per AS (SELECT user_id,
+         |    max(epoch_us(ts))::BIGINT AS last_us,
+         |    count(*)::BIGINT AS frequency,
+         |    sum(round(value * 100)::BIGINT)::BIGINT AS monetary_cents
+         |  FROM events GROUP BY 1),
+         |mx AS (SELECT max(last_us) AS corpus_us FROM per),
+         |r AS (SELECT user_id, (corpus_us - last_us) // 86400000000 AS recency_days,
+         |    frequency, monetary_cents FROM per, mx),
+         |s AS (SELECT user_id, recency_days, frequency, monetary_cents,
+         |    (${caseSqlAsc("recency_days", RfmRecencyDays)})::BIGINT AS r_score,
+         |    (${caseSqlDesc("frequency", RfmFreq)})::BIGINT AS f_score,
+         |    (${caseSqlDesc("monetary_cents", RfmCents)})::BIGINT AS m_score
+         |  FROM r)
+         |SELECT user_id, recency_days, frequency, monetary_cents,
+         |  r_score, f_score, m_score,
+         |  r_score::VARCHAR || f_score::VARCHAR || m_score::VARCHAR AS rfm_code
+         |FROM s ORDER BY user_id""".stripMargin,
     "evt_seasonal_hourly" ->
       s"""WITH seen AS (SELECT strftime(ts, '%Y-%m-%d') AS d, hour(ts)::BIGINT AS h,
          |    count(*)::BIGINT AS n FROM events GROUP BY 1, 2),
