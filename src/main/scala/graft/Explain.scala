@@ -31,7 +31,9 @@ object Explain {
         "layout_hilbert_tiles", "text_prf_expansion", "text_blocklist",
         "text_blocklist_scrub", "evt_seasonal_hourly",
         "text_novelty_incremental", "text_ql_topk", "text_mmr_rerank",
-        "ohlcv_1m_anomalies")
+        "ohlcv_1m_anomalies", "text_html_extract", "text_html_gopher",
+        "dedup_incremental_persisted", "dedup_span_incremental_persisted",
+        "text_ndcg_eval", "emb_matryoshka", "graph_modularity", "evt_rfm")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -96,7 +96,14 @@ object Html {
 
   /** Main-content extraction: segment → strip → gate → re-join. */
   def extract(spark: SparkSession, dir: String): DataFrame =
-    blockStats(Tables.documents(spark, dir))
+    extractOn(Tables.documents(spark, dir))
+
+  /** Core over any (doc_id, text) frame — the seam streaming ingest
+    * composes with (each arriving micro-batch is extracted before the
+    * dedup gate probes it; a stateless scan, so it runs inside
+    * foreachBatch unchanged). */
+  private[graft] def extractOn(docs: DataFrame): DataFrame =
+    blockStats(docs)
       .select(col("doc_id"),
         expr("cast(size(nonempty) as bigint)").as("n_blocks"),
         expr("cast(size(kept) as bigint)").as("n_kept"),

@@ -49,4 +49,25 @@ object StreamingIngestGate {
       bandsT: String, setsT: String): DataFrame =
     Dedup.probeBandIndex(spark,
       Dedup.signaturesOnSh(Dedup.shingledOn(batch)), bandsT, setsT)
+
+  /** The full streaming CRAWL-ingest pipeline: arriving (doc_id, html)
+    * pages are boilerplate-extracted (stateless scan — Html.extractOn
+    * runs inside foreachBatch unchanged), then the EXTRACTED main text
+    * is probed against the dedup index. This is the production stage
+    * order (extract first, judge content not chrome): two pages whose
+    * content is identical but whose navigation differs must still
+    * collide in the band index, which judging raw HTML would miss. */
+  def startCrawl(spark: SparkSession, dir: String, pages: DataFrame)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    val (bandsT, setsT) = Dedup.ensureBandIndex(spark, dir)
+    pages.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val extracted = graft.operators.Html.extractOn(batch)
+          .select(org.apache.spark.sql.functions.col("doc_id"),
+            org.apache.spark.sql.functions.col("main_text").as("text"))
+        sink(verdictFor(spark, extracted, bandsT, setsT), batchId)
+      }
+      .start()
+  }
 }
