@@ -30,7 +30,8 @@ object SparkEntry {
       Temporal.queries ++ Intervals.queries ++ Layout.queries ++
       SourceHealth.queries ++ Html.queries ++
       graft.sources.GenTradesSource.queries ++
-      graft.sources.GenKVSource.queries
+      graft.sources.GenKVSource.queries ++
+      graft.sources.WarcIO.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -44,5 +45,6 @@ object SparkEntry {
       Temporal.oracle ++ Intervals.oracle ++ Layout.oracle ++
       SourceHealth.oracle ++ Html.oracle ++
       graft.sources.GenTradesSource.oracle ++
-      graft.sources.GenKVSource.oracle
+      graft.sources.GenKVSource.oracle ++
+      graft.sources.WarcIO.oracle
 }

@@ -212,7 +212,9 @@ class OhlcvSpec extends SparkSpec {
       ("GenTrades", graft.sources.GenTradesSource.queries.keySet,
         graft.sources.GenTradesSource.oracle.keySet),
       ("GenKV", graft.sources.GenKVSource.queries.keySet,
-        graft.sources.GenKVSource.oracle.keySet))
+        graft.sources.GenKVSource.oracle.keySet),
+      ("Warc", graft.sources.WarcIO.queries.keySet,
+        graft.sources.WarcIO.oracle.keySet))
     val qSum = suites.map(_._2.size).sum
     val oSum = suites.map(_._3.size).sum
     assert(SparkEntry.queries.size == qSum,
