@@ -111,11 +111,32 @@ object Pipeline {
       .orderBy(col("source"))
   }
 
+  /** The batch crawl pipeline end to end, ONE Catalyst plan: WARC
+    * archive read (Content-Length framing, one task per file) →
+    * boilerplate extraction → Gopher quality gate. Because the WARC
+    * roundtrip is lossless and extraction is lossless for content
+    * blocks, the verdicts must hash-match the parquet-fed
+    * text_html_gopher — which is exactly what the oracle asserts: the
+    * archive hop and the framing parser cannot silently alter a single
+    * document without breaking parity. This is the composition a real
+    * crawl run executes from its first byte. */
+  def crawlPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val path = graft.sources.WarcIO.ensureArchive(spark, dir)
+    val docs = graft.sources.WarcIO.read(spark, path)
+      .select(col("doc_id"), col("payload").as("text"))
+    Curation.gopherOn(Html.extractOn(docs), col("main_text"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_crawl" -> ((s, d) => crawlPipeline(s, d)),
     "pipeline_clean_corpus" -> ((s, d) => cleanCorpus(s, d)),
     "pipeline_span_clean" -> ((s, d) => spanCleanCorpus(s, d)))
 
   val oracle: Map[String, String] = Map(
+    // the archive hop is lossless by the WARC roundtrip contract, so
+    // the crawl pipeline's verdict IS the parquet-fed extract→gopher
+    // composition — same oracle SQL verbatim
+    "pipeline_crawl" -> Html.oracle("text_html_gopher"),
     "pipeline_clean_corpus" ->
       s"""WITH t0 AS (SELECT doc_id, text, source,
          |    list_filter(string_split(text, ' '), x -> x <> '') AS toks

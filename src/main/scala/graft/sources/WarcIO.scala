@@ -80,17 +80,23 @@ object WarcIO {
     * framing parser, and emit per-record digests + the length
     * validation — the oracle recomputes the same digests straight off
     * the parquet, so any framing/parse defect breaks hash parity. */
-  def roundtrip(spark: SparkSession, dir: String): DataFrame = {
+  /** Write-once-per-generation archive of `dir`'s documents table;
+    * returns its path. The archive is deterministic, so an existing
+    * shard set is exactly what this run would write. */
+  private[graft] def ensureArchive(spark: SparkSession, dir: String): String = {
     val base = dir.split('/').filter(_.nonEmpty).lastOption.getOrElse("root")
       .replaceAll("[^A-Za-z0-9]", "_")
     val path = s"/tmp/graft_warc/$base"
-    // write-once per generation: the archive is deterministic, so an
-    // existing shard set is exactly what this run would write
     val marker = new java.io.File(path, "_SUCCESS")
     if (!marker.exists()) {
       write(Tables.documents(spark, dir).select(col("doc_id"), col("text")),
         path, files = 8)
     }
+    path
+  }
+
+  def roundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val path = ensureArchive(spark, dir)
     read(spark, path)
       .select(col("doc_id"), col("declared_length"),
         (length(col("payload")) === col("declared_length")).as("length_ok"),
