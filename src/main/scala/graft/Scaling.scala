@@ -52,7 +52,13 @@ object Scaling {
     "layout_hilbert_tiles",  // curve-key scan + tile agg
     "text_blocklist",        // automaton scan, zero shuffles
     "evt_seasonal_hourly",   // calendar-grid seasonal profile
-    "text_ql_topk")          // language-model ranking, docs×terms frame
+    "text_ql_topk",          // language-model ranking, docs×terms frame
+    "text_html_extract",     // block segmentation scan, zero shuffles
+    "dedup_incremental_persisted", // bucketed on-disk index probe
+    "src_warc_roundtrip",    // archive framing roundtrip, task-per-file
+    "pipeline_crawl",        // WARC → extract → gate, one plan
+    "text_ndcg_eval",        // ranking eval over bounded top-k
+    "evt_rfm")               // user-grain aggregate + banding
 
   def main(args: Array[String]): Unit = {
     val dirs = args(0).split(",").toSeq
