@@ -53,27 +53,58 @@ object WarcIO {
         col("text"), lit("\r")).as("value"))
       .write.mode("overwrite").text(path)
 
+  /** Sequential record walk over one file's contents — the parse
+    * discipline a real WARC reader uses: find the next record marker
+    * from the CURRENT cursor, parse headers to the blank line, consume
+    * exactly Content-Length payload chars, repeat. Because the cursor
+    * only ever searches for markers BETWEEN records (never inside a
+    * declared payload), a payload containing the marker bytes — or any
+    * other framing text — parses losslessly. A naive
+    * split-on-marker parse fails exactly there (WarcSpec pins it). */
+  private[graft] def parseRecords(content: String): Iterator[(Long, Long, String)] =
+    new Iterator[(Long, Long, String)] {
+      private var pos = 0
+      private var nextRec: (Long, Long, String) = null
+      private def advance(): Unit = {
+        nextRec = null
+        val start = content.indexOf(RecordSep, pos)
+        if (start < 0) { pos = content.length; return }
+        val hdrEnd = content.indexOf("\r\n\r\n", start)
+        if (hdrEnd < 0) { pos = content.length; return }
+        val headers = content.substring(start + RecordSep.length, hdrEnd)
+        def hdr(name: String): Option[String] =
+          headers.split("\r\n").find(_.startsWith(name + ": "))
+            .map(_.substring(name.length + 2))
+        val len = hdr("Content-Length").map(_.trim.toLong).getOrElse(-1L)
+        val id = hdr("WARC-Record-ID")
+          .flatMap("<urn:graft:doc:([0-9]+)>".r.findFirstMatchIn(_))
+          .map(_.group(1).toLong).getOrElse(-1L)
+        val payloadStart = hdrEnd + 4
+        val payloadEnd = math.min(content.length,
+          payloadStart + math.max(0L, len).toInt)
+        nextRec = (id, len, content.substring(payloadStart, payloadEnd))
+        pos = payloadEnd
+      }
+      advance()
+      override def hasNext: Boolean = nextRec != null
+      override def next(): (Long, Long, String) = {
+        val r = nextRec; advance(); r
+      }
+    }
+
   /** Read a WARC shard directory back to (doc_id, declared_length,
-    * payload): one task per file, records recovered by header parse +
-    * Content-Length slice. Pure column algebra over the per-file
-    * strings — splitting on the record marker, then each record's
-    * payload cut to its DECLARED length (the separator-trim fallback
-    * would mask framing bugs; the declared slice surfaces them). */
-  def read(spark: SparkSession, path: String): DataFrame =
+    * payload): one task per file (`wholetext` — production WARCs are
+    * non-splittable gzip members), records recovered by the sequential
+    * Content-Length walk above. The payload is always cut to its
+    * DECLARED length — a separator-trim fallback would mask framing
+    * bugs; the declared slice surfaces them as length mismatches. */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
     spark.read.option("wholetext", "true").text(path)
-      .select(explode(split(col("value"), java.util.regex.Pattern.quote(RecordSep)))
-        .as("rec"))
-      .filter(length(col("rec")) > 0)
-      .select(
-        regexp_extract(col("rec"), "WARC-Record-ID: <urn:graft:doc:([0-9]+)>", 1)
-          .cast("long").as("doc_id"),
-        regexp_extract(col("rec"), "Content-Length: ([0-9]+)", 1)
-          .cast("long").as("declared_length"),
-        col("rec"))
-      .withColumn("payload",
-        expr("substring(substring_index(rec, '\r\n\r\n', -1), 1, " +
-          "cast(declared_length as int))"))
-      .drop("rec")
+      .as[String]
+      .flatMap(parseRecords(_))
+      .toDF("doc_id", "declared_length", "payload")
+  }
 
   /** Roundtrip drill as an oracle-checked query: shard the documents
     * table to WARC once per (dir) generation, read it back through the

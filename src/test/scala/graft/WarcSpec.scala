@@ -36,6 +36,26 @@ class WarcSpec extends SparkSpec {
     }
   }
 
+  test("adversarial payloads: marker bytes and blank lines inside content roundtrip") {
+    // the parse is a sequential Content-Length walk, so framing text
+    // INSIDE a payload must be inert — a split-on-marker parse corrupts
+    // exactly these
+    import spark.implicits._
+    val evil = Seq(
+      (1L, "plain text"),
+      (2L, "contains WARC/1.0\r\n marker mid-payload"),
+      (3L, "contains a header separator \r\n\r\n and Content-Length: 7 text"),
+      (4L, ""),
+      (5L, "trailing newlines\n\n\r\n"))
+    val df = evil.toDF("doc_id", "text")
+    val path = "/tmp/graft_warc_spec/evil"
+    rmrf(path)
+    WarcIO.write(df, path, 2)
+    val back = WarcIO.read(spark, path)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(back == evil.toMap, s"adversarial roundtrip diverged: $back")
+  }
+
   test("shards are byte-deterministic across rewrites") {
     def digests(path: String): Set[String] = {
       rmrf(path)
