@@ -113,7 +113,10 @@ object Html {
   /** Boilerplate accounting per document: how much of the page's text
     * the gate removed, and the link mass that triggered it. */
   def boilerplate(spark: SparkSession, dir: String): DataFrame =
-    blockStats(Tables.documents(spark, dir))
+    boilerplateOn(Tables.documents(spark, dir))
+
+  private[graft] def boilerplateOn(docs: DataFrame): DataFrame =
+    blockStats(docs)
       .select(col("doc_id"),
         length(col("html")).cast("long").as("html_chars"),
         expr("aggregate(nonempty, 0L, (a, s) -> a + length(s.txt))").as("text_chars"),

@@ -46,6 +46,54 @@ class HtmlSpec extends SparkSpec {
     assert(byPromo(true) == ((3L, 3L)), s"promo docs: ${byPromo(true)}")
   }
 
+  test("generated corpora: extraction and accounting invariants hold on edge cases") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // markup-free generated texts (raw '<' is invalid in HTML text and
+    // absent from the corpus contract) plus the edge shapes the real
+    // corpus never exercises
+    val word = Gen.choose(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+    val textG = Gen.choose(0, 20).flatMap(n => Gen.listOfN(n, word))
+      .map(_.mkString(" "))
+      .flatMap(s => Gen.oneOf(s, s" $s ", s.replace(" ", "  ")))
+    val texts = (0L until 200L).map(seed =>
+      textG.pureApply(Gen.Parameters.default, Seed(seed))) ++
+      Seq("", " ", "a", "a b c", "x" * 29, "x" * 30, "y" * 500)
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+
+    val ext = Html.extractOn(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val acct = Html.boilerplateOn(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val e = ext(i.toLong); val a = acct(i.toLong)
+      val trimmed = t.trim
+      if (trimmed.length >= Html.MinBlockChars)
+        assert(e.getAs[String]("main_text") == trimmed, s"doc $i lossy")
+      else {
+        assert(e.getAs[String]("main_text") == "", s"doc $i short-not-dropped")
+        assert(e.getAs[Long]("n_kept") == 0L)
+      }
+      // accounting identities: total text splits exactly into main +
+      // boilerplate, fraction in range, promo adds one dropped block
+      val (tc, mc, bc) = (a.getAs[Long]("text_chars"),
+        a.getAs[Long]("main_chars"), a.getAs[Long]("boiler_chars"))
+      assert(tc == mc + bc && bc >= 0, s"doc $i accounting")
+      val bm = a.getAs[Long]("boiler_milli")
+      assert(bm >= 0 && bm <= 1000, s"doc $i boiler_milli=$bm")
+      val dropped = e.getAs[Long]("n_blocks") - e.getAs[Long]("n_kept")
+      // chrome blocks (head+nav, footer, promo on every 3rd doc) plus
+      // the content block itself when it is nonempty but below the
+      // length gate
+      val shortMain = trimmed.nonEmpty && trimmed.length < Html.MinBlockChars
+      val expectDropped = (if (i % 3 == 0) 3L else 2L) + (if (shortMain) 1L else 0L)
+      assert(dropped == expectDropped, s"doc $i dropped=$dropped")
+    }
+  }
+
   test("per-doc html queries plan zero shuffles (pure scan projections)") {
     Seq(Html.extract(spark, sf0001), Html.boilerplate(spark, sf0001)).foreach { df =>
       // string form prints through the AQE wrapper, so a plain
