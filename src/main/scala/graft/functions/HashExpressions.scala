@@ -42,6 +42,30 @@ object HashOps {
     * column-algebra version allocates ~|shingles| intermediate strings
     * and runs three interpreted array passes per row; this is O(chars)
     * with no string materialization beyond the tokens. */
+  /** Adjacent code-point pair strings of `s` in order — the CharLM
+    * bigram feed (see [[CharBigrams]]). */
+  def charBigrams(s: UTF8String): ArrayData = {
+    val str = s.toString
+    val n = str.length
+    // code-point start offsets (+ end sentinel): a bigram is the
+    // substring spanning two consecutive code points
+    val bounds = new java.util.ArrayList[Integer]()
+    var i = 0
+    while (i < n) {
+      bounds.add(i)
+      i += Character.charCount(str.codePointAt(i))
+    }
+    bounds.add(n)
+    val m = bounds.size - 1
+    val out = new Array[Any](math.max(0, m - 1))
+    var j = 0
+    while (j < m - 1) {
+      out(j) = UTF8String.fromString(str.substring(bounds.get(j), bounds.get(j + 2)))
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
   def shingleHashes(s: UTF8String, n: Int, mult: Long, init: Long): ArrayData = {
     val toks = new java.util.ArrayList[String]()
     s.toString.split(" ", -1).foreach(t => if (t.nonEmpty) toks.add(t))
@@ -277,6 +301,31 @@ case class PolyHash(child: Expression, mult: Long, init: Long)
       c => s"graft.functions.HashOps.polyHash($c, ${mult}L, ${init}L)")
 
   override protected def withNewChildInternal(newChild: Expression): PolyHash =
+    copy(child = newChild)
+}
+
+/** char_bigrams(str): adjacent code-point pair strings — one fused
+  * pass replacing the chars-array + per-element transform/element_at
+  * HOF chain (interpreted lambda dispatch per character) that fed the
+  * char-LM model/scoring explode. Code-POINT boundaries, matching
+  * Spark's `split(c, "")` (which never splits a surrogate pair), so
+  * the native path is element-identical to the column-algebra one on
+  * any input. */
+case class CharBigrams(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "char_bigrams"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires string input")
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashOps.charBigrams(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.charBigrams($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharBigrams =
     copy(child = newChild)
 }
 

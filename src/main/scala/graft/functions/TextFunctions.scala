@@ -40,6 +40,13 @@ object TextFunctions {
   def chars(c: Column): Column =
     filter(split(c, ""), ch => ch =!= lit(""))
 
+  /** Adjacent code-point pair strings (native CharBigrams — one fused
+    * pass; element-identical to transform-over-[[chars]]). */
+  def charBigrams(c: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.CharBigrams(
+        org.apache.spark.sql.graft.ColumnBridge.expression(c)))
+
   /** 31-ary polynomial rolling hash of a string mod 2^31-1:
     * h = fold(h * 31 + code(char)) — the classic Rabin-Karp/Java-style
     * rolling hash, computable identically in any SQL engine. Executes

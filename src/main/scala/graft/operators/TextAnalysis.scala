@@ -432,14 +432,15 @@ object TextAnalysis {
     // vs ~3 s with the array as a column)
     val docCh = docs.select(col("doc_id"), chars(col("text")).as("cs"))
     val cs = col("cs")
-    val bg = when(size(cs) >= 2,
-      transform(sequence(lit(1), size(cs) - 1),
-        i => concat(element_at(cs, i), element_at(cs, i + lit(1)))))
-      .otherwise(array().cast("array<string>"))
     // the bigram frame feeds BOTH the model counts and the scoring
     // join; materialize it once (Catalyst has no subplan sharing, so
-    // without this the char-split + explode ran twice per query)
-    val docBg = docCh.select(col("doc_id"), explode(bg).as("bg"))
+    // without this the bigram scan + explode ran twice per query).
+    // Native CharBigrams: one fused pass per row — the composed
+    // transform/element_at form dispatched an interpreted lambda per
+    // character (was the most expensive text-tier bench line).
+    val docBg = docs
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.charBigrams(col("text"))).as("bg"))
       .localCheckpoint()
     val alphabet = docCh.select(explode(cs).as("c"))
       .agg(countDistinct(col("c")).as("v")) // 1 row

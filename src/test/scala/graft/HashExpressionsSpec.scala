@@ -147,6 +147,25 @@ class HashExpressionsSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("CharBigrams equals the transform/element_at HOF form on arbitrary strings") {
+    // element-identical on every input including surrogate pairs and
+    // irregular whitespace — the native path replaced the HOF chain in
+    // the char-LM hot scan, so divergence anywhere is a correctness bug
+    val df = (samples(400, 600) ++ Seq("😀x😀", "a😀b", "ab", "a", ""))
+      .toDF("text")
+    val hof = expr("""CASE WHEN size(cs) >= 2
+        THEN transform(sequence(1, size(cs) - 1),
+          i -> concat(element_at(cs, i), element_at(cs, i + 1)))
+        ELSE array() END""")
+    val diverged = df
+      .withColumn("cs", TextFunctions.chars(col("text")))
+      .withColumn("hof", hof)
+      .withColumn("nat", TextFunctions.charBigrams(col("text")))
+      .filter(not(col("hof") <=> col("nat")))
+      .count()
+    assert(diverged == 0)
+  }
+
   test("TokenProfileHits equals per-profile isin filters on irregular input") {
     val profiles = Seq(Seq("the", "a", "of"), Seq("der", "und"), Seq("中"))
     val df = samples(900, 1000).toDF("text")
