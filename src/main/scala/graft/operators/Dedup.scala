@@ -191,9 +191,16 @@ object Dedup {
     * arithmetic is exact integers (2·inter ≥ un, ppm via integer div)
     * — no float comparison anywhere. */
   def prefixJoin(spark: SparkSession, dir: String): DataFrame =
-    prefixJoinOnArr(prefixIndexMemo(spark, dir) {
-      prefixIndexOn(shingled(spark, dir))
-    })
+    prefixPairsMemo(spark, dir) {
+      prefixJoinOnArr(prefixIndexMemo(spark, dir) {
+        prefixIndexOn(shingled(spark, dir))
+      }).localCheckpoint()
+    }
+
+  /** The EXACT pair frame — the generation's ground truth, consumed by
+    * the pair query and the method-agreement audit. Post-threshold,
+    * orders smaller than the corpus, like the capped pair memo. */
+  private val prefixPairsMemo = new DirMemo
 
   /** The rarity-ordered prefix index (doc_id, codes-by-global-df, m) —
     * per-(session, dir) memo: the index is the expensive half of the
@@ -378,18 +385,24 @@ object Dedup {
       .select(col("doc_id"), col("pos").as("band"),
         col("col.m1").as("m1"), col("col.m2").as("m2"))
 
-  def minHashLshPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sh = minHashSignatures(spark, dir)
-    val bands = bandsOf(sh)
-    val cand = bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.m1") === col("b.m1") &&
-          col("a.m2") === col("b.m2") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
-      .distinct()
-    withJaccard(cand, sh, "doc_i", "doc_j")
-      .filter(col("jaccard") >= JaccardThreshold)
-      .select(col("doc_i"), col("doc_j"), col("jaccard"))
-  }
+  def minHashLshPairs(spark: SparkSession, dir: String): DataFrame =
+    lshPairsMemo(spark, dir) {
+      val sh = minHashSignatures(spark, dir)
+      val bands = bandsOf(sh)
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.m1") === col("b.m1") &&
+            col("a.m2") === col("b.m2") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
+        .distinct()
+      withJaccard(cand, sh, "doc_i", "doc_j")
+        .filter(col("jaccard") >= JaccardThreshold)
+        .select(col("doc_i"), col("doc_j"), col("jaccard"))
+        .localCheckpoint()
+    }
+
+  /** The verified LSH pair frame — shared by the pair query and the
+    * method-agreement audit; post-threshold, pair-frame-sized. */
+  private val lshPairsMemo = new DirMemo
 
   // -------------------------------------------------------------- SimHash
 
@@ -1065,6 +1078,37 @@ object Dedup {
       .union(edges.select(col("dst"), col("dst")).distinct())
   }
 
+  /** Method-agreement audit across the near-dup pair finders — the
+    * dedup twin of the ANN recall report: per approximate method
+    * (df-capped inverted-index jaccard, banded MinHash/LSH), how many
+    * of the EXACT τ=0.5 pairs (the uncapped PPJoin baseline, itself
+    * spec-proven equal to the all-pairs semantic definition) does it
+    * find? Both approximations only VERIFY candidates at the exact
+    * threshold, so they are subsets of the baseline — precision is 1
+    * by construction and the audit reports the recall each method's
+    * candidate pruning trades away (the cap's boilerplate-pair loss,
+    * banding's probability-of-collision loss).
+    *
+    * Near-free at audit time: all three pair frames are the memoized
+    * per-generation artifacts; the audit adds two pair-frame-sized
+    * joins and a 2-row aggregate. */
+  def methodAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val exact = prefixJoin(spark, dir).select(col("doc_i"), col("doc_j"))
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    def leg(m: String, df: DataFrame) =
+      df.select(lit(m).as("method"), col("doc_i"), col("doc_j"))
+    val legs = leg("jaccard_capped", jaccardPairsUnsorted(spark, dir))
+      .union(leg("minhash_lsh", minHashLshPairs(spark, dir)))
+    val hits = legs.join(exact, Seq("doc_i", "doc_j"), "left_semi")
+      .groupBy(col("method")).agg(count(lit(1)).as("n_hits"))
+    legs.groupBy(col("method")).agg(count(lit(1)).as("n_pairs"))
+      .join(hits, Seq("method"), "left")
+      .crossJoin(broadcast(nExact))
+      .select(col("method"), col("n_pairs"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"), col("n_exact"),
+        expr("coalesce(n_hits, 0L) * 1000 div n_exact").as("recall_milli"))
+  }
+
   /** Which doc_ids play the incoming batch in the incremental drill. */
   val IncrementalBatchMod = 4L
 
@@ -1399,6 +1443,7 @@ object Dedup {
     "qa_split_leakage" -> ((s, d) => splitLeakage(s, d)),
     "sample_splits_by_cluster" -> ((s, d) => splitsByCluster(s, d)),
     "dedup_incremental" -> ((s, d) => incrementalDedup(s, d)),
+    "dedup_method_agreement" -> ((s, d) => methodAgreement(s, d)),
     "dedup_incremental_persisted" -> ((s, d) => incrementalDedupPersisted(s, d)),
     "dedup_span_incremental_persisted" -> ((s, d) => incrementalSpanRemovalPersisted(s, d)),
     "dedup_clusters" -> ((s, d) => dupClusters(s, d)),
@@ -1518,6 +1563,51 @@ object Dedup {
     "dedup_span_incremental_persisted" -> oracleBase("dedup_span_incremental"))
 
   private val oracleBase: Map[String, String] = Map(
+    // the exact baseline is stated SEMANTICALLY (all pairs with true
+    // jaccard >= τ) — the prefix machinery the engine uses is
+    // spec-proven equal to it; both approximations replayed with
+    // their own candidate pruning + exact verification
+    "dedup_method_agreement" ->
+      s"""WITH $shingleCte,
+         |$postsCte,
+         |common AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
+         |    count(*)::BIGINT AS common
+         |  FROM posts a JOIN posts b ON a.code = b.code AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |jp AS (SELECT doc_i, doc_j FROM common
+         |  JOIN sh si ON si.doc_id = doc_i JOIN sh sj ON sj.doc_id = doc_j
+         |  WHERE common::DOUBLE / (si.sz + sj.sz - common) >= $JaccardThreshold),
+         |mh AS (SELECT doc_id, i,
+         |    min((c * (2*i + 1) + 104729 * i + 12345) % 2147483647) AS m
+         |  FROM (SELECT doc_id, unnest(codes) AS c FROM sh),
+         |       (SELECT unnest(range(0, $MinHashK)) AS i)
+         |  GROUP BY 1, 2),
+         |sig AS (SELECT doc_id, list(m ORDER BY i) AS s FROM mh GROUP BY 1),
+         |bands AS (SELECT doc_id, band, s[2*band + 1] AS m1, s[2*band + 2] AS m2
+         |  FROM sig, (SELECT unnest(range(0, $Bands)) AS band)),
+         |lcand AS (SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.m1 = b.m1
+         |    AND a.m2 = b.m2 AND a.doc_id < b.doc_id),
+         |lp AS (SELECT doc_i, doc_j FROM lcand
+         |  JOIN sh si ON si.doc_id = doc_i JOIN sh sj ON sj.doc_id = doc_j
+         |  WHERE len(list_intersect(si.codes, sj.codes))::DOUBLE
+         |    / (si.sz + sj.sz - len(list_intersect(si.codes, sj.codes))) >= $JaccardThreshold),
+         |ex AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE a.sz > 0 AND b.sz > 0
+         |    AND len(list_intersect(a.codes, b.codes))::DOUBLE
+         |      / (a.sz + b.sz - len(list_intersect(a.codes, b.codes))) >= $JaccardThreshold),
+         |nex AS (SELECT count(*)::BIGINT AS n_exact FROM ex),
+         |legs AS (SELECT 'jaccard_capped' AS method, doc_i, doc_j FROM jp
+         |  UNION ALL SELECT 'minhash_lsh', doc_i, doc_j FROM lp),
+         |hits AS (SELECT method, count(*)::BIGINT AS n_hits
+         |  FROM legs JOIN ex USING (doc_i, doc_j) GROUP BY 1),
+         |base AS (SELECT method, count(*)::BIGINT AS n_pairs FROM legs GROUP BY 1)
+         |SELECT b.method, b.n_pairs,
+         |  coalesce(h.n_hits, 0)::BIGINT AS n_hits, n_exact,
+         |  (coalesce(h.n_hits, 0) * 1000 // n_exact)::BIGINT AS recall_milli
+         |FROM base b LEFT JOIN hits h ON b.method = h.method, nex
+         |ORDER BY b.method""".stripMargin,
     // first-holder novelty: min doc_id per shingle code, share of a
     // doc's distinct shingles it holds first
     "text_ngram_novelty" ->
