@@ -376,7 +376,7 @@ object Dedup {
   /** Banded LSH keys of a signature frame: one (doc_id, band, m1, m2)
     * row per band — the bucket-join key for both the symmetric pair
     * search and the incremental batch-vs-corpus probe. */
-  private def bandsOf(sh: DataFrame): DataFrame =
+  private[graft] def bandsOf(sh: DataFrame): DataFrame =
     sh.select(col("doc_id"), col("sig"),
         posexplode(transform(sequence(lit(0), lit(Bands - 1)),
           b => struct(
@@ -1186,8 +1186,9 @@ object Dedup {
     * hash as bucketBy, so each task holds exactly one bucket's rows →
     * one file per bucket, and the sortBy metadata lets the bucketed
     * read side skip its sort under a sort-merge join. */
-  private[graft] def ensureBandIndex(spark: SparkSession, dir: String): (String, String) = {
-    val sfx = idxSuffix(dir)
+  private[graft] def ensureBandIndex(spark: SparkSession, dir: String,
+      tag: String = ""): (String, String) = {
+    val sfx = idxSuffix(dir) + (if (tag.isEmpty) "" else s"_$tag")
     val bandsT = s"graft_band_idx_$sfx"
     val setsT = s"graft_sets_idx_$sfx"
     if (!spark.catalog.tableExists(bandsT) || !spark.catalog.tableExists(setsT)) {
@@ -1209,6 +1210,28 @@ object Dedup {
         .saveAsTable(setsT)
     }
     (bandsT, setsT)
+  }
+
+  /** The BETWEEN-generations step of the index lifecycle: fold an
+    * ACCEPTED ingest batch into the standing bucketed index by
+    * appending its band and sets rows — `insertInto` applies the
+    * table's bucket spec to the appended files, so the merged index
+    * keeps its bucket-local probe property with NO rebuild (the next
+    * ingest's join still consumes the scan in place;
+    * PersistedIndexSpec proves merged ≡ rebuilt-from-scratch and that
+    * re-probing the merged index flags the folded batch as known).
+    * Column order is positional for insertInto and matches the create
+    * path exactly. */
+  private[graft] def mergeBatchIntoBandIndex(spark: SparkSession, dir: String,
+      batchDocs: DataFrame, tag: String = ""): Unit = {
+    val (bandsT, setsT) = ensureBandIndex(spark, dir, tag)
+    val batchSh = signaturesOnSh(shingledOn(batchDocs))
+    bandsOf(batchSh)
+      .repartition(IndexBuckets, col("band"), col("m1"), col("m2"))
+      .write.mode("append").format("parquet").insertInto(bandsT)
+    batchSh.select(col("doc_id"), col("codes"), col("sz"))
+      .repartition(IndexBuckets, col("doc_id"))
+      .write.mode("append").format("parquet").insertInto(setsT)
   }
 
   /** [[incrementalDedup]] driven from the on-disk bucketed index

@@ -108,6 +108,46 @@ class PersistedIndexSpec extends SparkSpec {
     }
   }
 
+  test("between generations: merged index equals a full rebuild, stays bucket-local") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    // isolated tag so the drill cannot poison the shared index the
+    // other tests (and the Verify queries) probe
+    val (bandsT, setsT) = Dedup.ensureBandIndex(spark, sf0001, tag = "mergedrill")
+    val batch = Tables.documents(spark, sf0001)
+      .filter(pmod(col("doc_id"), lit(Dedup.IncrementalBatchMod)) === 0)
+      .select(col("doc_id"), col("text"))
+    Dedup.mergeBatchIntoBandIndex(spark, sf0001, batch, tag = "mergedrill")
+
+    // reference: the index a full rebuild over ALL documents would hold
+    val allSh = Dedup.signaturesOnSh(
+      Dedup.shingledOn(Tables.documents(spark, sf0001)
+        .select(col("doc_id"), col("text"))))
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSet
+    assert(rows(spark.table(bandsT)) ==
+      rows(Dedup.bandsOf(allSh)), "merged band index != full rebuild")
+    assert(rows(spark.table(setsT).select(col("doc_id"), col("sz"))) ==
+      rows(allSh.select(col("doc_id"), col("sz"))),
+      "merged sets index != full rebuild")
+
+    // the folded batch is now KNOWN: re-probing it must flag every doc
+    // (each matches at least itself at jaccard 1)
+    val verdict = Dedup.probeBandIndex(spark,
+      Dedup.signaturesOnSh(Dedup.shingledOn(batch)), bandsT, setsT)
+    val unknown = verdict.filter(col("keep")).count()
+    assert(unknown == 0, s"$unknown folded docs not recognized after merge")
+
+    // and the merged table still probes bucket-locally
+    staticNoBroadcast {
+      val plan = executedPlan(Dedup.probeBandIndex(spark,
+        Dedup.signaturesOnSh(Dedup.shingledOn(batch)), bandsT, setsT))
+      assert(indexScans(plan).forall(_.bucketedScan),
+        s"merged index lost its bucketed scan:\n$plan")
+      assert(reshuffledIndexScans(plan).isEmpty,
+        s"merged index reshuffled between scan and join:\n$plan")
+    }
+  }
+
   test("ingest probes never re-scan the corpus source") {
     // the probe's only parquet inputs are the index tables; the batch
     // side reads the session's materialized shingle frame (in
