@@ -1106,7 +1106,10 @@ object Dedup {
       .crossJoin(broadcast(nExact))
       .select(col("method"), col("n_pairs"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"), col("n_exact"),
-        expr("coalesce(n_hits, 0L) * 1000 div n_exact").as("recall_milli"))
+        // zero-pair corpus: Spark's div would yield NULL here but the
+        // DuckDB oracle's // would raise — guard BOTH sides identically
+        expr("CASE WHEN n_exact > 0 THEN coalesce(n_hits, 0L) * 1000 div n_exact ELSE 0L END")
+          .as("recall_milli"))
   }
 
   /** Which doc_ids play the incoming batch in the incremental drill. */
@@ -1173,6 +1176,28 @@ object Dedup {
     s"${base}_$h"
   }
 
+  /** The corpus predicate is part of an index generation's IDENTITY —
+    * two indexes over different corpus subsets must never share a
+    * table/path — so its SQL text is folded into the suffix (the
+    * default all-docs predicate adds nothing, keeping production
+    * names stable). */
+  private def predSuffix(corpusFilter: Column): String = {
+    val sql = corpusFilter.toString
+    if (sql == lit(true).toString) ""
+    else "_p" + Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(sql))
+  }
+
+  /** Index creation is check-then-write against a shared /tmp path:
+    * two concurrent callers racing the same suffix would both see
+    * tableExists=false and corrupt the path with overlapping
+    * overwrites. Unlike DirMemo (where a duplicate build is benign),
+    * here the WRITE itself must be exclusive, so the lock is held for
+    * the build's duration — keyed per suffix, so distinct index
+    * generations still build concurrently. */
+  private val idxLocks = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+  private def idxLock(key: String): AnyRef =
+    idxLocks.computeIfAbsent(key, _ => new AnyRef)
+
   /** Write-once-per-generation: persist the standing corpus's LSH band
     * index AND its signature/code sets as BUCKETED parquet tables —
     * the production artifact [[incrementalDedup]]'s scaladoc promises
@@ -1187,30 +1212,38 @@ object Dedup {
     * one file per bucket, and the sortBy metadata lets the bucketed
     * read side skip its sort under a sort-merge join. */
   private[graft] def ensureBandIndex(spark: SparkSession, dir: String,
-      tag: String = ""): (String, String) = {
-    val sfx = idxSuffix(dir) + (if (tag.isEmpty) "" else s"_$tag")
+      tag: String = "", corpusFilter: Column = lit(true)): (String, String) = {
+    val sfx = idxSuffix(dir) + (if (tag.isEmpty) "" else s"_$tag") +
+      predSuffix(corpusFilter)
     val bandsT = s"graft_band_idx_$sfx"
     val setsT = s"graft_sets_idx_$sfx"
-    if (!spark.catalog.tableExists(bandsT) || !spark.catalog.tableExists(setsT)) {
-      val corpus = minHashSignatures(spark, dir)
-        .filter(pmod(col("doc_id"), lit(IncrementalBatchMod)) =!= 0)
-      bandsOf(corpus)
-        .repartition(IndexBuckets, col("band"), col("m1"), col("m2"))
-        .write.mode("overwrite").format("parquet")
-        .bucketBy(IndexBuckets, "band", "m1", "m2")
-        .sortBy("band", "m1", "m2")
-        .option("path", s"$indexRoot/band_$sfx")
-        .saveAsTable(bandsT)
-      corpus.select(col("doc_id"), col("codes"), col("sz"))
-        .repartition(IndexBuckets, col("doc_id"))
-        .write.mode("overwrite").format("parquet")
-        .bucketBy(IndexBuckets, "doc_id")
-        .sortBy("doc_id")
-        .option("path", s"$indexRoot/sets_$sfx")
-        .saveAsTable(setsT)
+    idxLock(sfx).synchronized {
+      if (!spark.catalog.tableExists(bandsT) || !spark.catalog.tableExists(setsT)) {
+        val corpus = minHashSignatures(spark, dir).filter(corpusFilter)
+        bandsOf(corpus)
+          .repartition(IndexBuckets, col("band"), col("m1"), col("m2"))
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(IndexBuckets, "band", "m1", "m2")
+          .sortBy("band", "m1", "m2")
+          .option("path", s"$indexRoot/band_$sfx")
+          .saveAsTable(bandsT)
+        corpus.select(col("doc_id"), col("codes"), col("sz"))
+          .repartition(IndexBuckets, col("doc_id"))
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(IndexBuckets, "doc_id")
+          .sortBy("doc_id")
+          .option("path", s"$indexRoot/sets_$sfx")
+          .saveAsTable(setsT)
+      }
     }
     (bandsT, setsT)
   }
+
+  /** The batch-drill corpus predicate: everything EXCEPT the docs that
+    * play the arriving batch. Production gates use the default
+    * all-docs predicate — the standing corpus is the whole generation. */
+  private[graft] def drillCorpusFilter: Column =
+    pmod(col("doc_id"), lit(IncrementalBatchMod)) =!= 0
 
   /** The BETWEEN-generations step of the index lifecycle: fold an
     * ACCEPTED ingest batch into the standing bucketed index by
@@ -1223,8 +1256,9 @@ object Dedup {
     * Column order is positional for insertInto and matches the create
     * path exactly. */
   private[graft] def mergeBatchIntoBandIndex(spark: SparkSession, dir: String,
-      batchDocs: DataFrame, tag: String = ""): Unit = {
-    val (bandsT, setsT) = ensureBandIndex(spark, dir, tag)
+      batchDocs: DataFrame, tag: String = "",
+      corpusFilter: Column = lit(true)): Unit = {
+    val (bandsT, setsT) = ensureBandIndex(spark, dir, tag, corpusFilter)
     val batchSh = signaturesOnSh(shingledOn(batchDocs))
     bandsOf(batchSh)
       .repartition(IndexBuckets, col("band"), col("m1"), col("m2"))
@@ -1242,7 +1276,8 @@ object Dedup {
     * the exchange-free plan shape; the verdict frame is hash-identical
     * to the recompute path). */
   def incrementalDedupPersisted(spark: SparkSession, dir: String): DataFrame = {
-    val (bandsT, setsT) = ensureBandIndex(spark, dir)
+    val (bandsT, setsT) = ensureBandIndex(spark, dir,
+      corpusFilter = drillCorpusFilter)
     probeBandIndex(spark,
       minHashSignatures(spark, dir)
         .filter(pmod(col("doc_id"), lit(IncrementalBatchMod)) === 0),
@@ -1283,20 +1318,23 @@ object Dedup {
   /** The span-code generation artifact: the standing corpus's DISTINCT
     * positional span codes, bucketed by code — the ingest gate's
     * semi-join probe target. */
-  private[graft] def ensureSpanIndex(spark: SparkSession, dir: String): String = {
-    val sfx = idxSuffix(dir)
+  private[graft] def ensureSpanIndex(spark: SparkSession, dir: String,
+      corpusFilter: Column = lit(true)): String = {
+    val sfx = idxSuffix(dir) + predSuffix(corpusFilter)
     val t = s"graft_span_idx_$sfx"
-    if (!spark.catalog.tableExists(t)) {
-      Tables.documents(spark, dir)
-        .filter(pmod(col("doc_id"), lit(IncrementalBatchMod)) =!= 0)
-        .select(explode(spanCodes(col("text"), SpanW)).as("code"))
-        .distinct()
-        .repartition(IndexBuckets, col("code"))
-        .write.mode("overwrite").format("parquet")
-        .bucketBy(IndexBuckets, "code")
-        .sortBy("code")
-        .option("path", s"$indexRoot/span_$sfx")
-        .saveAsTable(t)
+    idxLock(sfx).synchronized {
+      if (!spark.catalog.tableExists(t)) {
+        Tables.documents(spark, dir)
+          .filter(corpusFilter)
+          .select(explode(spanCodes(col("text"), SpanW)).as("code"))
+          .distinct()
+          .repartition(IndexBuckets, col("code"))
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(IndexBuckets, "code")
+          .sortBy("code")
+          .option("path", s"$indexRoot/span_$sfx")
+          .saveAsTable(t)
+      }
     }
     t
   }
@@ -1306,7 +1344,8 @@ object Dedup {
     * semi-join is a bucketed exchange-free scan. Hash-identical to the
     * recompute path. */
   def incrementalSpanRemovalPersisted(spark: SparkSession, dir: String): DataFrame = {
-    val corpusCodes = spark.table(ensureSpanIndex(spark, dir))
+    val corpusCodes = spark.table(
+      ensureSpanIndex(spark, dir, corpusFilter = drillCorpusFilter))
     val batchDocs = Tables.documents(spark, dir)
       .filter(pmod(col("doc_id"), lit(IncrementalBatchMod)) === 0)
     val occ = batchDocs
@@ -1628,7 +1667,9 @@ object Dedup {
          |base AS (SELECT method, count(*)::BIGINT AS n_pairs FROM legs GROUP BY 1)
          |SELECT b.method, b.n_pairs,
          |  coalesce(h.n_hits, 0)::BIGINT AS n_hits, n_exact,
-         |  (coalesce(h.n_hits, 0) * 1000 // n_exact)::BIGINT AS recall_milli
+         |  (CASE WHEN n_exact > 0
+         |        THEN coalesce(h.n_hits, 0) * 1000 // n_exact
+         |        ELSE 0 END)::BIGINT AS recall_milli
          |FROM base b LEFT JOIN hits h ON b.method = h.method, nex
          |ORDER BY b.method""".stripMargin,
     // first-holder novelty: min doc_id per shingle code, share of a

@@ -111,17 +111,49 @@ object WarcIO {
     * framing parser, and emit per-record digests + the length
     * validation — the oracle recomputes the same digests straight off
     * the parquet, so any framing/parse defect breaks hash parity. */
+  /** Cheap corpus fingerprint of `dir`'s documents table: data file
+    * count + max mtime + total bytes. A regenerated corpus at the same
+    * path changes it, invalidating the cached archive — a _SUCCESS
+    * marker alone persists across JVM runs and would silently serve
+    * stale shards. */
+  private def corpusFingerprint(dir: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).map(_.toSeq).getOrElse(Nil).flatMap(walk)
+      else Seq(f)
+    val files = walk(new java.io.File(dir, "documents.parquet"))
+      .filterNot(f => f.getName.startsWith(".") || f.getName.startsWith("_"))
+    val maxM = if (files.isEmpty) 0L else files.map(_.lastModified).max
+    s"${files.size}:$maxM:${files.map(_.length).sum}"
+  }
+
   /** Write-once-per-generation archive of `dir`'s documents table;
-    * returns its path. The archive is deterministic, so an existing
-    * shard set is exactly what this run would write. */
+    * returns its path. The archive is deterministic, so a shard set
+    * whose fingerprint matches the current corpus is exactly what this
+    * run would write. Path is keyed on basename PLUS a full-path hash
+    * (two dirs sharing a basename must not collide), and creation is
+    * serialized — check-then-write against a shared /tmp path would
+    * let two concurrent callers corrupt it. */
+  private val archiveLock = new Object
   private[graft] def ensureArchive(spark: SparkSession, dir: String): String = {
     val base = dir.split('/').filter(_.nonEmpty).lastOption.getOrElse("root")
       .replaceAll("[^A-Za-z0-9]", "_")
-    val path = s"/tmp/graft_warc/$base"
-    val marker = new java.io.File(path, "_SUCCESS")
-    if (!marker.exists()) {
-      write(Tables.documents(spark, dir).select(col("doc_id"), col("text")),
-        path, files = 8)
+    val h = Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(dir))
+    val path = s"/tmp/graft_warc/${base}_$h"
+    archiveLock.synchronized {
+      val fp = corpusFingerprint(dir)
+      val fpFile = new java.io.File(path, "_FINGERPRINT")
+      val cached =
+        if (fpFile.exists())
+          new String(java.nio.file.Files.readAllBytes(fpFile.toPath),
+            java.nio.charset.StandardCharsets.UTF_8).trim
+        else ""
+      if (cached != fp) {
+        write(Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+          path, files = 8)
+        java.nio.file.Files.write(fpFile.toPath,
+          fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
     }
     path
   }

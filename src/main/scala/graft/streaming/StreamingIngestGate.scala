@@ -1,6 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{coalesce, col, lit}
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.operators.Dedup
@@ -22,6 +23,12 @@ import graft.operators.Dedup
   * against each other — within-batch duplication is left to the next
   * generation's full pass, matching the batch gate's contract).
   *
+  * The index covers the FULL standing corpus by default (the
+  * production shape — a gate probing a partial index hands near-dups
+  * of the excluded docs false keep verdicts); `corpusFilter` exists so
+  * drills/specs can reproduce the batch drill's held-out split
+  * explicitly.
+  *
   * At 100 TB: the index tables are the generation's bucketed parquet;
   * each ingest micro-batch is crawl-minutes of data probed
   * bucket-locally; the verdict sink feeds the keep queue. */
@@ -30,10 +37,15 @@ object StreamingIngestGate {
   /** Start the gate over a streaming (doc_id, text) frame. The corpus
     * index for `dir` is ensured once at start (catalog hit → no
     * rebuild); `sink` receives each micro-batch's verdict frame
-    * (batch_id, n_dups, best_jaccard, keep). */
-  def start(spark: SparkSession, dir: String, docs: DataFrame)(
+    * (batch_id, n_dups, best_jaccard, keep, no_content). EVERY
+    * arriving doc_id gets exactly one verdict row — a doc whose text
+    * is too short to shingle cannot be judged against the corpus and
+    * passes through explicitly flagged (keep=true, n_dups=0,
+    * no_content=true) instead of vanishing from the sink. */
+  def start(spark: SparkSession, dir: String, docs: DataFrame,
+      tag: String = "", corpusFilter: Column = lit(true))(
       sink: (DataFrame, Long) => Unit): StreamingQuery = {
-    val (bandsT, setsT) = Dedup.ensureBandIndex(spark, dir)
+    val (bandsT, setsT) = Dedup.ensureBandIndex(spark, dir, tag, corpusFilter)
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -43,12 +55,21 @@ object StreamingIngestGate {
   }
 
   /** One micro-batch's verdicts — shingle + sign only the arrivals,
-    * probe the static index. Public seam so specs can replay the
-    * exact per-batch computation. */
+    * probe the static index, then left-join back to the RAW batch ids
+    * so unshingleable docs still emit a row. Public seam so specs can
+    * replay the exact per-batch computation. */
   private[graft] def verdictFor(spark: SparkSession, batch: DataFrame,
-      bandsT: String, setsT: String): DataFrame =
-    Dedup.probeBandIndex(spark,
+      bandsT: String, setsT: String): DataFrame = {
+    val probed = Dedup.probeBandIndex(spark,
       Dedup.signaturesOnSh(Dedup.shingledOn(batch)), bandsT, setsT)
+    batch.select(col("doc_id").as("batch_id")).distinct()
+      .join(probed.withColumn("judged", lit(true)), Seq("batch_id"), "left")
+      .select(col("batch_id"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        col("best_jaccard"),
+        coalesce(col("keep"), lit(true)).as("keep"),
+        col("judged").isNull.as("no_content"))
+  }
 
   /** The full streaming CRAWL-ingest pipeline: arriving (doc_id, html)
     * pages are boilerplate-extracted (stateless scan — Html.extractOn
@@ -56,16 +77,19 @@ object StreamingIngestGate {
     * is probed against the dedup index. This is the production stage
     * order (extract first, judge content not chrome): two pages whose
     * content is identical but whose navigation differs must still
-    * collide in the band index, which judging raw HTML would miss. */
-  def startCrawl(spark: SparkSession, dir: String, pages: DataFrame)(
+    * collide in the band index, which judging raw HTML would miss.
+    * Pages whose extraction leaves no shingleable content surface as
+    * no_content=true verdicts rather than disappearing — a keep-queue
+    * consumer sees every arriving page exactly once. */
+  def startCrawl(spark: SparkSession, dir: String, pages: DataFrame,
+      tag: String = "", corpusFilter: Column = lit(true))(
       sink: (DataFrame, Long) => Unit): StreamingQuery = {
-    val (bandsT, setsT) = Dedup.ensureBandIndex(spark, dir)
+    val (bandsT, setsT) = Dedup.ensureBandIndex(spark, dir, tag, corpusFilter)
     pages.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val extracted = graft.operators.Html.extractOn(batch)
-          .select(org.apache.spark.sql.functions.col("doc_id"),
-            org.apache.spark.sql.functions.col("main_text").as("text"))
+          .select(col("doc_id"), col("main_text").as("text"))
         sink(verdictFor(spark, extracted, bandsT, setsT), batchId)
       }
       .start()

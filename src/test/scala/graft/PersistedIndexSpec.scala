@@ -112,11 +112,13 @@ class PersistedIndexSpec extends SparkSpec {
     import org.apache.spark.sql.functions.{col, lit, pmod}
     // isolated tag so the drill cannot poison the shared index the
     // other tests (and the Verify queries) probe
-    val (bandsT, setsT) = Dedup.ensureBandIndex(spark, sf0001, tag = "mergedrill")
+    val (bandsT, setsT) = Dedup.ensureBandIndex(spark, sf0001,
+      tag = "mergedrill", corpusFilter = Dedup.drillCorpusFilter)
     val batch = Tables.documents(spark, sf0001)
       .filter(pmod(col("doc_id"), lit(Dedup.IncrementalBatchMod)) === 0)
       .select(col("doc_id"), col("text"))
-    Dedup.mergeBatchIntoBandIndex(spark, sf0001, batch, tag = "mergedrill")
+    Dedup.mergeBatchIntoBandIndex(spark, sf0001, batch, tag = "mergedrill",
+      corpusFilter = Dedup.drillCorpusFilter)
 
     // reference: the index a full rebuild over ALL documents would hold
     val allSh = Dedup.signaturesOnSh(

@@ -12,27 +12,41 @@ import graft.streaming.StreamingIngestGate
   * micro-batches, produce the same per-document verdicts — because the
   * gate is stateless and each arrival is judged only against the
   * static corpus index, HOW the batch is chopped cannot change any
-  * verdict. */
+  * verdict. The gate additionally promises one verdict row per
+  * arriving doc_id: docs with no shingleable content surface as
+  * explicit no_content=true keeps instead of vanishing from the sink.
+  * (The drill split is passed explicitly here — production gates use
+  * the default full-corpus index.) */
 class StreamingIngestGateSpec extends SparkSpec {
+
+  /** Drill verdicts extended with the gate's no_content=false column. */
+  private def drillExpected: Set[Seq[String]] =
+    Dedup.incrementalDedupPersisted(spark, sf0001)
+      .collect().map(_.toSeq.map(String.valueOf) :+ "false").toSet
 
   test("micro-batched verdicts equal the batch drill, regardless of chopping") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
-    val expected = Dedup.incrementalDedupPersisted(spark, sf0001)
-      .collect().map(_.toSeq.map(String.valueOf)).toSet
-    assert(expected.nonEmpty)
+    val judged = drillExpected
+    assert(judged.nonEmpty)
 
     val arrivals = Tables.documents(spark, sf0001)
       .filter(pmod(col("doc_id"), lit(Dedup.IncrementalBatchMod)) === 0)
       .select(col("doc_id"), col("text"))
       .collect().map(r => (r.getLong(0), r.getString(1)))
+    // every arrival the drill could not judge (unshingleable) must
+    // surface as an explicit no-content keep
+    val judgedIds = judged.map(_.head)
+    val expected = judged ++ arrivals.map(_._1.toString).filterNot(judgedIds)
+      .map(id => Seq(id, "0", "null", "true", "true"))
 
     val input = MemoryStream[(Long, String)]
     val got = mutable.Buffer[Row]()
     val q = StreamingIngestGate.start(spark, sf0001,
-      input.toDF().toDF("doc_id", "text")) { (verdict, _) =>
+      input.toDF().toDF("doc_id", "text"),
+      corpusFilter = Dedup.drillCorpusFilter) { (verdict, _) =>
       got.synchronized { got ++= verdict.collect() }
     }
     try {
@@ -50,6 +64,8 @@ class StreamingIngestGateSpec extends SparkSpec {
     val gotSet = got.map(_.toSeq.map(String.valueOf)).toSet
     assert(gotSet == expected,
       s"streaming gate diverged: got ${gotSet.size} rows, expected ${expected.size}")
+    assert(gotSet.size == arrivals.length,
+      "gate must emit exactly one verdict per arriving doc")
   }
 
   test("crawl pipeline (extract → gate) matches the drill for extractable docs") {
@@ -59,25 +75,29 @@ class StreamingIngestGateSpec extends SparkSpec {
 
     // extraction returns the doc byte-identically for any doc long
     // enough to pass the length gate, so the crawl verdicts must equal
-    // the batch drill restricted to extractable docs (shorter docs are
-    // honestly dropped: no content survived the boilerplate gate)
+    // the batch drill restricted to extractable docs; every other
+    // arrival (no content survived the boilerplate gate, or nothing
+    // shingleable) surfaces as an explicit no_content=true keep — no
+    // page vanishes from the sink
     val extractable = Tables.documents(spark, sf0001)
       .filter(length(trim(col("text"))) >= graft.operators.Html.MinBlockChars)
       .select(col("doc_id")).as[Long].collect().toSet
-    val expected = Dedup.incrementalDedupPersisted(spark, sf0001)
-      .collect().filter(r => extractable(r.getLong(0)))
-      .map(_.toSeq.map(String.valueOf)).toSet
-    assert(expected.nonEmpty)
+    val judged = drillExpected.filter(r => extractable(r.head.toLong))
+    assert(judged.nonEmpty)
 
     val arrivals = Tables.documents(spark, sf0001)
       .filter(pmod(col("doc_id"), lit(Dedup.IncrementalBatchMod)) === 0)
       .select(col("doc_id"), col("text"))
       .collect().map(r => (r.getLong(0), r.getString(1)))
+    val judgedIds = judged.map(_.head)
+    val expected = judged ++ arrivals.map(_._1.toString).filterNot(judgedIds)
+      .map(id => Seq(id, "0", "null", "true", "true"))
 
     val input = MemoryStream[(Long, String)]
     val got = mutable.Buffer[Row]()
     val q = StreamingIngestGate.startCrawl(spark, sf0001,
-      input.toDF().toDF("doc_id", "text")) { (verdict, _) =>
+      input.toDF().toDF("doc_id", "text"),
+      corpusFilter = Dedup.drillCorpusFilter) { (verdict, _) =>
       got.synchronized { got ++= verdict.collect() }
     }
     try {
@@ -90,5 +110,7 @@ class StreamingIngestGateSpec extends SparkSpec {
     val gotSet = got.map(_.toSeq.map(String.valueOf)).toSet
     assert(gotSet == expected,
       s"crawl pipeline diverged: got ${gotSet.size} rows, expected ${expected.size}")
+    assert(gotSet.size == arrivals.length,
+      "crawl gate must emit exactly one verdict per arriving page")
   }
 }
