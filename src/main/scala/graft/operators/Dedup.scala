@@ -1162,41 +1162,13 @@ object Dedup {
     * chosen bucket count (hundreds–thousands). */
   val IndexBuckets = 32
 
-  /** Filesystem root for persisted index generations (overridable so
-    * specs can use an isolated scratch dir). */
-  private def indexRoot: String =
-    sys.props.getOrElse("graft.index.root", "/tmp/graft_indexes")
-
-  /** Identifier-safe table/dir suffix per source dir: the basename
-    * (sf0_01-style) plus a hash of the full path against collisions. */
-  private def idxSuffix(dir: String): String = {
-    val base = dir.split('/').filter(_.nonEmpty).lastOption.getOrElse("root")
-      .replaceAll("[^A-Za-z0-9]", "_")
-    val h = Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(dir))
-    s"${base}_$h"
-  }
-
-  /** The corpus predicate is part of an index generation's IDENTITY —
-    * two indexes over different corpus subsets must never share a
-    * table/path — so its SQL text is folded into the suffix (the
-    * default all-docs predicate adds nothing, keeping production
-    * names stable). */
-  private def predSuffix(corpusFilter: Column): String = {
-    val sql = corpusFilter.toString
-    if (sql == lit(true).toString) ""
-    else "_p" + Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(sql))
-  }
-
-  /** Index creation is check-then-write against a shared /tmp path:
-    * two concurrent callers racing the same suffix would both see
-    * tableExists=false and corrupt the path with overlapping
-    * overwrites. Unlike DirMemo (where a duplicate build is benign),
-    * here the WRITE itself must be exclusive, so the lock is held for
-    * the build's duration — keyed per suffix, so distinct index
-    * generations still build concurrently. */
-  private val idxLocks = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
-  private def idxLock(key: String): AnyRef =
-    idxLocks.computeIfAbsent(key, _ => new AnyRef)
+  /** Naming + locking for the persisted index tables — shared with the
+    * ANN index lifecycle (see [[IndexStore]]). */
+  private def indexRoot: String = IndexStore.root
+  private def idxSuffix(dir: String): String = IndexStore.dirSuffix(dir)
+  private def predSuffix(corpusFilter: Column): String =
+    IndexStore.predSuffix(corpusFilter)
+  private def idxLock(key: String): AnyRef = IndexStore.lock(key)
 
   /** Write-once-per-generation: persist the standing corpus's LSH band
     * index AND its signature/code sets as BUCKETED parquet tables —

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.lit
+
+/** Shared naming + locking discipline for persisted per-generation
+  * index artifacts (the dedup band/span indexes, the ANN
+  * codebook/codes index): every such artifact is a bucketed parquet
+  * table written ONCE per corpus generation under [[root]], keyed by
+  * source dir (basename + full-path hash — two dirs sharing a basename
+  * must never collide) and by the corpus predicate that defines which
+  * docs the generation covers (part of the index's IDENTITY — two
+  * indexes over different corpus subsets must never share a path).
+  *
+  * Creation is check-then-write against a path shared across sessions,
+  * so builders serialize per suffix via [[lock]] — unlike DirMemo
+  * (where a duplicate build is benign), a racing overwrite of the same
+  * files corrupts the table. Distinct suffixes still build
+  * concurrently. */
+private[graft] object IndexStore {
+
+  /** Filesystem root for persisted index generations (overridable so
+    * specs can use an isolated scratch dir). */
+  def root: String =
+    sys.props.getOrElse("graft.index.root", "/tmp/graft_indexes")
+
+  /** Identifier-safe table/dir suffix per source dir. */
+  def dirSuffix(dir: String): String = {
+    val base = dir.split('/').filter(_.nonEmpty).lastOption.getOrElse("root")
+      .replaceAll("[^A-Za-z0-9]", "_")
+    val h = Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(dir))
+    s"${base}_$h"
+  }
+
+  /** The corpus predicate folded into the suffix (the default all-docs
+    * predicate adds nothing, keeping production names stable). */
+  def predSuffix(corpusFilter: Column): String = {
+    val sql = corpusFilter.toString
+    if (sql == lit(true).toString) ""
+    else "_p" + Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(sql))
+  }
+
+  /** Full suffix for one index generation. */
+  def suffix(dir: String, tag: String, corpusFilter: Column): String =
+    dirSuffix(dir) + (if (tag.isEmpty) "" else s"_$tag") +
+      predSuffix(corpusFilter)
+
+  private val locks = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+
+  /** Build lock for one index suffix — hold for the whole
+    * check-then-write. */
+  def lock(key: String): AnyRef = locks.computeIfAbsent(key, _ => new AnyRef)
+}

@@ -299,8 +299,14 @@ object Similarity {
     * corpus never shuffles, ranking is the bounded top-k Aggregator.
     * ADC sums doubles in fixed subspace order, so the oracle replays
     * the exact bits. */
-  def topKPq(spark: SparkSession, dir: String): DataFrame = {
-    val scored = pqAdcScored(spark, dir)
+  def topKPq(spark: SparkSession, dir: String): DataFrame =
+    adcTopK(pqAdcScored(spark, dir))
+
+  /** Bounded top-k by ascending ADC distance over a (query_id, vec_id,
+    * adc) frame — the ranking stage every ADC variant (flat PQ, IVF-PQ,
+    * persisted IVF-PQ) shares: map-side partial top-k, one tiny merge,
+    * rank by explode position. */
+  private def adcTopK(scored: DataFrame): DataFrame = {
     val topk = udaf(new graft.functions.TopKByScore(IvfTopK))
     scored.groupBy(col("query_id"))
       .agg(topk(col("vec_id"), -col("adc")).as("top"))
@@ -372,16 +378,8 @@ object Similarity {
     * (Jégou et al. 2011): scan |corpus|/cells candidates × 4 table
     * lookups each, corpus never shuffles, both quantizers trained with
     * the same seeded fixed-point Lloyd's the oracle replays exactly. */
-  def topKIvfPq(spark: SparkSession, dir: String): DataFrame = {
-    val scored = ivfPqAdcScored(spark, dir)
-    val topk = udaf(new graft.functions.TopKByScore(IvfTopK))
-    scored.groupBy(col("query_id"))
-      .agg(topk(col("vec_id"), -col("adc")).as("top"))
-      .select(col("query_id"), posexplode(col("top")))
-      .select(col("query_id"), (col("pos") + lit(1)).as("rnk"),
-        col("col.vec_id").as("vec_id"), (-col("col.cosine")).as("adc"))
-      .orderBy("query_id", "rnk")
-  }
+  def topKIvfPq(spark: SparkSession, dir: String): DataFrame =
+    adcTopK(ivfPqAdcScored(spark, dir))
 
   /** Shortlist size for the exact re-rank stage (2× the final k). */
   val RerankShortlist = 10
@@ -467,6 +465,227 @@ object Similarity {
       .withColumn("adc", (0 until PqSubspaces).map(s =>
         element_at(col(s"l$s"), col(s"c$s") + lit(1))).reduce(_ + _))
       .select(col("query_id"), col("vec_id"), col("adc"))
+  }
+
+  // ------------------- persisted ANN index lifecycle -------------------
+
+  /** Bucket count for the persisted codes table — keyed by the coarse
+    * cell, the IVF probe key (at cluster scale: the generation's chosen
+    * cell/bucket geometry, thousands of cells). */
+  val AnnIndexBuckets = 8
+
+  /** Write-once-per-generation ANN index (mirrors
+    * [[Dedup.ensureBandIndex]]): the coarse k-means quantizer and the
+    * four PQ subspace codebooks persist as a tiny `books` parquet
+    * table, and the ENCODED CORPUS — (vec_id, cell, c0..c3), 64 floats
+    * collapsed to one cell id + 4 codes per vector — persists as a
+    * parquet table bucketed by cell. Later probes (this session or the
+    * next) read both tables and never retrain Lloyd's or re-encode a
+    * single corpus vector — the lifecycle a deployed IVF-PQ index
+    * actually runs (train/encode at generation time, serve from the
+    * frozen artifact; Jégou et al. 2011 §V).
+    *
+    * Training is the exact seeded fixed-point machinery of the
+    * recompute path ([[kmeansCentroids]]/[[pqTrainBooks]] over the same
+    * zero-norm-filtered frame), so the persisted artifact is
+    * bit-identical to what a fresh run derives — PersistedAnnIndexSpec
+    * pins probe parity, and the `sim_topk_ivfpq*_persisted` queries
+    * share the recompute twins' DuckDB oracles verbatim.
+    *
+    * `corpusFilter` carves the generation's corpus (default: all
+    * vectors); it is part of the index identity via the suffix, exactly
+    * like the dedup indexes. Creation serializes per suffix. */
+  private[graft] def ensurePqIndex(spark: SparkSession, dir: String,
+      tag: String = "", corpusFilter: Column = lit(true)): (String, String) = {
+    val sfx = IndexStore.suffix(dir, tag, corpusFilter)
+    val booksT = s"graft_pq_books_$sfx"
+    val codesT = s"graft_pq_codes_$sfx"
+    IndexStore.lock("pq_" + sfx).synchronized {
+      if (!spark.catalog.tableExists(booksT) ||
+          !spark.catalog.tableExists(codesT)) {
+        import graft.functions.VectorFunctions.dotProduct
+        val emb = Tables.embeddings(spark, dir)
+          .filter(dotProduct(col("embedding"), col("embedding")) > 0)
+          .filter(corpusFilter)
+          .select(col("vec_id"), col("embedding"))
+          .localCheckpoint()
+        val cents = kmeansCentroids(emb)
+        val sliced = emb.select(
+          col("vec_id") +:
+            (0 until PqSubspaces).map(s =>
+              slice(col("embedding"), s * PqSubDim + 1, PqSubDim).as(s"s$s")): _*)
+        val books = pqTrainBooks(sliced)
+        import spark.implicits._
+        val bookRows =
+          cents.toSeq.map { case (cell, v) => (-1, cell, v.toSeq) } ++
+            (0 until PqSubspaces).flatMap(s =>
+              books(s).toSeq.map { case (cell, v) => (s, cell, v.toSeq) })
+        bookRows.toDF("sub", "cell", "vec")
+          .coalesce(1)
+          .write.mode("overwrite").format("parquet")
+          .option("path", s"${IndexStore.root}/pq_books_$sfx")
+          .saveAsTable(booksT)
+        encodeWith(emb, cents, books)
+          .repartition(AnnIndexBuckets, col("cell"))
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(AnnIndexBuckets, "cell")
+          .sortBy("cell")
+          .option("path", s"${IndexStore.root}/pq_codes_$sfx")
+          .saveAsTable(codesT)
+      }
+    }
+    (booksT, codesT)
+  }
+
+  /** Encode (vec_id, embedding) rows with a FROZEN quantizer pair — one
+    * narrow codegen pass (cell + 4 subspace argmins, codebooks ride in
+    * as literals), used by both the generation build and the
+    * between-generations batch merge: production PQ indexes encode new
+    * vectors with the standing codebooks, retraining only at generation
+    * boundaries. */
+  private[graft] def encodeWith(emb: DataFrame, cents: Array[(Int, Array[Double])],
+      books: Seq[Array[(Int, Array[Double])]]): DataFrame =
+    emb.select(
+      col("vec_id") +:
+        argminCell(col("embedding"), cents).as("cell") +:
+        (0 until PqSubspaces).map(s =>
+          argminCell(slice(col("embedding"), s * PqSubDim + 1, PqSubDim),
+            books(s)).as(s"c$s")): _*)
+
+  /** Load the persisted quantizers back to driver arrays — bounded by
+    * construction (KMeansCells coarse rows + PqSubspaces×KMeansCells
+    * codebook rows, ~50 rows of ≤64 doubles; the one collect a
+    * persisted-index probe performs). */
+  private[graft] def loadBooks(spark: SparkSession, booksT: String)
+      : (Array[(Int, Array[Double])], Seq[Array[(Int, Array[Double])]]) = {
+    val rows = spark.table(booksT)
+      .select(col("sub"), col("cell"), col("vec")).collect()
+    def side(s: Int): Array[(Int, Array[Double])] = rows.filter(_.getInt(0) == s)
+      .map(r => (r.getInt(1), r.getSeq[Double](2).toArray)).sortBy(_._1)
+    (side(-1), (0 until PqSubspaces).map(side))
+  }
+
+  /** Driver-side replica of [[argminCell]]'s arithmetic for one query
+    * vector: same ascending-index dot fold, same |c|² − 2⟨q,c⟩ score,
+    * same lowest-cell tiebreak. A persisted-index probe assigns its
+    * handful of queries on the driver (codebooks already live there)
+    * instead of paying a cluster job — and must agree bit-for-bit with
+    * the stored corpus assignment, which PersistedAnnIndexSpec pins. */
+  private def assignCellDriver(q: Array[Double],
+      cents: Array[(Int, Array[Double])]): Int = {
+    var bestCell = Int.MaxValue
+    var best = Double.PositiveInfinity
+    cents.foreach { case (cell, cv) =>
+      var dot = 0.0
+      var i = 0
+      while (i < cv.length) { dot += q(i) * cv(i); i += 1 }
+      val dist = selfDot(cv) - 2.0 * dot
+      if (dist < best || (dist == best && cell < bestCell)) {
+        best = dist; bestCell = cell
+      }
+    }
+    bestCell
+  }
+
+  /** [[ivfPqAdcScoredFresh]] driven from the on-disk index: quantizers
+    * and corpus codes enter as table reads — NOTHING is retrained or
+    * re-encoded; the corpus side of the ADC join is a bucketed scan
+    * consumed in place (the LUT side broadcasts, so the corpus never
+    * shuffles at all). Memoized per (session, dir) so the top-k query
+    * and its rerank twin share one materialization. */
+  private val persistedAdcMemo = new DirMemo
+  private def ivfPqAdcScoredPersisted(spark: SparkSession, dir: String): DataFrame =
+    persistedAdcMemo(spark, dir) {
+      val (booksT, codesT) = ensurePqIndex(spark, dir)
+      probePqIndex(spark, dir, booksT, codesT).localCheckpoint()
+    }
+
+  /** The probe core over ANY persisted (books, codes) generation:
+    * build per-query ADC LUTs from the frozen codebooks on the driver,
+    * broadcast them, score every candidate in the query's cell with 4
+    * lookups + 3 adds. Public seam for the spec's merge drill. */
+  private[graft] def probePqIndex(spark: SparkSession, dir: String,
+      booksT: String, codesT: String): DataFrame = {
+    val (cents, books) = loadBooks(spark, booksT)
+    val codes = spark.table(codesT)
+    import graft.functions.VectorFunctions.dotProduct
+    val qRows = Tables.embeddings(spark, dir)
+      .filter(dotProduct(col("embedding"), col("embedding")) > 0)
+      .filter(col("vec_id") < NumQueries)
+      .select(col("vec_id"), col("embedding"))
+      .collect().sortBy(_.getLong(0))
+    import spark.implicits._
+    val lutDf = qRows.toSeq.map { r =>
+      val full = r.getSeq[Float](1).map(_.toDouble).toArray
+      val luts = (0 until PqSubspaces).map { s =>
+        val q = full.slice(s * PqSubDim, (s + 1) * PqSubDim)
+        val arr = Array.fill(books(s).map(_._1).max + 1)(Double.MaxValue)
+        books(s).foreach { case (cid, cv) =>
+          var dot = 0.0
+          var i = 0
+          while (i < cv.length) { dot += q(i) * cv(i); i += 1 }
+          arr(cid) = selfDot(cv) - 2.0 * dot
+        }
+        arr.toSeq
+      }
+      (r.getLong(0), assignCellDriver(full, cents),
+        luts(0), luts(1), luts(2), luts(3))
+    }.toDF("query_id", "cell", "l0", "l1", "l2", "l3")
+    codes.join(broadcast(lutDf), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adc", (0 until PqSubspaces).map(s =>
+        element_at(col(s"l$s"), col(s"c$s") + lit(1))).reduce(_ + _))
+      .select(col("query_id"), col("vec_id"), col("adc"))
+  }
+
+  /** [[topKIvfPq]] served from the persisted index — hash-identical
+    * verdict (shares the recompute twin's oracle verbatim), zero
+    * training jobs at query time. */
+  def topKIvfPqPersisted(spark: SparkSession, dir: String): DataFrame =
+    adcTopK(ivfPqAdcScoredPersisted(spark, dir))
+
+  /** [[topKIvfPqRerank]] served from the persisted index: shortlist by
+    * persisted-ADC, exact re-rank of queries × k₁ rows against the raw
+    * embeddings — the deployed two-stage read path. */
+  def topKIvfPqRerankPersisted(spark: SparkSession, dir: String): DataFrame = {
+    val topShort = udaf(new graft.functions.TopKByScore(RerankShortlist))
+    val shortlist = ivfPqAdcScoredPersisted(spark, dir)
+      .groupBy(col("query_id"))
+      .agg(topShort(col("vec_id"), -col("adc")).as("top"))
+      .select(col("query_id"), explode(col("top")).as("c"))
+      .select(col("query_id"), col("c.vec_id").as("vec_id"))
+    val exact = broadcast(shortlist)
+      .join(Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
+        "vec_id")
+      .join(broadcast(queriesDf(spark, dir)), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        cosineSim(col("qv"), col("embedding")).as("cosine"))
+    topKPerQuery(exact, IvfTopK)
+  }
+
+  /** The BETWEEN-generations step (mirrors
+    * [[Dedup.mergeBatchIntoBandIndex]]): encode an ACCEPTED batch of
+    * (vec_id, embedding) rows with the generation's FROZEN codebooks
+    * and append them into the bucketed codes table — `insertInto`
+    * applies the table's bucket spec, so the merged index keeps its
+    * cell-local layout with no rebuild and no retrain. Quantization of
+    * the new vectors uses the standing books by design: that is the
+    * production contract (drift is repaired at the next generation's
+    * retrain), and PersistedAnnIndexSpec proves merged ≡
+    * encode-everything-with-the-standing-books. */
+  private[graft] def mergeBatchIntoPqIndex(spark: SparkSession, dir: String,
+      batchVecs: DataFrame, tag: String = "",
+      corpusFilter: Column = lit(true)): Unit = {
+    val (booksT, codesT) = ensurePqIndex(spark, dir, tag, corpusFilter)
+    val (cents, books) = loadBooks(spark, booksT)
+    import graft.functions.VectorFunctions.dotProduct
+    encodeWith(
+      batchVecs
+        .filter(dotProduct(col("embedding"), col("embedding")) > 0)
+        .select(col("vec_id"), col("embedding")),
+      cents, books)
+      .repartition(AnnIndexBuckets, col("cell"))
+      .write.mode("append").format("parquet").insertInto(codesT)
   }
 
   /** Range-search threshold: calibrated so the demo corpus returns a
@@ -834,6 +1053,8 @@ object Similarity {
     "sim_knn_join" -> ((s, d) => knnJoin(s, d)),
     "sim_topk_ivfpq" -> ((s, d) => topKIvfPq(s, d)),
     "sim_topk_ivfpq_rerank" -> ((s, d) => topKIvfPqRerank(s, d)),
+    "sim_topk_ivfpq_persisted" -> ((s, d) => topKIvfPqPersisted(s, d)),
+    "sim_topk_ivfpq_rerank_persisted" -> ((s, d) => topKIvfPqRerankPersisted(s, d)),
     "sim_range_search" -> ((s, d) => rangeSearch(s, d)),
     "sim_topk_bruteforce" -> ((s, d) => topKBruteForce(s, d)),
     "sim_topk_ivf" -> ((s, d) => topKIvf(s, d)),
@@ -1207,6 +1428,12 @@ object Similarity {
          |SELECT qid AS vec_id, rnk, nn_id, cosine FROM r
          |WHERE rnk <= $KnnK ORDER BY vec_id, rnk""".stripMargin,
     "sim_topk_ivfpq" -> ivfPqOracle,
+    // the persisted drills are BY CONSTRUCTION the same queries as
+    // their recompute twins (only the plan's input artifact differs) —
+    // sharing the oracle verbatim proves the on-disk index path
+    // computes the identical verdict
+    "sim_topk_ivfpq_persisted" -> ivfPqOracle,
+    "sim_topk_ivfpq_rerank_persisted" -> ivfPqRerankOracle,
     "sim_topk_ivfpq_rerank" -> ivfPqRerankOracle,
     "emb_pca_project" -> pcaOracle,
     "sim_range_search" ->
