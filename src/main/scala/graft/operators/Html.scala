@@ -19,15 +19,20 @@ import graft.Tables
   * boilerplate algorithm (jusText/CCNet-family heuristics) with no
   * knowledge of that structure:
   *
-  *   1. segment the page into blocks at closing container tags
+  *   1. strip script/style elements WITH their payloads, then HTML
+  *      comments (code and commented-out markup are never content,
+  *      and tags inside them must not perturb segmentation),
+  *   2. segment the page into blocks at closing container tags
   *      (`</nav>|</div>|</footer>`),
-  *   2. per block: tag-strip to text, count anchor text
-  *      (`<a …>…</a>` spans),
-  *   3. gate: a block is CONTENT iff its text is long enough
+  *   3. per block: tag-strip to text (quoted attribute values treated
+  *      opaquely, so `href="a>b"` cannot end a tag early), count
+  *      anchor text (`<a …>…</a>` spans), decode core entities
+  *      one level after the strip,
+  *   4. gate: a block is CONTENT iff its text is long enough
   *      ([[MinBlockChars]]) and its link density — anchor chars per
   *      text char, in exact millis — is at most
   *      [[MaxLinkDensityMilli]]; everything else is boilerplate,
-  *   4. main text = surviving blocks' text, re-joined.
+  *   5. main text = surviving blocks' text, re-joined.
   *
   * Scale shape: every query is ONE scan projection — pure column
   * algebra (split / transform / filter / aggregate HOFs), no UDF, no
@@ -63,8 +68,53 @@ object Html {
   private val PromoMod = 3L
 
   private val BlockSplitRe = "</nav>|</div>|</footer>"
-  private val TagRe = "<[^>]*>"
-  private val AnchorRe = "<a [^>]*>([^<]*)</a>"
+
+  /** A tag, with quoted attribute values treated opaquely — an
+    * attribute containing '>' (href="a>b") must not terminate the tag
+    * early (the naive `<[^>]*>` fails exactly there). Alternation of
+    * unquoted chars / double-quoted runs / single-quoted runs, then
+    * the first unquoted '>'. Same RE2/Java semantics. */
+  private val TagRe = "<(?:[^>\"']|\"[^\"]*\"|'[^']*')*>"
+
+  /** Anchor text, with the same quoted-attribute hardening. One
+    * capturing group (the text); the attr alternation is
+    * non-capturing so group 1 stays the text in both engines. */
+  private val AnchorRe = "<a\\s(?:[^>\"']|\"[^\"]*\"|'[^']*')*>([^<]*)</a>"
+
+  /** Script/style elements are stripped WITH their payloads before any
+    * block segmentation: their content is code, not text, and tags or
+    * '<' inside it ("<script>var x = '<div>'</script>") must never
+    * survive as extractable text or perturb block boundaries.
+    * Non-greedy to the matching close tag, (?is) for case and
+    * newlines. */
+  private val ScriptRe =
+    "(?is)<script\\b(?:[^>\"']|\"[^\"]*\"|'[^']*')*>.*?</script\\s*>"
+  private val StyleRe =
+    "(?is)<style\\b(?:[^>\"']|\"[^\"]*\"|'[^']*')*>.*?</style\\s*>"
+
+  /** HTML comments — commented-out markup is not content. Stripped
+    * after script/style (a commented script is gone either way; a
+    * script containing '-->' in code must not split a comment). */
+  private val CommentRe = "(?s)<!--.*?-->"
+
+  /** Core entity decode table, applied to tag-stripped text in this
+    * exact order — &amp; LAST, so double-encoded entities decode
+    * exactly one level (&amp;lt; → &lt;, not <). */
+  private val EntityMap = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+    "&apos;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+
+  /** The entity chain as a Column transform (entity strings are
+    * regex-literal-safe, so regexp_replace doubles as plain replace). */
+  private def decodeEntities(c: Column): Column =
+    EntityMap.foldLeft(c) { case (acc, (e, v)) => regexp_replace(acc, e, v) }
+
+  /** Pre-segmentation cleanup: drop script/style payloads, then
+    * comments. */
+  private def cleanHtml(c: Column): Column =
+    regexp_replace(
+      regexp_replace(regexp_replace(c, ScriptRe, ""), StyleRe, ""),
+      CommentRe, "")
 
   /** The synthetic page for one document — pure column algebra. */
   private def htmlCol(docId: Column, text: Column): Column =
@@ -76,23 +126,27 @@ object Html {
       lit(Footer), lit(Tail))
 
   /** Per-doc block stats: (txt, chars, anchor_chars, n_links, keep)
-    * per block plus the page — the shared head of every query. */
-  private def blockStats(docs: DataFrame): DataFrame =
+    * per block plus the page — the shared head of every query. Built
+    * with the Column lambda API (not expr strings) so the hardened
+    * regexes need no SQL-literal escaping on the Spark side; still one
+    * codegen'd scan projection, zero shuffles. */
+  private def blockStats(docs: DataFrame): DataFrame = {
+    val anchorTexts = (b: Column) => regexp_extract_all(b, lit(AnchorRe), lit(1))
     docs
       .select(col("doc_id"), htmlCol(col("doc_id"), col("text")).as("html"))
-      .withColumn("blocks", split(col("html"), BlockSplitRe))
-      .withColumn("bs", expr(
-        s"""transform(blocks, b -> named_struct(
-           |  'txt', trim(regexp_replace(b, '$TagRe', '')),
-           |  'ac', aggregate(regexp_extract_all(b, '$AnchorRe', 1), 0L,
-           |          (a, x) -> a + length(x)),
-           |  'nl', cast(size(regexp_extract_all(b, '$AnchorRe', 1)) as bigint)))"""
-          .stripMargin))
-      .withColumn("nonempty", expr("filter(bs, s -> s.txt != '')"))
-      .withColumn("kept", expr(
-        s"""filter(bs, s -> length(s.txt) >= $MinBlockChars
-           |  and s.ac * 1000 <= $MaxLinkDensityMilli * length(s.txt))"""
-          .stripMargin))
+      .withColumn("blocks", split(cleanHtml(col("html")), BlockSplitRe))
+      .withColumn("bs", transform(col("blocks"), b => struct(
+        trim(decodeEntities(regexp_replace(b, TagRe, ""))).as("txt"),
+        aggregate(anchorTexts(b), lit(0L),
+          (a, x) => a + length(decodeEntities(x)).cast("long")).as("ac"),
+        size(anchorTexts(b)).cast("long").as("nl"))))
+      .withColumn("nonempty", filter(col("bs"),
+        s => s.getField("txt") =!= lit("")))
+      .withColumn("kept", filter(col("bs"), s =>
+        length(s.getField("txt")).cast("long") >= lit(MinBlockChars.toLong) &&
+          s.getField("ac") * lit(1000L) <=
+            lit(MaxLinkDensityMilli) * length(s.getField("txt")).cast("long")))
+  }
 
   /** Main-content extraction: segment → strip → gate → re-join. */
   def extract(spark: SparkSession, dir: String): DataFrame =
@@ -162,20 +216,34 @@ object Html {
       s"'${esc(MainOpen)}' || coalesce(text, '') || '${esc(MainClose)}' || " +
       s"'${esc(Footer)}' || '${esc(Tail)}'"
 
-  /** Block stats CTE chain shared by the oracle queries. list_sum of an
-    * empty list is NULL in DuckDB (Spark's aggregate seeds 0) — every
-    * fold is coalesced. */
+  /** The entity chain in DuckDB (plain replace — same literals, same
+    * order, &amp; last). */
+  private def decodeSqlD(inner: String): String =
+    EntityMap.foldLeft(inner) { case (acc, (e, v)) =>
+      s"replace($acc, '${esc(e)}', '${esc(v)}')" }
+
+  /** Block stats CTE chain shared by the oracle queries — replays the
+    * hardened pipeline exactly: script/style payloads, then comments,
+    * stripped before segmentation; quoted-attribute-safe tag strip;
+    * entity decode after the strip. list_sum of an empty list is NULL
+    * in DuckDB (Spark's aggregate seeds 0) — every fold is coalesced. */
   private val blockCte: String =
     s"""h AS (SELECT doc_id, $htmlSql AS html FROM documents),
-       |b AS (SELECT doc_id, html,
-       |    list_transform(regexp_split_to_array(html, '$BlockSplitRe'),
-       |      blk -> struct_pack(
-       |        txt := trim(regexp_replace(blk, '$TagRe', '', 'g')),
-       |        ac := coalesce(list_sum(list_transform(
-       |                regexp_extract_all(blk, '$AnchorRe', 1),
-       |                x -> length(x)::BIGINT)), 0)::BIGINT,
-       |        nl := len(regexp_extract_all(blk, '$AnchorRe', 1))::BIGINT)) AS bs
+       |hc AS (SELECT doc_id, html,
+       |    regexp_replace(regexp_replace(regexp_replace(html,
+       |      '${esc(ScriptRe)}', '', 'g'),
+       |      '${esc(StyleRe)}', '', 'g'),
+       |      '${esc(CommentRe)}', '', 'g') AS clean
        |  FROM h),
+       |b AS (SELECT doc_id, html,
+       |    list_transform(regexp_split_to_array(clean, '$BlockSplitRe'),
+       |      blk -> struct_pack(
+       |        txt := trim(${decodeSqlD(s"regexp_replace(blk, '${esc(TagRe)}', '', 'g')")}),
+       |        ac := coalesce(list_sum(list_transform(
+       |                regexp_extract_all(blk, '${esc(AnchorRe)}', 1),
+       |                x -> length(${decodeSqlD("x")})::BIGINT)), 0)::BIGINT,
+       |        nl := len(regexp_extract_all(blk, '${esc(AnchorRe)}', 1))::BIGINT)) AS bs
+       |  FROM hc),
        |k AS (SELECT doc_id, html,
        |    list_filter(bs, s -> s.txt <> '') AS nonempty,
        |    list_filter(bs, s -> length(s.txt) >= $MinBlockChars

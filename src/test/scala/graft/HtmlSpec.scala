@@ -94,6 +94,55 @@ class HtmlSpec extends SparkSpec {
     }
   }
 
+  test("adversarial markup: scripts, styles, comments, quoted '>', entities") {
+    import spark.implicits._
+    val scriptDoc = "The quick brown fox jumps over the lazy dog " +
+      "<script>var x = '<div>sneaky payload</div>'; if (a > b) alert('hi');</script>" +
+      " and keeps on running happily to the end."
+    val styleDoc = "Colorful content sentence that is long enough here " +
+      "<style>p { color: red; } /* <b>bold</b> */</style> with trailing words."
+    val commentDoc = "Real article text stays intact right here " +
+      "<!-- <p>old deleted draft paragraph</p> --> with a closing thought included."
+    val attrDoc = "Navigate using <a href=\"/x>y\" class='q>r'>click here</a> " +
+      "inside a long enough sentence that passes the block length gate fine."
+    val entityDoc = "Entity test: 5 &lt; 7 &amp;&amp; 9 &gt; 3, a &quot;quoted&quot; " +
+      "word, it&#39;s fine, and &amp;lt; stays one level encoded in this text."
+    val docs = Seq(
+      (1L, scriptDoc), (2L, styleDoc), (3L, commentDoc),
+      (4L, attrDoc), (5L, entityDoc)).toDF("doc_id", "text")
+    val got = Html.extractOn(docs).collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("main_text")).toMap
+
+    // script/style payloads are code, not content — and the tags or
+    // block-closers inside them must not survive or resegment the page
+    assert(!got(1L).contains("sneaky") && !got(1L).contains("alert"),
+      s"script payload leaked: ${got(1L)}")
+    assert(got(1L).contains("lazy dog") && got(1L).contains("keeps on running"),
+      s"content around script lost: ${got(1L)}")
+    assert(!got(2L).contains("color: red") && !got(2L).contains("bold"),
+      s"style payload leaked: ${got(2L)}")
+    assert(got(2L).contains("trailing words"), s"content around style lost: ${got(2L)}")
+    // commented-out markup is not content
+    assert(!got(3L).contains("old deleted draft"), s"comment leaked: ${got(3L)}")
+    assert(got(3L).contains("closing thought"), s"content around comment lost: ${got(3L)}")
+    // an attribute containing '>' must not terminate the tag early
+    assert(got(4L).contains("click here") && !got(4L).contains("href") &&
+      !got(4L).contains("y\"") && !got(4L).contains("q>r"),
+      s"quoted-attr tag mis-stripped: ${got(4L)}")
+    // core entities decode exactly one level, after the tag strip
+    assert(got(5L).contains("5 < 7") && got(5L).contains("&&") &&
+      got(5L).contains("9 > 3") && got(5L).contains("\"quoted\"") &&
+      got(5L).contains("it's") && got(5L).contains("&lt; stays"),
+      s"entities not decoded (or double-decoded): ${got(5L)}")
+
+    // the r8 extractor's naive '<[^>]*>' strip demonstrably fails two
+    // of these: script payloads survive as text, and a quoted '>' ends
+    // the tag early — pinned here so the hardening can't regress
+    val naiveStrip = (s: String) => s.replaceAll("<[^>]*>", "")
+    assert(naiveStrip(scriptDoc).contains("sneaky payload"))
+    assert(naiveStrip(attrDoc).contains("y\" class='q>r'>click here"))
+  }
+
   test("per-doc html queries plan zero shuffles (pure scan projections)") {
     Seq(Html.extract(spark, sf0001), Html.boilerplate(spark, sf0001)).foreach { df =>
       // string form prints through the AQE wrapper, so a plain
