@@ -18,8 +18,10 @@ import graft.Tables
   * Production WARCs are gzip members and therefore NOT splittable —
   * the unit of parallelism is the FILE (CommonCrawl ships ~64k files
   * per crawl precisely so clusters can scale by file count). The
-  * reader honors that shape: one task per file (`wholetext`), records
-  * parsed sequentially within it by Content-Length framing. The
+  * reader honors that shape: one task per file, records STREAMED off
+  * the file's channel by Content-Length framing with O(one record)
+  * buffering — a ~1 GB archive member never materializes in task
+  * memory. The
   * writer shards deterministically (hash-placed, id-sorted within
   * shard) so re-runs and other engines produce byte-identical
   * archives — same discipline as SourceHealth.shardOrder.
@@ -53,25 +55,68 @@ object WarcIO {
         col("text"), lit("\r")).as("value"))
       .write.mode("overwrite").text(path)
 
-  /** Sequential record walk over one file's contents — the parse
-    * discipline a real WARC reader uses: find the next record marker
-    * from the CURRENT cursor, parse headers to the blank line, consume
-    * exactly Content-Length payload chars, repeat. Because the cursor
-    * only ever searches for markers BETWEEN records (never inside a
-    * declared payload), a payload containing the marker bytes — or any
-    * other framing text — parses losslessly. A naive
-    * split-on-marker parse fails exactly there (WarcSpec pins it). */
-  private[graft] def parseRecords(content: String): Iterator[(Long, Long, String)] =
+  private val HeaderEnd = "\r\n\r\n"
+
+  /** KMP failure table — the marker scan must not buffer the stream,
+    * and a naive restart-on-mismatch scanner mis-handles patterns with
+    * self-overlap (the \r\n\r\n header terminator has one). */
+  private def kmpTable(p: String): Array[Int] = {
+    val f = new Array[Int](p.length)
+    var k = 0
+    for (i <- 1 until p.length) {
+      while (k > 0 && p.charAt(i) != p.charAt(k)) k = f(k - 1)
+      if (p.charAt(i) == p.charAt(k)) k += 1
+      f(i) = k
+    }
+    f
+  }
+
+  /** Consume `r` until `pat` has been fully read; returns false at
+    * EOF-without-match. When `sink` is non-null it receives the chars
+    * preceding the match (the matched pattern itself is removed). */
+  private def scanTo(r: java.io.Reader, pat: String, tbl: Array[Int],
+      sink: java.lang.StringBuilder): Boolean = {
+    var k = 0
+    var c = r.read()
+    while (c >= 0) {
+      val ch = c.toChar
+      if (sink != null) sink.append(ch)
+      while (k > 0 && ch != pat.charAt(k)) k = tbl(k - 1)
+      if (ch == pat.charAt(k)) {
+        k += 1
+        if (k == pat.length) {
+          if (sink != null) sink.setLength(sink.length - pat.length)
+          return true
+        }
+      }
+      c = r.read()
+    }
+    false
+  }
+
+  /** Sequential record walk over one file's STREAM — the parse
+    * discipline a real WARC reader uses: scan forward to the next
+    * record marker from the current cursor, read headers to the blank
+    * line, consume exactly Content-Length payload chars, repeat.
+    * Because the cursor only ever searches for markers BETWEEN records
+    * (never inside a declared payload), a payload containing the
+    * marker bytes — or any other framing text — parses losslessly; a
+    * naive split-on-marker parse fails exactly there (WarcSpec pins
+    * it). Buffering is O(one record): the scanner holds only the KMP
+    * state, the current header block, and the current payload — never
+    * the file (WarcSpec pins that too; CommonCrawl members are ~1 GB,
+    * a whole-file String would double that in char[]). */
+  private[graft] def parseRecords(reader: java.io.Reader): Iterator[(Long, Long, String)] =
     new Iterator[(Long, Long, String)] {
-      private var pos = 0
+      private val markerTbl = kmpTable(RecordSep)
+      private val hdrTbl = kmpTable(HeaderEnd)
       private var nextRec: (Long, Long, String) = null
       private def advance(): Unit = {
         nextRec = null
-        val start = content.indexOf(RecordSep, pos)
-        if (start < 0) { pos = content.length; return }
-        val hdrEnd = content.indexOf("\r\n\r\n", start)
-        if (hdrEnd < 0) { pos = content.length; return }
-        val headers = content.substring(start + RecordSep.length, hdrEnd)
+        if (!scanTo(reader, RecordSep, markerTbl, null)) return
+        val hdrBuf = new java.lang.StringBuilder
+        if (!scanTo(reader, HeaderEnd, hdrTbl, hdrBuf)) return
+        val headers = hdrBuf.toString
         def hdr(name: String): Option[String] =
           headers.split("\r\n").find(_.startsWith(name + ": "))
             .map(_.substring(name.length + 2))
@@ -79,11 +124,13 @@ object WarcIO {
         val id = hdr("WARC-Record-ID")
           .flatMap("<urn:graft:doc:([0-9]+)>".r.findFirstMatchIn(_))
           .map(_.group(1).toLong).getOrElse(-1L)
-        val payloadStart = hdrEnd + 4
-        val payloadEnd = math.min(content.length,
-          payloadStart + math.max(0L, len).toInt)
-        nextRec = (id, len, content.substring(payloadStart, payloadEnd))
-        pos = payloadEnd
+        val want = math.max(0L, len).toInt
+        val buf = new Array[Char](want)
+        var got = 0
+        var n = 0
+        while (got < want &&
+          { n = reader.read(buf, got, want - got); n >= 0 }) got += n
+        nextRec = (id, len, new String(buf, 0, got))
       }
       advance()
       override def hasNext: Boolean = nextRec != null
@@ -92,17 +139,36 @@ object WarcIO {
       }
     }
 
+  /** String convenience for specs and small fragments — same walk,
+    * through a StringReader. */
+  private[graft] def parseRecords(content: String): Iterator[(Long, Long, String)] =
+    parseRecords(new java.io.StringReader(content))
+
   /** Read a WARC shard directory back to (doc_id, declared_length,
-    * payload): one task per file (`wholetext` — production WARCs are
-    * non-splittable gzip members), records recovered by the sequential
-    * Content-Length walk above. The payload is always cut to its
+    * payload): one task per file (production WARCs are non-splittable
+    * gzip members), records STREAMED off each file's channel by the
+    * sequential Content-Length walk above — a shard never materializes
+    * as one in-memory String, so task memory is bounded by the largest
+    * record, not the largest file. The payload is always cut to its
     * DECLARED length — a separator-trim fallback would mask framing
     * bugs; the declared slice surfaces them as length mismatches. */
   def read(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    spark.read.option("wholetext", "true").text(path)
-      .as[String]
-      .flatMap(parseRecords(_))
+    spark.sparkContext.binaryFiles(path)
+      .flatMap { case (_, pds) =>
+        val reader = new java.io.BufferedReader(
+          new java.io.InputStreamReader(pds.open(),
+            java.nio.charset.StandardCharsets.UTF_8), 64 * 1024)
+        val it = parseRecords(reader)
+        new Iterator[(Long, Long, String)] {
+          override def hasNext: Boolean = {
+            val h = it.hasNext
+            if (!h) reader.close()
+            h
+          }
+          override def next(): (Long, Long, String) = it.next()
+        }
+      }
       .toDF("doc_id", "declared_length", "payload")
   }
 

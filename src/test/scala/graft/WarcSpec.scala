@@ -56,6 +56,44 @@ class WarcSpec extends SparkSpec {
     assert(back == evil.toMap, s"adversarial roundtrip diverged: $back")
   }
 
+  test("parse buffers O(record), never the file: first record out reads ~one record in") {
+    // a 10 MB synthetic shard streamed through a consumption-counting
+    // reader: pulling the FIRST record must consume roughly one
+    // record's worth of input (marker + headers + payload + read-ahead
+    // buffer), not the whole stream — the property that lets a ~1 GB
+    // CommonCrawl member parse in bounded task memory
+    val payload = "x" * 1000
+    val record = s"WARC/1.0\r\nWARC-Type: response\r\n" +
+      s"WARC-Record-ID: <urn:graft:doc:1>\r\nContent-Length: ${payload.length}\r\n" +
+      s"\r\n$payload\r"
+    val nRecords = 10000 // ~10 MB total
+    class SynthShardReader extends java.io.Reader {
+      private var emitted = 0L
+      private val total = nRecords.toLong * record.length
+      override def read(cbuf: Array[Char], off: Int, len: Int): Int = {
+        if (emitted >= total) return -1
+        var i = 0
+        while (i < len && emitted < total) {
+          cbuf(off + i) = record.charAt((emitted % record.length).toInt)
+          emitted += 1; i += 1
+        }
+        i
+      }
+      override def close(): Unit = ()
+      def consumed: Long = emitted
+    }
+    val counting = new SynthShardReader
+    val it = WarcIO.parseRecords(
+      new java.io.BufferedReader(counting, 64 * 1024))
+    val first = it.next()
+    assert(first._3 == payload, "streamed parse corrupted the payload")
+    // one record (~1 KB) + the 64 KB read-ahead buffer, with slack —
+    // far below the 10 MB stream
+    assert(counting.consumed < 256 * 1024,
+      s"parser read ${counting.consumed} chars for the first record — buffering the file?")
+    assert(it.count(_ => true) + 1 == nRecords, "streamed parse lost records")
+  }
+
   test("shards are byte-deterministic across rewrites") {
     def digests(path: String): Set[String] = {
       rmrf(path)
