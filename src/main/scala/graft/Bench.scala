@@ -18,7 +18,9 @@ import org.apache.spark.sql.SparkSession
   * 7× "regression" on code that had not changed — the builder's run
   * of the identical commit measured 0.6 s where the driver saw 5.3 s);
   * the median of three is the cheapest estimator that survives one
-  * contended sample, and max−min makes the noise itself visible.
+  * contended sample, and max−min makes the noise itself visible. The
+  * runs are interleaved round-robin across queries so a multi-second
+  * host spike cannot own all samples of any one query.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -56,20 +58,30 @@ object Bench {
     // SPARK_GRAFT_BENCH_ONLY=streaming skips the batch loop — a local
     // iteration knob for streaming-engine work; the driver never sets it
     val skipQueries = sys.env.get("SPARK_GRAFT_BENCH_ONLY").contains("streaming")
-    val results: Seq[(String, Seq[Double])] =
-      (if (skipQueries) Nil else SparkEntry.queries.toSeq.sortBy(_._1)).map { case (name, fn) =>
-        name -> (1 to runs).map { _ =>
-          val t0 = System.nanoTime()
-          try {
-            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-            (System.nanoTime() - t0) / 1e9
-          } catch {
-            case scala.util.control.NonFatal(e) =>
-              System.err.println(s"[bench] $name failed: ${e.getMessage}")
-              -1.0
-          }
-        }
+    val qlist = if (skipQueries) Nil else SparkEntry.queries.toSeq.sortBy(_._1)
+    // The N runs of each query are INTERLEAVED round-robin across the
+    // whole query set, not executed back-to-back: a transient host
+    // spike lasting seconds used to land on all three consecutive
+    // samples of one query and own its median (round-8 driver medians
+    // were 8× off quiet-host reality for bm25/blocklist/kv-join).
+    // Spread minutes apart, one spike can contaminate at most one
+    // sample per query — the median shrugs it off.
+    val times = scala.collection.mutable.LinkedHashMap(
+      qlist.map { case (n, _) => n -> Seq.newBuilder[Double] }: _*)
+    for (_ <- 1 to runs; (name, fn) <- qlist) {
+      val t0 = System.nanoTime()
+      val t = try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          -1.0
       }
+      times(name) += t
+    }
+    val results: Seq[(String, Seq[Double])] =
+      qlist.map { case (name, _) => name -> times(name).result() }
     // median over the successful runs only; -1 (all failed) stays -1.
     // Odd run counts take the true middle; even ones the upper-middle —
     // both monotone, both immune to a single slow outlier at n >= 3.
