@@ -1240,6 +1240,28 @@ object Dedup {
       .write.mode("append").format("parquet").insertInto(setsT)
   }
 
+  /** Maintenance pass for a merged index generation: K ingest merges
+    * leave K+1 files per bucket (insertInto appends new files through
+    * the bucket spec), and probe-side task count and open-file overhead
+    * grow with every merge. Compaction rewrites each table back to ONE
+    * file per bucket without changing a row: stage the current rows to
+    * a scratch dir (the table's own files are about to be overwritten),
+    * then rewrite through the exact create path — repartition on the
+    * bucket keys + bucketBy + sortBy, so the sort metadata survives
+    * too. Runs under the generation's build lock; the merge→compact
+    * drill in PersistedIndexSpec pins file-count, parity, and the
+    * bucket-local probe plan. */
+  private[graft] def compactBandIndex(spark: SparkSession, dir: String,
+      tag: String = "", corpusFilter: Column = lit(true)): Unit = {
+    val sfx = IndexStore.suffix(dir, tag, corpusFilter)
+    idxLock(sfx).synchronized {
+      IndexStore.rewriteBucketed(spark, s"graft_band_idx_$sfx",
+        s"$indexRoot/band_$sfx", IndexBuckets, Seq("band", "m1", "m2"))
+      IndexStore.rewriteBucketed(spark, s"graft_sets_idx_$sfx",
+        s"$indexRoot/sets_$sfx", IndexBuckets, Seq("doc_id"))
+    }
+  }
+
   /** [[incrementalDedup]] driven from the on-disk bucketed index
     * instead of recomputed corpus frames — the drill for the 100 TB
     * lifecycle: only the BATCH is shingled/minhashed from source; the

@@ -50,4 +50,30 @@ private[graft] object IndexStore {
   /** Build lock for one index suffix — hold for the whole
     * check-then-write. */
   def lock(key: String): AnyRef = locks.computeIfAbsent(key, _ => new AnyRef)
+
+  /** Rewrite a bucketed index table back to one file per bucket
+    * without changing a row — the compaction step after ingest merges
+    * (each `insertInto` appends a new file per bucket). Stage the
+    * current rows to a scratch dir first (the table's own files are
+    * about to be overwritten), then rewrite through the exact create
+    * path: repartition on the bucket keys (same murmur hash as
+    * bucketBy, so each task holds exactly one bucket) + bucketBy +
+    * sortBy, preserving the sort metadata bucketed reads rely on.
+    * Callers hold the generation's build lock. */
+  def rewriteBucketed(spark: org.apache.spark.sql.SparkSession, table: String,
+      path: String, buckets: Int, keys: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.col
+    val tmp = s"$root/compact_stage_$table"
+    spark.table(table).write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp)
+      .repartition(buckets, keys.map(col): _*)
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .option("path", path)
+      .saveAsTable(table)
+    val p = new org.apache.hadoop.fs.Path(tmp)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    ()
+  }
 }

@@ -688,6 +688,18 @@ object Similarity {
       .write.mode("append").format("parquet").insertInto(codesT)
   }
 
+  /** Maintenance twin of [[Dedup.compactBandIndex]] for the ANN codes
+    * table: rewrite the merged generation back to one file per cell
+    * bucket (the books table is a single tiny file and never merges). */
+  private[graft] def compactPqIndex(spark: SparkSession, dir: String,
+      tag: String = "", corpusFilter: Column = lit(true)): Unit = {
+    val sfx = IndexStore.suffix(dir, tag, corpusFilter)
+    IndexStore.lock("pq_" + sfx).synchronized {
+      IndexStore.rewriteBucketed(spark, s"graft_pq_codes_$sfx",
+        s"${IndexStore.root}/pq_codes_$sfx", AnnIndexBuckets, Seq("cell"))
+    }
+  }
+
   /** Range-search threshold: calibrated so the demo corpus returns a
     * real (non-empty, non-everything) neighbor set per query. */
   val RangeTau = 0.25

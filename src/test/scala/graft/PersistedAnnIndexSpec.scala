@@ -68,6 +68,19 @@ class PersistedAnnIndexSpec extends SparkSpec {
   private def rows(df: DataFrame): Set[String] =
     df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSet
 
+  /** Files per bucket id of a bucketed table's location — bucketed
+    * file names carry the bucket as the `_NNNNN` suffix before .c000. */
+  private def bucketFileCounts(table: String): Map[String, Int] = {
+    val loc = java.nio.file.Paths.get(new java.net.URI(
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)).location.toString))
+    val re = "_(\\d{5})\\.".r
+    java.nio.file.Files.list(loc).toArray.map(_.toString.split('/').last)
+      .filter(f => f.endsWith(".parquet") && !f.startsWith(".") && !f.startsWith("_"))
+      .flatMap(f => re.findFirstMatchIn(f).map(_.group(1)))
+      .groupBy(identity).map { case (k, v) => k -> v.length }
+  }
+
   test("persisted IVF-PQ probe: verdict identical to the recompute path") {
     val a = rows(Similarity.topKIvfPq(spark, sf0001))
     val b = rows(Similarity.topKIvfPqPersisted(spark, sf0001))
@@ -106,8 +119,21 @@ class PersistedAnnIndexSpec extends SparkSpec {
     val batch = Tables.embeddings(spark, sf0001)
       .filter(pmod(col("vec_id"), lit(4L)) === 0)
       .select(col("vec_id"), col("embedding"))
-    Similarity.mergeBatchIntoPqIndex(spark, sf0001, batch,
+    // two ingest merges (disjoint halves), then compact back to one
+    // file per cell bucket — every assertion below runs on the
+    // compacted artifact, so compaction provably changed no code row
+    Similarity.mergeBatchIntoPqIndex(spark, sf0001,
+      batch.filter(pmod(col("vec_id"), lit(8L)) === 0),
       tag = "mergedrill", corpusFilter = drillFilter)
+    Similarity.mergeBatchIntoPqIndex(spark, sf0001,
+      batch.filter(pmod(col("vec_id"), lit(8L)) === 4),
+      tag = "mergedrill", corpusFilter = drillFilter)
+    assert(bucketFileCounts(codesT).values.max >= 2,
+      "expected multi-file buckets after two merges (merge appends)")
+    Similarity.compactPqIndex(spark, sf0001,
+      tag = "mergedrill", corpusFilter = drillFilter)
+    assert(bucketFileCounts(codesT).values.max == 1,
+      s"codes index not compacted: ${bucketFileCounts(codesT)}")
 
     // reference: EVERY nonzero vector encoded with the generation's
     // standing (partial-corpus-trained) codebooks — the production

@@ -108,6 +108,19 @@ class PersistedIndexSpec extends SparkSpec {
     }
   }
 
+  /** Files per bucket id of a bucketed table's location — bucketed
+    * file names carry the bucket as the `_NNNNN` suffix before .c000. */
+  private def bucketFileCounts(table: String): Map[String, Int] = {
+    val loc = java.nio.file.Paths.get(new java.net.URI(
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)).location.toString))
+    val re = "_(\\d{5})\\.".r
+    java.nio.file.Files.list(loc).toArray.map(_.toString.split('/').last)
+      .filter(f => f.endsWith(".parquet") && !f.startsWith(".") && !f.startsWith("_"))
+      .flatMap(f => re.findFirstMatchIn(f).map(_.group(1)))
+      .groupBy(identity).map { case (k, v) => k -> v.length }
+  }
+
   test("between generations: merged index equals a full rebuild, stays bucket-local") {
     import org.apache.spark.sql.functions.{col, lit, pmod}
     // isolated tag so the drill cannot poison the shared index the
@@ -117,8 +130,25 @@ class PersistedIndexSpec extends SparkSpec {
     val batch = Tables.documents(spark, sf0001)
       .filter(pmod(col("doc_id"), lit(Dedup.IncrementalBatchMod)) === 0)
       .select(col("doc_id"), col("text"))
-    Dedup.mergeBatchIntoBandIndex(spark, sf0001, batch, tag = "mergedrill",
+    // TWO ingest merges (disjoint halves of the held-out split) — each
+    // appends a file per touched bucket...
+    Dedup.mergeBatchIntoBandIndex(spark, sf0001,
+      batch.filter(pmod(col("doc_id"), lit(8L)) === 0),
+      tag = "mergedrill", corpusFilter = Dedup.drillCorpusFilter)
+    Dedup.mergeBatchIntoBandIndex(spark, sf0001,
+      batch.filter(pmod(col("doc_id"), lit(8L)) === 4),
+      tag = "mergedrill", corpusFilter = Dedup.drillCorpusFilter)
+    assert(bucketFileCounts(bandsT).values.max >= 2,
+      "expected multi-file buckets after two merges (merge appends)")
+    // ...and compaction rewrites back to ONE file per bucket; every
+    // assertion below (equality, re-probe, plan shape) runs on the
+    // compacted artifact, so compaction provably changed no verdict
+    Dedup.compactBandIndex(spark, sf0001, tag = "mergedrill",
       corpusFilter = Dedup.drillCorpusFilter)
+    assert(bucketFileCounts(bandsT).values.max == 1,
+      s"band index not compacted: ${bucketFileCounts(bandsT)}")
+    assert(bucketFileCounts(setsT).values.max == 1,
+      s"sets index not compacted: ${bucketFileCounts(setsT)}")
 
     // reference: the index a full rebuild over ALL documents would hold
     val allSh = Dedup.signaturesOnSh(
