@@ -156,10 +156,10 @@ object Bench {
     * /root/reference/old/gen.py:13-26) through the keyed stateful
     * engine in one replay. The reference's generator targets ~2,000
     * msg/s; this reports how many the engine absorbs per second. */
-  private val StreamN = 200000
-  private val WarmupN = 30000
+  private[graft] val StreamN = 200000
+  private[graft] val WarmupN = 30000
 
-  private def genTrades(n: Int): Seq[graft.model.Trade] = {
+  private[graft] def genTrades(n: Int): Seq[graft.model.Trade] = {
     import graft.model.Trade
     val rnd = new scala.util.Random(42)
     val base = 1723459200000L
@@ -185,7 +185,7 @@ object Bench {
     * Run once with WarmupN (discarded) before the measured replay: the
     * state-store and codegen paths JIT during the first replay, which
     * otherwise swings the recorded rate ±40% run to run. */
-  private def replayRate(
+  private[graft] def replayRate(
       spark: SparkSession,
       n: Int,
       engine: org.apache.spark.sql.DataFrame => org.apache.spark.sql.Dataset[graft.model.RunningBar],
@@ -213,7 +213,7 @@ object Bench {
     * 45-55k; a round-4 local max-of-2 still swung 35k vs 49k on the
     * RocksDB engine), and the max across three is the cheapest stable
     * estimator of what the engine actually absorbs. */
-  private def bestOf3(measure: => Long): Long =
+  private[graft] def bestOf3(measure: => Long): Long =
     math.max(measure, math.max(measure, measure))
 
   private def streamingRate(spark: SparkSession): Long = {
