@@ -700,6 +700,75 @@ object Similarity {
     }
   }
 
+  // ----------------------------------------------------------- SemDeDup
+
+  /** Intra-cell duplicate threshold, exact milli-cosine (calibrated to
+    * the synthetic corpus: sparse-but-nonempty dup structure). */
+  val SemTauMilli = 350L
+
+  /** SemDeDup (Abbas et al. 2023): k-means the corpus embeddings, find
+    * duplicate pairs only WITHIN each cluster cell, and keep the
+    * first (lowest-id) member of every duplicate relation — the
+    * published semantic-dedup mechanism, distinct from the sign-LSH
+    * pair graph + connected components in `Dedup.embeddingClusters`
+    * (SemDeDup's clustering is learned, its pruning is local to a
+    * cell, and it never builds a global component map).
+    *
+    * The clustering IS the scale story: all-pairs cosine is O(N²);
+    * within C balanced cells it is N²/C, and C is the paper's
+    * cost/recall knob (50k clusters over LAION). Here the operator
+    * reuses the SAME learned coarse quantizer the ANN tier trains
+    * (memoized per generation — one Lloyd's run serves IVF search,
+    * IVF-PQ, and semantic dedup, exactly how a production embedding
+    * platform amortizes its quantizer). Pairs shuffle once on the
+    * cell key; cosines are milli-rounded before the threshold so the
+    * verdict is exact integer arithmetic cross-engine.
+    *
+    * One row per nonzero-norm vector: its cell, dup degree, best
+    * intra-cell similarity, and the keep verdict (no duplicate with a
+    * smaller vec_id — the canonical-first rule every dedup family here
+    * shares). */
+  def semDeDup(spark: SparkSession, dir: String): DataFrame =
+    semMemo(spark, dir) {
+      import graft.functions.VectorFunctions.cosineSim
+      val assigned = coarseAssigned(spark, dir)
+      val pairs = assigned.as("a").join(assigned.as("b"),
+          col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vi"), col("b.vec_id").as("vj"),
+          round(cosineSim(col("a.embedding"), col("b.embedding"))
+            .cast("double") * 1000, 0).cast("long").as("sim_milli"))
+        .filter(col("sim_milli") >= SemTauMilli)
+      val touch = pairs
+        .select(col("vi").as("vec_id"), col("vj").as("other"), col("sim_milli"))
+        .unionByName(pairs
+          .select(col("vj").as("vec_id"), col("vi").as("other"), col("sim_milli")))
+      val agg = touch.groupBy("vec_id").agg(
+        count(lit(1)).as("n_dups"),
+        max(col("sim_milli")).as("best_sim_milli"),
+        min(col("other")).as("min_other"))
+      assigned.select(col("vec_id"), col("cell"))
+        .join(agg, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell").cast("int").as("cell"),
+          coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+          col("best_sim_milli"),
+          (col("min_other").isNull || col("min_other") > col("vec_id")).as("keep"))
+        .orderBy("vec_id")
+        .localCheckpoint()
+    }
+  private val semMemo = new DirMemo
+
+  /** Per-cell SemDeDup rollup — the report a curation run logs per
+    * generation: cluster size, how many vectors the keeper rule
+    * dropped, total dup degree, tightest pair. Reads the memoized
+    * verdict, so the pair join is never re-paid. */
+  def semDeDupCells(spark: SparkSession, dir: String): DataFrame =
+    semDeDup(spark, dir).groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"),
+        sum(col("n_dups")).as("dup_degree_sum"),
+        max(col("best_sim_milli")).as("max_sim_milli"))
+      .orderBy(col("cell"))
+
   /** Range-search threshold: calibrated so the demo corpus returns a
     * real (non-empty, non-everything) neighbor set per query. */
   val RangeTau = 0.25
@@ -1067,6 +1136,8 @@ object Similarity {
     "sim_topk_ivfpq_rerank" -> ((s, d) => topKIvfPqRerank(s, d)),
     "sim_topk_ivfpq_persisted" -> ((s, d) => topKIvfPqPersisted(s, d)),
     "sim_topk_ivfpq_rerank_persisted" -> ((s, d) => topKIvfPqRerankPersisted(s, d)),
+    "dedup_semdedup" -> ((s, d) => semDeDup(s, d)),
+    "dedup_semdedup_cells" -> ((s, d) => semDeDupCells(s, d)),
     "sim_range_search" -> ((s, d) => rangeSearch(s, d)),
     "sim_topk_bruteforce" -> ((s, d) => topKBruteForce(s, d)),
     "sim_topk_ivf" -> ((s, d) => topKIvf(s, d)),
@@ -1171,6 +1242,31 @@ object Similarity {
     * sim_topk_pq's) over the same kmnz base, then ADC scoring of only
     * the query's-cell candidates. CTE names are disjoint by
     * construction (c0/a1/c1/a2/c2/af vs kN/kcNN/kaNN/codN). */
+  /** SemDeDup oracle CTEs: the coarse k-means chain, intra-cell pairs
+    * milli-rounded then thresholded, per-vector dup aggregate. */
+  private lazy val semDedupCtes: String =
+    s"""kmnz AS (SELECT vec_id, embedding FROM embeddings
+       |  WHERE list_reduce(list_prepend(0.0::DOUBLE,
+       |      list_transform(range(1, len(embedding) + 1),
+       |        k -> embedding[k]::DOUBLE * embedding[k]::DOUBLE)), (a, v) -> a + v) > 0),
+       |c0 AS (SELECT vec_id::INT AS cell,
+       |    list_transform(embedding, x -> x::DOUBLE) AS cv
+       |  FROM kmnz WHERE vec_id < $KMeansCells),
+       |a1 AS (${kmAssignCte("c0")}),
+       |c1 AS (${kmCentCte("a1")}),
+       |a2 AS (${kmAssignCte("c1")}),
+       |c2 AS (${kmCentCte("a2")}),
+       |af AS (${kmAssignCte("c2")}),
+       |pr AS (SELECT a.vec_id AS vi, b.vec_id AS vj,
+       |    round(${cosSql("a.embedding", "b.embedding")} * 1000, 0)::BIGINT AS sim_milli
+       |  FROM af a JOIN af b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+       |dup AS (SELECT * FROM pr WHERE sim_milli >= $SemTauMilli),
+       |touch AS (SELECT vi AS vec_id, vj AS other, sim_milli FROM dup
+       |  UNION ALL SELECT vj, vi, sim_milli FROM dup),
+       |ag AS (SELECT vec_id, count(*)::BIGINT AS n_dups,
+       |    max(sim_milli) AS best_sim_milli, min(other) AS min_other
+       |  FROM touch GROUP BY 1)""".stripMargin
+
   /** CTE chain shared by the ivfpq oracles: everything through the
     * per-candidate ADC scores of the query's-cell survivors. */
   private val ivfPqScoredCtes: String = {
@@ -1446,6 +1542,29 @@ object Similarity {
     // computes the identical verdict
     "sim_topk_ivfpq_persisted" -> ivfPqOracle,
     "sim_topk_ivfpq_rerank_persisted" -> ivfPqRerankOracle,
+    // SemDeDup: the coarse k-means chain (exactly sim_topk_ivf_kmeans's)
+    // then intra-cell pairs at the milli-rounded threshold and the
+    // canonical-first keeper verdict — all-integer after the rounding
+    "dedup_semdedup" ->
+      s"""WITH $semDedupCtes
+         |SELECT af.vec_id, af.cell::INT AS cell,
+         |  coalesce(ag.n_dups, 0)::BIGINT AS n_dups,
+         |  ag.best_sim_milli,
+         |  (ag.min_other IS NULL OR ag.min_other > af.vec_id) AS keep
+         |FROM af LEFT JOIN ag USING (vec_id)
+         |ORDER BY af.vec_id""".stripMargin,
+    "dedup_semdedup_cells" ->
+      s"""WITH $semDedupCtes,
+         |v AS (SELECT af.vec_id, af.cell::INT AS cell,
+         |    coalesce(ag.n_dups, 0)::BIGINT AS n_dups,
+         |    ag.best_sim_milli,
+         |    (ag.min_other IS NULL OR ag.min_other > af.vec_id) AS keep
+         |  FROM af LEFT JOIN ag USING (vec_id))
+         |SELECT cell, count(*)::BIGINT AS n_vecs,
+         |  sum(CASE WHEN keep THEN 0 ELSE 1 END)::BIGINT AS n_dropped,
+         |  sum(n_dups)::BIGINT AS dup_degree_sum,
+         |  max(best_sim_milli) AS max_sim_milli
+         |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
     "sim_topk_ivfpq_rerank" -> ivfPqRerankOracle,
     "emb_pca_project" -> pcaOracle,
     "sim_range_search" ->

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+/** SemDeDup invariants beyond the oracle parity the driver checks:
+  * verdict totality, internal consistency of the dup statistics, the
+  * canonical-first keeper rule replayed against an independently
+  * collected pair recomputation, and the cell-locality contract (a
+  * duplicate relation never crosses a k-means cell by construction —
+  * that bound is the operator's O(N²/C) scale story). */
+class SemDeDupSpec extends SparkSpec {
+
+  test("verdict is total, internally consistent, and keeps canonical-first") {
+    import graft.functions.VectorFunctions.{cosineSim, dotProduct}
+    val v = Similarity.semDeDup(spark, sf001).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long]),
+          r.getBoolean(4)))).toMap
+    val nNonzero = Tables.embeddings(spark, sf001)
+      .filter(dotProduct(col("embedding"), col("embedding")) > 0).count()
+    assert(v.size.toLong == nNonzero, "one verdict row per nonzero vector")
+
+    v.foreach { case (id, (_, nDups, best, keep)) =>
+      if (nDups == 0L) {
+        assert(keep, s"vec $id: zero dups must keep")
+        assert(best.isEmpty, s"vec $id: best_sim without dups")
+      } else assert(best.exists(_ >= Similarity.SemTauMilli),
+        s"vec $id: dup degree ${nDups} but best=$best below tau")
+    }
+
+    // independent replay of the pair set THROUGH THE ENGINE's own
+    // milli-rounding (collected, then compared pair by pair): the
+    // verdict's keep bit must equal "no dup partner with a smaller id"
+    val cells = v.map { case (id, (cell, _, _, _)) => id -> cell }
+    val emb = Tables.embeddings(spark, sf001)
+      .filter(dotProduct(col("embedding"), col("embedding")) > 0)
+    val pairSims = emb.as("a").join(emb.as("b"),
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id"), col("b.vec_id"),
+        round(cosineSim(col("a.embedding"), col("b.embedding"))
+          .cast("double") * 1000, 0).cast("long").as("sim"))
+      .filter(col("sim") >= Similarity.SemTauMilli)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // restrict the global pair set to same-cell pairs — SemDeDup's dup
+    // relation by definition
+    val dupPairs = pairSims.filter { case (i, j) => cells(i) == cells(j) }
+    val hasSmallerDup = dupPairs.map(_._2).toSet
+    v.foreach { case (id, (_, _, _, keep)) =>
+      assert(keep == !hasSmallerDup(id),
+        s"vec $id: keep=$keep but smaller-id dup present=${hasSmallerDup(id)}")
+    }
+    assert(hasSmallerDup.nonEmpty, "fixture must exercise the drop path")
+    // and cross-cell near-pairs must exist at this tau — otherwise the
+    // cell-locality restriction is vacuous and the test proves nothing
+    assert(dupPairs.length < pairSims.length,
+      "expected some near-pairs to straddle cells (locality must bite)")
+  }
+
+  test("cell rollup sums to the verdict frame") {
+    val verdict = Similarity.semDeDup(spark, sf001)
+    val fromVerdict = verdict
+      .agg(count(lit(1)), sum(when(col("keep"), 0L).otherwise(1L)))
+      .collect().head
+    val rollup = Similarity.semDeDupCells(spark, sf001)
+      .agg(sum(col("n_vecs")), sum(col("n_dropped"))).collect().head
+    assert(fromVerdict.getLong(0) == rollup.getLong(0))
+    assert(fromVerdict.getLong(1) == rollup.getLong(1))
+  }
+}
