@@ -700,6 +700,98 @@ object Similarity {
     }
   }
 
+  // ------------------------------------------------- ANN ingest gate
+
+  /** Near-dup radius for the ANN ingest gate: exact micro-rounded ADC
+    * squared distance (FAISS's IVF-PQ range_search semantics —
+    * thresholding the compressed-domain distance, never touching raw
+    * corpus vectors). Calibrated to the synthetic corpus's COMPRESSED
+    * nearest-neighbor distance distribution (ADC best-dist median
+    * ≈ 0.94; the exact-L2² median is 1.28 — quantization compresses
+    * distances, so the radius is set in the domain the gate actually
+    * thresholds). */
+  val AnnGateTau2Micro = 930000L
+
+  /** The embedding-tier ingest gate verdict (mirror of
+    * [[Dedup.probeBandIndex]]): arriving vectors are assigned to their
+    * coarse cell with the FROZEN quantizer, joined against the
+    * persisted codes table bucket-locally, and each candidate scored
+    * by ADC squared distance |q − x̃|² = Σ_s(|c_s|² − 2⟨q_s,c_s⟩) +
+    * |q|² — codebook vectors and their self-dots ride into the scan as
+    * literal arrays indexed by the stored code, so the probe touches
+    * ONLY the compressed index: no raw corpus embedding is read, no
+    * LUT is built per arrival, nothing collects to the driver
+    * per batch (the one bounded collect is the generation's ~50-row
+    * books table). Distances are micro-rounded before the threshold so
+    * the verdict is exact integer arithmetic cross-engine.
+    *
+    * One verdict row per arriving vec_id: dup count within the radius,
+    * best (smallest) distance, keep = nothing within radius; zero-norm
+    * arrivals cannot be judged and pass through flagged
+    * no_content=true — the dedup gate's totality contract. */
+  private[graft] def annGateVerdict(spark: SparkSession, batch: DataFrame,
+      booksT: String, codesT: String): DataFrame = {
+    import graft.functions.VectorFunctions.dotProduct
+    val (cents, books) = loadBooks(spark, booksT)
+    val codes = spark.table(codesT)
+    def padded[A](b: Array[(Int, Array[Double])])(f: Array[Double] => A,
+        dead: A): Seq[A] = {
+      val arr = Array.fill[Any](b.map(_._1).max + 1)(dead)
+      b.foreach { case (cid, v) => arr(cid) = f(v) }
+      arr.toSeq.asInstanceOf[Seq[A]]
+    }
+    val bookVecs: Seq[Seq[Seq[Double]]] =
+      books.map(b => padded(b)(_.toSeq, Seq.fill(PqSubDim)(Double.MaxValue)))
+    val bookDots: Seq[Seq[Double]] =
+      books.map(b => padded(b)(selfDot, Double.MaxValue))
+    val batchNz = batch
+      .filter(dotProduct(col("embedding"), col("embedding")) > 0)
+      .select(col("vec_id").as("batch_id"), col("embedding"),
+        argminCell(col("embedding"), cents).as("cell"))
+    val adcTerms = (0 until PqSubspaces).map { s =>
+      val q = slice(col("embedding"), s * PqSubDim + 1, PqSubDim)
+      element_at(typedlit(bookDots(s)), col(s"c$s") + 1) -
+        lit(2.0) * dotProduct(q, element_at(typedlit(bookVecs(s)), col(s"c$s") + 1))
+    }
+    val dups = batchNz.join(codes, Seq("cell"))
+      .filter(col("vec_id") =!= col("batch_id"))
+      .withColumn("dist2_micro",
+        round((adcTerms.reduce(_ + _) +
+          dotProduct(col("embedding"), col("embedding"))).cast("double") * 1e6, 0)
+          .cast("long"))
+      .filter(col("dist2_micro") <= AnnGateTau2Micro)
+      .groupBy(col("batch_id"))
+      .agg(count(lit(1)).as("n_dups"), min(col("dist2_micro")).as("best_dist2_micro"))
+    batch.select(col("vec_id").as("batch_id")).distinct()
+      .join(batchNz.select(col("batch_id")).withColumn("judged", lit(true)),
+        Seq("batch_id"), "left")
+      .join(dups, Seq("batch_id"), "left")
+      .select(col("batch_id"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        col("best_dist2_micro"),
+        col("n_dups").isNull.as("keep"),
+        col("judged").isNull.as("no_content"))
+  }
+
+  /** The held-out split for the ANN gate drill (every 4th vector plays
+    * the arriving batch; production gates index the full corpus). */
+  private[graft] def annDrillFilter: Column =
+    pmod(col("vec_id"), lit(4L)) =!= 0
+
+  /** Batch drill of the gate: the mod-4 held-out vectors probed
+    * against the persisted index built over everything else — the
+    * embedding twin of dedup_incremental_persisted, oracle-replayed
+    * end to end (partial-corpus Lloyd's, frozen-book batch
+    * assignment, ADC radius verdict). */
+  def annIngestGate(spark: SparkSession, dir: String): DataFrame = {
+    val (booksT, codesT) = ensurePqIndex(spark, dir,
+      corpusFilter = annDrillFilter)
+    val batch = Tables.embeddings(spark, dir)
+      .filter(pmod(col("vec_id"), lit(4L)) === 0)
+      .select(col("vec_id"), col("embedding"))
+    annGateVerdict(spark, batch, booksT, codesT).orderBy(col("batch_id"))
+  }
+
   // ----------------------------------------------------------- SemDeDup
 
   /** Intra-cell duplicate threshold, exact milli-cosine (calibrated to
@@ -1138,6 +1230,7 @@ object Similarity {
     "sim_topk_ivfpq_rerank_persisted" -> ((s, d) => topKIvfPqRerankPersisted(s, d)),
     "dedup_semdedup" -> ((s, d) => semDeDup(s, d)),
     "dedup_semdedup_cells" -> ((s, d) => semDeDupCells(s, d)),
+    "sim_ingest_gate" -> ((s, d) => annIngestGate(s, d)),
     "sim_range_search" -> ((s, d) => rangeSearch(s, d)),
     "sim_topk_bruteforce" -> ((s, d) => topKBruteForce(s, d)),
     "sim_topk_ivf" -> ((s, d) => topKIvf(s, d)),
@@ -1193,9 +1286,9 @@ object Similarity {
     * rounds, final encode — the ivf_kmeans CTE chain instantiated per
     * subspace (inner fragments are pre-stripped; spliced lines carry no
     * margin pipes). */
-  private def pqSubCtes(s: Int): String = {
+  private def pqSubCtes(s: Int, src: String = "kmnz"): String = {
     val lo = s * PqSubDim + 1; val hi = (s + 1) * PqSubDim
-    (s"""k$s AS (SELECT vec_id, embedding[$lo:$hi] AS embedding FROM kmnz),
+    (s"""k$s AS (SELECT vec_id, embedding[$lo:$hi] AS embedding FROM $src),
         |kc${s}0 AS (SELECT vec_id::INT AS cell, list_transform(embedding, x -> x::DOUBLE) AS cv
         |  FROM k$s WHERE vec_id < $KMeansCells),
         |ka${s}1 AS (""" + kmAssignCteOn(s"k$s", s"kc${s}0") + s"""),
@@ -1207,7 +1300,7 @@ object Similarity {
   }
 
   private val pqOracle: String = {
-    val subs = (0 until PqSubspaces).map(pqSubCtes).mkString(",\n")
+    val subs = (0 until PqSubspaces).map(s => pqSubCtes(s)).mkString(",\n")
     val qSlices = (0 until PqSubspaces).map { s =>
       s"embedding[${s * PqSubDim + 1}:${(s + 1) * PqSubDim}] AS q$s"
     }.mkString(", ")
@@ -1242,6 +1335,66 @@ object Similarity {
     * sim_topk_pq's) over the same kmnz base, then ADC scoring of only
     * the query's-cell candidates. CTE names are disjoint by
     * construction (c0/a1/c1/a2/c2/af vs kN/kcNN/kaNN/codN). */
+  /** ANN ingest-gate oracle: partial-corpus training (kmc = the mod-4
+    * held-out split's complement), frozen-centroid batch assignment,
+    * ADC radius verdict with totality over ALL batch ids (zero-norm →
+    * no_content). Replays the engine end to end: Lloyd's chains over
+    * kmc only, batch cells from the FINAL corpus centroids, distance =
+    * Σ_s(|c_s|² − 2⟨q_s,c_s⟩) + |q|² micro-rounded before the
+    * threshold. */
+  private lazy val annGateOracle: String = {
+    val subs = (0 until PqSubspaces).map(s => pqSubCtes(s, "kmc")).mkString(",\n")
+    val qSlices = (0 until PqSubspaces).map { s =>
+      s"embedding[${s * PqSubDim + 1}:${(s + 1) * PqSubDim}] AS q$s"
+    }.mkString(", ")
+    val adc = (0 until PqSubspaces).map { s =>
+      s"(${kmDotSql(s"b$s.cv", s"b$s.cv")} - 2.0 * ${kmDotSql(s"q.q$s", s"b$s.cv")})"
+    }.mkString("\n  + ")
+    val joins = (0 until PqSubspaces)
+      .map(s => s"JOIN kc${s}2 b$s ON b$s.cell = c.c$s").mkString("\n  ")
+    val codeJoins = (1 until PqSubspaces)
+      .map(s => s"JOIN cod$s USING (vec_id)").mkString(" ")
+    s"""WITH kmnz AS (SELECT vec_id, embedding FROM embeddings
+       |  WHERE list_reduce(list_prepend(0.0::DOUBLE,
+       |      list_transform(range(1, len(embedding) + 1),
+       |        k -> embedding[k]::DOUBLE * embedding[k]::DOUBLE)), (a, v) -> a + v) > 0),
+       |kmc AS (SELECT * FROM kmnz WHERE vec_id % 4 <> 0),
+       |kmb AS (SELECT * FROM kmnz WHERE vec_id % 4 = 0),
+       |c0 AS (SELECT vec_id::INT AS cell,
+       |    list_transform(embedding, x -> x::DOUBLE) AS cv
+       |  FROM kmc WHERE vec_id < $KMeansCells),
+       |a1 AS (${kmAssignCteOn("kmc", "c0")}),
+       |c1 AS (${kmCentCte("a1")}),
+       |a2 AS (${kmAssignCteOn("kmc", "c1")}),
+       |c2 AS (${kmCentCte("a2")}),
+       |af AS (${kmAssignCteOn("kmc", "c2")}),
+       |$subs,
+       |codes AS (SELECT cod0.vec_id, ${(0 until PqSubspaces).map(s => s"c$s").mkString(", ")}
+       |  FROM cod0 $codeJoins),
+       |qa AS (${kmAssignCteOn("kmb", "c2")}),
+       |q AS (SELECT vec_id AS batch_id, cell, $qSlices,
+       |    ${kmDotSql("embedding", "embedding")} AS qn
+       |  FROM qa),
+       |scored AS (SELECT q.batch_id,
+       |    round(($adc
+       |      + q.qn) * 1e6)::BIGINT AS dist2_micro
+       |  FROM q
+       |  JOIN af a ON a.cell = q.cell AND a.vec_id <> q.batch_id
+       |  JOIN codes c ON c.vec_id = a.vec_id
+       |  $joins),
+       |dups AS (SELECT batch_id, count(*)::BIGINT AS n_dups,
+       |    min(dist2_micro) AS best_dist2_micro
+       |  FROM scored WHERE dist2_micro <= $AnnGateTau2Micro GROUP BY 1),
+       |allb AS (SELECT vec_id AS batch_id FROM embeddings WHERE vec_id % 4 = 0),
+       |jd AS (SELECT vec_id AS batch_id, true AS judged FROM kmb)
+       |SELECT a.batch_id, coalesce(d.n_dups, 0)::BIGINT AS n_dups,
+       |  d.best_dist2_micro,
+       |  (d.n_dups IS NULL) AS keep,
+       |  (j.judged IS NULL) AS no_content
+       |FROM allb a LEFT JOIN jd j USING (batch_id) LEFT JOIN dups d USING (batch_id)
+       |ORDER BY a.batch_id""".stripMargin
+  }
+
   /** SemDeDup oracle CTEs: the coarse k-means chain, intra-cell pairs
     * milli-rounded then thresholded, per-vector dup aggregate. */
   private lazy val semDedupCtes: String =
@@ -1270,7 +1423,7 @@ object Similarity {
   /** CTE chain shared by the ivfpq oracles: everything through the
     * per-candidate ADC scores of the query's-cell survivors. */
   private val ivfPqScoredCtes: String = {
-    val subs = (0 until PqSubspaces).map(pqSubCtes).mkString(",\n")
+    val subs = (0 until PqSubspaces).map(s => pqSubCtes(s)).mkString(",\n")
     val qSlices = (0 until PqSubspaces).map { s =>
       s"embedding[${s * PqSubDim + 1}:${(s + 1) * PqSubDim}] AS q$s"
     }.mkString(", ")
@@ -1542,6 +1695,7 @@ object Similarity {
     // computes the identical verdict
     "sim_topk_ivfpq_persisted" -> ivfPqOracle,
     "sim_topk_ivfpq_rerank_persisted" -> ivfPqRerankOracle,
+    "sim_ingest_gate" -> annGateOracle,
     // SemDeDup: the coarse k-means chain (exactly sim_topk_ivf_kmeans's)
     // then intra-cell pairs at the milli-rounded threshold and the
     // canonical-first keeper verdict — all-integer after the rounding

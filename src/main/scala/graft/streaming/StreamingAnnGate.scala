@@ -1,0 +1,46 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.Similarity
+
+/** The embedding twin of [[StreamingIngestGate]]: vectors arrive as a
+  * stream (each new document's embedding, straight off the encoder),
+  * and every micro-batch is probed against the standing corpus's
+  * persisted IVF-PQ index — `Similarity.annGateVerdict` per batch,
+  * emitting one keep/drop verdict row per arriving vec_id.
+  *
+  * Same topology argument as the text gate: the codes/books tables are
+  * STATIC generation artifacts, so the right shape is a per-batch
+  * batch-join against the bucketed codes table — the probe touches
+  * only the compressed index (no raw corpus embeddings, no per-batch
+  * driver work beyond the one ~50-row books load), each micro-batch
+  * shuffles only itself into the cell layout, and the gate holds zero
+  * streaming state. Arrivals are deliberately not checked against
+  * each other; within-batch duplication belongs to the next
+  * generation's full pass.
+  *
+  * Index over the FULL standing corpus by default; `corpusFilter`
+  * exists so drills/specs reproduce the batch drill's held-out split
+  * explicitly. */
+object StreamingAnnGate {
+
+  /** Start the gate over a streaming (vec_id, embedding) frame; `sink`
+    * receives each micro-batch's verdict frame (batch_id, n_dups,
+    * best_dist2_micro, keep, no_content) — every arriving vec_id gets
+    * exactly one row; zero-norm vectors pass through flagged
+    * no_content=true. */
+  def start(spark: SparkSession, dir: String, vecs: DataFrame,
+      tag: String = "", corpusFilter: Column = lit(true))(
+      sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    val (booksT, codesT) = Similarity.ensurePqIndex(spark, dir, tag, corpusFilter)
+    vecs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(Similarity.annGateVerdict(spark, batch, booksT, codesT), batchId)
+      }
+      .start()
+  }
+}
