@@ -33,7 +33,10 @@ object Explain {
         "text_novelty_incremental", "text_ql_topk", "text_mmr_rerank",
         "ohlcv_1m_anomalies", "text_html_extract", "text_html_gopher",
         "dedup_incremental_persisted", "dedup_span_incremental_persisted",
-        "text_ndcg_eval", "emb_matryoshka", "graph_modularity", "evt_rfm")
+        "text_ndcg_eval", "emb_matryoshka", "graph_modularity", "evt_rfm",
+        "sim_topk_ivfpq_persisted", "sim_topk_ivfpq_rerank_persisted",
+        "sim_ingest_gate", "dedup_semdedup", "dedup_semdedup_cells",
+        "pipeline_crawl")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

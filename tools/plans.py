@@ -1,0 +1,55 @@
+#!/usr/bin/env python3
+"""Plan-audit table generator: runs `graft.Explain` (formatted plans for
+the headline queries) and counts operator classes per query into the
+PLANS_r{N}.md table — exchanges, join kinds, aggregates, codegen spans,
+pushed-filter scans, and the accident class (CartesianProduct).
+
+Usage: python3 tools/plans.py <sfDir> <outFile>
+Dev-tool only (driver-side python); the shipped library never uses it.
+"""
+import re
+import subprocess
+import sys
+
+
+def main(sf_dir: str, out: str) -> int:
+    p = subprocess.run(
+        ["sbt", "-batch", f"runMain graft.Explain {sf_dir}"],
+        capture_output=True, text=True)
+    text = p.stdout
+    blocks = re.split(r"=+ (\w+) =+", text)
+    rows = []
+    for i in range(1, len(blocks) - 1, 2):
+        name, body = blocks[i], blocks[i + 1]
+        def c(pat):
+            return len(re.findall(pat, body))
+        scans = re.findall(r"PushedFilters: \[([^\]]*)\]", body)
+        pushed = sum(1 for s in scans if s.strip())
+        # formatted plans print each operator twice (tree + numbered
+        # details) — count only the numbered detail headers
+        rows.append((
+            name,
+            c(r"\(\d+\) Exchange\b"),
+            c(r"\(\d+\) BroadcastHashJoin"),
+            c(r"\(\d+\) SortMergeJoin"),
+            c(r"\(\d+\) BroadcastNestedLoopJoin"),
+            c(r"\(\d+\) HashAggregate"),
+            c(r"\(\d+\) SortAggregate"),
+            c(r"WholeStageCodegen"),
+            f"{pushed}/{len(scans)}",
+            c(r"\(\d+\) CartesianProduct"),
+        ))
+    with open(out, "w") as f:
+        f.write(
+            "| query | exchanges | bhj | smj | bnlj | hashAgg | sortAgg "
+            "| codegen spans | scans w/ pushed filters | cartesian |\n")
+        f.write("|---|---|---|---|---|---|---|---|---|---|\n")
+        for r in rows:
+            f.write("| " + " | ".join(str(x) for x in r) + " |\n")
+    carts = [r[0] for r in rows if r[-1] > 0]
+    print(f"{len(rows)} queries audited; cartesians: {carts or 'none'}")
+    return 0 if not carts else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
