@@ -1538,6 +1538,34 @@ object Dedup {
       | FROM toks),
       |sh AS (SELECT doc_id, codes, len(codes)::BIGINT AS sz FROM sh0)""".stripMargin
 
+  /** [[shingleCte]] generalized for composed-pipeline oracles: the
+    * same shingle chain over an arbitrary (doc_id, text) source with a
+    * CTE-name prefix, so two chains (e.g. a batch over extracted text
+    * and a corpus over raw text) coexist in one WITH. */
+  private[operators] def shingleCtesOn(src: String, p: String): String =
+    s"""${p}toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM $src),
+       |${p}sh0 AS (SELECT doc_id,
+       |  list_distinct(list_transform(
+       |    list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+       |      j -> t[j] || ' ' || t[j+1] || ' ' || t[j+2])),
+       |    s -> list_reduce(list_prepend(0::BIGINT,
+       |           list_transform(string_split(s, ''), c -> ascii(c)::BIGINT)),
+       |         (a, c) -> (a * 31 + c) % 2147483647))) AS codes
+       | FROM ${p}toks),
+       |${p}sh AS (SELECT doc_id, codes, len(codes)::BIGINT AS sz FROM ${p}sh0)""".stripMargin
+
+  /** The MinHash signature + band chain over a `${p}sh` shingle CTE,
+    * prefixed like [[shingleCtesOn]]. */
+  private[operators] def minhashBandsOn(p: String): String =
+    s"""${p}mh AS (SELECT doc_id, i,
+       |    min((c * (2*i + 1) + 104729 * i + 12345) % 2147483647) AS m
+       |  FROM (SELECT doc_id, unnest(codes) AS c FROM ${p}sh),
+       |       (SELECT unnest(range(0, $MinHashK)) AS i)
+       |  GROUP BY 1, 2),
+       |${p}sig AS (SELECT doc_id, list(m ORDER BY i) AS s FROM ${p}mh GROUP BY 1),
+       |${p}bands AS (SELECT doc_id, band, s[2*band + 1] AS m1, s[2*band + 2] AS m2
+       |  FROM ${p}sig, (SELECT unnest(range(0, $Bands)) AS band))""".stripMargin
+
   /** dedup_clusters and dedup_clusters_star share one oracle: both
     * compute exact connected components with component-min canonicals —
     * only the distributed algorithm differs (diameter-bound label

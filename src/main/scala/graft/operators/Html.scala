@@ -289,27 +289,43 @@ object Html {
          |  (sum(text_chars - main_chars) * 1000 // sum(text_chars))::BIGINT AS boiler_milli
          |FROM m""".stripMargin,
     "text_html_gopher" ->
-      s"""WITH $blockCte,
-         |mt AS (SELECT doc_id,
-         |    array_to_string(list_transform(kept, s -> s.txt), ' ') AS main_text
-         |  FROM k),
-         |t AS (SELECT doc_id, list_filter(string_split(main_text, ' '), x -> x <> '') AS toks FROM mt),
-         |f AS (SELECT doc_id,
-         |    len(toks)::BIGINT AS n_words,
-         |    coalesce(list_sum(list_transform(toks, x -> length(x)::BIGINT)), 0)::BIGINT AS sum_len,
-         |    len(list_distinct(toks))::BIGINT AS n_distinct,
-         |    len(list_filter(toks, x -> x IN (${Curation.stopEnSql})))::BIGINT AS stop_hits,
-         |    len(list_filter(toks, x -> regexp_matches(x, '^[a-z]+${"$"}')))::BIGINT AS n_alpha
-         |  FROM t)
-         |SELECT doc_id, n_words,
-         |  (CASE WHEN n_words > 0 THEN sum_len * 1000 // n_words ELSE 0 END)::BIGINT AS mean_len_milli,
-         |  (CASE WHEN n_words > 0 THEN n_distinct * 1000 // n_words ELSE 0 END)::BIGINT AS diversity_milli,
-         |  stop_hits,
-         |  (CASE WHEN n_words > 0 THEN n_alpha * 1000 // n_words ELSE 0 END)::BIGINT AS alpha_frac_milli,
-         |  (n_words BETWEEN 30 AND 100000
-         |    AND (CASE WHEN n_words > 0 THEN sum_len * 1000 // n_words ELSE 0 END) BETWEEN 3000 AND 10000
-         |    AND (CASE WHEN n_words > 0 THEN n_distinct * 1000 // n_words ELSE 0 END) >= 350
-         |    AND stop_hits >= 2
-         |    AND (CASE WHEN n_words > 0 THEN n_alpha * 1000 // n_words ELSE 0 END) >= 800) AS keep
-         |FROM f ORDER BY doc_id""".stripMargin)
+      s"""WITH $gopherCtes
+         |SELECT doc_id, n_words, mean_len_milli, diversity_milli,
+         |  stop_hits, alpha_frac_milli, keep
+         |FROM gv ORDER BY doc_id""".stripMargin)
+
+  /** Extraction CTEs exposed for composed-pipeline oracles: `mt` is
+    * (doc_id, main_text) for EVERY document. */
+  private[operators] lazy val extractionCtes: String =
+    s"""$blockCte,
+       |mt AS (SELECT doc_id,
+       |    array_to_string(list_transform(kept, s -> s.txt), ' ') AS main_text
+       |  FROM k)""".stripMargin
+
+  /** Extraction + Gopher verdict CTEs: `gv` is the per-doc quality
+    * frame (n_words, milli features, keep) over the extracted main
+    * text — the shared tail of text_html_gopher, pipeline_crawl, and
+    * the composed ingest-gate oracle. */
+  private[operators] lazy val gopherCtes: String =
+    s"""$extractionCtes,
+       |gt AS (SELECT doc_id, list_filter(string_split(main_text, ' '), x -> x <> '') AS toks FROM mt),
+       |gf AS (SELECT doc_id,
+       |    len(toks)::BIGINT AS n_words,
+       |    coalesce(list_sum(list_transform(toks, x -> length(x)::BIGINT)), 0)::BIGINT AS sum_len,
+       |    len(list_distinct(toks))::BIGINT AS n_distinct,
+       |    len(list_filter(toks, x -> x IN (${Curation.stopEnSql})))::BIGINT AS stop_hits,
+       |    len(list_filter(toks, x -> regexp_matches(x, '^[a-z]+${"$"}')))::BIGINT AS n_alpha
+       |  FROM gt),
+       |gv AS (SELECT doc_id, n_words, mean_len_milli, diversity_milli,
+       |    stop_hits, alpha_frac_milli,
+       |    (n_words BETWEEN 30 AND 100000
+       |      AND mean_len_milli BETWEEN 3000 AND 10000
+       |      AND diversity_milli >= 350
+       |      AND stop_hits >= 2
+       |      AND alpha_frac_milli >= 800) AS keep
+       |  FROM (SELECT doc_id, n_words, sum_len, n_distinct, stop_hits, n_alpha,
+       |      (CASE WHEN n_words > 0 THEN sum_len * 1000 // n_words ELSE 0 END)::BIGINT AS mean_len_milli,
+       |      (CASE WHEN n_words > 0 THEN n_distinct * 1000 // n_words ELSE 0 END)::BIGINT AS diversity_milli,
+       |      (CASE WHEN n_words > 0 THEN n_alpha * 1000 // n_words ELSE 0 END)::BIGINT AS alpha_frac_milli
+       |    FROM gf) t)""".stripMargin
 }

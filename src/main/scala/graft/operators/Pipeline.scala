@@ -127,8 +127,65 @@ object Pipeline {
     Curation.gopherOn(Html.extractOn(docs), col("main_text"))
   }
 
+  /** The FULL ingest verdict per arriving page, one reason each —
+    * the production crawl-ingest stage order in a single per-batch
+    * plan: boilerplate-extract, quality-gate the extracted text
+    * (cheap scan, no join), and probe the persisted dedup band index
+    * ONLY for quality survivors (the expensive join never sees
+    * rejected pages). Totality: every arriving doc_id emits exactly
+    * one row with reason ∈ {no_content, quality, duplicate, keep} —
+    * no_content when nothing shingleable survived extraction (such a
+    * page cannot be judged against the corpus; it also always fails
+    * the quality gate, so the ordering no_content-before-quality is a
+    * classification choice, not a behavior change).
+    *
+    * At 100 TB: extraction + quality are the map-side pass; the probe
+    * shuffles only quality-passers' bands into the static bucketed
+    * index — the gate's cost per batch is proportional to what
+    * SURVIVES, not what arrives. */
+  private[graft] def ingestVerdictFor(spark: SparkSession, batch: DataFrame,
+      bandsT: String, setsT: String): DataFrame = {
+    val extracted = Html.extractOn(batch)
+      .select(col("doc_id"), col("main_text").as("text"))
+    val quality = Curation.gopherOn(extracted, col("text"))
+      .select(col("doc_id"), col("keep").as("q_keep"))
+    val shAll = Dedup.signaturesOnSh(Dedup.shingledOn(extracted))
+    val probed = Dedup.probeBandIndex(spark,
+      shAll.join(quality.filter(col("q_keep")).select("doc_id"), "doc_id"),
+      bandsT, setsT)
+    batch.select(col("doc_id")).distinct()
+      .join(shAll.select(col("doc_id")).withColumn("judged", lit(true)),
+        Seq("doc_id"), "left")
+      .join(quality, Seq("doc_id"), "left")
+      .join(probed.select(col("batch_id").as("doc_id"), col("n_dups"),
+        col("best_jaccard")), Seq("doc_id"), "left")
+      .withColumn("reason",
+        when(col("judged").isNull, lit("no_content"))
+          .when(!col("q_keep"), lit("quality"))
+          .when(coalesce(col("n_dups"), lit(0L)) > 0, lit("duplicate"))
+          .otherwise(lit("keep")))
+      .select(col("doc_id"), col("reason"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        col("best_jaccard"),
+        (col("reason") === "keep").as("keep"))
+  }
+
+  /** Batch drill of the composed gate: the mod-4 held-out documents
+    * arrive as pages against the persisted index over everything
+    * else — oracle-replayed end to end (extraction, Gopher verdict,
+    * banded MinHash probe of extracted-vs-raw shingles). */
+  def ingestGatePipeline(spark: SparkSession, dir: String): DataFrame = {
+    val (bandsT, setsT) = Dedup.ensureBandIndex(spark, dir,
+      corpusFilter = Dedup.drillCorpusFilter)
+    val batch = Tables.documents(spark, dir)
+      .filter(pmod(col("doc_id"), lit(Dedup.IncrementalBatchMod)) === 0)
+      .select(col("doc_id"), col("text"))
+    ingestVerdictFor(spark, batch, bandsT, setsT).orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_crawl" -> ((s, d) => crawlPipeline(s, d)),
+    "pipeline_ingest_gate" -> ((s, d) => ingestGatePipeline(s, d)),
     "pipeline_clean_corpus" -> ((s, d) => cleanCorpus(s, d)),
     "pipeline_span_clean" -> ((s, d) => spanCleanCorpus(s, d)))
 
@@ -137,6 +194,51 @@ object Pipeline {
     // the crawl pipeline's verdict IS the parquet-fed extract→gopher
     // composition — same oracle SQL verbatim
     "pipeline_crawl" -> Html.oracle("text_html_gopher"),
+    // the composed gate end to end: extraction + Gopher CTEs (Html),
+    // batch shingles over EXTRACTED text vs corpus shingles over RAW
+    // text (the index generation's source), banded MinHash candidates
+    // restricted to quality-passers, reason classification with
+    // totality over every batch doc
+    "pipeline_ingest_gate" -> {
+      val batchSrc =
+        s"(SELECT doc_id, main_text AS text FROM mt WHERE doc_id % ${Dedup.IncrementalBatchMod} = 0)"
+      val corpusSrc =
+        s"(SELECT doc_id, text FROM documents WHERE doc_id % ${Dedup.IncrementalBatchMod} <> 0)"
+      s"""WITH ${Html.gopherCtes},
+         |${Dedup.shingleCtesOn(batchSrc, "b")},
+         |${Dedup.shingleCtesOn(corpusSrc, "c")},
+         |${Dedup.minhashBandsOn("b")},
+         |${Dedup.minhashBandsOn("c")},
+         |qp AS (SELECT doc_id FROM gv WHERE keep),
+         |cand AS (SELECT DISTINCT a.doc_id AS batch_id, b.doc_id AS corpus_id
+         |  FROM bbands a
+         |  JOIN qp ON qp.doc_id = a.doc_id
+         |  JOIN cbands b ON a.band = b.band AND a.m1 = b.m1 AND a.m2 = b.m2),
+         |agg AS (SELECT batch_id, count(*)::BIGINT AS n_dups, max(jaccard) AS best_jaccard
+         |  FROM (SELECT batch_id, corpus_id,
+         |      len(list_intersect(si.codes, sj.codes))::DOUBLE
+         |        / (si.sz + sj.sz - len(list_intersect(si.codes, sj.codes))) AS jaccard
+         |    FROM cand JOIN bsh si ON si.doc_id = batch_id
+         |    JOIN csh sj ON sj.doc_id = corpus_id)
+         |  WHERE jaccard >= ${Dedup.JaccardThreshold} GROUP BY 1),
+         |jd AS (SELECT doc_id FROM bsh WHERE sz > 0),
+         |allb AS (SELECT doc_id FROM documents
+         |  WHERE doc_id % ${Dedup.IncrementalBatchMod} = 0),
+         |v AS (SELECT a.doc_id,
+         |    (CASE WHEN jd.doc_id IS NULL THEN 'no_content'
+         |          WHEN NOT gv.keep THEN 'quality'
+         |          WHEN coalesce(g.n_dups, 0) > 0 THEN 'duplicate'
+         |          ELSE 'keep' END) AS reason,
+         |    coalesce(g.n_dups, 0)::BIGINT AS n_dups,
+         |    g.best_jaccard
+         |  FROM allb a
+         |  LEFT JOIN jd ON jd.doc_id = a.doc_id
+         |  LEFT JOIN gv ON gv.doc_id = a.doc_id
+         |  LEFT JOIN agg g ON g.batch_id = a.doc_id)
+         |SELECT doc_id, reason, n_dups, best_jaccard,
+         |  (reason = 'keep') AS keep
+         |FROM v ORDER BY doc_id""".stripMargin
+    },
     "pipeline_clean_corpus" ->
       s"""WITH t0 AS (SELECT doc_id, text, source,
          |    list_filter(string_split(text, ' '), x -> x <> '') AS toks

@@ -94,4 +94,23 @@ object StreamingIngestGate {
       }
       .start()
   }
+
+  /** The FULL production ingest per micro-batch — extract → quality
+    * gate → dedup probe for quality survivors only, one reason-tagged
+    * verdict row per arriving page (`Pipeline.ingestVerdictFor`; see
+    * its scaladoc for the stage-order economics). This is the
+    * topology a crawl actually deploys: the cheap scans judge every
+    * page, the index join pays only for what survives them. */
+  def startFullIngest(spark: SparkSession, dir: String, pages: DataFrame,
+      tag: String = "", corpusFilter: Column = lit(true))(
+      sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    val (bandsT, setsT) = Dedup.ensureBandIndex(spark, dir, tag, corpusFilter)
+    pages.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(graft.operators.Pipeline.ingestVerdictFor(spark, batch, bandsT, setsT),
+          batchId)
+      }
+      .start()
+  }
 }

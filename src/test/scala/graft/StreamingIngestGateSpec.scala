@@ -68,6 +68,54 @@ class StreamingIngestGateSpec extends SparkSpec {
       "gate must emit exactly one verdict per arriving doc")
   }
 
+  test("full ingest (extract → quality → dedup) equals the batch drill; no_content is total") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val arrivals = Tables.documents(spark, sf0001)
+      .filter(pmod(col("doc_id"), lit(Dedup.IncrementalBatchMod)) === 0)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // one crafted page whose extraction leaves nothing shingleable —
+    // the corpus never exercises the no_content reason
+    val emptyPageId = 999999L
+    val all = arrivals :+ (emptyPageId -> "x")
+
+    val expected = graft.operators.Pipeline.ingestVerdictFor(spark,
+      all.toSeq.toDF("doc_id", "text"),
+      Dedup.ensureBandIndex(spark, sf0001,
+        corpusFilter = Dedup.drillCorpusFilter)._1,
+      Dedup.ensureBandIndex(spark, sf0001,
+        corpusFilter = Dedup.drillCorpusFilter)._2)
+      .collect().map(_.toSeq.map(String.valueOf)).toSet
+    assert(expected.nonEmpty)
+    assert(expected.exists(_(1) == "no_content"),
+      "crafted page must surface as no_content")
+    assert(expected.map(_(1)).intersect(Set("quality", "keep")).size == 2,
+      "fixture must exercise quality and keep reasons")
+
+    val input = MemoryStream[(Long, String)]
+    val got = mutable.Buffer[Row]()
+    val q = graft.streaming.StreamingIngestGate.startFullIngest(spark, sf0001,
+      input.toDF().toDF("doc_id", "text"),
+      corpusFilter = Dedup.drillCorpusFilter) { (verdict, _) =>
+      got.synchronized { got ++= verdict.collect() }
+    }
+    try {
+      Seq(all.take(11), all.drop(11)).filter(_.nonEmpty).foreach { c =>
+        input.addData(c.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val gotSet = got.map(_.toSeq.map(String.valueOf)).toSet
+    assert(gotSet == expected,
+      s"full ingest diverged: got ${gotSet.size}, expected ${expected.size}")
+    assert(gotSet.size == all.length,
+      "gate must emit exactly one verdict per arriving page")
+  }
+
   test("crawl pipeline (extract → gate) matches the drill for extractable docs") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
