@@ -579,14 +579,79 @@ object Retrieval {
         round(col("dcg") / col("idcg"), 6).as("ndcg"))
   }
 
+  /** Phrase relevance per query: the query's first two terms as an
+    * adjacent bigram. Term-membership cuts are DEGENERATE on this
+    * corpus (any-term: BM25 only ranks term-containing docs; all-term:
+    * hundreds of docs hold every term, so top-K is all-relevant) —
+    * adjacency is exactly what bag-of-words BM25 cannot see, which
+    * makes it an honest relevance oracle: the ranker hits some phrase
+    * docs and misses others, and MRR/MAP measure by how much. */
+  val QueryPhrases: Seq[(String, String)] = Seq(
+    "q_hash_join" -> "hash join",
+    "q_slow_scan" -> "slow scan",
+    "q_stream_key" -> "stream order")
+
+  /** MRR + MAP@K over the same BM25 ranking as [[ndcgEval]], binary
+    * relevance = phrase match ([[QueryPhrases]]) — the other two
+    * ranking metrics an IR eval harness reports. Reciprocal rank is exact
+    * integer micros (10^6 div first-relevant-rank); average precision
+    * sums precision-at-hit in rank order with an explicit ordered
+    * fold (the nDCG float discipline) and normalizes by
+    * min(R, K), then micro-rounds. Reads the memoized score and tf
+    * frames — the corpus is never re-scanned. */
+  def mrrMapEval(spark: SparkSession, dir: String): DataFrame = {
+    val ranked = topKFromScores(cachedScores(spark, dir, QueryTerms), NdcgK)
+      .select(col("query_id"), col("rnk"), col("doc_id"))
+    val phrases = {
+      import spark.implicits._
+      QueryPhrases.toDF("query_id", "phrase")
+    }
+    val rel = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .crossJoin(broadcast(phrases))
+      .filter(col("text").contains(col("phrase")))
+      .select(col("query_id"), col("doc_id"), lit(1L).as("rel"))
+    val g = ranked
+      .join(rel, Seq("query_id", "doc_id"), "left")
+      .withColumn("rel", coalesce(col("rel"), lit(0L)))
+      .groupBy(col("query_id"))
+      .agg(sort_array(collect_list(struct(col("rnk"), col("rel")))).as("gs"))
+    val nRel = rel.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_rel_docs"))
+    g.join(nRel, "query_id")
+      .withColumn("first_rel_rnk",
+        expr("array_min(transform(filter(gs, s -> s.rel > 0), s -> s.rnk))"))
+      .withColumn("ap_sum", expr(
+        """aggregate(transform(sequence(1, size(gs)), i ->
+          |  IF(element_at(gs, i).rel > 0,
+          |     cast(size(filter(slice(gs, 1, i), s -> s.rel > 0)) as double)
+          |       / cast(element_at(gs, i).rnk as double),
+          |     0.0D)), 0.0D, (a, x) -> a + x)""".stripMargin))
+      .select(col("query_id"),
+        size(col("gs")).cast("long").as("n_ranked"),
+        col("n_rel_docs"),
+        col("first_rel_rnk"),
+        expr("CASE WHEN first_rel_rnk IS NULL THEN 0L ELSE 1000000L div first_rel_rnk END")
+          .as("rr_micro"),
+        expr(s"""CASE WHEN least(n_rel_docs, $NdcgK) > 0
+                |  THEN cast(round(ap_sum / cast(least(n_rel_docs, $NdcgK) as double)
+                |       * 1000000.0D, 0) as bigint)
+                |  ELSE 0L END""".stripMargin).as("ap_micro"))
+      .orderBy(col("query_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_ndcg_eval" -> ((s, d) => ndcgEval(s, d)),
+    "text_mrr_map_eval" -> ((s, d) => mrrMapEval(s, d)),
     "text_mmr_rerank" -> ((s, d) => mmrRerank(s, d)),
     "text_ql_topk" -> ((s, d) => qlTopK(s, d)),
     "text_rrf_fusion" -> ((s, d) => rrfFusion(s, d)),
     "text_bm25_topk" -> ((s, d) => bm25TopK(s, d)),
     "text_prf_expansion" -> ((s, d) => prfExpansion(s, d)),
     "text_tfidf_topk" -> ((s, d) => tfidfTopK(s, d)))
+
+  private val qPhrasesSql = QueryPhrases
+    .map { case (q, ph) => s"('$q', '$ph')" }.mkString(", ")
 
   private val qValuesSql = QueryTerms
     .map { case (q, t) => s"('$q', '$t')" }.mkString(", ")
@@ -666,6 +731,44 @@ object Retrieval {
          |  round(dcg / idcg, 6) AS ndcg
          |FROM dc JOIN ic ON dc.query_id = ic.query_id
          |ORDER BY dc.query_id""".stripMargin,
+    // same ranked list + binary relevance cut; reciprocal rank in
+    // exact integer micros, AP's precision-at-hit fold explicitly
+    // ordered, normalized by min(R, K) then micro-rounded
+    "text_mrr_map_eval" ->
+      s"""WITH $bm25ScoreCteSql,
+         |ranked AS (SELECT query_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score_sc DESC, doc_id) AS rnk, doc_id
+         |  FROM sc QUALIFY rnk <= $NdcgK),
+         |ph(query_id, phrase) AS (VALUES $qPhrasesSql),
+         |rel AS (SELECT p.query_id, d.doc_id, 1::BIGINT AS rel
+         |  FROM documents d, ph p WHERE contains(d.text, p.phrase)),
+         |g AS (SELECT r.query_id, r.rnk, coalesce(rel.rel, 0) AS rel
+         |  FROM ranked r LEFT JOIN rel
+         |    ON rel.query_id = r.query_id AND rel.doc_id = r.doc_id),
+         |d AS (SELECT query_id,
+         |    list(struct_pack(rnk := rnk, rel := rel) ORDER BY rnk) AS gs
+         |  FROM g GROUP BY 1),
+         |nr AS (SELECT query_id, count(*)::BIGINT AS n_rel_docs FROM rel GROUP BY 1),
+         |m AS (SELECT d.query_id, len(gs)::BIGINT AS n_ranked, n_rel_docs,
+         |    list_min(list_transform(list_filter(gs, s -> s.rel > 0),
+         |      s -> s.rnk)) AS first_rel_rnk,
+         |    list_reduce(list_prepend(0.0,
+         |      list_transform(range(1, len(gs) + 1),
+         |        i -> CASE WHEN gs[i].rel > 0
+         |          THEN len(list_filter(gs[1:i], s -> s.rel > 0))::DOUBLE
+         |            / gs[i].rnk::DOUBLE
+         |          ELSE 0.0 END)),
+         |      (a, b) -> a + b) AS ap_sum
+         |  FROM d JOIN nr ON nr.query_id = d.query_id)
+         |SELECT query_id, n_ranked, n_rel_docs, first_rel_rnk,
+         |  (CASE WHEN first_rel_rnk IS NULL THEN 0
+         |        ELSE 1000000 // first_rel_rnk END)::BIGINT AS rr_micro,
+         |  (CASE WHEN least(n_rel_docs, $NdcgK) > 0
+         |        THEN round(ap_sum / least(n_rel_docs, $NdcgK)::DOUBLE
+         |             * 1000000.0)::BIGINT
+         |        ELSE 0 END)::BIGINT AS ap_micro
+         |FROM m ORDER BY query_id""".stripMargin,
     "text_mmr_rerank" ->
       s"""WITH $bm25ScoreCteSql,
          |pool0 AS (SELECT query_id, doc_id, score_sc FROM sc

@@ -160,4 +160,25 @@ class RetrievalSpec extends SparkSpec {
     // scores strictly ordered (the fixture avoids 6-decimal ties)
     assert(got.sliding(2).forall { case Array(x, y) => x._2 > y._2 })
   }
+
+  test("mrr/map: metric invariants hold and the phrase oracle discriminates") {
+    val rows = graft.operators.Retrieval.mrrMapEval(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (first, rr, ap) = (
+        Option(r.get(3)).map(_.asInstanceOf[Number].longValue),
+        r.getLong(4), r.getLong(5))
+      first match {
+        case Some(f) => assert(rr == 1000000L / f, s"rr inconsistent: $r")
+        case None => assert(rr == 0L, s"rr nonzero with no hit: $r")
+      }
+      assert(ap >= 0L && ap <= 1000000L, s"ap out of range: $r")
+      // a hit implies nonzero AP; no hit implies zero
+      assert((rr > 0) == (ap > 0), s"rr/ap hit disagreement: $r")
+    }
+    // adjacency relevance must actually discriminate — a saturated
+    // all-1.0 eval means the oracle is vacuous for this ranker
+    assert(rows.exists(_.getLong(5) < 1000000L),
+      "MAP saturated at 1.0 — relevance cut not discriminating")
+  }
 }
