@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions.tokens
@@ -52,7 +52,7 @@ object Retrieval {
     * per generation and every pass reads; here memoized per
     * (session, dir) like the dedup pair frames, so bm25/RRF/PRF stop
     * re-exploding the corpus per query. */
-  private[operators] def tfsOf(docs: DataFrame): DataFrame =
+  private[graft] def tfsOf(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
         explode(col("toks")).as("token"))
@@ -80,6 +80,114 @@ object Retrieval {
       queryTerms.toDF("query_id", "token").withColumn("w", lit(1L)))
   }
 
+  // ------------------------------------- persisted text-index lifecycle
+
+  /** Raw additive corpus stats (n_docs, sum_dl) — the PERSISTED form:
+    * unlike the derived avgdl_sc, these combine under ingest merges by
+    * exact integer addition, so probe-after-merge equals a full
+    * rebuild bit for bit (a stored quotient would lose the remainder). */
+  private[graft] def statsRawOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(size(col("toks"))), lit(0L)).as("sum_dl"))
+
+  /** Write-once-per-generation TEXT retrieval index (the third index
+    * family to get the dedup-style persisted lifecycle, after the LSH
+    * band index and the IVF-PQ codes): the inverted index (doc_id, dl,
+    * token, tf) as a parquet table BUCKETED BY TOKEN — the probe key:
+    * per-term df aggregation and the query-term join both consume the
+    * scan in its on-disk layout — plus the 1-row additive stats table.
+    * Later probes (this session or the next) never re-tokenize or
+    * re-scan the corpus. */
+  private[graft] def ensureTextIndex(spark: SparkSession, dir: String,
+      tag: String = "", corpusFilter: Column = lit(true)): (String, String) = {
+    val sfx = IndexStore.suffix(dir, tag, corpusFilter)
+    val tfsT = s"graft_tfs_idx_$sfx"
+    val statsT = s"graft_txtstats_idx_$sfx"
+    IndexStore.lock("txt_" + sfx).synchronized {
+      if (!spark.catalog.tableExists(tfsT) ||
+          !spark.catalog.tableExists(statsT)) {
+        val docs = Tables.documents(spark, dir).filter(corpusFilter)
+          .select(col("doc_id"), col("text"))
+        tfsOf(docs)
+          .repartition(TextIndexBuckets, col("token"))
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(TextIndexBuckets, "token")
+          .sortBy("token")
+          .option("path", s"${IndexStore.root}/tfs_$sfx")
+          .saveAsTable(tfsT)
+        statsRawOf(docs)
+          .coalesce(1)
+          .write.mode("overwrite").format("parquet")
+          .option("path", s"${IndexStore.root}/txtstats_$sfx")
+          .saveAsTable(statsT)
+      }
+    }
+    (tfsT, statsT)
+  }
+
+  val TextIndexBuckets = 32
+
+  /** Probe the persisted index with any weighted query-term frame —
+    * [[bm25ScoresWeightedFrom]] over table reads, the derived avgdl
+    * reconstructed from the additive stats. */
+  private[graft] def scoresFromTextIndex(spark: SparkSession,
+      tfsT: String, statsT: String, qterms: DataFrame): DataFrame =
+    bm25ScoresWeightedFrom(
+      spark.table(tfsT),
+      spark.table(statsT)
+        .select(col("n_docs"), expr(s"(sum_dl * $SC) div n_docs").as("avgdl_sc")),
+      qterms)
+
+  /** [[bm25TopK]] served from the persisted index — hash-identical
+    * ranking (shares the recompute twin's oracle verbatim), zero
+    * corpus work at query time. */
+  def bm25TopKPersisted(spark: SparkSession, dir: String): DataFrame = {
+    val (tfsT, statsT) = ensureTextIndex(spark, dir)
+    import spark.implicits._
+    topKFromScores(scoresFromTextIndex(spark, tfsT, statsT,
+      QueryTerms.toDF("query_id", "token").withColumn("w", lit(1L))), K)
+  }
+
+  /** The BETWEEN-generations step: append an accepted batch's postings
+    * through the bucket spec and fold its (n_docs, sum_dl) into the
+    * stats row by exact integer addition — df and avgdl seen by later
+    * probes are then EXACTLY the merged corpus's (no stale-stats
+    * window at all, unlike production engines that refresh global
+    * stats lazily; the additive representation is what makes that
+    * free). */
+  private[graft] def mergeBatchIntoTextIndex(spark: SparkSession, dir: String,
+      batchDocs: DataFrame, tag: String = "",
+      corpusFilter: Column = lit(true)): Unit = {
+    val (tfsT, statsT) = ensureTextIndex(spark, dir, tag, corpusFilter)
+    val sfx = IndexStore.suffix(dir, tag, corpusFilter)
+    IndexStore.lock("txt_" + sfx).synchronized {
+      tfsOf(batchDocs)
+        .repartition(TextIndexBuckets, col("token"))
+        .write.mode("append").format("parquet").insertInto(tfsT)
+      val old = spark.table(statsT).collect().head
+      val add = statsRawOf(batchDocs).collect().head
+      import spark.implicits._
+      Seq((old.getLong(0) + add.getLong(0), old.getLong(1) + add.getLong(1)))
+        .toDF("n_docs", "sum_dl")
+        .coalesce(1)
+        .write.mode("overwrite").format("parquet")
+        .option("path", s"${IndexStore.root}/txtstats_$sfx")
+        .saveAsTable(statsT)
+    }
+  }
+
+  /** Maintenance twin of [[Dedup.compactBandIndex]]: one file per
+    * token bucket after K merges. */
+  private[graft] def compactTextIndex(spark: SparkSession, dir: String,
+      tag: String = "", corpusFilter: Column = lit(true)): Unit = {
+    val sfx = IndexStore.suffix(dir, tag, corpusFilter)
+    IndexStore.lock("txt_" + sfx).synchronized {
+      IndexStore.rewriteBucketed(spark, s"graft_tfs_idx_$sfx",
+        s"${IndexStore.root}/tfs_$sfx", TextIndexBuckets, Seq("token"))
+    }
+  }
+
   /** The (query_id, doc_id, score_sc) BM25 frame — the scoring core
     * shared by the top-k query and the RRF fusion. */
   private[operators] def bm25Scores(
@@ -95,7 +203,7 @@ object Retrieval {
     * by its integer weight — the RM3-style expanded-query shape where
     * original terms outweigh mined expansion terms. Weight 1
     * reproduces plain BM25 exactly. */
-  private[operators] def bm25ScoresWeighted(
+  private[graft] def bm25ScoresWeighted(
       docs: DataFrame, qterms: DataFrame): DataFrame =
     bm25ScoresWeightedFrom(tfsOf(docs), statsOf(docs), qterms)
 
@@ -647,6 +755,7 @@ object Retrieval {
     "text_ql_topk" -> ((s, d) => qlTopK(s, d)),
     "text_rrf_fusion" -> ((s, d) => rrfFusion(s, d)),
     "text_bm25_topk" -> ((s, d) => bm25TopK(s, d)),
+    "text_bm25_topk_persisted" -> ((s, d) => bm25TopKPersisted(s, d)),
     "text_prf_expansion" -> ((s, d) => prfExpansion(s, d)),
     "text_tfidf_topk" -> ((s, d) => tfidfTopK(s, d)))
 
@@ -695,6 +804,13 @@ object Retrieval {
        |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY m DESC, doc_id) = 1),
        |s$i AS (SELECT * FROM $prev UNION ALL SELECT * FROM p$i)""".stripMargin
   }
+
+  private lazy val bm25TopkOracleSql: String =
+    s"""WITH $bm25ScoreCteSql
+       |SELECT query_id,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY score_sc DESC, doc_id) AS rnk,
+       |  doc_id, score_sc
+       |FROM sc QUALIFY rnk <= $K ORDER BY query_id, rnk""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // same ranked pool, same graded relevance, same ORDERED float
@@ -815,12 +931,11 @@ object Retrieval {
          |  row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk,
          |  doc_id, score
          |FROM sc QUALIFY rnk <= $K ORDER BY query_id, rnk""".stripMargin,
-    "text_bm25_topk" ->
-      s"""WITH $bm25ScoreCteSql
-         |SELECT query_id,
-         |  row_number() OVER (PARTITION BY query_id ORDER BY score_sc DESC, doc_id) AS rnk,
-         |  doc_id, score_sc
-         |FROM sc QUALIFY rnk <= $K ORDER BY query_id, rnk""".stripMargin,
+    // the persisted drill is BY CONSTRUCTION the same query as its
+    // recompute twin (only the plan's input artifact differs) — the
+    // shared oracle proves the on-disk index path ranks identically
+    "text_bm25_topk_persisted" -> bm25TopkOracleSql,
+    "text_bm25_topk" -> bm25TopkOracleSql,
     // both pool rankings, the same 2^40 coverage composite, integer
     // reciprocal ranks, and the same (rrf DESC, doc_id) final order
     "text_rrf_fusion" ->
