@@ -19,8 +19,10 @@ import org.apache.spark.sql.SparkSession
   * of the identical commit measured 0.6 s where the driver saw 5.3 s);
   * the median of three is the cheapest estimator that survives one
   * contended sample, and max−min makes the noise itself visible. The
-  * runs are interleaved round-robin across queries so a multi-second
-  * host spike cannot own all samples of any one query.
+  * runs are block-interleaved (round-robin within blocks of 32
+  * queries) so a multi-second host spike cannot own all samples of
+  * any one query, while samples stay warm enough that the schedule
+  * itself does not distort the medians.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -59,16 +61,26 @@ object Bench {
     // iteration knob for streaming-engine work; the driver never sets it
     val skipQueries = sys.env.get("SPARK_GRAFT_BENCH_ONLY").contains("streaming")
     val qlist = if (skipQueries) Nil else SparkEntry.queries.toSeq.sortBy(_._1)
-    // The N runs of each query are INTERLEAVED round-robin across the
-    // whole query set, not executed back-to-back: a transient host
-    // spike lasting seconds used to land on all three consecutive
-    // samples of one query and own its median (round-8 driver medians
-    // were 8× off quiet-host reality for bm25/blocklist/kv-join).
-    // Spread minutes apart, one spike can contaminate at most one
-    // sample per query — the median shrugs it off.
+    // The N runs of each query are BLOCK-interleaved: within each
+    // block of BenchBlock queries, runs round-robin across the block,
+    // so a query's samples land tens of seconds apart — a transient
+    // host spike lasting seconds used to own all three back-to-back
+    // samples and their median (round-8 driver medians were 8× off
+    // quiet-host reality for bm25/blocklist/kv-join); now it can
+    // contaminate at most one sample per query. Full-set interleaving
+    // was measured and rejected: separating samples by the whole
+    // 200-query sweep evicts JIT/codec/cache state and shifted half
+    // the suite >1.3× slower on a QUIET host (mm_decode_meta 0.67 →
+    // 3.4 s) — the block keeps samples decorrelated from spikes
+    // without paying systematic coldness.
+    val BenchBlock = 32
     val times = scala.collection.mutable.LinkedHashMap(
       qlist.map { case (n, _) => n -> Seq.newBuilder[Double] }: _*)
-    for (_ <- 1 to runs; (name, fn) <- qlist) {
+    for {
+      block <- qlist.grouped(BenchBlock)
+      _ <- 1 to runs
+      (name, fn) <- block
+    } {
       val t0 = System.nanoTime()
       val t = try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
