@@ -311,6 +311,55 @@ object Curation {
       .orderBy("rnk")
   }
 
+
+  /** Perplexity-bucket boundary positions in the sorted sample —
+    * tertiles of [[ReservoirK]]. */
+  private[graft] val PplLowPos = ReservoirK / 3
+  private[graft] val PplHighPos = 2 * ReservoirK / 3
+
+  /** CCNet-style perplexity filter (Wenzek et al. 2020): score every
+    * document by the corpus-trained char-bigram LM
+    * (TextAnalysis.charLmScore), derive head/middle/tail boundaries as
+    * TERTILES OF A BOUNDED DETERMINISTIC SAMPLE — the production
+    * shape: CCNet buckets on a sample's perplexity distribution, and
+    * the [[ReservoirK]] smallest-hash scored docs are a pure function
+    * of the data (reruns and other engines pick identical members) —
+    * then keep head + middle, dropping the least-LM-like third.
+    *
+    * Exactness: NLL micro-rounded before any comparison, thresholds
+    * are integer positions in the sorted integer sample — no float
+    * boundary can disagree cross-engine. Scale shape: LM scoring is
+    * the corpus pass; the sample is a bounded map-side top-k; the
+    * verdict is one broadcast of two integers back over the scored
+    * frame. Docs too short to score (< 1 bigram) are out of scope by
+    * the LM's contract — they belong to the length gates upstream. */
+  def pplFilter(spark: SparkSession, dir: String): DataFrame = {
+    val nll = TextAnalysis.charLmScore(spark, dir)
+      .select(col("doc_id"),
+        expr("cast(round(nll_nats * 1000000.0, 0) as bigint)").as("nll_micro"))
+      .localCheckpoint() // feeds the sample and the verdict
+    val topk = udaf(new graft.functions.TopKByScore(ReservoirK))
+    val sampleIds = nll
+      .select(col("doc_id"), Sketches.hash32(col("doc_id")).as("h"))
+      .agg(topk(col("doc_id"), -col("h").cast("double")).as("top"))
+      .select(explode(col("top")).as("t"))
+      .select(col("t.vec_id").as("doc_id"))
+    val th = sampleIds.join(nll, "doc_id")
+      .agg(sort_array(collect_list(col("nll_micro"))).as("s"))
+      .select(
+        element_at(col("s"),
+          greatest(lit(1), least(size(col("s")), lit(PplLowPos)))).as("t_low"),
+        element_at(col("s"),
+          greatest(lit(1), least(size(col("s")), lit(PplHighPos)))).as("t_high"))
+    nll.crossJoin(broadcast(th))
+      .select(col("doc_id"), col("nll_micro"),
+        when(col("nll_micro") <= col("t_low"), lit("head"))
+          .when(col("nll_micro") <= col("t_high"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"),
+        (col("nll_micro") <= col("t_high")).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-stratum reservoir size for [[sampleReservoirPerLang]]. */
   private[graft] val StratumK = 8
 
@@ -537,6 +586,7 @@ object Curation {
     "text_classifier_quality" -> ((s, d) => classifierQuality(s, d)),
     "curriculum_stages" -> ((s, d) => curriculumStages(s, d)),
     "curation_token_budget" -> ((s, d) => tokenBudgetSelect(s, d)),
+    "curation_ppl_filter" -> ((s, d) => pplFilter(s, d)),
     "sample_priority" -> ((s, d) => samplePriority(s, d)),
     "sample_reservoir" -> ((s, d) => sampleReservoir(s, d)),
     "sample_reservoir_per_lang" -> ((s, d) => sampleReservoirPerLang(s, d)),
@@ -623,6 +673,22 @@ object Curation {
          |WHERE rnk <= $StratumK ORDER BY lang, rnk""".stripMargin,
     // the oracle states the semantic definition — the global hash-order
     // sort the bounded aggregator must reproduce exactly
+    "curation_ppl_filter" ->
+      s"""WITH ${TextAnalysis.charLmCtes},
+         |lmm AS (SELECT doc_id, round(nll_nats * 1000000.0)::BIGINT AS nll_micro FROM lm),
+         |h0 AS (SELECT doc_id, ${Sketches.foldSql("doc_id::VARCHAR", 31L, 0L)} AS f FROM lmm),
+         |h AS (SELECT doc_id, ${Sketches.mixColSql("f")} AS x FROM h0),
+         |r AS (SELECT doc_id, row_number() OVER (ORDER BY x, doc_id) AS rnk FROM h),
+         |samp AS (SELECT list_sort(list(l.nll_micro)) AS s
+         |  FROM r JOIN lmm l USING (doc_id) WHERE rnk <= $ReservoirK),
+         |th AS (SELECT list_extract(s, greatest(1, least(len(s), $PplLowPos))) AS t_low,
+         |    list_extract(s, greatest(1, least(len(s), $PplHighPos))) AS t_high FROM samp)
+         |SELECT l.doc_id, l.nll_micro,
+         |  (CASE WHEN l.nll_micro <= t.t_low THEN 'head'
+         |        WHEN l.nll_micro <= t.t_high THEN 'middle'
+         |        ELSE 'tail' END) AS bucket,
+         |  (l.nll_micro <= t.t_high) AS keep
+         |FROM lmm l, th t ORDER BY l.doc_id""".stripMargin,
     "sample_reservoir" ->
       s"""WITH h0 AS (SELECT doc_id, lang,
          |    ${Sketches.foldSql("doc_id::VARCHAR", 31L, 0L)} AS f FROM documents),

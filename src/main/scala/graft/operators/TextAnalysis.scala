@@ -687,8 +687,11 @@ object TextAnalysis {
        |FROM d JOIN s${BpeRounds + 1} s USING (word)
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
-  private val charLmSql: String =
-    """WITH ch AS (SELECT doc_id, list_filter(string_split(text, ''), c -> c <> '') AS cs FROM documents),
+  /** The char-bigram LM chain as CTEs ending in the per-doc `lm`
+    * frame — shared by text_char_lm and the CCNet-style perplexity
+    * filter's oracle. */
+  private[operators] val charLmCtes: String =
+    """ch AS (SELECT doc_id, list_filter(string_split(text, ''), c -> c <> '') AS cs FROM documents),
       |bg AS (SELECT doc_id, unnest(CASE WHEN len(cs) >= 2
       |       THEN list_transform(range(1, len(cs)), i -> cs[i] || cs[i+1])
       |       ELSE []::VARCHAR[] END) AS bg FROM ch),
@@ -696,11 +699,15 @@ object TextAnalysis {
       |bc AS (SELECT bg, count(*)::BIGINT AS cnt_bg FROM bg GROUP BY 1),
       |pc AS (SELECT substr(bg, 1, 1) AS c1, sum(cnt_bg)::BIGINT AS cnt_c1 FROM bc GROUP BY 1),
       |m AS (SELECT bg, (cnt_bg + 1)::DOUBLE / (cnt_c1 + v) AS p
-      |      FROM bc JOIN pc ON substr(bc.bg, 1, 1) = pc.c1, al)
-      |SELECT b.doc_id, count(*)::BIGINT AS n_bigrams,
+      |      FROM bc JOIN pc ON substr(bc.bg, 1, 1) = pc.c1, al),
+      |lm AS (SELECT b.doc_id, count(*)::BIGINT AS n_bigrams,
       |  round(-avg(ln(p)), 6) AS nll_nats
       |FROM bg b JOIN m USING (bg)
-      |GROUP BY 1 ORDER BY 1""".stripMargin
+      |GROUP BY 1)""".stripMargin
+
+  private val charLmSql: String =
+    s"""WITH $charLmCtes
+       |SELECT doc_id, n_bigrams, nll_nats FROM lm ORDER BY 1""".stripMargin
 
   /** All-positions occurrence count of `term` — every start index
     * probed, so nested/overlapping matches count exactly like the
