@@ -423,7 +423,14 @@ object TextAnalysis {
     * probability is an exact integer-ratio double in both engines; the
     * only transcendental is ln, rounded to 6 decimals after the
     * per-doc mean. */
-  def charLmScore(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-(session, dir) memo of the scored LM frame — the model is a
+    * per-generation artifact; text_char_lm and the CCNet perplexity
+    * filter share one build. */
+  private val charLmMemo = new DirMemo
+  def charLmScore(spark: SparkSession, dir: String): DataFrame =
+    charLmMemo(spark, dir)(charLmScoreFresh(spark, dir).localCheckpoint())
+
+  private def charLmScoreFresh(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions.chars
     val docs = Tables.documents(spark, dir)
     // materialize the char array ONCE per row before the bigram lambda:
