@@ -36,7 +36,8 @@ object Explain {
         "text_ndcg_eval", "emb_matryoshka", "graph_modularity", "evt_rfm",
         "sim_topk_ivfpq_persisted", "sim_topk_ivfpq_rerank_persisted",
         "sim_ingest_gate", "dedup_semdedup", "dedup_semdedup_cells",
-        "pipeline_crawl")
+        "pipeline_crawl", "pipeline_ingest_gate", "text_bm25_topk_persisted",
+        "text_mrr_map_eval", "curation_ppl_filter")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
