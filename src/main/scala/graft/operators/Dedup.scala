@@ -1313,8 +1313,8 @@ object Dedup {
     * positional span codes, bucketed by code — the ingest gate's
     * semi-join probe target. */
   private[graft] def ensureSpanIndex(spark: SparkSession, dir: String,
-      corpusFilter: Column = lit(true)): String = {
-    val sfx = idxSuffix(dir) + predSuffix(corpusFilter)
+      tag: String = "", corpusFilter: Column = lit(true)): String = {
+    val sfx = IndexStore.suffix(dir, tag, corpusFilter)
     val t = s"graft_span_idx_$sfx"
     idxLock(sfx).synchronized {
       if (!spark.catalog.tableExists(t)) {
@@ -1331,6 +1331,38 @@ object Dedup {
       }
     }
     t
+  }
+
+  /** The BETWEEN-generations step for the span-code index: fold an
+    * accepted batch's span codes in, appending ONLY codes the standing
+    * index lacks — the anti-join keeps the table's distinct invariant
+    * (a blind append would duplicate shared codes: harmless to the
+    * semi-join verdict but unbounded growth and merged ≠ rebuild), and
+    * it consumes the corpus side as the bucketed scan, so only the
+    * batch's codes shuffle. The novel-code frame is staged
+    * (localCheckpoint) before the append — the insert must not read
+    * the table it writes. */
+  private[graft] def mergeBatchIntoSpanIndex(spark: SparkSession, dir: String,
+      batchDocs: DataFrame, tag: String = "",
+      corpusFilter: Column = lit(true)): Unit = {
+    val t = ensureSpanIndex(spark, dir, tag, corpusFilter)
+    val novel = batchDocs
+      .select(explode(spanCodes(col("text"), SpanW)).as("code"))
+      .distinct()
+      .join(spark.table(t), Seq("code"), "left_anti")
+      .localCheckpoint()
+    novel.repartition(IndexBuckets, col("code"))
+      .write.mode("append").format("parquet").insertInto(t)
+  }
+
+  /** Maintenance twin of [[compactBandIndex]] for the span-code table. */
+  private[graft] def compactSpanIndex(spark: SparkSession, dir: String,
+      tag: String = "", corpusFilter: Column = lit(true)): Unit = {
+    val sfx = IndexStore.suffix(dir, tag, corpusFilter)
+    idxLock(sfx).synchronized {
+      IndexStore.rewriteBucketed(spark, s"graft_span_idx_$sfx",
+        s"$indexRoot/span_$sfx", IndexBuckets, Seq("code"))
+    }
   }
 
   /** [[incrementalSpanRemoval]] driven from the on-disk span-code

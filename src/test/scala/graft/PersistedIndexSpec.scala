@@ -180,6 +180,39 @@ class PersistedIndexSpec extends SparkSpec {
     }
   }
 
+  test("span index merge keeps the distinct invariant: merged ≡ rebuild, then compact") {
+    import org.apache.spark.sql.functions.{col, explode, lit, pmod}
+    val t = Dedup.ensureSpanIndex(spark, sf0001,
+      tag = "mergedrill", corpusFilter = Dedup.drillCorpusFilter)
+    val batch = Tables.documents(spark, sf0001)
+      .filter(pmod(col("doc_id"), lit(Dedup.IncrementalBatchMod)) === 0)
+      .select(col("doc_id"), col("text"))
+    // two merges; overlapping codes between batches and corpus must
+    // NOT duplicate (the anti-join is the invariant keeper)
+    Dedup.mergeBatchIntoSpanIndex(spark, sf0001,
+      batch.filter(pmod(col("doc_id"), lit(8L)) === 0),
+      tag = "mergedrill", corpusFilter = Dedup.drillCorpusFilter)
+    Dedup.mergeBatchIntoSpanIndex(spark, sf0001,
+      batch.filter(pmod(col("doc_id"), lit(8L)) === 4),
+      tag = "mergedrill", corpusFilter = Dedup.drillCorpusFilter)
+    def allCodes = Tables.documents(spark, sf0001)
+      .select(explode(
+        graft.functions.TextFunctions.spanCodes(col("text"), Dedup.SpanW)).as("code"))
+      .distinct()
+    def rowsOf(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSet
+    assert(spark.table(t).count() == spark.table(t).distinct().count(),
+      "merge introduced duplicate span codes")
+    assert(rowsOf(spark.table(t)) == rowsOf(allCodes),
+      "merged span index != full rebuild")
+    Dedup.compactSpanIndex(spark, sf0001,
+      tag = "mergedrill", corpusFilter = Dedup.drillCorpusFilter)
+    assert(bucketFileCounts(t).values.max == 1,
+      s"span index not compacted: ${bucketFileCounts(t)}")
+    assert(rowsOf(spark.table(t)) == rowsOf(allCodes),
+      "compaction changed the span index content")
+  }
+
   test("ingest probes never re-scan the corpus source") {
     // the probe's only parquet inputs are the index tables; the batch
     // side reads the session's materialized shingle frame (in
