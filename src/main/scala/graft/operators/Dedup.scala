@@ -1238,6 +1238,12 @@ object Dedup {
     batchSh.select(col("doc_id"), col("codes"), col("sz"))
       .repartition(IndexBuckets, col("doc_id"))
       .write.mode("append").format("parquet").insertInto(setsT)
+    // the write executes under the BATCH frame's session (inside
+    // foreachBatch that is the micro-batch clone) and only refreshes
+    // THAT session's relation cache — refresh the caller's too, or its
+    // next probe reads a stale file listing and misses the merge
+    spark.catalog.refreshTable(bandsT)
+    spark.catalog.refreshTable(setsT)
   }
 
   /** Maintenance pass for a merged index generation: K ingest merges
@@ -1353,6 +1359,7 @@ object Dedup {
       .localCheckpoint()
     novel.repartition(IndexBuckets, col("code"))
       .write.mode("append").format("parquet").insertInto(t)
+    spark.catalog.refreshTable(t) // see mergeBatchIntoBandIndex
   }
 
   /** Maintenance twin of [[compactBandIndex]] for the span-code table. */

@@ -174,6 +174,8 @@ object Retrieval {
         .write.mode("overwrite").format("parquet")
         .option("path", s"${IndexStore.root}/txtstats_$sfx")
         .saveAsTable(statsT)
+      spark.catalog.refreshTable(tfsT) // see Dedup.mergeBatchIntoBandIndex
+      spark.catalog.refreshTable(statsT)
     }
   }
 

@@ -686,6 +686,7 @@ object Similarity {
       cents, books)
       .repartition(AnnIndexBuckets, col("cell"))
       .write.mode("append").format("parquet").insertInto(codesT)
+    spark.catalog.refreshTable(codesT) // see Dedup.mergeBatchIntoBandIndex
   }
 
   /** Maintenance twin of [[Dedup.compactBandIndex]] for the ANN codes

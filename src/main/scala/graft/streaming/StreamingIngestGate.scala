@@ -95,6 +95,38 @@ object StreamingIngestGate {
       .start()
   }
 
+  /** The ADMITTING gate: like [[start]], but each micro-batch's KEPT
+    * documents are folded into the standing band index before the next
+    * batch probes (`Dedup.mergeBatchIntoBandIndex` — a bucket-spec
+    * append of batch-sized frames). This is the grow-as-you-accept
+    * production mode: a document that duplicates something accepted
+    * TEN SECONDS ago is flagged, where the stateless gate only judges
+    * against the last full generation. The verdict frame is
+    * checkpointed before the merge so the emitted verdicts are
+    * provably pre-admission (a lazy probe re-evaluated after the merge
+    * would see the batch's own docs and self-flag them); within one
+    * micro-batch, arrivals still do not judge each other — the merge
+    * boundary is the batch boundary. Compaction
+    * (`Dedup.compactBandIndex`) applies between generations as usual. */
+  def startAdmitting(spark: SparkSession, dir: String, docs: DataFrame,
+      tag: String = "", corpusFilter: Column = lit(true))(
+      sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    val (bandsT, setsT) = Dedup.ensureBandIndex(spark, dir, tag, corpusFilter)
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val verdict = verdictFor(spark, batch, bandsT, setsT).localCheckpoint()
+        sink(verdict, batchId)
+        val kept = batch.join(
+          verdict.filter(col("keep") && !col("no_content"))
+            .select(col("batch_id").as("doc_id")),
+          "doc_id")
+          .select(col("doc_id"), col("text"))
+        Dedup.mergeBatchIntoBandIndex(spark, dir, kept, tag, corpusFilter)
+      }
+      .start()
+  }
+
   /** The FULL production ingest per micro-batch — extract → quality
     * gate → dedup probe for quality survivors only, one reason-tagged
     * verdict row per arriving page (`Pipeline.ingestVerdictFor`; see

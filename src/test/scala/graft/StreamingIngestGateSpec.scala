@@ -68,6 +68,45 @@ class StreamingIngestGateSpec extends SparkSpec {
       "gate must emit exactly one verdict per arriving doc")
   }
 
+  test("admitting gate: a duplicate of a just-kept doc is flagged across batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // novel texts (absent from the corpus index) long enough to shingle
+    def novel(seed: Char): String =
+      (1 to 40).map(i => s"zq$seed$i").mkString(" ")
+    val d1 = (1000001L, novel('a'))
+    val d2 = (1000002L, novel('b'))
+    val dupOfD1 = (1000003L, novel('a'))
+    val fresh = (1000004L, novel('c'))
+
+    val input = MemoryStream[(Long, String)]
+    val got = mutable.Buffer[Row]()
+    val q = graft.streaming.StreamingIngestGate.startAdmitting(spark, sf0001,
+      input.toDF().toDF("doc_id", "text"), tag = "admitspec") { (verdict, _) =>
+      got.synchronized { got ++= verdict.collect() }
+    }
+    try {
+      input.addData(d1, d2)
+      q.processAllAvailable()
+      input.addData(dupOfD1, fresh)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val byId = got.map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getBoolean(3)))).toMap
+    // batch 1: both novel vs the standing corpus → kept and ADMITTED
+    assert(byId(1000001L)._2 && byId(1000002L)._2,
+      s"novel batch-1 docs not kept: $byId")
+    // batch 2: the duplicate of an admitted doc is flagged — the
+    // stateless gate could not see it (its text exists nowhere in the
+    // generation the corpus index was built from)
+    assert(!byId(1000003L)._2 && byId(1000003L)._1 >= 1L,
+      s"cross-batch duplicate not flagged by the admitting gate: $byId")
+    assert(byId(1000004L)._2, s"fresh batch-2 doc wrongly dropped: $byId")
+  }
+
   test("full ingest (extract → quality → dedup) equals the batch drill; no_content is total") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
