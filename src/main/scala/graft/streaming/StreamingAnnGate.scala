@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.operators.Similarity
@@ -40,6 +40,35 @@ object StreamingAnnGate {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         sink(Similarity.annGateVerdict(spark, batch, booksT, codesT), batchId)
+      }
+      .start()
+  }
+
+  /** The ADMITTING form (twin of
+    * [[StreamingIngestGate.startAdmitting]]): each micro-batch's KEPT
+    * vectors are encoded with the generation's FROZEN books and folded
+    * into the codes table before the next batch probes — a vector
+    * near-duplicating an embedding accepted seconds ago is flagged.
+    * Verdicts are checkpointed pre-admission (a lazy probe
+    * re-evaluated post-merge would self-flag the batch); quantization
+    * of admitted vectors uses the standing books by design — drift
+    * repairs at the next generation's retrain. */
+  def startAdmitting(spark: SparkSession, dir: String, vecs: DataFrame,
+      tag: String = "", corpusFilter: Column = lit(true))(
+      sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    val (booksT, codesT) = Similarity.ensurePqIndex(spark, dir, tag, corpusFilter)
+    vecs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val verdict = Similarity.annGateVerdict(spark, batch, booksT, codesT)
+          .localCheckpoint()
+        sink(verdict, batchId)
+        val kept = batch.join(
+          verdict.filter(col("keep") && !col("no_content"))
+            .select(col("batch_id").as("vec_id")),
+          "vec_id")
+          .select(col("vec_id"), col("embedding"))
+        Similarity.mergeBatchIntoPqIndex(spark, dir, kept, tag, corpusFilter)
       }
       .start()
   }
