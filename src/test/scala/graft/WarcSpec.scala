@@ -94,6 +94,39 @@ class WarcSpec extends SparkSpec {
     assert(it.count(_ => true) + 1 == nRecords, "streamed parse lost records")
   }
 
+  test("archive cache: corpus regeneration invalidates, unchanged corpus reuses") {
+    import spark.implicits._
+    val dir = "/tmp/graft_warcfp_spec"
+    rmrf(dir)
+    Seq((1L, "the first corpus text")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val p1 = WarcIO.ensureArchive(spark, dir)
+    def payloads(p: String): Map[Long, String] =
+      WarcIO.read(spark, p).collect()
+        .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(payloads(p1) == Map(1L -> "the first corpus text"))
+
+    // unchanged corpus → the archive must be REUSED, not rewritten
+    def shardMtimes(p: String): Map[String, Long] =
+      java.nio.file.Files.list(java.nio.file.Paths.get(p)).toArray
+        .map(_.toString).filter(_.endsWith(".txt"))
+        .map(f => f -> new java.io.File(f).lastModified).toMap
+    val before = shardMtimes(p1)
+    assert(WarcIO.ensureArchive(spark, dir) == p1)
+    assert(shardMtimes(p1) == before, "unchanged corpus rewrote the archive")
+
+    // regenerated corpus AT THE SAME PATH → stale shards must not
+    // survive (the round-8 _SUCCESS-marker cache served exactly that)
+    Seq((1L, "the second corpus text"), (2L, "an extra doc"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val p2 = WarcIO.ensureArchive(spark, dir)
+    assert(p2 == p1, "same dir must map to the same archive path")
+    assert(payloads(p2) ==
+      Map(1L -> "the second corpus text", 2L -> "an extra doc"),
+      "regenerated corpus served stale archive shards")
+  }
+
   test("shards are byte-deterministic across rewrites") {
     def digests(path: String): Set[String] = {
       rmrf(path)
