@@ -1232,18 +1232,23 @@ object Dedup {
       corpusFilter: Column = lit(true)): Unit = {
     val (bandsT, setsT) = ensureBandIndex(spark, dir, tag, corpusFilter)
     val batchSh = signaturesOnSh(shingledOn(batchDocs))
-    bandsOf(batchSh)
-      .repartition(IndexBuckets, col("band"), col("m1"), col("m2"))
-      .write.mode("append").format("parquet").insertInto(bandsT)
-    batchSh.select(col("doc_id"), col("codes"), col("sz"))
-      .repartition(IndexBuckets, col("doc_id"))
-      .write.mode("append").format("parquet").insertInto(setsT)
-    // the write executes under the BATCH frame's session (inside
-    // foreachBatch that is the micro-batch clone) and only refreshes
-    // THAT session's relation cache — refresh the caller's too, or its
-    // next probe reads a stale file listing and misses the merge
-    spark.catalog.refreshTable(bandsT)
-    spark.catalog.refreshTable(setsT)
+    // Appends commute with each other, but a merge landing between
+    // compactBandIndex's staged snapshot read and its overwrite is
+    // lost — the compact-side lock only excludes writers that take it.
+    idxLock(IndexStore.suffix(dir, tag, corpusFilter)).synchronized {
+      bandsOf(batchSh)
+        .repartition(IndexBuckets, col("band"), col("m1"), col("m2"))
+        .write.mode("append").format("parquet").insertInto(bandsT)
+      batchSh.select(col("doc_id"), col("codes"), col("sz"))
+        .repartition(IndexBuckets, col("doc_id"))
+        .write.mode("append").format("parquet").insertInto(setsT)
+      // the write executes under the BATCH frame's session (inside
+      // foreachBatch that is the micro-batch clone) and only refreshes
+      // THAT session's relation cache — refresh the caller's too, or its
+      // next probe reads a stale file listing and misses the merge
+      spark.catalog.refreshTable(bandsT)
+      spark.catalog.refreshTable(setsT)
+    }
   }
 
   /** Maintenance pass for a merged index generation: K ingest merges
@@ -1352,14 +1357,22 @@ object Dedup {
       batchDocs: DataFrame, tag: String = "",
       corpusFilter: Column = lit(true)): Unit = {
     val t = ensureSpanIndex(spark, dir, tag, corpusFilter)
-    val novel = batchDocs
-      .select(explode(spanCodes(col("text"), SpanW)).as("code"))
-      .distinct()
-      .join(spark.table(t), Seq("code"), "left_anti")
-      .localCheckpoint()
-    novel.repartition(IndexBuckets, col("code"))
-      .write.mode("append").format("parquet").insertInto(t)
-    spark.catalog.refreshTable(t) // see mergeBatchIntoBandIndex
+    val sfx = IndexStore.suffix(dir, tag, corpusFilter)
+    // The anti-join reads the table the insert writes, so this is a
+    // read-modify-write: without the suffix lock two concurrent merges
+    // both see a shared code as novel and both append it (breaking the
+    // distinct invariant), and a merge racing compactSpanIndex's
+    // snapshot-then-overwrite is silently dropped.
+    idxLock(sfx).synchronized {
+      val novel = batchDocs
+        .select(explode(spanCodes(col("text"), SpanW)).as("code"))
+        .distinct()
+        .join(spark.table(t), Seq("code"), "left_anti")
+        .localCheckpoint()
+      novel.repartition(IndexBuckets, col("code"))
+        .write.mode("append").format("parquet").insertInto(t)
+      spark.catalog.refreshTable(t) // see mergeBatchIntoBandIndex
+    }
   }
 
   /** Maintenance twin of [[compactBandIndex]] for the span-code table. */

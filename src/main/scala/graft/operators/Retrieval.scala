@@ -530,12 +530,14 @@ object Retrieval {
       var selectedDocs = List.empty[Long]
       for (i <- 1 to MmrK if remaining.nonEmpty) {
         // m = λ·rel − (1−λ)·max-sim-to-selected in exact deci-milli;
-        // ties to the smaller doc_id; a missing pair row (no embedding)
-        // takes penalty 0, as the pair frame's coalesce always did
+        // ties to the smaller doc_id. The max spans PRESENT pair rows
+        // only, falling back to 0 when none exists — the former
+        // left-join+coalesce plan's semantics; defaulting each missing
+        // pair to 0 inside the max would flip the penalty's sign for a
+        // sparse sims frame whose present sims are all negative
         val scored = remaining.map { case (d, rel) =>
-          val pen =
-            if (selectedDocs.isEmpty) 0L
-            else selectedDocs.map(s => simMap.getOrElse((q, d, s), 0L)).max
+          val present = selectedDocs.flatMap(s => simMap.get((q, d, s)))
+          val pen = if (present.isEmpty) 0L else present.max
           (d, rel * MmrLambda10 - pen * (10L - MmrLambda10))
         }
         val (bd, bm) = scored.minBy { case (d, m) => (-m, d) }

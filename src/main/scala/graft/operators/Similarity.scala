@@ -679,14 +679,18 @@ object Similarity {
     val (booksT, codesT) = ensurePqIndex(spark, dir, tag, corpusFilter)
     val (cents, books) = loadBooks(spark, booksT)
     import graft.functions.VectorFunctions.dotProduct
-    encodeWith(
-      batchVecs
-        .filter(dotProduct(col("embedding"), col("embedding")) > 0)
-        .select(col("vec_id"), col("embedding")),
-      cents, books)
-      .repartition(AnnIndexBuckets, col("cell"))
-      .write.mode("append").format("parquet").insertInto(codesT)
-    spark.catalog.refreshTable(codesT) // see Dedup.mergeBatchIntoBandIndex
+    // Hold the suffix lock for the append so compactPqIndex's
+    // snapshot-then-overwrite cannot silently drop a concurrent merge.
+    IndexStore.lock("pq_" + IndexStore.suffix(dir, tag, corpusFilter)).synchronized {
+      encodeWith(
+        batchVecs
+          .filter(dotProduct(col("embedding"), col("embedding")) > 0)
+          .select(col("vec_id"), col("embedding")),
+        cents, books)
+        .repartition(AnnIndexBuckets, col("cell"))
+        .write.mode("append").format("parquet").insertInto(codesT)
+      spark.catalog.refreshTable(codesT) // see Dedup.mergeBatchIntoBandIndex
+    }
   }
 
   /** Maintenance twin of [[Dedup.compactBandIndex]] for the ANN codes

@@ -159,6 +159,11 @@ object WarcIO {
         val reader = new java.io.BufferedReader(
           new java.io.InputStreamReader(pds.open(),
             java.nio.charset.StandardCharsets.UTF_8), 64 * 1024)
+        // Exhaustion closes eagerly below, but a short-circuiting
+        // consumer (limit/take) or a parse failure never drives hasNext
+        // to false — the completion listener covers those paths.
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => reader.close()))
         val it = parseRecords(reader)
         new Iterator[(Long, Long, String)] {
           override def hasNext: Boolean = {

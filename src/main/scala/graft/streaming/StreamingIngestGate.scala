@@ -57,7 +57,17 @@ object StreamingIngestGate {
   /** One micro-batch's verdicts — shingle + sign only the arrivals,
     * probe the static index, then left-join back to the RAW batch ids
     * so unshingleable docs still emit a row. Public seam so specs can
-    * replay the exact per-batch computation. */
+    * replay the exact per-batch computation.
+    *
+    * Two decision columns, because the two downstream questions differ
+    * and conflating them flips admissions for unjudgeable docs when a
+    * consumer migrates between this gate and the full ingest gate
+    * (`Pipeline.ingestVerdictFor`, where reason=no_content carries
+    * keep=false): `keep` is the DUP verdict only — an unshingleable doc
+    * is not a duplicate, so it keeps, flagged no_content=true; `admit`
+    * is the CORPUS-ADMISSION decision — an unjudgeable doc is never
+    * admitted, matching the full gate's no_content policy (and it is
+    * what [[startAdmitting]] folds into the index). */
   private[graft] def verdictFor(spark: SparkSession, batch: DataFrame,
       bandsT: String, setsT: String): DataFrame = {
     val probed = Dedup.probeBandIndex(spark,
@@ -68,7 +78,8 @@ object StreamingIngestGate {
         coalesce(col("n_dups"), lit(0L)).as("n_dups"),
         col("best_jaccard"),
         coalesce(col("keep"), lit(true)).as("keep"),
-        col("judged").isNull.as("no_content"))
+        col("judged").isNull.as("no_content"),
+        (coalesce(col("keep"), lit(true)) && col("judged").isNotNull).as("admit"))
   }
 
   /** The full streaming CRAWL-ingest pipeline: arriving (doc_id, html)
@@ -118,7 +129,7 @@ object StreamingIngestGate {
         val verdict = verdictFor(spark, batch, bandsT, setsT).localCheckpoint()
         sink(verdict, batchId)
         val kept = batch.join(
-          verdict.filter(col("keep") && !col("no_content"))
+          verdict.filter(col("admit"))
             .select(col("batch_id").as("doc_id")),
           "doc_id")
           .select(col("doc_id"), col("text"))

@@ -19,10 +19,12 @@ import graft.streaming.StreamingIngestGate
   * the default full-corpus index.) */
 class StreamingIngestGateSpec extends SparkSpec {
 
-  /** Drill verdicts extended with the gate's no_content=false column. */
+  /** Drill verdicts extended with the gate's no_content=false column
+    * and its admit column (= keep for judged rows). */
   private def drillExpected: Set[Seq[String]] =
     Dedup.incrementalDedupPersisted(spark, sf0001)
-      .collect().map(_.toSeq.map(String.valueOf) :+ "false").toSet
+      .collect().map(_.toSeq.map(String.valueOf))
+      .map(s => s :+ "false" :+ s(3)).toSet
 
   test("micro-batched verdicts equal the batch drill, regardless of chopping") {
     import spark.implicits._
@@ -39,8 +41,9 @@ class StreamingIngestGateSpec extends SparkSpec {
     // every arrival the drill could not judge (unshingleable) must
     // surface as an explicit no-content keep
     val judgedIds = judged.map(_.head)
+    // unjudgeable arrivals: dup-verdict keep=true but NEVER admitted
     val expected = judged ++ arrivals.map(_._1.toString).filterNot(judgedIds)
-      .map(id => Seq(id, "0", "null", "true", "true"))
+      .map(id => Seq(id, "0", "null", "true", "true", "false"))
 
     val input = MemoryStream[(Long, String)]
     val got = mutable.Buffer[Row]()
@@ -96,6 +99,9 @@ class StreamingIngestGateSpec extends SparkSpec {
 
     val byId = got.map(r => r.getLong(0) ->
       ((r.getLong(1), r.getBoolean(3)))).toMap
+    // judged rows: the admission decision equals the dup verdict
+    assert(got.forall(r => r.getBoolean(5) == (r.getBoolean(3) && !r.getBoolean(4))),
+      "admit must be keep && !no_content")
     // batch 1: both novel vs the standing corpus → kept and ADMITTED
     assert(byId(1000001L)._2 && byId(1000002L)._2,
       s"novel batch-1 docs not kept: $byId")
@@ -178,7 +184,7 @@ class StreamingIngestGateSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1)))
     val judgedIds = judged.map(_.head)
     val expected = judged ++ arrivals.map(_._1.toString).filterNot(judgedIds)
-      .map(id => Seq(id, "0", "null", "true", "true"))
+      .map(id => Seq(id, "0", "null", "true", "true", "false"))
 
     val input = MemoryStream[(Long, String)]
     val got = mutable.Buffer[Row]()
