@@ -1191,21 +1191,58 @@ object Dedup {
     val setsT = s"graft_sets_idx_$sfx"
     idxLock(sfx).synchronized {
       if (!spark.catalog.tableExists(bandsT) || !spark.catalog.tableExists(setsT)) {
-        val corpus = minHashSignatures(spark, dir).filter(corpusFilter)
-        bandsOf(corpus)
-          .repartition(IndexBuckets, col("band"), col("m1"), col("m2"))
-          .write.mode("overwrite").format("parquet")
-          .bucketBy(IndexBuckets, "band", "m1", "m2")
-          .sortBy("band", "m1", "m2")
-          .option("path", s"$indexRoot/band_$sfx")
-          .saveAsTable(bandsT)
-        corpus.select(col("doc_id"), col("codes"), col("sz"))
-          .repartition(IndexBuckets, col("doc_id"))
-          .write.mode("overwrite").format("parquet")
-          .bucketBy(IndexBuckets, "doc_id")
-          .sortBy("doc_id")
-          .option("path", s"$indexRoot/sets_$sfx")
-          .saveAsTable(setsT)
+        writeBandTables(minHashSignatures(spark, dir).filter(corpusFilter),
+          sfx, bandsT, setsT)
+      }
+    }
+    (bandsT, setsT)
+  }
+
+  /** Persist one band-index generation from an explicit signature
+    * frame — the build core shared by [[ensureBandIndex]] (corpus) and
+    * [[rolloverBandIndex]] (corpus ∪ admitted). Signatures are
+    * deterministic per document, so the generation depends only on the
+    * SET of input docs. Callers hold the generation's build lock. */
+  private def writeBandTables(sigs: DataFrame, sfx: String,
+      bandsT: String, setsT: String): Unit = {
+    bandsOf(sigs)
+      .repartition(IndexBuckets, col("band"), col("m1"), col("m2"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(IndexBuckets, "band", "m1", "m2")
+      .sortBy("band", "m1", "m2")
+      .option("path", s"$indexRoot/band_$sfx")
+      .saveAsTable(bandsT)
+    sigs.select(col("doc_id"), col("codes"), col("sz"))
+      .repartition(IndexBuckets, col("doc_id"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(IndexBuckets, "doc_id")
+      .sortBy("doc_id")
+      .option("path", s"$indexRoot/sets_$sfx")
+      .saveAsTable(setsT)
+  }
+
+  /** Generation ROLLOVER for the band-index family: build generation
+    * `newTag` from the standing corpus PLUS the documents admitted into
+    * the current generation. MinHash signatures carry no trained state,
+    * so a rolled-over generation is row-identical to the incrementally
+    * merged one — which is exactly what RolloverSpec asserts (rebuild ≡
+    * merge), making rollover the point where the incremental path's
+    * accumulated appends are re-expressed as a clean one-file-per-bucket
+    * artifact under a fresh identity. The old generation keeps serving
+    * until the caller swaps and [[IndexStore.drop]]s it. */
+  private[graft] def rolloverBandIndex(spark: SparkSession, dir: String,
+      admittedDocs: DataFrame, newTag: String,
+      corpusFilter: Column = lit(true)): (String, String) = {
+    val sfx = IndexStore.suffix(dir, newTag, corpusFilter)
+    val bandsT = s"graft_band_idx_$sfx"
+    val setsT = s"graft_sets_idx_$sfx"
+    idxLock(sfx).synchronized {
+      if (!spark.catalog.tableExists(bandsT) || !spark.catalog.tableExists(setsT)) {
+        val cols = Seq(col("doc_id"), col("codes"), col("sz"), col("sig"))
+        val merged = minHashSignatures(spark, dir).filter(corpusFilter)
+          .select(cols: _*)
+          .unionByName(signaturesOnSh(shingledOn(admittedDocs)).select(cols: _*))
+        writeBandTables(merged, sfx, bandsT, setsT)
       }
     }
     (bandsT, setsT)
@@ -1329,16 +1366,42 @@ object Dedup {
     val t = s"graft_span_idx_$sfx"
     idxLock(sfx).synchronized {
       if (!spark.catalog.tableExists(t)) {
-        Tables.documents(spark, dir)
-          .filter(corpusFilter)
-          .select(explode(spanCodes(col("text"), SpanW)).as("code"))
-          .distinct()
-          .repartition(IndexBuckets, col("code"))
-          .write.mode("overwrite").format("parquet")
-          .bucketBy(IndexBuckets, "code")
-          .sortBy("code")
-          .option("path", s"$indexRoot/span_$sfx")
-          .saveAsTable(t)
+        writeSpanTable(Tables.documents(spark, dir).filter(corpusFilter), sfx, t)
+      }
+    }
+    t
+  }
+
+  /** Span-table build core: distinct span codes of a docs frame,
+    * bucketed by code. Callers hold the generation's build lock. */
+  private def writeSpanTable(docs: DataFrame, sfx: String, t: String): Unit =
+    docs
+      .select(explode(spanCodes(col("text"), SpanW)).as("code"))
+      .distinct()
+      .repartition(IndexBuckets, col("code"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(IndexBuckets, "code")
+      .sortBy("code")
+      .option("path", s"$indexRoot/span_$sfx")
+      .saveAsTable(t)
+
+  /** Generation ROLLOVER for the span-code family (see
+    * [[rolloverBandIndex]]): rebuild generation `newTag` from corpus ∪
+    * admitted docs. Span codes are deterministic per document and the
+    * table is distinct-by-construction, so rollover ≡ the merged old
+    * generation row-for-row. */
+  private[graft] def rolloverSpanIndex(spark: SparkSession, dir: String,
+      admittedDocs: DataFrame, newTag: String,
+      corpusFilter: Column = lit(true)): String = {
+    val sfx = IndexStore.suffix(dir, newTag, corpusFilter)
+    val t = s"graft_span_idx_$sfx"
+    idxLock(sfx).synchronized {
+      if (!spark.catalog.tableExists(t)) {
+        writeSpanTable(
+          Tables.documents(spark, dir).filter(corpusFilter)
+            .select(col("doc_id"), col("text"))
+            .unionByName(admittedDocs.select(col("doc_id"), col("text"))),
+          sfx, t)
       }
     }
     t

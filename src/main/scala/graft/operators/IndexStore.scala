@@ -51,6 +51,20 @@ private[graft] object IndexStore {
     * check-then-write. */
   def lock(key: String): AnyRef = locks.computeIfAbsent(key, _ => new AnyRef)
 
+  /** Drop one generation table AND its on-disk files — the final step
+    * of a generation rollover, once probes have swapped to the new
+    * generation. A no-op for a table that does not exist, so a retried
+    * rollover never fails on an already-dropped generation. */
+  def drop(spark: org.apache.spark.sql.SparkSession, table: String): Unit =
+    if (spark.catalog.tableExists(table)) {
+      val loc = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)).location
+      spark.sql(s"DROP TABLE `$table`")
+      val p = new org.apache.hadoop.fs.Path(loc)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      ()
+    }
+
   /** Rewrite a bucketed index table back to one file per bucket
     * without changing a row — the compaction step after ingest merges
     * (each `insertInto` appends a new file per bucket). Stage the

@@ -32,7 +32,7 @@ import graft.functions.TextFunctions.tokens
 object Retrieval {
 
   private val SC = 1000000L
-  private val K = 5
+  private[graft] val K = 5
 
   /** Fixed query workload (terms drawn from the corpus vocabulary). */
   val QueryTerms: Seq[(String, String)] = Seq(
@@ -107,20 +107,53 @@ object Retrieval {
     IndexStore.lock("txt_" + sfx).synchronized {
       if (!spark.catalog.tableExists(tfsT) ||
           !spark.catalog.tableExists(statsT)) {
-        val docs = Tables.documents(spark, dir).filter(corpusFilter)
-          .select(col("doc_id"), col("text"))
-        tfsOf(docs)
-          .repartition(TextIndexBuckets, col("token"))
-          .write.mode("overwrite").format("parquet")
-          .bucketBy(TextIndexBuckets, "token")
-          .sortBy("token")
-          .option("path", s"${IndexStore.root}/tfs_$sfx")
-          .saveAsTable(tfsT)
-        statsRawOf(docs)
-          .coalesce(1)
-          .write.mode("overwrite").format("parquet")
-          .option("path", s"${IndexStore.root}/txtstats_$sfx")
-          .saveAsTable(statsT)
+        writeTextIndex(Tables.documents(spark, dir).filter(corpusFilter)
+          .select(col("doc_id"), col("text")), sfx, tfsT, statsT)
+      }
+    }
+    (tfsT, statsT)
+  }
+
+  /** Text-index build core over an explicit docs frame — shared by
+    * [[ensureTextIndex]] (corpus) and [[rolloverTextIndex]] (corpus ∪
+    * admitted). Postings and the additive stats row depend only on the
+    * SET of input docs. Callers hold the generation's build lock. */
+  private def writeTextIndex(docs: DataFrame, sfx: String,
+      tfsT: String, statsT: String): Unit = {
+    tfsOf(docs)
+      .repartition(TextIndexBuckets, col("token"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(TextIndexBuckets, "token")
+      .sortBy("token")
+      .option("path", s"${IndexStore.root}/tfs_$sfx")
+      .saveAsTable(tfsT)
+    statsRawOf(docs)
+      .coalesce(1)
+      .write.mode("overwrite").format("parquet")
+      .option("path", s"${IndexStore.root}/txtstats_$sfx")
+      .saveAsTable(statsT)
+  }
+
+  /** Generation ROLLOVER for the text-index family (see
+    * [[Dedup.rolloverBandIndex]]): rebuild generation `newTag`'s
+    * postings + stats from corpus ∪ admitted docs. Both artifacts are
+    * untrained and additive, so rollover ≡ the merged old generation
+    * exactly — RolloverSpec asserts row parity AND probe parity, then
+    * drops the old generation and proves probes keep serving. */
+  private[graft] def rolloverTextIndex(spark: SparkSession, dir: String,
+      admittedDocs: DataFrame, newTag: String,
+      corpusFilter: Column = lit(true)): (String, String) = {
+    val sfx = IndexStore.suffix(dir, newTag, corpusFilter)
+    val tfsT = s"graft_tfs_idx_$sfx"
+    val statsT = s"graft_txtstats_idx_$sfx"
+    IndexStore.lock("txt_" + sfx).synchronized {
+      if (!spark.catalog.tableExists(tfsT) ||
+          !spark.catalog.tableExists(statsT)) {
+        writeTextIndex(
+          Tables.documents(spark, dir).filter(corpusFilter)
+            .select(col("doc_id"), col("text"))
+            .unionByName(admittedDocs.select(col("doc_id"), col("text"))),
+          sfx, tfsT, statsT)
       }
     }
     (tfsT, statsT)
@@ -237,7 +270,7 @@ object Retrieval {
   def bm25On(docs: DataFrame, queryTerms: Seq[(String, String)], k: Int): DataFrame =
     topKFromScores(bm25Scores(docs, queryTerms), k)
 
-  private def topKFromScores(scores: DataFrame, k: Int): DataFrame = {
+  private[graft] def topKFromScores(scores: DataFrame, k: Int): DataFrame = {
     val topk = udaf(new graft.functions.TopKByScore(k))
     scores.groupBy(col("query_id"))
       // score_sc < 2^53, so the double round-trip through the top-k

@@ -306,7 +306,7 @@ object Similarity {
     * adc) frame — the ranking stage every ADC variant (flat PQ, IVF-PQ,
     * persisted IVF-PQ) shares: map-side partial top-k, one tiny merge,
     * rank by explode position. */
-  private def adcTopK(scored: DataFrame): DataFrame = {
+  private[graft] def adcTopK(scored: DataFrame): DataFrame = {
     val topk = udaf(new graft.functions.TopKByScore(IvfTopK))
     scored.groupBy(col("query_id"))
       .agg(topk(col("vec_id"), -col("adc")).as("top"))
@@ -508,33 +508,104 @@ object Similarity {
           .filter(dotProduct(col("embedding"), col("embedding")) > 0)
           .filter(corpusFilter)
           .select(col("vec_id"), col("embedding"))
-          .localCheckpoint()
-        val cents = kmeansCentroids(emb)
-        val sliced = emb.select(
-          col("vec_id") +:
-            (0 until PqSubspaces).map(s =>
-              slice(col("embedding"), s * PqSubDim + 1, PqSubDim).as(s"s$s")): _*)
-        val books = pqTrainBooks(sliced)
-        import spark.implicits._
-        val bookRows =
-          cents.toSeq.map { case (cell, v) => (-1, cell, v.toSeq) } ++
-            (0 until PqSubspaces).flatMap(s =>
-              books(s).toSeq.map { case (cell, v) => (s, cell, v.toSeq) })
-        bookRows.toDF("sub", "cell", "vec")
-          .coalesce(1)
-          .write.mode("overwrite").format("parquet")
-          .option("path", s"${IndexStore.root}/pq_books_$sfx")
-          .saveAsTable(booksT)
-        encodeWith(emb, cents, books)
-          .repartition(AnnIndexBuckets, col("cell"))
-          .write.mode("overwrite").format("parquet")
-          .bucketBy(AnnIndexBuckets, "cell")
-          .sortBy("cell")
-          .option("path", s"${IndexStore.root}/pq_codes_$sfx")
-          .saveAsTable(codesT)
+        buildPqIndex(spark, emb, sfx, booksT, codesT)
       }
     }
     (booksT, codesT)
+  }
+
+  /** Train + encode + persist one ANN generation from an explicit
+    * (vec_id, embedding) frame — the build core shared by
+    * [[ensurePqIndex]] (corpus frame) and [[rolloverPqIndex]]
+    * (corpus ∪ admitted). Training sums are exact scaled longs, so the
+    * artifact depends only on the SET of input rows, never their
+    * partitioning or order — what makes rollover parity exact. Callers
+    * hold the generation's build lock. */
+  private def buildPqIndex(spark: SparkSession, embIn: DataFrame,
+      sfx: String, booksT: String, codesT: String): Unit = {
+    val emb = embIn.localCheckpoint()
+    val cents = kmeansCentroids(emb)
+    val sliced = emb.select(
+      col("vec_id") +:
+        (0 until PqSubspaces).map(s =>
+          slice(col("embedding"), s * PqSubDim + 1, PqSubDim).as(s"s$s")): _*)
+    val books = pqTrainBooks(sliced)
+    import spark.implicits._
+    val bookRows =
+      cents.toSeq.map { case (cell, v) => (-1, cell, v.toSeq) } ++
+        (0 until PqSubspaces).flatMap(s =>
+          books(s).toSeq.map { case (cell, v) => (s, cell, v.toSeq) })
+    bookRows.toDF("sub", "cell", "vec")
+      .coalesce(1)
+      .write.mode("overwrite").format("parquet")
+      .option("path", s"${IndexStore.root}/pq_books_$sfx")
+      .saveAsTable(booksT)
+    encodeWith(emb, cents, books)
+      .repartition(AnnIndexBuckets, col("cell"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(AnnIndexBuckets, "cell")
+      .sortBy("cell")
+      .option("path", s"${IndexStore.root}/pq_codes_$sfx")
+      .saveAsTable(codesT)
+  }
+
+  /** Generation ROLLOVER for the ANN family: retrain generation
+    * `newTag` from the standing corpus PLUS the batches admitted into
+    * the current generation — the retrain-at-generation-boundary step
+    * the frozen-book merge contract defers to
+    * (StreamingAnnGate's "drift is repaired at the next generation's
+    * retrain"). Unlike [[mergeBatchIntoPqIndex]] (frozen books, no
+    * retrain), rollover reruns Lloyd's over the MERGED vector set, so
+    * the new books reflect the admitted data's distribution; because
+    * training arithmetic is order-independent exact-integer sums, the
+    * new generation is bit-identical to one trained on an equivalent
+    * single frame — RolloverSpec pins probe parity against the fresh
+    * recompute twin and asserts the retrained books' quantization
+    * error on the merged set is no worse than the frozen books'.
+    *
+    * The OLD generation's tables stay untouched and serving until the
+    * caller swaps probes over and drops them ([[IndexStore.drop]]). */
+  private[graft] def rolloverPqIndex(spark: SparkSession, dir: String,
+      admitted: DataFrame, newTag: String,
+      corpusFilter: Column = lit(true)): (String, String) = {
+    val sfx = IndexStore.suffix(dir, newTag, corpusFilter)
+    val booksT = s"graft_pq_books_$sfx"
+    val codesT = s"graft_pq_codes_$sfx"
+    IndexStore.lock("pq_" + sfx).synchronized {
+      if (!spark.catalog.tableExists(booksT) ||
+          !spark.catalog.tableExists(codesT)) {
+        import graft.functions.VectorFunctions.dotProduct
+        val corpus = Tables.embeddings(spark, dir)
+          .filter(dotProduct(col("embedding"), col("embedding")) > 0)
+          .filter(corpusFilter)
+          .select(col("vec_id"), col("embedding"))
+        val batch = admitted
+          .filter(dotProduct(col("embedding"), col("embedding")) > 0)
+          .select(col("vec_id"), col("embedding"))
+        buildPqIndex(spark, corpus.unionByName(batch), sfx, booksT, codesT)
+      }
+    }
+    (booksT, codesT)
+  }
+
+  /** Mean PQ reconstruction error |x_s − c_s|² summed over subspaces,
+    * averaged over a vector frame — the drift metric the rollover drill
+    * asserts on: books retrained on the merged corpus must encode it
+    * no worse than the previous generation's frozen books. Per-subspace
+    * min-distance uses the same |c|² − 2⟨x,c⟩ scoring as assignment,
+    * plus the |x_s|² completion term. */
+  private[graft] def meanPqQuantError(emb: DataFrame,
+      books: Seq[Array[(Int, Array[Double])]]): Double = {
+    import graft.functions.VectorFunctions.dotProduct
+    def minDist(v: Column, cents: Array[(Int, Array[Double])]): Column =
+      array_min(array(cents.map { case (_, cv) =>
+        lit(selfDot(cv)) - lit(2.0) * dotProduct(v, typedlit(cv))
+      }.toIndexedSeq: _*))
+    emb.select((0 until PqSubspaces).map { s =>
+        val sub = slice(col("embedding"), s * PqSubDim + 1, PqSubDim)
+        minDist(sub, books(s)) + dotProduct(sub, sub)
+      }.reduce(_ + _).as("err"))
+      .agg(avg(col("err")).as("e")).head.getDouble(0)
   }
 
   /** Encode (vec_id, embedding) rows with a FROZEN quantizer pair — one

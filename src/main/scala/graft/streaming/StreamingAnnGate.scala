@@ -72,4 +72,34 @@ object StreamingAnnGate {
       }
       .start()
   }
+
+  /** [[startAdmitting]] with a swappable generation (twin of
+    * [[StreamingIngestGate.startAdmittingRollable]]): the generation is
+    * read once per micro-batch, so probe and admission-merge always hit
+    * the same (books, codes) pair and a [[GenerationRef.swap]] lands at
+    * a batch boundary. This is where the frozen-book drift contract
+    * closes: `Similarity.rolloverPqIndex` RETRAINS the next
+    * generation's books on corpus + admitted vectors, the swap flips
+    * probes over, and the old generation drops — RolloverSpec asserts
+    * the retrained books quantize the merged set no worse than the
+    * frozen books did. */
+  def startAdmittingRollable(spark: SparkSession, dir: String,
+      vecs: DataFrame, gen: GenerationRef)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery =
+    vecs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val (tag, cf) = gen.get()
+        val (booksT, codesT) = Similarity.ensurePqIndex(spark, dir, tag, cf)
+        val verdict = Similarity.annGateVerdict(spark, batch, booksT, codesT)
+          .localCheckpoint()
+        sink(verdict, batchId)
+        val kept = batch.join(
+          verdict.filter(col("keep") && !col("no_content"))
+            .select(col("batch_id").as("vec_id")),
+          "vec_id")
+          .select(col("vec_id"), col("embedding"))
+        Similarity.mergeBatchIntoPqIndex(spark, dir, kept, tag, cf)
+      }
+      .start()
 }

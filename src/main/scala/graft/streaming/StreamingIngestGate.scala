@@ -138,6 +138,35 @@ object StreamingIngestGate {
       .start()
   }
 
+  /** [[startAdmitting]] with a SWAPPABLE generation: the gate reads
+    * `gen` once per micro-batch, probes that generation's tables, and
+    * merges the batch's admitted docs into the SAME generation — so a
+    * [[GenerationRef.swap]] (after the new generation is built and
+    * caught up) lands cleanly at a batch boundary: no document is
+    * dropped or double-judged across the handoff, and the old
+    * generation's tables become droppable the moment the swap returns.
+    * This is the long-running production topology: the stateless
+    * admitting loop runs for the life of the crawl while generations
+    * retrain and retire underneath it. */
+  def startAdmittingRollable(spark: SparkSession, dir: String,
+      docs: DataFrame, gen: GenerationRef)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val (tag, cf) = gen.get()
+        val (bandsT, setsT) = Dedup.ensureBandIndex(spark, dir, tag, cf)
+        val verdict = verdictFor(spark, batch, bandsT, setsT).localCheckpoint()
+        sink(verdict, batchId)
+        val kept = batch.join(
+          verdict.filter(col("admit"))
+            .select(col("batch_id").as("doc_id")),
+          "doc_id")
+          .select(col("doc_id"), col("text"))
+        Dedup.mergeBatchIntoBandIndex(spark, dir, kept, tag, cf)
+      }
+      .start()
+
   /** The FULL production ingest per micro-batch — extract → quality
     * gate → dedup probe for quality survivors only, one reason-tagged
     * verdict row per arriving page (`Pipeline.ingestVerdictFor`; see

@@ -1,0 +1,216 @@
+package graft
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions.dotProduct
+import graft.operators.{Dedup, IndexStore, Retrieval, Similarity}
+import graft.streaming.{GenerationRef, StreamingIngestGate}
+
+/** Generation ROLLOVER across the persisted index families — the step
+  * the merge contract defers to: after an admitting run folds batches
+  * into generation G, generation G+1 is rebuilt (band/span/text) or
+  * RETRAINED (ANN books) from corpus + admitted, probes swap over, and
+  * G drops. These drills pin the full lifecycle:
+  *   (a) the rolled-over generation's probe is identical to the
+  *       incrementally merged G (untrained families) or to the fresh
+  *       full-corpus recompute twin (ANN — training arithmetic is
+  *       order-independent exact-integer sums, so retraining on
+  *       corpus ∪ admitted equals training on the equivalent frame),
+  *   (b) G keeps serving until the swap,
+  *   (c) G is droppable afterwards — the new generation's probes are
+  *       self-contained,
+  *   (d) the ANN drift contract becomes an assertion: books retrained
+  *       on the merged set quantize it no worse than G's frozen books,
+  *   (e) an admitting STREAM hands off G → G+1 at a batch boundary
+  *       with one-verdict-per-doc totality — nothing dropped, nothing
+  *       double-judged, and admissions since the retrain snapshot are
+  *       caught up before the swap. */
+class RolloverSpec extends SparkSpec {
+
+  private def rows(df: DataFrame): Set[String] =
+    df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSet
+
+  private val drill = Dedup.drillCorpusFilter
+  private def batchDocs: DataFrame =
+    Tables.documents(spark, sf0001)
+      .filter(pmod(col("doc_id"), lit(Dedup.IncrementalBatchMod)) === 0)
+      .select(col("doc_id"), col("text"))
+
+  test("band family: rollover equals merged G, probes swap, G drops") {
+    val (b0, s0) = Dedup.ensureBandIndex(spark, sf0001, "rollg0", drill)
+    Dedup.mergeBatchIntoBandIndex(spark, sf0001, batchDocs, "rollg0", drill)
+    val (b1, s1) = Dedup.rolloverBandIndex(spark, sf0001, batchDocs, "rollg1", drill)
+
+    // (a) rebuilt-from-scratch G+1 is row-identical to incrementally
+    // merged G — signatures carry no trained state
+    assert(rows(spark.table(b1)) == rows(spark.table(b0)),
+      "rolled band table != merged band table")
+    assert(rows(spark.table(s1)) == rows(spark.table(s0)),
+      "rolled sets table != merged sets table")
+
+    // probe parity on a fresh probe set (docs outside the batch split)
+    val probe = Dedup.minHashSignatures(spark, sf0001)
+      .filter(pmod(col("doc_id"), lit(7L)) === 1)
+    val fromG0 = rows(Dedup.probeBandIndex(spark, probe, b0, s0))
+    val fromG1 = rows(Dedup.probeBandIndex(spark, probe, b1, s1))
+    assert(fromG0.nonEmpty, "probe set produced no verdicts")
+    assert(fromG0 == fromG1, "G+1 probe diverged from G probe")
+
+    // (c) drop G — G+1 serves alone
+    IndexStore.drop(spark, b0)
+    IndexStore.drop(spark, s0)
+    assert(!spark.catalog.tableExists(b0) && !spark.catalog.tableExists(s0))
+    assert(rows(Dedup.probeBandIndex(spark, probe, b1, s1)) == fromG1,
+      "G+1 probe changed after dropping G")
+  }
+
+  test("span family: rollover equals merged G, G drops") {
+    val t0 = Dedup.ensureSpanIndex(spark, sf0001, "rollg0", drill)
+    Dedup.mergeBatchIntoSpanIndex(spark, sf0001, batchDocs, "rollg0", drill)
+    val t1 = Dedup.rolloverSpanIndex(spark, sf0001, batchDocs, "rollg1", drill)
+    assert(rows(spark.table(t1)) == rows(spark.table(t0)),
+      "rolled span table != merged span table")
+    IndexStore.drop(spark, t0)
+    assert(!spark.catalog.tableExists(t0))
+    assert(spark.table(t1).count() > 0, "G+1 span table empty after drop of G")
+  }
+
+  test("text family: rollover equals merged G, BM25 probes swap, G drops") {
+    import spark.implicits._
+    val (t0, st0) = Retrieval.ensureTextIndex(spark, sf0001, "rollg0", drill)
+    Retrieval.mergeBatchIntoTextIndex(spark, sf0001, batchDocs, "rollg0", drill)
+    val (t1, st1) = Retrieval.rolloverTextIndex(spark, sf0001, batchDocs, "rollg1", drill)
+
+    assert(rows(spark.table(t1)) == rows(spark.table(t0)),
+      "rolled postings != merged postings")
+    assert(rows(spark.table(st1)) == rows(spark.table(st0)),
+      "rolled stats != merged stats (additivity broken)")
+
+    def topK(tfsT: String, statsT: String): Set[String] = rows(
+      Retrieval.topKFromScores(Retrieval.scoresFromTextIndex(spark, tfsT, statsT,
+        Retrieval.QueryTerms.toDF("query_id", "token").withColumn("w", lit(1L))),
+        Retrieval.K))
+    val fromG0 = topK(t0, st0)
+    val fromG1 = topK(t1, st1)
+    assert(fromG0.nonEmpty && fromG0 == fromG1,
+      "G+1 BM25 ranking diverged from merged G")
+
+    IndexStore.drop(spark, t0)
+    IndexStore.drop(spark, st0)
+    assert(topK(t1, st1) == fromG1, "G+1 ranking changed after dropping G")
+  }
+
+  test("ANN family: retrained G+1 equals fresh recompute; drift repaired; G drops") {
+    val drillF = pmod(col("vec_id"), lit(4L)) =!= 0
+    val (bk0, cd0) = Similarity.ensurePqIndex(spark, sf0001, "rollg0", drillF)
+    val admitted = Tables.embeddings(spark, sf0001)
+      .filter(pmod(col("vec_id"), lit(4L)) === 0)
+      .select(col("vec_id"), col("embedding"))
+    // G admits the batch under FROZEN books (the between-retrains mode)
+    Similarity.mergeBatchIntoPqIndex(spark, sf0001, admitted, "rollg0", drillF)
+
+    // G+1 RETRAINS on corpus ∪ admitted = the full vector set; training
+    // sums are exact scaled longs, so the retrained generation must be
+    // bit-identical to one trained on the full corpus directly — probe
+    // parity against the fresh recompute twin (whose DuckDB oracle is
+    // green) is therefore EXACT, not approximate
+    val (bk1, cd1) = Similarity.rolloverPqIndex(spark, sf0001, admitted,
+      "rollg1", drillF)
+    val fromG1 = rows(Similarity.adcTopK(
+      Similarity.probePqIndex(spark, sf0001, bk1, cd1)))
+    assert(fromG1 == rows(Similarity.topKIvfPq(spark, sf0001)),
+      "retrained G+1 probe diverged from the fresh full-corpus recompute")
+
+    // (b) G keeps serving while G+1 exists
+    assert(rows(Similarity.probePqIndex(spark, sf0001, bk0, cd0)).nonEmpty,
+      "G stopped serving before the swap")
+
+    // (d) drift assertion — the StreamingAnnGate contract ("drift is
+    // repaired at the next generation's retrain") made checkable:
+    // G+1's books, trained on the merged set, must reconstruct it no
+    // worse than G's frozen books (trained on 3/4 of it)
+    val emb = Tables.embeddings(spark, sf0001)
+      .filter(dotProduct(col("embedding"), col("embedding")) > 0)
+      .select(col("vec_id"), col("embedding"))
+    val (_, books0) = Similarity.loadBooks(spark, bk0)
+    val (_, books1) = Similarity.loadBooks(spark, bk1)
+    val err0 = Similarity.meanPqQuantError(emb, books0)
+    val err1 = Similarity.meanPqQuantError(emb, books1)
+    assert(err1 <= err0,
+      f"retrained books reconstruct WORSE than frozen books: $err1%.6f > $err0%.6f")
+
+    // (c) drop G — G+1 probes alone
+    IndexStore.drop(spark, bk0)
+    IndexStore.drop(spark, cd0)
+    assert(!spark.catalog.tableExists(bk0) && !spark.catalog.tableExists(cd0))
+    assert(rows(Similarity.adcTopK(
+      Similarity.probePqIndex(spark, sf0001, bk1, cd1))) == fromG1,
+      "G+1 probe changed after dropping G")
+  }
+
+  test("streaming handoff: admitting stream swaps G -> G+1 at a batch boundary") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    def novel(seed: Char): String = (1 to 40).map(i => s"rv$seed$i").mkString(" ")
+    val d1 = (2000001L, novel('a'))
+    val d2 = (2000002L, novel('b'))
+    val d3 = (2000003L, novel('c'))
+    val d4 = (2000004L, "x") // unshingleable -> no_content, never admitted
+    val d5 = (2000005L, novel('a')) // dup of d1 (admitted pre-retrain snapshot)
+    val d6 = (2000006L, novel('c')) // dup of d3 (admitted AFTER the snapshot)
+    val d7 = (2000007L, novel('e')) // fresh
+
+    val g0 = ("rollsg0", lit(true))
+    val (b0, s0) = Dedup.ensureBandIndex(spark, sf0001, g0._1, g0._2)
+    val gen = new GenerationRef(g0._1, g0._2)
+    val got = mutable.Buffer[Row]()
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingIngestGate.startAdmittingRollable(spark, sf0001,
+      input.toDF().toDF("doc_id", "text"), gen) { (verdict, _) =>
+      got.synchronized { got ++= verdict.collect() }
+    }
+    try {
+      // batch 1 admits d1, d2 into G
+      input.addData(d1, d2); q.processAllAvailable()
+      // retrain snapshot: G+1 = corpus + admitted-so-far (d1, d2)
+      val kept1 = Seq(d1, d2).toDF("doc_id", "text")
+      val (b1, s1) = Dedup.rolloverBandIndex(spark, sf0001, kept1, "rollsg1", g0._2)
+      // batch 2 lands while G+1 builds: d3 admitted into G, d4 no_content
+      input.addData(d3, d4); q.processAllAvailable()
+      // catch-up: admissions since the snapshot merge into G+1 ...
+      Dedup.mergeBatchIntoBandIndex(spark, sf0001,
+        Seq(d3).toDF("doc_id", "text"), "rollsg1", g0._2)
+      // ... then the swap flips the gate and G drops
+      gen.swap("rollsg1", g0._2)
+      IndexStore.drop(spark, b0)
+      IndexStore.drop(spark, s0)
+      assert(!spark.catalog.tableExists(b0) && !spark.catalog.tableExists(s0))
+      // batch 3 probes G+1 alone (G is GONE — these verdicts prove the
+      // swap actually took): dups of both pre- and post-snapshot
+      // admissions must flag, fresh content must admit
+      input.addData(d5, d6, d7); q.processAllAvailable()
+      val _ = (b1, s1)
+    } finally q.stop()
+
+    // totality across the handoff: every arrival exactly one verdict
+    val ids = got.map(_.getLong(0))
+    assert(ids.size == 7 && ids.distinct.size == 7,
+      s"expected 7 unique verdicts across the swap, got $ids")
+    val byId = got.map(r => r.getLong(0) ->
+      ((r.getBoolean(3), r.getBoolean(4), r.getBoolean(5)))).toMap // keep, no_content, admit
+    assert(byId(2000001L)._3 && byId(2000002L)._3 && byId(2000003L)._3,
+      s"novel pre-swap docs not admitted: $byId")
+    assert(byId(2000004L)._2 && !byId(2000004L)._3,
+      s"unshingleable doc must be no_content and unadmitted: $byId")
+    assert(!byId(2000005L)._1,
+      s"dup of a pre-snapshot admission not flagged by G+1: $byId")
+    assert(!byId(2000006L)._1,
+      s"dup of a post-snapshot (caught-up) admission not flagged by G+1: $byId")
+    assert(byId(2000007L)._1 && byId(2000007L)._3,
+      s"fresh post-swap doc wrongly dropped: $byId")
+  }
+}
