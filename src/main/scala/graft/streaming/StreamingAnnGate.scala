@@ -54,9 +54,11 @@ object StreamingAnnGate {
     * of admitted vectors uses the standing books by design — drift
     * repairs at the next generation's retrain. */
   def startAdmitting(spark: SparkSession, dir: String, vecs: DataFrame,
-      tag: String = "", corpusFilter: Column = lit(true))(
+      tag: String = "", corpusFilter: Column = lit(true),
+      compactEvery: Int = StreamingIngestGate.CompactEveryMerges)(
       sink: (DataFrame, Long) => Unit): StreamingQuery = {
     val (booksT, codesT) = Similarity.ensurePqIndex(spark, dir, tag, corpusFilter)
+    val merges = new java.util.concurrent.atomic.AtomicLong(0L)
     vecs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -69,6 +71,10 @@ object StreamingAnnGate {
           "vec_id")
           .select(col("vec_id"), col("embedding"))
         Similarity.mergeBatchIntoPqIndex(spark, dir, kept, tag, corpusFilter)
+        // files-per-bucket stays <= compactEvery for the life of the
+        // stream; the rewrite is row-identical (PersistedAnnIndexSpec)
+        if (merges.incrementAndGet() % compactEvery == 0)
+          Similarity.compactPqIndex(spark, dir, tag, corpusFilter)
       }
       .start()
   }
@@ -84,8 +90,10 @@ object StreamingAnnGate {
     * the retrained books quantize the merged set no worse than the
     * frozen books did. */
   def startAdmittingRollable(spark: SparkSession, dir: String,
-      vecs: DataFrame, gen: GenerationRef)(
-      sink: (DataFrame, Long) => Unit): StreamingQuery =
+      vecs: DataFrame, gen: GenerationRef,
+      compactEvery: Int = StreamingIngestGate.CompactEveryMerges)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    val merges = new java.util.concurrent.atomic.AtomicLong(0L)
     vecs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -100,6 +108,9 @@ object StreamingAnnGate {
           "vec_id")
           .select(col("vec_id"), col("embedding"))
         Similarity.mergeBatchIntoPqIndex(spark, dir, kept, tag, cf)
+        if (merges.incrementAndGet() % compactEvery == 0)
+          Similarity.compactPqIndex(spark, dir, tag, cf)
       }
       .start()
+  }
 }

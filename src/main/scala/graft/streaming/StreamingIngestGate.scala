@@ -106,6 +106,17 @@ object StreamingIngestGate {
       .start()
   }
 
+  /** Default admission-merge count between automatic compactions of an
+    * admitting gate's index. Each merge appends at most one file per
+    * bucket, so files-per-bucket is bounded by this value at all times
+    * — without it, a long-running admitting stream accretes one file
+    * per bucket per batch forever (thousands of batches → thousands of
+    * files per bucket before any manual `compact*Index` call). The
+    * compaction is row-identical by construction (the merge→compact
+    * drills in PersistedIndexSpec/PersistedAnnIndexSpec prove the
+    * rewrite changes no row); this knob only schedules it. */
+  val CompactEveryMerges = 16
+
   /** The ADMITTING gate: like [[start]], but each micro-batch's KEPT
     * documents are folded into the standing band index before the next
     * batch probes (`Dedup.mergeBatchIntoBandIndex` — a bucket-spec
@@ -117,12 +128,16 @@ object StreamingIngestGate {
     * provably pre-admission (a lazy probe re-evaluated after the merge
     * would see the batch's own docs and self-flag them); within one
     * micro-batch, arrivals still do not judge each other — the merge
-    * boundary is the batch boundary. Compaction
-    * (`Dedup.compactBandIndex`) applies between generations as usual. */
+    * boundary is the batch boundary. Every `compactEvery` merges the
+    * index compacts back to one file per bucket (same suffix lock as
+    * the merge, so probe/merge/compact serialize); generation
+    * boundaries still apply the full rollover lifecycle. */
   def startAdmitting(spark: SparkSession, dir: String, docs: DataFrame,
-      tag: String = "", corpusFilter: Column = lit(true))(
+      tag: String = "", corpusFilter: Column = lit(true),
+      compactEvery: Int = CompactEveryMerges)(
       sink: (DataFrame, Long) => Unit): StreamingQuery = {
     val (bandsT, setsT) = Dedup.ensureBandIndex(spark, dir, tag, corpusFilter)
+    val merges = new java.util.concurrent.atomic.AtomicLong(0L)
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -134,6 +149,8 @@ object StreamingIngestGate {
           "doc_id")
           .select(col("doc_id"), col("text"))
         Dedup.mergeBatchIntoBandIndex(spark, dir, kept, tag, corpusFilter)
+        if (merges.incrementAndGet() % compactEvery == 0)
+          Dedup.compactBandIndex(spark, dir, tag, corpusFilter)
       }
       .start()
   }
@@ -149,8 +166,10 @@ object StreamingIngestGate {
     * admitting loop runs for the life of the crawl while generations
     * retrain and retire underneath it. */
   def startAdmittingRollable(spark: SparkSession, dir: String,
-      docs: DataFrame, gen: GenerationRef)(
-      sink: (DataFrame, Long) => Unit): StreamingQuery =
+      docs: DataFrame, gen: GenerationRef,
+      compactEvery: Int = CompactEveryMerges)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    val merges = new java.util.concurrent.atomic.AtomicLong(0L)
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -164,8 +183,11 @@ object StreamingIngestGate {
           "doc_id")
           .select(col("doc_id"), col("text"))
         Dedup.mergeBatchIntoBandIndex(spark, dir, kept, tag, cf)
+        if (merges.incrementAndGet() % compactEvery == 0)
+          Dedup.compactBandIndex(spark, dir, tag, cf)
       }
       .start()
+  }
 
   /** The FULL production ingest per micro-batch — extract → quality
     * gate → dedup probe for quality survivors only, one reason-tagged
