@@ -333,8 +333,18 @@ object Curation {
     * verdict is one broadcast of two integers back over the scored
     * frame. Docs too short to score (< 1 bigram) are out of scope by
     * the LM's contract — they belong to the length gates upstream. */
-  def pplFilter(spark: SparkSession, dir: String): DataFrame = {
-    val nll = TextAnalysis.charLmScore(spark, dir)
+  def pplFilter(spark: SparkSession, dir: String): DataFrame =
+    pplFilterFrom(TextAnalysis.charLmScore(spark, dir))
+
+  /** [[pplFilter]] scored by the PERSISTED char-bigram LM — the
+    * deployed shape: the gate loads its generation's model table and
+    * scores in one corpus pass, retraining nothing. Hash-identical to
+    * the recompute twin (shares its oracle verbatim). */
+  def pplFilterPersisted(spark: SparkSession, dir: String): DataFrame =
+    pplFilterFrom(TextAnalysis.charLmScorePersisted(spark, dir))
+
+  private def pplFilterFrom(nllNats: DataFrame): DataFrame = {
+    val nll = nllNats
       .select(col("doc_id"),
         expr("cast(round(nll_nats * 1000000.0, 0) as bigint)").as("nll_micro"))
       .localCheckpoint() // feeds the sample and the verdict
@@ -532,8 +542,10 @@ object Curation {
   def classifierQuality(spark: SparkSession, dir: String): DataFrame =
     classifierQualityOn(Tables.documents(spark, dir))
 
-  /** Train-and-score core over any (doc_id, text) frame. */
-  def classifierQualityOn(corpus: DataFrame): DataFrame = {
+  /** The weak-labeled token-grain frame — (doc_id, hq) docs plus
+    * (doc_id, hq, token, bucket) tokens, shared by training, scoring,
+    * and the persisted-model probe. */
+  private def classifierFrames(corpus: DataFrame): (DataFrame, DataFrame) = {
     val t = tokens(col("text"))
     val docs = corpus
       .select(col("doc_id"), t.as("toks"))
@@ -542,13 +554,24 @@ object Curation {
     val tok = docs
       .select(col("doc_id"), col("hq"), explode(col("toks")).as("token"))
       .withColumn("bucket", pmod(polyHash(col("token")), lit(ClassifierBuckets)))
-    val w = tok.groupBy(col("bucket")).agg(
-      expr(s"($SC * (sum(CASE WHEN hq THEN 1 ELSE 0 END) + 1)) div (count(*) + 2)")
-        .as("w_sc"))
-    val scored = tok.join(broadcast(w), Seq("bucket"))
+    (docs, tok)
+  }
+
+  /** Score a token frame with a (bucket, w_sc) weight table — the
+    * apply core shared by the fresh path and the persisted probe. */
+  private def classifierScoreWith(tok: DataFrame, w: DataFrame): DataFrame =
+    tok.join(broadcast(w), Seq("bucket"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
         expr("sum(w_sc) div count(*)").as("score_sc"))
+
+  /** Train-and-score core over any (doc_id, text) frame. */
+  def classifierQualityOn(corpus: DataFrame): DataFrame = {
+    val (docs, tok) = classifierFrames(corpus)
+    val w = tok.groupBy(col("bucket")).agg(
+      expr(s"($SC * (sum(CASE WHEN hq THEN 1 ELSE 0 END) + 1)) div (count(*) + 2)")
+        .as("w_sc"))
+    val scored = classifierScoreWith(tok, w)
     // decision threshold = the corpus mean score (1-row broadcast):
     // mean-of-weights scores shrink toward the base rate as documents
     // grow (law of large numbers over ~50 tokens), so an absolute
@@ -560,6 +583,75 @@ object Curation {
       .select(col("doc_id"), col("n_tokens"), col("score_sc"),
         (col("score_sc") >= col("mean_sc")).as("predicted_hq"),
         col("hq").as("label_hq"))
+  }
+
+  /** Write-once-per-generation quality-classifier artifact (persisted
+    * MODEL family, with the char-LM and BPE tables): the 64-row
+    * bucket-weight table plus a 1-row stats table holding the decision
+    * threshold (corpus mean score) and the observed score range the
+    * calibration report bins over. Everything downstream of the model
+    * is exact integer arithmetic, so the persisted probes are
+    * hash-identical to the recompute twins and share their oracles
+    * verbatim. */
+  private[graft] def ensureClassifierModel(spark: SparkSession, dir: String,
+      tag: String = "", corpusFilter: Column = lit(true)): (String, String) = {
+    val sfx = IndexStore.suffix(dir, tag, corpusFilter)
+    val wT = s"graft_clsw_idx_$sfx"
+    val statsT = s"graft_clsstats_idx_$sfx"
+    IndexStore.lock("cls_" + sfx).synchronized {
+      if (!spark.catalog.tableExists(wT) ||
+          !spark.catalog.tableExists(statsT)) {
+        val (_, tok) = classifierFrames(
+          Tables.documents(spark, dir).filter(corpusFilter))
+        val w = tok.groupBy(col("bucket")).agg(
+          expr(s"($SC * (sum(CASE WHEN hq THEN 1 ELSE 0 END) + 1)) div (count(*) + 2)")
+            .as("w_sc"))
+          .localCheckpoint() // feeds both the table write and the stats scoring
+        w.coalesce(1)
+          .write.mode("overwrite").format("parquet")
+          .option("path", s"${IndexStore.root}/clsw_$sfx")
+          .saveAsTable(wT)
+        classifierScoreWith(tok, w)
+          .agg(expr("sum(score_sc) div count(*)").as("mean_sc"),
+            min(col("score_sc")).as("mn"), max(col("score_sc")).as("mx"))
+          .coalesce(1)
+          .write.mode("overwrite").format("parquet")
+          .option("path", s"${IndexStore.root}/clsstats_$sfx")
+          .saveAsTable(statsT)
+      }
+    }
+    (wT, statsT)
+  }
+
+  /** [[classifierQuality]] served from the persisted model: one corpus
+    * pass (tokenize + score, the query's job), weights and threshold
+    * loaded from the generation tables — no training aggregate in the
+    * probe plan. */
+  def classifierQualityPersisted(spark: SparkSession, dir: String): DataFrame = {
+    val (wT, statsT) = ensureClassifierModel(spark, dir)
+    val (docs, tok) = classifierFrames(Tables.documents(spark, dir))
+    classifierScoreWith(tok, spark.table(wT))
+      .crossJoin(broadcast(spark.table(statsT).select(col("mean_sc"))))
+      .join(docs.select(col("doc_id"), col("hq")), Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"), col("score_sc"),
+        (col("score_sc") >= col("mean_sc")).as("predicted_hq"),
+        col("hq").as("label_hq"))
+  }
+
+  /** [[classifierCalibration]] served from the persisted model — the
+    * decile edges come off the persisted (mn, mx), so the report is a
+    * single scan-score-bin pass. */
+  def classifierCalibrationPersisted(spark: SparkSession, dir: String): DataFrame = {
+    val (wT, statsT) = ensureClassifierModel(spark, dir)
+    val (docs, tok) = classifierFrames(Tables.documents(spark, dir))
+    classifierScoreWith(tok, spark.table(wT))
+      .join(docs.select(col("doc_id"), col("hq").as("label_hq")), Seq("doc_id"))
+      .crossJoin(broadcast(spark.table(statsT).select(col("mn"), col("mx"))))
+      .withColumn("decile", expr("((score_sc - mn) * 10) div (mx - mn + 1)"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("label_hq"), lit(1L)).otherwise(lit(0L))).as("n_hq"))
+      .withColumn("hq_rate_milli", expr("(1000 * n_hq) div n_docs"))
   }
 
   /** Calibration (reliability) table for the hashed classifier: docs
@@ -583,10 +675,15 @@ object Curation {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_classifier_calibration" -> ((s, d) => classifierCalibration(s, d)),
+    "text_classifier_calibration_persisted" ->
+      ((s, d) => classifierCalibrationPersisted(s, d)),
     "text_classifier_quality" -> ((s, d) => classifierQuality(s, d)),
+    "text_classifier_quality_persisted" ->
+      ((s, d) => classifierQualityPersisted(s, d)),
     "curriculum_stages" -> ((s, d) => curriculumStages(s, d)),
     "curation_token_budget" -> ((s, d) => tokenBudgetSelect(s, d)),
     "curation_ppl_filter" -> ((s, d) => pplFilter(s, d)),
+    "curation_ppl_filter_persisted" -> ((s, d) => pplFilterPersisted(s, d)),
     "sample_priority" -> ((s, d) => samplePriority(s, d)),
     "sample_reservoir" -> ((s, d) => sampleReservoir(s, d)),
     "sample_reservoir_per_lang" -> ((s, d) => sampleReservoirPerLang(s, d)),
@@ -620,7 +717,7 @@ object Curation {
   private[operators] val stopEnSql =
     TextAnalysis.stop("en").map(w => s"'$w'").mkString(", ")
 
-  val oracle: Map[String, String] = Map(
+  private val oracleBase: Map[String, String] = Map(
     "curation_token_budget" ->
       s"""WITH t AS (SELECT doc_id,
          |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
@@ -836,4 +933,14 @@ object Curation {
         |  round(n_docs / total_docs::DOUBLE, 9) AS p,
         |  round(sqrt(n_docs::DOUBLE) / sum_sqrt, 9) AS weight
         |FROM g, t ORDER BY lang""".stripMargin)
+
+  /** Persisted-model twins share the recompute oracles verbatim — the
+    * driver-level proof that loading the generation artifact changes
+    * nothing a query can observe. */
+  val oracle: Map[String, String] = oracleBase ++ Map(
+    "text_classifier_quality_persisted" ->
+      oracleBase("text_classifier_quality"),
+    "text_classifier_calibration_persisted" ->
+      oracleBase("text_classifier_calibration"),
+    "curation_ppl_filter_persisted" -> oracleBase("curation_ppl_filter"))
 }
