@@ -176,7 +176,12 @@ object Similarity {
     * one (cell)-keyed aggregate of scaled-long component sums — the
     * standard distributed k-means shape (map-side partials, k×dim longs
     * over the shuffle). Only the k centroids ever reach the driver. */
+  /** Count of Lloyd's training runs this JVM — the spec seam proving
+    * the persisted-books reuse path really skips retraining. */
+  private[graft] val lloydRuns = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private[graft] def kmeansCentroids(emb: DataFrame): Array[(Int, Array[Double])] = {
+    lloydRuns.incrementAndGet()
     var cents: Array[(Int, Array[Double])] = emb
       .filter(col("vec_id") < KMeansCells)
       .select(col("vec_id"), col("embedding"))
@@ -226,7 +231,19 @@ object Similarity {
       val emb = Tables.embeddings(spark, dir)
         .filter(dotProduct(col("embedding"), col("embedding")) > 0)
         .localCheckpoint()
-      withCell(emb, kmeansCentroids(emb))
+      // When the dir's default persisted ANN generation exists, its
+      // books table IS this quantizer, durable across sessions (same
+      // training frame, same exact-integer Lloyd's, doubles round-trip
+      // parquet bit-for-bit) — load it instead of retraining, so one
+      // generation's Lloyd's run serves IVF search, IVF-PQ, SemDeDup,
+      // AND every later session (PersistedBooksReuseSpec asserts both
+      // the skip and the centroid bit-parity; dedup_semdedup's oracle
+      // hash is unchanged by construction).
+      val booksT = s"graft_pq_books_${IndexStore.suffix(dir, "", lit(true))}"
+      val cents =
+        if (spark.catalog.tableExists(booksT)) loadBooks(spark, booksT)._1
+        else kmeansCentroids(emb)
+      withCell(emb, cents)
         .select(col("vec_id"), col("embedding"), col("cell"))
         .localCheckpoint()
     }
