@@ -104,10 +104,15 @@ object Html {
     "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
     "&apos;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
 
-  /** The entity chain as a Column transform (entity strings are
-    * regex-literal-safe, so regexp_replace doubles as plain replace). */
+  /** The entity chain as a Column transform — literal `replace`, not
+    * regexp_replace: the entities are plain strings, and this chain
+    * runs per BLOCK and per ANCHOR inside interpreted higher-order
+    * lambdas, so seven regex-engine passes per call site were the
+    * extractor's hottest line (CrawlBreakdown r10). Identical output:
+    * the same substrings replaced in the same order. */
   private def decodeEntities(c: Column): Column =
-    EntityMap.foldLeft(c) { case (acc, (e, v)) => regexp_replace(acc, e, v) }
+    EntityMap.foldLeft(c) { case (acc, (e, v)) =>
+      org.apache.spark.sql.functions.replace(acc, lit(e), lit(v)) }
 
   /** Pre-segmentation cleanup: drop script/style payloads, then
     * comments. */
@@ -135,11 +140,17 @@ object Html {
     docs
       .select(col("doc_id"), htmlCol(col("doc_id"), col("text")).as("html"))
       .withColumn("blocks", split(cleanHtml(col("html")), BlockSplitRe))
-      .withColumn("bs", transform(col("blocks"), b => struct(
-        trim(decodeEntities(regexp_replace(b, TagRe, ""))).as("txt"),
-        aggregate(anchorTexts(b), lit(0L),
+      // bind the anchor list ONCE per block before the stats struct:
+      // higher-order lambdas evaluate interpreted with no subexpression
+      // sharing, so referencing anchorTexts(b) twice (sum + count) ran
+      // the anchor regex twice per block
+      .withColumn("pre", transform(col("blocks"), b => struct(
+        b.as("raw"), anchorTexts(b).as("anchors"))))
+      .withColumn("bs", transform(col("pre"), p => struct(
+        trim(decodeEntities(regexp_replace(p.getField("raw"), TagRe, ""))).as("txt"),
+        aggregate(p.getField("anchors"), lit(0L),
           (a, x) => a + length(decodeEntities(x)).cast("long")).as("ac"),
-        size(anchorTexts(b)).cast("long").as("nl"))))
+        size(p.getField("anchors")).cast("long").as("nl"))))
       .withColumn("nonempty", filter(col("bs"),
         s => s.getField("txt") =!= lit("")))
       .withColumn("kept", filter(col("bs"), s =>
