@@ -150,6 +150,76 @@ class RolloverSpec extends SparkSpec {
       "G+1 probe changed after dropping G")
   }
 
+  test("ANN streaming handoff: admitting vectors swap to RETRAINED books") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // the drill's KEPT vectors are novel vs the held-out-split index;
+    // re-sent copies land within quantization error of their admitted
+    // twins (the StreamingAnnGateSpec construction)
+    val drillF = Similarity.annDrillFilter
+    val keptIds = Similarity.annIngestGate(spark, sf0001)
+      .filter(col("keep") && !col("no_content"))
+      .select("batch_id").as[Long].collect().toSet
+    assert(keptIds.nonEmpty)
+    val keptVecs = Tables.embeddings(spark, sf0001)
+      .filter(col("vec_id").isin(keptIds.toSeq: _*))
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def reId(base: Long) = keptVecs.map { case (id, v) => (base + id, v) }
+    val b1 = reId(6000000L)
+    val b2 = reId(7000000L)
+    val b3 = reId(8000000L)
+
+    val (bk0, cd0) = Similarity.ensurePqIndex(spark, sf0001, "rollsann0", drillF)
+    val gen = new graft.streaming.GenerationRef("rollsann0", drillF)
+    val got = mutable.Buffer[Row]()
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.StreamingAnnGate.startAdmittingRollable(spark, sf0001,
+      input.toDF().toDF("vec_id", "embedding"), gen) { (verdict, _) =>
+      got.synchronized { got ++= verdict.collect() }
+    }
+    try {
+      // batch 1: novel -> admitted into G under its frozen books
+      input.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+      // retrain snapshot: G+1 books learn corpus ∪ admitted-so-far
+      val (bk1, cd1) = Similarity.rolloverPqIndex(spark, sf0001,
+        b1.toSeq.toDF("vec_id", "embedding"), "rollsann1", drillF)
+      // batch 2 lands on G while G+1 trains; most re-sent copies flag
+      input.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+      // catch-up: whatever batch 2 ADMITTED since the snapshot merges
+      // into G+1 (encoded with the retrained books), then swap + drop G
+      val admitted2 = got.synchronized {
+        got.filter(r => r.getLong(0) >= 7000000L && r.getBoolean(3) &&
+          !r.getBoolean(4)).map(_.getLong(0)).toSet
+      }
+      if (admitted2.nonEmpty)
+        Similarity.mergeBatchIntoPqIndex(spark, sf0001,
+          b2.filter(t => admitted2(t._1)).toSeq.toDF("vec_id", "embedding"),
+          "rollsann1", drillF)
+      gen.swap("rollsann1", drillF)
+      IndexStore.drop(spark, bk0)
+      IndexStore.drop(spark, cd0)
+      assert(!spark.catalog.tableExists(bk0) && !spark.catalog.tableExists(cd0))
+      // batch 3 probes the RETRAINED generation alone (G is gone):
+      // re-sent copies of b1 admissions must still flag — the retrained
+      // books reconstruct them at least as well as the frozen ones did
+      input.addData(b3.toIndexedSeq: _*); q.processAllAvailable()
+      val _ = (bk1, cd1)
+    } finally q.stop()
+
+    val ids = got.map(_.getLong(0))
+    assert(ids.size == 3 * keptVecs.length && ids.distinct.size == ids.size,
+      s"expected ${3 * keptVecs.length} unique verdicts across the swap, got ${ids.size}")
+    val byId = got.map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(b1.forall { case (id, _) => byId(id) },
+      "batch-1 verdicts diverged from the drill (self-flagged pre-admission?)")
+    val flagged3 = b3.count { case (id, _) => !byId(id) }
+    assert(flagged3 * 2 >= b3.length && flagged3 >= 1,
+      s"only $flagged3/${b3.length} re-sent vectors flagged by the retrained generation")
+  }
+
   test("streaming handoff: admitting stream swaps G -> G+1 at a batch boundary") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
