@@ -623,6 +623,42 @@ object Curation {
     (wT, statsT)
   }
 
+  /** Generation ROLLOVER for the classifier (see
+    * [[TextAnalysis.rolloverCharLmModel]]): retrain weights, threshold,
+    * and calibration range over corpus ∪ admitted under `newTag`. */
+  private[graft] def rolloverClassifierModel(spark: SparkSession, dir: String,
+      admittedDocs: DataFrame, newTag: String,
+      corpusFilter: Column = lit(true)): (String, String) = {
+    val sfx = IndexStore.suffix(dir, newTag, corpusFilter)
+    val wT = s"graft_clsw_idx_$sfx"
+    val statsT = s"graft_clsstats_idx_$sfx"
+    IndexStore.lock("cls_" + sfx).synchronized {
+      if (!spark.catalog.tableExists(wT) ||
+          !spark.catalog.tableExists(statsT)) {
+        val (_, tok) = classifierFrames(
+          Tables.documents(spark, dir).filter(corpusFilter)
+            .select(col("doc_id"), col("text"))
+            .unionByName(admittedDocs.select(col("doc_id"), col("text"))))
+        val w = tok.groupBy(col("bucket")).agg(
+          expr(s"($SC * (sum(CASE WHEN hq THEN 1 ELSE 0 END) + 1)) div (count(*) + 2)")
+            .as("w_sc"))
+          .localCheckpoint()
+        w.coalesce(1)
+          .write.mode("overwrite").format("parquet")
+          .option("path", s"${IndexStore.root}/clsw_$sfx")
+          .saveAsTable(wT)
+        classifierScoreWith(tok, w)
+          .agg(expr("sum(score_sc) div count(*)").as("mean_sc"),
+            min(col("score_sc")).as("mn"), max(col("score_sc")).as("mx"))
+          .coalesce(1)
+          .write.mode("overwrite").format("parquet")
+          .option("path", s"${IndexStore.root}/clsstats_$sfx")
+          .saveAsTable(statsT)
+      }
+    }
+    (wT, statsT)
+  }
+
   /** [[classifierQuality]] served from the persisted model: one corpus
     * pass (tokenize + score, the query's job), weights and threshold
     * loaded from the generation tables — no training aggregate in the

@@ -431,6 +431,41 @@ object TextAnalysis {
     (mergesT, vocabT)
   }
 
+  /** Generation ROLLOVER for the BPE tokenizer: retrain merges +
+    * vocabulary over corpus ∪ admitted under `newTag` — the tokenizer
+    * a new data generation ships with. Same build core as the
+    * generation build, so parity with a direct train over the union
+    * holds by construction (RolloverSpec pins it). */
+  private[graft] def rolloverBpeModel(spark: SparkSession, dir: String,
+      admittedDocs: DataFrame, newTag: String,
+      corpusFilter: Column = lit(true)): (String, String) = {
+    val sfx = IndexStore.suffix(dir, newTag, corpusFilter)
+    val mergesT = s"graft_bpem_idx_$sfx"
+    val vocabT = s"graft_bpev_idx_$sfx"
+    IndexStore.lock("bpe_" + sfx).synchronized {
+      if (!spark.catalog.tableExists(mergesT) ||
+          !spark.catalog.tableExists(vocabT)) {
+        val (merges, vocab) = bpeTrainedOn(
+          Tables.documents(spark, dir).filter(corpusFilter)
+            .select(col("doc_id"), col("text"))
+            .unionByName(admittedDocs.select(col("doc_id"), col("text"))))
+        merges
+          .coalesce(1)
+          .write.mode("overwrite").format("parquet")
+          .option("path", s"${IndexStore.root}/bpem_$sfx")
+          .saveAsTable(mergesT)
+        vocab
+          .repartition(BpeVocabBuckets, col("word"))
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(BpeVocabBuckets, "word")
+          .sortBy("word")
+          .option("path", s"${IndexStore.root}/bpev_$sfx")
+          .saveAsTable(vocabT)
+      }
+    }
+    (mergesT, vocabT)
+  }
+
   /** [[bpeTrain]] served from the persisted model: a read of the tiny
     * merges table — ZERO corpus work, zero training rounds. Shares the
     * recompute twin's oracle verbatim. */
@@ -577,6 +612,33 @@ object TextAnalysis {
     charLmScoreWith(
       charLmDocBigrams(Tables.documents(spark, dir)),
       spark.table(t))
+  }
+
+  /** Generation ROLLOVER for the char-LM (see
+    * [[Dedup.rolloverBandIndex]]): models have no merge path — a
+    * quality gate's LM must retrain when the corpus generation rolls,
+    * or admitted documents' character statistics never reach the
+    * model. Builds generation `newTag`'s model over corpus ∪ admitted
+    * through the same build core, so it equals a model trained on the
+    * equivalent single frame (RolloverSpec pins the row parity). */
+  private[graft] def rolloverCharLmModel(spark: SparkSession, dir: String,
+      admittedDocs: DataFrame, newTag: String,
+      corpusFilter: Column = lit(true)): String = {
+    val sfx = IndexStore.suffix(dir, newTag, corpusFilter)
+    val t = s"graft_charlm_idx_$sfx"
+    IndexStore.lock("charlm_" + sfx).synchronized {
+      if (!spark.catalog.tableExists(t)) {
+        val docs = Tables.documents(spark, dir).filter(corpusFilter)
+          .select(col("doc_id"), col("text"))
+          .unionByName(admittedDocs.select(col("doc_id"), col("text")))
+        charLmModelOn(docs, charLmDocBigrams(docs))
+          .coalesce(1)
+          .write.mode("overwrite").format("parquet")
+          .option("path", s"${IndexStore.root}/charlm_$sfx")
+          .saveAsTable(t)
+      }
+    }
+    t
   }
 
   /** Minimum corpus count for a bigram to be rankable — the classic

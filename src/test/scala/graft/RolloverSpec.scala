@@ -150,6 +150,47 @@ class RolloverSpec extends SparkSpec {
       "G+1 probe changed after dropping G")
   }
 
+  test("whole-generation rollover: all 12 tables build, match the full-corpus build, and drop") {
+    import graft.operators.Rollover
+    // corpus = the mod-4 drill split, admitted = the held-out quarter
+    // (docs for the text-tier families, vectors for ANN) — so the
+    // rolled generation covers the FULL corpus and every table must be
+    // row-identical to the default full-corpus generation's
+    val admittedVecs = Tables.embeddings(spark, sf0001)
+      .filter(pmod(col("vec_id"), lit(4L)) === 0)
+      .select(col("vec_id"), col("embedding"))
+    val drillV = pmod(col("vec_id"), lit(4L)) =!= 0
+
+    val tables = Rollover.generation(spark, sf0001, batchDocs, "rollall1",
+      drill, annAdmitted = Some((admittedVecs, drillV)))
+    tables.values.flatten.foreach(t =>
+      assert(spark.catalog.tableExists(t), s"family table missing: $t"))
+
+    // every rolled table equals its DEFAULT full-corpus twin
+    val defaults = Map(
+      "band" -> { val (b, s) = Dedup.ensureBandIndex(spark, sf0001); Seq(b, s) },
+      "span" -> Seq(Dedup.ensureSpanIndex(spark, sf0001)),
+      "text" -> { val (t, s) = Retrieval.ensureTextIndex(spark, sf0001); Seq(t, s) },
+      "ann" -> { val (b, c) = Similarity.ensurePqIndex(spark, sf0001); Seq(b, c) },
+      "charlm" -> Seq(graft.operators.TextAnalysis.ensureCharLmModel(spark, sf0001)),
+      "bpe" -> { val (m, v) = graft.operators.TextAnalysis.ensureBpeModel(spark, sf0001); Seq(m, v) },
+      "classifier" -> { val (w, s) = graft.operators.Curation.ensureClassifierModel(spark, sf0001); Seq(w, s) })
+    defaults.foreach { case (fam, defTables) =>
+      tables(fam).zip(defTables).foreach { case (rolled, default) =>
+        assert(rows(spark.table(rolled)) == rows(spark.table(default)),
+          s"$fam: rolled table $rolled != full-corpus build $default")
+      }
+    }
+
+    // retire the generation: every table + its files go; a second drop
+    // (nothing left) is a clean no-op
+    Rollover.dropGeneration(spark, sf0001, "rollall1", drill)
+    Rollover.dropGeneration(spark, sf0001, "rollall1", drillV)
+    tables.values.flatten.foreach(t =>
+      assert(!spark.catalog.tableExists(t), s"table survived drop: $t"))
+    Rollover.dropGeneration(spark, sf0001, "rollall1", drill)
+  }
+
   test("ANN streaming handoff: admitting vectors swap to RETRAINED books") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
