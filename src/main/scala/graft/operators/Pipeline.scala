@@ -145,22 +145,31 @@ object Pipeline {
     * SURVIVES, not what arrives. */
   private[graft] def ingestVerdictFor(spark: SparkSession, batch: DataFrame,
       bandsT: String, setsT: String): DataFrame = {
-    val extracted = Html.extractOn(batch)
+    // ONE extraction pass and ONE shingle pass, materialized: the lazy
+    // composition re-ran the extractor in every branch that consumed it
+    // (quality, shingles, totality spine — extraction is the gate's
+    // most expensive scan work), and it MinHash-signed every
+    // shingleable doc before the quality join, discarding rejected
+    // docs' signatures after the fact. Now `base` carries one row per
+    // page (doc_id, codes, sz, q_keep) and signatures are computed
+    // ONLY for quality survivors — the stage-order economics ("the
+    // index join pays only for what survives") taken down to the
+    // signature expression itself. Verdicts are unchanged row-for-row.
+    val extracted = Html.extractOn(batch.dropDuplicates("doc_id"))
       .select(col("doc_id"), col("main_text").as("text"))
-    val quality = Curation.gopherOn(extracted, col("text"))
-      .select(col("doc_id"), col("keep").as("q_keep"))
-    val shAll = Dedup.signaturesOnSh(Dedup.shingledOn(extracted))
+      .localCheckpoint()
+    val base = Dedup.shingledOn(extracted)
+      .join(Curation.gopherOn(extracted, col("text"))
+        .select(col("doc_id"), col("keep").as("q_keep")), Seq("doc_id"))
+      .localCheckpoint()
     val probed = Dedup.probeBandIndex(spark,
-      shAll.join(quality.filter(col("q_keep")).select("doc_id"), "doc_id"),
+      Dedup.signaturesOnSh(base.filter(col("q_keep"))),
       bandsT, setsT)
-    batch.select(col("doc_id")).distinct()
-      .join(shAll.select(col("doc_id")).withColumn("judged", lit(true)),
-        Seq("doc_id"), "left")
-      .join(quality, Seq("doc_id"), "left")
+    base
       .join(probed.select(col("batch_id").as("doc_id"), col("n_dups"),
         col("best_jaccard")), Seq("doc_id"), "left")
       .withColumn("reason",
-        when(col("judged").isNull, lit("no_content"))
+        when(col("sz") <= 0, lit("no_content"))
           .when(!col("q_keep"), lit("quality"))
           .when(coalesce(col("n_dups"), lit(0L)) > 0, lit("duplicate"))
           .otherwise(lit("keep")))
