@@ -174,11 +174,21 @@ object Retrieval {
 
   /** [[bm25TopK]] served from the persisted index — hash-identical
     * ranking (shares the recompute twin's oracle verbatim), zero
-    * corpus work at query time. */
+    * corpus work at query time. The query tokens are driver literals,
+    * so they push into BOTH postings scans as an `isin` on the bucket/
+    * sort column — bucket pruning plus a parquet predicate, instead of
+    * two full-postings scans filtered only at the broadcast join
+    * (every posting row outside the query vocabulary is skipped at the
+    * scan; at corpus scale that is the difference between reading |q|
+    * token buckets and reading the inverted index). */
   def bm25TopKPersisted(spark: SparkSession, dir: String): DataFrame = {
     val (tfsT, statsT) = ensureTextIndex(spark, dir)
     import spark.implicits._
-    topKFromScores(scoresFromTextIndex(spark, tfsT, statsT,
+    val qtoks = QueryTerms.map(_._2).distinct
+    topKFromScores(bm25ScoresWeightedFrom(
+      spark.table(tfsT).filter(col("token").isin(qtoks: _*)),
+      spark.table(statsT)
+        .select(col("n_docs"), expr(s"(sum_dl * $SC) div n_docs").as("avgdl_sc")),
       QueryTerms.toDF("query_id", "token").withColumn("w", lit(1L))), K)
   }
 
