@@ -719,7 +719,17 @@ object Similarity {
       (r.getLong(0), assignCellDriver(full, cents),
         luts(0), luts(1), luts(2), luts(3))
     }.toDF("query_id", "cell", "l0", "l1", "l2", "l3")
-    codes.join(broadcast(lutDf), Seq("cell"))
+    // the probed cells are driver literals (the queries were assigned
+    // on the driver), so they prune the codes scan — bucket pruning +
+    // a parquet predicate on the sorted cell column. This is the IVF
+    // promise made physical: the probe READS only the queries' cells'
+    // posting lists, instead of scanning every cell and dropping
+    // non-matches at the join.
+    val probedCells = qRows.map(r =>
+      assignCellDriver(r.getSeq[Float](1).map(_.toDouble).toArray, cents))
+      .distinct.toSeq
+    codes.filter(col("cell").isin(probedCells: _*))
+      .join(broadcast(lutDf), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("adc", (0 until PqSubspaces).map(s =>
         element_at(col(s"l$s"), col(s"c$s") + lit(1))).reduce(_ + _))
