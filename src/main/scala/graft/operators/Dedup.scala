@@ -1268,15 +1268,29 @@ object Dedup {
       batchDocs: DataFrame, tag: String = "",
       corpusFilter: Column = lit(true)): Unit = {
     val (bandsT, setsT) = ensureBandIndex(spark, dir, tag, corpusFilter)
-    val batchSh = signaturesOnSh(shingledOn(batchDocs))
     // Appends commute with each other, but a merge landing between
     // compactBandIndex's staged snapshot read and its overwrite is
     // lost — the compact-side lock only excludes writers that take it.
     idxLock(IndexStore.suffix(dir, tag, corpusFilter)).synchronized {
-      bandsOf(batchSh)
+      // IDEMPOTENT under micro-batch replay: foreachBatch is
+      // at-least-once, so a crashed admitting stream re-runs its batch
+      // and re-merges the same kept docs — a blind append would then
+      // hold duplicate sets rows and DOUBLE-COUNT n_dups in every later
+      // probe (the jaccard join multiplies per sets row; dup BAND rows
+      // are harmless — the candidate frame is distinct). The anti-join
+      // on the sets table (bucket-local on doc_id) keeps only docs the
+      // index has never admitted; append order bands-THEN-sets makes
+      // the worst crash window safe too — dying between the two writes
+      // leaves the doc out of sets, so the replay re-runs it: its band
+      // rows duplicate (absorbed by the distinct) and its sets row
+      // lands exactly once.
+      val novel = signaturesOnSh(shingledOn(batchDocs))
+        .join(spark.table(setsT).select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .localCheckpoint() // staged: the insert must not read its target
+      bandsOf(novel)
         .repartition(IndexBuckets, col("band"), col("m1"), col("m2"))
         .write.mode("append").format("parquet").insertInto(bandsT)
-      batchSh.select(col("doc_id"), col("codes"), col("sz"))
+      novel.select(col("doc_id"), col("codes"), col("sz"))
         .repartition(IndexBuckets, col("doc_id"))
         .write.mode("append").format("parquet").insertInto(setsT)
       // the write executes under the BATCH frame's session (inside

@@ -780,11 +780,21 @@ object Similarity {
     // Hold the suffix lock for the append so compactPqIndex's
     // snapshot-then-overwrite cannot silently drop a concurrent merge.
     IndexStore.lock("pq_" + IndexStore.suffix(dir, tag, corpusFilter)).synchronized {
-      encodeWith(
+      // IDEMPOTENT under micro-batch replay (see
+      // Dedup.mergeBatchIntoBandIndex): the anti-join on the codes
+      // table keeps only never-admitted vec_ids, so an at-least-once
+      // foreachBatch re-merge appends nothing. The guard scans the
+      // COMPRESSED index (5 small ints per corpus vector) — the
+      // replay-safety cost per merge is one codes read, never a raw
+      // embedding scan.
+      val novel = encodeWith(
         batchVecs
           .filter(dotProduct(col("embedding"), col("embedding")) > 0)
           .select(col("vec_id"), col("embedding")),
         cents, books)
+        .join(spark.table(codesT).select(col("vec_id")), Seq("vec_id"), "left_anti")
+        .localCheckpoint() // staged: the insert must not read its target
+      novel
         .repartition(AnnIndexBuckets, col("cell"))
         .write.mode("append").format("parquet").insertInto(codesT)
       spark.catalog.refreshTable(codesT) // see Dedup.mergeBatchIntoBandIndex

@@ -152,4 +152,44 @@ class PersistedAnnIndexSpec extends SparkSpec {
         Similarity.probePqIndex(spark, sf0001, booksT, codesT)))
     }
   }
+
+  test("PQ merge replay is idempotent: re-merging an admitted batch appends nothing") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    // foreachBatch is at-least-once: a crashed ANN admitting stream
+    // re-runs its last batch; the merge's anti-join on the codes table
+    // must make the replay a no-op (duplicate codes rows would inflate
+    // every later probe's candidate multiset).
+    val drillFilter = pmod(col("vec_id"), lit(4L)) =!= 0
+    val (booksT, codesT) = Similarity.ensurePqIndex(spark, sf0001,
+      tag = "replaydrill", corpusFilter = drillFilter)
+    val batch = Tables.embeddings(spark, sf0001)
+      .filter(pmod(col("vec_id"), lit(4L)) === 0)
+      .select(col("vec_id"), col("embedding"))
+    val half = batch.filter(pmod(col("vec_id"), lit(8L)) === 0)
+    Similarity.mergeBatchIntoPqIndex(spark, sf0001, half,
+      tag = "replaydrill", corpusFilter = drillFilter)
+    val once = rows(spark.table(codesT))
+    val n = spark.table(codesT).count()
+
+    // exact replay: nothing may land
+    Similarity.mergeBatchIntoPqIndex(spark, sf0001, half,
+      tag = "replaydrill", corpusFilter = drillFilter)
+    assert(spark.table(codesT).count() == n, "replayed merge appended rows")
+    assert(rows(spark.table(codesT)) == once, "replayed merge changed the index")
+
+    // superset replay admits exactly the never-seen vectors, once each
+    Similarity.mergeBatchIntoPqIndex(spark, sf0001, batch,
+      tag = "replaydrill", corpusFilter = drillFilter)
+    assert(spark.table(codesT).count() ==
+      spark.table(codesT).select(col("vec_id")).distinct().count(),
+      "codes table holds duplicate vec_ids after superset replay")
+    import graft.functions.VectorFunctions.dotProduct
+    val (cents, books) = Similarity.loadBooks(spark, booksT)
+    val allEligible = Tables.embeddings(spark, sf0001)
+      .filter(dotProduct(col("embedding"), col("embedding")) > 0)
+      .select(col("vec_id"), col("embedding"))
+    assert(rows(spark.table(codesT)) ==
+      rows(Similarity.encodeWith(allEligible, cents, books)),
+      "post-replay index != full re-encode with the standing books")
+  }
 }

@@ -180,6 +180,50 @@ class PersistedIndexSpec extends SparkSpec {
     }
   }
 
+  test("band merge replay is idempotent: re-merging an admitted batch appends nothing") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    // foreachBatch is at-least-once: a crashed admitting stream re-runs
+    // its last batch and re-merges the same kept docs. A blind append
+    // would duplicate sets rows and double-count n_dups in every later
+    // probe — the merge's anti-join must make the replay a no-op.
+    val (bandsT, setsT) = Dedup.ensureBandIndex(spark, sf0001,
+      tag = "replaydrill", corpusFilter = Dedup.drillCorpusFilter)
+    val batch = Tables.documents(spark, sf0001)
+      .filter(pmod(col("doc_id"), lit(Dedup.IncrementalBatchMod)) === 0)
+      .select(col("doc_id"), col("text"))
+    val half = batch.filter(pmod(col("doc_id"), lit(8L)) === 0)
+    Dedup.mergeBatchIntoBandIndex(spark, sf0001, half,
+      tag = "replaydrill", corpusFilter = Dedup.drillCorpusFilter)
+    def rows(df: DataFrame): Set[String] =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSet
+    val bandsOnce = rows(spark.table(bandsT))
+    val setsOnce = rows(spark.table(setsT))
+    // counts too: set equality alone would mask exact-duplicate rows
+    val (nb, ns) = (spark.table(bandsT).count(), spark.table(setsT).count())
+
+    // exact replay: nothing may land
+    Dedup.mergeBatchIntoBandIndex(spark, sf0001, half,
+      tag = "replaydrill", corpusFilter = Dedup.drillCorpusFilter)
+    assert(spark.table(setsT).count() == ns && spark.table(bandsT).count() == nb,
+      "replayed merge appended rows")
+    assert(rows(spark.table(setsT)) == setsOnce &&
+      rows(spark.table(bandsT)) == bandsOnce, "replayed merge changed the index")
+
+    // superset replay (crash mid-stream: re-merge covers old + new docs)
+    // admits exactly the never-seen docs
+    Dedup.mergeBatchIntoBandIndex(spark, sf0001, batch,
+      tag = "replaydrill", corpusFilter = Dedup.drillCorpusFilter)
+    val expected = Dedup.signaturesOnSh(Dedup.shingledOn(batch))
+      .select(col("doc_id"), col("sz"))
+    val afterAll = spark.table(setsT).select(col("doc_id"), col("sz"))
+      .join(expected, Seq("doc_id", "sz"), "left_semi")
+    assert(rows(afterAll) == rows(expected),
+      "superset replay did not admit exactly the novel docs once each")
+    assert(spark.table(setsT).count() ==
+      spark.table(setsT).select(col("doc_id")).distinct().count(),
+      "sets table holds duplicate doc_ids after superset replay")
+  }
+
   test("span index merge keeps the distinct invariant: merged ≡ rebuild, then compact") {
     import org.apache.spark.sql.functions.{col, explode, lit, pmod}
     val t = Dedup.ensureSpanIndex(spark, sf0001,
