@@ -130,6 +130,9 @@ object Bench {
           (System.nanoTime() - t0) / 1e9
         } catch { case scala.util.control.NonFatal(_) => -1.0 }
       }
+      // median() drops the -1.0 failure sentinel exactly like the cold
+      // path (all-failed → -1.0), so one failed warm re-run cannot skew
+      // the emitted figure negative or garbage
       JsonUtil.q(name) + ":" + median(ts)
     }.mkString("{", ",", "}")
     // one streaming failure must not discard the batch measurements

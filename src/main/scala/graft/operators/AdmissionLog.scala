@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StringType, StructType}
+
+/** Per-generation record of everything an admitting gate accepted —
+  * the raw (id, payload) rows a generation rollover needs to rebuild
+  * or retrain the next generation's artifacts WITHOUT the caller
+  * hand-carrying the admitted frames ([[Rollover.cutover]] reads it at
+  * snapshot time and again at swap promotion to fold the in-between
+  * delta). The index tables alone cannot serve this role: they hold
+  * signatures/codes, not the text/embedding the retrain consumes.
+  *
+  * Layout mirrors the index families it feeds: one bucketed parquet
+  * table per (generation suffix, kind), bucketed on the id so the
+  * per-batch novelty anti-join and every rollover read stay
+  * bucket-local — at production scale the log holds one generation's
+  * admissions (millions of rows), and an unbucketed per-batch
+  * anti-join against it would shuffle the whole log every micro-batch.
+  *
+  * Appends are novelty-filtered (anti-join on the id) under the log's
+  * own lock, so at-least-once batch replays append nothing and the log
+  * keeps a distinct-id invariant; the rollover builders additionally
+  * dropDuplicates on their side, so even a blind writer would be
+  * absorbed. The log is part of the generation's drop inventory
+  * ([[Rollover.dropGeneration]]) — it dies with its generation, after
+  * [[Rollover.cutover]] has carried its rows forward into the next
+  * generation's log. */
+private[graft] object AdmissionLog {
+
+  /** Kind "doc": (doc_id LONG, text STRING) — the text-tier gates. */
+  val DocKind = "doc"
+  /** Kind "vec": (vec_id LONG, embedding ARRAY<FLOAT>) — the ANN gate. */
+  val VecKind = "vec"
+
+  private def keyOf(kind: String) = if (kind == VecKind) "vec_id" else "doc_id"
+  private def bucketsOf(kind: String) =
+    if (kind == VecKind) Similarity.AnnIndexBuckets else Dedup.IndexBuckets
+  private def schemaOf(kind: String): StructType =
+    if (kind == VecKind)
+      new StructType().add("vec_id", LongType).add("embedding", ArrayType(FloatType))
+    else
+      new StructType().add("doc_id", LongType).add("text", StringType)
+
+  def tableName(kind: String, sfx: String) = s"graft_admlog_${kind}_$sfx"
+
+  /** The log's rows, or an empty correctly-typed frame when no gate has
+    * admitted anything under this generation yet. */
+  def read(spark: SparkSession, kind: String, sfx: String): DataFrame = {
+    val t = tableName(kind, sfx)
+    if (spark.catalog.tableExists(t)) spark.table(t)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schemaOf(kind))
+  }
+
+  /** Record one batch's admissions: create the generation's log on
+    * first append, then fold in only ids the log has never seen (the
+    * anti-join is bucket-local on the id). Same staging discipline as
+    * the index merges — the novelty frame is materialized before the
+    * insert so the write never reads its own target. */
+  def append(spark: SparkSession, kind: String, sfx: String,
+      rows: DataFrame): Unit = {
+    val t = tableName(kind, sfx)
+    val key = keyOf(kind)
+    val buckets = bucketsOf(kind)
+    val cols = schemaOf(kind).fieldNames.map(col).toSeq
+    IndexStore.lock(s"admlog_${kind}_" + sfx).synchronized {
+      if (!spark.catalog.tableExists(t)) {
+        rows.select(cols: _*).dropDuplicates(key)
+          .repartition(buckets, col(key))
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(buckets, key)
+          .sortBy(key)
+          .option("path", s"${IndexStore.root}/admlog_${kind}_$sfx")
+          .saveAsTable(t)
+      } else {
+        val novel = rows.select(cols: _*).dropDuplicates(key)
+          .join(spark.table(t).select(col(key)), Seq(key), "left_anti")
+          .localCheckpoint()
+        novel.repartition(buckets, col(key))
+          .write.mode("append").format("parquet").insertInto(t)
+      }
+      // inside foreachBatch the insert executes under the micro-batch
+      // session CLONE (rows derives from the batch frame) and refreshes
+      // only that clone's relation cache — refresh the caller's too, or
+      // a cutover that read the log pre-append (the snapshot) re-reads
+      // a stale file listing at promotion and the catch-up folds
+      // nothing (same discipline as Dedup.mergeBatchIntoBandIndex)
+      spark.catalog.refreshTable(t)
+    }
+  }
+
+  /** Rewrite the log back to one file per bucket — scheduled by the
+    * admitting gates on the same every-N cadence as their index
+    * compaction, so a long-running gate's log cannot accrete one file
+    * per bucket per batch forever. Row-identical by construction. */
+  def compact(spark: SparkSession, kind: String, sfx: String): Unit = {
+    val t = tableName(kind, sfx)
+    IndexStore.lock(s"admlog_${kind}_" + sfx).synchronized {
+      if (spark.catalog.tableExists(t))
+        IndexStore.rewriteBucketed(spark, t,
+          s"${IndexStore.root}/admlog_${kind}_$sfx", bucketsOf(kind),
+          Seq(keyOf(kind)))
+    }
+  }
+}

@@ -638,7 +638,8 @@ object Curation {
         val (_, tok) = classifierFrames(
           Tables.documents(spark, dir).filter(corpusFilter)
             .select(col("doc_id"), col("text"))
-            .unionByName(admittedDocs.select(col("doc_id"), col("text"))))
+            .unionByName(admittedDocs.dropDuplicates("doc_id")
+              .select(col("doc_id"), col("text"))))
         val w = tok.groupBy(col("bucket")).agg(
           expr(s"($SC * (sum(CASE WHEN hq THEN 1 ELSE 0 END) + 1)) div (count(*) + 2)")
             .as("w_sc"))

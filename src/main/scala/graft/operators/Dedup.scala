@@ -1239,9 +1239,14 @@ object Dedup {
     idxLock(sfx).synchronized {
       if (!spark.catalog.tableExists(bandsT) || !spark.catalog.tableExists(setsT)) {
         val cols = Seq(col("doc_id"), col("codes"), col("sz"), col("sig"))
+        // The admitted frame comes from an at-least-once verdict sink
+        // (replayed batches carry the same doc twice) — dedup before the
+        // union or G+1's sets table inherits duplicate rows and every
+        // later probe DOUBLE-COUNTS n_dups against them.
         val merged = minHashSignatures(spark, dir).filter(corpusFilter)
           .select(cols: _*)
-          .unionByName(signaturesOnSh(shingledOn(admittedDocs)).select(cols: _*))
+          .unionByName(signaturesOnSh(shingledOn(
+            admittedDocs.dropDuplicates("doc_id"))).select(cols: _*))
         writeBandTables(merged, sfx, bandsT, setsT)
       }
     }
@@ -1414,7 +1419,8 @@ object Dedup {
         writeSpanTable(
           Tables.documents(spark, dir).filter(corpusFilter)
             .select(col("doc_id"), col("text"))
-            .unionByName(admittedDocs.select(col("doc_id"), col("text"))),
+            .unionByName(admittedDocs.dropDuplicates("doc_id")
+              .select(col("doc_id"), col("text"))),
           sfx, t)
       }
     }

@@ -54,14 +54,18 @@ private[graft] object IndexStore {
   /** Drop one generation table AND its on-disk files — the final step
     * of a generation rollover, once probes have swapped to the new
     * generation. A no-op for a table that does not exist, so a retried
-    * rollover never fails on an already-dropped generation. */
+    * rollover never fails on an already-dropped generation. Files go
+    * FIRST, catalog entry second: the retry guard is tableExists, so a
+    * crash between the two must leave the table visible — a harmless
+    * empty-location entry the retry re-drops — where the reverse order
+    * would orphan the data files permanently behind a no-op retry. */
   def drop(spark: org.apache.spark.sql.SparkSession, table: String): Unit =
     if (spark.catalog.tableExists(table)) {
       val loc = spark.sessionState.catalog.getTableMetadata(
         org.apache.spark.sql.catalyst.TableIdentifier(table)).location
-      spark.sql(s"DROP TABLE `$table`")
       val p = new org.apache.hadoop.fs.Path(loc)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      spark.sql(s"DROP TABLE `$table`")
       ()
     }
 

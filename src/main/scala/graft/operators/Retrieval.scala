@@ -149,10 +149,13 @@ object Retrieval {
     IndexStore.lock("txt_" + sfx).synchronized {
       if (!spark.catalog.tableExists(tfsT) ||
           !spark.catalog.tableExists(statsT)) {
+        // dedup the admitted frame (at-least-once sinks replay docs) —
+        // duplicate doc rows inflate df and n_docs in every later probe
         writeTextIndex(
           Tables.documents(spark, dir).filter(corpusFilter)
             .select(col("doc_id"), col("text"))
-            .unionByName(admittedDocs.select(col("doc_id"), col("text"))),
+            .unionByName(admittedDocs.dropDuplicates("doc_id")
+              .select(col("doc_id"), col("text"))),
           sfx, tfsT, statsT)
       }
     }

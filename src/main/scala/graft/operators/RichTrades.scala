@@ -36,8 +36,20 @@ object RichTrades {
     * JSON string per event, nullable fields ABSENT (not null) when
     * unset — `to_json` drops null fields, so the parse side genuinely
     * exercises missing-field semantics (fail_on_missing_field,
-    * old/kfk.py:91). */
+    * old/kfk.py:91).
+    *
+    * Memoized per (session, dir) like Retrieval's text index: the JSON
+    * encode is a full-events-table scan that every rich-trade query
+    * repeats verbatim (it's the shared wire format, not per-query
+    * work), so it materializes once — the build-the-feed-once shape of
+    * a production topic. Content is deterministic per event row, so
+    * memo hits and rebuilds agree exactly. */
   def wire(spark: SparkSession, dir: String): DataFrame =
+    wireMemo(spark, dir)(wireFrame(spark, dir).localCheckpoint())
+
+  private val wireMemo = new DirMemo
+
+  private def wireFrame(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir).select(
       to_json(struct(
         unix_micros(col("ts")).as("Timestamp"),

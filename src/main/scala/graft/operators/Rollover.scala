@@ -21,14 +21,18 @@ import org.apache.spark.sql.functions.lit
   * [[generation]] — finished families are catalog hits. */
 object Rollover {
 
-  /** All table-name prefixes one generation owns, in (prefix, path
-    * stem) form — the drop inventory. */
+  /** All table-name prefixes one generation owns — the drop inventory.
+    * The ANN prefixes are split out because the vector corpus carries
+    * its own predicate ([[generation]]'s `annAdmitted`), so its tables
+    * usually live under a DIFFERENT suffix than the doc families'. */
+  private val AnnFamilies: Seq[String] = Seq(
+    "graft_pq_books_", "graft_pq_codes_", "graft_admlog_vec_")
   private val Families: Seq[String] = Seq(
     "graft_band_idx_", "graft_sets_idx_", "graft_span_idx_",
     "graft_tfs_idx_", "graft_txtstats_idx_",
-    "graft_pq_books_", "graft_pq_codes_",
     "graft_charlm_idx_", "graft_clsw_idx_", "graft_clsstats_idx_",
-    "graft_bpem_idx_", "graft_bpev_idx_")
+    "graft_bpem_idx_", "graft_bpev_idx_",
+    "graft_admlog_doc_") ++ AnnFamilies
 
   /** Build generation `newTag` across every family: the dedup band and
     * span indexes, the text postings, and the three model artifacts
@@ -68,13 +72,104 @@ object Rollover {
       "classifier" -> Seq(clsWT, clsStatsT)) ++ ann
   }
 
+  /** The no-hand-merge generation handoff for LIVE admitting gates —
+    * the tracked-catch-up form of [[generation]]: snapshot each gate's
+    * [[AdmissionLog]], build generation `newTag` from corpus ∪
+    * snapshot while the old generation keeps serving AND admitting,
+    * then schedule the swap through the gate's own
+    * [[graft.streaming.GenerationRef.requestSwap]]. The promotion —
+    * and with it the catch-up that folds every admission made since
+    * the snapshot into the new generation — runs INSIDE the gate's
+    * next micro-batch, after the previous batch's merge committed
+    * (micro-batches are serialized per query), so the window a caller
+    * of plain `swap` can never close (a batch admitting into G between
+    * the hand catch-up and the flip, forgotten when G drops) does not
+    * exist here. The catch-up re-merges the FULL old log; the index
+    * merges' novelty anti-joins reduce that to exactly the
+    * post-snapshot delta. The new generation's log starts as a copy of
+    * the old one's — admissions must survive ACROSS generations, or
+    * the next cutover's corpus ∪ log rebuild would forget them.
+    *
+    * `docGen` drives the six text-tier families, `annGen` the ANN
+    * books+codes (each gate handle carries its own corpus predicate);
+    * pass whichever gates are running. `afterSnapshot` is a drill seam
+    * — RolloverSpec lands a deterministic post-snapshot admission
+    * there to prove the catch-up. The old generation is NOT droppable
+    * when this returns — drop it only after promotion is observed
+    * (`gen.get()._1 == newTag`), via [[dropGeneration]]. */
+  def cutover(spark: SparkSession, dir: String, newTag: String,
+      docGen: Option[graft.streaming.GenerationRef] = None,
+      annGen: Option[graft.streaming.GenerationRef] = None,
+      afterSnapshot: () => Unit = () => ()): Map[String, Seq[String]] = {
+    require(docGen.nonEmpty || annGen.nonEmpty,
+      "cutover needs at least one gate handle")
+    // SNAPSHOT each live gate's admission log, materialized — anything
+    // admitted after this line is the promotion-time catch-up's job
+    val docSnap = docGen.map { g =>
+      val (tag, cf) = g.get()
+      val oldSfx = IndexStore.suffix(dir, tag, cf)
+      (g, cf, oldSfx,
+        AdmissionLog.read(spark, AdmissionLog.DocKind, oldSfx).localCheckpoint())
+    }
+    val annSnap = annGen.map { g =>
+      val (tag, cf) = g.get()
+      val oldSfx = IndexStore.suffix(dir, tag, cf)
+      (g, cf, oldSfx,
+        AdmissionLog.read(spark, AdmissionLog.VecKind, oldSfx).localCheckpoint())
+    }
+    afterSnapshot()
+    // BUILD the new generation from corpus ∪ snapshot; the old one
+    // keeps serving and admitting throughout
+    val docTables = docSnap.map { case (_, cf, _, snap) =>
+      val tables = generation(spark, dir, snap, newTag, cf, annAdmitted = None)
+      AdmissionLog.append(spark, AdmissionLog.DocKind,
+        IndexStore.suffix(dir, newTag, cf), snap)
+      tables
+    }.getOrElse(Map.empty[String, Seq[String]])
+    val annTables = annSnap.map { case (_, cf, _, snap) =>
+      val (booksT, codesT) = Similarity.rolloverPqIndex(spark, dir, snap, newTag, cf)
+      AdmissionLog.append(spark, AdmissionLog.VecKind,
+        IndexStore.suffix(dir, newTag, cf), snap)
+      Map("ann" -> Seq(booksT, codesT))
+    }.getOrElse(Map.empty[String, Seq[String]])
+    // SWAP-FIRST, catch-up AT promotion: re-merge the full old log into
+    // the new generation (idempotent — only the post-snapshot delta
+    // lands) and carry the log forward, all inside the gate's batch
+    docSnap.foreach { case (g, cf, oldSfx, _) =>
+      g.requestSwap(newTag, cf) { () =>
+        val full = AdmissionLog.read(spark, AdmissionLog.DocKind, oldSfx)
+        Dedup.mergeBatchIntoBandIndex(spark, dir, full, newTag, cf)
+        AdmissionLog.append(spark, AdmissionLog.DocKind,
+          IndexStore.suffix(dir, newTag, cf), full)
+      }
+    }
+    annSnap.foreach { case (g, cf, oldSfx, _) =>
+      g.requestSwap(newTag, cf) { () =>
+        val full = AdmissionLog.read(spark, AdmissionLog.VecKind, oldSfx)
+        Similarity.mergeBatchIntoPqIndex(spark, dir, full, newTag, cf)
+        AdmissionLog.append(spark, AdmissionLog.VecKind,
+          IndexStore.suffix(dir, newTag, cf), full)
+      }
+    }
+    docTables ++ annTables
+  }
+
   /** Retire one generation completely: drop every family table that
     * exists under the tag's suffix (tables + files; missing families
-    * are skipped, so partial generations drop cleanly too). Call only
-    * after probes have swapped off the tag. */
+    * are skipped, so partial generations drop cleanly too). When the
+    * generation's ANN tables were built under a separate vector
+    * predicate ([[generation]]'s `annAdmitted` — the normal case),
+    * pass it as `annFilter` so the books/codes drop too; they live
+    * under that filter's suffix, which the doc-side sweep never
+    * visits. Call only after probes have swapped off the tag. */
   def dropGeneration(spark: SparkSession, dir: String, tag: String,
-      corpusFilter: Column = lit(true)): Unit = {
+      corpusFilter: Column = lit(true),
+      annFilter: Option[Column] = None): Unit = {
     val sfx = IndexStore.suffix(dir, tag, corpusFilter)
     Families.foreach(p => IndexStore.drop(spark, p + sfx))
+    annFilter.foreach { af =>
+      val asfx = IndexStore.suffix(dir, tag, af)
+      AnnFamilies.foreach(p => IndexStore.drop(spark, p + asfx))
+    }
   }
 }

@@ -596,7 +596,9 @@ object Similarity {
           .filter(dotProduct(col("embedding"), col("embedding")) > 0)
           .filter(corpusFilter)
           .select(col("vec_id"), col("embedding"))
-        val batch = admitted
+        // dedup the admitted frame (at-least-once sinks replay batches) —
+        // duplicate vec_ids land duplicate codes rows in G+1's top-k
+        val batch = admitted.dropDuplicates("vec_id")
           .filter(dotProduct(col("embedding"), col("embedding")) > 0)
           .select(col("vec_id"), col("embedding"))
         buildPqIndex(spark, corpus.unionByName(batch), sfx, booksT, codesT)

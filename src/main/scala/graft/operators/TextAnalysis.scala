@@ -448,7 +448,8 @@ object TextAnalysis {
         val (merges, vocab) = bpeTrainedOn(
           Tables.documents(spark, dir).filter(corpusFilter)
             .select(col("doc_id"), col("text"))
-            .unionByName(admittedDocs.select(col("doc_id"), col("text"))))
+            .unionByName(admittedDocs.dropDuplicates("doc_id")
+              .select(col("doc_id"), col("text"))))
         merges
           .coalesce(1)
           .write.mode("overwrite").format("parquet")
@@ -628,9 +629,12 @@ object TextAnalysis {
     val t = s"graft_charlm_idx_$sfx"
     IndexStore.lock("charlm_" + sfx).synchronized {
       if (!spark.catalog.tableExists(t)) {
+        // dedup the admitted frame (at-least-once sinks replay docs) —
+        // duplicate doc rows skew the trained counts in every model
         val docs = Tables.documents(spark, dir).filter(corpusFilter)
           .select(col("doc_id"), col("text"))
-          .unionByName(admittedDocs.select(col("doc_id"), col("text")))
+          .unionByName(admittedDocs.dropDuplicates("doc_id")
+            .select(col("doc_id"), col("text")))
         charLmModelOn(docs, charLmDocBigrams(docs))
           .coalesce(1)
           .write.mode("overwrite").format("parquet")

@@ -97,7 +97,9 @@ object StreamingAnnGate {
     vecs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val (tag, cf) = gen.get()
+        // advance() also promotes a pending Rollover.cutover swap under
+        // this batch's serialization — see StreamingIngestGate's twin
+        val (tag, cf) = gen.advance()
         val (booksT, codesT) = Similarity.ensurePqIndex(spark, dir, tag, cf)
         val verdict = Similarity.annGateVerdict(spark, batch, booksT, codesT)
           .localCheckpoint()
@@ -107,9 +109,16 @@ object StreamingAnnGate {
             .select(col("batch_id").as("vec_id")),
           "vec_id")
           .select(col("vec_id"), col("embedding"))
+          .localCheckpoint()
+        val sfx = graft.operators.IndexStore.suffix(dir, tag, cf)
+        graft.operators.AdmissionLog.append(spark,
+          graft.operators.AdmissionLog.VecKind, sfx, kept)
         Similarity.mergeBatchIntoPqIndex(spark, dir, kept, tag, cf)
-        if (merges.incrementAndGet() % compactEvery == 0)
+        if (merges.incrementAndGet() % compactEvery == 0) {
           Similarity.compactPqIndex(spark, dir, tag, cf)
+          graft.operators.AdmissionLog.compact(spark,
+            graft.operators.AdmissionLog.VecKind, sfx)
+        }
       }
       .start()
   }

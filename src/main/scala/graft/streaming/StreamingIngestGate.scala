@@ -156,15 +156,21 @@ object StreamingIngestGate {
   }
 
   /** [[startAdmitting]] with a SWAPPABLE generation: the gate reads
-    * `gen` once per micro-batch, probes that generation's tables, and
+    * `gen` once per micro-batch ([[GenerationRef.advance]] — which also
+    * promotes a pending [[graft.operators.Rollover.cutover]] under this
+    * batch's serialization), probes that generation's tables, and
     * merges the batch's admitted docs into the SAME generation — so a
-    * [[GenerationRef.swap]] (after the new generation is built and
-    * caught up) lands cleanly at a batch boundary: no document is
-    * dropped or double-judged across the handoff, and the old
-    * generation's tables become droppable the moment the swap returns.
-    * This is the long-running production topology: the stateless
-    * admitting loop runs for the life of the crawl while generations
-    * retrain and retire underneath it. */
+    * handoff lands cleanly at a batch boundary: no document is dropped
+    * or double-judged, and the old generation's tables become droppable
+    * once the promotion is observed (`gen.get()._1 == newTag`).
+    * Admissions are also recorded in the generation's
+    * [[graft.operators.AdmissionLog]] (logged BEFORE the index merge:
+    * a crash between the two over-logs a kept doc — benign, the
+    * rollover dedups — where the reverse order could leave an admitted
+    * doc invisible to the next retrain). This is the long-running
+    * production topology: the stateless admitting loop runs for the
+    * life of the crawl while generations retrain and retire
+    * underneath it. */
   def startAdmittingRollable(spark: SparkSession, dir: String,
       docs: DataFrame, gen: GenerationRef,
       compactEvery: Int = CompactEveryMerges)(
@@ -173,7 +179,7 @@ object StreamingIngestGate {
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val (tag, cf) = gen.get()
+        val (tag, cf) = gen.advance()
         val (bandsT, setsT) = Dedup.ensureBandIndex(spark, dir, tag, cf)
         val verdict = verdictFor(spark, batch, bandsT, setsT).localCheckpoint()
         sink(verdict, batchId)
@@ -182,9 +188,16 @@ object StreamingIngestGate {
             .select(col("batch_id").as("doc_id")),
           "doc_id")
           .select(col("doc_id"), col("text"))
+          .localCheckpoint()
+        val sfx = graft.operators.IndexStore.suffix(dir, tag, cf)
+        graft.operators.AdmissionLog.append(spark,
+          graft.operators.AdmissionLog.DocKind, sfx, kept)
         Dedup.mergeBatchIntoBandIndex(spark, dir, kept, tag, cf)
-        if (merges.incrementAndGet() % compactEvery == 0)
+        if (merges.incrementAndGet() % compactEvery == 0) {
           Dedup.compactBandIndex(spark, dir, tag, cf)
+          graft.operators.AdmissionLog.compact(spark,
+            graft.operators.AdmissionLog.DocKind, sfx)
+        }
       }
       .start()
   }

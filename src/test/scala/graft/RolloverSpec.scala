@@ -182,19 +182,19 @@ class RolloverSpec extends SparkSpec {
       }
     }
 
-    // retire the generation: every table + its files go; a second drop
+    // retire the generation: every table + its files go — ONE call,
+    // annFilter covering the vector predicate's suffix; a second drop
     // (nothing left) is a clean no-op
-    Rollover.dropGeneration(spark, sf0001, "rollall1", drill)
-    Rollover.dropGeneration(spark, sf0001, "rollall1", drillV)
+    Rollover.dropGeneration(spark, sf0001, "rollall1", drill, Some(drillV))
     tables.values.flatten.foreach(t =>
       assert(!spark.catalog.tableExists(t), s"table survived drop: $t"))
-    Rollover.dropGeneration(spark, sf0001, "rollall1", drill)
+    Rollover.dropGeneration(spark, sf0001, "rollall1", drill, Some(drillV))
   }
 
-  test("ANN streaming handoff: admitting vectors swap to RETRAINED books") {
-    import spark.implicits._
+  test("ANN streaming handoff: cutover swaps to RETRAINED books with no hand-merge") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
 
     // the drill's KEPT vectors are novel vs the held-out-split index;
     // re-sent copies land within quantization error of their admitted
@@ -212,6 +212,7 @@ class RolloverSpec extends SparkSpec {
     val b1 = reId(6000000L)
     val b2 = reId(7000000L)
     val b3 = reId(8000000L)
+    val b4 = reId(9000000L)
 
     val (bk0, cd0) = Similarity.ensurePqIndex(spark, sf0001, "rollsann0", drillF)
     val gen = new graft.streaming.GenerationRef("rollsann0", drillF)
@@ -222,58 +223,62 @@ class RolloverSpec extends SparkSpec {
       got.synchronized { got ++= verdict.collect() }
     }
     try {
-      // batch 1: novel -> admitted into G under its frozen books
+      // batch 1: novel -> admitted into G under its frozen books (and
+      // into G's admission log — nothing is hand-carried from here on)
       input.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
-      // retrain snapshot: G+1 books learn corpus ∪ admitted-so-far
-      val (bk1, cd1) = Similarity.rolloverPqIndex(spark, sf0001,
-        b1.toSeq.toDF("vec_id", "embedding"), "rollsann1", drillF)
-      // batch 2 lands on G while G+1 trains; most re-sent copies flag
-      input.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
-      // catch-up: whatever batch 2 ADMITTED since the snapshot merges
-      // into G+1 (encoded with the retrained books), then swap + drop G
-      val admitted2 = got.synchronized {
-        got.filter(r => r.getLong(0) >= 7000000L && r.getBoolean(3) &&
-          !r.getBoolean(4)).map(_.getLong(0)).toSet
-      }
-      if (admitted2.nonEmpty)
-        Similarity.mergeBatchIntoPqIndex(spark, sf0001,
-          b2.filter(t => admitted2(t._1)).toSeq.toDF("vec_id", "embedding"),
-          "rollsann1", drillF)
-      gen.swap("rollsann1", drillF)
-      IndexStore.drop(spark, bk0)
-      IndexStore.drop(spark, cd0)
-      assert(!spark.catalog.tableExists(bk0) && !spark.catalog.tableExists(cd0))
-      // batch 3 probes the RETRAINED generation alone (G is gone):
-      // re-sent copies of b1 admissions must still flag — the retrained
-      // books reconstruct them at least as well as the frozen ones did
+      // cutover: snapshot G's log, RETRAIN G+1 books on corpus ∪
+      // admitted; batch 2 lands AFTER the snapshot (admitted into G) —
+      // the race the hand-merged handoff could not close
+      graft.operators.Rollover.cutover(spark, sf0001, "rollsann1",
+        annGen = Some(gen),
+        afterSnapshot = () => {
+          input.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+        })
+      assert(gen.get()._1 == "rollsann0", "swap must wait for a batch boundary")
+      // batch 3 promotes: the catch-up folds batch 2's admissions into
+      // G+1 (encoded with the RETRAINED books), the gate flips, and the
+      // re-sent b1 copies probe G+1 — most must flag
       input.addData(b3.toIndexedSeq: _*); q.processAllAvailable()
-      val _ = (bk1, cd1)
+      assert(gen.get()._1 == "rollsann1", "promotion did not land")
+      // promotion observed -> retire G completely (tables + files + log)
+      graft.operators.Rollover.dropGeneration(spark, sf0001, "rollsann0",
+        annFilter = Some(drillF))
+      assert(!spark.catalog.tableExists(bk0) && !spark.catalog.tableExists(cd0))
+      // batch 4 probes G+1 ALONE (G is GONE): re-sent copies of the
+      // post-snapshot batch-2 admissions must flag — proof the
+      // promotion-time catch-up actually folded them
+      input.addData(b4.toIndexedSeq: _*); q.processAllAvailable()
     } finally q.stop()
 
     val ids = got.map(_.getLong(0))
-    assert(ids.size == 3 * keptVecs.length && ids.distinct.size == ids.size,
-      s"expected ${3 * keptVecs.length} unique verdicts across the swap, got ${ids.size}")
+    assert(ids.size == 4 * keptVecs.length && ids.distinct.size == ids.size,
+      s"expected ${4 * keptVecs.length} unique verdicts across the swap, got ${ids.size}")
     val byId = got.map(r => r.getLong(0) -> r.getBoolean(3)).toMap
     assert(b1.forall { case (id, _) => byId(id) },
       "batch-1 verdicts diverged from the drill (self-flagged pre-admission?)")
     val flagged3 = b3.count { case (id, _) => !byId(id) }
     assert(flagged3 * 2 >= b3.length && flagged3 >= 1,
       s"only $flagged3/${b3.length} re-sent vectors flagged by the retrained generation")
+    val flagged4 = b4.count { case (id, _) => !byId(id) }
+    assert(flagged4 * 2 >= b4.length && flagged4 >= 1,
+      s"only $flagged4/${b4.length} re-sent vectors flagged after G dropped " +
+        "(post-snapshot admissions not caught up?)")
   }
 
-  test("streaming handoff: admitting stream swaps G -> G+1 at a batch boundary") {
-    import spark.implicits._
+  test("streaming handoff: cutover swaps G -> G+1 with tracked catch-up, no hand-merge") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
 
     def novel(seed: Char): String = (1 to 40).map(i => s"rv$seed$i").mkString(" ")
     val d1 = (2000001L, novel('a'))
     val d2 = (2000002L, novel('b'))
     val d3 = (2000003L, novel('c'))
     val d4 = (2000004L, "x") // unshingleable -> no_content, never admitted
-    val d5 = (2000005L, novel('a')) // dup of d1 (admitted pre-retrain snapshot)
+    val d5 = (2000005L, novel('a')) // dup of d1 (admitted pre-cutover snapshot)
     val d6 = (2000006L, novel('c')) // dup of d3 (admitted AFTER the snapshot)
     val d7 = (2000007L, novel('e')) // fresh
+    val d8 = (2000008L, novel('f')) // fresh — the promotion batch
 
     val g0 = ("rollsg0", lit(true))
     val (b0, s0) = Dedup.ensureBandIndex(spark, sf0001, g0._1, g0._2)
@@ -285,38 +290,43 @@ class RolloverSpec extends SparkSpec {
       got.synchronized { got ++= verdict.collect() }
     }
     try {
-      // batch 1 admits d1, d2 into G
+      // batch 1 admits d1, d2 into G (and into G's admission log —
+      // the test body never hand-carries a frame from here on)
       input.addData(d1, d2); q.processAllAvailable()
-      // retrain snapshot: G+1 = corpus + admitted-so-far (d1, d2)
-      val kept1 = Seq(d1, d2).toDF("doc_id", "text")
-      val (b1, s1) = Dedup.rolloverBandIndex(spark, sf0001, kept1, "rollsg1", g0._2)
-      // batch 2 lands while G+1 builds: d3 admitted into G, d4 no_content
-      input.addData(d3, d4); q.processAllAvailable()
-      // catch-up: admissions since the snapshot merge into G+1 ...
-      Dedup.mergeBatchIntoBandIndex(spark, sf0001,
-        Seq(d3).toDF("doc_id", "text"), "rollsg1", g0._2)
-      // ... then the swap flips the gate and G drops
-      gen.swap("rollsg1", g0._2)
-      IndexStore.drop(spark, b0)
-      IndexStore.drop(spark, s0)
+      // cutover: snapshot G's log -> build G+1 from corpus ∪ {d1,d2};
+      // batch 2 lands AFTER the snapshot (d3 admitted into G, d4
+      // no_content) — exactly the race plain swap could not close
+      graft.operators.Rollover.cutover(spark, sf0001, "rollsg1",
+        docGen = Some(gen),
+        afterSnapshot = () => {
+          input.addData(d3, d4); q.processAllAvailable()
+        })
+      assert(gen.get()._1 == "rollsg0", "swap must wait for a batch boundary")
+      // batch 3 promotes: the catch-up folds d3 into G+1 inside the
+      // gate's own serialization, the gate flips, d8 admits into G+1
+      input.addData(d8); q.processAllAvailable()
+      assert(gen.get()._1 == "rollsg1", "promotion did not land")
+      // promotion observed -> retire G completely (tables + files + log)
+      graft.operators.Rollover.dropGeneration(spark, sf0001, "rollsg0")
       assert(!spark.catalog.tableExists(b0) && !spark.catalog.tableExists(s0))
-      // batch 3 probes G+1 alone (G is GONE — these verdicts prove the
+      // batch 4 probes G+1 ALONE (G is GONE — these verdicts prove the
       // swap actually took): dups of both pre- and post-snapshot
       // admissions must flag, fresh content must admit
       input.addData(d5, d6, d7); q.processAllAvailable()
-      val _ = (b1, s1)
     } finally q.stop()
 
     // totality across the handoff: every arrival exactly one verdict
     val ids = got.map(_.getLong(0))
-    assert(ids.size == 7 && ids.distinct.size == 7,
-      s"expected 7 unique verdicts across the swap, got $ids")
+    assert(ids.size == 8 && ids.distinct.size == 8,
+      s"expected 8 unique verdicts across the swap, got $ids")
     val byId = got.map(r => r.getLong(0) ->
       ((r.getBoolean(3), r.getBoolean(4), r.getBoolean(5)))).toMap // keep, no_content, admit
     assert(byId(2000001L)._3 && byId(2000002L)._3 && byId(2000003L)._3,
       s"novel pre-swap docs not admitted: $byId")
     assert(byId(2000004L)._2 && !byId(2000004L)._3,
       s"unshingleable doc must be no_content and unadmitted: $byId")
+    assert(byId(2000008L)._1 && byId(2000008L)._3,
+      s"promotion-batch doc wrongly dropped: $byId")
     assert(!byId(2000005L)._1,
       s"dup of a pre-snapshot admission not flagged by G+1: $byId")
     assert(!byId(2000006L)._1,
