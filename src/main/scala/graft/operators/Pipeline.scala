@@ -144,7 +144,20 @@ object Pipeline {
     * index — the gate's cost per batch is proportional to what
     * SURVIVES, not what arrives. */
   private[graft] def ingestVerdictFor(spark: SparkSession, batch: DataFrame,
-      bandsT: String, setsT: String): DataFrame = {
+      bandsT: String, setsT: String): DataFrame =
+    ingestVerdictOnExtracted(spark, extractedOf(batch), bandsT, setsT)
+
+  /** The gate's ONE extraction pass, materialized — split out so the
+    * admitting full-ingest gate can reuse the extracted frame for its
+    * admission merge (the index stores MAIN TEXT: future arrivals are
+    * probed extracted-vs-extracted) without extracting twice. */
+  private[graft] def extractedOf(batch: DataFrame): DataFrame =
+    Html.extractOn(batch.dropDuplicates("doc_id"))
+      .select(col("doc_id"), col("main_text").as("text"))
+      .localCheckpoint()
+
+  private[graft] def ingestVerdictOnExtracted(spark: SparkSession,
+      extracted: DataFrame, bandsT: String, setsT: String): DataFrame = {
     // ONE extraction pass and ONE shingle pass, materialized: the lazy
     // composition re-ran the extractor in every branch that consumed it
     // (quality, shingles, totality spine — extraction is the gate's
@@ -155,9 +168,6 @@ object Pipeline {
     // ONLY for quality survivors — the stage-order economics ("the
     // index join pays only for what survives") taken down to the
     // signature expression itself. Verdicts are unchanged row-for-row.
-    val extracted = Html.extractOn(batch.dropDuplicates("doc_id"))
-      .select(col("doc_id"), col("main_text").as("text"))
-      .localCheckpoint()
     val base = Dedup.shingledOn(extracted)
       .join(Curation.gopherOn(extracted, col("text"))
         .select(col("doc_id"), col("keep").as("q_keep")), Seq("doc_id"))

@@ -220,4 +220,52 @@ object StreamingIngestGate {
       }
       .start()
   }
+
+  /** [[startFullIngest]] with ADMISSION and a SWAPPABLE generation —
+    * the topology a crawl actually deploys, end to end: every
+    * micro-batch reads the generation once
+    * ([[GenerationRef.advance]], which also promotes a pending
+    * [[graft.operators.Rollover.cutover]] under this batch's
+    * serialization), runs the full extract → quality → dedup verdict,
+    * and folds the batch's KEEP pages — their EXTRACTED main text,
+    * the same form the probe shingles — into the standing band index
+    * and the generation's admission log before the next batch probes.
+    * A page duplicating content accepted seconds ago is flagged
+    * `duplicate`; quality rejects and no-content pages are never
+    * admitted (reason ≠ keep ⇒ not merged), matching the batch gate's
+    * admission policy. Verdicts are checkpointed pre-admission, the
+    * index auto-compacts every `compactEvery` merges, and generations
+    * retrain and retire underneath the running stream exactly as in
+    * [[startAdmittingRollable]]. */
+  def startFullIngestRollable(spark: SparkSession, dir: String,
+      pages: DataFrame, gen: GenerationRef,
+      compactEvery: Int = CompactEveryMerges)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    val merges = new java.util.concurrent.atomic.AtomicLong(0L)
+    pages.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val (tag, cf) = gen.advance()
+        val (bandsT, setsT) = Dedup.ensureBandIndex(spark, dir, tag, cf)
+        val extracted = graft.operators.Pipeline.extractedOf(batch)
+        val verdict = graft.operators.Pipeline
+          .ingestVerdictOnExtracted(spark, extracted, bandsT, setsT)
+          .localCheckpoint()
+        sink(verdict, batchId)
+        val kept = extracted.join(
+          verdict.filter(col("keep")).select(col("doc_id")), "doc_id")
+          .select(col("doc_id"), col("text"))
+          .localCheckpoint()
+        val sfx = graft.operators.IndexStore.suffix(dir, tag, cf)
+        graft.operators.AdmissionLog.append(spark,
+          graft.operators.AdmissionLog.DocKind, sfx, kept)
+        Dedup.mergeBatchIntoBandIndex(spark, dir, kept, tag, cf)
+        if (merges.incrementAndGet() % compactEvery == 0) {
+          Dedup.compactBandIndex(spark, dir, tag, cf)
+          graft.operators.AdmissionLog.compact(spark,
+            graft.operators.AdmissionLog.DocKind, sfx)
+        }
+      }
+      .start()
+  }
 }

@@ -161,6 +161,82 @@ class StreamingIngestGateSpec extends SparkSpec {
       "gate must emit exactly one verdict per arriving page")
   }
 
+  test("rollable full ingest: one reason-tagged verdict per page across a G -> G+1 cutover") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.GenerationRef
+    import graft.operators.Rollover
+
+    // a novel page that PASSES the Gopher quality gate: 40 distinct
+    // alphabetic 5-char words + two stopwords (n_words >= 30, mean
+    // token length ~4.9, diversity ~0.98, alpha 1.0, stop_hits 2);
+    // single plain block, so extraction returns it byte-identically
+    // and pages differing in `seed` share zero shingles
+    def page(seed: Char): String = {
+      val words = (0 until 40).map(i =>
+        s"t${seed}x" + ('a' + i % 26).toChar + ('a' + i / 26).toChar)
+      (words.take(5) ++ Seq("the", "and") ++ words.drop(5)).mkString(" ")
+    }
+    val p1 = (4000001L, page('a')) // admitted into G
+    val p2 = (4000002L, page('b')) // admitted into G
+    val p3 = (4000003L, page('c')) // post-snapshot admission into G
+    val p4 = (4000004L, (1 to 40).map(i => s"$i${i}7").mkString(" ")) // quality reject
+    val p5 = (4000005L, "x") // extraction leaves nothing -> no_content
+    val p6 = (4000006L, page('f')) // promotion batch, admits into G+1
+    val p7 = (4000007L, page('a')) // dup of the pre-snapshot admission p1
+    val p8 = (4000008L, page('c')) // dup of the caught-up admission p3
+    val p9 = (4000009L, page('i')) // fresh post-drop page
+
+    val g0 = ("fullg0", lit(true))
+    val (b0, s0) = Dedup.ensureBandIndex(spark, sf0001, g0._1, g0._2)
+    val gen = new GenerationRef(g0._1, g0._2)
+    val got = mutable.Buffer[Row]()
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingIngestGate.startFullIngestRollable(spark, sf0001,
+      input.toDF().toDF("doc_id", "text"), gen) { (verdict, _) =>
+      got.synchronized { got ++= verdict.collect() }
+    }
+    try {
+      // batch 1: two novel quality-passing pages admit into G
+      input.addData(p1, p2); q.processAllAvailable()
+      // cutover: G+1 builds from corpus ∪ G's admission log; batch 2
+      // lands AFTER the snapshot — p3 admits into G, p4 rejects on
+      // quality, p5 surfaces as no_content (neither is ever admitted)
+      Rollover.cutover(spark, sf0001, "fullg1", docGen = Some(gen),
+        afterSnapshot = () => {
+          input.addData(p3, p4, p5); q.processAllAvailable()
+        })
+      assert(gen.get()._1 == "fullg0", "swap must wait for a batch boundary")
+      // batch 3 promotes: catch-up folds p3 into G+1, gate flips
+      input.addData(p6); q.processAllAvailable()
+      assert(gen.get()._1 == "fullg1", "promotion did not land")
+      Rollover.dropGeneration(spark, sf0001, "fullg0")
+      assert(!spark.catalog.tableExists(b0) && !spark.catalog.tableExists(s0))
+      // batch 4 probes G+1 ALONE: dups of both the pre-snapshot and
+      // the caught-up admission must flag; fresh content keeps
+      input.addData(p7, p8, p9); q.processAllAvailable()
+    } finally q.stop()
+
+    // totality: every arriving page exactly one reason-tagged verdict
+    val ids = got.map(_.getLong(0))
+    assert(ids.size == 9 && ids.distinct.size == 9,
+      s"expected 9 unique verdicts across the cutover, got $ids")
+    val reason = got.map(r => r.getLong(0) -> r.getString(1)).toMap
+    val keep = got.map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(got.forall(r => r.getBoolean(4) == (r.getString(1) == "keep")),
+      "keep must equal reason == keep")
+    Seq(p1, p2, p3, p6, p9).foreach { case (id, _) =>
+      assert(reason(id) == "keep" && keep(id), s"page $id should keep: $reason")
+    }
+    assert(reason(p4._1) == "quality", s"numeric page must reject on quality: $reason")
+    assert(reason(p5._1) == "no_content", s"empty page must be no_content: $reason")
+    assert(reason(p7._1) == "duplicate",
+      s"dup of a pre-snapshot admission not flagged by G+1: $reason")
+    assert(reason(p8._1) == "duplicate",
+      s"dup of a post-snapshot (caught-up) admission not flagged by G+1: $reason")
+  }
+
   test("crawl pipeline (extract → gate) matches the drill for extractable docs") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
