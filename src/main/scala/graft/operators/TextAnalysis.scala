@@ -585,7 +585,21 @@ object TextAnalysis {
     * IndexStore discipline, so later sessions score documents without
     * re-deriving the model (DirMemo memos die with the JVM; a deployed
     * quality gate loads its LM, it does not retrain it per run).
-    * Alphabet² rows at most — a single tiny file. */
+    * Alphabet² rows at most — a single tiny file.
+    *
+    * STALENESS CONTRACT (all three persisted models — char-LM, BPE,
+    * classifier): between generations the weights are FROZEN by
+    * design, exactly like the ANN family's frozen codebooks. An
+    * admitting gate folding new documents into the band index does
+    * NOT retrain the models — new arrivals are scored with
+    * generation-G weights until the next [[Rollover.generation]] /
+    * [[Rollover.cutover]] retrains G+1 on corpus ∪ admitted. This is
+    * a correctness property, not drift left unhandled: a gate whose
+    * verdict function silently changed mid-generation would be
+    * unauditable (two identical documents, seconds apart, judged by
+    * different models), and the rollover drills prove the retrain
+    * repairs staleness at the boundary. PersistedModelSpec pins that
+    * post-admission probes still read generation-G weights. */
   private[graft] def ensureCharLmModel(spark: SparkSession, dir: String,
       tag: String = "", corpusFilter: Column = lit(true)): String = {
     val sfx = IndexStore.suffix(dir, tag, corpusFilter)

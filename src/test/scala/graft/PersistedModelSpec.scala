@@ -102,4 +102,34 @@ class PersistedModelSpec extends SparkSpec {
         s"BPE train probe must read the merges table:\n$plan")
     }
   }
+
+  test("frozen-between-generations: admission merges leave models at generation G") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    import graft.operators.{Dedup, Rollover}
+    // the staleness contract (ensureCharLmModel scaladoc): an admitting
+    // gate folds accepted docs into the BAND index only — the persisted
+    // models score every later arrival with generation-G weights until
+    // the next rollover retrains them
+    val before = rows(TextAnalysis.charLmScorePersisted(spark, sf0001))
+    val lmT = TextAnalysis.ensureCharLmModel(spark, sf0001)
+    def fp(t: String): Set[(String, Long, Long)] = {
+      val loc = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(t)).location
+      val p = new org.apache.hadoop.fs.Path(loc)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).filter(_.isFile)
+        .map(s => (s.getPath.getName, s.getModificationTime, s.getLen)).toSet
+    }
+    val pre = fp(lmT)
+    // an admitting batch lands (the exact merge the gates run)
+    val novel = Seq((5000001L, (1 to 40).map(i => s"stale$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    Dedup.mergeBatchIntoBandIndex(spark, sf0001, novel, "modelstale1", lit(true))
+    assert(fp(lmT) == pre,
+      "an admission merge rewrote the frozen model table")
+    assert(rows(TextAnalysis.charLmScorePersisted(spark, sf0001)) == before,
+      "post-admission probe no longer scores with generation-G weights")
+    Rollover.dropGeneration(spark, sf0001, "modelstale1")
+  }
 }

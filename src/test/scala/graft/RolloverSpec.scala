@@ -191,6 +191,115 @@ class RolloverSpec extends SparkSpec {
     Rollover.dropGeneration(spark, sf0001, "rollall1", drill, Some(drillV))
   }
 
+  test("crashed generation rollover RESUMES: finished families are catalog hits") {
+    import graft.operators.Rollover
+    // a rollover that died after 3 of 7 families left band, span, and
+    // text built under the new tag; the scaladoc claims re-calling
+    // generation() resumes — finished families must be CATALOG HITS
+    // (no rebuild), the rest build, and the result equals a clean build
+    val admittedVecs = Tables.embeddings(spark, sf0001)
+      .filter(pmod(col("vec_id"), lit(4L)) === 0)
+      .select(col("vec_id"), col("embedding"))
+    val drillV = pmod(col("vec_id"), lit(4L)) =!= 0
+
+    // partial build = the crash state (each family builder is exactly
+    // what generation() sequences, so building 3 directly IS a crash
+    // after family 3)
+    val (bandT, setsT) = Dedup.rolloverBandIndex(spark, sf0001, batchDocs, "rollcr1", drill)
+    val spanT = Dedup.rolloverSpanIndex(spark, sf0001, batchDocs, "rollcr1", drill)
+    val (tfsT, statsT) = Retrieval.rolloverTextIndex(spark, sf0001, batchDocs, "rollcr1", drill)
+
+    // fingerprint the finished tables' data files (path, mtime, size) —
+    // any rebuild rewrites them
+    def fp(t: String): Set[(String, Long, Long)] = {
+      val loc = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(t)).location
+      val p = new org.apache.hadoop.fs.Path(loc)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).filter(_.isFile)
+        .map(s => (s.getPath.getName, s.getModificationTime, s.getLen)).toSet
+    }
+    val prebuilt = Seq(bandT, setsT, spanT, tfsT, statsT)
+    val pre = prebuilt.map(t => t -> fp(t)).toMap
+    val lloydBefore = Similarity.lloydRuns.get()
+
+    // the RETRY: re-call generation() with the same arguments
+    val tables = Rollover.generation(spark, sf0001, batchDocs, "rollcr1",
+      drill, annAdmitted = Some((admittedVecs, drillV)))
+    tables.values.flatten.foreach(t =>
+      assert(spark.catalog.tableExists(t), s"family table missing after resume: $t"))
+    prebuilt.foreach(t =>
+      assert(fp(t) == pre(t), s"resume REBUILT an already-finished family: $t"))
+    val lloydAfterResume = Similarity.lloydRuns.get()
+    assert(lloydAfterResume > lloydBefore,
+      "resume must train the ANN family it never reached")
+
+    // resumed result ≡ a clean build: the drill split covers the full
+    // corpus, so every table must equal the default generation's
+    val defaults = Map(
+      "band" -> { val (b, s) = Dedup.ensureBandIndex(spark, sf0001); Seq(b, s) },
+      "span" -> Seq(Dedup.ensureSpanIndex(spark, sf0001)),
+      "text" -> { val (t, s) = Retrieval.ensureTextIndex(spark, sf0001); Seq(t, s) },
+      "ann" -> { val (b, c) = Similarity.ensurePqIndex(spark, sf0001); Seq(b, c) },
+      "charlm" -> Seq(graft.operators.TextAnalysis.ensureCharLmModel(spark, sf0001)),
+      "bpe" -> { val (m, v) = graft.operators.TextAnalysis.ensureBpeModel(spark, sf0001); Seq(m, v) },
+      "classifier" -> { val (w, s) = graft.operators.Curation.ensureClassifierModel(spark, sf0001); Seq(w, s) })
+    defaults.foreach { case (fam, defTables) =>
+      tables(fam).zip(defTables).foreach { case (resumed, default) =>
+        assert(rows(spark.table(resumed)) == rows(spark.table(default)),
+          s"$fam: resumed table $resumed != clean build $default")
+      }
+    }
+
+    // a SECOND full retry is a pure catalog hit: zero retrains
+    val all = tables.values.flatten.map(t => t -> fp(t)).toMap
+    Rollover.generation(spark, sf0001, batchDocs, "rollcr1",
+      drill, annAdmitted = Some((admittedVecs, drillV)))
+    assert(Similarity.lloydRuns.get() == lloydAfterResume,
+      "fully-built generation retried Lloyd's")
+    all.foreach { case (t, f) =>
+      assert(fp(t) == f, s"fully-built generation rewrote table: $t") }
+
+    Rollover.dropGeneration(spark, sf0001, "rollcr1", drill, Some(drillV))
+  }
+
+  test("dropGeneration vs in-flight probe: completes correctly or fails cleanly") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // the swap→drop contract says probes move off G BEFORE the drop,
+    // but a straggler probe may still hold G's file listing when the
+    // files vanish. Safety bar: the straggler either completes with
+    // CORRECT rows (it read the listing before the delete and the
+    // files were still there) or fails cleanly — it must never return
+    // wrong/partial rows silently.
+    val probeSigs = Dedup.minHashSignatures(spark, sf0001)
+      .filter(pmod(col("doc_id"), lit(7L)) === 1)
+      .localCheckpoint()
+    val expected = {
+      val (b, s) = Dedup.ensureBandIndex(spark, sf0001, "dropsafe_ref", drill)
+      val r = rows(Dedup.probeBandIndex(spark, probeSigs, b, s))
+      IndexStore.drop(spark, b); IndexStore.drop(spark, s)
+      r
+    }
+    assert(expected.nonEmpty)
+    (1 to 4).foreach { i =>
+      val tag = s"dropsafe$i"
+      val (b, s) = Dedup.ensureBandIndex(spark, sf0001, tag, drill)
+      val straggler = Future(scala.util.Try(
+        rows(Dedup.probeBandIndex(spark, probeSigs, b, s))))
+      Thread.sleep(i * 15L) // vary where the drop lands in the probe
+      IndexStore.drop(spark, b)
+      IndexStore.drop(spark, s)
+      Await.result(straggler, 120.seconds) match {
+        case scala.util.Success(r) =>
+          assert(r == expected,
+            s"straggler probe returned WRONG rows under a concurrent drop (iter $i)")
+        case scala.util.Failure(_) => () // clean failure is acceptable
+      }
+    }
+  }
+
   test("ANN streaming handoff: cutover swaps to RETRAINED books with no hand-merge") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
