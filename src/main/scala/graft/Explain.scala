@@ -37,7 +37,11 @@ object Explain {
         "sim_topk_ivfpq_persisted", "sim_topk_ivfpq_rerank_persisted",
         "sim_ingest_gate", "dedup_semdedup", "dedup_semdedup_cells",
         "pipeline_crawl", "pipeline_ingest_gate", "text_bm25_topk_persisted",
-        "text_mrr_map_eval", "curation_ppl_filter")
+        "text_mrr_map_eval", "curation_ppl_filter",
+        "text_char_lm_persisted", "text_bpe_train_persisted",
+        "text_bpe_apply_persisted", "text_classifier_quality_persisted",
+        "text_classifier_calibration_persisted",
+        "curation_ppl_filter_persisted")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
