@@ -36,7 +36,13 @@ object StreamingIngestGate {
 
   /** Start the gate over a streaming (doc_id, text) frame. The corpus
     * index for `dir` is ensured once at start (catalog hit → no
-    * rebuild); `sink` receives each micro-batch's verdict frame
+    * rebuild). The STATELESS gates (this, [[startCrawl]],
+    * [[startFullIngest]]) bind their generation at start by design: a
+    * generation rebind is just a restart — they hold no state and no
+    * admissions, so stopping and restarting against the new tag loses
+    * nothing; only the ADMITTING gates need the in-flight handoff
+    * machinery ([[GenerationRef]] + [[graft.operators.Rollover.cutover]]).
+    * `sink` receives each micro-batch's verdict frame
     * (batch_id, n_dups, best_jaccard, keep, no_content). EVERY
     * arriving doc_id gets exactly one verdict row — a doc whose text
     * is too short to shingle cannot be judged against the corpus and

@@ -300,6 +300,59 @@ class RolloverSpec extends SparkSpec {
     }
   }
 
+  test("chained cutovers: admissions survive across TWO generation hops") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Rollover
+
+    // the carry-forward claim made checkable: G+1 is built from
+    // corpus ∪ LOG, and the corpus table never grows — so a doc
+    // admitted into G0 appears in G2's tables ONLY if each cutover
+    // copied the log forward. Two hops with G0 and G1 both dropped
+    // before the final probe prove it.
+    def novel(seed: Char): String = (1 to 40).map(i => s"ch$seed$i").mkString(" ")
+    val e1 = (2100001L, novel('a')) // admitted into G0
+    val e2 = (2100002L, novel('b')) // promotion batch for G0->G1, admits into G1
+    val e3 = (2100003L, novel('c')) // promotion batch for G1->G2, admits into G2
+    val e4 = (2100004L, novel('a')) // dup of the G0 admission — must flag in G2
+    val e5 = (2100005L, novel('b')) // dup of the G1 admission — must flag in G2
+
+    val g0 = ("chain0", lit(true))
+    val gen = new GenerationRef(g0._1, g0._2)
+    val got = mutable.Buffer[Row]()
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingIngestGate.startAdmittingRollable(spark, sf0001,
+      input.toDF().toDF("doc_id", "text"), gen) { (verdict, _) =>
+      got.synchronized { got ++= verdict.collect() }
+    }
+    try {
+      input.addData(e1); q.processAllAvailable()
+      Rollover.cutover(spark, sf0001, "chain1", docGen = Some(gen))
+      input.addData(e2); q.processAllAvailable() // promotes to chain1
+      assert(gen.get()._1 == "chain1")
+      Rollover.dropGeneration(spark, sf0001, "chain0")
+      Rollover.cutover(spark, sf0001, "chain2", docGen = Some(gen))
+      input.addData(e3); q.processAllAvailable() // promotes to chain2
+      assert(gen.get()._1 == "chain2")
+      Rollover.dropGeneration(spark, sf0001, "chain1")
+      // G0 and G1 are both GONE; G2 must still flag dups of their
+      // admissions, two hops later
+      input.addData(e4, e5); q.processAllAvailable()
+    } finally q.stop()
+
+    val ids = got.map(_.getLong(0))
+    assert(ids.size == 5 && ids.distinct.size == 5,
+      s"expected 5 unique verdicts across two hops, got $ids")
+    val keep = got.map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(keep(e1._1) && keep(e2._1) && keep(e3._1),
+      s"novel docs wrongly dropped: $keep")
+    assert(!keep(e4._1),
+      s"dup of a G0 admission NOT flagged two generations later: $keep")
+    assert(!keep(e5._1),
+      s"dup of a G1 admission NOT flagged one generation later: $keep")
+  }
+
   test("ANN streaming handoff: cutover swaps to RETRAINED books with no hand-merge") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -372,6 +425,77 @@ class RolloverSpec extends SparkSpec {
     assert(flagged4 * 2 >= b4.length && flagged4 >= 1,
       s"only $flagged4/${b4.length} re-sent vectors flagged after G dropped " +
         "(post-snapshot admissions not caught up?)")
+  }
+
+  test("one cutover drives BOTH gates: doc and ANN swap at their own batch boundaries") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Rollover
+
+    // the whole-deployment form: one cutover call snapshots both logs,
+    // builds all seven families, and schedules both swaps — each gate
+    // promotes at ITS next batch, independently
+    def novel(seed: Char): String = (1 to 40).map(i => s"bj$seed$i").mkString(" ")
+    val d1 = (2200001L, novel('a'))
+    val d2 = (2200002L, novel('x')) // promotion batch (doc side)
+    val d3 = (2200003L, novel('a')) // dup of d1, judged by G+1 alone
+
+    val drillF = Similarity.annDrillFilter
+    val keptVecs = {
+      val keptIds = Similarity.annIngestGate(spark, sf0001)
+        .filter(col("keep") && !col("no_content"))
+        .select("batch_id").as[Long].collect().toSet
+      Tables.embeddings(spark, sf0001)
+        .filter(col("vec_id").isin(keptIds.toSeq: _*))
+        .select(col("vec_id"), col("embedding"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    }
+    def reId(base: Long) = keptVecs.map { case (id, v) => (base + id, v) }
+    val v1 = reId(16000000L)
+    val v2 = reId(17000000L) // promotion batch (ANN side)
+
+    val docGen = new GenerationRef("both0", lit(true))
+    val annGen = new GenerationRef("both0", drillF)
+    Dedup.ensureBandIndex(spark, sf0001, "both0", lit(true))
+    Similarity.ensurePqIndex(spark, sf0001, "both0", drillF)
+
+    val gotD = mutable.Buffer[Row]()
+    val gotV = mutable.Buffer[Row]()
+    val inD = MemoryStream[(Long, String)]
+    val inV = MemoryStream[(Long, Array[Float])]
+    val qD = StreamingIngestGate.startAdmittingRollable(spark, sf0001,
+      inD.toDF().toDF("doc_id", "text"), docGen) { (v, _) =>
+      gotD.synchronized { gotD ++= v.collect() }
+    }
+    val qV = graft.streaming.StreamingAnnGate.startAdmittingRollable(spark, sf0001,
+      inV.toDF().toDF("vec_id", "embedding"), annGen) { (v, _) =>
+      gotV.synchronized { gotV ++= v.collect() }
+    }
+    try {
+      inD.addData(d1); qD.processAllAvailable()
+      inV.addData(v1.toIndexedSeq: _*); qV.processAllAvailable()
+      Rollover.cutover(spark, sf0001, "both1",
+        docGen = Some(docGen), annGen = Some(annGen))
+      // each gate flips at its own next batch — and only then
+      assert(docGen.get()._1 == "both0" && annGen.get()._1 == "both0")
+      inD.addData(d2); qD.processAllAvailable()
+      assert(docGen.get()._1 == "both1", "doc gate did not promote")
+      assert(annGen.get()._1 == "both0", "ANN gate promoted without a batch")
+      inV.addData(v2.toIndexedSeq: _*); qV.processAllAvailable()
+      assert(annGen.get()._1 == "both1", "ANN gate did not promote")
+      Rollover.dropGeneration(spark, sf0001, "both0", annFilter = Some(drillF))
+      inD.addData(d3); qD.processAllAvailable()
+    } finally { qD.stop(); qV.stop() }
+
+    val keepD = gotD.map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(keepD(d1._1) && keepD(d2._1), s"novel docs wrongly dropped: $keepD")
+    assert(!keepD(d3._1), s"dup of a both0 admission not flagged by both1: $keepD")
+    val keepV = gotV.map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(v1.forall { case (id, _) => keepV(id) }, "v1 self-flagged pre-admission")
+    val flagged2 = v2.count { case (id, _) => !keepV(id) }
+    assert(flagged2 * 2 >= v2.length && flagged2 >= 1,
+      s"only $flagged2/${v2.length} re-sent vectors flagged across the joint cutover")
   }
 
   test("streaming handoff: cutover swaps G -> G+1 with tracked catch-up, no hand-merge") {
