@@ -58,7 +58,15 @@ object Scaling {
     "src_warc_roundtrip",    // archive framing roundtrip, task-per-file
     "pipeline_crawl",        // WARC → extract → gate, one plan
     "text_ndcg_eval",        // ranking eval over bounded top-k
-    "evt_rfm")               // user-grain aggregate + banding
+    "evt_rfm",               // user-grain aggregate + banding
+    "pipeline_ingest_gate",  // composed extract→quality→index probe
+    "text_bm25_topk_persisted",   // postings probe, query-token pruned
+    "text_char_lm_persisted",     // persisted-model scoring probe
+    "curation_ppl_filter_persisted", // persisted-LM filter
+    "text_classifier_quality_persisted", // persisted-weights scoring
+    "rich_trade_ohlcv",      // JSON wire roundtrip (memoized feed)
+    "graph_triangles",       // degree-oriented wedge join, O(E^1.5)
+    "rel_recursive_chains")  // bounded recursive expansion
 
   def main(args: Array[String]): Unit = {
     val dirs = args(0).split(",").toSeq
