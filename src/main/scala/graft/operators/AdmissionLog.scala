@@ -46,13 +46,27 @@ private[graft] object AdmissionLog {
   def tableName(kind: String, sfx: String) = s"graft_admlog_${kind}_$sfx"
 
   /** The log's rows, or an empty correctly-typed frame when no gate has
-    * admitted anything under this generation yet. */
+    * admitted anything under this generation yet. LAZY — safe only when
+    * no concurrent compact can drop-and-recreate the table mid-read;
+    * consumers that race a live gate use [[snapshot]]. */
   def read(spark: SparkSession, kind: String, sfx: String): DataFrame = {
     val t = tableName(kind, sfx)
     if (spark.catalog.tableExists(t)) spark.table(t)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schemaOf(kind))
   }
+
+  /** A MATERIALIZED copy of the log taken under the log's own lock —
+    * what a cutover snapshots and what its promotion catch-up re-reads.
+    * The lock matters: the gate's every-N [[compact]] rewrites through
+    * a drop-and-recreate `saveAsTable`, and an unlocked read landing in
+    * that window would see a missing table and silently return the
+    * empty frame — a generation built from corpus alone, every
+    * admission lost with no error. */
+  def snapshot(spark: SparkSession, kind: String, sfx: String): DataFrame =
+    IndexStore.lock(s"admlog_${kind}_" + sfx).synchronized {
+      read(spark, kind, sfx).localCheckpoint()
+    }
 
   /** Record one batch's admissions: create the generation's log on
     * first append, then fold in only ids the log has never seen (the

@@ -103,19 +103,29 @@ object Rollover {
       afterSnapshot: () => Unit = () => ()): Map[String, Seq[String]] = {
     require(docGen.nonEmpty || annGen.nonEmpty,
       "cutover needs at least one gate handle")
-    // SNAPSHOT each live gate's admission log, materialized — anything
-    // admitted after this line is the promotion-time catch-up's job
+    // overlapping cutovers are an operator error, not a race to absorb:
+    // a second cutover scheduled over an unpromoted swap would orphan
+    // the unpromoted generation's tables and lose the admissions its
+    // catch-up was going to fold (the new closure would re-read the
+    // generation BEFORE it). Fail fast; retry after a batch promotes.
+    (docGen ++ annGen).foreach(g => g.pendingTag.foreach(t =>
+      throw new IllegalStateException(
+        s"cutover to $newTag with an unpromoted swap to $t still pending — " +
+          "wait for a batch to promote it (gen.get()._1 == tag) first")))
+    // SNAPSHOT each live gate's admission log, materialized under the
+    // log lock (a racing gate-side compact is a drop-and-recreate —
+    // an unlocked read landing in that window would silently build the
+    // new generation from corpus alone). Anything admitted after this
+    // line is the promotion-time catch-up's job.
     val docSnap = docGen.map { g =>
       val (tag, cf) = g.get()
       val oldSfx = IndexStore.suffix(dir, tag, cf)
-      (g, cf, oldSfx,
-        AdmissionLog.read(spark, AdmissionLog.DocKind, oldSfx).localCheckpoint())
+      (g, cf, oldSfx, AdmissionLog.snapshot(spark, AdmissionLog.DocKind, oldSfx))
     }
     val annSnap = annGen.map { g =>
       val (tag, cf) = g.get()
       val oldSfx = IndexStore.suffix(dir, tag, cf)
-      (g, cf, oldSfx,
-        AdmissionLog.read(spark, AdmissionLog.VecKind, oldSfx).localCheckpoint())
+      (g, cf, oldSfx, AdmissionLog.snapshot(spark, AdmissionLog.VecKind, oldSfx))
     }
     afterSnapshot()
     // BUILD the new generation from corpus ∪ snapshot; the old one
@@ -132,23 +142,31 @@ object Rollover {
         IndexStore.suffix(dir, newTag, cf), snap)
       Map("ann" -> Seq(booksT, codesT))
     }.getOrElse(Map.empty[String, Seq[String]])
-    // SWAP-FIRST, catch-up AT promotion: re-merge the full old log into
-    // the new generation (idempotent — only the post-snapshot delta
-    // lands) and carry the log forward, all inside the gate's batch
-    docSnap.foreach { case (g, cf, oldSfx, _) =>
+    // SWAP-FIRST, catch-up AT promotion. The catch-up prunes the old
+    // log to the POST-SNAPSHOT DELTA with an id-only bucket-local
+    // anti-join BEFORE any expensive work — at scale the log holds a
+    // whole generation's admissions, and shingling/encoding all of it
+    // inside the promotion batch would stall the live stream to land a
+    // handful of rows. The index merges' own novelty anti-joins keep
+    // the fold idempotent under batch replay regardless.
+    docSnap.foreach { case (g, cf, oldSfx, snap) =>
       g.requestSwap(newTag, cf) { () =>
-        val full = AdmissionLog.read(spark, AdmissionLog.DocKind, oldSfx)
-        Dedup.mergeBatchIntoBandIndex(spark, dir, full, newTag, cf)
+        val delta = AdmissionLog.snapshot(spark, AdmissionLog.DocKind, oldSfx)
+          .join(snap.select(snap("doc_id")), Seq("doc_id"), "left_anti")
+          .localCheckpoint()
+        Dedup.mergeBatchIntoBandIndex(spark, dir, delta, newTag, cf)
         AdmissionLog.append(spark, AdmissionLog.DocKind,
-          IndexStore.suffix(dir, newTag, cf), full)
+          IndexStore.suffix(dir, newTag, cf), delta)
       }
     }
-    annSnap.foreach { case (g, cf, oldSfx, _) =>
+    annSnap.foreach { case (g, cf, oldSfx, snap) =>
       g.requestSwap(newTag, cf) { () =>
-        val full = AdmissionLog.read(spark, AdmissionLog.VecKind, oldSfx)
-        Similarity.mergeBatchIntoPqIndex(spark, dir, full, newTag, cf)
+        val delta = AdmissionLog.snapshot(spark, AdmissionLog.VecKind, oldSfx)
+          .join(snap.select(snap("vec_id")), Seq("vec_id"), "left_anti")
+          .localCheckpoint()
+        Similarity.mergeBatchIntoPqIndex(spark, dir, delta, newTag, cf)
         AdmissionLog.append(spark, AdmissionLog.VecKind,
-          IndexStore.suffix(dir, newTag, cf), full)
+          IndexStore.suffix(dir, newTag, cf), delta)
       }
     }
     docTables ++ annTables

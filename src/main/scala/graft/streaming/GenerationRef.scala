@@ -9,51 +9,56 @@ import org.apache.spark.sql.Column
   * admission-merge always target the same generation, and a handoff
   * takes effect at the next batch boundary — never mid-batch.
   *
-  * Two handoff modes:
-  *  - [[swap]] flips immediately — correct only when the caller has
-  *    already folded every admission made since the new generation's
-  *    build snapshot into it AND no batch can land between that
-  *    catch-up and the flip (a paused drill; a continuously-arriving
-  *    topology cannot guarantee it).
-  *  - [[requestSwap]] + [[advance]] closes that window: the flip and
-  *    its catch-up run INSIDE the gate's own foreachBatch, after the
-  *    previous batch's merge has fully committed (micro-batches are
-  *    serialized per query), so the catch-up provably sees every
-  *    admission the old generation ever took. This is what
-  *    [[graft.operators.Rollover.cutover]] uses — no caller
-  *    hand-merges. */
+  * Handoffs go through [[requestSwap]] + [[advance]]: the flip and its
+  * catch-up run INSIDE the gate's own foreachBatch, after the previous
+  * batch's merge has fully committed (micro-batches are serialized per
+  * query), so the catch-up provably sees every admission the old
+  * generation ever took — an immediate caller-side flip could never
+  * close the batch-admits-into-G-after-the-catch-up window, which is
+  * why no such API exists. [[graft.operators.Rollover.cutover]] is the
+  * one scheduler — no caller hand-merges. */
 final class GenerationRef(initialTag: String, initialFilter: Column) {
   private val ref =
     new java.util.concurrent.atomic.AtomicReference((initialTag, initialFilter))
-  private val pending = new java.util.concurrent.atomic.AtomicReference[
+  private val pendingRef = new java.util.concurrent.atomic.AtomicReference[
     (String, Column, () => Unit)](null)
 
   /** The current (tag, corpusFilter) — a plain read, no promotion. */
   def get(): (String, Column) = ref.get()
+
+  /** The scheduled-but-unpromoted swap's tag, if one is pending —
+    * [[graft.operators.Rollover.cutover]] fails fast on it (an
+    * overlapping cutover would orphan the unpromoted generation and
+    * could lose its admissions). */
+  def pendingTag: Option[String] = Option(pendingRef.get()).map(_._1)
 
   /** Gate-side read at batch start: promote a pending swap first —
     * run its catch-up (fold admissions that landed in the old
     * generation since the cutover snapshot into the new one), then
     * flip — and return the generation this batch must use. Runs under
     * the batch's own serialization, so the catch-up races with no
-    * in-flight merge. */
+    * in-flight merge. The pending entry is cleared only AFTER the
+    * catch-up succeeds: a transient catch-up failure fails the batch,
+    * and the replayed batch retries the promotion (the catch-up's
+    * merges are idempotent) instead of silently abandoning it with the
+    * gate pinned to the old generation. */
   def advance(): (String, Column) = {
-    val p = pending.getAndSet(null)
-    if (p != null) { p._3(); ref.set((p._1, p._2)) }
+    val p = pendingRef.get()
+    if (p != null) {
+      p._3()
+      ref.set((p._1, p._2))
+      pendingRef.compareAndSet(p, null)
+    }
     ref.get()
   }
 
   /** Schedule a swap to `tag` at the next batch boundary; `catchUp`
-    * runs exactly once, inside that batch, before any probe of the new
-    * generation. The old generation keeps serving (and must not be
-    * dropped) until the promotion lands — observable as
+    * runs inside that batch, before any probe of the new generation
+    * (exactly once on success; a failed attempt fails the batch and is
+    * retried by the replay). The old generation keeps serving (and
+    * must not be dropped) until the promotion lands — observable as
     * `get()._1 == tag`. */
   def requestSwap(tag: String, corpusFilter: Column)(
       catchUp: () => Unit): Unit =
-    pending.set((tag, corpusFilter, catchUp))
-
-  /** Immediate flip — see the class doc for when this is sound.
-    * Subsequent batches probe and merge into the new generation. */
-  def swap(tag: String, corpusFilter: Column): Unit =
-    ref.set((tag, corpusFilter))
+    pendingRef.set((tag, corpusFilter, catchUp))
 }

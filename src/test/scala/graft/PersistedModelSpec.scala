@@ -113,14 +113,7 @@ class PersistedModelSpec extends SparkSpec {
     // the next rollover retrains them
     val before = rows(TextAnalysis.charLmScorePersisted(spark, sf0001))
     val lmT = TextAnalysis.ensureCharLmModel(spark, sf0001)
-    def fp(t: String): Set[(String, Long, Long)] = {
-      val loc = spark.sessionState.catalog.getTableMetadata(
-        org.apache.spark.sql.catalyst.TableIdentifier(t)).location
-      val p = new org.apache.hadoop.fs.Path(loc)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.listStatus(p).filter(_.isFile)
-        .map(s => (s.getPath.getName, s.getModificationTime, s.getLen)).toSet
-    }
+    def fp(t: String) = tableFileFingerprint(t)
     val pre = fp(lmT)
     // an admitting batch lands (the exact merge the gates run)
     val novel = Seq((5000001L, (1 to 40).map(i => s"stale$i").mkString(" ")))

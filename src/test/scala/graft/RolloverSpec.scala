@@ -209,16 +209,7 @@ class RolloverSpec extends SparkSpec {
     val spanT = Dedup.rolloverSpanIndex(spark, sf0001, batchDocs, "rollcr1", drill)
     val (tfsT, statsT) = Retrieval.rolloverTextIndex(spark, sf0001, batchDocs, "rollcr1", drill)
 
-    // fingerprint the finished tables' data files (path, mtime, size) —
-    // any rebuild rewrites them
-    def fp(t: String): Set[(String, Long, Long)] = {
-      val loc = spark.sessionState.catalog.getTableMetadata(
-        org.apache.spark.sql.catalyst.TableIdentifier(t)).location
-      val p = new org.apache.hadoop.fs.Path(loc)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.listStatus(p).filter(_.isFile)
-        .map(s => (s.getPath.getName, s.getModificationTime, s.getLen)).toSet
-    }
+    def fp(t: String) = tableFileFingerprint(t)
     val prebuilt = Seq(bandT, setsT, spanT, tfsT, statsT)
     val pre = prebuilt.map(t => t -> fp(t)).toMap
     val lloydBefore = Similarity.lloydRuns.get()
@@ -298,6 +289,30 @@ class RolloverSpec extends SparkSpec {
         case scala.util.Failure(_) => () // clean failure is acceptable
       }
     }
+  }
+
+  test("a failed catch-up keeps the swap pending; the replayed batch retries it") {
+    val gen = new GenerationRef("g0", lit(true))
+    var calls = 0
+    gen.requestSwap("g1", lit(true)) { () =>
+      calls += 1
+      if (calls == 1) sys.error("transient catch-up failure")
+    }
+    intercept[RuntimeException](gen.advance())
+    assert(gen.get()._1 == "g0" && gen.pendingTag.contains("g1"),
+      "a failed catch-up must leave the gate on G with the swap still pending")
+    assert(gen.advance()._1 == "g1" && gen.pendingTag.isEmpty,
+      "the retried promotion must land and clear the pending swap")
+    assert(calls == 2)
+  }
+
+  test("cutover fails fast over an unpromoted pending swap") {
+    val gen = new GenerationRef("g0", lit(true))
+    gen.requestSwap("g1", lit(true))(() => ())
+    val e = intercept[IllegalStateException](
+      graft.operators.Rollover.cutover(spark, sf0001, "g2", docGen = Some(gen)))
+    assert(e.getMessage.contains("g1"),
+      s"error must name the pending generation: ${e.getMessage}")
   }
 
   test("chained cutovers: admissions survive across TWO generation hops") {

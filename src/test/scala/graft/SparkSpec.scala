@@ -10,6 +10,18 @@ trait SparkSpec extends AnyFunSuite {
   lazy val sf0001 = "/root/testdata/sf0.001"
   lazy val sf001 = "/root/testdata/sf0.01"
   lazy val sf01 = "/root/testdata/sf0.1"
+
+  /** A catalog table's data-file fingerprint (name, mtime, size) —
+    * the rebuilt-or-not assertion shared by the rollover crash-resume
+    * and frozen-model drills: any rewrite changes it. */
+  def tableFileFingerprint(table: String): Set[(String, Long, Long)] = {
+    val loc = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table)).location
+    val p = new org.apache.hadoop.fs.Path(loc)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).filter(_.isFile)
+      .map(s => (s.getPath.getName, s.getModificationTime, s.getLen)).toSet
+  }
 }
 
 object SparkSpec {
