@@ -315,6 +315,67 @@ class RolloverSpec extends SparkSpec {
       s"error must name the pending generation: ${e.getMessage}")
   }
 
+  test("cutover under CONTINUOUS arrivals: every admission survives, nothing double-judged") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Rollover
+
+    // the async production topology, no barriers: a feeder keeps
+    // pushing micro-batches WHILE cutover snapshots and builds, so
+    // arrivals land before the snapshot, during the build, and after
+    // the swap request — wherever each one lands, its admission must
+    // survive into G+1 (dup re-sent later must flag) and it must be
+    // judged exactly once
+    def text(i: Int): String = (1 to 40).map(j => s"cw${i}x$j").mkString(" ")
+    val docs = (1 to 30).map(i => (2300000L + i, text(i)))
+
+    val g0 = ("cont0", lit(true))
+    Dedup.ensureBandIndex(spark, sf0001, g0._1, g0._2)
+    val gen = new GenerationRef(g0._1, g0._2)
+    val got = mutable.Buffer[Row]()
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingIngestGate.startAdmittingRollable(spark, sf0001,
+      input.toDF().toDF("doc_id", "text"), gen) { (verdict, _) =>
+      got.synchronized { got ++= verdict.collect() }
+    }
+    try {
+      input.addData(docs.take(5): _*); q.processAllAvailable()
+      val feeder = new Thread(() => {
+        docs.drop(5).grouped(3).foreach { chunk =>
+          input.addData(chunk: _*)
+          Thread.sleep(30L)
+        }
+      })
+      feeder.start()
+      Rollover.cutover(spark, sf0001, "cont1", docGen = Some(gen))
+      feeder.join()
+      q.processAllAvailable()
+      // force a promotion batch if none of the feeder's landed after
+      // the swap request
+      val trigger = (2300099L, text(99))
+      input.addData(trigger); q.processAllAvailable()
+      assert(gen.get()._1 == "cont1", "promotion did not land")
+      Rollover.dropGeneration(spark, sf0001, "cont0")
+      // G is gone: a dup of EVERY doc — wherever its original landed
+      // in the race — must flag against G+1 alone
+      val dups = docs.map { case (id, t) => (id + 1000L, t) }
+      input.addData(dups: _*); q.processAllAvailable()
+
+      val ids = got.synchronized(got.map(_.getLong(0)))
+      assert(ids.distinct.size == ids.size, "a doc was judged twice")
+      assert(ids.size == docs.size + 1 + dups.size,
+        s"expected ${docs.size + 1 + dups.size} verdicts, got ${ids.size}")
+      val keep = got.synchronized(
+        got.map(r => r.getLong(0) -> r.getBoolean(3)).toMap)
+      docs.foreach { case (id, _) =>
+        assert(keep(id), s"novel doc $id wrongly flagged") }
+      val lost = dups.filter { case (id, _) => keep(id) }.map(_._1 - 1000L)
+      assert(lost.isEmpty,
+        s"admissions LOST across the live cutover (dups not flagged): $lost")
+    } finally q.stop()
+  }
+
   test("chained cutovers: admissions survive across TWO generation hops") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
