@@ -58,6 +58,7 @@ object StreamingAnnGate {
       compactEvery: Int = StreamingIngestGate.CompactEveryMerges)(
       sink: (DataFrame, Long) => Unit): StreamingQuery = {
     val (booksT, codesT) = Similarity.ensurePqIndex(spark, dir, tag, corpusFilter)
+    val sfx = graft.operators.IndexStore.suffix(dir, tag, corpusFilter)
     val merges = new java.util.concurrent.atomic.AtomicLong(0L)
     vecs.writeStream
       .outputMode("append")
@@ -70,11 +71,19 @@ object StreamingAnnGate {
             .select(col("batch_id").as("vec_id")),
           "vec_id")
           .select(col("vec_id"), col("embedding"))
+          .localCheckpoint()
+        // logged for the same reason as the text gate's fixed-tag form:
+        // a later cutover from this generation must see every admission
+        graft.operators.AdmissionLog.append(spark,
+          graft.operators.AdmissionLog.VecKind, sfx, kept)
         Similarity.mergeBatchIntoPqIndex(spark, dir, kept, tag, corpusFilter)
         // files-per-bucket stays <= compactEvery for the life of the
         // stream; the rewrite is row-identical (PersistedAnnIndexSpec)
-        if (merges.incrementAndGet() % compactEvery == 0)
+        if (merges.incrementAndGet() % compactEvery == 0) {
           Similarity.compactPqIndex(spark, dir, tag, corpusFilter)
+          graft.operators.AdmissionLog.compact(spark,
+            graft.operators.AdmissionLog.VecKind, sfx)
+        }
       }
       .start()
   }

@@ -143,6 +143,7 @@ object StreamingIngestGate {
       compactEvery: Int = CompactEveryMerges)(
       sink: (DataFrame, Long) => Unit): StreamingQuery = {
     val (bandsT, setsT) = Dedup.ensureBandIndex(spark, dir, tag, corpusFilter)
+    val sfx = graft.operators.IndexStore.suffix(dir, tag, corpusFilter)
     val merges = new java.util.concurrent.atomic.AtomicLong(0L)
     docs.writeStream
       .outputMode("append")
@@ -154,9 +155,18 @@ object StreamingIngestGate {
             .select(col("batch_id").as("doc_id")),
           "doc_id")
           .select(col("doc_id"), col("text"))
+          .localCheckpoint()
+        // the fixed-generation gate logs admissions too: the log is the
+        // generation's RECORD, and a later Rollover.cutover from this
+        // generation must not silently lose what this gate accepted
+        graft.operators.AdmissionLog.append(spark,
+          graft.operators.AdmissionLog.DocKind, sfx, kept)
         Dedup.mergeBatchIntoBandIndex(spark, dir, kept, tag, corpusFilter)
-        if (merges.incrementAndGet() % compactEvery == 0)
+        if (merges.incrementAndGet() % compactEvery == 0) {
           Dedup.compactBandIndex(spark, dir, tag, corpusFilter)
+          graft.operators.AdmissionLog.compact(spark,
+            graft.operators.AdmissionLog.DocKind, sfx)
+        }
       }
       .start()
   }

@@ -93,5 +93,19 @@ class AdmittingCompactionSpec extends SparkSpec {
       "dup of an early admission not flagged on the compacted index")
     // totality: one verdict per arriving doc
     assert(compacted.map(_.getLong(0)).distinct.size == batches.flatten.size)
+
+    // the fixed-tag gate RECORDS its admissions: the generation's
+    // admission log holds exactly the novel docs (the dup probe is
+    // absent), so a later Rollover.cutover from this generation can
+    // retrain G+1 without the caller hand-carrying admitted frames —
+    // and the log's own compaction cadence didn't lose a row
+    import graft.operators.{AdmissionLog, IndexStore}
+    val logIds = AdmissionLog.read(spark, AdmissionLog.DocKind,
+      IndexStore.suffix(sf0001, "autocomp", Dedup.drillCorpusFilter))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val admittedIds = batches.flatten.map(_._1).toSet - 3999999L
+    assert(logIds == admittedIds,
+      s"admission log diverged from admitted set: ${logIds.size} logged, " +
+        s"${admittedIds.size} admitted")
   }
 }

@@ -59,6 +59,18 @@ class StreamingAnnGateSpec extends SparkSpec {
     assert(flagged * 2 >= batch2.length,
       s"only $flagged/${batch2.length} re-sent admitted vectors flagged")
     assert(flagged >= 1)
+
+    // the fixed-tag ANN gate records its admissions too: the log holds
+    // exactly the kept vec_ids, so a later cutover from this generation
+    // retrains on every embedding this gate accepted
+    import graft.operators.{AdmissionLog, IndexStore}
+    val logIds = AdmissionLog.read(spark, AdmissionLog.VecKind,
+      IndexStore.suffix(sf0001, "admitspec", Similarity.annDrillFilter))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val keptArrivals = byId.collect { case (id, true) => id }.toSet
+    assert(logIds == keptArrivals,
+      s"ANN admission log diverged: ${logIds.size} logged, " +
+        s"${keptArrivals.size} kept")
   }
 
   test("micro-batched ANN verdicts equal the batch drill, one row per arrival") {
