@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.functions.{col, lit}
 
 /** Whole-generation rollover orchestration — the operational entry
   * point a curation deployment calls once per cycle: rebuild or
@@ -84,11 +84,13 @@ object Rollover {
     * (micro-batches are serialized per query), so the window a caller
     * of plain `swap` can never close (a batch admitting into G between
     * the hand catch-up and the flip, forgotten when G drops) does not
-    * exist here. The catch-up re-merges the FULL old log; the index
-    * merges' novelty anti-joins reduce that to exactly the
-    * post-snapshot delta. The new generation's log starts as a copy of
-    * the old one's — admissions must survive ACROSS generations, or
-    * the next cutover's corpus ∪ log rebuild would forget them.
+    * exist here. The catch-up folds `old log − new log` — exactly the
+    * admissions the new generation has not absorbed, whatever a
+    * crashed-and-retried earlier cutover attempt did or did not finish
+    * — so re-calling cutover after any crash converges. The new
+    * generation's log ends as a superset of the old one's — admissions
+    * must survive ACROSS generations, or the next cutover's corpus ∪
+    * log rebuild would forget them.
     *
     * `docGen` drives the six text-tier families, `annGen` the ANN
     * books+codes (each gate handle carries its own corpus predicate);
@@ -129,44 +131,67 @@ object Rollover {
     }
     afterSnapshot()
     // BUILD the new generation from corpus ∪ snapshot; the old one
-    // keeps serving and admitting throughout
+    // keeps serving and admitting throughout. The snapshot lands in
+    // the new generation's log ONLY when the build was fresh: the
+    // builders are check-then-build, so a RETRY of a crashed cutover
+    // gets catalog hits holding the FIRST attempt's snapshot — and
+    // blindly logging the retry's (larger) snapshot would mark docs
+    // the tables never saw as already-folded, hiding them from the
+    // promotion catch-up below. The invariant the catch-up depends on:
+    // the new generation's log never holds a row its band/codes index
+    // does not.
     val docTables = docSnap.map { case (_, cf, _, snap) =>
+      val newSfx = IndexStore.suffix(dir, newTag, cf)
+      val fresh = !spark.catalog.tableExists("graft_band_idx_" + newSfx)
       val tables = generation(spark, dir, snap, newTag, cf, annAdmitted = None)
-      AdmissionLog.append(spark, AdmissionLog.DocKind,
-        IndexStore.suffix(dir, newTag, cf), snap)
+      if (fresh)
+        AdmissionLog.append(spark, AdmissionLog.DocKind, newSfx, snap)
       tables
     }.getOrElse(Map.empty[String, Seq[String]])
     val annTables = annSnap.map { case (_, cf, _, snap) =>
+      val newSfx = IndexStore.suffix(dir, newTag, cf)
+      val fresh = !spark.catalog.tableExists("graft_pq_codes_" + newSfx)
       val (booksT, codesT) = Similarity.rolloverPqIndex(spark, dir, snap, newTag, cf)
-      AdmissionLog.append(spark, AdmissionLog.VecKind,
-        IndexStore.suffix(dir, newTag, cf), snap)
+      if (fresh)
+        AdmissionLog.append(spark, AdmissionLog.VecKind, newSfx, snap)
       Map("ann" -> Seq(booksT, codesT))
     }.getOrElse(Map.empty[String, Seq[String]])
     // SWAP-FIRST, catch-up AT promotion. The catch-up prunes the old
-    // log to the POST-SNAPSHOT DELTA with an id-only bucket-local
-    // anti-join BEFORE any expensive work — at scale the log holds a
-    // whole generation's admissions, and shingling/encoding all of it
-    // inside the promotion batch would stall the live stream to land a
-    // handful of rows. The index merges' own novelty anti-joins keep
-    // the fold idempotent under batch replay regardless.
-    docSnap.foreach { case (g, cf, oldSfx, snap) =>
+    // log to everything NOT YET IN THE NEW GENERATION'S LOG with an
+    // id-only bucket-local anti-join BEFORE any expensive work — at
+    // scale the log holds a whole generation's admissions, and
+    // shingling/encoding all of it inside the promotion batch would
+    // stall the live stream to land a handful of rows. Diffing against
+    // the new LOG rather than the build-time snapshot makes a retried
+    // cutover exact: whatever a crashed earlier attempt did or did not
+    // fold, the delta is precisely the rows the new generation has not
+    // absorbed (merge-then-append below keeps the log ⊆ index, and the
+    // index merges' own novelty anti-joins keep the fold idempotent
+    // under batch replay regardless).
+    docSnap.foreach { case (g, cf, oldSfx, _) =>
       g.requestSwap(newTag, cf) { () =>
+        val newSfx = IndexStore.suffix(dir, newTag, cf)
         val delta = AdmissionLog.snapshot(spark, AdmissionLog.DocKind, oldSfx)
-          .join(snap.select(snap("doc_id")), Seq("doc_id"), "left_anti")
+          .join(AdmissionLog.snapshot(spark, AdmissionLog.DocKind, newSfx)
+            .select(col("doc_id")), Seq("doc_id"), "left_anti")
           .localCheckpoint()
-        Dedup.mergeBatchIntoBandIndex(spark, dir, delta, newTag, cf)
-        AdmissionLog.append(spark, AdmissionLog.DocKind,
-          IndexStore.suffix(dir, newTag, cf), delta)
+        if (delta.take(1).nonEmpty) {
+          Dedup.mergeBatchIntoBandIndex(spark, dir, delta, newTag, cf)
+          AdmissionLog.append(spark, AdmissionLog.DocKind, newSfx, delta)
+        }
       }
     }
-    annSnap.foreach { case (g, cf, oldSfx, snap) =>
+    annSnap.foreach { case (g, cf, oldSfx, _) =>
       g.requestSwap(newTag, cf) { () =>
+        val newSfx = IndexStore.suffix(dir, newTag, cf)
         val delta = AdmissionLog.snapshot(spark, AdmissionLog.VecKind, oldSfx)
-          .join(snap.select(snap("vec_id")), Seq("vec_id"), "left_anti")
+          .join(AdmissionLog.snapshot(spark, AdmissionLog.VecKind, newSfx)
+            .select(col("vec_id")), Seq("vec_id"), "left_anti")
           .localCheckpoint()
-        Similarity.mergeBatchIntoPqIndex(spark, dir, delta, newTag, cf)
-        AdmissionLog.append(spark, AdmissionLog.VecKind,
-          IndexStore.suffix(dir, newTag, cf), delta)
+        if (delta.take(1).nonEmpty) {
+          Similarity.mergeBatchIntoPqIndex(spark, dir, delta, newTag, cf)
+          AdmissionLog.append(spark, AdmissionLog.VecKind, newSfx, delta)
+        }
       }
     }
     docTables ++ annTables
@@ -179,11 +204,47 @@ object Rollover {
     * predicate ([[generation]]'s `annAdmitted` — the normal case),
     * pass it as `annFilter` so the books/codes drop too; they live
     * under that filter's suffix, which the doc-side sweep never
-    * visits. Call only after probes have swapped off the tag. */
+    * visits. Call only after probes have swapped off the tag.
+    *
+    * `foldInto` is the STRAGGLER BACKSTOP for topologies with more
+    * than one admitting stream on a generation: [[cutover]]'s
+    * promotion runs inside ONE stream's micro-batch, so another
+    * stream's batch that read the old generation before the flip can
+    * still admit into it afterwards — rows in the old log the
+    * promotion delta never saw. Passing the successor tag folds
+    * `old log − successor log` into the successor's band index (and,
+    * under `annFilter`, its codes) and log before anything drops, so
+    * retiring the generation cannot lose an admission. Call it after
+    * every admitting stream has completed a batch past the promotion
+    * (their in-flight old-generation batches have then committed). */
   def dropGeneration(spark: SparkSession, dir: String, tag: String,
       corpusFilter: Column = lit(true),
-      annFilter: Option[Column] = None): Unit = {
+      annFilter: Option[Column] = None,
+      foldInto: Option[String] = None): Unit = {
     val sfx = IndexStore.suffix(dir, tag, corpusFilter)
+    foldInto.foreach { succ =>
+      val newSfx = IndexStore.suffix(dir, succ, corpusFilter)
+      val left = AdmissionLog.snapshot(spark, AdmissionLog.DocKind, sfx)
+        .join(AdmissionLog.snapshot(spark, AdmissionLog.DocKind, newSfx)
+          .select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .localCheckpoint()
+      if (left.take(1).nonEmpty) {
+        Dedup.mergeBatchIntoBandIndex(spark, dir, left, succ, corpusFilter)
+        AdmissionLog.append(spark, AdmissionLog.DocKind, newSfx, left)
+      }
+      annFilter.foreach { af =>
+        val oldA = IndexStore.suffix(dir, tag, af)
+        val newA = IndexStore.suffix(dir, succ, af)
+        val leftV = AdmissionLog.snapshot(spark, AdmissionLog.VecKind, oldA)
+          .join(AdmissionLog.snapshot(spark, AdmissionLog.VecKind, newA)
+            .select(col("vec_id")), Seq("vec_id"), "left_anti")
+          .localCheckpoint()
+        if (leftV.take(1).nonEmpty) {
+          Similarity.mergeBatchIntoPqIndex(spark, dir, leftV, succ, af)
+          AdmissionLog.append(spark, AdmissionLog.VecKind, newA, leftV)
+        }
+      }
+    }
     Families.foreach(p => IndexStore.drop(spark, p + sfx))
     annFilter.foreach { af =>
       val asfx = IndexStore.suffix(dir, tag, af)

@@ -16,7 +16,18 @@ import org.apache.spark.sql.Column
   * generation ever took — an immediate caller-side flip could never
   * close the batch-admits-into-G-after-the-catch-up window, which is
   * why no such API exists. [[graft.operators.Rollover.cutover]] is the
-  * one scheduler — no caller hand-merges. */
+  * one scheduler — no caller hand-merges.
+  *
+  * ONE ADMITTING STREAM PER HANDLE. The promotion catch-up runs under
+  * a single stream's batch serialization; a second stream sharing the
+  * handle can be mid-batch on the old generation while the first
+  * promotes, and its admissions land in the old log after the catch-up
+  * read it. Those rows are never silently lost — they sit in the old
+  * generation's log, and retiring it through
+  * [[graft.operators.Rollover.dropGeneration]] with `foldInto` set to
+  * the successor folds `old log − new log` before anything drops — but
+  * the clean topology is one handle (and one cutover) per admitting
+  * stream. */
 final class GenerationRef(initialTag: String, initialFilter: Column) {
   private val ref =
     new java.util.concurrent.atomic.AtomicReference((initialTag, initialFilter))

@@ -73,26 +73,25 @@ object StreamingAnnGate {
           .select(col("vec_id"), col("embedding"))
           .localCheckpoint()
         // logged for the same reason as the text gate's fixed-tag form:
-        // a later cutover from this generation must see every admission
-        graft.operators.AdmissionLog.append(spark,
-          graft.operators.AdmissionLog.VecKind, sfx, kept)
-        Similarity.mergeBatchIntoPqIndex(spark, dir, kept, tag, corpusFilter)
+        // a later cutover from this generation must see every admission.
         // files-per-bucket stays <= compactEvery for the life of the
         // stream; the rewrite is row-identical (PersistedAnnIndexSpec)
-        if (merges.incrementAndGet() % compactEvery == 0) {
-          Similarity.compactPqIndex(spark, dir, tag, corpusFilter)
-          graft.operators.AdmissionLog.compact(spark,
-            graft.operators.AdmissionLog.VecKind, sfx)
-        }
+        StreamingIngestGate.maintain(spark,
+          graft.operators.AdmissionLog.VecKind, sfx, kept,
+          merges, compactEvery)(
+          k => Similarity.mergeBatchIntoPqIndex(spark, dir, k, tag, corpusFilter))(
+          () => Similarity.compactPqIndex(spark, dir, tag, corpusFilter))
       }
       .start()
   }
 
   /** [[startAdmitting]] with a swappable generation (twin of
     * [[StreamingIngestGate.startAdmittingRollable]]): the generation is
-    * read once per micro-batch, so probe and admission-merge always hit
-    * the same (books, codes) pair and a [[GenerationRef.swap]] lands at
-    * a batch boundary. This is where the frozen-book drift contract
+    * read once per micro-batch ([[GenerationRef.advance]], which also
+    * promotes a pending [[graft.operators.Rollover.cutover]] under this
+    * batch's serialization), so probe and admission-merge always hit
+    * the same (books, codes) pair and a handoff lands at a batch
+    * boundary. This is where the frozen-book drift contract
     * closes: `Similarity.rolloverPqIndex` RETRAINS the next
     * generation's books on corpus + admitted vectors, the swap flips
     * probes over, and the old generation drops — RolloverSpec asserts
@@ -119,15 +118,12 @@ object StreamingAnnGate {
           "vec_id")
           .select(col("vec_id"), col("embedding"))
           .localCheckpoint()
-        val sfx = graft.operators.IndexStore.suffix(dir, tag, cf)
-        graft.operators.AdmissionLog.append(spark,
-          graft.operators.AdmissionLog.VecKind, sfx, kept)
-        Similarity.mergeBatchIntoPqIndex(spark, dir, kept, tag, cf)
-        if (merges.incrementAndGet() % compactEvery == 0) {
-          Similarity.compactPqIndex(spark, dir, tag, cf)
-          graft.operators.AdmissionLog.compact(spark,
-            graft.operators.AdmissionLog.VecKind, sfx)
-        }
+        StreamingIngestGate.maintain(spark,
+          graft.operators.AdmissionLog.VecKind,
+          graft.operators.IndexStore.suffix(dir, tag, cf), kept,
+          merges, compactEvery)(
+          k => Similarity.mergeBatchIntoPqIndex(spark, dir, k, tag, cf))(
+          () => Similarity.compactPqIndex(spark, dir, tag, cf))
       }
       .start()
   }

@@ -123,6 +123,35 @@ object StreamingIngestGate {
     * rewrite changes no row); this knob only schedules it. */
   val CompactEveryMerges = 16
 
+  /** Shared per-batch admission maintenance for every admitting gate
+    * (both doc-tier gates here and the ANN gate): record the batch's
+    * kept rows in the generation's [[graft.operators.AdmissionLog]],
+    * fold them into the serving index, and compact index + log on the
+    * every-`compactEvery` cadence. The ordering is the load-bearing
+    * invariant, stated once: log BEFORE merge — a crash between the
+    * two over-logs a kept row (benign: the rollover builders dedup and
+    * the batch replay re-merges it) where the reverse order could
+    * leave an admitted row invisible to the next retrain. Batches that
+    * admitted nothing — the steady production state is mostly
+    * rejects — skip the log append and the merge entirely (each would
+    * still cost a lock, an anti-join job, and a catalog refresh) but
+    * still advance the compaction clock. `kept` must already be
+    * checkpointed by the caller (the emptiness probe and the two
+    * consumers must agree on one materialized frame). */
+  private[streaming] def maintain(spark: SparkSession, kind: String,
+      sfx: String, kept: DataFrame,
+      merges: java.util.concurrent.atomic.AtomicLong, compactEvery: Int)(
+      merge: DataFrame => Unit)(compact: () => Unit): Unit = {
+    if (kept.take(1).nonEmpty) {
+      graft.operators.AdmissionLog.append(spark, kind, sfx, kept)
+      merge(kept)
+    }
+    if (merges.incrementAndGet() % compactEvery == 0) {
+      compact()
+      graft.operators.AdmissionLog.compact(spark, kind, sfx)
+    }
+  }
+
   /** The ADMITTING gate: like [[start]], but each micro-batch's KEPT
     * documents are folded into the standing band index before the next
     * batch probes (`Dedup.mergeBatchIntoBandIndex` — a bucket-spec
@@ -159,14 +188,10 @@ object StreamingIngestGate {
         // the fixed-generation gate logs admissions too: the log is the
         // generation's RECORD, and a later Rollover.cutover from this
         // generation must not silently lose what this gate accepted
-        graft.operators.AdmissionLog.append(spark,
-          graft.operators.AdmissionLog.DocKind, sfx, kept)
-        Dedup.mergeBatchIntoBandIndex(spark, dir, kept, tag, corpusFilter)
-        if (merges.incrementAndGet() % compactEvery == 0) {
-          Dedup.compactBandIndex(spark, dir, tag, corpusFilter)
-          graft.operators.AdmissionLog.compact(spark,
-            graft.operators.AdmissionLog.DocKind, sfx)
-        }
+        maintain(spark, graft.operators.AdmissionLog.DocKind, sfx, kept,
+          merges, compactEvery)(
+          k => Dedup.mergeBatchIntoBandIndex(spark, dir, k, tag, corpusFilter))(
+          () => Dedup.compactBandIndex(spark, dir, tag, corpusFilter))
       }
       .start()
   }
@@ -205,15 +230,11 @@ object StreamingIngestGate {
           "doc_id")
           .select(col("doc_id"), col("text"))
           .localCheckpoint()
-        val sfx = graft.operators.IndexStore.suffix(dir, tag, cf)
-        graft.operators.AdmissionLog.append(spark,
-          graft.operators.AdmissionLog.DocKind, sfx, kept)
-        Dedup.mergeBatchIntoBandIndex(spark, dir, kept, tag, cf)
-        if (merges.incrementAndGet() % compactEvery == 0) {
-          Dedup.compactBandIndex(spark, dir, tag, cf)
-          graft.operators.AdmissionLog.compact(spark,
-            graft.operators.AdmissionLog.DocKind, sfx)
-        }
+        maintain(spark, graft.operators.AdmissionLog.DocKind,
+          graft.operators.IndexStore.suffix(dir, tag, cf), kept,
+          merges, compactEvery)(
+          k => Dedup.mergeBatchIntoBandIndex(spark, dir, k, tag, cf))(
+          () => Dedup.compactBandIndex(spark, dir, tag, cf))
       }
       .start()
   }
@@ -272,15 +293,11 @@ object StreamingIngestGate {
           verdict.filter(col("keep")).select(col("doc_id")), "doc_id")
           .select(col("doc_id"), col("text"))
           .localCheckpoint()
-        val sfx = graft.operators.IndexStore.suffix(dir, tag, cf)
-        graft.operators.AdmissionLog.append(spark,
-          graft.operators.AdmissionLog.DocKind, sfx, kept)
-        Dedup.mergeBatchIntoBandIndex(spark, dir, kept, tag, cf)
-        if (merges.incrementAndGet() % compactEvery == 0) {
-          Dedup.compactBandIndex(spark, dir, tag, cf)
-          graft.operators.AdmissionLog.compact(spark,
-            graft.operators.AdmissionLog.DocKind, sfx)
-        }
+        maintain(spark, graft.operators.AdmissionLog.DocKind,
+          graft.operators.IndexStore.suffix(dir, tag, cf), kept,
+          merges, compactEvery)(
+          k => Dedup.mergeBatchIntoBandIndex(spark, dir, k, tag, cf))(
+          () => Dedup.compactBandIndex(spark, dir, tag, cf))
       }
       .start()
   }

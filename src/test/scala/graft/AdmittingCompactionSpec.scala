@@ -108,4 +108,40 @@ class AdmittingCompactionSpec extends SparkSpec {
       s"admission log diverged from admitted set: ${logIds.size} logged, " +
         s"${admittedIds.size} admitted")
   }
+
+  test("a gate that admits nothing never materializes the admission log") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // the steady production state is mostly rejects: a batch whose every
+    // doc duplicates the standing corpus admits nothing, and the
+    // maintenance pass must skip the log append AND the index merge —
+    // not pay a lock + anti-join + insert job per batch for an empty
+    // frame, and not create a log table for a generation that never
+    // admitted anything
+    val corpusDups = Tables.documents(spark, sf0001)
+      .filter(Dedup.drillCorpusFilter)
+      .select(col("doc_id"), col("text"))
+      .orderBy(col("doc_id")).limit(2)
+      .collect().map(r => (5000000L + r.getLong(0), r.getString(1)))
+
+    Dedup.ensureBandIndex(spark, sf0001, "emptyskip", Dedup.drillCorpusFilter)
+    val input = MemoryStream[(Long, String)]
+    val got = mutable.Buffer[Row]()
+    val q = StreamingIngestGate.startAdmitting(spark, sf0001,
+      input.toDF().toDF("doc_id", "text"), "emptyskip",
+      Dedup.drillCorpusFilter) { (verdict, _) =>
+      got.synchronized { got ++= verdict.collect() }
+    }
+    try { input.addData(corpusDups.toIndexedSeq: _*); q.processAllAvailable() }
+    finally q.stop()
+
+    assert(got.size == corpusDups.length && got.forall(!_.getBoolean(3)),
+      "exact corpus duplicates must all be rejected")
+    val sfx = graft.operators.IndexStore.suffix(
+      sf0001, "emptyskip", Dedup.drillCorpusFilter)
+    assert(!spark.catalog.tableExists("graft_admlog_doc_" + sfx),
+      "an all-reject batch still materialized the admission log")
+  }
 }

@@ -315,6 +315,106 @@ class RolloverSpec extends SparkSpec {
       s"error must name the pending generation: ${e.getMessage}")
   }
 
+  test("cutover RETRY folds admissions made between attempts into G+1") {
+    import spark.implicits._
+    import graft.operators.{AdmissionLog, Rollover}
+
+    // A cutover that builds G+1 and crashes before scheduling the swap
+    // leaves check-then-build catalog hits behind; admissions taken
+    // between the crash and the retry exist only in G's log. The
+    // promotion delta diffs the old log against G+1's LOG (not the
+    // retry's snapshot), so the retry must land those rows in G+1's
+    // SERVING index — the failure mode where they sit in G+1's log but
+    // never reach its band index is exactly what this pins.
+    def text(i: Int): String = (1 to 40).map(j => s"cr${i}y$j").mkString(" ")
+    val cf = lit(true)
+    val oldTag = "retry0"; val newTag = "retry1"
+    Dedup.ensureBandIndex(spark, sf0001, oldTag, cf)
+    val oldSfx = IndexStore.suffix(sf0001, oldTag, cf)
+    def admit(id: Long, i: Int): Unit = {
+      val d = Seq((id, text(i))).toDF("doc_id", "text")
+      AdmissionLog.append(spark, AdmissionLog.DocKind, oldSfx, d)
+      Dedup.mergeBatchIntoBandIndex(spark, sf0001, d, oldTag, cf)
+    }
+    admit(2400001L, 1) // A: admitted before attempt 1
+
+    // ATTEMPT 1 — cutover's build step verbatim, crashing before
+    // requestSwap: G+1's tables hold corpus ∪ {A}, its log holds {A}
+    val snap1 = AdmissionLog.snapshot(spark, AdmissionLog.DocKind, oldSfx)
+    Rollover.generation(spark, sf0001, snap1, newTag, cf)
+    val newSfx = IndexStore.suffix(sf0001, newTag, cf)
+    AdmissionLog.append(spark, AdmissionLog.DocKind, newSfx, snap1)
+
+    admit(2400002L, 2) // B: admitted into G between the attempts
+
+    // RETRY — the real entry point; every family builder catalog-hits,
+    // so only the promotion catch-up can carry B
+    val gen = new GenerationRef(oldTag, cf)
+    Rollover.cutover(spark, sf0001, newTag, docGen = Some(gen))
+    assert(gen.advance()._1 == newTag, "promotion did not land")
+
+    assert(spark.table("graft_sets_idx_" + newSfx)
+      .filter(col("doc_id") === 2400002L).count() == 1,
+      "admission made between cutover attempts missing from G+1's band index")
+    val logIds = AdmissionLog.read(spark, AdmissionLog.DocKind, newSfx)
+      .select("doc_id").as[Long].collect().toSet
+    assert(Set(2400001L, 2400002L).subsetOf(logIds),
+      s"G+1's log must carry both admissions forward, got $logIds")
+
+    // with G retired, G+1 ALONE must flag a dup of B
+    Rollover.dropGeneration(spark, sf0001, oldTag, cf)
+    val (b1, s1) = Dedup.ensureBandIndex(spark, sf0001, newTag, cf)
+    val v = StreamingIngestGate.verdictFor(spark,
+      Seq((2500002L, text(2))).toDF("doc_id", "text"), b1, s1).collect()
+    assert(v.length == 1 && !v.head.getBoolean(3),
+      "dup of the in-between admission not flagged by G+1")
+  }
+
+  test("dropGeneration(foldInto) sweeps straggler admissions into the successor") {
+    import spark.implicits._
+    import graft.operators.{AdmissionLog, Rollover}
+
+    // the one-stream-per-handle contract's backstop: a second admitting
+    // stream's in-flight batch can land an admission in the OLD
+    // generation after the promotion's catch-up read its log; retiring
+    // the generation with foldInto must carry that row into the
+    // successor's index and log before the files vanish
+    def text(i: Int): String = (1 to 40).map(j => s"fs${i}z$j").mkString(" ")
+    val cf = lit(true)
+    val oldTag = "fold0"; val newTag = "fold1"
+    Dedup.ensureBandIndex(spark, sf0001, oldTag, cf)
+    val oldSfx = IndexStore.suffix(sf0001, oldTag, cf)
+    val a = Seq((2600001L, text(1))).toDF("doc_id", "text")
+    AdmissionLog.append(spark, AdmissionLog.DocKind, oldSfx, a)
+    Dedup.mergeBatchIntoBandIndex(spark, sf0001, a, oldTag, cf)
+
+    val gen = new GenerationRef(oldTag, cf)
+    Rollover.cutover(spark, sf0001, newTag, docGen = Some(gen))
+    assert(gen.advance()._1 == newTag)
+
+    // straggler X admits into the retired generation post-promotion
+    val x = Seq((2600002L, text(2))).toDF("doc_id", "text")
+    AdmissionLog.append(spark, AdmissionLog.DocKind, oldSfx, x)
+    Dedup.mergeBatchIntoBandIndex(spark, sf0001, x, oldTag, cf)
+
+    Rollover.dropGeneration(spark, sf0001, oldTag, cf, foldInto = Some(newTag))
+
+    val newSfx = IndexStore.suffix(sf0001, newTag, cf)
+    assert(!spark.catalog.tableExists("graft_band_idx_" + oldSfx),
+      "old generation must be gone after the drop")
+    assert(spark.table("graft_sets_idx_" + newSfx)
+      .filter(col("doc_id") === 2600002L).count() == 1,
+      "straggler admission missing from the successor's band index")
+    val logIds = AdmissionLog.read(spark, AdmissionLog.DocKind, newSfx)
+      .select("doc_id").as[Long].collect().toSet
+    assert(Set(2600001L, 2600002L).subsetOf(logIds))
+    val (b1, s1) = Dedup.ensureBandIndex(spark, sf0001, newTag, cf)
+    val v = StreamingIngestGate.verdictFor(spark,
+      Seq((2700002L, text(2))).toDF("doc_id", "text"), b1, s1).collect()
+    assert(v.length == 1 && !v.head.getBoolean(3),
+      "dup of the swept straggler not flagged by the successor")
+  }
+
   test("cutover under CONTINUOUS arrivals: every admission survives, nothing double-judged") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
