@@ -34,7 +34,8 @@ private[graft] object AdmissionLog {
   /** Kind "vec": (vec_id LONG, embedding ARRAY<FLOAT>) — the ANN gate. */
   val VecKind = "vec"
 
-  private def keyOf(kind: String) = if (kind == VecKind) "vec_id" else "doc_id"
+  private[graft] def keyOf(kind: String) =
+    if (kind == VecKind) "vec_id" else "doc_id"
   private def bucketsOf(kind: String) =
     if (kind == VecKind) Similarity.AnnIndexBuckets else Dedup.IndexBuckets
   private def schemaOf(kind: String): StructType =
@@ -66,6 +67,16 @@ private[graft] object AdmissionLog {
   def snapshot(spark: SparkSession, kind: String, sfx: String): DataFrame =
     IndexStore.lock(s"admlog_${kind}_" + sfx).synchronized {
       read(spark, kind, sfx).localCheckpoint()
+    }
+
+  /** [[snapshot]] restricted to the id column — what the catch-up and
+    * foldInto anti-joins consume. The log carries full payloads (text /
+    * embeddings) and grows across generations; materializing all of it
+    * to use one column would be the stall-the-stream cost the id-only
+    * delta pruning exists to avoid. */
+  def snapshotIds(spark: SparkSession, kind: String, sfx: String): DataFrame =
+    IndexStore.lock(s"admlog_${kind}_" + sfx).synchronized {
+      read(spark, kind, sfx).select(col(keyOf(kind))).localCheckpoint()
     }
 
   /** Record one batch's admissions: create the generation's log on

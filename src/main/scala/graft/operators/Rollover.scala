@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.lit
 
 /** Whole-generation rollover orchestration — the operational entry
   * point a curation deployment calls once per cycle: rebuild or
@@ -33,6 +33,28 @@ object Rollover {
     "graft_charlm_idx_", "graft_clsw_idx_", "graft_clsstats_idx_",
     "graft_bpem_idx_", "graft_bpev_idx_",
     "graft_admlog_doc_") ++ AnnFamilies
+
+  /** Fold the old generation's admissions that the new generation has
+    * not yet absorbed — `old log − new log`, an id-only bucket-local
+    * anti-join BEFORE any expensive work — into the new generation via
+    * `merge`, then record them in the new log. MERGE-THEN-APPEND is the
+    * load-bearing order, stated once for the promotion catch-up and the
+    * foldInto straggler sweep alike: the new log must never hold a row
+    * the new index has not absorbed (a crash between the two re-runs
+    * the fold with the row still in the delta; the reverse order would
+    * hide it from every later fold). The guard skips the merge + append
+    * when nothing is missing — the steady case for a clean handoff. */
+  private def foldMissing(spark: SparkSession, kind: String,
+      oldSfx: String, newSfx: String)(merge: DataFrame => Unit): Unit = {
+    val key = AdmissionLog.keyOf(kind)
+    val delta = AdmissionLog.snapshot(spark, kind, oldSfx)
+      .join(AdmissionLog.snapshotIds(spark, kind, newSfx), Seq(key), "left_anti")
+      .localCheckpoint()
+    if (delta.take(1).nonEmpty) {
+      merge(delta)
+      AdmissionLog.append(spark, kind, newSfx, delta)
+    }
+  }
 
   /** Build generation `newTag` across every family: the dedup band and
     * span indexes, the text postings, and the three model artifacts
@@ -170,28 +192,16 @@ object Rollover {
     // under batch replay regardless).
     docSnap.foreach { case (g, cf, oldSfx, _) =>
       g.requestSwap(newTag, cf) { () =>
-        val newSfx = IndexStore.suffix(dir, newTag, cf)
-        val delta = AdmissionLog.snapshot(spark, AdmissionLog.DocKind, oldSfx)
-          .join(AdmissionLog.snapshot(spark, AdmissionLog.DocKind, newSfx)
-            .select(col("doc_id")), Seq("doc_id"), "left_anti")
-          .localCheckpoint()
-        if (delta.take(1).nonEmpty) {
-          Dedup.mergeBatchIntoBandIndex(spark, dir, delta, newTag, cf)
-          AdmissionLog.append(spark, AdmissionLog.DocKind, newSfx, delta)
-        }
+        foldMissing(spark, AdmissionLog.DocKind, oldSfx,
+          IndexStore.suffix(dir, newTag, cf))(
+          d => Dedup.mergeBatchIntoBandIndex(spark, dir, d, newTag, cf))
       }
     }
     annSnap.foreach { case (g, cf, oldSfx, _) =>
       g.requestSwap(newTag, cf) { () =>
-        val newSfx = IndexStore.suffix(dir, newTag, cf)
-        val delta = AdmissionLog.snapshot(spark, AdmissionLog.VecKind, oldSfx)
-          .join(AdmissionLog.snapshot(spark, AdmissionLog.VecKind, newSfx)
-            .select(col("vec_id")), Seq("vec_id"), "left_anti")
-          .localCheckpoint()
-        if (delta.take(1).nonEmpty) {
-          Similarity.mergeBatchIntoPqIndex(spark, dir, delta, newTag, cf)
-          AdmissionLog.append(spark, AdmissionLog.VecKind, newSfx, delta)
-        }
+        foldMissing(spark, AdmissionLog.VecKind, oldSfx,
+          IndexStore.suffix(dir, newTag, cf))(
+          d => Similarity.mergeBatchIntoPqIndex(spark, dir, d, newTag, cf))
       }
     }
     docTables ++ annTables
@@ -223,26 +233,13 @@ object Rollover {
       foldInto: Option[String] = None): Unit = {
     val sfx = IndexStore.suffix(dir, tag, corpusFilter)
     foldInto.foreach { succ =>
-      val newSfx = IndexStore.suffix(dir, succ, corpusFilter)
-      val left = AdmissionLog.snapshot(spark, AdmissionLog.DocKind, sfx)
-        .join(AdmissionLog.snapshot(spark, AdmissionLog.DocKind, newSfx)
-          .select(col("doc_id")), Seq("doc_id"), "left_anti")
-        .localCheckpoint()
-      if (left.take(1).nonEmpty) {
-        Dedup.mergeBatchIntoBandIndex(spark, dir, left, succ, corpusFilter)
-        AdmissionLog.append(spark, AdmissionLog.DocKind, newSfx, left)
-      }
+      foldMissing(spark, AdmissionLog.DocKind, sfx,
+        IndexStore.suffix(dir, succ, corpusFilter))(
+        d => Dedup.mergeBatchIntoBandIndex(spark, dir, d, succ, corpusFilter))
       annFilter.foreach { af =>
-        val oldA = IndexStore.suffix(dir, tag, af)
-        val newA = IndexStore.suffix(dir, succ, af)
-        val leftV = AdmissionLog.snapshot(spark, AdmissionLog.VecKind, oldA)
-          .join(AdmissionLog.snapshot(spark, AdmissionLog.VecKind, newA)
-            .select(col("vec_id")), Seq("vec_id"), "left_anti")
-          .localCheckpoint()
-        if (leftV.take(1).nonEmpty) {
-          Similarity.mergeBatchIntoPqIndex(spark, dir, leftV, succ, af)
-          AdmissionLog.append(spark, AdmissionLog.VecKind, newA, leftV)
-        }
+        foldMissing(spark, AdmissionLog.VecKind,
+          IndexStore.suffix(dir, tag, af), IndexStore.suffix(dir, succ, af))(
+          d => Similarity.mergeBatchIntoPqIndex(spark, dir, d, succ, af))
       }
     }
     Families.foreach(p => IndexStore.drop(spark, p + sfx))

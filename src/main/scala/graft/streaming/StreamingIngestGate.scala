@@ -134,10 +134,14 @@ object StreamingIngestGate {
     * leave an admitted row invisible to the next retrain. Batches that
     * admitted nothing — the steady production state is mostly
     * rejects — skip the log append and the merge entirely (each would
-    * still cost a lock, an anti-join job, and a catalog refresh) but
-    * still advance the compaction clock. `kept` must already be
-    * checkpointed by the caller (the emptiness probe and the two
-    * consumers must agree on one materialized frame). */
+    * still cost a lock, an anti-join job, and a catalog refresh) —
+    * including the compaction clock: only merges add files, so an
+    * all-reject stretch triggers no full-table rewrite of an index
+    * that has not changed (the knob is CompactEvery MERGES, not
+    * batches), and the files-per-bucket ≤ compactEvery bound holds
+    * regardless. `kept` must already be checkpointed by the caller
+    * (the emptiness probe and the two consumers must agree on one
+    * materialized frame). */
   private[streaming] def maintain(spark: SparkSession, kind: String,
       sfx: String, kept: DataFrame,
       merges: java.util.concurrent.atomic.AtomicLong, compactEvery: Int)(
@@ -145,10 +149,10 @@ object StreamingIngestGate {
     if (kept.take(1).nonEmpty) {
       graft.operators.AdmissionLog.append(spark, kind, sfx, kept)
       merge(kept)
-    }
-    if (merges.incrementAndGet() % compactEvery == 0) {
-      compact()
-      graft.operators.AdmissionLog.compact(spark, kind, sfx)
+      if (merges.incrementAndGet() % compactEvery == 0) {
+        compact()
+        graft.operators.AdmissionLog.compact(spark, kind, sfx)
+      }
     }
   }
 
