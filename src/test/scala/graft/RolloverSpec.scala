@@ -415,6 +415,62 @@ class RolloverSpec extends SparkSpec {
       "dup of the swept straggler not flagged by the successor")
   }
 
+  test("ANN cutover RETRY and foldInto cover the vector side too") {
+    import spark.implicits._
+    import graft.operators.{AdmissionLog, Rollover}
+
+    // twin of the doc-side retry + foldInto drills over the PQ family:
+    // the fresh-build latch, the promotion delta, and the straggler
+    // sweep all run through the vec-kind code paths here
+    val drillF = Similarity.annDrillFilter
+    val baseVecs = Tables.embeddings(spark, sf0001)
+      .filter(drillF).select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id")).limit(3)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    assert(baseVecs.length == 3)
+    def vec(base: Long, i: Int) = Seq((base, baseVecs(i)._2))
+      .toDF("vec_id", "embedding")
+
+    val oldTag = "vretry0"; val newTag = "vretry1"
+    Similarity.ensurePqIndex(spark, sf0001, oldTag, drillF)
+    val oldSfx = IndexStore.suffix(sf0001, oldTag, drillF)
+    def admit(df: org.apache.spark.sql.DataFrame): Unit = {
+      AdmissionLog.append(spark, AdmissionLog.VecKind, oldSfx, df)
+      Similarity.mergeBatchIntoPqIndex(spark, sf0001, df, oldTag, drillF)
+    }
+    admit(vec(9100001L, 0)) // A: admitted before attempt 1
+
+    // ATTEMPT 1 — cutover's ANN build step verbatim, crash before swap
+    val snap1 = AdmissionLog.snapshot(spark, AdmissionLog.VecKind, oldSfx)
+    Similarity.rolloverPqIndex(spark, sf0001, snap1, newTag, drillF)
+    val newSfx = IndexStore.suffix(sf0001, newTag, drillF)
+    AdmissionLog.append(spark, AdmissionLog.VecKind, newSfx, snap1)
+
+    admit(vec(9100002L, 1)) // B: admitted between the attempts
+
+    val gen = new GenerationRef(oldTag, drillF)
+    Rollover.cutover(spark, sf0001, newTag, annGen = Some(gen))
+    assert(gen.advance()._1 == newTag, "promotion did not land")
+    assert(spark.table("graft_pq_codes_" + newSfx)
+      .filter(col("vec_id") === 9100002L).count() == 1,
+      "in-between ANN admission missing from G+1's codes")
+
+    // straggler X admits into the retired generation post-promotion;
+    // the foldInto sweep must carry it before the files drop
+    admit(vec(9100003L, 2))
+    Rollover.dropGeneration(spark, sf0001, oldTag,
+      annFilter = Some(drillF), foldInto = Some(newTag))
+    assert(!spark.catalog.tableExists("graft_pq_codes_" + oldSfx),
+      "old ANN generation must be gone after the drop")
+    assert(spark.table("graft_pq_codes_" + newSfx)
+      .filter(col("vec_id") === 9100003L).count() == 1,
+      "straggler ANN admission missing from the successor's codes")
+    val logIds = AdmissionLog.read(spark, AdmissionLog.VecKind, newSfx)
+      .select("vec_id").as[Long].collect().toSet
+    assert(Set(9100001L, 9100002L, 9100003L).subsetOf(logIds),
+      s"successor's vec log must carry all three admissions, got $logIds")
+  }
+
   test("cutover under CONTINUOUS arrivals: every admission survives, nothing double-judged") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
