@@ -710,7 +710,76 @@ object Curation {
       .withColumn("hq_rate_milli", expr("(1000 * n_hq) div n_docs"))
   }
 
+  // ---------------------------------------------------------------- //
+  // DSIR importance weights.                                         //
+  // ---------------------------------------------------------------- //
+
+  /** Hashed-n-gram feature space size for [[dsirWeights]] — DSIR's
+    * dimensionality knob; 256 keeps the model a broadcastable
+    * 256-row frame at ANY corpus size. */
+  val DsirBuckets = 256
+
+  /** md5-keyed feature bucket for one token — the same cross-engine
+    * md5-prefix trick as [[hashU]], folded to [0, DsirBuckets). */
+  private def dsirBucket(tok: Column): Column =
+    conv(substring(md5(tok), 1, 4), 16, 10).cast("long") % DsirBuckets
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every
+    * document by how much more likely its hashed-unigram bag is under
+    * the TARGET-domain model than under the RAW-corpus model. The
+    * target here is the English slice (the stand-in for "looks like
+    * my high-quality domain sample"); both models are Laplace-smoothed
+    * bucket unigram distributions over [[DsirBuckets]] hashed tokens.
+    *
+    * Exactness: the per-bucket log-ratio is micro-rounded to a BIGINT
+    * ONCE (256 values), and each document's weight is the
+    * order-independent INTEGER sum `Σ count_b · lr_micro[b]` — no
+    * float accumulates across rows, so engines agree bit-for-bit (the
+    * charLM convention, one step stronger: the only float op is 256
+    * `ln` calls on small-integer rationals).
+    *
+    * Scale shape: two corpus passes (model, then scoring — the DSIR
+    * shape), each a scan + ONE shuffle; the model pass reduces to a
+    * 256-row frame whose totals ride a 1-row broadcast, and scoring
+    * joins the 256-row log-ratio table by broadcast. `selected` is
+    * the zero-threshold cut (more target-like than raw); a production
+    * resample would feed `weight_micro` to the deterministic samplers
+    * above. */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    def toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), col("lang"), dsirBucket(col("tok")).as("bucket"))
+    // materialized: the 256-row model feeds both the totals and the
+    // log-ratio table — without the checkpoint each consumer re-runs
+    // the corpus counting pass (3 scans instead of the DSIR 2)
+    val model = toks
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("c_r"),
+        count(when(col("lang") === "en", 1)).as("c_t"))
+      .localCheckpoint()
+    val tot = model.agg(sum(col("c_r")).as("t_r"), sum(col("c_t")).as("t_t"))
+    val lr = model.crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        round(log(
+          ((col("c_t") + 1).cast("double") *
+            (col("t_r") + DsirBuckets).cast("double")) /
+          ((col("c_r") + 1).cast("double") *
+            (col("t_t") + DsirBuckets).cast("double"))) * 1e6, 0)
+          .cast("long").as("lr_micro"))
+    toks.join(broadcast(lr), "bucket")
+      // lang rides as a grouping key (functionally dependent on
+      // doc_id), keeping the corpus aggregate hash-based — a string
+      // max/any_value in the agg list forces SortAggregate's two sorts
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_toks"),
+        sum(col("lr_micro")).as("weight_micro"))
+      .withColumn("selected", col("weight_micro") > 0)
+      .select("doc_id", "lang", "n_toks", "weight_micro", "selected")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curation_dsir_weights" -> ((s, d) => dsirWeights(s, d)),
     "text_classifier_calibration" -> ((s, d) => classifierCalibration(s, d)),
     "text_classifier_calibration_persisted" ->
       ((s, d) => classifierCalibrationPersisted(s, d)),
@@ -755,6 +824,29 @@ object Curation {
     TextAnalysis.stop("en").map(w => s"'$w'").mkString(", ")
 
   private val oracleBase: Map[String, String] = Map(
+    "curation_dsir_weights" ->
+      s"""WITH e AS (SELECT doc_id, lang,
+         |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+         |  FROM documents),
+         |eb AS (SELECT doc_id, lang,
+         |    list_reduce(list_transform(string_split(substr(md5(tok), 1, 4), ''),
+         |      c -> strpos('0123456789abcdef', c) - 1),
+         |      (a, b) -> a * 16 + b) % $DsirBuckets AS bucket
+         |  FROM e),
+         |m AS (SELECT bucket, count(*)::BIGINT AS c_r,
+         |    (count(*) FILTER (WHERE lang = 'en'))::BIGINT AS c_t
+         |  FROM eb GROUP BY 1),
+         |tot AS (SELECT sum(c_r)::BIGINT AS t_r, sum(c_t)::BIGINT AS t_t FROM m),
+         |lr AS (SELECT bucket,
+         |    round(ln(((c_t + 1)::DOUBLE * (t_r + $DsirBuckets)::DOUBLE) /
+         |             ((c_r + 1)::DOUBLE * (t_t + $DsirBuckets)::DOUBLE))
+         |      * 1000000.0)::BIGINT AS lr_micro
+         |  FROM m, tot)
+         |SELECT doc_id, lang, count(*)::BIGINT AS n_toks,
+         |  sum(lr_micro)::BIGINT AS weight_micro,
+         |  sum(lr_micro)::BIGINT > 0 AS selected
+         |FROM eb JOIN lr USING (bucket)
+         |GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin,
     "curation_token_budget" ->
       s"""WITH t AS (SELECT doc_id,
          |    list_filter(string_split(text, ' '), x -> x <> '') AS toks

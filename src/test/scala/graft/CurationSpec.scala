@@ -23,6 +23,29 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("DSIR weights: total, selected=sign, and the target slice scores higher") {
+    val rows = Curation.dsirWeights(spark, sf001).collect()
+    // one row per tokenizable document
+    val nDocs = Tables.documents(spark, sf001)
+      .filter(size(graft.functions.TextFunctions.tokens(col("text"))) > 0)
+      .count()
+    assert(rows.length == nDocs, s"${rows.length} rows for $nDocs tokenized docs")
+    // selected is exactly the zero-threshold cut
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("selected") == (r.getAs[Long]("weight_micro") > 0L))
+    }
+    // the model must actually separate: the slice the target model was
+    // fit on scores higher ON AVERAGE than the rest (the expected
+    // log-ratio under the target distribution exceeds it under raw —
+    // the KL gap DSIR selection relies on)
+    val (en, other) = rows.partition(_.getAs[String]("lang") == "en")
+    assert(en.nonEmpty && other.nonEmpty)
+    def mean(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(_.getAs[Long]("weight_micro").toDouble).sum / rs.length
+    assert(mean(en) > mean(other),
+      f"target slice mean ${mean(en)}%.0f not above raw-rest mean ${mean(other)}%.0f")
+  }
+
   test("bounded reservoir equals the global hash-order sort and is stable") {
     import graft.operators.Sketches
     val got = Curation.sampleReservoir(spark, sf001).collect()
