@@ -747,17 +747,35 @@ object Curation {
     * resample would feed `weight_micro` to the deterministic samplers
     * above. */
   def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
-    def toks = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("tok"))
-      .select(col("doc_id"), col("lang"), dsirBucket(col("tok")).as("bucket"))
+    val toks = dsirToks(Tables.documents(spark, dir))
     // materialized: the 256-row model feeds both the totals and the
     // log-ratio table — without the checkpoint each consumer re-runs
     // the corpus counting pass (3 scans instead of the DSIR 2)
-    val model = toks
-      .groupBy("bucket")
+    val model = dsirCounts(toks).localCheckpoint()
+    dsirScoreWith(toks, model)
+  }
+
+  /** (doc_id, lang, bucket) token-bucket frame shared by training,
+    * scoring, and the persisted probe. */
+  private def dsirToks(corpus: DataFrame): DataFrame =
+    corpus
+      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), col("lang"), dsirBucket(col("tok")).as("bucket"))
+
+  /** The (bucket, c_r, c_t) count model off a token-bucket frame —
+    * c_r counts every token (the raw distribution), c_t only the
+    * target slice's (`lang = 'en'`; unlabeled rows count raw-only). */
+  private def dsirCounts(toks: DataFrame): DataFrame =
+    toks.groupBy("bucket")
       .agg(count(lit(1)).as("c_r"),
         count(when(col("lang") === "en", 1)).as("c_t"))
-      .localCheckpoint()
+
+  /** Score a token frame with a (bucket, c_r, c_t) count model — the
+    * apply core shared by the fresh path and the persisted probe.
+    * Totals and log-ratios DERIVE from the tiny model here (256-row
+    * aggregate + broadcast), so a persisted model stored as raw counts
+    * reproduces the fresh path's floats bit for bit. */
+  private def dsirScoreWith(toks: DataFrame, model: DataFrame): DataFrame = {
     val tot = model.agg(sum(col("c_r")).as("t_r"), sum(col("c_t")).as("t_t"))
     val lr = model.crossJoin(broadcast(tot))
       .select(col("bucket"),
@@ -778,8 +796,78 @@ object Curation {
       .select("doc_id", "lang", "n_toks", "weight_micro", "selected")
   }
 
+  /** Write-once-per-generation DSIR model artifact (persisted MODEL
+    * family, with the char-LM, classifier, and BPE tables): the
+    * 256-row hashed-unigram count table (bucket, c_r, c_t), stored as
+    * RAW COUNTS — totals and log-ratios derive at probe time from the
+    * tiny table, so the persisted probe reproduces the recompute twin
+    * bit for bit and shares its oracle verbatim. Counts are ADDITIVE
+    * (like the text index's n_docs/sum_dl), so a retrain over corpus ∪
+    * admitted is exact integer arithmetic with no order sensitivity.
+    * Same staleness contract as the other models: admitting gates fold
+    * docs into the BAND index only; DSIR scores every later arrival
+    * with generation-G counts until the next rollover retrains. */
+  private[graft] def ensureDsirModel(spark: SparkSession, dir: String,
+      tag: String = "", corpusFilter: Column = lit(true)): String = {
+    val sfx = IndexStore.suffix(dir, tag, corpusFilter)
+    val mT = s"graft_dsirm_idx_$sfx"
+    IndexStore.lock("dsir_" + sfx).synchronized {
+      if (!spark.catalog.tableExists(mT)) {
+        dsirCounts(dsirToks(Tables.documents(spark, dir).filter(corpusFilter)))
+          .coalesce(1)
+          .write.mode("overwrite").format("parquet")
+          .option("path", s"${IndexStore.root}/dsirm_$sfx")
+          .saveAsTable(mT)
+      }
+    }
+    mT
+  }
+
+  /** Generation ROLLOVER for the DSIR model: retrain the count table
+    * over corpus ∪ admitted under `newTag`. Admitted docs arriving
+    * through the gates carry no language label (the AdmissionLog
+    * payload is (doc_id, text)) — they join the RAW distribution only,
+    * which is the paper's shape: DSIR's target is a small curated
+    * sample that stays fixed while the raw corpus grows. A caller that
+    * HAS labels passes a frame with a `lang` column and its English
+    * rows join the target sample too. */
+  private[graft] def rolloverDsirModel(spark: SparkSession, dir: String,
+      admittedDocs: DataFrame, newTag: String,
+      corpusFilter: Column = lit(true)): String = {
+    val sfx = IndexStore.suffix(dir, newTag, corpusFilter)
+    val mT = s"graft_dsirm_idx_$sfx"
+    val adm0 = admittedDocs.dropDuplicates("doc_id")
+    val adm =
+      if (adm0.columns.contains("lang"))
+        adm0.select(col("doc_id"), col("lang"), col("text"))
+      else adm0.select(col("doc_id"),
+        lit(null).cast("string").as("lang"), col("text"))
+    IndexStore.lock("dsir_" + sfx).synchronized {
+      if (!spark.catalog.tableExists(mT)) {
+        dsirCounts(dsirToks(
+          Tables.documents(spark, dir).filter(corpusFilter)
+            .select(col("doc_id"), col("lang"), col("text"))
+            .unionByName(adm)))
+          .coalesce(1)
+          .write.mode("overwrite").format("parquet")
+          .option("path", s"${IndexStore.root}/dsirm_$sfx")
+          .saveAsTable(mT)
+      }
+    }
+    mT
+  }
+
+  /** [[dsirWeights]] served from the persisted model: one corpus pass
+    * (tokenize + score, the query's job), counts loaded from the
+    * generation table — no training aggregate in the probe plan. */
+  def dsirWeightsPersisted(spark: SparkSession, dir: String): DataFrame = {
+    val mT = ensureDsirModel(spark, dir)
+    dsirScoreWith(dsirToks(Tables.documents(spark, dir)), spark.table(mT))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curation_dsir_weights" -> ((s, d) => dsirWeights(s, d)),
+    "curation_dsir_weights_persisted" -> ((s, d) => dsirWeightsPersisted(s, d)),
     "text_classifier_calibration" -> ((s, d) => classifierCalibration(s, d)),
     "text_classifier_calibration_persisted" ->
       ((s, d) => classifierCalibrationPersisted(s, d)),
@@ -1071,5 +1159,6 @@ object Curation {
       oracleBase("text_classifier_quality"),
     "text_classifier_calibration_persisted" ->
       oracleBase("text_classifier_calibration"),
-    "curation_ppl_filter_persisted" -> oracleBase("curation_ppl_filter"))
+    "curation_ppl_filter_persisted" -> oracleBase("curation_ppl_filter"),
+    "curation_dsir_weights_persisted" -> oracleBase("curation_dsir_weights"))
 }

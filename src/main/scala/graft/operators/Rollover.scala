@@ -31,7 +31,7 @@ object Rollover {
     "graft_band_idx_", "graft_sets_idx_", "graft_span_idx_",
     "graft_tfs_idx_", "graft_txtstats_idx_",
     "graft_charlm_idx_", "graft_clsw_idx_", "graft_clsstats_idx_",
-    "graft_bpem_idx_", "graft_bpev_idx_",
+    "graft_bpem_idx_", "graft_bpev_idx_", "graft_dsirm_idx_",
     "graft_admlog_doc_") ++ AnnFamilies
 
   /** Fold the old generation's admissions that the new generation has
@@ -57,8 +57,9 @@ object Rollover {
   }
 
   /** Build generation `newTag` across every family: the dedup band and
-    * span indexes, the text postings, and the three model artifacts
-    * from corpus ∪ `admittedDocs`; the ANN books+codes retrained from
+    * span indexes, the text postings, and the four model artifacts
+    * (char-LM, BPE, classifier, DSIR counts) from corpus ∪
+    * `admittedDocs`; the ANN books+codes retrained from
     * corpus ∪ the admitted vectors when a vector batch is supplied
     * (the doc and vector corpora are separate tables with separate
     * corpus predicates — `annAdmitted` carries its own filter; None
@@ -80,6 +81,8 @@ object Rollover {
       TextAnalysis.rolloverBpeModel(spark, dir, admittedDocs, newTag, corpusFilter)
     val (clsWT, clsStatsT) =
       Curation.rolloverClassifierModel(spark, dir, admittedDocs, newTag, corpusFilter)
+    val dsirT =
+      Curation.rolloverDsirModel(spark, dir, admittedDocs, newTag, corpusFilter)
     val ann = annAdmitted.map { case (vecs, vecFilter) =>
       val (booksT, codesT) =
         Similarity.rolloverPqIndex(spark, dir, vecs, newTag, vecFilter)
@@ -91,7 +94,8 @@ object Rollover {
       "text" -> Seq(tfsT, txtStatsT),
       "charlm" -> Seq(lmT),
       "bpe" -> Seq(bpeMergesT, bpeVocabT),
-      "classifier" -> Seq(clsWT, clsStatsT)) ++ ann
+      "classifier" -> Seq(clsWT, clsStatsT),
+      "dsir" -> Seq(dsirT)) ++ ann
   }
 
   /** The no-hand-merge generation handoff for LIVE admitting gates —

@@ -103,6 +103,21 @@ class PersistedModelSpec extends SparkSpec {
     }
   }
 
+  test("DSIR model: persisted counts reproduce the weights; one corpus scan") {
+    val fresh = rows(Curation.dsirWeights(spark, sf0001))
+    assert(fresh.nonEmpty &&
+      rows(Curation.dsirWeightsPersisted(spark, sf0001)) == fresh,
+      "persisted DSIR diverged from recompute")
+    staticPlan {
+      val plan = Curation.dsirWeightsPersisted(spark, sf0001)
+        .queryExecution.executedPlan
+      assert(docScans(plan).size == 1,
+        s"DSIR probe must scan the corpus exactly once (scoring):\n$plan")
+      assert(modelScans(plan, "graft_dsirm").nonEmpty,
+        s"DSIR probe must read the persisted count table:\n$plan")
+    }
+  }
+
   test("frozen-between-generations: admission merges leave models at generation G") {
     import spark.implicits._
     import org.apache.spark.sql.functions.lit
@@ -112,9 +127,12 @@ class PersistedModelSpec extends SparkSpec {
     // models score every later arrival with generation-G weights until
     // the next rollover retrains them
     val before = rows(TextAnalysis.charLmScorePersisted(spark, sf0001))
+    val dsirBefore = rows(Curation.dsirWeightsPersisted(spark, sf0001))
     val lmT = TextAnalysis.ensureCharLmModel(spark, sf0001)
+    val dsirT = Curation.ensureDsirModel(spark, sf0001)
     def fp(t: String) = tableFileFingerprint(t)
     val pre = fp(lmT)
+    val dsirPre = fp(dsirT)
     // an admitting batch lands (the exact merge the gates run)
     val novel = Seq((5000001L, (1 to 40).map(i => s"stale$i").mkString(" ")))
       .toDF("doc_id", "text")
@@ -123,6 +141,10 @@ class PersistedModelSpec extends SparkSpec {
       "an admission merge rewrote the frozen model table")
     assert(rows(TextAnalysis.charLmScorePersisted(spark, sf0001)) == before,
       "post-admission probe no longer scores with generation-G weights")
+    assert(fp(dsirT) == dsirPre,
+      "an admission merge rewrote the frozen DSIR count table")
+    assert(rows(Curation.dsirWeightsPersisted(spark, sf0001)) == dsirBefore,
+      "post-admission DSIR probe no longer scores with generation-G counts")
     Rollover.dropGeneration(spark, sf0001, "modelstale1")
   }
 }

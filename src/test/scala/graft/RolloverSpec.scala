@@ -33,10 +33,13 @@ class RolloverSpec extends SparkSpec {
     df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSet
 
   private val drill = Dedup.drillCorpusFilter
+  // lang rides along for the DSIR family's target counts — the full-
+  // corpus parity assertions need the admitted quarter labeled the way
+  // the documents table labels it (unlabeled admissions count raw-only)
   private def batchDocs: DataFrame =
     Tables.documents(spark, sf0001)
       .filter(pmod(col("doc_id"), lit(Dedup.IncrementalBatchMod)) === 0)
-      .select(col("doc_id"), col("text"))
+      .select(col("doc_id"), col("lang"), col("text"))
 
   test("band family: rollover equals merged G, probes swap, G drops") {
     val (b0, s0) = Dedup.ensureBandIndex(spark, sf0001, "rollg0", drill)
@@ -150,7 +153,7 @@ class RolloverSpec extends SparkSpec {
       "G+1 probe changed after dropping G")
   }
 
-  test("whole-generation rollover: all 12 tables build, match the full-corpus build, and drop") {
+  test("whole-generation rollover: all 13 tables build, match the full-corpus build, and drop") {
     import graft.operators.Rollover
     // corpus = the mod-4 drill split, admitted = the held-out quarter
     // (docs for the text-tier families, vectors for ANN) — so the
@@ -174,7 +177,8 @@ class RolloverSpec extends SparkSpec {
       "ann" -> { val (b, c) = Similarity.ensurePqIndex(spark, sf0001); Seq(b, c) },
       "charlm" -> Seq(graft.operators.TextAnalysis.ensureCharLmModel(spark, sf0001)),
       "bpe" -> { val (m, v) = graft.operators.TextAnalysis.ensureBpeModel(spark, sf0001); Seq(m, v) },
-      "classifier" -> { val (w, s) = graft.operators.Curation.ensureClassifierModel(spark, sf0001); Seq(w, s) })
+      "classifier" -> { val (w, s) = graft.operators.Curation.ensureClassifierModel(spark, sf0001); Seq(w, s) },
+      "dsir" -> Seq(graft.operators.Curation.ensureDsirModel(spark, sf0001)))
     defaults.foreach { case (fam, defTables) =>
       tables(fam).zip(defTables).foreach { case (rolled, default) =>
         assert(rows(spark.table(rolled)) == rows(spark.table(default)),
@@ -193,7 +197,7 @@ class RolloverSpec extends SparkSpec {
 
   test("crashed generation rollover RESUMES: finished families are catalog hits") {
     import graft.operators.Rollover
-    // a rollover that died after 3 of 7 families left band, span, and
+    // a rollover that died after 3 of 8 families left band, span, and
     // text built under the new tag; the scaladoc claims re-calling
     // generation() resumes — finished families must be CATALOG HITS
     // (no rebuild), the rest build, and the result equals a clean build
@@ -234,7 +238,8 @@ class RolloverSpec extends SparkSpec {
       "ann" -> { val (b, c) = Similarity.ensurePqIndex(spark, sf0001); Seq(b, c) },
       "charlm" -> Seq(graft.operators.TextAnalysis.ensureCharLmModel(spark, sf0001)),
       "bpe" -> { val (m, v) = graft.operators.TextAnalysis.ensureBpeModel(spark, sf0001); Seq(m, v) },
-      "classifier" -> { val (w, s) = graft.operators.Curation.ensureClassifierModel(spark, sf0001); Seq(w, s) })
+      "classifier" -> { val (w, s) = graft.operators.Curation.ensureClassifierModel(spark, sf0001); Seq(w, s) },
+      "dsir" -> Seq(graft.operators.Curation.ensureDsirModel(spark, sf0001)))
     defaults.foreach { case (fam, defTables) =>
       tables(fam).zip(defTables).foreach { case (resumed, default) =>
         assert(rows(spark.table(resumed)) == rows(spark.table(default)),
