@@ -865,9 +865,40 @@ object Curation {
     dsirScoreWith(dsirToks(Tables.documents(spark, dir)), spark.table(mT))
   }
 
+  /** Resample size for [[dsirResample]]. */
+  val DsirResampleK = 100
+
+  /** DSIR's selection step — sample K docs WITHOUT replacement with
+    * probability ∝ importance weight — via the Gumbel top-k trick
+    * (Vieira 2014; the mechanism Xie et al.'s released pipeline uses):
+    * add independent Gumbel noise to each log-weight and take the top
+    * K. The noise is hash-derived (`-ln(-ln(u))`, u the salted md5
+    * uniform — the [[hashU]] convention, +1/65537 so u is never 0), so
+    * the "random" sample is a pure function of the data: reproducible
+    * across engines, retries, and cluster sizes. The key stays in
+    * micro-nats (weight_micro is already 1e6·log w; the noise rounds
+    * to the same grid), ties broken by doc_id.
+    *
+    * Scale shape: the weights pass (two scans, two shuffles) plus a
+    * TakeOrderedAndProject — per-partition K-row heaps, a K-row driver
+    * merge; no global sort, no Window. */
+  def dsirResample(spark: SparkSession, dir: String): DataFrame = {
+    val h = conv(substring(md5(
+      concat(lit("dsir:"), col("doc_id").cast("string"))), 1, 4), 16, 10)
+      .cast("long")
+    val gumbel = -log(-log((h + 1) / 65537.0))
+    dsirWeights(spark, dir)
+      .withColumn("key_micro",
+        col("weight_micro") + round(gumbel * 1e6, 0).cast("long"))
+      .orderBy(col("key_micro").desc, col("doc_id"))
+      .limit(DsirResampleK)
+      .select("doc_id", "lang", "weight_micro", "key_micro")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curation_dsir_weights" -> ((s, d) => dsirWeights(s, d)),
     "curation_dsir_weights_persisted" -> ((s, d) => dsirWeightsPersisted(s, d)),
+    "curation_dsir_resample" -> ((s, d) => dsirResample(s, d)),
     "text_classifier_calibration" -> ((s, d) => classifierCalibration(s, d)),
     "text_classifier_calibration_persisted" ->
       ((s, d) => classifierCalibrationPersisted(s, d)),
@@ -911,30 +942,47 @@ object Curation {
   private[operators] val stopEnSql =
     TextAnalysis.stop("en").map(w => s"'$w'").mkString(", ")
 
+  // the DSIR training + scoring chain, shared by the weights and
+  // resample oracles (ends in `w` = one row per tokenizable doc)
+  private val dsirChainSql: String =
+    s"""WITH e AS (SELECT doc_id, lang,
+       |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+       |  FROM documents),
+       |eb AS (SELECT doc_id, lang,
+       |    list_reduce(list_transform(string_split(substr(md5(tok), 1, 4), ''),
+       |      c -> strpos('0123456789abcdef', c) - 1),
+       |      (a, b) -> a * 16 + b) % $DsirBuckets AS bucket
+       |  FROM e),
+       |m AS (SELECT bucket, count(*)::BIGINT AS c_r,
+       |    (count(*) FILTER (WHERE lang = 'en'))::BIGINT AS c_t
+       |  FROM eb GROUP BY 1),
+       |tot AS (SELECT sum(c_r)::BIGINT AS t_r, sum(c_t)::BIGINT AS t_t FROM m),
+       |lr AS (SELECT bucket,
+       |    round(ln(((c_t + 1)::DOUBLE * (t_r + $DsirBuckets)::DOUBLE) /
+       |             ((c_r + 1)::DOUBLE * (t_t + $DsirBuckets)::DOUBLE))
+       |      * 1000000.0)::BIGINT AS lr_micro
+       |  FROM m, tot),
+       |w AS (SELECT doc_id, lang, count(*)::BIGINT AS n_toks,
+       |    sum(lr_micro)::BIGINT AS weight_micro,
+       |    sum(lr_micro)::BIGINT > 0 AS selected
+       |  FROM eb JOIN lr USING (bucket)
+       |  GROUP BY doc_id, lang)""".stripMargin
+
   private val oracleBase: Map[String, String] = Map(
     "curation_dsir_weights" ->
-      s"""WITH e AS (SELECT doc_id, lang,
-         |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
-         |  FROM documents),
-         |eb AS (SELECT doc_id, lang,
-         |    list_reduce(list_transform(string_split(substr(md5(tok), 1, 4), ''),
-         |      c -> strpos('0123456789abcdef', c) - 1),
-         |      (a, b) -> a * 16 + b) % $DsirBuckets AS bucket
-         |  FROM e),
-         |m AS (SELECT bucket, count(*)::BIGINT AS c_r,
-         |    (count(*) FILTER (WHERE lang = 'en'))::BIGINT AS c_t
-         |  FROM eb GROUP BY 1),
-         |tot AS (SELECT sum(c_r)::BIGINT AS t_r, sum(c_t)::BIGINT AS t_t FROM m),
-         |lr AS (SELECT bucket,
-         |    round(ln(((c_t + 1)::DOUBLE * (t_r + $DsirBuckets)::DOUBLE) /
-         |             ((c_r + 1)::DOUBLE * (t_t + $DsirBuckets)::DOUBLE))
-         |      * 1000000.0)::BIGINT AS lr_micro
-         |  FROM m, tot)
-         |SELECT doc_id, lang, count(*)::BIGINT AS n_toks,
-         |  sum(lr_micro)::BIGINT AS weight_micro,
-         |  sum(lr_micro)::BIGINT > 0 AS selected
-         |FROM eb JOIN lr USING (bucket)
-         |GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin,
+      s"""$dsirChainSql
+         |SELECT doc_id, lang, n_toks, weight_micro, selected
+         |FROM w ORDER BY doc_id""".stripMargin,
+    "curation_dsir_resample" ->
+      s"""$dsirChainSql
+         |SELECT doc_id, lang, weight_micro,
+         |  weight_micro + round(-ln(-ln(
+         |    (list_reduce(list_transform(
+         |       string_split(substr(md5('dsir:' || doc_id::VARCHAR), 1, 4), ''),
+         |       c -> strpos('0123456789abcdef', c) - 1),
+         |       (a, b) -> a * 16 + b) + 1) / 65537.0))
+         |    * 1000000.0)::BIGINT AS key_micro
+         |FROM w ORDER BY key_micro DESC, doc_id LIMIT $DsirResampleK""".stripMargin,
     "curation_token_budget" ->
       s"""WITH t AS (SELECT doc_id,
          |    list_filter(string_split(text, ' '), x -> x <> '') AS toks

@@ -46,6 +46,33 @@ class CurationSpec extends SparkSpec {
       f"target slice mean ${mean(en)}%.0f not above raw-rest mean ${mean(other)}%.0f")
   }
 
+  test("DSIR resample: exact Gumbel top-k of the full frame, no Window") {
+    val K = Curation.DsirResampleK
+    val got = Curation.dsirResample(spark, sf001).collect()
+    // recompute every doc's key independently and take the true top-K
+    val all = Curation.dsirWeights(spark, sf001).collect().map { r =>
+      val id = r.getAs[Long]("doc_id")
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"dsir:$id".getBytes("UTF-8"))
+        .take(2).map("%02x".format(_)).mkString
+      val u = (java.lang.Long.parseLong(h, 16) + 1) / 65537.0
+      val key = r.getAs[Long]("weight_micro") +
+        math.round(-math.log(-math.log(u)) * 1e6)
+      (id, key)
+    }
+    val want = all.sortBy { case (id, key) => (-key, id) }.take(K)
+    assert(got.length == math.min(K, all.length))
+    assert(got.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("key_micro")))
+      .sortBy { case (id, key) => (-key, id) }.toSeq == want.toSeq,
+      "resample is not the exact Gumbel top-k")
+    // plan: a bounded TakeOrdered, never a global sort or Window funnel
+    val plan = Curation.dsirResample(spark, sf001).queryExecution.executedPlan
+    assert(plan.toString.contains("TakeOrderedAndProject"),
+      s"resample should plan as TakeOrderedAndProject:\n$plan")
+    assert(!plan.toString.contains("Window"),
+      s"resample must not funnel through a Window:\n$plan")
+  }
+
   test("bounded reservoir equals the global hash-order sort and is stable") {
     import graft.operators.Sketches
     val got = Curation.sampleReservoir(spark, sf001).collect()
