@@ -243,10 +243,29 @@ object Similarity {
       val cents =
         if (spark.catalog.tableExists(booksT)) loadBooks(spark, booksT)._1
         else kmeansCentroids(emb)
+      coarseCentsMemo.synchronized { coarseCentsMemo.put(spark, (dir, cents)) }
       withCell(emb, cents)
         .select(col("vec_id"), col("embedding"), col("cell"))
         .localCheckpoint()
     }
+
+  /** The trained centroids behind [[coarseAssigned]] — stashed when the
+    * assignment computes (tiny: C × dim doubles; the session key is
+    * weak, like DirMemo's). Callers that need the quantizer's VALUES
+    * (prototype pruning's cosine-to-own-centroid) read them here, so
+    * the one-Lloyd's-run-per-generation contract extends to them. */
+  private val coarseCentsMemo =
+    new java.util.WeakHashMap[SparkSession, (String, Array[(Int, Array[Double])])]()
+  private def coarseCentroids(spark: SparkSession, dir: String): Array[(Int, Array[Double])] = {
+    def look = coarseCentsMemo.synchronized {
+      Option(coarseCentsMemo.get(spark)).collect { case (d, c) if d == dir => c }
+    }
+    look.getOrElse {
+      coarseAssigned(spark, dir)
+      look.getOrElse(throw new IllegalStateException(
+        "coarseAssigned did not stash its centroids"))
+    }
+  }
 
   def topKIvfKmeans(spark: SparkSession, dir: String): DataFrame = {
     val assigned = coarseAssigned(spark, dir)
@@ -976,6 +995,56 @@ object Similarity {
         max(col("best_sim_milli")).as("max_sim_milli"))
       .orderBy(col("cell"))
 
+  // ------------------------------------------- SSL-prototype pruning
+
+  /** Fraction of each cell to prune, as an integer rule: the
+    * `(n_cell · Num) div Den` most prototypical members drop. */
+  val ProtoPruneNum = 1L
+  val ProtoPruneDen = 4L
+
+  /** SSL-prototype data pruning (Sorscher et al. 2022, "Beyond neural
+    * scaling laws"): rank every vector by how PROTOTYPICAL it is —
+    * cosine to its own cluster centroid, the paper's self-supervised
+    * difficulty metric — and drop the easiest (most prototypical)
+    * fraction of each cluster. With abundant data, pruning easy
+    * examples beats random pruning and can beat the power-law scaling
+    * curve; the hard tail is what the model still needs to see. The
+    * complement of SemDeDup's verdict: SemDeDup removes near-COPIES
+    * inside a cell, this removes the redundant CENTER of the cell.
+    *
+    * Exactness: prototypicality is milli-rounded before ranking, rank
+    * is row_number over (proto_milli DESC, vec_id), and the cut is
+    * integer arithmetic — no float boundary cross-engine.
+    *
+    * Scale shape: reuses the SAME memoized/persisted coarse quantizer
+    * as IVF, IVF-PQ, and SemDeDup (zero retraining here — the stashed
+    * centroids are read, never recomputed); scoring is one broadcast
+    * join against the C-row centroid frame inside the corpus scan; the
+    * per-cell rank is a Window PARTITIONED BY CELL, whose partitions
+    * are corpus/C-sized — the same cluster-balance contract SemDeDup's
+    * N²/C pair join rests on, at N/C·log(N/C) instead. */
+  def prototypePrune(spark: SparkSession, dir: String): DataFrame = {
+    val assigned = coarseAssigned(spark, dir)
+    val cf = spark.createDataFrame(
+      coarseCentroids(spark, dir).toIndexedSeq.map { case (c, cv) => (c, cv) })
+      .toDF("cell", "cv")
+    val scored = assigned.join(broadcast(cf), Seq("cell"))
+      .select(col("vec_id"), col("cell").cast("int").as("cell"),
+        round(cosineSim(col("embedding"), col("cv")) * 1000, 0)
+          .cast("long").as("proto_milli"))
+    val sizes = scored.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_cell"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cell"))
+      .orderBy(col("proto_milli").desc, col("vec_id"))
+    scored
+      .withColumn("rank_in_cell", row_number().over(w).cast("long"))
+      .join(broadcast(sizes), Seq("cell"))
+      .withColumn("keep",
+        col("rank_in_cell") > expr(s"(n_cell * $ProtoPruneNum) div $ProtoPruneDen"))
+      .select("vec_id", "cell", "proto_milli", "rank_in_cell", "n_cell", "keep")
+  }
+
   /** Range-search threshold: calibrated so the demo corpus returns a
     * real (non-empty, non-everything) neighbor set per query. */
   val RangeTau = 0.25
@@ -1345,6 +1414,7 @@ object Similarity {
     "sim_topk_ivfpq_rerank_persisted" -> ((s, d) => topKIvfPqRerankPersisted(s, d)),
     "dedup_semdedup" -> ((s, d) => semDeDup(s, d)),
     "dedup_semdedup_cells" -> ((s, d) => semDeDupCells(s, d)),
+    "sim_prototype_prune" -> ((s, d) => prototypePrune(s, d)),
     "sim_ingest_gate" -> ((s, d) => annIngestGate(s, d)),
     "sim_range_search" -> ((s, d) => rangeSearch(s, d)),
     "sim_topk_bruteforce" -> ((s, d) => topKBruteForce(s, d)),
@@ -1834,6 +1904,24 @@ object Similarity {
          |  sum(n_dups)::BIGINT AS dup_degree_sum,
          |  max(best_sim_milli) AS max_sim_milli
          |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
+    // SSL-prototype pruning: the shared k-means chain, then each
+    // vector's milli-rounded cosine to its own cell's centroid (c2 is
+    // the final centroid CTE), the per-cell prototypicality rank, and
+    // the integer-fraction cut
+    "sim_prototype_prune" ->
+      s"""WITH $semDedupCtes,
+         |pc AS (SELECT a.vec_id, a.cell,
+         |    round(${cosSql("a.embedding", "c.cv")} * 1000, 0)::BIGINT AS proto_milli
+         |  FROM af a JOIN c2 c USING (cell)),
+         |pr2 AS (SELECT vec_id, cell, proto_milli,
+         |    row_number() OVER (PARTITION BY cell
+         |      ORDER BY proto_milli DESC, vec_id) AS rnk,
+         |    count(*) OVER (PARTITION BY cell) AS n_cell
+         |  FROM pc)
+         |SELECT vec_id, cell::INT AS cell, proto_milli,
+         |  rnk::BIGINT AS rank_in_cell, n_cell::BIGINT AS n_cell,
+         |  rnk > (n_cell * $ProtoPruneNum) // $ProtoPruneDen AS keep
+         |FROM pr2 ORDER BY vec_id""".stripMargin,
     "sim_topk_ivfpq_rerank" -> ivfPqRerankOracle,
     "emb_pca_project" -> pcaOracle,
     "sim_range_search" ->

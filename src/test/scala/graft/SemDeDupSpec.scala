@@ -67,4 +67,40 @@ class SemDeDupSpec extends SparkSpec {
     assert(fromVerdict.getLong(0) == rollup.getLong(0))
     assert(fromVerdict.getLong(1) == rollup.getLong(1))
   }
+
+  test("prototype pruning drops exactly the easiest quarter of each cell, no retrain") {
+    import graft.functions.VectorFunctions.dotProduct
+    // the quantizer is already trained (memoized/persisted) after the
+    // tests above — prototype pruning must READ it, never retrain
+    Similarity.semDeDup(spark, sf001).count()
+    val lloydBefore = Similarity.lloydRuns.get()
+    val rows = Similarity.prototypePrune(spark, sf001).collect()
+    assert(Similarity.lloydRuns.get() == lloydBefore,
+      "prototype pruning retrained the coarse quantizer")
+
+    val nNonzero = Tables.embeddings(spark, sf001)
+      .filter(dotProduct(col("embedding"), col("embedding")) > 0).count()
+    assert(rows.length.toLong == nNonzero, "one verdict row per nonzero vector")
+
+    // per cell: ranks are 1..n_cell, the dropped set is exactly the
+    // (n·Num) div Den MOST prototypical (highest cosine, ties to the
+    // smaller id — the rank order itself), everything else keeps
+    rows.groupBy(_.getAs[Int]("cell")).foreach { case (cell, rs) =>
+      val n = rs.length.toLong
+      assert(rs.forall(_.getAs[Long]("n_cell") == n), s"cell $cell: n_cell wrong")
+      val byRank = rs.sortBy(_.getAs[Long]("rank_in_cell"))
+      assert(byRank.map(_.getAs[Long]("rank_in_cell")).toSeq == (1L to n),
+        s"cell $cell: ranks not 1..$n")
+      val sorted = rs.sortBy(r =>
+        (-r.getAs[Long]("proto_milli"), r.getAs[Long]("vec_id")))
+      assert(sorted.map(_.getAs[Long]("vec_id")).toSeq ==
+        byRank.map(_.getAs[Long]("vec_id")).toSeq,
+        s"cell $cell: rank disagrees with (proto desc, id) order")
+      val cut = n * Similarity.ProtoPruneNum / Similarity.ProtoPruneDen
+      assert(byRank.count(!_.getAs[Boolean]("keep")).toLong == cut,
+        s"cell $cell: drop count != (n*Num) div Den")
+      assert(byRank.takeWhile(!_.getAs[Boolean]("keep")).length.toLong == cut,
+        s"cell $cell: dropped rows are not the rank prefix")
+    }
+  }
 }
