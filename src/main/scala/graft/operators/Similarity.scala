@@ -1023,15 +1023,28 @@ object Similarity {
     * per-cell rank is a Window PARTITIONED BY CELL, whose partitions
     * are corpus/C-sized — the same cluster-balance contract SemDeDup's
     * N²/C pair join rests on, at N/C·log(N/C) instead. */
-  def prototypePrune(spark: SparkSession, dir: String): DataFrame = {
-    val assigned = coarseAssigned(spark, dir)
+  def prototypePrune(spark: SparkSession, dir: String): DataFrame =
+    protoRanked(protoScored(spark, dir))
+      .withColumn("keep",
+        col("rank_in_cell") > expr(s"(n_cell * $ProtoPruneNum) div $ProtoPruneDen"))
+      .select("vec_id", "cell", "proto_milli", "rank_in_cell", "n_cell", "keep")
+
+  /** (vec_id, cell, proto_milli) for every nonzero vector — the
+    * prototypicality scoring pass: one broadcast join of the corpus
+    * assignment against the C-row centroid frame. */
+  private def protoScored(spark: SparkSession, dir: String): DataFrame = {
     val cf = spark.createDataFrame(
       coarseCentroids(spark, dir).toIndexedSeq.map { case (c, cv) => (c, cv) })
       .toDF("cell", "cv")
-    val scored = assigned.join(broadcast(cf), Seq("cell"))
+    coarseAssigned(spark, dir).join(broadcast(cf), Seq("cell"))
       .select(col("vec_id"), col("cell").cast("int").as("cell"),
         round(cosineSim(col("embedding"), col("cv")) * 1000, 0)
           .cast("long").as("proto_milli"))
+  }
+
+  /** Per-cell prototypicality rank + cell size over any scored frame —
+    * the Window is PARTITIONED BY CELL (corpus/C-sized partitions). */
+  private def protoRanked(scored: DataFrame): DataFrame = {
     val sizes = scored.groupBy(col("cell"))
       .agg(count(lit(1)).as("n_cell"))
     val w = org.apache.spark.sql.expressions.Window
@@ -1040,9 +1053,32 @@ object Similarity {
     scored
       .withColumn("rank_in_cell", row_number().over(w).cast("long"))
       .join(broadcast(sizes), Seq("cell"))
-      .withColumn("keep",
-        col("rank_in_cell") > expr(s"(n_cell * $ProtoPruneNum) div $ProtoPruneDen"))
-      .select("vec_id", "cell", "proto_milli", "rank_in_cell", "n_cell", "keep")
+  }
+
+  /** D4 (Tirumala et al. 2023, "D4: Improving LLM Pretraining via
+    * Document De-Duplication and Diversification"): SemDeDup first —
+    * near-copies drop — then SSL-prototype pruning over the SURVIVORS,
+    * so the diversify stage ranks each cell without the duplicates
+    * that would otherwise crowd its prototypical center. One row per
+    * nonzero vector: the dedup verdict, the survivor-rank fields
+    * (null for vectors the dedup stage already dropped), and the final
+    * keep. Both stages reuse the one memoized/persisted quantizer and
+    * the memoized SemDeDup verdict — composing them adds one scoring
+    * join and one per-cell rank, nothing retrains and no pair join
+    * re-runs. */
+  def d4Prune(spark: SparkSession, dir: String): DataFrame = {
+    val sem = semDeDup(spark, dir)
+      .select(col("vec_id"), col("keep").as("keep_dedup"))
+    val pc = protoScored(spark, dir)
+    val rk = protoRanked(
+      pc.join(sem.filter(col("keep_dedup")).select("vec_id"), Seq("vec_id")))
+      .select(col("vec_id"), col("rank_in_cell"), col("n_cell"))
+    pc.join(sem, Seq("vec_id"))
+      .join(rk, Seq("vec_id"), "left")
+      .withColumn("keep", when(!col("keep_dedup"), lit(false)).otherwise(
+        col("rank_in_cell") > expr(s"(n_cell * $ProtoPruneNum) div $ProtoPruneDen")))
+      .select("vec_id", "cell", "keep_dedup", "proto_milli",
+        "rank_in_cell", "n_cell", "keep")
   }
 
   /** Range-search threshold: calibrated so the demo corpus returns a
@@ -1415,6 +1451,7 @@ object Similarity {
     "dedup_semdedup" -> ((s, d) => semDeDup(s, d)),
     "dedup_semdedup_cells" -> ((s, d) => semDeDupCells(s, d)),
     "sim_prototype_prune" -> ((s, d) => prototypePrune(s, d)),
+    "sim_d4_prune" -> ((s, d) => d4Prune(s, d)),
     "sim_ingest_gate" -> ((s, d) => annIngestGate(s, d)),
     "sim_range_search" -> ((s, d) => rangeSearch(s, d)),
     "sim_topk_bruteforce" -> ((s, d) => topKBruteForce(s, d)),
@@ -1922,6 +1959,29 @@ object Similarity {
          |  rnk::BIGINT AS rank_in_cell, n_cell::BIGINT AS n_cell,
          |  rnk > (n_cell * $ProtoPruneNum) // $ProtoPruneDen AS keep
          |FROM pr2 ORDER BY vec_id""".stripMargin,
+    // D4: the dedup verdict (sd), prototypicality for everyone (pc),
+    // the per-cell rank over dedup SURVIVORS only (rk), composed
+    "sim_d4_prune" ->
+      s"""WITH $semDedupCtes,
+         |sd AS (SELECT af.vec_id,
+         |    (ag.min_other IS NULL OR ag.min_other > af.vec_id) AS keep_dedup
+         |  FROM af LEFT JOIN ag USING (vec_id)),
+         |pc AS (SELECT a.vec_id, a.cell,
+         |    round(${cosSql("a.embedding", "c.cv")} * 1000, 0)::BIGINT AS proto_milli
+         |  FROM af a JOIN c2 c USING (cell)),
+         |rk AS (SELECT vec_id, cell, proto_milli,
+         |    row_number() OVER (PARTITION BY cell
+         |      ORDER BY proto_milli DESC, vec_id) AS rnk,
+         |    count(*) OVER (PARTITION BY cell) AS n_cell
+         |  FROM pc JOIN sd USING (vec_id) WHERE sd.keep_dedup)
+         |SELECT pc.vec_id, pc.cell::INT AS cell, sd.keep_dedup,
+         |  pc.proto_milli, rk.rnk::BIGINT AS rank_in_cell,
+         |  rk.n_cell::BIGINT AS n_cell,
+         |  CASE WHEN NOT sd.keep_dedup THEN false
+         |    ELSE rk.rnk > (rk.n_cell * $ProtoPruneNum) // $ProtoPruneDen
+         |  END AS keep
+         |FROM pc JOIN sd USING (vec_id) LEFT JOIN rk USING (vec_id)
+         |ORDER BY pc.vec_id""".stripMargin,
     "sim_topk_ivfpq_rerank" -> ivfPqRerankOracle,
     "emb_pca_project" -> pcaOracle,
     "sim_range_search" ->

@@ -103,4 +103,46 @@ class SemDeDupSpec extends SparkSpec {
         s"cell $cell: dropped rows are not the rank prefix")
     }
   }
+
+  test("D4 composes the stages: dedup verdict first, survivors re-ranked") {
+    val sem = Similarity.semDeDup(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    val rows = Similarity.d4Prune(spark, sf001).collect()
+    assert(rows.length == sem.size, "one D4 row per SemDeDup verdict")
+    rows.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      assert(r.getAs[Boolean]("keep_dedup") == sem(id),
+        s"vec $id: keep_dedup diverged from SemDeDup")
+      if (!sem(id)) {
+        assert(r.isNullAt(r.fieldIndex("rank_in_cell")) &&
+          !r.getAs[Boolean]("keep"),
+          s"vec $id: dedup-dropped vector ranked or kept")
+      }
+    }
+    // survivor ranking: within each cell the SURVIVORS carry ranks
+    // 1..n_survivors in (proto desc, id) order, and the final keep is
+    // the integer-fraction cut over that survivor count
+    rows.filter(_.getAs[Boolean]("keep_dedup"))
+      .groupBy(_.getAs[Int]("cell")).foreach { case (cell, rs) =>
+        val n = rs.length.toLong
+        assert(rs.forall(_.getAs[Long]("n_cell") == n),
+          s"cell $cell: n_cell is not the survivor count")
+        val byRank = rs.sortBy(_.getAs[Long]("rank_in_cell"))
+        assert(byRank.map(_.getAs[Long]("rank_in_cell")).toSeq == (1L to n),
+          s"cell $cell: survivor ranks not 1..$n")
+        val cut = n * Similarity.ProtoPruneNum / Similarity.ProtoPruneDen
+        byRank.foreach { r =>
+          assert(r.getAs[Boolean]("keep") == (r.getAs[Long]("rank_in_cell") > cut),
+            s"cell $cell: keep != rank > cut")
+        }
+      }
+    // composing after dedup must prune FEWER-OR-EQUAL vectors per cell
+    // than pruning the raw frame (the survivors' quarter ≤ the full
+    // cell's quarter) — the reason D4 orders the stages this way
+    val rawDropped = Similarity.prototypePrune(spark, sf001).collect()
+      .count(!_.getAs[Boolean]("keep"))
+    val d4ProtoDropped = rows.count(r =>
+      r.getAs[Boolean]("keep_dedup") && !r.getAs[Boolean]("keep"))
+    assert(d4ProtoDropped <= rawDropped)
+  }
 }
