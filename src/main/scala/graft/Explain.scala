@@ -41,7 +41,9 @@ object Explain {
         "text_char_lm_persisted", "text_bpe_train_persisted",
         "text_bpe_apply_persisted", "text_classifier_quality_persisted",
         "text_classifier_calibration_persisted",
-        "curation_ppl_filter_persisted")
+        "curation_ppl_filter_persisted",
+        "curation_dsir_weights", "curation_dsir_weights_persisted",
+        "curation_dsir_resample", "sim_prototype_prune", "sim_d4_prune")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -1069,12 +1069,20 @@ object Similarity {
   def d4Prune(spark: SparkSession, dir: String): DataFrame = {
     val sem = semDeDup(spark, dir)
       .select(col("vec_id"), col("keep").as("keep_dedup"))
-    val pc = protoScored(spark, dir)
-    val rk = protoRanked(
-      pc.join(sem.filter(col("keep_dedup")).select("vec_id"), Seq("vec_id")))
-      .select(col("vec_id"), col("rank_in_cell"), col("n_cell"))
-    pc.join(sem, Seq("vec_id"))
-      .join(rk, Seq("vec_id"), "left")
+    // survivors rank inside a (cell, keep_dedup)-partitioned window —
+    // the dup-dropped rows land in their own partitions and their
+    // ranks null out, so no corpus-sized rank frame ever joins back on
+    // vec_id (the naive compose shape paid 3 extra SortMergeJoins)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cell"), col("keep_dedup"))
+      .orderBy(col("proto_milli").desc, col("vec_id"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cell"), col("keep_dedup"))
+    protoScored(spark, dir).join(sem, Seq("vec_id"))
+      .withColumn("rank_in_cell",
+        when(col("keep_dedup"), row_number().over(w).cast("long")))
+      .withColumn("n_cell",
+        when(col("keep_dedup"), count(lit(1)).over(wc).cast("long")))
       .withColumn("keep", when(!col("keep_dedup"), lit(false)).otherwise(
         col("rank_in_cell") > expr(s"(n_cell * $ProtoPruneNum) div $ProtoPruneDen")))
       .select("vec_id", "cell", "keep_dedup", "proto_milli",
