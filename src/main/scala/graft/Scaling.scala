@@ -66,7 +66,10 @@ object Scaling {
     "text_classifier_quality_persisted", // persisted-weights scoring
     "rich_trade_ohlcv",      // JSON wire roundtrip (memoized feed)
     "graph_triangles",       // degree-oriented wedge join, O(E^1.5)
-    "rel_recursive_chains")  // bounded recursive expansion
+    "rel_recursive_chains",  // bounded recursive expansion
+    "curation_dsir_weights", // two-pass hashed-unigram model + score
+    "sim_prototype_prune",   // centroid-cosine rank, per-cell window
+    "sim_d4_prune")          // dedup verdict + survivor rank composed
 
   def main(args: Array[String]): Unit = {
     val dirs = args(0).split(",").toSeq
