@@ -202,9 +202,110 @@ object Pipeline {
     ingestVerdictFor(spark, batch, bandsT, setsT).orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------------------- //
+  // MODEL-gated ingest: the persisted generation models as the        //
+  // quality stage (FineWeb-style — a trained gate, not heuristics).   //
+  // ---------------------------------------------------------------- //
+
+  /** LM gate ceiling: reject a page whose char-bigram NLL under the
+    * generation LM exceeds this (nats, 6-decimal grid — the score is
+    * micro-rounded before the comparison in BOTH engines). */
+  val LmGateMaxNll = 1.75
+  /** DSIR gate floor: reject a page scoring below this importance
+    * weight (micro-nats) — far laxer than the resampler's zero cut; a
+    * gate drops only the clearly-off-distribution tail. */
+  val DsirGateMinMicro = -1500000L
+
+  /** The MODEL-gated ingest verdict per arriving document — the
+    * quality stage is the persisted generation's trained models
+    * rather than [[ingestVerdictFor]]'s heuristic blend: the
+    * char-bigram LM (perplexity ceiling), the hashed quality
+    * classifier (its own persisted train-time mean as the cut), and
+    * the DSIR importance weight (off-distribution floor), then the
+    * band-index dedup probe for model survivors only. One
+    * reason-tagged row per arriving doc_id, reason ∈ {no_content,
+    * lm_ppl, classifier, dsir, duplicate, keep} in STAGE ORDER —
+    * first failing stage tags, survivors pay the next stage.
+    *
+    * All three model scores are scan work: each is one pass over the
+    * batch joined against a broadcast model table (bigram table,
+    * 64-row weights + 1-row stats, 256-row counts); the probe
+    * shuffles only model-passers' bands into the static bucketed
+    * index. Between generations the models are FROZEN (the model
+    * family's staleness contract); a [[Rollover.cutover]] swaps all
+    * of them at a batch boundary. */
+  private[graft] def modelGateVerdictOn(spark: SparkSession, batch: DataFrame,
+      lmT: String, wT: String, statsT: String, dsirT: String,
+      bandsT: String, setsT: String): DataFrame = {
+    val docs = batch.dropDuplicates("doc_id")
+      .select(col("doc_id"), col("text")).localCheckpoint()
+    val lm = TextAnalysis
+      .charLmScoreWith(TextAnalysis.charLmDocBigrams(docs), spark.table(lmT))
+      .select(col("doc_id"), col("nll_nats"))
+    val cls = Curation
+      .classifierScoreWith(Curation.classifierFrames(docs)._2, spark.table(wT))
+      .crossJoin(broadcast(spark.table(statsT).select(col("mean_sc"))))
+      .select(col("doc_id"), col("score_sc"), col("mean_sc"))
+    // arrivals carry no language label; DSIR scores them against the
+    // generation counts all the same (buckets are all that matter)
+    val dsir = Curation.dsirScoreWith(
+      Curation.dsirToks(docs.withColumn("lang", lit(null).cast("string"))),
+      spark.table(dsirT))
+      .select(col("doc_id"), col("weight_micro"))
+    val base = Dedup.shingledOn(docs)
+      .join(lm, Seq("doc_id"), "left")
+      .join(cls, Seq("doc_id"), "left")
+      .join(dsir, Seq("doc_id"), "left")
+      .withColumn("m_keep",
+        col("sz") > 0 && col("nll_nats").isNotNull &&
+          col("nll_nats") <= LmGateMaxNll &&
+          col("score_sc") >= col("mean_sc") &&
+          col("weight_micro") > DsirGateMinMicro)
+      .localCheckpoint()
+    val probed = Dedup.probeBandIndex(spark,
+      Dedup.signaturesOnSh(base.filter(col("m_keep"))), bandsT, setsT)
+    base
+      .join(probed.select(col("batch_id").as("doc_id"), col("n_dups"),
+        col("best_jaccard")), Seq("doc_id"), "left")
+      .withColumn("reason",
+        when(col("sz") <= 0 || col("nll_nats").isNull ||
+          col("score_sc").isNull || col("weight_micro").isNull,
+          lit("no_content"))
+          .when(col("nll_nats") > LmGateMaxNll, lit("lm_ppl"))
+          .when(col("score_sc") < col("mean_sc"), lit("classifier"))
+          .when(col("weight_micro") <= DsirGateMinMicro, lit("dsir"))
+          .when(coalesce(col("n_dups"), lit(0L)) > 0, lit("duplicate"))
+          .otherwise(lit("keep")))
+      .select(col("doc_id"), col("reason"),
+        col("nll_nats"), col("score_sc"), col("weight_micro"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        col("best_jaccard"),
+        (col("reason") === "keep").as("keep"))
+  }
+
+  /** Batch drill of the model gate: the mod-4 held-out documents
+    * arrive against the DEFAULT generation's models (trained on the
+    * full corpus, as a standing production gate's are) and a band
+    * index over everything else — every stage oracle-replayed end to
+    * end (LM train + NLL, classifier train + mean cut, DSIR train +
+    * weight, banded MinHash probe). */
+  def modelGatePipeline(spark: SparkSession, dir: String): DataFrame = {
+    val (bandsT, setsT) = Dedup.ensureBandIndex(spark, dir,
+      corpusFilter = Dedup.drillCorpusFilter)
+    val lmT = TextAnalysis.ensureCharLmModel(spark, dir)
+    val (wT, statsT) = Curation.ensureClassifierModel(spark, dir)
+    val dsirT = Curation.ensureDsirModel(spark, dir)
+    val batch = Tables.documents(spark, dir)
+      .filter(pmod(col("doc_id"), lit(Dedup.IncrementalBatchMod)) === 0)
+      .select(col("doc_id"), col("text"))
+    modelGateVerdictOn(spark, batch, lmT, wT, statsT, dsirT, bandsT, setsT)
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_crawl" -> ((s, d) => crawlPipeline(s, d)),
     "pipeline_ingest_gate" -> ((s, d) => ingestGatePipeline(s, d)),
+    "pipeline_model_gate" -> ((s, d) => modelGatePipeline(s, d)),
     "pipeline_clean_corpus" -> ((s, d) => cleanCorpus(s, d)),
     "pipeline_span_clean" -> ((s, d) => spanCleanCorpus(s, d)))
 
@@ -257,6 +358,64 @@ object Pipeline {
          |SELECT doc_id, reason, n_dups, best_jaccard,
          |  (reason = 'keep') AS keep
          |FROM v ORDER BY doc_id""".stripMargin
+    },
+    // the model gate, every stage replayed: the LM/classifier/DSIR
+    // train+score chains over the full corpus (the default generation
+    // the engine's ensure* tables hold), the batch restricted at the
+    // end; dedup probe for model survivors only, as the engine stages
+    "pipeline_model_gate" -> {
+      val batchSrc =
+        s"(SELECT doc_id, text FROM documents WHERE doc_id % ${Dedup.IncrementalBatchMod} = 0)"
+      val corpusSrc =
+        s"(SELECT doc_id, text FROM documents WHERE doc_id % ${Dedup.IncrementalBatchMod} <> 0)"
+      s"""WITH ${TextAnalysis.charLmCtes},
+         |${Curation.classifierCtes},
+         |${Curation.dsirCtes("d")},
+         |${Dedup.shingleCtesOn(batchSrc, "b")},
+         |${Dedup.shingleCtesOn(corpusSrc, "c")},
+         |${Dedup.minhashBandsOn("b")},
+         |${Dedup.minhashBandsOn("c")},
+         |allb AS (SELECT doc_id FROM documents
+         |  WHERE doc_id % ${Dedup.IncrementalBatchMod} = 0),
+         |mg AS (SELECT a.doc_id, lm.nll_nats, sc.score_sc, st.mean_sc,
+         |    dw.weight_micro, bsh.sz
+         |  FROM allb a
+         |  LEFT JOIN lm ON lm.doc_id = a.doc_id
+         |  LEFT JOIN sc ON sc.doc_id = a.doc_id
+         |  LEFT JOIN dw ON dw.doc_id = a.doc_id
+         |  LEFT JOIN bsh ON bsh.doc_id = a.doc_id, st),
+         |qp AS (SELECT doc_id FROM mg
+         |  WHERE sz > 0 AND nll_nats IS NOT NULL AND nll_nats <= $LmGateMaxNll
+         |    AND score_sc >= mean_sc AND weight_micro > $DsirGateMinMicro),
+         |cand AS (SELECT DISTINCT a.doc_id AS batch_id, b.doc_id AS corpus_id
+         |  FROM bbands a JOIN qp ON qp.doc_id = a.doc_id
+         |  JOIN cbands b ON a.band = b.band AND a.m1 = b.m1 AND a.m2 = b.m2),
+         |agg AS (SELECT batch_id, count(*)::BIGINT AS n_dups, max(jaccard) AS best_jaccard
+         |  FROM (SELECT batch_id, corpus_id,
+         |      len(list_intersect(si.codes, sj.codes))::DOUBLE
+         |        / (si.sz + sj.sz - len(list_intersect(si.codes, sj.codes))) AS jaccard
+         |    FROM cand JOIN bsh si ON si.doc_id = batch_id
+         |    JOIN csh sj ON sj.doc_id = corpus_id)
+         |  WHERE jaccard >= ${Dedup.JaccardThreshold} GROUP BY 1)
+         |SELECT mg.doc_id,
+         |  (CASE WHEN mg.sz IS NULL OR mg.sz <= 0 OR mg.nll_nats IS NULL
+         |          OR mg.score_sc IS NULL OR mg.weight_micro IS NULL THEN 'no_content'
+         |        WHEN mg.nll_nats > $LmGateMaxNll THEN 'lm_ppl'
+         |        WHEN mg.score_sc < mg.mean_sc THEN 'classifier'
+         |        WHEN mg.weight_micro <= $DsirGateMinMicro THEN 'dsir'
+         |        WHEN coalesce(g.n_dups, 0) > 0 THEN 'duplicate'
+         |        ELSE 'keep' END) AS reason,
+         |  mg.nll_nats, mg.score_sc, mg.weight_micro,
+         |  coalesce(g.n_dups, 0)::BIGINT AS n_dups, g.best_jaccard,
+         |  (CASE WHEN mg.sz IS NULL OR mg.sz <= 0 OR mg.nll_nats IS NULL
+         |          OR mg.score_sc IS NULL OR mg.weight_micro IS NULL THEN 'no_content'
+         |        WHEN mg.nll_nats > $LmGateMaxNll THEN 'lm_ppl'
+         |        WHEN mg.score_sc < mg.mean_sc THEN 'classifier'
+         |        WHEN mg.weight_micro <= $DsirGateMinMicro THEN 'dsir'
+         |        WHEN coalesce(g.n_dups, 0) > 0 THEN 'duplicate'
+         |        ELSE 'keep' END) = 'keep' AS keep
+         |FROM mg LEFT JOIN agg g ON g.batch_id = mg.doc_id
+         |ORDER BY mg.doc_id""".stripMargin
     },
     "pipeline_clean_corpus" ->
       s"""WITH t0 AS (SELECT doc_id, text, source,

@@ -548,7 +548,7 @@ object TextAnalysis {
     * text-tier bench line; and materializing the char array before a
     * bigram lambda matters: re-evaluating chars(text) inside transform
     * is O(n²) per document, measured 144 s vs ~3 s at sf0.1). */
-  private def charLmDocBigrams(docs: DataFrame): DataFrame =
+  private[operators] def charLmDocBigrams(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       explode(graft.functions.TextFunctions.charBigrams(col("text"))).as("bg"))
 
@@ -572,7 +572,7 @@ object TextAnalysis {
 
   /** Score a bigram frame against a (bg, p) model — the probe core
     * shared by the fresh path and the persisted twin. */
-  private def charLmScoreWith(docBg: DataFrame, model: DataFrame): DataFrame =
+  private[operators] def charLmScoreWith(docBg: DataFrame, model: DataFrame): DataFrame =
     docBg.join(broadcast(model), "bg")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),

@@ -305,4 +305,51 @@ object StreamingIngestGate {
       }
       .start()
   }
+
+  /** [[startFullIngestRollable]]'s MODEL-gated twin — the quality
+    * stage is the generation's persisted TRAINED models
+    * ([[graft.operators.Pipeline.modelGateVerdictOn]]: char-LM
+    * perplexity ceiling, classifier with its train-time mean cut,
+    * DSIR importance floor) instead of the heuristic blend. Every
+    * micro-batch reads the generation once ([[GenerationRef.advance]],
+    * promoting a pending cutover under this batch's serialization),
+    * loads the generation's model tables (catalog hits after the
+    * first batch — a deployed gate LOADS its models), judges, and
+    * folds the batch's keeps into the band index + admission log
+    * before the next batch probes. The models stay FROZEN between
+    * generations (the model family's staleness contract — admissions
+    * reach the dedup index immediately but the scoring weights only
+    * at the next rollover); a [[graft.operators.Rollover.cutover]]
+    * swaps the LM, classifier, DSIR counts, and band index TOGETHER
+    * at one batch boundary, so no batch ever judges with one
+    * generation's LM and another's classifier. */
+  def startModelGatedRollable(spark: SparkSession, dir: String,
+      docs: DataFrame, gen: GenerationRef,
+      compactEvery: Int = CompactEveryMerges)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    val merges = new java.util.concurrent.atomic.AtomicLong(0L)
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val (tag, cf) = gen.advance()
+        val (bandsT, setsT) = Dedup.ensureBandIndex(spark, dir, tag, cf)
+        val lmT = graft.operators.TextAnalysis.ensureCharLmModel(spark, dir, tag, cf)
+        val (wT, statsT) = graft.operators.Curation.ensureClassifierModel(spark, dir, tag, cf)
+        val dsirT = graft.operators.Curation.ensureDsirModel(spark, dir, tag, cf)
+        val verdict = graft.operators.Pipeline
+          .modelGateVerdictOn(spark, batch, lmT, wT, statsT, dsirT, bandsT, setsT)
+          .localCheckpoint()
+        sink(verdict, batchId)
+        val kept = batch.dropDuplicates("doc_id")
+          .join(verdict.filter(col("keep")).select(col("doc_id")), "doc_id")
+          .select(col("doc_id"), col("text"))
+          .localCheckpoint()
+        maintain(spark, graft.operators.AdmissionLog.DocKind,
+          graft.operators.IndexStore.suffix(dir, tag, cf), kept,
+          merges, compactEvery)(
+          k => Dedup.mergeBatchIntoBandIndex(spark, dir, k, tag, cf))(
+          () => Dedup.compactBandIndex(spark, dir, tag, cf))
+      }
+      .start()
+  }
 }

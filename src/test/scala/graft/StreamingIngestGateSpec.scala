@@ -237,6 +237,105 @@ class StreamingIngestGateSpec extends SparkSpec {
       s"dup of a post-snapshot (caught-up) admission not flagged by G+1: $reason")
   }
 
+  test("model-gated rollable: batch-twin parity per batch, admission, and a model swap at cutover") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.GenerationRef
+    import graft.operators.{Curation, Pipeline, Rollover, TextAnalysis}
+
+    val cf = Dedup.drillCorpusFilter
+    val (b0, s0) = Dedup.ensureBandIndex(spark, sf0001, "mgg0", cf)
+    val lm0 = TextAnalysis.ensureCharLmModel(spark, sf0001, "mgg0", cf)
+    val (w0, st0) = Curation.ensureClassifierModel(spark, sf0001, "mgg0", cf)
+    val d0 = Curation.ensureDsirModel(spark, sf0001, "mgg0", cf)
+    def twin(batch: Seq[(Long, String)], t: (String, String, String, String, String, String)) =
+      Pipeline.modelGateVerdictOn(spark, batch.toDF("doc_id", "text"),
+          t._1, t._2, t._3, t._4, t._5, t._6)
+        .collect().map(_.toSeq.map(String.valueOf)).toSet
+    val g0Tables = (lm0, w0, st0, d0, b0, s0)
+
+    val arrivals = Tables.documents(spark, sf0001)
+      .filter(pmod(col("doc_id"), lit(Dedup.IncrementalBatchMod)) === 0)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val textOf = arrivals.toMap
+    val (chop1, chop2) = arrivals.splitAt(60)
+
+    val gen = new GenerationRef("mgg0", cf)
+    val got = mutable.Buffer[Row]()
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingIngestGate.startModelGatedRollable(spark, sf0001,
+      input.toDF().toDF("doc_id", "text"), gen) { (verdict, _) =>
+      got.synchronized { got ++= verdict.collect() }
+    }
+    try {
+      // batch parity WITH admission in play: the expected verdicts for
+      // each chop are the batch twin's, computed against the index AS
+      // IT STANDS when that chop arrives (the previous chop's keeps
+      // are already folded in — the twin reads the same live tables)
+      val exp1 = twin(chop1.toSeq, g0Tables)
+      input.addData(chop1.toIndexedSeq: _*); q.processAllAvailable()
+      val got1 = got.synchronized(got.map(_.toSeq.map(String.valueOf)).toSet)
+      assert(got1 == exp1, "chop 1 diverged from its batch twin")
+      val exp2 = twin(chop2.toSeq, g0Tables)
+      input.addData(chop2.toIndexedSeq: _*); q.processAllAvailable()
+      val got2 = got.synchronized(got.map(_.toSeq.map(String.valueOf)).toSet) -- got1
+      assert(got2 == exp2, "chop 2 diverged from its post-admission batch twin")
+
+      // the gate must actually have admitted something for the swap
+      // phase to mean anything
+      val keptIds = got.synchronized(
+        got.filter(_.getBoolean(7)).map(_.getLong(0)).toSet)
+      assert(keptIds.nonEmpty, "drill needs at least one admitted doc")
+
+      // cutover: G+1 retrains ALL model tables from corpus ∪ admitted
+      Rollover.cutover(spark, sf0001, "mgg1", docGen = Some(gen))
+      assert(gen.get()._1 == "mgg0", "swap must wait for a batch boundary")
+      val promo = (7000001L, textOf(keptIds.head)) // dup of an admission
+      // the promotion batch still carries verdicts — compute its twin
+      // against the G+1 tables the flipped gate will use
+      val g1Tables = (
+        TextAnalysis.ensureCharLmModel(spark, sf0001, "mgg1", cf),
+        Curation.ensureClassifierModel(spark, sf0001, "mgg1", cf)._1,
+        Curation.ensureClassifierModel(spark, sf0001, "mgg1", cf)._2,
+        Curation.ensureDsirModel(spark, sf0001, "mgg1", cf),
+        Dedup.ensureBandIndex(spark, sf0001, "mgg1", cf)._1,
+        Dedup.ensureBandIndex(spark, sf0001, "mgg1", cf)._2)
+      // the retrain was real: G+1's LM differs from G's (the admitted
+      // docs' bigrams reached the model)
+      assert(tableFileFingerprint(g1Tables._1) != tableFileFingerprint(lm0),
+        "cutover did not retrain the LM on corpus ∪ admitted")
+      val expPromo = twin(Seq(promo), g1Tables)
+      input.addData(promo); q.processAllAvailable()
+      assert(gen.get()._1 == "mgg1", "promotion did not land")
+      val gotPromo = got.synchronized(got.map(_.toSeq.map(String.valueOf)).toSet) --
+        got1 -- exp2
+      assert(gotPromo == expPromo,
+        "promotion batch diverged from its G+1 batch twin")
+      assert(gotPromo.exists(r => r.head == "7000001" && r(1) == "duplicate"),
+        s"dup of an admitted doc must flag under G+1: $gotPromo")
+
+      // G drops; a novel reshuffle of an admitted doc's tokens (same
+      // unigram bag — model scores near the original's; new shingles)
+      // is judged by G+1 ALONE, and must equal its batch twin
+      Rollover.dropGeneration(spark, sf0001, "mgg0", cf)
+      assert(!spark.catalog.tableExists(b0) && !spark.catalog.tableExists(lm0))
+      val novel = (7000002L, textOf(keptIds.head).split(" ").reverse.mkString(" "))
+      val expNovel = twin(Seq(novel), g1Tables)
+      input.addData(novel); q.processAllAvailable()
+      val gotNovel = got.synchronized(got.map(_.toSeq.map(String.valueOf)).toSet) --
+        got1 -- exp2 -- expPromo
+      assert(gotNovel == expNovel, "post-drop verdict diverged from the G+1 twin")
+    } finally q.stop()
+
+    // totality across the whole drill: one verdict per arriving id
+    val ids = got.map(_.getLong(0))
+    assert(ids.size == arrivals.length + 2 && ids.distinct.size == ids.size,
+      s"expected ${arrivals.length + 2} unique verdicts, got ${ids.size}")
+    Rollover.dropGeneration(spark, sf0001, "mgg1", cf)
+  }
+
   test("crawl pipeline (extract → gate) matches the drill for extractable docs") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
