@@ -43,7 +43,8 @@ object Explain {
         "text_classifier_calibration_persisted",
         "curation_ppl_filter_persisted",
         "curation_dsir_weights", "curation_dsir_weights_persisted",
-        "curation_dsir_resample", "sim_prototype_prune", "sim_d4_prune")
+        "curation_dsir_resample", "sim_prototype_prune", "sim_d4_prune",
+        "pipeline_model_gate")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
