@@ -302,10 +302,37 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Gate-agreement (ablation) report over the whole corpus: the
+    * 2³-cell histogram of the three model gates' pass/fail verdicts —
+    * the diagnostic a curation team reads before tuning thresholds
+    * (a gate whose rejections are a subset of another's adds cost and
+    * no signal; a gate rejecting what every other gate keeps needs a
+    * second look). One row per (lm, classifier, dsir) combination
+    * with its count and milli-share. Three scoring passes (each a
+    * scan + broadcast model join, two of them memoized) and one
+    * 8-row aggregate. */
+  def gateOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val lm = TextAnalysis.charLmScore(spark, dir)
+      .select(col("doc_id"), (col("nll_nats") <= LmGateMaxNll).as("lm_pass"))
+    val cls = Curation.classifierQuality(spark, dir)
+      .select(col("doc_id"), col("predicted_hq").as("cls_pass"))
+    val dsir = Curation.dsirWeights(spark, dir)
+      .select(col("doc_id"),
+        (col("weight_micro") > DsirGateMinMicro).as("dsir_pass"))
+    val cells = lm.join(cls, Seq("doc_id")).join(dsir, Seq("doc_id"))
+      .groupBy(col("lm_pass"), col("cls_pass"), col("dsir_pass"))
+      .agg(count(lit(1)).as("n_docs"))
+    val tot = cells.agg(sum(col("n_docs")).as("total"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("lm_pass"), col("cls_pass"), col("dsir_pass"),
+        col("n_docs"), expr("(1000 * n_docs) div total").as("pct_milli"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_crawl" -> ((s, d) => crawlPipeline(s, d)),
     "pipeline_ingest_gate" -> ((s, d) => ingestGatePipeline(s, d)),
     "pipeline_model_gate" -> ((s, d) => modelGatePipeline(s, d)),
+    "pipeline_gate_overlap" -> ((s, d) => gateOverlap(s, d)),
     "pipeline_clean_corpus" -> ((s, d) => cleanCorpus(s, d)),
     "pipeline_span_clean" -> ((s, d) => spanCleanCorpus(s, d)))
 
@@ -359,6 +386,20 @@ object Pipeline {
          |  (reason = 'keep') AS keep
          |FROM v ORDER BY doc_id""".stripMargin
     },
+    "pipeline_gate_overlap" ->
+      s"""WITH ${TextAnalysis.charLmCtes},
+         |${Curation.classifierCtes},
+         |${Curation.dsirCtes("d")},
+         |cells AS (SELECT lm.nll_nats <= $LmGateMaxNll AS lm_pass,
+         |    sc.score_sc >= st.mean_sc AS cls_pass,
+         |    dw.weight_micro > $DsirGateMinMicro AS dsir_pass,
+         |    count(*)::BIGINT AS n_docs
+         |  FROM lm JOIN sc USING (doc_id) JOIN dw USING (doc_id), st
+         |  GROUP BY 1, 2, 3),
+         |tot AS (SELECT sum(n_docs)::BIGINT AS total FROM cells)
+         |SELECT lm_pass, cls_pass, dsir_pass, n_docs,
+         |  (1000 * n_docs) // total AS pct_milli
+         |FROM cells, tot ORDER BY lm_pass, cls_pass, dsir_pass""".stripMargin,
     // the model gate, every stage replayed: the LM/classifier/DSIR
     // train+score chains over the full corpus (the default generation
     // the engine's ensure* tables hold), the batch restricted at the
