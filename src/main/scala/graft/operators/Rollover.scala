@@ -211,6 +211,30 @@ object Rollover {
     docTables ++ annTables
   }
 
+  /** Default rotation threshold for [[admissionPressure]]: retrain
+    * when admissions reach 10% of the training corpus. */
+  val RotatePressureMilli = 100L
+
+  /** The WHEN of a rollover — admission pressure on a generation:
+    * how far the standing corpus has outgrown the artifacts trained
+    * on it. Every persisted model and codebook is FROZEN between
+    * generations (the staleness contract), so the admission log's
+    * size against the training corpus IS the staleness measure a
+    * deployment polls: `(n_admitted, n_corpus, pressure_milli)`,
+    * rotate when `pressure_milli >= RotatePressureMilli` (or the
+    * caller's own threshold). Cost: one metadata-cheap count of the
+    * bucketed log plus one corpus count — no content scan, no join;
+    * an empty/absent log reads as zero pressure, and a generation
+    * with an empty corpus predicate reports full pressure rather
+    * than dividing by zero. */
+  def admissionPressure(spark: SparkSession, dir: String, tag: String = "",
+      corpusFilter: Column = lit(true)): (Long, Long, Long) = {
+    val sfx = IndexStore.suffix(dir, tag, corpusFilter)
+    val nAdm = AdmissionLog.read(spark, AdmissionLog.DocKind, sfx).count()
+    val nCorpus = graft.Tables.documents(spark, dir).filter(corpusFilter).count()
+    (nAdm, nCorpus, if (nCorpus == 0L) 1000L else 1000L * nAdm / nCorpus)
+  }
+
   /** Retire one generation completely: drop every family table that
     * exists under the tag's suffix (tables + files; missing families
     * are skipped, so partial generations drop cleanly too). When the

@@ -375,6 +375,27 @@ class RolloverSpec extends SparkSpec {
       "dup of the in-between admission not flagged by G+1")
   }
 
+  test("admission pressure: zero on a fresh generation, rises with the log, crosses the gate") {
+    import spark.implicits._
+    import graft.operators.{AdmissionLog, IndexStore, Rollover}
+    val tag = "press1"
+    Dedup.ensureBandIndex(spark, sf0001, tag, drill)
+    val sfx = IndexStore.suffix(sf0001, tag, drill)
+    val (a0, c0, p0) = Rollover.admissionPressure(spark, sf0001, tag, drill)
+    assert(a0 == 0L && p0 == 0L, s"fresh generation must read zero pressure, got ($a0, $p0)")
+    assert(c0 == Tables.documents(spark, sf0001).filter(drill).count())
+
+    // admissions land (the gates' log-then-merge); pressure = milli share
+    val adm = batchDocs.select(col("doc_id"), col("text")).limit(40)
+    AdmissionLog.append(spark, AdmissionLog.DocKind, sfx, adm)
+    val (a1, c1, p1) = Rollover.admissionPressure(spark, sf0001, tag, drill)
+    assert(a1 == 40L && c1 == c0 && p1 == 1000L * 40L / c0,
+      s"pressure must be the exact milli ratio, got ($a1, $c1, $p1)")
+    assert(p1 >= Rollover.RotatePressureMilli == (1000L * 40 / c0 >= 100L),
+      "rotation gate must be the documented threshold comparison")
+    Rollover.dropGeneration(spark, sf0001, tag, drill)
+  }
+
   test("dropGeneration(foldInto) sweeps straggler admissions into the successor") {
     import spark.implicits._
     import graft.operators.{AdmissionLog, Rollover}
