@@ -116,6 +116,45 @@ private[graft] object AdmissionLog {
     }
   }
 
+  /** The log's row count, taken under the log lock — the unlocked
+    * [[read]].count() a monitor might write instead can land inside a
+    * gate's every-N [[compact]] (a drop-and-recreate) and either crash
+    * on deleted files or silently read the missing table as zero. */
+  def count(spark: SparkSession, kind: String, sfx: String): Long =
+    IndexStore.lock(s"admlog_${kind}_" + sfx).synchronized {
+      read(spark, kind, sfx).count()
+    }
+
+  def trainedTable(kind: String, sfx: String) = s"graft_admtrained_${kind}_$sfx"
+
+  /** Record how many log rows the generation's artifacts were TRAINED
+    * on — the cutover writes the build snapshot's size here when it
+    * seeds the new generation's log with that snapshot. Admission
+    * pressure measures staleness as log size MINUS this mark, so a
+    * cutover-built generation starts at zero pressure instead of
+    * inheriting every prior generation's admissions (logs carry
+    * forward across cutovers by design). A crash between the seed
+    * append and this mark leaves the mark at zero on retry — pressure
+    * then OVERSTATES staleness and rotates early, never late. */
+  def markTrained(spark: SparkSession, kind: String, sfx: String, n: Long): Unit = {
+    import spark.implicits._
+    val t = trainedTable(kind, sfx)
+    IndexStore.lock(s"admtrained_${kind}_" + sfx).synchronized {
+      Seq(n).toDF("n_trained").coalesce(1)
+        .write.mode("overwrite").format("parquet")
+        .option("path", s"${IndexStore.root}/admtrained_${kind}_$sfx")
+        .saveAsTable(t)
+    }
+  }
+
+  /** The trained mark, zero when no cutover has seeded this log. */
+  def trainedCount(spark: SparkSession, kind: String, sfx: String): Long = {
+    val t = trainedTable(kind, sfx)
+    IndexStore.lock(s"admtrained_${kind}_" + sfx).synchronized {
+      if (spark.catalog.tableExists(t)) spark.table(t).head().getLong(0) else 0L
+    }
+  }
+
   /** Rewrite the log back to one file per bucket — scheduled by the
     * admitting gates on the same every-N cadence as their index
     * compaction, so a long-running gate's log cannot accrete one file

@@ -777,13 +777,26 @@ object Curation {
         count(when(col("lang") === "en", 1)).as("c_t"))
 
   /** Score a token frame with a (bucket, c_r, c_t) count model — the
-    * apply core shared by the fresh path and the persisted probe.
-    * Totals and log-ratios DERIVE from the tiny model here (256-row
-    * aggregate + broadcast), so a persisted model stored as raw counts
-    * reproduces the fresh path's floats bit for bit. */
+    * apply core shared by the fresh path, the persisted probe, and the
+    * model gate. Totals and log-ratios DERIVE from the tiny model here
+    * (256-row aggregate + broadcast), so a persisted model stored as
+    * raw counts reproduces the fresh path's floats bit for bit. The
+    * log-ratio table is DENSIFIED over all [[DsirBuckets]] buckets —
+    * a bucket the training corpus never produced gets the Laplace
+    * unseen ratio ln((t_r+B)/(t_t+B)) instead of silently dropping
+    * the token from the sum: a gate scoring off-distribution ARRIVALS
+    * against a frozen model must count exactly the tokens the model
+    * has no evidence for (on the training corpus itself every scored
+    * bucket is observed, so this changes nothing there). */
   private[operators] def dsirScoreWith(toks: DataFrame, model: DataFrame): DataFrame = {
     val tot = model.agg(sum(col("c_r")).as("t_r"), sum(col("c_t")).as("t_t"))
-    val lr = model.crossJoin(broadcast(tot))
+    val dense = toks.sparkSession.range(DsirBuckets)
+      .select(col("id").as("bucket"))
+      .join(model, Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("c_r"), lit(0L)).as("c_r"),
+        coalesce(col("c_t"), lit(0L)).as("c_t"))
+    val lr = dense.crossJoin(broadcast(tot))
       .select(col("bucket"),
         round(log(
           ((col("c_t") + 1).cast("double") *
@@ -964,11 +977,15 @@ object Curation {
        |    (count(*) FILTER (WHERE lang = 'en'))::BIGINT AS c_t
        |  FROM ${p}eb GROUP BY 1),
        |${p}tot AS (SELECT sum(c_r)::BIGINT AS t_r, sum(c_t)::BIGINT AS t_t FROM ${p}m),
+       |${p}dn AS (SELECT bucket,
+       |    coalesce(c_r, 0)::BIGINT AS c_r, coalesce(c_t, 0)::BIGINT AS c_t
+       |  FROM (SELECT unnest(range(0, $DsirBuckets))::BIGINT AS bucket) r
+       |  LEFT JOIN ${p}m USING (bucket)),
        |${p}lr AS (SELECT bucket,
        |    round(ln(((c_t + 1)::DOUBLE * (t_r + $DsirBuckets)::DOUBLE) /
        |             ((c_r + 1)::DOUBLE * (t_t + $DsirBuckets)::DOUBLE))
        |      * 1000000.0)::BIGINT AS lr_micro
-       |  FROM ${p}m, ${p}tot),
+       |  FROM ${p}dn, ${p}tot),
        |${p}w AS (SELECT doc_id, lang, count(*)::BIGINT AS n_toks,
        |    sum(lr_micro)::BIGINT AS weight_micro,
        |    sum(lr_micro)::BIGINT > 0 AS selected

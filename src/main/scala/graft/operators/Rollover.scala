@@ -26,13 +26,14 @@ object Rollover {
     * its own predicate ([[generation]]'s `annAdmitted`), so its tables
     * usually live under a DIFFERENT suffix than the doc families'. */
   private val AnnFamilies: Seq[String] = Seq(
-    "graft_pq_books_", "graft_pq_codes_", "graft_admlog_vec_")
+    "graft_pq_books_", "graft_pq_codes_", "graft_admlog_vec_",
+    "graft_admtrained_vec_")
   private val Families: Seq[String] = Seq(
     "graft_band_idx_", "graft_sets_idx_", "graft_span_idx_",
     "graft_tfs_idx_", "graft_txtstats_idx_",
     "graft_charlm_idx_", "graft_clsw_idx_", "graft_clsstats_idx_",
     "graft_bpem_idx_", "graft_bpev_idx_", "graft_dsirm_idx_",
-    "graft_admlog_doc_") ++ AnnFamilies
+    "graft_admlog_doc_", "graft_admtrained_doc_") ++ AnnFamilies
 
   /** Fold the old generation's admissions that the new generation has
     * not yet absorbed — `old log − new log`, an id-only bucket-local
@@ -118,7 +119,7 @@ object Rollover {
     * must survive ACROSS generations, or the next cutover's corpus ∪
     * log rebuild would forget them.
     *
-    * `docGen` drives the six text-tier families, `annGen` the ANN
+    * `docGen` drives the seven text-tier families, `annGen` the ANN
     * books+codes (each gate handle carries its own corpus predicate);
     * pass whichever gates are running. `afterSnapshot` is a drill seam
     * — RolloverSpec lands a deterministic post-snapshot admission
@@ -170,16 +171,20 @@ object Rollover {
       val newSfx = IndexStore.suffix(dir, newTag, cf)
       val fresh = !spark.catalog.tableExists("graft_band_idx_" + newSfx)
       val tables = generation(spark, dir, snap, newTag, cf, annAdmitted = None)
-      if (fresh)
+      if (fresh) {
         AdmissionLog.append(spark, AdmissionLog.DocKind, newSfx, snap)
+        AdmissionLog.markTrained(spark, AdmissionLog.DocKind, newSfx, snap.count())
+      }
       tables
     }.getOrElse(Map.empty[String, Seq[String]])
     val annTables = annSnap.map { case (_, cf, _, snap) =>
       val newSfx = IndexStore.suffix(dir, newTag, cf)
       val fresh = !spark.catalog.tableExists("graft_pq_codes_" + newSfx)
       val (booksT, codesT) = Similarity.rolloverPqIndex(spark, dir, snap, newTag, cf)
-      if (fresh)
+      if (fresh) {
         AdmissionLog.append(spark, AdmissionLog.VecKind, newSfx, snap)
+        AdmissionLog.markTrained(spark, AdmissionLog.VecKind, newSfx, snap.count())
+      }
       Map("ann" -> Seq(booksT, codesT))
     }.getOrElse(Map.empty[String, Seq[String]])
     // SWAP-FIRST, catch-up AT promotion. The catch-up prunes the old
@@ -218,19 +223,27 @@ object Rollover {
   /** The WHEN of a rollover — admission pressure on a generation:
     * how far the standing corpus has outgrown the artifacts trained
     * on it. Every persisted model and codebook is FROZEN between
-    * generations (the staleness contract), so the admission log's
-    * size against the training corpus IS the staleness measure a
-    * deployment polls: `(n_admitted, n_corpus, pressure_milli)`,
-    * rotate when `pressure_milli >= RotatePressureMilli` (or the
-    * caller's own threshold). Cost: one metadata-cheap count of the
-    * bucketed log plus one corpus count — no content scan, no join;
-    * an empty/absent log reads as zero pressure, and a generation
-    * with an empty corpus predicate reports full pressure rather
-    * than dividing by zero. */
+    * generations (the staleness contract), so the count of log rows
+    * the generation's artifacts were NOT trained on is the staleness
+    * measure a deployment polls: `(n_untrained, n_corpus,
+    * pressure_milli)`, rotate when `pressure_milli >=
+    * RotatePressureMilli` (or the caller's own threshold). The
+    * trained mark matters because logs CARRY FORWARD across cutovers
+    * (the next rebuild must see every admission): a cutover-built
+    * generation's log is seeded with the very snapshot its models
+    * trained on, and counting that seed would leave pressure
+    * permanently above the gate — a monitor would rotate forever on
+    * identical data. Cost: one locked metadata-cheap count of the
+    * bucketed log (the lock closes the race against a live gate's
+    * drop-and-recreate compaction) plus one corpus count; an absent
+    * log reads as zero pressure, and an empty corpus predicate
+    * reports full pressure rather than dividing by zero. */
   def admissionPressure(spark: SparkSession, dir: String, tag: String = "",
       corpusFilter: Column = lit(true)): (Long, Long, Long) = {
     val sfx = IndexStore.suffix(dir, tag, corpusFilter)
-    val nAdm = AdmissionLog.read(spark, AdmissionLog.DocKind, sfx).count()
+    val nAdm = math.max(0L,
+      AdmissionLog.count(spark, AdmissionLog.DocKind, sfx) -
+        AdmissionLog.trainedCount(spark, AdmissionLog.DocKind, sfx))
     val nCorpus = graft.Tables.documents(spark, dir).filter(corpusFilter).count()
     (nAdm, nCorpus, if (nCorpus == 0L) 1000L else 1000L * nAdm / nCorpus)
   }

@@ -243,7 +243,7 @@ object Similarity {
       val cents =
         if (spark.catalog.tableExists(booksT)) loadBooks(spark, booksT)._1
         else kmeansCentroids(emb)
-      coarseCentsMemo.synchronized { coarseCentsMemo.put(spark, (dir, cents)) }
+      stashCents(spark, dir, cents)
       withCell(emb, cents)
         .select(col("vec_id"), col("embedding"), col("cell"))
         .localCheckpoint()
@@ -253,13 +253,28 @@ object Similarity {
     * assignment computes (tiny: C × dim doubles; the session key is
     * weak, like DirMemo's). Callers that need the quantizer's VALUES
     * (prototype pruning's cosine-to-own-centroid) read them here, so
-    * the one-Lloyd's-run-per-generation contract extends to them. */
-  private val coarseCentsMemo =
-    new java.util.WeakHashMap[SparkSession, (String, Array[(Int, Array[Double])])]()
+    * the one-Lloyd's-run-per-generation contract extends to them.
+    * Dir-keyed inner map, unlike DirMemo's single slot: DirMemo
+    * tolerates two dirs' racing builds by letting the loser's frame
+    * be discarded, and a single-slot stash racing that way could end
+    * up holding a DIFFERENT dir than the frame memo — a later lookup
+    * would then miss against a memo hit and have no way to recompute.
+    * Keeping every dir's centroids (a few KB each) removes the cross
+    * race entirely. */
+  private val coarseCentsMemo = new java.util.WeakHashMap[
+    SparkSession, scala.collection.concurrent.TrieMap[String, Array[(Int, Array[Double])]]]()
+  private def stashCents(spark: SparkSession, dir: String,
+      cents: Array[(Int, Array[Double])]): Unit =
+    coarseCentsMemo.synchronized {
+      Option(coarseCentsMemo.get(spark)).getOrElse {
+        val m = scala.collection.concurrent.TrieMap.empty[String, Array[(Int, Array[Double])]]
+        coarseCentsMemo.put(spark, m); m
+      }
+    }.put(dir, cents)
   private def coarseCentroids(spark: SparkSession, dir: String): Array[(Int, Array[Double])] = {
     def look = coarseCentsMemo.synchronized {
-      Option(coarseCentsMemo.get(spark)).collect { case (d, c) if d == dir => c }
-    }
+      Option(coarseCentsMemo.get(spark))
+    }.flatMap(_.get(dir))
     look.getOrElse {
       coarseAssigned(spark, dir)
       look.getOrElse(throw new IllegalStateException(

@@ -587,7 +587,7 @@ object TextAnalysis {
     * quality gate loads its LM, it does not retrain it per run).
     * Alphabet² rows at most — a single tiny file.
     *
-    * STALENESS CONTRACT (all three persisted models — char-LM, BPE,
+    * STALENESS CONTRACT (all four persisted models — char-LM, BPE, DSIR,
     * classifier): between generations the weights are FROZEN by
     * design, exactly like the ANN family's frozen codebooks. An
     * admitting gate folding new documents into the band index does

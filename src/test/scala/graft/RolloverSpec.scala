@@ -393,7 +393,29 @@ class RolloverSpec extends SparkSpec {
       s"pressure must be the exact milli ratio, got ($a1, $c1, $p1)")
     assert(p1 >= Rollover.RotatePressureMilli == (1000L * 40 / c0 >= 100L),
       "rotation gate must be the documented threshold comparison")
+
+    // a cutover-seeded successor: its log CARRIES the training
+    // snapshot forward, and the trained mark must zero it out — or a
+    // monitor would rotate forever on identical data
+    val tag2 = "press2"
+    val sfx2 = IndexStore.suffix(sf0001, tag2, drill)
+    Dedup.ensureBandIndex(spark, sf0001, tag2, drill)
+    AdmissionLog.append(spark, AdmissionLog.DocKind, sfx2, adm)
+    AdmissionLog.markTrained(spark, AdmissionLog.DocKind, sfx2, 40L)
+    val (a2, _, p2) = Rollover.admissionPressure(spark, sf0001, tag2, drill)
+    assert(a2 == 0L && p2 == 0L,
+      s"trained-on snapshot must not count as pressure, got ($a2, $p2)")
+    // fresh post-cutover admissions count from zero
+    val adm2 = Tables.documents(spark, sf0001)
+      .filter(pmod(col("doc_id"), lit(Dedup.IncrementalBatchMod)) === 0)
+      .select(col("doc_id") + 9000000L as "doc_id", col("text")).limit(10)
+    AdmissionLog.append(spark, AdmissionLog.DocKind, sfx2, adm2)
+    val (a3, _, _) = Rollover.admissionPressure(spark, sf0001, tag2, drill)
+    assert(a3 == 10L, s"post-mark admissions must count from zero, got $a3")
     Rollover.dropGeneration(spark, sf0001, tag, drill)
+    Rollover.dropGeneration(spark, sf0001, tag2, drill)
+    assert(!spark.catalog.tableExists(AdmissionLog.trainedTable(AdmissionLog.DocKind, sfx2)),
+      "the trained mark must drop with its generation")
   }
 
   test("dropGeneration(foldInto) sweeps straggler admissions into the successor") {
