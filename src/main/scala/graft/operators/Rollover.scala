@@ -248,6 +248,44 @@ object Rollover {
     (nAdm, nCorpus, if (nCorpus == 0L) 1000L else 1000L * nAdm / nCorpus)
   }
 
+  /** [[admissionPressure]]'s twin for the ANN gate's vector log —
+    * same trained-mark subtraction, same locked count, ratio against
+    * the vector corpus under the gate's own predicate. */
+  def annAdmissionPressure(spark: SparkSession, dir: String, tag: String = "",
+      vecFilter: Column = lit(true)): (Long, Long, Long) = {
+    val sfx = IndexStore.suffix(dir, tag, vecFilter)
+    val nAdm = math.max(0L,
+      AdmissionLog.count(spark, AdmissionLog.VecKind, sfx) -
+        AdmissionLog.trainedCount(spark, AdmissionLog.VecKind, sfx))
+    val nCorpus = graft.Tables.embeddings(spark, dir).filter(vecFilter).count()
+    (nAdm, nCorpus, if (nCorpus == 0L) 1000L else 1000L * nAdm / nCorpus)
+  }
+
+  /** Ops inventory of one generation — what exists, how big, how
+    * fragmented: one row per family table present under the tag's
+    * suffix(es), with row and file counts. files/bucket tells an
+    * operator whether the every-N compaction is keeping up; a missing
+    * family in a supposedly-finished generation is the partial-build
+    * (crashed-rollover) signal, and [[generation]]'s check-then-build
+    * resume is the fix. Driver-side loop over ≤17 tiny catalog
+    * lookups; row counts ride parquet footers. */
+  def generationReport(spark: SparkSession, dir: String, tag: String = "",
+      corpusFilter: Column = lit(true),
+      annFilter: Option[Column] = None): DataFrame = {
+    import spark.implicits._
+    val doc = Families.map(p => (p.stripSuffix("_"), p + IndexStore.suffix(dir, tag, corpusFilter)))
+    val ann = annFilter.toSeq.flatMap { af =>
+      AnnFamilies.map(p => (p.stripSuffix("_"), p + IndexStore.suffix(dir, tag, af)))
+    }
+    (doc ++ ann).distinct
+      .filter { case (_, t) => spark.catalog.tableExists(t) }
+      .map { case (fam, t) =>
+        val df = spark.table(t)
+        (fam, t, df.count(), df.inputFiles.length.toLong)
+      }
+      .toDF("family", "table", "n_rows", "n_files")
+  }
+
   /** Retire one generation completely: drop every family table that
     * exists under the tag's suffix (tables + files; missing families
     * are skipped, so partial generations drop cleanly too). When the

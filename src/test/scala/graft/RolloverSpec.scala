@@ -186,6 +186,14 @@ class RolloverSpec extends SparkSpec {
       }
     }
 
+    // the ops inventory sees every built table, with sane counts
+    val report = Rollover.generationReport(spark, sf0001, "rollall1",
+      drill, Some(drillV)).collect()
+    val reported = report.map(_.getString(1)).toSet
+    tables.values.flatten.foreach(t =>
+      assert(reported(t), s"report missing built family table: $t"))
+    assert(report.forall(_.getLong(3) >= 1L), "every table must have files")
+
     // retire the generation: every table + its files go — ONE call,
     // annFilter covering the vector predicate's suffix; a second drop
     // (nothing left) is a clean no-op
@@ -193,6 +201,8 @@ class RolloverSpec extends SparkSpec {
     tables.values.flatten.foreach(t =>
       assert(!spark.catalog.tableExists(t), s"table survived drop: $t"))
     Rollover.dropGeneration(spark, sf0001, "rollall1", drill, Some(drillV))
+    assert(Rollover.generationReport(spark, sf0001, "rollall1",
+      drill, Some(drillV)).isEmpty, "report of a dropped generation must be empty")
   }
 
   test("crashed generation rollover RESUMES: finished families are catalog hits") {
@@ -412,10 +422,25 @@ class RolloverSpec extends SparkSpec {
     AdmissionLog.append(spark, AdmissionLog.DocKind, sfx2, adm2)
     val (a3, _, _) = Rollover.admissionPressure(spark, sf0001, tag2, drill)
     assert(a3 == 10L, s"post-mark admissions must count from zero, got $a3")
+    // the ANN twin: same mark semantics over the vector log
+    val vf = pmod(col("vec_id"), lit(4L)) =!= 0
+    val vsfx = IndexStore.suffix(sf0001, tag2, vf)
+    val vecs = Tables.embeddings(spark, sf0001)
+      .filter(pmod(col("vec_id"), lit(4L)) === 0)
+      .select(col("vec_id"), col("embedding")).limit(20)
+    AdmissionLog.append(spark, AdmissionLog.VecKind, vsfx, vecs)
+    AdmissionLog.markTrained(spark, AdmissionLog.VecKind, vsfx, 20L)
+    val (va, vc, vp) = Rollover.annAdmissionPressure(spark, sf0001, tag2, vf)
+    assert(va == 0L && vp == 0L,
+      s"trained-on vector snapshot must not count as pressure, got ($va, $vp)")
+    assert(vc == Tables.embeddings(spark, sf0001).filter(vf).count())
+
     Rollover.dropGeneration(spark, sf0001, tag, drill)
-    Rollover.dropGeneration(spark, sf0001, tag2, drill)
+    Rollover.dropGeneration(spark, sf0001, tag2, drill, Some(vf))
     assert(!spark.catalog.tableExists(AdmissionLog.trainedTable(AdmissionLog.DocKind, sfx2)),
       "the trained mark must drop with its generation")
+    assert(!spark.catalog.tableExists(AdmissionLog.trainedTable(AdmissionLog.VecKind, vsfx)),
+      "the vector trained mark must drop with its generation")
   }
 
   test("dropGeneration(foldInto) sweeps straggler admissions into the successor") {
