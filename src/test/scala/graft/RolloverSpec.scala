@@ -871,5 +871,14 @@ class RolloverSpec extends SparkSpec {
       s"dup of a post-snapshot (caught-up) admission not flagged by G+1: $byId")
     assert(byId(2000007L)._1 && byId(2000007L)._3,
       s"fresh post-swap doc wrongly dropped: $byId")
+
+    // the LIVE cutover wrote the trained mark: pressure on G+1 reads
+    // exactly the admissions its models were NOT trained on — the
+    // caught-up d3 plus the post-swap d8 and d7, never the {d1, d2}
+    // snapshot the build consumed
+    val (untrained, _, _) =
+      graft.operators.Rollover.admissionPressure(spark, sf0001, "rollsg1")
+    assert(untrained == 3L,
+      s"G+1 pressure must count the 3 untrained admissions, got $untrained")
   }
 }
