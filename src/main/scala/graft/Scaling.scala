@@ -69,7 +69,8 @@ object Scaling {
     "rel_recursive_chains",  // bounded recursive expansion
     "curation_dsir_weights", // two-pass hashed-unigram model + score
     "sim_prototype_prune",   // centroid-cosine rank, per-cell window
-    "sim_d4_prune")          // dedup verdict + survivor rank composed
+    "sim_d4_prune",          // dedup verdict + survivor rank composed
+    "pipeline_model_gate")   // persisted-models quality stage + probe
 
   def main(args: Array[String]): Unit = {
     val dirs = args(0).split(",").toSeq
