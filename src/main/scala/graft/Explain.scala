@@ -44,7 +44,8 @@ object Explain {
         "curation_ppl_filter_persisted",
         "curation_dsir_weights", "curation_dsir_weights_persisted",
         "curation_dsir_resample", "sim_prototype_prune", "sim_d4_prune",
-        "pipeline_model_gate", "pipeline_gate_overlap")
+        "pipeline_model_gate", "pipeline_gate_overlap",
+        "sim_decontam_semantic")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -1104,6 +1104,39 @@ object Similarity {
         "rank_in_cell", "n_cell", "keep")
   }
 
+  // ------------------------------------------ semantic decontamination
+
+  /** Embedding-level eval-set decontamination — the paraphrase
+    * complement of the lexical shingle decontam
+    * ([[Dedup.decontamOverlap]]): a training example whose EMBEDDING
+    * sits near an eval item leaks the benchmark even when its words
+    * differ, which the n-gram screen cannot see. Eval set = the fixed
+    * query slice (vec_id < [[NumQueries]], the suite's eval stand-in);
+    * every other nonzero corpus vector reports its max cosine over the
+    * eval set — each cosine milli-rounded BEFORE the max (the SemDeDup
+    * exactness convention, and the same τ) — and flags at
+    * [[SemTauMilli]].
+    *
+    * Scale shape: eval suites are tiny and ride into the scan as
+    * LITERAL vectors (the signBucketed hyperplane trick) — the
+    * per-vector max folds inside the corpus scan projection, so the
+    * whole verdict is ONE scan with zero shuffles and zero joins,
+    * whatever the corpus size (the lexical decontam's broadcast
+    * map-side shape, taken one step further). */
+  def semanticDecontam(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.dotProduct
+    val nz = Tables.embeddings(spark, dir)
+      .filter(dotProduct(col("embedding"), col("embedding")) > 0)
+    val evalVs = nz.filter(col("vec_id") < NumQueries)
+      .orderBy(col("vec_id")).select(col("embedding"))
+      .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val mx = greatest(evalVs.toIndexedSeq.map(v =>
+      round(cosineSim(col("embedding"), typedlit(v)) * 1000, 0).cast("long")): _*)
+    nz.filter(col("vec_id") >= NumQueries)
+      .select(col("vec_id"), mx.as("max_eval_sim_milli"))
+      .withColumn("contaminated", col("max_eval_sim_milli") >= SemTauMilli)
+  }
+
   /** Range-search threshold: calibrated so the demo corpus returns a
     * real (non-empty, non-everything) neighbor set per query. */
   val RangeTau = 0.25
@@ -1475,6 +1508,7 @@ object Similarity {
     "dedup_semdedup_cells" -> ((s, d) => semDeDupCells(s, d)),
     "sim_prototype_prune" -> ((s, d) => prototypePrune(s, d)),
     "sim_d4_prune" -> ((s, d) => d4Prune(s, d)),
+    "sim_decontam_semantic" -> ((s, d) => semanticDecontam(s, d)),
     "sim_ingest_gate" -> ((s, d) => annIngestGate(s, d)),
     "sim_range_search" -> ((s, d) => rangeSearch(s, d)),
     "sim_topk_bruteforce" -> ((s, d) => topKBruteForce(s, d)),
@@ -2005,6 +2039,22 @@ object Similarity {
          |  END AS keep
          |FROM pc JOIN sd USING (vec_id) LEFT JOIN rk USING (vec_id)
          |ORDER BY pc.vec_id""".stripMargin,
+    // semantic decontam: per-corpus-vector max of milli-rounded
+    // cosines against the eval slice, flagged at the SemDeDup τ
+    "sim_decontam_semantic" ->
+      s"""WITH nz AS (SELECT vec_id, embedding FROM embeddings
+         |  WHERE list_reduce(list_prepend(0.0::DOUBLE,
+         |      list_transform(range(1, len(embedding) + 1),
+         |        k -> embedding[k]::DOUBLE * embedding[k]::DOUBLE)), (a, v) -> a + v) > 0),
+         |q AS (SELECT vec_id AS qid, embedding AS qv FROM nz
+         |  WHERE vec_id < $NumQueries),
+         |c AS (SELECT e.vec_id,
+         |    max(round(${cosSql("e.embedding", "qv")} * 1000, 0)::BIGINT)
+         |      AS max_eval_sim_milli
+         |  FROM nz e, q WHERE e.vec_id >= $NumQueries GROUP BY 1)
+         |SELECT vec_id, max_eval_sim_milli,
+         |  max_eval_sim_milli >= $SemTauMilli AS contaminated
+         |FROM c ORDER BY vec_id""".stripMargin,
     "sim_topk_ivfpq_rerank" -> ivfPqRerankOracle,
     "emb_pca_project" -> pcaOracle,
     "sim_range_search" ->

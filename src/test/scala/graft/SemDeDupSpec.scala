@@ -104,6 +104,35 @@ class SemDeDupSpec extends SparkSpec {
     }
   }
 
+  test("semantic decontam: total, flag=threshold, and a ZERO-shuffle scan plan") {
+    import graft.functions.VectorFunctions.dotProduct
+    val rows = Similarity.semanticDecontam(spark, sf001).collect()
+    val nNonEval = Tables.embeddings(spark, sf001)
+      .filter(dotProduct(col("embedding"), col("embedding")) > 0)
+      .filter(col("vec_id") >= Similarity.NumQueries).count()
+    assert(rows.length.toLong == nNonEval,
+      "one verdict row per nonzero non-eval vector")
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("contaminated") ==
+        (r.getAs[Long]("max_eval_sim_milli") >= Similarity.SemTauMilli))
+    }
+    assert(rows.exists(_.getAs[Boolean]("contaminated")) &&
+      rows.exists(!_.getAs[Boolean]("contaminated")),
+      "threshold must genuinely split the drill corpus")
+    // the scale claim IS the plan: eval vectors are literals in the
+    // scan projection — no Exchange anywhere
+    val k = "spark.sql.adaptive.enabled"
+    val old = spark.conf.get(k)
+    spark.conf.set(k, "false")
+    try {
+      val plan = Similarity.semanticDecontam(spark, sf001)
+        .queryExecution.executedPlan
+      assert(plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.isEmpty, s"semantic decontam must be a zero-shuffle scan:\n$plan")
+    } finally spark.conf.set(k, old)
+  }
+
   test("D4 composes the stages: dedup verdict first, survivors re-ranked") {
     val sem = Similarity.semDeDup(spark, sf001).collect()
       .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
