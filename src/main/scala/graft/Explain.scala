@@ -45,7 +45,7 @@ object Explain {
         "curation_dsir_weights", "curation_dsir_weights_persisted",
         "curation_dsir_resample", "sim_prototype_prune", "sim_d4_prune",
         "pipeline_model_gate", "pipeline_gate_overlap",
-        "sim_decontam_semantic")
+        "sim_decontam_semantic", "sim_kcenter_seeds")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

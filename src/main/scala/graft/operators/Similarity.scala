@@ -1104,6 +1104,60 @@ object Similarity {
         "rank_in_cell", "n_cell", "keep")
   }
 
+  // ----------------------------------------- k-center coreset seeding
+
+  /** Number of greedy k-center picks. */
+  val KCenterK = 8
+
+  /** Greedy k-center (farthest-point) coreset seeding — Gonzalez
+    * 1985's 2-approximation, the seed-selection primitive of
+    * coreset-based data selection (Sener & Savarese 2018's k-Center
+    * active-learning objective) and of spread-out clustering inits:
+    * start from the first non-eval vector, then repeatedly pick the
+    * vector FARTHEST from everything chosen so far (max of min
+    * squared L2 over the picks, each pairwise distance micro-rounded
+    * BEFORE the min so the argmax is integer arithmetic; ties to the
+    * smaller id). Returns the picks in selection order with their
+    * coverage radius at selection time — the radius trace is the
+    * diminishing-returns curve a budget decision reads.
+    *
+    * Scale shape: K driver rounds; each is ONE corpus scan with the
+    * chosen centers riding as LITERALS (the min-of-K distances folds
+    * inside the scan projection — the signBucketed hyperplane trick)
+    * and a 1-row TakeOrdered. No shuffle, no join, ever; K is a seed
+    * count, not a corpus fraction, and the corpus frame is
+    * lineage-truncated once for all rounds. */
+  def kcenterSeeds(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.dotProduct
+    val nz = Tables.embeddings(spark, dir)
+      .filter(dotProduct(col("embedding"), col("embedding")) > 0)
+      .filter(col("vec_id") >= NumQueries)
+      .select(col("vec_id"), col("embedding"))
+      .localCheckpoint()
+    def d2(cv: Array[Double]): Column =
+      round((dotProduct(col("embedding"), col("embedding"))
+        + lit(selfDot(cv))
+        - lit(2.0) * dotProduct(col("embedding"), typedlit(cv))) * 1e6, 0)
+        .cast("long")
+    val first = nz.orderBy(col("vec_id")).limit(1).collect()(0)
+    var picks = Vector(
+      (first.getLong(0), first.getSeq[Float](1).map(_.toDouble).toArray, 0L))
+    while (picks.size < KCenterK) {
+      val dists = picks.map(p => d2(p._2))
+      val minD = if (dists.size == 1) dists.head else least(dists: _*)
+      val top = nz
+        .select(col("vec_id"), col("embedding"), minD.as("dm"))
+        .orderBy(col("dm").desc, col("vec_id")).limit(1)
+        .collect()(0)
+      picks = picks :+
+        ((top.getLong(0), top.getSeq[Float](1).map(_.toDouble).toArray,
+          top.getLong(2)))
+    }
+    spark.createDataFrame(
+      picks.zipWithIndex.map { case ((id, _, dm), i) => (i + 1L, id, dm) })
+      .toDF("pick", "vec_id", "min_dist_micro")
+  }
+
   // ------------------------------------------ semantic decontamination
 
   /** Embedding-level eval-set decontamination — the paraphrase
@@ -1509,6 +1563,7 @@ object Similarity {
     "sim_prototype_prune" -> ((s, d) => prototypePrune(s, d)),
     "sim_d4_prune" -> ((s, d) => d4Prune(s, d)),
     "sim_decontam_semantic" -> ((s, d) => semanticDecontam(s, d)),
+    "sim_kcenter_seeds" -> ((s, d) => kcenterSeeds(s, d)),
     "sim_ingest_gate" -> ((s, d) => annIngestGate(s, d)),
     "sim_range_search" -> ((s, d) => rangeSearch(s, d)),
     "sim_topk_bruteforce" -> ((s, d) => topKBruteForce(s, d)),
@@ -1771,6 +1826,44 @@ object Similarity {
     * ordered mat-vec folds (bit-identical to the driver's while-loops),
     * one final normalization, first-nonzero sign fix, and the same
     * index-ordered projection fold as the native DotProduct. */
+  /** Unrolled greedy-k-center chain: the same per-pair fold as the
+    * engine's |e|² + |c|² − 2⟨e,c⟩ literal expression, micro-rounded
+    * per pair, min over picks, argmax with id tiebreak. */
+  private val kcenterOracle: String = {
+    def fold(items: String): String =
+      s"list_reduce(list_prepend(0.0::DOUBLE, $items), (a, b) -> a + b)"
+    def selfDotSql(v: String): String =
+      fold(s"list_transform(range(1, len($v) + 1), k -> $v[k]::DOUBLE * $v[k]::DOUBLE)")
+    def dotSql(a: String, b: String): String =
+      fold(s"list_transform(range(1, len($a) + 1), k -> $a[k]::DOUBLE * $b[k]::DOUBLE)")
+    val d2 =
+      s"""round((${selfDotSql("e.embedding")} + ${selfDotSql("c.embedding")}
+         |  - 2.0 * ${dotSql("e.embedding", "c.embedding")}) * 1000000.0, 0)::BIGINT""".stripMargin
+    val steps = (2 to KCenterK.toInt).map { i =>
+      s"""d$i AS (SELECT e.vec_id, min($d2) AS dm
+         |  FROM nz e, cum${i - 1} c GROUP BY 1),
+         |p$i AS (SELECT nz.vec_id, nz.embedding, d.dm
+         |  FROM d$i d JOIN nz USING (vec_id)
+         |  ORDER BY d.dm DESC, vec_id LIMIT 1),
+         |cum$i AS (SELECT vec_id, embedding FROM cum${i - 1}
+         |  UNION ALL SELECT vec_id, embedding FROM p$i)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to KCenterK.toInt).map { i =>
+      if (i == 1) s"SELECT 1::BIGINT AS pick, vec_id, 0::BIGINT AS min_dist_micro FROM p1"
+      else s"SELECT $i::BIGINT, vec_id, dm FROM p$i"
+    }.mkString("\nUNION ALL ")
+    s"""WITH nz AS (SELECT vec_id, embedding FROM embeddings
+       |  WHERE list_reduce(list_prepend(0.0::DOUBLE,
+       |      list_transform(range(1, len(embedding) + 1),
+       |        k -> embedding[k]::DOUBLE * embedding[k]::DOUBLE)), (a, v) -> a + v) > 0
+       |    AND vec_id >= $NumQueries),
+       |p1 AS (SELECT vec_id, embedding FROM nz ORDER BY vec_id LIMIT 1),
+       |cum1 AS (SELECT vec_id, embedding FROM p1),
+       |$steps
+       |$out
+       |ORDER BY pick""".stripMargin
+  }
+
   private val pcaOracle: String = {
     val d1 = EmbDim + 1
     def fold(items: String): String =
@@ -2039,6 +2132,9 @@ object Similarity {
          |  END AS keep
          |FROM pc JOIN sd USING (vec_id) LEFT JOIN rk USING (vec_id)
          |ORDER BY pc.vec_id""".stripMargin,
+    // greedy k-center, unrolled: P_i = picks so far, d_i = per-vector
+    // min micro-rounded squared L2 over P_i, p_{i+1} = the argmax
+    "sim_kcenter_seeds" -> kcenterOracle,
     // semantic decontam: per-corpus-vector max of milli-rounded
     // cosines against the eval slice, flagged at the SemDeDup τ
     "sim_decontam_semantic" ->

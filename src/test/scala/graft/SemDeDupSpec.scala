@@ -133,6 +133,44 @@ class SemDeDupSpec extends SparkSpec {
     } finally spark.conf.set(k, old)
   }
 
+  test("k-center seeds: greedy argmax replayed, radius non-increasing") {
+    import graft.functions.VectorFunctions.dotProduct
+    val picks = Similarity.kcenterSeeds(spark, sf001).collect()
+      .sortBy(_.getAs[Long]("pick"))
+    assert(picks.length == Similarity.KCenterK.toInt)
+    assert(picks.map(_.getAs[Long]("vec_id")).distinct.length == picks.length,
+      "picks must be distinct")
+    // coverage radius shrinks (weakly) as picks accumulate — the
+    // greedy property a budget decision reads off the trace
+    val radii = picks.drop(1).map(_.getAs[Long]("min_dist_micro"))
+    radii.sliding(2).foreach { case Array(a, b) =>
+      assert(b <= a, s"radius trace must be non-increasing: $a -> $b")
+    }
+    // brute-force replay of every greedy step off the collected corpus
+    val all = Tables.embeddings(spark, sf001)
+      .filter(dotProduct(col("embedding"), col("embedding")) > 0)
+      .filter(col("vec_id") >= Similarity.NumQueries)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    def d2(a: Array[Double], b: Array[Double]): Long = {
+      var sa = 0.0; var sb = 0.0; var ab = 0.0; var i = 0
+      while (i < a.length) { sa += a(i) * a(i); sb += b(i) * b(i); ab += a(i) * b(i); i += 1 }
+      math.round((sa + sb - 2.0 * ab) * 1e6)
+    }
+    assert(picks.head.getAs[Long]("vec_id") == all.map(_._1).min,
+      "first pick must be the lowest-id non-eval vector")
+    var chosen = Vector(all.toMap.apply(picks.head.getAs[Long]("vec_id")))
+    picks.drop(1).foreach { p =>
+      val best = all
+        .map { case (id, v) => (id, chosen.map(c => d2(v, c)).min) }
+        .maxBy { case (id, dm) => (dm, -id) }
+      assert(p.getAs[Long]("vec_id") == best._1 &&
+        p.getAs[Long]("min_dist_micro") == best._2,
+        s"pick ${p.getAs[Long]("pick")} diverged from the greedy argmax")
+      chosen = chosen :+ all.toMap.apply(best._1)
+    }
+  }
+
   test("D4 composes the stages: dedup verdict first, survivors re-ranked") {
     val sem = Similarity.semDeDup(spark, sf001).collect()
       .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
