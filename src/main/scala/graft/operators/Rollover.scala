@@ -239,25 +239,28 @@ object Rollover {
     * log reads as zero pressure, and an empty corpus predicate
     * reports full pressure rather than dividing by zero. */
   def admissionPressure(spark: SparkSession, dir: String, tag: String = "",
-      corpusFilter: Column = lit(true)): (Long, Long, Long) = {
-    val sfx = IndexStore.suffix(dir, tag, corpusFilter)
-    val nAdm = math.max(0L,
-      AdmissionLog.count(spark, AdmissionLog.DocKind, sfx) -
-        AdmissionLog.trainedCount(spark, AdmissionLog.DocKind, sfx))
-    val nCorpus = graft.Tables.documents(spark, dir).filter(corpusFilter).count()
-    (nAdm, nCorpus, if (nCorpus == 0L) 1000L else 1000L * nAdm / nCorpus)
-  }
+      corpusFilter: Column = lit(true)): (Long, Long, Long) =
+    pressureOf(spark, AdmissionLog.DocKind,
+      IndexStore.suffix(dir, tag, corpusFilter),
+      graft.Tables.documents(spark, dir).filter(corpusFilter).count())
 
   /** [[admissionPressure]]'s twin for the ANN gate's vector log —
     * same trained-mark subtraction, same locked count, ratio against
     * the vector corpus under the gate's own predicate. */
   def annAdmissionPressure(spark: SparkSession, dir: String, tag: String = "",
-      vecFilter: Column = lit(true)): (Long, Long, Long) = {
-    val sfx = IndexStore.suffix(dir, tag, vecFilter)
+      vecFilter: Column = lit(true)): (Long, Long, Long) =
+    pressureOf(spark, AdmissionLog.VecKind,
+      IndexStore.suffix(dir, tag, vecFilter),
+      graft.Tables.embeddings(spark, dir).filter(vecFilter).count())
+
+  /** The one pressure formula both kinds share — a change to the
+    * clamp or the zero-corpus convention cannot diverge the doc and
+    * ANN rotation triggers. */
+  private def pressureOf(spark: SparkSession, kind: String, sfx: String,
+      nCorpus: Long): (Long, Long, Long) = {
     val nAdm = math.max(0L,
-      AdmissionLog.count(spark, AdmissionLog.VecKind, sfx) -
-        AdmissionLog.trainedCount(spark, AdmissionLog.VecKind, sfx))
-    val nCorpus = graft.Tables.embeddings(spark, dir).filter(vecFilter).count()
+      AdmissionLog.count(spark, kind, sfx) -
+        AdmissionLog.trainedCount(spark, kind, sfx))
     (nAdm, nCorpus, if (nCorpus == 0L) 1000L else 1000L * nAdm / nCorpus)
   }
 
@@ -268,7 +271,16 @@ object Rollover {
     * family in a supposedly-finished generation is the partial-build
     * (crashed-rollover) signal, and [[generation]]'s check-then-build
     * resume is the fix. Driver-side loop over ≤17 tiny catalog
-    * lookups; row counts ride parquet footers. */
+    * lookups; row counts ride parquet footers.
+    *
+    * A LIVE gate's every-N compaction rewrites its log and index
+    * through a drop-and-recreate — a read landing in that window sees
+    * a missing table or deleted files. The report tolerates the race
+    * by retrying each table once after a short pause (a compaction
+    * rewrite is milliseconds); a family absent on BOTH looks is
+    * genuinely absent, not mid-rewrite, so the partial-build signal
+    * stays trustworthy without the report taking every family's own
+    * maintenance lock. */
   def generationReport(spark: SparkSession, dir: String, tag: String = "",
       corpusFilter: Column = lit(true),
       annFilter: Option[Column] = None): DataFrame = {
@@ -277,11 +289,18 @@ object Rollover {
     val ann = annFilter.toSeq.flatMap { af =>
       AnnFamilies.map(p => (p.stripSuffix("_"), p + IndexStore.suffix(dir, tag, af)))
     }
-    (doc ++ ann).distinct
-      .filter { case (_, t) => spark.catalog.tableExists(t) }
-      .map { case (fam, t) =>
+    def look(t: String): Option[(Long, Long)] =
+      if (!spark.catalog.tableExists(t)) None
+      else {
         val df = spark.table(t)
-        (fam, t, df.count(), df.inputFiles.length.toLong)
+        Some((df.count(), df.inputFiles.length.toLong))
+      }
+    def robust(t: String): Option[(Long, Long)] =
+      (try look(t) catch { case _: Exception => Thread.sleep(100); look(t) })
+        .orElse { Thread.sleep(50); try look(t) catch { case _: Exception => None } }
+    (doc ++ ann).distinct
+      .flatMap { case (fam, t) =>
+        robust(t).map { case (n, f) => (fam, t, n, f) }
       }
       .toDF("family", "table", "n_rows", "n_files")
   }

@@ -1129,13 +1129,18 @@ object Similarity {
     * lineage-truncated once for all rounds. */
   def kcenterSeeds(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions.dotProduct
+    // |e|² rides as ONE materialized column — each round's projection
+    // references it from every pick's distance instead of re-folding
+    // the self-dot once per chosen center (identical doubles, K×
+    // less scan work in the later rounds)
     val nz = Tables.embeddings(spark, dir)
       .filter(dotProduct(col("embedding"), col("embedding")) > 0)
       .filter(col("vec_id") >= NumQueries)
-      .select(col("vec_id"), col("embedding"))
+      .select(col("vec_id"), col("embedding"),
+        dotProduct(col("embedding"), col("embedding")).as("e2"))
       .localCheckpoint()
     def d2(cv: Array[Double]): Column =
-      round((dotProduct(col("embedding"), col("embedding"))
+      round((col("e2")
         + lit(selfDot(cv))
         - lit(2.0) * dotProduct(col("embedding"), typedlit(cv))) * 1e6, 0)
         .cast("long")
@@ -1184,8 +1189,16 @@ object Similarity {
     val evalVs = nz.filter(col("vec_id") < NumQueries)
       .orderBy(col("vec_id")).select(col("embedding"))
       .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
-    val mx = greatest(evalVs.toIndexedSeq.map(v =>
-      round(cosineSim(col("embedding"), typedlit(v)) * 1000, 0).cast("long")): _*)
+    val cosines = evalVs.toIndexedSeq.map(v =>
+      round(cosineSim(col("embedding"), typedlit(v)) * 1000, 0).cast("long"))
+    // an empty eval slice means there is nothing to leak — the report
+    // is empty (the oracle's eval cross join agrees); greatest() needs
+    // two children, so the 1-eval case passes its lone cosine through
+    if (cosines.isEmpty)
+      return nz.filter(lit(false))
+        .select(col("vec_id"), lit(0L).as("max_eval_sim_milli"),
+          lit(false).as("contaminated"))
+    val mx = if (cosines.size == 1) cosines.head else greatest(cosines: _*)
     nz.filter(col("vec_id") >= NumQueries)
       .select(col("vec_id"), mx.as("max_eval_sim_milli"))
       .withColumn("contaminated", col("max_eval_sim_milli") >= SemTauMilli)
