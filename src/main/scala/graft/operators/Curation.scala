@@ -901,12 +901,24 @@ object Curation {
     * Scale shape: the weights pass (two scans, two shuffles) plus a
     * TakeOrderedAndProject — per-partition K-row heaps, a K-row driver
     * merge; no global sort, no Window. */
-  def dsirResample(spark: SparkSession, dir: String): DataFrame = {
+  def dsirResample(spark: SparkSession, dir: String): DataFrame =
+    dsirResampleFrom(dsirWeights(spark, dir))
+
+  /** [[dsirResample]] served from the persisted generation model —
+    * the weights come off the frozen count table
+    * ([[dsirWeightsPersisted]]), the Gumbel keys are the same pure
+    * function of the data, so the sample is identical to the
+    * recompute twin's (shared oracle) with no training aggregate in
+    * the plan. */
+  def dsirResamplePersisted(spark: SparkSession, dir: String): DataFrame =
+    dsirResampleFrom(dsirWeightsPersisted(spark, dir))
+
+  private def dsirResampleFrom(weights: DataFrame): DataFrame = {
     val h = conv(substring(md5(
       concat(lit("dsir:"), col("doc_id").cast("string"))), 1, 4), 16, 10)
       .cast("long")
     val gumbel = -log(-log((h + 1) / 65537.0))
-    dsirWeights(spark, dir)
+    weights
       .withColumn("key_micro",
         col("weight_micro") + round(gumbel * 1e6, 0).cast("long"))
       .orderBy(col("key_micro").desc, col("doc_id"))
@@ -918,6 +930,7 @@ object Curation {
     "curation_dsir_weights" -> ((s, d) => dsirWeights(s, d)),
     "curation_dsir_weights_persisted" -> ((s, d) => dsirWeightsPersisted(s, d)),
     "curation_dsir_resample" -> ((s, d) => dsirResample(s, d)),
+    "curation_dsir_resample_persisted" -> ((s, d) => dsirResamplePersisted(s, d)),
     "text_classifier_calibration" -> ((s, d) => classifierCalibration(s, d)),
     "text_classifier_calibration_persisted" ->
       ((s, d) => classifierCalibrationPersisted(s, d)),
@@ -1240,5 +1253,6 @@ object Curation {
     "text_classifier_calibration_persisted" ->
       oracleBase("text_classifier_calibration"),
     "curation_ppl_filter_persisted" -> oracleBase("curation_ppl_filter"),
-    "curation_dsir_weights_persisted" -> oracleBase("curation_dsir_weights"))
+    "curation_dsir_weights_persisted" -> oracleBase("curation_dsir_weights"),
+    "curation_dsir_resample_persisted" -> oracleBase("curation_dsir_resample"))
 }
