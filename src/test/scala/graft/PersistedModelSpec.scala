@@ -118,6 +118,23 @@ class PersistedModelSpec extends SparkSpec {
     }
   }
 
+  test("DSIR resample from the persisted model: identical sample, no training aggregate") {
+    val fresh = rows(Curation.dsirResample(spark, sf0001))
+    assert(fresh.nonEmpty &&
+      rows(Curation.dsirResamplePersisted(spark, sf0001)) == fresh,
+      "persisted resample diverged from recompute")
+    staticPlan {
+      val plan = Curation.dsirResamplePersisted(spark, sf0001)
+        .queryExecution.executedPlan
+      assert(docScans(plan).size == 1,
+        s"persisted resample must scan the corpus exactly once:\n$plan")
+      assert(modelScans(plan, "graft_dsirm").nonEmpty,
+        s"persisted resample must read the count table:\n$plan")
+      assert(plan.toString.contains("TakeOrderedAndProject"),
+        s"resample must stay a bounded TakeOrdered:\n$plan")
+    }
+  }
+
   test("frozen-between-generations: admission merges leave models at generation G") {
     import spark.implicits._
     import org.apache.spark.sql.functions.lit
