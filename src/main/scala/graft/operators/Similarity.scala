@@ -1127,40 +1127,91 @@ object Similarity {
     * and a 1-row TakeOrdered. No shuffle, no join, ever; K is a seed
     * count, not a corpus fraction, and the corpus frame is
     * lineage-truncated once for all rounds. */
-  def kcenterSeeds(spark: SparkSession, dir: String): DataFrame = {
+  def kcenterSeeds(spark: SparkSession, dir: String): DataFrame =
+    spark.createDataFrame(
+      kcenterPicks(spark, dir).zipWithIndex
+        .map { case ((id, _, dm), i) => (i + 1L, id, dm) })
+      .toDF("pick", "vec_id", "min_dist_micro")
+
+  /** The nonzero non-eval corpus frame the k-center family scans,
+    * |e|² materialized once (each round's projection references it
+    * from every pick's distance instead of re-folding the self-dot
+    * per chosen center — identical doubles, K× less scan work). */
+  private def kcenterFrame(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions.dotProduct
-    // |e|² rides as ONE materialized column — each round's projection
-    // references it from every pick's distance instead of re-folding
-    // the self-dot once per chosen center (identical doubles, K×
-    // less scan work in the later rounds)
-    val nz = Tables.embeddings(spark, dir)
+    Tables.embeddings(spark, dir)
       .filter(dotProduct(col("embedding"), col("embedding")) > 0)
       .filter(col("vec_id") >= NumQueries)
       .select(col("vec_id"), col("embedding"),
         dotProduct(col("embedding"), col("embedding")).as("e2"))
       .localCheckpoint()
-    def d2(cv: Array[Double]): Column =
-      round((col("e2")
-        + lit(selfDot(cv))
-        - lit(2.0) * dotProduct(col("embedding"), typedlit(cv))) * 1e6, 0)
-        .cast("long")
-    val first = nz.orderBy(col("vec_id")).limit(1).collect()(0)
-    var picks = Vector(
-      (first.getLong(0), first.getSeq[Float](1).map(_.toDouble).toArray, 0L))
-    while (picks.size < KCenterK) {
-      val dists = picks.map(p => d2(p._2))
-      val minD = if (dists.size == 1) dists.head else least(dists: _*)
-      val top = nz
-        .select(col("vec_id"), col("embedding"), minD.as("dm"))
-        .orderBy(col("dm").desc, col("vec_id")).limit(1)
-        .collect()(0)
-      picks = picks :+
-        ((top.getLong(0), top.getSeq[Float](1).map(_.toDouble).toArray,
-          top.getLong(2)))
+  }
+
+  private def kcenterD2(cv: Array[Double]): Column = {
+    import graft.functions.VectorFunctions.dotProduct
+    round((col("e2")
+      + lit(selfDot(cv))
+      - lit(2.0) * dotProduct(col("embedding"), typedlit(cv))) * 1e6, 0)
+      .cast("long")
+  }
+
+  /** The greedy picks — (vec_id, centroid, radius-at-selection) in
+    * selection order, memoized per (session, dir) so the seeds query
+    * and the assignment report share one greedy run (dir-keyed map,
+    * the coarseCentsMemo discipline). */
+  private val kcenterMemo = new java.util.WeakHashMap[
+    SparkSession, scala.collection.concurrent.TrieMap[String, Vector[(Long, Array[Double], Long)]]]()
+  private def kcenterPicks(spark: SparkSession, dir: String): Vector[(Long, Array[Double], Long)] = {
+    val m = kcenterMemo.synchronized {
+      Option(kcenterMemo.get(spark)).getOrElse {
+        val mm = scala.collection.concurrent.TrieMap
+          .empty[String, Vector[(Long, Array[Double], Long)]]
+        kcenterMemo.put(spark, mm); mm
+      }
     }
-    spark.createDataFrame(
-      picks.zipWithIndex.map { case ((id, _, dm), i) => (i + 1L, id, dm) })
-      .toDF("pick", "vec_id", "min_dist_micro")
+    m.getOrElseUpdate(dir, {
+      val nz = kcenterFrame(spark, dir)
+      val first = nz.orderBy(col("vec_id")).limit(1).collect()(0)
+      var picks = Vector(
+        (first.getLong(0), first.getSeq[Float](1).map(_.toDouble).toArray, 0L))
+      while (picks.size < KCenterK) {
+        val dists = picks.map(p => kcenterD2(p._2))
+        val minD = if (dists.size == 1) dists.head else least(dists: _*)
+        val top = nz
+          .select(col("vec_id"), col("embedding"), minD.as("dm"))
+          .orderBy(col("dm").desc, col("vec_id")).limit(1)
+          .collect()(0)
+        picks = picks :+
+          ((top.getLong(0), top.getSeq[Float](1).map(_.toDouble).toArray,
+            top.getLong(2)))
+      }
+      picks
+    })
+  }
+
+  /** Facility assignment for the greedy seeds — every vector joins
+    * its NEAREST pick (micro-rounded squared L2, ties to the earliest
+    * pick), rolled up per facility: cluster size and coverage radius.
+    * The k-center pair: the seeds spread, this says what each seed
+    * actually covers — the balance/radius report a labeling or
+    * dedup budget reads. One corpus scan (picks as literals, the
+    * argmin a struct-min folding in the projection — argminCell's
+    * trick) plus a K-row aggregate; seeds assign to themselves at
+    * distance zero. */
+  def kcenterAssign(spark: SparkSession, dir: String): DataFrame = {
+    val picks = kcenterPicks(spark, dir)
+    val best = array_min(array(picks.zipWithIndex.map { case ((_, cv, _), i) =>
+      struct(kcenterD2(cv).as("d"), lit(i + 1L).as("pick"))
+    }: _*))
+    val seedIds = spark.createDataFrame(
+      picks.zipWithIndex.map { case ((id, _, _), i) => (i + 1L, id) })
+      .toDF("pick", "seed_vec_id")
+    kcenterFrame(spark, dir)
+      .select(best.getField("pick").as("pick"), best.getField("d").as("dm"))
+      .groupBy(col("pick"))
+      .agg(count(lit(1)).as("n_assigned"), max(col("dm")).as("max_dist_micro"))
+      .join(broadcast(seedIds), Seq("pick"))
+      .select("pick", "seed_vec_id", "n_assigned", "max_dist_micro")
   }
 
   // ------------------------------------------ semantic decontamination
@@ -1577,6 +1628,7 @@ object Similarity {
     "sim_d4_prune" -> ((s, d) => d4Prune(s, d)),
     "sim_decontam_semantic" -> ((s, d) => semanticDecontam(s, d)),
     "sim_kcenter_seeds" -> ((s, d) => kcenterSeeds(s, d)),
+    "sim_kcenter_assign" -> ((s, d) => kcenterAssign(s, d)),
     "sim_ingest_gate" -> ((s, d) => annIngestGate(s, d)),
     "sim_range_search" -> ((s, d) => rangeSearch(s, d)),
     "sim_topk_bruteforce" -> ((s, d) => topKBruteForce(s, d)),
@@ -1839,21 +1891,23 @@ object Similarity {
     * ordered mat-vec folds (bit-identical to the driver's while-loops),
     * one final normalization, first-nonzero sign fix, and the same
     * index-ordered projection fold as the native DotProduct. */
-  /** Unrolled greedy-k-center chain: the same per-pair fold as the
-    * engine's |e|² + |c|² − 2⟨e,c⟩ literal expression, micro-rounded
-    * per pair, min over picks, argmax with id tiebreak. */
-  private val kcenterOracle: String = {
+  /** Unrolled greedy-k-center chain (shared by the seeds and the
+    * assignment oracles): the same per-pair fold as the engine's
+    * |e|² + |c|² − 2⟨e,c⟩ literal expression, micro-rounded per pair,
+    * min over picks, argmax with id tiebreak; `pk` ends the chain as
+    * (pick, vec_id, embedding, dm). */
+  private val (kcenterOracle, kcenterAssignOracle): (String, String) = {
     def fold(items: String): String =
       s"list_reduce(list_prepend(0.0::DOUBLE, $items), (a, b) -> a + b)"
     def selfDotSql(v: String): String =
       fold(s"list_transform(range(1, len($v) + 1), k -> $v[k]::DOUBLE * $v[k]::DOUBLE)")
     def dotSql(a: String, b: String): String =
       fold(s"list_transform(range(1, len($a) + 1), k -> $a[k]::DOUBLE * $b[k]::DOUBLE)")
-    val d2 =
-      s"""round((${selfDotSql("e.embedding")} + ${selfDotSql("c.embedding")}
-         |  - 2.0 * ${dotSql("e.embedding", "c.embedding")}) * 1000000.0, 0)::BIGINT""".stripMargin
+    def d2(c: String): String =
+      s"""round((${selfDotSql("e.embedding")} + ${selfDotSql(s"$c.embedding")}
+         |  - 2.0 * ${dotSql("e.embedding", s"$c.embedding")}) * 1000000.0, 0)::BIGINT""".stripMargin
     val steps = (2 to KCenterK.toInt).map { i =>
-      s"""d$i AS (SELECT e.vec_id, min($d2) AS dm
+      s"""d$i AS (SELECT e.vec_id, min(${d2("c")}) AS dm
          |  FROM nz e, cum${i - 1} c GROUP BY 1),
          |p$i AS (SELECT nz.vec_id, nz.embedding, d.dm
          |  FROM d$i d JOIN nz USING (vec_id)
@@ -1861,20 +1915,36 @@ object Similarity {
          |cum$i AS (SELECT vec_id, embedding FROM cum${i - 1}
          |  UNION ALL SELECT vec_id, embedding FROM p$i)""".stripMargin
     }.mkString(",\n")
-    val out = (1 to KCenterK.toInt).map { i =>
-      if (i == 1) s"SELECT 1::BIGINT AS pick, vec_id, 0::BIGINT AS min_dist_micro FROM p1"
-      else s"SELECT $i::BIGINT, vec_id, dm FROM p$i"
+    val pkUnion = (1 to KCenterK.toInt).map { i =>
+      if (i == 1)
+        s"SELECT 1::BIGINT AS pick, vec_id, embedding, 0::BIGINT AS dm FROM p1"
+      else s"SELECT $i::BIGINT, vec_id, embedding, dm FROM p$i"
     }.mkString("\nUNION ALL ")
-    s"""WITH nz AS (SELECT vec_id, embedding FROM embeddings
-       |  WHERE list_reduce(list_prepend(0.0::DOUBLE,
-       |      list_transform(range(1, len(embedding) + 1),
-       |        k -> embedding[k]::DOUBLE * embedding[k]::DOUBLE)), (a, v) -> a + v) > 0
-       |    AND vec_id >= $NumQueries),
-       |p1 AS (SELECT vec_id, embedding FROM nz ORDER BY vec_id LIMIT 1),
-       |cum1 AS (SELECT vec_id, embedding FROM p1),
-       |$steps
-       |$out
-       |ORDER BY pick""".stripMargin
+    val ctes =
+      s"""nz AS (SELECT vec_id, embedding FROM embeddings
+         |  WHERE list_reduce(list_prepend(0.0::DOUBLE,
+         |      list_transform(range(1, len(embedding) + 1),
+         |        k -> embedding[k]::DOUBLE * embedding[k]::DOUBLE)), (a, v) -> a + v) > 0
+         |    AND vec_id >= $NumQueries),
+         |p1 AS (SELECT vec_id, embedding FROM nz ORDER BY vec_id LIMIT 1),
+         |cum1 AS (SELECT vec_id, embedding FROM p1),
+         |$steps,
+         |pk AS ($pkUnion)""".stripMargin
+    val seeds =
+      s"""WITH $ctes
+         |SELECT pick, vec_id, dm AS min_dist_micro FROM pk ORDER BY pick""".stripMargin
+    val assign =
+      s"""WITH $ctes,
+         |ad AS (SELECT e.vec_id, c.pick, ${d2("c")} AS d FROM nz e, pk c),
+         |asg AS (SELECT vec_id, pick, d FROM (
+         |    SELECT vec_id, pick, d,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d, pick) AS rn
+         |    FROM ad) WHERE rn = 1)
+         |SELECT a.pick, s.vec_id AS seed_vec_id,
+         |  count(*)::BIGINT AS n_assigned, max(a.d) AS max_dist_micro
+         |FROM asg a JOIN pk s USING (pick)
+         |GROUP BY 1, 2 ORDER BY a.pick""".stripMargin
+    (seeds, assign)
   }
 
   private val pcaOracle: String = {
@@ -2148,6 +2218,7 @@ object Similarity {
     // greedy k-center, unrolled: P_i = picks so far, d_i = per-vector
     // min micro-rounded squared L2 over P_i, p_{i+1} = the argmax
     "sim_kcenter_seeds" -> kcenterOracle,
+    "sim_kcenter_assign" -> kcenterAssignOracle,
     // semantic decontam: per-corpus-vector max of milli-rounded
     // cosines against the eval slice, flagged at the SemDeDup τ
     "sim_decontam_semantic" ->

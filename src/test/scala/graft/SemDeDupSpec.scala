@@ -169,6 +169,21 @@ class SemDeDupSpec extends SparkSpec {
         s"pick ${p.getAs[Long]("pick")} diverged from the greedy argmax")
       chosen = chosen :+ all.toMap.apply(best._1)
     }
+
+    // facility assignment: total, self-covering, and bounded by the
+    // greedy trace (the residual radius after K picks is what pick
+    // K+1 would have scored — it cannot exceed pick K's)
+    val asg = Similarity.kcenterAssign(spark, sf001).collect()
+    assert(asg.length == picks.length)
+    assert(asg.map(_.getAs[Long]("n_assigned")).sum == all.length.toLong,
+      "every vector must be assigned to exactly one facility")
+    assert(asg.forall(_.getAs[Long]("n_assigned") >= 1L),
+      "each facility covers at least its own seed")
+    val pickIds = picks.map(_.getAs[Long]("vec_id")).toSet
+    assert(asg.map(_.getAs[Long]("seed_vec_id")).toSet == pickIds)
+    assert(asg.map(_.getAs[Long]("max_dist_micro")).max <=
+      picks.last.getAs[Long]("min_dist_micro"),
+      "residual coverage radius must not exceed the last greedy pick's")
   }
 
   test("D4 composes the stages: dedup verdict first, survivors re-ranked") {
