@@ -19,6 +19,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * memory pressure — a cleared entry costs one rebuild, never a wrong
   * answer — and once cleared, the dead session's key is weakly
   * reachable and collectable like the scaladoc always claimed. */
+/** DirMemo's (session, dir) keying for small NON-frame values
+  * (centroid arrays, greedy picks): weak session keys like DirMemo's,
+  * but dir-keyed inner maps and strong values — the payloads are a
+  * few KB, carry no SparkSession reference, and two dirs' racing
+  * computes must both survive (a single-slot stash racing DirMemo's
+  * discard-the-loser convention can strand a consumer with the wrong
+  * dir's value). */
+private[operators] final class SessionDirMemo[A] {
+  private val m = new java.util.WeakHashMap[
+    org.apache.spark.sql.SparkSession, scala.collection.concurrent.TrieMap[String, A]]()
+  private def map(spark: SparkSession) = m.synchronized {
+    Option(m.get(spark)).getOrElse {
+      val mm = scala.collection.concurrent.TrieMap.empty[String, A]
+      m.put(spark, mm); mm
+    }
+  }
+  def apply(spark: SparkSession, dir: String)(compute: => A): A =
+    map(spark).getOrElseUpdate(dir, compute)
+  def put(spark: SparkSession, dir: String, a: A): Unit = map(spark).put(dir, a)
+  def get(spark: SparkSession, dir: String): Option[A] = map(spark).get(dir)
+}
+
 private[operators] final class DirMemo {
   private val m =
     new java.util.WeakHashMap[SparkSession, (String, SoftReference[DataFrame])]()

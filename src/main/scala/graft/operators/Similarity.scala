@@ -261,26 +261,16 @@ object Similarity {
     * would then miss against a memo hit and have no way to recompute.
     * Keeping every dir's centroids (a few KB each) removes the cross
     * race entirely. */
-  private val coarseCentsMemo = new java.util.WeakHashMap[
-    SparkSession, scala.collection.concurrent.TrieMap[String, Array[(Int, Array[Double])]]]()
+  private val coarseCentsMemo = new SessionDirMemo[Array[(Int, Array[Double])]]
   private def stashCents(spark: SparkSession, dir: String,
       cents: Array[(Int, Array[Double])]): Unit =
-    coarseCentsMemo.synchronized {
-      Option(coarseCentsMemo.get(spark)).getOrElse {
-        val m = scala.collection.concurrent.TrieMap.empty[String, Array[(Int, Array[Double])]]
-        coarseCentsMemo.put(spark, m); m
-      }
-    }.put(dir, cents)
-  private def coarseCentroids(spark: SparkSession, dir: String): Array[(Int, Array[Double])] = {
-    def look = coarseCentsMemo.synchronized {
-      Option(coarseCentsMemo.get(spark))
-    }.flatMap(_.get(dir))
-    look.getOrElse {
+    coarseCentsMemo.put(spark, dir, cents)
+  private def coarseCentroids(spark: SparkSession, dir: String): Array[(Int, Array[Double])] =
+    coarseCentsMemo.get(spark, dir).getOrElse {
       coarseAssigned(spark, dir)
-      look.getOrElse(throw new IllegalStateException(
+      coarseCentsMemo.get(spark, dir).getOrElse(throw new IllegalStateException(
         "coarseAssigned did not stash its centroids"))
     }
-  }
 
   def topKIvfKmeans(spark: SparkSession, dir: String): DataFrame = {
     val assigned = coarseAssigned(spark, dir)
@@ -1136,16 +1126,22 @@ object Similarity {
   /** The nonzero non-eval corpus frame the k-center family scans,
     * |e|² materialized once (each round's projection references it
     * from every pick's distance instead of re-folding the self-dot
-    * per chosen center — identical doubles, K× less scan work). */
-  private def kcenterFrame(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.VectorFunctions.dotProduct
-    Tables.embeddings(spark, dir)
-      .filter(dotProduct(col("embedding"), col("embedding")) > 0)
-      .filter(col("vec_id") >= NumQueries)
-      .select(col("vec_id"), col("embedding"),
-        dotProduct(col("embedding"), col("embedding")).as("e2"))
-      .localCheckpoint()
-  }
+    * per chosen center — identical doubles, K× less scan work).
+    * Memoized per (session, dir) ALONGSIDE the picks, so the seeds
+    * query and the assignment report read one consistent
+    * materialization — the one-build-per-generation shape every
+    * DirMemo frame follows. */
+  private val kcenterFrameMemo = new DirMemo
+  private def kcenterFrame(spark: SparkSession, dir: String): DataFrame =
+    kcenterFrameMemo(spark, dir) {
+      import graft.functions.VectorFunctions.dotProduct
+      Tables.embeddings(spark, dir)
+        .filter(dotProduct(col("embedding"), col("embedding")) > 0)
+        .filter(col("vec_id") >= NumQueries)
+        .select(col("vec_id"), col("embedding"),
+          dotProduct(col("embedding"), col("embedding")).as("e2"))
+        .localCheckpoint()
+    }
 
   private def kcenterD2(cv: Array[Double]): Column = {
     import graft.functions.VectorFunctions.dotProduct
@@ -1159,17 +1155,9 @@ object Similarity {
     * selection order, memoized per (session, dir) so the seeds query
     * and the assignment report share one greedy run (dir-keyed map,
     * the coarseCentsMemo discipline). */
-  private val kcenterMemo = new java.util.WeakHashMap[
-    SparkSession, scala.collection.concurrent.TrieMap[String, Vector[(Long, Array[Double], Long)]]]()
-  private def kcenterPicks(spark: SparkSession, dir: String): Vector[(Long, Array[Double], Long)] = {
-    val m = kcenterMemo.synchronized {
-      Option(kcenterMemo.get(spark)).getOrElse {
-        val mm = scala.collection.concurrent.TrieMap
-          .empty[String, Vector[(Long, Array[Double], Long)]]
-        kcenterMemo.put(spark, mm); mm
-      }
-    }
-    m.getOrElseUpdate(dir, {
+  private val kcenterMemo = new SessionDirMemo[Vector[(Long, Array[Double], Long)]]
+  private def kcenterPicks(spark: SparkSession, dir: String): Vector[(Long, Array[Double], Long)] =
+    kcenterMemo(spark, dir) {
       val nz = kcenterFrame(spark, dir)
       val first = nz.orderBy(col("vec_id")).limit(1).collect()(0)
       var picks = Vector(
@@ -1186,8 +1174,7 @@ object Similarity {
             top.getLong(2)))
       }
       picks
-    })
-  }
+    }
 
   /** Facility assignment for the greedy seeds — every vector joins
     * its NEAREST pick (micro-rounded squared L2, ties to the earliest
@@ -1197,7 +1184,10 @@ object Similarity {
     * dedup budget reads. One corpus scan (picks as literals, the
     * argmin a struct-min folding in the projection — argminCell's
     * trick) plus a K-row aggregate; seeds assign to themselves at
-    * distance zero. */
+    * distance zero. Every facility appears even with zero wins (two
+    * coincident seeds tie at d=0 toward the earlier pick) — the
+    * report left-joins FROM the seed list, so a K-seed budget always
+    * reads K rows. */
   def kcenterAssign(spark: SparkSession, dir: String): DataFrame = {
     val picks = kcenterPicks(spark, dir)
     val best = array_min(array(picks.zipWithIndex.map { case ((_, cv, _), i) =>
@@ -1206,12 +1196,14 @@ object Similarity {
     val seedIds = spark.createDataFrame(
       picks.zipWithIndex.map { case ((id, _, _), i) => (i + 1L, id) })
       .toDF("pick", "seed_vec_id")
-    kcenterFrame(spark, dir)
+    val won = kcenterFrame(spark, dir)
       .select(best.getField("pick").as("pick"), best.getField("d").as("dm"))
       .groupBy(col("pick"))
-      .agg(count(lit(1)).as("n_assigned"), max(col("dm")).as("max_dist_micro"))
-      .join(broadcast(seedIds), Seq("pick"))
-      .select("pick", "seed_vec_id", "n_assigned", "max_dist_micro")
+      .agg(count(lit(1)).as("won"), max(col("dm")).as("max_dist_micro"))
+    seedIds.join(won, Seq("pick"), "left")
+      .select(col("pick"), col("seed_vec_id"),
+        coalesce(col("won"), lit(0L)).as("n_assigned"),
+        col("max_dist_micro"))
   }
 
   // ------------------------------------------ semantic decontamination
@@ -1939,11 +1931,14 @@ object Similarity {
          |asg AS (SELECT vec_id, pick, d FROM (
          |    SELECT vec_id, pick, d,
          |      row_number() OVER (PARTITION BY vec_id ORDER BY d, pick) AS rn
-         |    FROM ad) WHERE rn = 1)
-         |SELECT a.pick, s.vec_id AS seed_vec_id,
-         |  count(*)::BIGINT AS n_assigned, max(a.d) AS max_dist_micro
-         |FROM asg a JOIN pk s USING (pick)
-         |GROUP BY 1, 2 ORDER BY a.pick""".stripMargin
+         |    FROM ad) WHERE rn = 1),
+         |won AS (SELECT pick, count(*)::BIGINT AS cnt, max(d) AS mx
+         |  FROM asg GROUP BY 1)
+         |SELECT s.pick, s.vec_id AS seed_vec_id,
+         |  coalesce(won.cnt, 0)::BIGINT AS n_assigned,
+         |  won.mx AS max_dist_micro
+         |FROM pk s LEFT JOIN won USING (pick)
+         |ORDER BY s.pick""".stripMargin
     (seeds, assign)
   }
 
