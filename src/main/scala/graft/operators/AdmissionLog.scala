@@ -20,7 +20,10 @@ import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StringType, S
   * anti-join against it would shuffle the whole log every micro-batch.
   *
   * Appends are novelty-filtered (anti-join on the id) under the log's
-  * own lock, so at-least-once batch replays append nothing and the log
+  * own lock — JVM-local, see the SINGLE-DRIVER CONTRACT on
+  * [[IndexStore]]: a second driver sharing the index root would race
+  * these appends and the every-N compacts unserialized — so
+  * at-least-once batch replays append nothing and the log
   * keeps a distinct-id invariant; the rollover builders additionally
   * dropDuplicates on their side, so even a blind writer would be
   * absorbed. The log is part of the generation's drop inventory
@@ -77,6 +80,21 @@ private[graft] object AdmissionLog {
   def snapshotIds(spark: SparkSession, kind: String, sfx: String): DataFrame =
     IndexStore.lock(s"admlog_${kind}_" + sfx).synchronized {
       read(spark, kind, sfx).select(col(keyOf(kind))).localCheckpoint()
+    }
+
+  /** The log's full rows for a given (small) id frame, fetched under
+    * the log lock — the payload fetch for a fold delta, AFTER an
+    * id-only diff has already pruned to the rows a successor is
+    * missing. The ids are broadcast into a semi-join, so the bucketed
+    * log is scanned in place (never shuffled, never copied), and only
+    * the delta itself is materialized. */
+  def snapshotDelta(spark: SparkSession, kind: String, sfx: String,
+      ids: DataFrame): DataFrame =
+    IndexStore.lock(s"admlog_${kind}_" + sfx).synchronized {
+      read(spark, kind, sfx)
+        .join(org.apache.spark.sql.functions.broadcast(
+          ids.select(col(keyOf(kind)))), Seq(keyOf(kind)), "left_semi")
+        .localCheckpoint()
     }
 
   /** Record one batch's admissions: create the generation's log on

@@ -16,7 +16,24 @@ import org.apache.spark.sql.functions.lit
   * so builders serialize per suffix via [[lock]] — unlike DirMemo
   * (where a duplicate build is benign), a racing overwrite of the same
   * files corrupts the table. Distinct suffixes still build
-  * concurrently. */
+  * concurrently.
+  *
+  * SINGLE-DRIVER CONTRACT: [[lock]] is a JVM-local monitor, so every
+  * serialization it provides — generation builds, ingest merges,
+  * compactions, [[AdmissionLog]] reads/appends — holds only among the
+  * SparkSessions of ONE driver JVM. That is the intended deployment
+  * unit (one curation driver owns one index root, as one Structured
+  * Streaming query owns its checkpoint dir); point a SECOND driver at
+  * the same `graft.index.root` and nothing serializes across them: two
+  * builders can check-then-write the same suffix and interleave file
+  * writes (corrupt table), or a reader in driver A can land inside
+  * driver B's compact drop-and-recreate window and silently read the
+  * log as empty. Deployments that genuinely need multiple writer
+  * drivers must partition generations between them (distinct roots or
+  * distinct suffix namespaces) or front the root with an external
+  * lease; this library deliberately does not fake cross-JVM locking
+  * with marker files, whose expiry/fencing semantics a filesystem
+  * cannot make safe. */
 private[graft] object IndexStore {
 
   /** Filesystem root for persisted index generations (overridable so
@@ -53,21 +70,55 @@ private[graft] object IndexStore {
 
   /** Drop one generation table AND its on-disk files — the final step
     * of a generation rollover, once probes have swapped to the new
-    * generation. A no-op for a table that does not exist, so a retried
-    * rollover never fails on an already-dropped generation. Files go
-    * FIRST, catalog entry second: the retry guard is tableExists, so a
-    * crash between the two must leave the table visible — a harmless
-    * empty-location entry the retry re-drops — where the reverse order
-    * would orphan the data files permanently behind a no-op retry. */
-  def drop(spark: org.apache.spark.sql.SparkSession, table: String): Unit =
-    if (spark.catalog.tableExists(table)) {
-      val loc = spark.sessionState.catalog.getTableMetadata(
-        org.apache.spark.sql.catalyst.TableIdentifier(table)).location
-      val p = new org.apache.hadoop.fs.Path(loc)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-      spark.sql(s"DROP TABLE `$table`")
+    * generation. A no-op for a table that does not exist (and has no
+    * pending tombstone), so a retried rollover never fails on an
+    * already-dropped generation.
+    *
+    * Sequence: record the location in a tombstone file derived from the
+    * table name, DROP the catalog entry, delete the data files, sweep
+    * the tombstone. Catalog-first is the reader-safety order: while the
+    * entry exists the files are complete, so a straggler resolving the
+    * table either plans against the full file set (and, if the delete
+    * lands mid-read, dies with a hard FILE_NOT_EXIST — never silent
+    * partial rows) or fails resolution cleanly once the entry is gone.
+    * The reverse (files-first) order leaves a window where the
+    * still-cataloged table lists an emptied location and SILENTLY
+    * returns zero rows — Spark treats a missing root dir as an empty
+    * listing, so no rename trick closes that window from the file side.
+    * The tombstone closes the orphan window catalog-first used to have:
+    * a crash between the DROP and the file delete leaves tableExists
+    * false, and a retry guarded on it alone would no-op with the data
+    * files orphaned forever — instead the retry reads the recorded
+    * location back and sweeps it. */
+  def drop(spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tomb = new org.apache.hadoop.fs.Path(s"$root/.drop_tomb_$table")
+    val fs = tomb.getFileSystem(conf)
+    def sweep(locStr: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(locStr)
+      p.getFileSystem(conf).delete(p, true)
       ()
     }
+    if (spark.catalog.tableExists(table)) {
+      val loc = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)).location.toString
+      fs.delete(tomb, true) // clear any stale artifact at the tombstone path
+      val out = fs.create(tomb, true)
+      out.write(loc.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.close()
+      spark.sql(s"DROP TABLE `$table`")
+      sweep(loc)
+    } else if (fs.exists(tomb)) {
+      // a prior drop crashed between its catalog DROP and file delete
+      val len = fs.getFileStatus(tomb).getLen.toInt
+      val buf = new Array[Byte](len)
+      val in = fs.open(tomb)
+      try in.readFully(buf) finally in.close()
+      sweep(new String(buf, java.nio.charset.StandardCharsets.UTF_8))
+    }
+    fs.delete(tomb, false)
+    ()
+  }
 
   /** Rewrite a bucketed index table back to one file per bucket
     * without changing a row — the compaction step after ingest merges

@@ -48,10 +48,18 @@ object Rollover {
   private def foldMissing(spark: SparkSession, kind: String,
       oldSfx: String, newSfx: String)(merge: DataFrame => Unit): Unit = {
     val key = AdmissionLog.keyOf(kind)
-    val delta = AdmissionLog.snapshot(spark, kind, oldSfx)
+    // BOTH sides of the diff are id-only — the old log carries full
+    // payloads (text / embeddings) and at production scale holds a
+    // whole generation's admissions, so materializing it inside the
+    // promotion micro-batch is exactly the stall-the-stream cost the
+    // id-only pruning exists to avoid. Payloads are fetched AFTER the
+    // diff, for the (usually tiny) delta only, via a broadcast
+    // semi-join that leaves the bucketed log unshuffled.
+    val missingIds = AdmissionLog.snapshotIds(spark, kind, oldSfx)
       .join(AdmissionLog.snapshotIds(spark, kind, newSfx), Seq(key), "left_anti")
       .localCheckpoint()
-    if (delta.take(1).nonEmpty) {
+    if (missingIds.take(1).nonEmpty) {
+      val delta = AdmissionLog.snapshotDelta(spark, kind, oldSfx, missingIds)
       merge(delta)
       AdmissionLog.append(spark, kind, newSfx, delta)
     }
@@ -261,7 +269,15 @@ object Rollover {
     val nAdm = math.max(0L,
       AdmissionLog.count(spark, kind, sfx) -
         AdmissionLog.trainedCount(spark, kind, sfx))
-    (nAdm, nCorpus, if (nCorpus == 0L) 1000L else 1000L * nAdm / nCorpus)
+    // zero untrained admissions is zero pressure REGARDLESS of corpus
+    // size — a monitor polling an empty corpus predicate must not
+    // rotate forever on no data. The full-pressure (1000) convention
+    // for an empty corpus is reserved for nAdm > 0, where the ratio
+    // would otherwise divide by zero with real staleness present.
+    val pm = if (nAdm == 0L) 0L
+      else if (nCorpus == 0L) 1000L
+      else 1000L * nAdm / nCorpus
+    (nAdm, nCorpus, pm)
   }
 
   /** Ops inventory of one generation — what exists, how big, how
@@ -295,9 +311,16 @@ object Rollover {
         val df = spark.table(t)
         Some((df.count(), df.inputFiles.length.toLong))
       }
+    // a CLEAN None (tableExists false, no throw) is the genuinely-absent
+    // signal and pays no sleep — only a THROW (deleted files mid-rewrite)
+    // buys the pause-and-relook, and that relook is itself guarded so a
+    // second failure (a rewrite longer than the pause, a transient FS
+    // error) folds to None instead of crashing the whole report
     def robust(t: String): Option[(Long, Long)] =
-      (try look(t) catch { case _: Exception => Thread.sleep(100); look(t) })
-        .orElse { Thread.sleep(50); try look(t) catch { case _: Exception => None } }
+      scala.util.Try(look(t)).getOrElse {
+        Thread.sleep(100)
+        scala.util.Try(look(t)).getOrElse(None)
+      }
     (doc ++ ann).distinct
       .flatMap { case (fam, t) =>
         robust(t).map { case (n, f) => (fam, t, n, f) }
@@ -345,5 +368,78 @@ object Rollover {
       val asfx = IndexStore.suffix(dir, tag, af)
       AnnFamilies.foreach(p => IndexStore.drop(spark, p + asfx))
     }
+  }
+}
+
+/** The WHEN and the HOW of rotation finally joined — the production
+  * loop an operator runs against ONE live admitting doc gate (one
+  * handle, one monitor: the [[graft.streaming.GenerationRef]]
+  * one-stream contract). Each [[poll]] advances the generation
+  * lifecycle by at most one step, so an operator (or a scheduler
+  * tick) just calls it on a cadence and never calls
+  * [[Rollover.cutover]] or [[Rollover.dropGeneration]] by hand:
+  *
+  *   1. a predecessor awaiting retirement whose successor has
+  *      promoted (`gen.get()` moved off it) is dropped, with
+  *      `foldInto` pointed at the successor as the straggler
+  *      backstop;
+  *   2. otherwise, when no swap is pending, the gate's current
+  *      generation's [[Rollover.admissionPressure]] is polled, and at
+  *      or above `thresholdMilli` a [[Rollover.cutover]] to
+  *      `nextTag(current)` fires — the build runs inside the poll
+  *      (the gate keeps admitting throughout; promotion lands at the
+  *      gate's next batch), and the displaced generation is queued
+  *      for step 1;
+  *   3. a pending unpromoted swap makes the poll a no-op — rotations
+  *      never stack (and [[graft.streaming.GenerationRef.requestSwap]]
+  *      enforces the same atomically).
+  *
+  * The ANN gate's rotation follows the same shape with
+  * [[Rollover.annAdmissionPressure]] and `cutover(annGen = …)`; it is
+  * not folded in here because retiring an ANN-only generation must
+  * not sweep the doc families that may share its tag. */
+final class RotationMonitor(spark: SparkSession, dir: String,
+    gen: graft.streaming.GenerationRef,
+    thresholdMilli: Long = Rollover.RotatePressureMilli,
+    nextTag: String => String = RotationMonitor.bumpTag) {
+
+  private var retiring: Option[(String, Column)] = None
+
+  /** The generation queued for retirement, if promotion has not been
+    * observed yet — exposed for ops dashboards and drills. */
+  def awaitingRetirement: Option[String] = retiring.map(_._1)
+
+  /** One monitor tick; returns what it did (`retired:<tag>`,
+    * `rotated:<tag>`, `awaiting-promotion`, or `idle:<milli>`). */
+  def poll(): String = {
+    retiring match {
+      case Some((oldTag, cf)) if gen.pendingTag.isEmpty && gen.get()._1 != oldTag =>
+        Rollover.dropGeneration(spark, dir, oldTag, cf,
+          foldInto = Some(gen.get()._1))
+        retiring = None
+        s"retired:$oldTag"
+      case _ =>
+        if (gen.pendingTag.nonEmpty) "awaiting-promotion"
+        else {
+          val (tag, cf) = gen.get()
+          val (_, _, milli) = Rollover.admissionPressure(spark, dir, tag, cf)
+          if (milli >= thresholdMilli) {
+            val succ = nextTag(tag)
+            Rollover.cutover(spark, dir, succ, docGen = Some(gen))
+            retiring = Some((tag, cf))
+            s"rotated:$succ"
+          } else s"idle:$milli"
+        }
+    }
+  }
+}
+
+object RotationMonitor {
+  /** Default tag succession: bump a trailing integer (`gen7` →
+    * `gen8`), or append `1` to a tag without one. */
+  def bumpTag(tag: String): String = {
+    val i = tag.lastIndexWhere(!_.isDigit) + 1
+    val digits = tag.drop(i)
+    if (digits.isEmpty) tag + "1" else tag.take(i) + (digits.toLong + 1L)
   }
 }

@@ -68,8 +68,21 @@ final class GenerationRef(initialTag: String, initialFilter: Column) {
     * (exactly once on success; a failed attempt fails the batch and is
     * retried by the replay). The old generation keeps serving (and
     * must not be dropped) until the promotion lands — observable as
-    * `get()._1 == tag`. */
+    * `get()._1 == tag`.
+    *
+    * Scheduling is a compareAndSet from empty: a second swap scheduled
+    * over an unpromoted one throws HERE, atomically, rather than
+    * overwriting it — [[graft.operators.Rollover.cutover]]'s entry
+    * check is check-then-act across its whole (long) build, so two
+    * concurrent cutovers can both pass it, and without this guard the
+    * loser's built generation (tables plus seeded log) would be
+    * silently orphaned with no error. */
   def requestSwap(tag: String, corpusFilter: Column)(
       catchUp: () => Unit): Unit =
-    pendingRef.set((tag, corpusFilter, catchUp))
+    if (!pendingRef.compareAndSet(null, (tag, corpusFilter, catchUp))) {
+      val t = Option(pendingRef.get()).map(_._1).getOrElse("<promoted>")
+      throw new IllegalStateException(
+        s"swap to $tag scheduled over an unpromoted swap to $t — " +
+          "wait for a batch to promote it (gen.get()._1 == tag) first")
+    }
 }

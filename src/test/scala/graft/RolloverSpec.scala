@@ -306,6 +306,42 @@ class RolloverSpec extends SparkSpec {
     }
   }
 
+  test("drop is catalog-first with a tombstone: no silent-empty window, no orphaned files") {
+    import spark.implicits._
+    import graft.operators.AdmissionLog
+    // drop() removes the catalog entry BEFORE the files (while the
+    // entry exists the files are complete — a files-first order lets a
+    // still-cataloged table silently list empty), and records the
+    // location in a tombstone so a crash between the two cannot orphan
+    // the data files behind a tableExists-guarded no-op retry
+    val sfx = "dropwin1"
+    val t = AdmissionLog.tableName(AdmissionLog.DocKind, sfx)
+    AdmissionLog.append(spark, AdmissionLog.DocKind, sfx,
+      Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text"))
+    assert(spark.table(t).count() == 2)
+    val loc = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(t)).location.toString
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(loc)
+    val fs = p.getFileSystem(conf)
+    val tomb = new org.apache.hadoop.fs.Path(s"${IndexStore.root}/.drop_tomb_$t")
+    // simulate drop() crashing right after its catalog DROP: tombstone
+    // written, entry gone, data files still on disk
+    val out = fs.create(tomb, true)
+    out.write(loc.getBytes(java.nio.charset.StandardCharsets.UTF_8)); out.close()
+    spark.sql(s"DROP TABLE `$t`")
+    assert(fs.exists(p), "window setup: data files must still be on disk")
+    // a straggler resolving the table mid-drop fails CLEANLY (no
+    // catalog entry), never silently reads partial or empty rows
+    val r = scala.util.Try(spark.table(t).count())
+    assert(r.isFailure, s"mid-drop resolution must fail cleanly, got $r")
+    // the RETRY — a no-op under a tableExists-only guard — must read
+    // the tombstone back and sweep the orphaned files
+    IndexStore.drop(spark, t)
+    assert(!fs.exists(p), "retried drop must sweep the orphaned data files")
+    assert(!fs.exists(tomb), "retried drop must clear the tombstone")
+  }
+
   test("a failed catch-up keeps the swap pending; the replayed batch retries it") {
     val gen = new GenerationRef("g0", lit(true))
     var calls = 0
@@ -603,6 +639,84 @@ class RolloverSpec extends SparkSpec {
       assert(lost.isEmpty,
         s"admissions LOST across the live cutover (dups not flagged): $lost")
     } finally q.stop()
+  }
+
+  test("pressure-triggered rotation: the MONITOR fires the cutover under live arrivals") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.{Rollover, RotationMonitor}
+
+    // the production loop end-to-end: gate admits -> monitor polls ->
+    // pressure crosses the threshold -> the MONITOR (never this test)
+    // fires the cutover -> promotion lands at the gate's next batch ->
+    // the monitor retires the predecessor -> pressure reads back under
+    // the threshold. No call to cutover or dropGeneration below.
+    def text(i: Int): String = (1 to 40).map(j => s"mon${i}q$j").mkString(" ")
+    val docs = (1 to 24).map(i => (2700000L + i, text(i)))
+    val corpusN = Tables.documents(spark, sf0001).count() // 500 at sf0.001
+    val thresholdMilli = 1000L * 15 / corpusN // crosses at 15 admissions
+
+    Dedup.ensureBandIndex(spark, sf0001, "mon0", lit(true))
+    val gen = new GenerationRef("mon0", lit(true))
+    val monitor = new RotationMonitor(spark, sf0001, gen, thresholdMilli)
+    val polls = mutable.Buffer[String]()
+    val got = mutable.Buffer[Row]()
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingIngestGate.startAdmittingRollable(spark, sf0001,
+      input.toDF().toDF("doc_id", "text"), gen) { (verdict, _) =>
+      got.synchronized { got ++= verdict.collect() }
+    }
+    try {
+      // under the threshold: the monitor must NOT rotate yet
+      input.addData(docs.take(8): _*); q.processAllAvailable()
+      polls += monitor.poll()
+      assert(polls.last.startsWith("idle:"),
+        s"monitor rotated below the threshold: $polls")
+      // cross it, then keep arrivals flowing WHILE the monitor's poll
+      // runs the whole cutover build
+      input.addData(docs.slice(8, 16): _*); q.processAllAvailable()
+      val feeder = new Thread(() => {
+        docs.drop(16).grouped(2).foreach { chunk =>
+          input.addData(chunk: _*); Thread.sleep(30L)
+        }
+      })
+      feeder.start()
+      polls += monitor.poll() // pressure >= threshold -> fires the cutover
+      feeder.join()
+      q.processAllAvailable()
+      if (gen.get()._1 == "mon0") { // ensure a promotion batch ran
+        input.addData((2700099L, text(99))); q.processAllAvailable()
+      }
+      assert(gen.get()._1 == "mon1",
+        s"monitor-driven promotion did not land, polls: $polls")
+      // polls after promotion retire mon0 (fold-into backstop inside)
+      polls ++= (1 to 3).map(_ => monitor.poll())
+      assert(polls.exists(_.startsWith("rotated:mon1")),
+        s"monitor never fired the rotation, polls: $polls")
+      assert(polls.contains("retired:mon0"),
+        s"monitor never retired the predecessor, polls: $polls")
+      assert(!spark.catalog.tableExists(
+        "graft_band_idx_" + IndexStore.suffix(sf0001, "mon0", lit(true))),
+        "retired generation's tables must be gone")
+      // pressure is back under the gate (the trained mark zeroes the
+      // seeded snapshot; only post-snapshot admissions count)
+      val (_, _, pm) = Rollover.admissionPressure(spark, sf0001, "mon1", lit(true))
+      assert(pm < thresholdMilli,
+        s"post-rotation pressure must sit under the threshold, got $pm")
+      // nothing lost across the monitor's rotation: a dup of every doc
+      // must flag against mon1 alone; nothing judged twice
+      val dups = docs.map { case (id, t) => (id + 1000L, t) }
+      input.addData(dups: _*); q.processAllAvailable()
+      val ids = got.synchronized(got.map(_.getLong(0)))
+      assert(ids.distinct.size == ids.size, "a doc was judged twice")
+      val keep = got.synchronized(
+        got.map(r => r.getLong(0) -> r.getBoolean(3)).toMap)
+      val lost = dups.filter { case (id, _) => keep(id) }.map(_._1 - 1000L)
+      assert(lost.isEmpty,
+        s"admissions LOST across the monitor-driven rotation: $lost")
+    } finally q.stop()
+    Rollover.dropGeneration(spark, sf0001, "mon1")
   }
 
   test("chained cutovers: admissions survive across TWO generation hops") {
