@@ -726,8 +726,10 @@ object Curation {
 
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): score every
-    * document by how much more likely its hashed-unigram bag is under
-    * the TARGET-domain model than under the RAW-corpus model. The
+    * document by how much more likely its hashed unigram+bigram bag
+    * is under the TARGET-domain model than under the RAW-corpus model
+    * (the released pipeline hashes both n-gram orders into one
+    * feature space). The
     * target here is the English slice (the stand-in for "looks like
     * my high-quality domain sample"); both models are Laplace-smoothed
     * bucket unigram distributions over [[DsirBuckets]] hashed tokens.
@@ -761,11 +763,19 @@ object Curation {
       dsirCounts(dsirToks(Tables.documents(spark, dir))).localCheckpoint()
     }
 
-  /** (doc_id, lang, bucket) token-bucket frame shared by training,
-    * scoring, and the persisted probe. */
+  /** (doc_id, lang, bucket) feature-bucket frame shared by training,
+    * scoring, and the persisted probe. Features are the hashed
+    * UNIGRAMS AND adjacent-word BIGRAMS — Xie et al.'s released
+    * pipeline hashes both into one bucket space; bigrams let the
+    * importance model see word order, not just the bag. Both n-gram
+    * kinds share the same [[DsirBuckets]]-bucket table, so the model
+    * stays one broadcastable 256-row frame. */
   private[operators] def dsirToks(corpus: DataFrame): DataFrame =
     corpus
-      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("lang"),
+        explode(concat(col("toks"),
+          graft.functions.TextFunctions.shingles(col("toks"), 2))).as("tok"))
       .select(col("doc_id"), col("lang"), dsirBucket(col("tok")).as("bucket"))
 
   /** The (bucket, c_r, c_t) count model off a token-bucket frame —
@@ -914,10 +924,14 @@ object Curation {
     dsirResampleFrom(dsirWeightsPersisted(spark, dir))
 
   private def dsirResampleFrom(weights: DataFrame): DataFrame = {
+    // 8 hex digits → 2^32 distinct uniforms: at corpus scale the
+    // 16-bit version collided often enough that ties fell back to
+    // doc_id order more than true Gumbel noise would; 32 bits keeps
+    // the same salted-md5 oracle-replayable derivation
     val h = conv(substring(md5(
-      concat(lit("dsir:"), col("doc_id").cast("string"))), 1, 4), 16, 10)
+      concat(lit("dsir:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
       .cast("long")
-    val gumbel = -log(-log((h + 1) / 65537.0))
+    val gumbel = -log(-log((h + 1) / 4294967297.0))
     weights
       .withColumn("key_micro",
         col("weight_micro") + round(gumbel * 1e6, 0).cast("long"))
@@ -978,9 +992,12 @@ object Curation {
   // resample oracles and (CTE-prefixed) the model-gate composition —
   // ends in `${p}w` = one row per tokenizable doc
   private[operators] def dsirCtes(p: String): String =
-    s"""${p}e AS (SELECT doc_id, lang,
-       |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+    s"""${p}tk AS (SELECT doc_id, lang,
+       |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
        |  FROM documents),
+       |${p}e AS (SELECT doc_id, lang, unnest(toks) AS tok FROM ${p}tk
+       |  UNION ALL
+       |  SELECT doc_id, lang, unnest(${sqlGrams(2)}) AS tok FROM ${p}tk),
        |${p}eb AS (SELECT doc_id, lang,
        |    list_reduce(list_transform(string_split(substr(md5(tok), 1, 4), ''),
        |      c -> strpos('0123456789abcdef', c) - 1),
@@ -1036,9 +1053,9 @@ object Curation {
          |SELECT doc_id, lang, weight_micro,
          |  weight_micro + round(-ln(-ln(
          |    (list_reduce(list_transform(
-         |       string_split(substr(md5('dsir:' || doc_id::VARCHAR), 1, 4), ''),
+         |       string_split(substr(md5('dsir:' || doc_id::VARCHAR), 1, 8), ''),
          |       c -> strpos('0123456789abcdef', c) - 1),
-         |       (a, b) -> a * 16 + b) + 1) / 65537.0))
+         |       (a, b) -> a * 16 + b) + 1) / 4294967297.0))
          |    * 1000000.0)::BIGINT AS key_micro
          |FROM w ORDER BY key_micro DESC, doc_id LIMIT $DsirResampleK""".stripMargin,
     "curation_token_budget" ->

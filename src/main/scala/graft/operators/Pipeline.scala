@@ -207,21 +207,150 @@ object Pipeline {
   // quality stage (FineWeb-style — a trained gate, not heuristics).   //
   // ---------------------------------------------------------------- //
 
-  /** LM gate ceiling: reject a page whose char-bigram NLL under the
-    * generation LM exceeds this (nats, 6-decimal grid — the score is
-    * micro-rounded before the comparison in BOTH engines). */
-  val LmGateMaxNll = 1.75
-  /** DSIR gate floor: reject a page scoring below this importance
-    * weight (micro-nats) — far laxer than the resampler's zero cut; a
-    * gate drops only the clearly-off-distribution tail. */
-  val DsirGateMinMicro = -1500000L
+  /** Quantile targets for the DATA-DERIVED model-gate cuts — the gate
+    * thresholds are not magic constants but percentiles of the
+    * generation's own training-corpus score distributions, persisted
+    * beside the model tables and swapped by [[Rollover.cutover]] (a
+    * retrain shifts the NLL/weight distributions; frozen absolute cuts
+    * would silently drift in meaning). LM: keep pages whose
+    * char-bigram NLL lands at or under the training P90 bin (reject
+    * the worst-perplexity decile's tail). DSIR: reject pages below the
+    * training P5 importance-weight bin (only the clearly
+    * off-distribution tail — far laxer than the resampler's zero cut). */
+  val LmCutPct = 90L
+  val DsirCutPct = 5L
+
+  /** Histogram resolution for the cut derivation — the same fixed
+    * 1000-bin integer-histogram discipline as Sketches.quantileHist:
+    * scores reduce to a ≤1001-row (bin, count) frame, the quantile is
+    * read off the cumulative sum, and the resulting cut is a bin EDGE
+    * (exact integer arithmetic, so the DuckDB oracle replays the
+    * derivation bit for bit). */
+  val CutBins = 1000L
+
+  /** The quantile-cut core: `vals` is a single-column (`v`, BIGINT
+    * micro-units) score frame; returns one row holding the cut at
+    * `pct`%. `upperEdge` picks which edge of the quantile bin becomes
+    * the cut: the EXCLUSIVE upper edge for a keep-below gate (LM —
+    * everything through the P90 bin passes `v < cut`), the INCLUSIVE
+    * lower edge for a keep-at-or-above gate (DSIR — only the strictly
+    * below-P5-bin tail fails `v >= cut`). All arithmetic is
+    * nonnegative-offset integer floor division, identical in both
+    * engines; the cumulative window runs over the ≤1001-row binned
+    * sketch, never the corpus. */
+  private def histCutMicro(vals: DataFrame, pct: Long,
+      upperEdge: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = vals.localCheckpoint() // one scoring pass feeds both reads
+    val b = v.agg(min(col("v")).as("lo"), max(col("v")).as("hi"),
+        count(lit(1)).as("n"))
+      .withColumn("bw", expr(s"(hi - lo + $CutBins) div $CutBins"))
+      .localCheckpoint()
+    val cum = v.crossJoin(broadcast(b.select(col("lo"), col("bw"))))
+      .select(expr("(v - lo) div bw").as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(Window.orderBy("bin")))
+    val off = if (upperEdge) 1L else 0L
+    cum.crossJoin(broadcast(b.select(col("lo"), col("bw"), col("n"))))
+      .filter(col("cum") >= expr(s"($pct * n + 99) div 100"))
+      .agg(min(expr(s"lo + (bin + $off) * bw")).as("cut_micro"))
+  }
+
+  /** Build + persist one generation's gate-cuts table (1 row:
+    * lm_cut_micro, dsir_cut_micro) from a training frame scored with
+    * that SAME generation's persisted LM and DSIR models — the ninth
+    * rollover family. */
+  private def writeGateCuts(spark: SparkSession, docs: DataFrame,
+      lmT: String, dsirT: String, sfx: String): String = {
+    val t = s"graft_gatecuts_idx_$sfx"
+    val nll = TextAnalysis.charLmScoreWith(
+        TextAnalysis.charLmDocBigrams(docs.select(col("doc_id"), col("text"))),
+        spark.table(lmT))
+      .select(round(col("nll_nats") * lit(1e6), 0).cast("long").as("v"))
+    val wts = Curation.dsirScoreWith(Curation.dsirToks(docs),
+        spark.table(dsirT))
+      .select(col("weight_micro").as("v"))
+    histCutMicro(nll, LmCutPct, upperEdge = true)
+      .withColumnRenamed("cut_micro", "lm_cut_micro")
+      .crossJoin(histCutMicro(wts, DsirCutPct, upperEdge = false)
+        .withColumnRenamed("cut_micro", "dsir_cut_micro"))
+      .coalesce(1)
+      .write.mode("overwrite").format("parquet")
+      .option("path", s"${IndexStore.root}/gatecuts_$sfx")
+      .saveAsTable(t)
+    t
+  }
+
+  /** Write-once-per-generation gate cuts (persisted MODEL-family
+    * discipline — check-then-build under the suffix lock, FROZEN
+    * between generations like the weights they derive from). */
+  private[graft] def ensureGateCuts(spark: SparkSession, dir: String,
+      tag: String = "",
+      corpusFilter: org.apache.spark.sql.Column = lit(true)): String = {
+    val sfx = IndexStore.suffix(dir, tag, corpusFilter)
+    val t = s"graft_gatecuts_idx_$sfx"
+    IndexStore.lock("gatecuts_" + sfx).synchronized {
+      if (!spark.catalog.tableExists(t)) {
+        val lmT = TextAnalysis.ensureCharLmModel(spark, dir, tag, corpusFilter)
+        val dsirT = Curation.ensureDsirModel(spark, dir, tag, corpusFilter)
+        writeGateCuts(spark,
+          Tables.documents(spark, dir).filter(corpusFilter)
+            .select(col("doc_id"), col("lang"), col("text")),
+          lmT, dsirT, sfx)
+      }
+    }
+    t
+  }
+
+  /** Generation ROLLOVER for the gate cuts: re-derive both quantiles
+    * from corpus ∪ admitted scored under the NEW generation's models
+    * (built first — catalog hits when the rollover sequence already
+    * ran them), so G+1 judges arrivals with G+1's cuts the moment
+    * [[Rollover.cutover]] swaps. */
+  private[graft] def rolloverGateCuts(spark: SparkSession, dir: String,
+      admittedDocs: DataFrame, newTag: String,
+      corpusFilter: org.apache.spark.sql.Column = lit(true)): String = {
+    val sfx = IndexStore.suffix(dir, newTag, corpusFilter)
+    val t = s"graft_gatecuts_idx_$sfx"
+    IndexStore.lock("gatecuts_" + sfx).synchronized {
+      if (!spark.catalog.tableExists(t)) {
+        val lmT = TextAnalysis.rolloverCharLmModel(
+          spark, dir, admittedDocs, newTag, corpusFilter)
+        val dsirT = Curation.rolloverDsirModel(
+          spark, dir, admittedDocs, newTag, corpusFilter)
+        val adm0 = admittedDocs.dropDuplicates("doc_id")
+        val adm = // unlabeled admissions score raw-only, as in the model
+          if (adm0.columns.contains("lang"))
+            adm0.select(col("doc_id"), col("lang"), col("text"))
+          else adm0.select(col("doc_id"),
+            lit(null).cast("string").as("lang"), col("text"))
+        writeGateCuts(spark,
+          Tables.documents(spark, dir).filter(corpusFilter)
+            .select(col("doc_id"), col("lang"), col("text"))
+            .unionByName(adm),
+          lmT, dsirT, sfx)
+      }
+    }
+    t
+  }
+
+  /** The derived cuts themselves — the 1-row report a curation team
+    * reads before trusting the gate, with the full derivation
+    * (LM/DSIR train → score → histogram → quantile edge) replayed by
+    * the oracle. */
+  def gateCuts(spark: SparkSession, dir: String): DataFrame =
+    spark.table(ensureGateCuts(spark, dir))
+      .select(col("lm_cut_micro"), col("dsir_cut_micro"))
 
   /** The MODEL-gated ingest verdict per arriving document — the
     * quality stage is the persisted generation's trained models
     * rather than [[ingestVerdictFor]]'s heuristic blend: the
-    * char-bigram LM (perplexity ceiling), the hashed quality
-    * classifier (its own persisted train-time mean as the cut), and
-    * the DSIR importance weight (off-distribution floor), then the
+    * char-bigram LM (perplexity ceiling at the generation's persisted
+    * training-P90 cut), the hashed quality classifier (its own
+    * persisted train-time mean as the cut), and the DSIR importance
+    * weight (off-distribution floor at the persisted training-P5
+    * cut — every threshold data-derived and rolled with the
+    * generation, none hard-coded), then the
     * band-index dedup probe for model survivors only. One
     * reason-tagged row per arriving doc_id, reason ∈ {no_content,
     * lm_ppl, classifier, dsir, duplicate, keep} in STAGE ORDER —
@@ -236,7 +365,7 @@ object Pipeline {
     * of them at a batch boundary. */
   private[graft] def modelGateVerdictOn(spark: SparkSession, batch: DataFrame,
       lmT: String, wT: String, statsT: String, dsirT: String,
-      bandsT: String, setsT: String): DataFrame = {
+      cutsT: String, bandsT: String, setsT: String): DataFrame = {
     val docs = batch.dropDuplicates("doc_id")
       .select(col("doc_id"), col("text")).localCheckpoint()
     val lm = TextAnalysis
@@ -256,11 +385,15 @@ object Pipeline {
       .join(lm, Seq("doc_id"), "left")
       .join(cls, Seq("doc_id"), "left")
       .join(dsir, Seq("doc_id"), "left")
+      .crossJoin(broadcast(spark.table(cutsT)
+        .select(col("lm_cut_micro"), col("dsir_cut_micro"))))
+      .withColumn("nll_micro",
+        round(col("nll_nats") * lit(1e6), 0).cast("long"))
       .withColumn("m_keep",
         col("sz") > 0 && col("nll_nats").isNotNull &&
-          col("nll_nats") <= LmGateMaxNll &&
+          col("nll_micro") < col("lm_cut_micro") &&
           col("score_sc") >= col("mean_sc") &&
-          col("weight_micro") > DsirGateMinMicro)
+          col("weight_micro") >= col("dsir_cut_micro"))
       .localCheckpoint()
     val probed = Dedup.probeBandIndex(spark,
       Dedup.signaturesOnSh(base.filter(col("m_keep"))), bandsT, setsT)
@@ -271,9 +404,9 @@ object Pipeline {
         when(col("sz") <= 0 || col("nll_nats").isNull ||
           col("score_sc").isNull || col("weight_micro").isNull,
           lit("no_content"))
-          .when(col("nll_nats") > LmGateMaxNll, lit("lm_ppl"))
+          .when(col("nll_micro") >= col("lm_cut_micro"), lit("lm_ppl"))
           .when(col("score_sc") < col("mean_sc"), lit("classifier"))
-          .when(col("weight_micro") <= DsirGateMinMicro, lit("dsir"))
+          .when(col("weight_micro") < col("dsir_cut_micro"), lit("dsir"))
           .when(coalesce(col("n_dups"), lit(0L)) > 0, lit("duplicate"))
           .otherwise(lit("keep")))
       .select(col("doc_id"), col("reason"),
@@ -295,10 +428,12 @@ object Pipeline {
     val lmT = TextAnalysis.ensureCharLmModel(spark, dir)
     val (wT, statsT) = Curation.ensureClassifierModel(spark, dir)
     val dsirT = Curation.ensureDsirModel(spark, dir)
+    val cutsT = ensureGateCuts(spark, dir)
     val batch = Tables.documents(spark, dir)
       .filter(pmod(col("doc_id"), lit(Dedup.IncrementalBatchMod)) === 0)
       .select(col("doc_id"), col("text"))
-    modelGateVerdictOn(spark, batch, lmT, wT, statsT, dsirT, bandsT, setsT)
+    modelGateVerdictOn(spark, batch, lmT, wT, statsT, dsirT, cutsT,
+        bandsT, setsT)
       .orderBy(col("doc_id"))
   }
 
@@ -312,13 +447,19 @@ object Pipeline {
     * scan + broadcast model join, two of them memoized) and one
     * 8-row aggregate. */
   def gateOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val cuts = broadcast(spark.table(ensureGateCuts(spark, dir))
+      .select(col("lm_cut_micro"), col("dsir_cut_micro")))
     val lm = TextAnalysis.charLmScore(spark, dir)
-      .select(col("doc_id"), (col("nll_nats") <= LmGateMaxNll).as("lm_pass"))
+      .crossJoin(cuts)
+      .select(col("doc_id"),
+        (round(col("nll_nats") * lit(1e6), 0).cast("long") <
+          col("lm_cut_micro")).as("lm_pass"))
     val cls = Curation.classifierQuality(spark, dir)
       .select(col("doc_id"), col("predicted_hq").as("cls_pass"))
     val dsir = Curation.dsirWeights(spark, dir)
+      .crossJoin(cuts)
       .select(col("doc_id"),
-        (col("weight_micro") > DsirGateMinMicro).as("dsir_pass"))
+        (col("weight_micro") >= col("dsir_cut_micro")).as("dsir_pass"))
     val cells = lm.join(cls, Seq("doc_id")).join(dsir, Seq("doc_id"))
       .groupBy(col("lm_pass"), col("cls_pass"), col("dsir_pass"))
       .agg(count(lit(1)).as("n_docs"))
@@ -333,10 +474,42 @@ object Pipeline {
     "pipeline_ingest_gate" -> ((s, d) => ingestGatePipeline(s, d)),
     "pipeline_model_gate" -> ((s, d) => modelGatePipeline(s, d)),
     "pipeline_gate_overlap" -> ((s, d) => gateOverlap(s, d)),
+    "pipeline_gate_cuts" -> ((s, d) => gateCuts(s, d)),
     "pipeline_clean_corpus" -> ((s, d) => cleanCorpus(s, d)),
     "pipeline_span_clean" -> ((s, d) => spanCleanCorpus(s, d)))
 
+  // the cut-derivation chain as CTEs — requires TextAnalysis.charLmCtes
+  // (ends in `lm`) and Curation.dsirCtes("d") (ends in `dw`) upstream;
+  // ends in glcut(lm_cut_micro) and gdcut(dsir_cut_micro), replaying
+  // histCutMicro's fixed-width integer histogram + quantile edge
+  private def gateCutCtes: String =
+    s"""glv AS (SELECT round(nll_nats * 1000000.0)::BIGINT AS v FROM lm),
+       |glb AS (SELECT min(v)::BIGINT AS lo, max(v)::BIGINT AS hi,
+       |    count(*)::BIGINT AS n FROM glv),
+       |glw AS (SELECT lo, n, (hi - lo + $CutBins) // $CutBins AS bw FROM glb),
+       |glh AS (SELECT (v - lo) // bw AS bin, count(*)::BIGINT AS cnt
+       |  FROM glv, glw GROUP BY 1),
+       |glc AS (SELECT bin, sum(cnt) OVER (ORDER BY bin) AS cum FROM glh),
+       |glcut AS (SELECT (lo + (mb + 1) * bw)::BIGINT AS lm_cut_micro
+       |  FROM (SELECT min(bin) AS mb FROM glc, glw
+       |        WHERE cum >= ($LmCutPct * n + 99) // 100), glw),
+       |gdv AS (SELECT weight_micro AS v FROM dw),
+       |gdb AS (SELECT min(v)::BIGINT AS lo, max(v)::BIGINT AS hi,
+       |    count(*)::BIGINT AS n FROM gdv),
+       |gdw AS (SELECT lo, n, (hi - lo + $CutBins) // $CutBins AS bw FROM gdb),
+       |gdh AS (SELECT (v - lo) // bw AS bin, count(*)::BIGINT AS cnt
+       |  FROM gdv, gdw GROUP BY 1),
+       |gdc AS (SELECT bin, sum(cnt) OVER (ORDER BY bin) AS cum FROM gdh),
+       |gdcut AS (SELECT (lo + mb * bw)::BIGINT AS dsir_cut_micro
+       |  FROM (SELECT min(bin) AS mb FROM gdc, gdw
+       |        WHERE cum >= ($DsirCutPct * n + 99) // 100), gdw)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "pipeline_gate_cuts" ->
+      s"""WITH ${TextAnalysis.charLmCtes},
+         |${Curation.dsirCtes("d")},
+         |$gateCutCtes
+         |SELECT lm_cut_micro, dsir_cut_micro FROM glcut, gdcut""".stripMargin,
     // the archive hop is lossless by the WARC roundtrip contract, so
     // the crawl pipeline's verdict IS the parquet-fed extract→gopher
     // composition — same oracle SQL verbatim
@@ -390,11 +563,14 @@ object Pipeline {
       s"""WITH ${TextAnalysis.charLmCtes},
          |${Curation.classifierCtes},
          |${Curation.dsirCtes("d")},
-         |cells AS (SELECT lm.nll_nats <= $LmGateMaxNll AS lm_pass,
+         |$gateCutCtes,
+         |cells AS (SELECT
+         |    round(lm.nll_nats * 1000000.0)::BIGINT < gl.lm_cut_micro AS lm_pass,
          |    sc.score_sc >= st.mean_sc AS cls_pass,
-         |    dw.weight_micro > $DsirGateMinMicro AS dsir_pass,
+         |    dw.weight_micro >= gd.dsir_cut_micro AS dsir_pass,
          |    count(*)::BIGINT AS n_docs
-         |  FROM lm JOIN sc USING (doc_id) JOIN dw USING (doc_id), st
+         |  FROM lm JOIN sc USING (doc_id) JOIN dw USING (doc_id),
+         |    st, glcut gl, gdcut gd
          |  GROUP BY 1, 2, 3),
          |tot AS (SELECT sum(n_docs)::BIGINT AS total FROM cells)
          |SELECT lm_pass, cls_pass, dsir_pass, n_docs,
@@ -412,6 +588,7 @@ object Pipeline {
       s"""WITH ${TextAnalysis.charLmCtes},
          |${Curation.classifierCtes},
          |${Curation.dsirCtes("d")},
+         |$gateCutCtes,
          |${Dedup.shingleCtesOn(batchSrc, "b")},
          |${Dedup.shingleCtesOn(corpusSrc, "c")},
          |${Dedup.minhashBandsOn("b")},
@@ -419,15 +596,17 @@ object Pipeline {
          |allb AS (SELECT doc_id FROM documents
          |  WHERE doc_id % ${Dedup.IncrementalBatchMod} = 0),
          |mg AS (SELECT a.doc_id, lm.nll_nats, sc.score_sc, st.mean_sc,
-         |    dw.weight_micro, bsh.sz
+         |    dw.weight_micro, bsh.sz,
+         |    round(lm.nll_nats * 1000000.0)::BIGINT AS nll_micro,
+         |    gl.lm_cut_micro, gd.dsir_cut_micro
          |  FROM allb a
          |  LEFT JOIN lm ON lm.doc_id = a.doc_id
          |  LEFT JOIN sc ON sc.doc_id = a.doc_id
          |  LEFT JOIN dw ON dw.doc_id = a.doc_id
-         |  LEFT JOIN bsh ON bsh.doc_id = a.doc_id, st),
+         |  LEFT JOIN bsh ON bsh.doc_id = a.doc_id, st, glcut gl, gdcut gd),
          |qp AS (SELECT doc_id FROM mg
-         |  WHERE sz > 0 AND nll_nats IS NOT NULL AND nll_nats <= $LmGateMaxNll
-         |    AND score_sc >= mean_sc AND weight_micro > $DsirGateMinMicro),
+         |  WHERE sz > 0 AND nll_nats IS NOT NULL AND nll_micro < lm_cut_micro
+         |    AND score_sc >= mean_sc AND weight_micro >= dsir_cut_micro),
          |cand AS (SELECT DISTINCT a.doc_id AS batch_id, b.doc_id AS corpus_id
          |  FROM bbands a JOIN qp ON qp.doc_id = a.doc_id
          |  JOIN cbands b ON a.band = b.band AND a.m1 = b.m1 AND a.m2 = b.m2),
@@ -441,18 +620,18 @@ object Pipeline {
          |SELECT mg.doc_id,
          |  (CASE WHEN mg.sz IS NULL OR mg.sz <= 0 OR mg.nll_nats IS NULL
          |          OR mg.score_sc IS NULL OR mg.weight_micro IS NULL THEN 'no_content'
-         |        WHEN mg.nll_nats > $LmGateMaxNll THEN 'lm_ppl'
+         |        WHEN mg.nll_micro >= mg.lm_cut_micro THEN 'lm_ppl'
          |        WHEN mg.score_sc < mg.mean_sc THEN 'classifier'
-         |        WHEN mg.weight_micro <= $DsirGateMinMicro THEN 'dsir'
+         |        WHEN mg.weight_micro < mg.dsir_cut_micro THEN 'dsir'
          |        WHEN coalesce(g.n_dups, 0) > 0 THEN 'duplicate'
          |        ELSE 'keep' END) AS reason,
          |  mg.nll_nats, mg.score_sc, mg.weight_micro,
          |  coalesce(g.n_dups, 0)::BIGINT AS n_dups, g.best_jaccard,
          |  (CASE WHEN mg.sz IS NULL OR mg.sz <= 0 OR mg.nll_nats IS NULL
          |          OR mg.score_sc IS NULL OR mg.weight_micro IS NULL THEN 'no_content'
-         |        WHEN mg.nll_nats > $LmGateMaxNll THEN 'lm_ppl'
+         |        WHEN mg.nll_micro >= mg.lm_cut_micro THEN 'lm_ppl'
          |        WHEN mg.score_sc < mg.mean_sc THEN 'classifier'
-         |        WHEN mg.weight_micro <= $DsirGateMinMicro THEN 'dsir'
+         |        WHEN mg.weight_micro < mg.dsir_cut_micro THEN 'dsir'
          |        WHEN coalesce(g.n_dups, 0) > 0 THEN 'duplicate'
          |        ELSE 'keep' END) = 'keep' AS keep
          |FROM mg LEFT JOIN agg g ON g.batch_id = mg.doc_id

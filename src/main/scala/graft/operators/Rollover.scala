@@ -33,6 +33,7 @@ object Rollover {
     "graft_tfs_idx_", "graft_txtstats_idx_",
     "graft_charlm_idx_", "graft_clsw_idx_", "graft_clsstats_idx_",
     "graft_bpem_idx_", "graft_bpev_idx_", "graft_dsirm_idx_",
+    "graft_gatecuts_idx_",
     "graft_admlog_doc_", "graft_admtrained_doc_") ++ AnnFamilies
 
   /** Fold the old generation's admissions that the new generation has
@@ -92,6 +93,8 @@ object Rollover {
       Curation.rolloverClassifierModel(spark, dir, admittedDocs, newTag, corpusFilter)
     val dsirT =
       Curation.rolloverDsirModel(spark, dir, admittedDocs, newTag, corpusFilter)
+    val cutsT = // after the LM + DSIR retrains: the cuts score with them
+      Pipeline.rolloverGateCuts(spark, dir, admittedDocs, newTag, corpusFilter)
     val ann = annAdmitted.map { case (vecs, vecFilter) =>
       val (booksT, codesT) =
         Similarity.rolloverPqIndex(spark, dir, vecs, newTag, vecFilter)
@@ -104,7 +107,8 @@ object Rollover {
       "charlm" -> Seq(lmT),
       "bpe" -> Seq(bpeMergesT, bpeVocabT),
       "classifier" -> Seq(clsWT, clsStatsT),
-      "dsir" -> Seq(dsirT)) ++ ann
+      "dsir" -> Seq(dsirT),
+      "gatecuts" -> Seq(cutsT)) ++ ann
   }
 
   /** The no-hand-merge generation handoff for LIVE admitting gates —

@@ -180,14 +180,15 @@ object Similarity {
     * the persisted-books reuse path really skips retraining. */
   private[graft] val lloydRuns = new java.util.concurrent.atomic.AtomicLong(0L)
 
-  private[graft] def kmeansCentroids(emb: DataFrame): Array[(Int, Array[Double])] = {
+  private[graft] def kmeansCentroids(emb: DataFrame,
+      init: Option[Array[(Int, Array[Double])]] = None): Array[(Int, Array[Double])] = {
     lloydRuns.incrementAndGet()
-    var cents: Array[(Int, Array[Double])] = emb
+    var cents: Array[(Int, Array[Double])] = init.getOrElse(emb
       .filter(col("vec_id") < KMeansCells)
       .select(col("vec_id"), col("embedding"))
       .collect()
       .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).map(_.toDouble).toArray))
-      .sortBy(_._1)
+      .sortBy(_._1))
     val dim = cents.head._2.length
     for (_ <- 0 until KMeansIters) {
       val sums = (0 until dim).map(k =>
@@ -1162,19 +1163,51 @@ object Similarity {
       val first = nz.orderBy(col("vec_id")).limit(1).collect()(0)
       var picks = Vector(
         (first.getLong(0), first.getSeq[Float](1).map(_.toDouble).toArray, 0L))
-      while (picks.size < KCenterK) {
-        val dists = picks.map(p => kcenterD2(p._2))
-        val minD = if (dists.size == 1) dists.head else least(dists: _*)
-        val top = nz
-          .select(col("vec_id"), col("embedding"), minD.as("dm"))
-          .orderBy(col("dm").desc, col("vec_id")).limit(1)
-          .collect()(0)
-        picks = picks :+
-          ((top.getLong(0), top.getSeq[Float](1).map(_.toDouble).toArray,
-            top.getLong(2)))
-      }
+      while (picks.size < KCenterK) picks = picks :+ greedyRound(nz, picks)
       picks
     }
+
+  /** One farthest-point round: the next pick given the picks so far. */
+  private def greedyRound(nz: DataFrame,
+      picks: Vector[(Long, Array[Double], Long)]): (Long, Array[Double], Long) = {
+    val dists = picks.map(p => kcenterD2(p._2))
+    val minD = if (dists.size == 1) dists.head else least(dists: _*)
+    val top = nz
+      .select(col("vec_id"), col("embedding"), minD.as("dm"))
+      .orderBy(col("dm").desc, col("vec_id")).limit(1)
+      .collect()(0)
+    (top.getLong(0), top.getSeq[Float](1).map(_.toDouble).toArray,
+      top.getLong(2))
+  }
+
+  /** The greedy picks extended past [[KCenterK]] — the greedy is
+    * deterministic, so the memoized seeds are the prefix of any longer
+    * run; extra rounds pay one scan each and are not memoized (the
+    * opt-in quantizer init is the only consumer). */
+  private def kcenterPicksN(spark: SparkSession, dir: String,
+      k: Int): Vector[(Long, Array[Double], Long)] = {
+    var picks = kcenterPicks(spark, dir)
+    val nz = kcenterFrame(spark, dir)
+    while (picks.size < k) picks = picks :+ greedyRound(nz, picks)
+    picks.take(k)
+  }
+
+  /** OPT-IN k-center initialization for the coarse quantizer: Lloyd's
+    * seeded from the Gonzalez greedy picks (spread-out by
+    * construction — the standard remedy for hashed-pick inits landing
+    * several seeds in one dense region and starving cells) instead of
+    * the first-[[KMeansCells]] hashed rows. The DEFAULT init stays the
+    * hashed picks: every ANN oracle replays that exact Lloyd's chain
+    * and the persisted books carry it, so the production generation's
+    * hashes are untouched (SimilaritySpec pins the balance comparison
+    * between the two inits). Deployments retraining their own
+    * generation opt in here for the occupancy balance. */
+  private[graft] def kmeansCentroidsKcInit(spark: SparkSession, dir: String,
+      emb: DataFrame): Array[(Int, Array[Double])] = {
+    val init = kcenterPicksN(spark, dir, KMeansCells).zipWithIndex
+      .map { case ((_, cv, _), i) => (i, cv) }.toArray
+    kmeansCentroids(emb, Some(init))
+  }
 
   /** Facility assignment for the greedy seeds — every vector joins
     * its NEAREST pick (micro-rounded squared L2, ties to the earliest

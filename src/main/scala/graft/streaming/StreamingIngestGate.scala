@@ -336,8 +336,10 @@ object StreamingIngestGate {
         val lmT = graft.operators.TextAnalysis.ensureCharLmModel(spark, dir, tag, cf)
         val (wT, statsT) = graft.operators.Curation.ensureClassifierModel(spark, dir, tag, cf)
         val dsirT = graft.operators.Curation.ensureDsirModel(spark, dir, tag, cf)
+        val cutsT = graft.operators.Pipeline.ensureGateCuts(spark, dir, tag, cf)
         val verdict = graft.operators.Pipeline
-          .modelGateVerdictOn(spark, batch, lmT, wT, statsT, dsirT, bandsT, setsT)
+          .modelGateVerdictOn(spark, batch, lmT, wT, statsT, dsirT, cutsT,
+            bandsT, setsT)
           .localCheckpoint()
         sink(verdict, batchId)
         val kept = batch.dropDuplicates("doc_id")

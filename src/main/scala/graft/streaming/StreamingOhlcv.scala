@@ -129,11 +129,15 @@ object StreamingOhlcv {
     * @param emitRunning update-mode per-event running bars
     *   (/root/reference/4_ohlc.py:47-56); false → append-mode final bars
     *   only (/root/reference/7_ohlc.py:96-98)
+    * @param elapsedAlign A5's OTHER alignment — first-event-anchored
+    *   elapsed-time windows (/root/reference/6_ohlc.py:71-82) instead
+    *   of the grid: see [[processElapsed]]
     */
   def statefulBars(
       tradesWithTs: DataFrame,
       widthMs: Long,
-      emitRunning: Boolean): Dataset[RunningBar] = {
+      emitRunning: Boolean,
+      elapsedAlign: Boolean = false): Dataset[RunningBar] = {
     val spark = tradesWithTs.sparkSession
     import spark.implicits._
     val mode = if (emitRunning) OutputMode.Update() else OutputMode.Append()
@@ -141,7 +145,8 @@ object StreamingOhlcv {
     tradesWithTs.as[TimedTrade]
       .groupByKey(_.product)
       .flatMapGroupsWithState(mode, GroupStateTimeout.EventTimeTimeout)(
-        process(widthMs, emitRunning))
+        if (elapsedAlign) processElapsed(widthMs, emitRunning)
+        else process(widthMs, emitRunning))
   }
 
   /** The per-key transition function — the Spark analog of the
@@ -186,6 +191,68 @@ object StreamingOhlcv {
       // must exceed the current watermark.
       val nextClose = open.keys.min + widthMs
       state.setTimeoutTimestamp(math.max(nextClose, watermark + 1))
+    }
+    out.result()
+  }
+
+  /** A5's elapsed-time alignment — the reference's 6_ohlc.py:71-82
+    * semantics, the one window shape its grid twin cannot express: the
+    * window anchors at the FIRST event's minute (`replace(second=0)` —
+    * NOT the N-minute grid), and rolls over when an event arrives
+    * `widthMs` or more after the anchor, emitting the closed bar and
+    * re-anchoring at the triggering event's own minute. A trade at
+    * 1:30 with N=2 min opens a [1:00, 3:00) window where the grid
+    * buckets it into [0:00, 2:00) — and after a quiet gap the next
+    * window re-anchors wherever traffic resumes instead of snapping to
+    * the grid.
+    *
+    * The reference transitions in arrival order; this twin processes
+    * event-time order within the watermark (the repo-wide
+    * batch-equivalence convention), and an out-of-order event OLDER
+    * than the open anchor folds into the open window (BarState.updated
+    * is event-time-stamped, so open/close stay correct). The
+    * quiet-stream close the reference intends via its never-armed
+    * on_timer (6_ohlc.py:98-103) fires here through the event-time
+    * timeout: the open window finals once the watermark passes
+    * anchor + width. State is ONE open window per product — the
+    * reference's exact shape — carried in the same [[ProductBars]] map
+    * as the grid path so both ride one state encoder. */
+  private[streaming] def processElapsed(widthMs: Long, emitRunning: Boolean)(
+      product: String,
+      events: Iterator[TimedTrade],
+      state: GroupState[ProductBars]): Iterator[RunningBar] = {
+    val watermark = math.max(state.getCurrentWatermarkMs(), 0L)
+    var cur = state.getOption.flatMap(_.bars.values.headOption)
+    val out = Iterator.newBuilder[RunningBar]
+
+    if (!state.hasTimedOut) {
+      val sorted = events.toArray.sortBy(t => (t.timestamp, t.instrument_id))
+      for (t <- sorted) {
+        // rollover test: now − start ≥ width (6_ohlc.py:78-80) — emit
+        // the closed bar, then re-anchor at this event's minute
+        cur.filter(st => t.timestamp - st.windowStart >= widthMs).foreach { st =>
+          out += toBar(product, st, endOfWindow = true)
+          cur = None
+        }
+        val st0 = cur.getOrElse(BarState.init(t.timestamp / 60000L * 60000L))
+        val st = BarState.updated(st0, t.timestamp, t.instrument_id, t.price, t.qty)
+        cur = Some(st)
+        if (emitRunning) out += toBar(product, st, endOfWindow = false)
+      }
+    }
+
+    // watermark-driven close of a quiet open window (the on_timer intent)
+    cur.filter(st => st.windowStart + widthMs <= watermark).foreach { st =>
+      out += toBar(product, st, endOfWindow = true)
+      cur = None
+    }
+
+    cur match {
+      case None => state.remove()
+      case Some(st) =>
+        state.update(ProductBars(Map(st.windowStart -> st)))
+        state.setTimeoutTimestamp(
+          math.max(st.windowStart + widthMs, watermark + 1))
     }
     out.result()
   }

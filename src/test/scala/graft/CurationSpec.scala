@@ -54,8 +54,8 @@ class CurationSpec extends SparkSpec {
       val id = r.getAs[Long]("doc_id")
       val h = java.security.MessageDigest.getInstance("MD5")
         .digest(s"dsir:$id".getBytes("UTF-8"))
-        .take(2).map("%02x".format(_)).mkString
-      val u = (java.lang.Long.parseLong(h, 16) + 1) / 65537.0
+        .take(4).map("%02x".format(_)).mkString // 8 hex digits, 32-bit uniform
+      val u = (java.lang.Long.parseLong(h, 16) + 1) / 4294967297.0
       val key = r.getAs[Long]("weight_micro") +
         math.round(-math.log(-math.log(u)) * 1e6)
       (id, key)

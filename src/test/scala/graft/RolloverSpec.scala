@@ -153,7 +153,7 @@ class RolloverSpec extends SparkSpec {
       "G+1 probe changed after dropping G")
   }
 
-  test("whole-generation rollover: all 13 tables build, match the full-corpus build, and drop") {
+  test("whole-generation rollover: all 14 tables build, match the full-corpus build, and drop") {
     import graft.operators.Rollover
     // corpus = the mod-4 drill split, admitted = the held-out quarter
     // (docs for the text-tier families, vectors for ANN) — so the
@@ -178,7 +178,8 @@ class RolloverSpec extends SparkSpec {
       "charlm" -> Seq(graft.operators.TextAnalysis.ensureCharLmModel(spark, sf0001)),
       "bpe" -> { val (m, v) = graft.operators.TextAnalysis.ensureBpeModel(spark, sf0001); Seq(m, v) },
       "classifier" -> { val (w, s) = graft.operators.Curation.ensureClassifierModel(spark, sf0001); Seq(w, s) },
-      "dsir" -> Seq(graft.operators.Curation.ensureDsirModel(spark, sf0001)))
+      "dsir" -> Seq(graft.operators.Curation.ensureDsirModel(spark, sf0001)),
+      "gatecuts" -> Seq(graft.operators.Pipeline.ensureGateCuts(spark, sf0001)))
     defaults.foreach { case (fam, defTables) =>
       tables(fam).zip(defTables).foreach { case (rolled, default) =>
         assert(rows(spark.table(rolled)) == rows(spark.table(default)),
@@ -207,7 +208,7 @@ class RolloverSpec extends SparkSpec {
 
   test("crashed generation rollover RESUMES: finished families are catalog hits") {
     import graft.operators.Rollover
-    // a rollover that died after 3 of 8 families left band, span, and
+    // a rollover that died after 3 of 9 families left band, span, and
     // text built under the new tag; the scaladoc claims re-calling
     // generation() resumes — finished families must be CATALOG HITS
     // (no rebuild), the rest build, and the result equals a clean build
@@ -249,7 +250,8 @@ class RolloverSpec extends SparkSpec {
       "charlm" -> Seq(graft.operators.TextAnalysis.ensureCharLmModel(spark, sf0001)),
       "bpe" -> { val (m, v) = graft.operators.TextAnalysis.ensureBpeModel(spark, sf0001); Seq(m, v) },
       "classifier" -> { val (w, s) = graft.operators.Curation.ensureClassifierModel(spark, sf0001); Seq(w, s) },
-      "dsir" -> Seq(graft.operators.Curation.ensureDsirModel(spark, sf0001)))
+      "dsir" -> Seq(graft.operators.Curation.ensureDsirModel(spark, sf0001)),
+      "gatecuts" -> Seq(graft.operators.Pipeline.ensureGateCuts(spark, sf0001)))
     defaults.foreach { case (fam, defTables) =>
       tables(fam).zip(defTables).foreach { case (resumed, default) =>
         assert(rows(spark.table(resumed)) == rows(spark.table(default)),
@@ -419,6 +421,55 @@ class RolloverSpec extends SparkSpec {
       Seq((2500002L, text(2))).toDF("doc_id", "text"), b1, s1).collect()
     assert(v.length == 1 && !v.head.getBoolean(3),
       "dup of the in-between admission not flagged by G+1")
+  }
+
+  test("gate cuts derive from the training corpus and G+1 judges with G+1 cuts") {
+    import spark.implicits._
+    import graft.operators.{Curation, Pipeline, Rollover, TextAnalysis}
+    // G: cuts derived from the drill corpus's own score distributions
+    val c0 = Pipeline.ensureGateCuts(spark, sf0001, "gcut0", drill)
+    val r0 = spark.table(c0).head
+    // admitted char soup — seen characters in unseen orders, so G+1's
+    // retrained LM assigns them low probabilities and the NLL
+    // distribution (hence its P90 cut) SHIFTS with the generation
+    def soup(i: Int): String =
+      (1 to 60).map(j => s"q${(i * 37 + j * 13) % 97}zx${(i + j * 7) % 89}")
+        .mkString(" ")
+    val admitted = (1 to 120).map(i => (3600000L + i, soup(i)))
+      .toDF("doc_id", "text")
+    val c1 = Pipeline.rolloverGateCuts(spark, sf0001, admitted, "gcut1", drill)
+    val r1 = spark.table(c1).head
+    assert(r0.getLong(0) != r1.getLong(0),
+      s"LM cut must shift with the training corpus: $r0 vs $r1")
+
+    // the gate judges with ITS generation's persisted cut: the
+    // verdict's lm_ppl set equals a recomputation from the verdict's
+    // own scores against G+1's persisted cut value
+    val lm1 = TextAnalysis.rolloverCharLmModel(
+      spark, sf0001, admitted, "gcut1", drill) // catalog hit
+    val (w1, st1) = Curation.rolloverClassifierModel(
+      spark, sf0001, admitted, "gcut1", drill)
+    val d1 = Curation.rolloverDsirModel(spark, sf0001, admitted, "gcut1", drill)
+    val (b1, s1) = Dedup.ensureBandIndex(spark, sf0001, "gcut1", drill)
+    val batch = Tables.documents(spark, sf0001)
+      .filter(pmod(col("doc_id"), lit(Dedup.IncrementalBatchMod)) === 0)
+      .select(col("doc_id"), col("text"))
+      .unionByName(admitted.limit(10))
+    val verdict = Pipeline.modelGateVerdictOn(
+      spark, batch, lm1, w1, st1, d1, c1, b1, s1).collect()
+    val gotLmPpl = verdict.filter(_.getString(1) == "lm_ppl")
+      .map(_.getLong(0)).toSet
+    val lmCut1 = r1.getLong(0)
+    val expLmPpl = verdict.filter(r => !r.isNullAt(2) &&
+        r.getString(1) != "no_content" &&
+        math.round(r.getDouble(2) * 1e6) >= lmCut1)
+      .map(_.getLong(0)).toSet
+    assert(gotLmPpl == expLmPpl,
+      "the gate did not judge with G+1's persisted LM cut")
+    assert(gotLmPpl.nonEmpty,
+      "drill needs at least one lm_ppl rejection under G+1's cut")
+    Rollover.dropGeneration(spark, sf0001, "gcut0", drill)
+    Rollover.dropGeneration(spark, sf0001, "gcut1", drill)
   }
 
   test("admission pressure: zero on a fresh generation, rises with the log, crosses the gate") {

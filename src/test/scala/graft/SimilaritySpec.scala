@@ -111,6 +111,42 @@ class SimilaritySpec extends SparkSpec {
       cv.foreach(x => assert(x >= lo - eps && x <= hi + eps)) }
   }
 
+  test("k-center seeded quantizer: opt-in init is deterministic, balance comparable, default untouched") {
+    import graft.functions.VectorFunctions.dotProduct
+    val emb = Tables.embeddings(spark, sf0001)
+      .filter(dotProduct(col("embedding"), col("embedding")) > 0)
+      .localCheckpoint()
+    val defCents = Similarity.kmeansCentroids(emb)
+    val kcCents = Similarity.kmeansCentroidsKcInit(spark, sf0001, emb)
+    assert(kcCents.length == defCents.length,
+      "opt-in init must train the same number of cells")
+    // determinism of the opt-in chain (greedy picks are a pure
+    // function of the data, so the seeded Lloyd's is too)
+    val kc2 = Similarity.kmeansCentroidsKcInit(spark, sf0001, emb)
+    assert(kcCents.zip(kc2).forall { case ((i, a), (j, b)) => i == j &&
+      a.map(java.lang.Double.doubleToLongBits).toSeq ==
+        b.map(java.lang.Double.doubleToLongBits).toSeq },
+      "k-center-seeded Lloyd's must be run-to-run deterministic")
+    // cell-occupancy balance under each quantizer — the spread seeds
+    // exist to avoid several hashed picks landing in one dense region
+    val vecs = emb.select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    def occupancy(cents: Array[(Int, Array[Double])]): Map[Int, Int] =
+      vecs.map { v =>
+        cents.map { case (cid, cv) =>
+          (cv.map(x => x * x).sum -
+            2.0 * cv.zip(v).map { case (a, b) => a * b }.sum, cid)
+        }.minBy(t => (t._1, t._2))._2
+      }.groupBy(identity).map { case (c, xs) => (c, xs.length) }
+    val defOcc = occupancy(defCents)
+    val kcOcc = occupancy(kcCents)
+    assert(defOcc.values.sum == vecs.length && kcOcc.values.sum == vecs.length)
+    assert(kcOcc.values.max <= defOcc.values.max * 2,
+      s"k-center-seeded balance regressed: kc=$kcOcc vs default=$defOcc")
+    info(s"max-cell occupancy: default=${defOcc.values.max} " +
+      s"kcInit=${kcOcc.values.max} (cells: default=${defOcc.size} kc=${kcOcc.size})")
+  }
+
   test("k-means IVF top-k carries brute-force-identical cosines and full rank lists") {
     val km = Similarity.topKIvfKmeans(spark, sf0001)
       .select("query_id", "rnk", "vec_id", "cosine")

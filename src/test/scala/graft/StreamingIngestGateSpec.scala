@@ -249,11 +249,13 @@ class StreamingIngestGateSpec extends SparkSpec {
     val lm0 = TextAnalysis.ensureCharLmModel(spark, sf0001, "mgg0", cf)
     val (w0, st0) = Curation.ensureClassifierModel(spark, sf0001, "mgg0", cf)
     val d0 = Curation.ensureDsirModel(spark, sf0001, "mgg0", cf)
-    def twin(batch: Seq[(Long, String)], t: (String, String, String, String, String, String)) =
+    val c0 = Pipeline.ensureGateCuts(spark, sf0001, "mgg0", cf)
+    def twin(batch: Seq[(Long, String)],
+        t: (String, String, String, String, String, String, String)) =
       Pipeline.modelGateVerdictOn(spark, batch.toDF("doc_id", "text"),
-          t._1, t._2, t._3, t._4, t._5, t._6)
+          t._1, t._2, t._3, t._4, t._5, t._6, t._7)
         .collect().map(_.toSeq.map(String.valueOf)).toSet
-    val g0Tables = (lm0, w0, st0, d0, b0, s0)
+    val g0Tables = (lm0, w0, st0, d0, c0, b0, s0)
 
     val arrivals = Tables.documents(spark, sf0001)
       .filter(pmod(col("doc_id"), lit(Dedup.IncrementalBatchMod)) === 0)
@@ -300,6 +302,7 @@ class StreamingIngestGateSpec extends SparkSpec {
         Curation.ensureClassifierModel(spark, sf0001, "mgg1", cf)._1,
         Curation.ensureClassifierModel(spark, sf0001, "mgg1", cf)._2,
         Curation.ensureDsirModel(spark, sf0001, "mgg1", cf),
+        Pipeline.ensureGateCuts(spark, sf0001, "mgg1", cf),
         Dedup.ensureBandIndex(spark, sf0001, "mgg1", cf)._1,
         Dedup.ensureBandIndex(spark, sf0001, "mgg1", cf)._2)
       // the retrain was real: G+1's LM differs from G's (the admitted

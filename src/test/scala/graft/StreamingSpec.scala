@@ -233,6 +233,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("A5 elapsed-time alignment anchors at the first event's minute, not the grid") {
+    // the same replay through both alignments (6_ohlc.py:71-82 vs
+    // 7_ohlc.py:64): a trade at 1:30 with N=2min opens a [1:00,3:00)
+    // elapsed window that ABSORBS the 2:30 trade, where the grid
+    // splits them across [0:00,2:00) and [2:00,4:00)
+    val width = 120000L
+    def run(elapsed: Boolean, name: String): Seq[(Long, Long)] = {
+      val in = MemoryStream[Trade]
+      val bars = StreamingOhlcv.statefulBars(
+        StreamingOhlcv.withEventTime(in.toDS(), "0 seconds"),
+        widthMs = width, emitRunning = false, elapsedAlign = elapsed)
+      val q = bars.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        in.addData(trade(90000, "PA", 10.0, 1), trade(150000, "PA", 20.0, 2))
+        q.processAllAvailable()
+        in.addData(trade(400000, "PA", 30.0, 4)); q.processAllAvailable()
+        in.addData(trade(600000, "PA", 40.0, 8)); q.processAllAvailable()
+      } finally q.stop()
+      spark.table(name).orderBy("time").collect()
+        .map(r => (r.getAs[java.sql.Timestamp]("time").getTime - T0,
+          r.getAs[Long]("volume"))).toSeq
+    }
+    val grid = run(elapsed = false, "alg_grid")
+    val elapsedBars = run(elapsed = true, "alg_elapsed")
+    // grid: 1:30 → [0:00,2:00), 2:30 → [2:00,4:00) — separate bars
+    assert(grid.take(2) == Seq((0L, 1L), (120000L, 2L)), s"grid: $grid")
+    // elapsed: ONE [1:00,3:00) bar holds both trades; the 6:40 arrival
+    // rolled the 6:00-anchored window (vol 4); nothing grid-snapped
+    assert(elapsedBars.head == (60000L, 3L), s"elapsed: $elapsedBars")
+    assert(elapsedBars.contains((360000L, 4L)), s"elapsed: $elapsedBars")
+    assert(!elapsedBars.exists(b => b._1 == 0L || b._1 == 120000L),
+      s"elapsed bars must not snap to the grid: $elapsedBars")
+  }
+
   test("statefulBars recovers keyed state and watermark across a restart") {
     // production restart drill: stop after half a window, restart from
     // the checkpoint, and the final bar must combine events from BOTH
