@@ -46,7 +46,8 @@ object Explain {
         "curation_dsir_resample", "sim_prototype_prune", "sim_d4_prune",
         "pipeline_model_gate", "pipeline_gate_overlap",
         "sim_decontam_semantic", "sim_kcenter_seeds",
-        "curation_dsir_resample_persisted", "sim_kcenter_assign")
+        "curation_dsir_resample_persisted", "sim_kcenter_assign",
+        "pipeline_gate_cuts")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -105,7 +105,13 @@ object StreamBreakdown {
       } finally q.stop()
     }
 
-    for ((name, build, uq) <- stages) {
+    // SPARK_GRAFT_BREAKDOWN_STAGES: comma-separated stage-name prefixes
+    // to run (default: all) — an experiment iterating one conf knob
+    // over the composed chain should not pay the full six-stage sweep
+    val only = sys.env.get("SPARK_GRAFT_BREAKDOWN_STAGES")
+      .map(_.split(',').map(_.trim).toSet)
+    for ((name, build, uq) <- stages
+         if only.forall(_.exists(name.startsWith))) {
       run(name, build, uq, 30000, report = false) // warmup, discarded
       val best = (1 to 3).map(i =>
         run(name, build, uq, nTrades, report = i == 3)).max
