@@ -66,6 +66,45 @@ object HashOps {
     org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
   }
 
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** word_gram_buckets(str, buckets): the DSIR feature→bucket feed in
+    * ONE fused pass — the md5-prefix bucket of every whitespace
+    * unigram AND adjacent space-joined bigram, with no intermediate
+    * feature-string column, no interpreted transform lambda, and no
+    * 32-hex-char md5 string per feature (the composed
+    * explode(tokens ++ shingles) → conv(substr(md5(f),1,4),16,10)
+    * chain allocates all three). Bucket arithmetic is bit-identical
+    * to that chain: `conv` of the first 4 hex digits is the first two
+    * digest bytes as a 16-bit int, and its `% buckets` for the 256
+    * default is just the second byte — kept as the general 16-bit mod
+    * so any buckets ≤ 65536 replays. md5 runs over the feature's
+    * UTF-8 bytes, exactly what Spark's and DuckDB's md5(string)
+    * hash. */
+  def wordGramBuckets(s: UTF8String, buckets: Int): ArrayData = {
+    val md = md5Local.get()
+    val toks = new java.util.ArrayList[String]()
+    s.toString.split(" ", -1).foreach(t => if (t.nonEmpty) toks.add(t))
+    val m = toks.size
+    val out = new Array[Long](if (m == 0) 0 else 2 * m - 1)
+    def bucketOf(f: String): Long = {
+      md.reset()
+      val d = md.digest(f.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      ((((d(0) & 0xff) << 8) | (d(1) & 0xff)) % buckets).toLong
+    }
+    var i = 0
+    while (i < m) { out(i) = bucketOf(toks.get(i)); i += 1 }
+    var j = 0
+    while (j < m - 1) {
+      out(m + j) = bucketOf(toks.get(j) + " " + toks.get(j + 1))
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
   def shingleHashes(s: UTF8String, n: Int, mult: Long, init: Long): ArrayData = {
     val toks = new java.util.ArrayList[String]()
     s.toString.split(" ", -1).foreach(t => if (t.nonEmpty) toks.add(t))
@@ -326,6 +365,28 @@ case class CharBigrams(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.charBigrams($c)")
 
   override protected def withNewChildInternal(newChild: Expression): CharBigrams =
+    copy(child = newChild)
+}
+
+/** word_gram_buckets(str): md5-prefix buckets of unigrams + adjacent
+  * word bigrams, fused (the DSIR hashed-feature feed). */
+case class WordGramBuckets(child: Expression, buckets: Int)
+    extends UnaryExpression {
+  override def prettyName: String = "word_gram_buckets"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires string input")
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashOps.wordGramBuckets(input.asInstanceOf[UTF8String], buckets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashOps.wordGramBuckets($c, $buckets)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordGramBuckets =
     copy(child = newChild)
 }
 

@@ -47,6 +47,18 @@ object TextFunctions {
       graft.functions.CharBigrams(
         org.apache.spark.sql.graft.ColumnBridge.expression(c)))
 
+  /** md5-prefix feature buckets of whitespace unigrams + adjacent
+    * word bigrams in one fused pass (native WordGramBuckets) — the
+    * DSIR hashed-feature feed; element-identical to
+    * `transform(concat(toks, shingles(toks, 2)),
+    *   f -> conv(substr(md5(f), 1, 4), 16, 10) % buckets`
+    * without materializing feature strings or 32-char md5 hex (the
+    * HashExpressionsSpec pins the equivalence). */
+  def wordGramBuckets(c: Column, buckets: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      WordGramBuckets(org.apache.spark.sql.graft.ColumnBridge.expression(c),
+        buckets))
+
   /** 31-ary polynomial rolling hash of a string mod 2^31-1:
     * h = fold(h * 31 + code(char)) — the classic Rabin-Karp/Java-style
     * rolling hash, computable identically in any SQL engine. Executes

@@ -719,10 +719,10 @@ object Curation {
     * 256-row frame at ANY corpus size. */
   val DsirBuckets = 256
 
-  /** md5-keyed feature bucket for one token — the same cross-engine
-    * md5-prefix trick as [[hashU]], folded to [0, DsirBuckets). */
-  private def dsirBucket(tok: Column): Column =
-    conv(substring(md5(tok), 1, 4), 16, 10).cast("long") % DsirBuckets
+  // feature → bucket is the same cross-engine md5-prefix trick as
+  // hashU — conv(substr(md5(f),1,4),16,10) % DsirBuckets — executed
+  // fused inside TextFunctions.wordGramBuckets (HashExpressionsSpec
+  // pins the native path against that exact column algebra)
 
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): score every
@@ -772,11 +772,9 @@ object Curation {
     * stays one broadcastable 256-row frame. */
   private[operators] def dsirToks(corpus: DataFrame): DataFrame =
     corpus
-      .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("lang"),
-        explode(concat(col("toks"),
-          graft.functions.TextFunctions.shingles(col("toks"), 2))).as("tok"))
-      .select(col("doc_id"), col("lang"), dsirBucket(col("tok")).as("bucket"))
+        explode(graft.functions.TextFunctions
+          .wordGramBuckets(col("text"), DsirBuckets)).as("bucket"))
 
   /** The (bucket, c_r, c_t) count model off a token-bucket frame —
     * c_r counts every token (the raw distribution), c_t only the

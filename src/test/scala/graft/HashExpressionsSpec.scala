@@ -166,6 +166,27 @@ class HashExpressionsSpec extends SparkSpec {
     assert(diverged == 0)
   }
 
+  test("WordGramBuckets equals the md5-conv chain over tokens ++ bigrams") {
+    // the fused DSIR feature→bucket feed replaced the composed
+    // explode/md5/conv chain in the weights/model hot scans —
+    // divergence anywhere would silently shift every importance weight
+    val df = (samples(700, 900) ++ Seq("a b c", "a", "", "  ", "a  b"))
+      .toDF("text")
+    val toks = TextFunctions.tokens(col("text"))
+    val feats = concat(toks, TextFunctions.shingles(toks, 2))
+    def composed(buckets: Int) = transform(feats,
+      f => conv(substring(md5(f), 1, 4), 16, 10).cast("long") % buckets)
+    val diverged = df
+      .withColumn("h256", composed(256))
+      .withColumn("n256", TextFunctions.wordGramBuckets(col("text"), 256))
+      .withColumn("h101", composed(101))
+      .withColumn("n101", TextFunctions.wordGramBuckets(col("text"), 101))
+      .filter(not(col("h256") <=> col("n256")) ||
+        not(col("h101") <=> col("n101")))
+      .count()
+    assert(diverged == 0)
+  }
+
   test("TokenProfileHits equals per-profile isin filters on irregular input") {
     val profiles = Seq(Seq("the", "a", "of"), Seq("der", "und"), Seq("中"))
     val df = samples(900, 1000).toDF("text")
