@@ -146,7 +146,13 @@ object Bench {
         try {
           fnByName(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
           (System.nanoTime() - t0) / 1e9
-        } catch { case scala.util.control.NonFatal(_) => -1.0 }
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            // same stderr trace as the cold loop — a warm figure that
+            // vanishes or moves needs an explanation in the round log
+            System.err.println(s"[bench] warm $name failed: ${e.getMessage}")
+            -1.0
+        }
       }
       // median() drops the -1.0 failure sentinel exactly like the cold
       // path (all-failed → -1.0), so one failed warm re-run cannot skew

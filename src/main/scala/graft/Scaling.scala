@@ -67,10 +67,12 @@ object Scaling {
     "rich_trade_ohlcv",      // JSON wire roundtrip (memoized feed)
     "graph_triangles",       // degree-oriented wedge join, O(E^1.5)
     "rel_recursive_chains",  // bounded recursive expansion
-    "curation_dsir_weights", // two-pass hashed-unigram model + score
+    "curation_dsir_weights", // fused unigram+bigram model + score
     "sim_prototype_prune",   // centroid-cosine rank, per-cell window
     "sim_d4_prune",          // dedup verdict + survivor rank composed
-    "pipeline_model_gate")   // persisted-models quality stage + probe
+    "pipeline_model_gate",   // persisted-models quality stage + probe
+    "pipeline_gate_cuts",    // gate-cut derivation: train + score + hist
+    "sim_kcenter_assign")    // greedy K seeds + broadcast assignment
 
   def main(args: Array[String]): Unit = {
     val dirs = args(0).split(",").toSeq

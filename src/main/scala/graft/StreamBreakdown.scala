@@ -109,7 +109,15 @@ object StreamBreakdown {
     // to run (default: all) — an experiment iterating one conf knob
     // over the composed chain should not pay the full six-stage sweep
     val only = sys.env.get("SPARK_GRAFT_BREAKDOWN_STAGES")
-      .map(_.split(',').map(_.trim).toSet)
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    // a filter that selects nothing is a typo'd experiment, not a run —
+    // fail loudly rather than print nothing and exit 0
+    only.foreach { prefixes =>
+      val names = stages.map(_._1)
+      require(prefixes.nonEmpty && names.exists(n => prefixes.exists(n.startsWith)),
+        s"SPARK_GRAFT_BREAKDOWN_STAGES=${prefixes.mkString(",")} matches no stage; " +
+          s"stages: ${names.mkString(", ")}")
+    }
     for ((name, build, uq) <- stages
          if only.forall(_.exists(name.startsWith))) {
       run(name, build, uq, 30000, report = false) // warmup, discarded

@@ -71,6 +71,18 @@ object HashOps {
       java.security.MessageDigest.getInstance("MD5")
   }
 
+  /** The whitespace-tokenization contract shared by every word-level
+    * native feed in this file: split on a SINGLE space, drop empties —
+    * kept in lockstep with `TextFunctions.tokens` (Spark
+    * `split(text, " ")` + filter) and the DuckDB oracle's
+    * `string_split(text, ' ')`. One definition so the three feeds
+    * can't desync. */
+  private def wsTokens(s: UTF8String): java.util.ArrayList[String] = {
+    val toks = new java.util.ArrayList[String]()
+    s.toString.split(" ", -1).foreach(t => if (t.nonEmpty) toks.add(t))
+    toks
+  }
+
   /** word_gram_buckets(str, buckets): the DSIR feature→bucket feed in
     * ONE fused pass — the md5-prefix bucket of every whitespace
     * unigram AND adjacent space-joined bigram, with no intermediate
@@ -86,28 +98,41 @@ object HashOps {
     * hash. */
   def wordGramBuckets(s: UTF8String, buckets: Int): ArrayData = {
     val md = md5Local.get()
-    val toks = new java.util.ArrayList[String]()
-    s.toString.split(" ", -1).foreach(t => if (t.nonEmpty) toks.add(t))
+    val toks = wsTokens(s)
     val m = toks.size
+    // each token's UTF-8 bytes encoded ONCE and reused for its unigram
+    // digest and both adjacent bigram digests (a bigram's md5 over
+    // "a b" is the digest of utf8(a) ++ 0x20 ++ utf8(b), so feeding the
+    // cached arrays through update() is byte-identical with zero
+    // per-pair String concats)
+    val bytes = new Array[Array[Byte]](m)
+    var b = 0
+    while (b < m) {
+      bytes(b) = toks.get(b).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      b += 1
+    }
     val out = new Array[Long](if (m == 0) 0 else 2 * m - 1)
-    def bucketOf(f: String): Long = {
-      md.reset()
-      val d = md.digest(f.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    def bucket(): Long = {
+      val d = md.digest()
       ((((d(0) & 0xff) << 8) | (d(1) & 0xff)) % buckets).toLong
     }
     var i = 0
-    while (i < m) { out(i) = bucketOf(toks.get(i)); i += 1 }
+    while (i < m) {
+      md.reset(); md.update(bytes(i))
+      out(i) = bucket()
+      i += 1
+    }
     var j = 0
     while (j < m - 1) {
-      out(m + j) = bucketOf(toks.get(j) + " " + toks.get(j + 1))
+      md.reset(); md.update(bytes(j)); md.update(' '.toByte); md.update(bytes(j + 1))
+      out(m + j) = bucket()
       j += 1
     }
     org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
   }
 
   def shingleHashes(s: UTF8String, n: Int, mult: Long, init: Long): ArrayData = {
-    val toks = new java.util.ArrayList[String]()
-    s.toString.split(" ", -1).foreach(t => if (t.nonEmpty) toks.add(t))
+    val toks = wsTokens(s)
     val m = toks.size
     val out = new java.util.LinkedHashSet[java.lang.Long]()
     var j = 0
@@ -142,8 +167,7 @@ object HashOps {
     * operator needs positions to emit removal intervals; the set-based
     * shingle form deliberately erases them. */
   def spanHashes(s: UTF8String, n: Int, mult: Long, init: Long): ArrayData = {
-    val toks = new java.util.ArrayList[String]()
-    s.toString.split(" ", -1).foreach(t => if (t.nonEmpty) toks.add(t))
+    val toks = wsTokens(s)
     val m = toks.size
     val cnt = math.max(m - n + 1, 0)
     val arr = new Array[Long](cnt)
