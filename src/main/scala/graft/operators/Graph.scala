@@ -237,9 +237,16 @@ object Graph {
       .select(col("community"), col("n_nodes"),
         coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
         col("degree_sum"),
-        round((coalesce(col("intra_edges"), lit(0L)) * col("M") -
+        // + 0.0 normalizes IEEE negative zero: a community with zero
+        // intra edges contributes ≈ −(deg/2m)², which rounds to −0.0
+        // under DuckDB's sign-preserving round but +0.0 under Spark's
+        // BigDecimal round — first seen at sf0.1, where m is large
+        // enough for the term to round to zero at all. x + 0.0 is
+        // exact for every other double.
+        (round((coalesce(col("intra_edges"), lit(0L)) * col("M") -
           col("degree_sum") * col("degree_sum")).cast("double") /
-          (col("M").cast("double") * col("M").cast("double")), 6).as("q_contrib"))
+          (col("M").cast("double") * col("M").cast("double")), 6) + lit(0.0))
+          .as("q_contrib"))
       .orderBy(col("n_nodes").desc, col("community"))
       .limit(20)
   }
@@ -315,7 +322,7 @@ object Graph {
          |SELECT cd.community, n_nodes,
          |  coalesce(i.intra_edges, 0)::BIGINT AS intra_edges, degree_sum,
          |  round((coalesce(i.intra_edges, 0) * m.tot - degree_sum * degree_sum)::DOUBLE
-         |    / (m.tot::DOUBLE * m.tot), 6) AS q_contrib
+         |    / (m.tot::DOUBLE * m.tot), 6) + 0.0 AS q_contrib
          |FROM cd LEFT JOIN intra i ON cd.community = i.community, m
          |ORDER BY n_nodes DESC, cd.community LIMIT 20""".stripMargin,
     "graph_pagerank" ->
