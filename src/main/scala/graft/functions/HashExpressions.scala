@@ -131,6 +131,52 @@ object HashOps {
     org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
   }
 
+  /** repetition_counts(str): the Gopher repetition statistics
+    * (Rae et al. 2021 §A1.1) as one per-document pass —
+    * [max 2-gram count, n 2-grams, Σ counts of 3-grams occurring >1×,
+    * n 3-grams]. Counts are EXACT (string-keyed hash maps, no hashing
+    * shortcut), identical to exploding the word n-grams and
+    * group-counting them — but repetition is a purely LOCAL statistic,
+    * so computing it inside the scan removes the corpus-scale gram
+    * explode and its shuffles entirely. Zeros in the n-gram totals
+    * mark "too short to have n-grams" (the consumer maps them to
+    * NULL fractions, matching the left-join-miss of the grouped
+    * formulation). */
+  def repetitionCounts(s: UTF8String): ArrayData = {
+    val toks = wsTokens(s)
+    val m = toks.size
+    var max2 = 0
+    if (m >= 2) {
+      val counts = new java.util.HashMap[String, Integer]()
+      var i = 0
+      while (i < m - 1) {
+        val c = counts.merge(toks.get(i) + " " + toks.get(i + 1), 1,
+          (a, b) => Integer.valueOf(a.intValue() + b.intValue()))
+        if (c.intValue() > max2) max2 = c.intValue()
+        i += 1
+      }
+    }
+    var dup3 = 0L
+    if (m >= 3) {
+      val counts = new java.util.HashMap[String, Integer]()
+      var i = 0
+      while (i < m - 2) {
+        counts.merge(
+          toks.get(i) + " " + toks.get(i + 1) + " " + toks.get(i + 2), 1,
+          (a, b) => Integer.valueOf(a.intValue() + b.intValue()))
+        i += 1
+      }
+      val it = counts.values().iterator()
+      while (it.hasNext) {
+        val c = it.next().intValue()
+        if (c > 1) dup3 += c
+      }
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array(
+      max2.toLong, math.max(m - 1, 0).toLong,
+      dup3, math.max(m - 2, 0).toLong))
+  }
+
   def shingleHashes(s: UTF8String, n: Int, mult: Long, init: Long): ArrayData = {
     val toks = wsTokens(s)
     val m = toks.size
@@ -411,6 +457,26 @@ case class WordGramBuckets(child: Expression, buckets: Int)
       c => s"graft.functions.HashOps.wordGramBuckets($c, $buckets)")
 
   override protected def withNewChildInternal(newChild: Expression): WordGramBuckets =
+    copy(child = newChild)
+}
+
+/** repetition_counts(str): per-doc Gopher repetition statistics
+  * [max2, n2, dup3, n3] in one fused pass (no gram explode/shuffle). */
+case class RepetitionCounts(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "repetition_counts"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires string input")
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashOps.repetitionCounts(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.repetitionCounts($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): RepetitionCounts =
     copy(child = newChild)
 }
 

@@ -59,6 +59,15 @@ object TextFunctions {
       WordGramBuckets(org.apache.spark.sql.graft.ColumnBridge.expression(c),
         buckets))
 
+  /** per-doc Gopher repetition counts [max2, n2, dup3, n3] in one
+    * fused pass (native RepetitionCounts) — element-identical to
+    * exploding the word 2-/3-grams and group-counting, without the
+    * corpus-scale gram rows or their shuffles (HashExpressionsSpec
+    * pins the equivalence against the grouped formulation). */
+  def repetitionCounts(c: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      RepetitionCounts(org.apache.spark.sql.graft.ColumnBridge.expression(c)))
+
   /** 31-ary polynomial rolling hash of a string mod 2^31-1:
     * h = fold(h * 31 + code(char)) — the classic Rabin-Karp/Java-style
     * rolling hash, computable identically in any SQL engine. Executes

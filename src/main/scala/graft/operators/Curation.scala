@@ -12,9 +12,10 @@ import graft.functions.TextFunctions.{polyHash, tokens}
   * sampling, and domain-mixing weights.
   *
   * Scale notes:
-  *  - `repetitionStats` is the only op here that shuffles — (doc_id,
-  *    gram) partial counts, keyed on high-cardinality doc_id, with
-  *    map-side combine; everything else is scan-projection algebra.
+  *  - `repetitionStats` computes its n-gram counts inside the scan
+  *    (fused native pass) — like everything else in the filter tier
+  *    it is scan-projection algebra, zero shuffles; only the DSIR
+  *    model build aggregates (to a bounded 256-row frame).
   *  - Sampling is HASH-deterministic (md5 of a stable key), never
   *    rand(): reproducible across retries, speculative tasks, and
   *    engines — the only sampling discipline that survives a 1000-
@@ -30,33 +31,35 @@ object Curation {
   // mostly recur, are boilerplate/spam candidates.                   //
   // ---------------------------------------------------------------- //
 
-  private def grams(docs: DataFrame, n: Int): DataFrame =
-    docs.where(size(col("toks")) >= n)
-      .select(col("doc_id"), explode(transform(
-        sequence(lit(0), size(col("toks")) - n),
-        i => concat_ws(" ", (1 to n).map(j => element_at(col("toks"), i + j)): _*)))
-        .as("gram"))
-
   /** Per-doc repetition stats: fraction of 2-grams taken by the most
     * frequent 2-gram, fraction of 3-grams that occur more than once,
-    * and the resulting keep/drop flag. */
-  def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-    val a2 = grams(docs, 2)
-      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id")).agg(max(col("c")).as("max2"), sum(col("c")).as("n2"))
-    val a3 = grams(docs, 3)
-      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).as("dup3"),
-        sum(col("c")).as("n3"))
-    docs.select(col("doc_id"))
-      .join(a2, Seq("doc_id"), "left")
-      .join(a3, Seq("doc_id"), "left")
+    * and the resulting keep/drop flag.
+    *
+    * Repetition is a purely LOCAL statistic, so the counts come from
+    * the fused native pass ([[graft.functions.TextFunctions
+    * .repetitionCounts]] → [max2, n2, dup3, n3]) inside the scan —
+    * ZERO exchanges, where the grouped formulation exploded every
+    * word 2-/3-gram into corpus-scale rows and shuffled them twice
+    * (the r11 plan audit's 4-exchange / 8-aggregate row). A zero
+    * n-gram total means "too short to have n-grams" and maps to the
+    * NULL fraction the old left-join-miss produced; the DuckDB oracle
+    * still replays the grouped formulation, pinning the fused pass
+    * against an independent implementation. */
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame =
+    repetitionStatsOn(Tables.documents(spark, dir))
+
+  /** Core over any (doc_id, text) frame — spec seam. */
+  private[graft] def repetitionStatsOn(docs: DataFrame): DataFrame = {
+    val rs = graft.functions.TextFunctions.repetitionCounts(col("text"))
+    docs
+      .select(col("doc_id"), rs.as("rs"))
       .select(col("doc_id"),
-        (col("max2").cast("double") / col("n2")).as("top2gram_frac"),
-        (col("dup3").cast("double") / col("n3")).as("dup3gram_frac"))
+        when(col("rs").getItem(1) > 0,
+          col("rs").getItem(0).cast("double") / col("rs").getItem(1))
+          .as("top2gram_frac"),
+        when(col("rs").getItem(3) > 0,
+          col("rs").getItem(2).cast("double") / col("rs").getItem(3))
+          .as("dup3gram_frac"))
       .withColumn("repetitive",
         col("top2gram_frac") > 0.18 || col("dup3gram_frac") > 0.30)
   }

@@ -161,6 +161,12 @@ class CurationSpec extends SparkSpec {
       .groupBy("g").count().agg(max("count").as("mx"), sum("count").as("n"))
       .head()
     assert(g2.getLong(0) == 4 && g2.getLong(1) == 7)
+    // and the QUERY path (fused native counts) produces the same
+    // fractions and trips both repetition gates on that doc
+    val q = Curation.repetitionStatsOn(one).head()
+    assert(math.abs(q.getDouble(1) - 4.0 / 7.0) < 1e-12)
+    assert(q.getDouble(2) == 1.0)
+    assert(q.getBoolean(3))
   }
 
   test("scrubbed text carries no live email, url, or phone") {

@@ -187,6 +187,33 @@ class HashExpressionsSpec extends SparkSpec {
     assert(diverged == 0)
   }
 
+  test("RepetitionCounts equals the exploded gram group-count chain") {
+    // the fused per-doc pass replaced the corpus-gram explode in
+    // text_repetition — a count divergence would silently flip the
+    // Gopher keep/drop verdicts
+    def refCounts(s: String): Seq[Long] = {
+      val toks = refTokens(s)
+      def counts(n: Int) = toks.sliding(n).filter(_.length == n)
+        .map(_.mkString(" ")).toSeq.groupBy(identity).values.map(_.size)
+      val c2 = if (toks.length >= 2) counts(2) else Nil
+      val c3 = if (toks.length >= 3) counts(3) else Nil
+      Seq(if (c2.isEmpty) 0L else c2.max.toLong,
+        math.max(toks.length - 1, 0).toLong,
+        c3.filter(_ > 1).map(_.toLong).sum,
+        math.max(toks.length - 2, 0).toLong)
+    }
+    val docs = samples(700, 900) ++ Seq(
+      "", " ", "a", "a b", "a b a b a b", "x x x", "a  b   a  b")
+    val diverged = docs.toDF("text")
+      .withColumn("native", TextFunctions.repetitionCounts(col("text")))
+      .collect()
+      .count { r =>
+        val native = r.getSeq[Long](1)
+        native != refCounts(r.getString(0))
+      }
+    assert(diverged == 0)
+  }
+
   test("TokenProfileHits equals per-profile isin filters on irregular input") {
     val profiles = Seq(Seq("the", "a", "of"), Seq("der", "und"), Seq("中"))
     val df = samples(900, 1000).toDF("text")
