@@ -47,7 +47,7 @@ object Explain {
         "pipeline_model_gate", "pipeline_gate_overlap",
         "sim_decontam_semantic", "sim_kcenter_seeds",
         "curation_dsir_resample_persisted", "sim_kcenter_assign",
-        "pipeline_gate_cuts")
+        "pipeline_gate_cuts", "text_char_entropy")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -177,6 +177,45 @@ object HashOps {
       dup3, math.max(m - 2, 0).toLong))
   }
 
+  /** char_entropy_stats(str): the per-document character-entropy
+    * inputs in one pass — (n code points, distinct code points,
+    * Σ cnt·ln(cnt) folded over code points in ASCENDING order). The
+    * fold order is load-bearing for cross-engine parity: the grouped
+    * formulation array_sorts the (char, cnt) structs before its
+    * aggregate HOF, which for single code points is UTF-8 binary =
+    * code-point order — exactly what sorting the code-point array
+    * gives. StrictMath.log is what Spark's `log` expression calls
+    * (UnaryLogExpression pins StrictMath, NOT Math — they differ in
+    * the last bit on some inputs), so each term is bit-identical to
+    * the column-algebra chain this fused pass replaced. */
+  def charEntropyStats(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val str = s.toString
+    val len = str.length
+    var n = 0
+    val cps = new Array[Int](len)
+    var i = 0
+    while (i < len) {
+      val cp = str.codePointAt(i)
+      cps(n) = cp
+      n += 1
+      i += Character.charCount(cp)
+    }
+    java.util.Arrays.sort(cps, 0, n)
+    var d = 0L
+    var sum = 0.0
+    var j = 0
+    while (j < n) {
+      var r = j + 1
+      while (r < n && cps(r) == cps(j)) r += 1
+      val cnt = (r - j).toDouble
+      d += 1
+      sum += cnt * java.lang.StrictMath.log(cnt)
+      j = r
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n.toLong, d, sum))
+  }
+
   def shingleHashes(s: UTF8String, n: Int, mult: Long, init: Long): ArrayData = {
     val toks = wsTokens(s)
     val m = toks.size
@@ -477,6 +516,29 @@ case class RepetitionCounts(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.repetitionCounts($c)")
 
   override protected def withNewChildInternal(newChild: Expression): RepetitionCounts =
+    copy(child = newChild)
+}
+
+/** char_entropy_stats(str): per-doc (n, n_distinct, Σ cnt·ln cnt) over
+  * code points in one fused pass (no char explode/shuffle). */
+case class CharEntropyStats(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "char_entropy_stats"
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("sum_cnt_ln_cnt", DoubleType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires string input")
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashOps.charEntropyStats(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.charEntropyStats($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharEntropyStats =
     copy(child = newChild)
 }
 

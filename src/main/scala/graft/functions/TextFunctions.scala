@@ -59,6 +59,17 @@ object TextFunctions {
       WordGramBuckets(org.apache.spark.sql.graft.ColumnBridge.expression(c),
         buckets))
 
+  /** per-doc character-entropy inputs (n, n_distinct, Σ cnt·ln cnt)
+    * in one fused pass (native CharEntropyStats) — value-identical to
+    * exploding [[chars]], group-counting, array_sorting the (char,
+    * cnt) structs and folding cnt·ln(cnt): single code points sort
+    * the same under UTF-8 binary order and code-point order, so the
+    * fold order (and thus every double bit) is preserved
+    * (HashExpressionsSpec pins the equivalence). */
+  def charEntropyStats(c: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      CharEntropyStats(org.apache.spark.sql.graft.ColumnBridge.expression(c)))
+
   /** per-doc Gopher repetition counts [max2, n2, dup3, n3] in one
     * fused pass (native RepetitionCounts) — element-identical to
     * exploding the word 2-/3-grams and group-counting, without the

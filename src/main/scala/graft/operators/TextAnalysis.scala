@@ -273,30 +273,34 @@ object TextAnalysis {
     *
     * H = log₂n − (Σ cᵢ·ln cᵢ)/(n·ln 2) over exact character counts.
     * The one float reduction — Σ cᵢ·ln cᵢ — runs as an INDEX-ORDERED
-    * fold over the char-sorted count array in BOTH engines (a plain
+    * fold in code-point-ascending order in BOTH engines (a plain
     * SUM's partial-aggregation order is engine- and partition-
     * dependent), so the doubles agree bit-for-bit before the final
-    * 6-decimal rounding. Shape: one (doc, char) map-side-combined
-    * shuffle, then the per-doc fold in the projection. */
+    * 6-decimal rounding.
+    *
+    * Entropy is a purely LOCAL statistic, so the counts come from the
+    * fused native pass ([[graft.functions.TextFunctions
+    * .charEntropyStats]], one sorted code-point sweep per doc) inside
+    * the scan — ZERO exchanges, where the grouped formulation
+    * exploded every CHARACTER into corpus-scale rows and shuffled
+    * them twice. The DuckDB oracle still replays the exploded
+    * group-count + ordered-fold formulation, pinning the fused pass
+    * against an independent implementation. */
   def charEntropy(spark: SparkSession, dir: String): DataFrame =
     charEntropyOn(Tables.documents(spark, dir))
 
   /** Entropy core over any (doc_id, text) frame. */
   def charEntropyOn(docs: DataFrame): DataFrame = {
-    import graft.functions.TextFunctions.chars
+    val es = graft.functions.TextFunctions.charEntropyStats(col("text"))
     docs
-      .select(col("doc_id"), explode(chars(col("text"))).as("c"))
-      .groupBy(col("doc_id"), col("c"))
-      .agg(count(lit(1)).as("cnt"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("cnt")).as("n"),
-        count(lit(1)).as("n_distinct_chars"),
-        array_sort(collect_list(struct(col("c"), col("cnt")))).as("cs"))
-      .select(col("doc_id"), col("n"), col("n_distinct_chars"),
-        round((log(col("n").cast("double")) -
-          aggregate(col("cs"), lit(0.0), (acc, e) =>
-            acc + e.getField("cnt").cast("double") * log(e.getField("cnt").cast("double")))
-            / col("n").cast("double")) / lit(math.log(2.0)), 6)
+      .select(col("doc_id"), es.as("es"))
+      // the exploded formulation emitted no row for a char-less doc
+      .where(col("es.n") > 0)
+      .select(col("doc_id"), col("es.n").as("n"),
+        col("es.n_distinct").as("n_distinct_chars"),
+        round((log(col("es.n").cast("double")) -
+          col("es.sum_cnt_ln_cnt") / col("es.n").cast("double"))
+          / lit(math.log(2.0)), 6)
           .as("entropy_bits"))
   }
 

@@ -214,6 +214,32 @@ class HashExpressionsSpec extends SparkSpec {
     assert(diverged == 0)
   }
 
+  test("CharEntropyStats equals the exploded sorted-fold chain bit-for-bit") {
+    // the fused pass replaced the per-character explode in
+    // text_char_entropy; the Σ cnt·ln(cnt) DOUBLE must match the
+    // array_sort + aggregate-HOF fold exactly (same order, same
+    // Math.log terms) or the 6-decimal rounding can flip
+    val df = (samples(500, 700) ++ Seq("", "a", "aa", "ab", "ßß中中中 x"))
+      .toDF("text").withColumn("doc_id", monotonically_increasing_id())
+    val composed = df
+      .select(col("doc_id"), explode(TextFunctions.chars(col("text"))).as("c"))
+      .groupBy(col("doc_id"), col("c")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n"), count(lit(1)).as("d"),
+        array_sort(collect_list(struct(col("c"), col("cnt")))).as("cs"))
+      .select(col("doc_id"), col("n"), col("d"),
+        aggregate(col("cs"), lit(0.0), (acc, e) =>
+          acc + e.getField("cnt").cast("double") *
+            log(e.getField("cnt").cast("double"))).as("s"))
+    val fused = df
+      .select(col("doc_id"),
+        TextFunctions.charEntropyStats(col("text")).as("es"))
+      .where(col("es.n") > 0)
+      .select(col("doc_id"), col("es.n").as("n"),
+        col("es.n_distinct").as("d"), col("es.sum_cnt_ln_cnt").as("s"))
+    assert(composed.exceptAll(fused).isEmpty && fused.exceptAll(composed).isEmpty)
+  }
+
   test("TokenProfileHits equals per-profile isin filters on irregular input") {
     val profiles = Seq(Seq("the", "a", "of"), Seq("der", "und"), Seq("中"))
     val df = samples(900, 1000).toDF("text")
