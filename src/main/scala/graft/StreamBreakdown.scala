@@ -114,9 +114,10 @@ object StreamBreakdown {
     // fail loudly rather than print nothing and exit 0
     only.foreach { prefixes =>
       val names = stages.map(_._1)
-      require(prefixes.nonEmpty && names.exists(n => prefixes.exists(n.startsWith)),
-        s"SPARK_GRAFT_BREAKDOWN_STAGES=${prefixes.mkString(",")} matches no stage; " +
-          s"stages: ${names.mkString(", ")}")
+      val unmatched = prefixes.filterNot(p => names.exists(_.startsWith(p)))
+      require(prefixes.nonEmpty && unmatched.isEmpty,
+        s"SPARK_GRAFT_BREAKDOWN_STAGES prefixes matching no stage: " +
+          s"${unmatched.mkString(", ")}; stages: ${names.mkString(", ")}")
     }
     for ((name, build, uq) <- stages
          if only.forall(_.exists(name.startsWith))) {

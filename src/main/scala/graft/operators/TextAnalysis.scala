@@ -293,9 +293,14 @@ object TextAnalysis {
   def charEntropyOn(docs: DataFrame): DataFrame = {
     val es = graft.functions.TextFunctions.charEntropyStats(col("text"))
     docs
+      // the exploded formulation emitted no row for a NULL or
+      // char-less doc; filtering on the RAW text (n > 0 iff the text
+      // is non-empty) keeps that row contract while letting the fused
+      // pass run ONCE — a `where(es.n > 0)` gets pushed below the
+      // projection and Filter+Project would each evaluate the full
+      // code-point sweep
+      .where(col("text").isNotNull && length(col("text")) > 0)
       .select(col("doc_id"), es.as("es"))
-      // the exploded formulation emitted no row for a char-less doc
-      .where(col("es.n") > 0)
       .select(col("doc_id"), col("es.n").as("n"),
         col("es.n_distinct").as("n_distinct_chars"),
         round((log(col("es.n").cast("double")) -
