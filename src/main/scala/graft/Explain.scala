@@ -2,15 +2,27 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Plan auditor: prints `explain("formatted")` for the headline queries
-  * so shuffle/pushdown/broadcast/codegen regressions are visible.
-  * Usage: runMain graft.Explain [sfDir] [query ...]
+/** Plan auditor: prints `explain("formatted")` for EVERY registered
+  * query (so the PLANS audit's "0 cartesians" claim is corpus-wide,
+  * not headline-only) so shuffle/pushdown/broadcast/codegen
+  * regressions are visible.
+  * Usage: runMain graft.Explain [sfDir] [query ...|all|headline]
   */
 object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val names = if (args.length > 1) args.drop(1).toSeq
-      else Seq("rel_filter_project", "rel_revenue_by_nation", "ohlcv_1m",
+    val names = args.drop(1).toSeq match {
+      case Seq() | Seq("all") => SparkEntry.queries.keys.toSeq.sorted
+      case Seq("headline")    => Headline
+      case qs                 => qs
+    }
+    run(sfDir, names)
+  }
+
+  /** The pre-r12 curated list, kept addressable for quick audits of
+    * the queries whose plan shapes carry documented guarantees. */
+  private val Headline =
+      Seq("rel_filter_project", "rel_revenue_by_nation", "ohlcv_1m",
         "sim_topk_bruteforce", "dedup_minhash_lsh", "text_wordcount_topk",
         "rel_asof_join", "skew_salted_agg", "profile_events",
         "text_repetition", "pack_sequences", "sim_topk_ivf_kmeans",
@@ -48,6 +60,8 @@ object Explain {
         "sim_decontam_semantic", "sim_kcenter_seeds",
         "curation_dsir_resample_persisted", "sim_kcenter_assign",
         "pipeline_gate_cuts", "text_char_entropy")
+
+  private def run(sfDir: String, names: Seq[String]): Unit = {
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
