@@ -17,7 +17,11 @@ def main(sf_dir: str, out: str) -> int:
         ["sbt", "-batch", f"runMain graft.Explain {sf_dir}"],
         capture_output=True, text=True)
     text = p.stdout
-    blocks = re.split(r"=+ (\w+) =+", text)
+    # exactly the Explain banner (10 '='), NOT Spark's own
+    # "===== Subqueries =====" section header (5 '=') inside a
+    # formatted plan — splitting on that counted a scalar-subquery
+    # plan's tail as a phantom query
+    blocks = re.split(r"={10} (\w+) ={10}", text)
     rows = []
     for i in range(1, len(blocks) - 1, 2):
         name, body = blocks[i], blocks[i + 1]
