@@ -73,6 +73,10 @@ object Explain {
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")
     }
+    // completeness marker: the plan-table generator asserts it parsed
+    // exactly this many blocks, so a mid-sweep crash can't pass as a
+    // clean "0 cartesians" audit
+    println(s"EXPLAIN_TOTAL ${names.size}")
     spark.stop()
   }
 }

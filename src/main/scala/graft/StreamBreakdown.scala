@@ -115,7 +115,10 @@ object StreamBreakdown {
     only.foreach { prefixes =>
       val names = stages.map(_._1)
       val unmatched = prefixes.filterNot(p => names.exists(_.startsWith(p)))
-      require(prefixes.nonEmpty && unmatched.isEmpty,
+      require(prefixes.nonEmpty,
+        s"SPARK_GRAFT_BREAKDOWN_STAGES is set but contains no prefixes; " +
+          s"stages: ${names.mkString(", ")}")
+      require(unmatched.isEmpty,
         s"SPARK_GRAFT_BREAKDOWN_STAGES prefixes matching no stage: " +
           s"${unmatched.mkString(", ")}; stages: ${names.mkString(", ")}")
     }

@@ -1,8 +1,11 @@
 #!/usr/bin/env python3
-"""Plan-audit table generator: runs `graft.Explain` (formatted plans for
-the headline queries) and counts operator classes per query into the
-PLANS_r{N}.md table — exchanges, join kinds, aggregates, codegen spans,
-pushed-filter scans, and the accident class (CartesianProduct).
+"""Plan-audit table generator: runs `graft.Explain` (formatted plans
+for EVERY registered query) and counts operator classes per query into
+the PLANS_r{N}.md table — exchanges, join kinds, aggregates, codegen
+spans, pushed-filter scans, and the accident class (CartesianProduct).
+Fails (and writes nothing) on a non-zero Explain exit or a block count
+that disagrees with Explain's own EXPLAIN_TOTAL marker, so a mid-sweep
+crash can never pass as a clean corpus-wide "0 cartesians" audit.
 
 Usage: python3 tools/plans.py <sfDir> <outFile>
 Dev-tool only (driver-side python); the shipped library never uses it.
@@ -17,6 +20,11 @@ def main(sf_dir: str, out: str) -> int:
         ["sbt", "-batch", f"runMain graft.Explain {sf_dir}"],
         capture_output=True, text=True)
     text = p.stdout
+    if p.returncode != 0:
+        sys.stderr.write(p.stdout[-2000:] + p.stderr[-2000:])
+        print(f"Explain exited {p.returncode}; no table written")
+        return 2
+    total = re.search(r"EXPLAIN_TOTAL (\d+)", text)
     # exactly the Explain banner (10 '='), NOT Spark's own
     # "===== Subqueries =====" section header (5 '=') inside a
     # formatted plan — splitting on that counted a scalar-subquery
@@ -43,6 +51,11 @@ def main(sf_dir: str, out: str) -> int:
             f"{pushed}/{len(scans)}",
             c(r"\(\d+\) CartesianProduct"),
         ))
+    if total is None or int(total.group(1)) != len(rows):
+        want = total.group(1) if total else "?(marker missing)"
+        print(f"PARTIAL AUDIT: parsed {len(rows)} blocks, Explain ran {want}; "
+              "no table written")
+        return 2
     with open(out, "w") as f:
         f.write(
             "| query | exchanges | bhj | smj | bnlj | hashAgg | sortAgg "
