@@ -89,23 +89,43 @@ private[graft] object IndexStore {
     * a crash between the DROP and the file delete leaves tableExists
     * false, and a retry guarded on it alone would no-op with the data
     * files orphaned forever — instead the retry reads the recorded
-    * location back and sweeps it. */
+    * location back and sweeps it.
+    *
+    * The tombstone is written to a temp path and RENAMED into place
+    * (rename is atomic on the supported filesystems), so a crash
+    * mid-write can never leave a truncated location for the retry to
+    * sweep — a truncated prefix of the real location can name the index
+    * root or a sibling table's directory. Defense in depth on the read
+    * side: [[drop]] refuses to sweep any recorded path that is not
+    * exactly one level below [[root]] (every index table is created at
+    * `$root/<family>_<sfx>`), so even a corrupt tombstone can never
+    * aim the recursive delete at the root itself or at unrelated data
+    * outside it. */
   def drop(spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val tomb = new org.apache.hadoop.fs.Path(s"$root/.drop_tomb_$table")
-    val fs = tomb.getFileSystem(conf)
+    val rootQ = {
+      val rp = new org.apache.hadoop.fs.Path(root)
+      rp.getFileSystem(conf).makeQualified(rp)
+    }
+    val fs = rootQ.getFileSystem(conf)
+    val tomb = new org.apache.hadoop.fs.Path(rootQ, s".drop_tomb_$table")
     def sweep(locStr: String): Unit = {
-      val p = new org.apache.hadoop.fs.Path(locStr)
-      p.getFileSystem(conf).delete(p, true)
+      val p = fs.makeQualified(new org.apache.hadoop.fs.Path(locStr))
+      require(p.getParent == rootQ && !p.getName.startsWith("."),
+        s"drop($table): recorded location '$locStr' is not an index-table " +
+          s"directory directly under $rootQ — refusing to sweep")
+      fs.delete(p, true)
       ()
     }
     if (spark.catalog.tableExists(table)) {
       val loc = spark.sessionState.catalog.getTableMetadata(
         org.apache.spark.sql.catalyst.TableIdentifier(table)).location.toString
-      fs.delete(tomb, true) // clear any stale artifact at the tombstone path
-      val out = fs.create(tomb, true)
+      val tmp = new org.apache.hadoop.fs.Path(rootQ, s".drop_tomb_$table.tmp")
+      val out = fs.create(tmp, true)
       out.write(loc.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       out.close()
+      fs.delete(tomb, true) // clear any stale artifact at the tombstone path
+      fs.rename(tmp, tomb)
       spark.sql(s"DROP TABLE `$table`")
       sweep(loc)
     } else if (fs.exists(tomb)) {

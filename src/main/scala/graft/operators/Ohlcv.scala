@@ -11,11 +11,13 @@ import graft.Tables
   * low = min, volume = Σqty.
   *
   * Spark-first design: one `groupBy(window(ts, w), keys)` with
-  * `min_by`/`max_by` aggregates. This is a single hash-partition shuffle
-  * on (window, keys) with map-side partial aggregation — at 100 TB the
-  * partial agg collapses each (key, window) to one row per map task
-  * before the exchange, so shuffle volume is bounded by key-cardinality ×
-  * windows, not by input rows. No buffering of window contents (the
+  * `min_by`/`max_by` aggregates ordered by a packed atomic
+  * (ts, tiebreak) key ([[Ohlcv.packedOrd]]) so the plan is a
+  * HashAggregate pair, not SortAggregate. This is a single
+  * hash-partition shuffle on (window, keys) with map-side partial
+  * aggregation — at 100 TB the partial agg collapses each (key, window)
+  * to one row per map task before the exchange, so shuffle volume is
+  * bounded by key-cardinality × windows, not by input rows. No buffering of window contents (the
   * reference's ProcessAllWindowFunction collected whole windows in memory,
   * /root/reference/3_ohlc.py:13-25 — that shape does not survive scale).
   *
@@ -27,7 +29,62 @@ import graft.Tables
   */
 object Ohlcv {
 
+  /** Largest |unix_micros| the packed ordering key can hold:
+    * (10^38 − 1 − 2^64) / 2^64 ≈ 5.4×10^18 µs ≈ ±171 millennia from
+    * the epoch. Beyond it the DECIMAL(38,0) product would overflow, and
+    * Spark's non-ANSI decimal overflow is a SILENT NULL (min_by ignores
+    * null ordering keys → wrong open/close) — so the key raises
+    * instead. Unreachable for any real timestamp. */
+  private[operators] val MaxPackMicros = 5400000000000000000L
+
+  /** Packed total-order key equal to `struct(ts, tiebreak)` ordering
+    * for any NON-NULL integral tiebreak:
+    * `unix_micros(ts) × 2^64 + (tiebreak − Long.MinValue)`, exact in
+    * DECIMAL(38,0) (micros needs ≤63 bits, the shifted tiebreak exactly
+    * 64, and DECIMAL(38,0) holds ~126). Why it exists: `min_by`/`max_by`
+    * keyed by a struct carry an IMMUTABLE buffer field, which demotes
+    * the whole aggregate to SortAggregate — a sort per partial group on
+    * every map task, the one plan property of the flagship OHLCV family
+    * that would not survive 100× key cardinality. One atomic DECIMAL
+    * keeps every buffer slot mutable and the plan stays HashAggregate.
+    * [[packedOrdSql]] is the same key as SQL text — edit both. */
+  private[operators] def packedOrd(ts: Column, tiebreak: Column): Column = {
+    val micros = unix_micros(ts)
+    val guarded = when(abs(micros) > MaxPackMicros,
+        expr("CAST(raise_error('Ohlcv: timestamp beyond DECIMAL(38,0) pack range') AS BIGINT)"))
+      .otherwise(micros)
+    guarded.cast(org.apache.spark.sql.types.DecimalType(38, 0)) *
+      lit(new java.math.BigDecimal("18446744073709551616")) +
+      (tiebreak.cast(org.apache.spark.sql.types.DecimalType(38, 0)) +
+        lit(new java.math.BigDecimal("9223372036854775808")))
+  }
+
+  /** [[packedOrd]] as SQL text over plain column names — the Q1–Q5
+    * pure-SQL surface needs the same HashAggregate plan. Edit in
+    * lockstep with [[packedOrd]] (the `ohlcv_1m_sql` and `ohlcv_1m`
+    * rows share one oracle, so a desync hash-fails the driver gate). */
+  private[operators] def packedOrdSql(tsCol: String, idCol: String): String =
+    s"""(CASE WHEN abs(unix_micros($tsCol)) > ${MaxPackMicros}L
+       |    THEN CAST(raise_error('Ohlcv: timestamp beyond DECIMAL(38,0) pack range') AS DECIMAL(38,0))
+       |    ELSE CAST(unix_micros($tsCol) AS DECIMAL(38,0)) END * 18446744073709551616
+       |  + (CAST($idCol AS DECIMAL(38,0)) + 9223372036854775808))""".stripMargin
+
+  /** Tiebreak types the packed key can encode losslessly. */
+  private val PackableTiebreaks: Set[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    Set(LongType, IntegerType, ShortType, ByteType)
+  }
+
   /** Generic tumbling-window OHLCV over arbitrary columns.
+    *
+    * Ordering-key selection: with a TIMESTAMP `ts` and an integral
+    * `tiebreak`, open/close order by the [[packedOrd]] atomic key and
+    * the aggregate plans as HashAggregate; any other tiebreak type
+    * (string ids, composite structs) falls back to the
+    * `struct(ts, tiebreak)` key, which is order-equivalent but plans as
+    * SortAggregate (immutable struct buffer — documented bounded
+    * per-partial-group sort). Both keys need `tiebreak` unique and
+    * non-null per row for deterministic open/close.
     *
     * @param ts       event-time timestamp column
     * @param price    price column
@@ -44,7 +101,12 @@ object Ohlcv {
       keys: Seq[(String, Column)],
       width: String,
       tiebreak: Column): DataFrame = {
-    val ord = struct(ts.as("ts"), tiebreak.as("tb"))
+    val Seq(tsType, tbType) =
+      trades.select(ts, tiebreak).schema.map(_.dataType).toSeq
+    val ord =
+      if (tsType == org.apache.spark.sql.types.TimestampType &&
+          PackableTiebreaks(tbType)) packedOrd(ts, tiebreak)
+      else struct(ts.as("ts"), tiebreak.as("tb"))
     trades
       .groupBy((window(ts, width).as("w") +: keys.map { case (n, c) => c.as(n) }): _*)
       .agg(
@@ -268,7 +330,7 @@ object Ohlcv {
     * pre-aggregation rows, never a self-join or re-scan per offset. */
   def bars2m1mHopping(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
-    val ord = struct(col("ts"), col("event_id"))
+    val ord = packedOrd(col("ts"), col("event_id")) // HashAggregate, as in bars()
     ev.groupBy(window(col("ts"), "2 minutes", "1 minute").as("w"), col("event_type"))
       .agg(
         min_by(col("value"), ord).as("open"),
@@ -317,17 +379,15 @@ object Ohlcv {
       .orderBy(col("window_start"), col("event_type"))
   }
 
-  /** Packed-tiebreak fast path: the struct ordering key in `bars`
-    * forces SortAggregate (a DeclarativeAggregate with an immutable
-    * struct buffer cannot hash-aggregate); packing (ts, tiebreak) into
-    * ONE atomic value keeps every buffer field mutable and the plan
-    * becomes HashAggregate. The key is DECIMAL(38,0) =
-    * unix_micros × 2^20 + id — full microsecond precision (a BIGINT
-    * pack would have to truncate to millis and could then order
-    * same-millisecond events by id instead of sub-ms time), ~70 bits
-    * needed so a long cannot hold it. Constraint: the tiebreak id must
-    * fit 20 bits — enforced with raise_error, because a silent overflow
-    * would corrupt ordering; `bars` is the unconstrained fallback. */
+  /** The ORIGINAL packed-tiebreak fast path, kept as a registered
+    * result-identical twin now that [[bars]] packs by default: the key
+    * here is the narrower DECIMAL(38,0) = unix_micros × 2^20 + id —
+    * full microsecond precision (a BIGINT pack would have to truncate
+    * to millis and could then order same-millisecond events by id
+    * instead of sub-ms time), but the tiebreak must fit 20 bits —
+    * enforced with raise_error, because a silent overflow would corrupt
+    * ordering. [[packedOrd]] (the default) lifts that constraint by
+    * shifting the full 64-bit tiebreak above 2^64. */
   def bars1mPacked(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
     val ord = expr(
@@ -354,14 +414,14 @@ object Ohlcv {
   def bars1mSql(spark: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(spark, dir)
     spark.sql(
-      """SELECT window.start AS window_start, window.end AS window_end,
+      s"""SELECT window.start AS window_start, window.end AS window_end,
         |  event_type,
-        |  min_by(value, struct(ts, event_id)) AS open,
+        |  min_by(value, pord) AS open,
         |  max(value) AS high,
         |  min(value) AS low,
-        |  max_by(value, struct(ts, event_id)) AS close,
+        |  max_by(value, pord) AS close,
         |  count(*) AS volume
-        |FROM events
+        |FROM (SELECT *, ${packedOrdSql("ts", "event_id")} AS pord FROM events)
         |GROUP BY window(ts, '1 minute'), event_type
         |ORDER BY window_start, event_type""".stripMargin)
   }

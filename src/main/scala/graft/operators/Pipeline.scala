@@ -270,10 +270,21 @@ object Pipeline {
     val wts = Curation.dsirScoreWith(Curation.dsirToks(docs),
         spark.table(dsirT))
       .select(col("weight_micro").as("v"))
-    histCutMicro(nll, LmCutPct, upperEdge = true)
+    val cuts = histCutMicro(nll, LmCutPct, upperEdge = true)
       .withColumnRenamed("cut_micro", "lm_cut_micro")
       .crossJoin(histCutMicro(wts, DsirCutPct, upperEdge = false)
         .withColumnRenamed("cut_micro", "dsir_cut_micro"))
+      .localCheckpoint()
+    // An empty score frame aggregates to a NULL cut, and a NULL cut
+    // falls through every comparison in modelGateVerdictOn — the gate
+    // would silently admit everything. A generation build that can't
+    // derive its cuts must die here, not ship.
+    val r = cuts.head()
+    require(!r.isNullAt(r.fieldIndex("lm_cut_micro")) &&
+        !r.isNullAt(r.fieldIndex("dsir_cut_micro")),
+      s"gate-cut derivation for $sfx scored zero rows — refusing to " +
+        "persist NULL cuts (a gate that admits everything)")
+    cuts
       .coalesce(1)
       .write.mode("overwrite").format("parquet")
       .option("path", s"${IndexStore.root}/gatecuts_$sfx")

@@ -138,6 +138,13 @@ object StreamingOhlcv {
       widthMs: Long,
       emitRunning: Boolean,
       elapsedAlign: Boolean = false): Dataset[RunningBar] = {
+    // The elapsed path anchors each window at the FIRST event's minute
+    // (the reference's replace(second=0)); a sub-minute or off-minute
+    // width would let that anchor precede the first event by up to 59s,
+    // silently making the first bar span far more than one width.
+    if (elapsedAlign) require(widthMs >= 60000L && widthMs % 60000L == 0L,
+      s"elapsedAlign windows are minute-anchored (6_ohlc.py replace(second=0)): " +
+        s"widthMs=$widthMs must be a positive whole number of minutes")
     val spark = tradesWithTs.sparkSession
     import spark.implicits._
     val mode = if (emitRunning) OutputMode.Update() else OutputMode.Append()

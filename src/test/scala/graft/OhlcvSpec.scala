@@ -49,6 +49,53 @@ class OhlcvSpec extends SparkSpec {
     assert(b.getAs[Double]("close") == 1.0)
   }
 
+  test("packed key: negative tiebreaks and pre-epoch timestamps order like struct") {
+    // the packed DECIMAL key is the default for integral tiebreaks —
+    // drill the two places its arithmetic could diverge from
+    // struct(ts, tb): signed tiebreaks (shifted by 2^63) and negative
+    // unix_micros (pre-epoch windows)
+    val df = Seq(
+      (-60_000L, 3L, 2.0),  // same ts as below, higher tiebreak
+      (-60_000L, -5L, 7.0), // -5 orders before 3 (signed, not unsigned)
+      (-59_000L, 0L, 4.0)
+    ).toDF("millis", "tb", "price")
+      .withColumn("ts", timestamp_millis(col("millis")))
+    val bars = Ohlcv.bars(df, col("ts"), col("price"), lit(1L),
+      Seq.empty, "1 minute", col("tb")).collect()
+    assert(bars.length == 1)
+    assert(bars.head.getAs[Double]("open") == 7.0)
+    assert(bars.head.getAs[Double]("close") == 4.0)
+  }
+
+  test("packed key: same-timestamp ties order by ids far beyond 20 bits") {
+    // the r11 packed fast path capped ids at 2^20; the default pack
+    // shifts the full 64-bit tiebreak and must not
+    val df = Seq(
+      (60_000L, 5_000_000_000L, 1.0),
+      (60_000L, 2L, 2.0)
+    ).toDF("millis", "tb", "price")
+      .withColumn("ts", timestamp_millis(col("millis")))
+    val b = Ohlcv.bars(df, col("ts"), col("price"), lit(1L),
+      Seq.empty, "1 minute", col("tb")).collect().head
+    assert(b.getAs[Double]("open") == 2.0)
+    assert(b.getAs[Double]("close") == 1.0)
+  }
+
+  test("packed key raises on a timestamp beyond the DECIMAL(38,0) range") {
+    // beyond ±171 millennia the product would overflow, and non-ANSI
+    // decimal overflow is a silent NULL ordering key — must die loudly
+    val df = Seq((6_000_000_000_000_000_000L, 1L, 1.0))
+      .toDF("micros", "tb", "price")
+      .withColumn("ts", timestamp_micros(col("micros")))
+    val bars = Ohlcv.bars(df, col("ts"), col("price"), lit(1L),
+      Seq.empty, "1 minute", col("tb"))
+    val e = intercept[Exception] { bars.collect() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("beyond DECIMAL(38,0) pack range")), e)
+  }
+
   test("grid alignment: trades land in epoch-aligned tumbling windows") {
     val bars = tradeBars(Seq(
       Trade(59_999L, "a", "P1", 1.0, 1),

@@ -75,6 +75,30 @@ class PlanShapeSpec extends SparkSpec {
       s"bars must be partial-agg + ONE hash exchange, found $exchanges:\n${physical(df)}")
   }
 
+  test("Ohlcv.bars with an integral tiebreak plans HashAggregate, never Sort") {
+    // the packed atomic ordering key is the default for the whole
+    // flagship family — a struct key would demote every ohlcv_* query
+    // to SortAggregate (a sort per partial group on every map task)
+    val ev = Tables.events(spark, sf0001)
+    val p = physical(Ohlcv.bars(ev, col("ts"), col("value"), lit(1L),
+      Seq("event_type" -> col("event_type")), "1 minute", col("event_id")))
+    assert(!p.contains("SortAggregate"), s"packed bars lost HashAggregate:\n$p")
+    assert(p.contains("HashAggregate"), s"expected hash aggregation:\n$p")
+    // the SQL surface must carry the same plan shape
+    val sqlP = physical(Ohlcv.bars1mSql(spark, sf0001))
+    assert(!sqlP.contains("SortAggregate"),
+      s"ohlcv_1m_sql lost HashAggregate:\n$sqlP")
+  }
+
+  test("Ohlcv.bars with a non-packable tiebreak falls back to the struct key") {
+    val ev = Tables.events(spark, sf0001)
+    val p = physical(Ohlcv.bars(ev, col("ts"), col("value"), lit(1L),
+      Seq("event_type" -> col("event_type")), "1 minute",
+      col("event_id").cast("string")))
+    assert(p.contains("SortAggregate"),
+      s"string tiebreak should take the documented struct path:\n$p")
+  }
+
   test("flagship plan shapes hold at sf0.1, not only the unit-test scale") {
     // AQE and broadcast thresholds see different sizes/stats at sf0.1
     // than at sf0.001 — the scale claims are only as good as the plan

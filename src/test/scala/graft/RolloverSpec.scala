@@ -344,6 +344,30 @@ class RolloverSpec extends SparkSpec {
     assert(!fs.exists(tomb), "retried drop must clear the tombstone")
   }
 
+  test("a corrupt tombstone can never aim the sweep outside a table dir") {
+    // the tombstone write is temp+rename (atomic), so a truncated
+    // location should be impossible — but the sweep still refuses any
+    // recorded path that is not exactly one level below the index root,
+    // so even a corrupt tombstone cannot recursively delete the root,
+    // a nested path, or unrelated data outside the root
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rootP = new org.apache.hadoop.fs.Path(IndexStore.root)
+    val fs = rootP.getFileSystem(conf)
+    val t = "graft_corrupt_tomb_drill"
+    val tomb = new org.apache.hadoop.fs.Path(s"${IndexStore.root}/.drop_tomb_$t")
+    for (bad <- Seq(IndexStore.root, "/tmp",
+        s"${IndexStore.root}/sub/deeper",
+        s"${IndexStore.root}/.drop_tomb_other")) {
+      val out = fs.create(tomb, true)
+      out.write(bad.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.close()
+      val e = intercept[IllegalArgumentException] { IndexStore.drop(spark, t) }
+      assert(e.getMessage.contains("refusing to sweep"), s"$bad: $e")
+      assert(fs.exists(rootP), s"index root deleted by corrupt tombstone '$bad'")
+    }
+    fs.delete(tomb, false)
+  }
+
   test("a failed catch-up keeps the swap pending; the replayed batch retries it") {
     val gen = new GenerationRef("g0", lit(true))
     var calls = 0
@@ -421,6 +445,24 @@ class RolloverSpec extends SparkSpec {
       Seq((2500002L, text(2))).toDF("doc_id", "text"), b1, s1).collect()
     assert(v.length == 1 && !v.head.getBoolean(3),
       "dup of the in-between admission not flagged by G+1")
+  }
+
+  test("gate cuts REFUSE to persist when the training corpus scores no rows") {
+    // an empty score frame aggregates to NULL cuts, and a NULL cut falls
+    // through every comparison in the gate verdict — the gate would
+    // silently admit everything; the build must die, not ship
+    import graft.operators.Pipeline
+    val e = intercept[Exception] {
+      Pipeline.ensureGateCuts(spark, sf0001, "gcutempty", lit(false))
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(m => m.contains("refusing to persist NULL cuts") ||
+        m.contains("empty")), s"expected a loud empty-corpus failure, got $e")
+    // nothing half-built may be left behind for a catalog-hit to find
+    assert(!spark.catalog.tableExists(
+      s"graft_gatecuts_idx_${graft.operators.IndexStore.suffix(sf0001, "gcutempty", lit(false))}"))
   }
 
   test("gate cuts derive from the training corpus and G+1 judges with G+1 cuts") {

@@ -268,6 +268,24 @@ class StreamingSpec extends SparkSpec {
       s"elapsed bars must not snap to the grid: $elapsedBars")
   }
 
+  test("elapsedAlign rejects sub-minute and off-minute widths") {
+    // the elapsed anchor truncates to the MINUTE (the reference's
+    // replace(second=0)); a 30s width would let the anchor precede the
+    // first event by up to 59s — the API must refuse, not mis-window
+    val in = MemoryStream[Trade]
+    val ts = StreamingOhlcv.withEventTime(in.toDS(), "0 seconds")
+    for (w <- Seq(30000L, 90000L, 0L)) {
+      val e = intercept[IllegalArgumentException] {
+        StreamingOhlcv.statefulBars(ts, widthMs = w,
+          emitRunning = false, elapsedAlign = true)
+      }
+      assert(e.getMessage.contains("whole number of minutes"), s"w=$w: $e")
+    }
+    // the same widths are legal for the grid path (its anchor is the
+    // width-aligned grid itself, no minute truncation)
+    StreamingOhlcv.statefulBars(ts, widthMs = 30000L, emitRunning = false)
+  }
+
   test("statefulBars recovers keyed state and watermark across a restart") {
     // production restart drill: stop after half a window, restart from
     // the checkpoint, and the final bar must combine events from BOTH
