@@ -71,7 +71,18 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
       println(s"\n========== $n ==========")
-      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      val df = SparkEntry.queries(n)(spark, sfDir)
+      // EXECUTE before explaining: a pre-execution AQE plan carries no
+      // codegen annotations at all (every operator is still outside a
+      // WholeStageCodegenExec until stages materialize), so the audit's
+      // "codegen spans" column read 0 for every query in every round —
+      // blind to a native expression silently falling out of codegen.
+      // The final plan also shows AQE's runtime choices (BHJ
+      // conversions, coalesced reads), which are the plans that
+      // actually ran. A query that fails at runtime fails the sweep
+      // (the EXPLAIN_TOTAL marker stays unprinted).
+      df.collect()
+      df.explain("formatted")
     }
     // completeness marker: the plan-table generator asserts it parsed
     // exactly this many blocks, so a mid-sweep crash can't pass as a

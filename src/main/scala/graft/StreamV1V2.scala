@@ -57,9 +57,9 @@ object StreamV1V2 {
         engine: org.apache.spark.sql.DataFrame => org.apache.spark.sql.Dataset[graft.model.RunningBar]): Long =
       withConfs(confs) {
         Bench.replayRate(spark, Bench.WarmupN, engine) // warmup, discarded
-        val r = Bench.bestOf3(Bench.replayRate(spark, Bench.StreamN, engine))
-        println(f"V1V2 $label%-26s $r%7d ev/s")
-        r
+        val s = Bench.samples3(Bench.replayRate(spark, Bench.StreamN, engine))
+        println(f"V1V2 $label%-26s ${s(1)}%7d ev/s (min ${s.head}, max ${s.last})")
+        s(1)
       }
 
     val v1Hdfs = measure("v1/hdfs-in-memory", Nil, v1)

@@ -369,6 +369,97 @@ object HashOps {
     d
   }
 
+  /** k-way Morton interleave — [[zorder2]] for ANY dimension count:
+    * bit j of dimension i lands at result bit j·k+i (dimension 0 in
+    * the lowest lane, matching zorder2's a-even/b-odd layout at k=2).
+    * Each value is truncated to ⌊63/k⌋ bits so the packed result stays
+    * a positive long (k=3 → 21 bits/dim, the classic 3-D Morton
+    * width). The generic bit loop is value-identical to the per-k
+    * magic-mask dilation sequences (the 3-D oracle replays those five
+    * shift-mask rounds in SQL and hash-matches). */
+  def zorderN(vals: Array[Long]): Long = {
+    val k = vals.length
+    val bits = 63 / k
+    val mask = (1L << bits) - 1
+    var out = 0L
+    var i = 0
+    while (i < k) {
+      val v = vals(i) & mask
+      var j = 0
+      while (j < bits) {
+        out |= ((v >> j) & 1L) << (j * k + i)
+        j += 1
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** k-dimensional Hilbert index via Skilling's transpose algorithm
+    * ("Programming the Hilbert Curve", AIP Conf. Proc. 707, 2004 —
+    * the standard compact n-D formulation): undo the excess-work
+    * rotation top-down, Gray-encode across dimensions, then read the
+    * index off the transposed bit planes MSB-first. `b` bits per
+    * dimension (grid 2^b per axis, k·b ≤ 63). Consecutive indices are
+    * always grid-adjacent in exactly ONE dimension by one step — the
+    * locality property BucketingSpec certifies exhaustively — so
+    * arbitrary contiguous key ranges map to compact k-D regions, which
+    * Morton's seam jumps cannot guarantee. */
+  def hilbertN(coords: Array[Long], b: Int): Long = {
+    val k = coords.length
+    val x = java.util.Arrays.copyOf(coords, k)
+    val m = 1L << (b - 1)
+    var q = m
+    while (q > 1) { // inverse undo
+      val p = q - 1
+      var i = 0
+      while (i < k) {
+        if ((x(i) & q) != 0L) x(0) ^= p
+        else { val t = (x(0) ^ x(i)) & p; x(0) ^= t; x(i) ^= t }
+        i += 1
+      }
+      q >>= 1
+    }
+    var i = 1
+    while (i < k) { x(i) ^= x(i - 1); i += 1 } // Gray encode
+    var t = 0L
+    q = m
+    while (q > 1) { if ((x(k - 1) & q) != 0L) t ^= q - 1; q >>= 1 }
+    i = 0
+    while (i < k) { x(i) ^= t; i += 1 }
+    var d = 0L
+    var j = b - 1
+    while (j >= 0) { // transpose to the scalar index, MSB plane first
+      i = 0
+      while (i < k) {
+        d = (d << 1) | ((x(i) >> j) & 1L)
+        i += 1
+      }
+      j -= 1
+    }
+    d
+  }
+
+  /** [[zorderN]] over Catalyst array data — the codegen entry point of
+    * the ZOrderN expression (elements must be non-null). */
+  def zorderNArr(vals: ArrayData): Long = {
+    val k = vals.numElements()
+    val arr = new Array[Long](k)
+    var i = 0
+    while (i < k) { arr(i) = vals.getLong(i); i += 1 }
+    zorderN(arr)
+  }
+
+  /** [[hilbertN]] over Catalyst array data — the codegen entry point of
+    * the HilbertN expression (elements must be non-null). */
+  def hilbertNArr(coords: ArrayData, b: Int): Long = {
+    val k = coords.numElements()
+    val arr = new Array[Long](k)
+    var i = 0
+    while (i < k) { arr(i) = coords.getLong(i); i += 1 }
+    hilbertN(arr, b)
+  }
+
   /** Scalar twin of Sketches.avalanche32 — two multiply-xor rounds mod
     * 2^32 then a final fold; bit-identical to the column algebra (and
     * to the oracle's replay) on the nonnegative inputs polyHash emits. */
@@ -870,6 +961,58 @@ case class Hilbert2(left: Expression, right: Expression, n: Long)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Hilbert2 =
     copy(left = newLeft, right = newRight)
+}
+
+/** zorder_n(array(d0, d1, …)): k-way Morton interleave — [[ZOrder2]]
+  * generalized to any dimension count (see HashOps.zorderN for the bit
+  * layout and the ⌊63/k⌋-bit truncation). The array child keeps the
+  * expression unary, so `array(a, b, c)` composes inside whole-stage
+  * codegen with no variadic plumbing; elements must be non-null
+  * (callers quantize with pmod first, as the layout queries do). */
+case class ZOrderN(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "zorder_n"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got ${t.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashOps.zorderNArr(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.zorderNArr($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): ZOrderN =
+    copy(child = newChild)
+}
+
+/** hilbert_n(array(d0, d1, …)): k-dimensional Hilbert index on the
+  * (2^b)^k grid via Skilling's transpose (see HashOps.hilbertN). `b`
+  * is a plan-time constant like [[Hilbert2]]'s grid width; k·b must
+  * fit a positive long. */
+case class HilbertN(child: Expression, b: Int) extends UnaryExpression {
+  require(b >= 1 && b <= 62, s"bits per dimension must be in [1,62], got $b")
+
+  override def prettyName: String = "hilbert_n"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got ${t.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashOps.hilbertNArr(input.asInstanceOf[ArrayData], b)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.hilbertNArr($c, $b)")
+
+  override protected def withNewChildInternal(newChild: Expression): HilbertN =
+    copy(child = newChild)
 }
 
 /** bloom_might_contain(str|bigint): k double-hash probes into a FIXED

@@ -194,6 +194,27 @@ object VectorFunctions {
           }
         }
         Hilbert2(c.head, c(1), n)
+      }),
+    // zorder_n(array(d0, d1, ...)) — k-way Morton interleave
+    ("zorder_n", classOf[ZOrderN],
+      (c: Seq[Expression]) => ZOrderN(c.head)),
+    // hilbert_n(array(d0, d1, ...)[, b]) — b bits per dimension
+    // (literal), default 10 (the 1024-wide grid hilbert2 defaults to)
+    ("hilbert_n", classOf[HilbertN],
+      (c: Seq[Expression]) => {
+        val b = if (c.length <= 1) 10 else {
+          val e = c(1)
+          require(e.foldable, "hilbert_n's bits-per-dimension must be a literal")
+          e.eval() match {
+            case i: java.lang.Integer => i.intValue
+            case l: java.lang.Long => l.intValue
+            case s: java.lang.Short => s.intValue
+            case bt: java.lang.Byte => bt.intValue
+            case other => throw new IllegalArgumentException(
+              s"hilbert_n's bits-per-dimension must be an integral literal, got $other")
+          }
+        }
+        HilbertN(c.head, b)
       }))
 
   /** Make every graft expression callable from spark.sql on a live

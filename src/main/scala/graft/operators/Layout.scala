@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.ColumnBridge
 import graft.Tables
-import graft.functions.{Hilbert2, ZOrder2}
+import graft.functions.{Hilbert2, HilbertN, ZOrder2, ZOrderN}
 
 /** Multi-dimensional data layout: z-order (Morton) clustering keys.
   *
@@ -94,6 +94,57 @@ object Layout {
       .withColumn("bbox_cells",
         (col("mx_a") - col("mn_a") + lit(1)) * (col("mx_b") - col("mn_b") + lit(1)))
 
+  /** Morton key over ANY number of BIGINT dimension columns (bit j of
+    * dim i at bit j·k+i; each dim truncated to ⌊63/k⌋ bits — see
+    * HashOps.zorderN). */
+  def zOrderKeyN(dims: Column*): Column =
+    ColumnBridge.column(ZOrderN(
+      ColumnBridge.expression(array(dims: _*))))
+
+  /** Hilbert key over ANY number of BIGINT dimension columns already in
+    * [0, 2^bits) — Skilling's n-D transpose (HashOps.hilbertN). */
+  def hilbertKeyN(bits: Int, dims: Column*): Column =
+    ColumnBridge.column(HilbertN(
+      ColumnBridge.expression(array(dims: _*)), bits))
+
+  /** 3-D grid width (2^7 per axis) and keys per tile for the events
+    * layout: 4096 z-keys = one 16×16×16 cube of (minute, user, type)
+    * space. */
+  val GridCells3 = 128L
+  val TileKeys3 = 4096L
+
+  /** Per-tile occupancy and 3-D bounding box of the z-clustered
+    * 128³ bucketing of the events table on (minute-of-ts, user_id,
+    * event_type) — the layout a large event log actually wants:
+    * time-range scans, per-user lookups, AND per-type slices all prune
+    * on one clustering key. The type dimension quantizes the string
+    * deterministically (length·31 + first code point, both engines'
+    * `length`/`ascii`) so the oracle replays the whole key bit-for-bit
+    * — the 3-D interleave via the five standard 21-bit shift-mask
+    * dilation rounds. Each full tile provably covers one 16³ cube:
+    * `bbox_cells` ≤ 4096 where a 1-D time sort's trailing dims would
+    * span the full 128-wide axes (bbox up to 2·10⁶ cells). Same scale
+    * shape as [[zorderTiles]]: one scan projection (the key is one
+    * codegen'd expression) + one map-side-combined aggregate. */
+  def zorder3Tiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(
+        pmod(expr("unix_micros(ts) div 60000000"), lit(GridCells3)).as("pa"),
+        pmod(col("user_id"), lit(GridCells3)).as("pb"),
+        pmod(length(col("event_type")) * lit(31L) + ascii(col("event_type")),
+          lit(GridCells3)).cast("long").as("pc"))
+      .withColumn("z", zOrderKeyN(col("pa"), col("pb"), col("pc")))
+      .withColumn("tile", expr(s"z div $TileKeys3"))
+      .groupBy(col("tile"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("pa")).as("mn_a"), max(col("pa")).as("mx_a"),
+        min(col("pb")).as("mn_b"), max(col("pb")).as("mx_b"),
+        min(col("pc")).as("mn_c"), max(col("pc")).as("mx_c"))
+      .withColumn("bbox_cells",
+        (col("mx_a") - col("mn_a") + lit(1)) *
+          (col("mx_b") - col("mn_b") + lit(1)) *
+          (col("mx_c") - col("mn_c") + lit(1)))
+
   /** Output files the compaction plan targets. */
   val CompactionFiles = 16L
 
@@ -128,6 +179,7 @@ object Layout {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "layout_zorder_tiles" -> ((s, d) => zorderTiles(s, d)),
+    "layout_zorder3_tiles" -> ((s, d) => zorder3Tiles(s, d)),
     "layout_hilbert_tiles" -> ((s, d) => hilbertTiles(s, d)),
     "layout_compaction_plan" -> ((s, d) => compactionPlan(s, d)))
 
@@ -176,7 +228,44 @@ object Layout {
        |$steps""".stripMargin
   }
 
+  // the five dilation rounds of the standard 21-bit 3-D Morton spread
+  // (bit j → bit 3j), mask constants in decimal (0x1FFFFF,
+  // 0x1F00000000FFFF, 0x1F0000FF0000FF, 0x100F00F00F00F00F,
+  // 0x10C30C30C30C30C3, 0x1249249249249249) — value-identical to
+  // HashOps.zorderN's generic loop at k=3, proven in HashExpressionsSpec
+  private def spread3Sql(c: String): Seq[String] = Seq(
+    s"($c & 2097151)",
+    s"(($c | ($c << 32)) & 8725724278095871)",
+    s"(($c | ($c << 16)) & 8725728556220671)",
+    s"(($c | ($c << 8)) & 1157144660301377551)",
+    s"(($c | ($c << 4)) & 1207822528635744451)",
+    s"(($c | ($c << 2)) & 1317624576693539401)")
+
+  private val spread3Ctes: String = {
+    val steps = (0 until 6).map { i =>
+      s"t${i + 1} AS (SELECT pa, pb, pc, ${spread3Sql("za")(i)} AS za, " +
+        s"${spread3Sql("zb")(i)} AS zb, ${spread3Sql("zc")(i)} AS zc FROM t$i)"
+    }.mkString(",\n")
+    s"""t0 AS (SELECT pa, pb, pc, pa AS za, pb AS zb, pc AS zc FROM b),
+       |$steps""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "layout_zorder3_tiles" ->
+      s"""WITH b AS (SELECT
+         |    ((epoch_us(ts) // 60000000) % $GridCells3)::BIGINT AS pa,
+         |    (user_id % $GridCells3)::BIGINT AS pb,
+         |    ((length(event_type) * 31 + ascii(event_type)) % $GridCells3)::BIGINT AS pc
+         |  FROM events),
+         |$spread3Ctes,
+         |z AS (SELECT pa, pb, pc,
+         |    (za | (zb << 1) | (zc << 2)) // $TileKeys3 AS tile FROM t6)
+         |SELECT tile, count(*)::BIGINT AS n_rows,
+         |  min(pa) AS mn_a, max(pa) AS mx_a, min(pb) AS mn_b, max(pb) AS mx_b,
+         |  min(pc) AS mn_c, max(pc) AS mx_c,
+         |  (max(pa) - min(pa) + 1) * (max(pb) - min(pb) + 1)
+         |    * (max(pc) - min(pc) + 1) AS bbox_cells
+         |FROM z GROUP BY tile ORDER BY tile""".stripMargin,
     "layout_zorder_tiles" ->
       s"""WITH b AS (SELECT (l_partkey % $GridCells)::BIGINT AS pa,
          |    (l_suppkey % $GridCells)::BIGINT AS pb FROM lineitem),

@@ -373,6 +373,26 @@ object Rollover {
       AnnFamilies.foreach(p => IndexStore.drop(spark, p + asfx))
     }
   }
+
+  /** Retire ONLY the vector families of one generation — the ANN-side
+    * twin of [[dropGeneration]] for deployments where the ANN gate
+    * rotates independently of doc gates that may SHARE its tag: sweeps
+    * the PQ books/codes and the vec admission log under the tag's
+    * VECTOR suffix and touches no doc family, so an ANN rotation can
+    * never take down a doc generation still serving under the same
+    * tag. `foldInto` is the same straggler backstop as
+    * [[dropGeneration]]'s, folding `old vec log − successor vec log`
+    * into the successor's codes (and log) before anything drops. */
+  def dropAnnGeneration(spark: SparkSession, dir: String, tag: String,
+      vecFilter: Column = lit(true), foldInto: Option[String] = None): Unit = {
+    val sfx = IndexStore.suffix(dir, tag, vecFilter)
+    foldInto.foreach { succ =>
+      foldMissing(spark, AdmissionLog.VecKind, sfx,
+        IndexStore.suffix(dir, succ, vecFilter))(
+        d => Similarity.mergeBatchIntoPqIndex(spark, dir, d, succ, vecFilter))
+    }
+    AnnFamilies.foreach(p => IndexStore.drop(spark, p + sfx))
+  }
 }
 
 /** The WHEN and the HOW of rotation finally joined — the production
@@ -398,14 +418,20 @@ object Rollover {
   *      never stack (and [[graft.streaming.GenerationRef.requestSwap]]
   *      enforces the same atomically).
   *
-  * The ANN gate's rotation follows the same shape with
-  * [[Rollover.annAdmissionPressure]] and `cutover(annGen = …)`; it is
-  * not folded in here because retiring an ANN-only generation must
-  * not sweep the doc families that may share its tag. */
+  * The monitor is KIND-aware: [[RotationMonitor.Docs]] (the default)
+  * rotates the doc-tier families through [[Rollover.admissionPressure]]
+  * / `cutover(docGen = …)` / [[Rollover.dropGeneration]];
+  * [[RotationMonitor.Vectors]] rotates the ANN gate through
+  * [[Rollover.annAdmissionPressure]] / `cutover(annGen = …)` /
+  * [[Rollover.dropAnnGeneration]], whose retirement sweeps ONLY the
+  * vector families — so an ANN monitor can never take down doc
+  * families serving under a shared tag. Run one monitor per gate
+  * handle (the doc and ANN gates rotate on independent pressure). */
 final class RotationMonitor(spark: SparkSession, dir: String,
     gen: graft.streaming.GenerationRef,
     thresholdMilli: Long = Rollover.RotatePressureMilli,
-    nextTag: String => String = RotationMonitor.bumpTag) {
+    nextTag: String => String = RotationMonitor.bumpTag,
+    kind: RotationMonitor.Kind = RotationMonitor.Docs) {
 
   private var retiring: Option[(String, Column)] = None
 
@@ -413,23 +439,47 @@ final class RotationMonitor(spark: SparkSession, dir: String,
     * observed yet — exposed for ops dashboards and drills. */
   def awaitingRetirement: Option[String] = retiring.map(_._1)
 
+  private def pressureMilli(tag: String, cf: Column): Long = kind match {
+    case RotationMonitor.Docs =>
+      Rollover.admissionPressure(spark, dir, tag, cf)._3
+    case RotationMonitor.Vectors =>
+      Rollover.annAdmissionPressure(spark, dir, tag, cf)._3
+  }
+
+  private def rotate(succ: String): Unit = {
+    kind match {
+      case RotationMonitor.Docs =>
+        Rollover.cutover(spark, dir, succ, docGen = Some(gen))
+      case RotationMonitor.Vectors =>
+        Rollover.cutover(spark, dir, succ, annGen = Some(gen))
+    }
+    ()
+  }
+
+  private def retire(oldTag: String, cf: Column, succ: String): Unit =
+    kind match {
+      case RotationMonitor.Docs =>
+        Rollover.dropGeneration(spark, dir, oldTag, cf, foldInto = Some(succ))
+      case RotationMonitor.Vectors =>
+        Rollover.dropAnnGeneration(spark, dir, oldTag, cf, foldInto = Some(succ))
+    }
+
   /** One monitor tick; returns what it did (`retired:<tag>`,
     * `rotated:<tag>`, `awaiting-promotion`, or `idle:<milli>`). */
   def poll(): String = {
     retiring match {
       case Some((oldTag, cf)) if gen.pendingTag.isEmpty && gen.get()._1 != oldTag =>
-        Rollover.dropGeneration(spark, dir, oldTag, cf,
-          foldInto = Some(gen.get()._1))
+        retire(oldTag, cf, gen.get()._1)
         retiring = None
         s"retired:$oldTag"
       case _ =>
         if (gen.pendingTag.nonEmpty) "awaiting-promotion"
         else {
           val (tag, cf) = gen.get()
-          val (_, _, milli) = Rollover.admissionPressure(spark, dir, tag, cf)
+          val milli = pressureMilli(tag, cf)
           if (milli >= thresholdMilli) {
             val succ = nextTag(tag)
-            Rollover.cutover(spark, dir, succ, docGen = Some(gen))
+            rotate(succ)
             retiring = Some((tag, cf))
             s"rotated:$succ"
           } else s"idle:$milli"
@@ -439,6 +489,13 @@ final class RotationMonitor(spark: SparkSession, dir: String,
 }
 
 object RotationMonitor {
+  /** Which artifact tier a monitor instance rotates — see the class
+    * doc. The retirement paths differ on purpose: a Vectors monitor
+    * must sweep only vector families under a possibly-shared tag. */
+  sealed trait Kind
+  case object Docs extends Kind
+  case object Vectors extends Kind
+
   /** Default tag succession: bump a trailing integer (`gen7` →
     * `gen8`), or append `1` to a tag without one. */
   def bumpTag(tag: String): String = {

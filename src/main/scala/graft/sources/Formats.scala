@@ -139,6 +139,58 @@ object Formats {
       numFiles: Int, bits: Int = 16): Unit =
     writeCurveClustered(df, path, c1, c2, numFiles, bits, hValue(_, _, bits))
 
+  /** [[writeZOrdered]] for ANY dimension count: the same NaN-safe
+    * quantize → interleave → range-partition → sort pipeline over the
+    * native ZOrderN expression, so a table clustered on (time, user,
+    * type) prunes file reads on all three predicates. */
+  def writeZOrderedN(df: DataFrame, path: String, cols: Seq[String],
+      numFiles: Int, bits: Int = 16): Unit =
+    writeCurveClusteredN(df, path, cols, numFiles, bits,
+      qs => org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.functions.ZOrderN(org.apache.spark.sql.graft.ColumnBridge
+          .expression(org.apache.spark.sql.functions.array(qs: _*)))))
+
+  /** [[writeHilbertClustered]] for ANY dimension count (Skilling n-D
+    * walk — HashOps.hilbertN). */
+  def writeHilbertClusteredN(df: DataFrame, path: String, cols: Seq[String],
+      numFiles: Int, bits: Int = 16): Unit =
+    writeCurveClusteredN(df, path, cols, numFiles, bits,
+      qs => org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.functions.HilbertN(org.apache.spark.sql.graft.ColumnBridge
+          .expression(org.apache.spark.sql.functions.array(qs: _*)), bits)))
+
+  private def writeCurveClusteredN(df: DataFrame, path: String,
+      cols: Seq[String], numFiles: Int, bits: Int,
+      key: Seq[org.apache.spark.sql.Column] => org.apache.spark.sql.Column): Unit = {
+    import org.apache.spark.sql.functions._
+    require(cols.size >= 2, "need at least two clustering columns")
+    require(cols.size * bits <= 63,
+      s"${cols.size} dims × $bits bits exceeds a positive long")
+    // same NaN discipline as the 2-D path: strip NaN from the extent
+    // agg, pin NaN/null rows to bucket 0
+    def clean(c: String) = {
+      val d = col(c).cast("double")
+      when(isnan(d), lit(null)).otherwise(d)
+    }
+    val aggs = cols.flatMap(c => Seq(min(clean(c)), max(clean(c))))
+    val mm = df.agg(aggs.head, aggs.tail: _*).head()
+    val buckets = (1L << bits) - 1
+    val qs = cols.zipWithIndex.map { case (c, i) =>
+      if (mm.isNullAt(2 * i) || mm.getDouble(2 * i + 1) == mm.getDouble(2 * i))
+        lit(0L)
+      else {
+        val (lo, hi) = (mm.getDouble(2 * i), mm.getDouble(2 * i + 1))
+        ((coalesce(clean(c), lit(lo)) - lit(lo)) / lit(hi - lo) * buckets)
+          .cast("long")
+      }
+    }
+    df.withColumn("__z", key(qs))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   private def writeCurveClustered(df: DataFrame, path: String, c1: String,
       c2: String, numFiles: Int, bits: Int,
       key: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column): Unit = {

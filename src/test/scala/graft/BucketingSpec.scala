@@ -83,6 +83,65 @@ class BucketingSpec extends SparkSpec {
       r.getAs[Long]("b1") - r.getAs[Long]("b0") >= 60))
   }
 
+  test("3-D z-ordered layout bounds ALL THREE columns per file") {
+    import spark.implicits._
+    import graft.sources.Formats
+    // a full 16x16x16 grid into 64 files: each file holds 64 cells, and
+    // curve locality must keep every file's bounding box inside a
+    // fraction of each 0..15 axis — a 1-D sort would span two of them
+    val grid = (for (a <- 0 until 16; b <- 0 until 16; c <- 0 until 16)
+      yield (a.toLong, b.toLong, c.toLong)).toDF("a", "b", "c")
+    val dir = Files.createTempDirectory("graft-zorder3")
+    val zPath = s"$dir/z3"; val aPath = s"$dir/a1d"
+    Formats.writeZOrderedN(grid, zPath, Seq("a", "b", "c"), numFiles = 64, bits = 4)
+    Formats.writeRangeClustered(grid, aPath, "a", numFiles = 64)
+    def boxes(path: String) = spark.read.parquet(path)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("a").as("a0"), max("a").as("a1"),
+        min("b").as("b0"), max("b").as("b1"),
+        min("c").as("c0"), max("c").as("c1"))
+      .collect()
+    val zBoxes = boxes(zPath)
+    assert(zBoxes.length == 64)
+    // 64 cells/file: a file spans at most half of each 16-wide axis
+    // (aligned 64-key Morton blocks are exact 4x4x4 cubes; range cuts
+    // straddle at most a block boundary)
+    zBoxes.foreach { r =>
+      Seq(("a1", "a0"), ("b1", "b0"), ("c1", "c0")).foreach { case (hi, lo) =>
+        assert(r.getAs[Long](hi) - r.getAs[Long](lo) <= 8,
+          s"3-D z file spans a full axis: $r")
+      }
+    }
+    // the 1-D layout leaves b and c unbounded: files span (almost) all
+    assert(boxes(aPath).forall(r =>
+      r.getAs[Long]("b1") - r.getAs[Long]("b0") >= 14 &&
+        r.getAs[Long]("c1") - r.getAs[Long]("c0") >= 14))
+    // the Hilbert n-D writer holds the same 3-dim bound
+    val hPath = s"$dir/h3"
+    Formats.writeHilbertClusteredN(grid, hPath, Seq("a", "b", "c"),
+      numFiles = 64, bits = 4)
+    boxes(hPath).foreach { r =>
+      Seq(("a1", "a0"), ("b1", "b0"), ("c1", "c0")).foreach { case (hi, lo) =>
+        assert(r.getAs[Long](hi) - r.getAs[Long](lo) <= 8,
+          s"3-D hilbert file spans a full axis: $r")
+      }
+    }
+  }
+
+  test("zorder3 tiles: aligned 4096-key blocks are exact 16x16x16 cubes") {
+    val tiles = graft.operators.Layout.zorder3Tiles(spark, sf0001).collect()
+    assert(tiles.nonEmpty)
+    tiles.foreach { r =>
+      assert(r.getAs[Long]("bbox_cells") <= graft.operators.Layout.TileKeys3,
+        s"tile bbox exceeds the 16^3 cube: $r")
+      Seq(("mx_a", "mn_a"), ("mx_b", "mn_b"), ("mx_c", "mn_c")).foreach {
+        case (hi, lo) =>
+          assert(r.getAs[Long](hi) - r.getAs[Long](lo) <= 15L,
+            s"tile spans more than one cube edge on $hi: $r")
+      }
+    }
+  }
+
   test("hilbert-clustered layout bounds BOTH columns per file, tighter worst file than morton") {
     import spark.implicits._
     import graft.sources.Formats

@@ -297,6 +297,69 @@ class HashExpressionsSpec extends SparkSpec {
     assert(rows.toSeq == Seq(HashOps.zorder2(3, 5), HashOps.zorder2(1023, 0)))
   }
 
+  test("zorderN: k=2 equals zorder2; k=3 equals the magic-mask dilation rounds") {
+    // the generic bit loop must be value-identical to the per-k
+    // shift-mask sequences — the 3-D oracle replays THOSE in SQL, so a
+    // divergence here is a silent oracle desync
+    def spread3(x0: Long): Long = {
+      var x = x0 & 0x1FFFFFL
+      x = (x | (x << 32)) & 0x1F00000000FFFFL
+      x = (x | (x << 16)) & 0x1F0000FF0000FFL
+      x = (x | (x << 8)) & 0x100F00F00F00F00FL
+      x = (x | (x << 4)) & 0x10C30C30C30C30C3L
+      x = (x | (x << 2)) & 0x1249249249249249L
+      x
+    }
+    val rnd = new scala.util.Random(7)
+    (1 to 2000).foreach { _ =>
+      val a = rnd.nextLong() & 0x7FFFFFFFL // 31-bit (the k=2 lane width)
+      val b = rnd.nextLong() & 0x7FFFFFFFL
+      assert(HashOps.zorderN(Array(a, b)) == HashOps.zorder2(a, b),
+        s"k=2 pack diverged from zorder2 at ($a, $b)")
+      val (x, y, z) = (a & 0x1FFFFFL, b & 0x1FFFFFL, rnd.nextLong() & 0x1FFFFFL)
+      assert(HashOps.zorderN(Array(x, y, z)) ==
+        (spread3(x) | (spread3(y) << 1) | (spread3(z) << 2)),
+        s"k=3 pack diverged from the magic rounds at ($x, $y, $z)")
+    }
+    // SQL surface
+    VectorFunctions.register(spark)
+    val got = Seq((5L, 3L, 1L)).toDF("a", "b", "c")
+      .selectExpr("zorder_n(array(a, b, c)) AS z").head().getLong(0)
+    assert(got == HashOps.zorderN(Array(5L, 3L, 1L)))
+  }
+
+  test("hilbertN is a bijection with unit-step adjacency in 2-D and 3-D") {
+    // THE Hilbert property, exhaustively: consecutive indices move by
+    // exactly one step in exactly one dimension — so ANY contiguous
+    // key range maps to a connected compact region (what file-range
+    // cuts of a clustered layout actually read)
+    for ((k, b) <- Seq((2, 5), (3, 3))) {
+      val n = 1L << b
+      val total = math.pow(n.toDouble, k.toDouble).toLong
+      val byIndex = new Array[Array[Long]](total.toInt)
+      def walk(prefix: List[Long]): Unit =
+        if (prefix.length == k) {
+          val coords = prefix.reverse.toArray
+          val d = HashOps.hilbertN(coords, b)
+          assert(d >= 0 && d < total, s"k=$k index $d out of range")
+          assert(byIndex(d.toInt) == null, s"k=$k index $d hit twice")
+          byIndex(d.toInt) = coords
+        } else (0L until n).foreach(v => walk(v :: prefix))
+      walk(Nil)
+      (0 until total.toInt - 1).foreach { d =>
+        val steps = byIndex(d).zip(byIndex(d + 1))
+          .map { case (p, q) => math.abs(p - q) }.sum
+        assert(steps == 1L,
+          s"k=$k: indices $d -> ${d + 1} jump ${byIndex(d).toSeq} -> ${byIndex(d + 1).toSeq}")
+      }
+    }
+    // SQL surface (default b=10)
+    VectorFunctions.register(spark)
+    val got = Seq((3L, 5L, 7L)).toDF("a", "b", "c")
+      .selectExpr("hilbert_n(array(a, b, c), 4) AS h").head().getLong(0)
+    assert(got == HashOps.hilbertN(Array(3L, 5L, 7L), 4))
+  }
+
   test("BloomMightContain equals the column-algebra probe cascade, codegen and interpreted") {
     import graft.operators.Sketches
     // a bitset with a deterministic scatter of set bits

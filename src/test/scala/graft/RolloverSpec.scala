@@ -812,6 +812,105 @@ class RolloverSpec extends SparkSpec {
     Rollover.dropGeneration(spark, sf0001, "mon1")
   }
 
+  test("ANN pressure-triggered rotation: the Vectors MONITOR runs the whole lifecycle") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.{Rollover, RotationMonitor}
+
+    // the ANN twin of the doc monitor drill above: gate admits ->
+    // monitor polls ANN pressure -> crosses the threshold -> the
+    // MONITOR (never this test) fires cutover(annGen) -> promotion
+    // lands at the gate's next batch -> the monitor retires the
+    // predecessor through dropAnnGeneration, which must sweep ONLY
+    // vector families — a doc family sharing the tag survives. No call
+    // to cutover, dropGeneration, or dropAnnGeneration below.
+    val drillF = Similarity.annDrillFilter
+    val keptIds = Similarity.annIngestGate(spark, sf0001)
+      .filter(col("keep") && !col("no_content"))
+      .select("batch_id").as[Long].collect().toSet
+    val keptVecs = Tables.embeddings(spark, sf0001)
+      .filter(col("vec_id").isin(keptIds.toSeq: _*))
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    assert(keptVecs.length >= 3, s"drill needs >=3 admittable vectors")
+    val base = keptVecs.take(6)
+    def reId(b: Long) = base.map { case (id, v) => (b + id, v) }
+    val b1 = reId(21000000L)     // novel: all admitted, crosses the threshold
+    val b2 = reId(22000000L).take(1) // novel: the promotion batch (folds at catch-up)
+    val b3 = reId(23000000L)     // re-sent copies of b1: must flag vs G+1 alone
+
+    val corpusN = Tables.embeddings(spark, sf0001).filter(drillF).count()
+    val thresholdMilli = 1000L * b1.length / corpusN
+    assert(thresholdMilli >= 1, s"corpus too large for the drill threshold")
+
+    // a DOC family under the SAME tag — the ANN retirement must not touch it
+    val (docBandT, _) = Dedup.ensureBandIndex(spark, sf0001, "vmon0", lit(true))
+    Similarity.ensurePqIndex(spark, sf0001, "vmon0", drillF)
+    val oldPqSfx = IndexStore.suffix(sf0001, "vmon0", drillF)
+    val gen = new graft.streaming.GenerationRef("vmon0", drillF)
+    val monitor = new RotationMonitor(spark, sf0001, gen, thresholdMilli,
+      kind = RotationMonitor.Vectors)
+    val polls = mutable.Buffer[String]()
+    val got = mutable.Buffer[Row]()
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.StreamingAnnGate.startAdmittingRollable(spark, sf0001,
+      input.toDF().toDF("vec_id", "embedding"), gen) { (verdict, _) =>
+      got.synchronized { got ++= verdict.collect() }
+    }
+    try {
+      polls += monitor.poll()
+      assert(polls.last == "idle:0",
+        s"monitor must idle with no admissions: $polls")
+      input.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+      // arrivals keep flowing WHILE the poll runs the cutover build —
+      // re-sent dups, so the old log does not grow past the drill's
+      // threshold arithmetic
+      val feeder = new Thread(() => {
+        (1 to 3).foreach { i =>
+          input.addData(reId(24000000L + i * 100000L).take(1).toIndexedSeq: _*)
+          Thread.sleep(30L)
+        }
+      })
+      feeder.start()
+      polls += monitor.poll() // ANN pressure >= threshold -> fires the cutover
+      feeder.join()
+      q.processAllAvailable()
+      assert(polls.last == "rotated:vmon1",
+        s"monitor did not fire the ANN rotation: $polls")
+      input.addData(b2.toIndexedSeq: _*); q.processAllAvailable() // promotion batch
+      assert(gen.get()._1 == "vmon1",
+        s"monitor-driven ANN promotion did not land, polls: $polls")
+      polls ++= (1 to 2).map(_ => monitor.poll())
+      assert(polls.contains("retired:vmon0"),
+        s"monitor never retired the ANN predecessor, polls: $polls")
+      // the retirement swept ONLY vector families: PQ tables gone,
+      // the doc band index under the shared tag untouched
+      assert(!spark.catalog.tableExists("graft_pq_codes_" + oldPqSfx) &&
+        !spark.catalog.tableExists("graft_pq_books_" + oldPqSfx),
+        "retired ANN generation's PQ tables must be gone")
+      assert(spark.catalog.tableExists(docBandT),
+        "ANN retirement must NOT sweep a doc family sharing the tag")
+      // post-rotation pressure sits under the threshold (the trained
+      // mark zeroes the seeded snapshot; only the folded promotion
+      // batch counts)
+      val (_, _, pm) = Rollover.annAdmissionPressure(spark, sf0001, "vmon1", drillF)
+      assert(pm < thresholdMilli,
+        s"post-rotation ANN pressure must sit under the threshold, got $pm")
+      // G is gone: re-sent copies of the b1 admissions probe G+1 alone
+      input.addData(b3.toIndexedSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    val byId = got.synchronized(got.map(r => r.getLong(0) -> r.getBoolean(3)).toMap)
+    assert(b1.forall { case (id, _) => byId(id) },
+      "batch-1 novel vectors wrongly flagged")
+    val flagged3 = b3.count { case (id, _) => !byId(id) }
+    assert(flagged3 * 2 >= b3.length && flagged3 >= 1,
+      s"only $flagged3/${b3.length} re-sent vectors flagged after the " +
+        "monitor-driven rotation (admissions lost?)")
+    Rollover.dropAnnGeneration(spark, sf0001, "vmon1", drillF)
+    Rollover.dropGeneration(spark, sf0001, "vmon0")
+  }
+
   test("chained cutovers: admissions survive across TWO generation hops") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

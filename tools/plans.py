@@ -1,21 +1,56 @@
 #!/usr/bin/env python3
-"""Plan-audit table generator: runs `graft.Explain` (formatted plans
-for EVERY registered query) and counts operator classes per query into
-the PLANS_r{N}.md table — exchanges, join kinds, aggregates, codegen
-spans, pushed-filter scans, and the accident class (CartesianProduct).
-Fails (and writes nothing) on a non-zero Explain exit or a block count
-that disagrees with Explain's own EXPLAIN_TOTAL marker, so a mid-sweep
-crash can never pass as a clean corpus-wide "0 cartesians" audit.
+"""Plan-audit table generator: runs `graft.Explain` (EXECUTES every
+registered query, then prints its formatted FINAL plan) and counts
+operator classes per query into the PLANS_r{N}.md table — exchanges,
+join kinds, aggregates, codegen spans, pushed-filter scans, and the
+accident class (CartesianProduct). Fails (and writes nothing) on a
+non-zero Explain exit or a block count that disagrees with Explain's
+own EXPLAIN_TOTAL marker, so a mid-sweep crash can never pass as a
+clean corpus-wide "0 cartesians" audit.
 
-Usage: python3 tools/plans.py <sfDir> <outFile>
+Codegen spans = distinct `[codegen id : N]` annotations per plan, which
+only exist on EXECUTED plans (a pre-execution AQE plan carries none —
+the column read 0 for every query in rounds 6-12). A query whose span
+count drops to 0 while the baseline table (the previous PLANS_r*.md,
+auto-discovered or passed as the 3rd arg) recorded spans > 0 fails the
+audit: that is exactly the shape of a native expression silently
+falling out of whole-stage codegen.
+
+Usage: python3 tools/plans.py <sfDir> <outFile> [baselinePlansFile]
 Dev-tool only (driver-side python); the shipped library never uses it.
 """
+import glob
+import os
 import re
 import subprocess
 import sys
 
 
-def main(sf_dir: str, out: str) -> int:
+def load_baseline_spans(out: str, explicit: str | None) -> tuple[str, dict]:
+    """Previous round's per-query span counts, from the highest-numbered
+    PLANS_r*.md next to the output file (or an explicit path)."""
+    if explicit:
+        path = explicit
+    else:
+        cands = glob.glob(os.path.join(os.path.dirname(out) or ".", "PLANS_r*.md"))
+        cands = [(int(m.group(1)), p) for p in cands
+                 if (m := re.search(r"PLANS_r(\d+)\.md$", p))
+                 and os.path.abspath(p) != os.path.abspath(out)]
+        if not cands:
+            return "", {}
+        path = max(cands)[1]
+    spans = {}
+    with open(path) as f:
+        for line in f:
+            cells = [c.strip() for c in line.strip().strip("|").split("|")]
+            # | query | exchanges | bhj | smj | bnlj | hashAgg | sortAgg
+            # | codegen spans | scans | cartesian |
+            if len(cells) == 10 and cells[7].isdigit():
+                spans[cells[0]] = int(cells[7])
+    return path, spans
+
+
+def main(sf_dir: str, out: str, baseline: str | None = None) -> int:
     p = subprocess.run(
         ["sbt", "-batch", f"runMain graft.Explain {sf_dir}"],
         capture_output=True, text=True)
@@ -47,7 +82,7 @@ def main(sf_dir: str, out: str) -> int:
             c(r"\(\d+\) BroadcastNestedLoopJoin"),
             c(r"\(\d+\) HashAggregate"),
             c(r"\(\d+\) SortAggregate"),
-            c(r"WholeStageCodegen"),
+            len(set(re.findall(r"codegen id : (\d+)", body))),
             f"{pushed}/{len(scans)}",
             c(r"\(\d+\) CartesianProduct"),
         ))
@@ -64,9 +99,14 @@ def main(sf_dir: str, out: str) -> int:
         for r in rows:
             f.write("| " + " | ".join(str(x) for x in r) + " |\n")
     carts = [r[0] for r in rows if r[-1] > 0]
-    print(f"{len(rows)} queries audited; cartesians: {carts or 'none'}")
-    return 0 if not carts else 1
+    base_path, base_spans = load_baseline_spans(out, baseline)
+    lost = [r[0] for r in rows if base_spans.get(r[0], 0) > 0 and r[7] == 0]
+    print(f"{len(rows)} queries audited; cartesians: {carts or 'none'}; "
+          f"codegen-span losses vs {base_path or '(no baseline)'}: "
+          f"{lost or 'none'}")
+    return 0 if not carts and not lost else 1
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None))
