@@ -80,8 +80,15 @@ object Explain {
       // The final plan also shows AQE's runtime choices (BHJ
       // conversions, coalesced reads), which are the plans that
       // actually ran. A query that fails at runtime fails the sweep
-      // (the EXPLAIN_TOTAL marker stays unprinted).
-      df.collect()
+      // (the EXPLAIN_TOTAL marker stays unprinted). queryExecution
+      // .toRdd, NOT collect() or Dataset.foreach: collect hauls every
+      // full-text result into the driver 237 times per sweep, and
+      // Dataset.foreach executes a DIFFERENT QueryExecution (the
+      // deserialized rddQueryExecution), leaving THIS one's AQE plan
+      // unfinalized — measured: every codegen annotation vanished.
+      // toRdd executes this QueryExecution's own executed plan and
+      // discards rows on the executors.
+      df.queryExecution.toRdd.foreach(_ => ())
       df.explain("formatted")
     }
     // completeness marker: the plan-table generator asserts it parsed

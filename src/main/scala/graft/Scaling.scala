@@ -72,7 +72,36 @@ object Scaling {
     "sim_d4_prune",          // dedup verdict + survivor rank composed
     "pipeline_model_gate",   // persisted-models quality stage + probe
     "pipeline_gate_cuts",    // gate-cut derivation: train + score + hist
-    "sim_kcenter_assign")    // greedy K seeds + broadcast assignment
+    "sim_kcenter_assign",    // greedy K seeds + broadcast assignment
+    "layout_zorder3_tiles",  // 3-D curve-key scan + tile agg
+    "rollover_monitor_tick") // monitor poll under a corpus-scaled log
+
+  /** Non-query probes: operational paths whose growth matters but
+    * which return no DataFrame. The setup closure (UNTIMED — it is the
+    * deployment's standing state, not the tick) runs once per dir and
+    * returns the timed steady-state body. */
+  val Probes: Map[String, (SparkSession, String) => (() => Unit)] = Map(
+    "rollover_monitor_tick" -> ((spark: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      import graft.operators.{AdmissionLog, IndexStore, Rollover}
+      // load: an admission log holding ~5% of the corpus, built once
+      // (check-then-append under the suffix lock, the gate's own
+      // discipline) — so the tick is measured against log AND corpus
+      // counts that both grow with the scale factor
+      val sfx = IndexStore.suffix(dir, "scaletick", lit(true))
+      IndexStore.lock(AdmissionLog.lockKey(AdmissionLog.DocKind, sfx)).synchronized {
+        if (!spark.catalog.tableExists(
+            AdmissionLog.tableName(AdmissionLog.DocKind, sfx))) {
+          AdmissionLog.append(spark, AdmissionLog.DocKind, sfx,
+            graft.Tables.documents(spark, dir)
+              .filter(pmod(col("doc_id"), lit(20L)) === 0L)
+              .select(col("doc_id"), col("text")))
+        }
+      }
+      // the timed body is RotationMonitor.poll's idle path: the locked
+      // log count minus the trained mark, plus one corpus count
+      () => { Rollover.admissionPressure(spark, dir, "scaletick"); () }
+    }))
 
   def main(args: Array[String]): Unit = {
     val dirs = args(0).split(",").toSeq
@@ -90,10 +119,14 @@ object Scaling {
     for (dir <- dirs) {
       Tables.lineitem(spark, dir).limit(1).collect() // warm footers
       for (name <- names) {
-        val fn = SparkEntry.queries(name)
+        val body: () => Unit = SparkEntry.queries.get(name) match {
+          case Some(fn) =>
+            () => fn(spark, dir).write.format("noop").mode("overwrite").save()
+          case None => Probes(name)(spark, dir) // setup untimed
+        }
         val ts = (1 to runs).map { _ =>
           val t0 = System.nanoTime()
-          fn(spark, dir).write.format("noop").mode("overwrite").save()
+          body()
           (System.nanoTime() - t0) / 1e9
         }
         times((name, dir)) = ts.sorted.apply(ts.size / 2)

@@ -379,6 +379,9 @@ object HashOps {
     * shift-mask rounds in SQL and hash-matches). */
   def zorderN(vals: Array[Long]): Long = {
     val k = vals.length
+    // k > 63 would make bits = 0 (every key 0, clustering silently
+    // gone); k = 0 would divide by zero — both must die loudly
+    require(k >= 1 && k <= 63, s"zorder_n needs 1..63 dimensions, got $k")
     val bits = 63 / k
     val mask = (1L << bits) - 1
     var out = 0L
@@ -407,6 +410,11 @@ object HashOps {
     * Morton's seam jumps cannot guarantee. */
   def hilbertN(coords: Array[Long], b: Int): Long = {
     val k = coords.length
+    // k·b beyond 63 shifts the MSB planes off the top of the long —
+    // a non-injective, mis-ordered key with no error; refuse instead
+    // (the expression's b check can't see k, which is per-row data)
+    require(k >= 1 && k * b <= 63,
+      s"hilbert_n: $k dims × $b bits exceeds a positive long")
     val x = java.util.Arrays.copyOf(coords, k)
     val m = 1L << (b - 1)
     var q = m

@@ -49,6 +49,12 @@ private[graft] object AdmissionLog {
 
   def tableName(kind: String, sfx: String) = s"graft_admlog_${kind}_$sfx"
 
+  /** The build-lock key every log operation serializes on — exposed so
+    * callers composing a check-then-append of their own (Scaling's
+    * monitor-tick probe) hold the SAME lock instead of a re-typed
+    * string that a rename here would silently desynchronize. */
+  def lockKey(kind: String, sfx: String): String = s"admlog_${kind}_" + sfx
+
   /** The log's rows, or an empty correctly-typed frame when no gate has
     * admitted anything under this generation yet. LAZY — safe only when
     * no concurrent compact can drop-and-recreate the table mid-read;
@@ -68,7 +74,7 @@ private[graft] object AdmissionLog {
     * empty frame — a generation built from corpus alone, every
     * admission lost with no error. */
   def snapshot(spark: SparkSession, kind: String, sfx: String): DataFrame =
-    IndexStore.lock(s"admlog_${kind}_" + sfx).synchronized {
+    IndexStore.lock(lockKey(kind, sfx)).synchronized {
       read(spark, kind, sfx).localCheckpoint()
     }
 
@@ -78,7 +84,7 @@ private[graft] object AdmissionLog {
     * to use one column would be the stall-the-stream cost the id-only
     * delta pruning exists to avoid. */
   def snapshotIds(spark: SparkSession, kind: String, sfx: String): DataFrame =
-    IndexStore.lock(s"admlog_${kind}_" + sfx).synchronized {
+    IndexStore.lock(lockKey(kind, sfx)).synchronized {
       read(spark, kind, sfx).select(col(keyOf(kind))).localCheckpoint()
     }
 
@@ -90,7 +96,7 @@ private[graft] object AdmissionLog {
     * the delta itself is materialized. */
   def snapshotDelta(spark: SparkSession, kind: String, sfx: String,
       ids: DataFrame): DataFrame =
-    IndexStore.lock(s"admlog_${kind}_" + sfx).synchronized {
+    IndexStore.lock(lockKey(kind, sfx)).synchronized {
       read(spark, kind, sfx)
         .join(org.apache.spark.sql.functions.broadcast(
           ids.select(col(keyOf(kind)))), Seq(keyOf(kind)), "left_semi")
@@ -108,7 +114,7 @@ private[graft] object AdmissionLog {
     val key = keyOf(kind)
     val buckets = bucketsOf(kind)
     val cols = schemaOf(kind).fieldNames.map(col).toSeq
-    IndexStore.lock(s"admlog_${kind}_" + sfx).synchronized {
+    IndexStore.lock(lockKey(kind, sfx)).synchronized {
       if (!spark.catalog.tableExists(t)) {
         rows.select(cols: _*).dropDuplicates(key)
           .repartition(buckets, col(key))
@@ -139,7 +145,7 @@ private[graft] object AdmissionLog {
     * gate's every-N [[compact]] (a drop-and-recreate) and either crash
     * on deleted files or silently read the missing table as zero. */
   def count(spark: SparkSession, kind: String, sfx: String): Long =
-    IndexStore.lock(s"admlog_${kind}_" + sfx).synchronized {
+    IndexStore.lock(lockKey(kind, sfx)).synchronized {
       read(spark, kind, sfx).count()
     }
 
@@ -179,7 +185,7 @@ private[graft] object AdmissionLog {
     * per bucket per batch forever. Row-identical by construction. */
   def compact(spark: SparkSession, kind: String, sfx: String): Unit = {
     val t = tableName(kind, sfx)
-    IndexStore.lock(s"admlog_${kind}_" + sfx).synchronized {
+    IndexStore.lock(lockKey(kind, sfx)).synchronized {
       if (spark.catalog.tableExists(t))
         IndexStore.rewriteBucketed(spark, t,
           s"${IndexStore.root}/admlog_${kind}_$sfx", bucketsOf(kind),

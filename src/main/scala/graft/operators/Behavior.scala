@@ -99,14 +99,20 @@ object Behavior {
       .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+    // argmin by the packed atomic (p_ts, p_id) key (Ohlcv.packedOrd) —
+    // order-identical to min(struct(p_ts, p_id)) but the buffer fields
+    // stay mutable, so the per-view earliest-purchase selection plans
+    // HashAggregate instead of a per-partial-group SortAggregate
+    val pord = Ohlcv.packedOrd(col("p_ts"), col("p_id"))
     views.join(purchases, Seq("user_id"))
       .filter(col("p_ts") > col("view_ts") &&
         unix_micros(col("p_ts")) - unix_micros(col("view_ts")) <= PatternUs)
       .groupBy(col("user_id"), col("view_id"), col("view_ts"))
-      .agg(min(struct(col("p_ts"), col("p_id"))).as("m"))
+      .agg(min_by(col("p_id"), pord).as("purchase_id"),
+        min_by(col("p_ts"), pord).as("purchase_ts"))
       .select(col("user_id"), col("view_id"), col("view_ts"),
-        col("m.p_id").as("purchase_id"), col("m.p_ts").as("purchase_ts"),
-        (unix_micros(col("m.p_ts")) - unix_micros(col("view_ts"))).as("gap_us"))
+        col("purchase_id"), col("purchase_ts"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("view_ts"))).as("gap_us"))
   }
 
   /** Markov transition matrix over each user's event-type sequence:

@@ -889,7 +889,12 @@ object Dedup {
     * canonical-keyed aggregate using max(struct(quality, -doc_id)) — a
     * map-side-combining argmax, never a per-cluster window. Quality
     * doubles are bit-identical across engines (text_quality's verified
-    * arithmetic), so even the argmax ordering replays exactly. */
+    * arithmetic), so even the argmax ordering replays exactly. The
+    * struct buffer plans SortAggregate (considered and kept: the sort
+    * is bounded per partial CANONICAL group — near-dup clusters are
+    * pairs and short chains — and the Ohlcv-style packed atomic key
+    * cannot hold a DOUBLE without an IEEE754 sortable-bits transform
+    * whose micro-rounding would move argmax ties). */
   private def keepBestOn(spark: SparkSession, dir: String,
       clusters: DataFrame): DataFrame = {
     val quality = Tables.documents(spark, dir)

@@ -125,7 +125,11 @@ private[graft] object IndexStore {
       out.write(loc.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       out.close()
       fs.delete(tomb, true) // clear any stale artifact at the tombstone path
-      fs.rename(tmp, tomb)
+      // Hadoop rename reports most failures by returning false, not
+      // throwing — proceeding without the tombstone would reopen the
+      // crash-orphan window the whole mechanism exists to close
+      require(fs.rename(tmp, tomb),
+        s"drop($table): failed to move the tombstone into place ($tmp -> $tomb)")
       spark.sql(s"DROP TABLE `$table`")
       sweep(loc)
     } else if (fs.exists(tomb)) {

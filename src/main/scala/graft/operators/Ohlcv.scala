@@ -50,7 +50,10 @@ object Ohlcv {
     * [[packedOrdSql]] is the same key as SQL text — edit both. */
   private[operators] def packedOrd(ts: Column, tiebreak: Column): Column = {
     val micros = unix_micros(ts)
-    val guarded = when(abs(micros) > MaxPackMicros,
+    // two-sided compare, NOT abs(): non-ANSI abs(Long.MinValue) wraps
+    // negative and would slip past the guard into the exact silent-NULL
+    // overflow it exists to prevent
+    val guarded = when(micros > MaxPackMicros || micros < -MaxPackMicros,
         expr("CAST(raise_error('Ohlcv: timestamp beyond DECIMAL(38,0) pack range') AS BIGINT)"))
       .otherwise(micros)
     guarded.cast(org.apache.spark.sql.types.DecimalType(38, 0)) *
@@ -64,7 +67,8 @@ object Ohlcv {
     * lockstep with [[packedOrd]] (the `ohlcv_1m_sql` and `ohlcv_1m`
     * rows share one oracle, so a desync hash-fails the driver gate). */
   private[operators] def packedOrdSql(tsCol: String, idCol: String): String =
-    s"""(CASE WHEN abs(unix_micros($tsCol)) > ${MaxPackMicros}L
+    s"""(CASE WHEN unix_micros($tsCol) > ${MaxPackMicros}L
+       |      OR unix_micros($tsCol) < -${MaxPackMicros}L
        |    THEN CAST(raise_error('Ohlcv: timestamp beyond DECIMAL(38,0) pack range') AS DECIMAL(38,0))
        |    ELSE CAST(unix_micros($tsCol) AS DECIMAL(38,0)) END * 18446744073709551616
        |  + (CAST($idCol AS DECIMAL(38,0)) + 9223372036854775808))""".stripMargin

@@ -166,8 +166,10 @@ object Formats {
     require(cols.size >= 2, "need at least two clustering columns")
     require(cols.size * bits <= 63,
       s"${cols.size} dims × $bits bits exceeds a positive long")
-    // same NaN discipline as the 2-D path: strip NaN from the extent
-    // agg, pin NaN/null rows to bucket 0
+    // NaN poisons the quantizer silently (max() ranks NaN greatest, so
+    // hi = NaN makes every row's bucket 0 and the advertised k-D bound
+    // degrades) — strip NaN from the extent agg, pin NaN/null rows to
+    // bucket 0 explicitly
     def clean(c: String) = {
       val d = col(c).cast("double")
       when(isnan(d), lit(null)).otherwise(d)
@@ -191,35 +193,11 @@ object Formats {
       .write.mode("overwrite").parquet(path)
   }
 
+  // the 2-D writers are the N-D pipeline at k = 2 — one quantizer, one
+  // NaN discipline, one place to fix either
   private def writeCurveClustered(df: DataFrame, path: String, c1: String,
       c2: String, numFiles: Int, bits: Int,
-      key: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column): Unit = {
-    import org.apache.spark.sql.functions._
-    // NaN poisons the quantizer silently (max() ranks NaN greatest, so
-    // hi = NaN makes EVERY row's bucket 0 and the advertised 2-D
-    // bound degrades to 1-D) — strip NaN from the extent agg and pin
-    // NaN/null rows to bucket 0 explicitly.
-    def clean(c: String) = {
-      val d = col(c).cast("double")
-      when(isnan(d), lit(null)).otherwise(d)
-    }
-    val mm = df.agg(
-      min(clean(c1)), max(clean(c1)), min(clean(c2)), max(clean(c2))).head()
-    def extent(i: Int): (Double, Double) =
-      if (mm.isNullAt(i)) (0.0, 0.0) // all null/NaN: one bucket
-      else (mm.getDouble(i), mm.getDouble(i + 1))
-    val (min1, max1) = extent(0)
-    val (min2, max2) = extent(2)
-    val buckets = (1L << bits) - 1
-    def q(c: String, lo: Double, hi: Double) =
-      if (hi == lo) lit(0L)
-      else ((coalesce(clean(c), lit(lo)) - lit(lo)) / lit(hi - lo) * buckets)
-        .cast("long")
-    val z = key(q(c1, min1, max1), q(c2, min2, max2))
-    df.withColumn("__z", z)
-      .repartitionByRange(numFiles, col("__z"))
-      .sortWithinPartitions("__z")
-      .drop("__z")
-      .write.mode("overwrite").parquet(path)
-  }
+      key: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column): Unit =
+    writeCurveClusteredN(df, path, Seq(c1, c2), numFiles, bits,
+      qs => key(qs(0), qs(1)))
 }

@@ -358,6 +358,16 @@ class HashExpressionsSpec extends SparkSpec {
     val got = Seq((3L, 5L, 7L)).toDF("a", "b", "c")
       .selectExpr("hilbert_n(array(a, b, c), 4) AS h").head().getLong(0)
     assert(got == HashOps.hilbertN(Array(3L, 5L, 7L), 4))
+    // k·b beyond a positive long must die loudly, not truncate MSB
+    // planes into a non-injective key
+    val e = intercept[Exception] {
+      Seq((1L, 2L, 3L, 4L)).toDF("a", "b", "c", "d")
+        .selectExpr("hilbert_n(array(a, b, c, d), 16)").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("exceeds a positive long")), e)
   }
 
   test("BloomMightContain equals the column-algebra probe cascade, codegen and interpreted") {

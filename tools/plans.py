@@ -68,23 +68,39 @@ def main(sf_dir: str, out: str, baseline: str | None = None) -> int:
     rows = []
     for i in range(1, len(blocks) - 1, 2):
         name, body = blocks[i], blocks[i + 1]
-        def c(pat):
-            return len(re.findall(pat, body))
+        # Executed AQE plans print BOTH a "== Final Plan ==" and an
+        # "== Initial Plan ==" tree, and the numbered operator details
+        # cover both — counting every detail header would double-count
+        # each adaptive query's operators. Count only operators that
+        # are NOT initial-plan-exclusive: ids in an Initial tree but in
+        # no Final tree are the pre-AQE shadow. Non-adaptive (sub)plans
+        # have neither marker and keep all their ids.
+        fin_ids = set()
+        for sec in re.findall(r"== Final Plan ==(.*?)(?:== Initial Plan ==|\Z)",
+                              body, re.S):
+            fin_ids |= set(re.findall(r"\((\d+)\)", sec))
+        init_ids = set()
+        for sec in re.findall(r"== Initial Plan ==(.*?)(?:\n\n|\Z)", body, re.S):
+            init_ids |= set(re.findall(r"\((\d+)\)", sec))
+        drop = init_ids - fin_ids
+        kinds = [k for (oid, k)
+                 in re.findall(r"(?m)^\((\d+)\) (\w+)", body)
+                 if oid not in drop]
+        def c(kind):
+            return sum(1 for k in kinds if k == kind)
         scans = re.findall(r"PushedFilters: \[([^\]]*)\]", body)
         pushed = sum(1 for s in scans if s.strip())
-        # formatted plans print each operator twice (tree + numbered
-        # details) — count only the numbered detail headers
         rows.append((
             name,
-            c(r"\(\d+\) Exchange\b"),
-            c(r"\(\d+\) BroadcastHashJoin"),
-            c(r"\(\d+\) SortMergeJoin"),
-            c(r"\(\d+\) BroadcastNestedLoopJoin"),
-            c(r"\(\d+\) HashAggregate"),
-            c(r"\(\d+\) SortAggregate"),
+            c("Exchange"),
+            c("BroadcastHashJoin"),
+            c("SortMergeJoin"),
+            c("BroadcastNestedLoopJoin"),
+            c("HashAggregate"),
+            c("SortAggregate"),
             len(set(re.findall(r"codegen id : (\d+)", body))),
             f"{pushed}/{len(scans)}",
-            c(r"\(\d+\) CartesianProduct"),
+            c("CartesianProduct"),
         ))
     if total is None or int(total.group(1)) != len(rows):
         want = total.group(1) if total else "?(marker missing)"
