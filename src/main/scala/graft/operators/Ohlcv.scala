@@ -79,6 +79,21 @@ object Ohlcv {
     Set(LongType, IntegerType, ShortType, ByteType)
   }
 
+  /** The ordering-key selection [[bars]] and the streaming twins
+    * share: the packed atomic key for (TIMESTAMP ts, integral
+    * tiebreak) — HashAggregate — and the order-equivalent
+    * `struct(ts, tiebreak)` fallback for anything else (string ids,
+    * composite lineage structs) — SortAggregate, bounded per partial
+    * group. Resolves the types against `df`, so it works on batch and
+    * streaming frames alike (analysis only, no execution). */
+  private[graft] def ordFor(df: DataFrame, ts: Column, tiebreak: Column): Column = {
+    val Seq(tsType, tbType) =
+      df.select(ts, tiebreak).schema.map(_.dataType).toSeq
+    if (tsType == org.apache.spark.sql.types.TimestampType &&
+        PackableTiebreaks(tbType)) packedOrd(ts, tiebreak)
+    else struct(ts.as("ts"), tiebreak.as("tb"))
+  }
+
   /** Generic tumbling-window OHLCV over arbitrary columns.
     *
     * Ordering-key selection: with a TIMESTAMP `ts` and an integral
@@ -105,12 +120,7 @@ object Ohlcv {
       keys: Seq[(String, Column)],
       width: String,
       tiebreak: Column): DataFrame = {
-    val Seq(tsType, tbType) =
-      trades.select(ts, tiebreak).schema.map(_.dataType).toSeq
-    val ord =
-      if (tsType == org.apache.spark.sql.types.TimestampType &&
-          PackableTiebreaks(tbType)) packedOrd(ts, tiebreak)
-      else struct(ts.as("ts"), tiebreak.as("tb"))
+    val ord = ordFor(trades, ts, tiebreak)
     trades
       .groupBy((window(ts, width).as("w") +: keys.map { case (n, c) => c.as(n) }): _*)
       .agg(

@@ -56,10 +56,14 @@ object StreamingOhlcv {
     *   but can collide for a busy instrument in the same millisecond;
     *   feed Kafka lineage (`KafkaIO.parseTradesWithLineage` →
     *   struct(kafka_partition, kafka_offset)) when strict run-to-run
-    *   determinism is required. */
+    *   determinism is required. An INTEGRAL tiebreak (a sequence, an
+    *   offset) gets the packed atomic ordering key ([[graft.operators
+    *   .Ohlcv.packedOrd]]) — the streaming partial aggregates then
+    *   hash instead of sorting per micro-batch; the string default
+    *   takes the order-equivalent struct path. */
   def windowedBars(tradesWithTs: DataFrame, width: String,
       tiebreak: Column = col("instrument_id")): DataFrame = {
-    val ord = struct(col("ts"), tiebreak)
+    val ord = graft.operators.Ohlcv.ordFor(tradesWithTs, col("ts"), tiebreak)
     tradesWithTs
       .groupBy(window(col("ts"), width).as("w"), col("product"))
       .agg(
@@ -84,7 +88,8 @@ object StreamingOhlcv {
     * once its watermark passes. */
   def cascadeBars(tradesWithTs: DataFrame, fine: String, coarse: String,
       tiebreak: Column = col("instrument_id")): DataFrame = {
-    val ord = struct(col("ts"), tiebreak) // uniqueness contract: see windowedBars
+    // uniqueness contract and packed-vs-struct selection: see windowedBars
+    val ord = graft.operators.Ohlcv.ordFor(tradesWithTs, col("ts"), tiebreak)
 
     val fineBars = tradesWithTs
       .groupBy(window(col("ts"), fine).as("w"), col("product"))

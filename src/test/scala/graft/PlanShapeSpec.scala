@@ -90,6 +90,31 @@ class PlanShapeSpec extends SparkSpec {
       s"ohlcv_1m_sql lost HashAggregate:\n$sqlP")
   }
 
+  test("streaming windowedBars packs an integral tiebreak into HashAggregate") {
+    import spark.implicits._
+    import graft.streaming.StreamingOhlcv
+    // windowedBars is batch/streaming-identical; the plan assertion on
+    // the batch frame is the same partial-aggregate shape a micro-batch
+    // executes. Integral tiebreak -> packed key -> hash partials;
+    // the string default stays on the documented struct path.
+    val trades = (0 until 200).map { i =>
+      graft.model.Trade(i * 997L, s"i$i", s"P${i % 3}", (i % 50).toDouble, 1L)
+    }.toDF()
+    val ts = StreamingOhlcv.withEventTime(trades.as[graft.model.Trade])
+    val packed = StreamingOhlcv.windowedBars(ts, "1 minute", col("timestamp"))
+    val p = physical(packed)
+    assert(!p.contains("SortAggregate") && p.contains("HashAggregate"),
+      s"integral tiebreak must hash-aggregate:\n$p")
+    val stringP = physical(StreamingOhlcv.windowedBars(ts, "1 minute"))
+    assert(stringP.contains("SortAggregate"),
+      s"string tiebreak should take the struct path:\n$stringP")
+    // unique ts per key -> both orderings pick the same rows
+    val a = packed.orderBy("window_start", "product").collect().toSeq
+    val b = StreamingOhlcv.windowedBars(ts, "1 minute")
+      .orderBy("window_start", "product").collect().toSeq
+    assert(a == b, "packed and struct windowedBars diverged on unique-ts data")
+  }
+
   test("Ohlcv.bars with a non-packable tiebreak falls back to the struct key") {
     val ev = Tables.events(spark, sf0001)
     val p = physical(Ohlcv.bars(ev, col("ts"), col("value"), lit(1L),
