@@ -56,14 +56,25 @@ object StreamingOhlcv {
     *   but can collide for a busy instrument in the same millisecond;
     *   feed Kafka lineage (`KafkaIO.parseTradesWithLineage` →
     *   struct(kafka_partition, kafka_offset)) when strict run-to-run
-    *   determinism is required. An INTEGRAL tiebreak (a sequence, an
-    *   offset) gets the packed atomic ordering key ([[graft.operators
-    *   .Ohlcv.packedOrd]]) — the streaming partial aggregates then
-    *   hash instead of sorting per micro-batch; the string default
-    *   takes the order-equivalent struct path. */
+    *   determinism is required.
+    *
+    * The ordering key stays `struct(ts, tiebreak)` HERE even though
+    * batch `Ohlcv.bars` auto-packs integral tiebreaks into the atomic
+    * DECIMAL key — the tradeoffs INVERT for an always-on query:
+    * (1) switching the min_by/max_by buffer type would fail
+    * StateSchemaCompatibility on restart from an existing checkpoint,
+    * stranding open-window state; (2) packedOrd's out-of-range
+    * timestamp guard raises, and in streaming one corrupt record
+    * becomes a poison pill — crash, restart from checkpoint, replay
+    * the same offset, crash again; (3) a NULL integral tiebreak would
+    * null the packed key and silently drop the row from open/close,
+    * where the struct key still orders it by ts. Batch re-plans per
+    * run and fails loudly at the operator's edge, so it can afford
+    * the HashAggregate win; the streaming struct sort is bounded per
+    * micro-batch partial group. PlanShapeSpec pins this choice. */
   def windowedBars(tradesWithTs: DataFrame, width: String,
       tiebreak: Column = col("instrument_id")): DataFrame = {
-    val ord = graft.operators.Ohlcv.ordFor(tradesWithTs, col("ts"), tiebreak)
+    val ord = struct(col("ts"), tiebreak)
     tradesWithTs
       .groupBy(window(col("ts"), width).as("w"), col("product"))
       .agg(
@@ -88,8 +99,9 @@ object StreamingOhlcv {
     * once its watermark passes. */
   def cascadeBars(tradesWithTs: DataFrame, fine: String, coarse: String,
       tiebreak: Column = col("instrument_id")): DataFrame = {
-    // uniqueness contract and packed-vs-struct selection: see windowedBars
-    val ord = graft.operators.Ohlcv.ordFor(tradesWithTs, col("ts"), tiebreak)
+    // uniqueness contract AND the deliberate struct-not-packed key
+    // (checkpoint schema, poison pill, null tolerance): see windowedBars
+    val ord = struct(col("ts"), tiebreak)
 
     val fineBars = tradesWithTs
       .groupBy(window(col("ts"), fine).as("w"), col("product"))

@@ -90,29 +90,31 @@ class PlanShapeSpec extends SparkSpec {
       s"ohlcv_1m_sql lost HashAggregate:\n$sqlP")
   }
 
-  test("streaming windowedBars packs an integral tiebreak into HashAggregate") {
+  test("streaming windowedBars keeps the struct key even for integral tiebreaks") {
     import spark.implicits._
     import graft.streaming.StreamingOhlcv
-    // windowedBars is batch/streaming-identical; the plan assertion on
-    // the batch frame is the same partial-aggregate shape a micro-batch
-    // executes. Integral tiebreak -> packed key -> hash partials;
-    // the string default stays on the documented struct path.
+    // the DELIBERATE inversion of bars()'s packed default, pinned so a
+    // refactor cannot silently flip it: packing the streaming ordering
+    // key would change the min_by state buffer type (restart from an
+    // existing checkpoint fails StateSchemaCompatibility), turn
+    // packedOrd's out-of-range raise into a replay-crash-loop poison
+    // pill, and let a NULL tiebreak silently drop its row from
+    // open/close — see the windowedBars doc
     val trades = (0 until 200).map { i =>
       graft.model.Trade(i * 997L, s"i$i", s"P${i % 3}", (i % 50).toDouble, 1L)
     }.toDF()
     val ts = StreamingOhlcv.withEventTime(trades.as[graft.model.Trade])
-    val packed = StreamingOhlcv.windowedBars(ts, "1 minute", col("timestamp"))
-    val p = physical(packed)
-    assert(!p.contains("SortAggregate") && p.contains("HashAggregate"),
-      s"integral tiebreak must hash-aggregate:\n$p")
-    val stringP = physical(StreamingOhlcv.windowedBars(ts, "1 minute"))
-    assert(stringP.contains("SortAggregate"),
-      s"string tiebreak should take the struct path:\n$stringP")
-    // unique ts per key -> both orderings pick the same rows
-    val a = packed.orderBy("window_start", "product").collect().toSeq
-    val b = StreamingOhlcv.windowedBars(ts, "1 minute")
+    val p = physical(StreamingOhlcv.windowedBars(ts, "1 minute", col("timestamp")))
+    assert(p.contains("SortAggregate") && !p.contains("min_by(price, (cast"),
+      s"streaming bars must keep the checkpoint-stable struct key:\n$p")
+    // and the struct path's results equal batch bars' packed selection
+    // on the same frame (unique ts per key -> orderings agree)
+    val a = StreamingOhlcv.windowedBars(ts, "1 minute", col("timestamp"))
       .orderBy("window_start", "product").collect().toSeq
-    assert(a == b, "packed and struct windowedBars diverged on unique-ts data")
+    val b = Ohlcv.bars(ts, col("ts"), col("price"), col("qty"),
+      Seq("product" -> col("product")), "1 minute", col("timestamp"))
+      .orderBy("window_start", "product").collect().toSeq
+    assert(a == b, "streaming struct and batch packed selections diverged")
   }
 
   test("Ohlcv.bars with a non-packable tiebreak falls back to the struct key") {
