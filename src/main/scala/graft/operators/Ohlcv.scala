@@ -79,13 +79,14 @@ object Ohlcv {
     Set(LongType, IntegerType, ShortType, ByteType)
   }
 
-  /** The ordering-key selection [[bars]] and the streaming twins
-    * share: the packed atomic key for (TIMESTAMP ts, integral
-    * tiebreak) — HashAggregate — and the order-equivalent
-    * `struct(ts, tiebreak)` fallback for anything else (string ids,
-    * composite lineage structs) — SortAggregate, bounded per partial
-    * group. Resolves the types against `df`, so it works on batch and
-    * streaming frames alike (analysis only, no execution). */
+  /** The BATCH ordering-key selection: the packed atomic key for
+    * (TIMESTAMP ts, integral tiebreak) — HashAggregate — and the
+    * order-equivalent `struct(ts, tiebreak)` fallback for anything
+    * else (string ids, composite lineage structs) — SortAggregate,
+    * bounded per partial group. Deliberately NOT used by the streaming
+    * windowed aggregates, whose checkpoint-schema / poison-pill /
+    * null-tolerance tradeoffs invert — see
+    * `StreamingOhlcv.windowedBars`. */
   private[graft] def ordFor(df: DataFrame, ts: Column, tiebreak: Column): Column = {
     val Seq(tsType, tbType) =
       df.select(ts, tiebreak).schema.map(_.dataType).toSeq
