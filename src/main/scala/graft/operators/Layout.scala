@@ -108,9 +108,12 @@ object Layout {
       ColumnBridge.expression(array(dims: _*)), bits))
 
   /** 3-D grid width (2^7 per axis) and keys per tile for the events
-    * layout: 4096 z-keys = one 16×16×16 cube of (minute, user, type)
-    * space. */
+    * layout: 4096 keys = one 16×16×16 cube of (minute, user, type)
+    * space (4096 = 8^4: four recursion levels of either curve's
+    * octant subdivision, so ALIGNED 4096-key blocks are exact subcubes
+    * on the Morton and the Hilbert walk alike). */
   val GridCells3 = 128L
+  val GridBits3 = 7 // log2(GridCells3)
   val TileKeys3 = 4096L
 
   /** Per-tile occupancy and 3-D bounding box of the z-clustered
@@ -135,6 +138,35 @@ object Layout {
           lit(GridCells3)).cast("long").as("pc"))
       .withColumn("z", zOrderKeyN(col("pa"), col("pb"), col("pc")))
       .withColumn("tile", expr(s"z div $TileKeys3"))
+      .groupBy(col("tile"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("pa")).as("mn_a"), max(col("pa")).as("mx_a"),
+        min(col("pb")).as("mn_b"), max(col("pb")).as("mx_b"),
+        min(col("pc")).as("mn_c"), max(col("pc")).as("mx_c"))
+      .withColumn("bbox_cells",
+        (col("mx_a") - col("mn_a") + lit(1)) *
+          (col("mx_b") - col("mn_b") + lit(1)) *
+          (col("mx_c") - col("mn_c") + lit(1)))
+
+  /** [[zorder3Tiles]]'s twin on the n-D Hilbert walk (Skilling's
+    * transpose, HashOps.hilbertN) — same grid, same tile granularity,
+    * same per-tile 3-D bbox statistics, and the same curve edge as in
+    * 2-D: ARBITRARY contiguous key ranges stay compact (consecutive
+    * indices always grid-adjacent), where Morton ranges can straddle a
+    * seam jump. The oracle replays the walk bit-for-bit: the
+    * inverse-undo rounds unrolled one CTE per (bit-plane, dimension)
+    * with simultaneous column updates, Gray encode and the parity fold
+    * as closed forms, and the final transpose as a 3-way Morton
+    * interleave (bit j of dimension i lands at 3j + (2−i)). */
+  def hilbert3Tiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(
+        pmod(expr("unix_micros(ts) div 60000000"), lit(GridCells3)).as("pa"),
+        pmod(col("user_id"), lit(GridCells3)).as("pb"),
+        pmod(length(col("event_type")) * lit(31L) + ascii(col("event_type")),
+          lit(GridCells3)).cast("long").as("pc"))
+      .withColumn("h", hilbertKeyN(GridBits3, col("pa"), col("pb"), col("pc")))
+      .withColumn("tile", expr(s"h div $TileKeys3"))
       .groupBy(col("tile"))
       .agg(count(lit(1)).as("n_rows"),
         min(col("pa")).as("mn_a"), max(col("pa")).as("mx_a"),
@@ -181,6 +213,7 @@ object Layout {
     "layout_zorder_tiles" -> ((s, d) => zorderTiles(s, d)),
     "layout_zorder3_tiles" -> ((s, d) => zorder3Tiles(s, d)),
     "layout_hilbert_tiles" -> ((s, d) => hilbertTiles(s, d)),
+    "layout_hilbert3_tiles" -> ((s, d) => hilbert3Tiles(s, d)),
     "layout_compaction_plan" -> ((s, d) => compactionPlan(s, d)))
 
   /** Bit planes in the Hilbert walk = log2(GridCells) — derived, not
@@ -250,7 +283,78 @@ object Layout {
        |$steps""".stripMargin
   }
 
+  /** Skilling's walk unrolled for the 3-D Hilbert oracle — mirrors
+    * HashOps.hilbertN exactly (proven identical to this simultaneous
+    * per-step formulation over the full 128³ grid in
+    * HashExpressionsSpec). Dimension 0 is the accumulator dimension of
+    * the inverse-undo step; its own step's else-branch is a no-op
+    * (t = (x0 ^ x0) & p = 0), so only the flip survives. Column
+    * updates inside one CTE read the PREVIOUS CTE's values — exactly
+    * the algorithm's use of the pre-update x0 for both halves of the
+    * exchange step. */
+  private val hilbert3Ctes: String = {
+    val buf = Seq.newBuilder[String]
+    buf += "g0 AS (SELECT pa, pb, pc, pa AS x0, pb AS x1, pc AS x2 FROM b)"
+    var i = 0
+    val planes = (1 until GridBits3).map(j => 1L << j).reverse // 64 … 2
+    for (q <- planes) {
+      val p = q - 1
+      buf += s"""g${i + 1} AS (SELECT pa, pb, pc,
+         |  CASE WHEN (x0 & $q) != 0 THEN xor(x0, $p) ELSE x0 END AS x0,
+         |  x1, x2 FROM g$i)""".stripMargin
+      i += 1
+      buf += s"""g${i + 1} AS (SELECT pa, pb, pc,
+         |  CASE WHEN (x1 & $q) != 0 THEN xor(x0, $p)
+         |       ELSE xor(x0, (xor(x0, x1) & $p)) END AS x0,
+         |  CASE WHEN (x1 & $q) != 0 THEN x1
+         |       ELSE xor(x1, (xor(x0, x1) & $p)) END AS x1,
+         |  x2 FROM g$i)""".stripMargin
+      i += 1
+      buf += s"""g${i + 1} AS (SELECT pa, pb, pc,
+         |  CASE WHEN (x2 & $q) != 0 THEN xor(x0, $p)
+         |       ELSE xor(x0, (xor(x0, x2) & $p)) END AS x0,
+         |  x1,
+         |  CASE WHEN (x2 & $q) != 0 THEN x2
+         |       ELSE xor(x2, (xor(x0, x2) & $p)) END AS x2 FROM g$i)""".stripMargin
+      i += 1
+    }
+    // Gray encode across dimensions (x2 reads the UPDATED x1 = x1^x0)
+    buf += s"""g${i + 1} AS (SELECT pa, pb, pc, x0,
+       |  xor(x1, x0) AS x1, xor(x2, xor(x1, x0)) AS x2 FROM g$i)""".stripMargin
+    i += 1
+    // parity fold off the last dimension, applied to every coordinate
+    val tExpr = planes
+      .map(q => s"(CASE WHEN (x2 & $q) != 0 THEN ${q - 1} ELSE 0 END)")
+      .reduce((a, b) => s"xor($a, $b)")
+    buf += s"g${i + 1} AS (SELECT pa, pb, pc, x0, x1, x2, $tExpr AS t FROM g$i)"
+    i += 1
+    buf += s"""g${i + 1} AS (SELECT pa, pb, pc,
+       |  xor(x0, t) AS za, xor(x1, t) AS zb, xor(x2, t) AS zc FROM g$i)""".stripMargin
+    // transpose = 3-way interleave, dimension 0 in the HIGH lane
+    val spreads = (0 until 6).map { r =>
+      val src = if (r == 0) s"g${i + 1}" else s"u$r"
+      s"u${r + 1} AS (SELECT pa, pb, pc, ${spread3Sql("za")(r)} AS za, " +
+        s"${spread3Sql("zb")(r)} AS zb, ${spread3Sql("zc")(r)} AS zc FROM $src)"
+    }
+    (buf.result() ++ spreads).mkString(",\n")
+  }
+
   val oracle: Map[String, String] = Map(
+    "layout_hilbert3_tiles" ->
+      s"""WITH b AS (SELECT
+         |    ((epoch_us(ts) // 60000000) % $GridCells3)::BIGINT AS pa,
+         |    (user_id % $GridCells3)::BIGINT AS pb,
+         |    ((length(event_type) * 31 + ascii(event_type)) % $GridCells3)::BIGINT AS pc
+         |  FROM events),
+         |$hilbert3Ctes,
+         |z AS (SELECT pa, pb, pc,
+         |    ((za << 2) | (zb << 1) | zc) // $TileKeys3 AS tile FROM u6)
+         |SELECT tile, count(*)::BIGINT AS n_rows,
+         |  min(pa) AS mn_a, max(pa) AS mx_a, min(pb) AS mn_b, max(pb) AS mx_b,
+         |  min(pc) AS mn_c, max(pc) AS mx_c,
+         |  (max(pa) - min(pa) + 1) * (max(pb) - min(pb) + 1)
+         |    * (max(pc) - min(pc) + 1) AS bbox_cells
+         |FROM z GROUP BY tile ORDER BY tile""".stripMargin,
     "layout_zorder3_tiles" ->
       s"""WITH b AS (SELECT
          |    ((epoch_us(ts) // 60000000) % $GridCells3)::BIGINT AS pa,

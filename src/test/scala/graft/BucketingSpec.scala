@@ -128,16 +128,20 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
-  test("zorder3 tiles: aligned 4096-key blocks are exact 16x16x16 cubes") {
-    val tiles = graft.operators.Layout.zorder3Tiles(spark, sf0001).collect()
-    assert(tiles.nonEmpty)
-    tiles.foreach { r =>
-      assert(r.getAs[Long]("bbox_cells") <= graft.operators.Layout.TileKeys3,
-        s"tile bbox exceeds the 16^3 cube: $r")
-      Seq(("mx_a", "mn_a"), ("mx_b", "mn_b"), ("mx_c", "mn_c")).foreach {
-        case (hi, lo) =>
-          assert(r.getAs[Long](hi) - r.getAs[Long](lo) <= 15L,
-            s"tile spans more than one cube edge on $hi: $r")
+  test("zorder3 and hilbert3 tiles: aligned 4096-key blocks are exact 16x16x16 cubes") {
+    // 4096 = 8^4 — four octant-subdivision levels of EITHER curve, so
+    // aligned blocks are exact subcubes on both walks
+    for (tiles <- Seq(graft.operators.Layout.zorder3Tiles(spark, sf0001).collect(),
+        graft.operators.Layout.hilbert3Tiles(spark, sf0001).collect())) {
+      assert(tiles.nonEmpty)
+      tiles.foreach { r =>
+        assert(r.getAs[Long]("bbox_cells") <= graft.operators.Layout.TileKeys3,
+          s"tile bbox exceeds the 16^3 cube: $r")
+        Seq(("mx_a", "mn_a"), ("mx_b", "mn_b"), ("mx_c", "mn_c")).foreach {
+          case (hi, lo) =>
+            assert(r.getAs[Long](hi) - r.getAs[Long](lo) <= 15L,
+              s"tile spans more than one cube edge on $hi: $r")
+        }
       }
     }
   }

@@ -370,6 +370,55 @@ class HashExpressionsSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("exceeds a positive long")), e)
   }
 
+  test("the 3-D hilbert oracle's simultaneous-step formulation equals hilbertN on the full grid") {
+    // the DuckDB oracle unrolls Skilling's walk one CTE per
+    // (bit-plane, dimension) with SIMULTANEOUS column updates (each
+    // CTE reads the previous CTE's values) and replaces the transpose
+    // with a 3-way Morton interleave — this reference IS that
+    // formulation, checked against HashOps.hilbertN over every cell
+    // of the oracle's 128^3 grid, so the oracle algebra cannot
+    // silently drift from the native expression
+    val b = 7
+    val m = 1L << (b - 1)
+    def sqlForm(pa: Long, pb: Long, pc: Long): Long = {
+      var (x0, x1, x2) = (pa, pb, pc)
+      var q = m
+      while (q > 1) {
+        val p = q - 1
+        x0 = if ((x0 & q) != 0) x0 ^ p else x0 // i=0: else-branch t is 0
+        val t1 = if ((x1 & q) != 0) 0L else (x0 ^ x1) & p
+        val (n0a, n1) = if ((x1 & q) != 0) (x0 ^ p, x1) else (x0 ^ t1, x1 ^ t1)
+        x0 = n0a; x1 = n1
+        val t2 = if ((x2 & q) != 0) 0L else (x0 ^ x2) & p
+        val (n0b, n2) = if ((x2 & q) != 0) (x0 ^ p, x2) else (x0 ^ t2, x2 ^ t2)
+        x0 = n0b; x2 = n2
+        q >>= 1
+      }
+      val g1 = x1 ^ x0
+      val g2 = x2 ^ (x1 ^ x0) // simultaneous: reads the pre-gray x1
+      x1 = g1; x2 = g2
+      var t = 0L
+      q = m
+      while (q > 1) { if ((x2 & q) != 0) t ^= q - 1; q >>= 1 }
+      x0 ^= t; x1 ^= t; x2 ^= t
+      def spread3(v0: Long): Long = {
+        var v = v0 & 0x1FFFFFL
+        v = (v | (v << 32)) & 0x1F00000000FFFFL
+        v = (v | (v << 16)) & 0x1F0000FF0000FFL
+        v = (v | (v << 8)) & 0x100F00F00F00F00FL
+        v = (v | (v << 4)) & 0x10C30C30C30C30C3L
+        v = (v | (v << 2)) & 0x1249249249249249L
+        v
+      }
+      (spread3(x0) << 2) | (spread3(x1) << 1) | spread3(x2)
+    }
+    for (pa <- 0L until 128L; pb <- 0L until 128L; pc <- 0L until 128L) {
+      val want = HashOps.hilbertN(Array(pa, pb, pc), b)
+      val got = sqlForm(pa, pb, pc)
+      assert(got == want, s"oracle form diverged at ($pa,$pb,$pc): $got != $want")
+    }
+  }
+
   test("BloomMightContain equals the column-algebra probe cascade, codegen and interpreted") {
     import graft.operators.Sketches
     // a bitset with a deterministic scatter of set bits
