@@ -50,20 +50,27 @@ object Layout {
   val GridCells = 1024L
   val TileKeys = 4096L
 
-  /** Per-tile occupancy and min/max bounding box of the z-clustered
-    * 1024×1024 bucketing of (l_partkey, l_suppkey). */
-  def zorderTiles(spark: SparkSession, dir: String): DataFrame =
+  /** The ONE 2-D tile-statistics aggregation both curve variants run —
+    * a curve choice is ONLY a key expression; the grid, the quantizer,
+    * and the bbox statistics must never diverge between them. */
+  private def tiles2(spark: SparkSession, dir: String,
+      key: (Column, Column) => Column): DataFrame =
     Tables.lineitem(spark, dir)
       .select(pmod(col("l_partkey"), lit(GridCells)).as("pa"),
         pmod(col("l_suppkey"), lit(GridCells)).as("pb"))
-      .withColumn("z", zOrderKey(col("pa"), col("pb")))
-      .withColumn("tile", expr(s"z div $TileKeys"))
+      .withColumn("k", key(col("pa"), col("pb")))
+      .withColumn("tile", expr(s"k div $TileKeys"))
       .groupBy(col("tile"))
       .agg(count(lit(1)).as("n_rows"),
         min(col("pa")).as("mn_a"), max(col("pa")).as("mx_a"),
         min(col("pb")).as("mn_b"), max(col("pb")).as("mx_b"))
       .withColumn("bbox_cells",
         (col("mx_a") - col("mn_a") + lit(1)) * (col("mx_b") - col("mn_b") + lit(1)))
+
+  /** Per-tile occupancy and min/max bounding box of the z-clustered
+    * 1024×1024 bucketing of (l_partkey, l_suppkey). */
+  def zorderTiles(spark: SparkSession, dir: String): DataFrame =
+    tiles2(spark, dir, zOrderKey)
 
   /** Hilbert key column over two BIGINT dimension columns already in
     * [0, GridCells). */
@@ -82,17 +89,7 @@ object Layout {
     * file layout actually reads. BucketingSpec asserts the adjacency
     * property against the native expression directly. */
   def hilbertTiles(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
-      .select(pmod(col("l_partkey"), lit(GridCells)).as("pa"),
-        pmod(col("l_suppkey"), lit(GridCells)).as("pb"))
-      .withColumn("h", hilbertKey(col("pa"), col("pb")))
-      .withColumn("tile", expr(s"h div $TileKeys"))
-      .groupBy(col("tile"))
-      .agg(count(lit(1)).as("n_rows"),
-        min(col("pa")).as("mn_a"), max(col("pa")).as("mx_a"),
-        min(col("pb")).as("mn_b"), max(col("pb")).as("mx_b"))
-      .withColumn("bbox_cells",
-        (col("mx_a") - col("mn_a") + lit(1)) * (col("mx_b") - col("mn_b") + lit(1)))
+    tiles2(spark, dir, hilbertKey)
 
   /** Morton key over ANY number of BIGINT dimension columns (bit j of
     * dim i at bit j·k+i; each dim truncated to ⌊63/k⌋ bits — see
@@ -113,8 +110,34 @@ object Layout {
     * octant subdivision, so ALIGNED 4096-key blocks are exact subcubes
     * on the Morton and the Hilbert walk alike). */
   val GridCells3 = 128L
-  val GridBits3 = 7 // log2(GridCells3)
+  // derived, not hardcoded — resizing the grid cannot desynchronize
+  // the key's bit-plane count from the cell range (the HilbertRounds
+  // discipline below)
+  val GridBits3: Int = java.lang.Long.numberOfTrailingZeros(GridCells3)
   val TileKeys3 = 4096L
+
+  /** The ONE 3-D tile-statistics aggregation both curve variants run
+    * over the events table (minute-of-ts, user_id, event_type-code) —
+    * as with [[tiles2]], a curve is only a key expression. */
+  private def tiles3(spark: SparkSession, dir: String,
+      key: (Column, Column, Column) => Column): DataFrame =
+    Tables.events(spark, dir)
+      .select(
+        pmod(expr("unix_micros(ts) div 60000000"), lit(GridCells3)).as("pa"),
+        pmod(col("user_id"), lit(GridCells3)).as("pb"),
+        pmod(length(col("event_type")) * lit(31L) + ascii(col("event_type")),
+          lit(GridCells3)).cast("long").as("pc"))
+      .withColumn("k", key(col("pa"), col("pb"), col("pc")))
+      .withColumn("tile", expr(s"k div $TileKeys3"))
+      .groupBy(col("tile"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("pa")).as("mn_a"), max(col("pa")).as("mx_a"),
+        min(col("pb")).as("mn_b"), max(col("pb")).as("mx_b"),
+        min(col("pc")).as("mn_c"), max(col("pc")).as("mx_c"))
+      .withColumn("bbox_cells",
+        (col("mx_a") - col("mn_a") + lit(1)) *
+          (col("mx_b") - col("mn_b") + lit(1)) *
+          (col("mx_c") - col("mn_c") + lit(1)))
 
   /** Per-tile occupancy and 3-D bounding box of the z-clustered
     * 128³ bucketing of the events table on (minute-of-ts, user_id,
@@ -130,23 +153,7 @@ object Layout {
     * shape as [[zorderTiles]]: one scan projection (the key is one
     * codegen'd expression) + one map-side-combined aggregate. */
   def zorder3Tiles(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .select(
-        pmod(expr("unix_micros(ts) div 60000000"), lit(GridCells3)).as("pa"),
-        pmod(col("user_id"), lit(GridCells3)).as("pb"),
-        pmod(length(col("event_type")) * lit(31L) + ascii(col("event_type")),
-          lit(GridCells3)).cast("long").as("pc"))
-      .withColumn("z", zOrderKeyN(col("pa"), col("pb"), col("pc")))
-      .withColumn("tile", expr(s"z div $TileKeys3"))
-      .groupBy(col("tile"))
-      .agg(count(lit(1)).as("n_rows"),
-        min(col("pa")).as("mn_a"), max(col("pa")).as("mx_a"),
-        min(col("pb")).as("mn_b"), max(col("pb")).as("mx_b"),
-        min(col("pc")).as("mn_c"), max(col("pc")).as("mx_c"))
-      .withColumn("bbox_cells",
-        (col("mx_a") - col("mn_a") + lit(1)) *
-          (col("mx_b") - col("mn_b") + lit(1)) *
-          (col("mx_c") - col("mn_c") + lit(1)))
+    tiles3(spark, dir, (a, b, c) => zOrderKeyN(a, b, c))
 
   /** [[zorder3Tiles]]'s twin on the n-D Hilbert walk (Skilling's
     * transpose, HashOps.hilbertN) — same grid, same tile granularity,
@@ -159,23 +166,7 @@ object Layout {
     * as closed forms, and the final transpose as a 3-way Morton
     * interleave (bit j of dimension i lands at 3j + (2−i)). */
   def hilbert3Tiles(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .select(
-        pmod(expr("unix_micros(ts) div 60000000"), lit(GridCells3)).as("pa"),
-        pmod(col("user_id"), lit(GridCells3)).as("pb"),
-        pmod(length(col("event_type")) * lit(31L) + ascii(col("event_type")),
-          lit(GridCells3)).cast("long").as("pc"))
-      .withColumn("h", hilbertKeyN(GridBits3, col("pa"), col("pb"), col("pc")))
-      .withColumn("tile", expr(s"h div $TileKeys3"))
-      .groupBy(col("tile"))
-      .agg(count(lit(1)).as("n_rows"),
-        min(col("pa")).as("mn_a"), max(col("pa")).as("mx_a"),
-        min(col("pb")).as("mn_b"), max(col("pb")).as("mx_b"),
-        min(col("pc")).as("mn_c"), max(col("pc")).as("mx_c"))
-      .withColumn("bbox_cells",
-        (col("mx_a") - col("mn_a") + lit(1)) *
-          (col("mx_b") - col("mn_b") + lit(1)) *
-          (col("mx_c") - col("mn_c") + lit(1)))
+    tiles3(spark, dir, (a, b, c) => hilbertKeyN(GridBits3, a, b, c))
 
   /** Output files the compaction plan targets. */
   val CompactionFiles = 16L
@@ -288,53 +279,64 @@ object Layout {
     * per-step formulation over the full 128³ grid in
     * HashExpressionsSpec). Dimension 0 is the accumulator dimension of
     * the inverse-undo step; its own step's else-branch is a no-op
-    * (t = (x0 ^ x0) & p = 0), so only the flip survives. Column
-    * updates inside one CTE read the PREVIOUS CTE's values — exactly
-    * the algorithm's use of the pre-update x0 for both halves of the
-    * exchange step. */
+    * (t = (x0 ^ x0) & p = 0), so only the flip survives. State columns
+    * are suffixed per step (hilbertCtes' "no lateral-alias capture"
+    * discipline) so each CTE unambiguously reads the PREVIOUS step's
+    * values — exactly the algorithm's use of the pre-update x0 for
+    * both halves of the exchange step — without depending on the
+    * engine's alias-precedence rules. */
   private val hilbert3Ctes: String = {
     val buf = Seq.newBuilder[String]
-    buf += "g0 AS (SELECT pa, pb, pc, pa AS x0, pb AS x1, pc AS x2 FROM b)"
-    var i = 0
+    var s = 0
+    def x(c: Int) = s"x${c}_$s" // current step's state column names
+    buf += s"g0 AS (SELECT pa, pb, pc, pa AS ${x(0)}, pb AS ${x(1)}, pc AS ${x(2)} FROM b)"
     val planes = (1 until GridBits3).map(j => 1L << j).reverse // 64 … 2
     for (q <- planes) {
       val p = q - 1
-      buf += s"""g${i + 1} AS (SELECT pa, pb, pc,
-         |  CASE WHEN (x0 & $q) != 0 THEN xor(x0, $p) ELSE x0 END AS x0,
-         |  x1, x2 FROM g$i)""".stripMargin
-      i += 1
-      buf += s"""g${i + 1} AS (SELECT pa, pb, pc,
-         |  CASE WHEN (x1 & $q) != 0 THEN xor(x0, $p)
-         |       ELSE xor(x0, (xor(x0, x1) & $p)) END AS x0,
-         |  CASE WHEN (x1 & $q) != 0 THEN x1
-         |       ELSE xor(x1, (xor(x0, x1) & $p)) END AS x1,
-         |  x2 FROM g$i)""".stripMargin
-      i += 1
-      buf += s"""g${i + 1} AS (SELECT pa, pb, pc,
-         |  CASE WHEN (x2 & $q) != 0 THEN xor(x0, $p)
-         |       ELSE xor(x0, (xor(x0, x2) & $p)) END AS x0,
-         |  x1,
-         |  CASE WHEN (x2 & $q) != 0 THEN x2
-         |       ELSE xor(x2, (xor(x0, x2) & $p)) END AS x2 FROM g$i)""".stripMargin
-      i += 1
+      val (a0, a1, a2) = (x(0), x(1), x(2))
+      s += 1
+      buf += s"""g$s AS (SELECT pa, pb, pc,
+         |  CASE WHEN ($a0 & $q) != 0 THEN xor($a0, $p) ELSE $a0 END AS ${x(0)},
+         |  $a1 AS ${x(1)}, $a2 AS ${x(2)} FROM g${s - 1})""".stripMargin
+      val (b0, b1, b2) = (x(0), x(1), x(2))
+      s += 1
+      buf += s"""g$s AS (SELECT pa, pb, pc,
+         |  CASE WHEN ($b1 & $q) != 0 THEN xor($b0, $p)
+         |       ELSE xor($b0, (xor($b0, $b1) & $p)) END AS ${x(0)},
+         |  CASE WHEN ($b1 & $q) != 0 THEN $b1
+         |       ELSE xor($b1, (xor($b0, $b1) & $p)) END AS ${x(1)},
+         |  $b2 AS ${x(2)} FROM g${s - 1})""".stripMargin
+      val (c0, c1, c2) = (x(0), x(1), x(2))
+      s += 1
+      buf += s"""g$s AS (SELECT pa, pb, pc,
+         |  CASE WHEN ($c2 & $q) != 0 THEN xor($c0, $p)
+         |       ELSE xor($c0, (xor($c0, $c2) & $p)) END AS ${x(0)},
+         |  $c1 AS ${x(1)},
+         |  CASE WHEN ($c2 & $q) != 0 THEN $c2
+         |       ELSE xor($c2, (xor($c0, $c2) & $p)) END AS ${x(2)} FROM g${s - 1})""".stripMargin
     }
     // Gray encode across dimensions (x2 reads the UPDATED x1 = x1^x0)
-    buf += s"""g${i + 1} AS (SELECT pa, pb, pc, x0,
-       |  xor(x1, x0) AS x1, xor(x2, xor(x1, x0)) AS x2 FROM g$i)""".stripMargin
-    i += 1
+    val (d0, d1, d2) = (x(0), x(1), x(2))
+    s += 1
+    buf += s"""g$s AS (SELECT pa, pb, pc, $d0 AS ${x(0)},
+       |  xor($d1, $d0) AS ${x(1)}, xor($d2, xor($d1, $d0)) AS ${x(2)} FROM g${s - 1})""".stripMargin
     // parity fold off the last dimension, applied to every coordinate
+    val (e0, e1, e2) = (x(0), x(1), x(2))
     val tExpr = planes
-      .map(q => s"(CASE WHEN (x2 & $q) != 0 THEN ${q - 1} ELSE 0 END)")
+      .map(q => s"(CASE WHEN ($e2 & $q) != 0 THEN ${q - 1} ELSE 0 END)")
       .reduce((a, b) => s"xor($a, $b)")
-    buf += s"g${i + 1} AS (SELECT pa, pb, pc, x0, x1, x2, $tExpr AS t FROM g$i)"
-    i += 1
-    buf += s"""g${i + 1} AS (SELECT pa, pb, pc,
-       |  xor(x0, t) AS za, xor(x1, t) AS zb, xor(x2, t) AS zc FROM g$i)""".stripMargin
-    // transpose = 3-way interleave, dimension 0 in the HIGH lane
+    s += 1
+    buf += s"g$s AS (SELECT pa, pb, pc, $e0, $e1, $e2, $tExpr AS t FROM g${s - 1})"
+    s += 1
+    buf += s"""g$s AS (SELECT pa, pb, pc,
+       |  xor($e0, t) AS za0, xor($e1, t) AS zb0, xor($e2, t) AS zc0 FROM g${s - 1})""".stripMargin
+    // transpose = 3-way interleave, dimension 0 in the HIGH lane;
+    // spread rounds suffixed for the same no-alias-capture reason
     val spreads = (0 until 6).map { r =>
-      val src = if (r == 0) s"g${i + 1}" else s"u$r"
-      s"u${r + 1} AS (SELECT pa, pb, pc, ${spread3Sql("za")(r)} AS za, " +
-        s"${spread3Sql("zb")(r)} AS zb, ${spread3Sql("zc")(r)} AS zc FROM $src)"
+      val src = if (r == 0) s"g$s" else s"u$r"
+      s"u${r + 1} AS (SELECT pa, pb, pc, ${spread3Sql(s"za$r")(r)} AS za${r + 1}, " +
+        s"${spread3Sql(s"zb$r")(r)} AS zb${r + 1}, " +
+        s"${spread3Sql(s"zc$r")(r)} AS zc${r + 1} FROM $src)"
     }
     (buf.result() ++ spreads).mkString(",\n")
   }
@@ -348,7 +350,7 @@ object Layout {
          |  FROM events),
          |$hilbert3Ctes,
          |z AS (SELECT pa, pb, pc,
-         |    ((za << 2) | (zb << 1) | zc) // $TileKeys3 AS tile FROM u6)
+         |    ((za6 << 2) | (zb6 << 1) | zc6) // $TileKeys3 AS tile FROM u6)
          |SELECT tile, count(*)::BIGINT AS n_rows,
          |  min(pa) AS mn_a, max(pa) AS mx_a, min(pb) AS mn_b, max(pb) AS mx_b,
          |  min(pc) AS mn_c, max(pc) AS mx_c,
