@@ -166,12 +166,16 @@ object Bench {
     // One retry, keep the better triple, and FLAG the query in the
     // artifact so an outlier that survives the retry is adjudicated
     // from the JSON, not from a by-hand rerun.
+    val coldByName = results.toMap
     val warmResults = warmTargets.map { name =>
       val first = warmTriple(name)
-      val cold = median(times(name).result())
+      val cold = median(coldByName(name))
       if (cold >= 0 && median(first) > cold * 1.5) {
         val second = warmTriple(name)
-        val best = if (median(second) < median(first)) second else first
+        // an ALL-FAILED retry medians to the -1.0 sentinel, which must
+        // not beat a first triple that succeeded
+        val best = if (median(second) >= 0 && median(second) < median(first))
+          second else first
         (name, best, true)
       } else (name, first, false)
     }

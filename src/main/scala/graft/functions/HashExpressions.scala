@@ -448,25 +448,34 @@ object HashOps {
     d
   }
 
-  /** [[zorderN]] over Catalyst array data — the codegen entry point of
-    * the ZOrderN expression (elements must be non-null). */
-  def zorderNArr(vals: ArrayData): Long = {
+  /** Copy a curve key's dimension array out of Catalyst array data,
+    * REFUSING null elements: ArrayData.getLong reads a null slot as 0,
+    * which would silently assign the row coordinate 0 (wrong tile,
+    * oracle divergence on any data with nulls). A caller with nullable
+    * dimensions must coalesce them explicitly. */
+  private def dimsOf(vals: ArrayData, what: String): Array[Long] = {
     val k = vals.numElements()
     val arr = new Array[Long](k)
     var i = 0
-    while (i < k) { arr(i) = vals.getLong(i); i += 1 }
-    zorderN(arr)
+    while (i < k) {
+      if (vals.isNullAt(i)) throw new IllegalArgumentException(
+        s"$what: NULL dimension value at index $i — coalesce nullable " +
+          "dimensions before building the curve key")
+      arr(i) = vals.getLong(i)
+      i += 1
+    }
+    arr
   }
 
+  /** [[zorderN]] over Catalyst array data — the codegen entry point of
+    * the ZOrderN expression. */
+  def zorderNArr(vals: ArrayData): Long =
+    zorderN(dimsOf(vals, "zorder_n"))
+
   /** [[hilbertN]] over Catalyst array data — the codegen entry point of
-    * the HilbertN expression (elements must be non-null). */
-  def hilbertNArr(coords: ArrayData, b: Int): Long = {
-    val k = coords.numElements()
-    val arr = new Array[Long](k)
-    var i = 0
-    while (i < k) { arr(i) = coords.getLong(i); i += 1 }
-    hilbertN(arr, b)
-  }
+    * the HilbertN expression. */
+  def hilbertNArr(coords: ArrayData, b: Int): Long =
+    hilbertN(dimsOf(coords, "hilbert_n"), b)
 
   /** Scalar twin of Sketches.avalanche32 — two multiply-xor rounds mod
     * 2^32 then a final fold; bit-identical to the column algebra (and

@@ -181,18 +181,8 @@ object VectorFunctions {
     // default the 1024 grid the layout statistics use
     ("hilbert2", classOf[Hilbert2],
       (c: Seq[Expression]) => {
-        val n = if (c.length <= 2) 1024L else {
-          val e = c(2)
-          require(e.foldable, "hilbert2's grid width must be a literal")
-          e.eval() match {
-            case i: java.lang.Integer => i.longValue
-            case l: java.lang.Long => l.longValue
-            case s: java.lang.Short => s.longValue
-            case b: java.lang.Byte => b.longValue
-            case other => throw new IllegalArgumentException(
-              s"hilbert2's grid width must be an integral literal, got $other")
-          }
-        }
+        val n = if (c.length <= 2) 1024L
+          else integralLiteral(c(2), "hilbert2's grid width")
         Hilbert2(c.head, c(1), n)
       }),
     // zorder_n(array(d0, d1, ...)) — k-way Morton interleave
@@ -202,20 +192,26 @@ object VectorFunctions {
     // (literal), default 10 (the 1024-wide grid hilbert2 defaults to)
     ("hilbert_n", classOf[HilbertN],
       (c: Seq[Expression]) => {
-        val b = if (c.length <= 1) 10 else {
-          val e = c(1)
-          require(e.foldable, "hilbert_n's bits-per-dimension must be a literal")
-          e.eval() match {
-            case i: java.lang.Integer => i.intValue
-            case l: java.lang.Long => l.intValue
-            case s: java.lang.Short => s.intValue
-            case bt: java.lang.Byte => bt.intValue
-            case other => throw new IllegalArgumentException(
-              s"hilbert_n's bits-per-dimension must be an integral literal, got $other")
-          }
-        }
-        HilbertN(c.head, b)
+        val b = if (c.length <= 1) 10L
+          else integralLiteral(c(1), "hilbert_n's bits-per-dimension")
+        HilbertN(c.head, b.toInt)
       }))
+
+  /** Fold one SQL-surface plan-time parameter to a Long — the shared
+    * extraction every literal-typed builder argument goes through, so
+    * accepting a new literal kind (or improving the error) happens in
+    * exactly one place. */
+  private def integralLiteral(e: Expression, what: String): Long = {
+    require(e.foldable, s"$what must be a literal")
+    e.eval() match {
+      case i: java.lang.Integer => i.longValue
+      case l: java.lang.Long => l.longValue
+      case s: java.lang.Short => s.longValue
+      case b: java.lang.Byte => b.longValue
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integral literal, got $other")
+    }
+  }
 
   /** Make every graft expression callable from spark.sql on a live
     * session. */

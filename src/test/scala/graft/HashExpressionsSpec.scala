@@ -326,6 +326,17 @@ class HashExpressionsSpec extends SparkSpec {
     val got = Seq((5L, 3L, 1L)).toDF("a", "b", "c")
       .selectExpr("zorder_n(array(a, b, c)) AS z").head().getLong(0)
     assert(got == HashOps.zorderN(Array(5L, 3L, 1L)))
+    // a NULL dimension must fail LOUDLY: ArrayData reads a null slot
+    // as 0, which would silently assign the row coordinate 0 (wrong
+    // tile, oracle divergence on any data with nulls)
+    val e = intercept[Exception] {
+      Seq((5L, 3L)).toDF("a", "b")
+        .selectExpr("zorder_n(array(a, CAST(NULL AS BIGINT), b))").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("NULL dimension value")), e)
   }
 
   test("hilbertN is a bijection with unit-step adjacency in 2-D and 3-D") {
