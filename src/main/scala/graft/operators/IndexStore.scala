@@ -109,6 +109,14 @@ private[graft] object IndexStore {
     }
     val fs = rootQ.getFileSystem(conf)
     val tomb = new org.apache.hadoop.fs.Path(rootQ, s".drop_tomb_$table")
+    // a prior drop() that died between creating the staging file and
+    // renaming it into place leaves `.drop_tomb_<table>.tmp` behind
+    // forever (the dot prefix keeps it out of every sweep path) —
+    // clear any such orphan best-effort before this attempt stages its
+    // own; the staging create() below overwrites anyway, so this only
+    // matters for the retry branch and for not accumulating litter
+    fs.delete(new org.apache.hadoop.fs.Path(rootQ, s".drop_tomb_$table.tmp"),
+      false)
     def sweep(locStr: String): Unit = {
       val p = fs.makeQualified(new org.apache.hadoop.fs.Path(locStr))
       require(p.getParent == rootQ && !p.getName.startsWith("."),

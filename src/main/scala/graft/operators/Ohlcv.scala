@@ -56,9 +56,18 @@ object Ohlcv {
     val guarded = when(micros > MaxPackMicros || micros < -MaxPackMicros,
         expr("CAST(raise_error('Ohlcv: timestamp beyond DECIMAL(38,0) pack range') AS BIGINT)"))
       .otherwise(micros)
+    // a NULL tiebreak would null the whole key and min_by/max_by would
+    // then SILENTLY drop the row from open/close — where the struct
+    // fallback still orders it by ts. Contract violations must be loud,
+    // not a quiet row drop: raise instead (the struct key in
+    // StreamingOhlcv.windowedBars deliberately keeps the tolerant
+    // behavior — a raise is a checkpoint-replay poison pill there)
+    val tb = when(tiebreak.isNull,
+        expr("CAST(raise_error('Ohlcv: NULL tiebreak — the packed ordering key requires a non-null tiebreak per row') AS BIGINT)"))
+      .otherwise(tiebreak)
     guarded.cast(org.apache.spark.sql.types.DecimalType(38, 0)) *
       lit(new java.math.BigDecimal("18446744073709551616")) +
-      (tiebreak.cast(org.apache.spark.sql.types.DecimalType(38, 0)) +
+      (tb.cast(org.apache.spark.sql.types.DecimalType(38, 0)) +
         lit(new java.math.BigDecimal("9223372036854775808")))
   }
 
@@ -71,7 +80,9 @@ object Ohlcv {
        |      OR unix_micros($tsCol) < -${MaxPackMicros}L
        |    THEN CAST(raise_error('Ohlcv: timestamp beyond DECIMAL(38,0) pack range') AS DECIMAL(38,0))
        |    ELSE CAST(unix_micros($tsCol) AS DECIMAL(38,0)) END * 18446744073709551616
-       |  + (CAST($idCol AS DECIMAL(38,0)) + 9223372036854775808))""".stripMargin
+       |  + (CASE WHEN $idCol IS NULL
+       |      THEN CAST(raise_error('Ohlcv: NULL tiebreak — the packed ordering key requires a non-null tiebreak per row') AS DECIMAL(38,0))
+       |      ELSE CAST($idCol AS DECIMAL(38,0)) END + 9223372036854775808))""".stripMargin
 
   /** Tiebreak types the packed key can encode losslessly. */
   private val PackableTiebreaks: Set[org.apache.spark.sql.types.DataType] = {

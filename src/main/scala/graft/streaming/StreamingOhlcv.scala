@@ -63,15 +63,16 @@ object StreamingOhlcv {
     * DECIMAL key — the tradeoffs INVERT for an always-on query:
     * (1) switching the min_by/max_by buffer type would fail
     * StateSchemaCompatibility on restart from an existing checkpoint,
-    * stranding open-window state; (2) packedOrd's out-of-range
-    * timestamp guard raises, and in streaming one corrupt record
-    * becomes a poison pill — crash, restart from checkpoint, replay
-    * the same offset, crash again; (3) a NULL integral tiebreak would
-    * null the packed key and silently drop the row from open/close,
-    * where the struct key still orders it by ts. Batch re-plans per
-    * run and fails loudly at the operator's edge, so it can afford
-    * the HashAggregate win; the streaming struct sort is bounded per
-    * micro-batch partial group. PlanShapeSpec pins this choice. */
+    * stranding open-window state; (2) packedOrd's guards (out-of-range
+    * timestamp, NULL tiebreak) raise, and in streaming one corrupt
+    * record becomes a poison pill — crash, restart from checkpoint,
+    * replay the same offset, crash again; (3) the struct key degrades
+    * gracefully on a NULL tiebreak — the row still orders by ts —
+    * which is the right always-on behavior where a raise is not.
+    * Batch re-plans per run and fails loudly at the operator's edge
+    * (both guards), so it can afford the HashAggregate win; the
+    * streaming struct sort is bounded per micro-batch partial group.
+    * PlanShapeSpec pins this choice. */
   def windowedBars(tradesWithTs: DataFrame, width: String,
       tiebreak: Column = col("instrument_id")): DataFrame = {
     val ord = struct(col("ts"), tiebreak)

@@ -96,6 +96,25 @@ class OhlcvSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("beyond DECIMAL(38,0) pack range")), e)
   }
 
+  test("packed key raises on a NULL tiebreak instead of dropping the row") {
+    // a NULL tiebreak nulls the packed key and min_by/max_by would then
+    // silently skip the row from open/close — contract violations must
+    // be loud, not a quiet row drop (the struct fallback and the
+    // streaming engine keep the tolerant order-by-ts behavior)
+    val df = Seq(
+      (60_000L, Some(1L), 1.0),
+      (60_000L, None: Option[Long], 2.0)
+    ).toDF("millis", "tb", "price")
+      .withColumn("ts", timestamp_millis(col("millis")))
+    val bars = Ohlcv.bars(df, col("ts"), col("price"), lit(1L),
+      Seq.empty, "1 minute", col("tb"))
+    val e = intercept[Exception] { bars.collect() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("NULL tiebreak")), e)
+  }
+
   test("grid alignment: trades land in epoch-aligned tumbling windows") {
     val bars = tradeBars(Seq(
       Trade(59_999L, "a", "P1", 1.0, 1),

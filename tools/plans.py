@@ -26,9 +26,12 @@ import subprocess
 import sys
 
 
-def load_baseline_spans(out: str, explicit: str | None) -> tuple[str, dict]:
-    """Previous round's per-query span counts, from the highest-numbered
-    PLANS_r*.md next to the output file (or an explicit path)."""
+def load_baseline(out: str, explicit: str | None) -> tuple[str, dict, dict]:
+    """Previous round's per-query (codegen-span, ObjectHashAggregate)
+    counts, from the highest-numbered PLANS_r*.md next to the output
+    file (or an explicit path). Handles both the 10-column pre-r14
+    table (no objHashAgg column; spans at index 7) and the 11-column
+    current one (objHashAgg at 6, spans at 8)."""
     if explicit:
         path = explicit
     else:
@@ -37,17 +40,22 @@ def load_baseline_spans(out: str, explicit: str | None) -> tuple[str, dict]:
                  if (m := re.search(r"PLANS_r(\d+)\.md$", p))
                  and os.path.abspath(p) != os.path.abspath(out)]
         if not cands:
-            return "", {}
+            return "", {}, {}
         path = max(cands)[1]
-    spans = {}
+    spans, objaggs = {}, {}
     with open(path) as f:
         for line in f:
             cells = [c.strip() for c in line.strip().strip("|").split("|")]
-            # | query | exchanges | bhj | smj | bnlj | hashAgg | sortAgg
-            # | codegen spans | scans | cartesian |
+            # 10 cols: | query | exchanges | bhj | smj | bnlj | hashAgg
+            #          | sortAgg | codegen spans | scans | cartesian |
+            # 11 cols: same with objHashAgg inserted after hashAgg
             if len(cells) == 10 and cells[7].isdigit():
                 spans[cells[0]] = int(cells[7])
-    return path, spans
+            elif len(cells) == 11 and cells[8].isdigit():
+                spans[cells[0]] = int(cells[8])
+                if cells[6].isdigit():
+                    objaggs[cells[0]] = int(cells[6])
+    return path, spans, objaggs
 
 
 def main(sf_dir: str, out: str, baseline: str | None = None) -> int:
@@ -79,8 +87,14 @@ def main(sf_dir: str, out: str, baseline: str | None = None) -> int:
         for sec in re.findall(r"== Final Plan ==(.*?)(?:== Initial Plan ==|\Z)",
                               body, re.S):
             fin_ids |= set(re.findall(r"\((\d+)\)", sec))
+        # the Initial tree section ends at the next "== " header or the
+        # first line-start numbered operator detail "(N) Kind" — NOT at
+        # the first blank line, which a formatted-layout change (or a
+        # blank line inside the tree body) would silently move, skewing
+        # the id-drop set and every operator count downstream
         init_ids = set()
-        for sec in re.findall(r"== Initial Plan ==(.*?)(?:\n\n|\Z)", body, re.S):
+        for sec in re.findall(
+                r"== Initial Plan ==(.*?)(?=\n== |\n\(\d+\) |\Z)", body, re.S):
             init_ids |= set(re.findall(r"\((\d+)\)", sec))
         drop = init_ids - fin_ids
         kinds = [k for (oid, k)
@@ -90,6 +104,11 @@ def main(sf_dir: str, out: str, baseline: str | None = None) -> int:
             return sum(1 for k in kinds if k == kind)
         scans = re.findall(r"PushedFilters: \[([^\]]*)\]", body)
         pushed = sum(1 for s in scans if s.strip())
+        # ObjectHashAggregate is its own column, NOT folded into hashAgg
+        # (exact token matching is what made the typed-Aggregator path
+        # invisible through r13; substring matching would conflate the
+        # two and hide an ObjectHashAggregate→SortAggregate demotion
+        # inside a stable-looking hashAgg count)
         rows.append((
             name,
             c("Exchange"),
@@ -97,6 +116,7 @@ def main(sf_dir: str, out: str, baseline: str | None = None) -> int:
             c("SortMergeJoin"),
             c("BroadcastNestedLoopJoin"),
             c("HashAggregate"),
+            c("ObjectHashAggregate"),
             c("SortAggregate"),
             len(set(re.findall(r"codegen id : (\d+)", body))),
             f"{pushed}/{len(scans)}",
@@ -109,18 +129,24 @@ def main(sf_dir: str, out: str, baseline: str | None = None) -> int:
         return 2
     with open(out, "w") as f:
         f.write(
-            "| query | exchanges | bhj | smj | bnlj | hashAgg | sortAgg "
-            "| codegen spans | scans w/ pushed filters | cartesian |\n")
-        f.write("|---|---|---|---|---|---|---|---|---|---|\n")
+            "| query | exchanges | bhj | smj | bnlj | hashAgg | objHashAgg "
+            "| sortAgg | codegen spans | scans w/ pushed filters | cartesian |\n")
+        f.write("|---|---|---|---|---|---|---|---|---|---|---|\n")
         for r in rows:
             f.write("| " + " | ".join(str(x) for x in r) + " |\n")
     carts = [r[0] for r in rows if r[-1] > 0]
-    base_path, base_spans = load_baseline_spans(out, baseline)
-    lost = [r[0] for r in rows if base_spans.get(r[0], 0) > 0 and r[7] == 0]
+    base_path, base_spans, base_objaggs = load_baseline(out, baseline)
+    lost = [r[0] for r in rows if base_spans.get(r[0], 0) > 0 and r[8] == 0]
+    # an ObjectHashAggregate that vanishes means the typed-Aggregator
+    # path got demoted to its sort-based fallback (spill threshold,
+    # buffer type change) — the same silent-regression class as a
+    # codegen-span loss, so it fails the sweep the same way
+    obj_lost = [r[0] for r in rows
+                if base_objaggs.get(r[0], 0) > 0 and r[6] == 0]
     print(f"{len(rows)} queries audited; cartesians: {carts or 'none'}; "
           f"codegen-span losses vs {base_path or '(no baseline)'}: "
-          f"{lost or 'none'}")
-    return 0 if not carts and not lost else 1
+          f"{lost or 'none'}; objHashAgg losses: {obj_lost or 'none'}")
+    return 0 if not carts and not lost and not obj_lost else 1
 
 
 if __name__ == "__main__":
