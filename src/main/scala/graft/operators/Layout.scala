@@ -116,17 +116,42 @@ object Layout {
   val GridBits3: Int = java.lang.Long.numberOfTrailingZeros(GridCells3)
   val TileKeys3 = 4096L
 
-  /** The ONE 3-D tile-statistics aggregation both curve variants run
-    * over the events table (minute-of-ts, user_id, event_type-code) —
-    * as with [[tiles2]], a curve is only a key expression. */
-  private def tiles3(spark: SparkSession, dir: String,
-      key: (Column, Column, Column) => Column): DataFrame =
+  /** The shared 3-D grid projection of the events table
+    * (minute-of-ts, user_id, event_type-code), each dimension in
+    * [0, GridCells3). The minute bucket uses an exact long FLOOR
+    * division — `(a - pmod(a, n)) div n` is n·⌊a/n⌋ in pure long
+    * arithmetic — because Spark's `div` truncates toward zero while
+    * the DuckDB oracle's `//` floors; the pair only agrees for
+    * non-negative micros, and a pre-epoch event timestamp would
+    * otherwise hash-fail the gate on an engine-semantics divergence
+    * rather than a real defect. The oracle mirrors with a
+    * non-negative `((x % n) + n) % n` wrap matching pmod on every
+    * dimension, so both engines are total-sign-agnostic. */
+  private def dims3(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .select(
-        pmod(expr("unix_micros(ts) div 60000000"), lit(GridCells3)).as("pa"),
+        pmod(expr(
+          "(unix_micros(ts) - pmod(unix_micros(ts), 60000000)) div 60000000"),
+          lit(GridCells3)).as("pa"),
         pmod(col("user_id"), lit(GridCells3)).as("pb"),
         pmod(length(col("event_type")) * lit(31L) + ascii(col("event_type")),
           lit(GridCells3)).cast("long").as("pc"))
+
+  /** The dims3 projection as oracle SQL (DuckDB dialect) — edit in
+    * lockstep with [[dims3]]. */
+  private val dims3Sql: String =
+    s"""SELECT
+       |    (((epoch_us(ts) // 60000000) % $GridCells3 + $GridCells3) % $GridCells3)::BIGINT AS pa,
+       |    ((user_id % $GridCells3 + $GridCells3) % $GridCells3)::BIGINT AS pb,
+       |    (((length(event_type) * 31 + ascii(event_type)) % $GridCells3 + $GridCells3) % $GridCells3)::BIGINT AS pc
+       |  FROM events""".stripMargin
+
+  /** The ONE 3-D tile-statistics aggregation both curve variants run
+    * over the events table — as with [[tiles2]], a curve is only a key
+    * expression. */
+  private def tiles3(spark: SparkSession, dir: String,
+      key: (Column, Column, Column) => Column): DataFrame =
+    dims3(spark, dir)
       .withColumn("k", key(col("pa"), col("pb"), col("pc")))
       .withColumn("tile", expr(s"k div $TileKeys3"))
       .groupBy(col("tile"))
@@ -168,6 +193,78 @@ object Layout {
   def hilbert3Tiles(spark: SparkSession, dir: String): DataFrame =
     tiles3(spark, dir, (a, b, c) => hilbertKeyN(GridBits3, a, b, c))
 
+  /** Curve keys per output file for the aligned 3-D clustered write:
+    * 8^6 = 2^18, so the 128³ grid lands in 8 files and every file's
+    * key range is an ALIGNED block of six octant-recursion levels — an
+    * exact 64×64×64 subcube on the Morton and the Hilbert walk alike.
+    * bbox_cells per file is therefore provably ≤ [[KeysPerFile3]]. */
+  val KeysPerFile3 = 262144L
+
+  /** Written-layout roots, one physical write per (session, dir,
+    * curve) — the files gate reads a real on-disk layout, and the
+    * write is a generation artifact exactly like a persisted index
+    * (Bench's repeat samples re-read, never re-write). The path is
+    * pid-scoped: it needs no cross-run determinism (the gate's OUTPUT
+    * derives every value from file CONTENT, never from paths), and
+    * two concurrent JVMs must not overwrite each other mid-read. */
+  private val files3Paths = new SessionDirMemo[String]
+
+  /** Per-FILE statistics of a tile-aligned 3-D-clustered physical
+    * write of the events grid — the driver-gate proof that
+    * `Formats.writeCurveClusteredAlignedN`'s file-skipping contract
+    * holds on disk, not only in the key math ([[zorder3Tiles]] gates
+    * the key; THIS gates the write path): rows are physically written,
+    * read back, and grouped by `input_file_name()` — the actual file
+    * boundary — with each file labeled by the aligned tile its CONTENT
+    * occupies (`min(curveKey) div KeysPerFile3`). If the writer ever
+    * mixed two tiles into one file, that file's row count and bbox
+    * absorb both tiles and the hash gate goes red; if it split one
+    * tile across two files, two output rows carry the same fid and the
+    * row count goes red. The DuckDB oracle replays the assignment as a
+    * pure function of the row — fid = curveKey // KeysPerFile3 — which
+    * is exactly the determinism the aligned writer guarantees and the
+    * sampled writeZOrderedN cannot.
+    *
+    * Scale shape: one clustered write of the projected grid (the same
+    * one range-free shuffle any clustered rewrite costs, amortized
+    * across runs by the memo), then a scan of the written files with a
+    * map-side-combined aggregate to |files| rows. */
+  private def files3(spark: SparkSession, dir: String, curve: String,
+      key: Seq[Column] => Column): DataFrame = {
+    val path = files3Paths(spark, s"$dir#$curve") {
+      val p = s"${sys.props("java.io.tmpdir")}/graft-layout3files-$curve-" +
+        s"${ProcessHandle.current().pid()}-" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      graft.sources.Formats.writeCurveClusteredAlignedN(
+        dims3(spark, dir), p, Seq("pa", "pb", "pc"), GridBits3,
+        KeysPerFile3, key)
+      p
+    }
+    spark.read.parquet(path)
+      .withColumn("k", key(Seq(col("pa"), col("pb"), col("pc"))))
+      .withColumn("f", input_file_name())
+      .groupBy(col("f"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("pa")).as("mn_a"), max(col("pa")).as("mx_a"),
+        min(col("pb")).as("mn_b"), max(col("pb")).as("mx_b"),
+        min(col("pc")).as("mn_c"), max(col("pc")).as("mx_c"),
+        min(col("k")).as("mn_k"))
+      .select(expr(s"mn_k div ${KeysPerFile3}L").as("fid"), col("n_rows"),
+        col("mn_a"), col("mx_a"), col("mn_b"), col("mx_b"),
+        col("mn_c"), col("mx_c"),
+        ((col("mx_a") - col("mn_a") + lit(1)) *
+          (col("mx_b") - col("mn_b") + lit(1)) *
+          (col("mx_c") - col("mn_c") + lit(1))).as("bbox_cells"))
+  }
+
+  /** [[files3]] on the Morton key. */
+  def zorder3Files(spark: SparkSession, dir: String): DataFrame =
+    files3(spark, dir, "zorder", qs => zOrderKeyN(qs: _*))
+
+  /** [[files3]] on the Skilling n-D Hilbert walk. */
+  def hilbert3Files(spark: SparkSession, dir: String): DataFrame =
+    files3(spark, dir, "hilbert", qs => hilbertKeyN(GridBits3, qs: _*))
+
   /** Output files the compaction plan targets. */
   val CompactionFiles = 16L
 
@@ -205,6 +302,8 @@ object Layout {
     "layout_zorder3_tiles" -> ((s, d) => zorder3Tiles(s, d)),
     "layout_hilbert_tiles" -> ((s, d) => hilbertTiles(s, d)),
     "layout_hilbert3_tiles" -> ((s, d) => hilbert3Tiles(s, d)),
+    "layout_zorder3_files" -> ((s, d) => zorder3Files(s, d)),
+    "layout_hilbert3_files" -> ((s, d) => hilbert3Files(s, d)),
     "layout_compaction_plan" -> ((s, d) => compactionPlan(s, d)))
 
   /** Bit planes in the Hilbert walk = log2(GridCells) — derived, not
@@ -343,11 +442,7 @@ object Layout {
 
   val oracle: Map[String, String] = Map(
     "layout_hilbert3_tiles" ->
-      s"""WITH b AS (SELECT
-         |    ((epoch_us(ts) // 60000000) % $GridCells3)::BIGINT AS pa,
-         |    (user_id % $GridCells3)::BIGINT AS pb,
-         |    ((length(event_type) * 31 + ascii(event_type)) % $GridCells3)::BIGINT AS pc
-         |  FROM events),
+      s"""WITH b AS ($dims3Sql),
          |$hilbert3Ctes,
          |z AS (SELECT pa, pb, pc,
          |    ((za6 << 2) | (zb6 << 1) | zc6) // $TileKeys3 AS tile FROM u6)
@@ -358,11 +453,7 @@ object Layout {
          |    * (max(pc) - min(pc) + 1) AS bbox_cells
          |FROM z GROUP BY tile ORDER BY tile""".stripMargin,
     "layout_zorder3_tiles" ->
-      s"""WITH b AS (SELECT
-         |    ((epoch_us(ts) // 60000000) % $GridCells3)::BIGINT AS pa,
-         |    (user_id % $GridCells3)::BIGINT AS pb,
-         |    ((length(event_type) * 31 + ascii(event_type)) % $GridCells3)::BIGINT AS pc
-         |  FROM events),
+      s"""WITH b AS ($dims3Sql),
          |$spread3Ctes,
          |z AS (SELECT pa, pb, pc,
          |    (za | (zb << 1) | (zc << 2)) // $TileKeys3 AS tile FROM t6)
@@ -372,6 +463,28 @@ object Layout {
          |  (max(pa) - min(pa) + 1) * (max(pb) - min(pb) + 1)
          |    * (max(pc) - min(pc) + 1) AS bbox_cells
          |FROM z GROUP BY tile ORDER BY tile""".stripMargin,
+    "layout_zorder3_files" ->
+      s"""WITH b AS ($dims3Sql),
+         |$spread3Ctes,
+         |z AS (SELECT pa, pb, pc,
+         |    (za | (zb << 1) | (zc << 2)) // $KeysPerFile3 AS fid FROM t6)
+         |SELECT fid, count(*)::BIGINT AS n_rows,
+         |  min(pa) AS mn_a, max(pa) AS mx_a, min(pb) AS mn_b, max(pb) AS mx_b,
+         |  min(pc) AS mn_c, max(pc) AS mx_c,
+         |  (max(pa) - min(pa) + 1) * (max(pb) - min(pb) + 1)
+         |    * (max(pc) - min(pc) + 1) AS bbox_cells
+         |FROM z GROUP BY fid ORDER BY fid""".stripMargin,
+    "layout_hilbert3_files" ->
+      s"""WITH b AS ($dims3Sql),
+         |$hilbert3Ctes,
+         |z AS (SELECT pa, pb, pc,
+         |    ((za6 << 2) | (zb6 << 1) | zc6) // $KeysPerFile3 AS fid FROM u6)
+         |SELECT fid, count(*)::BIGINT AS n_rows,
+         |  min(pa) AS mn_a, max(pa) AS mx_a, min(pb) AS mn_b, max(pb) AS mx_b,
+         |  min(pc) AS mn_c, max(pc) AS mx_c,
+         |  (max(pa) - min(pa) + 1) * (max(pb) - min(pb) + 1)
+         |    * (max(pc) - min(pc) + 1) AS bbox_cells
+         |FROM z GROUP BY fid ORDER BY fid""".stripMargin,
     "layout_zorder_tiles" ->
       s"""WITH b AS (SELECT (l_partkey % $GridCells)::BIGINT AS pa,
          |    (l_suppkey % $GridCells)::BIGINT AS pb FROM lineitem),

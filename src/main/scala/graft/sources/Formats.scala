@@ -193,6 +193,73 @@ object Formats {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Tile-ALIGNED n-D clustered write over PRE-QUANTIZED long
+    * dimensions: file boundaries sit at multiples of `keysPerFile`
+    * along the curve instead of at sampled row-count cuts. Two
+    * properties the sampled [[writeZOrderedN]] pipeline cannot give:
+    *
+    *  - when `keysPerFile` is a power of 8^k (3-D) / 4^k (2-D), every
+    *    file's key range is an ALIGNED curve block = an exact
+    *    subcube/subsquare of key space, so the per-file min/max
+    *    bounding box is provably ≤ keysPerFile cells — the strongest
+    *    file-skipping statistics a clustered layout can advertise;
+    *  - the row→file assignment is a pure function of the row
+    *    (`curveKey div keysPerFile`) — DETERMINISTIC across runs and
+    *    replayable by any engine, where repartitionByRange's sampled
+    *    boundaries shift with the sample. That replayability is what
+    *    lets a correctness gate hash-match per-file statistics against
+    *    an independent oracle.
+    *
+    * The cost of alignment is occupancy skew (tiles are equal in KEY
+    * space, not row count); the sampled writer balances rows instead.
+    * A lakehouse uses both: aligned tiles for hot dimensions that need
+    * guaranteed pruning bounds, sampled cuts for balanced file sizes.
+    *
+    * One task per tile via an explicit partitioner (partition id =
+    * file id) — the one place a custom RDD partitioner is the right
+    * tool: no DataFrame repartitioning is value-exact (`repartition`
+    * hashes, so two tiles can collide into one task and one FILE,
+    * silently widening that file's bbox past the advertised bound;
+    * `repartitionByRange` samples). Dims must already be in
+    * [0, 2^bits) — quantize upstream (this is the writer a layout
+    * pipeline calls AFTER its grid projection; [[writeZOrderedN]]
+    * owns the raw-double quantize path). Empty tiles write no file. */
+  def writeCurveClusteredAlignedN(df: DataFrame, path: String,
+      dims: Seq[String], bits: Int, keysPerFile: Long,
+      key: Seq[org.apache.spark.sql.Column] => org.apache.spark.sql.Column): Unit = {
+    import org.apache.spark.sql.functions._
+    require(dims.size >= 2, "need at least two clustering columns")
+    require(dims.size * bits <= 63,
+      s"${dims.size} dims × $bits bits exceeds a positive long")
+    val totalKeys = 1L << (dims.size * bits)
+    require(keysPerFile >= 1 && totalKeys % keysPerFile == 0,
+      s"keysPerFile=$keysPerFile must divide the 2^${dims.size * bits}-key space")
+    val nFiles = totalKeys / keysPerFile
+    require(nFiles <= (1L << 20),
+      s"$nFiles aligned tiles — raise keysPerFile (a million-file write " +
+        "is a small-files bug, not a layout)")
+    val spark = df.sparkSession
+    val keyed = df
+      .withColumn("__z", key(dims.map(col)))
+      .withColumn("__fid", expr(s"__z div ${keysPerFile}L"))
+    val schema = keyed.schema
+    val fidIdx = schema.fieldIndex("__fid")
+    val partitioned = keyed.rdd
+      .map(r => (r.getLong(fidIdx), r))
+      .partitionBy(new org.apache.spark.Partitioner {
+        override def numPartitions: Int = nFiles.toInt
+        // dims are required in [0, 2^bits), so fid is in [0, nFiles) by
+        // construction; an out-of-range dim fails here loudly rather
+        // than landing in a wrong file
+        override def getPartition(k: Any): Int = k.asInstanceOf[Long].toInt
+      })
+      .values
+    spark.createDataFrame(partitioned, schema)
+      .sortWithinPartitions("__z")
+      .drop("__z", "__fid")
+      .write.mode("overwrite").parquet(path)
+  }
+
   // the 2-D writers are the N-D pipeline at k = 2 — one quantizer, one
   // NaN discipline, one place to fix either
   private def writeCurveClustered(df: DataFrame, path: String, c1: String,

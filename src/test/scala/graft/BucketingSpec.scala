@@ -128,6 +128,56 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("aligned 3-D writer: one file per aligned tile, exact subcube per file") {
+    import spark.implicits._
+    import graft.sources.Formats
+    import org.apache.spark.sql.graft.ColumnBridge
+    // full 16^3 grid, 64 keys/file (two octant levels -> exact 4x4x4
+    // aligned subcubes): the deterministic writer must land EXACTLY one
+    // aligned tile in each physical file — the contract the
+    // layout_*3_files driver gate hash-matches on the events table
+    val grid = (for (a <- 0 until 16; b <- 0 until 16; c <- 0 until 16)
+      yield (a.toLong, b.toLong, c.toLong)).toDF("a", "b", "c")
+    val dir = Files.createTempDirectory("graft-aligned3")
+    val path = s"$dir/z3a"
+    def zkey(qs: Seq[org.apache.spark.sql.Column]) =
+      ColumnBridge.column(graft.functions.ZOrderN(
+        ColumnBridge.expression(array(qs: _*))))
+    Formats.writeCurveClusteredAlignedN(grid, path, Seq("a", "b", "c"),
+      bits = 4, keysPerFile = 64L, zkey)
+    val boxes = spark.read.parquet(path)
+      .withColumn("k", zkey(Seq(col("a"), col("b"), col("c"))))
+      .groupBy(input_file_name().as("f"))
+      .agg(count(lit(1)).as("n"),
+        min("a").as("a0"), max("a").as("a1"),
+        min("b").as("b0"), max("b").as("b1"),
+        min("c").as("c0"), max("c").as("c1"),
+        min("k").as("k0"), max("k").as("k1"))
+      .collect()
+    assert(boxes.length == 64)
+    boxes.foreach { r =>
+      // exactly one full tile per file, at an aligned key boundary...
+      assert(r.getAs[Long]("n") == 64L, s"file is not one tile: $r")
+      assert(r.getAs[Long]("k0") % 64 == 0 &&
+        r.getAs[Long]("k1") == r.getAs[Long]("k0") + 63,
+        s"unaligned key range: $r")
+      // ...and the bbox is the exact 4-wide subcube, never wider
+      Seq(("a1", "a0"), ("b1", "b0"), ("c1", "c0")).foreach { case (hi, lo) =>
+        assert(r.getAs[Long](hi) - r.getAs[Long](lo) == 3,
+          s"file bbox is not a 4-cube: $r")
+      }
+    }
+    // the 64 files cover the complete disjoint tile set 0..63
+    assert(boxes.map(_.getAs[Long]("k0") / 64).sorted.toSeq == (0L until 64L),
+      "files do not partition the aligned tile set")
+    // a keysPerFile that does not divide the key space is refused —
+    // an unaligned boundary would silently forfeit the subcube bound
+    intercept[IllegalArgumentException] {
+      Formats.writeCurveClusteredAlignedN(grid, s"$dir/bad",
+        Seq("a", "b", "c"), bits = 4, keysPerFile = 100L, zkey)
+    }
+  }
+
   test("zorder3 and hilbert3 tiles: aligned 4096-key blocks are exact 16x16x16 cubes") {
     // 4096 = 8^4 — four octant-subdivision levels of EITHER curve, so
     // aligned blocks are exact subcubes on both walks
