@@ -57,7 +57,7 @@ object StreamV1V2 {
         engine: org.apache.spark.sql.DataFrame => org.apache.spark.sql.Dataset[graft.model.RunningBar]): Long =
       withConfs(confs) {
         Bench.replayRate(spark, Bench.WarmupN, engine) // warmup, discarded
-        val s = Bench.samples3(Bench.replayRate(spark, Bench.StreamN, engine))
+        val s = Bench.samples3(Bench.replayRate(spark, Bench.StreamN, engine).rate)
         println(f"V1V2 $label%-26s ${s(1)}%7d ev/s (min ${s.head}, max ${s.last})")
         s(1)
       }
