@@ -74,6 +74,7 @@ object Scaling {
     "pipeline_gate_cuts",    // gate-cut derivation: train + score + hist
     "sim_kcenter_assign",    // greedy K seeds + broadcast assignment
     "layout_zorder3_tiles",  // 3-D curve-key scan + tile agg
+    "layout_zorder3_files",  // aligned clustered WRITE + per-file stats
     "rollover_monitor_tick") // monitor poll under a corpus-scaled log
 
   /** Non-query probes: operational paths whose growth matters but
