@@ -15,6 +15,8 @@ import org.apache.spark.sql.functions._
   */
 object StreamBreakdown {
 
+  private val ckptN = new java.util.concurrent.atomic.AtomicInteger(0)
+
   private def genTrades(n: Int): Seq[graft.model.Trade] = {
     import graft.model.Trade
     val rnd = new scala.util.Random(42)
@@ -87,7 +89,12 @@ object StreamBreakdown {
       val df = build(
         StreamingOhlcv.withEventTime(trades.toDS(), "5 seconds"),
         StreamJoins.quotesWithEventTime(quotes.toDS(), "5 seconds"))
-      val q = df.writeStream.format("noop").outputMode("append").start()
+      // same pinned-fast-storage discipline as Bench.StreamCkptRoot: a
+      // per-stage attribution run must not let disk-backed temp
+      // checkpoint dirs impersonate stage cost (the r13 collapse class)
+      val ckpt = s"${Bench.StreamCkptRoot}/bd${ckptN.incrementAndGet()}"
+      val q = df.writeStream.format("noop").outputMode("append")
+        .option("checkpointLocation", ckpt).start()
       try {
         val t0 = System.nanoTime()
         q.processAllAvailable()
@@ -102,7 +109,10 @@ object StreamBreakdown {
             println(f"    op=${so.operatorName}%-34s rowsTotal=${so.numRowsTotal}%8d updated=${so.numRowsUpdated}%8d mem=${so.memoryUsedBytes / 1024}%8d KiB commit=${so.commitTimeMs}%6d ms")
         }
         rate
-      } finally q.stop()
+      } finally {
+        q.stop()
+        Bench.deleteRecursively(ckpt)
+      }
     }
 
     // SPARK_GRAFT_BREAKDOWN_STAGES: comma-separated stage-name prefixes

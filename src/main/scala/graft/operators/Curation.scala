@@ -132,6 +132,44 @@ object Curation {
       .select(col("doc_id"), col("lang"), col("u"))
   }
 
+  /** Documents drawn under the temperature mixture per
+    * [[temperatureMix]] report (the expected_docs budget). */
+  val MixBudget = 10000L
+
+  /** Temperature-scaled language mixture weights — the multilingual
+    * sampling rebalance of mT5/XLM-R-style corpora: raw language share
+    * p_l = n_l/N is flattened to w_l ∝ p_l^α before normalizing, so
+    * head languages stop drowning the tail without inverting the
+    * ranking. Ships at α = 1/2 via `sqrt`: IEEE 754 REQUIRES sqrt
+    * correctly rounded, so the flattened weight is bit-identical in
+    * any engine — the one exponent in the α family that keeps this
+    * report inside the repo's exact-oracle discipline (a general
+    * exp(α·ln p) chain would stake the hash gate on two engines' libm
+    * agreeing to the last bit). [[strataRates]] is the hand-tuned
+    * per-language knob; this derives the knob from the data.
+    *
+    * The weight normalizer Σw folds in lang-sorted index order
+    * (float addition is not associative; a plain sum's partial-merge
+    * order is nondeterministic), matching the oracle's ordered
+    * list_reduce. Scale shape: one map-side-combined count per
+    * language, then all arithmetic on the |langs|-row frame. */
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val tot = counts.agg(sum(col("n_docs")).as("total"))
+    val raw = counts.crossJoin(broadcast(tot))
+      .withColumn("w", sqrt(col("n_docs").cast("double") / col("total")))
+    val wsum = raw
+      .agg(array_sort(collect_list(struct(col("lang"), col("w")))).as("ws"))
+      .select(aggregate(col("ws"), lit(0.0),
+        (acc, e) => acc + e.getField("w")).as("wsum"))
+    raw.crossJoin(broadcast(wsum))
+      .select(col("lang"), col("n_docs"),
+        round(col("w") / col("wsum") * 1e6, 0).cast("long").as("weight_micro"),
+        round(col("w") / col("wsum") * MixBudget, 0).cast("long")
+          .as("expected_docs"))
+  }
+
   /** Deterministic train/val/test split (80/10/10 by hash): the same
     * document lands in the same split on every run, every engine, every
     * cluster — the property rand() splits silently lose on retry. */
@@ -964,6 +1002,7 @@ object Curation {
     "text_scrub" -> ((s, d) => scrubPii(s, d)),
     "sample_hash" -> ((s, d) => sampleHash(s, d)),
     "sample_stratified" -> ((s, d) => sampleStratified(s, d)),
+    "curation_temperature_mix" -> ((s, d) => temperatureMix(s, d)),
     "sample_splits" -> ((s, d) => assignSplits(s, d)),
     "pack_sequences" -> ((s, d) => packSequences(s, d)),
     "text_chunk_stride" -> ((s, d) => chunkStride(s, d)),
@@ -1190,6 +1229,20 @@ object Curation {
          |WHERE $sqlU < CASE lang WHEN 'en' THEN 0.25 WHEN 'es' THEN 0.5
          |  WHEN 'de' THEN 0.75 WHEN 'fr' THEN 1.0 WHEN 'zh' THEN 1.0 ELSE 1.0 END
          |ORDER BY doc_id""".stripMargin,
+    // sqrt is correctly rounded by IEEE mandate in both engines; the
+    // Σw normalizer folds in lang order exactly like the engine's
+    // array_sort + aggregate
+    "curation_temperature_mix" ->
+      s"""WITH c AS (SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY 1),
+         |t AS (SELECT sum(n_docs)::BIGINT AS total FROM c),
+         |rw AS (SELECT lang, n_docs,
+         |    sqrt(n_docs::DOUBLE / total::DOUBLE) AS w FROM c, t),
+         |s AS (SELECT list_reduce(list_prepend(0.0::DOUBLE, list(w ORDER BY lang)),
+         |    (a, v) -> a + v) AS wsum FROM rw)
+         |SELECT lang, n_docs,
+         |  CAST(round(w / wsum * 1000000, 0) AS BIGINT) AS weight_micro,
+         |  CAST(round(w / wsum * $MixBudget, 0) AS BIGINT) AS expected_docs
+         |FROM rw, s ORDER BY lang""".stripMargin,
     "sample_splits" ->
       s"""SELECT doc_id, lang,
          |  CASE WHEN $sqlU < 0.8 THEN 'train'

@@ -261,6 +261,44 @@ object Layout {
   def zorder3Files(spark: SparkSession, dir: String): DataFrame =
     files3(spark, dir, "zorder", qs => zOrderKeyN(qs: _*))
 
+  /** Keys per file for the 2-D aligned clustered write: 4^8, so the
+    * 1024² lineitem grid lands in 16 files and every file's key range
+    * is an aligned block of eight quadrant-recursion levels — an exact
+    * 256×256 subsquare. */
+  val KeysPerFile2 = 65536L
+
+  /** 2-D twin of [[files3]] over the lineitem (l_partkey, l_suppkey)
+    * grid on the native ZOrder2 key — same write-path contract, same
+    * content-derived file labeling, same DuckDB replay (the spreadCtes
+    * interleave that already gates the tile math). */
+  def zorder2Files(spark: SparkSession, dir: String): DataFrame = {
+    val key = (qs: Seq[Column]) => zOrderKey(qs(0), qs(1))
+    val path = files3Paths(spark, s"$dir#zorder2") {
+      val p = s"${sys.props("java.io.tmpdir")}/graft-layout2files-zorder-" +
+        s"${ProcessHandle.current().pid()}-" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      graft.sources.Formats.writeCurveClusteredAlignedN(
+        Tables.lineitem(spark, dir)
+          .select(pmod(col("l_partkey"), lit(GridCells)).as("pa"),
+            pmod(col("l_suppkey"), lit(GridCells)).as("pb")),
+        p, Seq("pa", "pb"),
+        java.lang.Long.numberOfTrailingZeros(GridCells), KeysPerFile2, key)
+      p
+    }
+    spark.read.parquet(path)
+      .withColumn("k", key(Seq(col("pa"), col("pb"))))
+      .withColumn("f", input_file_name())
+      .groupBy(col("f"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("pa")).as("mn_a"), max(col("pa")).as("mx_a"),
+        min(col("pb")).as("mn_b"), max(col("pb")).as("mx_b"),
+        min(col("k")).as("mn_k"))
+      .select(expr(s"mn_k div ${KeysPerFile2}L").as("fid"), col("n_rows"),
+        col("mn_a"), col("mx_a"), col("mn_b"), col("mx_b"),
+        ((col("mx_a") - col("mn_a") + lit(1)) *
+          (col("mx_b") - col("mn_b") + lit(1))).as("bbox_cells"))
+  }
+
   /** [[files3]] on the Skilling n-D Hilbert walk. */
   def hilbert3Files(spark: SparkSession, dir: String): DataFrame =
     files3(spark, dir, "hilbert", qs => hilbertKeyN(GridBits3, qs: _*))
@@ -304,6 +342,7 @@ object Layout {
     "layout_hilbert3_tiles" -> ((s, d) => hilbert3Tiles(s, d)),
     "layout_zorder3_files" -> ((s, d) => zorder3Files(s, d)),
     "layout_hilbert3_files" -> ((s, d) => hilbert3Files(s, d)),
+    "layout_zorder2_files" -> ((s, d) => zorder2Files(s, d)),
     "layout_compaction_plan" -> ((s, d) => compactionPlan(s, d)))
 
   /** Bit planes in the Hilbert walk = log2(GridCells) — derived, not
@@ -484,6 +523,15 @@ object Layout {
          |  min(pc) AS mn_c, max(pc) AS mx_c,
          |  (max(pa) - min(pa) + 1) * (max(pb) - min(pb) + 1)
          |    * (max(pc) - min(pc) + 1) AS bbox_cells
+         |FROM z GROUP BY fid ORDER BY fid""".stripMargin,
+    "layout_zorder2_files" ->
+      s"""WITH b AS (SELECT (l_partkey % $GridCells)::BIGINT AS pa,
+         |    (l_suppkey % $GridCells)::BIGINT AS pb FROM lineitem),
+         |$spreadCtes,
+         |z AS (SELECT pa, pb, (za | (zb << 1)) // $KeysPerFile2 AS fid FROM s5)
+         |SELECT fid, count(*)::BIGINT AS n_rows,
+         |  min(pa) AS mn_a, max(pa) AS mx_a, min(pb) AS mn_b, max(pb) AS mx_b,
+         |  (max(pa) - min(pa) + 1) * (max(pb) - min(pb) + 1) AS bbox_cells
          |FROM z GROUP BY fid ORDER BY fid""".stripMargin,
     "layout_zorder_tiles" ->
       s"""WITH b AS (SELECT (l_partkey % $GridCells)::BIGINT AS pa,

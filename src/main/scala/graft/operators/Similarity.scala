@@ -285,6 +285,47 @@ object Similarity {
       IvfTopK)
   }
 
+  /** Cells probed per query by the multi-probe learned-IVF search. */
+  val IvfProbes = 3
+
+  /** Multi-probe search on the LEARNED coarse quantizer — the standard
+    * recall knob of a production IVF index (FAISS nprobe): a query
+    * vector near a Voronoi boundary has true neighbors in the adjacent
+    * cell that single-probe [[topKIvfKmeans]] never scans, so each
+    * query probes its [[IvfProbes]] NEAREST cells instead of one.
+    * Cell ranking reuses argminCell's exact arithmetic — dist =
+    * |c|² − 2⟨q,c⟩ with the |q|² term dropped identically, ties to the
+    * lowest cell — as an `array_sort` over the C scored structs in the
+    * scan projection (no window, no shuffle; rank 1 is the argmin
+    * cell, so multi-probe strictly supersets single-probe candidates).
+    * The probe fan-out rides the broadcast side (queries × nprobe
+    * rows); the corpus still never shuffles and is hash-pruned to
+    * ~nprobe/C of its rows before any cosine is computed — the same
+    * shape as [[topKLsh]]'s Hamming-1 multi-probe, here on the owned
+    * quantizer where cell geometry (not bucket bit-flips) picks the
+    * probes. */
+  def topKIvfMultiprobe(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.dotProduct
+    val assigned = coarseAssigned(spark, dir)
+    val cents = coarseCentroids(spark, dir)
+    val scored = cents.map { case (cid, cv) =>
+      struct(
+        (lit(selfDot(cv)) - lit(2.0) * dotProduct(col("qv"), typedlit(cv))).as("dist"),
+        lit(cid).as("cell"))
+    }
+    val probes = slice(array_sort(array(scored.toIndexedSeq: _*)), 1, IvfProbes)
+    val q = assigned.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .select(col("query_id"), col("qv"), explode(probes).as("p"))
+      .select(col("query_id"), col("qv"), col("p.cell").as("cell"))
+    topKPerQuery(
+      broadcast(q).join(assigned, Seq("cell"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          cosineSim(col("qv"), col("embedding")).as("cosine")),
+      IvfTopK)
+  }
+
   // ------------------------------------------------ product quantization
 
   /** PQ geometry: 64-dim embeddings split into 4 subspaces of 16 dims;
@@ -1677,6 +1718,7 @@ object Similarity {
     "sim_topk_bruteforce" -> ((s, d) => topKBruteForce(s, d)),
     "sim_topk_ivf" -> ((s, d) => topKIvf(s, d)),
     "sim_topk_ivf_kmeans" -> ((s, d) => topKIvfKmeans(s, d)),
+    "sim_topk_ivf_multiprobe" -> ((s, d) => topKIvfMultiprobe(s, d)),
     "sim_topk_lsh" -> ((s, d) => topKLsh(s, d)),
     "sim_topk_pq" -> ((s, d) => topKPq(s, d)),
     "sim_hard_negatives" -> ((s, d) => hardNegatives(s, d)))
@@ -2381,6 +2423,40 @@ object Similarity {
          |cand AS (SELECT query_id, a.vec_id,
          |    ${cosSql("qv", "a.embedding")} AS cosine
          |  FROM q JOIN af a USING (cell) WHERE a.vec_id <> query_id),
+         |r AS (SELECT query_id, vec_id, cosine,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rnk
+         |  FROM cand)
+         |SELECT query_id, rnk, vec_id, cosine FROM r WHERE rnk <= $IvfTopK
+         |ORDER BY query_id, rnk""".stripMargin,
+    // The coarse chain again, then per query EVERY cell ranked by the
+    // same dropped-|q|² distance with ties to the lowest cell (the
+    // engine's array_sort over struct(dist, cell) is this row_number),
+    // top IvfProbes cells probed, cell-local cosine top-k.
+    "sim_topk_ivf_multiprobe" ->
+      s"""WITH kmnz AS (SELECT vec_id, embedding FROM embeddings
+         |  WHERE list_reduce(list_prepend(0.0::DOUBLE,
+         |      list_transform(range(1, len(embedding) + 1),
+         |        k -> embedding[k]::DOUBLE * embedding[k]::DOUBLE)), (a, v) -> a + v) > 0),
+         |c0 AS (SELECT vec_id::INT AS cell,
+         |    list_transform(embedding, x -> x::DOUBLE) AS cv
+         |  FROM kmnz WHERE vec_id < $KMeansCells),
+         |a1 AS (${kmAssignCte("c0")}),
+         |c1 AS (${kmCentCte("a1")}),
+         |a2 AS (${kmAssignCte("c1")}),
+         |c2 AS (${kmCentCte("a2")}),
+         |af AS (${kmAssignCte("c2")}),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv FROM kmnz
+         |  WHERE vec_id < $NumQueries),
+         |pr AS (SELECT query_id, qv, cell FROM (
+         |    SELECT q.query_id, q.qv, c.cell,
+         |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |        ${kmDotSql("c.cv", "c.cv")} - 2.0 * ${kmDotSql("q.qv", "c.cv")},
+         |        c.cell) AS rn
+         |    FROM q, c2 c)
+         |  WHERE rn <= $IvfProbes),
+         |cand AS (SELECT p.query_id, a.vec_id,
+         |    ${cosSql("p.qv", "a.embedding")} AS cosine
+         |  FROM pr p JOIN af a USING (cell) WHERE a.vec_id <> p.query_id),
          |r AS (SELECT query_id, vec_id, cosine,
          |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rnk
          |  FROM cand)

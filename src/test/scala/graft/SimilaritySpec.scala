@@ -167,6 +167,38 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("multi-probe IVF recall dominates single-probe per query") {
+    // candidates(single) ⊆ candidates(multi) — the argmin cell is probe
+    // rank 1 — and any true-top-k member in a candidate set ranks ≤ k
+    // there (at most k−1 vectors beat it ANYWHERE), so per-query hits
+    // vs the exact truth can only grow with probes
+    val truth = Similarity.topKBruteForce(spark, sf0001)
+      .filter(col("rnk") <= Similarity.IvfTopK)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    def hits(df: org.apache.spark.sql.DataFrame): Map[Long, Int] = df
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+      .filter(truth).groupBy(_._1).view.mapValues(_.length).toMap
+      .withDefaultValue(0)
+    val single = hits(Similarity.topKIvfKmeans(spark, sf0001))
+    val multi = hits(Similarity.topKIvfMultiprobe(spark, sf0001))
+    val queries = Similarity.topKIvfMultiprobe(spark, sf0001)
+      .select("query_id").as[Long].collect().distinct
+    assert(queries.nonEmpty)
+    queries.foreach(q => assert(multi(q) >= single(q),
+      s"query $q: multi-probe hits ${multi(q)} < single-probe ${single(q)}"))
+    // and the cosines it reports are the exact ones (no quantized scores)
+    val bf = Similarity.topKBruteForce(spark, sf0001)
+      .select("query_id", "vec_id", "cosine").as[(Long, Long, Double)]
+      .collect().map(t => (t._1, t._2) -> t._3).toMap
+    Similarity.topKIvfMultiprobe(spark, sf0001)
+      .select("query_id", "vec_id", "cosine").as[(Long, Long, Double)]
+      .collect().foreach { case (q, v, c) =>
+        bf.get((q, v)).foreach(b =>
+          assert(java.lang.Double.doubleToLongBits(b) ==
+            java.lang.Double.doubleToLongBits(c)))
+      }
+  }
+
   test("IVF-PQ is well-formed and agrees with plain PQ on shared pairs") {
     import graft.operators.Similarity
     val ivfpq = Similarity.topKIvfPq(spark, sf001).collect()
