@@ -1665,15 +1665,20 @@ object Similarity {
       topKBruteForce(spark, dir).filter(col("rnk") <= IvfTopK)
         .select(col("query_id"), col("vec_id")).localCheckpoint())
 
-  /** Recall audit of the compressed-index family against the exact
-    * ranking — THE operational question a deployed ANN service answers
-    * before shipping an index build (the Similarity-tier twin of
-    * dedup_lsh_tuning): per query and per method (flat PQ, IVF-PQ,
-    * IVF-PQ+rerank), how many of the true top-k survive? All three
-    * methods read their memoized ADC frames and the truth side reads
-    * the memoized [[exactTruthTopK]] frame, so the audit costs the
-    * four bounded rankings plus two tiny joins — neither training nor
-    * the ground-truth scan is ever re-paid. */
+  /** Recall audit of the ANN family against the exact ranking — THE
+    * operational question a deployed ANN service answers before
+    * shipping an index build (the Similarity-tier twin of
+    * dedup_lsh_tuning): per query and per method, how many of the
+    * true top-k survive? Five legs span the two ways an index trades
+    * recall: COMPRESSION (flat PQ, IVF-PQ, IVF-PQ+rerank — quantized
+    * scores on full or pruned candidate sets) and PRUNING (IVF single-
+    * probe, IVF multi-probe — exact scores on cell-restricted sets),
+    * so one report answers both "what does quantization lose" and
+    * "what does one more probe buy back". Every leg reads memoized
+    * generation artifacts (ADC frames, the coarse assignment) and the
+    * truth side reads the memoized [[exactTruthTopK]] frame, so the
+    * audit costs bounded rankings plus two tiny joins — neither
+    * training nor the ground-truth scan is ever re-paid. */
   def pqRecallReport(spark: SparkSession, dir: String): DataFrame = {
     val truth = exactTruthTopK(spark, dir)
     def leg(m: String, df: DataFrame) =
@@ -1681,6 +1686,8 @@ object Similarity {
     val legs = leg("pq", topKPq(spark, dir))
       .union(leg("ivfpq", topKIvfPq(spark, dir)))
       .union(leg("ivfpq_rerank", topKIvfPqRerank(spark, dir)))
+      .union(leg("ivf", topKIvfKmeans(spark, dir)))
+      .union(leg("ivf_multiprobe", topKIvfMultiprobe(spark, dir)))
     val hits = legs.join(truth, Seq("query_id", "vec_id"), "left_semi")
       .groupBy(col("method"), col("query_id"))
       .agg(count(lit(1)).as("n_hits"))
@@ -2122,9 +2129,32 @@ object Similarity {
          |bt AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
          |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rnk
          |  FROM bsc) WHERE rnk <= $IvfTopK),
+         |ivc AS (SELECT qv.query_id, a.vec_id,
+         |    ${cosSql("qv.qvec", "a.embedding")} AS cosine
+         |  FROM qv JOIN af qa ON qa.vec_id = qv.query_id
+         |  JOIN af a ON a.cell = qa.cell AND a.vec_id <> qv.query_id),
+         |ivr2 AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rnk
+         |  FROM ivc) WHERE rnk <= $IvfTopK),
+         |mpp AS (SELECT query_id, cell FROM (
+         |    SELECT qv.query_id, c.cell,
+         |      row_number() OVER (PARTITION BY qv.query_id ORDER BY
+         |        ${kmDotSql("c.cv", "c.cv")} - 2.0 * ${kmDotSql("qv.qvec", "c.cv")},
+         |        c.cell) AS rn
+         |    FROM qv JOIN af qa ON qa.vec_id = qv.query_id, c2 c)
+         |  WHERE rn <= $IvfProbes),
+         |mpc AS (SELECT p.query_id, a.vec_id,
+         |    ${cosSql("qv.qvec", "a.embedding")} AS cosine
+         |  FROM mpp p JOIN af a USING (cell)
+         |  JOIN qv ON qv.query_id = p.query_id WHERE a.vec_id <> p.query_id),
+         |mpr AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rnk
+         |  FROM mpc) WHERE rnk <= $IvfTopK),
          |legs AS (SELECT 'pq' AS method, query_id, vec_id FROM pqr
          |  UNION ALL SELECT 'ivfpq', query_id, vec_id FROM ivfr
-         |  UNION ALL SELECT 'ivfpq_rerank', query_id, vec_id FROM rrr),
+         |  UNION ALL SELECT 'ivfpq_rerank', query_id, vec_id FROM rrr
+         |  UNION ALL SELECT 'ivf', query_id, vec_id FROM ivr2
+         |  UNION ALL SELECT 'ivf_multiprobe', query_id, vec_id FROM mpr),
          |hits AS (SELECT method, query_id, count(*)::BIGINT AS n_hits
          |  FROM legs JOIN bt USING (query_id, vec_id) GROUP BY 1, 2),
          |base AS (SELECT method, query_id, count(*)::BIGINT AS n_ranked
