@@ -137,6 +137,35 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("temperature mix flattens the language distribution without reordering it") {
+    val rows = Curation.temperatureMix(spark, sf001)
+      .select("lang", "n_docs", "weight_micro", "expected_docs")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length >= 2)
+    // weights form a distribution (micro units; rounding slack ±|langs|)
+    val wsum = rows.map(_._3).sum
+    assert(math.abs(wsum - 1000000L) <= rows.length,
+      s"weights sum to $wsum micro")
+    val budget = rows.map(_._4).sum
+    assert(math.abs(budget - Curation.MixBudget) <= rows.length)
+    // order-preserving: more docs never means a smaller weight
+    rows.sortBy(_._2).sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 <= b._3, s"weight order inverted: $a vs $b")
+    }
+    // flattening: the head/tail weight ratio is strictly tamer than the
+    // head/tail count ratio (that is what α < 1 is FOR)
+    val byN = rows.sortBy(_._2)
+    val (tail, head) = (byN.head, byN.last)
+    assert(head._2 > tail._2, "fixture should have imbalanced languages")
+    val countRatio = head._2.toDouble / tail._2
+    val weightRatio = head._3.toDouble / tail._3
+    assert(weightRatio < countRatio,
+      s"weights not flattened: $weightRatio vs counts $countRatio")
+    // α = 1/2 exactly: weight ratio ≈ sqrt(count ratio)
+    assert(math.abs(weightRatio - math.sqrt(countRatio)) < 0.01 * weightRatio)
+  }
+
   test("repetition fractions are in [0,1] and the flag matches the thresholds") {
     val rows = Curation.repetitionStats(spark, sf0001)
       .select("top2gram_frac", "dup3gram_frac", "repetitive").collect()
