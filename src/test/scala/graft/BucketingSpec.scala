@@ -176,6 +176,35 @@ class BucketingSpec extends SparkSpec {
       Formats.writeCurveClusteredAlignedN(grid, s"$dir/bad",
         Seq("a", "b", "c"), bits = 4, keysPerFile = 100L, zkey)
     }
+    // the Hilbert walk holds the identical contract: aligned 64-key
+    // (= 8^2, two octant levels) blocks are exact 4x4x4 subcubes on
+    // Skilling's curve too, so the same writer + keysPerFile gives the
+    // same one-tile-per-file layout under the other key
+    def hkey(qs: Seq[org.apache.spark.sql.Column]) =
+      ColumnBridge.column(graft.functions.HilbertN(
+        ColumnBridge.expression(array(qs: _*)), 4))
+    val hPath = s"$dir/h3a"
+    Formats.writeCurveClusteredAlignedN(grid, hPath, Seq("a", "b", "c"),
+      bits = 4, keysPerFile = 64L, hkey)
+    val hBoxes = spark.read.parquet(hPath)
+      .withColumn("k", hkey(Seq(col("a"), col("b"), col("c"))))
+      .groupBy(input_file_name().as("f"))
+      .agg(count(lit(1)).as("n"),
+        min("a").as("a0"), max("a").as("a1"),
+        min("b").as("b0"), max("b").as("b1"),
+        min("c").as("c0"), max("c").as("c1"),
+        min("k").as("k0"), max("k").as("k1"))
+      .collect()
+    assert(hBoxes.length == 64)
+    hBoxes.foreach { r =>
+      assert(r.getAs[Long]("n") == 64L && r.getAs[Long]("k0") % 64 == 0 &&
+        r.getAs[Long]("k1") == r.getAs[Long]("k0") + 63,
+        s"hilbert file is not one aligned tile: $r")
+      Seq(("a1", "a0"), ("b1", "b0"), ("c1", "c0")).foreach { case (hi, lo) =>
+        assert(r.getAs[Long](hi) - r.getAs[Long](lo) == 3,
+          s"hilbert file bbox is not a 4-cube: $r")
+      }
+    }
   }
 
   test("zorder3 and hilbert3 tiles: aligned 4096-key blocks are exact 16x16x16 cubes") {
