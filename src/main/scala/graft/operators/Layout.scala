@@ -204,10 +204,47 @@ object Layout {
     * curve) — the files gate reads a real on-disk layout, and the
     * write is a generation artifact exactly like a persisted index
     * (Bench's repeat samples re-read, never re-write). The path is
-    * pid-scoped: it needs no cross-run determinism (the gate's OUTPUT
-    * derives every value from file CONTENT, never from paths), and
-    * two concurrent JVMs must not overwrite each other mid-read. */
+    * pid-scoped AND session-token-scoped: it needs no cross-run
+    * determinism (the gate's OUTPUT derives every value from file
+    * CONTENT, never from paths); pid keeps concurrent JVMs apart, and
+    * the session token keeps a SECOND SparkSession in the same JVM
+    * from mode("overwrite")-rewriting the exact path the first
+    * session's memo still re-reads mid-aggregation. Every written
+    * root is swept by one JVM shutdown hook — without it each
+    * (pid, session) accumulates a full grid copy in java.io.tmpdir. */
   private val files3Paths = new SessionDirMemo[String]
+
+  private val writtenLayoutRoots =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val layoutSweepHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      writtenLayoutRoots.forEach { dir =>
+        try {
+          val root = java.nio.file.Paths.get(dir)
+          if (java.nio.file.Files.exists(root)) {
+            val stream = java.nio.file.Files.walk(root)
+            try {
+              import scala.jdk.CollectionConverters._
+              stream.sorted(java.util.Comparator.reverseOrder())
+                .iterator().asScala
+                .foreach(p => java.nio.file.Files.deleteIfExists(p))
+            } finally stream.close()
+          }
+        } catch { case scala.util.control.NonFatal(_) => () }
+      }
+    }))
+
+  /** Session-unique path component + exit-sweep registration for a
+    * written-layout root. */
+  private def layoutRoot(spark: SparkSession, stem: String, dir: String): String = {
+    layoutSweepHook
+    val p = s"${sys.props("java.io.tmpdir")}/$stem-" +
+      s"${ProcessHandle.current().pid()}-" +
+      s"s${Integer.toHexString(System.identityHashCode(spark))}-" +
+      dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    writtenLayoutRoots.add(p)
+    p
+  }
 
   /** Per-FILE statistics of a tile-aligned 3-D-clustered physical
     * write of the events grid — the driver-gate proof that
@@ -232,9 +269,7 @@ object Layout {
   private def files3(spark: SparkSession, dir: String, curve: String,
       key: Seq[Column] => Column): DataFrame = {
     val path = files3Paths(spark, s"$dir#$curve") {
-      val p = s"${sys.props("java.io.tmpdir")}/graft-layout3files-$curve-" +
-        s"${ProcessHandle.current().pid()}-" +
-        dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val p = layoutRoot(spark, s"graft-layout3files-$curve", dir)
       graft.sources.Formats.writeCurveClusteredAlignedN(
         dims3(spark, dir), p, Seq("pa", "pb", "pc"), GridBits3,
         KeysPerFile3, key)
@@ -274,9 +309,7 @@ object Layout {
   def zorder2Files(spark: SparkSession, dir: String): DataFrame = {
     val key = (qs: Seq[Column]) => zOrderKey(qs(0), qs(1))
     val path = files3Paths(spark, s"$dir#zorder2") {
-      val p = s"${sys.props("java.io.tmpdir")}/graft-layout2files-zorder-" +
-        s"${ProcessHandle.current().pid()}-" +
-        dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val p = layoutRoot(spark, "graft-layout2files-zorder", dir)
       graft.sources.Formats.writeCurveClusteredAlignedN(
         Tables.lineitem(spark, dir)
           .select(pmod(col("l_partkey"), lit(GridCells)).as("pa"),
