@@ -378,6 +378,28 @@ object Ohlcv {
       .orderBy(col("window_start"), col("event_type"))
   }
 
+  /** The STREAMING cascade operator (StreamingOhlcv.cascadeBars —
+    * stacked windowed aggregations, coarse stage fed by `window_time`
+    * of the fine stage) replayed over the batch events frame and
+    * hash-matched against the direct 5-minute oracle. This gates the
+    * reference's dual-resolution invariant
+    * (/root/reference/old/flink.py:42-67: five 1-min bars fold into
+    * one 5-min bar) at the driver gate by running the EXACT operator
+    * the stream runs — not the batch `rollup` twin, which
+    * `ohlcv_5m_rollup` already gates. A batch plan over the same
+    * stacked-window expressions is semantically the streaming query
+    * minus watermarking, so DuckDB parity here proves the fold algebra
+    * the StreamingSpec can only property-check. */
+  def bars5mCascade(spark: SparkSession, dir: String): DataFrame = {
+    val trades = Tables.events(spark, dir)
+      .select(col("ts"), col("event_type").as("product"),
+        col("value").as("price"), lit(1L).as("qty"), col("event_id"))
+    graft.streaming.StreamingOhlcv
+      .cascadeBars(trades, "1 minute", "5 minutes", tiebreak = col("event_id"))
+      .withColumnRenamed("product", "event_type")
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
   /** Formatted string bars — the reference's JSON/strftime output edge
     * (/root/reference/3_ohlc.py:69-77): epoch → "yyyy-MM-dd HH:mm:ss". */
   def barsFormatted(spark: SparkSession, dir: String): DataFrame =
@@ -465,6 +487,7 @@ object Ohlcv {
     "ohlcv_2m1m_hopping" -> ((s, d) => bars2m1mHopping(s, d)),
     "ohlcv_1h_by_user" -> ((s, d) => bars1hByUser(s, d)),
     "ohlcv_5m_rollup" -> ((s, d) => bars5mFrom1m(s, d)),
+    "ohlcv_5m_from_1m" -> ((s, d) => bars5mCascade(s, d)),
     "ohlcv_formatted" -> ((s, d) => barsFormatted(s, d)))
 
   // ONE oracle string per distinct result shape — four query paths
@@ -595,6 +618,8 @@ object Ohlcv {
         |       count(*)::BIGINT AS volume
         |FROM events GROUP BY 1, 2, 3, 4 ORDER BY 1, 3, 4""".stripMargin,
     "ohlcv_5m_rollup" ->
+      fiveMinuteOracle,
+    "ohlcv_5m_from_1m" ->
       fiveMinuteOracle,
     "ohlcv_formatted" ->
       """SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS time,

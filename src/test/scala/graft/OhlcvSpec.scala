@@ -143,6 +143,20 @@ class OhlcvSpec extends SparkSpec {
     assert(direct.exceptAll(rolled).isEmpty && rolled.exceptAll(direct).isEmpty)
   }
 
+  test("bar-of-bars: the streaming cascade operator on a batch frame equals direct 5m bars") {
+    // the EXACT stacked-window operator the stream runs (window_time
+    // feed, min_by/max_by over fine_start) — same algebra the
+    // ohlcv_5m_from_1m driver gate hash-matches against DuckDB
+    val trades = (0 until 600).map { i =>
+      Trade(i * 997L, s"i$i", s"P${i % 3}", (i * 7919 % 100).toDouble, i % 10 + 1)
+    }
+    val df = trades.toDF().withColumn("ts", timestamp_millis(col("timestamp")))
+    val direct = tradeBars(trades, "5 minutes")
+    val cascaded = graft.streaming.StreamingOhlcv
+      .cascadeBars(df, "1 minute", "5 minutes", tiebreak = col("instrument_id"))
+    assert(direct.exceptAll(cascaded).isEmpty && cascaded.exceptAll(direct).isEmpty)
+  }
+
   test("gap-fill emits a dense per-key minute series carrying the previous close") {
     import org.apache.spark.sql.functions._
     val rows = graft.operators.Ohlcv.bars1mGapFill(spark, sf0001).collect()
