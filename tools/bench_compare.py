@@ -1,0 +1,102 @@
+#!/usr/bin/env python3
+"""Band-aware cross-round bench comparator.
+
+Usage: python3 tools/bench_compare.py <old BENCH.out.json> [<old2> ...] <new BENCH.out.json>
+
+With several old artifacts, each query's reference is the MAX of its
+old medians — a regression is only a regression if it is slower than
+EVERY recent round, which keeps one outlier-fast past draw (e.g. the
+r14 close's sim_topk_* family, 30% under both its neighbors) from
+minting findings against a normal present (the exact failure mode the
+r14→r15 judge hand-adjudicated).
+
+Encodes the r15 adjudication discipline (STREAM_AB_r15.md, SURVEY §10)
+so a round-over-round delta is only reported as a FINDING when it
+clears the measured same-day noise band; everything else is listed as
+inside-band drift. Rules:
+
+- batch query: flagged when new/old > 1.3 AND (new-old) > 0.15 s AND
+  the new artifact's own warm figure (if present) does not refute it
+  (warm <= 1.1x the old cold median = refuted: the regression is not
+  reproducible within the very run that reported it).
+- queries in the new artifact's queries_contended list are excluded
+  (its own canary says the host was contended for their block group).
+- streaming engine: flagged when the medians differ by >15% AND the
+  sample bands do not overlap (old min..max vs new min..max).
+
+Dev/judge tool only (driver-side python); the shipped library never
+uses it.
+"""
+import json
+import sys
+
+STREAM_KEYS = {
+    "v1": "streaming_events_per_sec",
+    "v1_rocksdb": "streaming_v1rocksdb_events_per_sec",
+    "v2": "streaming_v2_events_per_sec",
+    "composed": "streaming_composed_events_per_sec",
+    "lateness": "streaming_lateness_events_per_sec",
+}
+
+
+def main(old_paths, new_path):
+    olds = [json.load(open(p)) for p in old_paths]
+    old = olds[-1]  # streaming/detail compare against the most recent old
+    new = json.load(open(new_path))
+    # per-query reference: max of the old medians (see module doc)
+    qo = {}
+    for o in olds:
+        for k, v in o.get("queries", {}).items():
+            if v > 0:
+                qo[k] = max(qo.get(k, 0.0), v)
+    qn = new.get("queries", {})
+    warm_n = new.get("queries_warm", {})
+    contended = set(new.get("queries_contended", []))
+    common = sorted(k for k in qo if k in qn and qo[k] > 0 and qn[k] > 0)
+    t_old = sum(qo[k] for k in common)
+    t_new = sum(qn[k] for k in common)
+    print(f"common set: n={len(common)} old={t_old:.1f}s new={t_new:.1f}s "
+          f"ratio={t_new / t_old:.3f}")
+    findings, drift, refuted = [], [], []
+    for k in common:
+        r = qn[k] / qo[k]
+        if r <= 1.3 or (qn[k] - qo[k]) <= 0.15:
+            if r > 1.15:
+                drift.append((k, r))
+            continue
+        if k in contended:
+            refuted.append((k, r, "contended block (own canary)"))
+        elif k in warm_n and 0 <= warm_n[k] <= 1.1 * qo[k]:
+            refuted.append((k, r, f"own warm {warm_n[k]:.2f}s <= 1.1x old cold"))
+        else:
+            findings.append((k, r))
+    print(f"\nFINDINGS (clear the band, unrefuted): {len(findings)}")
+    for k, r in sorted(findings, key=lambda x: -x[1]):
+        print(f"  {k:<36} {qo[k]:.2f} -> {qn[k]:.2f} s  ({r:.2f}x)")
+    print(f"refuted-in-artifact: {len(refuted)}")
+    for k, r, why in refuted:
+        print(f"  {k:<36} {r:.2f}x  [{why}]")
+    print(f"inside-band drift (1.15-1.3x or < 0.15 s): {len(drift)}")
+
+    print("\nstreaming:")
+    od, nd = old.get("streaming_detail", {}), new.get("streaming_detail", {})
+    for e, key in STREAM_KEYS.items():
+        mo, mn = old.get(key), new.get(key)
+        if mo is None or mn is None or mo <= 0 or mn <= 0:
+            continue
+        so = od.get(e, {}).get("samples_rate", [])
+        sn = nd.get(e, {}).get("samples_rate", [])
+        delta = mn / mo - 1
+        overlap = (so and sn and max(min(so), min(sn)) <= min(max(so), max(sn)))
+        verdict = ("FINDING" if abs(delta) > 0.15 and not overlap
+                   else "inside band")
+        print(f"  {e:<12} {mo} -> {mn}  ({delta:+.0%})  {verdict}"
+              + ("" if overlap or not (so and sn) else "  [bands disjoint]"))
+    print("  note: within-run sample bands UNDERSTATE between-run spread —")
+    print("  STREAM_AB_r15.md measured identical-config runs 15% apart and")
+    print("  lateness spanning 57k-108k across 9 same-day runs; treat a")
+    print("  streaming FINDING as 'worth a re-run', not as a regression.")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:-1], sys.argv[-1])
