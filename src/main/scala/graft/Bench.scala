@@ -460,6 +460,15 @@ object Bench {
   private def fixedWarmup = sys.env.get("SPARK_GRAFT_STREAM_WARMUP").contains("fixed1")
   private def gcOff = sys.env.get("SPARK_GRAFT_STREAM_GC").contains("off")
 
+  /** SPARK_GRAFT_STREAM_ENGINES=v1,lateness runs only those engines —
+    * a single-engine A/B costs ~1 min instead of the full five-engine
+    * sweep. Skipped engines report -1 with empty samples, exactly like
+    * a failed engine, so the JSON shape never changes. Local-iteration
+    * knob; the driver never sets it. */
+  private def engineSubset: Option[Set[String]] =
+    sys.env.get("SPARK_GRAFT_STREAM_ENGINES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+
   private val HdfsProvider = "HDFSBackedStateStoreProvider (default)"
   private val RocksProvider = "RocksDBStateStoreProvider+changelog"
 
@@ -624,7 +633,9 @@ object Bench {
       ("spark.sql.streaming.join.stateFormatVersion" -> "3")
     def run(name: String, provider: String, confs: Seq[(String, String)])(
         measure: Int => Replay): EngineResult =
-      try withConfs(spark, confs) {
+      if (engineSubset.exists(!_.contains(name)))
+        EngineResult(name, provider, 0, Seq.empty, Seq.empty)
+      else try withConfs(spark, confs) {
         val warmups =
           if (fixedWarmup) { measure(WarmupN); 1 }
           else warmUntilStable(() => measure(WarmupN).rate)
