@@ -368,7 +368,55 @@ object Layout {
         min(col("tile")).as("tile_min"), max(col("tile")).as("tile_max"))
   }
 
+  /** Written partition-pruned corpus roots, one per (session, dir). */
+  private val dppPaths = new SessionDirMemo[String]
+
+  /** Dynamic-partition-pruning driver gate: the documents corpus
+    * physically PARTITIONED by `lang` (the curated-output layout
+    * `Formats.writeCuratedParquet` produces), joined to a file-backed
+    * dimension whose selective predicate (`verdict = 'keep'`, true for
+    * exactly the min lang) lives on a DIM attribute — the 100 TB shape
+    * static pruning cannot touch and DPP turns into a runtime
+    * partition filter on the fact scan (SourcesSpec pins the
+    * `dynamicpruning` subquery in this exact plan; THIS query gates
+    * the result through that partitioned+pruned path against DuckDB).
+    * The dim must be file-backed: a literal LocalRelation
+    * constant-folds its filter away and the DPP rule no longer sees a
+    * selective predicate.
+    *
+    * Scale shape: the fact side reads ONE lang partition (runtime
+    * pruning, no full scan), the dim broadcasts, and the aggregate is
+    * map-side combined to |langs| rows. The write is a once-per-
+    * generation artifact (memoized, swept on exit) exactly like the
+    * curve-clustered layouts above. */
+  def dppJoin(spark: SparkSession, dir: String): DataFrame = {
+    val base = dppPaths(spark, dir) {
+      val p = layoutRoot(spark, "graft-layout-dpp", dir)
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      graft.sources.Formats.writeCuratedParquet(docs, s"$p/fact", "lang")
+      // bounded driver pull: one scalar (the kept lang)
+      val kept = Tables.documents(spark, dir)
+        .agg(min(col("lang"))).head.getString(0)
+      Tables.documents(spark, dir).select(col("lang")).distinct()
+        .withColumn("verdict",
+          when(col("lang") === lit(kept), lit("keep")).otherwise(lit("drop")))
+        .write.mode("overwrite").parquet(s"$p/dim")
+      p
+    }
+    val fact = spark.read.parquet(s"$base/fact")
+    val dim = spark.read.parquet(s"$base/dim")
+      .filter(col("verdict") === "keep")
+    fact.join(dim, Seq("lang"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("chars"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "layout_dpp_join" -> ((s, d) => dppJoin(s, d)),
     "layout_zorder_tiles" -> ((s, d) => zorderTiles(s, d)),
     "layout_zorder3_tiles" -> ((s, d) => zorder3Tiles(s, d)),
     "layout_hilbert_tiles" -> ((s, d) => hilbertTiles(s, d)),
@@ -513,6 +561,19 @@ object Layout {
   }
 
   val oracle: Map[String, String] = Map(
+    "layout_dpp_join" ->
+      """WITH dim AS (
+        |  SELECT lang,
+        |         CASE WHEN lang = (SELECT min(lang) FROM documents)
+        |              THEN 'keep' ELSE 'drop' END AS verdict
+        |  FROM (SELECT DISTINCT lang FROM documents)
+        |)
+        |SELECT d.lang AS lang, count(*)::BIGINT AS n_docs,
+        |       sum(length(d.text))::BIGINT AS chars,
+        |       min(d.doc_id) AS min_doc, max(d.doc_id) AS max_doc
+        |FROM documents d JOIN dim ON d.lang = dim.lang
+        |WHERE dim.verdict = 'keep'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "layout_hilbert3_tiles" ->
       s"""WITH b AS ($dims3Sql),
          |$hilbert3Ctes,

@@ -327,4 +327,19 @@ class BucketingSpec extends SparkSpec {
         s"tile ${r.getAs[Long]("tile")} bbox ${r.getAs[Long]("bbox_cells")}")
     }
   }
+
+  test("layout_dpp_join's registered plan carries the runtime partition-pruning filter") {
+    // the driver gate hash-matches the RESULT through the partitioned
+    // fact; this pins the MECHANISM — the dim's selective predicate
+    // must become a dynamicpruning subquery on the fact scan, or the
+    // query silently degrades to a full-corpus read that still returns
+    // the right rows (SourcesSpec drills the same shape on ad-hoc
+    // temp dirs; this covers the exact registered query)
+    val q = graft.operators.Layout.dppJoin(spark, sf0001)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected dynamic partition pruning on the fact scan:\n$plan")
+    // one lang survives the dim filter, so one output row
+    assert(q.collect().length == 1)
+  }
 }
