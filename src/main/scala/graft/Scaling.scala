@@ -75,6 +75,8 @@ object Scaling {
     "sim_kcenter_assign",    // greedy K seeds + broadcast assignment
     "layout_zorder3_tiles",  // 3-D curve-key scan + tile agg
     "layout_zorder3_files",  // aligned clustered WRITE + per-file stats
+    "ohlcv_5m_from_1m",      // stacked windowed aggregation (cascade fold)
+    "layout_dpp_join",       // partitioned fact + runtime-pruned scan
     "rollover_monitor_tick") // monitor poll under a corpus-scaled log
 
   /** Non-query probes: operational paths whose growth matters but
