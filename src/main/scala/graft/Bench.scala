@@ -459,6 +459,7 @@ object Bench {
   //                                     System.gc()
   private def fixedWarmup = sys.env.get("SPARK_GRAFT_STREAM_WARMUP").contains("fixed1")
   private def gcOff = sys.env.get("SPARK_GRAFT_STREAM_GC").contains("off")
+  private def unloadOff = sys.env.get("SPARK_GRAFT_STREAM_UNLOAD").contains("off")
 
   /** SPARK_GRAFT_STREAM_ENGINES=v1,lateness runs only those engines —
     * a single-engine A/B costs ~1 min instead of the full five-engine
@@ -644,6 +645,16 @@ object Bench {
             catch { case scala.util.control.NonFatal(_) => "unset" })
         }
         EngineResult(name, provider, warmups, (1 to StreamSamples).map { _ =>
+          // off-clock provider unload: each sample checkpoints fresh,
+          // so prior samples' state-store instances are dead weight
+          // that only a maintenance tick would clear — and a tick
+          // landing MID-sample is the documented 30-50% dip (r15
+          // composed run: samples [18.4k, 16.2k, 13.2k, 10.0k, 14.5k]
+          // as accumulated providers fed the tick). Unloading here
+          // gives maintenance nothing stale to do inside the measured
+          // window; the interval itself stays at its default (the r14
+          // deferral experiment is why it must).
+          if (!unloadOff) org.apache.spark.sql.graft.StateStoreBridge.unloadAll()
           // off-clock full collection: the warmup + prior samples churn
           // hundreds of MB of short-lived state, and a collection
           // landing MID-sample is indistinguishable from a regression
