@@ -637,9 +637,19 @@ object Bench {
       if (engineSubset.exists(!_.contains(name)))
         EngineResult(name, provider, 0, Seq.empty, Seq.empty)
       else try withConfs(spark, confs) {
+        // warmup replays get the same off-clock provider unload as the
+        // samples: the adaptive warmup reads consecutive-replay
+        // agreement as "settled", and provider accumulation across
+        // replays is exactly the kind of drift that fakes disagreement
+        // (this round's composed warmups hit the 5-replay cap twice
+        // before the unload landed)
+        def warmMeasure(): Long = {
+          if (!unloadOff) org.apache.spark.sql.graft.StateStoreBridge.unloadAll()
+          measure(WarmupN).rate
+        }
         val warmups =
-          if (fixedWarmup) { measure(WarmupN); 1 }
-          else warmUntilStable(() => measure(WarmupN).rate)
+          if (fixedWarmup) { warmMeasure(); 1 }
+          else warmUntilStable(() => warmMeasure())
         val resolved = ResolvedConfKeys.map { k =>
           k -> (try spark.conf.get(k)
             catch { case scala.util.control.NonFatal(_) => "unset" })
