@@ -9,13 +9,14 @@ off the table.
 import json
 import sys
 
-ENGINES = ["v1", "v1_rocksdb", "v2", "composed", "lateness"]
+ENGINES = ["v1", "v1_rocksdb", "v2", "composed", "lateness", "cascade"]
 KEY = {
     "v1": "streaming_events_per_sec",
     "v1_rocksdb": "streaming_v1rocksdb_events_per_sec",
     "v2": "streaming_v2_events_per_sec",
     "composed": "streaming_composed_events_per_sec",
     "lateness": "streaming_lateness_events_per_sec",
+    "cascade": "streaming_cascade_events_per_sec",
 }
 
 

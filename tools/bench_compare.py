@@ -36,6 +36,7 @@ STREAM_KEYS = {
     "v2": "streaming_v2_events_per_sec",
     "composed": "streaming_composed_events_per_sec",
     "lateness": "streaming_lateness_events_per_sec",
+    "cascade": "streaming_cascade_events_per_sec",
 }
 
 
