@@ -218,20 +218,9 @@ object Layout {
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private lazy val layoutSweepHook: Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      writtenLayoutRoots.forEach { dir =>
-        try {
-          val root = java.nio.file.Paths.get(dir)
-          if (java.nio.file.Files.exists(root)) {
-            val stream = java.nio.file.Files.walk(root)
-            try {
-              import scala.jdk.CollectionConverters._
-              stream.sorted(java.util.Comparator.reverseOrder())
-                .iterator().asScala
-                .foreach(p => java.nio.file.Files.deleteIfExists(p))
-            } finally stream.close()
-          }
-        } catch { case scala.util.control.NonFatal(_) => () }
-      }
+      // best-effort recursive delete shared with the bench's sweep —
+      // one copy of the walk, one place to fix it
+      writtenLayoutRoots.forEach(d => graft.Bench.deleteRecursively(d))
     }))
 
   /** Session-unique path component + exit-sweep registration for a

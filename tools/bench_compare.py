@@ -40,24 +40,48 @@ STREAM_KEYS = {
 }
 
 
+def unwrap(d):
+    """Accept both a raw BENCH.out.json and a driver BENCH_r{N}.json
+    wrapper ({n, rc, tail, parsed} — the summary under `parsed` has no
+    per-query map, but its streaming fields still compare)."""
+    return d.get("parsed") or d
+
+
 def main(old_paths, new_path):
-    olds = [json.load(open(p)) for p in old_paths]
+    if not old_paths:
+        raise SystemExit("usage: bench_compare.py <old.json> [<old2>...] <new.json>")
+    olds = [unwrap(json.load(open(p))) for p in old_paths]
     old = olds[-1]  # streaming/detail compare against the most recent old
-    new = json.load(open(new_path))
+    new = unwrap(json.load(open(new_path)))
     # per-query reference: max of the old medians (see module doc)
     qo = {}
     for o in olds:
         for k, v in o.get("queries", {}).items():
             if v > 0:
                 qo[k] = max(qo.get(k, 0.0), v)
+    # warm reference: a new-run warm figure only REFUTES a finding if it
+    # reaches the OLD round's warm level (falling back to old cold when
+    # no old warm exists). Comparing new warm to old COLD would
+    # auto-refute real regressions on any query whose warm/cold gap
+    # exceeds the regression factor — the block schedule runs cold
+    # samples systematically slower than back-to-back warm triples.
+    wo = {}
+    for o in olds:
+        for k, v in o.get("queries_warm", {}).items():
+            if v > 0:
+                wo[k] = max(wo.get(k, 0.0), v)
     qn = new.get("queries", {})
     warm_n = new.get("queries_warm", {})
     contended = set(new.get("queries_contended", []))
     common = sorted(k for k in qo if k in qn and qo[k] > 0 and qn[k] > 0)
     t_old = sum(qo[k] for k in common)
     t_new = sum(qn[k] for k in common)
-    print(f"common set: n={len(common)} old={t_old:.1f}s new={t_new:.1f}s "
-          f"ratio={t_new / t_old:.3f}")
+    if common:
+        print(f"common set: n={len(common)} old={t_old:.1f}s new={t_new:.1f}s "
+              f"ratio={t_new / t_old:.3f}")
+    else:
+        print("common set: none (streaming-only or wrapper artifacts) — "
+              "batch comparison skipped")
     findings, drift, refuted = [], [], []
     for k in common:
         r = qn[k] / qo[k]
@@ -65,10 +89,13 @@ def main(old_paths, new_path):
             if r > 1.15:
                 drift.append((k, r))
             continue
+        warm_ref = wo.get(k, qo[k])
         if k in contended:
             refuted.append((k, r, "contended block (own canary)"))
-        elif k in warm_n and 0 <= warm_n[k] <= 1.1 * qo[k]:
-            refuted.append((k, r, f"own warm {warm_n[k]:.2f}s <= 1.1x old cold"))
+        elif k in warm_n and 0 <= warm_n[k] <= 1.1 * warm_ref:
+            basis = "old warm" if k in wo else "old cold (no old warm)"
+            refuted.append((k, r,
+                            f"own warm {warm_n[k]:.2f}s <= 1.1x {basis}"))
         else:
             findings.append((k, r))
     print(f"\nFINDINGS (clear the band, unrefuted): {len(findings)}")
