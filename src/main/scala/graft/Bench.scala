@@ -820,11 +820,13 @@ object Bench {
     def latenessEngine(df: org.apache.spark.sql.DataFrame) =
       StreamingOhlcv.statefulBarsWithLateness(df, widthMs = 60000L,
         latenessMs = 1000L)
-    // the reference's dual-resolution topology (old/flink.py:42-67):
-    // 1-min bars from the stream AND 5-min bars folded from the 1-min
-    // bars, two stacked windowed aggregations in one continuous query —
-    // the coarse stage shuffles bar-counts, not event-counts (the
-    // ohlcv_5m_from_1m driver gate hash-matches this exact fold)
+    // the reference's dual-resolution OUTPUT (old/flink.py:42-67
+    // computes 1-min and 5-min bars as two independent scans of the
+    // trades stream) restructured as one chained query: 1-min bars
+    // from the stream, 5-min bars folded from the 1-min bars — the
+    // chaining is THIS repo's design; the coarse stage shuffles
+    // bar-counts, not event-counts (the ohlcv_5m_from_1m driver gate
+    // hash-matches this exact fold against the direct 5-min oracle)
     def cascadeEngine(df: org.apache.spark.sql.DataFrame) =
       StreamingOhlcv.cascadeBars(df, "1 minute", "5 minutes")
     val v2Confs = RocksConfs ++

@@ -223,13 +223,24 @@ object Layout {
       writtenLayoutRoots.forEach(d => graft.Bench.deleteRecursively(d))
     }))
 
+  /** Guaranteed-unique per-session token: identityHashCode is NOT
+    * unique (two live sessions can collide, and a GC'd session's hash
+    * can be reused — re-enabling the overwrite-while-reading hazard
+    * the token exists to prevent), so each session draws a random
+    * token once, held weakly so the map never pins sessions. */
+  private val sessionTokens = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String]())
+  private def sessionToken(spark: SparkSession): String =
+    sessionTokens.computeIfAbsent(spark,
+      _ => java.util.UUID.randomUUID().toString.replace("-", "").take(12))
+
   /** Session-unique path component + exit-sweep registration for a
     * written-layout root. */
   private def layoutRoot(spark: SparkSession, stem: String, dir: String): String = {
     layoutSweepHook
     val p = s"${sys.props("java.io.tmpdir")}/$stem-" +
       s"${ProcessHandle.current().pid()}-" +
-      s"s${Integer.toHexString(System.identityHashCode(spark))}-" +
+      s"s${sessionToken(spark)}-" +
       dir.replaceAll("[^A-Za-z0-9._-]", "_")
     writtenLayoutRoots.add(p)
     p
@@ -373,23 +384,34 @@ object Layout {
     * constant-folds its filter away and the DPP rule no longer sees a
     * selective predicate.
     *
-    * Scale shape: the fact side reads ONE lang partition (runtime
-    * pruning, no full scan), the dim broadcasts, and the aggregate is
-    * map-side combined to |langs| rows. The write is a once-per-
-    * generation artifact (memoized, swept on exit) exactly like the
-    * curve-clustered layouts above. */
+    * TWO langs survive the dim filter (the two smallest, a bounded
+    * 2-row driver pull), not one: the result is per-PARTITION grain —
+    * one row per kept lang with that partition's row count, char sum,
+    * and doc-id extrema — so the hash pins each read partition's
+    * content individually. An r15 version kept one lang and emitted
+    * one aggregate row; the widened gate catches a scan that prunes
+    * too aggressively (a missing partition is a missing row, not a
+    * luckily-identical aggregate), while the `dynamicpruning` plan pin
+    * (BucketingSpec) still guards against the opposite failure of
+    * silently reading everything.
+    *
+    * Scale shape: the fact side reads only the kept lang partitions
+    * (runtime pruning, no full scan), the dim broadcasts, and the
+    * aggregate is map-side combined to |kept langs| rows. The write is
+    * a once-per-generation artifact (memoized, swept on exit) exactly
+    * like the curve-clustered layouts above. */
   def dppJoin(spark: SparkSession, dir: String): DataFrame = {
     val base = dppPaths(spark, dir) {
       val p = layoutRoot(spark, "graft-layout-dpp", dir)
       val docs = Tables.documents(spark, dir)
         .select(col("doc_id"), col("text"), col("lang"), col("source"))
       graft.sources.Formats.writeCuratedParquet(docs, s"$p/fact", "lang")
-      // bounded driver pull: one scalar (the kept lang)
-      val kept = Tables.documents(spark, dir)
-        .agg(min(col("lang"))).head.getString(0)
+      // bounded driver pull: the two smallest langs
+      val kept = Tables.documents(spark, dir).select(col("lang")).distinct()
+        .orderBy(col("lang")).limit(2).collect().map(_.getString(0)).toSeq
       Tables.documents(spark, dir).select(col("lang")).distinct()
         .withColumn("verdict",
-          when(col("lang") === lit(kept), lit("keep")).otherwise(lit("drop")))
+          when(col("lang").isin(kept: _*), lit("keep")).otherwise(lit("drop")))
         .write.mode("overwrite").parquet(s"$p/dim")
       p
     }
@@ -404,8 +426,69 @@ object Layout {
       .orderBy(col("lang"))
   }
 
+  /** Child session carrying the runtime bloom-filter confs, one per
+    * parent session (weakly held — the memo never pins a session).
+    * The confs must be session-scoped because registration hands the
+    * DataFrame back to a caller that sets nothing: floored thresholds
+    * plus a disabled broadcast would rewrite every OTHER query's plan
+    * if set on the shared session, and Spark resolves optimizer confs
+    * at execution, not at DataFrame construction — so the query builds
+    * against its own session and the confs ride with it. newSession()
+    * shares the SparkContext and inherits the builder-level confs
+    * (shuffle partitions, timezone, local.dir) from the shared
+    * SparkConf; only the four bloom knobs diverge. */
+  private val bloomSessions = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, SparkSession]())
+  private def bloomSession(spark: SparkSession): SparkSession =
+    bloomSessions.computeIfAbsent(spark, parent => {
+      val s = parent.newSession()
+      // the injection gate: build a bloom from the FILTERED dim keys
+      // (creation side must be under its threshold) and row-prune the
+      // fact scan before its shuffle (application side must clear its
+      // scan threshold — floored, since sf0.01/sf0.1 sit far below the
+      // 10 GB production default). Broadcast is disabled because a
+      // broadcast-hash join already sees only matching rows — the
+      // bloom pattern exists precisely for the dim too big to
+      // broadcast, which is what -1 simulates at test scale.
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s
+    })
+
+  /** Runtime bloom-filter pruning driver gate — the row-level sibling
+    * of [[dppJoin]]: a selective predicate on a DIM attribute
+    * (`o_orderpriority = '1-URGENT'`, ~1/5 of orders) prunes the FACT
+    * scan side at runtime via Spark's InjectRuntimeFilter — a bloom
+    * built from the filtered dim's join keys, applied as
+    * `might_contain` on `l_orderkey` BEFORE the fact's shuffle. At
+    * 100 TB this is the difference between shuffling the whole fact
+    * table and shuffling the ~matching fraction when the dim is too
+    * big to broadcast. BucketingSpec pins the `might_contain` plan
+    * shape on this exact registered query; THIS query gates the
+    * RESULT through the injected-filter plan against DuckDB — a bloom
+    * false-positive leaking through the equi-join, or a false
+    * negative dropping a matching row, both hash-fail. Per-group
+    * grain (returnflag × linestatus with count/sum/extrema), not one
+    * aggregate row, for the same reason dppJoin widened. */
+  def bloomPruneJoin(spark: SparkSession, dir: String): DataFrame = {
+    val s = bloomSession(spark)
+    val fact = Tables.lineitem(s, dir)
+    val dim = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+    fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity")).as("sum_qty"),
+        min(col("l_orderkey")).as("min_ok"),
+        max(col("l_orderkey")).as("max_ok"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "layout_dpp_join" -> ((s, d) => dppJoin(s, d)),
+    "layout_bloom_prune_join" -> ((s, d) => bloomPruneJoin(s, d)),
     "layout_zorder_tiles" -> ((s, d) => zorderTiles(s, d)),
     "layout_zorder3_tiles" -> ((s, d) => zorder3Tiles(s, d)),
     "layout_hilbert_tiles" -> ((s, d) => hilbertTiles(s, d)),
@@ -550,10 +633,23 @@ object Layout {
   }
 
   val oracle: Map[String, String] = Map(
+    "layout_bloom_prune_join" ->
+      """SELECT l.l_returnflag AS l_returnflag,
+        |       l.l_linestatus AS l_linestatus,
+        |       count(*)::BIGINT AS n_items,
+        |       sum(l.l_quantity) AS sum_qty,
+        |       min(l.l_orderkey) AS min_ok, max(l.l_orderkey) AS max_ok
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderpriority = '1-URGENT'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "layout_dpp_join" ->
-      """WITH dim AS (
+      """WITH kept AS (
+        |  SELECT lang FROM (SELECT DISTINCT lang FROM documents)
+        |  ORDER BY lang LIMIT 2
+        |),
+        |dim AS (
         |  SELECT lang,
-        |         CASE WHEN lang = (SELECT min(lang) FROM documents)
+        |         CASE WHEN lang IN (SELECT lang FROM kept)
         |              THEN 'keep' ELSE 'drop' END AS verdict
         |  FROM (SELECT DISTINCT lang FROM documents)
         |)

@@ -339,7 +339,28 @@ class BucketingSpec extends SparkSpec {
     val plan = q.queryExecution.executedPlan.toString
     assert(plan.contains("dynamicpruning"),
       s"expected dynamic partition pruning on the fact scan:\n$plan")
-    // one lang survives the dim filter, so one output row
-    assert(q.collect().length == 1)
+    // two langs survive the dim filter — per-partition grain, one
+    // output row per read partition (a too-aggressive prune would
+    // drop a row, which the driver gate's hash then catches)
+    assert(q.collect().length == 2)
+  }
+
+  test("layout_bloom_prune_join's registered plan carries the injected runtime bloom filter") {
+    // the driver gate hash-matches the RESULT through the injected
+    // plan; this pins the MECHANISM — the dim's selective predicate
+    // must become a might_contain probe on the fact side, or the query
+    // silently degrades to an unpruned shuffle join that still returns
+    // the right rows (SourcesSpec drills the same shape with ad-hoc
+    // session confs; this covers the exact registered query, whose
+    // confs live on its own child session)
+    val q = graft.operators.Layout.bloomPruneJoin(spark, sf0001)
+    val optimized = q.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("might_contain"),
+      s"expected an injected runtime bloom filter on the fact side:\n$optimized")
+    val physical = q.queryExecution.executedPlan.toString
+    assert(!physical.contains("CartesianProduct"),
+      s"bloom-pruned join plans a cartesian:\n$physical")
+    // returnflag × linestatus grain: several groups, never one row
+    assert(q.collect().length > 1)
   }
 }

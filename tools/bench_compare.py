@@ -73,6 +73,18 @@ def main(old_paths, new_path):
     qn = new.get("queries", {})
     warm_n = new.get("queries_warm", {})
     contended = set(new.get("queries_contended", []))
+    # r16 run-level flag: the new artifact's own MIN canary fence vs
+    # the committed quiet-host band — a uniformly contended run (r15
+    # driver grading: +28% diffuse, queries_contended empty) shows
+    # here even though no block cleared the run-relative band
+    rc = new.get("run_contended")
+    if rc is True:
+        print("WARNING: new run is RUN-LEVEL CONTENDED "
+              f"({new.get('run_contended_reason', '')}) — every batch "
+              "figure below is suspect, not just flagged blocks")
+    elif rc is None and "run_contended_reason" in new:
+        print(f"note: run-level contention unadjudicated: "
+              f"{new.get('run_contended_reason')}")
     common = sorted(k for k in qo if k in qn and qo[k] > 0 and qn[k] > 0)
     t_old = sum(qo[k] for k in common)
     t_new = sum(qn[k] for k in common)
@@ -115,11 +127,20 @@ def main(old_paths, new_path):
         so = od.get(e, {}).get("samples_rate", [])
         sn = nd.get(e, {}).get("samples_rate", [])
         delta = mn / mo - 1
-        overlap = (so and sn and max(min(so), min(sn)) <= min(max(so), max(sn)))
+        # a missing sample band (wrapper artifact, engine skipped via
+        # SPARK_GRAFT_STREAM_ENGINES, or failed engine) is
+        # INDETERMINATE, not evidence of disjointness — a FINDING must
+        # be backed by two real bands that do not overlap
+        if not (so and sn):
+            verdict = ("unverifiable (no sample bands)"
+                       if abs(delta) > 0.15 else "inside band (no samples)")
+            print(f"  {e:<12} {mo} -> {mn}  ({delta:+.0%})  {verdict}")
+            continue
+        overlap = max(min(so), min(sn)) <= min(max(so), max(sn))
         verdict = ("FINDING" if abs(delta) > 0.15 and not overlap
                    else "inside band")
         print(f"  {e:<12} {mo} -> {mn}  ({delta:+.0%})  {verdict}"
-              + ("" if overlap or not (so and sn) else "  [bands disjoint]"))
+              + ("" if overlap else "  [bands disjoint]"))
     print("  note: within-run sample bands UNDERSTATE between-run spread —")
     print("  STREAM_AB_r15.md measured identical-config runs 15% apart and")
     print("  lateness spanning 57k-108k across 9 same-day runs; treat a")
