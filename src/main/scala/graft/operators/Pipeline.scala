@@ -480,7 +480,105 @@ object Pipeline {
         col("n_docs"), expr("(1000 * n_docs) div total").as("pct_milli"))
   }
 
+  /** The full pretraining-shard build, ONE Catalyst plan end to end —
+    * the composition every piece below exists for:
+    *
+    *   quality filter (TextAnalysis blend ≥ [[QualityMin]])
+    *   → exact-dedup canonicalization (min doc_id per md5 digest)
+    *   → decontamination (eval docs excluded from the corpus AND any
+    *     doc sharing ≥ Dedup.DecontamMinShared distinct word-3-gram
+    *     shingles with the eval suite anti-joined out — the EXACT
+    *     Dedup.decontamOverlap operator, composed)
+    *   → temperature-weighted sampling (per-lang sqrt-temperature
+    *     weights computed on the SURVIVING corpus, Curation's
+    *     temperatureMix algebra; keep iff hashU < min(1, flattened
+    *     share / raw share) — deterministic, retry/speculation-safe)
+    *   → greedy contiguous packing into PackCapacity-token sequences
+    *     per hash bucket (Curation.packSequences' algebra)
+    *   → deterministic shard assignment at SEQUENCE grain
+    *     (SourceHealth.shardOrder's placement/order hash pair over the
+    *     sequence key).
+    *
+    * Output: one row per packed sequence with its doc/token counts,
+    * doc-id extrema, shard, and intra-shard position — the manifest a
+    * trainer's data loader consumes. The DuckDB oracle replays the
+    * whole chain from raw documents, so any stage drifting from its
+    * individually-gated twin hash-fails HERE even if the stage's own
+    * query still passes.
+    *
+    * Scale shape: the corpus pays the quality/digest scan (one pass),
+    * the dedup window shuffle, the broadcast decontam semi-join, and
+    * the pack shuffle (parallelism = PackBuckets by design — raise
+    * with the cluster); the rate frame is |langs| rows crossed in by
+    * broadcast, and everything after packing is |sequences|-bounded. */
+  def shardBuild(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // corpus = non-eval docs (the eval suite must never be trained on)
+    val scored = Tables.documents(spark, dir)
+      .filter(col("doc_id") % Dedup.DecontamEvalMod =!= 0)
+      .select(Seq(col("doc_id"), col("text"), col("lang")) ++
+        TextAnalysis.qualityFeatures(col("text")): _*)
+      .withColumn("quality", TextAnalysis.qualityExpr)
+      .filter(col("quality") >= QualityMin)
+    val canon = scored
+      .withColumn("digest", md5(col("text")))
+      .withColumn("canonical_id", min(col("doc_id"))
+        .over(Window.partitionBy(col("digest"))))
+      .filter(col("doc_id") === col("canonical_id"))
+    val clean = canon.join(
+      Dedup.decontamOverlap(spark, dir).select(col("doc_id")),
+      Seq("doc_id"), "left_anti")
+    // sqrt-temperature acceptance rates from the surviving corpus:
+    // rate_l = min(1, flattened share / raw share) downsamples only
+    // over-represented langs (temperatureMix's exact weight algebra —
+    // IEEE sqrt and the lang-ordered wsum fold keep it bit-identical
+    // in DuckDB; the rate's division/multiply order mirrors the oracle)
+    val counts = clean.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val tot = counts.agg(sum(col("n_docs")).as("total"))
+    val raw = counts.crossJoin(broadcast(tot))
+      .withColumn("w", sqrt(col("n_docs").cast("double") / col("total")))
+    val wsum = raw
+      .agg(array_sort(collect_list(struct(col("lang"), col("w")))).as("ws"))
+      .select(aggregate(col("ws"), lit(0.0),
+        (acc, e) => acc + e.getField("w")).as("wsum"))
+    val rates = raw.crossJoin(broadcast(wsum))
+      .select(col("lang"),
+        least(lit(1.0), col("w") / col("wsum") *
+          (col("total").cast("double") / col("n_docs").cast("double")))
+          .as("rate"))
+    val sampled = clean.join(broadcast(rates), Seq("lang"))
+      .withColumn("u", Curation.hashU(
+        concat(col("doc_id").cast("string"), lit(":"), col("lang"))))
+      .filter(col("u") < col("rate"))
+    // greedy contiguous packing (packSequences' algebra over survivors)
+    val wb = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val packed = sampled
+      .select(col("doc_id"), col("n_tokens"))
+      .withColumn("bucket",
+        pmod(col("doc_id"), lit(Curation.PackBuckets)).cast("int"))
+      .withColumn("cum", sum(col("n_tokens")).over(wb))
+      .withColumn("seq_id", expr(s"(cum - n_tokens) div ${Curation.PackCapacity}"))
+    // sequence manifest + shard placement (shardOrder's hash pair)
+    val seqs = packed.groupBy(col("bucket"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("seq_tokens"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .withColumn("seq_key",
+        col("bucket").cast("long") * lit(1000000L) + col("seq_id"))
+    val wsd = Window.partitionBy(col("shard"))
+      .orderBy(col("ord_hash"), col("seq_key"))
+    seqs
+      .withColumn("shard",
+        pmod(Sketches.hash32(col("seq_key")), lit(SourceHealth.NumShards)))
+      .withColumn("ord_hash", Sketches.hash37(col("seq_key")))
+      .withColumn("pos", row_number().over(wsd).cast("long"))
+      .select(col("bucket"), col("seq_id"), col("n_docs"), col("seq_tokens"),
+        col("min_doc"), col("max_doc"), col("shard"), col("pos"))
+      .orderBy(col("bucket"), col("seq_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_shard_build" -> ((s, d) => shardBuild(s, d)),
     "pipeline_crawl" -> ((s, d) => crawlPipeline(s, d)),
     "pipeline_ingest_gate" -> ((s, d) => ingestGatePipeline(s, d)),
     "pipeline_model_gate" -> ((s, d) => modelGatePipeline(s, d)),
@@ -648,6 +746,64 @@ object Pipeline {
          |FROM mg LEFT JOIN agg g ON g.batch_id = mg.doc_id
          |ORDER BY mg.doc_id""".stripMargin
     },
+    // the whole shard-build chain replayed from raw documents: the
+    // decontam shingle chain (prefixed 'd'), the quality/dedup CTEs
+    // from pipeline_clean_corpus's shape, temperatureMix's exact rate
+    // algebra (sqrt + lang-ordered fold, same operation order), the
+    // hashU sample, the pack window, and shardOrder's fold+avalanche
+    // pair over the sequence key
+    "pipeline_shard_build" ->
+      s"""WITH ${Dedup.shingleCtesOn("documents", "d")},
+         |evalcodes AS (SELECT DISTINCT unnest(codes) AS code FROM dsh
+         |  WHERE doc_id % ${Dedup.DecontamEvalMod} = 0),
+         |cpost AS (SELECT doc_id, unnest(codes) AS code FROM dsh
+         |  WHERE doc_id % ${Dedup.DecontamEvalMod} <> 0),
+         |contaminated AS (SELECT c.doc_id FROM cpost c
+         |  JOIN evalcodes e USING (code)
+         |  GROUP BY 1 HAVING count(*) >= ${Dedup.DecontamMinShared}),
+         |t0 AS (SELECT doc_id, text, lang,
+         |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+         |  FROM documents WHERE doc_id % ${Dedup.DecontamEvalMod} <> 0),
+         |scored AS (SELECT doc_id, text, lang, len(toks)::BIGINT AS n_tokens,
+         |    ${TextAnalysis.qualitySql} AS quality
+         |  FROM t0),
+         |q AS (SELECT * FROM scored WHERE quality >= $QualityMin),
+         |canon AS (SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
+         |  FROM q),
+         |keep1 AS (SELECT k.* FROM canon k LEFT JOIN contaminated c USING (doc_id)
+         |  WHERE k.doc_id = k.canonical_id AND c.doc_id IS NULL),
+         |lc AS (SELECT lang, count(*)::BIGINT AS n_docs FROM keep1 GROUP BY 1),
+         |lt AS (SELECT sum(n_docs)::BIGINT AS total FROM lc),
+         |rw AS (SELECT lang, n_docs, total,
+         |    sqrt(n_docs::DOUBLE / total::DOUBLE) AS w FROM lc, lt),
+         |ws AS (SELECT list_reduce(list_prepend(0.0::DOUBLE, list(w ORDER BY lang)),
+         |    (a, v) -> a + v) AS wsum FROM rw),
+         |rates AS (SELECT lang,
+         |    least(1.0, w / wsum * (total::DOUBLE / n_docs::DOUBLE)) AS rate
+         |  FROM rw, ws),
+         |samp AS (SELECT k.doc_id, k.n_tokens FROM keep1 k JOIN rates r USING (lang)
+         |  WHERE ${Curation.sqlU} < r.rate),
+         |pk AS (SELECT doc_id, n_tokens,
+         |    (doc_id % ${Curation.PackBuckets})::INT AS bucket FROM samp),
+         |pc AS (SELECT doc_id, bucket, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+         |                        ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+         |  FROM pk),
+         |ps AS (SELECT doc_id, bucket, n_tokens,
+         |    (cum - n_tokens) // ${Curation.PackCapacity} AS seq_id FROM pc),
+         |sq AS (SELECT bucket, seq_id,
+         |    (bucket * 1000000 + seq_id)::BIGINT AS seq_key,
+         |    count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS seq_tokens,
+         |    min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         |  FROM ps GROUP BY 1, 2),
+         |h0 AS (SELECT *, ${Sketches.foldSql("seq_key::VARCHAR", 31L, 0L)} AS f31,
+         |    ${Sketches.foldSql("seq_key::VARCHAR", 37L, 7L)} AS f37 FROM sq),
+         |h AS (SELECT *, (${Sketches.mixColSql("f31")}) % ${SourceHealth.NumShards} AS shard,
+         |    ${Sketches.mixColSql("f37")} AS ord_hash FROM h0)
+         |SELECT bucket, seq_id, n_docs, seq_tokens, min_doc, max_doc,
+         |  shard::BIGINT AS shard,
+         |  row_number() OVER (PARTITION BY shard ORDER BY ord_hash, seq_key)::BIGINT AS pos
+         |FROM h ORDER BY bucket, seq_id""".stripMargin,
     "pipeline_clean_corpus" ->
       s"""WITH t0 AS (SELECT doc_id, text, source,
          |    list_filter(string_split(text, ' '), x -> x <> '') AS toks

@@ -661,6 +661,30 @@ class TrainingDataSpec extends SparkSpec {
     assert(out("n_kept") == aggDocs)
   }
 
+  test("shardBuild manifest: dense shard positions, no eval docs, sane sequence bounds") {
+    // the driver gate hash-matches the whole chain vs DuckDB; this
+    // pins the manifest invariants a trainer's loader relies on
+    val rows = graft.operators.Pipeline.shardBuild(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val shard = r.getAs[Long]("shard")
+      assert(shard >= 0 && shard < graft.operators.SourceHealth.NumShards)
+      assert(r.getAs[Long]("n_docs") >= 1L)
+      assert(r.getAs[Long]("seq_tokens") >= 1L)
+      assert(r.getAs[Long]("min_doc") <= r.getAs[Long]("max_doc"))
+      // eval docs (doc_id ≡ 0 mod DecontamEvalMod) must never reach a
+      // training shard — the decontam stage excludes them up front
+      assert(r.getAs[Long]("min_doc") % Dedup.DecontamEvalMod != 0L)
+      assert(r.getAs[Long]("max_doc") % Dedup.DecontamEvalMod != 0L)
+    }
+    // intra-shard positions are dense 1..n — a loader can stream a
+    // shard by pos with no gaps to special-case
+    rows.groupBy(_.getAs[Long]("shard")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("pos")).sorted.toSeq ==
+        (1L to rs.length).toSeq)
+    }
+  }
+
   test("per-stratum reservoir keeps at most k per language, ranked by hash") {
     val rows = Curation.sampleReservoirPerLang(spark, sf0001).collect()
     val byLang = rows.groupBy(_.getString(0))
