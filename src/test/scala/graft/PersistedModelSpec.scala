@@ -48,8 +48,10 @@ class PersistedModelSpec extends SparkSpec {
       rows(TextAnalysis.charLmScorePersisted(spark, sf0001)) == fresh,
       "persisted char-LM diverged from recompute")
     staticPlan {
-      // fresh frame: an AQE-final plan hides its subtrees from collect
-      val plan = TextAnalysis.charLmScorePersisted(spark, sf0001)
+      // fresh frame: an AQE-final plan hides its subtrees from collect;
+      // the FRESH seam, because the registered probe serves a memoized
+      // lineage-truncated frame whose plan shows no scans at all
+      val plan = TextAnalysis.charLmScorePersistedFresh(spark, sf0001)
         .queryExecution.executedPlan
       assert(docScans(plan).size == 1,
         s"LM probe must scan the corpus exactly once (scoring):\n$plan")
