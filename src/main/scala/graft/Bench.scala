@@ -98,6 +98,29 @@ object Bench {
       .foreach(t => warm(t)(Tables.load(spark, sfDir, t).limit(1).collect()))
     warm("events")(Tables.events(spark, sfDir).limit(1).collect())
 
+    // Corpus fingerprint, off-clock: the driver REGENERATES the
+    // testdata between rounds, and a size change moves every
+    // documents-scan family's cost in lockstep — exactly what r15's
+    // "8 sub-second drifts" were (adjudicated in r16 by rebuilding the
+    // r14 tree against the current data: same times, code exonerated).
+    // Recording the size makes that attribution a JSON diff instead of
+    // a frozen-tree A/B next time. The scan also serves as the
+    // documents-table warm pass.
+    val corpusFp: String = try {
+      val r = Tables.documents(spark, sfDir).agg(
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)),
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.length(
+            org.apache.spark.sql.functions.col("text")))).head()
+      val li = Tables.lineitem(spark, sfDir).count()
+      s"""{"documents":${r.getLong(0)},"doc_chars":${r.getLong(1)},"lineitem":$li}"""
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] corpus fingerprint failed: ${e.getMessage}")
+        "null"
+    }
+
     // a failed run records -1, never its time-to-failure — a broken
     // query must not masquerade as a fast one in tracked benchmarks.
     // SPARK_GRAFT_BENCH_ONLY=streaming skips the batch loop — a local
@@ -495,7 +518,7 @@ object Bench {
       s""""queries_contended":${contendedQueries.map(JsonUtil.q)
         .mkString("[", ",", "]")}"""
     val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,""" +
-      s""""schedule":"block$BenchBlock","queries":$qs,""" +
+      s""""schedule":"block$BenchBlock","corpus":$corpusFp,"queries":$qs,""" +
       canaryJson + "," +
       s""""queries_min":$qsMin,"queries_max":$qsMax,""" +
       s""""queries_warm":$qsWarm,"queries_warm_retried":$qsWarmRetried,""" +
