@@ -807,11 +807,17 @@ object Bench {
   // RocksDB snapshots at every commit, and row-count tracking adds a
   // maintenance read-modify-write per store op — both are the
   // documented production settings for high-throughput stateful
-  // queries on the RocksDB provider
+  // queries on the RocksDB provider.
+  // SPARK_GRAFT_STREAM_CHANGELOG=off flips changelog checkpointing to
+  // full-snapshot commits — an A/B isolation knob (the composed-band
+  // study's untested axis); local-iteration only, the driver never
+  // sets it, and the resolved conf rides in streaming_detail either way
   private val RocksConfs = Seq(
     "spark.sql.streaming.stateStore.providerClass" ->
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true",
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+      (if (sys.env.get("SPARK_GRAFT_STREAM_CHANGELOG").contains("off")) "false"
+       else "true"),
     "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows" -> "false")
 
   /** All six streaming engine measurements, in one place so every

@@ -77,6 +77,8 @@ object Scaling {
     "layout_zorder3_files",  // aligned clustered WRITE + per-file stats
     "ohlcv_5m_from_1m",      // stacked windowed aggregation (cascade fold)
     "layout_dpp_join",       // partitioned fact + runtime-pruned scan
+    "layout_bloom_prune_join", // injected runtime bloom filter on the fact scan
+    "pipeline_shard_build",  // quality→dedup→decontam→sample→pack→shard, one plan
     "rollover_monitor_tick") // monitor poll under a corpus-scaled log
 
   /** Non-query probes: operational paths whose growth matters but
