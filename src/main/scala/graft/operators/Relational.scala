@@ -466,7 +466,13 @@ object Relational {
       .createOrReplaceTempView("ord")
     spark.sql(
       """WITH RECURSIVE chain(root_key, okey) AS (
-        |  SELECT o_orderkey, o_orderkey FROM ord WHERE is_root = 1
+        |  -- distinct aliases, not a bare duplicated attribute: the
+        |  -- recursion machinery materializes each frontier as an RDD,
+        |  -- and a duplicate exprId in the anchor trips LogicalRDD's
+        |  -- output-naming check once per recursion level (WARN spam in
+        |  -- every bench/verify log; results were unaffected)
+        |  SELECT o_orderkey AS root_key, o_orderkey AS okey
+        |  FROM ord WHERE is_root = 1
         |  UNION ALL
         |  SELECT c.root_key, o.next_key FROM chain c
         |  JOIN ord o ON c.okey = o.o_orderkey
