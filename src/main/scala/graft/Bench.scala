@@ -106,7 +106,14 @@ object Bench {
     // Recording the size makes that attribution a JSON diff instead of
     // a frozen-tree A/B next time. The scan also serves as the
     // documents-table warm pass.
-    val corpusFp: String = try {
+    // gated on the batch phase actually running: a streaming-only
+    // iteration run must not pay a full documents+lineitem scan to
+    // stamp a fingerprint whose only consumer is batch-drift
+    // attribution (it emits null instead — visibly absent, never
+    // silently wrong)
+    val corpusFp: String = if (
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").contains("streaming")) "null"
+    else try {
       val r = Tables.documents(spark, sfDir).agg(
         org.apache.spark.sql.functions.count(
           org.apache.spark.sql.functions.lit(1)),
@@ -299,20 +306,38 @@ object Bench {
     val hostFp = hostFingerprint()
     val canaryRefPath = sys.env.getOrElse("SPARK_GRAFT_CANARY_REF",
       "BENCH_CANARY_REF.json")
+    // all artifact-bound number formatting goes through the ROOT
+    // locale (the sec3 rule below): a comma-decimal default locale
+    // must not leak into run_contended_reason either
+    def r3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val (runContended, runContendedReason) = canaryReference(canaryRefPath) match {
       case None => (None, s"no reference at $canaryRefPath")
       case Some(ref) if ref.probeVersion != probeVersion =>
         (None, s"probe version mismatch: ref ${ref.probeVersion}")
       case Some(ref) if ref.host != hostFp =>
         (None, s"host mismatch: ref ${ref.host}, this ${hostFp}")
+      // the quiet band was calibrated at FULL host parallelism; a
+      // local[N] below the core count runs the probes legitimately
+      // slower, which must yield "not comparable", never a false
+      // contended verdict (the fingerprint can't see this — it reads
+      // the host's cores, not the session's)
+      case Some(_) if cpus.toIntOption
+          .exists(_ != Runtime.getRuntime.availableProcessors()) =>
+        (None, s"probe parallelism local[$cpus] != host cores " +
+          s"${Runtime.getRuntime.availableProcessors()} the band was calibrated at")
+      case Some(_) if fences.isEmpty =>
+        // distinct from probe FAILURE: zero fences ran at all
+        // (streaming-only run or an empty batch filter)
+        (None, "no batch fences ran (streaming-only or empty filter)")
       case Some(_) if cpuMin < 0 || shufMin < 0 =>
         (None, "a probe class failed every fence")
       case Some(ref) =>
         val hot = cpuMin > ref.band * ref.cpuQuietSec ||
           shufMin > ref.band * ref.shufQuietSec
         (Some(hot), if (hot)
-          f"min fences cpu=$cpuMin%.3f shuf=$shufMin%.3f vs quiet " +
-            f"${ref.cpuQuietSec}%.3f/${ref.shufQuietSec}%.3f band ${ref.band}%.2f"
+          s"min fences cpu=${r3(cpuMin)} shuf=${r3(shufMin)} vs quiet " +
+            s"${r3(ref.cpuQuietSec)}/${r3(ref.shufQuietSec)} band ${r3(ref.band)}"
         else "min fences inside quiet band")
     }
     val results: Seq[(String, Seq[Double])] =

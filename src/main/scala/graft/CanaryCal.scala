@@ -25,12 +25,14 @@ import org.apache.spark.sql.functions.{col, count, lit, xxhash64, max}
 object CanaryCal {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.flatMap(_.toIntOption).getOrElse(12)
-    // same local-dir policy as Bench: tmpfs when present, so the
-    // shuffle probe measures the path the bench's probe will take
+    // same local-dir policy as Bench INCLUDING the override: the
+    // shuffle probe must measure the same storage tier the bench's
+    // fences will run on, or a disk-local.dir bench compares its
+    // fences against a tmpfs-calibrated band (spurious run_contended)
     val localDir = {
-      val base =
+      val base = sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR",
         if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
-          "/dev/shm" else sys.props("java.io.tmpdir")
+          "/dev/shm" else sys.props("java.io.tmpdir"))
       val d = java.nio.file.Paths.get(base,
         s"graft-canarycal-${ProcessHandle.current().pid()}")
       java.nio.file.Files.createDirectories(d)

@@ -642,7 +642,14 @@ object TextAnalysis {
     * The twins must differ ONLY in where the model comes from, so
     * both now serve the same memoized-scored-frame shape; the first
     * call per session still pays (and the spec still pins) the real
-    * probe plan. */
+    * probe plan.
+    *
+    * Known tradeoff (deliberate, same as the recompute twin since its
+    * memo): the registered query's row in the corpus-wide PLANS audit
+    * is a lineage-truncated RDD scan — the probe's real plan shape is
+    * guarded by PersistedModelSpec's pins on the FRESH seam (one
+    * corpus scan, persisted-table read, no cartesian), which run on
+    * every test sweep. */
   private val charLmPersistedMemo = new DirMemo
   def charLmScorePersisted(spark: SparkSession, dir: String): DataFrame =
     charLmPersistedMemo(spark, dir)(

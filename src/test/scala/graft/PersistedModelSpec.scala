@@ -57,6 +57,12 @@ class PersistedModelSpec extends SparkSpec {
         s"LM probe must scan the corpus exactly once (scoring):\n$plan")
       assert(modelScans(plan, "graft_charlm").nonEmpty,
         s"LM probe must read the persisted model table:\n$plan")
+      // the registered query serves a memoized lineage-truncated frame
+      // (an RDD-scan row in the corpus-wide PLANS audit, like its
+      // memoized recompute twin), so THIS pin is the probe's only
+      // plan-shape guard — cover the accident class here too
+      assert(!plan.toString.contains("CartesianProduct"),
+        s"LM probe plans a cartesian:\n$plan")
     }
   }
 
