@@ -61,7 +61,7 @@ object Scaling {
     "evt_rfm",               // user-grain aggregate + banding
     "pipeline_ingest_gate",  // composed extract→quality→index probe
     "text_bm25_topk_persisted",   // postings probe, query-token pruned
-    "text_char_lm_persisted",     // persisted-model scoring probe
+    "text_char_lm_scan",     // un-memoized persisted-model scoring pass
     "curation_ppl_filter_persisted", // persisted-LM filter
     "text_classifier_quality_persisted", // persisted-weights scoring
     "rich_trade_ohlcv",      // JSON wire roundtrip (memoized feed)

@@ -859,6 +859,12 @@ object TextAnalysis {
     "text_bpe_train_persisted" -> ((s, d) => bpeTrainPersisted(s, d)),
     "text_bpe_apply_persisted" -> ((s, d) => bpeApplyCountsPersisted(s, d)),
     "text_char_lm_persisted" -> ((s, d) => charLmScorePersisted(s, d)),
+    // the UN-memoized persisted-model scoring pass, registered in its
+    // own right: with both memoized twins serving cached frames, THIS
+    // is the query that prices what a deployed gate pays per batch —
+    // one corpus scoring scan against the frozen model table (the
+    // steady-state path SCALING's α tracks)
+    "text_char_lm_scan" -> ((s, d) => charLmScorePersistedFresh(s, d)),
     "text_bpe_apply" -> ((s, d) => bpeApplyCounts(s, d)),
     "text_char_lm" -> ((s, d) => charLmScore(s, d)),
     "text_token_stats" -> ((s, d) => tokenStats(s, d)),
@@ -993,6 +999,7 @@ object TextAnalysis {
     "text_bpe_train_persisted" -> bpeTrainSql,
     "text_bpe_apply_persisted" -> bpeApplySql,
     "text_char_lm_persisted" -> charLmSql,
+    "text_char_lm_scan" -> charLmSql,
     "text_bpe_apply" -> bpeApplySql,
     "text_char_lm" -> charLmSql,
     "text_token_stats" ->
