@@ -28,7 +28,7 @@ import org.apache.spark.sql.SparkSession
   * of fixed SYNTHETIC probes — cpu (range→xxhash64→max) and shuffle
   * (range→repartition→count through spark.local.dir); no measured
   * query is replayed, so the probes warm nothing they judge. A group
-  * with either adjacent fence >1.5× that probe's run minimum lands in
+  * with either adjacent fence >1.5× that probe's run MEDIAN lands in
   * `queries_contended` (r14 shipped 52 phantom regressions with no
   * such flag); a run whose MINIMUM fence clears the committed
   * quiet-host band (BENCH_CANARY_REF.json, probe-versioned and
@@ -183,13 +183,14 @@ object Bench {
     // at group start misses contention that begins mid-group; the
     // shared fence costs half of separate start+end probes). A group
     // with EITHER adjacent fence's probe above 1.5× that probe's run
-    // minimum has its queries listed in queries_contended, and a group
+    // MEDIAN has its queries listed in queries_contended, and a group
     // adjacent to a FAILED probe (-1) lands in queries_canary_failed
     // instead of silently passing as clean. The per-group reference is
-    // the MIN over the run, not the first fence — if the FIRST group
-    // is the contended one, a first-fence reference would flag
-    // nothing; all raw fence times + loads ride in canary_blocks so
-    // any reference can be re-derived.
+    // a run statistic, not the first fence — if the FIRST group is
+    // the contended one, a first-fence reference would flag nothing;
+    // all raw fence times + loads ride in canary_blocks so any
+    // reference can be re-derived (the median-vs-min rationale is at
+    // the flagging site below).
     // SYNTHETIC probes, deliberately not one of the measured queries:
     // an early r15 draft replayed `ohlcv_1m`, which gave that query 9
     // extra warm replays per run — its own recorded median went
@@ -262,23 +263,36 @@ object Bench {
     if (qlist.nonEmpty) fencesB += fence() // closing fencepost
     val fences = fencesB.result()
     val groups = groupsB.result()
-    def probeMin(sel: ((String, Double, Double)) => Double): Double =
+    def probeStat(sel: ((String, Double, Double)) => Double)(
+        stat: Seq[Double] => Double): Double =
       fences.map(sel).filter(_ >= 0) match {
         case Seq() => -1.0
-        case ok => ok.min
+        case ok => stat(ok)
       }
-    val cpuMin = probeMin(_._2)
-    val shufMin = probeMin(_._3)
+    def med(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    val cpuMin = probeStat(_._2)(_.min)
+    val shufMin = probeStat(_._3)(_.min)
+    val cpuMed = probeStat(_._2)(med)
+    val shufMed = probeStat(_._3)(med)
     // group i sits between fences i and i+1; contended if either
     // adjacent fence's probe of either class clears 1.5× that probe's
-    // run minimum, unadjudicated if an adjacent probe failed
+    // run MEDIAN, unadjudicated if an adjacent probe failed. Median,
+    // not min, since r16: the group flag exists to catch LOCALIZED
+    // spikes (broad contention is the absolute run_contended band's
+    // job), and a min reference flags the fastest draw's rivals — the
+    // second r16 close had fence jitter of 2.2× max/min on a quiet
+    // host and the min rule marked 184/248 queries contended, which
+    // would let bench_compare auto-refute real regressions wholesale.
+    // A fence 1.5× above the run's TYPICAL fence is an anomaly worth
+    // discarding figures over; a fence 1.5× above the run's luckiest
+    // draw is Tuesday.
     def groupFences(i: Int): Seq[(String, Double, Double)] =
       Seq(fences(i)) ++ fences.lift(i + 1)
     val contendedQueries: Seq[String] = groups.zipWithIndex.flatMap {
       case (qs, i) =>
         val hot = groupFences(i).exists { case (_, c, s) =>
-          (cpuMin >= 0 && c > 1.5 * cpuMin) ||
-            (shufMin >= 0 && s > 1.5 * shufMin)
+          (cpuMed >= 0 && c > 1.5 * cpuMed) ||
+            (shufMed >= 0 && s > 1.5 * shufMed)
         }
         if (hot) qs else Seq.empty
     }
