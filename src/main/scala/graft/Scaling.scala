@@ -79,6 +79,8 @@ object Scaling {
     "layout_dpp_join",       // partitioned fact + runtime-pruned scan
     "layout_bloom_prune_join", // injected runtime bloom filter on the fact scan
     "pipeline_shard_build",  // quality→dedup→decontam→sample→pack→shard, one plan
+    "dedup_winnow_pairs",    // winnowed-fingerprint pair join (~2/(w+1) postings)
+    "profile_ks_drift",      // per-group ECDF window over collapsed distinct values
     "rollover_monitor_tick") // monitor poll under a corpus-scaled log
 
   /** Non-query probes: operational paths whose growth matters but

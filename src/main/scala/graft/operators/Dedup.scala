@@ -1632,8 +1632,124 @@ object Dedup {
         round(col("n_novel").cast("double") / col("n_shingles"), 6))
   }
 
+  // ---------------------------------------------------------- winnowing
+
+  /** Winnowing fingerprint parameters (Schleimer, Wilbur & Aiken,
+    * "Winnowing: local algorithms for document fingerprinting",
+    * SIGMOD 2003): word [[WinnowK]]-gram hashes, a window of
+    * [[WinnowW]] consecutive k-grams. Guarantee: any run of at least
+    * WinnowK + WinnowW − 1 shared tokens yields at least one shared
+    * fingerprint (the 100%-recall threshold t = k + w − 1), with
+    * expected selected density 2/(w+1) — so the inverted index the
+    * pair join probes is ~2.5× smaller than full distinct-shingle
+    * postings at w = 4, the point of winnowing at corpus scale. */
+  val WinnowK = 3
+  val WinnowW = 4
+
+  /** Packed min-by-(hash, position) selection key: h·PosEnc + pos
+    * orders first by hash, ties by the LEFTMOST position — one fixed
+    * deterministic rule shared bit-for-bit with the oracle (any fixed
+    * tie rule preserves the winnowing guarantee). Positions sit far
+    * below 2^20 (documents are ≪ 1M tokens) and h < 2^31, so the
+    * packed key is < 2^51 — exact in a BIGINT in both engines. */
+  val WinnowPosEnc = 1048576L
+
+  /** Selected winnowing fingerprints over any (doc_id, text) frame —
+    * spec seam. One row per distinct selected (hash, position):
+    * (doc_id, key, h, pos), positions 0-based.
+    *
+    * Scale shape: positional k-gram hashes are ONE fused scan
+    * projection (native SpanHashes — the same expression span dedup
+    * scans with); window selection is a per-document sliding min
+    * (Window partitioned on doc_id, bounded by doc length,
+    * distributed across the cluster); DISTINCT collapses the ≤ np
+    * window wins to the ~2np/(w+1) selected set locally before
+    * anything else shuffles. Never a self-join, never a collect. */
+  private[graft] def winnowSelectedOn(docs: DataFrame,
+      k: Int = WinnowK, w: Int = WinnowW): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val occ = docs
+      .select(col("doc_id"), posexplode(spanCodes(col("text"), k)))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col").as("h"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    occ
+      .withColumn("np",
+        count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .withColumn("key",
+        min(col("h") * WinnowPosEnc + col("pos"))
+          .over(byDoc.rowsBetween(0, w - 1)))
+      .filter(col("pos") <= greatest(col("np") - w, lit(0L)))
+      .select(col("doc_id"), col("key")).distinct()
+      .select(col("doc_id"), col("key"),
+        expr(s"key div $WinnowPosEnc").as("h"),
+        expr(s"key % $WinnowPosEnc").as("pos"))
+  }
+
+  /** The selected-fingerprint frame, memoized per (session, dir) —
+    * shared by the per-doc report and the pair join, ~2/(w+1) of the
+    * span count per document. */
+  private val winnowMemo = new DirMemo
+
+  private def winnowSelected(spark: SparkSession, dir: String): DataFrame =
+    winnowMemo(spark, dir) {
+      winnowSelectedOn(Tables.documents(spark, dir)).localCheckpoint()
+    }
+
+  /** Per-document winnowing report: span count, selected fingerprint
+    * count, a mod-P checksum of the packed keys (pins the exact
+    * selected SET — hash AND position — not just its size), and the
+    * achieved density against the 2/(w+1) expectation. Every document
+    * with ≥ 1 span selects ≥ 1 fingerprint (the first window always
+    * fires), so the join back to span counts is inner and lossless. */
+  def winnowFingerprints(spark: SparkSession, dir: String): DataFrame = {
+    val spans = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(spanCodes(col("text"), WinnowK)).cast("long").as("n_spans"))
+      .filter(col("n_spans") > 0)
+    winnowSelected(spark, dir)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_fp"),
+        sum(expr(s"key % ${graft.functions.TextFunctions.P}")).as("fp_check"))
+      .join(spans, "doc_id")
+      .select(col("doc_id"), col("n_spans"), col("n_fp"), col("fp_check"),
+        expr("n_fp * 1000 div n_spans").as("density_milli"))
+      .orderBy("doc_id")
+  }
+
+  /** Cross-document winnowing match pairs — the MOSS-style detector:
+    * join documents on shared selected fingerprint HASHES (distinct
+    * per doc; position is a within-doc concern), df-capped with the
+    * pair joins' standing valve, keep pairs sharing ≥ 2 fingerprints,
+    * and score fingerprint-set Jaccard in milli. Winnowing's guarantee
+    * makes this a detector for shared runs ≥ k + w − 1 tokens at
+    * ~2/(w+1) of the postings volume the full-shingle pair join
+    * shuffles — the scale trade the SIGMOD paper is about. */
+  def winnowPairs(spark: SparkSession, dir: String): DataFrame = {
+    val hs = winnowSelected(spark, dir)
+      .select(col("doc_id"), col("h")).distinct()
+    val sz = hs.groupBy("doc_id").agg(count(lit(1)).as("nf"))
+    val capped = hs.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= DefaultMaxShingleDf).select("h")
+    val posts = hs.join(capped, "h")
+    posts.as("a").join(posts.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= 2)
+      .join(sz.select(col("doc_id").as("doc_a"), col("nf").as("nf_a")), "doc_a")
+      .join(sz.select(col("doc_id").as("doc_b"), col("nf").as("nf_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("shared"),
+        col("nf_a"), col("nf_b"),
+        expr("shared * 1000 div (nf_a + nf_b - shared)").as("jaccard_milli"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_ngram_novelty" -> ((s, d) => ngramNovelty(s, d)),
+    "dedup_winnow_fingerprints" -> ((s, d) => winnowFingerprints(s, d)),
+    "dedup_winnow_pairs" -> ((s, d) => winnowPairs(s, d)),
     "text_novelty_incremental" -> ((s, d) => incrementalNovelty(s, d)),
     "dedup_savings" -> ((s, d) => dedupSavings(s, d)),
     "qa_split_leakage" -> ((s, d) => splitLeakage(s, d)),
@@ -1772,6 +1888,31 @@ object Dedup {
        |rm AS (SELECT sp.doc_id, sp.pos FROM sp JOIN dup USING (code)
        |  WHERE sp.doc_id * $SpanPosShift + sp.pos <> dup.keeper),
        |$spanMergeCte""".stripMargin
+
+  /** Shared winnowing oracle CTE: positional [[WinnowK]]-gram hashes
+    * per doc (wsp, same polynomial as the engine's SpanHashes),
+    * per-window-start packed sliding min (wspn), and the distinct
+    * selected fingerprint keys (wsel) — [[winnowSelectedOn]] replayed
+    * in SQL. Only full windows select (pos ≤ np − w), except a
+    * shorter-than-w document whose single window is its whole span
+    * list — the greatest(…, 0) arm, same as the engine's. */
+  private val winnowCte =
+    s"""toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+       |wsp AS (SELECT doc_id, j::BIGINT - 1 AS pos,
+       |    list_reduce(list_prepend(0::BIGINT,
+       |        list_transform(string_split(
+       |          list_reduce(t[j:j+${WinnowK - 1}], (a, b) -> a || ' ' || b), ''),
+       |          c -> ascii(c)::BIGINT)),
+       |      (a, c) -> (a * 31 + c) % 2147483647) AS h
+       |  FROM toks, UNNEST(range(1, len(t) - $WinnowK + 2)) AS u(j)
+       |  WHERE len(t) >= $WinnowK),
+       |wspn AS (SELECT doc_id, pos,
+       |    count(*) OVER (PARTITION BY doc_id) AS np,
+       |    min(h * $WinnowPosEnc + pos) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS key
+       |  FROM wsp),
+       |wsel AS (SELECT DISTINCT doc_id, key FROM wspn
+       |  WHERE pos <= greatest(np - $WinnowW, 0))""".stripMargin
 
   private val clustersOracle =
     s"""WITH RECURSIVE $ccCte
@@ -1966,6 +2107,30 @@ object Dedup {
          |SELECT doc_a, doc_b, (common * 1000) // sa.sz AS containment_milli
          |FROM common JOIN sh sa ON sa.doc_id = doc_a
          |WHERE common * 1000 >= $ContainmentMilli * sa.sz
+         |ORDER BY 1, 2""".stripMargin,
+    "dedup_winnow_fingerprints" ->
+      s"""WITH $winnowCte,
+         |ns AS (SELECT doc_id, count(*)::BIGINT AS n_spans FROM wsp GROUP BY 1)
+         |SELECT ns.doc_id, ns.n_spans, count(*)::BIGINT AS n_fp,
+         |  sum(key % 2147483647)::BIGINT AS fp_check,
+         |  (count(*) * 1000) // ns.n_spans AS density_milli
+         |FROM ns JOIN wsel USING (doc_id)
+         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    "dedup_winnow_pairs" ->
+      s"""WITH $winnowCte,
+         |hs AS (SELECT DISTINCT doc_id, key // $WinnowPosEnc AS h FROM wsel),
+         |sz AS (SELECT doc_id, count(*)::BIGINT AS nf FROM hs GROUP BY 1),
+         |capped AS (SELECT h FROM hs GROUP BY h
+         |  HAVING count(*) <= $DefaultMaxShingleDf),
+         |posts AS (SELECT doc_id, h FROM hs JOIN capped USING (h)),
+         |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    count(*)::BIGINT AS shared
+         |  FROM posts a JOIN posts b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= 2)
+         |SELECT doc_a, doc_b, shared, sa.nf AS nf_a, sb.nf AS nf_b,
+         |  (shared * 1000) // (sa.nf + sb.nf - shared) AS jaccard_milli
+         |FROM pr JOIN sz sa ON sa.doc_id = pr.doc_a
+         |  JOIN sz sb ON sb.doc_id = pr.doc_b
          |ORDER BY 1, 2""".stripMargin,
     "dedup_span_frac" ->
       s"""WITH $shingleCte,

@@ -164,6 +164,57 @@ object Profiling {
       .withColumnRenamed("grp", "event_type")
       .orderBy("event_type")
 
+  /** Exact two-sample Kolmogorov–Smirnov distance per group — the
+    * complementary drift statistic to [[driftOn]]'s binned L1: KS is
+    * the max ECDF gap, sensitive to location/shape shifts a coarse
+    * histogram can wash out, and its null distribution is standard
+    * (Smirnov), so a monitoring pipeline can turn `ks_milli` into a
+    * p-value with na/nb alone.
+    *
+    * All integer: with cumulative cohort counts cca/ccb at each
+    * distinct value, D = max |cca/na − ccb/nb| =
+    * max |cca·nb − ccb·na| / (na·nb). The numerator stays a BIGINT
+    * (≤ na·nb ≤ 9·10^10 at sf0.1 — exact), `ks_milli` is its floored
+    * milli quotient, so the oracle replays bit-for-bit.
+    *
+    * Scale shape: one groupBy collapses the cohorts to ≤ distinct-value
+    * rows per group (map-side partials — ties merge BEFORE the sort, so
+    * the ECDF steps once per distinct value exactly as the statistic is
+    * defined); the running sums are a window partitioned BY GROUP over
+    * those collapsed rows (bounded by the value domain, not the row
+    * count, and distributed across groups); totals broadcast back. No
+    * row-level sort of the raw data ever happens. */
+  def ksOn(df: DataFrame, isA: Column, cents: Column,
+      group: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = df.select(group.as("grp"), isA.as("is_a"), cents.as("cents"))
+    val counts = ev.groupBy("grp", "cents")
+      .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("cb"))
+    val byGrp = Window.partitionBy("grp").orderBy("cents")
+    val cum = counts.select(col("grp"),
+      sum("ca").over(byGrp).as("cca"), sum("cb").over(byGrp).as("ccb"))
+    val totals = counts.groupBy("grp")
+      .agg(sum("ca").as("na"), sum("cb").as("nb"))
+    cum.join(broadcast(totals), "grp")
+      .select(col("grp"), col("na"), col("nb"),
+        abs(col("cca") * col("nb") - col("ccb") * col("na")).as("num"))
+      .groupBy("grp", "na", "nb").agg(max("num").as("ks_num"))
+      .select(col("grp"), col("na"), col("nb"), col("ks_num"),
+        expr("ks_num * 1000 div (na * nb)").as("ks_milli"))
+  }
+
+  /** KS report over `events`, same parity split and cents quantization
+    * as [[driftReport]]: the undrifted null baseline (≈ 0; the spec
+    * fires it on genuinely shifted cohorts). */
+  def ksDriftReport(spark: SparkSession, dir: String): DataFrame =
+    ksOn(Tables.events(spark, dir),
+      col("event_id") % 2 === 0,
+      round(col("value") * 100, 0).cast("long"),
+      col("event_type"))
+      .withColumnRenamed("grp", "event_type")
+      .orderBy("event_type")
+
   /** The event types whose per-minute activity series get correlated. */
   val CorrTypes = Seq("view", "click", "purchase", "signup", "error")
 
@@ -423,6 +474,7 @@ object Profiling {
     "profile_events" -> ((s, d) => profileEvents(s, d)),
     "profile_stats_sketch" -> ((s, d) => tableStatsSketch(s, d)),
     "profile_drift" -> ((s, d) => driftReport(s, d)),
+    "profile_ks_drift" -> ((s, d) => ksDriftReport(s, d)),
     "profile_outliers" -> ((s, d) => valueOutliers(s, d)))
 
   private def colSql(name: String, c: String): String =
@@ -570,6 +622,24 @@ object Profiling {
         |SELECT c.grp AS event_type, t.na, t.nb,
         |  sum(abs(1000 * c.ca // t.na - 1000 * c.cb // t.nb))::BIGINT AS l1_milli
         |FROM c JOIN t USING (grp)
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+    "profile_ks_drift" ->
+      """WITH e AS (SELECT event_type AS grp, event_id % 2 = 0 AS is_a,
+        |    CAST(round(value*100,0) AS BIGINT) AS cents FROM events),
+        |c AS (SELECT grp, cents,
+        |    sum(CASE WHEN is_a THEN 1 ELSE 0 END)::BIGINT AS ca,
+        |    sum(CASE WHEN is_a THEN 0 ELSE 1 END)::BIGINT AS cb
+        |  FROM e GROUP BY 1, 2),
+        |cum AS (SELECT grp,
+        |    sum(ca) OVER (PARTITION BY grp ORDER BY cents)::BIGINT AS cca,
+        |    sum(cb) OVER (PARTITION BY grp ORDER BY cents)::BIGINT AS ccb
+        |  FROM c),
+        |t AS (SELECT grp, sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb
+        |  FROM c GROUP BY 1)
+        |SELECT cum.grp AS event_type, t.na, t.nb,
+        |  max(abs(cca * t.nb - ccb * t.na))::BIGINT AS ks_num,
+        |  ((max(abs(cca * t.nb - ccb * t.na)) * 1000) // (t.na * t.nb))::BIGINT AS ks_milli
+        |FROM cum JOIN t USING (grp)
         |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
     "profile_stats_sketch" ->
       s"""WITH src AS (

@@ -61,6 +61,32 @@ class ApproxSwapSpec extends SparkSpec {
     assert(fired > 1800, s"disjoint cohorts read only $fired")
   }
 
+  test("KS detector: exact on a hand case, near zero undrifted, 1000 on disjoint cohorts") {
+    import spark.implicits._
+    import graft.operators.Profiling
+    // hand case: A = {1,2}, B = {2,3} → ECDF gaps at 1: |1/2−0/2| = .5,
+    // at 2: |2/2−1/2| = .5, at 3: 0 → D = 0.5 exactly
+    val hand = Seq(("g", true, 1L), ("g", true, 2L), ("g", false, 2L),
+      ("g", false, 3L)).toDF("grp", "is_a", "cents")
+    val hr = Profiling.ksOn(hand, col("is_a"), col("cents"), col("grp")).head()
+    assert(hr.getAs[Long]("ks_num") == 2 && hr.getAs[Long]("ks_milli") == 500)
+    // undrifted: the real report splits one distribution by parity
+    val calm = Profiling.ksDriftReport(spark, sf001).collect()
+    assert(calm.nonEmpty)
+    calm.foreach { r =>
+      val ks = r.getAs[Long]("ks_milli")
+      assert(ks < 200, s"${r.getString(0)}: undrifted split reads $ks")
+    }
+    // disjoint cohorts: every A value below every B value → D = 1
+    val drifted = (0 until 200).map { i =>
+      if (i % 2 == 0) ("g", true, (i % 100).toLong)
+      else ("g", false, (1000 + i % 100).toLong)
+    }.toDF("grp", "is_a", "cents")
+    val fired = Profiling.ksOn(drifted, col("is_a"), col("cents"), col("grp"))
+      .head().getAs[Long]("ks_milli")
+    assert(fired == 1000, s"disjoint cohorts read $fired")
+  }
+
   test("approx_count_distinct tracks exact distinct counts within 5%") {
     for (c <- Seq("user_id", "event_id", "value")) {
       val exact = events.agg(count_distinct(col(c))).head.getLong(0)

@@ -729,4 +729,92 @@ class TrainingDataSpec extends SparkSpec {
       assert(r.getLong(1) > 0)
     }
   }
+
+  // ---------------------------------------------------------- winnowing
+
+  /** polyHash of one span string — the scalar reference the engine's
+    * SpanHashes computes per position. */
+  private def refHash(s: String): Long =
+    s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 2147483647L)
+
+  /** Naive winnowing over one doc's token list: every full window of w
+    * consecutive k-gram hashes selects its min-by-(hash, pos); a doc
+    * shorter than one full window selects from its single partial
+    * window. Returns the selected (hash, pos) set. */
+  private def refWinnow(toks: Seq[String], k: Int, w: Int): Set[(Long, Long)] = {
+    val hs = (0 to toks.length - k).map(j => refHash(toks.slice(j, j + k).mkString(" ")))
+    if (hs.isEmpty) Set.empty
+    else (0 to math.max(hs.length - w, 0)).map { s =>
+      hs.slice(s, s + w).zipWithIndex
+        .map { case (h, i) => (h, (s + i).toLong) }
+        .minBy { case (h, p) => h * Dedup.WinnowPosEnc + p }
+    }.toSet
+  }
+
+  test("property: winnowing selection matches the naive reference on random corpora") {
+    // tiny alphabet → repeated k-grams, hash ties, short docs — the
+    // regime where the packed-key tie rule and the partial-window arm
+    // actually get exercised
+    val rnd = new scala.util.Random(23)
+    val alphabet = Vector("aa", "bb", "cc", "dd", "ee")
+    for (trial <- 1 to 8) {
+      val docs = (0L until 12L).map { id =>
+        val n = rnd.nextInt(16) // includes docs shorter than k and than k+w-1
+        id -> (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.size))).mkString(" ")
+      }
+      val expected = docs.flatMap { case (id, text) =>
+        refWinnow(text.split(" ").filter(_.nonEmpty).toSeq, Dedup.WinnowK, Dedup.WinnowW)
+          .map { case (h, p) => (id, h, p) }
+      }.toSet
+      val got = Dedup.winnowSelectedOn(docs.toDF("doc_id", "text"))
+        .select("doc_id", "h", "pos")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == expected,
+        s"trial $trial: engine ${got.size} vs reference ${expected.size}\n" +
+          s"only-engine: ${(got -- expected).take(5)}\nonly-ref: ${(expected -- got).take(5)}")
+    }
+  }
+
+  test("winnowing guarantee: a shared run of k+w-1 tokens always yields a shared fingerprint") {
+    // t = k + w - 1 = 6 shared tokens embedded in disjoint contexts
+    val shared = "s1 s2 s3 s4 s5 s6"
+    val docs = Seq(
+      (1L, s"p1 p2 p3 $shared p4 p5"),
+      (2L, s"q1 $shared q2 q3 q4 q5"),
+      (3L, "r1 r2 r3 r4 r5 r6 r7 r8 r9")).toDF("doc_id", "text")
+    val sel = Dedup.winnowSelectedOn(docs).select("doc_id", "h").distinct()
+    val byDoc = sel.collect().groupBy(_.getLong(0)).map { case (d, rs) =>
+      d -> rs.map(_.getLong(1)).toSet
+    }
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty, "shared 6-token run missed")
+    assert((byDoc(1L) & byDoc(3L)).isEmpty && (byDoc(2L) & byDoc(3L)).isEmpty,
+      "disjoint doc matched")
+  }
+
+  test("winnowing density: selected count per doc is within the window-start bound") {
+    val fp = Dedup.winnowFingerprints(spark, sf0001).collect()
+    assert(fp.nonEmpty)
+    fp.foreach { r =>
+      val (nSpans, nFp) = (r.getLong(1), r.getLong(2))
+      assert(nFp >= 1 && nFp <= math.max(nSpans - Dedup.WinnowW, 0L) + 1,
+        s"doc ${r.getLong(0)}: $nFp fingerprints from $nSpans spans")
+      assert(r.getLong(4) == nFp * 1000 / nSpans)
+    }
+  }
+
+  test("winnow pairs find the planted near-dups and score set-jaccard exactly") {
+    val rows = Dedup.winnowPairs(spark, sf0001).collect()
+    assert(rows.nonEmpty, "no winnow pairs on the planted-dup corpus")
+    rows.foreach { r =>
+      val (sh, na, nb, j) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(sh >= 2 && sh <= math.min(na, nb))
+      assert(j == sh * 1000 / (na + nb - sh))
+    }
+    // exact dups (identical fingerprint sets) must surface as a
+    // full-overlap pair
+    val hasExactDup =
+      Dedup.exact(spark, sf0001).filter(col("n_copies") > 1).count() > 0
+    if (hasExactDup)
+      assert(rows.exists(r => r.getLong(5) == 1000), "no full-overlap pair found")
+  }
 }
