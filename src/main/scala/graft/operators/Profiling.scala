@@ -204,6 +204,56 @@ object Profiling {
         expr("ks_num * 1000 div (na * nb)").as("ks_milli"))
   }
 
+  /** Exact Wasserstein-1 (earth-mover) distance per group — the third
+    * face of the drift trio ([[driftOn]] binned L1, [[ksOn]] max ECDF
+    * gap, this the INTEGRAL of the ECDF gap): W1 = ∫|F_A − F_B| dx,
+    * the average cents a unit of probability mass must move to turn
+    * cohort A into cohort B. KS sees the worst point; W1 prices the
+    * whole shift — a small-but-everywhere drift reads near zero on KS
+    * and real on W1, a one-point spike the reverse.
+    *
+    * All integer: over the ties-collapsed distinct values,
+    * emd_num = Σ |cca·nb − ccb·na| · (next_value − value) — exact in
+    * BIGINT (≤ na·nb · value-range) — and `w1_milli_cents` is its
+    * floored milli quotient by na·nb: W1 in milli-cents of the
+    * measured column. Same one-groupBy + per-group-window scale shape
+    * as [[ksOn]]; the gap and the forward value-step come from the
+    * SAME window, so the plan adds no exchange over KS. */
+  def emdOn(df: DataFrame, isA: Column, cents: Column,
+      group: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = df.select(group.as("grp"), isA.as("is_a"), cents.as("cents"))
+    val counts = ev.groupBy("grp", "cents")
+      .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("cb"))
+    val byGrp = Window.partitionBy("grp").orderBy("cents")
+    val cum = counts.select(col("grp"),
+      sum("ca").over(byGrp).as("cca"), sum("cb").over(byGrp).as("ccb"),
+      coalesce(lead("cents", 1).over(byGrp) - col("cents"), lit(0L))
+        .as("dv"))
+    val totals = counts.groupBy("grp")
+      .agg(sum("ca").as("na"), sum("cb").as("nb"))
+    cum.join(broadcast(totals), "grp")
+      .select(col("grp"), col("na"), col("nb"),
+        (abs(col("cca") * col("nb") - col("ccb") * col("na")) * col("dv"))
+          .as("seg"))
+      .groupBy("grp", "na", "nb").agg(sum("seg").as("emd_num"))
+      .select(col("grp"), col("na"), col("nb"), col("emd_num"),
+        expr("emd_num * 1000 div (na * nb)").as("w1_milli_cents"))
+  }
+
+  /** W1 report over `events`, same parity split and cents quantization
+    * as [[driftReport]]: the undrifted null baseline (≈ 0; the spec
+    * fires it on shifted cohorts and pins point-mass distances
+    * exactly). */
+  def emdDriftReport(spark: SparkSession, dir: String): DataFrame =
+    emdOn(Tables.events(spark, dir),
+      col("event_id") % 2 === 0,
+      round(col("value") * 100, 0).cast("long"),
+      col("event_type"))
+      .withColumnRenamed("grp", "event_type")
+      .orderBy("event_type")
+
   /** KS report over `events`, same parity split and cents quantization
     * as [[driftReport]]: the undrifted null baseline (≈ 0; the spec
     * fires it on genuinely shifted cohorts). */
@@ -475,6 +525,7 @@ object Profiling {
     "profile_stats_sketch" -> ((s, d) => tableStatsSketch(s, d)),
     "profile_drift" -> ((s, d) => driftReport(s, d)),
     "profile_ks_drift" -> ((s, d) => ksDriftReport(s, d)),
+    "profile_emd_drift" -> ((s, d) => emdDriftReport(s, d)),
     "profile_outliers" -> ((s, d) => valueOutliers(s, d)))
 
   private def colSql(name: String, c: String): String =
@@ -639,6 +690,27 @@ object Profiling {
         |SELECT cum.grp AS event_type, t.na, t.nb,
         |  max(abs(cca * t.nb - ccb * t.na))::BIGINT AS ks_num,
         |  ((max(abs(cca * t.nb - ccb * t.na)) * 1000) // (t.na * t.nb))::BIGINT AS ks_milli
+        |FROM cum JOIN t USING (grp)
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+    "profile_emd_drift" ->
+      """WITH e AS (SELECT event_type AS grp, event_id % 2 = 0 AS is_a,
+        |    CAST(round(value*100,0) AS BIGINT) AS cents FROM events),
+        |c AS (SELECT grp, cents,
+        |    sum(CASE WHEN is_a THEN 1 ELSE 0 END)::BIGINT AS ca,
+        |    sum(CASE WHEN is_a THEN 0 ELSE 1 END)::BIGINT AS cb
+        |  FROM e GROUP BY 1, 2),
+        |cum AS (SELECT grp,
+        |    sum(ca) OVER (PARTITION BY grp ORDER BY cents)::BIGINT AS cca,
+        |    sum(cb) OVER (PARTITION BY grp ORDER BY cents)::BIGINT AS ccb,
+        |    coalesce(lead(cents) OVER (PARTITION BY grp ORDER BY cents)
+        |      - cents, 0)::BIGINT AS dv
+        |  FROM c),
+        |t AS (SELECT grp, sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb
+        |  FROM c GROUP BY 1)
+        |SELECT cum.grp AS event_type, t.na, t.nb,
+        |  sum(abs(cca * t.nb - ccb * t.na) * dv)::BIGINT AS emd_num,
+        |  ((sum(abs(cca * t.nb - ccb * t.na) * dv) * 1000)
+        |    // (t.na * t.nb))::BIGINT AS w1_milli_cents
         |FROM cum JOIN t USING (grp)
         |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
     "profile_stats_sketch" ->

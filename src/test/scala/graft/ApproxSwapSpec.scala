@@ -87,6 +87,46 @@ class ApproxSwapSpec extends SparkSpec {
     assert(fired == 1000, s"disjoint cohorts read $fired")
   }
 
+  test("W1 detector: point-mass distances exact, shift-invariant hand case, near zero undrifted") {
+    import spark.implicits._
+    import graft.operators.Profiling
+    // point masses at 0 and 10 → W1 = 10 cents exactly
+    val pm = Seq(("g", true, 0L), ("g", false, 10L)).toDF("grp", "is_a", "cents")
+    val pr = Profiling.emdOn(pm, col("is_a"), col("cents"), col("grp")).head()
+    assert(pr.getAs[Long]("emd_num") == 10 &&
+      pr.getAs[Long]("w1_milli_cents") == 10000)
+    // A = {0,10}, B = {5,15}: every mass unit moves 5 → W1 = 5 cents
+    val sh = Seq(("g", true, 0L), ("g", true, 10L), ("g", false, 5L),
+      ("g", false, 15L)).toDF("grp", "is_a", "cents")
+    val sr = Profiling.emdOn(sh, col("is_a"), col("cents"), col("grp")).head()
+    assert(sr.getAs[Long]("w1_milli_cents") == 5000, s"shifted pair: $sr")
+    // a pure location shift is priced exactly: cohort B = cohort A
+    // shifted +1001 cents (even residues vs odd residues + 1000), so
+    // every unit of mass moves exactly 1001 → W1 = 1001000 milli-cents
+    val drifted = (0 until 200).map { i =>
+      if (i % 2 == 0) ("g", true, (i % 100).toLong)
+      else ("g", false, (1000 + i % 100).toLong)
+    }.toDF("grp", "is_a", "cents")
+    val fired = Profiling.emdOn(drifted, col("is_a"), col("cents"), col("grp"))
+      .head().getAs[Long]("w1_milli_cents")
+    assert(fired == 1001000, s"shifted cohorts read $fired")
+    // undrifted parity split: W1 is sampling noise — a small fraction
+    // of each group's value RANGE (a real shift reads a large one)
+    val ranges = Tables.events(spark, sf001)
+      .groupBy("event_type")
+      .agg((max(round(col("value") * 100, 0).cast("long"))
+        - min(round(col("value") * 100, 0).cast("long"))).as("range_cents"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val calm = Profiling.emdDriftReport(spark, sf001).collect()
+    assert(calm.nonEmpty)
+    calm.foreach { r =>
+      val w1 = r.getAs[Long]("w1_milli_cents")
+      val bound = ranges(r.getString(0)) * 1000 / 10
+      assert(w1 < bound,
+        s"${r.getString(0)}: undrifted split reads $w1 vs 10%-of-range $bound")
+    }
+  }
+
   test("approx_count_distinct tracks exact distinct counts within 5%") {
     for (c <- Seq("user_id", "event_id", "value")) {
       val exact = events.agg(count_distinct(col(c))).head.getLong(0)
