@@ -265,6 +265,48 @@ object Profiling {
       .withColumnRenamed("grp", "event_type")
       .orderBy("event_type")
 
+  /** Categorical mix drift between two cohorts — the detector for the
+    * variable the numeric trio can't watch: the CATEGORY mix itself
+    * (source/lang composition shifting between crawl snapshots, an
+    * event-type mix shifting day over day). Per category: exact cohort
+    * counts, the milli proportion gap, and the category's Pearson
+    * chi-squared homogeneity contribution — per-category grain so the
+    * report names WHICH category moved, with Σ chi2_part the standard
+    * χ² statistic (df = k−1) for calibrated alerting.
+    *
+    * Arithmetic: counts and the gap are exact BIGINTs; chi2_part uses
+    * the algebraic identity (O−E)²/E summed over a category's two
+    * cells = (nb·ca − na·cb)² / (na·nb·(ca+cb)) — the integer
+    * difference is exact in BIGINT (< 2^53, so its double cast is
+    * exact too) and the one double division is rounded to 6, the same
+    * replay discipline as profile_corr.
+    *
+    * Scale shape: one map-side-combined groupBy to ≤ k category rows,
+    * then a 1-row totals broadcast — the report never rescans. */
+  def mixDriftOn(df: DataFrame, isA: Column, cat: Column): DataFrame = {
+    val ev = df.select(cat.as("category"), isA.as("is_a"))
+    val counts = ev.groupBy("category")
+      .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("cb"))
+    val totals = counts.agg(sum("ca").as("na"), sum("cb").as("nb"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("category"), col("na"), col("nb"), col("ca"), col("cb"),
+        expr("abs(1000 * ca div na - 1000 * cb div nb)").as("gap_milli"),
+        round(
+          ((col("nb") * col("ca") - col("na") * col("cb")).cast("double") *
+            (col("nb") * col("ca") - col("na") * col("cb")).cast("double")) /
+            ((col("na") * col("nb")).cast("double") *
+              (col("ca") + col("cb")).cast("double")), 6).as("chi2_part"))
+  }
+
+  /** Mix-drift report over `events`' event-type composition, parity
+    * split: the undrifted null baseline (Σ chi2_part ~ χ²(k−1); the
+    * spec fires it on a fully-separated mix where χ² = N exactly). */
+  def mixDriftReport(spark: SparkSession, dir: String): DataFrame =
+    mixDriftOn(Tables.events(spark, dir),
+      col("event_id") % 2 === 0, col("event_type"))
+      .orderBy("category")
+
   /** The event types whose per-minute activity series get correlated. */
   val CorrTypes = Seq("view", "click", "purchase", "signup", "error")
 
@@ -526,6 +568,7 @@ object Profiling {
     "profile_drift" -> ((s, d) => driftReport(s, d)),
     "profile_ks_drift" -> ((s, d) => ksDriftReport(s, d)),
     "profile_emd_drift" -> ((s, d) => emdDriftReport(s, d)),
+    "profile_mix_drift" -> ((s, d) => mixDriftReport(s, d)),
     "profile_outliers" -> ((s, d) => valueOutliers(s, d)))
 
   private def colSql(name: String, c: String): String =
@@ -713,6 +756,20 @@ object Profiling {
         |    // (t.na * t.nb))::BIGINT AS w1_milli_cents
         |FROM cum JOIN t USING (grp)
         |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+    "profile_mix_drift" ->
+      """WITH e AS (SELECT event_type AS category, event_id % 2 = 0 AS is_a
+        |  FROM events),
+        |c AS (SELECT category,
+        |    sum(CASE WHEN is_a THEN 1 ELSE 0 END)::BIGINT AS ca,
+        |    sum(CASE WHEN is_a THEN 0 ELSE 1 END)::BIGINT AS cb
+        |  FROM e GROUP BY 1),
+        |t AS (SELECT sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb FROM c)
+        |SELECT category, t.na, t.nb, ca, cb,
+        |  abs(1000 * ca // t.na - 1000 * cb // t.nb)::BIGINT AS gap_milli,
+        |  round(((t.nb * ca - t.na * cb)::DOUBLE
+        |      * (t.nb * ca - t.na * cb)::DOUBLE)
+        |    / ((t.na * t.nb)::DOUBLE * (ca + cb)::DOUBLE), 6) AS chi2_part
+        |FROM c, t ORDER BY 1""".stripMargin,
     "profile_stats_sketch" ->
       s"""WITH src AS (
          |  SELECT 'l_quantity' AS column_name, CAST(round(l_quantity*100,0) AS BIGINT) AS cents FROM lineitem

@@ -127,6 +127,26 @@ class ApproxSwapSpec extends SparkSpec {
     }
   }
 
+  test("mix-drift detector: full separation reads chi2 = N exactly, parity split stays under the df bound") {
+    import spark.implicits._
+    import graft.operators.Profiling
+    // fully separated mix: cohort A all 'x', cohort B all 'y' → each
+    // category's part is N/2, total chi-squared = N = 20 exactly, and
+    // the proportion gap is the full 1000 milli
+    val sep = ((1 to 10).map(_ => ("x", true)) ++ (1 to 10).map(_ => ("y", false)))
+      .toDF("cat", "is_a")
+    val parts = Profiling.mixDriftOn(sep, col("is_a"), col("cat")).collect()
+    assert(parts.map(_.getAs[Double]("chi2_part")).sum == 20.0)
+    parts.foreach(r => assert(r.getAs[Long]("gap_milli") == 1000))
+    // undrifted parity split of the real event-type mix: chi-squared
+    // with k-1 = 4 df — far under 15 (p < 0.005) on the null split
+    val calm = Profiling.mixDriftReport(spark, sf001).collect()
+    assert(calm.length >= 2)
+    val tot = calm.map(_.getAs[Double]("chi2_part")).sum
+    assert(tot < 15.0, s"parity split chi2 $tot")
+    calm.foreach(r => assert(r.getAs[Long]("gap_milli") < 100))
+  }
+
   test("approx_count_distinct tracks exact distinct counts within 5%") {
     for (c <- Seq("user_id", "event_id", "value")) {
       val exact = events.agg(count_distinct(col(c))).head.getLong(0)
