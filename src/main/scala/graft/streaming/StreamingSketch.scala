@@ -147,6 +147,42 @@ object StreamingSketch {
           .as("l1_milli"))
   }
 
+  /** Windowed categorical mix drift — the streaming twin of
+    * operators.Profiling.mixDriftOn against a FIXED baseline mix
+    * (yesterday's corpus category proportions in milli, shipped as
+    * literals — the same baseline discipline as [[windowedDrift]]).
+    * Per closed window: the observed count and the L1 mix distance
+    * Σ_present |f_w − f_base| + Σ_absent f_base, all integer milli —
+    * a category the stream stops emitting still charges its baseline
+    * mass, exactly like an absent bin in [[windowedDrift]].
+    *
+    * State per open window is ≤ k category counters,
+    * watermark-evicted — the mix compresses to k counters however
+    * high the event rate, which is the point under a 100 TB/day
+    * firehose. The chained two-aggregation append-mode mechanism is
+    * [[windowedDistinct]]'s. */
+  def windowedMixDrift(tv: Dataset[TimedValue], windowDur: String,
+      watermarkDelay: String, baselineMilli: Map[String, Long]): DataFrame = {
+    import org.apache.spark.sql.functions.{window => timeWindow}
+    val base = typedlit(baselineMilli)
+    val baseSum = baselineMilli.values.sum
+    tv.toDF()
+      .withWatermark("ts", watermarkDelay)
+      .select(col("ts"), col("value").as("category"))
+      .groupBy(timeWindow(col("ts"), windowDur), col("category"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(timeWindow(window_time(col("window")), windowDur))
+      .agg(collect_list(struct(col("category"), col("cnt"))).as("cats"),
+        sum(col("cnt")).as("n"))
+      .select(col("window").getField("start").as("window_start"), col("n"),
+        (aggregate(col("cats"), lit(0L), (acc, c) =>
+          acc + abs(intDiv(lit(1000L) * c.getField("cnt"), col("n"))
+            - coalesce(element_at(base, c.getField("category")), lit(0L))))
+          + (lit(baseSum) - aggregate(col("cats"), lit(0L), (acc, c) =>
+            acc + coalesce(element_at(base, c.getField("category")), lit(0L)))))
+          .as("mix_l1_milli"))
+  }
+
   /** Windowed Count-Min heavy-hitter monitor — the streaming twin of
     * operators.Sketches.cmsTopK: each closed event-time window reports
     * CMS frequency estimates for a FIXED probe set (the heavy-hitter

@@ -281,6 +281,43 @@ class SketchesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming mix-drift monitor: calm on the baseline mix, fires on a collapsed mix, absent mass charged") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t0 = 1723459200000L
+    // baseline mix: a 40%, b 40%, c 20%
+    val baseline = Map("a" -> 400L, "b" -> 400L, "c" -> 200L)
+    def tv(offMs: Long, cat: String) =
+      graft.streaming.TimedValue(new java.sql.Timestamp(t0 + offMs), cat)
+    val input = MemoryStream[graft.streaming.TimedValue]
+    val q = graft.streaming.StreamingSketch
+      .windowedMixDrift(input.toDS(), "1 minute", "0 seconds", baseline)
+      .writeStream.format("memory").queryName("mixdrift").outputMode("append")
+      .start()
+    try {
+      // window 1: exactly the baseline mix (4 a, 4 b, 2 c)
+      input.addData((0 until 4).map(i => tv(i * 100L, "a")) ++
+        (0 until 4).map(i => tv(1000L + i * 100L, "b")) ++
+        (0 until 2).map(i => tv(2000L + i * 100L, "c")): _*)
+      // window 2: everything collapses into 'a' (plus a category the
+      // baseline never saw) — b and c are ABSENT but still charge mass
+      input.addData((0 until 9).map(i => tv(60000L + i * 100L, "a")) :+
+        tv(61000L, "zz"))
+      // close both windows
+      input.addData(tv(600000L, "a"))
+      q.processAllAvailable()
+      val rows = spark.table("mixdrift").orderBy("window_start").collect()
+      assert(rows.length == 2, s"expected two closed windows: ${rows.toSeq}")
+      assert(rows(0).getAs[Long]("mix_l1_milli") == 0L,
+        s"baseline-mix window read ${rows(0)}")
+      // window 2: a |900−400| + zz |100−0| + absent b 400 + absent c 200
+      assert(rows(1).getAs[Long]("mix_l1_milli") == 1200L,
+        s"collapsed mix read ${rows(1)}")
+      assert(rows.map(_.getAs[Long]("n")).toSeq == Seq(10L, 10L))
+    } finally q.stop()
+  }
+
   test("streaming drift monitor reads calm on baseline-like windows and fires on shifted ones") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
