@@ -1085,25 +1085,44 @@ object Dedup {
 
   /** Method-agreement audit across the near-dup pair finders — the
     * dedup twin of the ANN recall report: per approximate method
-    * (df-capped inverted-index jaccard, banded MinHash/LSH), how many
-    * of the EXACT τ=0.5 pairs (the uncapped PPJoin baseline, itself
-    * spec-proven equal to the all-pairs semantic definition) does it
-    * find? Both approximations only VERIFY candidates at the exact
-    * threshold, so they are subsets of the baseline — precision is 1
-    * by construction and the audit reports the recall each method's
-    * candidate pruning trades away (the cap's boilerplate-pair loss,
-    * banding's probability-of-collision loss).
+    * (df-capped inverted-index jaccard, banded MinHash/LSH, and the
+    * winnowed-fingerprint candidate index verified at the exact
+    * threshold), how many of the EXACT τ=0.5 pairs (the uncapped
+    * PPJoin baseline, itself spec-proven equal to the all-pairs
+    * semantic definition) does it find? Every approximation only
+    * VERIFIES candidates at the exact threshold, so each is a subset
+    * of the baseline — precision is 1 by construction and the audit
+    * reports the recall each method's candidate pruning trades away
+    * (the cap's boilerplate-pair loss, banding's
+    * probability-of-collision loss, winnowing's selection-density
+    * loss against its ~2.5×-smaller candidate index).
     *
-    * Near-free at audit time: all three pair frames are the memoized
-    * per-generation artifacts; the audit adds two pair-frame-sized
-    * joins and a 2-row aggregate. */
+    * Near-free at audit time: the pair frames are the memoized
+    * per-generation artifacts; the audit adds the winnow-candidate
+    * verification join plus two pair-frame-sized joins and a 3-row
+    * aggregate. */
   def methodAgreement(spark: SparkSession, dir: String): DataFrame = {
     val exact = prefixJoin(spark, dir).select(col("doc_i"), col("doc_j"))
     val nExact = exact.agg(count(lit(1)).as("n_exact"))
     def leg(m: String, df: DataFrame) =
       df.select(lit(m).as("method"), col("doc_i"), col("doc_j"))
+    val winnowVerified = {
+      val hs = winnowSelected(spark, dir)
+        .select(col("doc_id"), col("h")).distinct()
+      val capped = hs.groupBy("h").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= DefaultMaxShingleDf).select("h")
+      val posts = hs.join(capped, "h")
+      val cand = posts.as("a").join(posts.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
+        .distinct()
+      withJaccard(cand, shingled(spark, dir), "doc_i", "doc_j")
+        .filter(col("jaccard") >= JaccardThreshold)
+        .select(col("doc_i"), col("doc_j"))
+    }
     val legs = leg("jaccard_capped", jaccardPairsUnsorted(spark, dir))
       .union(leg("minhash_lsh", minHashLshPairs(spark, dir)))
+      .union(leg("winnow_verified", winnowVerified))
     val hits = legs.join(exact, Seq("doc_i", "doc_j"), "left_semi")
       .groupBy(col("method")).agg(count(lit(1)).as("n_hits"))
     legs.groupBy(col("method")).agg(count(lit(1)).as("n_pairs"))
@@ -1889,16 +1908,18 @@ object Dedup {
        |  WHERE sp.doc_id * $SpanPosShift + sp.pos <> dup.keeper),
        |$spanMergeCte""".stripMargin
 
-  /** Shared winnowing oracle CTE: positional [[WinnowK]]-gram hashes
-    * per doc (wsp, same polynomial as the engine's SpanHashes),
+  /** Shared winnowing oracle CTE body: positional [[WinnowK]]-gram
+    * hashes per doc (wsp, same polynomial as the engine's SpanHashes),
     * per-window-start packed sliding min (wspn), and the distinct
     * selected fingerprint keys (wsel) — [[winnowSelectedOn]] replayed
     * in SQL. Only full windows select (pos ≤ np − w), except a
     * shorter-than-w document whose single window is its whole span
-    * list — the greatest(…, 0) arm, same as the engine's. */
-  private val winnowCte =
-    s"""toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
-       |wsp AS (SELECT doc_id, j::BIGINT - 1 AS pos,
+    * list — the greatest(…, 0) arm, same as the engine's. This tail
+    * omits the `toks` head so it composes into oracles that already
+    * define `toks` (the shared shingle CTE's is the identical
+    * definition); [[winnowCte]] is the standalone form. */
+  private val winnowTailCte =
+    s"""wsp AS (SELECT doc_id, j::BIGINT - 1 AS pos,
        |    list_reduce(list_prepend(0::BIGINT,
        |        list_transform(string_split(
        |          list_reduce(t[j:j+${WinnowK - 1}], (a, b) -> a || ' ' || b), ''),
@@ -1913,6 +1934,10 @@ object Dedup {
        |  FROM wsp),
        |wsel AS (SELECT DISTINCT doc_id, key FROM wspn
        |  WHERE pos <= greatest(np - $WinnowW, 0))""".stripMargin
+
+  private val winnowCte =
+    s"""toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+       |$winnowTailCte""".stripMargin
 
   private val clustersOracle =
     s"""WITH RECURSIVE $ccCte
@@ -1935,6 +1960,17 @@ object Dedup {
     "dedup_method_agreement" ->
       s"""WITH $shingleCte,
          |$postsCte,
+         |$winnowTailCte,
+         |whs AS (SELECT DISTINCT doc_id, key // $WinnowPosEnc AS h FROM wsel),
+         |wcapped AS (SELECT h FROM whs GROUP BY h
+         |  HAVING count(*) <= $DefaultMaxShingleDf),
+         |wposts AS (SELECT doc_id, h FROM whs JOIN wcapped USING (h)),
+         |wcand AS (SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j
+         |  FROM wposts a JOIN wposts b ON a.h = b.h AND a.doc_id < b.doc_id),
+         |wp AS (SELECT doc_i, doc_j FROM wcand
+         |  JOIN sh si ON si.doc_id = doc_i JOIN sh sj ON sj.doc_id = doc_j
+         |  WHERE len(list_intersect(si.codes, sj.codes))::DOUBLE
+         |    / (si.sz + sj.sz - len(list_intersect(si.codes, sj.codes))) >= $JaccardThreshold),
          |common AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
          |    count(*)::BIGINT AS common
          |  FROM posts a JOIN posts b ON a.code = b.code AND a.doc_id < b.doc_id
@@ -1964,7 +2000,8 @@ object Dedup {
          |      / (a.sz + b.sz - len(list_intersect(a.codes, b.codes))) >= $JaccardThreshold),
          |nex AS (SELECT count(*)::BIGINT AS n_exact FROM ex),
          |legs AS (SELECT 'jaccard_capped' AS method, doc_i, doc_j FROM jp
-         |  UNION ALL SELECT 'minhash_lsh', doc_i, doc_j FROM lp),
+         |  UNION ALL SELECT 'minhash_lsh', doc_i, doc_j FROM lp
+         |  UNION ALL SELECT 'winnow_verified', doc_i, doc_j FROM wp),
          |hits AS (SELECT method, count(*)::BIGINT AS n_hits
          |  FROM legs JOIN ex USING (doc_i, doc_j) GROUP BY 1),
          |base AS (SELECT method, count(*)::BIGINT AS n_pairs FROM legs GROUP BY 1)

@@ -802,6 +802,19 @@ class TrainingDataSpec extends SparkSpec {
     }
   }
 
+  test("method agreement: every leg is a verified subset of the exact baseline, winnowing included") {
+    val rows = Dedup.methodAgreement(spark, sf0001).collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq ==
+      Seq("jaccard_capped", "minhash_lsh", "winnow_verified"))
+    rows.foreach { r =>
+      val (np, nh, ne) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      // every method verifies candidates at the exact threshold →
+      // precision 1 by construction: pairs found = pairs in baseline
+      assert(nh == np, s"${r.getString(0)}: $np pairs but only $nh in baseline")
+      assert(nh <= ne && r.getLong(4) == (if (ne > 0) nh * 1000 / ne else 0L))
+    }
+  }
+
   test("winnow pairs find the planted near-dups and score set-jaccard exactly") {
     val rows = Dedup.winnowPairs(spark, sf0001).collect()
     assert(rows.nonEmpty, "no winnow pairs on the planted-dup corpus")
