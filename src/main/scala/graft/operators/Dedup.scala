@@ -1765,10 +1765,132 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** [[incrementalDedup]]'s winnowing form: the ingest probe driven by
+    * the winnowed fingerprint index instead of the banded MinHash one —
+    * same batch convention, same exact-Jaccard ≥ τ verification, same
+    * verdict shape, but candidates come from SHARED SELECTED
+    * FINGERPRINTS (guaranteed for any shared run ≥ k+w−1 tokens;
+    * measured 1000-milli recall in dedup_method_agreement at both
+    * gated SFs) over a corpus index ~2/(w+1) the size of the band
+    * postings. The corpus side is static per generation — the
+    * persisted twin probes it from a bucketed on-disk table with zero
+    * corpus re-winnowing, so an ingest shuffles only the batch's
+    * fingerprints plus candidates into verification. */
+  def incrementalWinnowDedup(spark: SparkSession, dir: String): DataFrame = {
+    val isBatch = pmod(col("doc_id"), lit(IncrementalBatchMod)) === 0
+    val hs = winnowSelected(spark, dir).select(col("doc_id"), col("h")).distinct()
+    val corpus = hs.filter(!isBatch)
+    val capped = corpus.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= DefaultMaxShingleDf).select("h")
+    val cand = hs.filter(isBatch).select(col("doc_id").as("batch_id"), col("h"))
+      .join(corpus.join(capped, "h")
+        .select(col("doc_id").as("corpus_id"), col("h")), "h")
+      .select(col("batch_id"), col("corpus_id")).distinct()
+    winnowVerdict(cand, shingled(spark, dir))
+  }
+
+  /** Exact-verify winnow candidates and emit the per-batch-doc verdict
+    * — [[incrementalDedup]]'s aggregation over a winnow candidate
+    * frame. `sets` must hold (doc_id, codes, sz) for BOTH sides. The
+    * batch universe (sz > 0 ⇔ ≥ 3 tokens) is exactly the winnowable
+    * universe (≥ 1 k-gram span at k = 3), so no batch doc is dropped
+    * or invented relative to the band drill. */
+  private def winnowVerdict(cand: DataFrame, sets: DataFrame): DataFrame = {
+    val dups = withJaccard(cand, sets, "batch_id", "corpus_id")
+      .filter(col("jaccard") >= JaccardThreshold)
+      .groupBy(col("batch_id"))
+      .agg(count(lit(1)).as("n_dups"), max(col("jaccard")).as("best_jaccard"))
+    sets.filter(col("sz") > 0)
+      .filter(pmod(col("doc_id"), lit(IncrementalBatchMod)) === 0)
+      .select(col("doc_id").as("batch_id"))
+      .join(dups, Seq("batch_id"), "left")
+      .select(col("batch_id"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        col("best_jaccard"),
+        col("n_dups").isNull.as("keep"))
+  }
+
+  /** Write-once-per-generation winnow index: the corpus's distinct
+    * selected-fingerprint postings bucketed by hash (the probe join's
+    * key) plus its verification sets bucketed by doc_id — the winnow
+    * family's counterpart of [[ensureBandIndex]]'s (bands, sets) pair.
+    * Self-contained on purpose for the drill; a production deployment
+    * running several candidate methods shares ONE sets artifact
+    * across them (the sets are method-agnostic — only the candidate
+    * index differs). Idempotent per session under the family lock. */
+  private[graft] def ensureWinnowIndex(spark: SparkSession, dir: String,
+      tag: String = "", corpusFilter: Column = lit(true)): (String, String) = {
+    val sfx = idxSuffix(dir) + (if (tag.isEmpty) "" else s"_$tag") +
+      predSuffix(corpusFilter)
+    val postsT = s"graft_winnow_idx_$sfx"
+    val setsT = s"graft_winsets_idx_$sfx"
+    idxLock(s"winnow_$sfx").synchronized {
+      if (!spark.catalog.tableExists(postsT) || !spark.catalog.tableExists(setsT)) {
+        val docs = Tables.documents(spark, dir).filter(corpusFilter)
+        winnowSelectedOn(docs).select(col("doc_id"), col("h")).distinct()
+          .repartition(IndexBuckets, col("h"))
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(IndexBuckets, "h")
+          .sortBy("h")
+          .option("path", s"$indexRoot/winnow_$sfx")
+          .saveAsTable(postsT)
+        shingledOn(docs).select(col("doc_id"), col("codes"), col("sz"))
+          .repartition(IndexBuckets, col("doc_id"))
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(IndexBuckets, "doc_id")
+          .sortBy("doc_id")
+          .option("path", s"$indexRoot/winsets_$sfx")
+          .saveAsTable(setsT)
+      }
+    }
+    (postsT, setsT)
+  }
+
+  /** Probe an arriving batch against a persisted winnow index: winnow
+    * ONLY the batch, df-cap on the index side (the stop-fingerprint
+    * valve is a corpus property, so it prices identically to the
+    * recompute twin), verify candidates at exact Jaccard against the
+    * persisted sets ∪ the batch's own — per-batch cost ∝ batch, never
+    * corpus. */
+  private[graft] def probeWinnowIndex(spark: SparkSession,
+      batchDocs: DataFrame, postsT: String, setsT: String): DataFrame = {
+    val batchSh = shingledOn(batchDocs)
+    val batchHs = winnowSelectedOn(batchDocs)
+      .select(col("doc_id").as("batch_id"), col("h")).distinct()
+    val idx = spark.table(postsT)
+    val capped = idx.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= DefaultMaxShingleDf).select("h")
+    val cand = batchHs
+      .join(idx.join(capped, "h")
+        .select(col("doc_id").as("corpus_id"), col("h")), "h")
+      .select(col("batch_id"), col("corpus_id")).distinct()
+    val sets = spark.table(setsT)
+      .unionByName(batchSh.select(col("doc_id"), col("codes"), col("sz")))
+    winnowVerdict(cand, sets)
+  }
+
+  /** The winnow drill: same batch/corpus split as
+    * [[incrementalDedupPersisted]], probing the persisted winnow
+    * postings instead of the band tables. Shares the recompute twin's
+    * oracle verbatim — parity proves the on-disk path computes the
+    * identical verdict. */
+  def incrementalWinnowDedupPersisted(spark: SparkSession,
+      dir: String): DataFrame = {
+    val (postsT, setsT) = ensureWinnowIndex(spark, dir,
+      corpusFilter = drillCorpusFilter)
+    probeWinnowIndex(spark,
+      Tables.documents(spark, dir)
+        .filter(pmod(col("doc_id"), lit(IncrementalBatchMod)) === 0),
+      postsT, setsT)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_ngram_novelty" -> ((s, d) => ngramNovelty(s, d)),
     "dedup_winnow_fingerprints" -> ((s, d) => winnowFingerprints(s, d)),
     "dedup_winnow_pairs" -> ((s, d) => winnowPairs(s, d)),
+    "dedup_winnow_incremental" -> ((s, d) => incrementalWinnowDedup(s, d)),
+    "dedup_winnow_incremental_persisted" ->
+      ((s, d) => incrementalWinnowDedupPersisted(s, d)),
     "text_novelty_incremental" -> ((s, d) => incrementalNovelty(s, d)),
     "dedup_savings" -> ((s, d) => dedupSavings(s, d)),
     "qa_split_leakage" -> ((s, d) => splitLeakage(s, d)),
@@ -1950,7 +2072,8 @@ object Dedup {
     * on-disk index path computes the identical verdict. */
   lazy val oracle: Map[String, String] = oracleBase ++ Map(
     "dedup_incremental_persisted" -> oracleBase("dedup_incremental"),
-    "dedup_span_incremental_persisted" -> oracleBase("dedup_span_incremental"))
+    "dedup_span_incremental_persisted" -> oracleBase("dedup_span_incremental"),
+    "dedup_winnow_incremental_persisted" -> oracleBase("dedup_winnow_incremental"))
 
   private val oracleBase: Map[String, String] = Map(
     // the exact baseline is stated SEMANTICALLY (all pairs with true
@@ -2145,6 +2268,30 @@ object Dedup {
          |FROM common JOIN sh sa ON sa.doc_id = doc_a
          |WHERE common * 1000 >= $ContainmentMilli * sa.sz
          |ORDER BY 1, 2""".stripMargin,
+    "dedup_winnow_incremental" ->
+      s"""WITH $shingleCte,
+         |$winnowTailCte,
+         |whs AS (SELECT DISTINCT doc_id, key // $WinnowPosEnc AS h FROM wsel),
+         |corp AS (SELECT doc_id, h FROM whs
+         |  WHERE doc_id % $IncrementalBatchMod <> 0),
+         |wcap AS (SELECT h FROM corp GROUP BY h
+         |  HAVING count(*) <= $DefaultMaxShingleDf),
+         |cand AS (SELECT DISTINCT a.doc_id AS batch_id, b.doc_id AS corpus_id
+         |  FROM whs a
+         |  JOIN (SELECT c.doc_id, c.h FROM corp c JOIN wcap USING (h)) b
+         |    ON a.h = b.h
+         |  WHERE a.doc_id % $IncrementalBatchMod = 0),
+         |agg AS (SELECT batch_id, count(*)::BIGINT AS n_dups, max(jaccard) AS best_jaccard
+         |  FROM (SELECT batch_id, corpus_id,
+         |      len(list_intersect(si.codes, sj.codes))::DOUBLE
+         |        / (si.sz + sj.sz - len(list_intersect(si.codes, sj.codes))) AS jaccard
+         |    FROM cand JOIN sh si ON si.doc_id = batch_id JOIN sh sj ON sj.doc_id = corpus_id)
+         |  WHERE jaccard >= $JaccardThreshold GROUP BY 1)
+         |SELECT b.doc_id AS batch_id, coalesce(a.n_dups, 0)::BIGINT AS n_dups,
+         |  a.best_jaccard, a.n_dups IS NULL AS keep
+         |FROM (SELECT doc_id FROM sh WHERE sz > 0 AND doc_id % $IncrementalBatchMod = 0) b
+         |LEFT JOIN agg a ON a.batch_id = b.doc_id
+         |ORDER BY batch_id""".stripMargin,
     "dedup_winnow_fingerprints" ->
       s"""WITH $winnowCte,
          |ns AS (SELECT doc_id, count(*)::BIGINT AS n_spans FROM wsp GROUP BY 1)

@@ -802,6 +802,39 @@ class TrainingDataSpec extends SparkSpec {
     }
   }
 
+  test("winnow incremental: persisted probe equals the recompute twin, dup claims exact-verified") {
+    def canon(rows: Array[org.apache.spark.sql.Row]) = rows.map { r =>
+      (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]).map(d => math.rint(d * 1e9)),
+        r.getBoolean(3))
+    }.toSet
+    val rec = canon(Dedup.incrementalWinnowDedup(spark, sf0001).collect())
+    val per = canon(Dedup.incrementalWinnowDedupPersisted(spark, sf0001).collect())
+    assert(rec == per,
+      s"persisted != recompute\nonly-rec: ${(rec -- per).take(3)}\nonly-per: ${(per -- rec).take(3)}")
+    // every dup claim is a subset of the brute-force exact verdicts
+    // (winnowing may only MISS candidates, never invent pairs)
+    val sh = Dedup.shingledOn(Tables.documents(spark, sf0001))
+      .filter(col("sz") > 0)
+    val isBatch = col("doc_id") % Dedup.IncrementalBatchMod === 0
+    val exact = sh.filter(isBatch)
+      .select(col("doc_id").as("batch_id"), col("codes").as("ci"), col("sz").as("szi"))
+      .crossJoin(sh.filter(!isBatch)
+        .select(col("codes").as("cj"), col("sz").as("szj")))
+      .withColumn("common", size(array_intersect(col("ci"), col("cj"))).cast("long"))
+      .filter(col("common") / (col("szi") + col("szj") - col("common")) >= Dedup.JaccardThreshold)
+      .groupBy("batch_id").agg(count(lit(1)).as("n_exact"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rec.foreach { case (id, nDups, best, keep) =>
+      assert(keep == (nDups == 0L))
+      if (nDups > 0) {
+        assert(exact.getOrElse(id, 0L) >= nDups,
+          s"doc $id claims $nDups dups, exact has ${exact.get(id)}")
+        assert(best.exists(_ >= math.rint(Dedup.JaccardThreshold * 1e9)))
+      }
+    }
+  }
+
   test("method agreement: every leg is a verified subset of the exact baseline, winnowing included") {
     val rows = Dedup.methodAgreement(spark, sf0001).collect()
     assert(rows.map(_.getString(0)).sorted.toSeq ==
