@@ -1826,21 +1826,103 @@ object Dedup {
     val setsT = s"graft_winsets_idx_$sfx"
     idxLock(s"winnow_$sfx").synchronized {
       if (!spark.catalog.tableExists(postsT) || !spark.catalog.tableExists(setsT)) {
-        val docs = Tables.documents(spark, dir).filter(corpusFilter)
-        winnowSelectedOn(docs).select(col("doc_id"), col("h")).distinct()
-          .repartition(IndexBuckets, col("h"))
-          .write.mode("overwrite").format("parquet")
-          .bucketBy(IndexBuckets, "h")
-          .sortBy("h")
-          .option("path", s"$indexRoot/winnow_$sfx")
-          .saveAsTable(postsT)
-        shingledOn(docs).select(col("doc_id"), col("codes"), col("sz"))
-          .repartition(IndexBuckets, col("doc_id"))
-          .write.mode("overwrite").format("parquet")
-          .bucketBy(IndexBuckets, "doc_id")
-          .sortBy("doc_id")
-          .option("path", s"$indexRoot/winsets_$sfx")
-          .saveAsTable(setsT)
+        writeWinnowTables(Tables.documents(spark, dir).filter(corpusFilter),
+          sfx, postsT, setsT)
+      }
+    }
+    (postsT, setsT)
+  }
+
+  /** Persist one winnow-index generation from an explicit document
+    * frame — the build core shared by [[ensureWinnowIndex]] (corpus)
+    * and [[rolloverWinnowIndex]] (corpus ∪ admitted). Fingerprints are
+    * deterministic per document, so the generation depends only on the
+    * SET of input docs. Callers hold the family lock. */
+  private def writeWinnowTables(docs: DataFrame, sfx: String,
+      postsT: String, setsT: String): Unit = {
+    winnowSelectedOn(docs).select(col("doc_id"), col("h")).distinct()
+      .repartition(IndexBuckets, col("h"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(IndexBuckets, "h")
+      .sortBy("h")
+      .option("path", s"$indexRoot/winnow_$sfx")
+      .saveAsTable(postsT)
+    shingledOn(docs).select(col("doc_id"), col("codes"), col("sz"))
+      .repartition(IndexBuckets, col("doc_id"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(IndexBuckets, "doc_id")
+      .sortBy("doc_id")
+      .option("path", s"$indexRoot/winsets_$sfx")
+      .saveAsTable(setsT)
+  }
+
+  /** Fold an accepted ingest batch into the standing winnow index —
+    * the band family's merge discipline: the anti-join on the sets
+    * table keeps only never-admitted docs (idempotent under the
+    * at-least-once foreachBatch replay: duplicate POSTING rows would
+    * be absorbed by the candidate distinct, but duplicate SETS rows
+    * would double-count n_dups in every later probe, so sets must
+    * land exactly once; postings append FIRST so the worst crash
+    * window — dying between the writes — leaves the doc out of sets
+    * and the replay re-runs it safely). insertInto appends through
+    * the bucket spec; both relation caches refresh so the caller's
+    * next probe sees the merge. */
+  private[graft] def mergeBatchIntoWinnowIndex(spark: SparkSession,
+      dir: String, batchDocs: DataFrame, tag: String = "",
+      corpusFilter: Column = lit(true)): Unit = {
+    val (postsT, setsT) = ensureWinnowIndex(spark, dir, tag, corpusFilter)
+    idxLock(s"winnow_${IndexStore.suffix(dir, tag, corpusFilter)}").synchronized {
+      val novel = batchDocs.dropDuplicates("doc_id")
+        .join(spark.table(setsT).select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("text"))
+        .localCheckpoint() // staged: the insert must not read its target
+      winnowSelectedOn(novel).select(col("doc_id"), col("h")).distinct()
+        .repartition(IndexBuckets, col("h"))
+        .write.mode("append").format("parquet").insertInto(postsT)
+      shingledOn(novel).select(col("doc_id"), col("codes"), col("sz"))
+        .repartition(IndexBuckets, col("doc_id"))
+        .write.mode("append").format("parquet").insertInto(setsT)
+      spark.catalog.refreshTable(postsT)
+      spark.catalog.refreshTable(setsT)
+    }
+  }
+
+  /** Compaction for a merged winnow generation: rewrite both tables
+    * back to ONE file per bucket through the exact create path, no
+    * row changed — same maintenance contract as
+    * [[compactBandIndex]]. */
+  private[graft] def compactWinnowIndex(spark: SparkSession, dir: String,
+      tag: String = "", corpusFilter: Column = lit(true)): Unit = {
+    val sfx = IndexStore.suffix(dir, tag, corpusFilter)
+    idxLock(s"winnow_$sfx").synchronized {
+      IndexStore.rewriteBucketed(spark, s"graft_winnow_idx_$sfx",
+        s"$indexRoot/winnow_$sfx", IndexBuckets, Seq("h"))
+      IndexStore.rewriteBucketed(spark, s"graft_winsets_idx_$sfx",
+        s"$indexRoot/winsets_$sfx", IndexBuckets, Seq("doc_id"))
+    }
+  }
+
+  /** Generation ROLLOVER for the winnow family: rebuild generation
+    * `newTag` from the standing corpus PLUS the admitted documents.
+    * Fingerprints carry no trained state, so the rolled-over
+    * generation is row-identical to the incrementally merged one —
+    * rollover re-expresses accumulated appends as a clean
+    * one-file-per-bucket artifact under a fresh identity; the old
+    * generation keeps serving until the caller swaps and
+    * [[IndexStore.drop]]s it. */
+  private[graft] def rolloverWinnowIndex(spark: SparkSession, dir: String,
+      admittedDocs: DataFrame, newTag: String,
+      corpusFilter: Column = lit(true)): (String, String) = {
+    val sfx = IndexStore.suffix(dir, newTag, corpusFilter)
+    val postsT = s"graft_winnow_idx_$sfx"
+    val setsT = s"graft_winsets_idx_$sfx"
+    idxLock(s"winnow_$sfx").synchronized {
+      if (!spark.catalog.tableExists(postsT) || !spark.catalog.tableExists(setsT)) {
+        val merged = Tables.documents(spark, dir).filter(corpusFilter)
+          .select(col("doc_id"), col("text"))
+          .unionByName(admittedDocs.dropDuplicates("doc_id")
+            .select(col("doc_id"), col("text")))
+        writeWinnowTables(merged, sfx, postsT, setsT)
       }
     }
     (postsT, setsT)

@@ -272,4 +272,89 @@ class PersistedIndexSpec extends SparkSpec {
     assert(docScans.isEmpty,
       s"persisted probe re-scanned the corpus source:\n$plan")
   }
+
+  test("winnow family: merged index equals full rebuild, compacts, rollover matches, folded batch recognized") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val (postsT, setsT) = Dedup.ensureWinnowIndex(spark, sf0001,
+      tag = "winmergedrill", corpusFilter = Dedup.drillCorpusFilter)
+    val batch = Tables.documents(spark, sf0001)
+      .filter(pmod(col("doc_id"), lit(Dedup.IncrementalBatchMod)) === 0)
+      .select(col("doc_id"), col("text"))
+    // two ingest merges (disjoint halves: %4==0 splits into %8∈{0,4})
+    Dedup.mergeBatchIntoWinnowIndex(spark, sf0001,
+      batch.filter(pmod(col("doc_id"), lit(8L)) === 0),
+      tag = "winmergedrill", corpusFilter = Dedup.drillCorpusFilter)
+    Dedup.mergeBatchIntoWinnowIndex(spark, sf0001,
+      batch.filter(pmod(col("doc_id"), lit(8L)) === 4),
+      tag = "winmergedrill", corpusFilter = Dedup.drillCorpusFilter)
+    assert(bucketFileCounts(postsT).values.max >= 2,
+      "expected multi-file buckets after two merges (merge appends)")
+    Dedup.compactWinnowIndex(spark, sf0001, tag = "winmergedrill",
+      corpusFilter = Dedup.drillCorpusFilter)
+    assert(bucketFileCounts(postsT).values.max == 1,
+      s"winnow postings not compacted: ${bucketFileCounts(postsT)}")
+    assert(bucketFileCounts(setsT).values.max == 1,
+      s"winnow sets not compacted: ${bucketFileCounts(setsT)}")
+
+    // merged ≡ the index a full rebuild over ALL documents would hold
+    val allDocs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text"))
+    def rows(df: DataFrame): Set[String] =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSet
+    assert(rows(spark.table(postsT)) ==
+      rows(Dedup.winnowSelectedOn(allDocs)
+        .select(col("doc_id"), col("h")).distinct()),
+      "merged winnow postings != full rebuild")
+    assert(rows(spark.table(setsT).select(col("doc_id"), col("sz"))) ==
+      rows(Dedup.shingledOn(allDocs).select(col("doc_id"), col("sz"))),
+      "merged winnow sets != full rebuild")
+
+    // the folded batch is now KNOWN: every doc matches at least itself
+    val verdict = Dedup.probeWinnowIndex(spark, batch, postsT, setsT)
+    val unknown = verdict.filter(col("keep")).count()
+    assert(unknown == 0, s"$unknown folded docs not recognized after merge")
+
+    // rollover rebuild ≡ merge (fingerprints carry no trained state)
+    val (rpT, rsT) = Dedup.rolloverWinnowIndex(spark, sf0001, batch,
+      "winrollg1", Dedup.drillCorpusFilter)
+    assert(rows(spark.table(rpT)) == rows(spark.table(postsT)),
+      "rolled-over winnow postings != merged")
+    assert(rows(spark.table(rsT).select(col("doc_id"), col("sz"))) ==
+      rows(spark.table(setsT).select(col("doc_id"), col("sz"))),
+      "rolled-over winnow sets != merged")
+  }
+
+  test("winnow merge replay is idempotent: re-merging an admitted batch appends nothing") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val (postsT, setsT) = Dedup.ensureWinnowIndex(spark, sf0001,
+      tag = "winreplaydrill", corpusFilter = Dedup.drillCorpusFilter)
+    val batch = Tables.documents(spark, sf0001)
+      .filter(pmod(col("doc_id"), lit(Dedup.IncrementalBatchMod)) === 0)
+      .select(col("doc_id"), col("text"))
+    val half = batch.filter(pmod(col("doc_id"), lit(8L)) === 0)
+    Dedup.mergeBatchIntoWinnowIndex(spark, sf0001, half,
+      tag = "winreplaydrill", corpusFilter = Dedup.drillCorpusFilter)
+    def rows(df: DataFrame): Set[String] =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSet
+    val postsOnce = rows(spark.table(postsT))
+    val setsOnce = rows(spark.table(setsT))
+    val (np, ns) = (spark.table(postsT).count(), spark.table(setsT).count())
+
+    // exact replay: nothing may land
+    Dedup.mergeBatchIntoWinnowIndex(spark, sf0001, half,
+      tag = "winreplaydrill", corpusFilter = Dedup.drillCorpusFilter)
+    assert(spark.table(setsT).count() == ns && spark.table(postsT).count() == np,
+      "replayed winnow merge appended rows")
+    assert(rows(spark.table(setsT)) == setsOnce &&
+      rows(spark.table(postsT)) == postsOnce,
+      "replayed winnow merge changed the index")
+
+    // superset replay admits exactly the never-seen docs
+    Dedup.mergeBatchIntoWinnowIndex(spark, sf0001, batch,
+      tag = "winreplaydrill", corpusFilter = Dedup.drillCorpusFilter)
+    val expectSets = Dedup.shingledOn(batch).count() +
+      (ns - Dedup.shingledOn(half).count())
+    assert(spark.table(setsT).count() == expectSets,
+      "superset replay did not admit exactly the novel docs")
+  }
 }
