@@ -88,6 +88,40 @@ object StreamingIngestGate {
         (coalesce(col("keep"), lit(true)) && col("judged").isNotNull).as("admit"))
   }
 
+  /** [[start]]'s winnow-family form: the same stateless gate contract
+    * driven by the persisted winnow fingerprint index — winnow only
+    * the arrivals, probe the static postings (~2/(w+1) the band
+    * postings' volume), exact-verify against the persisted sets. Same
+    * verdict schema; every arriving doc_id emits exactly one row. */
+  def startWinnow(spark: SparkSession, dir: String, docs: DataFrame,
+      tag: String = "", corpusFilter: Column = lit(true))(
+      sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    val (postsT, setsT) = Dedup.ensureWinnowIndex(spark, dir, tag, corpusFilter)
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(winnowVerdictFor(spark, batch, postsT, setsT), batchId)
+      }
+      .start()
+  }
+
+  /** One micro-batch's winnow verdicts — [[verdictFor]]'s contract
+    * (left-join back to the raw arrivals so unjudgeable docs surface
+    * as explicit no_content keeps, never admitted) over
+    * [[Dedup.probeWinnowIndex]]. */
+  private[graft] def winnowVerdictFor(spark: SparkSession, batch: DataFrame,
+      postsT: String, setsT: String): DataFrame = {
+    val probed = Dedup.probeWinnowIndex(spark, batch, postsT, setsT)
+    batch.select(col("doc_id").as("batch_id")).distinct()
+      .join(probed.withColumn("judged", lit(true)), Seq("batch_id"), "left")
+      .select(col("batch_id"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        col("best_jaccard"),
+        coalesce(col("keep"), lit(true)).as("keep"),
+        col("judged").isNull.as("no_content"),
+        (coalesce(col("keep"), lit(true)) && col("judged").isNotNull).as("admit"))
+  }
+
   /** The full streaming CRAWL-ingest pipeline: arriving (doc_id, html)
     * pages are boilerplate-extracted (stateless scan — Html.extractOn
     * runs inside foreachBatch unchanged), then the EXTRACTED main text

@@ -71,6 +71,49 @@ class StreamingIngestGateSpec extends SparkSpec {
       "gate must emit exactly one verdict per arriving doc")
   }
 
+  test("winnow gate: micro-batched verdicts equal the winnow batch drill, regardless of chopping") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val judged = Dedup.incrementalWinnowDedupPersisted(spark, sf0001)
+      .collect().map(_.toSeq.map(String.valueOf))
+      .map(s => s :+ "false" :+ s(3)).toSet
+    assert(judged.nonEmpty)
+
+    val arrivals = Tables.documents(spark, sf0001)
+      .filter(pmod(col("doc_id"), lit(Dedup.IncrementalBatchMod)) === 0)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val judgedIds = judged.map(_.head)
+    val expected = judged ++ arrivals.map(_._1.toString).filterNot(judgedIds)
+      .map(id => Seq(id, "0", "null", "true", "true", "false"))
+
+    val input = MemoryStream[(Long, String)]
+    val got = mutable.Buffer[Row]()
+    val q = StreamingIngestGate.startWinnow(spark, sf0001,
+      input.toDF().toDF("doc_id", "text"),
+      corpusFilter = Dedup.drillCorpusFilter) { (verdict, _) =>
+      got.synchronized { got ++= verdict.collect() }
+    }
+    try {
+      val chunks = Seq(
+        arrivals.take(11),
+        arrivals.slice(11, 30),
+        arrivals.drop(30))
+      chunks.filter(_.nonEmpty).foreach { c =>
+        input.addData(c.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val gotSet = got.map(_.toSeq.map(String.valueOf)).toSet
+    assert(gotSet == expected,
+      s"winnow gate diverged: got ${gotSet.size} rows, expected ${expected.size}")
+    assert(gotSet.size == arrivals.length,
+      "gate must emit exactly one verdict per arriving doc")
+  }
+
   test("admitting gate: a duplicate of a just-kept doc is flagged across batches") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
