@@ -30,6 +30,7 @@ object Rollover {
     "graft_admtrained_vec_")
   private val Families: Seq[String] = Seq(
     "graft_band_idx_", "graft_sets_idx_", "graft_span_idx_",
+    "graft_winnow_idx_", "graft_winsets_idx_",
     "graft_tfs_idx_", "graft_txtstats_idx_",
     "graft_charlm_idx_", "graft_clsw_idx_", "graft_clsstats_idx_",
     "graft_bpem_idx_", "graft_bpev_idx_", "graft_dsirm_idx_",
@@ -83,6 +84,8 @@ object Rollover {
       Dedup.rolloverBandIndex(spark, dir, admittedDocs, newTag, corpusFilter)
     val spanT =
       Dedup.rolloverSpanIndex(spark, dir, admittedDocs, newTag, corpusFilter)
+    val (winT, winSetsT) =
+      Dedup.rolloverWinnowIndex(spark, dir, admittedDocs, newTag, corpusFilter)
     val (tfsT, txtStatsT) =
       Retrieval.rolloverTextIndex(spark, dir, admittedDocs, newTag, corpusFilter)
     val lmT =
@@ -103,6 +106,7 @@ object Rollover {
     Map(
       "band" -> Seq(bandsT, setsT),
       "span" -> Seq(spanT),
+      "winnow" -> Seq(winT, winSetsT),
       "text" -> Seq(tfsT, txtStatsT),
       "charlm" -> Seq(lmT),
       "bpe" -> Seq(bpeMergesT, bpeVocabT),

@@ -153,7 +153,7 @@ class RolloverSpec extends SparkSpec {
       "G+1 probe changed after dropping G")
   }
 
-  test("whole-generation rollover: all 14 tables build, match the full-corpus build, and drop") {
+  test("whole-generation rollover: all 16 tables build, match the full-corpus build, and drop") {
     import graft.operators.Rollover
     // corpus = the mod-4 drill split, admitted = the held-out quarter
     // (docs for the text-tier families, vectors for ANN) — so the
@@ -173,6 +173,7 @@ class RolloverSpec extends SparkSpec {
     val defaults = Map(
       "band" -> { val (b, s) = Dedup.ensureBandIndex(spark, sf0001); Seq(b, s) },
       "span" -> Seq(Dedup.ensureSpanIndex(spark, sf0001)),
+      "winnow" -> { val (p, s) = Dedup.ensureWinnowIndex(spark, sf0001); Seq(p, s) },
       "text" -> { val (t, s) = Retrieval.ensureTextIndex(spark, sf0001); Seq(t, s) },
       "ann" -> { val (b, c) = Similarity.ensurePqIndex(spark, sf0001); Seq(b, c) },
       "charlm" -> Seq(graft.operators.TextAnalysis.ensureCharLmModel(spark, sf0001)),
@@ -208,8 +209,9 @@ class RolloverSpec extends SparkSpec {
 
   test("crashed generation rollover RESUMES: finished families are catalog hits") {
     import graft.operators.Rollover
-    // a rollover that died after 3 of 9 families left band, span, and
-    // text built under the new tag; the scaladoc claims re-calling
+    // a rollover that died after 4 of 10 families left band, span,
+    // winnow, and text built under the new tag; the scaladoc claims
+    // re-calling
     // generation() resumes — finished families must be CATALOG HITS
     // (no rebuild), the rest build, and the result equals a clean build
     val admittedVecs = Tables.embeddings(spark, sf0001)
@@ -222,10 +224,11 @@ class RolloverSpec extends SparkSpec {
     // after family 3)
     val (bandT, setsT) = Dedup.rolloverBandIndex(spark, sf0001, batchDocs, "rollcr1", drill)
     val spanT = Dedup.rolloverSpanIndex(spark, sf0001, batchDocs, "rollcr1", drill)
+    val (winT, winSetsT) = Dedup.rolloverWinnowIndex(spark, sf0001, batchDocs, "rollcr1", drill)
     val (tfsT, statsT) = Retrieval.rolloverTextIndex(spark, sf0001, batchDocs, "rollcr1", drill)
 
     def fp(t: String) = tableFileFingerprint(t)
-    val prebuilt = Seq(bandT, setsT, spanT, tfsT, statsT)
+    val prebuilt = Seq(bandT, setsT, winT, winSetsT, spanT, tfsT, statsT)
     val pre = prebuilt.map(t => t -> fp(t)).toMap
     val lloydBefore = Similarity.lloydRuns.get()
 
