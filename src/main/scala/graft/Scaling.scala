@@ -81,6 +81,8 @@ object Scaling {
     "pipeline_shard_build",  // quality→dedup→decontam→sample→pack→shard, one plan
     "dedup_winnow_pairs",    // winnowed-fingerprint pair join (~2/(w+1) postings)
     "profile_ks_drift",      // per-group ECDF window over collapsed distinct values
+    "curation_fim",          // fill-in-middle transform, zero-shuffle scan
+    "curation_source_kl",    // per-source KL to the corpus mix, vocab-bounded join
     "rollover_monitor_tick") // monitor poll under a corpus-scaled log
 
   /** Non-query probes: operational paths whose growth matters but

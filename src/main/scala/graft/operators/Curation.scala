@@ -246,6 +246,62 @@ object Curation {
         array_join(col("chunk"), " ").as("chunk_text"))
   }
 
+  /** FIM span-gate rate: docs whose first md5 nibble is below this
+    * (of 16) get the fill-in-middle transform — 8 = the 50% rate of
+    * Bavarian et al. 2022 §4.1. */
+  val FimNibbles = 8L
+  private val FimPre = "<|pre|>"
+  private val FimSuf = "<|suf|>"
+  private val FimMid = "<|mid|>"
+
+  /** md5-hex prefix of a salted doc key folded to a BIGINT — the
+    * integer twin of [[hashU]] for draws that need a modulus, not a
+    * unit uniform. 8 hex chars < 2^32, exact in a long. */
+  private def hexLong(salt: String, n: Int): Column =
+    conv(substring(md5(concat(lit(salt + "|"),
+      col("doc_id").cast("string"))), 1, n), 16, 10).cast("long")
+
+  /** Fill-in-the-middle transform (Bavarian et al. 2022, "Efficient
+    * Training of Language Models to Fill in the Middle"): for a
+    * hash-gated half of the corpus, split each document's character
+    * stream at two hash-drawn cut points into (prefix, middle, suffix)
+    * and re-emit in PSM order `<|pre|>P<|suf|>S<|mid|>M`; the other
+    * half passes through untouched. Both the gate and the cuts are
+    * md5-deterministic per doc_id, so the transform is replay- and
+    * speculation-safe like every sampler in this suite, and the cut
+    * invariants (1 ≤ a < b ≤ len, middle nonempty, prefix nonempty)
+    * hold by construction: a = 1 + h1 mod (len−1), b = a + 1 +
+    * h2 mod (len−a).
+    *
+    * Scale shape: one pure scan projection — md5/substring column
+    * algebra, zero shuffles, zero joins; the plan is a single
+    * WholeStageCodegen span over the parquet scan at any corpus size. */
+  def fimTransform(spark: SparkSession, dir: String): DataFrame =
+    fimOn(Tables.documents(spark, dir))
+
+  /** Core over any (doc_id, text) frame — spec seam. */
+  private[graft] def fimOn(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("text"),
+        length(col("text")).cast("long").as("len"),
+        hexLong("fim", 1).as("g"),
+        hexLong("fima", 8).as("h1"),
+        hexLong("fimb", 8).as("h2"))
+      .withColumn("fim_applied", col("g") < FimNibbles && col("len") >= 2)
+      .withColumn("cut_a",
+        when(col("fim_applied"), lit(1L) + col("h1") % (col("len") - 1))
+          .otherwise(0L))
+      .withColumn("cut_b",
+        when(col("fim_applied"),
+          col("cut_a") + 1L + col("h2") % (col("len") - col("cut_a")))
+          .otherwise(0L))
+      .select(col("doc_id"), col("fim_applied"), col("cut_a"), col("cut_b"),
+        when(col("fim_applied"),
+          concat(lit(FimPre), expr("substring(text, 1, cut_a)"),
+            lit(FimSuf), expr("substring(text, cut_b + 1, len)"),
+            lit(FimMid), expr("substring(text, cut_a + 1, cut_b - cut_a)")))
+          .otherwise(col("text")).as("fim_text"))
+
   // ---------------------------------------------------------------- //
   // Domain mixing: sqrt-temperature weights over the language        //
   // distribution (multilingual-sampling shape, Conneau & Lample      //
@@ -269,6 +325,51 @@ object Curation {
         round(col("n_docs") / col("total_docs").cast("double"), 9).as("p"),
         round(sqrt(col("n_docs").cast("double")) / col("sum_sqrt"), 9).as("weight"))
       .orderBy(col("lang"))
+  }
+
+  /** Per-source unigram KL divergence to the corpus mix,
+    * KL(Pₛ ‖ P_corpus) = Σₜ pₛₜ·ln(pₛₜ/qₜ) — the mixing diagnostic
+    * that names WHICH source's token distribution has drifted from the
+    * blend it feeds (the quantity DSIR importance weights are built
+    * from, and the per-source face of profile_mix_drift's categorical
+    * χ²). Every source token appears in the corpus by construction, so
+    * qₜ > 0 wherever pₛₜ > 0 and no smoothing is needed; KL ≥ 0 with 0
+    * iff the source matches the mix (Gibbs).
+    *
+    * Arithmetic: all counts are exact BIGINTs; each token's term is a
+    * fixed double tree over those scalars (one ln, products < 2^53 so
+    * exact in double), summed per source and rounded to 6 — the same
+    * discipline as text_char_lm's avg(ln). The `+ 0.0` canonicalizes a
+    * −0.0 that a float-error-negative near-zero KL could round to.
+    *
+    * Scale shape: one explode → map-side-combined (source, token)
+    * count; source totals and the 1-row corpus total broadcast; the
+    * only data-sized shuffle is the (source×vocab)-bounded token join,
+    * equi-keyed on token (AQE broadcasts it while the vocab is small).
+    * Output is |sources| rows. */
+  def sourceKl(spark: SparkSession, dir: String): DataFrame =
+    sourceKlOn(Tables.documents(spark, dir))
+
+  /** Core over any (source, text) frame — spec seam. */
+  private[graft] def sourceKlOn(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("source"),
+      explode(tokens(col("text"))).as("tok"))
+    val st = tok.groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("c_st"))
+    val srcTot = st.groupBy(col("source")).agg(sum(col("c_st")).as("n_s"))
+    val tokTot = st.groupBy(col("tok")).agg(sum(col("c_st")).as("c_t"))
+    val total = tokTot.agg(sum(col("c_t")).as("n"))
+    val term = col("c_st").cast("double") / col("n_s") *
+      log(col("c_st").cast("double") * col("n") /
+        (col("n_s").cast("double") * col("c_t")))
+    st.join(tokTot, Seq("tok"))
+      .join(broadcast(srcTot), Seq("source"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("source"), col("n_s"))
+      .agg(count(lit(1)).as("n_vocab"), sum(term).as("kl_raw"))
+      .select(col("source"), col("n_s").as("n_tokens"), col("n_vocab"),
+        (round(col("kl_raw"), 6) + lit(0.0)).as("kl_nats"))
+      .orderBy(col("source"))
   }
 
   // ---------------------------------------------------------------- //
@@ -1007,6 +1108,8 @@ object Curation {
     "pack_sequences" -> ((s, d) => packSequences(s, d)),
     "text_chunk_stride" -> ((s, d) => chunkStride(s, d)),
     "text_normalize" -> ((s, d) => normalizeText(s, d)),
+    "curation_fim" -> ((s, d) => fimTransform(s, d)),
+    "curation_source_kl" -> ((s, d) => sourceKl(s, d)),
     "mix_weights" -> ((s, d) => mixWeights(s, d)))
 
   private def sqlGrams(n: Int): String =
@@ -1024,6 +1127,12 @@ object Curation {
   private[operators] val sqlU =
     """list_reduce(list_transform(string_split(substr(md5(doc_id::VARCHAR || ':' || lang), 1, 4), ''),
       |  c -> strpos('0123456789abcdef', c) - 1), (a, b) -> a * 16 + b) / 65536.0""".stripMargin
+
+  // hexLong replica: n md5-hex chars of the salted doc key folded to a
+  // BIGINT (single line: spliced into stripMargin templates)
+  private def sqlHexLong(salt: String, n: Int): String =
+    s"list_reduce(list_transform(string_split(substr(md5('$salt|' || doc_id::VARCHAR), 1, $n), ''), " +
+      s"c -> (strpos('0123456789abcdef', c) - 1)::BIGINT), (a, b) -> a * 16 + b)"
 
   private[operators] val stopEnSql =
     TextAnalysis.stop("en").map(w => s"'$w'").mkString(", ")
@@ -1313,7 +1422,40 @@ object Curation {
         |SELECT lang, n_docs, n_tokens,
         |  round(n_docs / total_docs::DOUBLE, 9) AS p,
         |  round(sqrt(n_docs::DOUBLE) / sum_sqrt, 9) AS weight
-        |FROM g, t ORDER BY lang""".stripMargin)
+        |FROM g, t ORDER BY lang""".stripMargin,
+    // md5-hex-prefix fold to BIGINT (hexLong replica; DuckDB lacks conv)
+    "curation_fim" ->
+      s"""WITH h AS (SELECT doc_id, text, length(text)::BIGINT AS len,
+         |    ${sqlHexLong("fim", 1)} AS g,
+         |    ${sqlHexLong("fima", 8)} AS h1,
+         |    ${sqlHexLong("fimb", 8)} AS h2
+         |  FROM documents),
+         |f AS (SELECT doc_id, text, len, h1, h2,
+         |    (g < $FimNibbles AND len >= 2) AS fim_applied FROM h),
+         |a AS (SELECT *, CASE WHEN fim_applied
+         |    THEN 1 + h1 % (len - 1) ELSE 0 END AS cut_a FROM f),
+         |b AS (SELECT *, CASE WHEN fim_applied
+         |    THEN cut_a + 1 + h2 % (len - cut_a) ELSE 0 END AS cut_b FROM a)
+         |SELECT doc_id, fim_applied, cut_a, cut_b,
+         |  CASE WHEN fim_applied
+         |    THEN '$FimPre' || substr(text, 1, cut_a::INT)
+         |      || '$FimSuf' || substr(text, (cut_b + 1)::INT, len::INT)
+         |      || '$FimMid' || substr(text, (cut_a + 1)::INT, (cut_b - cut_a)::INT)
+         |    ELSE text END AS fim_text
+         |FROM b ORDER BY doc_id""".stripMargin,
+    "curation_source_kl" ->
+      """WITH tk AS (SELECT source,
+        |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+        |  FROM documents),
+        |st AS (SELECT source, tok, count(*)::BIGINT AS c_st FROM tk GROUP BY 1, 2),
+        |s AS (SELECT source, sum(c_st)::BIGINT AS n_s FROM st GROUP BY 1),
+        |t AS (SELECT tok, sum(c_st)::BIGINT AS c_t FROM st GROUP BY 1),
+        |n AS (SELECT sum(c_t)::BIGINT AS n FROM t)
+        |SELECT st.source, s.n_s AS n_tokens, count(*)::BIGINT AS n_vocab,
+        |  round(sum(c_st::DOUBLE / n_s * ln(c_st::DOUBLE * n / (n_s::DOUBLE * c_t))), 6)
+        |    + 0.0 AS kl_nats
+        |FROM st JOIN t USING (tok) JOIN s USING (source), n
+        |GROUP BY 1, 2 ORDER BY st.source""".stripMargin)
 
   /** Persisted-model twins share the recompute oracles verbatim — the
     * driver-level proof that loading the generation artifact changes

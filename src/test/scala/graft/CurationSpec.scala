@@ -304,6 +304,59 @@ class CurationSpec extends SparkSpec {
     assert(!plan.contains("Window"))
   }
 
+  test("FIM transform: cuts in bounds, PSM reassembles the original, passthrough untouched") {
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = Curation.fimTransform(spark, sf0001).collect()
+    assert(rows.length == docs.size)
+    var applied = 0
+    rows.foreach { r =>
+      val (id, fim) = (r.getAs[Long]("doc_id"), r.getAs[Boolean]("fim_applied"))
+      val (a, b) = (r.getAs[Long]("cut_a"), r.getAs[Long]("cut_b"))
+      val out = r.getAs[String]("fim_text")
+      val text = docs(id)
+      if (!fim) {
+        assert(out == text && a == 0 && b == 0)
+      } else {
+        applied += 1
+        assert(1 <= a && a < b && b <= text.length, s"doc $id cuts ($a,$b) vs len ${text.length}")
+        val (pre, mid, suf) =
+          (text.substring(0, a.toInt), text.substring(a.toInt, b.toInt), text.substring(b.toInt))
+        assert(out == s"<|pre|>$pre<|suf|>$suf<|mid|>$mid", s"doc $id PSM mismatch")
+        assert(mid.nonEmpty && pre.nonEmpty)
+      }
+    }
+    // hash gate targets 50%; a 3σ binomial band on this corpus size
+    val n = rows.length
+    assert(math.abs(applied - n / 2.0) <= 3 * math.sqrt(n * 0.25), s"$applied of $n gated")
+    // pure scan projection: no shuffle anywhere in the plan
+    val plan = Curation.fimTransform(spark, sf0001).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"FIM must stay a zero-shuffle scan:\n$plan")
+  }
+
+  test("source KL: nonnegative, equal on identical-mix sources, large on a disjoint vocabulary") {
+    import spark.implicits._
+    val rows = Curation.sourceKl(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Double]("kl_nats") >= 0.0))
+    // n_tokens partitions the corpus token count
+    val corpusToks = Tables.documents(spark, sf0001)
+      .select(sum(size(graft.functions.TextFunctions.tokens(col("text"))).cast("long")))
+      .head().getLong(0)
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum == corpusToks)
+    // synthetic: two identical-mix sources read KL 0; a disjoint-vocab
+    // source dominates every on-mix source
+    val synth = Seq(
+      ("a", "x y z x y z"), ("b", "x y z x y z"),
+      ("c", "q q r r s s")).toDF("source", "text")
+    val klOf = Curation.sourceKlOn(synth).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Double]("kl_nats")).toMap
+    assert(klOf("a") == klOf("b"))
+    assert(klOf("c") > klOf("a"))
+    assert(klOf("c") > 0.5, s"disjoint vocab must read large: ${klOf("c")}")
+  }
+
   test("mixing weights and corpus shares each sum to 1") {
     val rows = Curation.mixWeights(spark, sf0001).collect()
     assert(math.abs(rows.map(_.getAs[Double]("p")).sum - 1.0) < 1e-6)
