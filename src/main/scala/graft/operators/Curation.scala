@@ -202,16 +202,59 @@ object Curation {
     * per hash bucket: parallelism = buckets, each bin stays
     * bucket-local, and the assignment is still fully deterministic
     * (raise PackBuckets with the cluster, not the data). */
-  def packSequences(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+  def packSequences(spark: SparkSession, dir: String): DataFrame =
+    packedWith(Tables.documents(spark, dir), Seq(col("doc_id")))
+
+  /** Shared packing core: per-bucket running token sum in the given
+    * order, bins cut at PackCapacity multiples. */
+  private def packedWith(docs: DataFrame, order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(col("bucket")).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"),
         size(tokens(col("text"))).cast("long").as("n_tokens"))
       .withColumn("bucket", pmod(col("doc_id"), lit(PackBuckets)).cast("int"))
       .withColumn("cum", sum(col("n_tokens")).over(w))
       .withColumn("seq_id", expr(s"(cum - n_tokens) div $PackCapacity"))
       .select(col("doc_id"), col("bucket"), col("n_tokens"), col("seq_id"))
+  }
+
+  /** Length-sorted greedy packing — the distributable face of
+    * first-fit-decreasing: within each bucket, documents fill bins
+    * longest-first (ties on doc_id), so the short tail tops off bins
+    * the long heads opened instead of every boundary cutting a long
+    * document. Same bucket/window shape as [[packSequences]]; only the
+    * fill order differs, and [[packEfficiency]] prices the difference. */
+  def packSequencesSorted(spark: SparkSession, dir: String): DataFrame =
+    packedWith(Tables.documents(spark, dir),
+      Seq(col("n_tokens").desc, col("doc_id")))
+
+  /** Packing-efficiency report: one row per strategy (doc-order vs
+    * length-sorted greedy) with bin count, padding under capacity,
+    * boundary overflow, and milli utilization — the diagnostic that
+    * decides whether re-sorting the corpus before packing is worth a
+    * shuffle at the trainer's sequence budget. All-BIGINT arithmetic.
+    *
+    * Scale shape: each leg is the packing window (parallel over
+    * buckets) collapsed by one map-side-combined (bucket, seq_id)
+    * aggregate to bin grain, then a 1-row fold; the union is 2 rows. */
+  def packEfficiency(spark: SparkSession, dir: String): DataFrame = {
+    def leg(name: String, packed: DataFrame): DataFrame =
+      packed.groupBy(col("bucket"), col("seq_id"))
+        .agg(sum(col("n_tokens")).as("bin_tokens"))
+        .agg(count(lit(1)).as("n_seqs"),
+          sum(greatest(lit(0L), lit(PackCapacity) - col("bin_tokens")))
+            .as("padding_tokens"),
+          sum(greatest(lit(0L), col("bin_tokens") - lit(PackCapacity)))
+            .as("overflow_tokens"),
+          sum(least(col("bin_tokens"), lit(PackCapacity))).as("used"))
+        .select(lit(name).as("strategy"), col("n_seqs"),
+          col("padding_tokens"), col("overflow_tokens"),
+          expr(s"1000 * used div (n_seqs * $PackCapacity)")
+            .as("utilization_milli"))
+    leg("doc_order", packSequences(spark, dir))
+      .unionAll(leg("length_sorted", packSequencesSorted(spark, dir)))
+      .orderBy(col("strategy"))
   }
 
   val ChunkTokens = 40
@@ -1110,6 +1153,8 @@ object Curation {
     "text_normalize" -> ((s, d) => normalizeText(s, d)),
     "curation_fim" -> ((s, d) => fimTransform(s, d)),
     "curation_source_kl" -> ((s, d) => sourceKl(s, d)),
+    "pack_sequences_sorted" -> ((s, d) => packSequencesSorted(s, d)),
+    "pack_efficiency" -> ((s, d) => packEfficiency(s, d)),
     "mix_weights" -> ((s, d) => mixWeights(s, d)))
 
   private def sqlGrams(n: Int): String =
@@ -1443,6 +1488,45 @@ object Curation {
          |      || '$FimMid' || substr(text, (cut_a + 1)::INT, (cut_b - cut_a)::INT)
          |    ELSE text END AS fim_text
          |FROM b ORDER BY doc_id""".stripMargin,
+    "pack_sequences_sorted" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS n_tokens,
+         |    (doc_id % $PackBuckets)::INT AS bucket
+         |  FROM documents),
+         |c AS (SELECT doc_id, bucket, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY bucket ORDER BY n_tokens DESC, doc_id
+         |                        ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+         |  FROM t)
+         |SELECT doc_id, bucket, n_tokens, (cum - n_tokens) // $PackCapacity AS seq_id
+         |FROM c ORDER BY doc_id""".stripMargin,
+    "pack_efficiency" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS n_tokens,
+         |    (doc_id % $PackBuckets)::INT AS bucket
+         |  FROM documents),
+         |c1 AS (SELECT bucket, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+         |                        ROWS UNBOUNDED PRECEDING)::BIGINT AS cum FROM t),
+         |c2 AS (SELECT bucket, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY bucket ORDER BY n_tokens DESC, doc_id
+         |                        ROWS UNBOUNDED PRECEDING)::BIGINT AS cum FROM t),
+         |b1 AS (SELECT bucket, (cum - n_tokens) // $PackCapacity AS seq_id,
+         |    sum(n_tokens)::BIGINT AS bin_tokens FROM c1 GROUP BY 1, 2),
+         |b2 AS (SELECT bucket, (cum - n_tokens) // $PackCapacity AS seq_id,
+         |    sum(n_tokens)::BIGINT AS bin_tokens FROM c2 GROUP BY 1, 2)
+         |SELECT 'doc_order' AS strategy, count(*)::BIGINT AS n_seqs,
+         |  sum(greatest(0, $PackCapacity - bin_tokens))::BIGINT AS padding_tokens,
+         |  sum(greatest(0, bin_tokens - $PackCapacity))::BIGINT AS overflow_tokens,
+         |  1000 * sum(least(bin_tokens, $PackCapacity))::BIGINT
+         |    // (count(*)::BIGINT * $PackCapacity) AS utilization_milli
+         |FROM b1
+         |UNION ALL
+         |SELECT 'length_sorted', count(*)::BIGINT,
+         |  sum(greatest(0, $PackCapacity - bin_tokens))::BIGINT,
+         |  sum(greatest(0, bin_tokens - $PackCapacity))::BIGINT,
+         |  1000 * sum(least(bin_tokens, $PackCapacity))::BIGINT
+         |    // (count(*)::BIGINT * $PackCapacity)
+         |FROM b2 ORDER BY strategy""".stripMargin,
     "curation_source_kl" ->
       """WITH tk AS (SELECT source,
         |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok

@@ -357,6 +357,35 @@ class CurationSpec extends SparkSpec {
     assert(klOf("c") > 0.5, s"disjoint vocab must read large: ${klOf("c")}")
   }
 
+  test("sorted packing: same docs and buckets, bins fill longest-first, efficiency adds up") {
+    val base = Curation.packSequences(spark, sf0001).collect()
+    val sorted = Curation.packSequencesSorted(spark, sf0001).collect()
+    // same universe: identical (doc_id, bucket, n_tokens) multiset
+    def key(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("bucket"),
+        r.getAs[Long]("n_tokens"))).sortBy(_._1).toSeq
+    assert(key(base) == key(sorted))
+    // longest-first: within a bucket, seq_id is monotone over
+    // (n_tokens desc, doc_id) fill order
+    sorted.groupBy(_.getAs[Int]("bucket")).foreach { case (_, rs) =>
+      val inOrder = rs.sortBy(r => (-r.getAs[Long]("n_tokens"), r.getAs[Long]("doc_id")))
+        .map(_.getAs[Long]("seq_id"))
+      assert(inOrder.sameElements(inOrder.sorted), "seq_id must be monotone in fill order")
+    }
+    val eff = Curation.packEfficiency(spark, sf0001).collect()
+      .map(r => r.getAs[String]("strategy") -> r).toMap
+    assert(eff.keySet == Set("doc_order", "length_sorted"))
+    val totalTokens = base.map(_.getAs[Long]("n_tokens")).sum
+    eff.values.foreach { r =>
+      // used + overflow = total tokens, where used = n_seqs*cap - padding
+      val used = r.getAs[Long]("n_seqs") * Curation.PackCapacity -
+        r.getAs[Long]("padding_tokens")
+      assert(used + r.getAs[Long]("overflow_tokens") == totalTokens)
+      val u = r.getAs[Long]("utilization_milli")
+      assert(u > 0 && u <= 1000)
+    }
+  }
+
   test("mixing weights and corpus shares each sum to 1") {
     val rows = Curation.mixWeights(spark, sf0001).collect()
     assert(math.abs(rows.map(_.getAs[Double]("p")).sum - 1.0) < 1e-6)
