@@ -415,6 +415,73 @@ object Curation {
       .orderBy(col("source"))
   }
 
+  /** The deterministic "arriving batch" slice the driver-gated ingest-KL
+    * probe judges: every 10th doc — mirrors Dedup's incremental drill. */
+  val IngestKlBatchMod = 10L
+
+  /** Batch-vs-corpus token-mix KL: the ingest-monitoring face of
+    * [[sourceKl]] — does an arriving micro-batch's token distribution
+    * match the standing corpus it is about to join? The corpus side is
+    * the PERSISTED text-index generation artifact
+    * ([[Retrieval.ensureTextIndex]]'s (doc_id, dl, token, tf) postings,
+    * summed to token grain), so the monitor pays an index-bounded scan,
+    * never a corpus re-tokenization. p is the batch mix renormalized
+    * over the in-vocab support; q is the corpus mix restricted to that
+    * support (unnormalized — the missing mass only ADDS to the
+    * statistic, so kl_nats ≥ 0 still, with 0 exactly on a perfect
+    * in-vocab match of a full-coverage batch). Out-of-vocabulary
+    * arrivals cannot be judged against q and are priced separately as
+    * oov_milli — a sudden OOV spike is its own drift signal (new
+    * language, new domain, encoding rot).
+    *
+    * Arithmetic: KL = S/n_in − ln(n_in) with S = Σ c·ln(c·N/c_t) —
+    * factoring n_in out lets one aggregate pass compute S from exact
+    * BIGINTs without knowing n_in per term; round-6 + 0.0 as in
+    * [[sourceKl]]. */
+  def ingestKl(spark: SparkSession, dir: String): DataFrame = {
+    val (tfsT, _) = Retrieval.ensureTextIndex(spark, dir)
+    ingestKlOn(
+      Tables.documents(spark, dir)
+        .filter(pmod(col("doc_id"), lit(IngestKlBatchMod)) === 0L)
+        .select(col("doc_id"), col("text")),
+      corpusTokenTotals(spark, tfsT))
+  }
+
+  /** Corpus token totals off the persisted postings table — the static
+    * q-side frame a monitor derives once per generation bind. */
+  private[graft] def corpusTokenTotals(spark: SparkSession,
+      tfsT: String): DataFrame =
+    spark.table(tfsT).groupBy(col("token")).agg(sum(col("tf")).as("c_t"))
+
+  /** One batch's KL verdict row against a prepared totals frame — the
+    * exact per-micro-batch computation
+    * [[graft.streaming.StreamingIngestGate.startKlMonitor]] replays. */
+  private[graft] def ingestKlOn(batch: DataFrame,
+      totals: DataFrame): DataFrame = {
+    val bt = batch.select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c_bt"))
+    val n = totals.agg(sum(col("c_t")).as("n"))
+    bt.join(totals, Seq("token"), "left")
+      .crossJoin(broadcast(n))
+      .agg(coalesce(sum(col("c_bt")), lit(0L)).as("n_tokens"),
+        count(lit(1)).as("n_batch_vocab"),
+        coalesce(sum(when(col("c_t").isNull, col("c_bt"))), lit(0L))
+          .as("oov_tokens"),
+        coalesce(sum(when(col("c_t").isNotNull, col("c_bt"))), lit(0L))
+          .as("n_in"),
+        sum(when(col("c_t").isNotNull,
+          col("c_bt").cast("double") *
+            log(col("c_bt").cast("double") * col("n") /
+              col("c_t").cast("double")))).as("s_raw"))
+      .select(col("n_tokens"), col("n_batch_vocab"), col("oov_tokens"),
+        coalesce(expr("1000 * oov_tokens div n_tokens"), lit(0L))
+          .as("oov_milli"),
+        (round(when(col("n_in") > 0,
+          col("s_raw") / col("n_in") -
+            log(col("n_in").cast("double"))).otherwise(0.0), 6) + lit(0.0))
+          .as("kl_nats"))
+  }
+
   // ---------------------------------------------------------------- //
   // Rule-based document filters (Gopher, Rae et al. 2021 §A1.1):     //
   // hard thresholds on cheap per-document statistics. Complements    //
@@ -1155,6 +1222,7 @@ object Curation {
     "curation_source_kl" -> ((s, d) => sourceKl(s, d)),
     "pack_sequences_sorted" -> ((s, d) => packSequencesSorted(s, d)),
     "pack_efficiency" -> ((s, d) => packEfficiency(s, d)),
+    "curation_ingest_kl" -> ((s, d) => ingestKl(s, d)),
     "mix_weights" -> ((s, d) => mixWeights(s, d)))
 
   private def sqlGrams(n: Int): String =
@@ -1527,6 +1595,29 @@ object Curation {
          |  1000 * sum(least(bin_tokens, $PackCapacity))::BIGINT
          |    // (count(*)::BIGINT * $PackCapacity)
          |FROM b2 ORDER BY strategy""".stripMargin,
+    // recomputes the persisted postings from raw documents — the
+    // persisted ≡ recompute discipline for the monitor's q side
+    "curation_ingest_kl" ->
+      s"""WITH tk AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+         |  FROM documents),
+         |t AS (SELECT token, count(*)::BIGINT AS c_t FROM tk GROUP BY 1),
+         |n AS (SELECT sum(c_t)::BIGINT AS n FROM t),
+         |b AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+         |  FROM documents WHERE doc_id % $IngestKlBatchMod = 0),
+         |bt AS (SELECT token, count(*)::BIGINT AS c_bt FROM b GROUP BY 1),
+         |j AS (SELECT bt.token, c_bt, t.c_t FROM bt LEFT JOIN t USING (token)),
+         |a AS (SELECT coalesce(sum(c_bt), 0)::BIGINT AS n_tokens,
+         |    count(*)::BIGINT AS n_batch_vocab,
+         |    coalesce(sum(CASE WHEN c_t IS NULL THEN c_bt END), 0)::BIGINT AS oov_tokens,
+         |    coalesce(sum(CASE WHEN c_t IS NOT NULL THEN c_bt END), 0)::BIGINT AS n_in,
+         |    sum(CASE WHEN c_t IS NOT NULL
+         |      THEN c_bt::DOUBLE * ln(c_bt::DOUBLE * n / c_t::DOUBLE) END) AS s_raw
+         |  FROM j, n)
+         |SELECT n_tokens, n_batch_vocab, oov_tokens,
+         |  1000 * oov_tokens // n_tokens AS oov_milli,
+         |  round(CASE WHEN n_in > 0 THEN s_raw / n_in - ln(n_in::DOUBLE)
+         |    ELSE 0.0 END, 6) + 0.0 AS kl_nats
+         |FROM a""".stripMargin,
     "curation_source_kl" ->
       """WITH tk AS (SELECT source,
         |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok

@@ -122,6 +122,32 @@ object StreamingIngestGate {
         (coalesce(col("keep"), lit(true)) && col("judged").isNotNull).as("admit"))
   }
 
+  /** Streaming token-mix drift monitor: every arriving micro-batch's
+    * token distribution is scored against the standing corpus's
+    * PERSISTED text-index postings as one KL + OOV verdict row
+    * ([[graft.operators.Curation.ingestKlOn]] — the exact computation
+    * the driver-gated `curation_ingest_kl` probe runs). Stateless like
+    * the dedup gates: the corpus totals are derived ONCE at start from
+    * the generation artifact (vocab-bounded, frozen via localCheckpoint
+    * so no per-batch index re-aggregation), and each batch pays only
+    * its own tokenization plus a vocab-sized join. A KL step or an OOV
+    * spike in the sink is the feed-drift alarm (new language, new
+    * domain, encoding rot) a crawl pipeline wants BEFORE admission. */
+  def startKlMonitor(spark: SparkSession, dir: String, docs: DataFrame,
+      tag: String = "", corpusFilter: Column = lit(true))(
+      sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    val (tfsT, _) = graft.operators.Retrieval.ensureTextIndex(
+      spark, dir, tag, corpusFilter)
+    val totals = graft.operators.Curation
+      .corpusTokenTotals(spark, tfsT).localCheckpoint()
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(graft.operators.Curation.ingestKlOn(batch, totals), batchId)
+      }
+      .start()
+  }
+
   /** The full streaming CRAWL-ingest pipeline: arriving (doc_id, html)
     * pages are boilerplate-extracted (stateless scan — Html.extractOn
     * runs inside foreachBatch unchanged), then the EXTRACTED main text

@@ -427,4 +427,52 @@ class StreamingIngestGateSpec extends SparkSpec {
     assert(gotSet.size == arrivals.length,
       "crawl gate must emit exactly one verdict per arriving page")
   }
+
+  test("KL monitor: per-batch rows equal the direct computation; an OOV batch reads 1000 milli") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.{Curation, Retrieval}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val onMix = Tables.documents(spark, sf0001)
+      .filter(pmod(col("doc_id"), lit(Curation.IngestKlBatchMod)) === 0)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(onMix.nonEmpty)
+    // a feed gone wrong: every token out of vocabulary
+    val oov = Seq((900001L, "zqx9 zqx9 wvu7 wvu7 wvu7"), (900002L, "zqx9 pnm3"))
+
+    val input = MemoryStream[(Long, String)]
+    val got = mutable.Map[Long, Array[Row]]()
+    val q = StreamingIngestGate.startKlMonitor(spark, sf0001,
+      input.toDF().toDF("doc_id", "text")) { (row, id) =>
+      got.synchronized { got(id) = row.collect(); () }
+    }
+    try {
+      input.addData(onMix.toIndexedSeq: _*); q.processAllAvailable()
+      input.addData(oov: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    assert(got.size == 2 && got.values.forall(_.length == 1),
+      "one verdict row per micro-batch")
+    // batch-twin parity: each batch's row equals the direct call on the
+    // same chunk against the same persisted-index totals
+    val (tfsT, _) = Retrieval.ensureTextIndex(spark, sf0001)
+    val totals = Curation.corpusTokenTotals(spark, tfsT)
+    def direct(chunk: Seq[(Long, String)]) =
+      Curation.ingestKlOn(chunk.toDF("doc_id", "text"), totals)
+        .collect().map(_.toSeq.map(String.valueOf)).toSeq
+    assert(got(0L).map(_.toSeq.map(String.valueOf)).toSeq == direct(onMix.toSeq))
+    assert(got(1L).map(_.toSeq.map(String.valueOf)).toSeq == direct(oov))
+
+    // the on-mix batch is drawn from the corpus: fully in-vocab, KL small
+    val mixRow = got(0L).head
+    assert(mixRow.getAs[Long]("oov_tokens") == 0L)
+    assert(mixRow.getAs[Double]("kl_nats") >= 0.0)
+    // the OOV batch cannot be judged in-vocab: full OOV mass, KL 0
+    val oovRow = got(1L).head
+    assert(oovRow.getAs[Long]("oov_milli") == 1000L)
+    assert(oovRow.getAs[Double]("kl_nats") == 0.0)
+    assert(oovRow.getAs[Long]("n_tokens") == 7L)
+  }
 }
