@@ -1587,6 +1587,36 @@ object Dedup {
       .orderBy("source")
   }
 
+  /** Cross-source near-dup ATTRIBUTION: the exact-jaccard pair frame
+    * rolled up to unordered source pairs — who republishes whom. A
+    * (src_a, src_b) row with src_a ≠ src_b is syndication/mirroring
+    * between feeds (the FineWeb-style drop-whole-domains signal with
+    * the counterparty named); the diagonal is self-republication
+    * within one source. Complements [[dedupSavings]], which prices
+    * what dedup removes per source but not WHERE the copies came from.
+    *
+    * Scale shape: the memoized post-threshold pair frame (orders
+    * smaller than the corpus) joins the (doc_id, source) projection
+    * twice on doc keys, then one map-side-combined groupBy to at most
+    * |sources|² rows. max is the order-independent jaccard summary —
+    * no float summation enters the hash. */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val srcs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+    jaccardPairsUnsorted(spark, dir)
+      .join(srcs.select(col("doc_id").as("doc_i"),
+        col("source").as("src_i")), Seq("doc_i"))
+      .join(srcs.select(col("doc_id").as("doc_j"),
+        col("source").as("src_j")), Seq("doc_j"))
+      .select(least(col("src_i"), col("src_j")).as("src_a"),
+        greatest(col("src_i"), col("src_j")).as("src_b"),
+        col("jaccard"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        max(col("jaccard")).as("max_jaccard"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   /** Per-document n-gram NOVELTY score — the "how much of this doc is
     * new to the corpus" curation signal (the additive complement of
     * near-dup detection: rank-by-contribution instead of drop-by-
@@ -1975,6 +2005,7 @@ object Dedup {
       ((s, d) => incrementalWinnowDedupPersisted(s, d)),
     "text_novelty_incremental" -> ((s, d) => incrementalNovelty(s, d)),
     "dedup_savings" -> ((s, d) => dedupSavings(s, d)),
+    "dedup_source_overlap" -> ((s, d) => sourceOverlap(s, d)),
     "qa_split_leakage" -> ((s, d) => splitLeakage(s, d)),
     "sample_splits_by_cluster" -> ((s, d) => splitsByCluster(s, d)),
     "dedup_incremental" -> ((s, d) => incrementalDedup(s, d)),
@@ -2488,6 +2519,28 @@ object Dedup {
          |JOIN sh sj ON sj.doc_id = doc_j
          |WHERE common::DOUBLE / (si.sz + sj.sz - common) >= 0.5
          |ORDER BY doc_i, doc_j""".stripMargin,
+    // the jaccard-pair CTE rolled up to unordered source pairs; max
+    // keeps the float summary order-independent
+    "dedup_source_overlap" ->
+      s"""WITH $shingleCte,
+         |$postsCte,
+         |common AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
+         |    count(*)::BIGINT AS common
+         |  FROM posts a JOIN posts b ON a.code = b.code AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |p AS (SELECT doc_i, doc_j,
+         |    common::DOUBLE / (si.sz + sj.sz - common) AS jaccard
+         |  FROM common
+         |  JOIN sh si ON si.doc_id = doc_i
+         |  JOIN sh sj ON sj.doc_id = doc_j
+         |  WHERE common::DOUBLE / (si.sz + sj.sz - common) >= $JaccardThreshold),
+         |s AS (SELECT least(di.source, dj.source) AS src_a,
+         |    greatest(di.source, dj.source) AS src_b, p.jaccard
+         |  FROM p JOIN documents di ON di.doc_id = p.doc_i
+         |  JOIN documents dj ON dj.doc_id = p.doc_j)
+         |SELECT src_a, src_b, count(*)::BIGINT AS n_pairs,
+         |  max(jaccard) AS max_jaccard
+         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // same distinct shingle-code sets (shared shingleCte), same
     // (df, code) rarity order, same integer prefix length and
     // 2·min ≥ max length filter, same exact intersection verify —

@@ -863,4 +863,17 @@ class TrainingDataSpec extends SparkSpec {
     if (hasExactDup)
       assert(rows.exists(r => r.getLong(5) == 1000), "no full-overlap pair found")
   }
+
+  test("source overlap: pair counts conserve the jaccard pair frame, keys are canonical") {
+    val pairs = Dedup.jaccardPairs(spark, sf0001).count()
+    val rows = Dedup.sourceOverlap(spark, sf0001).collect()
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum == pairs,
+      "every near-dup pair must be attributed to exactly one source pair")
+    rows.foreach { r =>
+      assert(r.getAs[String]("src_a") <= r.getAs[String]("src_b"),
+        "source pair must be unordered-canonical")
+      val mj = r.getAs[Double]("max_jaccard")
+      assert(mj >= Dedup.JaccardThreshold && mj <= 1.0)
+    }
+  }
 }
