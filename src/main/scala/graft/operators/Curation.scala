@@ -370,6 +370,61 @@ object Curation {
       .orderBy(col("lang"))
   }
 
+  /** Budget share for [[mixBudgetAlloc]]: 3/5 of the corpus tokens. */
+  val MixBudgetNum = 3L
+  val MixBudgetDen = 5L
+
+  /** Water-filling token allocation: spread a training-token budget
+    * across sources so no source exceeds its available tokens and all
+    * unsaturated sources receive the SAME level L — the max-min-fair
+    * allocation (small sources keep everything they have, big sources
+    * are capped at the common water level; the budget-constrained
+    * complement of the temperature mixes, which reweight but never cap).
+    *
+    * Exact integer algorithm: sort sources by avail asc; source r is
+    * saturated iff B − P(r−1) − avail_r·(n−r+1) ≥ 0 (the no-division
+    * form of avail_r ≤ level-if-r-unsaturated; the criterion is
+    * monotone under the sort, so saturation is prefix-closed and
+    * k = count(sat) is THE cut); the level is then
+    * L = (B − P(k)) div (n − k). Every comparison is BIGINT — parity
+    * is unconditional. The div remainder (< n−k tokens) is reported as
+    * slack, not distributed.
+    *
+    * Scale shape: one map-side-combined per-source aggregate; the
+    * window and the 1-row cut fold run on the \|sources\|-row frame
+    * (bounded — same discipline as the sketch/tile windows). */
+  def mixBudgetAlloc(spark: SparkSession, dir: String): DataFrame =
+    mixBudgetAllocOn(Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(sum(size(tokens(col("text"))).cast("long")).as("avail")))
+
+  /** Core over any (source, avail) frame — spec seam. */
+  private[graft] def mixBudgetAllocOn(perSrc: DataFrame): DataFrame = {
+    val w = Window.orderBy(col("avail"), col("source"))
+    val totals = perSrc.agg(sum(col("avail")).as("total"),
+      count(lit(1)).as("n"))
+      .select(col("total"), col("n"),
+        expr(s"total * $MixBudgetNum div $MixBudgetDen").as("b"))
+    val ranked = perSrc
+      .withColumn("r", row_number().over(w).cast("long"))
+      .withColumn("pprev",
+        coalesce(sum(col("avail")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .crossJoin(broadcast(totals))
+      .withColumn("saturated",
+        col("b") - col("pprev") - col("avail") * (col("n") - col("r") + 1) >= 0)
+    val cut = ranked.agg(
+      sum(when(col("saturated"), 1L).otherwise(0L)).as("k"),
+      coalesce(sum(when(col("saturated"), col("avail"))), lit(0L)).as("pk"))
+    ranked.crossJoin(broadcast(cut))
+      .withColumn("allocated",
+        when(col("saturated"), col("avail"))
+          .otherwise(expr("(b - pk) div (n - k)")))
+      .select(col("source"), col("avail").as("avail_tokens"),
+        col("allocated"), col("saturated"))
+      .orderBy(col("source"))
+  }
+
   /** Per-source unigram KL divergence to the corpus mix,
     * KL(Pₛ ‖ P_corpus) = Σₜ pₛₜ·ln(pₛₜ/qₜ) — the mixing diagnostic
     * that names WHICH source's token distribution has drifted from the
@@ -1223,6 +1278,7 @@ object Curation {
     "pack_sequences_sorted" -> ((s, d) => packSequencesSorted(s, d)),
     "pack_efficiency" -> ((s, d) => packEfficiency(s, d)),
     "curation_ingest_kl" -> ((s, d) => ingestKl(s, d)),
+    "mix_budget_alloc" -> ((s, d) => mixBudgetAlloc(s, d)),
     "mix_weights" -> ((s, d) => mixWeights(s, d)))
 
   private def sqlGrams(n: Int): String =
@@ -1595,6 +1651,29 @@ object Curation {
          |  1000 * sum(least(bin_tokens, $PackCapacity))::BIGINT
          |    // (count(*)::BIGINT * $PackCapacity)
          |FROM b2 ORDER BY strategy""".stripMargin,
+    // same windows, same no-division saturation criterion, same
+    // integer level — all BIGINT, parity unconditional
+    "mix_budget_alloc" ->
+      s"""WITH a AS (SELECT source,
+         |    sum(len(list_filter(string_split(text, ' '), x -> x <> '')))::BIGINT AS avail
+         |  FROM documents GROUP BY 1),
+         |t AS (SELECT sum(avail)::BIGINT AS total, count(*)::BIGINT AS n,
+         |    sum(avail)::BIGINT * $MixBudgetNum // $MixBudgetDen AS b FROM a),
+         |r AS (SELECT source, avail,
+         |    row_number() OVER (ORDER BY avail, source)::BIGINT AS r,
+         |    coalesce(sum(avail) OVER (ORDER BY avail, source
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS pprev
+         |  FROM a),
+         |s AS (SELECT r.*, t.n, t.b,
+         |    (t.b - r.pprev - r.avail * (t.n - r.r + 1) >= 0) AS saturated
+         |  FROM r, t),
+         |c AS (SELECT sum(CASE WHEN saturated THEN 1 ELSE 0 END)::BIGINT AS k,
+         |    coalesce(sum(CASE WHEN saturated THEN avail END), 0)::BIGINT AS pk
+         |  FROM s)
+         |SELECT source, avail AS avail_tokens,
+         |  CASE WHEN saturated THEN avail ELSE (b - pk) // (n - k) END AS allocated,
+         |  saturated
+         |FROM s, c ORDER BY source""".stripMargin,
     // recomputes the persisted postings from raw documents — the
     // persisted ≡ recompute discipline for the monitor's q side
     "curation_ingest_kl" ->

@@ -386,6 +386,36 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("budget water-filling: hand-computed cut, max-min fairness, budget never exceeded") {
+    import spark.implicits._
+    // avails 1,2,100,100; B = 203*3 div 5 = 121; rows 1,2 saturate
+    // (121-0-1*4 >= 0; 121-1-2*3 >= 0), row 3 does not (121-3-100*2 < 0);
+    // level L = (121-3) div 2 = 59
+    val synth = Seq(("s1", 1L), ("s2", 2L), ("s3", 100L), ("s4", 100L))
+      .toDF("source", "avail")
+    val got = Curation.mixBudgetAllocOn(synth).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("allocated"), r.getAs[Boolean]("saturated"))).toMap
+    assert(got == Map("s1" -> (1L, true), "s2" -> (2L, true),
+      "s3" -> (59L, false), "s4" -> (59L, false)))
+
+    val rows = Curation.mixBudgetAlloc(spark, sf0001).collect()
+    val total = rows.map(_.getAs[Long]("avail_tokens")).sum
+    val b = total * Curation.MixBudgetNum / Curation.MixBudgetDen
+    val allocs = rows.map(_.getAs[Long]("allocated"))
+    assert(allocs.sum <= b, "allocation must respect the budget")
+    val unsat = rows.filter(!_.getAs[Boolean]("saturated"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("allocated") <= r.getAs[Long]("avail_tokens"))
+      if (r.getAs[Boolean]("saturated"))
+        assert(r.getAs[Long]("allocated") == r.getAs[Long]("avail_tokens"))
+    }
+    // max-min fairness: every unsaturated source sits at one level,
+    // and the slack is smaller than one more token per unsaturated source
+    assert(unsat.map(_.getAs[Long]("allocated")).distinct.length <= 1)
+    if (unsat.nonEmpty) assert(b - allocs.sum < unsat.length)
+  }
+
   test("mixing weights and corpus shares each sum to 1") {
     val rows = Curation.mixWeights(spark, sf0001).collect()
     assert(math.abs(rows.map(_.getAs[Double]("p")).sum - 1.0) < 1e-6)
