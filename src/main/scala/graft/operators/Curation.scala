@@ -399,31 +399,73 @@ object Curation {
       .agg(sum(size(tokens(col("text"))).cast("long")).as("avail")))
 
   /** Core over any (source, avail) frame — spec seam. */
-  private[graft] def mixBudgetAllocOn(perSrc: DataFrame): DataFrame = {
-    val w = Window.orderBy(col("avail"), col("source"))
-    val totals = perSrc.agg(sum(col("avail")).as("total"),
-      count(lit(1)).as("n"))
-      .select(col("total"), col("n"),
-        expr(s"total * $MixBudgetNum div $MixBudgetDen").as("b"))
-    val ranked = perSrc
-      .withColumn("r", row_number().over(w).cast("long"))
-      .withColumn("pprev",
-        coalesce(sum(col("avail")).over(
-          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .crossJoin(broadcast(totals))
-      .withColumn("saturated",
-        col("b") - col("pprev") - col("avail") * (col("n") - col("r") + 1) >= 0)
-    val cut = ranked.agg(
-      sum(when(col("saturated"), 1L).otherwise(0L)).as("k"),
-      coalesce(sum(when(col("saturated"), col("avail"))), lit(0L)).as("pk"))
-    ranked.crossJoin(broadcast(cut))
-      .withColumn("allocated",
-        when(col("saturated"), col("avail"))
-          .otherwise(expr("(b - pk) div (n - k)")))
+  private[graft] def mixBudgetAllocOn(perSrc: DataFrame): DataFrame =
+    waterFillOn(perSrc.withColumn("cap", col("avail")),
+      MixBudgetNum, MixBudgetDen)
       .select(col("source"), col("avail").as("avail_tokens"),
         col("allocated"), col("saturated"))
       .orderBy(col("source"))
+
+  /** Shared water-filling cut over a (source, avail, cap) frame with
+    * budget B = Σavail·num div den: fill every source to the common
+    * level L capped at its own cap (the no-division prefix criterion
+    * documented on [[mixBudgetAlloc]], applied to cap instead of
+    * avail). Returns source, avail, cap, allocated, saturated. */
+  private def waterFillOn(perSrc: DataFrame, num: Long, den: Long): DataFrame = {
+    val w = Window.orderBy(col("cap"), col("source"))
+    val totals = perSrc.agg(sum(col("avail")).as("total"),
+      count(lit(1)).as("n"))
+      .select(col("total"), col("n"),
+        expr(s"total * $num div $den").as("b"))
+    val ranked = perSrc
+      .withColumn("r", row_number().over(w).cast("long"))
+      .withColumn("pprev",
+        coalesce(sum(col("cap")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .crossJoin(broadcast(totals))
+      .withColumn("saturated",
+        col("b") - col("pprev") - col("cap") * (col("n") - col("r") + 1) >= 0)
+    val cut = ranked.agg(
+      sum(when(col("saturated"), 1L).otherwise(0L)).as("k"),
+      coalesce(sum(when(col("saturated"), col("cap"))), lit(0L)).as("pk"))
+    ranked.crossJoin(broadcast(cut))
+      .withColumn("allocated",
+        when(col("saturated"), col("cap"))
+          .otherwise(expr("(b - pk) div (n - k)")))
   }
+
+  /** UniMax epoch cap and budget share for [[mixUnimaxAlloc]]:
+    * at most 2 epochs per source, budget 17/10 of the corpus tokens. */
+  val UnimaxEpochs = 2L
+  val UnimaxBudgetNum = 17L
+  val UnimaxBudgetDen = 10L
+
+  /** UniMax allocation (Chung et al. 2023): spread a token budget
+    * LARGER than the corpus across sources as uniformly as possible,
+    * but cap every source at [[UnimaxEpochs]] epochs of its own data —
+    * small sources are up-sampled (epochs > 1) only up to the repeat
+    * cap, instead of being drowned by proportional sampling or
+    * repeated without bound by plain uniform sampling. Exactly the
+    * [[mixBudgetAlloc]] water-fill with capacity cap = epochs·avail;
+    * the fractional `epochs` column (rounded to 6 dp in both engines)
+    * is the per-source sampling rate a loader would apply.
+    *
+    * Scale shape: identical to [[mixBudgetAlloc]] — one map-side
+    * combined aggregate, then bounded \|sources\|-row algebra. */
+  def mixUnimaxAlloc(spark: SparkSession, dir: String): DataFrame =
+    mixUnimaxAllocOn(Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(sum(size(tokens(col("text"))).cast("long")).as("avail")))
+
+  /** Core over any (source, avail) frame — spec seam. */
+  private[graft] def mixUnimaxAllocOn(perSrc: DataFrame): DataFrame =
+    waterFillOn(perSrc.withColumn("cap", col("avail") * lit(UnimaxEpochs)),
+      UnimaxBudgetNum, UnimaxBudgetDen)
+      .select(col("source"), col("avail").as("avail_tokens"),
+        col("cap").as("cap_tokens"), col("allocated"),
+        round(col("allocated").cast("double") / col("avail"), 6).as("epochs"),
+        col("saturated"))
+      .orderBy(col("source"))
 
   /** Per-source unigram KL divergence to the corpus mix,
     * KL(Pₛ ‖ P_corpus) = Σₜ pₛₜ·ln(pₛₜ/qₜ) — the mixing diagnostic
@@ -1279,6 +1321,7 @@ object Curation {
     "pack_efficiency" -> ((s, d) => packEfficiency(s, d)),
     "curation_ingest_kl" -> ((s, d) => ingestKl(s, d)),
     "mix_budget_alloc" -> ((s, d) => mixBudgetAlloc(s, d)),
+    "mix_unimax_alloc" -> ((s, d) => mixUnimaxAlloc(s, d)),
     "mix_weights" -> ((s, d) => mixWeights(s, d)))
 
   private def sqlGrams(n: Int): String =
@@ -1672,6 +1715,33 @@ object Curation {
          |  FROM s)
          |SELECT source, avail AS avail_tokens,
          |  CASE WHEN saturated THEN avail ELSE (b - pk) // (n - k) END AS allocated,
+         |  saturated
+         |FROM s, c ORDER BY source""".stripMargin,
+    // the same water-fill algebra on cap = epochs·avail; the one
+    // float is epochs = allocated/avail, rounded 6 dp in both engines
+    "mix_unimax_alloc" ->
+      s"""WITH a AS (SELECT source,
+         |    sum(len(list_filter(string_split(text, ' '), x -> x <> '')))::BIGINT AS avail,
+         |    sum(len(list_filter(string_split(text, ' '), x -> x <> '')))::BIGINT
+         |      * $UnimaxEpochs AS cap
+         |  FROM documents GROUP BY 1),
+         |t AS (SELECT sum(avail)::BIGINT AS total, count(*)::BIGINT AS n,
+         |    sum(avail)::BIGINT * $UnimaxBudgetNum // $UnimaxBudgetDen AS b FROM a),
+         |r AS (SELECT source, avail, cap,
+         |    row_number() OVER (ORDER BY cap, source)::BIGINT AS r,
+         |    coalesce(sum(cap) OVER (ORDER BY cap, source
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS pprev
+         |  FROM a),
+         |s AS (SELECT r.*, t.n, t.b,
+         |    (t.b - r.pprev - r.cap * (t.n - r.r + 1) >= 0) AS saturated
+         |  FROM r, t),
+         |c AS (SELECT sum(CASE WHEN saturated THEN 1 ELSE 0 END)::BIGINT AS k,
+         |    coalesce(sum(CASE WHEN saturated THEN cap END), 0)::BIGINT AS pk
+         |  FROM s)
+         |SELECT source, avail AS avail_tokens, cap AS cap_tokens,
+         |  CASE WHEN saturated THEN cap ELSE (b - pk) // (n - k) END AS allocated,
+         |  round((CASE WHEN saturated THEN cap ELSE (b - pk) // (n - k) END)::DOUBLE
+         |    / avail, 6) AS epochs,
          |  saturated
          |FROM s, c ORDER BY source""".stripMargin,
     // recomputes the persisted postings from raw documents — the

@@ -416,6 +416,41 @@ class CurationSpec extends SparkSpec {
     if (unsat.nonEmpty) assert(b - allocs.sum < unsat.length)
   }
 
+  test("unimax: epoch cap binds on small sources, level on big ones, budget exhausted") {
+    import spark.implicits._
+    // avails 10,10,100,100; caps 20,20,200,200; B = 220*17 div 10 = 374;
+    // rows 1,2 saturate (374-0-20*4 >= 0; 374-20-20*3 >= 0), row 3 does
+    // not (374-40-200*2 < 0); L = (374-40) div 2 = 167 — and
+    // 20+20+167+167 = 374 exhausts the budget exactly
+    val synth = Seq(("s1", 10L), ("s2", 10L), ("s3", 100L), ("s4", 100L))
+      .toDF("source", "avail")
+    val got = Curation.mixUnimaxAllocOn(synth).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("allocated"), r.getAs[Double]("epochs"),
+          r.getAs[Boolean]("saturated")))).toMap
+    assert(got == Map(
+      "s1" -> ((20L, 2.0, true)), "s2" -> ((20L, 2.0, true)),
+      "s3" -> ((167L, 1.67, false)), "s4" -> ((167L, 1.67, false))))
+    assert(got.values.map(_._1).sum == (220L * 17 / 10))
+
+    val rows = Curation.mixUnimaxAlloc(spark, sf0001).collect()
+    val total = rows.map(_.getAs[Long]("avail_tokens")).sum
+    val b = total * Curation.UnimaxBudgetNum / Curation.UnimaxBudgetDen
+    val allocs = rows.map(_.getAs[Long]("allocated"))
+    assert(allocs.sum <= b)
+    val unsat = rows.filter(!_.getAs[Boolean]("saturated"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cap_tokens") ==
+        r.getAs[Long]("avail_tokens") * Curation.UnimaxEpochs)
+      assert(r.getAs[Long]("allocated") <= r.getAs[Long]("cap_tokens"))
+      assert(r.getAs[Double]("epochs") <= Curation.UnimaxEpochs.toDouble)
+      if (r.getAs[Boolean]("saturated"))
+        assert(r.getAs[Long]("allocated") == r.getAs[Long]("cap_tokens"))
+    }
+    assert(unsat.map(_.getAs[Long]("allocated")).distinct.length <= 1)
+    if (unsat.nonEmpty) assert(b - allocs.sum < unsat.length)
+  }
+
   test("mixing weights and corpus shares each sum to 1") {
     val rows = Curation.mixWeights(spark, sf0001).collect()
     assert(math.abs(rows.map(_.getAs[Double]("p")).sum - 1.0) < 1e-6)
