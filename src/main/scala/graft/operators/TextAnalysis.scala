@@ -519,6 +519,42 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_words"), sum(col("n_syms")).as("n_syms"))
   }
 
+  /** Tokenizer FERTILITY report — per source: fertility = BPE tokens
+    * per word and chars-per-token (compression), the standard
+    * tokenizer-fairness diagnostic (a source whose text the tokenizer
+    * fragments into many short tokens pays more sequence length for
+    * the same content, so its effective token budget shrinks — the
+    * multilingual-fertility argument behind UniMax-style caps).
+    *
+    * Scale shape: same as [[bpeApplyCounts]] — one corpus scan, one
+    * bounded vocab join, map-side-combined per-source sums; both
+    * ratios are exact-integer-quotient doubles, rounded to 6 dp in
+    * both engines. */
+  def bpeFertility(spark: SparkSession, dir: String): DataFrame =
+    bpeFertilityWith(spark, dir, bpeTrained(spark, dir)._2)
+
+  /** [[bpeFertility]] served from the persisted vocabulary — zero
+    * training rounds in the plan, same oracle as the recompute twin. */
+  def bpeFertilityPersisted(spark: SparkSession, dir: String): DataFrame = {
+    val (_, vocabT) = ensureBpeModel(spark, dir)
+    bpeFertilityWith(spark, dir, spark.table(vocabT))
+  }
+
+  private def bpeFertilityWith(spark: SparkSession, dir: String,
+      vocab: DataFrame): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("word"))
+      .join(vocab.select(col("word"), size(col("syms")).cast("long").as("n_syms")),
+        "word")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_syms")).as("n_tokens"),
+        sum(length(col("word")).cast("long")).as("n_chars"))
+      .select(col("source"), col("n_words"), col("n_tokens"), col("n_chars"),
+        round(col("n_tokens").cast("double") / col("n_words"), 6).as("fertility"),
+        round(col("n_chars").cast("double") / col("n_tokens"), 6).as("chars_per_token"))
+      .orderBy(col("source"))
+
   /** Character-bigram language-model quality score (the CCNet recipe —
     * Wenzek et al., "CCNet: extracting high-quality monolingual
     * datasets from web crawl data", 2020 — with the 5-gram KenLM
@@ -866,6 +902,8 @@ object TextAnalysis {
     // steady-state path SCALING's α tracks)
     "text_char_lm_scan" -> ((s, d) => charLmScorePersistedFresh(s, d)),
     "text_bpe_apply" -> ((s, d) => bpeApplyCounts(s, d)),
+    "text_bpe_fertility" -> ((s, d) => bpeFertility(s, d)),
+    "text_bpe_fertility_persisted" -> ((s, d) => bpeFertilityPersisted(s, d)),
     "text_char_lm" -> ((s, d) => charLmScore(s, d)),
     "text_token_stats" -> ((s, d) => tokenStats(s, d)),
     "text_quality" -> ((s, d) => qualityScore(s, d)),
@@ -935,6 +973,19 @@ object TextAnalysis {
        |FROM d JOIN s${BpeRounds + 1} s USING (word)
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // per-source fertility over the same trained vocab; ratios are
+  // exact-integer-quotient doubles, rounded 6 dp in both engines
+  private val bpeFertilitySql: String =
+    s"""WITH ${bpeCtes(withFinalVocab = true)},
+       |d AS (SELECT source, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word FROM documents)
+       |SELECT d.source, count(*)::BIGINT AS n_words,
+       |  sum(len(s.syms))::BIGINT AS n_tokens,
+       |  sum(length(word))::BIGINT AS n_chars,
+       |  round(sum(len(s.syms))::DOUBLE / count(*), 6) AS fertility,
+       |  round(sum(length(word))::DOUBLE / sum(len(s.syms)), 6) AS chars_per_token
+       |FROM d JOIN s${BpeRounds + 1} s USING (word)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** The char-bigram LM chain as CTEs ending in the per-doc `lm`
     * frame — shared by text_char_lm and the CCNet-style perplexity
     * filter's oracle. */
@@ -1001,6 +1052,8 @@ object TextAnalysis {
     "text_char_lm_persisted" -> charLmSql,
     "text_char_lm_scan" -> charLmSql,
     "text_bpe_apply" -> bpeApplySql,
+    "text_bpe_fertility" -> bpeFertilitySql,
+    "text_bpe_fertility_persisted" -> bpeFertilitySql,
     "text_char_lm" -> charLmSql,
     "text_token_stats" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents)

@@ -109,6 +109,10 @@ class PersistedModelSpec extends SparkSpec {
       assert(modelScans(plan, "graft_bpem").nonEmpty,
         s"BPE train probe must read the merges table:\n$plan")
     }
+    val fert = rows(TextAnalysis.bpeFertility(spark, sf0001))
+    assert(fert.nonEmpty &&
+      rows(TextAnalysis.bpeFertilityPersisted(spark, sf0001)) == fert,
+      "persisted BPE fertility diverged from recompute")
   }
 
   test("DSIR model: persisted counts reproduce the weights; one corpus scan") {

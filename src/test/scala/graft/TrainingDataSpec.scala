@@ -102,6 +102,24 @@ class TrainingDataSpec extends SparkSpec {
     assert(merges.map(m => (m._2, m._3)).distinct.length == merges.length)
   }
 
+  test("fertility report: per-source totals reconcile with the per-doc apply, ratios bounded") {
+    val fert = TextAnalysis.bpeFertility(spark, sf001).collect()
+    assert(fert.nonEmpty)
+    fert.foreach { r =>
+      val (w, t, c) = (r.getAs[Long]("n_words"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_chars"))
+      // every word is >= 1 token; every token is >= 1 char
+      assert(t >= w && c >= t, s"source ${r.getString(0)}: w=$w t=$t c=$c")
+      assert(r.getAs[Double]("fertility") >= 1.0)
+      assert(r.getAs[Double]("chars_per_token") >= 1.0)
+    }
+    // corpus totals equal the per-doc apply's totals (same vocab join)
+    val apply = TextAnalysis.bpeApplyCounts(spark, sf001)
+      .agg(sum(col("n_words")), sum(col("n_syms"))).collect()(0)
+    assert(fert.map(_.getAs[Long]("n_words")).sum == apply.getLong(0))
+    assert(fert.map(_.getAs[Long]("n_tokens")).sum == apply.getLong(1))
+  }
+
   test("the BPE merge pass is greedy left-to-right and respects symbol boundaries") {
     import spark.implicits._
     // aaaa → [aa, aa] (non-overlap), xc|c stays (boundary: xc != c)
