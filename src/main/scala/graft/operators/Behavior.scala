@@ -363,7 +363,82 @@ object Behavior {
           col("m_score").cast("string")).as("rfm_code"))
   }
 
+  /** Two-sided 95% critical value for the A/B z-test. */
+  private val AbZ = 1.96
+
+  /** Deterministic 50/50 experiment split: first hex digit of
+    * md5(user_id || ":ab") < '8' → variant A (the repo's hash-split
+    * convention — sample_hash / assignSplits use the same md5 seam, so
+    * assignment is replay-stable and oracle-exact). */
+  private def abPerUser(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("converted"))
+      .withColumn("variant",
+        when(substring(md5(concat(col("user_id").cast("string"), lit(":ab"))),
+          1, 1) < "8", "A").otherwise("B"))
+
+  /** A/B experiment readout — per variant: users, conversions (any
+    * `purchase`), conversion rate, and the Wilson 95% score interval
+    * (the CI that stays inside [0,1] at small n, the standard
+    * product-analytics presentation). All inputs are exact integer
+    * ratios; the only irrationals are one sqrt per row (IEEE
+    * correctly-rounded in both engines) — rounded to 6 dp.
+    *
+    * Scale shape: one per-user map-side-combined aggregate (the same
+    * user_id hash shuffle every Behavior query rides), then a 2-row
+    * variant aggregate; nothing after the first shuffle scales with
+    * the event log. */
+  def abLift(spark: SparkSession, dir: String): DataFrame = {
+    val g = abPerUser(spark, dir)
+      .groupBy("variant")
+      .agg(count(lit(1)).as("n_users"), sum(col("converted")).as("n_conv"))
+    val n = col("n_users").cast("double")
+    val p = col("n_conv").cast("double") / col("n_users")
+    val z2 = lit(AbZ) * lit(AbZ)
+    val den = lit(1.0) + z2 / n
+    val center = (p + z2 / (lit(2.0) * n)) / den
+    val half = lit(AbZ) * sqrt(p * (lit(1.0) - p) / n +
+      z2 / (lit(4.0) * n * n)) / den
+    g.select(col("variant"), col("n_users"), col("n_conv"),
+      round(p, 6).as("conv_rate"),
+      round(center - half, 6).as("wilson_lo"),
+      round(center + half, 6).as("wilson_hi"))
+      .orderBy("variant")
+  }
+
+  /** Two-proportion z-test on the same split: pooled-variance z
+    * statistic for P(convert | B) − P(convert | A), absolute lift, and
+    * the 95% verdict. One row. */
+  def abZTest(spark: SparkSession, dir: String): DataFrame = {
+    val s = abPerUser(spark, dir).agg(
+      sum(when(col("variant") === "A", 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("variant") === "A", col("converted")).otherwise(0L)).as("x_a"),
+      sum(when(col("variant") === "B", 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("variant") === "B", col("converted")).otherwise(0L)).as("x_b"))
+    val d = s.select(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+      (col("x_a").cast("double") / col("n_a")).as("pa"),
+      (col("x_b").cast("double") / col("n_b")).as("pb"),
+      ((col("x_a") + col("x_b")).cast("double") /
+        (col("n_a") + col("n_b"))).as("pp"))
+      .withColumn("se", sqrt(col("pp") * (lit(1.0) - col("pp")) *
+        (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))))
+    // a fully-converted (or fully-unconverted) population has zero
+    // pooled variance: define z = 0 (no evidence) instead of 0/0 —
+    // mirrored in the oracle's CASE
+    val z = when(col("se") === lit(0.0), lit(0.0))
+      .otherwise((col("pb") - col("pa")) / col("se"))
+    d.select(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+      round(col("pa"), 6).as("p_a"), round(col("pb"), 6).as("p_b"),
+      round(col("pb") - col("pa"), 6).as("abs_lift"),
+      round(z, 6).as("z_stat"),
+      (abs(z) > lit(AbZ)).as("significant"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_ab_lift" -> ((s, d) => abLift(s, d)),
+    "evt_ab_ztest" -> ((s, d) => abZTest(s, d)),
     "evt_rfm" -> ((s, d) => rfmScores(s, d)),
     "evt_seasonal_hourly" -> ((s, d) => seasonalHourly(s, d)),
     "funnel_conversion" -> ((s, d) => funnel(s, d)),
@@ -384,7 +459,48 @@ object Behavior {
       .map { case (e, s) => s"WHEN $c >= $e THEN $s" }
       .mkString("CASE ", " ", " ELSE 1 END")
 
+  /** Shared per-user → variant CTEs for the A/B pair. */
+  private val abCtes: String =
+    """pu AS (SELECT user_id,
+      |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS converted
+      |  FROM events GROUP BY 1),
+      |v AS (SELECT CASE WHEN substr(md5(user_id::VARCHAR || ':ab'), 1, 1) < '8'
+      |    THEN 'A' ELSE 'B' END AS variant, converted FROM pu)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    // the Wilson terms are written in the same association order as
+    // the engine's Column algebra; sqrt is IEEE-exact in both
+    "evt_ab_lift" ->
+      s"""WITH $abCtes,
+         |g AS (SELECT variant, count(*)::BIGINT AS n_users,
+         |    sum(converted)::BIGINT AS n_conv FROM v GROUP BY 1),
+         |g2 AS (SELECT variant, n_users, n_conv,
+         |    n_conv::DOUBLE / n_users AS p, n_users::DOUBLE AS n FROM g)
+         |SELECT variant, n_users, n_conv, round(p, 6) AS conv_rate,
+         |  round((p + 1.96*1.96/(2.0*n))/(1.0 + 1.96*1.96/n)
+         |    - 1.96 * sqrt(p*(1.0-p)/n + 1.96*1.96/(4.0*n*n)) / (1.0 + 1.96*1.96/n), 6) AS wilson_lo,
+         |  round((p + 1.96*1.96/(2.0*n))/(1.0 + 1.96*1.96/n)
+         |    + 1.96 * sqrt(p*(1.0-p)/n + 1.96*1.96/(4.0*n*n)) / (1.0 + 1.96*1.96/n), 6) AS wilson_hi
+         |FROM g2 ORDER BY variant""".stripMargin,
+    "evt_ab_ztest" ->
+      s"""WITH $abCtes,
+         |s AS (SELECT
+         |    sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END)::BIGINT AS n_a,
+         |    sum(CASE WHEN variant = 'A' THEN converted ELSE 0 END)::BIGINT AS x_a,
+         |    sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END)::BIGINT AS n_b,
+         |    sum(CASE WHEN variant = 'B' THEN converted ELSE 0 END)::BIGINT AS x_b
+         |  FROM v),
+         |d AS (SELECT n_a, x_a, n_b, x_b,
+         |    x_a::DOUBLE / n_a AS p_a, x_b::DOUBLE / n_b AS p_b,
+         |    (x_a + x_b)::DOUBLE / (n_a + n_b) AS pp FROM s),
+         |e AS (SELECT d.*, sqrt(pp*(1.0-pp)*(1.0/n_a + 1.0/n_b)) AS se FROM d),
+         |f AS (SELECT e.*, CASE WHEN se = 0.0 THEN 0.0
+         |    ELSE (p_b - p_a) / se END AS z FROM e)
+         |SELECT n_a, x_a, n_b, x_b, round(p_a, 6) AS p_a, round(p_b, 6) AS p_b,
+         |  round(p_b - p_a, 6) AS abs_lift,
+         |  round(z, 6) AS z_stat,
+         |  abs(z) > 1.96 AS significant
+         |FROM f""".stripMargin,
     "evt_rfm" ->
       s"""WITH per AS (SELECT user_id,
          |    max(epoch_us(ts))::BIGINT AS last_us,

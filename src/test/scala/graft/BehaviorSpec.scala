@@ -225,4 +225,43 @@ class BehaviorSpec extends SparkSpec {
     assert(got(("2024-01-02", 15L)) == ((6L, 4000L, 1500L, false)))
     assert(got(("2024-01-03", 15L)) == ((0L, 4000L, 0L, true)))
   }
+
+  test("A/B split partitions users; Wilson interval brackets the rate; z-test is self-consistent") {
+    val lift = Behavior.abLift(spark, sf0001).collect()
+    assert(lift.map(_.getString(0)).toSeq == Seq("A", "B"))
+    val nUsers = Tables.events(spark, sf0001)
+      .select("user_id").distinct().count()
+    assert(lift.map(_.getAs[Long]("n_users")).sum == nUsers,
+      "variants must partition the user population")
+    lift.foreach { r =>
+      val (p, lo, hi) = (r.getAs[Double]("conv_rate"),
+        r.getAs[Double]("wilson_lo"), r.getAs[Double]("wilson_hi"))
+      assert(lo <= p && p <= hi && lo >= -1e-9 && hi <= 1.0 + 1e-9,
+        s"Wilson interval [$lo, $hi] must bracket $p inside [0,1]")
+      assert(r.getAs[Long]("n_conv") <= r.getAs[Long]("n_users"))
+    }
+    // driver-side replay of the hash assignment over ALL users (the
+    // sf0.001 population is bounded): per-variant counts must match
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expectedCounts = Tables.events(spark, sf0001)
+      .select("user_id").distinct().collect().map(_.getLong(0))
+      .groupBy { u =>
+        val hex = md.digest(s"$u:ab".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        if (hex.charAt(0) < '8') "A" else "B"
+      }.view.mapValues(_.length.toLong).toMap
+    assert(lift.map(r => r.getString(0) -> r.getAs[Long]("n_users")).toMap
+      == expectedCounts, "hash split must replay the md5 assignment")
+    val zt = Behavior.abZTest(spark, sf0001).collect()
+    assert(zt.length == 1)
+    val z = zt(0)
+    assert(z.getAs[Long]("n_a") + z.getAs[Long]("n_b") == nUsers)
+    assert(z.getAs[Long]("x_a") == lift(0).getAs[Long]("n_conv"))
+    assert(z.getAs[Long]("x_b") == lift(1).getAs[Long]("n_conv"))
+    assert(math.signum(z.getAs[Double]("abs_lift")) ==
+      math.signum(z.getAs[Double]("z_stat")))
+    assert(z.getAs[Boolean]("significant") ==
+      (math.abs(z.getAs[Double]("z_stat")) > 1.96) ||
+      math.abs(math.abs(z.getAs[Double]("z_stat")) - 1.96) < 1e-5)
+  }
 }
