@@ -160,6 +160,21 @@ object Sketches {
       .orderBy("event_type", "column_name")
   }
 
+  /** Exact distinct users per event type via the chunked-bitmap
+    * Aggregator ([[graft.functions.BitmapDistinct]]) next to the
+    * built-in exact count — the verification column, dropped at scale
+    * exactly like [[hllDistinct]]'s: what remains is one aggregation
+    * whose shuffled state is popcount-dense bitmap chunks, not the raw
+    * id population the Expand-based exact count ships. */
+  def bitmapDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val bd = udaf(new graft.functions.BitmapDistinct())
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(bd(col("user_id")).as("n_users"),
+        count_distinct(col("user_id")).as("n_exact"))
+      .orderBy("event_type")
+  }
+
   // ---- scalar twin (stateful streaming) --------------------------------
 
   /** Scalar form of [[avalanche32]] — bit-identical by construction. */
@@ -598,6 +613,7 @@ object Sketches {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sketch_kmv_distinct" -> ((s, d) => kmvDistinct(s, d)),
+    "sketch_bitmap_distinct" -> ((s, d) => bitmapDistinct(s, d)),
     "sketch_kmv_jaccard" -> ((s, d) => kmvJaccard(s, d)),
     "sketch_kmv_setops" -> ((s, d) => kmvSetOps(s, d)),
     "sketch_hll_distinct" -> ((s, d) => hllDistinct(s, d)),
@@ -648,6 +664,12 @@ object Sketches {
        |  FROM h GROUP BY 1)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // the bitmap count is exact, so its oracle IS count(DISTINCT)
+    "sketch_bitmap_distinct" ->
+      """SELECT event_type,
+        |  count(DISTINCT user_id)::BIGINT AS n_users,
+        |  count(DISTINCT user_id)::BIGINT AS n_exact
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "sketch_kmv_distinct" ->
       s"""WITH $kmvSketchSql,
          |est AS (SELECT event_type, len(sketch)::BIGINT AS n_sketch,

@@ -125,6 +125,40 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("BitmapDistinct is an exact distinct count under any split/merge, across chunk edges") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val agg = new graft.functions.BitmapDistinct()
+    def cnt(vals: Seq[Long]): Long = agg.finish(vals.foldLeft(agg.zero)(agg.reduce))
+    // chunk/word boundary ids, far-apart chunks included
+    val edges = Seq(0L, 1L, 63L, 64L, 65535L, 65536L, 65537L,
+      131071L, 131072L, (1L << 31) - 1, 1L << 31, 1L << 40)
+    assert(cnt(edges ++ edges.reverse ++ edges) == edges.length.toLong)
+    val gen = for {
+      n <- Gen.chooseNum(0, 400)
+      // mix of one dense region and scattered far chunks
+      vals <- Gen.listOfN(n, Gen.oneOf(
+        Gen.chooseNum(0L, 300L), Gen.chooseNum(0L, 1L << 42)))
+      cut <- Gen.chooseNum(0, n)
+    } yield (vals, cut)
+    (1 to 50).foreach { i =>
+      val (vals, cut) = gen(Gen.Parameters.default, Seed(i.toLong)).get
+      assert(cnt(vals) == vals.distinct.length.toLong, s"seed $i")
+      val (a, b) = vals.splitAt(cut)
+      val mAB = agg.merge(a.foldLeft(agg.zero)(agg.reduce),
+        b.foldLeft(agg.zero)(agg.reduce))
+      val mBA = agg.merge(b.foldLeft(agg.zero)(agg.reduce),
+        a.foldLeft(agg.zero)(agg.reduce))
+      assert(agg.finish(mAB) == vals.distinct.length.toLong,
+        s"seed $i: split-merge diverged")
+      assert(agg.finish(mBA) == agg.finish(mAB), s"seed $i: merge not commutative")
+    }
+    // end-to-end: the udaf column equals the built-in exact count
+    val rows = graft.operators.Sketches.bitmapDistinct(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("n_users") == r.getAs[Long]("n_exact")))
+  }
+
   test("KMV distinct estimates land within sketch error of exact") {
     val rows = Sketches.kmvDistinct(spark, sf001).collect()
     assert(rows.nonEmpty)
