@@ -370,14 +370,16 @@ object Behavior {
     * md5(user_id || ":ab") < '8' → variant A (the repo's hash-split
     * convention — sample_hash / assignSplits use the same md5 seam, so
     * assignment is replay-stable and oracle-exact). */
+  private def variantCol: Column =
+    when(substring(md5(concat(col("user_id").cast("string"), lit(":ab"))),
+      1, 1) < "8", "A").otherwise("B")
+
   private def abPerUser(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(col("user_id"))
       .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
         .as("converted"))
-      .withColumn("variant",
-        when(substring(md5(concat(col("user_id").cast("string"), lit(":ab"))),
-          1, 1) < "8", "A").otherwise("B"))
+      .withColumn("variant", variantCol)
 
   /** A/B experiment readout — per variant: users, conversions (any
     * `purchase`), conversion rate, and the Wilson 95% score interval
@@ -436,9 +438,77 @@ object Behavior {
       (abs(z) > lit(AbZ)).as("significant"))
   }
 
+  /** CUPED variance-reduced lift (Deng et al. 2013, "Improving the
+    * sensitivity of online controlled experiments by utilizing
+    * pre-experiment data"): per-user purchase spend is split at the
+    * integer midpoint of the observed time range into a pre-period
+    * covariate X and the experiment metric Y; θ = cov(X,Y)/var(X) is
+    * fit on the POOLED population, each variant's mean is adjusted by
+    * θ·(mean(Xᵥ) − mean(X)), and the fraction of metric variance the
+    * covariate removes is ρ². One row.
+    *
+    * Parity discipline is [[graft.operators.Profiling.linregSuffStats]]'s:
+    * the sufficient statistics (n, ΣX, ΣY, ΣXY, ΣX², ΣY², per-variant
+    * n/ΣX/ΣY) are EXACT long sums over integer cents; every double is
+    * a fixed expression tree over those scalars, mirrored textually in
+    * the oracle (per-row xy ≤ ~10¹², so long sums hold to ~10⁶ users
+    * per the linreg bound; DECIMAL(38,0) is the documented promotion).
+    *
+    * Scale shape: one broadcast of the 1-row time span, one per-user
+    * map-side-combined aggregate (the family's user_id shuffle), then
+    * a single 1-row reduce — nothing downstream scales with events. */
+  def abCuped(spark: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("value") * 100, 0).cast("long")
+    val ev = Tables.events(spark, dir)
+    val span = ev
+      .agg(min(unix_micros(col("ts"))).as("t0"), max(unix_micros(col("ts"))).as("t1"))
+      .select(expr("(t0 + t1) div 2").as("mid"))
+    val per = ev.crossJoin(broadcast(span))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("event_type") === "purchase" &&
+          unix_micros(col("ts")) < col("mid"), cents).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "purchase" &&
+          unix_micros(col("ts")) >= col("mid"), cents).otherwise(0L)).as("y"))
+      .withColumn("variant", variantCol)
+    val d = (c: Column) => c.cast("double")
+    val s = per.agg(
+      count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(when(col("variant") === "A", 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("variant") === "A", col("x")).otherwise(0L)).as("sxa"),
+      sum(when(col("variant") === "A", col("y")).otherwise(0L)).as("sya"),
+      sum(when(col("variant") === "B", 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("variant") === "B", col("x")).otherwise(0L)).as("sxb"),
+      sum(when(col("variant") === "B", col("y")).otherwise(0L)).as("syb"))
+      .withColumn("num", d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy")))
+      .withColumn("denx", d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx")))
+      .withColumn("deny", d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy")))
+      // a constant covariate carries no information: θ := 0 (CASE
+      // mirrored in the oracle), reducing CUPED to the raw lift
+      .withColumn("theta",
+        when(col("denx") === lit(0.0), lit(0.0))
+          .otherwise(col("num") / col("denx")))
+    val adjA = d(col("sya")) / d(col("n_a")) -
+      col("theta") * (d(col("sxa")) / d(col("n_a")) - d(col("sx")) / d(col("n")))
+    val adjB = d(col("syb")) / d(col("n_b")) -
+      col("theta") * (d(col("sxb")) / d(col("n_b")) - d(col("sx")) / d(col("n")))
+    s.select(col("n_a"), col("n_b"),
+      round(col("theta"), 6).as("theta"),
+      round(d(col("syb")) / d(col("n_b")) - d(col("sya")) / d(col("n_a")), 6)
+        .as("raw_lift_cents"),
+      round(adjB - adjA, 6).as("adj_lift_cents"),
+      round(when(col("denx") * col("deny") === lit(0.0), lit(0.0))
+        .otherwise(col("num") * col("num") / (col("denx") * col("deny"))), 6)
+        .as("var_reduction"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "evt_ab_lift" -> ((s, d) => abLift(s, d)),
     "evt_ab_ztest" -> ((s, d) => abZTest(s, d)),
+    "evt_ab_cuped" -> ((s, d) => abCuped(s, d)),
     "evt_rfm" -> ((s, d) => rfmScores(s, d)),
     "evt_seasonal_hourly" -> ((s, d) => seasonalHourly(s, d)),
     "funnel_conversion" -> ((s, d) => funnel(s, d)),
@@ -501,6 +571,41 @@ object Behavior {
          |  round(z, 6) AS z_stat,
          |  abs(z) > 1.96 AS significant
          |FROM f""".stripMargin,
+    // exact-cents sufficient statistics, doubles only in the final
+    // fixed expression tree (profile_linreg's discipline)
+    "evt_ab_cuped" ->
+      """WITH span AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid FROM events),
+        |pu AS (SELECT user_id,
+        |    sum(CASE WHEN event_type = 'purchase' AND epoch_us(ts) < mid
+        |      THEN round(value * 100)::BIGINT ELSE 0 END)::BIGINT AS x,
+        |    sum(CASE WHEN event_type = 'purchase' AND epoch_us(ts) >= mid
+        |      THEN round(value * 100)::BIGINT ELSE 0 END)::BIGINT AS y
+        |  FROM events, span GROUP BY 1),
+        |v AS (SELECT pu.*, CASE WHEN substr(md5(user_id::VARCHAR || ':ab'), 1, 1) < '8'
+        |    THEN 'A' ELSE 'B' END AS variant FROM pu),
+        |s AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+        |    sum(x*y)::BIGINT AS sxy, sum(x*x)::BIGINT AS sxx, sum(y*y)::BIGINT AS syy,
+        |    sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END)::BIGINT AS n_a,
+        |    sum(CASE WHEN variant = 'A' THEN x ELSE 0 END)::BIGINT AS sxa,
+        |    sum(CASE WHEN variant = 'A' THEN y ELSE 0 END)::BIGINT AS sya,
+        |    sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END)::BIGINT AS n_b,
+        |    sum(CASE WHEN variant = 'B' THEN x ELSE 0 END)::BIGINT AS sxb,
+        |    sum(CASE WHEN variant = 'B' THEN y ELSE 0 END)::BIGINT AS syb
+        |  FROM v),
+        |d AS (SELECT s.*,
+        |    n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE AS num,
+        |    n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE AS denx,
+        |    n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE AS deny FROM s),
+        |e AS (SELECT d.*, CASE WHEN denx = 0.0 THEN 0.0 ELSE num / denx END AS theta FROM d),
+        |f AS (SELECT e.*,
+        |    sya::DOUBLE / n_a::DOUBLE - theta * (sxa::DOUBLE / n_a::DOUBLE - sx::DOUBLE / n::DOUBLE) AS adj_a,
+        |    syb::DOUBLE / n_b::DOUBLE - theta * (sxb::DOUBLE / n_b::DOUBLE - sx::DOUBLE / n::DOUBLE) AS adj_b FROM e)
+        |SELECT n_a, n_b, round(theta, 6) AS theta,
+        |  round(syb::DOUBLE / n_b::DOUBLE - sya::DOUBLE / n_a::DOUBLE, 6) AS raw_lift_cents,
+        |  round(adj_b - adj_a, 6) AS adj_lift_cents,
+        |  round(CASE WHEN denx * deny = 0.0 THEN 0.0
+        |    ELSE num * num / (denx * deny) END, 6) AS var_reduction
+        |FROM f""".stripMargin,
     "evt_rfm" ->
       s"""WITH per AS (SELECT user_id,
          |    max(epoch_us(ts))::BIGINT AS last_us,

@@ -2,6 +2,7 @@ package graft
 
 import java.sql.Timestamp
 import graft.operators.Behavior
+import org.apache.spark.sql.functions.{col, round, unix_micros}
 
 /** Event-pattern (view FOLLOWED BY purchase WITHIN 6 h) semantics on
   * constructed logs: earliest-match, strict ordering, window edges,
@@ -263,5 +264,52 @@ class BehaviorSpec extends SparkSpec {
     assert(z.getAs[Boolean]("significant") ==
       (math.abs(z.getAs[Double]("z_stat")) > 1.96) ||
       math.abs(math.abs(z.getAs[Double]("z_stat")) - 1.96) < 1e-5)
+  }
+
+  test("CUPED readout matches an exact driver-side replay of the sufficient statistics") {
+    val got = Behavior.abCuped(spark, sf0001).collect()
+    assert(got.length == 1)
+    val g = got(0)
+    // driver-side replay with the same integer-cents + fixed-tree rules
+    val ev = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val mid = (ev.map(_._3).min + ev.map(_._3).max) / 2
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val per = ev.groupBy(_._1).map { case (u, rows) =>
+      val x = rows.filter(r => r._2 == "purchase" && r._3 < mid).map(_._4).sum
+      val y = rows.filter(r => r._2 == "purchase" && r._3 >= mid).map(_._4).sum
+      val hex = md.digest(s"$u:ab".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (x, y, if (hex.charAt(0) < '8') "A" else "B")
+    }.toSeq
+    val n = per.size.toLong
+    val sx = per.map(_._1).sum
+    val sy = per.map(_._2).sum
+    val sxy = per.map(r => r._1 * r._2).sum
+    val sxx = per.map(r => r._1 * r._1).sum
+    val syy = per.map(r => r._2 * r._2).sum
+    val a = per.filter(_._3 == "A"); val b = per.filter(_._3 == "B")
+    val nA = a.size.toLong; val sxa = a.map(_._1).sum; val sya = a.map(_._2).sum
+    val nB = b.size.toLong; val sxb = b.map(_._1).sum; val syb = b.map(_._2).sum
+    val num = n.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble
+    val denx = n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble
+    val deny = n.toDouble * syy.toDouble - sy.toDouble * sy.toDouble
+    val theta = if (denx == 0.0) 0.0 else num / denx
+    val adjA = sya.toDouble / nA.toDouble -
+      theta * (sxa.toDouble / nA.toDouble - sx.toDouble / n.toDouble)
+    val adjB = syb.toDouble / nB.toDouble -
+      theta * (sxb.toDouble / nB.toDouble - sx.toDouble / n.toDouble)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(g.getAs[Long]("n_a") == nA && g.getAs[Long]("n_b") == nB)
+    assert(g.getAs[Double]("theta") == r6(theta))
+    assert(g.getAs[Double]("raw_lift_cents") ==
+      r6(syb.toDouble / nB.toDouble - sya.toDouble / nA.toDouble))
+    assert(g.getAs[Double]("adj_lift_cents") == r6(adjB - adjA))
+    val rho2 = if (denx * deny == 0.0) 0.0 else num * num / (denx * deny)
+    assert(g.getAs[Double]("var_reduction") == r6(rho2))
+    assert(rho2 >= 0.0 && rho2 <= 1.0 + 1e-12)
   }
 }
