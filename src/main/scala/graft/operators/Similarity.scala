@@ -1499,6 +1499,90 @@ object Similarity {
         dotProduct(col("embedding"), typedlit(pc.toSeq)).as("pc1_score"))
   }
 
+  /** Johnson–Lindenstrauss output dimension (64 → 16). */
+  val RpDim = 16
+
+  /** Seeded Rademacher (±1) projection matrix — the database-friendly
+    * JL construction (Achlioptas 2003, "Database-friendly random
+    * projections"): ±1 entries make the projection EXACT integer
+    * arithmetic over milli-quantized embeddings, so the whole pass
+    * replays bit-identically in the oracle (the matrix itself is
+    * inlined into both engines as a literal; a fixed seed stands in
+    * for the per-deployment RNG). */
+  private[graft] lazy val rpSigns: Array[Array[Long]] = {
+    val rnd = new scala.util.Random(20260816L)
+    Array.fill(RpDim, EmbDim)(if (rnd.nextBoolean()) 1L else -1L)
+  }
+
+  /** The matrix as a DuckDB list-of-lists literal. */
+  private lazy val rpSignSql: String =
+    rpSigns.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+
+  private def rpMilliCol: Column = transform(col("embedding"),
+    x => round(x.cast("double") * 1000, 0).cast("long"))
+
+  /** The 16 signed integer sums — exact BIGINTs until the final
+    * descale. */
+  private def rpSumsCol: Column = array(Seq.tabulate(RpDim) { i =>
+    aggregate(zip_with(col("m"), typedlit(rpSigns(i).toSeq),
+      (m, s) => m * s), lit(0L), (a, x) => a + x)
+  }: _*)
+
+  /** JL random projection of every embedding to [[RpDim]] dims,
+    * descaled by 1/(1000·√k) (√16 = 4, exact): the cheap
+    * dimensionality reduction that preserves pairwise distances within
+    * (1±ε) w.h.p. — the standard pre-pass before clustering or ANN
+    * when PCA's covariance pass is too expensive.
+    *
+    * Scale shape: one narrow codegen'd scan — the k×d matrix rides the
+    * plan as a literal, each row's projection is k index-ordered
+    * integer folds, the corpus never shuffles (vs [[pcaProject]],
+    * which must first aggregate the covariance). */
+  def rpProject(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), rpMilliCol.as("m"))
+      .select(col("vec_id"), posexplode(rpSumsCol))
+      .select(col("vec_id"), col("pos").cast("long").as("out_dim"),
+        round(col("col").cast("double") / lit(1000.0) / lit(4.0), 6).as("rp_val"))
+      .orderBy(col("vec_id"), col("out_dim"))
+
+  /** RP fidelity audit — per query: how many of the exact top-[[TopK]]
+    * dot-product neighbours (milli-integer space, ties broken by
+    * vec_id) survive when both sides are first projected by
+    * [[rpProject]]'s matrix. Both rankings are EXACT BIGINT
+    * dot-products, so recall is integer-deterministic — the same
+    * audit discipline as the PQ/IVF recall rows.
+    *
+    * Scale shape: the broadcast-queries brute-force pattern twice
+    * (corpus never shuffles; per-query top-k via the bounded
+    * [[graft.functions.TopKByLongScore]] buffer, never a window),
+    * then a [[NumQueries]]·[[TopK]]-row join. */
+  def topKRpRecall(spark: SparkSession, dir: String): DataFrame = {
+    val m = Tables.embeddings(spark, dir).select(col("vec_id"), rpMilliCol.as("m"))
+    val r = m.select(col("vec_id"), rpSumsCol.as("m"))
+    val topk = udaf(new graft.functions.TopKByLongScore(TopK))
+    def topSet(corpus: DataFrame): DataFrame =
+      broadcast(corpus.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("m").as("qm")))
+        .join(corpus, col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          aggregate(zip_with(col("qm"), col("m"), (a, b) => a * b),
+            lit(0L), (a, x) => a + x).as("dot"))
+        .groupBy("query_id").agg(topk(col("vec_id"), col("dot")).as("top"))
+        .select(col("query_id"), explode(col("top")).as("t"))
+        .select(col("query_id"), col("t.vec_id").as("vec_id"))
+    val hits = topSet(m).join(topSet(r), Seq("query_id", "vec_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    m.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("recall",
+        round(col("n_hits").cast("double") / lit(TopK.toDouble), 6))
+      .orderBy("query_id")
+  }
+
   /** Outliers kept by [[outliers]]. */
   val OutlierK = 40
 
@@ -1706,6 +1790,8 @@ object Similarity {
     "emb_outliers" -> ((s, d) => outliers(s, d)),
     "emb_covariance" -> ((s, d) => covariance(s, d)),
     "emb_pca_project" -> ((s, d) => pcaProject(s, d)),
+    "emb_rp_project" -> ((s, d) => rpProject(s, d)),
+    "sim_topk_rp" -> ((s, d) => topKRpRecall(s, d)),
     "emb_centroids" -> ((s, d) => centroidSums(s, d)),
     "emb_centroid_sims" -> ((s, d) => centroidSims(s, d)),
     "sim_knn_join" -> ((s, d) => knnJoin(s, d)),
@@ -2355,6 +2441,45 @@ object Similarity {
          |FROM c ORDER BY vec_id""".stripMargin,
     "sim_topk_ivfpq_rerank" -> ivfPqRerankOracle,
     "emb_pca_project" -> pcaOracle,
+    // the ±1 matrix is inlined as a literal; everything before the
+    // final descale is exact BIGINT in both engines
+    "emb_rp_project" ->
+      s"""WITH sgn AS (SELECT $rpSignSql AS S),
+         |m AS (SELECT vec_id, list_transform(embedding,
+         |    x -> round(x::DOUBLE * 1000)::BIGINT) AS m FROM embeddings),
+         |x AS (SELECT vec_id, m, unnest(range(0, $RpDim)) AS out_dim FROM m)
+         |SELECT vec_id, out_dim,
+         |  round(list_reduce(list_prepend(0::BIGINT, list_transform(range(1, ${EmbDim + 1}),
+         |    j -> m[j] * S[out_dim + 1][j])), (a, b) -> a + b)::DOUBLE
+         |    / 1000.0 / 4.0, 6) AS rp_val
+         |FROM x, sgn ORDER BY vec_id, out_dim""".stripMargin,
+    "sim_topk_rp" ->
+      s"""WITH sgn AS (SELECT $rpSignSql AS S),
+         |m AS (SELECT vec_id, list_transform(embedding,
+         |    x -> round(x::DOUBLE * 1000)::BIGINT) AS m FROM embeddings),
+         |r AS (SELECT vec_id, list_transform(range(0, $RpDim), i ->
+         |    list_reduce(list_prepend(0::BIGINT, list_transform(range(1, ${EmbDim + 1}),
+         |      j -> m[j] * S[i + 1][j])), (a, b) -> a + b)) AS m FROM m, sgn),
+         |od AS (SELECT q.vec_id AS query_id, e.vec_id,
+         |    list_reduce(list_prepend(0::BIGINT, list_transform(range(1, ${EmbDim + 1}),
+         |      j -> q.m[j] * e.m[j])), (a, b) -> a + b) AS dot
+         |  FROM m q, m e WHERE q.vec_id < $NumQueries AND e.vec_id <> q.vec_id),
+         |ot AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id) AS rn
+         |  FROM od) WHERE rn <= $TopK),
+         |rd AS (SELECT q.vec_id AS query_id, e.vec_id,
+         |    list_reduce(list_prepend(0::BIGINT, list_transform(range(1, ${RpDim + 1}),
+         |      j -> q.m[j] * e.m[j])), (a, b) -> a + b) AS dot
+         |  FROM r q, r e WHERE q.vec_id < $NumQueries AND e.vec_id <> q.vec_id),
+         |rt AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id) AS rn
+         |  FROM rd) WHERE rn <= $TopK),
+         |h AS (SELECT ot.query_id, count(*)::BIGINT AS n_hits
+         |  FROM ot JOIN rt USING (query_id, vec_id) GROUP BY 1)
+         |SELECT q.vec_id AS query_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+         |  round(coalesce(h.n_hits, 0)::DOUBLE / ${TopK.toDouble}, 6) AS recall
+         |FROM m q LEFT JOIN h ON h.query_id = q.vec_id
+         |WHERE q.vec_id < $NumQueries ORDER BY query_id""".stripMargin,
     "sim_range_search" ->
       s"""WITH nz AS (SELECT vec_id, embedding FROM embeddings
          |  WHERE list_reduce(list_prepend(0.0::DOUBLE,

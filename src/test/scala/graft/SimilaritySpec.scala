@@ -415,4 +415,36 @@ class SimilaritySpec extends SparkSpec {
     assert(overlap >= sq.length / 2,
       s"SQ8 recall collapsed: $overlap of ${sq.length} match brute force")
   }
+
+  test("JL projection replays exactly driver-side; recall audit is bounded and non-degenerate") {
+    import org.apache.spark.sql.functions.col
+    // exact replay: milli-quantize, signed integer sums, descale
+    val emb = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val expected = emb.flatMap { case (id, e) =>
+      val m = e.map(x => math.round(x.toDouble * 1000))
+      Similarity.rpSigns.zipWithIndex.map { case (row, i) =>
+        val s = m.indices.map(j => m(j) * row(j)).sum
+        (id, i.toLong, BigDecimal(s.toDouble / 1000.0 / 4.0)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }.toSet
+    val got = Similarity.rpProject(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expected, "RP projection diverged from the driver replay")
+
+    val rows = Similarity.topKRpRecall(spark, sf0001).collect()
+    assert(rows.length == Similarity.NumQueries)
+    rows.foreach { r =>
+      val h = r.getAs[Long]("n_hits")
+      assert(h >= 0 && h <= Similarity.TopK)
+      assert(r.getAs[Double]("recall") == h.toDouble / Similarity.TopK)
+    }
+    // JL with k=16 of 64 preserves neighbourhoods far better than chance:
+    // mean recall must beat the random-baseline tail decisively
+    val mean = rows.map(_.getAs[Long]("n_hits")).sum.toDouble /
+      (rows.length * Similarity.TopK)
+    assert(mean >= 0.2, s"RP recall collapsed to $mean")
+  }
 }
