@@ -83,6 +83,12 @@ object Scaling {
     "profile_ks_drift",      // per-group ECDF window over collapsed distinct values
     "curation_fim",          // fill-in-middle transform, zero-shuffle scan
     "curation_source_kl",    // per-source KL to the corpus mix, vocab-bounded join
+    "mix_unimax_alloc",      // per-source aggregate + bounded water-fill algebra
+    "text_bpe_fertility",    // corpus scan + vocab-bounded join, per-source sums
+    "evt_ab_cuped",          // user-grain sufficient statistics, 1-row reduce
+    "sketch_bitmap_distinct",// chunked-bitmap exact distinct, one aggregation
+    "emb_rp_project",        // narrow literal-matrix projection scan
+    "sim_topk_rp",           // dual brute-force recall audit (orig + RP space)
     "rollover_monitor_tick") // monitor poll under a corpus-scaled log
 
   /** Non-query probes: operational paths whose growth matters but
