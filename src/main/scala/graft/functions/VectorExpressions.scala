@@ -151,6 +151,71 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** rp_milli_project(embedding): the fused Johnson–Lindenstrauss
+  * kernel — milli-quantize an `array<float>` once, then k signed
+  * integer sums against a plan-literal ±1 matrix, producing
+  * `array<bigint>`.
+  *
+  * Why native: the composed `transform` + k×(`zip_with`+`aggregate`)
+  * form dispatches an interpreted lambda per (out-dim × element) —
+  * k·d virtual calls per row. This is one quantize pass into a local
+  * array plus a fused k·d long multiply-add loop. The quantization
+  * replays Spark's own `round(x·1000, 0)` semantics exactly
+  * (BigDecimal HALF_UP — see [[RpMilliProject.milli]]), so the native
+  * and composed forms are bit-identical (pinned by spec), and the
+  * DuckDB oracle replays the same integers. */
+case class RpMilliProject(child: Expression, signs: Array[Array[Long]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def prettyName: String = "rp_milli_project"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<float> input")
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    RpMilliProject.project(a.asInstanceOf[ArrayData], signs)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val s = ctx.addReferenceObj("rpSigns", signs, "long[][]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.RpMilliProject.project($a, $s);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RpMilliProject =
+    copy(child = newChild)
+}
+
+object RpMilliProject {
+  /** Spark's `round(x·1000, 0).cast("long")` bit-for-bit: double
+    * multiply, BigDecimal.valueOf (canonical decimal), HALF_UP. */
+  def milli(x: Float): Long =
+    java.math.BigDecimal.valueOf(x.toDouble * 1000.0)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+
+  def project(a: ArrayData, signs: Array[Array[Long]]): ArrayData = {
+    val d = a.numElements()
+    val m = new Array[Long](d)
+    var j = 0
+    while (j < d) { m(j) = milli(a.getFloat(j)); j += 1 }
+    val k = signs.length
+    val out = new Array[Long](k)
+    var i = 0
+    while (i < k) {
+      val row = signs(i)
+      val n = math.min(d, row.length)
+      var acc = 0L
+      var jj = 0
+      while (jj < n) { acc += m(jj) * row(jj); jj += 1 }
+      out(i) = acc
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 /** Column-API and SQL-surface entry points for the vector expressions. */
 object VectorFunctions {
   /** cosine_sim(a, b) as a Column (DataFrame API). */
@@ -162,6 +227,11 @@ object VectorFunctions {
   def dotProduct(a: Column, b: Column): Column =
     ColumnBridge.column(
       DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** rp_milli_project(a) as a Column — the ±1 matrix rides the plan
+    * as a literal reference object. */
+  def rpMilliProject(a: Column, signs: Array[Array[Long]]): Column =
+    ColumnBridge.column(RpMilliProject(ColumnBridge.expression(a), signs))
 
   /** The ONE registry of (name, class, builder) — both registration
     * paths (per-session and spark.sql.extensions) read from here, so

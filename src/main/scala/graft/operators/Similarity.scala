@@ -1521,12 +1521,19 @@ object Similarity {
   private def rpMilliCol: Column = transform(col("embedding"),
     x => round(x.cast("double") * 1000, 0).cast("long"))
 
-  /** The 16 signed integer sums — exact BIGINTs until the final
-    * descale. */
-  private def rpSumsCol: Column = array(Seq.tabulate(RpDim) { i =>
+  /** The 16 signed integer sums as the composed-HOF formulation over a
+    * milli array `m` — the reference the native kernel is pinned
+    * against (SimilaritySpec); the production path is
+    * [[graft.functions.VectorFunctions.rpMilliProject]]'s fused loop. */
+  private[graft] def rpSumsCol: Column = array(Seq.tabulate(RpDim) { i =>
     aggregate(zip_with(col("m"), typedlit(rpSigns(i).toSeq),
       (m, s) => m * s), lit(0L), (a, x) => a + x)
   }: _*)
+
+  /** The same sums through the native fused expression, straight off
+    * the raw embedding column. */
+  private def rpSumsNative: Column =
+    graft.functions.VectorFunctions.rpMilliProject(col("embedding"), rpSigns)
 
   /** JL random projection of every embedding to [[RpDim]] dims,
     * descaled by 1/(1000·√k) (√16 = 4, exact): the cheap
@@ -1540,8 +1547,7 @@ object Similarity {
     * which must first aggregate the covariance). */
   def rpProject(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
-      .select(col("vec_id"), rpMilliCol.as("m"))
-      .select(col("vec_id"), posexplode(rpSumsCol))
+      .select(col("vec_id"), posexplode(rpSumsNative))
       .select(col("vec_id"), col("pos").cast("long").as("out_dim"),
         round(col("col").cast("double") / lit(1000.0) / lit(4.0), 6).as("rp_val"))
       .orderBy(col("vec_id"), col("out_dim"))
@@ -1559,7 +1565,7 @@ object Similarity {
     * then a [[NumQueries]]·[[TopK]]-row join. */
   def topKRpRecall(spark: SparkSession, dir: String): DataFrame = {
     val m = Tables.embeddings(spark, dir).select(col("vec_id"), rpMilliCol.as("m"))
-    val r = m.select(col("vec_id"), rpSumsCol.as("m"))
+    val r = Tables.embeddings(spark, dir).select(col("vec_id"), rpSumsNative.as("m"))
     val topk = udaf(new graft.functions.TopKByLongScore(TopK))
     def topSet(corpus: DataFrame): DataFrame =
       broadcast(corpus.filter(col("vec_id") < NumQueries)

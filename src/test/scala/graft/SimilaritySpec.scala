@@ -434,6 +434,19 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(got == expected, "RP projection diverged from the driver replay")
 
+    // the native fused kernel equals the composed HOF formulation
+    import org.apache.spark.sql.functions.{round => sround, transform => stransform}
+    val nat = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), graft.functions.VectorFunctions
+        .rpMilliProject(col("embedding"), Similarity.rpSigns).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    val hof = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), stransform(col("embedding"),
+        x => sround(x.cast("double") * 1000, 0).cast("long")).as("m"))
+      .select(col("vec_id"), Similarity.rpSumsCol.as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(nat == hof, "native RP kernel diverged from the HOF formulation")
+
     val rows = Similarity.topKRpRecall(spark, sf0001).collect()
     assert(rows.length == Similarity.NumQueries)
     rows.foreach { r =>
