@@ -505,8 +505,29 @@ object Behavior {
         .as("var_reduction"))
   }
 
+  /** Sample-ratio-mismatch check — the experiment-health gate every
+    * A/B platform runs before reading results: a 1-df chi-squared
+    * test that the hash split actually landed on its designed 50/50
+    * (an SRM means assignment is broken — bot filtering, logging
+    * loss, redirect asymmetry — and every downstream readout is
+    * invalid). χ² = (n_a−E)²/E + (n_b−E)²/E with E = n/2; flagged
+    * above the 95% critical value 3.841. Integer counts, one fixed
+    * double tree, one row. */
+  def abSrm(spark: SparkSession, dir: String): DataFrame = {
+    val s = abPerUser(spark, dir).agg(
+      sum(when(col("variant") === "A", 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("variant") === "B", 1L).otherwise(0L)).as("n_b"))
+    val e = (col("n_a") + col("n_b")).cast("double") / lit(2.0)
+    val chi2 = (col("n_a") - e) * (col("n_a") - e) / e +
+      (col("n_b") - e) * (col("n_b") - e) / e
+    s.select(col("n_a"), col("n_b"),
+      round(chi2, 6).as("chi2"),
+      (chi2 > lit(3.841)).as("srm"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "evt_ab_lift" -> ((s, d) => abLift(s, d)),
+    "evt_ab_srm" -> ((s, d) => abSrm(s, d)),
     "evt_ab_ztest" -> ((s, d) => abZTest(s, d)),
     "evt_ab_cuped" -> ((s, d) => abCuped(s, d)),
     "evt_rfm" -> ((s, d) => rfmScores(s, d)),
@@ -571,6 +592,17 @@ object Behavior {
          |  round(z, 6) AS z_stat,
          |  abs(z) > 1.96 AS significant
          |FROM f""".stripMargin,
+    "evt_ab_srm" ->
+      s"""WITH $abCtes,
+         |s AS (SELECT
+         |    sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END)::BIGINT AS n_a,
+         |    sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END)::BIGINT AS n_b
+         |  FROM v),
+         |e AS (SELECT s.*, (n_a + n_b)::DOUBLE / 2.0 AS e FROM s)
+         |SELECT n_a, n_b,
+         |  round((n_a - e) * (n_a - e) / e + (n_b - e) * (n_b - e) / e, 6) AS chi2,
+         |  (n_a - e) * (n_a - e) / e + (n_b - e) * (n_b - e) / e > 3.841 AS srm
+         |FROM e""".stripMargin,
     // exact-cents sufficient statistics, doubles only in the final
     // fixed expression tree (profile_linreg's discipline)
     "evt_ab_cuped" ->

@@ -266,6 +266,58 @@ class BehaviorSpec extends SparkSpec {
       math.abs(math.abs(z.getAs[Double]("z_stat")) - 1.96) < 1e-5)
   }
 
+  test("SRM chi-squared replays exactly and agrees with the lift counters") {
+    val lift = Behavior.abLift(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_users")).toMap
+    val got = Behavior.abSrm(spark, sf0001).collect()
+    assert(got.length == 1)
+    val g = got(0)
+    assert(g.getAs[Long]("n_a") == lift("A") && g.getAs[Long]("n_b") == lift("B"))
+    val e = (lift("A") + lift("B")).toDouble / 2.0
+    val chi2 = (lift("A") - e) * (lift("A") - e) / e +
+      (lift("B") - e) * (lift("B") - e) / e
+    assert(g.getAs[Double]("chi2") ==
+      BigDecimal(chi2).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(g.getAs[Boolean]("srm") == (chi2 > 3.841))
+  }
+
+  test("streaming A/B deltas accumulate to the batch counters under any chopping") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.{AbDelta, StreamingBehavior, UserEvent}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // real corpus rows as the stream, chopped at arbitrary points —
+    // including re-delivering a user across triggers
+    val evs = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")), col("event_type"))
+      .collect()
+      .map(r => UserEvent(r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val input = MemoryStream[UserEvent]
+    val totals = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    val q = StreamingBehavior.abDeltas(input.toDS())
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[AbDelta], _: Long) =>
+        df.collect().foreach { d =>
+          totals.synchronized {
+            val (u, c) = totals.getOrElse(d.variant, (0L, 0L))
+            totals(d.variant) = (u + d.d_users, c + d.d_conv)
+          }
+        }
+        ()
+      }.start()
+    try {
+      val (a, rest) = evs.splitAt(evs.length / 3)
+      val (b, c) = rest.splitAt(rest.length / 2)
+      input.addData(a); q.processAllAvailable()
+      input.addData(b); q.processAllAvailable()
+      input.addData(c); q.processAllAvailable()
+    } finally q.stop()
+    val batch = Behavior.abLift(spark, sf0001).collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_users"), r.getAs[Long]("n_conv")))).toMap
+    assert(totals.toMap == batch,
+      s"streaming totals must equal batch abLift counters: $totals vs $batch")
+  }
+
   test("CUPED readout matches an exact driver-side replay of the sufficient statistics") {
     val got = Behavior.abCuped(spark, sf0001).collect()
     assert(got.length == 1)
