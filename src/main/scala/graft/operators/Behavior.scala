@@ -187,6 +187,10 @@ object Behavior {
   /** EWMA smoothing constant: 1/8 per step, in truncating division. */
   private val EwmaShift = 8L
 
+  /** One Holt state row per (event_type, day). */
+  final case class HoltPoint(event_type: String, day: String,
+      n: Long, level: Long, trend: Long, forecast7: Long)
+
   /** Per-user sequential smoothing: an exponentially-weighted moving
     * average of each user's `value` stream in event order —
     * e₀ = x₀, eᵢ = eᵢ₋₁ + trunc((xᵢ − eᵢ₋₁)/8), all integer cents — the
@@ -221,6 +225,46 @@ object Behavior {
         }
       }
       .toDF()
+  }
+
+  /** Holt double-exponential smoothing of daily event volumes — the
+    * level+trend forecaster one notch up from [[ewmaSmooth]]'s
+    * level-only fold (Holt 1957; the capacity-planning shape: "is this
+    * feed growing, and where will it be next week"). Integer milli-free
+    * form with shift-style smoothing (α = 1/4, β = 1/8, truncating
+    * division — Scala `/` = Spark `div` = DuckDB `//`, all toward
+    * zero, engine-exact on shrinking feeds):
+    * l₁ = y₁, b₁ = 0; then with δ = yᵢ − l − b:
+    * l += b + δ div 4,  b += (δ div 4) div 8;  forecast₇ = l + 7·b.
+    *
+    * Sequential like EWMA, so the same scale shape: one shuffle keyed
+    * on event_type, per-key ordered fold bounded by the CALENDAR
+    * (days), not the corpus; the daily counts themselves are one
+    * map-side-combined aggregate. The oracle replays the fold through
+    * a serialized "level:trend" accumulator. */
+  def holtDaily(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .as[(String, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (t: String, it: Iterator[(String, String, Long)]) =>
+        val days = it.toArray.sortBy(_._2)
+        var l = 0L; var b = 0L; var first = true
+        days.iterator.map { d =>
+          if (first) { l = d._3; b = 0L; first = false }
+          else {
+            val lp = l; val bp = b
+            val dd = d._3 - lp - bp
+            l = lp + bp + dd / 4
+            b = bp + (dd / 4) / 8
+          }
+          HoltPoint(t, d._2, d._3, l, b, l + 7 * b)
+        }
+      }
+      .toDF().orderBy("event_type", "day")
   }
 
   /** Association rules over per-user event-type baskets — market-basket
@@ -535,6 +579,7 @@ object Behavior {
     "funnel_conversion" -> ((s, d) => funnel(s, d)),
     "evt_pattern_within" -> ((s, d) => patternWithin(s, d)),
     "evt_ewma" -> ((s, d) => ewmaSmooth(s, d)),
+    "evt_holt_daily" -> ((s, d) => holtDaily(s, d)),
     "evt_transitions" -> ((s, d) => transitions(s, d)),
     "evt_paths3" -> ((s, d) => paths3(s, d)),
     "evt_assoc_rules" -> ((s, d) => assocRules(s, d)),
@@ -703,6 +748,34 @@ object Behavior {
         |  es[u.i::INT]::BIGINT AS ewma_cents
         |FROM f, UNNEST(range(1, len(ids) + 1)) AS u(i)
         |ORDER BY user_id, event_id""".stripMargin,
+    // the Holt fold replayed through a serialized "level:trend"
+    // accumulator — same discipline as evt_ewma's, two state values
+    "evt_holt_daily" -> {
+      val lp = "string_split(string_split(acc, '|')[-1], ':')[1]::BIGINT"
+      val bp = "string_split(string_split(acc, '|')[-1], ':')[2]::BIGINT"
+      val lNew = s"($lp + $bp + (c::BIGINT - $lp - $bp) // 4)"
+      val bNew = s"($bp + ((c::BIGINT - $lp - $bp) // 4) // 8)"
+      s"""WITH d AS (SELECT event_type, strftime(ts::DATE, '%Y-%m-%d') AS day,
+         |    count(*)::BIGINT AS n FROM events GROUP BY 1, 2),
+         |g AS (SELECT event_type,
+         |    list(day ORDER BY day) AS days,
+         |    list(n ORDER BY day) AS ns
+         |  FROM d GROUP BY 1),
+         |f AS (SELECT event_type, days, ns,
+         |    string_split(list_reduce(
+         |      list_prepend(ns[1]::VARCHAR || ':0',
+         |        list_transform(ns[2:], x -> x::VARCHAR)),
+         |      (acc, c) -> acc || '|' || $lNew::VARCHAR || ':' || $bNew::VARCHAR),
+         |      '|') AS st
+         |  FROM g)
+         |SELECT event_type, days[u.i::INT] AS day, ns[u.i::INT] AS n,
+         |  string_split(st[u.i::INT], ':')[1]::BIGINT AS level,
+         |  string_split(st[u.i::INT], ':')[2]::BIGINT AS trend,
+         |  string_split(st[u.i::INT], ':')[1]::BIGINT
+         |    + 7 * string_split(st[u.i::INT], ':')[2]::BIGINT AS forecast7
+         |FROM f, UNNEST(range(1, len(days) + 1)) AS u(i)
+         |ORDER BY event_type, day""".stripMargin
+    },
     "evt_transitions" ->
       """WITH p AS (SELECT user_id,
         |    lag(event_type) OVER (PARTITION BY user_id

@@ -266,6 +266,33 @@ class BehaviorSpec extends SparkSpec {
       math.abs(math.abs(z.getAs[Double]("z_stat")) - 1.96) < 1e-5)
   }
 
+  test("Holt daily fold replays exactly driver-side: seed, level, trend, forecast") {
+    import org.apache.spark.sql.functions.{date_format, to_date}
+    val daily = Tables.events(spark, sf0001)
+      .groupBy(col("event_type"),
+        date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"))
+      .count().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val expected = daily.groupBy(_._1).toSeq.flatMap { case (t, rows) =>
+      var l = 0L; var b = 0L; var first = true
+      rows.sortBy(_._2).map { case (_, day, n) =>
+        if (first) { l = n; b = 0L; first = false }
+        else {
+          val dd = n - l - b
+          val lp = l
+          l = lp + b + dd / 4
+          b = b + (dd / 4) / 8
+        }
+        (t, day) -> ((n, l, b, l + 7 * b))
+      }
+    }.toMap
+    val got = Behavior.holtDaily(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got == expected, "Holt fold diverged from the driver replay")
+    assert(got.nonEmpty)
+  }
+
   test("SRM chi-squared replays exactly and agrees with the lift counters") {
     val lift = Behavior.abLift(spark, sf0001).collect()
       .map(r => r.getString(0) -> r.getAs[Long]("n_users")).toMap
