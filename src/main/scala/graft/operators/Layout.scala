@@ -91,6 +91,41 @@ object Layout {
   def hilbertTiles(spark: SparkSession, dir: String): DataFrame =
     tiles2(spark, dir, hilbertKey)
 
+  /** Data-skipping effectiveness report — the clustering-quality
+    * number a lakehouse's min/max file pruning actually realizes,
+    * closed-form from per-tile statistics (no probe join needed):
+    * for a uniform point query, the expected tiles read is
+    * Σ bbox_cells / GridCells²; for a single-dimension equality
+    * predicate it is Σ extent_dim / GridCells (a tile is read iff its
+    * min/max range covers the predicate value). Reported ×1000 in
+    * truncating integer division for three layouts over the SAME rows
+    * and tile granularity: z-order, Hilbert, and row-major
+    * (pa·GridCells + pb — the 1-D sort baseline). The story the
+    * numbers tell: both curves stay compact on BOTH dimensions, while
+    * row-major is perfect on the leading dimension and collapses on
+    * the trailing one (every tile spans the full pb axis, so a
+    * pb-predicate reads the entire table).
+    *
+    * Scale shape: three scan projections (each key a codegen'd
+    * expression) into \|tiles\|-row aggregates; the report itself is
+    * 3-row algebra. */
+  def skippingReport(spark: SparkSession, dir: String): DataFrame = {
+    def stats(name: String, t: DataFrame): DataFrame =
+      t.agg(count(lit(1)).as("n_tiles"),
+        sum(col("bbox_cells")).as("sum_bbox"),
+        sum(col("mx_a") - col("mn_a") + lit(1)).as("sum_a_ext"),
+        sum(col("mx_b") - col("mn_b") + lit(1)).as("sum_b_ext"))
+        .select(lit(name).as("layout"), col("n_tiles"),
+          expr(s"sum_bbox * 1000 div ${GridCells * GridCells}").as("point_avg_milli"),
+          expr(s"sum_a_ext * 1000 div $GridCells").as("a_sel_avg_milli"),
+          expr(s"sum_b_ext * 1000 div $GridCells").as("b_sel_avg_milli"))
+    stats("hilbert", hilbertTiles(spark, dir))
+      .unionByName(stats("rowmajor",
+        tiles2(spark, dir, (a, b) => a * lit(GridCells) + b)))
+      .unionByName(stats("zorder", zorderTiles(spark, dir)))
+      .orderBy("layout")
+  }
+
   /** Morton key over ANY number of BIGINT dimension columns (bit j of
     * dim i at bit j·k+i; each dim truncated to ⌊63/k⌋ bits — see
     * HashOps.zorderN). */
@@ -490,6 +525,7 @@ object Layout {
     "layout_dpp_join" -> ((s, d) => dppJoin(s, d)),
     "layout_bloom_prune_join" -> ((s, d) => bloomPruneJoin(s, d)),
     "layout_zorder_tiles" -> ((s, d) => zorderTiles(s, d)),
+    "layout_skipping_report" -> ((s, d) => skippingReport(s, d)),
     "layout_zorder3_tiles" -> ((s, d) => zorder3Tiles(s, d)),
     "layout_hilbert_tiles" -> ((s, d) => hilbertTiles(s, d)),
     "layout_hilbert3_tiles" -> ((s, d) => hilbert3Tiles(s, d)),
@@ -730,6 +766,29 @@ object Layout {
          |  min(pa) AS mn_a, max(pa) AS mx_a, min(pb) AS mn_b, max(pb) AS mx_b,
          |  (max(pa) - min(pa) + 1) * (max(pb) - min(pb) + 1) AS bbox_cells
          |FROM z GROUP BY tile ORDER BY tile""".stripMargin,
+    // closed-form skipping stats from per-tile min/max — the same
+    // tile CTEs as the two curve queries plus the row-major baseline
+    "layout_skipping_report" -> {
+      def layerSql(name: String, tileSrc: String): String =
+        s"""SELECT '$name' AS layout, count(*)::BIGINT AS n_tiles,
+           |  (sum((mx_a - mn_a + 1) * (mx_b - mn_b + 1))::BIGINT * 1000)
+           |    // ${GridCells * GridCells} AS point_avg_milli,
+           |  (sum(mx_a - mn_a + 1)::BIGINT * 1000) // $GridCells AS a_sel_avg_milli,
+           |  (sum(mx_b - mn_b + 1)::BIGINT * 1000) // $GridCells AS b_sel_avg_milli
+           |FROM (SELECT tile, min(pa) AS mn_a, max(pa) AS mx_a,
+           |    min(pb) AS mn_b, max(pb) AS mx_b FROM $tileSrc GROUP BY tile)""".stripMargin
+      s"""WITH b AS (SELECT (l_partkey % $GridCells)::BIGINT AS pa,
+         |    (l_suppkey % $GridCells)::BIGINT AS pb FROM lineitem),
+         |$spreadCtes,
+         |zt AS (SELECT pa, pb, (za | (zb << 1)) // $TileKeys AS tile FROM s5),
+         |$hilbertCtes,
+         |ht AS (SELECT pa, pb, d$HilbertRounds // $TileKeys AS tile FROM h$HilbertRounds),
+         |rt AS (SELECT pa, pb, (pa * $GridCells + pb) // $TileKeys AS tile FROM b)
+         |${layerSql("hilbert", "ht")}
+         |UNION ALL ${layerSql("rowmajor", "rt")}
+         |UNION ALL ${layerSql("zorder", "zt")}
+         |ORDER BY layout""".stripMargin
+    },
     "layout_compaction_plan" ->
       s"""WITH b AS (SELECT (l_partkey % $GridCells)::BIGINT AS pa,
          |    (l_suppkey % $GridCells)::BIGINT AS pb FROM lineitem),

@@ -363,4 +363,31 @@ class BucketingSpec extends SparkSpec {
     // returnflag × linestatus grain: several groups, never one row
     assert(q.collect().length > 1)
   }
+
+  test("skipping report: curves stay compact on both dims, row-major collapses on the trailing one") {
+    val rows = graft.operators.Layout.skippingReport(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("n_tiles"),
+        r.getAs[Long]("point_avg_milli"), r.getAs[Long]("a_sel_avg_milli"),
+        r.getAs[Long]("b_sel_avg_milli")))).toMap
+    assert(rows.keySet == Set("hilbert", "rowmajor", "zorder"))
+    val (_, _, _, rmB) = rows("rowmajor")
+    Seq("zorder", "hilbert").foreach { c =>
+      val (_, _, _, cb) = rows(c)
+      // the 1-D sort's trailing-dimension selectivity must be far worse
+      // than either curve's — the whole point of multidimensional layout
+      assert(rmB > 2 * cb, s"$c b_sel $cb vs rowmajor $rmB")
+    }
+    rows.foreach { case (name, (n, p, a, b)) =>
+      assert(n > 0 && p >= 0 && a >= n / 2 && b >= n / 2,
+        s"$name: extents can't undercut one cell per tile ($n, $p, $a, $b)")
+      // per-dim expected tiles read can never exceed reading every tile
+      assert(a <= n * 1000 && b <= n * 1000, s"$name selectivity overflow")
+    }
+    // closed-form identity: point_avg equals sum(bbox)/cells replayed
+    // from the tile frame directly
+    val direct = graft.operators.Layout.zorderTiles(spark, sf0001)
+      .agg(sum(col("bbox_cells"))).collect()(0).getLong(0)
+    assert(rows("zorder")._2 ==
+      direct * 1000L / (graft.operators.Layout.GridCells * graft.operators.Layout.GridCells))
+  }
 }
