@@ -115,6 +115,38 @@ object Behavior {
         (unix_micros(col("purchase_ts")) - unix_micros(col("view_ts"))).as("gap_us"))
   }
 
+  /** CEP NEGATION — the pattern form the simple followed-by can't
+    * express: `view FOLLOWED BY purchase WITHIN 6 h` with every
+    * intervening `error` counted, and `clean` = NOT EXISTS error
+    * strictly between (ts-strict on both ends). Flink CEP's notFollowedBy
+    * / MATCH_RECOGNIZE's `{- C -}` exclusion, realized as the family's
+    * keyed aggregate-join: the matched pairs from [[patternWithinOn]]
+    * left-join the user's errors with the band as a post-filter, and a
+    * conditional count per match closes the negation — no per-user
+    * sort, no window over raw events.
+    *
+    * Scale shape: one more user_id equi-join than the base pattern,
+    * banded per-user (bounded by each entity's history), aggregate
+    * map-side combined on the match key. */
+  def patternNegation(spark: SparkSession, dir: String): DataFrame =
+    patternNegationOn(Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type")))
+
+  /** Core over any (event_id, ts, user_id, event_type) frame — spec
+    * seam, mirroring [[patternWithinOn]]. */
+  private[graft] def patternNegationOn(ev: DataFrame): DataFrame = {
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts").as("e_ts"))
+    patternWithinOn(ev).join(errors, Seq("user_id"), "left")
+      .withColumn("hit", col("e_ts").isNotNull &&
+        col("e_ts") > col("view_ts") && col("e_ts") < col("purchase_ts"))
+      .groupBy(col("user_id"), col("view_id"), col("view_ts"),
+        col("purchase_id"), col("purchase_ts"), col("gap_us"))
+      .agg(sum(when(col("hit"), 1L).otherwise(0L)).as("n_errors_between"))
+      .withColumn("clean", col("n_errors_between") === lit(0L))
+      .orderBy(col("user_id"), col("view_id"))
+  }
+
   /** Markov transition matrix over each user's event-type sequence:
     * counts of adjacent src → dst event-type pairs in per-user
     * (ts, event_id) order, with the per-source transition probability
@@ -578,6 +610,7 @@ object Behavior {
     "evt_seasonal_hourly" -> ((s, d) => seasonalHourly(s, d)),
     "funnel_conversion" -> ((s, d) => funnel(s, d)),
     "evt_pattern_within" -> ((s, d) => patternWithin(s, d)),
+    "evt_pattern_negation" -> ((s, d) => patternNegation(s, d)),
     "evt_ewma" -> ((s, d) => ewmaSmooth(s, d)),
     "evt_holt_daily" -> ((s, d) => holtDaily(s, d)),
     "evt_transitions" -> ((s, d) => transitions(s, d)),
@@ -727,6 +760,25 @@ object Behavior {
         |WHERE v.event_type = 'view'
         |QUALIFY row_number() OVER (PARTITION BY v.event_id ORDER BY p.ts, p.event_id) = 1
         |ORDER BY v.user_id, view_id""".stripMargin,
+    // the base pattern's QUALIFY CTE plus a correlated strict-band
+    // error count — SQL's native form of the negation
+    "evt_pattern_negation" ->
+      """WITH m AS (SELECT v.user_id, v.event_id AS view_id, v.ts AS view_ts,
+        |    p.event_id AS purchase_id, p.ts AS purchase_ts,
+        |    epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+        |  FROM events v JOIN events p
+        |    ON p.user_id = v.user_id AND p.event_type = 'purchase'
+        |    AND p.ts > v.ts AND epoch_us(p.ts) - epoch_us(v.ts) <= 21600000000
+        |  WHERE v.event_type = 'view'
+        |  QUALIFY row_number() OVER (PARTITION BY v.event_id ORDER BY p.ts, p.event_id) = 1)
+        |SELECT m.*,
+        |  (SELECT count(*) FROM events e WHERE e.user_id = m.user_id
+        |    AND e.event_type = 'error' AND e.ts > m.view_ts
+        |    AND e.ts < m.purchase_ts)::BIGINT AS n_errors_between,
+        |  (SELECT count(*) FROM events e WHERE e.user_id = m.user_id
+        |    AND e.event_type = 'error' AND e.ts > m.view_ts
+        |    AND e.ts < m.purchase_ts) = 0 AS clean
+        |FROM m ORDER BY user_id, view_id""".stripMargin,
     // the sequential fold replayed as a '|'-serialized running
     // accumulator (the bpeFoldSql trick): list_reduce's acc carries
     // every intermediate EWMA, unnest pairs them back to events

@@ -266,6 +266,38 @@ class BehaviorSpec extends SparkSpec {
       math.abs(math.abs(z.getAs[Double]("z_stat")) - 1.96) < 1e-5)
   }
 
+  test("pattern negation: strict-band error counting flips clean, boundaries excluded") {
+    import spark.implicits._
+    val log = Seq(
+      // user 1: view(t0) -> purchase(t0+10m), error at t0+5m => dirty
+      (1L, 0L, 1L, "view"),
+      (2L, 5L, 1L, "error"),
+      (3L, 10L, 1L, "purchase"),
+      // user 2: clean pair; error BEFORE the view and one AT the
+      // purchase instant — both outside the strict band
+      (4L, 0L, 2L, "error"),
+      (5L, 1L, 2L, "view"),
+      (6L, 11L, 2L, "purchase"),
+      (7L, 11L, 2L, "error"),
+      // user 3: two errors inside the band
+      (8L, 0L, 3L, "view"),
+      (9L, 2L, 3L, "error"),
+      (10L, 3L, 3L, "error"),
+      (11L, 9L, 3L, "purchase"))
+      .map { case (id, off, u, t) => (id, ts(off), u, t) }
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = Behavior.patternNegationOn(log).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("n_errors_between"), r.getAs[Boolean]("clean")))).toMap
+    assert(got == Map(1L -> ((1L, false)), 2L -> ((0L, true)), 3L -> ((2L, false))))
+    // negation never changes WHICH pairs match — only annotates them
+    val base = Behavior.patternWithinOn(log).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("view_id"))).toSet
+    val ann = Behavior.patternNegationOn(log).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("view_id"))).toSet
+    assert(ann == base)
+  }
+
   test("Holt daily fold replays exactly driver-side: seed, level, trend, forecast") {
     import org.apache.spark.sql.functions.{date_format, to_date}
     val daily = Tables.events(spark, sf0001)
