@@ -212,6 +212,52 @@ object Behavior {
       .limit(Paths3TopK)
   }
 
+  /** Power-iteration rounds for [[markovStationary]]. */
+  private val MarkovIters = 4
+
+  /** Stationary distribution of the user-behaviour Markov chain —
+    * where the [[transitions]] matrix says users spend their time in
+    * the long run ("which state dominates at equilibrium", the
+    * summary a product dashboard puts next to the transition matrix).
+    * π₀ uniform in micro units (10⁶), then [[MarkovIters]] rounds of
+    * π′(dst) = Σ_src (π(src)·n(src,dst)) div total(src) — per-term
+    * truncating integer division, so every iterate is engine-exact
+    * (the oracle unrolls the same rounds as CTEs). Types without
+    * observed outgoing edges deterministically shed mass — both
+    * engines agree because the join semantics are identical.
+    *
+    * Scale shape: the counts matrix is [[transitionsOn]]'s map-side
+    * combined ≤\|types\|² aggregate; every iteration joins frames
+    * bounded by the TYPE inventory, never the event log. */
+  def markovStationary(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("event_id"))
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("tus"))
+    val c = ev.withColumn("src_type", lag(col("event_type"), 1).over(w))
+      .filter(col("src_type").isNotNull)
+      .groupBy(col("src_type"), col("event_type").as("dst_type"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // 4 iterations re-read |types|² rows, not the log
+    val t = c.groupBy("src_type").agg(sum("n").as("total"))
+    val types = ev.select(col("event_type")).distinct()
+    var pi = types.crossJoin(broadcast(types.agg(count(lit(1)).as("k"))))
+      .select(col("event_type").as("t"), expr("1000000L div k").as("v"))
+    for (_ <- 1 to MarkovIters) {
+      pi = pi.join(c, pi("t") === c("src_type"))
+        .join(t, "src_type")
+        .select(col("dst_type"),
+          expr("v * n div total").as("m"))
+        .groupBy(col("dst_type"))
+        .agg(sum(col("m")).as("v"))
+        .select(col("dst_type").as("t"), col("v"))
+    }
+    pi.select(col("t").as("event_type"), col("v").as("pi_micro"))
+      .orderBy("event_type")
+  }
+
   /** One smoothed reading per event. */
   final case class EwmaPoint(user_id: Long, event_id: Long,
       cents: Long, ewma_cents: Long)
@@ -611,6 +657,7 @@ object Behavior {
     "funnel_conversion" -> ((s, d) => funnel(s, d)),
     "evt_pattern_within" -> ((s, d) => patternWithin(s, d)),
     "evt_pattern_negation" -> ((s, d) => patternNegation(s, d)),
+    "evt_markov_stationary" -> ((s, d) => markovStationary(s, d)),
     "evt_ewma" -> ((s, d) => ewmaSmooth(s, d)),
     "evt_holt_daily" -> ((s, d) => holtDaily(s, d)),
     "evt_transitions" -> ((s, d) => transitions(s, d)),
@@ -760,6 +807,30 @@ object Behavior {
         |WHERE v.event_type = 'view'
         |QUALIFY row_number() OVER (PARTITION BY v.event_id ORDER BY p.ts, p.event_id) = 1
         |ORDER BY v.user_id, view_id""".stripMargin,
+    // the power iteration unrolled: one CTE per round, per-term
+    // truncating division identical to the engine's
+    "evt_markov_stationary" ->
+      s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus FROM events),
+        |c AS (SELECT src_type, event_type AS dst_type, count(*)::BIGINT AS n
+        |  FROM (SELECT event_type, lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY tus, event_id) AS src_type FROM e)
+        |  WHERE src_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT src_type, sum(n)::BIGINT AS total FROM c GROUP BY 1),
+        |k AS (SELECT count(DISTINCT event_type)::BIGINT AS k FROM e),
+        |p0 AS (SELECT DISTINCT event_type AS t, 1000000 // k.k AS v FROM e, k),
+        |p1 AS (SELECT c.dst_type AS t, sum((p.v * c.n) // tt.total)::BIGINT AS v
+        |  FROM p0 p JOIN c ON c.src_type = p.t JOIN t tt ON tt.src_type = p.t
+        |  GROUP BY 1),
+        |p2 AS (SELECT c.dst_type AS t, sum((p.v * c.n) // tt.total)::BIGINT AS v
+        |  FROM p1 p JOIN c ON c.src_type = p.t JOIN t tt ON tt.src_type = p.t
+        |  GROUP BY 1),
+        |p3 AS (SELECT c.dst_type AS t, sum((p.v * c.n) // tt.total)::BIGINT AS v
+        |  FROM p2 p JOIN c ON c.src_type = p.t JOIN t tt ON tt.src_type = p.t
+        |  GROUP BY 1),
+        |p4 AS (SELECT c.dst_type AS t, sum((p.v * c.n) // tt.total)::BIGINT AS v
+        |  FROM p3 p JOIN c ON c.src_type = p.t JOIN t tt ON tt.src_type = p.t
+        |  GROUP BY 1)
+        |SELECT t AS event_type, v AS pi_micro FROM p4 ORDER BY 1""".stripMargin,
     // the base pattern's QUALIFY CTE plus a correlated strict-band
     // error count — SQL's native form of the negation
     "evt_pattern_negation" ->

@@ -266,6 +266,26 @@ class BehaviorSpec extends SparkSpec {
       math.abs(math.abs(z.getAs[Double]("z_stat")) - 1.96) < 1e-5)
   }
 
+  test("Markov stationary distribution replays the unrolled power iteration exactly") {
+    val counts = Behavior.transitionsOn(Tables.events(spark, sf0001)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type")))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val totals = counts.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val types = Tables.events(spark, sf0001)
+      .select("event_type").distinct().collect().map(_.getString(0)).sorted
+    var pi: Map[String, Long] = types.map(_ -> 1000000L / types.length).toMap
+    (1 to 4).foreach { _ =>
+      val next = scala.collection.mutable.Map.empty[String, Long]
+      for (((src, dst), n) <- counts; v <- pi.get(src))
+        next(dst) = next.getOrElse(dst, 0L) + v * n / totals(src)
+      pi = next.toMap
+    }
+    val got = Behavior.markovStationary(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == pi, s"stationary diverged: $got vs $pi")
+    assert(got.values.sum <= 1000000L && got.values.forall(_ >= 0L))
+  }
+
   test("pattern negation: strict-band error counting flips clean, boundaries excluded") {
     import spark.implicits._
     val log = Seq(
