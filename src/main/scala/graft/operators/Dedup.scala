@@ -623,6 +623,81 @@ object Dedup {
         expr("common * 1000 div sz_a").as("containment_milli"))
   }
 
+  // ------------------------------------------ content-defined chunking dedup
+
+  /** CDC rolling-hash window (tokens) and boundary divisor — expected
+    * chunk length ≈ [[CdcD]] tokens on this corpus's 10–99-token docs
+    * (production web-scale CDC uses KiB-scale windows over bytes; the
+    * operator is the same at any unit). */
+  val CdcK = 4
+  val CdcD = 16L
+
+  /** Per-doc content-defined chunks: cut BEFORE token j (j > 0) when
+    * the rolling [[CdcK]]-gram hash starting at j ≡ 0 (mod [[CdcD]]) —
+    * the LBFS/FastCDC boundary rule (Muthitacharoen et al., "A
+    * low-bandwidth network file system", SOSP 2001). Because a
+    * boundary depends only on a local window, an insertion or deletion
+    * re-synchronizes after at most one chunk — the property that makes
+    * chunk-level dedup robust where fixed-stride chunking
+    * (`text_chunk_stride`) misaligns everything after the edit.
+    * Output: (doc_id, n_tokens, chunk_idx, s, e, chash) with [s, e)
+    * 0-based token intervals partitioning the doc and chash = md5 of
+    * the space-joined chunk text. */
+  private[graft] def cdcChunksOn(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), tokens(col("text")).as("t"),
+      spanCodes(col("text"), CdcK).as("codes"))
+    // Spark's sequence(1, 0) DESCENDS — guard the short-doc arm
+    val cuts = when(size(col("codes")) <= 1, array().cast("array<int>"))
+      .otherwise(filter(sequence(lit(1), size(col("codes")) - 1),
+        j => element_at(col("codes"), j + 1) % lit(CdcD) === lit(0L)))
+    val withB = base
+      .withColumn("starts", concat(array(lit(0L)),
+        transform(cuts, _.cast("long"))))
+      .withColumn("ends", concat(
+        slice(col("starts"), lit(2), greatest(size(col("starts")) - 1, lit(0))),
+        array(size(col("t")).cast("long"))))
+    withB
+      .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"), col("t"),
+        posexplode(arrays_zip(col("starts"), col("ends"))))
+      .select(col("doc_id"), col("n_tokens"),
+        col("pos").cast("long").as("chunk_idx"),
+        col("col.starts").as("s"), col("col.ends").as("e"),
+        md5(concat_ws(" ",
+          slice(col("t"), (col("col.starts") + lit(1)).cast("int"),
+            (col("col.ends") - col("col.starts")).cast("int")))).as("chash"))
+  }
+
+  /** Chunk-level dedup report over the CDC chunks: per doc, how many
+    * chunks (and what token fraction) also occur in ANOTHER document —
+    * the storage-style dedup flavor between exact whole-doc and
+    * positional span dedup. Cross-doc test is the span family's
+    * min≠max-of-doc_id trick (no Expand, one shuffle on chash).
+    *
+    * Scale shape: one fused scan (native SpanHashes) → chunk rows
+    * (≈ n_tokens/[[CdcD]] per doc), one map-side-combined aggregate on
+    * chash, one join back on the same key, per-doc aggregate. */
+  def cdcDedup(spark: SparkSession, dir: String): DataFrame =
+    cdcDedupOn(Tables.documents(spark, dir))
+
+  private[graft] def cdcDedupOn(docs: DataFrame): DataFrame = {
+    val chunks = cdcChunksOn(docs)
+    val dup = chunks.groupBy(col("chash"))
+      .agg(min(col("doc_id")).as("d_min"), max(col("doc_id")).as("d_max"))
+      .filter(col("d_min") =!= col("d_max"))
+      .select(col("chash"), lit(true).as("isdup"))
+    chunks.join(dup, Seq("chash"), "left")
+      .groupBy(col("doc_id"), col("n_tokens"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("isdup"), 1L).otherwise(0L)).as("n_dup_chunks"),
+        sum(when(col("isdup"), col("e") - col("s")).otherwise(0L)).as("dup_tokens"))
+      .withColumn("dup_milli",
+        when(col("n_tokens") === 0L, 0L)
+          .otherwise(expr("dup_tokens * 1000 div n_tokens")))
+      .select(col("doc_id"), col("n_tokens"), col("n_chunks"),
+        col("n_dup_chunks"), col("dup_tokens"), col("dup_milli"))
+      .orderBy(col("doc_id"))
+  }
+
   // -------------------------------------------- cross-doc span duplication
 
   /** Cross-document duplicated-span fraction — the INTER-document twin
@@ -2024,6 +2099,7 @@ object Dedup {
     "dedup_embedding_clusters" -> ((s, d) => embeddingClusters(s, d)),
     "decontam_overlap" -> ((s, d) => decontamOverlap(s, d)),
     "dedup_span_frac" -> ((s, d) => crossDocSpanStats(s, d)),
+    "dedup_cdc_chunks" -> ((s, d) => cdcDedup(s, d)),
     "dedup_span_removal" -> ((s, d) => spanRemoval(s, d)),
     "dedup_span_scrub" -> ((s, d) => spanScrub(s, d)),
     "dedup_span_savings" -> ((s, d) => spanSavings(s, d)),
@@ -2429,6 +2505,38 @@ object Dedup {
          |FROM pr JOIN sz sa ON sa.doc_id = pr.doc_a
          |  JOIN sz sb ON sb.doc_id = pr.doc_b
          |ORDER BY 1, 2""".stripMargin,
+    // positional CdcK-gram hashes (the winnow idiom), mod-D cuts,
+    // chunk rebuild by list slicing, cross-doc min<>max on the chunk md5
+    "dedup_cdc_chunks" ->
+      s"""WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+         |sp AS (SELECT doc_id, j::BIGINT - 1 AS pos,
+         |    list_reduce(list_prepend(0::BIGINT,
+         |        list_transform(string_split(
+         |          list_reduce(t[j:j+${CdcK - 1}], (a, b) -> a || ' ' || b), ''),
+         |          c -> ascii(c)::BIGINT)),
+         |      (a, c) -> (a * 31 + c) % 2147483647) AS h
+         |  FROM toks, UNNEST(range(1, len(t) - $CdcK + 2)) AS u(j)
+         |  WHERE len(t) >= $CdcK),
+         |cuts AS (SELECT doc_id, pos FROM sp WHERE pos > 0 AND h % $CdcD = 0),
+         |bnd AS (SELECT doc_id, list_sort(list(pos)) AS cs FROM cuts GROUP BY 1),
+         |db AS (SELECT t.doc_id, t.t,
+         |    list_prepend(0::BIGINT, coalesce(b.cs, []::BIGINT[])) AS starts
+         |  FROM toks t LEFT JOIN bnd b USING (doc_id)),
+         |ch AS (SELECT doc_id, len(t)::BIGINT AS n_tokens, i::BIGINT - 1 AS chunk_idx,
+         |    starts[i] AS s,
+         |    CASE WHEN i < len(starts) THEN starts[i+1] ELSE len(t)::BIGINT END AS e,
+         |    md5(array_to_string(
+         |      t[(starts[i] + 1)::INT:(CASE WHEN i < len(starts) THEN starts[i+1]
+         |        ELSE len(t)::BIGINT END)::INT], ' ')) AS chash
+         |  FROM db, UNNEST(range(1, len(starts) + 1)) AS u(i)),
+         |dup AS (SELECT chash FROM ch GROUP BY chash HAVING min(doc_id) <> max(doc_id)),
+         |per AS (SELECT c.doc_id, c.n_tokens, count(*)::BIGINT AS n_chunks,
+         |    sum(CASE WHEN d.chash IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_dup_chunks,
+         |    sum(CASE WHEN d.chash IS NOT NULL THEN c.e - c.s ELSE 0 END)::BIGINT AS dup_tokens
+         |  FROM ch c LEFT JOIN dup d ON d.chash = c.chash GROUP BY 1, 2)
+         |SELECT doc_id, n_tokens, n_chunks, n_dup_chunks, dup_tokens,
+         |  CASE WHEN n_tokens = 0 THEN 0 ELSE (dup_tokens * 1000) // n_tokens END AS dup_milli
+         |FROM per ORDER BY doc_id""".stripMargin,
     "dedup_span_frac" ->
       s"""WITH $shingleCte,
          |shz AS (SELECT doc_id, codes, sz FROM sh WHERE sz > 0),

@@ -377,6 +377,46 @@ class TrainingDataSpec extends SparkSpec {
     assert(rows.length == 2)
   }
 
+  test("CDC chunks partition each doc; boundaries re-sync after a prefix edit") {
+    import spark.implicits._
+    // chunks partition [0, n) contiguously on real data
+    val ch = Dedup.cdcChunksOn(Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text"))).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("chunk_idx"),
+        r.getAs[Long]("s"), r.getAs[Long]("e"), r.getAs[Long]("n_tokens")))
+    ch.groupBy(_._1).foreach { case (d, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.head._3 == 0L, s"doc $d: first chunk must start at 0")
+      assert(sorted.last._4 == sorted.head._5, s"doc $d: last chunk must end at n")
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 == b._3, s"doc $d: gap between chunks")
+        case _ =>
+      }
+      sorted.foreach(c => assert(c._4 > c._3, s"doc $d: empty chunk"))
+    }
+
+    // re-sync: same long suffix behind DIFFERENT-length prefixes still
+    // shares chunks — the property fixed-stride chunking lacks
+    val suffix = (1 to 80).map(i => s"w${i % 13}x$i").mkString(" ")
+    val synth = Seq(
+      (1L, s"alpha $suffix"),
+      (2L, s"beta gamma delta epsilon zeta $suffix"))
+      .toDF("doc_id", "text")
+    val rep = Dedup.cdcDedupOn(synth).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_dup_chunks")).toMap
+    assert(rep.values.forall(_ > 0),
+      s"CDC must re-synchronize on the shared suffix: $rep")
+
+    // the report on real data stays in range and reconciles
+    val rows = Dedup.cdcDedup(spark, sf0001).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_dup_chunks") <= r.getAs[Long]("n_chunks"))
+      assert(r.getAs[Long]("dup_tokens") <= r.getAs[Long]("n_tokens"))
+      val m = r.getAs[Long]("dup_milli")
+      assert(m >= 0L && m <= 1000L)
+    }
+  }
+
   test("exact dedup groups identical texts") {
     val d = Dedup.exactOn(docs, col("text"), col("doc_id"))
     val m = d.collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
