@@ -89,6 +89,9 @@ object Scaling {
     "sketch_bitmap_distinct",// chunked-bitmap exact distinct, one aggregation
     "emb_rp_project",        // narrow literal-matrix projection scan
     "sim_topk_rp",           // dual brute-force recall audit (orig + RP space)
+    "dedup_cdc_chunks",      // CDC chunk rows + one chash shuffle + join-back
+    "evt_pattern_negation",  // banded per-user join behind the matched pairs
+    "layout_skipping_report",// three key-projection scans, 3-row algebra
     "rollover_monitor_tick") // monitor poll under a corpus-scaled log
 
   /** Non-query probes: operational paths whose growth matters but
