@@ -627,6 +627,51 @@ object Behavior {
         .as("var_reduction"))
   }
 
+  /** Welch's unequal-variance t-test on per-user purchase REVENUE —
+    * the continuous-metric significance readout next to [[abZTest]]'s
+    * binary conversion (Welch 1947; the default two-sample test when
+    * variances differ, as revenue's always do). Per-variant mean and
+    * sample variance come from exact cents sufficient statistics
+    * (n, Σy, Σy²); t = (μ_B − μ_A)/√(s²_A/n_A + s²_B/n_B) and the
+    * Welch–Satterthwaite df are fixed double trees over those scalars,
+    * mirrored textually in the oracle. Zero pooled spread ⇒ t := 0
+    * (same guard as the z-test). One row. */
+  def abWelch(spark: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("value") * 100, 0).cast("long")
+    val per = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase", cents).otherwise(0L)).as("y"))
+      .withColumn("variant", variantCol)
+    val s = per.agg(
+      sum(when(col("variant") === "A", 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("variant") === "A", col("y")).otherwise(0L)).as("sy_a"),
+      sum(when(col("variant") === "A", col("y") * col("y")).otherwise(0L)).as("syy_a"),
+      sum(when(col("variant") === "B", 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("variant") === "B", col("y")).otherwise(0L)).as("sy_b"),
+      sum(when(col("variant") === "B", col("y") * col("y")).otherwise(0L)).as("syy_b"))
+    val d = (c: Column) => c.cast("double")
+    def varOf(n: Column, sy: Column, syy: Column): Column =
+      (d(n) * d(syy) - d(sy) * d(sy)) / (d(n) * (d(n) - lit(1.0)))
+    val s2 = s
+      .withColumn("m_a", d(col("sy_a")) / d(col("n_a")))
+      .withColumn("m_b", d(col("sy_b")) / d(col("n_b")))
+      .withColumn("va", varOf(col("n_a"), col("sy_a"), col("syy_a")))
+      .withColumn("vb", varOf(col("n_b"), col("sy_b"), col("syy_b")))
+      .withColumn("se2", col("va") / col("n_a") + col("vb") / col("n_b"))
+    val t = when(col("se2") === lit(0.0), lit(0.0))
+      .otherwise((col("m_b") - col("m_a")) / sqrt(col("se2")))
+    val df = when(col("se2") === lit(0.0), lit(0.0))
+      .otherwise(col("se2") * col("se2") /
+        (col("va") / col("n_a") * (col("va") / col("n_a")) / (d(col("n_a")) - lit(1.0)) +
+         col("vb") / col("n_b") * (col("vb") / col("n_b")) / (d(col("n_b")) - lit(1.0))))
+    s2.select(col("n_a"), col("n_b"),
+      round(col("m_a"), 6).as("mean_a_cents"),
+      round(col("m_b"), 6).as("mean_b_cents"),
+      round(t, 6).as("t_stat"),
+      round(df, 6).as("welch_df"),
+      (abs(t) > lit(AbZ)).as("significant"))
+  }
+
   /** Sample-ratio-mismatch check — the experiment-health gate every
     * A/B platform runs before reading results: a 1-df chi-squared
     * test that the hash split actually landed on its designed 50/50
@@ -650,6 +695,7 @@ object Behavior {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "evt_ab_lift" -> ((s, d) => abLift(s, d)),
     "evt_ab_srm" -> ((s, d) => abSrm(s, d)),
+    "evt_ab_welch" -> ((s, d) => abWelch(s, d)),
     "evt_ab_ztest" -> ((s, d) => abZTest(s, d)),
     "evt_ab_cuped" -> ((s, d) => abCuped(s, d)),
     "evt_rfm" -> ((s, d) => rfmScores(s, d)),
@@ -717,6 +763,39 @@ object Behavior {
          |  round(z, 6) AS z_stat,
          |  abs(z) > 1.96 AS significant
          |FROM f""".stripMargin,
+    // exact-cents sufficient statistics; the t and Welch df are the
+    // same fixed double trees, with the zero-spread guard mirrored
+    "evt_ab_welch" ->
+      """WITH pu AS (SELECT user_id,
+        |    sum(CASE WHEN event_type = 'purchase'
+        |      THEN round(value * 100)::BIGINT ELSE 0 END)::BIGINT AS y
+        |  FROM events GROUP BY 1),
+        |v AS (SELECT pu.*, CASE WHEN substr(md5(user_id::VARCHAR || ':ab'), 1, 1) < '8'
+        |    THEN 'A' ELSE 'B' END AS variant FROM pu),
+        |s AS (SELECT
+        |    sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END)::BIGINT AS n_a,
+        |    sum(CASE WHEN variant = 'A' THEN y ELSE 0 END)::BIGINT AS sy_a,
+        |    sum(CASE WHEN variant = 'A' THEN y * y ELSE 0 END)::BIGINT AS syy_a,
+        |    sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END)::BIGINT AS n_b,
+        |    sum(CASE WHEN variant = 'B' THEN y ELSE 0 END)::BIGINT AS sy_b,
+        |    sum(CASE WHEN variant = 'B' THEN y * y ELSE 0 END)::BIGINT AS syy_b
+        |  FROM v),
+        |d AS (SELECT s.*,
+        |    sy_a::DOUBLE / n_a::DOUBLE AS m_a, sy_b::DOUBLE / n_b::DOUBLE AS m_b,
+        |    (n_a::DOUBLE * syy_a::DOUBLE - sy_a::DOUBLE * sy_a::DOUBLE)
+        |      / (n_a::DOUBLE * (n_a::DOUBLE - 1.0)) AS va,
+        |    (n_b::DOUBLE * syy_b::DOUBLE - sy_b::DOUBLE * sy_b::DOUBLE)
+        |      / (n_b::DOUBLE * (n_b::DOUBLE - 1.0)) AS vb FROM s),
+        |e AS (SELECT d.*, va / n_a + vb / n_b AS se2 FROM d),
+        |f AS (SELECT e.*,
+        |    CASE WHEN se2 = 0.0 THEN 0.0 ELSE (m_b - m_a) / sqrt(se2) END AS t,
+        |    CASE WHEN se2 = 0.0 THEN 0.0 ELSE se2 * se2 /
+        |      (va / n_a * (va / n_a) / (n_a::DOUBLE - 1.0)
+        |       + vb / n_b * (vb / n_b) / (n_b::DOUBLE - 1.0)) END AS df FROM e)
+        |SELECT n_a, n_b, round(m_a, 6) AS mean_a_cents, round(m_b, 6) AS mean_b_cents,
+        |  round(t, 6) AS t_stat, round(df, 6) AS welch_df,
+        |  abs(t) > 1.96 AS significant
+        |FROM f""".stripMargin,
     "evt_ab_srm" ->
       s"""WITH $abCtes,
          |s AS (SELECT

@@ -266,6 +266,44 @@ class BehaviorSpec extends SparkSpec {
       math.abs(math.abs(z.getAs[Double]("z_stat")) - 1.96) < 1e-5)
   }
 
+  test("Welch t-test replays exactly from driver-side sufficient statistics") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val per = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1).toSeq.map { case (u, rows) =>
+        val y = rows.filter(_._2 == "purchase").map(_._3).sum
+        val hex = md.digest(s"$u:ab".getBytes("UTF-8")).map("%02x".format(_)).mkString
+        (y, if (hex.charAt(0) < '8') "A" else "B")
+      }
+    def stats(v: String) = {
+      val ys = per.filter(_._2 == v).map(_._1)
+      (ys.size.toLong, ys.sum, ys.map(y => y * y).sum)
+    }
+    val (na, sya, syya) = stats("A"); val (nb, syb, syyb) = stats("B")
+    val ma = sya.toDouble / na.toDouble; val mb = syb.toDouble / nb.toDouble
+    val va = (na.toDouble * syya.toDouble - sya.toDouble * sya.toDouble) /
+      (na.toDouble * (na.toDouble - 1.0))
+    val vb = (nb.toDouble * syyb.toDouble - syb.toDouble * syb.toDouble) /
+      (nb.toDouble * (nb.toDouble - 1.0))
+    val se2 = va / na + vb / nb
+    val t = if (se2 == 0.0) 0.0 else (mb - ma) / math.sqrt(se2)
+    val df = if (se2 == 0.0) 0.0 else se2 * se2 /
+      (va / na * (va / na) / (na.toDouble - 1.0) +
+        vb / nb * (vb / nb) / (nb.toDouble - 1.0))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val g = Behavior.abWelch(spark, sf0001).collect()(0)
+    assert(g.getAs[Long]("n_a") == na && g.getAs[Long]("n_b") == nb)
+    assert(g.getAs[Double]("mean_a_cents") == r6(ma))
+    assert(g.getAs[Double]("mean_b_cents") == r6(mb))
+    assert(g.getAs[Double]("t_stat") == r6(t))
+    assert(g.getAs[Double]("welch_df") == r6(df))
+    assert(g.getAs[Boolean]("significant") == (math.abs(t) > 1.96))
+    // Welch df lands between min(n)-1 and n_a+n_b-2
+    assert(df >= math.min(na, nb) - 1.0 && df <= na + nb - 2.0)
+  }
+
   test("Markov stationary distribution replays the unrolled power iteration exactly") {
     val counts = Behavior.transitionsOn(Tables.events(spark, sf0001)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type")))
