@@ -535,6 +535,44 @@ object Profiling {
     * the corpus (one map-side-combined count), the medians run over
     * per-type day-count lists bounded by the calendar, and both small
     * frames broadcast back onto the grid. */
+  /** Benford milli-probabilities for digits 1–9, computed ONCE in
+    * Scala and inlined as literals into BOTH engines (a last-bit
+    * log10 divergence between libm and StrictMath can never enter). */
+  private[graft] val BenfordMilli: Seq[(Long, Long)] =
+    Seq.tabulate(9)(i =>
+      (i + 1L, math.round(1000.0 * math.log10(1.0 + 1.0 / (i + 1)))))
+
+  /** Benford first-digit audit of transaction amounts — the classic
+    * fabricated-data / broken-feed screen (Benford 1938; audit
+    * practice per Nigrini): the first significant digit of organic
+    * multiplicative amounts follows log10(1+1/d), and a feed that
+    * suddenly doesn't (capped values, synthetic fill, currency
+    * mis-scaling) shows as large per-digit deviations. All-integer:
+    * observed milli share by truncating division vs the inlined
+    * Benford milli constants; first digit via decimal-string head
+    * (engine-exact, no float log). Digits never observed still get a
+    * row (the 9-row grid is generated, not grouped into existence).
+    *
+    * Scale shape: one map-side-combined 9-group aggregate; the grid
+    * join and total broadcast are 9-row algebra. */
+  def benfordDigits(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bf = BenfordMilli.toDF("digit", "benford_milli")
+    val obs = Tables.events(spark, dir)
+      .select(round(col("value") * 100, 0).cast("long").as("cents"))
+      .filter(col("cents") >= 1L)
+      .withColumn("digit", substring(col("cents").cast("string"), 1, 1).cast("long"))
+      .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+    val tot = obs.agg(sum("n_obs").as("n"))
+    broadcast(bf).join(obs, Seq("digit"), "left")
+      .na.fill(0L, Seq("n_obs"))
+      .crossJoin(broadcast(tot))
+      .select(col("digit"), col("n_obs"),
+        expr("n_obs * 1000 div n").as("obs_milli"), col("benford_milli"),
+        (expr("n_obs * 1000 div n") - col("benford_milli")).as("dev_milli"))
+      .orderBy("digit")
+  }
+
   def madOutliers(spark: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(spark, dir)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
@@ -559,6 +597,7 @@ object Profiling {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qa_mad_outliers" -> ((s, d) => madOutliers(s, d)),
+    "qa_benford_digits" -> ((s, d) => benfordDigits(s, d)),
     "qa_constraint_audit" -> ((s, d) => constraintAudit(s, d)),
     "profile_linreg" -> ((s, d) => linregSuffStats(s, d)),
     "profile_corr" -> ((s, d) => activityCorr(s, d)),
@@ -579,6 +618,22 @@ object Profiling {
        |FROM events""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // same inlined Benford constants, same decimal-string first digit,
+    // same truncating milli shares
+    "qa_benford_digits" -> {
+      val vals = BenfordMilli.map { case (d, m) => s"($d, $m)" }.mkString(", ")
+      s"""WITH c AS (SELECT round(value * 100)::BIGINT AS cents FROM events
+         |  WHERE round(value * 100)::BIGINT >= 1),
+         |o AS (SELECT substr(cents::VARCHAR, 1, 1)::BIGINT AS digit,
+         |    count(*)::BIGINT AS n_obs FROM c GROUP BY 1),
+         |t AS (SELECT sum(n_obs)::BIGINT AS n FROM o),
+         |b AS (SELECT d.digit::BIGINT AS digit, d.bm::BIGINT AS benford_milli
+         |  FROM (VALUES $vals) d(digit, bm))
+         |SELECT b.digit, coalesce(o.n_obs, 0)::BIGINT AS n_obs,
+         |  (coalesce(o.n_obs, 0) * 1000) // t.n AS obs_milli, b.benford_milli,
+         |  (coalesce(o.n_obs, 0) * 1000) // t.n - b.benford_milli AS dev_milli
+         |FROM b LEFT JOIN o USING (digit), t ORDER BY 1""".stripMargin
+    },
     // same daily grid, same sorted-list lower-median convention
     // ((n+1) // 2, 1-based), same integer 3×MAD gate
     "qa_mad_outliers" ->

@@ -148,4 +148,22 @@ class WarehouseSpec extends SparkSpec {
     val keys = rows.map(_.getAs[Long]("c_custkey"))
     assert(keys.length == keys.distinct.length)
   }
+
+  test("Benford audit: full digit grid, exact recon, law constants well-formed") {
+    // the inlined constants ARE the law: strictly decreasing, ~1 total
+    val law = Profiling.BenfordMilli
+    assert(law.map(_._1) == (1L to 9L))
+    assert(law.map(_._2) == law.map(_._2).sorted.reverse)
+    assert(math.abs(law.map(_._2).sum - 1000L) <= 1L)
+    val rows = Profiling.benfordDigits(spark, sf0001).collect()
+    assert(rows.map(_.getAs[Long]("digit")).toSeq == (1L to 9L))
+    val nPos = Tables.events(spark, sf0001)
+      .filter(round(col("value") * 100, 0).cast("long") >= 1L).count()
+    assert(rows.map(_.getAs[Long]("n_obs")).sum == nPos,
+      "digit counts must partition the positive amounts")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("dev_milli") ==
+        r.getAs[Long]("obs_milli") - r.getAs[Long]("benford_milli"))
+    }
+  }
 }
