@@ -564,7 +564,9 @@ object Profiling {
       .withColumn("digit", substring(col("cents").cast("string"), 1, 1).cast("long"))
       .groupBy("digit").agg(count(lit(1)).as("n_obs"))
     val tot = obs.agg(sum("n_obs").as("n"))
-    broadcast(bf).join(obs, Seq("digit"), "left")
+    // no broadcast hint: a build-left hint on a left-outer join is
+    // unsupported (noisy fallback warning); both sides are ≤9 rows
+    bf.join(obs, Seq("digit"), "left")
       .na.fill(0L, Seq("n_obs"))
       .crossJoin(broadcast(tot))
       .select(col("digit"), col("n_obs"),
