@@ -41,6 +41,61 @@ object Retrieval {
     "q_stream_key" -> Seq("stream", "order", "key"))
     .flatMap { case (q, ts) => ts.map(q -> _) }
 
+  /** Fixed phrase workload — ordered multi-token phrases (the thing a
+    * bag-of-words index cannot answer). */
+  val PhraseQueries: Seq[(String, Seq[String])] = Seq(
+    "p_table_value" -> Seq("table", "value"),
+    "p_scan_slow" -> Seq("scan", "slow"),
+    "p_slow_fast_table" -> Seq("slow", "fast", "table"))
+
+  /** EXACT phrase search — rank documents by occurrences of an ordered
+    * token phrase, the positional-postings capability next to the
+    * bag-of-words BM25 family. Matching is the classic
+    * positional-intersection: explode (doc, pos, token) postings, join
+    * the broadcast (phrase, offset, token) query table on token, and a
+    * phrase occurrence at `start` exists iff all plen distinct offsets
+    * land on start = pos − offset. Top-[[K]] docs per phrase by
+    * (occurrences DESC, doc_id), through the bounded top-k Aggregator —
+    * all integer, no window.
+    *
+    * Scale shape: one postings explode (map-side; at scale this is the
+    * once-per-generation positional index), the query table broadcast,
+    * and the (phrase, doc, start) aggregate map-side combined — rows
+    * bounded by matches of INDIVIDUAL terms, never doc×phrase. */
+  def phraseSearch(spark: SparkSession, dir: String): DataFrame =
+    phraseSearchOn(spark, Tables.documents(spark, dir))
+
+  /** Core over any (doc_id, text) frame — spec seam. */
+  private[graft] def phraseSearchOn(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val q = PhraseQueries
+      .flatMap { case (p, ts) => ts.zipWithIndex.map { case (t, i) => (p, i.toLong, t) } }
+      .toDF("phrase", "off", "token")
+    val plen = PhraseQueries.map { case (p, ts) => (p, ts.length.toLong) }
+      .toDF("phrase", "plen")
+    val posts = docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("token"))
+    // per (phrase, doc, start): one joined row per matched offset —
+    // count(*) IS the matched-offset count (a fixed (start, off) pins
+    // pos and token, so it can contribute at most one row)
+    val starts = posts.join(broadcast(q), "token")
+      .select(col("phrase"), col("doc_id"), (col("pos") - col("off")).as("start"))
+      .groupBy("phrase", "doc_id", "start")
+      .agg(count(lit(1)).as("k"))
+    val occ = starts.join(broadcast(plen), "phrase")
+      .filter(col("k") === col("plen") && col("start") >= 0L)
+      .groupBy("phrase", "doc_id")
+      .agg(count(lit(1)).as("n_occurrences"))
+    val topk = udaf(new graft.functions.TopKByLongScore(K))
+    occ.groupBy("phrase")
+      .agg(topk(col("doc_id"), col("n_occurrences")).as("top"))
+      .select(col("phrase"), posexplode(col("top")))
+      .select(col("phrase"), (col("pos") + lit(1)).as("rnk"),
+        col("col.vec_id").as("doc_id"), col("col.score").as("n_occurrences"))
+      .orderBy(col("phrase"), col("rnk"))
+  }
+
   /** Integer-BM25 top-5 documents per query over the corpus table —
     * scored against the memoized corpus index. */
   def bm25TopK(spark: SparkSession, dir: String): DataFrame =
@@ -805,6 +860,7 @@ object Retrieval {
     "text_ql_topk" -> ((s, d) => qlTopK(s, d)),
     "text_rrf_fusion" -> ((s, d) => rrfFusion(s, d)),
     "text_bm25_topk" -> ((s, d) => bm25TopK(s, d)),
+    "text_phrase_search" -> ((s, d) => phraseSearch(s, d)),
     "text_bm25_topk_persisted" -> ((s, d) => bm25TopKPersisted(s, d)),
     "text_prf_expansion" -> ((s, d) => prfExpansion(s, d)),
     "text_tfidf_topk" -> ((s, d) => tfidfTopK(s, d)))
@@ -863,6 +919,31 @@ object Retrieval {
        |FROM sc QUALIFY rnk <= $K ORDER BY query_id, rnk""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // same positional intersection: (phrase, off, token) VALUES table,
+    // start = pos - off, full-offset filter, row_number top-k
+    "text_phrase_search" -> {
+      val vals = PhraseQueries.flatMap { case (ph, ts) =>
+        ts.zipWithIndex.map { case (t, i) => s"('$ph', $i, '$t')" }
+      }.mkString(", ")
+      val lens = PhraseQueries.map { case (ph, ts) => s"('$ph', ${ts.length})" }
+        .mkString(", ")
+      s"""WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+         |p AS (SELECT doc_id, j::BIGINT - 1 AS pos, t[j] AS token
+         |  FROM toks, UNNEST(range(1, len(t) + 1)) AS u(j)),
+         |q AS (SELECT * FROM (VALUES $vals) v(phrase, off, token)),
+         |pl AS (SELECT * FROM (VALUES $lens) v(phrase, plen)),
+         |st AS (SELECT q.phrase, p.doc_id, p.pos - q.off AS start, count(*)::BIGINT AS k
+         |  FROM p JOIN q ON p.token = q.token GROUP BY 1, 2, 3),
+         |occ AS (SELECT st.phrase, st.doc_id, count(*)::BIGINT AS n_occurrences
+         |  FROM st JOIN pl ON pl.phrase = st.phrase
+         |  WHERE st.k = pl.plen AND st.start >= 0 GROUP BY 1, 2)
+         |SELECT phrase, rnk, doc_id, n_occurrences FROM (
+         |  SELECT phrase, doc_id, n_occurrences,
+         |    row_number() OVER (PARTITION BY phrase
+         |      ORDER BY n_occurrences DESC, doc_id)::BIGINT AS rnk
+         |  FROM occ)
+         |WHERE rnk <= $K ORDER BY phrase, rnk""".stripMargin
+    },
     // same ranked pool, same graded relevance, same ORDERED float
     // folds (list_reduce left fold ≡ Spark aggregate)
     "text_ndcg_eval" ->

@@ -181,4 +181,30 @@ class RetrievalSpec extends SparkSpec {
     assert(rows.exists(_.getLong(5) < 1000000L),
       "MAP saturated at 1.0 — relevance cut not discriminating")
   }
+
+  test("phrase search: ordered matching, overlapping occurrences, count-then-id ranking") {
+    import spark.implicits._
+    // p_table_value = "table value"; p_slow_fast_table = "slow fast table"
+    val docs = Seq(
+      (1L, "table value x table value y value table"), // 2 ordered occurrences; reverse not counted
+      (2L, "table table value"),                       // 1 (overlap-safe: starts 0 fails, 1 hits)
+      (3L, "value table value"),                       // 1 at pos 1
+      (4L, "table x value"),                           // gap: no match
+      (5L, "slow fast table value"),                   // 3-gram + a 2-gram occurrence
+      (6L, "fast table slow"))                         // pieces out of order: no 3-gram
+      .toDF("doc_id", "text")
+    val got = Retrieval.phraseSearchOn(spark, docs).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("doc_id")) ->
+        ((r.getAs[Int]("rnk"), r.getAs[Long]("n_occurrences")))).toMap
+    assert(got(("p_table_value", 1L)) == ((1, 2L)), "two ordered occurrences rank first")
+    assert(got(("p_table_value", 2L))._2 == 1L)
+    assert(got(("p_table_value", 3L))._2 == 1L)
+    assert(!got.contains(("p_table_value", 4L)), "a gapped pair must not match")
+    assert(got(("p_slow_fast_table", 5L)) == ((1, 1L)))
+    assert(!got.contains(("p_slow_fast_table", 6L)), "order matters")
+    // tie-break: equal counts rank by doc_id ascending
+    val ties = got.toSeq.filter(e => e._1._1 == "p_table_value" && e._2._2 == 1L)
+      .sortBy(_._2._1).map(_._1._2)
+    assert(ties == ties.sorted, "equal-count docs must rank by doc_id")
+  }
 }
