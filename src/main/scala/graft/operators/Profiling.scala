@@ -535,6 +535,57 @@ object Profiling {
     * the corpus (one map-side-combined count), the medians run over
     * per-type day-count lists bounded by the calendar, and both small
     * frames broadcast back onto the grid. */
+  /** Winsorization percentiles (lower/upper, in percent). */
+  val WinsorLoP = 5L
+  val WinsorHiP = 95L
+
+  /** Winsorization report — the outlier-CLIPPING complement of
+    * [[valueOutliers]]' z-score flagging: per event_type, the exact
+    * p05/p95 cents bounds and what clipping to them would change
+    * (rows clipped low/high, total absolute cents adjustment). The
+    * robust-preprocessing step feature pipelines run before any
+    * mean/variance statistic.
+    *
+    * Exact percentile WITHOUT sorting raw rows: per-(type, cents)
+    * counts collapse map-side to distinct-VALUE rows (bounded by the
+    * value domain, the profile_ks_drift trick), the running-sum window
+    * runs over that bounded frame, and the bound is the smallest cents
+    * whose cumulative count reaches target = (p·n + 99) div 100 —
+    * the tableStatsSketch target convention, all BIGINT.
+    *
+    * Scale shape: one map-side-combined (type, cents) aggregate, a
+    * window over domain-bounded rows, a broadcast of \|types\| bound
+    * rows back onto the same aggregate — raw events are scanned once
+    * and never sorted. */
+  def winsorizeReport(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = round(col("value") * 100, 0).cast("long")
+    val cnt = Tables.events(spark, dir)
+      .select(col("event_type"), cents.as("cents"))
+      .groupBy("event_type", "cents").agg(count(lit(1)).as("c"))
+    val cum = cnt.withColumn("cum",
+      sum(col("c")).over(Window.partitionBy("event_type").orderBy("cents")))
+    val tot = cnt.groupBy("event_type").agg(sum(col("c")).as("n"))
+    def bound(p: Long, name: String): DataFrame =
+      cum.join(broadcast(tot), "event_type")
+        .filter(col("cum") >= expr(s"($p * n + 99) div 100"))
+        .groupBy("event_type").agg(min(col("cents")).as(name))
+    val bounds = tot
+      .join(bound(WinsorLoP, "p_lo_cents"), "event_type")
+      .join(bound(WinsorHiP, "p_hi_cents"), "event_type")
+    cnt.join(broadcast(bounds), "event_type")
+      .groupBy(col("event_type"), col("n"), col("p_lo_cents"), col("p_hi_cents"))
+      .agg(
+        sum(when(col("cents") < col("p_lo_cents"), col("c")).otherwise(0L)).as("n_low"),
+        sum(when(col("cents") > col("p_hi_cents"), col("c")).otherwise(0L)).as("n_high"),
+        sum(when(col("cents") < col("p_lo_cents"),
+          col("c") * (col("p_lo_cents") - col("cents")))
+          .when(col("cents") > col("p_hi_cents"),
+            col("c") * (col("cents") - col("p_hi_cents")))
+          .otherwise(0L)).as("shift_cents"))
+      .orderBy("event_type")
+  }
+
   /** Benford milli-probabilities for digits 1–9, computed ONCE in
     * Scala and inlined as literals into BOTH engines (a last-bit
     * log10 divergence between libm and StrictMath can never enter). */
@@ -600,6 +651,7 @@ object Profiling {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qa_mad_outliers" -> ((s, d) => madOutliers(s, d)),
     "qa_benford_digits" -> ((s, d) => benfordDigits(s, d)),
+    "qa_winsorize" -> ((s, d) => winsorizeReport(s, d)),
     "qa_constraint_audit" -> ((s, d) => constraintAudit(s, d)),
     "profile_linreg" -> ((s, d) => linregSuffStats(s, d)),
     "profile_corr" -> ((s, d) => activityCorr(s, d)),
@@ -622,6 +674,29 @@ object Profiling {
   val oracle: Map[String, String] = Map(
     // same inlined Benford constants, same decimal-string first digit,
     // same truncating milli shares
+    // same domain-bounded distinct-value window, same (p·n+99)//100
+    // target, same clip accounting
+    "qa_winsorize" ->
+      s"""WITH c AS (SELECT event_type, round(value * 100)::BIGINT AS cents,
+         |    count(*)::BIGINT AS c FROM events GROUP BY 1, 2),
+         |cum AS (SELECT c.*, sum(c) OVER (PARTITION BY event_type
+         |    ORDER BY cents)::BIGINT AS cum FROM c),
+         |t AS (SELECT event_type, sum(c)::BIGINT AS n FROM c GROUP BY 1),
+         |lo AS (SELECT cum.event_type, min(cents) AS p_lo_cents
+         |  FROM cum JOIN t USING (event_type)
+         |  WHERE cum >= ($WinsorLoP * n + 99) // 100 GROUP BY 1),
+         |hi AS (SELECT cum.event_type, min(cents) AS p_hi_cents
+         |  FROM cum JOIN t USING (event_type)
+         |  WHERE cum >= ($WinsorHiP * n + 99) // 100 GROUP BY 1)
+         |SELECT c.event_type, t.n, lo.p_lo_cents, hi.p_hi_cents,
+         |  sum(CASE WHEN c.cents < lo.p_lo_cents THEN c.c ELSE 0 END)::BIGINT AS n_low,
+         |  sum(CASE WHEN c.cents > hi.p_hi_cents THEN c.c ELSE 0 END)::BIGINT AS n_high,
+         |  sum(CASE WHEN c.cents < lo.p_lo_cents THEN c.c * (lo.p_lo_cents - c.cents)
+         |    WHEN c.cents > hi.p_hi_cents THEN c.c * (c.cents - hi.p_hi_cents)
+         |    ELSE 0 END)::BIGINT AS shift_cents
+         |FROM c JOIN t USING (event_type) JOIN lo USING (event_type)
+         |  JOIN hi USING (event_type)
+         |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin,
     "qa_benford_digits" -> {
       val vals = BenfordMilli.map { case (d, m) => s"($d, $m)" }.mkString(", ")
       s"""WITH c AS (SELECT round(value * 100)::BIGINT AS cents FROM events

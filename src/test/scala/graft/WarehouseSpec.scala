@@ -149,6 +149,30 @@ class WarehouseSpec extends SparkSpec {
     assert(keys.length == keys.distinct.length)
   }
 
+  test("winsorize: bounds replay exact percentiles and clip counts respect the tails") {
+    val rows = Profiling.winsorizeReport(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    // driver-side exact replay per type
+    val byType = Tables.events(spark, sf0001)
+      .select(col("event_type"), round(col("value") * 100, 0).cast("long").as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toVector).toMap
+    rows.foreach { r =>
+      val t = r.getString(0); val vs = byType(t); val n = vs.length.toLong
+      assert(r.getAs[Long]("n") == n)
+      def pct(p: Long) = vs(((p * n + 99) / 100 - 1).toInt)
+      val (lo, hi) = (pct(Profiling.WinsorLoP), pct(Profiling.WinsorHiP))
+      assert(r.getAs[Long]("p_lo_cents") == lo && r.getAs[Long]("p_hi_cents") == hi,
+        s"$t: bounds ${r.getAs[Long]("p_lo_cents")}/${r.getAs[Long]("p_hi_cents")} vs $lo/$hi")
+      assert(r.getAs[Long]("n_low") == vs.count(_ < lo).toLong)
+      assert(r.getAs[Long]("n_high") == vs.count(_ > hi).toLong)
+      assert(r.getAs[Long]("shift_cents") ==
+        vs.filter(_ < lo).map(lo - _).sum + vs.filter(_ > hi).map(_ - hi).sum)
+      assert(lo <= hi && r.getAs[Long]("n_low") <= n / 20 + 1 &&
+        r.getAs[Long]("n_high") <= n / 20 + 1)
+    }
+  }
+
   test("Benford audit: full digit grid, exact recon, law constants well-formed") {
     // the inlined constants ARE the law: strictly decreasing, ~1 total
     val law = Profiling.BenfordMilli
