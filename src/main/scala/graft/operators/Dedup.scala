@@ -698,6 +698,90 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Incremental CDC-chunk dedup — the chunk family's ingest form: each
+    * arriving-batch doc scored against the STANDING CORPUS's chunk-hash
+    * set only (batch docs never dilute each other), one row per batch
+    * doc with the same accounting as [[cdcDedup]]. The corpus side is a
+    * distinct-chash frame; an ingest shuffles only the batch's chunks. */
+  def incrementalCdcDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val corpusH = cdcChunksOn(docs.filter(drillCorpusFilter))
+      .select(col("chash")).distinct()
+    cdcVerdict(cdcChunksOn(
+      docs.filter(pmod(col("doc_id"), lit(IncrementalBatchMod)) === 0)), corpusH)
+  }
+
+  /** Batch chunks vs a corpus chash set → per-batch-doc accounting. */
+  private def cdcVerdict(batchChunks: DataFrame, corpusH: DataFrame): DataFrame =
+    batchChunks
+      .join(corpusH.select(col("chash"), lit(true).as("isdup")), Seq("chash"), "left")
+      .groupBy(col("doc_id"), col("n_tokens"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("isdup"), 1L).otherwise(0L)).as("n_dup_chunks"),
+        sum(when(col("isdup"), col("e") - col("s")).otherwise(0L)).as("dup_tokens"))
+      .withColumn("dup_milli",
+        when(col("n_tokens") === 0L, 0L)
+          .otherwise(expr("dup_tokens * 1000 div n_tokens")))
+      .select(col("doc_id"), col("n_tokens"), col("n_chunks"),
+        col("n_dup_chunks"), col("dup_tokens"), col("dup_milli"))
+      .orderBy(col("doc_id"))
+
+  /** Write-once-per-generation CDC chunk index: the corpus's DISTINCT
+    * chunk hashes as a bucketed table — chash-grain, no doc sets
+    * (chunk membership is all the probe needs), so merge idempotency
+    * is a plain anti-join on chash. */
+  private[graft] def ensureCdcIndex(spark: SparkSession, dir: String,
+      tag: String = "", corpusFilter: Column = lit(true)): String = {
+    val sfx = IndexStore.suffix(dir, tag, corpusFilter)
+    val hashT = s"graft_cdc_idx_$sfx"
+    idxLock(s"cdc_$sfx").synchronized {
+      if (!spark.catalog.tableExists(hashT)) {
+        cdcChunksOn(Tables.documents(spark, dir).filter(corpusFilter)
+          .select(col("doc_id"), col("text")))
+          .select(col("chash")).distinct()
+          .repartition(IndexBuckets, col("chash"))
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(IndexBuckets, "chash")
+          .sortBy("chash")
+          .option("path", s"$indexRoot/cdc_$sfx")
+          .saveAsTable(hashT)
+      }
+    }
+    hashT
+  }
+
+  /** Fold an accepted batch's chunk hashes into the standing CDC index
+    * — anti-join on chash makes the append idempotent under
+    * at-least-once replay (chash-grain: re-admitting a doc whose
+    * chunks are all present appends nothing). */
+  private[graft] def mergeBatchIntoCdcIndex(spark: SparkSession,
+      dir: String, batchDocs: DataFrame, tag: String = "",
+      corpusFilter: Column = lit(true)): Unit = {
+    val hashT = ensureCdcIndex(spark, dir, tag, corpusFilter)
+    idxLock(s"cdc_${IndexStore.suffix(dir, tag, corpusFilter)}").synchronized {
+      val novel = cdcChunksOn(batchDocs.dropDuplicates("doc_id")
+        .select(col("doc_id"), col("text")))
+        .select(col("chash")).distinct()
+        .join(spark.table(hashT), Seq("chash"), "left_anti")
+        .localCheckpoint() // staged: the insert must not read its target
+      novel.repartition(IndexBuckets, col("chash"))
+        .write.mode("append").format("parquet").insertInto(hashT)
+      spark.catalog.refreshTable(hashT)
+    }
+  }
+
+  /** [[incrementalCdcDedup]] served from the persisted chunk index —
+    * the probe shuffles only the batch's chunks into the index's
+    * bucket layout; shares the recompute twin's oracle verbatim. */
+  def incrementalCdcDedupPersisted(spark: SparkSession, dir: String): DataFrame = {
+    val hashT = ensureCdcIndex(spark, dir, corpusFilter = drillCorpusFilter)
+    cdcVerdict(cdcChunksOn(
+      Tables.documents(spark, dir)
+        .filter(pmod(col("doc_id"), lit(IncrementalBatchMod)) === 0)
+        .select(col("doc_id"), col("text"))),
+      spark.table(hashT))
+  }
+
   // -------------------------------------------- cross-doc span duplication
 
   /** Cross-document duplicated-span fraction — the INTER-document twin
@@ -2100,6 +2184,9 @@ object Dedup {
     "decontam_overlap" -> ((s, d) => decontamOverlap(s, d)),
     "dedup_span_frac" -> ((s, d) => crossDocSpanStats(s, d)),
     "dedup_cdc_chunks" -> ((s, d) => cdcDedup(s, d)),
+    "dedup_cdc_incremental" -> ((s, d) => incrementalCdcDedup(s, d)),
+    "dedup_cdc_incremental_persisted" ->
+      ((s, d) => incrementalCdcDedupPersisted(s, d)),
     "dedup_span_removal" -> ((s, d) => spanRemoval(s, d)),
     "dedup_span_scrub" -> ((s, d) => spanScrub(s, d)),
     "dedup_span_savings" -> ((s, d) => spanSavings(s, d)),
@@ -2211,6 +2298,43 @@ object Dedup {
 
   /** Full span-dedup oracle chain: spans → cross-doc duplicate codes
     * with their packed-min keeper → merged removal intervals. */
+  /** Shared CDC oracle CTE chain ending in the per-chunk frame `ch`
+    * (doc_id, n_tokens, chunk_idx, s, e, chash) over ALL documents. */
+  private val cdcChunkCtes: String =
+    s"""toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+       |sp AS (SELECT doc_id, j::BIGINT - 1 AS pos,
+       |    list_reduce(list_prepend(0::BIGINT,
+       |        list_transform(string_split(
+       |          list_reduce(t[j:j+${CdcK - 1}], (a, b) -> a || ' ' || b), ''),
+       |          c -> ascii(c)::BIGINT)),
+       |      (a, c) -> (a * 31 + c) % 2147483647) AS h
+       |  FROM toks, UNNEST(range(1, len(t) - $CdcK + 2)) AS u(j)
+       |  WHERE len(t) >= $CdcK),
+       |cuts AS (SELECT doc_id, pos FROM sp WHERE pos > 0 AND h % $CdcD = 0),
+       |bnd AS (SELECT doc_id, list_sort(list(pos)) AS cs FROM cuts GROUP BY 1),
+       |db AS (SELECT t.doc_id, t.t,
+       |    list_prepend(0::BIGINT, coalesce(b.cs, []::BIGINT[])) AS starts
+       |  FROM toks t LEFT JOIN bnd b USING (doc_id)),
+       |ch AS (SELECT doc_id, len(t)::BIGINT AS n_tokens, i::BIGINT - 1 AS chunk_idx,
+       |    starts[i] AS s,
+       |    CASE WHEN i < len(starts) THEN starts[i+1] ELSE len(t)::BIGINT END AS e,
+       |    md5(array_to_string(
+       |      t[(starts[i] + 1)::INT:(CASE WHEN i < len(starts) THEN starts[i+1]
+       |        ELSE len(t)::BIGINT END)::INT], ' ')) AS chash
+       |  FROM db, UNNEST(range(1, len(starts) + 1)) AS u(i))""".stripMargin
+
+  private val cdcIncrementalSql: String =
+    s"""WITH $cdcChunkCtes,
+       |cor AS (SELECT DISTINCT chash FROM ch WHERE doc_id % $IncrementalBatchMod <> 0),
+       |bat AS (SELECT * FROM ch WHERE doc_id % $IncrementalBatchMod = 0),
+       |per AS (SELECT b.doc_id, b.n_tokens, count(*)::BIGINT AS n_chunks,
+       |    sum(CASE WHEN cor.chash IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_dup_chunks,
+       |    sum(CASE WHEN cor.chash IS NOT NULL THEN b.e - b.s ELSE 0 END)::BIGINT AS dup_tokens
+       |  FROM bat b LEFT JOIN cor ON cor.chash = b.chash GROUP BY 1, 2)
+       |SELECT doc_id, n_tokens, n_chunks, n_dup_chunks, dup_tokens,
+       |  CASE WHEN n_tokens = 0 THEN 0 ELSE (dup_tokens * 1000) // n_tokens END AS dup_milli
+       |FROM per ORDER BY doc_id""".stripMargin
+
   private[operators] val spanIvCte =
     s"""$spanSpCte,
        |dup AS (SELECT code, min(doc_id * $SpanPosShift + pos) AS keeper
@@ -2508,27 +2632,7 @@ object Dedup {
     // positional CdcK-gram hashes (the winnow idiom), mod-D cuts,
     // chunk rebuild by list slicing, cross-doc min<>max on the chunk md5
     "dedup_cdc_chunks" ->
-      s"""WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
-         |sp AS (SELECT doc_id, j::BIGINT - 1 AS pos,
-         |    list_reduce(list_prepend(0::BIGINT,
-         |        list_transform(string_split(
-         |          list_reduce(t[j:j+${CdcK - 1}], (a, b) -> a || ' ' || b), ''),
-         |          c -> ascii(c)::BIGINT)),
-         |      (a, c) -> (a * 31 + c) % 2147483647) AS h
-         |  FROM toks, UNNEST(range(1, len(t) - $CdcK + 2)) AS u(j)
-         |  WHERE len(t) >= $CdcK),
-         |cuts AS (SELECT doc_id, pos FROM sp WHERE pos > 0 AND h % $CdcD = 0),
-         |bnd AS (SELECT doc_id, list_sort(list(pos)) AS cs FROM cuts GROUP BY 1),
-         |db AS (SELECT t.doc_id, t.t,
-         |    list_prepend(0::BIGINT, coalesce(b.cs, []::BIGINT[])) AS starts
-         |  FROM toks t LEFT JOIN bnd b USING (doc_id)),
-         |ch AS (SELECT doc_id, len(t)::BIGINT AS n_tokens, i::BIGINT - 1 AS chunk_idx,
-         |    starts[i] AS s,
-         |    CASE WHEN i < len(starts) THEN starts[i+1] ELSE len(t)::BIGINT END AS e,
-         |    md5(array_to_string(
-         |      t[(starts[i] + 1)::INT:(CASE WHEN i < len(starts) THEN starts[i+1]
-         |        ELSE len(t)::BIGINT END)::INT], ' ')) AS chash
-         |  FROM db, UNNEST(range(1, len(starts) + 1)) AS u(i)),
+      s"""WITH $cdcChunkCtes,
          |dup AS (SELECT chash FROM ch GROUP BY chash HAVING min(doc_id) <> max(doc_id)),
          |per AS (SELECT c.doc_id, c.n_tokens, count(*)::BIGINT AS n_chunks,
          |    sum(CASE WHEN d.chash IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_dup_chunks,
@@ -2537,6 +2641,11 @@ object Dedup {
          |SELECT doc_id, n_tokens, n_chunks, n_dup_chunks, dup_tokens,
          |  CASE WHEN n_tokens = 0 THEN 0 ELSE (dup_tokens * 1000) // n_tokens END AS dup_milli
          |FROM per ORDER BY doc_id""".stripMargin,
+    // the chunk CTEs restricted to the drill split: corpus chashes
+    // distinct, batch chunks scored against them only — the SAME sql
+    // serves the recompute and persisted twins
+    "dedup_cdc_incremental" -> cdcIncrementalSql,
+    "dedup_cdc_incremental_persisted" -> cdcIncrementalSql,
     "dedup_span_frac" ->
       s"""WITH $shingleCte,
          |shz AS (SELECT doc_id, codes, sz FROM sh WHERE sz > 0),

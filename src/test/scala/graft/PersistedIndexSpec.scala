@@ -357,4 +357,33 @@ class PersistedIndexSpec extends SparkSpec {
     assert(spark.table(setsT).count() == expectSets,
       "superset replay did not admit exactly the novel docs")
   }
+
+  test("cdc chunk family: persisted twin identical, merge equals rebuild and replays idempotently") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    def rows(df: DataFrame): Set[String] =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSet
+    // persisted probe == recompute twin
+    assert(rows(Dedup.incrementalCdcDedupPersisted(spark, sf0001)) ==
+      rows(Dedup.incrementalCdcDedup(spark, sf0001)),
+      "persisted CDC verdict diverged from the recompute path")
+
+    // merged index == full rebuild; replay appends nothing
+    val hashT = Dedup.ensureCdcIndex(spark, sf0001,
+      tag = "cdcmergedrill", corpusFilter = Dedup.drillCorpusFilter)
+    val batch = Tables.documents(spark, sf0001)
+      .filter(pmod(col("doc_id"), lit(Dedup.IncrementalBatchMod)) === 0)
+      .select(col("doc_id"), col("text"))
+    Dedup.mergeBatchIntoCdcIndex(spark, sf0001, batch,
+      tag = "cdcmergedrill", corpusFilter = Dedup.drillCorpusFilter)
+    val once = spark.table(hashT).count()
+    val allH = Dedup.cdcChunksOn(
+      Tables.documents(spark, sf0001).select(col("doc_id"), col("text")))
+      .select(col("chash")).distinct()
+    assert(rows(spark.table(hashT)) == rows(allH),
+      "merged CDC index != full-corpus distinct chash set")
+    Dedup.mergeBatchIntoCdcIndex(spark, sf0001, batch,
+      tag = "cdcmergedrill", corpusFilter = Dedup.drillCorpusFilter)
+    assert(spark.table(hashT).count() == once,
+      "replaying an admitted batch must append nothing (chash-grain anti-join)")
+  }
 }
