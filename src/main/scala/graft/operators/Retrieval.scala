@@ -96,6 +96,51 @@ object Retrieval {
       .orderBy(col("phrase"), col("rnk"))
   }
 
+  /** Proximity window (tokens, inclusive) and the fixed term-pair
+    * workload for [[proximitySearch]]. */
+  val ProxW = 5L
+  val ProxQueries: Seq[(String, (String, String))] = Seq(
+    "x_hash_join" -> (("hash", "join")),
+    "x_slow_filter" -> (("slow", "filter")),
+    "x_stream_key" -> (("stream", "key")))
+
+  /** PROXIMITY search — rank documents by how often a term PAIR
+    * co-occurs within [[ProxW]] tokens (unordered), the relevance
+    * signal between bag-of-words (any distance) and [[phraseSearch]]
+    * (exact adjacency). n_near = count of (posₐ, pos_b) position pairs
+    * with |posₐ − pos_b| ≤ W — exact integers, top-[[K]] docs per pair
+    * by (n_near DESC, doc_id) through the bounded Aggregator.
+    *
+    * Scale shape: two postings slices joined per doc (bounded by the
+    * individual terms' occurrence counts — the band filter prunes at
+    * the join), query pairs broadcast, no window. */
+  def proximitySearch(spark: SparkSession, dir: String): DataFrame =
+    proximitySearchOn(spark, Tables.documents(spark, dir))
+
+  private[graft] def proximitySearchOn(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val qa = ProxQueries.map { case (q, (a, _)) => (q, a) }.toDF("pair", "token")
+    val qb = ProxQueries.map { case (q, (_, b)) => (q, b) }.toDF("pair", "token")
+    val posts = docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("token"))
+    val a = posts.join(broadcast(qa), "token")
+      .select(col("pair"), col("doc_id"), col("pos").as("pa"))
+    val b = posts.join(broadcast(qb), "token")
+      .select(col("pair"), col("doc_id"), col("pos").as("pb"))
+    val near = a.join(b, Seq("pair", "doc_id"))
+      .filter(abs(col("pa") - col("pb")) <= lit(ProxW))
+      .groupBy("pair", "doc_id")
+      .agg(count(lit(1)).as("n_near"))
+    val topk = udaf(new graft.functions.TopKByLongScore(K))
+    near.groupBy("pair")
+      .agg(topk(col("doc_id"), col("n_near")).as("top"))
+      .select(col("pair"), posexplode(col("top")))
+      .select(col("pair"), (col("pos") + lit(1)).as("rnk"),
+        col("col.vec_id").as("doc_id"), col("col.score").as("n_near"))
+      .orderBy(col("pair"), col("rnk"))
+  }
+
   /** Integer-BM25 top-5 documents per query over the corpus table —
     * scored against the memoized corpus index. */
   def bm25TopK(spark: SparkSession, dir: String): DataFrame =
@@ -861,6 +906,7 @@ object Retrieval {
     "text_rrf_fusion" -> ((s, d) => rrfFusion(s, d)),
     "text_bm25_topk" -> ((s, d) => bm25TopK(s, d)),
     "text_phrase_search" -> ((s, d) => phraseSearch(s, d)),
+    "text_proximity_search" -> ((s, d) => proximitySearch(s, d)),
     "text_bm25_topk_persisted" -> ((s, d) => bm25TopKPersisted(s, d)),
     "text_prf_expansion" -> ((s, d) => prfExpansion(s, d)),
     "text_tfidf_topk" -> ((s, d) => tfidfTopK(s, d)))
@@ -919,6 +965,27 @@ object Retrieval {
        |FROM sc QUALIFY rnk <= $K ORDER BY query_id, rnk""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // two postings slices banded at |pa - pb| <= W, row_number top-k
+    "text_proximity_search" -> {
+      val va = ProxQueries.map { case (q, (a, _)) => s"('$q', '$a')" }.mkString(", ")
+      val vb = ProxQueries.map { case (q, (_, b)) => s"('$q', '$b')" }.mkString(", ")
+      s"""WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+         |p AS (SELECT doc_id, j::BIGINT - 1 AS pos, t[j] AS token
+         |  FROM toks, UNNEST(range(1, len(t) + 1)) AS u(j)),
+         |qa AS (SELECT * FROM (VALUES $va) v(pair, token)),
+         |qb AS (SELECT * FROM (VALUES $vb) v(pair, token)),
+         |a AS (SELECT qa.pair, p.doc_id, p.pos AS pa FROM p JOIN qa ON p.token = qa.token),
+         |b AS (SELECT qb.pair, p.doc_id, p.pos AS pb FROM p JOIN qb ON p.token = qb.token),
+         |near AS (SELECT a.pair, a.doc_id, count(*)::BIGINT AS n_near
+         |  FROM a JOIN b ON b.pair = a.pair AND b.doc_id = a.doc_id
+         |  WHERE abs(a.pa - b.pb) <= $ProxW GROUP BY 1, 2)
+         |SELECT pair, rnk, doc_id, n_near FROM (
+         |  SELECT pair, doc_id, n_near,
+         |    row_number() OVER (PARTITION BY pair
+         |      ORDER BY n_near DESC, doc_id)::BIGINT AS rnk
+         |  FROM near)
+         |WHERE rnk <= $K ORDER BY pair, rnk""".stripMargin
+    },
     // same positional intersection: (phrase, off, token) VALUES table,
     // start = pos - off, full-offset filter, row_number top-k
     "text_phrase_search" -> {

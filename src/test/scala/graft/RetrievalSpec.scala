@@ -182,6 +182,22 @@ class RetrievalSpec extends SparkSpec {
       "MAP saturated at 1.0 — relevance cut not discriminating")
   }
 
+  test("proximity search: window edges inclusive, unordered, pair counting exact") {
+    import spark.implicits._
+    // x_hash_join = (hash, join), W = 5
+    val docs = Seq(
+      (1L, "hash a b c d join"),        // distance 5: inclusive edge counts
+      (2L, "hash a b c d e join"),      // distance 6: outside
+      (3L, "join x hash"),              // unordered: distance 2 counts
+      (4L, "hash join hash"),           // pairs: (0,1) and (2,1) -> 2
+      (5L, "hash only here"))           // missing partner: no row
+      .toDF("doc_id", "text")
+    val got = Retrieval.proximitySearchOn(spark, docs).collect()
+      .filter(_.getString(0) == "x_hash_join")
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_near")).toMap
+    assert(got == Map(1L -> 1L, 3L -> 1L, 4L -> 2L), s"got $got")
+  }
+
   test("phrase search: ordered matching, overlapping occurrences, count-then-id ranking") {
     import spark.implicits._
     // p_table_value = "table value"; p_slow_fast_table = "slow fast table"
