@@ -39,6 +39,14 @@ final case class AbDelta(variant: String, d_users: Long, d_conv: Long)
   * yet. Two booleans per user — O(1) state per key, forever. */
 final case class AbSeen(counted: Boolean, converted: Boolean)
 
+/** One (event_type, ISO day) arrival for the streaming Holt fold. */
+final case class TypedDay(event_type: String, day: String)
+
+/** Streaming Holt state per event_type: the open day's count plus the
+  * carried (level, trend) — O(1) per key, forever. */
+final case class HoltCarry(day: String, n: Long, level: Long, trend: Long,
+    seeded: Boolean, open: Boolean)
+
 object StreamingBehavior {
 
   /** The scalar replay of `Behavior`'s md5 variant split (first hex
@@ -74,6 +82,53 @@ object StreamingBehavior {
           state.update(AbSeen(counted = true, converted = s0.converted || sawConv))
           if (dU == 0L && dC == 0L) Iterator.empty
           else Iterator(AbDelta(abVariant(uid), dU, dC))
+      }
+  }
+
+  /** Streaming twin of `Behavior.holtDaily` — the live capacity
+    * forecaster. Keyed per event_type, the state is exactly the OPEN
+    * day (day, running count) plus the Holt (level, trend, seeded)
+    * carried from closed days; a day CLOSES when a later day's first
+    * row arrives, emitting one `HoltPoint` with the identical integer
+    * fold the batch op runs (seed, then l += b + δ div 4,
+    * b += (δ div 4) div 8). Emissions are append-only day-close
+    * facts; the still-open day emits nothing until a later day closes
+    * it — so on an in-order replay the emitted rows equal batch
+    * `holtDaily` MINUS each type's final (open) day, pinned by spec.
+    * Ordering contract: per-type day order across triggers, the same
+    * in-order assumption as [[transitionEdges]] (within a trigger the
+    * sort repairs arrival order; a cross-trigger straggler folds into
+    * the open day). */
+  def holtDayCloses(ev: Dataset[TypedDay]): Dataset[graft.operators.Behavior.HoltPoint] = {
+    import ev.sparkSession.implicits._
+    ev.groupByKey(_.event_type)
+      .flatMapGroupsWithState[HoltCarry, graft.operators.Behavior.HoltPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (t: String, rows: Iterator[TypedDay], state: GroupState[HoltCarry]) =>
+          var st = state.getOption.getOrElse(
+            HoltCarry("", 0L, 0L, 0L, seeded = false, open = false))
+          val out = Array.newBuilder[graft.operators.Behavior.HoltPoint]
+          def close(): Unit = {
+            if (st.open) {
+              val (l, b) =
+                if (!st.seeded) (st.n, 0L)
+                else {
+                  val dd = st.n - st.level - st.trend
+                  (st.level + st.trend + dd / 4, st.trend + (dd / 4) / 8)
+                }
+              out += graft.operators.Behavior.HoltPoint(
+                t, st.day, st.n, l, b, l + 7 * b)
+              st = HoltCarry(st.day, 0L, l, b, seeded = true, open = false)
+            }
+          }
+          rows.toArray.sortBy(_.day).foreach { r =>
+            if (!st.open) st = st.copy(day = r.day, n = 1L, open = true)
+            else if (r.day > st.day) {
+              close(); st = st.copy(day = r.day, n = 1L, open = true)
+            } else st = st.copy(n = st.n + 1L) // same day, or late: fold in
+          }
+          state.update(st)
+          out.result().iterator
       }
   }
 

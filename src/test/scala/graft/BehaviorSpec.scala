@@ -324,6 +324,48 @@ class BehaviorSpec extends SparkSpec {
     assert(got.values.sum <= 1000000L && got.values.forall(_ >= 0L))
   }
 
+  test("streaming Holt emits batch-identical rows for every closed day under chopping") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{date_format, to_date}
+    import graft.streaming.{StreamingBehavior, TypedDay}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val arrivals = Tables.events(spark, sf0001)
+      .select(col("event_type"),
+        date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"))
+      .collect().map(r => TypedDay(r.getString(0), r.getString(1)))
+      .sortBy(_.day) // in-order feed (the op's documented contract)
+    val input = MemoryStream[TypedDay]
+    val emitted = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, Long, Long, Long, Long)]
+    val q = StreamingBehavior.holtDayCloses(input.toDS())
+      .writeStream.outputMode("append")
+      .foreachBatch {
+        (df: org.apache.spark.sql.Dataset[graft.operators.Behavior.HoltPoint], _: Long) =>
+          emitted.synchronized {
+            emitted ++= df.collect().map(h =>
+              (h.event_type, h.day, h.n, h.level, h.trend, h.forecast7))
+          }
+          ()
+      }.start()
+    try {
+      val (a, rest) = arrivals.splitAt(arrivals.length / 3)
+      val (b, c) = rest.splitAt(rest.length / 2)
+      input.addData(a); q.processAllAvailable()
+      input.addData(b); q.processAllAvailable()
+      input.addData(c); q.processAllAvailable()
+    } finally q.stop()
+    val batch = Behavior.holtDaily(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    // the stream has emitted every CLOSED day: batch minus each
+    // type's final (still-open) day
+    val lastDay = batch.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val expected = batch.filterNot(r => r._2 == lastDay(r._1)).toSet
+    assert(emitted.toSet == expected,
+      s"streaming day-closes diverged: ${emitted.size} vs ${expected.size}")
+    assert(expected.nonEmpty)
+  }
+
   test("pattern negation: strict-band error counting flips clean, boundaries excluded") {
     import spark.implicits._
     val log = Seq(
