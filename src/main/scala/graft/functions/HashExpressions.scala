@@ -278,6 +278,105 @@ object HashOps {
     org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(arr)
   }
 
+  /** Winnowing fingerprint selection over POSITIONAL span hashes (the
+    * [[spanHashes]] output): for every window start j in
+    * [0, max(np − w, 0)], the minimum packed key h(i)·posEnc + i over
+    * the ≤ w spans i ∈ [j, min(j+w, np)), distinct, in first-win order.
+    * The loop form of the Window-function formulation Dedup's
+    * winnowSelectedOn used through r15 (min over rowsBetween(0, w−1),
+    * filtered to full-window starts, then DISTINCT) — bit-identical
+    * selected set, but computed per row inside the scan projection, so
+    * the selection costs ZERO exchanges where the window form paid a
+    * doc_id hash shuffle + per-doc sort + a distinct shuffle. */
+  def winnowSelect(codes: ArrayData, w: Int, posEnc: Long): ArrayData = {
+    val np = codes.numElements()
+    if (np == 0)
+      return org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array.emptyLongArray)
+    val jMax = math.max(np - w, 0)
+    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    var j = 0
+    while (j <= jMax) {
+      val end = math.min(j + w, np)
+      var m = Long.MaxValue
+      var i = j
+      while (i < end) {
+        val key = codes.getLong(i) * posEnc + i
+        if (key < m) m = key
+        i += 1
+      }
+      out.add(m)
+      j += 1
+    }
+    val arr = new Array[Long](out.size)
+    val it = out.iterator()
+    var i = 0
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(arr)
+  }
+
+  /** |set(a) ∩ set(b)| over two long arrays via one open-addressed
+    * probe table — the loop form of `size(array_intersect(a, b))` on
+    * the set-valued code arrays every dedup verification scores
+    * (shingle code arrays are distinct by construction, so the
+    * distinct-intersection count IS the array_intersect size).
+    * array_intersect builds a hash set AND materializes the matched
+    * elements as a new array per row-pair; verification only needs the
+    * COUNT, and the candidate joins evaluate this once per candidate
+    * pair — the hottest scalar in the dedup tier. Matched slots are
+    * consumed so duplicate elements on either side can never
+    * double-count (exactly array_intersect's distinct semantics). */
+  def commonCount(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na == 0 || nb == 0) return 0L
+    val (small, large, ns, nl) =
+      if (na <= nb) (a, b, na, nb) else (b, a, nb, na)
+    var cap = 4
+    while (cap < ns * 2) cap <<= 1
+    val mask = cap - 1
+    val keys = new Array[Long](cap)
+    val used = new Array[Boolean](cap)
+    val counted = new Array[Boolean](cap)
+    var i = 0
+    while (i < ns) {
+      val x = small.getLong(i)
+      // Stafford mix13 finalizer — well-distributed slots for the
+      // polynomial-hash codes (which share low-entropy low bits)
+      var h = x
+      h = (h ^ (h >>> 30)) * 0xbf58476d1ce4e5b9L
+      h = (h ^ (h >>> 27)) * 0x94d049bb133111ebL
+      var s = ((h ^ (h >>> 31)).toInt) & mask
+      var done = false
+      while (!done) {
+        if (!used(s)) { keys(s) = x; used(s) = true; done = true }
+        else if (keys(s) == x) done = true // duplicate in small: one slot
+        else s = (s + 1) & mask
+      }
+      i += 1
+    }
+    var count = 0L
+    i = 0
+    while (i < nl) {
+      val x = large.getLong(i)
+      var h = x
+      h = (h ^ (h >>> 30)) * 0xbf58476d1ce4e5b9L
+      h = (h ^ (h >>> 27)) * 0x94d049bb133111ebL
+      var s = ((h ^ (h >>> 31)).toInt) & mask
+      var done = false
+      while (!done) {
+        if (!used(s)) done = true // not present
+        else if (keys(s) == x) {
+          // count each distinct value once — a duplicate in `large`
+          // finds the slot already marked and adds nothing
+          if (!counted(s)) { counted(s) = true; count += 1 }
+          done = true
+        } else s = (s + 1) & mask
+      }
+      i += 1
+    }
+    count
+  }
+
   /** k-entry MinHash signature in one pass over the code set — the loop
     * form of k× TextFunctions.minHash: sig(i) = min over x of
     * ((2i+1)·x + 104729·i + 12345) mod P. */
@@ -691,6 +790,60 @@ case class SpanHashes(child: Expression, n: Int, mult: Long, init: Long)
 
   override protected def withNewChildInternal(newChild: Expression): SpanHashes =
     copy(child = newChild)
+}
+
+/** winnow_select(array<long>): distinct winnowing-selected packed keys
+  * (h·posEnc + pos) over positional span hashes — the fused scan-side
+  * form of the window-min + distinct selection (see
+  * [[HashOps.winnowSelect]]). */
+case class WinnowSelect(child: Expression, w: Int, posEnc: Long)
+    extends UnaryExpression {
+  override def prettyName: String = "winnow_select"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got ${t.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashOps.winnowSelect(input.asInstanceOf[ArrayData], w, posEnc)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashOps.winnowSelect($c, $w, ${posEnc}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowSelect =
+    copy(child = newChild)
+}
+
+/** common_count(array<long>, array<long>): |set(a) ∩ set(b)| — the
+  * count-only form of size(array_intersect(a, b)) over set-valued
+  * arrays (see [[HashOps.commonCount]]). */
+case class CommonCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def prettyName: String = "common_count"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<bigint>, got ${l.catalogString}, ${r.catalogString}")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashOps.commonCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.HashOps.commonCount($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CommonCount =
+    copy(left = newLeft, right = newRight)
 }
 
 /** minhash_sig(array<long>): k-permutation MinHash signature. */

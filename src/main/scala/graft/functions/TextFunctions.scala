@@ -143,6 +143,24 @@ object TextFunctions {
     org.apache.spark.sql.graft.ColumnBridge.column(
       SpanHashes(org.apache.spark.sql.graft.ColumnBridge.expression(text), n, 31L, 0L))
 
+  /** Winnowing-selected packed fingerprint keys (native WinnowSelect
+    * expression) over a positional span-hash array: distinct
+    * min-by-(hash, leftmost-position) packed keys h·posEnc + pos, one
+    * per k-gram window — the selection step fused into the scan
+    * projection (zero exchanges) instead of a per-doc window sort. */
+  def winnowKeys(spanCodes: Column, w: Int, posEnc: Long): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      WinnowSelect(org.apache.spark.sql.graft.ColumnBridge.expression(spanCodes), w, posEnc))
+
+  /** |set(a) ∩ set(b)| (native CommonCount expression) — the count-only
+    * form of size(array_intersect(a, b)) the dedup verifications score;
+    * identical value on the set-valued code arrays, no intersection
+    * array materialized per candidate pair. */
+  def commonCount(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      CommonCount(org.apache.spark.sql.graft.ColumnBridge.expression(a),
+        org.apache.spark.sql.graft.ColumnBridge.expression(b)))
+
   /** Non-oracle production variant: 64-bit xxhash64 shingles (codegen'd,
     * engine-native). Use when DuckDB parity is not needed. */
   def shingleCodes64(text: Column, n: Int): Column =

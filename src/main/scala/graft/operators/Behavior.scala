@@ -236,26 +236,44 @@ object Behavior {
     val ev = Tables.events(spark, dir)
       .select(col("user_id"), col("event_id"), col("event_type"),
         unix_micros(col("ts")).as("tus"))
-    val c = ev.withColumn("src_type", lag(col("event_type"), 1).over(w))
-      .filter(col("src_type").isNotNull)
+    // ONE distributed pass over the log: the lag window + the
+    // (src, dst) count matrix, KEEPING null-src rows (each user's
+    // first event) so the dst column alone carries the full type
+    // inventory — the r15 form ran a second events scan just for
+    // `types`. The matrix is ≤ |types|² + |types| rows — the TYPE
+    // inventory squared, not the log — which is the repo's standing
+    // bounded-driver-pull class (k centroids, ≤1001-row sketches), so
+    // the four power-iteration rounds run as a local exact-integer
+    // loop instead of 8 tiny-frame shuffle jobs (r15 plan: 9
+    // exchanges; r16: 2 — the lag window and the count matrix). The
+    // per-term truncating division and the order-independent integer
+    // sums are bit-identical to the joined form; the bound is
+    // ENFORCED, not assumed.
+    val cm = ev.withColumn("src_type", lag(col("event_type"), 1).over(w))
       .groupBy(col("src_type"), col("event_type").as("dst_type"))
       .agg(count(lit(1)).as("n"))
-      .localCheckpoint() // 4 iterations re-read |types|² rows, not the log
-    val t = c.groupBy("src_type").agg(sum("n").as("total"))
-    val types = ev.select(col("event_type")).distinct()
-    var pi = types.crossJoin(broadcast(types.agg(count(lit(1)).as("k"))))
-      .select(col("event_type").as("t"), expr("1000000L div k").as("v"))
+      .collect()
+    require(cm.length <= 100000,
+      s"markovStationary: transition matrix ${cm.length} rows — the type " +
+        "inventory is expected to be small; promote the iteration back to " +
+        "joins before running on an unbounded type domain")
+    val trans = cm.filter(!_.isNullAt(0))
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val types = cm.map(_.getString(1)).distinct.sorted
+    val total = trans.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val k = types.length.toLong
+    var pi: Map[String, Long] = types.map(t => t -> 1000000L / k).toMap
     for (_ <- 1 to MarkovIters) {
-      pi = pi.join(c, pi("t") === c("src_type"))
-        .join(t, "src_type")
-        .select(col("dst_type"),
-          expr("v * n div total").as("m"))
-        .groupBy(col("dst_type"))
-        .agg(sum(col("m")).as("v"))
-        .select(col("dst_type").as("t"), col("v"))
+      // π′(dst) = Σ_src π(src)·n(src,dst) div total(src): a dst gets a
+      // row iff some π-carrying src transitions into it (join
+      // semantics), even when every term truncates to zero
+      val next = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      for ((src, dst, n) <- trans; v <- pi.get(src))
+        next(dst) = next.getOrElse(dst, 0L) + v * n / total(src)
+      pi = next.toMap
     }
-    pi.select(col("t").as("event_type"), col("v").as("pi_micro"))
-      .orderBy("event_type")
+    import spark.implicits._
+    pi.toSeq.sortBy(_._1).toDF("event_type", "pi_micro")
   }
 
   /** One smoothed reading per event. */

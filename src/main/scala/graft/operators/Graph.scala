@@ -138,14 +138,26 @@ object Graph {
       .join(deg.select(col("node").as("v"), col("ord").as("v_ord")), "v")
       .select(
         when(col("u_ord") < col("v_ord"), col("u")).otherwise(col("v")).as("src"),
-        when(col("u_ord") < col("v_ord"), col("v")).otherwise(col("u")).as("dst"),
-        greatest(col("u_ord"), col("v_ord")).as("dst_ord"))
-      .localCheckpoint() // reused as both wedge sides and closing probe
-    val w1 = oriented.select(col("src"), col("dst").as("x"), col("dst_ord").as("x_ord"))
-    val w2 = oriented.select(col("src"), col("dst").as("y"), col("dst_ord").as("y_ord"))
-    val wedges = w1.join(w2, "src").filter(col("x_ord") < col("y_ord"))
-    val tri = wedges.join(
-      oriented.select(col("src").as("x"), col("dst").as("y")), Seq("x", "y"))
+        when(col("u_ord") < col("v_ord"), col("v")).otherwise(col("u")).as("dst"))
+      .localCheckpoint() // reused as edge probe and adjacency source
+    // Adjacency-intersection closing (r16): attach each endpoint's
+    // FORWARD adjacency list (≤ ~√|E| entries by the orientation bound)
+    // to every oriented edge and emit the common neighbors —
+    // array_intersect(N⁺(u), N⁺(v)) per edge. Each triangle
+    // {a≺b≺c} surfaces exactly once, on edge (a,b) with witness c ∈
+    // N⁺(a)∩N⁺(b) (a→c and b→c are both forward edges). Same count as
+    // the r15 wedge join, but the shuffled intermediate is |E| rows of
+    // bounded adjacency arrays instead of the O(|E|^1.5) wedge stream
+    // — the wedge enumeration happens inside the per-row intersection,
+    // never on the wire. The explode regenerates (corner, triangle)
+    // attribution rows identical to the r15 tri frame.
+    val adj = oriented.groupBy(col("src").as("node"))
+      .agg(collect_list(col("dst")).as("nbrs"))
+    val tri = oriented
+      .join(adj.select(col("node").as("src"), col("nbrs").as("src_nbrs")), "src")
+      .join(adj.select(col("node").as("dst"), col("nbrs").as("dst_nbrs")), "dst")
+      .select(col("src"), col("dst").as("x"),
+        explode(array_intersect(col("src_nbrs"), col("dst_nbrs"))).as("y"))
     tri.select(explode(array(col("src"), col("x"), col("y"))).as("part_key"))
       .groupBy("part_key").agg(count(lit(1)).as("n_triangles"))
       .orderBy(col("n_triangles").desc, col("part_key"))

@@ -90,7 +90,12 @@ object Profiling {
         "AS (column_name, cents)")
     // ONE first-pass aggregate carries the KMV sketch AND the histogram
     // bounds (they were two separate scans of the stacked frame; the
-    // sketch and min/max/count partial-aggregate side by side for free)
+    // sketch and min/max/count partial-aggregate side by side for free).
+    // Deliberately TWO scans, not a (column, cents) pre-aggregate: an
+    // r16 experiment fused the passes through a value-histogram
+    // pre-agg and measured flat at sf0.1 — and that shape shuffles one
+    // row per DISTINCT VALUE (corpus-proportional for prices at scale)
+    // where this one shuffles only constant-size aggregate partials.
     val bottomK = udaf(new graft.functions.BottomKDistinct(Sketches.KmvK))
     val pass1 = Sketches.withKmvEstimate(
       src.select(col("column_name"), col("cents"),
@@ -456,28 +461,60 @@ object Profiling {
     val customer = Tables.customer(spark, dir)
     val part = Tables.part(spark, dir)
     val documents = Tables.documents(spark, dir)
-    val fk = fkCheck _
-    val checks = Seq(
-      fk("fk_orders_custkey", orders, "o_custkey", customer, "c_custkey"),
-      fk("fk_lineitem_orderkey", lineitem, "l_orderkey", orders, "o_orderkey"),
-      fk("fk_lineitem_partkey", lineitem, "l_partkey", part, "p_partkey"),
-      customer.agg(count(lit(1)).as("checked"),
-        (count(lit(1)) - count_distinct(col("c_custkey"))).as("violations"))
-        .select(lit("unique_customer_custkey").as("check_name"),
-          col("checked"), col("violations")),
-      lineitem.agg(count(lit(1)).as("checked"),
+    // ONE scan per audited table (r16): the r15 form ran each check as
+    // its own aggregate — lineitem was scanned five times, orders
+    // three. Here every table's checks ride one aggregate over one
+    // scan (FK misses via the same dedup-dim left joins, uniqueness
+    // via count_distinct, ranges via conditional sums), and the
+    // (check_name, checked, violations) rows are unpivoted from the
+    // single result row with stack(). Violations arithmetic and the
+    // emitted rows are IDENTICAL to the per-check form; `checked` for
+    // every check on a table is that table's row count, exactly as
+    // fkCheck/rangeCheck computed it. Fused FK joins cannot multiply
+    // fact rows (dim keys deduplicated, left join), so every sum sees
+    // each fact row once.
+    def misses(hit: Column): Column = sum(when(hit.isNull, 1L).otherwise(0L))
+    def viol(ok: Column): Column = sum(when(ok, 0L).otherwise(1L))
+    val li = lineitem
+      .join(orders.select(col("o_orderkey").as("fk_ok"))
+        .distinct().withColumn("ok_hit", lit(1)),
+        col("l_orderkey") === col("fk_ok"), "left")
+      .join(part.select(col("p_partkey").as("fk_pk"))
+        .distinct().withColumn("pk_hit", lit(1)),
+        col("l_partkey") === col("fk_pk"), "left")
+      .agg(count(lit(1)).as("checked"),
+        misses(col("ok_hit")).as("v_fk_orderkey"),
+        misses(col("pk_hit")).as("v_fk_partkey"),
         (count(lit(1)) - count_distinct(col("l_orderkey"), col("l_linenumber")))
-          .as("violations"))
-        .select(lit("unique_lineitem_pk").as("check_name"),
-          col("checked"), col("violations")),
-      rangeCheck("range_orders_totalprice", orders, col("o_totalprice") > 0),
-      rangeCheck("range_lineitem_quantity", lineitem,
-        col("l_quantity").between(1, 50)),
-      rangeCheck("range_lineitem_discount", lineitem,
-        col("l_discount").between(0, 1)),
-      rangeCheck("nonempty_documents_text", documents,
-        col("text").isNotNull && length(col("text")) > 0))
-    checks.reduce(_ unionAll _).orderBy("check_name")
+          .as("v_unique_pk"),
+        viol(col("l_quantity").between(1, 50)).as("v_quantity"),
+        viol(col("l_discount").between(0, 1)).as("v_discount"))
+      .selectExpr("stack(5, " +
+        "'fk_lineitem_orderkey', checked, v_fk_orderkey, " +
+        "'fk_lineitem_partkey', checked, v_fk_partkey, " +
+        "'unique_lineitem_pk', checked, v_unique_pk, " +
+        "'range_lineitem_quantity', checked, v_quantity, " +
+        "'range_lineitem_discount', checked, v_discount) " +
+        "AS (check_name, checked, violations)")
+    val ord = orders
+      .join(customer.select(col("c_custkey").as("fk_ck"))
+        .distinct().withColumn("ck_hit", lit(1)),
+        col("o_custkey") === col("fk_ck"), "left")
+      .agg(count(lit(1)).as("checked"),
+        misses(col("ck_hit")).as("v_fk_custkey"),
+        viol(col("o_totalprice") > 0).as("v_totalprice"))
+      .selectExpr("stack(2, " +
+        "'fk_orders_custkey', checked, v_fk_custkey, " +
+        "'range_orders_totalprice', checked, v_totalprice) " +
+        "AS (check_name, checked, violations)")
+    val cust = customer
+      .agg(count(lit(1)).as("checked"),
+        (count(lit(1)) - count_distinct(col("c_custkey"))).as("violations"))
+      .select(lit("unique_customer_custkey").as("check_name"),
+        col("checked"), col("violations"))
+    val docs = rangeCheck("nonempty_documents_text", documents,
+      col("text").isNotNull && length(col("text")) > 0)
+    li.unionAll(ord).unionAll(cust).unionAll(docs).orderBy("check_name")
   }
 
   /** Distributed ordinary least squares by sufficient statistics — the
@@ -560,19 +597,26 @@ object Profiling {
   def winsorizeReport(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cents = round(col("value") * 100, 0).cast("long")
+    // The (event_type, cents, count) value histogram feeds the running
+    // total, the per-type totals, and the final clamp accounting —
+    // checkpoint it once (r16: the r15 plan re-ran the events groupBy
+    // for every consumer, four scans in all), and fold BOTH percentile
+    // bounds into ONE pass over the cumulative frame with conditional
+    // mins (the r15 form ran the cum+filter+min pipeline per bound).
     val cnt = Tables.events(spark, dir)
       .select(col("event_type"), cents.as("cents"))
       .groupBy("event_type", "cents").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val cum = cnt.withColumn("cum",
       sum(col("c")).over(Window.partitionBy("event_type").orderBy("cents")))
     val tot = cnt.groupBy("event_type").agg(sum(col("c")).as("n"))
-    def bound(p: Long, name: String): DataFrame =
-      cum.join(broadcast(tot), "event_type")
-        .filter(col("cum") >= expr(s"($p * n + 99) div 100"))
-        .groupBy("event_type").agg(min(col("cents")).as(name))
-    val bounds = tot
-      .join(bound(WinsorLoP, "p_lo_cents"), "event_type")
-      .join(bound(WinsorHiP, "p_hi_cents"), "event_type")
+    val bounds = cum.join(broadcast(tot), "event_type")
+      .groupBy("event_type", "n")
+      .agg(
+        min(when(col("cum") >= expr(s"($WinsorLoP * n + 99) div 100"),
+          col("cents"))).as("p_lo_cents"),
+        min(when(col("cum") >= expr(s"($WinsorHiP * n + 99) div 100"),
+          col("cents"))).as("p_hi_cents"))
     cnt.join(broadcast(bounds), "event_type")
       .groupBy(col("event_type"), col("n"), col("p_lo_cents"), col("p_hi_cents"))
       .agg(

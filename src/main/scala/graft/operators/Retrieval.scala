@@ -167,17 +167,30 @@ object Retrieval {
 
   private val tfsMemo = new DirMemo
   private val statsMemo = new DirMemo
+  private val dfsMemo = new DirMemo
   private def tfsCached(spark: SparkSession, dir: String): DataFrame =
     tfsMemo(spark, dir)(tfsOf(Tables.documents(spark, dir)).localCheckpoint())
   private def statsCached(spark: SparkSession, dir: String): DataFrame =
     statsMemo(spark, dir)(statsOf(Tables.documents(spark, dir)).localCheckpoint())
+
+  /** Per-token document frequency over the memoized index — the df
+    * side-table every IR engine stores next to its postings (vocab-
+    * bounded: one row per distinct token). r16: the scorers and the
+    * PRF/tf-idf pipelines each re-aggregated df from the full postings
+    * per query; the memo makes that a generation artifact like
+    * tfs/stats. */
+  private def dfsCached(spark: SparkSession, dir: String): DataFrame =
+    dfsMemo(spark, dir)(
+      tfsCached(spark, dir).groupBy("token").agg(count(lit(1)).as("df"))
+        .localCheckpoint())
 
   /** Weight-1 scores against the memoized index. */
   private def cachedScores(spark: SparkSession, dir: String,
       queryTerms: Seq[(String, String)]): DataFrame = {
     import spark.implicits._
     bm25ScoresWeightedFrom(tfsCached(spark, dir), statsCached(spark, dir),
-      queryTerms.toDF("query_id", "token").withColumn("w", lit(1L)))
+      queryTerms.toDF("query_id", "token").withColumn("w", lit(1L)),
+      Some(dfsCached(spark, dir)))
   }
 
   // ------------------------------------- persisted text-index lifecycle
@@ -357,10 +370,18 @@ object Retrieval {
 
   /** The scoring arithmetic over a prebuilt (tfs, stats) index pair. */
   private[operators] def bm25ScoresWeightedFrom(
-      tfs: DataFrame, stats: DataFrame, qterms: DataFrame): DataFrame = {
-    val dfs = tfs
-      .join(broadcast(qterms.select("token").distinct()), Seq("token"))
-      .groupBy("token").agg(count(lit(1)).as("df"))
+      tfs: DataFrame, stats: DataFrame, qterms: DataFrame,
+      dfsAll: Option[DataFrame] = None): DataFrame = {
+    // df per query token: probe the generation's df side-table when the
+    // caller holds one (vocab-bounded memo) instead of re-aggregating
+    // the full postings per scoring pass — identical counts either way
+    val dfs = dfsAll match {
+      case Some(d) =>
+        d.join(broadcast(qterms.select("token").distinct()), Seq("token"))
+      case None => tfs
+        .join(broadcast(qterms.select("token").distinct()), Seq("token"))
+        .groupBy("token").agg(count(lit(1)).as("df"))
+    }
     tfs
       .join(broadcast(qterms), Seq("token"))
       .join(broadcast(dfs), Seq("token"))
@@ -418,14 +439,24 @@ object Retrieval {
     * ranking is the bounded map-side top-k Aggregator — never a global
     * window over the scored pairs. */
   def tfidfTopK(spark: SparkSession, dir: String): DataFrame =
-    tfidfOn(Tables.documents(spark, dir), TfidfK)
+    // memoized index + df side-table (r16): the r15 form re-tokenized
+    // the corpus and re-aggregated df per run; tf counts are identical
+    // (dl is functionally determined by doc_id, so the extra grouping
+    // key in the shared index changes nothing)
+    tfidfFrom(tfsCached(spark, dir).select("doc_id", "token", "tf"),
+      dfsCached(spark, dir), TfidfK)
 
   /** Scoring core over any (doc_id, text) frame. */
   def tfidfOn(docs: DataFrame, k: Int): DataFrame = {
     val tfs = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    val dfs = tfs.groupBy("token").agg(count(lit(1)).as("df"))
+    tfidfFrom(tfs, tfs.groupBy("token").agg(count(lit(1)).as("df")), k)
+  }
+
+  /** tf-idf ranking over a prebuilt (doc_id, token, tf) index and its
+    * (token, df) side-table. */
+  private def tfidfFrom(tfs: DataFrame, dfs: DataFrame, k: Int): DataFrame = {
     val scored = tfs.join(dfs, Seq("token"))
       .withColumn("tfidf_sc", expr(s"(tf * $SC) div df"))
     val topk = udaf(new graft.functions.TopKTermsByLongScore(k))
@@ -539,9 +570,10 @@ object Retrieval {
     import spark.implicits._
     prfFrom(
       q => bm25ScoresWeightedFrom(tfsCached(spark, dir),
-        statsCached(spark, dir), q),
+        statsCached(spark, dir), q, Some(dfsCached(spark, dir))),
       tfsCached(spark, dir).select("doc_id", "token", "tf"),
-      QueryTerms, PrfFeedbackK, PrfExpandK, K)
+      QueryTerms, PrfFeedbackK, PrfExpandK, K,
+      dfsAll = Some(dfsCached(spark, dir)))
   }
 
   /** PRF core over any (doc_id, text) frame — spec seam. */
@@ -553,7 +585,8 @@ object Retrieval {
   /** The RM3 stages over a weighted-scoring function and a prebuilt
     * (doc_id, token, tf) index. */
   private def prfFrom(score: DataFrame => DataFrame, tfsD: DataFrame,
-      queryTerms: Seq[(String, String)], fbK: Int, exK: Int, k: Int): DataFrame = {
+      queryTerms: Seq[(String, String)], fbK: Int, exK: Int, k: Int,
+      dfsAll: Option[DataFrame] = None): DataFrame = {
     val spark = tfsD.sparkSession
     import spark.implicits._
     // stage 1: feedback pool — top-fbK docs per query, plain BM25
@@ -565,7 +598,8 @@ object Retrieval {
       .select(col("query_id"), col("t.vec_id").as("doc_id"))
     // stage 2: expansion mining — feedback docs' terms, original query
     // terms excluded, scored by feedback-tf × linear idf
-    val allDf = tfsD.groupBy("token").agg(count(lit(1)).as("df"))
+    val allDf = dfsAll.getOrElse(
+      tfsD.groupBy("token").agg(count(lit(1)).as("df")))
     val qt = queryTerms.toDF("query_id", "token")
     val cand = broadcast(fb).join(tfsD, Seq("doc_id"))
       .join(broadcast(qt), Seq("query_id", "token"), "left_anti")

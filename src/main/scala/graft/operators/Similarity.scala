@@ -1778,15 +1778,18 @@ object Similarity {
       .union(leg("ivfpq_rerank", topKIvfPqRerank(spark, dir)))
       .union(leg("ivf", topKIvfKmeans(spark, dir)))
       .union(leg("ivf_multiprobe", topKIvfMultiprobe(spark, dir)))
-    val hits = legs.join(truth, Seq("query_id", "vec_id"), "left_semi")
+    // ONE pass over the legs union (r16): the r15 form evaluated all
+    // five ranking legs twice (a semi-join for hits, a second full
+    // evaluation for n_ranked). A left join against the unique truth
+    // pair set with a hit marker yields both counts from one
+    // evaluation; count(hit) ≡ the semi-join count because truth holds
+    // one row per (query_id, vec_id).
+    legs.join(truth.withColumn("hit", lit(1L)),
+        Seq("query_id", "vec_id"), "left")
       .groupBy(col("method"), col("query_id"))
-      .agg(count(lit(1)).as("n_hits"))
-    legs.groupBy(col("method"), col("query_id"))
-      .agg(count(lit(1)).as("n_ranked"))
-      .join(hits, Seq("method", "query_id"), "left")
-      .select(col("method"), col("query_id"), col("n_ranked"),
-        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-        expr(s"coalesce(n_hits, 0L) * 1000 div $IvfTopK").as("recall_milli"))
+      .agg(count(lit(1)).as("n_ranked"), count(col("hit")).as("n_hits"))
+      .select(col("method"), col("query_id"), col("n_ranked"), col("n_hits"),
+        expr(s"n_hits * 1000 div $IvfTopK").as("recall_milli"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -833,6 +833,36 @@ class TrainingDataSpec extends SparkSpec {
     }
   }
 
+  test("winnow kernel: fused WinnowSelect equals the r15 window formulation on the corpus") {
+    // the r16 optimization swapped the window-min + distinct plan for
+    // the native kernel; this differential pins them row-identical on
+    // the real corpus (including its short/empty/tie-heavy docs)
+    val kernel = Dedup.winnowSelectedOn(Tables.documents(spark, sf0001))
+      .select("doc_id", "key", "h", "pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val window = Dedup.winnowSelectedWindowOn(Tables.documents(spark, sf0001))
+      .select("doc_id", "key", "h", "pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(kernel == window,
+      s"kernel ${kernel.size} vs window ${window.size}; " +
+        s"only-kernel ${(kernel -- window).take(3)}, only-window ${(window -- kernel).take(3)}")
+  }
+
+  test("property: CommonCount equals size(array_intersect) including dups and empties") {
+    val rnd = new scala.util.Random(59)
+    val cases = (1 to 200).map { i =>
+      def arr(n: Int, hi: Int) = Seq.fill(n)(rnd.nextInt(hi).toLong)
+      // mixed regimes: empty, tiny, overlapping ranges, duplicates
+      (i.toLong, arr(rnd.nextInt(40), 1 + rnd.nextInt(30)),
+        arr(rnd.nextInt(40), 1 + rnd.nextInt(30)))
+    } :+ ((0L, Seq.empty[Long], Seq(1L, 2L, 3L)))
+    val df = cases.toDF("id", "a", "b")
+      .withColumn("native", TextFunctions.commonCount(col("a"), col("b")))
+      .withColumn("builtin", size(array_intersect(col("a"), col("b"))).cast("long"))
+    val bad = df.filter(col("native") =!= col("builtin")).collect()
+    assert(bad.isEmpty, s"CommonCount mismatches: ${bad.take(5).mkString("; ")}")
+  }
+
   test("winnowing guarantee: a shared run of k+w-1 tokens always yields a shared fingerprint") {
     // t = k + w - 1 = 6 shared tokens embedded in disjoint contexts
     val shared = "s1 s2 s3 s4 s5 s6"
