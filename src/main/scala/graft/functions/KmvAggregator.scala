@@ -18,9 +18,14 @@ import org.apache.spark.sql.expressions.Aggregator
   * any algebraic agg (Bar-Yossef et al., "Counting distinct elements in
   * a data stream", 2002).
   *
-  * The buffer is an ascending sorted list with at most k distinct
+  * The buffer is a DESCENDING sorted list with at most k distinct
   * entries; duplicates are rejected on insert (a duplicate hash must
   * not occupy a second slot — that would bias h_k downward).
+  * Descending, since r16: the overwhelmingly common case on a long
+  * stream is "buffer full, x out-ranked", and with the largest kept
+  * value at the HEAD that is an O(1) check — the ascending form paid
+  * an O(k) buf.last traversal on every input row. finish() reverses,
+  * so the emitted sketch is ascending exactly as before.
   */
 final class BottomKDistinct(k: Int) extends Aggregator[Long, List[Long], Seq[Long]] {
   require(k > 0, s"bottom-k needs k > 0, got $k")
@@ -28,11 +33,15 @@ final class BottomKDistinct(k: Int) extends Aggregator[Long, List[Long], Seq[Lon
   override def zero: List[Long] = Nil
 
   private def insert(buf: List[Long], x: Long): List[Long] =
-    if (buf.lengthCompare(k) >= 0 && buf.last <= x) buf // full and out-ranked
+    if (buf.lengthCompare(k) >= 0 && buf.head <= x) buf // full and out-ranked
     else {
-      val (pre, post) = buf.span(_ < x)
+      val (pre, post) = buf.span(_ > x)
       if (post.headOption.contains(x)) buf // already present
-      else (pre ::: x :: post).take(k)
+      else {
+        val merged = pre ::: x :: post
+        if (merged.lengthCompare(k) > 0) merged.tail // drop the largest
+        else merged
+      }
     }
 
   override def reduce(buf: List[Long], x: Long): List[Long] = insert(buf, x)
@@ -40,7 +49,7 @@ final class BottomKDistinct(k: Int) extends Aggregator[Long, List[Long], Seq[Lon
   override def merge(a: List[Long], b: List[Long]): List[Long] =
     b.foldLeft(a)(insert)
 
-  override def finish(buf: List[Long]): Seq[Long] = buf
+  override def finish(buf: List[Long]): Seq[Long] = buf.reverse
 
   override def bufferEncoder: Encoder[List[Long]] = ExpressionEncoder()
   override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder()

@@ -38,11 +38,17 @@ final class TopKByScore(k: Int) extends Aggregator[ScoredId, List[ScoredId], Seq
 
   override def zero: List[ScoredId] = Nil
 
+  // buffer kept WORST-FIRST (r16): the common case on a long stream —
+  // buffer full, candidate out-ranked by the kth-best — is then an
+  // O(1) head check; the best-first form paid an O(k) buf.last
+  // traversal on every input row. finish() reverses to best-first,
+  // so the emitted ranking is identical.
   private def insert(buf: List[ScoredId], in: ScoredId): List[ScoredId] =
-    if (buf.lengthCompare(k) >= 0 && beats(buf.last, in)) buf // full and out-ranked: O(1) reject
+    if (buf.lengthCompare(k) >= 0 && beats(buf.head, in)) buf // full and out-ranked
     else {
-      val (pre, post) = buf.span(e => beats(e, in))
-      (pre ::: in :: post).take(k)
+      val (pre, post) = buf.span(e => beats(in, e))
+      val merged = pre ::: in :: post
+      if (merged.lengthCompare(k) > 0) merged.tail else merged // drop the worst
     }
 
   override def reduce(buf: List[ScoredId], in: ScoredId): List[ScoredId] = insert(buf, in)
@@ -50,7 +56,7 @@ final class TopKByScore(k: Int) extends Aggregator[ScoredId, List[ScoredId], Seq
   override def merge(x: List[ScoredId], y: List[ScoredId]): List[ScoredId] =
     y.foldLeft(x)(insert)
 
-  override def finish(buf: List[ScoredId]): Seq[ScoredId] = buf
+  override def finish(buf: List[ScoredId]): Seq[ScoredId] = buf.reverse
 
   override def bufferEncoder: Encoder[List[ScoredId]] = ExpressionEncoder()
   override def outputEncoder: Encoder[Seq[ScoredId]] = ExpressionEncoder()
@@ -75,11 +81,14 @@ final class TopKByLongScore(k: Int)
 
   override def zero: List[LongScoredId] = Nil
 
+  // worst-first buffer, O(1) full-reject; finish reverses (see
+  // TopKByScore)
   private def insert(buf: List[LongScoredId], in: LongScoredId): List[LongScoredId] =
-    if (buf.lengthCompare(k) >= 0 && beats(buf.last, in)) buf // full and out-ranked
+    if (buf.lengthCompare(k) >= 0 && beats(buf.head, in)) buf // full and out-ranked
     else {
-      val (pre, post) = buf.span(e => beats(e, in))
-      (pre ::: in :: post).take(k)
+      val (pre, post) = buf.span(e => beats(in, e))
+      val merged = pre ::: in :: post
+      if (merged.lengthCompare(k) > 0) merged.tail else merged // drop the worst
     }
 
   override def reduce(buf: List[LongScoredId], in: LongScoredId): List[LongScoredId] =
@@ -88,7 +97,7 @@ final class TopKByLongScore(k: Int)
   override def merge(x: List[LongScoredId], y: List[LongScoredId]): List[LongScoredId] =
     y.foldLeft(x)(insert)
 
-  override def finish(buf: List[LongScoredId]): Seq[LongScoredId] = buf
+  override def finish(buf: List[LongScoredId]): Seq[LongScoredId] = buf.reverse
 
   override def bufferEncoder: Encoder[List[LongScoredId]] = ExpressionEncoder()
   override def outputEncoder: Encoder[Seq[LongScoredId]] = ExpressionEncoder()
@@ -113,11 +122,14 @@ final class TopKTermsByLongScore(k: Int)
 
   override def zero: List[ScoredTerm] = Nil
 
+  // worst-first buffer, O(1) full-reject; finish reverses (see
+  // TopKByScore)
   private def insert(buf: List[ScoredTerm], in: ScoredTerm): List[ScoredTerm] =
-    if (buf.lengthCompare(k) >= 0 && beats(buf.last, in)) buf // full and out-ranked
+    if (buf.lengthCompare(k) >= 0 && beats(buf.head, in)) buf // full and out-ranked
     else {
-      val (pre, post) = buf.span(e => beats(e, in))
-      (pre ::: in :: post).take(k)
+      val (pre, post) = buf.span(e => beats(in, e))
+      val merged = pre ::: in :: post
+      if (merged.lengthCompare(k) > 0) merged.tail else merged // drop the worst
     }
 
   override def reduce(buf: List[ScoredTerm], in: ScoredTerm): List[ScoredTerm] =
@@ -126,7 +138,7 @@ final class TopKTermsByLongScore(k: Int)
   override def merge(x: List[ScoredTerm], y: List[ScoredTerm]): List[ScoredTerm] =
     y.foldLeft(x)(insert)
 
-  override def finish(buf: List[ScoredTerm]): Seq[ScoredTerm] = buf
+  override def finish(buf: List[ScoredTerm]): Seq[ScoredTerm] = buf.reverse
 
   override def bufferEncoder: Encoder[List[ScoredTerm]] = ExpressionEncoder()
   override def outputEncoder: Encoder[Seq[ScoredTerm]] = ExpressionEncoder()

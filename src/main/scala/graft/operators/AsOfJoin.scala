@@ -133,7 +133,6 @@ object AsOfJoin {
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("event_id"), col("user_id"), col("ts"), col("value"))
     join(clicks, purchases, "user_id", "ts", "p_ts")
-      .orderBy(col("event_id"))
   }
 
   def clickLastPurchase(spark: SparkSession, dir: String): DataFrame =
@@ -180,7 +179,6 @@ object AsOfJoin {
           .when(backWins, lit("backward")).otherwise(lit("forward")).as("side"),
         when(backWins, col("b_event_id")).otherwise(col("f_event_id")).as("p_event_id"),
         when(backWins, bGap).otherwise(fGap).as("gap_us"))
-      .orderBy(col("event_id"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

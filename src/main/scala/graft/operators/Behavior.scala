@@ -69,7 +69,6 @@ object Behavior {
       .distinct()
       .groupBy("cohort_week", "week_offset")
       .agg(count(lit(1)).as("n_users"))
-      .orderBy("cohort_week", "week_offset")
   }
 
   /** Pattern window: a purchase matches a view only within 6 h. */
@@ -144,7 +143,6 @@ object Behavior {
         col("purchase_id"), col("purchase_ts"), col("gap_us"))
       .agg(sum(when(col("hit"), 1L).otherwise(0L)).as("n_errors_between"))
       .withColumn("clean", col("n_errors_between") === lit(0L))
-      .orderBy(col("user_id"), col("view_id"))
   }
 
   /** Markov transition matrix over each user's event-type sequence:
@@ -408,7 +406,6 @@ object Behavior {
         expr("n_ab * 1000 div n_a").as("conf_ab_milli"),
         expr("n_ab * 1000 div n_b").as("conf_ba_milli"),
         expr("n_ab * n_users * 1000 div (n_a * n_b)").as("lift_milli"))
-      .orderBy("type_a", "type_b")
   }
 
   /** Residual threshold: |resid − 1000‰| beyond this flags the cell. */
@@ -547,7 +544,6 @@ object Behavior {
       round(p, 6).as("conv_rate"),
       round(center - half, 6).as("wilson_lo"),
       round(center + half, 6).as("wilson_hi"))
-      .orderBy("variant")
   }
 
   /** Two-proportion z-test on the same split: pooled-variance z

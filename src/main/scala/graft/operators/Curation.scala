@@ -254,7 +254,6 @@ object Curation {
             .as("utilization_milli"))
     leg("doc_order", packSequences(spark, dir))
       .unionAll(leg("length_sorted", packSequencesSorted(spark, dir)))
-      .orderBy(col("strategy"))
   }
 
   val ChunkTokens = 40
@@ -367,7 +366,6 @@ object Curation {
       .select(col("lang"), col("n_docs"), col("n_tokens"),
         round(col("n_docs") / col("total_docs").cast("double"), 9).as("p"),
         round(sqrt(col("n_docs").cast("double")) / col("sum_sqrt"), 9).as("weight"))
-      .orderBy(col("lang"))
   }
 
   /** Budget share for [[mixBudgetAlloc]]: 3/5 of the corpus tokens. */
@@ -404,7 +402,6 @@ object Curation {
       MixBudgetNum, MixBudgetDen)
       .select(col("source"), col("avail").as("avail_tokens"),
         col("allocated"), col("saturated"))
-      .orderBy(col("source"))
 
   /** Shared water-filling cut over a (source, avail, cap) frame with
     * budget B = Σavail·num div den: fill every source to the common
@@ -465,7 +462,6 @@ object Curation {
         col("cap").as("cap_tokens"), col("allocated"),
         round(col("allocated").cast("double") / col("avail"), 6).as("epochs"),
         col("saturated"))
-      .orderBy(col("source"))
 
   /** Per-source unigram KL divergence to the corpus mix,
     * KL(Pₛ ‖ P_corpus) = Σₜ pₛₜ·ln(pₛₜ/qₜ) — the mixing diagnostic
@@ -509,7 +505,6 @@ object Curation {
       .agg(count(lit(1)).as("n_vocab"), sum(term).as("kl_raw"))
       .select(col("source"), col("n_s").as("n_tokens"), col("n_vocab"),
         (round(col("kl_raw"), 6) + lit(0.0)).as("kl_nats"))
-      .orderBy(col("source"))
   }
 
   /** The deterministic "arriving batch" slice the driver-gated ingest-KL
@@ -657,7 +652,6 @@ object Curation {
         (-col("col.cosine")).cast("long").as("hash_val"))
       .join(Tables.documents(spark, dir).select("doc_id", "lang"), "doc_id")
       .select("rnk", "doc_id", "lang", "hash_val")
-      .orderBy("rnk")
   }
 
 
@@ -716,7 +710,6 @@ object Curation {
           .when(col("nll_micro") <= col("t_high"), lit("middle"))
           .otherwise(lit("tail")).as("bucket"),
         (col("nll_micro") <= col("t_high")).as("keep"))
-      .orderBy(col("doc_id"))
   }
 
   /** Per-stratum reservoir size for [[sampleReservoirPerLang]]. */
@@ -778,7 +771,6 @@ object Curation {
         col("col.score").as("priority"))
       .join(Tables.documents(spark, dir).select("doc_id", "n_chars"), "doc_id")
       .select("rnk", "doc_id", "n_chars", "priority")
-      .orderBy("rnk")
   }
 
   /** Curriculum staging: each document binned into a length quartile

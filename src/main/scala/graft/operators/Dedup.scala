@@ -89,7 +89,14 @@ object Dedup {
 
   private def shingled(spark: SparkSession, dir: String): DataFrame =
     shingleMemo(spark, dir) {
-      shingledOn(Tables.documents(spark, dir)).localCheckpoint()
+      // repartition the INPUT docs before the shingle projection: the
+      // testdata tables are single-row-group parquet, so the scan stage
+      // is one task and the fused ShingleHashes pass would otherwise
+      // run single-threaded into the checkpoint (r16; one narrow
+      // build-time exchange, the artifact itself lands partitioned —
+      // exactly how a generation build writes it at scale)
+      shingledOn(Tables.documents(spark, dir).repartition(col("doc_id")))
+        .localCheckpoint()
     }
 
   /** Exact word-3-gram Jaccard near-dup pairs via inverted index.
@@ -333,7 +340,6 @@ object Dedup {
     perConfig.reduce(_ union _)
       .crossJoin(broadcast(nTrue))
       .withColumn("recall_milli", expr("1000 * n_found div n_true"))
-      .orderBy(col("bands").desc)
   }
 
   /** Per-doc MinHash signature (array of k minima) plus banded keys.
@@ -701,7 +707,6 @@ object Dedup {
           .otherwise(expr("dup_tokens * 1000 div n_tokens")))
       .select(col("doc_id"), col("n_tokens"), col("n_chunks"),
         col("n_dup_chunks"), col("dup_tokens"), col("dup_milli"))
-      .orderBy(col("doc_id"))
   }
 
   /** Incremental CDC-chunk dedup — the chunk family's ingest form: each
@@ -730,7 +735,6 @@ object Dedup {
           .otherwise(expr("dup_tokens * 1000 div n_tokens")))
       .select(col("doc_id"), col("n_tokens"), col("n_chunks"),
         col("n_dup_chunks"), col("dup_tokens"), col("dup_milli"))
-      .orderBy(col("doc_id"))
 
   /** Write-once-per-generation CDC chunk index: the corpus's DISTINCT
     * chunk hashes as a bucketed table — chash-grain, no doc sets
@@ -1757,7 +1761,6 @@ object Dedup {
         sum(when(col("is_dropped"), 0L).otherwise(col("n_chars"))).as("chars_kept"))
       .withColumn("savings_milli",
         expr("(chars_total - chars_kept) * 1000 div chars_total"))
-      .orderBy("source")
   }
 
   /** Cross-source near-dup ATTRIBUTION: the exact-jaccard pair frame
@@ -1787,7 +1790,6 @@ object Dedup {
       .groupBy(col("src_a"), col("src_b"))
       .agg(count(lit(1)).as("n_pairs"),
         max(col("jaccard")).as("max_jaccard"))
-      .orderBy(col("src_a"), col("src_b"))
   }
 
   /** Per-document n-gram NOVELTY score — the "how much of this doc is
@@ -1931,7 +1933,11 @@ object Dedup {
 
   private def winnowSelected(spark: SparkSession, dir: String): DataFrame =
     winnowMemo(spark, dir) {
-      winnowSelectedOn(Tables.documents(spark, dir)).localCheckpoint()
+      // input repartition for the same single-row-group reason as
+      // [[shingled]]: the fused WinnowSelect kernel runs in the scan
+      // stage, which is one task on this testdata without it
+      winnowSelectedOn(Tables.documents(spark, dir).repartition(col("doc_id")))
+        .localCheckpoint()
     }
 
   /** Per-document winnowing report: span count, selected fingerprint
@@ -1952,7 +1958,6 @@ object Dedup {
       .join(spans, "doc_id")
       .select(col("doc_id"), col("n_spans"), col("n_fp"), col("fp_check"),
         expr("n_fp * 1000 div n_spans").as("density_milli"))
-      .orderBy("doc_id")
   }
 
   /** Cross-document winnowing match pairs — the MOSS-style detector:
@@ -1981,7 +1986,6 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("shared"),
         col("nf_a"), col("nf_b"),
         expr("shared * 1000 div (nf_a + nf_b - shared)").as("jaccard_milli"))
-      .orderBy("doc_a", "doc_b")
   }
 
   /** [[incrementalDedup]]'s winnowing form: the ingest probe driven by

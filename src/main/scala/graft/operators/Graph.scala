@@ -94,7 +94,6 @@ object Graph {
         when(col("node") % 2 === 0, "customer").otherwise("supplier")
           .as("node_type"),
         col("r").as("rank_sc"))
-      .orderBy(col("node_id"))
   }
 
   /** Triangle counting on the part co-purchase graph (two parts linked
@@ -213,7 +212,6 @@ object Graph {
         when(col("node") % 2 === 0, "customer").otherwise("supplier")
           .as("node_type"),
         col("label").as("community"))
-      .orderBy("node_id")
 
   /** Newman modularity of the LPA communities — the quality score that
     * tells you whether the partition is real structure or noise:

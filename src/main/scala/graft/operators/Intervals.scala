@@ -76,7 +76,6 @@ object Intervals {
       .groupBy(col("sd").as("promo_day"))
       .agg(count(lit(1)).as("n_orders"),
         (sum(col("cents")) / 100.0).as("revenue"))
-      .orderBy("promo_day")
   }
 
   /** Interval×interval overlap join over the promo calendar itself:
@@ -99,7 +98,6 @@ object Intervals {
       .select(col("a_sd").as("a_day"), col("b_sd").as("b_day"),
         (least(col("a_ed"), col("b_ed")) -
           greatest(col("a_sd"), col("b_sd"))).as("overlap_days"))
-      .orderBy("a_day", "b_day")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -123,7 +123,6 @@ object Layout {
       .unionByName(stats("rowmajor",
         tiles2(spark, dir, (a, b) => a * lit(GridCells) + b)))
       .unionByName(stats("zorder", zorderTiles(spark, dir)))
-      .orderBy("layout")
   }
 
   /** Morton key over ANY number of BIGINT dimension columns (bit j of
@@ -458,7 +457,6 @@ object Layout {
       .agg(count(lit(1)).as("n_docs"),
         sum(length(col("text"))).as("chars"),
         min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
-      .orderBy(col("lang"))
   }
 
   /** Child session carrying the runtime bloom-filter confs, one per
@@ -518,7 +516,6 @@ object Layout {
         sum(col("l_quantity")).as("sum_qty"),
         min(col("l_orderkey")).as("min_ok"),
         max(col("l_orderkey")).as("max_ok"))
-      .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -203,7 +203,6 @@ object Ohlcv {
 
   private def eventBars(spark: SparkSession, dir: String, width: String): DataFrame =
     eventBarsUnsorted(spark, dir, width)
-      .orderBy(col("window_start"), col("event_type"))
 
   /** 1-minute bars keyed by event_type — the flagship slice
     * (reference main line, /root/reference/5_ohlc.py:72). */
@@ -225,7 +224,6 @@ object Ohlcv {
       .agg(sum(cents * qty).as("pv"), sum(qty).as("volume"))
       .select(col("w.start").as("window_start"), col("event_type"),
         col("volume"), expr("(pv * 10) div volume").as("vwap_millicents"))
-      .orderBy("window_start", "event_type")
   }
 
   /** Gap-filled 1-minute bars: every minute of the span gets a bar per
@@ -265,7 +263,6 @@ object Ohlcv {
         coalesce(col("close"), col("prev_close")).as("close"),
         coalesce(col("volume"), lit(0L)).as("volume"),
         col("open").isNull.as("gap_filled"))
-      .orderBy("window_start", "event_type")
   }
 
   /** Rolling technical indicators over the 1-minute bars: 5-bar simple
@@ -292,7 +289,6 @@ object Ohlcv {
         expr("(s1 * 10) div n").as("sma_millicents"),
         sqrt((col("s2") / col("n") - (col("s1") / col("n")) * (col("s1") / col("n"))) / 10000.0)
           .as("stddev"))
-      .orderBy("window_start", "event_type")
   }
 
   /** Anomaly thresholds: close-to-close move beyond 5% (50‰) or volume
@@ -330,7 +326,6 @@ object Ohlcv {
         expr("(volume * nprev * 1000) div vsum").as("vol_ratio_milli"))
       .withColumn("price_jump", col("jump_milli") > lit(JumpMilli))
       .withColumn("volume_spike", col("vol_ratio_milli") > lit(SpikeMilli))
-      .orderBy("window_start", "event_type")
   }
 
   /** 5-minute bars (the reference's second resolution,
@@ -344,7 +339,6 @@ object Ohlcv {
     bars(ev, col("ts"), col("value"), lit(1L),
       Seq("event_type" -> col("event_type"), "user_id" -> col("user_id")),
       "1 hour", col("event_id"))
-      .orderBy(col("window_start"), col("event_type"), col("user_id"))
   }
 
   /** HOPPING bars: 2-minute windows advancing every 1 minute — the
@@ -367,7 +361,6 @@ object Ohlcv {
       .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
         col("event_type"), col("open"), col("high"), col("low"), col("close"),
         col("volume"))
-      .orderBy(col("window_start"), col("event_type"))
   }
 
   /** 5-minute bars computed by rolling up 1-minute bars — bar-of-bars
@@ -375,7 +368,6 @@ object Ohlcv {
   def bars5mFrom1m(spark: SparkSession, dir: String): DataFrame = {
     val oneMin = eventBarsUnsorted(spark, dir, "1 minute")
     rollup(oneMin, Seq("event_type"), "1 minute", "5 minutes")
-      .orderBy(col("window_start"), col("event_type"))
   }
 
   /** The STREAMING cascade operator (StreamingOhlcv.cascadeBars —
@@ -397,7 +389,6 @@ object Ohlcv {
     graft.streaming.StreamingOhlcv
       .cascadeBars(trades, "1 minute", "5 minutes", tiebreak = col("event_id"))
       .withColumnRenamed("product", "event_type")
-      .orderBy(col("window_start"), col("event_type"))
   }
 
   /** Formatted string bars — the reference's JSON/strftime output edge
@@ -408,7 +399,6 @@ object Ohlcv {
         date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("time"),
         col("event_type"), col("open"), col("high"), col("low"), col("close"),
         col("volume"))
-      .orderBy(col("time"), col("event_type"))
 
   /** 1-minute bars through the typed Aggregator/udaf path
     * (graft.functions.OhlcvAggregator — the §2.7 UDAF surface). Result
@@ -424,7 +414,6 @@ object Ohlcv {
         col("event_type"), col("bar.open").as("open"), col("bar.high").as("high"),
         col("bar.low").as("low"), col("bar.close").as("close"),
         col("bar.volume").as("volume"))
-      .orderBy(col("window_start"), col("event_type"))
   }
 
   /** The ORIGINAL packed-tiebreak fast path, kept as a registered
@@ -452,7 +441,6 @@ object Ohlcv {
       .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
         col("event_type"), col("open"), col("high"), col("low"), col("close"),
         col("volume"))
-      .orderBy(col("window_start"), col("event_type"))
   }
 
   /** The same 1-minute bars through the pure SQL surface (Q1–Q5: the

@@ -48,7 +48,6 @@ object Pipeline {
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("label")).as("n_labels"),
         sum(col("n_tokens")).as("total_tokens"))
-      .orderBy(col("source"))
   }
 
   /** [[cleanCorpus]] instrumented with per-stage data-quality counters
@@ -108,7 +107,6 @@ object Pipeline {
         when(col("tokens_in") > 0,
           expr("(tokens_in - tokens_kept) * 1000 div tokens_in"))
           .otherwise(lit(0L)))
-      .orderBy(col("source"))
   }
 
   /** The batch crawl pipeline end to end, ONE Catalyst plan: WARC
@@ -445,7 +443,6 @@ object Pipeline {
       .select(col("doc_id"), col("text"))
     modelGateVerdictOn(spark, batch, lmT, wT, statsT, dsirT, cutsT,
         bandsT, setsT)
-      .orderBy(col("doc_id"))
   }
 
   /** Gate-agreement (ablation) report over the whole corpus: the
@@ -474,6 +471,9 @@ object Pipeline {
     val cells = lm.join(cls, Seq("doc_id")).join(dsir, Seq("doc_id"))
       .groupBy(col("lm_pass"), col("cls_pass"), col("dsir_pass"))
       .agg(count(lit(1)).as("n_docs"))
+      // ≤8 rows; without the checkpoint the three scoring passes ran
+      // TWICE — once for the cells and once for their own total (r16)
+      .localCheckpoint()
     val tot = cells.agg(sum(col("n_docs")).as("total"))
     cells.crossJoin(broadcast(tot))
       .select(col("lm_pass"), col("cls_pass"), col("dsir_pass"),
@@ -520,14 +520,26 @@ object Pipeline {
         TextAnalysis.qualityFeatures(col("text")): _*)
       .withColumn("quality", TextAnalysis.qualityExpr)
       .filter(col("quality") >= QualityMin)
-    val canon = scored
-      .withColumn("digest", md5(col("text")))
-      .withColumn("canonical_id", min(col("doc_id"))
-        .over(Window.partitionBy(col("digest"))))
-      .filter(col("doc_id") === col("canonical_id"))
+    // Canonical-id dedup on a NARROW proxy (r16, guide §8 shape): the
+    // r15 form ran min() over a Window partitioned by digest, which
+    // shuffled the full (text + quality features) row payload by
+    // digest. Decide on (digest, doc_id) only — corpus-bounded, a few
+    // dozen bytes per row — then keep survivors with a semi-join on
+    // doc_id; min-per-digest picks the identical canonical ids.
+    val keepIds = scored
+      .select(col("doc_id"), md5(col("text")).as("digest"))
+      .groupBy("digest").agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val canon = scored.join(keepIds, Seq("doc_id"), "left_semi")
+    // the cleaned corpus feeds the per-lang counts, their total, the
+    // acceptance-rate algebra AND the sampling join — materialize it
+    // once (r16: unmaterialized, the quality-filter + dedup + decontam
+    // chain re-ran per consumer; a production build materializes the
+    // clean corpus between stages, which is exactly this shape)
     val clean = canon.join(
       Dedup.decontamOverlap(spark, dir).select(col("doc_id")),
       Seq("doc_id"), "left_anti")
+      .localCheckpoint()
     // sqrt-temperature acceptance rates from the surviving corpus:
     // rate_l = min(1, flattened share / raw share) downsamples only
     // over-represented langs (temperatureMix's exact weight algebra —
@@ -574,7 +586,6 @@ object Pipeline {
       .withColumn("pos", row_number().over(wsd).cast("long"))
       .select(col("bucket"), col("seq_id"), col("n_docs"), col("seq_tokens"),
         col("min_doc"), col("max_doc"), col("shard"), col("pos"))
-      .orderBy(col("bucket"), col("seq_id"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

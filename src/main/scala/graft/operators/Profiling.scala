@@ -40,7 +40,6 @@ object Profiling {
       .agg(aggs.head, aggs.tail: _*)
       .selectExpr(s"stack(${numeric.size}, $stackArgs) AS " +
         "(column_name, n_nulls, n_distinct, min_value, max_value)")
-      .orderBy(col("column_name"))
   }
 
   /** Z-score outliers of `value` within each event_type. Moments are
@@ -66,7 +65,6 @@ object Profiling {
       .filter(abs(col("z")) > lit(3.0))
       .select(col("event_id"), col("event_type"), col("value"),
         round(col("z"), 6).as("z"))
-      .orderBy(col("event_id"))
   }
 
   /** ANALYZE-style table statistics built from SKETCHES only — the
@@ -97,6 +95,11 @@ object Profiling {
     // row per DISTINCT VALUE (corpus-proportional for prices at scale)
     // where this one shuffles only constant-size aggregate partials.
     val bottomK = udaf(new graft.functions.BottomKDistinct(Sketches.KmvK))
+    // NO checkpoint here, deliberately: pass1's aggregation exchange
+    // appears once per consumer in the plan but ReuseExchange
+    // deduplicates it, so the scan runs once anyway — an r16
+    // checkpoint experiment measured STRICTLY slower (eager sketch
+    // materialization for no saved work)
     val pass1 = Sketches.withKmvEstimate(
       src.select(col("column_name"), col("cents"),
           Sketches.hash32(col("cents")).as("h"))
@@ -123,7 +126,6 @@ object Profiling {
       .join(ndv, "column_name")
       .select(col("column_name"), col("n"), col("ndv_est"), col("p"),
         (col("lo") + col("bin") * col("bw")).as("est_cents"))
-      .orderBy("column_name", "p")
   }
 
   /** Distribution-drift detector between two cohorts of one frame:
@@ -167,7 +169,6 @@ object Profiling {
       round(col("value") * 100, 0).cast("long"),
       col("event_type"))
       .withColumnRenamed("grp", "event_type")
-      .orderBy("event_type")
 
   /** Exact two-sample Kolmogorov–Smirnov distance per group — the
     * complementary drift statistic to [[driftOn]]'s binned L1: KS is
@@ -257,7 +258,6 @@ object Profiling {
       round(col("value") * 100, 0).cast("long"),
       col("event_type"))
       .withColumnRenamed("grp", "event_type")
-      .orderBy("event_type")
 
   /** KS report over `events`, same parity split and cents quantization
     * as [[driftReport]]: the undrifted null baseline (≈ 0; the spec
@@ -268,7 +268,6 @@ object Profiling {
       round(col("value") * 100, 0).cast("long"),
       col("event_type"))
       .withColumnRenamed("grp", "event_type")
-      .orderBy("event_type")
 
   /** Categorical mix drift between two cohorts — the detector for the
     * variable the numeric trio can't watch: the CATEGORY mix itself
@@ -310,7 +309,6 @@ object Profiling {
   def mixDriftReport(spark: SparkSession, dir: String): DataFrame =
     mixDriftOn(Tables.events(spark, dir),
       col("event_id") % 2 === 0, col("event_type"))
-      .orderBy("category")
 
   /** The event types whose per-minute activity series get correlated. */
   val CorrTypes = Seq("view", "click", "purchase", "signup", "error")
@@ -403,26 +401,44 @@ object Profiling {
     // bounded 1-row pull: just the series extent, never data
     val ext = active.agg(min(col("minute")), max(col("minute"))).head()
     require(!ext.isNullAt(0), "activityAutocorr needs at least one event")
+    // checkpoint the densified series: the r15 form re-executed the
+    // grid join per lag ARM (two sides × |AcfLags| arms = 10 re-runs
+    // of the events aggregate + grid); the frame is span-bounded
+    // (minutes in the extent), so one materialization serves them all
     val series = spark.range(ext.getLong(0), ext.getLong(1) + 1)
       .toDF("minute")
       .join(active, Seq("minute"), "left")
       .na.fill(0L, Seq("n"))
-    val perLag = AcfLags.map { l =>
-      val a = series.select(col("minute"), col("n").as("x"))
-      val b = series.select((col("minute") - l).as("minute"), col("n").as("y"))
-      a.join(b, "minute")
-        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-          sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
-          sum(col("y") * col("y")).as("syy"))
-        .select(lit(l).as("lag_min"), col("n"), col("sx"), col("sy"),
-          col("sxy"), col("sxx"), col("syy"))
-    }.reduce(_ unionAll _)
+      .localCheckpoint()
+    // ALL lags in one join pass (r16): shift the series once per lag
+    // via a generated (lag, minute − lag) expansion and join the
+    // un-shifted side a single time, aggregating moments per lag —
+    // exactly the per-arm pair sets of the r15 unionAll form (the
+    // oracle's per-arm CTEs are unchanged), in 1 join + 1 aggregate
+    // instead of |AcfLags| joins + |AcfLags| aggregates. The lag grid
+    // left join restores the n=0/null-moment row a lag longer than
+    // the series would produce, matching the empty-aggregate arm.
+    import spark.implicits._
+    val shifted = series.select(
+        explode(array(AcfLags.map(lit): _*)).as("lag_min"),
+        col("minute"), col("n"))
+      .select(col("lag_min"), (col("minute") - col("lag_min")).as("minute"),
+        col("n").as("y"))
+    val moments = series.select(col("minute"), col("n").as("x"))
+      .join(shifted, "minute")
+      .groupBy("lag_min")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    val perLag = AcfLags.toDF("lag_min")
+      .join(moments, Seq("lag_min"), "left")
+      .select(col("lag_min"), coalesce(col("n"), lit(0L)).as("n"),
+        col("sx"), col("sy"), col("sxy"), col("sxx"), col("syy"))
     perLag
       .withColumn("corr",
         round(((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
           / (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
             * sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double")))), 6))
-      .orderBy("lag_min")
   }
 
   /** Declarative data-quality constraint suite — the Deequ-style audit
@@ -475,7 +491,15 @@ object Profiling {
     // each fact row once.
     def misses(hit: Column): Column = sum(when(hit.isNull, 1L).otherwise(0L))
     def viol(ok: Column): Column = sum(when(ok, 0L).otherwise(1L))
+    // project the fact side to ONLY the audited columns before the FK
+    // joins (the r15 fkCheck shipped just the key; a fused pass must
+    // not pay full-width rows through the join probes), and keep the
+    // distinct-aggregate uniqueness check in its OWN pass — fused with
+    // the sums it forces an Expand that doubles every row through the
+    // joins
     val li = lineitem
+      .select(col("l_orderkey"), col("l_partkey"),
+        col("l_quantity"), col("l_discount"))
       .join(orders.select(col("o_orderkey").as("fk_ok"))
         .distinct().withColumn("ok_hit", lit(1)),
         col("l_orderkey") === col("fk_ok"), "left")
@@ -485,18 +509,21 @@ object Profiling {
       .agg(count(lit(1)).as("checked"),
         misses(col("ok_hit")).as("v_fk_orderkey"),
         misses(col("pk_hit")).as("v_fk_partkey"),
-        (count(lit(1)) - count_distinct(col("l_orderkey"), col("l_linenumber")))
-          .as("v_unique_pk"),
         viol(col("l_quantity").between(1, 50)).as("v_quantity"),
         viol(col("l_discount").between(0, 1)).as("v_discount"))
-      .selectExpr("stack(5, " +
+      .selectExpr("stack(4, " +
         "'fk_lineitem_orderkey', checked, v_fk_orderkey, " +
         "'fk_lineitem_partkey', checked, v_fk_partkey, " +
-        "'unique_lineitem_pk', checked, v_unique_pk, " +
         "'range_lineitem_quantity', checked, v_quantity, " +
         "'range_lineitem_discount', checked, v_discount) " +
         "AS (check_name, checked, violations)")
+    val liUnique = lineitem.agg(count(lit(1)).as("checked"),
+      (count(lit(1)) - count_distinct(col("l_orderkey"), col("l_linenumber")))
+        .as("violations"))
+      .select(lit("unique_lineitem_pk").as("check_name"),
+        col("checked"), col("violations"))
     val ord = orders
+      .select(col("o_custkey"), col("o_totalprice"))
       .join(customer.select(col("c_custkey").as("fk_ck"))
         .distinct().withColumn("ck_hit", lit(1)),
         col("o_custkey") === col("fk_ck"), "left")
@@ -514,7 +541,8 @@ object Profiling {
         col("checked"), col("violations"))
     val docs = rangeCheck("nonempty_documents_text", documents,
       col("text").isNotNull && length(col("text")) > 0)
-    li.unionAll(ord).unionAll(cust).unionAll(docs).orderBy("check_name")
+    li.unionAll(liUnique).unionAll(ord).unionAll(cust).unionAll(docs)
+      .orderBy("check_name")
   }
 
   /** Distributed ordinary least squares by sufficient statistics — the
@@ -552,7 +580,6 @@ object Profiling {
         round(col("slope"), 6).as("slope_cents_per_unit"),
         round((d(col("sy")) - col("slope") * d(col("sx"))) / d(col("n")), 6)
           .as("intercept_cents"))
-      .orderBy("l_returnflag")
   }
 
   /** Robust daily-volume anomaly detection: for each event type, the
@@ -627,7 +654,6 @@ object Profiling {
           .when(col("cents") > col("p_hi_cents"),
             col("c") * (col("cents") - col("p_hi_cents")))
           .otherwise(0L)).as("shift_cents"))
-      .orderBy("event_type")
   }
 
   /** Benford milli-probabilities for digits 1–9, computed ONCE in
@@ -658,6 +684,7 @@ object Profiling {
       .filter(col("cents") >= 1L)
       .withColumn("digit", substring(col("cents").cast("string"), 1, 1).cast("long"))
       .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+      .localCheckpoint() // ≤9 rows; feeds the grid join AND its own total
     val tot = obs.agg(sum("n_obs").as("n"))
     // no broadcast hint: a build-left hint on a left-outer join is
     // unsupported (noisy fallback warning); both sides are ≤9 rows
@@ -667,7 +694,6 @@ object Profiling {
       .select(col("digit"), col("n_obs"),
         expr("n_obs * 1000 div n").as("obs_milli"), col("benford_milli"),
         (expr("n_obs * 1000 div n") - col("benford_milli")).as("dev_milli"))
-      .orderBy("digit")
   }
 
   def madOutliers(spark: SparkSession, dir: String): DataFrame = {
@@ -689,7 +715,6 @@ object Profiling {
       // datetime64 from the oracle's fetch — stringify on both sides
       .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
         col("n"), col("med"), col("mad"))
-      .orderBy(col("event_type"), col("day"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -42,7 +42,6 @@ object Relational {
           .as("revenue"),
         count(lit(1)).as("n"))
       .withColumn("avg_qty", col("sum_qty") / col("n"))
-      .orderBy(col("l_returnflag"), col("l_linestatus"))
 
   // -- filter + projection (pushdown path) -------------------------------
   def filterProject(spark: SparkSession, dir: String): DataFrame =
@@ -51,7 +50,6 @@ object Relational {
         expr("l_shipdate < timestamp '1997-01-01'") && col("l_quantity") < 5)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
         col("l_extendedprice"), col("l_returnflag"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
 
   // -- multi-way join with broadcast dimension ---------------------------
   def revenueByNation(spark: SparkSession, dir: String): DataFrame = {
@@ -72,7 +70,6 @@ object Relational {
         (sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))) / 10000.0)
           .as("revenue"),
         count(lit(1)).as("n_items"))
-      .orderBy(col("n_name"))
   }
 
   // -- dim join + aggregate (strategy left to Catalyst/AQE: customer
@@ -85,7 +82,6 @@ object Relational {
       .agg(
         count(lit(1)).as("n_orders"),
         (sum(cents(col("o_totalprice"))) / 100.0).as("total_price"))
-      .orderBy(col("c_mktsegment"))
 
   // -- semi / anti joins (EXISTS / NOT EXISTS) ---------------------------
   def customersWithOrders(spark: SparkSession, dir: String): DataFrame =
@@ -93,7 +89,6 @@ object Relational {
       .join(Tables.orders(spark, dir).filter(col("o_orderstatus") === "F"),
         col("c_custkey") === col("o_custkey"), "left_semi")
       .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
-      .orderBy(col("c_custkey"))
 
   /** NOT EXISTS — customers with no 'P'-status order (an unrestricted
     * anti join is vacuously empty in this data: every customer orders). */
@@ -102,7 +97,6 @@ object Relational {
       .join(Tables.orders(spark, dir).filter(col("o_orderstatus") === "P"),
         col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
-      .orderBy(col("c_custkey"))
 
   // -- top-k (sort + limit, deterministic tiebreak) ----------------------
   def topOrders(spark: SparkSession, dir: String): DataFrame =
@@ -117,7 +111,6 @@ object Relational {
       .groupBy(col("o_orderstatus"))
       .agg(countDistinct(col("o_custkey")).as("n_custs"),
         count(lit(1)).as("n_orders"))
-      .orderBy(col("o_orderstatus"))
 
   // -- ranking window function -------------------------------------------
   def topOrdersPerCustomer(spark: SparkSession, dir: String): DataFrame = {
@@ -127,7 +120,6 @@ object Relational {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
-      .orderBy(col("o_custkey"), col("rn"))
   }
 
   // -- rollup / cube ------------------------------------------------------
@@ -136,22 +128,17 @@ object Relational {
       .rollup(col("o_orderstatus"), col("o_orderpriority"))
       .agg(count(lit(1)).as("n"),
         (sum(cents(col("o_totalprice"))) / 100.0).as("total_price"))
-      .orderBy(col("o_orderstatus").asc_nulls_first,
-        col("o_orderpriority").asc_nulls_first)
 
   def cubeStatusYear(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .cube(col("o_orderstatus"), year(col("o_orderdate")).as("order_year"))
       .agg(count(lit(1)).as("n"))
-      .orderBy(col("o_orderstatus").asc_nulls_first,
-        col("order_year").asc_nulls_first)
 
   // -- set operations ------------------------------------------------------
   def exceptCustkeys(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
     o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
       .except(o.filter(col("o_orderstatus") === "O").select(col("o_custkey")))
-      .orderBy(col("o_custkey"))
   }
 
   /** EXCEPT ALL — the multiset subtraction the set-op family was
@@ -169,7 +156,6 @@ object Relational {
     val o = Tables.orders(spark, dir)
     o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
       .intersect(o.filter(col("o_orderstatus") === "P").select(col("o_custkey")))
-      .orderBy(col("o_custkey"))
   }
 
   // -- scalar string / date functions --------------------------------------
@@ -181,13 +167,11 @@ object Relational {
         substring(col("p_name"), 1, 8).as("name_pfx"),
         length(col("p_name")).as("name_len"),
         concat(col("p_brand"), lit("/"), col("p_type")).as("brand_type"))
-      .orderBy(col("p_partkey"))
 
   def ordersByMonth(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
       .agg(count(lit(1)).as("n"))
-      .orderBy(col("y"), col("m"))
 
   // -- CASE WHEN bucketing --------------------------------------------------
   def valueBuckets(spark: SparkSession, dir: String): DataFrame =
@@ -198,7 +182,6 @@ object Relational {
           .otherwise("high"))
       .groupBy(col("event_type"), col("bucket"))
       .agg(count(lit(1)).as("n"))
-      .orderBy(col("event_type"), col("bucket"))
 
   // -- JSON extraction (reference P6 parse_json, old/kfk.py:13-32) ---------
   def jsonExtract(spark: SparkSession, dir: String): DataFrame =
@@ -207,7 +190,6 @@ object Relational {
         get_json_object(col("props"), "$.k").cast("long").as("k"))
       .groupBy(col("event_type"))
       .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
-      .orderBy(col("event_type"))
 
   /** VARIANT twin of [[jsonExtract]] — Spark 4's semi-structured type:
     * parse once into the binary VARIANT encoding, extract with typed
@@ -223,7 +205,6 @@ object Relational {
       .groupBy(col("event_type"))
       .agg(sum(col("k")).as("sum_k"), max(col("k")).as("max_k"),
         count(lit(1)).as("n"))
-      .orderBy(col("event_type"))
 
   // -- GROUPING SETS (the general form of rollup/cube) via the SQL surface
   def groupingSetsOrders(spark: SparkSession, dir: String): DataFrame = {
@@ -249,7 +230,6 @@ object Relational {
       .groupBy(col("r_name").as("region"))
       .agg(array_join(sort_array(collect_list(col("n_name"))), ",").as("nations"),
         count(lit(1)).as("n_nations"))
-      .orderBy("region")
 
   // -- lag/lead navigation over per-customer order history -----------------
   def orderGaps(spark: SparkSession, dir: String): DataFrame = {
@@ -261,7 +241,6 @@ object Relational {
         lead(col("o_totalprice"), 1).over(w).as("next_price"),
         datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w))
           .as("days_since_prev"))
-      .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
   // -- full outer join: activity per customer incl. never-active ones ------
@@ -273,7 +252,6 @@ object Relational {
       .join(perUser, col("c_custkey") === col("user_id"), "full_outer")
       .select(coalesce(col("c_custkey"), col("user_id")).as("custkey"),
         col("c_mktsegment"), col("n_events"))
-      .orderBy(col("custkey"))
   }
 
   // -- exact quantiles (sort-based percentile; at corpus scale swap in
@@ -287,7 +265,6 @@ object Relational {
         round(expr("percentile(value, 0.25)"), 6).as("q25"),
         round(expr("percentile(value, 0.5)"), 6).as("q50"),
         round(expr("percentile(value, 0.9)"), 6).as("q90"))
-      .orderBy(col("event_type"))
 
   // -- pivot: day × event_type count matrix -------------------------------
   private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
@@ -299,7 +276,6 @@ object Relational {
       .pivot("event_type", EventTypes)
       .agg(count(lit(1)))
       .na.fill(0L, EventTypes)
-      .orderBy(col("day"))
 
   // -- RANGE window frame: trailing 1-hour spend per user ------------------
   /** Event-time RANGE frame (the window-frame family rank/lag cover
@@ -318,7 +294,6 @@ object Relational {
       .withColumn("trailing_1h_cents", sum(col("cents")).over(w))
       .select(col("event_id"), col("user_id"), col("ts"),
         col("trailing_1h_cents"))
-      .orderBy(col("event_id"))
   }
 
   // -- unpivot / melt ------------------------------------------------------
@@ -334,7 +309,6 @@ object Relational {
       .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
         Array(col("quantity"), col("extendedprice"), col("discount")),
         "metric", "val")
-      .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"))
 
   // -- distribution window functions (percent_rank / cume_dist) ------------
   /** Rank each order within its CUSTOMER's history — partitioned by a
@@ -351,7 +325,6 @@ object Relational {
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
         percent_rank().over(w).as("pr"),
         cume_dist().over(w).as("cd"))
-      .orderBy(col("o_orderkey"))
   }
 
   // -- correlated SCALAR subquery via the SQL surface ----------------------
@@ -401,7 +374,6 @@ object Relational {
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
       .filter(col("dist") <= 3)
       .select("name_a", "name_b", "dist")
-      .orderBy("name_a", "name_b")
   }
 
   // -- LATERAL correlated subquery via the SQL surface ----------------------

@@ -93,7 +93,6 @@ object Retrieval {
       .select(col("phrase"), posexplode(col("top")))
       .select(col("phrase"), (col("pos") + lit(1)).as("rnk"),
         col("col.vec_id").as("doc_id"), col("col.score").as("n_occurrences"))
-      .orderBy(col("phrase"), col("rnk"))
   }
 
   /** Proximity window (tokens, inclusive) and the fixed term-pair
@@ -138,7 +137,6 @@ object Retrieval {
       .select(col("pair"), posexplode(col("top")))
       .select(col("pair"), (col("pos") + lit(1)).as("rnk"),
         col("col.vec_id").as("doc_id"), col("col.score").as("n_near"))
-      .orderBy(col("pair"), col("rnk"))
   }
 
   /** Integer-BM25 top-5 documents per query over the corpus table —
@@ -413,7 +411,6 @@ object Retrieval {
       .select(col("query_id"), posexplode(col("top")))
       .select(col("query_id"), (col("pos") + lit(1)).as("rnk"),
         col("col.vec_id").as("doc_id"), col("col.cosine").cast("long").as("score_sc"))
-      .orderBy("query_id", "rnk")
   }
 
   private val TfidfK = 5
@@ -535,7 +532,6 @@ object Retrieval {
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col("doc_id"), col("rrf_milli"))
-      .orderBy("query_id", "rnk")
   }
 
   /** Feedback-pool and expansion-term sizes for [[prfExpansion]], and
@@ -622,7 +618,6 @@ object Retrieval {
       .select(col("query_id"), posexplode(col("top")))
       .select(col("query_id"), (col("pos") + lit(1)).as("rnk"),
         col("col.vec_id").as("doc_id"), col("col.score").as("score_sc"))
-      .orderBy("query_id", "rnk")
   }
 
   /** MMR pool/output sizes and λ×10 (Carbonell & Goldstein 1998's
@@ -727,7 +722,6 @@ object Retrieval {
       }
     }
     out.result().toDF("query_id", "rnk", "doc_id", "mmr_deci")
-      .orderBy("query_id", "rnk")
   }
 
   /** Dirichlet smoothing mass (Zhai & Lafferty 2001's standard μ). */
@@ -809,7 +803,6 @@ object Retrieval {
       .select(col("query_id"), posexplode(col("top")))
       .select(col("query_id"), (col("pos") + lit(1)).as("rnk"),
         col("col.vec_id").as("doc_id"), col("col.cosine").as("score"))
-      .orderBy("query_id", "rnk")
   }
 
   /** Evaluation depth for [[ndcgEval]]. */
@@ -929,7 +922,6 @@ object Retrieval {
                 |  THEN cast(round(ap_sum / cast(least(n_rel_docs, $NdcgK) as double)
                 |       * 1000000.0D, 0) as bigint)
                 |  ELSE 0L END""".stripMargin).as("ap_micro"))
-      .orderBy(col("query_id"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -50,7 +50,12 @@ object RichTrades {
   private val wireMemo = new DirMemo
 
   private def wireFrame(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir).select(
+    // repartition the raw events before the JSON encode: the testdata
+    // is single-row-group parquet, so without it the to_json pass (and
+    // every downstream from_json over the checkpointed wire) runs as
+    // ONE task. A production topic is partitioned; this is its batch
+    // mirror. Build-time-only exchange of the narrow source columns.
+    Tables.events(spark, dir).repartition(col("event_id")).select(
       to_json(struct(
         unix_micros(col("ts")).as("Timestamp"),
         concat(lit("I"), col("user_id")).as("InstrumentId"),
@@ -97,7 +102,6 @@ object RichTrades {
       .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
         col("product"), col("open"), col("high"), col("low"), col("close"),
         col("volume"), col("n_ask_cp"), col("n_otc"))
-      .orderBy(col("window_start"), col("product"))
 
   /** The nested sink shape (old/kfk.py:123-132,163-173): GLOBAL 1-minute
     * OHLC (the reference groups by TUMBLE only — no product key) emitted
@@ -113,7 +117,6 @@ object RichTrades {
         max_by(col("Price"), col("Timestamp")).as("close"))
       .select(unix_millis(col("w.start")).as("window_start"),
         struct(col("open"), col("high"), col("low"), col("close")).as("ohlc"))
-      .orderBy(col("window_start"))
 
   /** Driver-comparable twin of [[nestedBars1m]]: the nested ROW rendered
     * as its JSON wire form (`to_json` — the exact bytes the Kafka sink

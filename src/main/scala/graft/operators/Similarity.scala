@@ -55,7 +55,6 @@ object Similarity {
       .select(col("query_id"), posexplode(col("top")))
       .select(col("query_id"), (col("pos") + lit(1)).as("rnk"),
         col("col.vec_id").as("vec_id"), col("col.cosine").as("cosine"))
-      .orderBy(col("query_id"), col("rnk"))
   }
 
   /** Exact brute-force cosine top-k for each query vector. */
@@ -396,7 +395,6 @@ object Similarity {
       .select(col("query_id"), posexplode(col("top")))
       .select(col("query_id"), (col("pos") + lit(1)).as("rnk"),
         col("col.vec_id").as("vec_id"), (-col("col.cosine")).as("adc"))
-      .orderBy("query_id", "rnk")
   }
 
   /** The flat-PQ ADC candidate frame (queries × corpus codes, 4
@@ -1040,7 +1038,6 @@ object Similarity {
         sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"),
         sum(col("n_dups")).as("dup_degree_sum"),
         max(col("best_sim_milli")).as("max_sim_milli"))
-      .orderBy(col("cell"))
 
   // ------------------------------------------- SSL-prototype pruning
 
@@ -1346,7 +1343,6 @@ object Similarity {
       .select(col("query_id"), col("vec_id"),
         cosineSim(col("qv"), col("embedding")).as("cosine"))
       .filter(col("cosine") >= RangeTau)
-      .orderBy("query_id", "vec_id")
   }
 
   /** Neighbors kept per vector in [[knnJoin]]. */
@@ -1550,7 +1546,6 @@ object Similarity {
       .select(col("vec_id"), posexplode(rpSumsNative))
       .select(col("vec_id"), col("pos").cast("long").as("out_dim"),
         round(col("col").cast("double") / lit(1000.0) / lit(4.0), 6).as("rp_val"))
-      .orderBy(col("vec_id"), col("out_dim"))
 
   /** RP fidelity audit — per query: how many of the exact top-[[TopK]]
     * dot-product neighbours (milli-integer space, ties broken by
@@ -1586,7 +1581,6 @@ object Similarity {
         coalesce(col("n_hits"), lit(0L)).as("n_hits"))
       .withColumn("recall",
         round(col("n_hits").cast("double") / lit(TopK.toDouble), 6))
-      .orderBy("query_id")
   }
 
   /** Outliers kept by [[outliers]]. */
@@ -1689,7 +1683,6 @@ object Similarity {
       .select(col("query_id"), posexplode(col("top")))
       .select(col("query_id"), (col("pos") + lit(1)).as("rnk"),
         col("col.vec_id").as("vec_id"), col("col.cosine").cast("long").as("score"))
-      .orderBy(col("query_id"), col("rnk"))
   }
 
   /** Dim prefixes surveyed by [[matryoshkaReport]] against the full

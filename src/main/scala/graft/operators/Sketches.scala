@@ -157,7 +157,6 @@ object Sketches {
     est.join(exact, Seq("event_type", "column_name"))
       .select(col("event_type"), col("column_name"), col("n_exact"),
         col("n_zero_buckets"), col("hll_est"))
-      .orderBy("event_type", "column_name")
   }
 
   /** Exact distinct users per event type via the chunked-bitmap
@@ -172,7 +171,6 @@ object Sketches {
       .groupBy("event_type")
       .agg(bd(col("user_id")).as("n_users"),
         count_distinct(col("user_id")).as("n_exact"))
-      .orderBy("event_type")
   }
 
   // ---- scalar twin (stateful streaming) --------------------------------
@@ -272,7 +270,6 @@ object Sketches {
         "stack(4, 0, s0, 1, s1, 2, s2, 3, s3) AS (r, slot)")
     probes.join(sketch, Seq("r", "slot"))
       .groupBy("token", "n_exact").agg(min("cnt").as("cms_est"))
-      .orderBy(col("n_exact").desc, col("token"))
   }
 
   /** Histogram-sketch quantiles — the third classic sketch: approx
@@ -308,7 +305,6 @@ object Sketches {
       .groupBy("event_type", "p", "lo", "bw").agg(min("bin").as("bin"))
       .select(col("event_type"), col("p"),
         (col("lo") + col("bin") * col("bw")).as("est_cents"))
-      .orderBy("event_type", "p")
   }
 
   /** Bloom geometry: m=32768 bits as 1024×32-bit words (32-bit words so
@@ -408,7 +404,6 @@ object Sketches {
         (sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))) / 10000.0)
           .as("revenue"),
         count(lit(1)).as("n_items"))
-      .orderBy("l_returnflag")
   }
 
   // ---- KMV (k-minimum-values) sketch -----------------------------------
@@ -473,7 +468,6 @@ object Sketches {
       .agg(count_distinct(col("user_id")).as("n_exact"))
     est.join(exact, "event_type")
       .select("event_type", "n_exact", "n_sketch", "kmv_est")
-      .orderBy("event_type")
   }
 
   /** KMV set algebra: estimated |A∪B|, |A∩B|, |A\B|, |B\A| for every
@@ -566,7 +560,6 @@ object Sketches {
       .select(col("type_a"), col("type_b"),
         coalesce(col("jaccard_exact_milli"), lit(0L)).as("jaccard_exact_milli"),
         col("jaccard_est_milli"))
-      .orderBy("type_a", "type_b")
   }
 
   /** Join-cardinality estimation from a coordinated bottom-k key

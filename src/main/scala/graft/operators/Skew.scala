@@ -87,7 +87,6 @@ object Skew {
         (sum(col("cents_part")) / 100.0).as("sum_value"),
         min(col("min_part")).as("min_value"),
         max(col("max_part")).as("max_value")))
-      .orderBy(col("event_type"))
 
   /** events×customer 1:N equi-join through the salted-replicate path,
     * rolled up by market segment — again the plain join is the oracle. */
@@ -100,7 +99,6 @@ object Skew {
       .groupBy(col("c_mktsegment"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         (sum(round(col("value") * 100, 0).cast("long")) / 100.0).as("sum_value"))
-      .orderBy(col("c_mktsegment"), col("event_type"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

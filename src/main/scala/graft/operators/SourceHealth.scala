@@ -83,7 +83,6 @@ object SourceHealth {
         col("n_docs") >= MinDocs &&
           col("dup_rate_milli") <= DupMaxMilli &&
           col("mean_q_milli") >= col("corpus_q_milli"))
-      .orderBy(col("source"))
   }
 
   /** One-row corpus datasheet: the numbers a dataset card leads with.

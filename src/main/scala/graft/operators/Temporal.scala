@@ -46,7 +46,6 @@ object Temporal {
       .withColumn("rn", row_number().over(byKeyDesc))
       .filter(col("rn") === 1 && col("op") =!= "D")
       .select(col("key"), col("val_cents"), col("ts_us").as("updated_us"))
-      .orderBy("key")
   }
 
   /** SCD2 history build: each non-delete change opens a version valid
@@ -64,7 +63,6 @@ object Temporal {
       .select(col("key"), col("seq").as("version_seq"), col("val_cents"),
         col("ts_us").as("valid_from_us"), col("valid_to_us"),
         (col("valid_to_us") === Sentinel).as("is_current"))
-      .orderBy("key", "valid_from_us", "version_seq")
   }
 
   /** Point-in-time lookup of events against the SCD2 history — the
@@ -94,7 +92,6 @@ object Temporal {
       .filter(col("valid_to_us").isNotNull && col("valid_to_us") > col("ts_us"))
       .select(col("event_id"), col("key"), col("ts_us"),
         col("version_seq"), col("val_cents"))
-      .orderBy("event_id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

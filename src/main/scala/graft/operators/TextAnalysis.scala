@@ -553,7 +553,6 @@ object TextAnalysis {
       .select(col("source"), col("n_words"), col("n_tokens"), col("n_chars"),
         round(col("n_tokens").cast("double") / col("n_words"), 6).as("fertility"),
         round(col("n_chars").cast("double") / col("n_tokens"), 6).as("chars_per_token"))
-      .orderBy(col("source"))
 
   /** Character-bigram language-model quality score (the CCNet recipe —
     * Wenzek et al., "CCNet: extracting high-quality monolingual

@@ -49,7 +49,6 @@ object Warehouse {
       .join(applied.select(col("c_custkey")), Seq("c_custkey"), "left_anti")
       .withColumn("action", lit("kept"))
     kept.union(applied)
-      .orderBy(col("c_custkey"))
   }
 
   /** Consecutive same-event_type runs per user ("islands"): a run
@@ -71,7 +70,6 @@ object Warehouse {
       .agg(count(lit(1)).as("n_events"),
         min("ts_us").as("start_us"), max("ts_us").as("end_us"))
       .select("user_id", "island", "event_type", "n_events", "start_us", "end_us")
-      .orderBy("user_id", "island")
   }
 
   /** Incremental view maintenance: refresh a materialized aggregate
@@ -121,7 +119,6 @@ object Warehouse {
         (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_orders"),
         (coalesce(col("tc"), lit(0L)) + coalesce(col("dtc"), lit(0L))).as("total_cents"))
       .filter(col("n_orders") > 0)
-      .orderBy("status")
   }
 
   /** Buckets for the anti-entropy table diff. At 100 TB this is the
@@ -192,7 +189,6 @@ object Warehouse {
         sum("chg").as("n_changed"))
     buckets.select("bucket", "rows_a", "rows_b")
       .join(classified, Seq("bucket"))
-      .orderBy("bucket")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -27,7 +27,6 @@ object Windows {
       .agg(count(lit(1)).as("n"), max(col("value")).as("mx"))
       .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
         col("event_type"), col("n"), col("mx"))
-      .orderBy(col("window_start"), col("event_type"))
 
   /** Top-3 users per 10-minute sliding window — the windowed top-k
     * composition: per-(window, user) counts partial-aggregate map-side,
@@ -47,7 +46,6 @@ object Windows {
       .select(col("w.start").as("window_start"), posexplode(col("top")))
       .select(col("window_start"), (col("pos") + lit(1)).as("rnk"),
         col("col.vec_id").as("user_id"), col("col.cosine").cast("long").as("n_events"))
-      .orderBy("window_start", "rnk")
   }
 
   /** Per-user sessions with a 30-minute inactivity gap: session_end =
@@ -61,7 +59,6 @@ object Windows {
         (sum(round(col("value") * 100, 0).cast("long")) / 100.0).as("sum_value"))
       .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
         col("user_id"), col("n_events"), col("sum_value"))
-      .orderBy(col("user_id"), col("session_start"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "win_sliding_counts" -> ((s, d) => slidingCounts(s, d)),

@@ -102,7 +102,11 @@ object StreamingSketch {
             (buf, r) => agg.reduce(buf, Sketches.hash32Scalar(r.value))
           }
           state.update(sk)
-          KmvEstimate(key, sk.size.toLong, Sketches.kmvEstimate(sk))
+          // finish() orders the sketch ascending (the buffer itself is
+          // descending since r16) — kmvEstimate reads the kth minimum
+          // as the LAST element of an ascending sketch
+          KmvEstimate(key, sk.size.toLong,
+            Sketches.kmvEstimate(agg.finish(sk).toList))
       }
   }
 

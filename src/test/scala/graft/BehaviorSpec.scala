@@ -228,7 +228,7 @@ class BehaviorSpec extends SparkSpec {
   }
 
   test("A/B split partitions users; Wilson interval brackets the rate; z-test is self-consistent") {
-    val lift = Behavior.abLift(spark, sf0001).collect()
+    val lift = Behavior.abLift(spark, sf0001).orderBy("variant").collect()
     assert(lift.map(_.getString(0)).toSeq == Seq("A", "B"))
     val nUsers = Tables.events(spark, sf0001)
       .select("user_id").distinct().count()
@@ -426,7 +426,7 @@ class BehaviorSpec extends SparkSpec {
   }
 
   test("SRM chi-squared replays exactly and agrees with the lift counters") {
-    val lift = Behavior.abLift(spark, sf0001).collect()
+    val lift = Behavior.abLift(spark, sf0001).orderBy("variant").collect()
       .map(r => r.getString(0) -> r.getAs[Long]("n_users")).toMap
     val got = Behavior.abSrm(spark, sf0001).collect()
     assert(got.length == 1)

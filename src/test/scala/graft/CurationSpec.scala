@@ -77,6 +77,7 @@ class CurationSpec extends SparkSpec {
     import graft.operators.Sketches
     val got = Curation.sampleReservoir(spark, sf001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+      .sortBy(_._1) // rank order — presentation sort removed from query
     assert(got.length == 32)
     // the banned global-sort formulation, at test scale only
     val naive = Tables.documents(spark, sf001)
@@ -90,6 +91,7 @@ class CurationSpec extends SparkSpec {
     // stable across runs
     val again = Curation.sampleReservoir(spark, sf001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+      .sortBy(_._1)
     assert(got.toSeq == again.toSeq)
   }
 
@@ -97,6 +99,7 @@ class CurationSpec extends SparkSpec {
     import graft.operators.Sketches
     val got = Curation.samplePriority(spark, sf001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1) // rank order — presentation sort removed from query
     assert(got.length == 16)
     val naive = Tables.documents(spark, sf001)
       .select(col("doc_id"), col("n_chars"), Sketches.hash32(col("doc_id")).as("h"))

@@ -10,7 +10,8 @@ import graft.operators.Intervals
 class IntervalsSpec extends SparkSpec {
 
   test("bucketized point-in-interval join equals the naive range join") {
-    val bucketized = Intervals.promoOrders(spark, sf001).collect()
+    val bucketized = Intervals.promoOrders(spark, sf001)
+      .orderBy("promo_day").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
 
     // naive formulation: explicit range-predicate join (tiny scale only)

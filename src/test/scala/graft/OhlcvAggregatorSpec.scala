@@ -60,8 +60,12 @@ class OhlcvAggregatorSpec extends SparkSpec {
   }
 
   test("typed udaf path matches the min_by/max_by plan on real data") {
-    val typed = operators.Ohlcv.bars1mTyped(spark, sf0001).collect()
-    val native = operators.Ohlcv.bars1m(spark, sf0001).collect()
+    // explicit test-side ordering: the queries no longer carry a
+    // presentation sort (the driver comparator canonicalizes row order)
+    val typed = operators.Ohlcv.bars1mTyped(spark, sf0001)
+      .orderBy("window_start", "event_type").collect()
+    val native = operators.Ohlcv.bars1m(spark, sf0001)
+      .orderBy("window_start", "event_type").collect()
     assert(typed.length == native.length)
     typed.zip(native).foreach { case (a, b) => assert(a == b) }
   }

@@ -116,8 +116,9 @@ class SketchesSpec extends SparkSpec {
     (1 to 50).foreach { i =>
       val (vals, cut) = gen(org.scalacheck.Gen.Parameters.default, Seed(i.toLong)).get
       val whole = vals.foldLeft(agg.zero)(agg.reduce)
-      // semantic definition: sorted distinct values, first k
-      assert(whole == vals.distinct.sorted.take(k), s"seed $i")
+      // semantic definition through finish(): sorted distinct values,
+      // first k (the buffer itself is descending since r16)
+      assert(agg.finish(whole) == vals.distinct.sorted.take(k), s"seed $i")
       val (a, b) = vals.splitAt(cut)
       val merged = agg.merge(
         a.foldLeft(agg.zero)(agg.reduce), b.foldLeft(agg.zero)(agg.reduce))
@@ -477,6 +478,7 @@ class SketchesSpec extends SparkSpec {
   test("bloom-pruned join equals the plain unpruned join exactly") {
     import org.apache.spark.sql.functions._
     val pruned = graft.operators.Sketches.bloomJoin(spark, sf0001)
+      .orderBy("l_returnflag")
       .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
     val li = graft.Tables.lineitem(spark, sf0001)
     val urgent = graft.Tables.orders(spark, sf0001)

@@ -8,9 +8,12 @@ import graft.functions.{LongScoredId, ScoredId, TopKByLongScore, TopKByScore}
   * merge/reduce equivalence under arbitrary partition splits. */
 class TopKAggregatorSpec extends SparkSpec {
 
+  // compare through finish(): the buffer's internal order is
+  // worst-first since r16 (O(1) full-reject); finish() emits the
+  // best-first ranking the queries consume
   private def runD(k: Int, xs: Seq[ScoredId]): Seq[ScoredId] = {
     val agg = new TopKByScore(k)
-    xs.foldLeft(agg.zero)(agg.reduce)
+    agg.finish(xs.foldLeft(agg.zero)(agg.reduce))
   }
 
   private def refD(k: Int, xs: Seq[ScoredId]): Seq[ScoredId] =
@@ -28,8 +31,8 @@ class TopKAggregatorSpec extends SparkSpec {
     // and merge order cannot change that
     val agg = new TopKByScore(4)
     val (a, b) = xs.splitAt(3)
-    val m = agg.merge(a.foldLeft(agg.zero)(agg.reduce),
-      b.foldLeft(agg.zero)(agg.reduce))
+    val m = agg.finish(agg.merge(a.foldLeft(agg.zero)(agg.reduce),
+      b.foldLeft(agg.zero)(agg.reduce)))
     assert(m.map(_.vec_id) == Seq(1L, 2L, 3L, 4L))
   }
 
@@ -43,8 +46,8 @@ class TopKAggregatorSpec extends SparkSpec {
       val agg = new TopKByScore(k)
       val cut = rnd.nextInt(xs.length + 1)
       val (a, b) = xs.splitAt(cut)
-      val merged = agg.merge(a.foldLeft(agg.zero)(agg.reduce),
-        b.foldLeft(agg.zero)(agg.reduce))
+      val merged = agg.finish(agg.merge(a.foldLeft(agg.zero)(agg.reduce),
+        b.foldLeft(agg.zero)(agg.reduce)))
       assert(merged == refD(k, xs))
     }
   }
@@ -56,7 +59,7 @@ class TopKAggregatorSpec extends SparkSpec {
     val xs = Seq(LongScoredId(10L, big), LongScoredId(20L, big + 1),
       LongScoredId(30L, big - 1))
     val agg = new TopKByLongScore(2)
-    val got = xs.foldLeft(agg.zero)(agg.reduce)
+    val got = agg.finish(xs.foldLeft(agg.zero)(agg.reduce))
     assert(got.map(_.vec_id) == Seq(20L, 10L))
     // double rounding would tie 10 and 20 and wrongly keep id 10 first
     assert((big + 1).toDouble == big.toDouble)
@@ -72,8 +75,8 @@ class TopKAggregatorSpec extends SparkSpec {
       val agg = new TopKByLongScore(k)
       val cut = rnd.nextInt(xs.length + 1)
       val (a, b) = xs.splitAt(cut)
-      val merged = agg.merge(a.foldLeft(agg.zero)(agg.reduce),
-        b.foldLeft(agg.zero)(agg.reduce))
+      val merged = agg.finish(agg.merge(a.foldLeft(agg.zero)(agg.reduce),
+        b.foldLeft(agg.zero)(agg.reduce)))
       assert(merged == xs.sortBy(s => (-s.score, s.vec_id)).take(k))
     }
   }
