@@ -1,0 +1,101 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Primitive bottom-k-distinct buffer: an ascending long array with an
+  * O(1) full-reject (the common case on a long stream) and a binary-
+  * search insert for the rare accepted value. Semantically identical to
+  * [[BottomKDistinct]]'s finish() output — the same distinct k minima,
+  * ascending. */
+final class KmvBuffer(val k: Int) {
+  val keys = new Array[Long](k)
+  var n = 0
+
+  def insert(x: Long): Unit = {
+    if (n == k && keys(k - 1) <= x) return // full and out-ranked
+    var lo = 0
+    var hi = n
+    while (lo < hi) {
+      val m = (lo + hi) >>> 1
+      if (keys(m) < x) lo = m + 1 else hi = m
+    }
+    if (lo < n && keys(lo) == x) return // already present
+    val lastKept = math.min(n, k - 1)
+    System.arraycopy(keys, lo, keys, lo + 1, lastKept - lo)
+    keys(lo) = x
+    if (n < k) n += 1
+  }
+
+  def mergeIn(o: KmvBuffer): Unit = {
+    var i = 0
+    while (i < o.n) { insert(o.keys(i)); i += 1 }
+  }
+}
+
+/** bottom_k_distinct(h): native TypedImperativeAggregate form of
+  * [[BottomKDistinct]] — the KMV sketch state as a primitive long
+  * array updated in place, for the SQL aggregation path. The typed
+  * Aggregator (udaf) stays as the driver-side/streaming form and the
+  * executable semantics reference; this exists because the udaf's
+  * per-row encoder dispatch and boxed List churn measured ~0.7 µs/row
+  * on the 1.8M-row stats scan — ~1.4 s of a 1.9 s query (r16). Output
+  * is the identical ascending distinct bottom-k array. */
+case class BottomKDistinctAgg(
+    child: Expression,
+    k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KmvBuffer] with UnaryLike[Expression] {
+  require(k > 0, s"bottom-k needs k > 0, got $k")
+
+  override def prettyName: String = "bottom_k_distinct"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): KmvBuffer = new KmvBuffer(k)
+
+  override def update(b: KmvBuffer, input: InternalRow): KmvBuffer = {
+    val v = child.eval(input)
+    if (v != null) b.insert(v.asInstanceOf[Long])
+    b
+  }
+
+  override def merge(b: KmvBuffer, o: KmvBuffer): KmvBuffer = {
+    b.mergeIn(o); b
+  }
+
+  override def eval(b: KmvBuffer): Any =
+    ArrayData.toArrayData(java.util.Arrays.copyOf(b.keys, b.n))
+
+  override def serialize(b: KmvBuffer): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 8 * b.n)
+    bb.putInt(b.n)
+    var i = 0
+    while (i < b.n) { bb.putLong(b.keys(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): KmvBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val b = new KmvBuffer(k)
+    b.n = n
+    var i = 0
+    while (i < n) { b.keys(i) = bb.getLong; i += 1 }
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BottomKDistinctAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BottomKDistinctAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): BottomKDistinctAgg =
+    copy(child = newChild)
+}

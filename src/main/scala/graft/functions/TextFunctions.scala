@@ -161,6 +161,14 @@ object TextFunctions {
       CommonCount(org.apache.spark.sql.graft.ColumnBridge.expression(a),
         org.apache.spark.sql.graft.ColumnBridge.expression(b)))
 
+  /** Native bottom-k-distinct aggregate column builder (KMV sketch
+    * state; see [[BottomKDistinctAgg]]) — usage mirrors `udaf(...)`:
+    * `val bottomK = bottomKDistinctAgg(k); ...agg(bottomK(col("h")))`. */
+  def bottomKDistinctAgg(k: Int): Column => Column =
+    (c: Column) => org.apache.spark.sql.graft.ColumnBridge.column(
+      BottomKDistinctAgg(org.apache.spark.sql.graft.ColumnBridge.expression(c), k)
+        .toAggregateExpression())
+
   /** Non-oracle production variant: 64-bit xxhash64 shingles (codegen'd,
     * engine-native). Use when DuckDB parity is not needed. */
   def shingleCodes64(text: Column, n: Int): Column =

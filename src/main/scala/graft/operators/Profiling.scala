@@ -94,7 +94,7 @@ object Profiling {
     // pre-agg and measured flat at sf0.1 — and that shape shuffles one
     // row per DISTINCT VALUE (corpus-proportional for prices at scale)
     // where this one shuffles only constant-size aggregate partials.
-    val bottomK = udaf(new graft.functions.BottomKDistinct(Sketches.KmvK))
+    val bottomK = graft.functions.TextFunctions.bottomKDistinctAgg(Sketches.KmvK)
     // NO checkpoint here, deliberately: pass1's aggregation exchange
     // appears once per consumer in the plan but ReuseExchange
     // deduplicates it, so the scan runs once anyway — an r16

@@ -435,7 +435,7 @@ object Sketches {
     * each map task forwards ≤ k longs per group, never the distinct
     * value set itself. Returns (event_type, sketch ARRAY<BIGINT>). */
   private def kmvSketches(spark: SparkSession, dir: String): DataFrame = {
-    val bottomK = udaf(new graft.functions.BottomKDistinct(KmvK))
+    val bottomK = graft.functions.TextFunctions.bottomKDistinctAgg(KmvK)
     Tables.events(spark, dir)
       .select(col("event_type"), hash32(col("user_id")).as("h"))
       .groupBy("event_type")
@@ -446,7 +446,7 @@ object Sketches {
     * of [[hllEstimateBy]], with set-algebra-capable state. Emits
     * keys ++ (n_sketch, kmv_est). */
   def kmvEstimateBy(df: DataFrame, keys: Seq[String], value: Column): DataFrame = {
-    val bottomK = udaf(new graft.functions.BottomKDistinct(KmvK))
+    val bottomK = graft.functions.TextFunctions.bottomKDistinctAgg(KmvK)
     val kc = keys.map(col)
     withKmvEstimate(
       df.select(kc :+ hash32(value).as("h"): _*)
@@ -581,7 +581,7 @@ object Sketches {
     * only full-width aggregate: the estimator itself touches k keys.
     * This is how a planner sizes a shuffle join WITHOUT running it. */
   def joinCardEstimate(spark: SparkSession, dir: String): DataFrame = {
-    val bottomK = udaf(new graft.functions.BottomKDistinct(KmvK))
+    val bottomK = graft.functions.TextFunctions.bottomKDistinctAgg(KmvK)
     val counts = Tables.events(spark, dir)
       .groupBy(col("user_id")).agg(count(lit(1)).as("f"))
       .withColumn("h", hash32(col("user_id")))

@@ -103,6 +103,26 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("native bottom_k_distinct aggregate equals the typed udaf form") {
+    import spark.implicits._
+    // dense domain → duplicates, groups straddling the k boundary
+    val rnd = new scala.util.Random(31)
+    val rows = (1 to 5000).map(_ =>
+      (s"g${rnd.nextInt(5)}", rnd.nextInt(300).toLong))
+    val df = rows.toDF("g", "h")
+    val nativeAgg = graft.functions.TextFunctions.bottomKDistinctAgg(16)
+    val native = df.groupBy("g").agg(nativeAgg(col("h")).as("sketch"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toList).toMap
+    val udafAgg = udaf(new graft.functions.BottomKDistinct(16))
+    val typed = df.groupBy("g").agg(udafAgg(col("h")).as("sketch"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toList).toMap
+    assert(native == typed)
+    // and both match the semantic definition
+    rows.groupBy(_._1).foreach { case (g, vs) =>
+      assert(native(g) == vs.map(_._2).distinct.sorted.take(16).toList, g)
+    }
+  }
+
   test("BottomKDistinct is a bounded distinct bottom-k under any split/merge") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
