@@ -458,8 +458,7 @@ object Ohlcv {
         |  max_by(value, pord) AS close,
         |  count(*) AS volume
         |FROM (SELECT *, ${packedOrdSql("ts", "event_id")} AS pord FROM events)
-        |GROUP BY window(ts, '1 minute'), event_type
-        |ORDER BY window_start, event_type""".stripMargin)
+        |GROUP BY window(ts, '1 minute'), event_type""".stripMargin)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

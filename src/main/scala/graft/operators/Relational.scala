@@ -213,8 +213,7 @@ object Relational {
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
-        |                        (o_orderstatus), (o_orderpriority))
-        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+        |                        (o_orderstatus), (o_orderpriority))""".stripMargin)
   }
 
   // -- ordered string aggregation ------------------------------------------
@@ -339,8 +338,7 @@ object Relational {
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders o
         |WHERE o_totalprice = (SELECT max(o2.o_totalprice) FROM orders o2
-        |                      WHERE o2.o_custkey = o.o_custkey)
-        |ORDER BY o_orderkey""".stripMargin)
+        |                      WHERE o2.o_custkey = o.o_custkey)""".stripMargin)
   }
 
   // -- correlated EXISTS subquery via the SQL surface ----------------------
@@ -351,7 +349,7 @@ object Relational {
         |FROM orders
         |WHERE EXISTS (SELECT 1 FROM lineitem
         |              WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
-        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+        |GROUP BY o_orderstatus""".stripMargin)
   }
 
   // -- fuzzy join (edit-distance record linkage with blocking) -------------
@@ -392,8 +390,7 @@ object Relational {
         |  SELECT o_orderkey, o_totalprice FROM orders
         |  WHERE o_custkey = c.c_custkey
         |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
-        |WHERE c.c_custkey <= 100
-        |ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""".stripMargin)
+        |WHERE c.c_custkey <= 100""".stripMargin)
   }
 
   // -- recursive CTE via the SQL surface -----------------------------------
@@ -454,8 +451,7 @@ object Relational {
         |  CAST(min(o.od) AS STRING) AS first_day,
         |  CAST(max(o.od) AS STRING) AS last_day
         |FROM chain c JOIN ord o ON c.okey = o.o_orderkey
-        |GROUP BY o.o_custkey, c.root_key
-        |ORDER BY o_custkey, streak_root""".stripMargin)
+        |GROUP BY o.o_custkey, c.root_key""".stripMargin)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

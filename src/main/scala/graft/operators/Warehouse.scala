@@ -162,6 +162,11 @@ object Warehouse {
           "o_orderstatus, cents, od, o_orderpriority)), 1, 15), 16, 10) AS BIGINT)"))
       .withColumn("bucket", col("k") % DiffBuckets)
       .select(col("bucket"), col("k"), col("digest"))
+    // NOT checkpointed, deliberately: the digest subtree appears in the
+    // summaries, the dirty semi-joins and the classification, but
+    // ReuseExchange deduplicates the identical scans — an r16
+    // checkpoint experiment measured slightly SLOWER (eager
+    // materialization for work the plan already shares).
     val (da, db) = (digested(a), digested(b))
     def summary(df: DataFrame, side: String): DataFrame = df
       .groupBy("bucket")
