@@ -292,6 +292,20 @@ object HashOps {
     val np = codes.numElements()
     if (np == 0)
       return org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array.emptyLongArray)
+    // precondition: packed keys h*posEnc + i must not overflow Long —
+    // holds for the mod-P span hashes (h < 2^31) this is called with,
+    // but 64-bit codes (e.g. xxhash64 shingles) would silently corrupt
+    // the min selection via signed wraparound. Fail loudly instead:
+    // one validation pass of np compares, negligible next to the w·np
+    // selection loop below.
+    val maxCode = (Long.MaxValue - np) / posEnc
+    var v = 0
+    while (v < np) {
+      val c = codes.getLong(v)
+      require(c >= 0 && c <= maxCode,
+        s"winnowSelect: code $c would overflow the posEnc=$posEnc key packing")
+      v += 1
+    }
     val jMax = math.max(np - w, 0)
     val out = new java.util.LinkedHashSet[java.lang.Long]()
     var j = 0
@@ -331,8 +345,14 @@ object HashOps {
     if (na == 0 || nb == 0) return 0L
     val (small, large, ns, nl) =
       if (na <= nb) (a, b, na, nb) else (b, a, nb, na)
+    // capacity target computed in Long: ns * 2 overflows Int at
+    // ns >= 2^30, which would leave cap at 4 and the open-addressing
+    // insert loop non-terminating. 2^29 elements (4 GiB of longs per
+    // row) is already far past any realistic array cell.
+    require(ns <= (1 << 29),
+      s"commonCount: array of $ns elements exceeds the 2^29 bound")
     var cap = 4
-    while (cap < ns * 2) cap <<= 1
+    while (cap < ns.toLong * 2) cap <<= 1
     val mask = cap - 1
     val keys = new Array[Long](cap)
     val used = new Array[Boolean](cap)

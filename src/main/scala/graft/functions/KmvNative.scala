@@ -59,6 +59,17 @@ case class BottomKDistinctAgg(
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = false
 
+  // analysis-time type gate: update() casts child.eval to Long, so a
+  // non-BIGINT child must fail resolution, not at runtime
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case LongType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires a BIGINT child, got ${t.catalogString}")
+    }
+
   override def createAggregationBuffer(): KmvBuffer = new KmvBuffer(k)
 
   override def update(b: KmvBuffer, input: InternalRow): KmvBuffer = {

@@ -2056,6 +2056,32 @@ object Dedup {
     (postsT, setsT)
   }
 
+  /** The winnow generation's document-frequency side-table
+    * (h, df) — one row per distinct fingerprint hash per write, bucketed
+    * by h like the postings. The probe's df-cap reads THIS instead of
+    * re-aggregating the full postings per probe (r17, guide §2.3/§8:
+    * decide with small rows): the postings table is corpus×density
+    * rows, the df table is |distinct h| rows, and merge maintains it
+    * with one |batch|-proportional append. Probes SUM df per h, so
+    * multi-write multiplicity is harmless. Derives its identity from
+    * the postings table name so rollover generations get their own. */
+  private[graft] def ensureWinnowDf(spark: SparkSession, postsT: String): String = {
+    val sfx = postsT.stripPrefix("graft_winnow_idx_")
+    val dfT = s"graft_winnowdf_idx_$sfx"
+    idxLock(s"winnowdf_$sfx").synchronized {
+      if (!spark.catalog.tableExists(dfT)) {
+        spark.table(postsT).groupBy("h").agg(count(lit(1)).as("df"))
+          .repartition(IndexBuckets, col("h"))
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(IndexBuckets, "h")
+          .sortBy("h")
+          .option("path", s"$indexRoot/winnowdf_$sfx")
+          .saveAsTable(dfT)
+      }
+    }
+    dfT
+  }
+
   /** Persist one winnow-index generation from an explicit document
     * frame — the build core shared by [[ensureWinnowIndex]] (corpus)
     * and [[rolloverWinnowIndex]] (corpus ∪ admitted). Fingerprints are
@@ -2070,6 +2096,17 @@ object Dedup {
       .sortBy("h")
       .option("path", s"$indexRoot/winnow_$sfx")
       .saveAsTable(postsT)
+    // df side-table written WITH the generation (overwrite, not ensure:
+    // a rebuilt generation must never serve a predecessor's counts);
+    // read back from the just-written bucketed postings — bucket-local,
+    // no re-winnowing
+    docs.sparkSession.table(postsT).groupBy("h").agg(count(lit(1)).as("df"))
+      .repartition(IndexBuckets, col("h"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(IndexBuckets, "h")
+      .sortBy("h")
+      .option("path", s"$indexRoot/winnowdf_$sfx")
+      .saveAsTable(s"graft_winnowdf_idx_$sfx")
     shingledOn(docs).select(col("doc_id"), col("codes"), col("sz"))
       .repartition(IndexBuckets, col("doc_id"))
       .write.mode("overwrite").format("parquet")
@@ -2095,17 +2132,34 @@ object Dedup {
       corpusFilter: Column = lit(true)): Unit = {
     val (postsT, setsT) = ensureWinnowIndex(spark, dir, tag, corpusFilter)
     idxLock(s"winnow_${IndexStore.suffix(dir, tag, corpusFilter)}").synchronized {
+      // df side-table from the PRE-merge postings (building it after the
+      // postings append would double-count the batch when its own
+      // partial counts land below)
+      val dfT = ensureWinnowDf(spark, postsT)
       val novel = batchDocs.dropDuplicates("doc_id")
         .join(spark.table(setsT).select(col("doc_id")), Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("text"))
         .localCheckpoint() // staged: the insert must not read its target
-      winnowSelectedOn(novel).select(col("doc_id"), col("h")).distinct()
+      // staged once: feeds both the postings append and its df partials
+      val novelPosts = winnowSelectedOn(novel)
+        .select(col("doc_id"), col("h")).distinct()
+        .localCheckpoint()
+      novelPosts
         .repartition(IndexBuckets, col("h"))
         .write.mode("append").format("parquet").insertInto(postsT)
+      // batch-proportional df maintenance: append the batch's per-h
+      // partial counts; probes sum per h. Crash between this append and
+      // the sets append replays the doc and re-appends its partials —
+      // the same df-overcount exposure the old probe-side aggregate had
+      // from the duplicated postings rows that crash window leaves.
+      novelPosts.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .repartition(IndexBuckets, col("h"))
+        .write.mode("append").format("parquet").insertInto(dfT)
       shingledOn(novel).select(col("doc_id"), col("codes"), col("sz"))
         .repartition(IndexBuckets, col("doc_id"))
         .write.mode("append").format("parquet").insertInto(setsT)
       spark.catalog.refreshTable(postsT)
+      spark.catalog.refreshTable(dfT)
       spark.catalog.refreshTable(setsT)
     }
   }
@@ -2122,6 +2176,13 @@ object Dedup {
         s"$indexRoot/winnow_$sfx", IndexBuckets, Seq("h"))
       IndexStore.rewriteBucketed(spark, s"graft_winsets_idx_$sfx",
         s"$indexRoot/winsets_$sfx", IndexBuckets, Seq("doc_id"))
+      // df partials keep their multiplicity through the rewrite (probes
+      // sum per h, so the totals are unchanged); compacting just folds
+      // the K merge files back to one per bucket like the postings
+      if (spark.catalog.tableExists(s"graft_winnowdf_idx_$sfx")) {
+        IndexStore.rewriteBucketed(spark, s"graft_winnowdf_idx_$sfx",
+          s"$indexRoot/winnowdf_$sfx", IndexBuckets, Seq("h"))
+      }
     }
   }
 
@@ -2163,15 +2224,47 @@ object Dedup {
     val batchHs = winnowSelectedOn(batchDocs)
       .select(col("doc_id").as("batch_id"), col("h")).distinct()
     val idx = spark.table(postsT)
-    val capped = idx.groupBy("h").agg(count(lit(1)).as("df"))
+    // df-cap from the persisted side-table (summed per h — merges append
+    // partial counts), not a re-aggregation of the full postings per
+    // probe: the cap is a corpus property the generation artifact
+    // carries, so the probe pays |distinct h| bucket-local rows instead
+    // of a corpus-postings scan+aggregate per ingest batch (r17)
+    val capped = spark.table(ensureWinnowDf(spark, postsT))
+      .groupBy("h").agg(sum(col("df")).as("df"))
       .filter(col("df") <= DefaultMaxShingleDf).select("h")
     val cand = batchHs
       .join(idx.join(capped, "h")
         .select(col("doc_id").as("corpus_id"), col("h")), "h")
       .select(col("batch_id"), col("corpus_id")).distinct()
-    val sets = spark.table(setsT)
-      .unionByName(batchSh.select(col("doc_id"), col("codes"), col("sz")))
-    winnowVerdict(cand, sets)
+    // verification sides kept separate (r17): candidates are strictly
+    // batch×corpus, so the batch side attaches from the batch's own
+    // shingle frame and the corpus side from the BUCKETED sets table in
+    // place — the old `sets-table ∪ batch` frame fed both joins and the
+    // union destroyed the bucket co-partitioning the sets artifact
+    // exists to provide (every probe re-shuffled the corpus sets)
+    val dups = cand
+      .join(batchSh.select(col("doc_id").as("batch_id"),
+        col("codes").as("c_i"), col("sz").cast("long").as("sz_i")), "batch_id")
+      .join(spark.table(setsT).select(col("doc_id").as("corpus_id"),
+        col("codes").as("c_j"), col("sz").cast("long").as("sz_j")), "corpus_id")
+      .withColumn("common",
+        graft.functions.TextFunctions.commonCount(col("c_i"), col("c_j")))
+      .withColumn("jaccard",
+        col("common") / (col("sz_i") + col("sz_j") - col("common")))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .groupBy(col("batch_id"))
+      .agg(count(lit(1)).as("n_dups"), max(col("jaccard")).as("best_jaccard"))
+    // verdict universe: the batch's own shingleable mod-4 docs — the
+    // same rows winnowVerdict's (sets ∪ batch) filter selected when the
+    // index holds no batch-mod docs, without re-scanning the sets table
+    batchSh.filter(col("sz") > 0)
+      .filter(pmod(col("doc_id"), lit(IncrementalBatchMod)) === 0)
+      .select(col("doc_id").as("batch_id"))
+      .join(dups, Seq("batch_id"), "left")
+      .select(col("batch_id"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        col("best_jaccard"),
+        col("n_dups").isNull.as("keep"))
   }
 
   /** The winnow drill: same batch/corpus split as

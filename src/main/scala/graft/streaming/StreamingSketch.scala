@@ -98,7 +98,15 @@ object StreamingSketch {
       .mapGroupsWithState[List[Long], KmvEstimate](
         GroupStateTimeout.NoTimeout) {
         (key: String, rows: Iterator[KeyedValue], state: GroupState[List[Long]]) =>
-          val sk = rows.foldLeft(state.getOption.getOrElse(agg.zero)) {
+          // normalize restored state to the descending (worst-first)
+          // buffer order reduce expects: a checkpoint written by the
+          // pre-r16 ascending-buffer version would otherwise hit the
+          // head<=x full-reject on almost every insert and silently
+          // corrupt the sketch; sorting is idempotent on current state
+          // (k elements, once per key per microbatch)
+          val restored = state.getOption
+            .map(_.sortWith(_ > _)).getOrElse(agg.zero)
+          val sk = rows.foldLeft(restored) {
             (buf, r) => agg.reduce(buf, Sketches.hash32Scalar(r.value))
           }
           state.update(sk)
