@@ -431,6 +431,13 @@ object Relational {
         |       THEN 1 ELSE 0 END AS is_root
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin)
+      // hash-partition the pinned link table on the RECURSION join key
+      // before materializing: localCheckpoint's LogicalRDD carries the
+      // partitioning, so every recursion level's frontier⋈ord join (and
+      // the final chain⋈ord rollup) reuses it — only the frontier
+      // shuffles per level, not the static side (r17, guide §2.4: the
+      // static side of a loop gets pinned IN THE LOOP'S KEY)
+      .repartition(col("o_orderkey"))
       .localCheckpoint()
       .createOrReplaceTempView("ord")
     spark.sql(

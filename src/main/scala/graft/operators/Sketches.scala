@@ -334,15 +334,25 @@ object Sketches {
     val dimKeys = Tables.orders(spark, dir)
       .filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey").as("key"))
-    val bloom = probes(dimKeys).groupBy("word")
+    // bitset pulled to the driver as the geometry-bounded literal array
+    // (m/32 = 1024 longs regardless of data) and tested with the fused
+    // BloomMightContain probe INSIDE the fact scan — the same machinery
+    // [[bloomJoin]] uses and proves oracle-equivalent. The former form
+    // exploded every distinct fact key ×k probes into a broadcast join
+    // + a re-aggregation by key: two extra corpus-sized passes for the
+    // identical per-key verdict (r17, guide §2.4).
+    val wordRows = probes(dimKeys).groupBy("word")
       .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT)))").as("bits"))
-    val factKeys = Tables.lineitem(spark, dir)
+      .collect()
+    val words = Array.fill((BloomBits / 32).toInt)(0L)
+    wordRows.foreach(r => words(r.getLong(0).toInt) = r.getLong(1))
+    val passes = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.BloomMightContain(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("key").cast("long")),
+        words.toSeq, BloomK, BloomBits))
+    val verdicts = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("key")).distinct()
-    val verdicts = probes(factKeys)
-      .join(broadcast(bloom), Seq("word"), "left")
-      .groupBy("key")
-      .agg(min(coalesce(expr("shiftright(bits, CAST(bit AS INT)) & 1"), lit(0L)))
-        .as("all_set"))
+      .select(col("key"), when(passes, lit(1L)).otherwise(lit(0L)).as("all_set"))
     verdicts
       .join(dimKeys.distinct().withColumn("is_true", lit(1L)), Seq("key"), "left")
       .agg(sum(col("all_set")).as("n_keys_pass"),
