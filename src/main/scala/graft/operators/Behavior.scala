@@ -48,7 +48,10 @@ object Behavior {
     val counts = t1.agg(count(lit(1)).as("n")).withColumn("stage", lit("1_view"))
       .union(t2.agg(count(lit(1)).as("n")).withColumn("stage", lit("2_click")))
       .union(t3.agg(count(lit(1)).as("n")).withColumn("stage", lit("3_purchase")))
-    counts.select(col("stage"), col("n").as("n_users")).orderBy("stage")
+    // no presentation sort (3 rows, but the range sampler re-executes
+    // the three funnel-stage aggregates — r17, same class as the r16
+    // trailing-sort sweep)
+    counts.select(col("stage"), col("n").as("n_users"))
   }
 
   /** Weekly cohort retention: users bucketed by the integer epoch-week

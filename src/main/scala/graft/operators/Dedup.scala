@@ -1276,11 +1276,9 @@ object Dedup {
     def leg(m: String, df: DataFrame) =
       df.select(lit(m).as("method"), col("doc_i"), col("doc_j"))
     val winnowVerified = {
-      val hs = winnowSelected(spark, dir)
-        .select(col("doc_id"), col("h")).distinct()
-      val capped = hs.groupBy("h").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= DefaultMaxShingleDf).select("h")
-      val posts = hs.join(capped, "h")
+      // the memoized df-capped posting frame the pair query shares —
+      // nf rides along unused here; the candidate join needs (doc_id, h)
+      val posts = winnowCappedPosts(spark, dir)
       val cand = posts.as("a").join(posts.as("b"),
           col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
@@ -1976,21 +1974,32 @@ object Dedup {
     * makes this a detector for shared runs ≥ k + w − 1 tokens at
     * ~2/(w+1) of the postings volume the full-shingle pair join
     * shuffles — the scale trade the SIGMOD paper is about. */
+  /** Df-capped winnow postings (doc_id, h, nf) with each doc's UNCAPPED
+    * distinct-fingerprint count nf riding the posting row — the same
+    * one-extra-long-on-the-shuffle trick [[cappedPosts]] uses for sz,
+    * buying back the two per-pair size joins the pair query otherwise
+    * pays. Memoized per (session, dir): the pair join and the
+    * method-agreement candidate join share the identical frame (r17). */
+  private val winnowPostsMemo = new DirMemo
+
+  private def winnowCappedPosts(spark: SparkSession, dir: String): DataFrame =
+    winnowPostsMemo(spark, dir) {
+      val hs = winnowSelected(spark, dir)
+        .select(col("doc_id"), col("h")).distinct()
+      val nf = hs.groupBy("doc_id").agg(count(lit(1)).as("nf"))
+      val capped = hs.groupBy("h").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= DefaultMaxShingleDf).select("h")
+      hs.join(capped, "h").join(nf, "doc_id").localCheckpoint()
+    }
+
   def winnowPairs(spark: SparkSession, dir: String): DataFrame = {
-    val hs = winnowSelected(spark, dir)
-      .select(col("doc_id"), col("h")).distinct()
-    val sz = hs.groupBy("doc_id").agg(count(lit(1)).as("nf"))
-    val capped = hs.groupBy("h").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= DefaultMaxShingleDf).select("h")
-    val posts = hs.join(capped, "h")
+    val posts = winnowCappedPosts(spark, dir)
     posts.as("a").join(posts.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("shared"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"),
+        first(col("a.nf")).as("nf_a"), first(col("b.nf")).as("nf_b"))
       .filter(col("shared") >= 2)
-      .join(sz.select(col("doc_id").as("doc_a"), col("nf").as("nf_a")), "doc_a")
-      .join(sz.select(col("doc_id").as("doc_b"), col("nf").as("nf_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"), col("shared"),
         col("nf_a"), col("nf_b"),
         expr("shared * 1000 div (nf_a + nf_b - shared)").as("jaccard_milli"))

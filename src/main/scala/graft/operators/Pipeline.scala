@@ -197,7 +197,7 @@ object Pipeline {
     val batch = Tables.documents(spark, dir)
       .filter(pmod(col("doc_id"), lit(Dedup.IncrementalBatchMod)) === 0)
       .select(col("doc_id"), col("text"))
-    ingestVerdictFor(spark, batch, bandsT, setsT).orderBy(col("doc_id"))
+    ingestVerdictFor(spark, batch, bandsT, setsT)
   }
 
   // ---------------------------------------------------------------- //

@@ -541,8 +541,10 @@ object Profiling {
         col("checked"), col("violations"))
     val docs = rangeCheck("nonempty_documents_text", documents,
       col("text").isNotNull && length(col("text")) > 0)
+    // no presentation sort: 9 rows, but RangePartitioning SAMPLES its
+    // child, and this child is five table-scan aggregates — the sort
+    // cost here was a second execution of every audit pass (r17)
     li.unionAll(liUnique).unionAll(ord).unionAll(cust).unionAll(docs)
-      .orderBy("check_name")
   }
 
   /** Distributed ordinary least squares by sufficient statistics — the

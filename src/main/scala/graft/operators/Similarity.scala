@@ -968,7 +968,7 @@ object Similarity {
     val batch = Tables.embeddings(spark, dir)
       .filter(pmod(col("vec_id"), lit(4L)) === 0)
       .select(col("vec_id"), col("embedding"))
-    annGateVerdict(spark, batch, booksT, codesT).orderBy(col("batch_id"))
+    annGateVerdict(spark, batch, booksT, codesT)
   }
 
   // ----------------------------------------------------------- SemDeDup
@@ -1023,7 +1023,6 @@ object Similarity {
           coalesce(col("n_dups"), lit(0L)).as("n_dups"),
           col("best_sim_milli"),
           (col("min_other").isNull || col("min_other") > col("vec_id")).as("keep"))
-        .orderBy("vec_id")
         .localCheckpoint()
     }
   private val semMemo = new DirMemo

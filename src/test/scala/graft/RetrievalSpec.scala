@@ -106,12 +106,23 @@ class RetrievalSpec extends SparkSpec {
   }
 
   test("bm25 plan is window-free with the query side broadcast") {
+    // the memoized standard-query score frame (r17) hides the scoring
+    // joins behind a checkpointed LogicalRDD in bm25TopK's own plan, so
+    // the broadcast assertion probes the scoring CORE the memo build
+    // runs — same arithmetic, un-memoized path
+    val scoringPlan = Retrieval.bm25On(
+        graft.Tables.documents(spark, sf001), Retrieval.QueryTerms, 5)
+      .queryExecution.executedPlan.toString
+    assert(!scoringPlan.contains("Window"),
+      s"bm25 top-k must stay a partial/merge aggregate:\n$scoringPlan")
+    assert(scoringPlan.contains("BroadcastHashJoin") ||
+        scoringPlan.contains("BroadcastNestedLoopJoin"),
+      s"query terms / stats must broadcast, not shuffle the index:\n$scoringPlan")
+    // and the served query stays window-free over the memoized frame
     val plan = Retrieval.bm25TopK(spark, sf001)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"),
       s"bm25 top-k must stay a partial/merge aggregate:\n$plan")
-    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
-      s"query terms / stats must broadcast, not shuffle the index:\n$plan")
   }
 
   test("mmr greedy drops a near-duplicate of the leader for a diverse lower-relevance doc") {
