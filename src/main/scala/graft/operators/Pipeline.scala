@@ -197,6 +197,10 @@ object Pipeline {
     val batch = Tables.documents(spark, dir)
       .filter(pmod(col("doc_id"), lit(Dedup.IncrementalBatchMod)) === 0)
       .select(col("doc_id"), col("text"))
+      // the drill batch otherwise arrives as ONE scan task and the
+      // batch-side quality/shingle/minhash projections run
+      // single-threaded (r17; batch-proportional, never corpus)
+      .repartition(col("doc_id"))
     ingestVerdictFor(spark, batch, bandsT, setsT)
   }
 
